@@ -1,0 +1,547 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Terms
+import graft.operators.{Dedup, GraphBuilder, PathQueries, Similarity, TextAnalysis}
+
+/**
+ * The query catalog: one entry per implemented operator family from
+ * SURVEY.md §2, instantiated against the driver's synthetic tables
+ * (TESTDATA.md). Each query has a matching DuckDB oracle in
+ * [[Queries.oracles]] — identical column names, deterministic ORDER BY,
+ * and numerics computed so both engines produce bit-identical values
+ * (decimal-exact sums cast to double; integer divisions done once in
+ * double at the end).
+ *
+ * Scale notes are per-query in the Scaladoc; the common rules:
+ *  - aggregations are partial-agg friendly (sum/count/min/max over keys);
+ *  - the only broadcast candidates are genuinely small dims (part, nation,
+ *    region, the query-vector set) and are broadcast explicitly;
+ *  - no collect(), no driver-side loops; everything is one declarative plan
+ *    except the bounded hierarchy BFS (PathQueries).
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
+    * normalize to a microsecond timestamp like every other engine does. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Decimal-exact sum of a double column, returned as double.
+    * Sum order of doubles is nondeterministic under parallel aggregation;
+    * decimal is associative, so any plan produces the same value. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY §2.2 filters, §2.3 joins, §2.4 aggs, §2.5
+  // windows, §2.6 set ops) on the TPC-H-ish tables
+  // ---------------------------------------------------------------------
+
+  /** A1-style grouped aggregation with a pushed-down filter (TPC-H Q1
+    * shape). Filter reaches the parquet scan; partial aggregation
+    * map-side; one shuffle on the 2-column group key. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** F3-style compound range predicates + single-row global agg (Q6
+    * shape). Entirely map-side until the final 1-row reduce. */
+  def q02ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        col("l_discount").cast(DecimalType(18, 2)))
+        .cast("double").as("revenue"))
+
+  /** J1/J2-style equi-join + group (customer⋈orders). Shuffle-hash/SMJ on
+    * the key; group key is low-cardinality so partial agg collapses it. */
+  def q03SegmentOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_mktsegment")
+
+  /** Multi-join chain (Q5 shape): two broadcastable dims (region, nation)
+    * and two fact joins. Catalyst broadcasts the small sides via AQE. */
+  def q04RevenueByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        .cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** J3-style explicit broadcast join against a small dimension (part). */
+  def q05BrandVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+
+  /** J10 existence semi-join: customers having at least one order. */
+  def q06CustomersWithOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J9 checkpoint/restart anti-join: customers with no orders. */
+  def q07CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** W2/W4-style per-key top-k via window row_number (top 3 orders per
+    * customer by price). One shuffle on the partition key. */
+  def q08Top3OrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** A2-style first-wins semantics: the priority of each customer's
+    * lowest-numbered order, via min_by (one hash agg, no sort). */
+  def q09FirstOrderPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"))
+      .orderBy("o_custkey")
+
+  /** U3 set union + distinct: nations present among customers ∪ suppliers. */
+  def q10NationUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** X1 hyphenate over distinct part types (pure codegen'd expression). */
+  def q11HyphenateTypes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_type")).distinct()
+      .withColumn("p_type_h", Terms.hyphenate(col("p_type")))
+      .orderBy("p_type")
+
+  /** X3 python-list literal decode round-trip: build "['w1', 'w2']" from
+    * p_name's words, decode it back with the engine's decoder, count. */
+  def q12PylistRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val asPyList = concat(lit("['"),
+      concat_ws("', '", split(col("p_name"), " ")), lit("']"))
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        size(Terms.pythonListDecode(asPyList)).as("n_words"))
+      .orderBy("p_partkey")
+  }
+
+  /** Time-bucketed aggregation on the events table (batch analogue of a
+    * windowed stream agg): count+sum per (event_type, hour). */
+  def q13EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type", "hour")
+
+  /** X10-style JSON path extraction from the events props column. */
+  def q14EventProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  // ---------------------------------------------------------------------
+  // Training-data ops: dedup, text analysis, similarity (builder prompt)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup survivors: one row per distinct document text. */
+  def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count")
+      .orderBy("keep_id")
+
+  /** Token/char statistics per source (whitespace tokenizer). */
+  def q16TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+
+  /** Language-ID census: predicted language → doc count. */
+  def q17LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** Per-document quality features (narrow, no shuffle beyond the final
+    * order): exact int counts + one double division. */
+  def q18QualityFeatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), c => c =!= "")
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(toks).cast("long").as("n_tokens"),
+        (sumLen.cast("double") / size(toks)).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs over documents. The
+    * candidate generation is an equi-join on shingle — never a cross
+    * join — so it scales with shared-shingle volume, not |docs|². */
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.1)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle — DuckDB has no
+    * xxhash64; correctness covered by the ScalaTest estimating Jaccard
+    * against the exact computation). */
+  def q20MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 32, bands = 8)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup candidates (no SQL oracle — xxhash64). */
+  def q21SimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------------
+  // Graph build + path queries (SURVEY §2.4 A1-A5, §2.7 Q1-Q8)
+  // ---------------------------------------------------------------------
+
+  /** A1/A3: build the vertex table from URI triples synthesized over
+    * nation/region (partOf edges + rdfs:label literals), with the label
+    * folded into the attribute bag. */
+  def q22GraphVertices(s: SparkSession, dir: String): DataFrame = {
+    val obo = "http://purl.obolibrary.org/obo/"
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    val partOf = nat.select(
+      concat(lit(obo + "NAT_"), col("n_nationkey")).as("s"),
+      lit(obo + "BFO_0000050").as("p"),
+      concat(lit(obo + "REG_"), col("n_regionkey")).as("o"),
+      lit(null).cast("string").as("lit"),
+      col("n_nationkey").cast("long").as("ord"))
+    val natLabel = nat.select(
+      concat(lit(obo + "NAT_"), col("n_nationkey")).as("s"),
+      lit("http://www.w3.org/2000/01/rdf-schema#label").as("p"),
+      col("n_name").as("o"),
+      lit(null).cast("string").as("lit"),
+      (col("n_nationkey") + 100).cast("long").as("ord"))
+    val regLabel = reg.select(
+      concat(lit(obo + "REG_"), col("r_regionkey")).as("s"),
+      lit("http://www.w3.org/2000/01/rdf-schema#label").as("p"),
+      col("r_name").as("o"),
+      lit(null).cast("string").as("lit"),
+      (col("r_regionkey") + 200).cast("long").as("ord"))
+    val tuples = partOf.unionByName(natLabel).unionByName(regLabel)
+    GraphBuilder.vertices(tuples)
+      .select(col("collection"), col("key"), col("term"),
+        element_at(col("attrs")("label"), 1).as("name"))
+      .orderBy("collection", "key")
+  }
+
+  /** A2 first-wins edge labels: ORD→PART edges from lineitem where the
+    * label comes from the lowest line number of the (order, part) pair —
+    * the predicate is NOT part of the edge identity. */
+  def q23GraphEdgesFirstWins(s: SparkSession, dir: String): DataFrame = {
+    val obo = "http://purl.obolibrary.org/obo/"
+    val tuples = t(s, dir, "lineitem").select(
+      concat(lit(obo + "ORD_"), col("l_orderkey")).as("s"),
+      concat(lit("http://example.org/rel#"), col("l_returnflag")).as("p"),
+      concat(lit(obo + "PART_"), col("l_partkey")).as("o"),
+      lit(null).cast("string").as("lit"),
+      // unique-ify the ordinal: the synthetic data has a few duplicate
+      // (order, part, linenumber) rows with different flags, which would
+      // make "first wins" ill-defined — fold the label into the ordinal
+      (col("l_linenumber").cast("long") * 256 + ascii(col("l_returnflag"))).as("ord"))
+    GraphBuilder.edges(tuples)
+      .select(col("from_key"), col("to_key"), col("label"))
+      .orderBy("from_key", "to_key")
+  }
+
+  /** J7: the 2-hop ANY path query CUST→ORD→PART — the reference's core
+    * query shape (AqlQuerySetBuilder.getQuerySetInTwo) on a graph derived
+    * from orders+lineitem. Per-hop collection constraints prune the edge
+    * slice before each join. */
+  def q24Path2Hop(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = orderGraph(s, dir)
+    PathQueries.kHop(v, e, "CUST", Seq("ORD", "PART"))
+      .select(
+        element_at(col("vertices"), 1).getField("key").as("v0"),
+        element_at(col("vertices"), 2).getField("key").as("v1"),
+        element_at(col("vertices"), 3).getField("key").as("v2"))
+      .orderBy("v0", "v1", "v2")
+  }
+
+  /** A12: phenotype-subgraph materialization — explode paths, dedup
+    * vertices (hash dropDuplicates, not the reference's O(n²) scan). */
+  def q25PathSubgraph(s: SparkSession, dir: String): DataFrame = {
+    val (v, e) = orderGraph(s, dir)
+    val paths = PathQueries.kHop(v, e, "CUST", Seq("ORD", "PART"))
+    val (vs, _) = PathQueries.subgraph(paths)
+    vs.groupBy("collection").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("collection")
+  }
+
+  /** Vertex/edge tables of the order graph: CUST/ORD/PART collections,
+    * placed (orders) + contains (distinct lineitem pairs) edges. */
+  private def orderGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cust = t(s, dir, "customer")
+      .select(lit("CUST").as("collection"), col("c_custkey").cast("string").as("key"))
+    val ord = t(s, dir, "orders")
+      .select(lit("ORD").as("collection"), col("o_orderkey").cast("string").as("key"))
+    val part = t(s, dir, "part")
+      .select(lit("PART").as("collection"), col("p_partkey").cast("string").as("key"))
+    val placed = t(s, dir, "orders").select(
+      lit("CUST").as("from_coll"), col("o_custkey").cast("string").as("from_key"),
+      lit("ORD").as("to_coll"), col("o_orderkey").cast("string").as("to_key"),
+      lit("placed").as("label"))
+    val contains = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .select(
+        lit("ORD").as("from_coll"), col("l_orderkey").cast("string").as("from_key"),
+        lit("PART").as("to_coll"), col("l_partkey").cast("string").as("to_key"),
+        lit("contains").as("label"))
+    (cust.union(ord).union(part), placed.unionByName(contains))
+  }
+
+  /** Brute-force cosine top-5 neighbors for a small query set (vec_id<10),
+    * broadcast against the corpus; double math matches the SQL oracle
+    * exactly (see Similarity.cosine). */
+  def q26SimilarityTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane LSH (no SQL oracle —
+    * xxhash64-derived planes; covered by ScalaTest vs brute force). */
+  def q27CosineNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.95)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------------
+  // Registry + oracles
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_forecast_revenue" -> (q02ForecastRevenue _),
+    "q03_segment_orders" -> (q03SegmentOrders _),
+    "q04_revenue_by_nation" -> (q04RevenueByNation _),
+    "q05_brand_volume" -> (q05BrandVolume _),
+    "q06_customers_with_orders" -> (q06CustomersWithOrders _),
+    "q07_customers_without_orders" -> (q07CustomersWithoutOrders _),
+    "q08_top3_orders_per_cust" -> (q08Top3OrdersPerCust _),
+    "q09_first_order_priority" -> (q09FirstOrderPriority _),
+    "q10_nation_union" -> (q10NationUnion _),
+    "q11_hyphenate_types" -> (q11HyphenateTypes _),
+    "q12_pylist_roundtrip" -> (q12PylistRoundtrip _),
+    "q13_events_hourly" -> (q13EventsHourly _),
+    "q14_event_props" -> (q14EventProps _),
+    "q15_dedup_exact" -> (q15DedupExact _),
+    "q16_token_stats" -> (q16TokenStats _),
+    "q17_lang_id" -> (q17LangId _),
+    "q18_quality_features" -> (q18QualityFeatures _),
+    "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q20_minhash_lsh" -> (q20MinHashLsh _),
+    "q21_simhash" -> (q21SimHash _),
+    "q22_graph_vertices" -> (q22GraphVertices _),
+    "q23_graph_edges_first_wins" -> (q23GraphEdgesFirstWins _),
+    "q24_path_2hop" -> (q24Path2Hop _),
+    "q25_path_subgraph" -> (q25PathSubgraph _),
+    "q26_similarity_topk" -> (q26SimilarityTopK _),
+    "q27_cosine_near_dups" -> (q27CosineNearDups _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q03_segment_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_brand_volume" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q06_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_top3_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q09_first_order_priority" ->
+      """SELECT o_custkey, arg_min(o_orderpriority, o_orderkey) AS first_priority
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q10_nation_union" ->
+      """SELECT DISTINCT CAST(nationkey AS INT) AS nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q11_hyphenate_types" ->
+      """SELECT p_type, regexp_replace(regexp_replace(p_type, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS p_type_h
+        |FROM (SELECT DISTINCT p_type FROM part) ORDER BY p_type""".stripMargin,
+    "q12_pylist_roundtrip" ->
+      """SELECT p_partkey, len(string_split(p_name, ' ')) AS n_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, hour""".stripMargin,
+    "q14_event_props" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q15_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q16_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS sum_tokens,
+        | SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q17_lang_id" ->
+      """WITH hits AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS h_de,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> x IN ('the','and','of','to','is','in','that','it'))) AS h_en,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> x IN ('el','la','los','que','es','una','por','con'))) AS h_es,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'), x -> x IN ('le','la','les','et','est','une','que','pas'))) AS h_fr
+        | FROM documents),
+        |pred AS (
+        | SELECT CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        |  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |  ELSE 'fr' END AS lang_pred FROM hits)
+        |SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "q18_quality_features" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        | CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), w -> length(w))) AS DOUBLE)
+        |  / len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        | CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q22_graph_vertices" ->
+      """SELECT 'NAT' AS collection, CAST(n_nationkey AS VARCHAR) AS key,
+        | 'NAT_' || n_nationkey AS term, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT 'REG', CAST(r_regionkey AS VARCHAR), 'REG_' || r_regionkey, r_name FROM region
+        |ORDER BY collection, key""".stripMargin,
+    "q23_graph_edges_first_wins" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS from_key,
+        | CAST(l_partkey AS VARCHAR) AS to_key,
+        | arg_min(l_returnflag, l_linenumber * 256 + ascii(l_returnflag)) AS label
+        |FROM lineitem GROUP BY l_orderkey, l_partkey ORDER BY from_key, to_key""".stripMargin,
+    "q24_path_2hop" ->
+      """SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v0,
+        | CAST(l_orderkey AS VARCHAR) AS v1, CAST(l_partkey AS VARCHAR) AS v2
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |ORDER BY v0, v1, v2""".stripMargin,
+    "q25_path_subgraph" ->
+      """SELECT 'CUST' AS collection, count(DISTINCT o_custkey) AS n_vertices
+        |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |UNION ALL SELECT 'ORD', count(DISTINCT l_orderkey) FROM lineitem
+        |UNION ALL SELECT 'PART', count(DISTINCT l_partkey) FROM lineitem
+        |ORDER BY collection""".stripMargin,
+    "q26_similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id AS nbr_id,
+        |  list_sum(list_transform(list_zip(q.qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        | SELECT query_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+}

