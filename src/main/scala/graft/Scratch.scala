@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling main: time one query, print its plan. Not part of the
+  * driver contract. Usage: runMain graft.Scratch <queryName> <sfDir> */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SCRATCH_LOG", "WARN"))
+    // warm the session on a trivial job first so we time the query, not JVM
+    spark.range(1000).selectExpr("sum(id)").collect()
+    if (name == "bisect20") {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      var t = System.nanoTime()
+      val sh = graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      val nsplit = sh.queryExecution.optimizedPlan.toString
+        .sliding("split(".length).count(_ == "split(")
+      println(s"[scratch] split() occurrences in optimized plan: $nsplit")
+      println(s"[scratch] shingle rows=${sh.count()} in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      println(s"[scratch] shingle second count=${sh.count()} in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      val sigs = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 32)
+      println(s"[scratch] sigs rows=${sigs.count()} in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      val lsh = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text", 3, 32, 8)
+      println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
+      spark.stop(); return
+    }
+    val df = SparkEntry.queries(name)(spark, dir)
+    var t0 = System.nanoTime()
+    df.queryExecution.optimizedPlan // force analysis+optimization
+    println(f"[scratch] optimize: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[scratch] first count=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (i <- 2 to 4) {
+      t0 = System.nanoTime()
+      println(f"[scratch] count#$i=${df.count()}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
+    spark.stop()
+  }
+}

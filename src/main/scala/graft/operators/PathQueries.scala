@@ -79,29 +79,48 @@ object PathQueries {
     val vref = (c: String, k: String) =>
       struct(col(c).as("collection"), col(k).as("key"))
 
+    // `uniqueEdges: path` tracking is only needed when the collection
+    // pattern can revisit an edge: the edge into hop i connects
+    // collections (hop(i-1), hop(i)), so a repeat is only possible at a
+    // later hop j with {hop(j-1), hop(j)} == {hop(i-1), hop(i)} (ANY
+    // direction = unordered). When the pattern can't repeat (most of the
+    // reference's 24 production queries), skip carrying+checking the eid
+    // array entirely — less shuffle payload per path row.
+    val collAt: Int => String = i => if (i < 0) anchor else hops(i)
+    val pairs = hops.indices.map(i => Set(collAt(i - 1), collAt(i)))
+    val needEids = pairs.distinct.size < pairs.size
+
     // start frontier: every vertex of the anchor collection
-    var paths = vertices.filter(col("collection") === anchor)
-      .select(
-        array(struct(col("collection"), col("key"))).as("vs"),
-        array().cast("array<struct<from_coll:string,from_key:string,to_coll:string,to_key:string,label:string>>").as("es"),
-        array().cast("array<string>").as("eids"),
-        col("collection").as("cur_coll"), col("key").as("cur_key"))
+    var paths = {
+      val base = vertices.filter(col("collection") === anchor)
+        .select(
+          array(struct(col("collection"), col("key"))).as("vs"),
+          array().cast("array<struct<from_coll:string,from_key:string,to_coll:string,to_key:string,label:string>>").as("es"),
+          col("collection").as("cur_coll"), col("key").as("cur_key"))
+      if (needEids) base.withColumn("eids", array().cast("array<string>"))
+      else base
+    }
 
     hops.foreach { hopColl =>
       // constrain the edge slice BEFORE the join: partition-prunable
       val slice = eAny.filter(col("dst_coll") === hopColl)
-      paths = paths.join(slice,
+      val joined = paths.join(slice,
           paths("cur_coll") === slice("src_coll") &&
           paths("cur_key") === slice("src_key"))
-        .filter(!array_contains(col("eids"), col("eid"))) // uniqueEdges: path
-        .select(
+      val filtered =
+        if (needEids) joined.filter(!array_contains(col("eids"), col("eid")))
+        else joined
+      val grown = filtered.select(
+        Seq(
           concat(col("vs"), array(vref("dst_coll", "dst_key"))).as("vs"),
           concat(col("es"), array(struct(
             col("src_coll").as("from_coll"), col("src_key").as("from_key"),
             col("dst_coll").as("to_coll"), col("dst_key").as("to_key"),
             col("label")))).as("es"),
-          concat(col("eids"), array(col("eid"))).as("eids"),
-          col("dst_coll").as("cur_coll"), col("dst_key").as("cur_key"))
+          col("dst_coll").as("cur_coll"), col("dst_key").as("cur_key")) ++
+        (if (needEids) Seq(concat(col("eids"), array(col("eid"))).as("eids"))
+         else Nil): _*)
+      paths = grown
     }
     paths.select(col("vs").as("vertices"), col("es").as("edges"))
   }

@@ -22,20 +22,14 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
-  /** Cosine similarity between two array<float>/array<double> columns,
-    * computed natively with higher-order functions (stays in codegen). */
-  def cosine(a: Column, b: Column): Column = {
-    // cast each element to double BEFORE multiplying: float*float would
-    // round to float precision; double math is also what any SQL oracle
-    // (e.g. DuckDB with explicit casts) computes, so results match exactly
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two array<float>/array<double> columns.
+    * A custom codegen'd Catalyst expression (VectorExpressions.CosineSim):
+    * Spark's higher-order functions run interpreted, which made this the
+    * bottleneck of the whole similarity path. Element values are widened
+    * to double before multiplying and accumulated left-to-right, matching
+    * a SQL oracle's list_sum-with-casts bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
 
   /**
    * Exact cosine top-k neighbors for each query vector.
@@ -57,19 +51,11 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit i = sign(vec · plane_i), planes
-    * pseudo-random from xxhash64(plane, dim) mapped to ±1. Deterministic,
-    * computed per-row in codegen. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      // plane_i[d] = ±1 from the parity of xxhash64(p, d)
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => when(xxhash64(lit(p), d).bitwiseAND(1) === 1, x).otherwise(-x)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * derived deterministically from splitmix64(plane, dim) → ±1. A custom
+    * codegen'd expression (VectorExpressions.HyperplaneSig) — executors
+    * need no shared RNG state and the loop stays in WholeStageCodegen. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneSig(vec, nPlanes)
 
   /** LSH-bucketed approximate top-k: candidates share a hyperplane-signature
     * bucket; exact cosine re-ranks inside the bucket. */

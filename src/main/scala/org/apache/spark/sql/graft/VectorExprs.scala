@@ -1,0 +1,122 @@
+package org.apache.spark.sql
+package graft
+
+import _root_.graft.functions.GraftHash
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xv = (double) $a.$lGet($i);
+        |  double $yv = (double) $b.$rGet($i);
+        |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        |}
+        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+case class HyperplaneSig(child: Expression, nPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nPlanes > 0 && nPlanes <= 63, "nPlanes in 1..63")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val v = if (elemIsFloat) x.getFloat(d).toDouble else x.getDouble(d)
+        val sign = if ((GraftHash.mix(p * GraftHash.GOLDEN + d) & 1L) == 1L) 1.0 else -1.0
+        dot += sign * v
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val p = ctx.freshName("p")
+      val d = ctx.freshName("d"); val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig"); val v = ctx.freshName("v")
+      s"""
+        |int $n = $a.numElements();
+        |long $sig = 0L;
+        |for (int $p = 0; $p < $nPlanes; $p++) {
+        |  double $dot = 0.0;
+        |  for (int $d = 0; $d < $n; $d++) {
+        |    double $v = (double) $a.$get($d);
+        |    if ((graft.functions.GraftHash.mix($p * graft.functions.GraftHash.GOLDEN() + $d) & 1L) == 1L) $dot += $v; else $dot -= $v;
+        |  }
+        |  if ($dot > 0) $sig |= (1L << $p);
+        |}
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
