@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Dedup-operator behavior: exact survivors, MinHash estimates tracking
+  * true Jaccard, SimHash finding near-identical docs, exact n-gram
+  * Jaccard as ground truth. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 80 distinct words: a repeated 9-word sentence would collapse to ~9
+  // distinct shingles and make Jaccard/banding degenerate
+  private val base = (1 to 80).map(i => s"word$i").mkString(" ")
+  private def mutate(s: String, i: Int): String =
+    s.split(" ").updated(i, "MUTANT" + i).mkString(" ")
+
+  private val docs = Seq(
+    (1L, base),                       // original
+    (2L, base),                       // exact duplicate
+    (3L, mutate(base, 5)),            // near-duplicate (1 word changed)
+    (4L, mutate(mutate(base, 3), 40)),// near-duplicate (2 words changed)
+    (5L, "completely different content about spark query engines and " +
+      "distributed columnar execution at massive scale " * 6)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per identical text, min id wins") {
+    val r = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toMap
+    assert(r(1L) == 2) // docs 1,2 collapse; survivor is id 1
+    assert(r.values.sum == 5)
+  }
+
+  test("ngram Jaccard: near-duplicates score high, unrelated docs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical
+    assert(pairs((1L, 3L)) > 0.6) // one-word mutation
+    assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
+  test("minhash estimate tracks exact Jaccard within banding tolerance") {
+    val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.01).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val est = Dedup.minHashLsh(docs, k = 64, bands = 16).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    // every strong near-dup (J >= 0.8) must surface: with r=4 rows/band and
+    // 16 bands the miss probability at J=0.8 is (1-0.8^4)^16 < 0.01%
+    exact.filter(_._2 >= 0.8).keys.foreach { k =>
+      assert(est.contains(k), s"missing candidate pair $k")
+      assert(math.abs(est(k) - exact(k)) < 0.35,
+        s"estimate ${est(k)} vs exact ${exact(k)} for $k")
+    }
+    assert(exact.count(_._2 >= 0.8) >= 2, "test data should have strong pairs")
+  }
+
+  test("simhash: identical and near-identical docs within hamming 3") {
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> hamming 0
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("shingleRows emits distinct in-order n-grams") {
+    val sh = Dedup.shingleRows(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).select("shingle").as[String].collect().toSeq
+    assert(sh == Seq("a b c", "b c d"))
+    // shorter than n -> no shingles
+    val none = Dedup.shingleRows(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 3).count()
+    assert(none == 0)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Vector-similarity operators: the codegen CosineSim expression against a
+  * scala-computed reference, brute-force top-k ordering, LSH recall. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cosineRef(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.zip(b).foreach { case (x, y) =>
+      dot += x.toDouble * y.toDouble
+      na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private val rng = new scala.util.Random(7)
+  private def vec(d: Int): Seq[Float] = Seq.fill(d)(rng.nextFloat() - 0.5f)
+
+  test("CosineSim matches the reference computation exactly") {
+    val rows = Seq.fill(20)((vec(16), vec(16)))
+    val got = rows.toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), g) =>
+      assert(g == cosineRef(a, b), s"mismatch for $a x $b")
+    }
+  }
+
+  test("CosineSim of a vector with itself is 1.0") {
+    val v = vec(8)
+    val got = Seq((v, v)).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k neighbors ranked by descending cosine") {
+    val corpus = (0L until 50L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+    val r = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(r.length == 10)
+    r.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.sorted.reverse.toSeq == cs.toSeq) // descending
+      assert(!rows.exists(r => r.getAs[Long]("nbr_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("hyperplane signature is deterministic and similarity-sensitive") {
+    val v = vec(16)
+    val near = v.updated(0, v(0) + 0.001f)
+    val df = Seq((1L, v), (2L, v), (3L, near)).toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.hyperplaneSignature($"embedding", 16).as("sig"))
+    val sigs = df.as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // identical input -> identical signature
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 2) // tiny perturbation
+  }
+
+  test("LSH top-k finds the true nearest neighbor for duplicated vectors") {
+    // plant exact duplicates so the true NN shares every bucket
+    val base = (0L until 40L).map(i => (i, vec(12)))
+    val dups = base.take(3).map { case (i, v) => (i + 100L, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" >= 100L)
+    val r = Similarity.lshTopK(corpus, queries, k = 1, nPlanes = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toMap
+    assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
+  }
+
+  test("cosineNearDups surfaces planted duplicates") {
+    val base = (0L until 30L).map(i => (i, vec(12)))
+    val corpus = (base :+ ((99L, base(4)._2))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(corpus, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((4L, 99L)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the language with most marker hits, 'und' when none") {
+    val r = Seq(
+      ("en", "the cat and the dog of it is in that house"),
+      ("de", "der hund und die katze ist nicht ein vogel zu"),
+      ("fr", "le chat et la maison est une belle chose pas"),
+      ("es", "el gato y la casa es una cosa por con"),
+      ("und", "zzz qqq xxx")
+    ).toDF("expect", "text")
+      .select($"expect", TextAnalysis.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    r.foreach { case (e, g) => assert(e == g, s"expected $e got $g") }
+  }
+
+  test("tokenCount counts whitespace tokens, ignoring empties") {
+    val r = Seq("a b  c", " a ", "", "one").toDF("t")
+      .select(TextAnalysis.tokenCount($"t")).as[Int].collect().toSeq
+    assert(r == Seq(3, 1, 0, 1))
+  }
+
+  test("subwordCount charges ceil(len/4) per punctuation-split piece") {
+    // "hello," -> piece "hello" (2 subwords); "hi" -> 1
+    val r = Seq("hello, hi").toDF("t")
+      .select(TextAnalysis.subwordCount($"t")).as[Long].head()
+    assert(r == 3L)
+  }
+
+  test("qualityFeatures computes exact counts and ratios") {
+    val f = Seq("the cat. sat!").toDF("t")
+      .select(TextAnalysis.qualityFeatures($"t").as("f"))
+      .select("f.n_chars", "f.n_tokens", "f.punct_ratio", "f.stopword_ratio")
+      .head()
+    assert(f.getInt(0) == 13)
+    assert(f.getInt(1) == 3)
+    assert(f.getDouble(2) == 2.0 / 13) // '.' and '!'
+    assert(f.getDouble(3) > 0) // "the"
+  }
+
+  test("fingerprint is stable and shared between near-identical docs") {
+    val a = "spark is a unified analytics engine for large scale data"
+    val b = a + " processing" // appended word: most 8-gram hashes shared
+    val fps = Seq((1L, a), (2L, a), (3L, b)).toDF("id", "t")
+      .select($"id", TextAnalysis.fingerprint($"t").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).size >= 12) // of 16
+  }
+}
