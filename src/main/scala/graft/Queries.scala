@@ -363,6 +363,34 @@ object Queries {
     Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.95)
       .orderBy("id_a", "id_b")
 
+  /** The NSForest tuple writer (SURVEY §3.1) driven end-to-end from the
+    * part table: part rows are shaped into NSForest-results form, the
+    * writer emits the full tuple stream, and the DuckDB oracle rebuilds
+    * the identical stream in SQL — every term synthesis rule, literal
+    * stringification, and per-row position is cross-checked. */
+  def q28NsforestWriter(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    val asPyList = concat(lit("['"), concat_ws("', '", words), lit("']"))
+    val results = t(s, dir, "part").select(
+      col("p_name").as("clusterName"),
+      col("p_size").cast("long").as("clusterSize"),
+      round(col("p_retailprice")).as("f_score"),
+      (col("p_partkey") % 100).cast("double").as("precision"),
+      (col("p_partkey") % 7).as("TN"),
+      (col("p_partkey") % 5).as("FP"),
+      (col("p_partkey") % 3).as("FN"),
+      (col("p_partkey") % 11).as("TP"),
+      size(words).cast("long").as("marker_count"),
+      asPyList.as("NSForest_markers"),
+      asPyList.as("binary_genes"),
+      substring(md5(col("p_name")), 1, 12).as("uuid"),
+      when(col("p_size") % 10 === 0, lit(0.0))
+        .otherwise(col("p_size").cast("double") / 4).as("median_silhouette"))
+    graft.writers.NSForestWriter.tuples(results, Seq("dv1", "dv2"), withOrd = false)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -394,7 +422,8 @@ object Queries {
     "q24_path_2hop" -> (q24Path2Hop _),
     "q25_path_subgraph" -> (q25PathSubgraph _),
     "q26_similarity_topk" -> (q26SimilarityTopK _),
-    "q27_cosine_near_dups" -> (q27CosineNearDups _)
+    "q27_cosine_near_dups" -> (q27CosineNearDups _),
+    "q28_nsforest_writer" -> (q28NsforestWriter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,6 +560,64 @@ object Queries {
         |UNION ALL SELECT 'ORD', count(DISTINCT l_orderkey) FROM lineitem
         |UNION ALL SELECT 'PART', count(DISTINCT l_partkey) FROM lineitem
         |ORDER BY collection""".stripMargin,
+    "q28_nsforest_writer" ->
+      """WITH r AS (
+        | SELECT p_name AS cn,
+        |  regexp_replace(regexp_replace(p_name, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS cnh,
+        |  CAST(p_size AS BIGINT) AS csize,
+        |  CAST(round(p_retailprice) AS VARCHAR) AS fs,
+        |  CAST(CAST(p_partkey % 100 AS DOUBLE) AS VARCHAR) AS prec,
+        |  CAST(p_partkey % 7 AS VARCHAR) AS tn, CAST(p_partkey % 5 AS VARCHAR) AS fp,
+        |  CAST(p_partkey % 3 AS VARCHAR) AS fn, CAST(p_partkey % 11 AS VARCHAR) AS tp,
+        |  CAST(len(string_split(p_name, ' ')) AS VARCHAR) AS mc,
+        |  string_split(p_name, ' ') AS words, p_name AS joined,
+        |  substr(md5(p_name), 1, 12) AS uid,
+        |  CASE WHEN p_size % 10 = 0 THEN NULL ELSE CAST(p_size/4.0 AS VARCHAR) END AS sil
+        | FROM part WHERE p_size >= 10),
+        |tm AS (
+        | SELECT *,
+        |  'http://purl.obolibrary.org/obo/CS_' || cnh || '-' || uid AS cs,
+        |  'http://purl.obolibrary.org/obo/BMC_' || uid AS bmc,
+        |  'http://purl.obolibrary.org/obo/BGS_' || uid AS bgs,
+        |  2 + 2*len(words) AS p0,
+        |  2 + 2*len(words) + 8 + CASE WHEN sil IS NULL THEN 0 ELSE 1 END AS q0
+        | FROM r),
+        |g AS (SELECT *, unnest(generate_series(1, len(words))) AS i FROM tm),
+        |tuples AS (
+        | SELECT bmc AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/rdf#type' AS p,
+        |  'http://purl.obolibrary.org/obo/SO_0001260' AS o, NULL AS lit, CAST(0 AS BIGINT) AS pos FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source',
+        |  'http://purl.obolibrary.org/obo/SO_0001260', 'NSForest', 1 FROM tm
+        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
+        |  'http://purl.obolibrary.org/obo/BFO_0000050', bmc, NULL, 2*i FROM g
+        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
+        |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', 2*i + 1 FROM g
+        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/RO_0015004', bmc, NULL, p0 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', p0 + 1 FROM tm
+        | UNION ALL SELECT bmc, 'http://purl.obolibrary.org/obo/RO_0015003', bgs, NULL, p0 + 2 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bgs, 'NSForest', p0 + 3 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, p0 + 4 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Total_cell_count', CAST(csize AS VARCHAR), NULL, p0 + 5 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, p0 + 6 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, p0 + 7 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Median_silhouette_score', sil, NULL, p0 + 8 FROM tm WHERE sil IS NOT NULL
+        | UNION ALL SELECT bgs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, q0 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, q0 + 1 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, q0 + 2 FROM tm
+        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/#source_algorithm', bmc, 'NSForest-v4.0_dev', q0 + 3 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', bmc, fs, q0 + 4 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Precision', bmc, prec, q0 + 5 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TN', bmc, tn, q0 + 6 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TP', bmc, tp, q0 + 7 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FN', bmc, fn, q0 + 8 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FP', bmc, fp, q0 + 9 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Marker_count', bmc, mc, q0 + 10 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', NULL, q0 + 11 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', 'NSForest', q0 + 12 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', NULL, q0 + 13 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
+        |SELECT s, p, o, lit, pos FROM tuples
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
     "q26_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |scored AS (
