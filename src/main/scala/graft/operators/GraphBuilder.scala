@@ -80,8 +80,13 @@ object GraphBuilder {
   }
 
   /** Build the edge table from arity-3 URI-URI tuples (A2: first-wins label)
-    * and fold arity-4 quadruple annotations onto edges (A5). */
-  def edges(tuples: DataFrame): DataFrame = {
+    * and fold arity-4 quadruple annotations onto edges (A5).
+    *
+    * @param roLabels  optional (term, label) map parsed from ro.owl (J6,
+    *                  OntologyParserLoader.py:257-259): an edge label that
+    *                  is an RO term is replaced by its human label via a
+    *                  broadcast join. */
+  def edges(tuples: DataFrame, roLabels: Option[DataFrame] = None): DataFrame = {
     val uriUri = tuples.filter(col("lit").isNull &&
       Terms.isUri(col("s")) && Terms.isUri(col("o")))
       .withColumn("sk", parseTerm(col("s")))
@@ -92,9 +97,22 @@ object GraphBuilder {
         Terms.uriFragment(col("p")).as("label"), col("ord"))
 
     // A2: edge key ignores the predicate; first label in input order wins
-    val e = uriUri
+    val dedup = uriUri
       .groupBy("from_coll", "to_coll", "from_key", "to_key")
       .agg(min_by(col("label"), col("ord")).as("label"))
+
+    // J6: map RO predicate terms to their ontology labels (broadcast —
+    // the RO vocabulary is a few hundred rows)
+    val e = roLabels match {
+      case Some(ro) =>
+        dedup.join(
+            broadcast(ro.select(col("term").as("__ro_term"),
+              col("label").as("__ro_label"))),
+            col("label") === col("__ro_term"), "left")
+          .withColumn("label", coalesce(col("__ro_label"), col("label")))
+          .drop("__ro_term", "__ro_label")
+      case None => dedup
+    }
 
     // A5: quadruples (s, o, p, lit) annotate the edge addressed by the pair
     val quads = tuples.filter(col("lit").isNotNull)

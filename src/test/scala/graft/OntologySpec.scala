@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.OwlSource
+import graft.operators.{Dereify, GraphBuilder}
+
+/**
+ * OWL ingestion end-to-end (SURVEY.md §2.1 S7, §2.4 A9/A10, §7 step 6):
+ * RDF/XML parse → BNode de-reification → graph build, on a hand-authored
+ * mini ontology exercising the same constructs as the reference's
+ * macrophage integration test (OntologyParserLoaderTestCase.py:448-560):
+ * direct subClassOf, an owl:Restriction relation bnode, an owl:Axiom
+ * annotation bnode with a dangling literal, multi-valued attributes.
+ */
+class OntologySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val OBO = "http://purl.obolibrary.org/obo/"
+  private val OIO = "http://www.geneontology.org/formats/oboInOwl#"
+
+  private val owlXml =
+    s"""<?xml version="1.0"?>
+       |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+       |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+       |         xmlns:owl="http://www.w3.org/2002/07/owl#"
+       |         xmlns:oboInOwl="$OIO">
+       |  <owl:Class rdf:about="${OBO}CL_0000235">
+       |    <rdfs:label>macrophage</rdfs:label>
+       |    <oboInOwl:hasExactSynonym>histiocyte</oboInOwl:hasExactSynonym>
+       |    <oboInOwl:hasDbXref>BTO:0000801</oboInOwl:hasDbXref>
+       |    <rdfs:subClassOf rdf:resource="${OBO}CL_0000113"/>
+       |    <rdfs:subClassOf>
+       |      <owl:Restriction>
+       |        <owl:onProperty rdf:resource="${OBO}RO_0002202"/>
+       |        <owl:someValuesFrom rdf:resource="${OBO}CL_0000576"/>
+       |      </owl:Restriction>
+       |    </rdfs:subClassOf>
+       |  </owl:Class>
+       |  <owl:Axiom>
+       |    <owl:annotatedSource rdf:resource="${OBO}CL_0000235"/>
+       |    <owl:annotatedProperty rdf:resource="${OIO}hasExactSynonym"/>
+       |    <owl:annotatedTarget>histiocyte</owl:annotatedTarget>
+       |    <oboInOwl:hasDbXref>PMID:123</oboInOwl:hasDbXref>
+       |  </owl:Axiom>
+       |  <owl:Class rdf:about="${OBO}CL_0000576">
+       |    <rdfs:label>monocyte</rdfs:label>
+       |  </owl:Class>
+       |  <owl:Class rdf:about="${OBO}CL_0000113">
+       |    <rdfs:label>mononuclear phagocyte</rdfs:label>
+       |  </owl:Class>
+       |</rdf:RDF>""".stripMargin
+
+  private lazy val raw = {
+    val rows = OwlSource.parseBytes("mini.owl", owlXml.getBytes("UTF-8")).toSeq
+    rows.toDF()
+  }
+
+  test("StAX parse emits typed nodes, resource/literal properties, bnodes") {
+    val ts = raw.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    // typing triple from the typed element
+    assert(ts.contains((s"${OBO}CL_0000235",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+      "http://www.w3.org/2002/07/owl#Class", "uri", "uri")))
+    // literal property
+    assert(ts.contains((s"${OBO}CL_0000235",
+      "http://www.w3.org/2000/01/rdf-schema#label", "macrophage", "uri", "literal")))
+    // resource property
+    assert(ts.contains((s"${OBO}CL_0000235",
+      "http://www.w3.org/2000/01/rdf-schema#subClassOf", s"${OBO}CL_0000113",
+      "uri", "uri")))
+    // the restriction bnode: subject of onProperty, object of subClassOf
+    val bnodeSubjects = ts.filter(_._4 == "bnode").map(_._1).toSet
+    val bnodeObjects = ts.filter(_._5 == "bnode").map(_._3).toSet
+    assert(bnodeSubjects.nonEmpty && bnodeObjects.subsetOf(bnodeSubjects))
+  }
+
+  test("dereify reconstructs the owl:Restriction relation triple") {
+    val (recon, _) = Dereify.dereify(raw)
+    val got = recon.collect().map(t => (t.s, t.p, t.o)).toSet
+    assert(got.contains((s"${OBO}CL_0000235", s"${OBO}RO_0002202", s"${OBO}CL_0000576")))
+  }
+
+  test("dereify reconstructs the owl:Axiom annotation and re-emits its literal bucket") {
+    val (recon, _) = Dereify.dereify(raw)
+    val got = recon.collect().map(t => (t.s, t.p, t.o)).toSet
+    assert(got.contains((s"${OBO}CL_0000235", s"${OIO}hasExactSynonym", "histiocyte")))
+    assert(got.contains((s"${OBO}CL_0000235", s"${OIO}hasDbXref", "PMID:123")))
+  }
+
+  test("bnode type triples and incomplete sets land in ignored") {
+    val (_, ignored) = Dereify.dereify(raw)
+    // the rdf:type owl:Restriction / owl:Axiom triples are class-bucket
+    assert(ignored.collect().exists(_.p.endsWith("#type")))
+  }
+
+  test("full pipeline: triples -> graph matches the macrophage expectation shape") {
+    val tuples = Dereify.triples(raw)
+      .withColumn("lit", lit(null).cast("string"))
+      .withColumn("ord", monotonically_increasing_id())
+      .select("s", "p", "o", "lit", "ord")
+    val ro = Seq(("RO_0002202", "develops from")).toDF("term", "label")
+    val v = GraphBuilder.vertices(tuples, Some(Seq("CL")))
+    val e = GraphBuilder.edges(tuples, Some(ro))
+
+    val mac = v.filter($"key" === "0000235").head()
+    val attrs = mac.getAs[Map[String, scala.collection.Seq[String]]]("attrs")
+    assert(attrs("label") == Seq("macrophage"))
+    assert(attrs("hasExactSynonym") == Seq("histiocyte")) // deduped
+    assert(attrs("hasDbXref").toSet == Set("BTO:0000801", "PMID:123"))
+
+    val edges = e.select("from_key", "to_key", "label").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(edges.contains(("0000235", "0000113", "subClassOf")))
+    assert(edges.contains(("0000235", "0000576", "develops from"))) // RO label join
+  }
+
+  test("readOwl reads files through the binaryFile source") {
+    val dir = Files.createTempDirectory("owl")
+    Files.write(dir.resolve("mini.owl"), owlXml.getBytes("UTF-8"))
+    val df = OwlSource.readOwl(spark, dir.toString + "/*.owl")
+    assert(df.count() == raw.count())
+  }
+
+  test("labels extracts the term->label map") {
+    val l = Dereify.labels(raw).as[(String, String)].collect().toMap
+    assert(l("CL_0000576") == "monocyte")
+  }
+}
