@@ -391,6 +391,66 @@ object Queries {
       .orderBy("s", "p", "o", "lit", "pos")
   }
 
+  /** N1/N3: char-ngram inverted index over part names, searched with a
+    * fixed token set. Substring semantics make the SQL oracle a LIKE
+    * count — the Spark side goes through the real index build + join. */
+  def q29NgramSearch(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.SearchIndex.postings(
+      t(s, dir, "part"), Seq("p_partkey"),
+      Map("p_name" -> (c => graft.operators.SearchIndex.charNgrams(c))))
+    graft.operators.SearchIndex.search(idx, Seq("idge", "old", "gea", "gear"))
+      .groupBy("q").agg(countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy("q")
+  }
+
+  /** N2: edge-ngram typeahead — parts whose name has a word starting
+    * with each query prefix. */
+  def q30EdgeNgramTypeahead(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.SearchIndex.postings(
+      t(s, dir, "part"), Seq("p_partkey"),
+      Map("p_name" -> (c => graft.operators.SearchIndex.edgeNgramTokens(c))))
+    graft.operators.SearchIndex.search(idx, Seq("giz", "wid", "plat"))
+      .groupBy("q").agg(countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy("q")
+  }
+
+  /** J8/W2/Q3: the hierarchy-extension path query — 1-hop then the
+    * LONGEST single-label outbound chain, per start. The graph is a DAG
+    * built from part keys (edges k -> k+937 within each brand partition's
+    * key space); the oracle reproduces the longest-chain semantics with a
+    * recursive CTE. */
+  def q31PathHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val cust = t(s, dir, "supplier").filter(col("s_suppkey") <= 3)
+      .select(lit("SUP").as("collection"), col("s_suppkey").cast("string").as("key"))
+    val pVerts = part.select(lit("PART").as("collection"),
+      col("p_partkey").cast("string").as("key"))
+    // anchor edges: each of the 3 suppliers points at parts keyed k*97+sup
+    val anchor = part.filter(col("p_partkey") % 97 <= 2).select(
+      lit("SUP").as("from_coll"),
+      ((col("p_partkey") % 97) + 1).cast("string").as("from_key"),
+      lit("PART").as("to_coll"), col("p_partkey").cast("string").as("to_key"),
+      lit("supplies").as("label"))
+    // hierarchy DAG: k -> k + 937 when the target exists (keys strictly
+    // increase, so no cycles); a second label salts in pruned edges
+    val keys = part.select(col("p_partkey"))
+    val hier = part.alias("a")
+      .join(keys.alias("b"), col("a.p_partkey") + 937 === col("b.p_partkey"))
+      .select(lit("PART").as("from_coll"), col("a.p_partkey").cast("string").as("from_key"),
+        lit("PART").as("to_coll"), (col("a.p_partkey") + 937).cast("string").as("to_key"),
+        when(col("a.p_partkey") % 5 === 0, "OTHER").otherwise("NARROWER").as("label"))
+    val edges = anchor.unionByName(hier)
+    val verts = cust.unionByName(pVerts)
+    val base = PathQueries.kHop(verts, edges, "SUP", Seq("PART"))
+    PathQueries.withHierarchy(base, edges, "NARROWER", maxDepth = 64)
+      .select(
+        element_at(col("vertices"), 1).getField("key").as("v0"),
+        element_at(col("vertices"), 2).getField("key").as("v1"),
+        element_at(col("vertices"), -1).getField("key").as("v_last"),
+        (size(col("vertices")) - 2).cast("long").as("chain_len"))
+      .orderBy("v0", "v1")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -423,7 +483,10 @@ object Queries {
     "q25_path_subgraph" -> (q25PathSubgraph _),
     "q26_similarity_topk" -> (q26SimilarityTopK _),
     "q27_cosine_near_dups" -> (q27CosineNearDups _),
-    "q28_nsforest_writer" -> (q28NsforestWriter _)
+    "q28_nsforest_writer" -> (q28NsforestWriter _),
+    "q29_ngram_search" -> (q29NgramSearch _),
+    "q30_edge_ngram_typeahead" -> (q30EdgeNgramTypeahead _),
+    "q31_path_hierarchy" -> (q31PathHierarchy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -618,6 +681,35 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q29_ngram_search" ->
+      """SELECT q, count(*) AS n_parts
+        |FROM part, (VALUES ('idge'), ('old'), ('gea'), ('gear')) AS t(q)
+        |WHERE p_name LIKE '%' || q || '%'
+        |GROUP BY q ORDER BY q""".stripMargin,
+    "q30_edge_ngram_typeahead" ->
+      """SELECT q, count(*) AS n_parts
+        |FROM part, (VALUES ('giz'), ('wid'), ('plat')) AS t(q)
+        |WHERE len(list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+        |  w -> starts_with(w, q))) > 0
+        |GROUP BY q ORDER BY q""".stripMargin,
+    "q31_path_hierarchy" ->
+      """WITH RECURSIVE chain(start, last, len) AS (
+        | SELECT p_partkey, p_partkey, 0 FROM part
+        | UNION ALL
+        | SELECT c.start, c.last + 937, c.len + 1
+        | FROM chain c
+        | WHERE c.last % 5 <> 0
+        |   AND EXISTS (SELECT 1 FROM part q WHERE q.p_partkey = c.last + 937)),
+        |best AS (
+        | SELECT start, arg_max(last, len) AS vlast, max(len) AS clen
+        | FROM chain GROUP BY start)
+        |SELECT CAST(p_partkey % 97 + 1 AS VARCHAR) AS v0,
+        | CAST(p_partkey AS VARCHAR) AS v1,
+        | CAST(b.vlast AS VARCHAR) AS v_last,
+        | CAST(b.clen AS BIGINT) AS chain_len
+        |FROM part JOIN best b ON b.start = p_partkey
+        |WHERE p_partkey % 97 <= 2
+        |ORDER BY v0, v1""".stripMargin,
     "q26_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |scored AS (
