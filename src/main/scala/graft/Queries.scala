@@ -451,6 +451,25 @@ object Queries {
       .orderBy("v0", "v1")
   }
 
+  /** Multimodal plumbing: documents' text bytes as a binary media column →
+    * batched decode (stubbed codec) → frame sampling; metadata and frame
+    * counts are deterministic functions of byte length, which the oracle
+    * recomputes from octet_length. */
+  def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+    val decoded = graft.operators.Multimodal.decode(media)
+    val frames = graft.operators.Multimodal.frameSample(decoded, everyN = 2)
+      .groupBy("media_id").agg(cnt(lit(1)).as("n_frames_sampled"))
+    decoded.toDF()
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.n_bytes").as("n_bytes"))
+      .join(frames, Seq("media_id"))
+      .orderBy("media_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -486,7 +505,8 @@ object Queries {
     "q28_nsforest_writer" -> (q28NsforestWriter _),
     "q29_ngram_search" -> (q29NgramSearch _),
     "q30_edge_ngram_typeahead" -> (q30EdgeNgramTypeahead _),
-    "q31_path_hierarchy" -> (q31PathHierarchy _)
+    "q31_path_hierarchy" -> (q31PathHierarchy _),
+    "q32_multimodal" -> (q32Multimodal _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -681,6 +701,13 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q32_multimodal" ->
+      """SELECT doc_id AS media_id, 'fake' AS format,
+        | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST((greatest(octet_length(encode(text)) // 256, 1) + 1) // 2 AS BIGINT) AS n_frames_sampled
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q29_ngram_search" ->
       """SELECT q, count(*) AS n_parts
         |FROM part, (VALUES ('idge'), ('old'), ('gea'), ('gear')) AS t(q)

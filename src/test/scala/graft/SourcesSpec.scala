@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{FetchPlanner, TupleJson}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fetch planning: anti-join restart + bounded checkpoint batches") {
+    // the reference refetches only keys missing from its results file
+    // (ExternalApiResultsFetcher.py:200-274); batch size 25 per dump
+    val all = (1 to 60).map(_.toString).toDF("key")
+    val done = (1 to 17).map(_.toString).toDF("key")
+    val pending = FetchPlanner.pendingKeys(all, done, "key")
+    assert(pending.count() == 43)
+    val b = FetchPlanner.batches(pending, "key", 25)
+    val sizes = b.groupBy("batch_id").count().as[(Long, Long)].collect().toMap
+    assert(sizes == Map(0L -> 25L, 1L -> 18L))
+  }
+
+  test("runBatch maps keys through an injected fetcher per partition") {
+    val out = FetchPlanner.runBatch(Seq("a", "b").toDF("key"), "key",
+        k => s"""{"k":"$k"}""")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> """{"k":"a"}""", "b" -> """{"k":"b"}"""))
+  }
+
+  test("tuple JSON round-trip preserves triples, quads, and order") {
+    val tuples = Seq(
+      ("s1", "p1", "o1", null, 0L),
+      ("s2", "p2", "o2", "lit2", 1L), // quad: positional (s, o, p, lit)
+      ("s3", "p3", "o3", null, 2L)
+    ).toDF("s", "p", "o", "lit", "ord")
+    val dir = Files.createTempDirectory("tj").resolve("t.json").toString
+    TupleJson.write(tuples, dir)
+    val back = TupleJson.read(spark, dir).orderBy("ord")
+    val rows = back.select("s", "p", "o", "lit", "valid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      ("s1", "p1", "o1", null, true),
+      ("s2", "p2", "o2", "lit2", true),
+      ("s3", "p3", "o3", null, true)))
+  }
+
+  test("invalid arities are flagged, not thrown") {
+    val dir = Files.createTempDirectory("tj2")
+    Files.write(dir.resolve("bad.json"),
+      """{"tuples": [["s","p","o"], ["only","two"]]}""".getBytes)
+    val read = TupleJson.read(spark, dir.toString + "/bad.json")
+    assert(read.filter(!col("valid")).count() == 1)
+    assert(read.filter(col("valid")).count() == 1)
+  }
+}
