@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.PathQueries
+
+/**
+ * The reference's external query surface as data (SURVEY.md §2.7): a
+ * `PathQuery` spec compiled onto the iterative join executor, and the 24
+ * production instantiations (PhenotypeGraphBuilder.java:50-92) plus the
+ * phenotype-subgraph materialization (:117-157).
+ *
+ * Every production query anchors at the cell-set collection CS and walks
+ * ANY-direction hops; hierarchy tails walk OUTBOUND over one edge label
+ * with the longest chain kept per start (AqlQuerySetBuilder.java:28-351).
+ */
+object QueryCatalog {
+
+  /** @param hops       required vertex collection at positions 1..k
+    * @param hierarchy  optional (edgeCollectionLabelFilter, edgeLabel):
+    *                   the reference names an edge collection (e.g.
+    *                   "GO-GO") and a label; in the Spark engine the
+    *                   collection constraint is implied by the label
+    *                   filter over the partitioned edge table */
+  final case class PathQuery(anchor: String, hops: Seq[String],
+                             hierarchy: Option[(String, String)] = None) {
+    def run(vertices: DataFrame, edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+      val base = PathQueries.kHop(vertices, edges, anchor, hops)
+      hierarchy match {
+        case Some((_, label)) =>
+          PathQueries.withHierarchy(base, edges, label, maxDepth)
+        case None => base
+      }
+    }
+  }
+
+  /** The 24 production queries, in the reference's execution order. */
+  val production: Seq[PathQuery] = Seq(
+    PathQuery("CS", Seq("BGS")),
+    PathQuery("CS", Seq("BMC", "BGS")),
+    PathQuery("CS", Seq("CL", "CSD")),
+    PathQuery("CS", Seq("CL", "GS")),
+    PathQuery("CS", Seq("CL", "PR")),
+    PathQuery("CS", Seq("CSD", "PUB")),
+    PathQuery("CS", Seq("UBERON", "CHEBI")),
+    PathQuery("CS", Seq("UBERON", "CSD")),
+    PathQuery("CS", Seq("UBERON", "GS")),
+    PathQuery("CS", Seq("UBERON", "NCBITaxon")),
+    PathQuery("CS", Seq("UBERON", "PATO")),
+    PathQuery("CS", Seq("UBERON", "PR")),
+    PathQuery("CS", Seq("CL", "NCBITaxon"), Some(("NCBITaxon-NCBITaxon", "SUB_CLASS_OF"))),
+    PathQuery("CS", Seq("CL", "PATO"), Some(("PATO-PATO", "SUB_CLASS_OF"))),
+    PathQuery("CS", Seq("CL", "UBERON"), Some(("UBERON-UBERON", "PART_OF"))),
+    PathQuery("CS", Seq("UBERON", "GO"), Some(("GO-GO", "SUB_CLASS_OF"))),
+    PathQuery("CS", Seq("CL", "GO", "NCBITaxon")),
+    PathQuery("CS", Seq("CL", "GS", "BMC")),
+    PathQuery("CS", Seq("CL", "GS", "UBERON")),
+    PathQuery("CS", Seq("CL", "GS", "MONDO"), Some(("MONDO-MONDO", "SUB_CLASS_OF"))),
+    PathQuery("CS", Seq("CL", "GS", "PR", "CHEMBL")),
+    PathQuery("CS", Seq("CL", "GS", "MONDO", "NCBITaxon")),
+    PathQuery("CS", Seq("CL", "GS", "MONDO", "HP"), Some(("HP-HP", "SUB_CLASS_OF"))),
+    PathQuery("CS", Seq("CL", "GS", "RS", "CHEMBL", "MONDO")),
+    PathQuery("CS", Seq("CL", "GS", "RS", "CHEMBL", "PR"))
+  )
+
+  /** Phenotype-graph materialization: run every query, union the paths,
+    * dedup vertices/edges, enrich vertex docs from the ontology vertex
+    * table (PhenotypeGraphBuilder.java:48-223 — the sequential AQL loop,
+    * O(n²) dedup, and per-doc upserts become one declarative plan). */
+  def phenotypeSubgraph(vertices: DataFrame, edges: DataFrame,
+                        queries: Seq[PathQuery] = production)
+  : (DataFrame, DataFrame) = {
+    val paths = queries.map(_.run(vertices, edges)).reduce(_.unionByName(_))
+    val (vs, es) = PathQueries.subgraph(paths)
+    // tolerate a bare topology table (collection, key): synthesize the doc
+    // columns the enrichment join provides when present
+    val docs = Seq(
+      "term" -> concat_ws("_", col("collection"), col("key")),
+      "attrs" -> lit(null).cast("map<string,array<string>>")
+    ).foldLeft(vertices) { case (df, (c, default)) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, default)
+    }
+    (PathQueries.enrich(vs, docs), es)
+  }
+}
