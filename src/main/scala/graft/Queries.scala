@@ -470,6 +470,29 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** A6/A7: unique gene-name collection — explode two array columns over
+    * min-size-filtered rows, strip Ensembl-style version suffixes, union,
+    * distinct, sort (LoaderUtilities.py:661-775 semantics). */
+  def q33GeneCollection(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_size") >= 10)
+    val words = split(col("p_name"), " ")
+    val versioned = transform(words, w =>
+      concat(w, lit("."), (col("p_partkey") % 3).cast("string")))
+    val m = p.select(explode(words).as("gene"))
+    val b = p.select(explode(versioned).as("gene"))
+      .select(Terms.stripVersion(col("gene")).as("gene"))
+    m.union(b).distinct().orderBy("gene")
+  }
+
+  /** W4: first-N per key — the first 3 part names per brand in sorted
+    * order, joined to one string (slice over a sorted collect_list). */
+  def q34FirstPerKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(concat_ws("|",
+        slice(sort_array(collect_list(col("p_name"))), 1, 3)).as("first3"))
+      .orderBy("p_brand")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -506,7 +529,9 @@ object Queries {
     "q29_ngram_search" -> (q29NgramSearch _),
     "q30_edge_ngram_typeahead" -> (q30EdgeNgramTypeahead _),
     "q31_path_hierarchy" -> (q31PathHierarchy _),
-    "q32_multimodal" -> (q32Multimodal _)
+    "q32_multimodal" -> (q32Multimodal _),
+    "q33_gene_collection" -> (q33GeneCollection _),
+    "q34_first_per_key" -> (q34FirstPerKey _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -701,6 +726,19 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q33_gene_collection" ->
+      """WITH w AS (
+        | SELECT p_partkey, unnest(string_split(p_name, ' ')) AS g
+        | FROM part WHERE p_size >= 10)
+        |SELECT DISTINCT gene FROM (
+        | SELECT g AS gene FROM w
+        | UNION ALL
+        | SELECT string_split(g || '.' || CAST(p_partkey % 3 AS VARCHAR), '.')[1] FROM w)
+        |ORDER BY gene""".stripMargin,
+    "q34_first_per_key" ->
+      """SELECT p_brand,
+        | array_to_string(list_sort(list(p_name))[1:3], '|') AS first3
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q32_multimodal" ->
       """SELECT doc_id AS media_id, 'fake' AS format,
         | CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
