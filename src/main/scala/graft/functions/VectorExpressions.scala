@@ -33,6 +33,11 @@ object VectorExpressions {
     * of splitmix64(p * GOLDEN + d). */
   def hyperplaneSig(vec: Column, nPlanes: Int): Column =
     ColumnShim.column(org.apache.spark.sql.graft.HyperplaneSig(ColumnShim.expression(vec), nPlanes))
+
+  /** 64-bit SimHash of a token array — one codegen'd pass per row;
+    * bit-identical to the explode + 64-column-aggregate formulation. */
+  def simHash64(tokens: Column): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.SimHash64(ColumnShim.expression(tokens)))
 }
 
 /** splitmix64 — shared by interpreted eval and generated code. */

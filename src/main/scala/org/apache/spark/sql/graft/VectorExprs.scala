@@ -2,7 +2,7 @@ package org.apache.spark.sql
 package graft
 
 import _root_.graft.functions.GraftHash
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -118,5 +118,65 @@ case class HyperplaneSig(child: Expression, nPlanes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array in one codegen'd pass: each token's
+  * xxhash64 votes ±1 per bit; the sign of each bit's tally sets the
+  * fingerprint bit. Replaces an explode + 64-column aggregate (one shuffle
+  * and 64 agg states per doc) with a narrow per-row loop — identical
+  * output values because Spark's xxhash64(col) is XXH64 with seed 42. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val counts = ctx.freshName("counts"); val h = ctx.freshName("h")
+      val t = ctx.freshName("t"); val sig = ctx.freshName("sig")
+      s"""
+        |long[] $counts = new long[64];
+        |for (int $i = 0; $i < $a.numElements(); $i++) {
+        |  if (!$a.isNullAt($i)) {
+        |    org.apache.spark.unsafe.types.UTF8String $t = $a.getUTF8String($i);
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+        |    }
+        |  }
+        |}
+        |long $sig = 0L;
+        |for (int $b = 0; $b < 64; $b++) if ($counts[$b] > 0) $sig |= (1L << $b);
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
