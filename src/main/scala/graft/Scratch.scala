@@ -37,6 +37,22 @@ object Scratch {
       println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "plans") {
+      for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
+        "q13_events_hourly", "q26_similarity_topk")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq
+        val schemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
+        val wsc = plan.split("\n").count(_.contains("WholeStageCodegen"))
+        val bc = plan.split("\n").count(_.contains("BroadcastHashJoin"))
+        val smj = plan.split("\n").count(_.contains("SortMergeJoin"))
+        println(s"=== $q: wholeStageCodegen=$wsc broadcastJoins=$bc sortMergeJoins=$smj")
+        pushed.foreach(p => println(s"  $p"))
+        schemas.foreach(s0 => println(s"  ${s0.take(150)}"))
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, dir)
     var t0 = System.nanoTime()
     df.queryExecution.optimizedPlan // force analysis+optimization
