@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions.expr
+import graft.writers.ExternalApiWriter
+
+/** CELLxGENE + Open Targets sub-writers: F3 thresholds, MONDO/EFO
+  * resolution, Python stringification quirks, per-resource loops.
+  * Mirrors ExternalApiResultsTupleWriterTestCase.py:122-387 shapes. */
+class ExternalApiWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = "http://purl.obolibrary.org/obo"
+  private val R = "http://www.w3.org/1999/02/22-rdf-syntax-ns"
+
+  test("cellxgene: CSD->PUB relation + 13 annotations, https stripped, ints stringified") {
+    val ds = Seq(("https://doi.org/x", "https://cxg/c", "https://cxg/d",
+      "Retina", 3177310L, "Homo sapiens", "retina", "normal", "c1", "cv1",
+      "d1", "dv1", "TBC"))
+      .toDF("Link_to_publication",
+        "Link_to_CELLxGENE_collection", "Link_to_CELLxGENE_dataset",
+        "Dataset_name", "Number_of_cells", "Organism", "Tissue",
+        "Disease_status", "Collection_ID", "Collection_version_ID",
+        "Dataset_ID", "Dataset_version_ID", "Zenodo/Nextflow_workflow/Notebook")
+    val ts = ExternalApiWriter.cellxgene(ds).orderBy("ord")
+      .select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(ts.length == 15)
+    assert(ts(0) == (s"$P/CSD_dv1", s"$R/dc#Source", s"$P/PUB_dv1", null))
+    assert(ts(1) == (s"$P/CSD_dv1", s"$R#Source", s"$P/PUB_dv1", "Manual Mapping"))
+    assert(ts(2) == (s"$P/CSD_dv1", s"$R#Link_to_publication", "doi.org/x", null))
+    assert(ts(6) == (s"$P/CSD_dv1", s"$R#Number_of_cells", "3177310", null))
+    assert(ts(14)._2 == s"$R#Zenodo/Nextflow_workflow/Notebook")
+  }
+
+  private val geneNames = Seq(("ENSG1", "CD19")).toDF("gene_ensembl_id", "gene_name")
+  private val e2m = Seq(("EFO_0000270", "MONDO_0004979")).toDF("efo", "mondo")
+
+  test("diseases: score threshold, EFO->MONDO map, MONDO passthrough") {
+    val d = Seq(
+      ("ENSG1", "MONDO_0005148", "t2d", "a disease", 0.9),   // kept
+      ("ENSG1", "EFO_0000270", "asthma", "airway", 0.7),     // mapped, kept
+      ("ENSG1", "MONDO_0000001", "low", "low score", 0.4),   // F3 drop
+      ("ENSG1", "EFO_9999999", "unmapped", "no mondo", 0.9)  // unmapped drop
+    ).toDF("gene_ensembl_id", "disease_id", "disease_name",
+      "disease_description", "score")
+    val ts = ExternalApiWriter.openTargetsDiseases(d, geneNames, e2m)
+      .orderBy("ord").select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(ts.length == 10) // 2 kept rows x 5 tuples
+    val kept = ts.map(_._3).toSet
+    assert(kept.contains(s"$P/MONDO_0005148"))
+    assert(ts.exists(t => t._3 == s"$P/MONDO_0004979")) // EFO mapped
+    assert(ts.exists(t => t._2 == s"$R#Score" && t._4 == "0.9"))
+    assert(!ts.exists(_._3.contains("MONDO_0000001")))
+  }
+
+  test("drugs: phase/approval gates, CHEMBL_ naming, python str quirks, trials") {
+    val drugs = Seq(
+      ("ENSG1", "CHEMBL25", "MONDO_0005148", 4L, true, false, "ASPIRIN",
+        "small molecule", "inhibitor", "acetyl...", Seq("asa"),
+        Seq("Aspirin"), Seq(("MONDO_0005148", 4L), ("MONDO_0001", 2L)),
+        Seq("NCT123")),
+      ("ENSG1", "CHEMBL99", "MONDO_0005148", 2L, true, false, "LOWPHASE",
+        "sm", "x", "y", Seq[String](), Seq[String](),
+        Seq[(String, Long)](), Seq[String]())  // phase gate drop
+    ).toDF("gene_ensembl_id", "drug_id", "disease_id", "max_phase",
+      "is_approved", "has_been_withdrawn", "drug_name", "drug_type",
+      "mechanism_of_action", "drug_description", "synonyms", "trade_names",
+      "indications_raw", "ct_ids")
+      .withColumn("indications", expr(
+        "transform(indications_raw, x -> struct(x._1 AS disease_id, x._2 AS max_phase))"))
+    val genes = Seq(("ENSG1", "CD19", "CD19_HUMAN", "https://uniprot.org/P15391"))
+      .toDF("gene_ensembl_id", "gene_name", "uniprot_name", "link_to_uniprot")
+    val c2p = Seq(("CHEMBL25", "2244")).toDF("chembl", "pubchem")
+    val ts = ExternalApiWriter.openTargetsDrugs(drugs, genes, e2m, c2p)
+      .orderBy("ord").select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val ch = s"$P/CHEMBL_25"
+    assert(ts.forall(_._1 == ch)) // low-phase drug dropped entirely
+    assert(ts(0) == (ch, s"$R#IS_SUBSTANCE_THAT_TREATS", s"$P/MONDO_0005148", null))
+    assert(ts.exists(t => t._2 == s"$R#MOLECULARLY_INTERACTS_WITH" &&
+      t._3 == s"$P/PR_CD19_HUMAN"))
+    assert(ts.exists(t => t._2 == s"$R#Indications" && t._3 == "MONDO_0005148"))
+    assert(!ts.exists(t => t._2 == s"$R#Indications" && t._3 == "MONDO_0001"))
+    assert(ts.exists(t => t._2 == s"$R#EVALUATED_IN" && t._3 == s"$P/NCT_123"))
+    assert(ts.exists(t => t._2 == s"$R#Synonyms" && t._3 == "['asa']"))
+    assert(ts.exists(t => t._2 == s"$R#Approved" && t._3 == "True"))
+    assert(ts.exists(t => t._2 == s"$R#Withdrawn" && t._3 == "False"))
+    assert(ts.exists(t => t._2 == s"$R#Link_to_PubChem_record" &&
+      t._3 == "pubchem.ncbi.nlm.nih.gov/compound/2244"))
+    assert(ts.exists(t => t._2 == s"$R#Link_to_UniProt_ID" &&
+      t._3 == "uniprot.org/P15391"))
+  }
+
+  test("pharmacogenetics: rs/SO synthesis, null rsId skipped") {
+    val rows = Seq(
+      ("ENSG1", "rs4244285", "SO_0001583"),
+      ("ENSG1", null, "SO_0000001")
+    ).toDF("gene_ensembl_id", "variant_rs_id", "variant_consequence_id")
+    val ts = ExternalApiWriter.openTargetsPharmacogenetics(rows, geneNames)
+      .orderBy("ord").select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(ts.length == 4)
+    assert(ts(0) == (s"$P/GS_CD19", s"$R#HAS_QUALITY", s"$P/RS_4244285", null))
+    assert(ts(2) == (s"$P/RS_4244285", s"$R#INVOLVED_IN", s"$P/SO_0001583", null))
+  }
+}
