@@ -493,6 +493,16 @@ object Queries {
         slice(sort_array(collect_list(col("p_name"))), 1, 3)).as("first3"))
       .orderBy("p_brand")
 
+  /** IVF approximate top-k (no SQL oracle — k-means training isn't
+    * DuckDB-reproducible; recall covered by SimilaritySpec): the scale
+    * path where each query probes nProbe of nCells k-means cells. */
+  def q35IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -531,7 +541,8 @@ object Queries {
     "q31_path_hierarchy" -> (q31PathHierarchy _),
     "q32_multimodal" -> (q32Multimodal _),
     "q33_gene_collection" -> (q33GeneCollection _),
-    "q34_first_per_key" -> (q34FirstPerKey _)
+    "q34_first_per_key" -> (q34FirstPerKey _),
+    "q35_ivf_topk" -> (q35IvfTopK _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -75,6 +75,71 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the scale path for ANN
+   * (coarse quantizer + per-cell exact re-rank):
+   *
+   *  1. TRAIN: k-means over a sample of the corpus gives `nCells`
+   *     centroid vectors (Spark ML KMeans — one pass over a sample, the
+   *     model is a handful of dense vectors broadcast everywhere);
+   *  2. INDEX: each corpus vector is assigned to its nearest centroid
+   *     (narrow map; the assignment expression is the same codegen'd
+   *     cosine); the corpus is then repartitionable/bucketable by
+   *     `cell_id` so each cell's vectors are co-located;
+   *  3. QUERY: each query probes its `nProbe` nearest cells only —
+   *     candidate generation becomes an equi-join on cell_id touching
+   *     nProbe/nCells of the corpus, then exact cosine re-ranks.
+   *
+   * At 100 TB: the index write partitions by cell_id, so a query scans
+   * only its probed cells' files (partition pruning), and the re-rank
+   * shuffles candidates, never the corpus.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // 1. train the coarse quantizer on (a sample of) the corpus
+    val toVec = org.apache.spark.sql.functions.udf {
+      (a: scala.collection.Seq[Float]) =>
+        org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
+    }
+    val train = corpus.select(toVec(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(7L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+
+    // 2. assign every corpus vector to its nearest centroid (broadcast
+    // cross of |corpus| x nCells, then argmax — narrow, no corpus shuffle)
+    def assign(df: DataFrame, id: String, vec: String, topCells: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__sim", cosine(col(vec), col("centroid")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topCells)
+        .drop("centroid", "__sim", "__rk")
+    }
+    val indexed = assign(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      "nbr_id", "nbr_vec", 1)
+    val probed = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
+
+    // 3. candidates = corpus vectors in the probed cells; exact re-rank
+    val scored = indexed.join(probed, Seq("cell_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding
     * variant of Dedup): pairs in the same bucket with cosine ≥ threshold. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, nPlanes: Int = 10,

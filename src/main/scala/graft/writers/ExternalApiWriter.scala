@@ -223,6 +223,114 @@ object ExternalApiWriter {
       Seq(col("gene_ensembl_id"), col("variant_rs_id")), withOrd)
   }
 
+  /** E-Utilities gene metadata → GS tuples
+    * (ExternalApiResultsTupleWriter.py:715-820): PRODUCES relation when a
+    * UniProt name exists, then present-and-truthy key annotations with
+    * protocols stripped.
+    * @param genes (gene_entrez_id, gene_name, + the 11 metadata key
+    *              columns, nullable) */
+  def gene(genes: DataFrame, withOrd: Boolean = true): DataFrame = {
+    val keys = Seq("Gene_ID", "Official_symbol", "Official_full_name",
+      "Gene_type", "Link_to_UniProt_ID", "Organism", "RefSeq_gene_ID",
+      "Also_known_as", "Summary", "UniProt_name",
+      "mRNA_(NM)_and_protein_(NP)_sequences")
+    val gs = purl(concat(lit("GS_"), col("gene_name")))
+    val produces = when(col("UniProt_name").isNotNull && col("UniProt_name") =!= "",
+      array(
+        tp(gs, lit(RDFS + "#PRODUCES"), purl(concat(lit("PR_"), col("UniProt_name")))),
+        qd(gs, purl(concat(lit("PR_"), col("UniProt_name"))),
+          lit(RDFS + "#Source"), lit("UniProt"))))
+      .otherwise(emptyTuples)
+    val anns = filter(
+      array(keys.map { k =>
+        val v = col(s"`$k`")
+        when(v.isNotNull && v.cast("string") =!= "",
+          tp(gs, lit(RDFS + "#" + k.replace(" ", "_")),
+            Terms.stripProtocol(v.cast("string"))))
+      }: _*),
+      x => x.isNotNull)
+    explodeWithOrd(genes, concat(produces, anns),
+      Seq(col("gene_entrez_id")), withOrd)
+  }
+
+  /** UniProt protein metadata → PR annotations
+    * (ExternalApiResultsTupleWriter.py:822-887): present keys only. */
+  def uniprot(proteins: DataFrame, withOrd: Boolean = true): DataFrame = {
+    val keys = Seq("Protein_name", "UniProt_ID", "Gene_name",
+      "Number_of_amino_acids", "Function", "Annotation_score", "Organism")
+    val pr = purl(concat(lit("PR_"), col("protein_accession")))
+    val anns = filter(
+      array(keys.map { k =>
+        val v = col(s"`$k`")
+        when(v.isNotNull, tp(pr, lit(RDFS + "#" + k.replace(" ", "_")),
+          v.cast("string")))
+      }: _*),
+      x => x.isNotNull)
+    explodeWithOrd(proteins, anns, Seq(col("protein_accession")), withOrd)
+  }
+
+  /** HuBMAP ASCT+B tables → PART_OF tuples
+    * (ExternalApiResultsTupleWriter.py:890-1014).
+    * @param structures (id, ccf_part_of array<string>) anatomical rows
+    * @param cellTypes  (id, ccf_located_in array<string>) cell-type rows
+    * @param clTerms    CL terms seen in author→CL results (J10 semi-join
+    *                   set, LoaderUtilities.py:42-62) */
+  def hubmap(structures: DataFrame, cellTypes: DataFrame,
+             clTerms: DataFrame, withOrd: Boolean = true): DataFrame = {
+    val src = lit(RDFS + "#Source")
+    val hb = lit("HuBMAP")
+
+    // anatomical: UBERON subject, each UBERON member of ccf_part_of
+    val sU = translate(col("id"), ":", "_")
+    val anat = structures
+      .filter(col("id").isNotNull && col("ccf_part_of").isNotNull)
+      .filter(sU.contains("UBERON"))
+      .select(col("id"), posexplode(col("ccf_part_of")).as(Seq("pos0", "o_id")))
+      .filter(col("o_id").contains("UBERON"))
+      .select(col("id"), col("pos0"),
+        purl(translate(col("id"), ":", "_")).as("__s"),
+        purl(translate(col("o_id"), ":", "_")).as("__o"))
+
+    val anatTuples = array(
+      tp(col("__s"), lit(RDFS + "#PART_OF"), col("__o")),
+      qd(col("__s"), col("__o"), src, hb))
+
+    // cell types: CL (not PCL) subjects kept only when present in the
+    // author→CL term set (left semi-join — J10)
+    val cT = translate(col("id"), ":", "_")
+    val cells = cellTypes
+      .filter(col("id").isNotNull && col("ccf_located_in").isNotNull)
+      .filter(cT.contains("CL") && !cT.contains("PCL"))
+      .join(broadcast(clTerms.select(col("cl_term"))),
+        cT === col("cl_term"), "left_semi")
+      .select(col("id"), posexplode(col("ccf_located_in")).as(Seq("pos0", "o_id")))
+      .filter(col("o_id").contains("UBERON"))
+      .select(col("id"), col("pos0"),
+        purl(translate(col("id"), ":", "_")).as("__s"),
+        purl(translate(col("o_id"), ":", "_")).as("__o"))
+
+    val a = explodeWithOrd2(anat, anatTuples, Seq(lit(0), col("id"), col("pos0")), withOrd = false)
+    val c = explodeWithOrd2(cells, anatTuples, Seq(lit(1), col("id"), col("pos0")), withOrd = false)
+    val all = a.unionByName(c)
+    if (withOrd) {
+      val w = Window.orderBy(col("__k0"), col("__k1"), col("__k2"), col("pos"))
+      all.withColumn("ord", row_number().over(w) - 1)
+        .drop("__k0", "__k1", "__k2")
+    } else all.drop("__k0", "__k1", "__k2")
+  }
+
+  /** Like explodeWithOrd but keeps the key columns for a caller-side
+    * cross-section ordering (hubmap orders anatomical before cell-type). */
+  private def explodeWithOrd2(rows: DataFrame, tuples: Column,
+                              orderCols: Seq[Column], withOrd: Boolean): DataFrame = {
+    val keyed = rows.select(orderCols.zipWithIndex.map {
+      case (c, i) => c.as(s"__k$i")
+    } :+ posexplode(tuples).as(Seq("pos", "t")): _*)
+    keyed.select(
+      keyed.columns.filter(_.startsWith("__k")).map(col) ++
+        Seq(col("pos"), col("t.s"), col("t.p"), col("t.o"), col("t.lit")): _*)
+  }
+
   private def explodeWithOrd(rows: DataFrame, tuples: Column,
                              orderCols: Seq[Column], withOrd: Boolean): DataFrame = {
     val keyed = rows.select(orderCols.zipWithIndex.map {

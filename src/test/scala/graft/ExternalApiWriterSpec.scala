@@ -104,4 +104,64 @@ class ExternalApiWriterSpec extends SparkSpec {
     assert(ts(0) == (s"$P/GS_CD19", s"$R#HAS_QUALITY", s"$P/RS_4244285", null))
     assert(ts(2) == (s"$P/RS_4244285", s"$R#INVOLVED_IN", s"$P/SO_0001583", null))
   }
+
+  test("gene: PRODUCES when UniProt name present, truthy-key annotations") {
+    val g = Seq(
+      ("111", "CD19", "111", "CD19", "B-lymphocyte antigen", "protein coding",
+        "https://www.uniprot.org/P15391", "human", null, null, null,
+        "CD19_HUMAN", null),
+      ("222", "XYZ", "222", "XYZ", null, null, null, null, null, null, null,
+        null, null) // no uniprot -> no PRODUCES
+    ).toDF("gene_entrez_id", "gene_name", "Gene_ID", "Official_symbol",
+      "Official_full_name", "Gene_type", "Link_to_UniProt_ID", "Organism",
+      "RefSeq_gene_ID", "Also_known_as", "Summary", "UniProt_name",
+      "mRNA_(NM)_and_protein_(NP)_sequences")
+    val ts = ExternalApiWriter.gene(g).orderBy("ord")
+      .select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val P2 = "http://purl.obolibrary.org/obo"
+    val R2 = "http://www.w3.org/1999/02/22-rdf-syntax-ns"
+    assert(ts(0) == (s"$P2/GS_CD19", s"$R2#PRODUCES", s"$P2/PR_CD19_HUMAN", null))
+    assert(ts.exists(t => t._2 == s"$R2#Link_to_UniProt_ID" &&
+      t._3 == "www.uniprot.org/P15391")) // protocol stripped
+    assert(!ts.exists(t => t._1 == s"$P2/GS_XYZ" && t._2.endsWith("PRODUCES")))
+    assert(ts.exists(t => t._1 == s"$P2/GS_XYZ" && t._2 == s"$R2#Gene_ID"))
+  }
+
+  test("uniprot: present-key annotations on the PR term") {
+    val u = Seq(("P15391", "B-lymphocyte antigen CD19", "CD19_HUMAN", "CD19",
+      556L, null, 5.0, "Homo sapiens"))
+      .toDF("protein_accession", "Protein_name", "UniProt_ID", "Gene_name",
+        "Number_of_amino_acids", "Function", "Annotation_score", "Organism")
+    val ts = ExternalApiWriter.uniprot(u).orderBy("ord")
+      .select("s", "p", "o").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val P2 = "http://purl.obolibrary.org/obo"
+    val R2 = "http://www.w3.org/1999/02/22-rdf-syntax-ns"
+    assert(ts.forall(_._1 == s"$P2/PR_P15391"))
+    assert(ts.exists(t => t._2 == s"$R2#Number_of_amino_acids" && t._3 == "556"))
+    assert(!ts.exists(t => t._2 == s"$R2#Function")) // null key skipped
+  }
+
+  test("hubmap: UBERON part-of relations and semi-joined CL located-in") {
+    val structures = Seq(
+      ("UBERON:0002405", Seq("UBERON:0001009", "FMA:7088")),
+      ("FMA:123", Seq("UBERON:0001009"))  // non-UBERON subject skipped
+    ).toDF("id", "ccf_part_of")
+    val cellTypes = Seq(
+      ("CL:0000235", Seq("UBERON:0002405")),
+      ("CL:9999999", Seq("UBERON:0002405")), // not in author->CL set
+      ("PCL:0000001", Seq("UBERON:0002405")) // PCL excluded
+    ).toDF("id", "ccf_located_in")
+    val clTerms = Seq("CL_0000235").toDF("cl_term")
+    val ts = ExternalApiWriter.hubmap(structures, cellTypes, clTerms)
+      .orderBy("ord").select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val P2 = "http://purl.obolibrary.org/obo"
+    val R2 = "http://www.w3.org/1999/02/22-rdf-syntax-ns"
+    assert(ts.length == 4) // 1 anat pair + 1 cell pair
+    assert(ts(0) == (s"$P2/UBERON_0002405", s"$R2#PART_OF", s"$P2/UBERON_0001009", null))
+    assert(ts(1)._4 == "HuBMAP")
+    assert(ts(2) == (s"$P2/CL_0000235", s"$R2#PART_OF", s"$P2/UBERON_0002405", null))
+  }
 }

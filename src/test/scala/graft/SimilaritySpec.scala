@@ -77,4 +77,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((4L, 99L)))
   }
+
+  test("IVF top-k finds planted duplicates and agrees with brute force on top-1") {
+    val base = (0L until 60L).map(i => (i, vec(12)))
+    val dups = base.take(3).map { case (i, v) => (i + 100L, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" >= 100L)
+    val r = Similarity.ivfTopK(corpus, queries, k = 1, nCells = 4, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toMap
+    // an exact duplicate lands in the same k-means cell as its twin
+    assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
+  }
 }
