@@ -503,6 +503,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** MinHash signatures under the md5 hash family — slower than the
+    * engine-default xxhash64 family but reproducible in DuckDB, so the
+    * whole shingle→min-per-member pipeline gets a strong oracle check
+    * (the xxhash64 path shares all machinery except the hash). */
+  def q36MinhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, k = 4, hashFamily = Dedup.md5HashFamily)
+    sigs.select(col("doc_id"),
+        col("sig")(0).as("h0"), col("sig")(1).as("h1"),
+        col("sig")(2).as("h2"), col("sig")(3).as("h3"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -542,7 +555,8 @@ object Queries {
     "q32_multimodal" -> (q32Multimodal _),
     "q33_gene_collection" -> (q33GeneCollection _),
     "q34_first_per_key" -> (q34FirstPerKey _),
-    "q35_ivf_topk" -> (q35IvfTopK _)
+    "q35_ivf_topk" -> (q35IvfTopK _),
+    "q36_minhash_signatures" -> (q36MinhashSignatures _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,6 +751,16 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q36_minhash_signatures" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents)
+        |SELECT doc_id,
+        | min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        | min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q33_gene_collection" ->
       """WITH w AS (
         | SELECT p_partkey, unnest(string_split(p_name, ' ')) AS g

@@ -80,4 +80,41 @@ object Terms {
   /** Classify a tuple element as URI vs literal, the way the reference's
     * JSON loader does (`contains("http")`, ResultsGraphBuilder.java:60-72). */
   def isUri(c: Column): Column = c.contains("http")
+
+  /** X5 complete — the reference's full term taxonomy
+    * (OntologyParserLoader.py:218-283): returns
+    * struct(oid, number, term, fragment, kind) where kind ∈
+    * {'class', 'predicate', 'literal'} (nulls throughout for rejected
+    * GOREL ids). Order of dispatch matches the reference: OBO-pattern
+    * URI → class; '#fragment' → predicate; bnode ('_:' prefix, our
+    * OwlSource convention for rdflib BNodes) → class with a pseudo id;
+    * anything else → literal with the path stem as its value. */
+  def parseTermFull(c: Column): Column = {
+    val re = "/obo/([A-Za-z]*)_([A-Za-z0-9-+]*)"
+    val oid = regexp_extract(c, re, 1)
+    val num = regexp_extract(c, re, 2)
+    val isObo = oid =!= "" && num =!= "" && oid =!= "GOREL"
+    // GOREL ids are rejected outright (all-null row, not a literal) —
+    // OntologyParserLoader.py:244-249
+    val isGorel = oid === "GOREL"
+    val beforeFrag = substring_index(c, "#", 1)
+    val hasFrag = c.contains("#") && substring_index(c, "#", -1) =!= ""
+    val isBnode = c.startsWith("_:")
+    // Python Path(path).stem: last path segment, last dot-suffix removed
+    val stem = regexp_replace(
+      substring_index(beforeFrag, "/", -1), "\\.[^.]*$", "")
+    val nullS = lit(null).cast("string")
+    struct(
+      when(isObo, oid).when(isBnode, "BNode").otherwise(nullS).as("oid"),
+      when(isObo, num).when(isBnode, stem).otherwise(nullS).as("number"),
+      when(isObo, concat_ws("_", oid, num))
+        .when(isBnode, concat(lit("BNode_"), stem)).otherwise(nullS).as("term"),
+      when(isObo || isBnode || isGorel, nullS)
+        .when(hasFrag, substring_index(c, "#", -1))
+        .otherwise(stem).as("fragment"),
+      when(isGorel, nullS)
+        .when(isObo || isBnode, "class")
+        .when(hasFrag, "predicate")
+        .otherwise("literal").as("kind"))
+  }
 }

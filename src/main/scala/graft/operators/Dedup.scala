@@ -54,10 +54,20 @@ object Dedup {
 
   /** MinHash signatures: k hash functions = xxhash64 salted by member index;
     * signature[j] = min over shingles. Returns (idCol, sig array<long>). */
+  /** Default minhash family: xxhash64 salted by member index (fast,
+    * codegen'd). `mdHashFamily` is a slower md5-string family whose min
+    * is reproducible in any SQL engine — used by the oracle-checked
+    * signature query. */
+  val xxHashFamily: (Int, Column) => Column =
+    (j, sh) => xxhash64(lit(j), sh)
+  val md5HashFamily: (Int, Column) => Column =
+    (j, sh) => md5(concat(lit(j.toString), lit(":"), sh))
+
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", n: Int = 3, k: Int = 32): DataFrame = {
+                        textCol: String = "text", n: Int = 3, k: Int = 32,
+                        hashFamily: (Int, Column) => Column = xxHashFamily): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
-    val aggs = (0 until k).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    val aggs = (0 until k).map(j => min(hashFamily(j, col("shingle"))).as(s"h$j"))
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
   }

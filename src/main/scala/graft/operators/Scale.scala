@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-out join strategies (builder mandate: "broadcast small dims,
+ * repartition/bucketing for co-located joins, salting for skew").
+ *
+ * These are the levers the engine reaches for at 100 TB when AQE's
+ * automatic handling isn't enough:
+ *
+ *  - [[saltedJoin]] — a hot key (one ontology hub vertex, one viral
+ *    document hash) funnels an entire join partition to one task. Salting
+ *    splits each big-side key into `salts` subkeys and replicates the
+ *    small side once per salt: same result, `salts`-way parallelism on
+ *    the hot keys, at the cost of a small-side blow-up (keep the
+ *    replicated side the smaller one).
+ *  - [[writeBucketed]] / co-located joins — both sides persisted
+ *    bucketed+sorted by the join key join WITHOUT a shuffle: the
+ *    sort-merge join reads co-located buckets. This is the layout for
+ *    the vertex/edge tables' recurring joins (hop after hop joins on
+ *    (collection, key)).
+ */
+object Scale {
+
+  /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
+    * Result is identical to `big.join(small, key)` — verified by test. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Persist a DataFrame bucketed+sorted by the join key (table name in
+    * the session catalog; files under the warehouse dir). */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int,
+                    table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketing tables as a sort-merge join — with matching
+    * bucketing Catalyst plans NO shuffle exchange on either side
+    * (asserted in the spec). The merge hint keeps small test tables from
+    * taking the broadcast path, which would hide the co-location. */
+  def bucketedJoin(spark: SparkSession, table1: String, table2: String,
+                   key: String): DataFrame =
+    spark.table(table1).hint("merge").join(spark.table(table2), Seq(key))
+}

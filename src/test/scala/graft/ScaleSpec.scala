@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's result") {
+    val big = (1 to 1000).map(i => (i % 7, s"row$i")).toDF("k", "payload")
+    val small = (0 to 6).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted
+    val salted = Scale.saltedJoin(big, small, "k", salts = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 1000) // every big row matched exactly once
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Scale.writeBucketed(a, "k", 4, "bucketed_a")
+    Scale.writeBucketed(b, "k", 4, "bucketed_b")
+    val joined = Scale.bucketedJoin(spark, "bucketed_a", "bucketed_b", "k")
+    // no shuffle exchange in the join's physical plan: buckets co-located
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free join:\n$plan")
+    assert(joined.count() == 500)
+  }
+}

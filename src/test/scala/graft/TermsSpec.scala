@@ -92,4 +92,21 @@ class TermsSpec extends SparkSpec {
       .select("f.tissue", "f.author", "f.year").head()
     assert(r.getString(2) == "2023")
   }
+
+  test("parseTermFull mirrors the reference term taxonomy") {
+    // mirrors OntologyParserLoaderTestCase.py:33-87
+    def p(s: String) = Seq(s).toDF("v")
+      .select(Terms.parseTermFull($"v").as("t"))
+      .select("t.oid", "t.number", "t.term", "t.fragment", "t.kind")
+      .head() match { case r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4)) }
+    assert(p("http://purl.obolibrary.org/obo/CL_0000235") ==
+      ("CL", "0000235", "CL_0000235", null, "class"))
+    assert(p("http://purl.obolibrary.org/obo/GOREL_0002003") ==
+      (null, null, null, null, null)) // GOREL rejected
+    assert(p("http://www.w3.org/2000/01/rdf-schema#label") ==
+      (null, null, null, "label", "predicate"))
+    assert(p("macrophage") == (null, null, null, "macrophage", "literal"))
+    assert(p("_:abc1") == ("BNode", "_:abc1", "BNode__:abc1", null, "class"))
+  }
 }
