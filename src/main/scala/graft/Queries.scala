@@ -516,6 +516,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** MinHash+LSH end-to-end under the md5 families on a 100-doc subset —
+    * banding, candidate self-join, and est_jaccard all reproduced by the
+    * DuckDB oracle (q20 keeps the fast xxhash64 family at full size). */
+  def q37MinhashLshOracle(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(
+        t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 16, bands = 8,
+        hashFamily = Dedup.md5HashFamily,
+        bucketFamily = Dedup.md5BucketFamily)
+      .orderBy("id_a", "id_b")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -556,7 +567,8 @@ object Queries {
     "q33_gene_collection" -> (q33GeneCollection _),
     "q34_first_per_key" -> (q34FirstPerKey _),
     "q35_ivf_topk" -> (q35IvfTopK _),
-    "q36_minhash_signatures" -> (q36MinhashSignatures _)
+    "q36_minhash_signatures" -> (q36MinhashSignatures _),
+    "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -751,6 +763,45 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q37_minhash_lsh_oracle" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sig AS (
+        | SELECT doc_id,
+        |  min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |  min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |  min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |  min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7,
+        |  min(md5('8:' || shingle)) AS h8, min(md5('9:' || shingle)) AS h9,
+        |  min(md5('10:' || shingle)) AS h10, min(md5('11:' || shingle)) AS h11,
+        |  min(md5('12:' || shingle)) AS h12, min(md5('13:' || shingle)) AS h13,
+        |  min(md5('14:' || shingle)) AS h14, min(md5('15:' || shingle)) AS h15
+        | FROM sh GROUP BY doc_id),
+        |banded AS (
+        | SELECT doc_id,
+        |  unnest([md5('0:' || h0 || ',' || h1), md5('1:' || h2 || ',' || h3),
+        |          md5('2:' || h4 || ',' || h5), md5('3:' || h6 || ',' || h7),
+        |          md5('4:' || h8 || ',' || h9), md5('5:' || h10 || ',' || h11),
+        |          md5('6:' || h12 || ',' || h13), md5('7:' || h14 || ',' || h15)]) AS bucket
+        | FROM sig),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT p.id_a, p.id_b,
+        | ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h8 = sb.h8 THEN 1 ELSE 0 END) + (CASE WHEN sa.h9 = sb.h9 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h10 = sb.h10 THEN 1 ELSE 0 END) + (CASE WHEN sa.h11 = sb.h11 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h12 = sb.h12 THEN 1 ELSE 0 END) + (CASE WHEN sa.h13 = sb.h13 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h14 = sb.h14 THEN 1 ELSE 0 END) + (CASE WHEN sa.h15 = sb.h15 THEN 1 ELSE 0 END)
+        | ) / 16.0 AS est_jaccard
+        |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "q36_minhash_signatures" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(

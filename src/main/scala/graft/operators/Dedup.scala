@@ -76,19 +76,28 @@ object Dedup {
     * equi-join on (band, band-signature), keep pairs sharing ≥1 bucket.
     * Output: (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard =
     * fraction of agreeing minhash members. */
+  /** Band-bucket hash families (same injectability as the member hash:
+    * md5 is SQL-oracle-reproducible). */
+  val xxBucketFamily: (Int, Column) => Column =
+    (b, c) => xxhash64(lit(b), c).cast("string")
+  val md5BucketFamily: (Int, Column) => Column =
+    (b, c) => md5(concat(lit(b.toString), lit(":"), c))
+
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                 n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+                 n: Int = 3, k: Int = 32, bands: Int = 8,
+                 hashFamily: (Int, Column) => Column = xxHashFamily,
+                 bucketFamily: (Int, Column) => Column = xxBucketFamily): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // the signature table is read twice (both sides of the candidate
     // self-join) — persist it so the shingle+agg lineage runs once; it is
     // small (|docs| × k longs) even at scale
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k).cache()
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily).cache()
     val banded = sigs.select(
       col(idCol).as("id"), col("sig"),
       explode(array((0 until bands).map(bnd => struct(
         lit(bnd).as("band"),
-        xxhash64(lit(bnd), concat_ws(",", slice(col("sig"), bnd * r + 1, r)))
+        bucketFamily(bnd, concat_ws(",", slice(col("sig"), bnd * r + 1, r)))
           .as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
