@@ -527,6 +527,38 @@ object Queries {
         bucketFamily = Dedup.md5BucketFamily)
       .orderBy("id_a", "id_b")
 
+  /** SURVEY §7's minimum end-to-end slice as one driver-gated query:
+    * NSForest-shaped results → tuple writer → graph build (A1/A2) →
+    * 2-hop ANY path query CS→BMC→BGS (the production
+    * getQuerySetInTwo("BMC","BGS") shape, PhenotypeGraphBuilder.java:54).
+    * The oracle reconstructs the expected paths from the raw rows. */
+  def q38EndToEndSlice(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("p_name"), " ")
+    val asPyList = concat(lit("['"), concat_ws("', '", words), lit("']"))
+    val results = t(s, dir, "part").select(
+      col("p_name").as("clusterName"),
+      col("p_size").cast("long").as("clusterSize"),
+      round(col("p_retailprice")).as("f_score"),
+      (col("p_partkey") % 100).cast("double").as("precision"),
+      (col("p_partkey") % 7).as("TN"), (col("p_partkey") % 5).as("FP"),
+      (col("p_partkey") % 3).as("FN"), (col("p_partkey") % 11).as("TP"),
+      size(words).cast("long").as("marker_count"),
+      asPyList.as("NSForest_markers"), asPyList.as("binary_genes"),
+      substring(md5(col("p_name")), 1, 12).as("uuid"))
+    val tuples = graft.writers.NSForestWriter
+      .tuples(results, Seq("dv1"), withOrd = false)
+      .withColumn("ord", col("pos").cast("long"))
+      .select("s", "p", "o", "lit", "ord")
+    val v = GraphBuilder.vertices(tuples)
+    val e = GraphBuilder.edges(tuples)
+    PathQueries.kHop(v, e, "CS", Seq("BMC", "BGS"))
+      .select(
+        element_at(col("vertices"), 1).getField("key").as("v0"),
+        element_at(col("vertices"), 2).getField("key").as("v1"),
+        element_at(col("vertices"), 3).getField("key").as("v2"))
+      .orderBy("v0", "v1", "v2")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -568,7 +600,8 @@ object Queries {
     "q34_first_per_key" -> (q34FirstPerKey _),
     "q35_ivf_topk" -> (q35IvfTopK _),
     "q36_minhash_signatures" -> (q36MinhashSignatures _),
-    "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _)
+    "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _),
+    "q38_end_to_end_slice" -> (q38EndToEndSlice _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,6 +796,14 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q38_end_to_end_slice" ->
+      """SELECT DISTINCT
+        | regexp_replace(regexp_replace(p_name, '[ _,/]', '-', 'g'), '-+', '-', 'g')
+        |  || '-' || substr(md5(p_name), 1, 12) AS v0,
+        | substr(md5(p_name), 1, 12) AS v1,
+        | substr(md5(p_name), 1, 12) AS v2
+        |FROM part WHERE p_size >= 10
+        |ORDER BY v0, v1, v2""".stripMargin,
     "q37_minhash_lsh_oracle" ->
       """WITH sh AS (
         | SELECT doc_id, unnest(list_distinct(

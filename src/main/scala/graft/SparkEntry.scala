@@ -3,10 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the reference's core query shape (2-hop ANY path enumeration,
-    * AqlQuerySetBuilder.getQuerySetInTwo) on the order graph. */
+    * The SURVEY §7 minimum end-to-end slice: NSForest-shaped results →
+    * tuple writer → graph build → the production 2-hop path query
+    * CS→BMC→BGS (PhenotypeGraphBuilder.java:54). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q24Path2Hop(spark, "/root/testdata/sf0.001")
+    Queries.q38EndToEndSlice(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
