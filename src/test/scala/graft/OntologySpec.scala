@@ -128,4 +128,38 @@ class OntologySpec extends SparkSpec {
     val l = Dereify.labels(raw).as[(String, String)].collect().toMap
     assert(l("CL_0000576") == "monocyte")
   }
+
+  test("dereify: wrong-count and missing-role sets divert to ignored") {
+    import graft.sources.OwlSource.RawTriple
+    val OBO2 = "http://purl.obolibrary.org/obo/"
+    // bnode b1: only 2 relation-bucket triples -> ignored
+    // bnode b2: 3 relation triples but two subClassOf, no someValuesFrom
+    //           -> reconstruct fails, all 3 ignored
+    val rows = Seq(
+      RawTriple(s"${OBO2}CL_1", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:b1", "uri", "bnode"),
+      RawTriple("_:b1", "http://www.w3.org/2002/07/owl#onProperty", s"${OBO2}RO_1", "bnode", "uri"),
+      RawTriple(s"${OBO2}CL_2", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:b2", "uri", "bnode"),
+      RawTriple(s"${OBO2}CL_3", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "_:b2", "uri", "bnode"),
+      RawTriple("_:b2", "http://www.w3.org/2002/07/owl#onProperty", s"${OBO2}RO_1", "bnode", "uri")
+    ).toDF()
+    val (recon, ignored) = Dereify.dereify(rows)
+    assert(recon.count() == 0)
+    assert(ignored.count() == 5)
+  }
+
+  test("dereify: failed annotation set drags its literal bucket to ignored") {
+    import graft.sources.OwlSource.RawTriple
+    val rows = Seq(
+      // annotation bucket has only 1 triple -> invalid
+      RawTriple("_:a1", "http://www.w3.org/2002/07/owl#annotatedSource",
+        "http://purl.obolibrary.org/obo/CL_9", "bnode", "uri"),
+      // its literal-bucket companion must be ignored too (:554-556)
+      RawTriple("_:a1", "http://www.geneontology.org/formats/oboInOwl#hasDbXref",
+        "PMID:1", "bnode", "literal")
+    ).toDF()
+    val (recon, ignored) = Dereify.dereify(rows)
+    assert(recon.count() == 0)
+    assert(ignored.count() == 2)
+    assert(ignored.collect().exists(_.o == "PMID:1"))
+  }
 }
