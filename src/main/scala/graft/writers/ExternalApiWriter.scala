@@ -203,9 +203,19 @@ object ExternalApiWriter {
       Seq(col("gene_ensembl_id"), col("drug_id"), col("disease_id")), withOrd)
   }
 
+  /** Python str() of a nullable value ("None" when null — the reference
+    * stringifies fields that may be missing). */
+  def pyStr(c: Column): Column = coalesce(c.cast("string"), lit("None"))
+
   /** Open Targets pharmacogenetics → mutation tuples
-    * (ExternalApiResultsTupleWriter.py:517-552): rows without an rsId are
-    * skipped (F5); rs/SO term synthesis. */
+    * (ExternalApiResultsTupleWriter.py:517-652): rows without an rsId are
+    * skipped (F5); rs/SO term synthesis; per-drug pharmacological-effect
+    * relations (null drugIds skipped); stringified annotations ("None"
+    * for missing values, "['123']" for the literature list — Python str()
+    * quirks); the variant-consequence label annotation.
+    *
+    * Optional columns (drugs array, the annotation fields) are emitted
+    * when present — callers with relation-only data get the 4-tuple core. */
   def openTargetsPharmacogenetics(rows: DataFrame, geneNames: DataFrame,
                                   withOrd: Boolean = true): DataFrame = {
     val gs = purl(concat(lit("GS_"), col("gene_name")))
@@ -216,10 +226,42 @@ object ExternalApiWriter {
     val filtered = rows
       .join(broadcast(geneNames), Seq("gene_ensembl_id"))
       .filter(col("variant_rs_id").isNotNull)
-    val tuples = array(
+
+    val core = array(
       tp(gs, lit(RDFS + "#HAS_QUALITY"), rs), qd(gs, rs, src, ot),
       tp(rs, lit(RDFS + "#INVOLVED_IN"), so), qd(rs, so, src, ot))
-    explodeWithOrd(filtered, tuples,
+
+    val has = rows.columns.toSet
+    val drugTuples =
+      if (has("drugs"))
+        flatten(transform(
+          filter(coalesce(col("drugs"), array().cast("array<string>")),
+            d => d.isNotNull),
+          d => {
+            val ch = purl(regexp_replace(d, "CHEMBL", "CHEMBL_"))
+            array(tp(rs, lit(RDFS + "#HAS_PHARMACOLOGICAL_EFFECT"), ch),
+              qd(rs, ch, src, ot))
+          }))
+      else emptyTuples
+
+    val anns =
+      if (has("genotype_id"))
+        array(
+          tp(rs, lit(RDFS + "#Genotype_ID"), pyStr(col("genotype_id"))),
+          tp(rs, lit(RDFS + "#Genotype"), pyStr(col("genotype"))),
+          tp(rs, lit(RDFS + "#Phenotype"), pyStr(col("phenotype_text"))),
+          tp(rs, lit(RDFS + "#Genotype_annotation"),
+            pyStr(col("genotype_annotation_text"))),
+          tp(rs, lit(RDFS + "#Evidence_level"), pyStr(col("evidence_level"))),
+          tp(rs, lit(RDFS + "#Source"), pyStr(col("datasource_id"))),
+          tp(rs, lit(RDFS + "#Literature"),
+            when(col("literature").isNull, "None")
+              .otherwise(pyList(col("literature")))),
+          tp(so, lit(RDFS + "#Variant_consequence_label"),
+            pyStr(col("variant_consequence_label"))))
+      else emptyTuples
+
+    explodeWithOrd(filtered, concat(core, drugTuples, anns),
       Seq(col("gene_ensembl_id"), col("variant_rs_id")), withOrd)
   }
 

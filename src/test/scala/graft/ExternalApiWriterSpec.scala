@@ -164,4 +164,27 @@ class ExternalApiWriterSpec extends SparkSpec {
     assert(ts(1)._4 == "HuBMAP")
     assert(ts(2) == (s"$P2/CL_0000235", s"$R2#PART_OF", s"$P2/UBERON_0002405", null))
   }
+
+  test("pharmacogenetics: drug effects, stringified annotations with None/list quirks") {
+    val rows = Seq(
+      ("ENSG1", "rs4244285", "SO_0001583", Seq("CHEMBL1234", null),
+        "g1", "AA", null, "poor metabolizer", "1A", "pharmgkb",
+        Seq("12345"), "missense_variant")
+    ).toDF("gene_ensembl_id", "variant_rs_id", "variant_consequence_id",
+      "drugs", "genotype_id", "genotype", "phenotype_text",
+      "genotype_annotation_text", "evidence_level", "datasource_id",
+      "literature", "variant_consequence_label")
+    val ts = ExternalApiWriter.openTargetsPharmacogenetics(rows, geneNames)
+      .orderBy("ord").select("s", "p", "o", "lit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val P2 = "http://purl.obolibrary.org/obo"
+    val R2 = "http://www.w3.org/1999/02/22-rdf-syntax-ns"
+    val rs = s"$P2/RS_4244285"
+    assert(ts(4) == (rs, s"$R2#HAS_PHARMACOLOGICAL_EFFECT", s"$P2/CHEMBL_1234", null))
+    assert(ts.count(_._2 == s"$R2#HAS_PHARMACOLOGICAL_EFFECT") == 1) // null drug skipped
+    assert(ts.exists(t => t._2 == s"$R2#Phenotype" && t._3 == "None")) // str(None)
+    assert(ts.exists(t => t._2 == s"$R2#Literature" && t._3 == "['12345']"))
+    assert(ts.exists(t => t._1 == s"$P2/SO_0001583" &&
+      t._2 == s"$R2#Variant_consequence_label" && t._3 == "missense_variant"))
+  }
 }
