@@ -559,6 +559,34 @@ object Queries {
       .orderBy("v0", "v1", "v2")
   }
 
+  /** The AuthorToCl writer end-to-end from the customer table: header
+    * CSD/PUB sections, per-row relations/annotations/gene loops — the
+    * DuckDB oracle rebuilds the identical stream (like q28 does for the
+    * NSForest writer). */
+  def q39AuthorToClWriter(s: SparkSession, dir: String): DataFrame = {
+    val results = t(s, dir, "customer").select(
+      lit("dv1--dv2").as("dataset_version_id"),
+      lit(42L).as("PMID"), lit("PMC1").as("PMCID"), lit("10.1/d").as("DOI"),
+      lit("manual").as("mapping_method"), lit("cat").as("author_category"),
+      concat(lit("http://purl.obolibrary.org/obo/UBERON_"),
+        col("c_nationkey")).as("uberon_entity_id"),
+      concat(lit("http://purl.obolibrary.org/obo/CL_"),
+        col("c_custkey") % 50).as("cell_ontology_id"),
+      lit("skos:exact").as("match"),
+      col("c_name").as("author_cell_set"), col("c_name").as("author_cell_term"),
+      (col("c_custkey") % 200).as("clusterSize"),
+      concat(lit("['"), col("c_name"), lit("']")).as("NSForest_markers"),
+      concat(lit("['"), col("c_name"), lit("B']")).as("binary_genes"),
+      substring(md5(col("c_name")), 1, 12).as("uuid"))
+    val cxg = Map("dv2" -> Map(
+      "Link_to_publication" -> "L1", "Link_to_CELLxGENE_collection" -> "L2",
+      "Link_to_CELLxGENE_dataset" -> "L3", "Dataset_name" -> "D1"))
+    graft.writers.AuthorToClWriter
+      .tuples(results, cxg, Map("Citation" -> "C1"), withOrd = false)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -601,7 +629,8 @@ object Queries {
     "q35_ivf_topk" -> (q35IvfTopK _),
     "q36_minhash_signatures" -> (q36MinhashSignatures _),
     "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _),
-    "q38_end_to_end_slice" -> (q38EndToEndSlice _)
+    "q38_end_to_end_slice" -> (q38EndToEndSlice _),
+    "q39_author_to_cl_writer" -> (q39AuthorToClWriter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -795,6 +824,75 @@ object Queries {
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', NULL, q0 + 13 FROM tm
         | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
         |SELECT s, p, o, lit, pos FROM tuples
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q39_author_to_cl_writer" ->
+      """WITH P AS (SELECT 'http://purl.obolibrary.org/obo/' AS p),
+        |R AS (SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns' AS r),
+        |rows_in AS (
+        | SELECT c_name,
+        |  regexp_replace(regexp_replace(c_name, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS cnh,
+        |  substr(md5(c_name), 1, 12) AS uid,
+        |  'CL_' || (c_custkey % 50) AS clt,
+        |  'UBERON_' || c_nationkey AS ubt,
+        |  c_custkey % 200 AS csize
+        | FROM customer),
+        |r2 AS (
+        | SELECT *,
+        |  (SELECT p FROM P) || 'CS_' || cnh || '-' || uid AS cs,
+        |  (SELECT p FROM P) || clt AS cl,
+        |  (SELECT p FROM P) || ubt AS ub,
+        |  (SELECT p FROM P) || 'BGS_' || uid AS bgs,
+        |  (SELECT p FROM P) || 'GS_' || c_name AS gs1,
+        |  (SELECT p FROM P) || 'GS_' || c_name || 'B' AS gs2,
+        |  (SELECT r FROM R) AS r, (SELECT p FROM P) AS p
+        | FROM rows_in WHERE csize >= 10),
+        |hdr AS (
+        | SELECT * FROM (
+        |  SELECT (SELECT p FROM P) || 'CSD_dv1' AS s, (SELECT r FROM R) || '#Citation' AS pr, 'C1' AS o, CAST(NULL AS VARCHAR) AS lit, 0 AS pos
+        |  UNION ALL SELECT (SELECT p FROM P) || 'CSD_dv1', (SELECT r FROM R) || '#Cell_type', 'cat', NULL, 1
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv1', (SELECT r FROM R) || '#Citation', 'C1', NULL, 2
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv1', (SELECT r FROM R) || '#PMID', '42', NULL, 3
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv1', (SELECT r FROM R) || '#PMCID', 'PMC1', NULL, 4
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv1', (SELECT r FROM R) || '#DOI', '10.1/d', NULL, 5
+        |  UNION ALL SELECT (SELECT p FROM P) || 'CSD_dv2', (SELECT r FROM R) || '#Citation', 'C1', NULL, 6
+        |  UNION ALL SELECT (SELECT p FROM P) || 'CSD_dv2', (SELECT r FROM R) || '#Cell_type', 'cat', NULL, 7
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv2', (SELECT r FROM R) || '#Citation', 'C1', NULL, 8
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv2', (SELECT r FROM R) || '#PMID', '42', NULL, 9
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv2', (SELECT r FROM R) || '#PMCID', 'PMC1', NULL, 10
+        |  UNION ALL SELECT (SELECT p FROM P) || 'PUB_dv2', (SELECT r FROM R) || '#DOI', '10.1/d', NULL, 11)),
+        |body AS (
+        | SELECT cl AS s, p || 'BFO_0000050' AS pr, ub AS o, NULL AS lit, 0 AS pos FROM r2
+        | UNION ALL SELECT cl, r || '#Source', ub, 'Manual Mapping', 1 FROM r2
+        | UNION ALL SELECT cs, p || 'RO_0001000', ub, NULL, 2 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', ub, 'Manual Mapping', 3 FROM r2
+        | UNION ALL SELECT cl, p || 'RO_0015001', p || 'CSD_dv1', NULL, 4 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', p || 'CSD_dv1', 'Manual Mapping', 5 FROM r2
+        | UNION ALL SELECT cl, p || 'RO_0015001', p || 'CSD_dv2', NULL, 6 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', p || 'CSD_dv2', 'Manual Mapping', 7 FROM r2
+        | UNION ALL SELECT cs, p || 'RO_0002473', cl, NULL, 8 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', cl, 'Manual Mapping', 9 FROM r2
+        | UNION ALL SELECT cs, p || 'RO_0002292', bgs, NULL, 10 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', bgs, 'NSForest', 11 FROM r2
+        | UNION ALL SELECT cs, r || '#Author_cell_term', c_name, NULL, 12 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_publication', 'L1', NULL, 13 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_collection', 'L2', NULL, 14 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_dataset', 'L3', NULL, 15 FROM r2
+        | UNION ALL SELECT cs, r || '#Dataset_name', 'D1', NULL, 16 FROM r2
+        | UNION ALL SELECT cs, r || '#Cell_type', clt, NULL, 17 FROM r2
+        | UNION ALL SELECT cs, r || '#Match', cl, 'skos:exact', 18 FROM r2
+        | UNION ALL SELECT cs, r || '#Mapping_method', cl, 'manual', 19 FROM r2
+        | UNION ALL SELECT gs1, p || 'BFO_0000050', cl, NULL, 20 FROM r2
+        | UNION ALL SELECT gs1, r || '#Source', cl, 'NSForest', 21 FROM r2
+        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs1, NULL, 22 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', gs1, 'Manual Mapping', 23 FROM r2
+        | UNION ALL SELECT gs1, p || 'BFO_0000050', cl, NULL, 24 FROM r2
+        | UNION ALL SELECT gs1, r || '#Source', cl, 'NSForest', 25 FROM r2
+        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs2, NULL, 26 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', gs2, 'Manual Mapping', 27 FROM r2
+        | UNION ALL SELECT gs2, p || 'BFO_0000050', cl, NULL, 28 FROM r2
+        | UNION ALL SELECT gs2, r || '#Source', cl, 'NSForest', 29 FROM r2)
+        |SELECT s, pr AS p, o, lit, CAST(pos AS BIGINT) AS pos FROM hdr
+        |UNION ALL SELECT s, pr, o, lit, CAST(pos AS BIGINT) FROM body
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
     "q38_end_to_end_slice" ->
       """SELECT DISTINCT
