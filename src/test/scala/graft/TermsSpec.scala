@@ -109,4 +109,35 @@ class TermsSpec extends SparkSpec {
     assert(p("macrophage") == (null, null, null, "macrophage", "literal"))
     assert(p("_:abc1") == ("BNode", "_:abc1", "BNode__:abc1", null, "class"))
   }
+
+  test("pythonListDecode round-trips generated word lists (property)") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val gen = Gen.listOf(word)
+    val samples = Iterator.continually(gen.sample).flatten.take(100).toSeq
+    val encoded = samples.map { ws =>
+      if (ws.isEmpty) "[]" else ws.mkString("['", "', '", "']")
+    }
+    val decoded = encoded.toDF("v")
+      .select(Terms.pythonListDecode($"v")).collect()
+      .map(r => Option(r.getSeq[String](0)).map(_.toList).getOrElse(Nil))
+    samples.zip(decoded).foreach { case (in, out) => assert(out == in) }
+  }
+
+  test("parseTermFull kind partitioning is total over generated URIs (property)") {
+    val oid = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val num = Gen.nonEmptyListOf(Gen.numChar).map(_.mkString)
+    val gen = Gen.oneOf(
+      Gen.zip(oid, num).map { case (o, n) => s"http://purl.obolibrary.org/obo/${o}_$n" },
+      oid.map(f => s"http://www.w3.org/2000/01/rdf-schema#$f"),
+      oid) // bare literal
+    val samples = Iterator.continually(gen.sample).flatten.take(150).toSeq
+    val kinds = samples.toDF("v")
+      .select($"v", Terms.parseTermFull($"v").getField("kind"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    kinds.foreach { case (v, k) =>
+      if (v.contains("/obo/") && !v.contains("GOREL")) assert(k == "class", v)
+      else if (v.contains("#")) assert(k == "predicate", v)
+      else assert(k == "literal", v)
+    }
+  }
 }
