@@ -14,20 +14,41 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen warmup outside any measured query
     spark.range(1000000).selectExpr("sum(id)").collect()
+
+    /** Release everything a query may have pinned so timings are
+      * independent: CacheManager entries, localCheckpoint RDD blocks, and
+      * (via GC) ContextCleaner-tracked weak refs. Round-1 lesson: leaked
+      * caches inflated q38 from 16 s to 90.7 s by the end of the run. */
+    def releaseAll(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // deterministic order; best-of-2 per query damps this host's random
     // multi-second disk-write stalls (single-straggler shuffle tasks)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try fn(spark, sfDir).count()
+        catch { // a failed query must NOT report a (fast) timing as success
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r]", " ").take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseAll()
+        dt
       }
-      name -> times.min
+      name -> (if (errors.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

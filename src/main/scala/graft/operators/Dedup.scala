@@ -90,9 +90,11 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // the signature table is read twice (both sides of the candidate
-    // self-join) — persist it so the shingle+agg lineage runs once; it is
-    // small (|docs| × k longs) even at scale
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily).cache()
+    // self-join) — persist it so the shingle+agg lineage runs once (it is
+    // small: |docs| × k longs), and release it as soon as the (smaller)
+    // pair result is materialized — see Exec.withPersisted
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
+    Exec.withPersisted(sigs) {
     val banded = sigs.select(
       col(idCol).as("id"), col("sig"),
       explode(array((0 until bands).map(bnd => struct(
@@ -112,6 +114,7 @@ object Dedup {
           (x, y) => x === y), b => b))
           .cast("double") / lit(k)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** SimHash 64-bit fingerprint per document: sum ±1 per bit over token
@@ -130,7 +133,8 @@ object Dedup {
     * equi-join per chunk, never a cross join. */
   def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(docs, idCol, textCol).cache() // read by both join sides
+    val fp = simHash(docs, idCol, textCol) // read by both join sides
+    Exec.withPersisted(fp) {
     val chunked = fp.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(
         lit(c).as("chunk"),
@@ -147,6 +151,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  /** Oracle-reproducible SimHash variant: per-token bit j (0..63) is the
+    * top bit of the first hex nibble of md5("j:" + token); the fingerprint
+    * is the array of 64 bits (token-sum of ±1 per bit, positive → 1).
+    * 64 md5 calls per token — far slower than the codegen'd SimHash64
+    * long, so it runs on slices; it exists to give the LSH+hamming
+    * pipeline a cross-engine SQL oracle (the engine default stays
+    * [[simHash]]/[[simHashNearDups]], same pipeline shape). */
+  def simHashBitsMd5(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+    val contrib = toks
+      .select(col("id"), explode(sequence(lit(0), lit(63))).as("j"), col("tok"))
+      .select(col("id"), col("j"),
+        when(substring(md5(concat(col("j").cast("string"), lit(":"), col("tok"))), 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1).as("c"))
+    contrib.groupBy("id", "j").agg(sum(col("c")).as("s"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("s")))),
+        x => when(x.getField("s") > 0, 1).otherwise(0)).as("bits"))
+  }
+
+  /** Chunk-LSH near-dup pairs over a bit-array fingerprint (the generic
+    * form of [[simHashNearDups]]'s packed-long pipeline): candidates agree
+    * on ≥1 of the 4 16-bit chunks, exact hamming filters. */
+  def simHashNearDupsBits(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    Exec.withPersisted(fp) {
+      val chunked = fp.select(col("id"), col("bits"),
+        explode(array((0 until 4).map(c => struct(
+          lit(c).as("chunk"),
+          concat_ws("", slice(col("bits"), c * 16 + 1, 16)).as("ck"))): _*))
+          .as("cc"))
+        .select(col("id"), col("bits"), col("cc.chunk"), col("cc.ck"))
+      val a = chunked.select(col("id").as("id_a"), col("bits").as("b_a"),
+        col("chunk"), col("ck"))
+      val b = chunked.select(col("id").as("id_b"), col("bits").as("b_b"),
+        col("chunk"), col("ck"))
+      a.join(b, Seq("chunk", "ck"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          size(filter(zip_with(col("b_a"), col("b_b"), (x, y) => x =!= y), v => v))
+            .cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Exact n-gram Jaccard similarity for all candidate pairs that share at
@@ -156,9 +209,10 @@ object Dedup {
                         textCol: String = "text", n: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
     // read three times (sizes + both join sides) — persist the exploded
-    // shingles once
+    // shingles once, release after the pair result materializes
     val sh = shingleRows(docs, idCol, textCol, n)
-      .select(col(idCol).as("id"), col("shingle")).cache()
+      .select(col(idCol).as("id"), col("shingle"))
+    Exec.withPersisted(sh) {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -171,5 +225,6 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    }
   }
 }

@@ -132,7 +132,11 @@ object Dereify {
       (byBucket("class") ++ byBucket("other")).foreach(t =>
         outs += ((true, OutTriple(t.s, t.p, t.o, t.oKind))))
       outs.iterator
-    }.cache()
+      // read twice (kept/ignored splits) — localCheckpoint instead of
+      // cache(): materialized once, lineage cut, and the blocks are
+      // reclaimed by ContextCleaner when the caller drops the result
+      // (a CacheManager entry would pin memory until clearCache)
+    }.localCheckpoint(true)
     (both.filter(!_._1).map(_._2), both.filter(_._1).map(_._2))
   }
 

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Cache discipline for operators whose plan reads an intermediate more than
+ * once (both sides of a candidate self-join, size tables, etc.).
+ *
+ * Pattern: persist the intermediate, EAGERLY materialize the (small) result
+ * via `localCheckpoint(true)` — which cuts lineage, so the intermediate is
+ * no longer referenced by the returned plan — then release the intermediate
+ * immediately. The checkpoint blocks themselves are reclaimed by Spark's
+ * ContextCleaner once the caller drops the result, unlike CacheManager
+ * entries (`df.cache()`) which pin executor memory until an explicit
+ * `clearCache()`. Round-1 lesson: operator-internal `.cache()` with no
+ * release inflated later bench queries 5-6× in a shared JVM.
+ */
+private[graft] object Exec {
+
+  /** Run `body` with `inputs` persisted, materialize its result, release
+    * the inputs. The result is small by contract (candidate pairs, a
+    * signature table slice) — never the corpus. */
+  def withPersisted(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    inputs.foreach(_.persist())
+    try body.localCheckpoint(eager = true)
+    finally inputs.foreach(_.unpersist(false))
+  }
+}

@@ -53,9 +53,13 @@ object Similarity {
   /** Random-hyperplane signature: bit i = sign(vec · plane_i), planes
     * derived deterministically from splitmix64(plane, dim) → ±1. A custom
     * codegen'd expression (VectorExpressions.HyperplaneSig) — executors
-    * need no shared RNG state and the loop stays in WholeStageCodegen. */
+    * need no shared RNG state and the loop stays in WholeStageCodegen.
+    * `nPlanes = 0` degenerates to a single all-pass bucket — every pair
+    * becomes a candidate, which makes the LSH pipeline exhaustive (used by
+    * the oracle-checked gate variant; never at scale). */
   def hyperplaneSignature(vec: Column, nPlanes: Int): Column =
-    graft.functions.VectorExpressions.hyperplaneSig(vec, nPlanes)
+    if (nPlanes == 0) lit(0L)
+    else graft.functions.VectorExpressions.hyperplaneSig(vec, nPlanes)
 
   /** LSH-bucketed approximate top-k: candidates share a hyperplane-signature
     * bucket; exact cosine re-ranks inside the bucket. */
@@ -108,26 +112,18 @@ object Similarity {
     val train = corpus.select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(7L).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
-      .toDF("cell_id", "centroid")
+    val centroids: Seq[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
 
-    // 2. assign every corpus vector to its nearest centroid (broadcast
-    // cross of |corpus| x nCells, then argmax — narrow, no corpus shuffle)
-    def assign(df: DataFrame, id: String, vec: String, topCells: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("__sim").desc, col("cell_id").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__sim", cosine(col(vec), col("centroid")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= topCells)
-        .drop("centroid", "__sim", "__rk")
-    }
-    val indexed = assign(
+    // 2. assign every vector to its nearest centroid(s) — genuinely
+    // narrow (see assignCells); the corpus is never shuffled to learn its
+    // cell id (the round-1 window-argmax version shuffled |corpus|×nCells)
+    val indexed = assignCells(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
-      "nbr_id", "nbr_vec", 1)
-    val probed = assign(
+      centroids, "nbr_vec", 1)
+    val probed = assignCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec", nProbe)
+      centroids, "q_vec", nProbe)
 
     // 3. candidates = corpus vectors in the probed cells; exact re-rank
     val scored = indexed.join(probed, Seq("cell_id"))
@@ -138,6 +134,28 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")
+  }
+
+  /** Nearest-centroid cell assignment as a NARROW per-row expression: the
+    * centroid set is tiny (nCells vectors) and is folded into the plan as a
+    * literal array of (−cosine, cell_id) structs — one codegen'd CosineSim
+    * per centroid — with the argmax taken by `array_min` (struct ordering:
+    * highest similarity, ties to the lower cell id). `topCells > 1` sorts
+    * and explodes the best cells (query-side probing). No join, no window,
+    * no Exchange between the vector scan and its cell id — asserted in
+    * SimilaritySpec; at 100 TB this is the difference between a map over
+    * the corpus and a full-corpus ×nCells shuffle. */
+  def assignCells(df: DataFrame, centroids: Seq[(Int, Array[Float])],
+                  vecCol: String, topCells: Int): DataFrame = {
+    val scored = array(centroids.map { case (i, c) =>
+      struct((lit(0.0) - cosine(col(vecCol), array(c.map(lit(_)).toSeq: _*))).as("neg_sim"),
+        lit(i).as("cell_id"))
+    }: _*)
+    if (topCells == 1)
+      df.withColumn("cell_id", array_min(scored).getField("cell_id"))
+    else
+      df.withColumn("cell_id",
+        explode(slice(sort_array(scored), 1, topCells).getField("cell_id")))
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding

@@ -63,6 +63,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("md5-bit simhash pipeline agrees with the packed-long pipeline's shape") {
+    // identical docs -> hamming 0 pair; unrelated doc excluded at a tight cap
+    val fp = Dedup.simHashBitsMd5(docs)
+    val bits = fp.select("id", "bits").as[(Long, Seq[Int])].collect().toMap
+    assert(bits.values.forall(_.size == 64))
+    assert(bits(1L) == bits(2L)) // identical text -> identical fingerprint
+    val pairs = Dedup.simHashNearDupsBits(fp, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
   test("shingleRows emits distinct in-order n-grams") {
     val sh = Dedup.shingleRows(Seq((1L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", "text", 3).select("shingle").as[String].collect().toSeq

@@ -88,4 +88,25 @@ class SimilaritySpec extends SparkSpec {
     // an exact duplicate lands in the same k-means cell as its twin
     assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
   }
+
+  test("IVF cell assignment is narrow: no Exchange between scan and cell_id") {
+    // round-1 regression: the window-argmax assignment shuffled the whole
+    // corpus ×nCells; the literal-centroid argmax must stay map-only
+    val corpus = (0L until 50L).map(i => (i, vec(8))).toDF("vec_id", "embedding")
+    val cents = Seq(0 -> Array.fill(8)(0.5f), 1 -> Array.fill(8)(-0.5f))
+    for (topCells <- Seq(1, 2)) {
+      val assigned = Similarity.assignCells(
+        corpus.select($"vec_id".as("id"), $"embedding".as("v")), cents, "v", topCells)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"topCells=$topCells plan:\n$plan")
+      // and the assignment itself is correct: nearest centroid first
+      val cells = assigned.groupBy("cell_id").count().collect()
+      assert(cells.map(_.getAs[Int]("cell_id")).toSet.subsetOf(Set(0, 1)))
+    }
+    // argmax agrees with an explicit per-row cosine comparison
+    val one = Similarity.assignCells(
+      Seq((7L, Array.fill(8)(0.4f))).toDF("id", "v"), cents, "v", 1)
+      .select("cell_id").as[Int].head()
+    assert(one == 0)
+  }
 }
