@@ -604,7 +604,7 @@ object Queries {
       "Link_to_publication" -> "L1", "Link_to_CELLxGENE_collection" -> "L2",
       "Link_to_CELLxGENE_dataset" -> "L3", "Dataset_name" -> "D1"))
     graft.writers.AuthorToClWriter
-      .tuples(results, cxg, Map("Citation" -> "C1"), withOrd = false)
+      .tuples(results, cxg, Seq("Citation" -> "C1"), withOrd = false)
       .withColumn("pos", col("pos").cast("long"))
       .orderBy("s", "p", "o", "lit", "pos")
   }
@@ -963,30 +963,34 @@ object Queries {
         | UNION ALL SELECT cs, r || '#Source', ub, 'Manual Mapping', 3 FROM r2
         | UNION ALL SELECT cl, p || 'RO_0015001', p || 'CSD_dv1', NULL, 4 FROM r2
         | UNION ALL SELECT cl, r || '#Source', p || 'CSD_dv1', 'Manual Mapping', 5 FROM r2
-        | UNION ALL SELECT cl, p || 'RO_0015001', p || 'CSD_dv2', NULL, 6 FROM r2
-        | UNION ALL SELECT cl, r || '#Source', p || 'CSD_dv2', 'Manual Mapping', 7 FROM r2
-        | UNION ALL SELECT cs, p || 'RO_0002473', cl, NULL, 8 FROM r2
-        | UNION ALL SELECT cs, r || '#Source', cl, 'Manual Mapping', 9 FROM r2
-        | UNION ALL SELECT cs, p || 'RO_0002292', bgs, NULL, 10 FROM r2
-        | UNION ALL SELECT cs, r || '#Source', bgs, 'NSForest', 11 FROM r2
-        | UNION ALL SELECT cs, r || '#Author_cell_term', c_name, NULL, 12 FROM r2
-        | UNION ALL SELECT cs, r || '#Link_to_publication', 'L1', NULL, 13 FROM r2
-        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_collection', 'L2', NULL, 14 FROM r2
-        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_dataset', 'L3', NULL, 15 FROM r2
-        | UNION ALL SELECT cs, r || '#Dataset_name', 'D1', NULL, 16 FROM r2
-        | UNION ALL SELECT cs, r || '#Cell_type', clt, NULL, 17 FROM r2
-        | UNION ALL SELECT cs, r || '#Match', cl, 'skos:exact', 18 FROM r2
-        | UNION ALL SELECT cs, r || '#Mapping_method', cl, 'manual', 19 FROM r2
-        | UNION ALL SELECT gs1, p || 'BFO_0000050', cl, NULL, 20 FROM r2
-        | UNION ALL SELECT gs1, r || '#Source', cl, 'NSForest', 21 FROM r2
-        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs1, NULL, 22 FROM r2
-        | UNION ALL SELECT cl, r || '#Source', gs1, 'Manual Mapping', 23 FROM r2
+        | UNION ALL SELECT cs, r || '/dc#Source', p || 'CSD_dv1', NULL, 6 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', p || 'CSD_dv1', 'Manual Mapping', 7 FROM r2
+        | UNION ALL SELECT cl, p || 'RO_0015001', p || 'CSD_dv2', NULL, 8 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', p || 'CSD_dv2', 'Manual Mapping', 9 FROM r2
+        | UNION ALL SELECT cs, r || '/dc#Source', p || 'CSD_dv2', NULL, 10 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', p || 'CSD_dv2', 'Manual Mapping', 11 FROM r2
+        | UNION ALL SELECT cs, p || 'RO_0002473', cl, NULL, 12 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', cl, 'Manual Mapping', 13 FROM r2
+        | UNION ALL SELECT cs, p || 'RO_0002292', bgs, NULL, 14 FROM r2
+        | UNION ALL SELECT cs, r || '#Source', bgs, 'NSForest', 15 FROM r2
+        | UNION ALL SELECT cs, r || '#Author_cell_term', c_name, NULL, 16 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_publication', 'L1', NULL, 17 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_collection', 'L2', NULL, 18 FROM r2
+        | UNION ALL SELECT cs, r || '#Link_to_CELLxGENE_dataset', 'L3', NULL, 19 FROM r2
+        | UNION ALL SELECT cs, r || '#Dataset_name', 'D1', NULL, 20 FROM r2
+        | UNION ALL SELECT cs, r || '#Cell_type', clt, NULL, 21 FROM r2
+        | UNION ALL SELECT cs, r || '#Match', cl, 'skos:exact', 22 FROM r2
+        | UNION ALL SELECT cs, r || '#Mapping_method', cl, 'manual', 23 FROM r2
         | UNION ALL SELECT gs1, p || 'BFO_0000050', cl, NULL, 24 FROM r2
         | UNION ALL SELECT gs1, r || '#Source', cl, 'NSForest', 25 FROM r2
-        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs2, NULL, 26 FROM r2
-        | UNION ALL SELECT cl, r || '#Source', gs2, 'Manual Mapping', 27 FROM r2
-        | UNION ALL SELECT gs2, p || 'BFO_0000050', cl, NULL, 28 FROM r2
-        | UNION ALL SELECT gs2, r || '#Source', cl, 'NSForest', 29 FROM r2)
+        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs1, NULL, 26 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', gs1, 'Manual Mapping', 27 FROM r2
+        | UNION ALL SELECT gs1, p || 'BFO_0000050', cl, NULL, 28 FROM r2
+        | UNION ALL SELECT gs1, r || '#Source', cl, 'NSForest', 29 FROM r2
+        | UNION ALL SELECT cl, r || '#SELECTIVELY_EXPRESS', gs2, NULL, 30 FROM r2
+        | UNION ALL SELECT cl, r || '#Source', gs2, 'Manual Mapping', 31 FROM r2
+        | UNION ALL SELECT gs2, p || 'BFO_0000050', cl, NULL, 32 FROM r2
+        | UNION ALL SELECT gs2, r || '#Source', cl, 'NSForest', 33 FROM r2)
         |SELECT s, pr AS p, o, lit, CAST(pos AS BIGINT) AS pos FROM hdr
         |UNION ALL SELECT s, pr, o, lit, CAST(pos AS BIGINT) FROM body
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,

@@ -57,7 +57,7 @@ object AuthorToClWriter {
    */
   def tuples(results: DataFrame,
              cellxgene: Map[String, Map[String, String]],
-             pmidData: Map[String, String],
+             pmidData: Seq[(String, String)],
              withOrd: Boolean = true): DataFrame = {
     val spark = results.sparkSession
 
@@ -71,13 +71,18 @@ object AuthorToClWriter {
     val authorCategory = first.get(4).toString
 
     // ----- header tuples (one set per dataset_version_id) -----
+    // pmidData is a Seq: the reference iterates pmid_data.keys() in dict
+    // INSERTION order (Author, Journal, Title, Year, Citation —
+    // E_Utilities.py:90-98), which a Scala Map over 4 entries would not
+    // preserve
+    val citation = pmidData.collectFirst { case ("Citation", v) => v }.getOrElse("")
     val headerTuples: Seq[Column] = datasetVersionIds.flatMap { dv =>
       val csd = purlS(s"CSD_$dv")
       val pub = purlS(s"PUB_$dv")
       Seq(
-        qdless(csd, rdfsS("#Citation"), lit(pmidData.getOrElse("Citation", ""))),
+        qdless(csd, rdfsS("#Citation"), lit(citation)),
         qdless(csd, rdfsS("#Cell_type"), lit(authorCategory))) ++
-        pmidData.toSeq.map { case (k, v) =>
+        pmidData.map { case (k, v) =>
           val key = k.capitalize.replace(" ", "_")
           qdless(pub, rdfsS(s"#$key"), lit(v))
         } ++ Seq(
@@ -108,9 +113,13 @@ object AuthorToClWriter {
       tp(cl, purlS("BFO_0000050"), ub), qd(cl, ub, srcP, manual),
       tp(cs, purlS("RO_0001000"), ub), qd(cs, ub, srcP, manual))
 
+    // per dataset: exemplar-data relation AND the cell-set provenance pair
+    // (the golden fixture's cs -> /dc#Source -> csd emission,
+    // cell-kn-mvp-map-author-to-cl-li-2023.json tuples 16-17)
     val exemplars = array(datasetVersionIds.flatMap { dv =>
       val csd = purlS(s"CSD_$dv")
-      Seq(tp(cl, purlS("RO_0015001"), csd), qd(cl, csd, srcP, manual))
+      Seq(tp(cl, purlS("RO_0015001"), csd), qd(cl, csd, srcP, manual),
+        tp(cs, rdfsS("/dc#Source"), csd), qd(cs, csd, srcP, manual))
     }: _*)
 
     val composition = array(
@@ -174,6 +183,18 @@ object AuthorToClWriter {
   /** literal-object triple (header helper; objects are literals here) */
   private def qdless(s: Column, p: Column, o: Column): Column =
     struct(s.as("s"), p.as("p"), o.cast("string").as("o"), nullLit.as("lit"))
+
+  /** X13 — publication metadata + citation assembly from E-Utilities
+    * fields (E_Utilities.py:90-98): first author gets " et al." when the
+    * author list has more than one entry; Citation = "Author (Year)
+    * Journal". Returns the key→value pairs in the reference's dict
+    * insertion order, ready for [[tuples]]. */
+  def pmidMetadata(firstAuthor: String, nAuthors: Int, journal: String,
+                   title: String, year: String): Seq[(String, String)] = {
+    val author = if (nAuthors > 1) s"$firstAuthor et al." else firstAuthor
+    Seq("Author" -> author, "Journal" -> journal, "Title" -> title,
+      "Year" -> year, "Citation" -> s"$author ($year) $journal")
+  }
 
   /** F4 — deprecated-term side channel
     * (AuthorToClResultsTupleWriter.py:99-104): rows whose CL or UBERON

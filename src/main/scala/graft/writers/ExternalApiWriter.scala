@@ -127,7 +127,8 @@ object ExternalApiWriter {
   def openTargetsDrugs(drugs: DataFrame, genes: DataFrame,
                        efo2mondo: DataFrame, chembl2pubchem: DataFrame,
                        deprecated: Set[String] = Set.empty,
-                       withOrd: Boolean = true): DataFrame = {
+                       withOrd: Boolean = true,
+                       indicationEfo2Mondo: Map[String, String] = Map.empty): DataFrame = {
     val e2m = efo2mondo.select(col("efo"), col("mondo"))
     val joined = drugs
       .join(broadcast(genes), Seq("gene_ensembl_id"))
@@ -160,21 +161,35 @@ object ExternalApiWriter {
       .otherwise(emptyTuples)
 
     // indications with a MONDO resolution and phase >= 4; EFO ids resolve
-    // through a map lookup expression (broadcast table folded to a map)
-    val indications = filter(
-      transform(col("indications"), ind => {
-        val indMondo = when(ind.getField("disease_id").contains("MONDO"),
-          ind.getField("disease_id"))
-        when(indMondo.isNotNull && ind.getField("max_phase") >= 4,
-          tp(chembl, lit(RDFS + "#Indications"), indMondo))
-      }),
-      x => x.isNotNull)
+    // through the same get_mondo_term rule as row-level diseases
+    // (ExternalApiResultsTupleWriter.py:396-401) — the (small, broadcast-
+    // by-contract) vocabulary is folded into the plan as ONE map literal,
+    // so the per-element lookup stays narrow
+    val indications = coalesce(
+      filter(
+        transform(col("indications"), ind => {
+          val did = ind.getField("disease_id")
+          val viaMap =
+            if (indicationEfo2Mondo.isEmpty) nullLit
+            else element_at(typedLit(indicationEfo2Mondo), did)
+          val term0 = when(did.contains("MONDO"), did)
+            .when(did.contains("EFO"), viaMap)
+          val indMondo =
+            if (deprecated.isEmpty) term0
+            else when(term0.isin(deprecated.toSeq: _*), nullLit).otherwise(term0)
+          when(indMondo.isNotNull && ind.getField("max_phase") >= 4,
+            tp(chembl, lit(RDFS + "#Indications"), indMondo))
+        }),
+        x => x.isNotNull),
+      emptyTuples) // null indications -> skip the section, not the drug
 
-    val trials = flatten(transform(col("ct_ids"), ct => {
-      val nct = purl(regexp_replace(ct, "NCT", "NCT_"))
-      array(tp(chembl, lit(RDFS + "#EVALUATED_IN"), nct),
-        qd(chembl, nct, src, ot))
-    }))
+    val trials = coalesce(
+      flatten(transform(col("ct_ids"), ct => {
+        val nct = purl(regexp_replace(ct, "NCT", "NCT_"))
+        array(tp(chembl, lit(RDFS + "#EVALUATED_IN"), nct),
+          qd(chembl, nct, src, ot))
+      })),
+      emptyTuples)
 
     val anns = array(
       tp(chembl, lit(RDFS + "#Name"), col("drug_name").cast("string")),
@@ -375,7 +390,12 @@ object ExternalApiWriter {
 
   private def explodeWithOrd(rows: DataFrame, tuples: Column,
                              orderCols: Seq[Column], withOrd: Boolean): DataFrame = {
-    val keyed = rows.select(orderCols.zipWithIndex.map {
+    // a caller-provided `row_ord` column overrides the default order keys:
+    // the reference emits in INPUT row order (iterrows / list order), which
+    // the golden-fixture replays reproduce exactly
+    val effCols =
+      if (rows.columns.contains("row_ord")) Seq(col("row_ord")) else orderCols
+    val keyed = rows.select(effCols.zipWithIndex.map {
       case (c, i) => c.as(s"__k$i")
     } :+ posexplode(tuples).as(Seq("pos", "t")): _*)
     val flat = keyed.select(

@@ -26,7 +26,7 @@ class AuthorToClWriterSpec extends SparkSpec {
     "Link_to_CELLxGENE_collection" -> "https://cxg.org/c1",
     "Link_to_CELLxGENE_dataset" -> "https://cxg.org/d1",
     "Dataset_name" -> "Brain atlas"))
-  private val pmid = Map("Citation" -> "Doe 2023")
+  private val pmid = Seq("Citation" -> "Doe 2023")
 
   private def run(d: org.apache.spark.sql.DataFrame) =
     AuthorToClWriter.tuples(d, cxg, pmid).orderBy("ord")
@@ -52,27 +52,31 @@ class AuthorToClWriterSpec extends SparkSpec {
     assert(body(0) == (cl, s"$P/BFO_0000050", ub, null))
     assert(body(1) == (cl, s"$R#Source", ub, "Manual Mapping"))
     assert(body(2) == (cs, s"$P/RO_0001000", ub, null))
-    // exemplars for both dataset ids
+    // exemplars + provenance pair for both dataset ids (the golden
+    // fixture's cs -> /dc#Source -> csd emission)
     assert(body(4) == (cl, s"$P/RO_0015001", s"$P/CSD_dv1", null))
-    assert(body(6) == (cl, s"$P/RO_0015001", s"$P/CSD_dv2", null))
-    assert(body(8) == (cs, s"$P/RO_0002473", cl, null))
-    assert(body(10) == (cs, s"$P/RO_0002292", bgs, null))
-    assert(body(11) == (cs, s"$R#Source", bgs, "NSForest"))
+    assert(body(6) == (cs, s"$R/dc#Source", s"$P/CSD_dv1", null))
+    assert(body(7) == (cs, s"$R#Source", s"$P/CSD_dv1", "Manual Mapping"))
+    assert(body(8) == (cl, s"$P/RO_0015001", s"$P/CSD_dv2", null))
+    assert(body(10) == (cs, s"$R/dc#Source", s"$P/CSD_dv2", null))
+    assert(body(12) == (cs, s"$P/RO_0002473", cl, null))
+    assert(body(14) == (cs, s"$P/RO_0002292", bgs, null))
+    assert(body(15) == (cs, s"$R#Source", bgs, "NSForest"))
     // node annotations: author term, 4 cellxgene keys (https stripped,
     // read under the LAST dataset id), cell type
-    assert(body(12) == (cs, s"$R#Author_cell_term", "author term A", null))
-    assert(body(13) == (cs, s"$R#Link_to_publication", "doi.org/10.1/x", null))
-    assert(body(16) == (cs, s"$R#Dataset_name", "Brain atlas", null))
-    assert(body(17) == (cs, s"$R#Cell_type", "CL_0000540", null))
+    assert(body(16) == (cs, s"$R#Author_cell_term", "author term A", null))
+    assert(body(17) == (cs, s"$R#Link_to_publication", "doi.org/10.1/x", null))
+    assert(body(20) == (cs, s"$R#Dataset_name", "Brain atlas", null))
+    assert(body(21) == (cs, s"$R#Cell_type", "CL_0000540", null))
     // edge annotations
-    assert(body(18) == (cs, s"$R#Match", cl, "skos:exact"))
-    assert(body(19) == (cs, s"$R#Mapping_method", cl, "manual"))
+    assert(body(22) == (cs, s"$R#Match", cl, "skos:exact"))
+    assert(body(23) == (cs, s"$R#Mapping_method", cl, "manual"))
     // marker loop then markers+binary loop
-    assert(body(20) == (s"$P/GS_GeneA", s"$P/BFO_0000050", cl, null))
-    assert(body(22) == (cl, s"$R#SELECTIVELY_EXPRESS", s"$P/GS_GeneA", null))
-    assert(body(26) == (cl, s"$R#SELECTIVELY_EXPRESS", s"$P/GS_GeneB", null))
-    // total: 12 header + 20 + 2 markers*2 + 2 genes*4 = 12 + 30
-    assert(ts.length == 42)
+    assert(body(24) == (s"$P/GS_GeneA", s"$P/BFO_0000050", cl, null))
+    assert(body(26) == (cl, s"$R#SELECTIVELY_EXPRESS", s"$P/GS_GeneA", null))
+    assert(body(30) == (cl, s"$R#SELECTIVELY_EXPRESS", s"$P/GS_GeneB", null))
+    // total: 12 header + 24 + 2 markers*2 + 2 genes*4 = 12 + 34
+    assert(ts.length == 46)
   }
 
   test("min-cluster filter drops the row section but keeps the header") {
