@@ -609,6 +609,63 @@ object Queries {
       .orderBy("s", "p", "o", "lit", "pos")
   }
 
+  /** S7→A9/A10→graph gate: the FULL ontology pipeline — striped RDF/XML
+    * synthesized one-OWL-document-per-part-row, streamed through the real
+    * StAX parser (OwlSource), bnode de-reification (Dereify: the
+    * subClassOf/onProperty/someValuesFrom owl:Restriction resolves by the
+    * exact-3 rule; an owl:Axiom re-emits its literal bucket), and the
+    * ontology graph build (OntologyGraph: parse_term taxonomy, RO-label
+    * edge naming, scalar-vs-list attr fold). Every 5th part carries an
+    * INVALID 4-triple restriction (duplicate onProperty) that must be
+    * quarantined — those parts get NO edge. The DuckDB oracle reconstructs
+    * everything from the part table. */
+  def q40OntologyPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obo = "http://purl.obolibrary.org/obo/"
+    val k = col("p_partkey")
+    val xml = concat(
+      lit("""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" xmlns:owl="http://www.w3.org/2002/07/owl#" xmlns:oio="http://www.geneontology.org/formats/oboInOwl#">"""),
+      lit(s"""<owl:Class rdf:about="${obo}PT_"""), k, lit("\">"),
+      lit("<rdfs:label>"), col("p_name"), lit("</rdfs:label>"),
+      lit("<oio:hasDbXref>X:"), k % 7, lit("</oio:hasDbXref>"),
+      lit("""<rdfs:subClassOf rdf:nodeID="r1"/>"""),
+      lit("</owl:Class>"),
+      lit("""<owl:Restriction rdf:nodeID="r1">"""),
+      lit(s"""<owl:onProperty rdf:resource="${obo}RO_0000050"/>"""),
+      when(k % 5 === 0,
+        lit(s"""<owl:onProperty rdf:resource="${obo}RO_0000051"/>"""))
+        .otherwise(lit("")),
+      lit(s"""<owl:someValuesFrom rdf:resource="${obo}BR_"""), k % 10, lit("\"/>"),
+      lit("</owl:Restriction>"),
+      lit("<owl:Axiom>"),
+      lit(s"""<owl:annotatedSource rdf:resource="${obo}PT_"""), k, lit("\"/>"),
+      lit("""<owl:annotatedProperty rdf:resource="http://www.geneontology.org/formats/oboInOwl#hasDbXref"/>"""),
+      lit("<owl:annotatedTarget>X:"), k % 7, lit("</owl:annotatedTarget>"),
+      lit("<oio:hasDbXref>PMID:"), k % 13, lit("</oio:hasDbXref>"),
+      lit("</owl:Axiom>"),
+      lit("</rdf:RDF>"))
+    val docs = t(s, dir, "part")
+      .select(k.cast("string").as("doc"), xml.as("xml")).as[(String, String)]
+    val raw = docs.flatMap { case (d, x) =>
+      graft.sources.OwlSource.parseBytes(s"doc-$d", x.getBytes("UTF-8"))
+    }.toDF()
+    val triples = graft.operators.Dereify.triples(raw)
+    val (v, e) = graft.operators.OntologyGraph
+      .build(triples, Map("RO_0000050" -> "part of"))
+    val pt = v.filter(col("collection") === "PT").select(
+      col("key").cast("long").as("k"), col("term"),
+      element_at(col("attrs")("label").getField("values"), 1).as("label"),
+      concat_ws(",", array_sort(col("attrs")("hasDbXref").getField("values")))
+        .as("xrefs"),
+      col("attrs")("hasDbXref").getField("n").as("n_xref_emits"))
+    val br = e.filter(col("to_coll") === "BR").select(
+      col("from_key").cast("long").as("k"),
+      col("to_key").as("brand_key"), col("label").as("edge_label"))
+    pt.join(br, Seq("k"), "left")
+      .select("term", "label", "xrefs", "n_xref_emits", "brand_key", "edge_label")
+      .orderBy("term")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -652,10 +709,18 @@ object Queries {
     "q36_minhash_signatures" -> (q36MinhashSignatures _),
     "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _),
     "q38_end_to_end_slice" -> (q38EndToEndSlice _),
-    "q39_author_to_cl_writer" -> (q39AuthorToClWriter _)
+    "q39_author_to_cl_writer" -> (q39AuthorToClWriter _),
+    "q40_ontology_pipeline" -> (q40OntologyPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_ontology_pipeline" ->
+      """SELECT 'PT_' || p_partkey AS term, p_name AS label,
+        | 'PMID:' || CAST(p_partkey % 13 AS VARCHAR) || ',X:' || CAST(p_partkey % 7 AS VARCHAR) AS xrefs,
+        | CAST(3 AS BIGINT) AS n_xref_emits,
+        | CASE WHEN p_partkey % 5 <> 0 THEN CAST(p_partkey % 10 AS VARCHAR) END AS brand_key,
+        | CASE WHEN p_partkey % 5 <> 0 THEN 'part of' END AS edge_label
+        |FROM part ORDER BY term""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS count_order,
