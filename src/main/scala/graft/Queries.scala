@@ -666,6 +666,254 @@ object Queries {
       .orderBy("term")
   }
 
+  /** X6 cascade gate: the Annotation writer end-to-end from the customer
+    * table — every normalization branch exercised (CURIE swap, skos strip,
+    * NLP_dataset→CSD, MeSH→MONDO broadcast map, uppercase-gene gate + the
+    * MBP rewrite, the 4 hardcoded PMID→DOI rewrites, γδ unicode cleanup)
+    * plus the F5 null-drop (unresolved MeSH, lowercase genes, unknown
+    * PMIDs) and the Cell_set Label triple. */
+  def q41AnnotationWriter(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val sname = concat(col("c_name"),
+      when(k % 10 === 0, "γδ").otherwise(""))
+    val ann = t(s, dir, "customer").select(
+      lit("Cell_set").as("subject_type"),
+      sname.as("subject_name"),
+      concat(k, lit("-row")).as("subject_identifier"),
+      when(k % 6 === 0, "Disease").when(k % 6 === 1, "Gene")
+        .when(k % 6 === 2, "Cell_type").when(k % 6 === 3, "Publication")
+        .when(k % 6 === 4, "Anatomical_structure")
+        .otherwise("Cell_set_dataset").as("object_type"),
+      when(k % 6 === 1,
+        when(k % 60 === 1, lit("Myelin basic protein"))
+          .when(k % 12 === 1, upper(translate(col("c_name"), "#", "")))
+          .otherwise(lower(translate(col("c_name"), "#", ""))))
+        .otherwise(col("c_name")).as("object_name"),
+      when(k % 6 === 0, concat(lit("MESH:D"), k % 25))
+        .when(k % 6 === 2, concat(lit("CL:"), k,
+          when(k % 12 === 2, lit("<skos:related>")).otherwise(lit(""))))
+        .when(k % 6 === 3, element_at(
+          array(lit("37824655"), lit("37516747"), lit("37291214"),
+            lit("38014002"), lit("123")),
+          (floor((k - 3) / 6) % 5 + 1).cast("int")))
+        .when(k % 6 === 4, concat(lit("UBERON:"), k % 100))
+        .when(k % 6 === 5, concat(lit("NLP_dataset_"), k % 3))
+        .otherwise(lit(null).cast("string")).as("object_identifier"),
+      when(k % 2 === 0, "IS_IN").otherwise("PART_OF").as("relation"))
+    val m2m = t(s, dir, "nation").filter(col("n_nationkey") % 2 === 0)
+      .select(concat(lit("MESH:D"), col("n_nationkey")).as("mesh"),
+        concat(lit("MONDO_"), col("n_nationkey") + 1000).as("mondo"))
+    graft.writers.AnnotationWriter.tuples(ann, m2m, withOrd = false)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
+  /** S4/CSD gate: the CELLxGENE dataset-metadata writer from the supplier
+    * table — 13-key annotation order, protocol strip, the dc#Source/PUB
+    * head pair. */
+  def q42CellxgeneWriter(s: SparkSession, dir: String): DataFrame = {
+    val k = col("s_suppkey")
+    val ds = t(s, dir, "supplier").select(
+      concat(lit("https://doi.org/10."), k).as("Link_to_publication"),
+      concat(lit("https://cxg.org/c"), k % 40).as("Link_to_CELLxGENE_collection"),
+      concat(lit("https://data.cxg.org/d"), k, lit(".h5ad")).as("Link_to_CELLxGENE_dataset"),
+      col("s_name").as("Dataset_name"),
+      (k * 1000).cast("long").as("Number_of_cells"),
+      lit("Homo sapiens").as("Organism"),
+      concat(lit("tissue-"), k % 7).as("Tissue"),
+      when(k % 3 === 0, "normal").otherwise("disease").as("Disease_status"),
+      concat(lit("coll-"), k % 40).as("Collection_ID"),
+      concat(lit("collv-"), k % 40).as("Collection_version_ID"),
+      concat(lit("ds-"), k).as("Dataset_ID"),
+      concat(lit("dv-"), k).as("Dataset_version_ID"),
+      lit("TBC").as("Zenodo/Nextflow_workflow/Notebook"))
+    graft.writers.ExternalApiWriter.cellxgene(ds, withOrd = false)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
+  /** Open Targets disease-association writer gate from the orders table:
+    * MONDO pass-through, EFO→MONDO resolution, unresolvable ids and
+    * sub-threshold scores dropped, gene-name broadcast lookup. */
+  def q43OpentargetsDiseases(s: SparkSession, dir: String): DataFrame = {
+    val o = col("o_orderkey")
+    val diseases = t(s, dir, "orders").select(
+      concat(lit("ENSG"), o % 150).as("gene_ensembl_id"),
+      when(o % 3 === 0, concat(lit("MONDO_0"), o % 1000))
+        .when(o % 3 === 1, concat(lit("EFO_0"), o % 25))
+        .otherwise(concat(lit("HP_0"), o % 100)).as("disease_id"),
+      col("o_orderpriority").as("disease_name"),
+      concat(lit("desc-"), o % 17).as("disease_description"),
+      ((o % 100).cast("double") / 100.0).as("score"))
+    // gene names exist only for ids under 100 — others drop via inner join
+    val geneNames = t(s, dir, "part").filter(col("p_partkey") < 100)
+      .select(concat(lit("ENSG"), col("p_partkey")).as("gene_ensembl_id"),
+        concat(lit("G"), col("p_partkey")).as("gene_name"))
+    val efo2mondo = t(s, dir, "nation").filter(col("n_nationkey") % 2 === 0)
+      .select(concat(lit("EFO_0"), col("n_nationkey")).as("efo"),
+        concat(lit("MONDO_9"), col("n_nationkey")).as("mondo"))
+    graft.writers.ExternalApiWriter.openTargetsDiseases(
+        diseases, geneNames, efo2mondo, withOrd = false)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
+  /** Open Targets drug writer gate from a lineitem slice: phase/approval/
+    * withdrawal thresholds, EFO-resolving indications, trial loops,
+    * pyList/pyBool stringification, PubChem + UniProt links. */
+  def q44OpentargetsDrugs(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+    val o = col("l_orderkey"); val p = col("l_partkey")
+    val drugs = l.select(
+      concat(lit("ENSG"), col("l_suppkey") % 150).as("gene_ensembl_id"),
+      concat(lit("CHEMBL"), p).as("drug_id"),
+      when(o % 3 === 0, concat(lit("MONDO_0"), o % 1000))
+        .when(o % 3 === 1, concat(lit("EFO_0"), o % 25))
+        .otherwise(concat(lit("HP_0"), o % 100)).as("disease_id"),
+      col("l_linenumber").cast("double").as("max_phase"),
+      (col("l_returnflag") =!= "R").as("is_approved"),
+      (col("l_linestatus") === "F" && col("l_quantity") < 5)
+        .as("has_been_withdrawn"),
+      concat(lit("drug-"), p % 31).as("drug_name"),
+      lit("Small molecule").as("drug_type"),
+      concat(lit("moa-"), p % 11).as("mechanism_of_action"),
+      concat(lit("about drug "), p % 31).as("drug_description"),
+      when(p % 4 === 0, array().cast("array<string>"))
+        .otherwise(array(concat(lit("syn-"), p % 13),
+          concat(lit("syn-"), p % 17))).as("synonyms"),
+      array(concat(lit("trade-"), p % 7)).as("trade_names"),
+      when(p % 5 === 0, lit(null).cast(
+        "array<struct<disease_id:string,max_phase:double>>"))
+        .otherwise(array(
+          struct(concat(lit("MONDO_1"), p % 7).as("disease_id"),
+            (p % 6).cast("double").as("max_phase")),
+          struct(concat(lit("EFO_0"), p % 25).as("disease_id"),
+            lit(4.0).as("max_phase")),
+          struct(concat(lit("HP_9"), p % 9).as("disease_id"),
+            lit(4.0).as("max_phase")))).as("indications"),
+      when(o % 4 === 0, array(concat(lit("NCT00"), o)))
+        .otherwise(array().cast("array<string>")).as("ct_ids"))
+    val genes = t(s, dir, "part").filter(col("p_partkey") < 100)
+      .select(concat(lit("ENSG"), col("p_partkey")).as("gene_ensembl_id"),
+        concat(lit("G"), col("p_partkey")).as("gene_name"),
+        when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("P"), col("p_partkey"))).as("uniprot_name"),
+        concat(lit("https://u.org/P"), col("p_partkey")).as("link_to_uniprot"))
+    val efo2mondo = t(s, dir, "nation").filter(col("n_nationkey") % 2 === 0)
+      .select(concat(lit("EFO_0"), col("n_nationkey")).as("efo"),
+        concat(lit("MONDO_9"), col("n_nationkey")).as("mondo"))
+    val c2p = t(s, dir, "part").filter(col("p_partkey") % 2 === 0)
+      .select(concat(lit("CHEMBL"), col("p_partkey")).as("chembl"),
+        (col("p_partkey") * 7).cast("string").as("pubchem"))
+    val efoMap = (0 until 25 by 2).map(j => s"EFO_0$j" -> s"MONDO_9$j").toMap
+    graft.writers.ExternalApiWriter.openTargetsDrugs(
+        drugs, genes, efo2mondo, c2p, withOrd = false,
+        indicationEfo2Mondo = efoMap)
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+  }
+
+  /** S6/schema gate: the schema writer from the part table — term→CURIE
+    * resolution with NA fallback, the multi-valued cell patch table, and
+    * CURIE colon swap. */
+  def q45SchemaWriter(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val brandNum = substring_index(col("p_brand"), "#", -1).cast("int")
+    // terms sheet covers even-numbered brands only -> odd resolve to NA
+    val terms = part.select(col("p_brand").as("schema_name"),
+        substring_index(col("p_brand"), "#", -1).cast("int").as("bn"))
+      .distinct()
+      .filter(col("bn") % 2 === 0)
+      .select(col("schema_name"), concat(lit("BR:"), col("bn")).as("curie"))
+    val schema0 = part.select(col("p_partkey"), col("p_brand").as("subject_name"),
+      lit("RO:0000050").as("predicate_curie"),
+      when(col("p_partkey") % 5 === 0, "MONDO:0000001 or MONDO:0021178")
+        .when(col("p_partkey") % 5 === 1, "HsapDv:0000000 or MmusDv:0000000")
+        .otherwise(concat(lit("CL:"), col("p_partkey") % 100))
+        .as("object_curie"))
+    val resolved = graft.writers.SchemaWriter.resolveCurie(
+      schema0, terms, "subject_name", "subject_curie")
+    graft.writers.SchemaWriter.tuples(resolved, withOrd = false)
+      .select("s", "p", "o")
+      .orderBy("s", "p", "o")
+  }
+
+  /** Production path-query catalog gate (Q1–Q8 instantiations,
+    * PhenotypeGraphBuilder.java:48-223): a multi-collection graph
+    * (CS/CL/CSD/GS/PR/RS/CHEMBL/MONDO) derived modularly from customer
+    * keys; runs the catalog's 2-hop (#3 CS→CL→CSD), hierarchy
+    * (#20 CS→CL→GS→MONDO + MONDO SUB_CLASS_OF longest-chain), 4-hop
+    * (#21 CS→CL→GS→PR→CHEMBL) and 5-hop (#24 CS→CL→GS→RS→CHEMBL→MONDO)
+    * instantiations plus the phenotype-subgraph materialization with
+    * enrichment. The oracle reproduces paths with joins and the hierarchy
+    * chain in closed form. */
+  def q46ProductionCatalog(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.QueryCatalog
+    val cust = t(s, dir, "customer").select(col("c_custkey").cast("long").as("c"))
+    val clKeys = cust.select((col("c") % 200).as("j")).distinct()
+    val gsEdges = clKeys.select(col("j"), explode(array_distinct(
+      array((col("j") * 7) % 120, (col("j") * 11) % 120))).as("g"))
+    val gsKeys = gsEdges.select("g").distinct()
+    val prKeys = gsKeys.select(((col("g") * 3) % 80).as("p0")).distinct()
+    val rsKeys = gsKeys.select((col("g") % 50).as("r")).distinct()
+    val chKeys = prKeys.select((col("p0") % 30).as("ch"))
+      .union(rsKeys.select((col("r") * 2) % 30)).distinct()
+    val mDom = cust.select((col("c") % 20).as("m")).distinct()
+
+    def v(coll: String, df: DataFrame, k: String) =
+      df.select(lit(coll).as("collection"), col(k).cast("string").as("key"))
+    def e(src: DataFrame, fc: String, fk: Column, tc: String, tk: Column,
+          label: String) =
+      src.select(lit(fc).as("from_coll"), fk.cast("string").as("from_key"),
+        lit(tc).as("to_coll"), tk.cast("string").as("to_key"),
+        lit(label).as("label"))
+
+    val vertices = v("CS", cust, "c")
+      .unionByName(v("CL", clKeys, "j"))
+      .unionByName(v("CSD", clKeys.select((col("j") % 40).as("d")).distinct(), "d"))
+      .unionByName(v("GS", gsKeys, "g"))
+      .unionByName(v("PR", prKeys, "p0"))
+      .unionByName(v("RS", rsKeys, "r"))
+      .unionByName(v("CHEMBL", chKeys, "ch"))
+      .unionByName(v("MONDO", mDom, "m"))
+    val edges = e(cust, "CS", col("c"), "CL", col("c") % 200, "composed_of")
+      .unionByName(e(clKeys, "CL", col("j"), "CSD", col("j") % 40, "source"))
+      .unionByName(e(gsEdges, "CL", col("j"), "GS", col("g"), "expresses"))
+      .unionByName(e(gsKeys, "GS", col("g"), "PR", (col("g") * 3) % 80, "produces"))
+      .unionByName(e(gsKeys, "GS", col("g"), "RS", col("g") % 50, "has_quality"))
+      .unionByName(e(gsKeys, "GS", col("g"), "MONDO", (col("g") * 5) % 20, "genetic_basis"))
+      .unionByName(e(prKeys, "PR", col("p0"), "CHEMBL", col("p0") % 30, "interacts"))
+      .unionByName(e(rsKeys, "RS", col("r"), "CHEMBL", (col("r") * 2) % 30, "effect"))
+      .unionByName(e(chKeys, "CHEMBL", col("ch"), "MONDO", col("ch") % 20, "treats"))
+      .unionByName(e(mDom.filter(col("m") + 4 < 20),
+        "MONDO", col("m"), "MONDO", col("m") + 4, "SUB_CLASS_OF"))
+      // decoy label the hierarchy walk must ignore
+      .unionByName(e(mDom.filter(col("m") % 3 === 0 && col("m") + 2 < 20),
+        "MONDO", col("m"), "MONDO", col("m") + 2, "OTHER"))
+
+    val p1 = QueryCatalog.production(2)   // CS→CL→CSD
+    val p2 = QueryCatalog.production(19)  // CS→CL→GS→MONDO + MONDO hierarchy
+    val p3 = QueryCatalog.production(20)  // CS→CL→GS→PR→CHEMBL
+    val p4 = QueryCatalog.production(23)  // CS→CL→GS→RS→CHEMBL→MONDO
+    def sig(q: QueryCatalog.PathQuery, tag: String) =
+      q.run(vertices, edges).select(lit(tag).as("q"),
+        concat_ws("|", transform(col("vertices"), x => x.getField("key"))).as("val"))
+
+    val (sv, se) = QueryCatalog.phenotypeSubgraph(vertices, edges, Seq(p1, p3, p4))
+    val census = sv.groupBy("collection").agg(count(lit(1)).as("n"))
+      .select(lit("sgv").as("q"), concat(col("collection"), lit("="), col("n")).as("val"))
+    val enriched = sv.filter(col("term") === concat_ws("_", col("collection"), col("key")))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("sgt").as("q"), col("n").cast("string").as("val"))
+    val edgeCount = se.agg(count(lit(1)).as("n"))
+      .select(lit("sge").as("q"), col("n").cast("string").as("val"))
+
+    sig(p1, "p1").unionByName(sig(p2, "p2"))
+      .unionByName(sig(p3, "p3")).unionByName(sig(p4, "p4"))
+      .unionByName(census).unionByName(enriched).unionByName(edgeCount)
+      .orderBy("q", "val")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -710,10 +958,231 @@ object Queries {
     "q37_minhash_lsh_oracle" -> (q37MinhashLshOracle _),
     "q38_end_to_end_slice" -> (q38EndToEndSlice _),
     "q39_author_to_cl_writer" -> (q39AuthorToClWriter _),
-    "q40_ontology_pipeline" -> (q40OntologyPipeline _)
+    "q40_ontology_pipeline" -> (q40OntologyPipeline _),
+    "q41_annotation_writer" -> (q41AnnotationWriter _),
+    "q42_cellxgene_writer" -> (q42CellxgeneWriter _),
+    "q43_opentargets_diseases" -> (q43OpentargetsDiseases _),
+    "q44_opentargets_drugs" -> (q44OpentargetsDrugs _),
+    "q45_schema_writer" -> (q45SchemaWriter _),
+    "q46_production_catalog" -> (q46ProductionCatalog _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_production_catalog" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
+        |cl AS (SELECT DISTINCT c % 200 AS j FROM cust),
+        |gse AS (SELECT j, unnest(list_distinct([(j*7) % 120, (j*11) % 120])) AS g FROM cl),
+        |gs AS (SELECT DISTINCT g FROM gse),
+        |pr AS (SELECT DISTINCT (g*3) % 80 AS p0 FROM gs),
+        |rs AS (SELECT DISTINCT g % 50 AS r FROM gs),
+        |chp AS (SELECT DISTINCT p0 % 30 AS ch FROM pr),
+        |chr2 AS (SELECT DISTINCT (r*2) % 30 AS ch FROM rs),
+        |chembl AS (SELECT DISTINCT ch FROM (SELECT ch FROM chp UNION ALL SELECT ch FROM chr2)),
+        |p1 AS (
+        | SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)
+        |  || '|' || CAST((c % 200) % 40 AS VARCHAR) AS val FROM cust),
+        |p2 AS (
+        | SELECT 'p2' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
+        |  || '|' || CAST(g AS VARCHAR) || '|' ||
+        |  array_to_string(list_transform(generate_series(0, (19 - (g*5) % 20) // 4),
+        |   t -> CAST((g*5) % 20 + 4*t AS VARCHAR)), '|') AS val
+        | FROM cust JOIN gse ON gse.j = c % 200),
+        |p3 AS (
+        | SELECT 'p3' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
+        |  || '|' || CAST(g AS VARCHAR) || '|' || CAST((g*3) % 80 AS VARCHAR)
+        |  || '|' || CAST(((g*3) % 80) % 30 AS VARCHAR) AS val
+        | FROM cust JOIN gse ON gse.j = c % 200),
+        |p4 AS (
+        | SELECT 'p4' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
+        |  || '|' || CAST(g AS VARCHAR) || '|' || CAST(g % 50 AS VARCHAR)
+        |  || '|' || CAST(((g % 50)*2) % 30 AS VARCHAR)
+        |  || '|' || CAST((((g % 50)*2) % 30) % 20 AS VARCHAR) AS val
+        | FROM cust JOIN gse ON gse.j = c % 200),
+        |census AS (
+        | SELECT 'sgv' AS q, 'CS=' || CAST(count(*) AS VARCHAR) AS val FROM cust
+        | UNION ALL SELECT 'sgv', 'CL=' || CAST(count(*) AS VARCHAR) FROM cl
+        | UNION ALL SELECT 'sgv', 'CSD=' || CAST(count(DISTINCT j % 40) AS VARCHAR) FROM cl
+        | UNION ALL SELECT 'sgv', 'GS=' || CAST(count(*) AS VARCHAR) FROM gs
+        | UNION ALL SELECT 'sgv', 'PR=' || CAST(count(*) AS VARCHAR) FROM pr
+        | UNION ALL SELECT 'sgv', 'RS=' || CAST(count(*) AS VARCHAR) FROM rs
+        | UNION ALL SELECT 'sgv', 'CHEMBL=' || CAST(count(*) AS VARCHAR) FROM chembl
+        | UNION ALL SELECT 'sgv', 'MONDO=' || CAST(count(DISTINCT ch % 20) AS VARCHAR) FROM chr2),
+        |counts AS (
+        | SELECT 'sgt' AS q, CAST((SELECT count(*) FROM cust) + (SELECT count(*) FROM cl)
+        |   + (SELECT count(DISTINCT j % 40) FROM cl) + (SELECT count(*) FROM gs)
+        |   + (SELECT count(*) FROM pr) + (SELECT count(*) FROM rs)
+        |   + (SELECT count(*) FROM chembl)
+        |   + (SELECT count(DISTINCT ch % 20) FROM chr2) AS VARCHAR) AS val
+        | UNION ALL
+        | SELECT 'sge', CAST((SELECT count(*) FROM cust) + (SELECT count(*) FROM cl)
+        |   + (SELECT count(*) FROM gse) + 2 * (SELECT count(*) FROM gs)
+        |   + (SELECT count(*) FROM pr) + (SELECT count(*) FROM rs)
+        |   + (SELECT count(*) FROM chr2) AS VARCHAR))
+        |SELECT q, val FROM (
+        | SELECT q, val FROM p1 UNION ALL SELECT q, val FROM p2
+        | UNION ALL SELECT q, val FROM p3 UNION ALL SELECT q, val FROM p4
+        | UNION ALL SELECT q, val FROM census UNION ALL SELECT q, val FROM counts)
+        |ORDER BY q, val""".stripMargin,
+    "q41_annotation_writer" ->
+      """WITH c AS (
+        | SELECT c_custkey AS k, c_name,
+        |  c_name || CASE WHEN c_custkey % 10 = 0 THEN 'gamma-delta' ELSE '' END AS sname
+        | FROM customer),
+        |n AS (
+        | SELECT k, sname,
+        |  regexp_replace(regexp_replace(sname, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS snameh,
+        |  CASE WHEN k % 2 = 0 THEN 'IS_IN' ELSE 'PART_OF' END AS rel,
+        |  CASE k % 6
+        |   WHEN 0 THEN CASE WHEN (k % 25) % 2 = 0 THEN 'MONDO_' || CAST(1000 + k % 25 AS VARCHAR) END
+        |   WHEN 1 THEN CASE WHEN k % 60 = 1 THEN 'GS_MBP'
+        |               WHEN k % 12 = 1 THEN 'GS_' || upper(replace(c_name, '#', ''))
+        |               END
+        |   WHEN 2 THEN 'CL_' || CAST(k AS VARCHAR)
+        |   WHEN 3 THEN CASE CAST(((k - 3) // 6) % 5 AS INT)
+        |               WHEN 0 THEN 'PUB_doi.org/10.1126/science.adf6812'
+        |               WHEN 1 THEN 'PUB_doi.org/10.1038/s41467-023-40173-5'
+        |               WHEN 2 THEN 'PUB_doi.org/10.1038/s41591-023-02327-2'
+        |               WHEN 3 THEN 'PUB_doi.org/10.1101/2023.11.07.566105'
+        |               END
+        |   WHEN 4 THEN 'UBERON_' || CAST(k % 100 AS VARCHAR)
+        |   ELSE 'CSD_' || CAST(k % 3 AS VARCHAR)
+        |  END AS obj
+        | FROM c),
+        |f AS (
+        | SELECT 'http://purl.obolibrary.org/obo/CS_' || snameh || '-' || CAST(k AS VARCHAR) AS s,
+        |  rel, 'http://purl.obolibrary.org/obo/' || obj AS o, sname
+        | FROM n WHERE obj IS NOT NULL)
+        |SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#' || rel AS p, o,
+        | CAST(NULL AS VARCHAR) AS lit, CAST(0 AS BIGINT) AS pos FROM f
+        |UNION ALL SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', o,
+        | 'Manual Annotation', 1 FROM f
+        |UNION ALL SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Label', sname,
+        | NULL, 2 FROM f
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q42_cellxgene_writer" ->
+      """WITH sup AS (
+        | SELECT s_suppkey AS k, s_name,
+        |  'http://purl.obolibrary.org/obo/CSD_dv-' || CAST(s_suppkey AS VARCHAR) AS csd,
+        |  'http://purl.obolibrary.org/obo/PUB_dv-' || CAST(s_suppkey AS VARCHAR) AS pub
+        | FROM supplier),
+        |anns AS (
+        | SELECT csd, 'Link_to_publication' AS key, 'doi.org/10.' || CAST(k AS VARCHAR) AS v, 2 AS pos FROM sup
+        | UNION ALL SELECT csd, 'Link_to_CELLxGENE_collection', 'cxg.org/c' || CAST(k % 40 AS VARCHAR), 3 FROM sup
+        | UNION ALL SELECT csd, 'Link_to_CELLxGENE_dataset', 'data.cxg.org/d' || CAST(k AS VARCHAR) || '.h5ad', 4 FROM sup
+        | UNION ALL SELECT csd, 'Dataset_name', s_name, 5 FROM sup
+        | UNION ALL SELECT csd, 'Number_of_cells', CAST(k * 1000 AS VARCHAR), 6 FROM sup
+        | UNION ALL SELECT csd, 'Organism', 'Homo sapiens', 7 FROM sup
+        | UNION ALL SELECT csd, 'Tissue', 'tissue-' || CAST(k % 7 AS VARCHAR), 8 FROM sup
+        | UNION ALL SELECT csd, 'Disease_status', CASE WHEN k % 3 = 0 THEN 'normal' ELSE 'disease' END, 9 FROM sup
+        | UNION ALL SELECT csd, 'Collection_ID', 'coll-' || CAST(k % 40 AS VARCHAR), 10 FROM sup
+        | UNION ALL SELECT csd, 'Collection_version_ID', 'collv-' || CAST(k % 40 AS VARCHAR), 11 FROM sup
+        | UNION ALL SELECT csd, 'Dataset_ID', 'ds-' || CAST(k AS VARCHAR), 12 FROM sup
+        | UNION ALL SELECT csd, 'Dataset_version_ID', 'dv-' || CAST(k AS VARCHAR), 13 FROM sup
+        | UNION ALL SELECT csd, 'Zenodo/Nextflow_workflow/Notebook', 'TBC', 14 FROM sup)
+        |SELECT csd AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source' AS p,
+        | pub AS o, CAST(NULL AS VARCHAR) AS lit, CAST(0 AS BIGINT) AS pos FROM sup
+        |UNION ALL SELECT csd, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', pub,
+        | 'Manual Mapping', 1 FROM sup
+        |UNION ALL SELECT csd, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#' || key, v, NULL, pos FROM anns
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q43_opentargets_diseases" ->
+      """WITH d AS (
+        | SELECT o_orderkey AS o,
+        |  CASE o_orderkey % 3
+        |   WHEN 0 THEN 'MONDO_0' || CAST(o_orderkey % 1000 AS VARCHAR)
+        |   WHEN 1 THEN CASE WHEN (o_orderkey % 25) % 2 = 0 THEN 'MONDO_9' || CAST(o_orderkey % 25 AS VARCHAR) END
+        |   END AS mondo,
+        |  o_orderpriority AS dname,
+        |  'desc-' || CAST(o_orderkey % 17 AS VARCHAR) AS ddesc,
+        |  CAST(o_orderkey % 100 AS DOUBLE) / 100.0 AS score
+        | FROM orders),
+        |f AS (
+        | SELECT 'http://purl.obolibrary.org/obo/GS_G' || CAST(o % 150 AS VARCHAR) AS gs,
+        |  'http://purl.obolibrary.org/obo/' || mondo AS md,
+        |  dname, ddesc, CAST(score AS VARCHAR) AS sc
+        | FROM d WHERE mondo IS NOT NULL AND score >= 0.5 AND (o % 150) < 100)
+        |SELECT gs AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#GENETIC_BASIS_FOR' AS p,
+        | md AS o, CAST(NULL AS VARCHAR) AS lit, CAST(0 AS BIGINT) AS pos FROM f
+        |UNION ALL SELECT gs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', md, 'Open Targets', 1 FROM f
+        |UNION ALL SELECT md, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Name', dname, NULL, 2 FROM f
+        |UNION ALL SELECT md, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Description', ddesc, NULL, 3 FROM f
+        |UNION ALL SELECT gs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Score', md, sc, 4 FROM f
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q44_opentargets_drugs" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 97 = 0),
+        |r AS (
+        | SELECT l_orderkey AS o, l_partkey AS p, l_suppkey AS sk,
+        |  CASE l_orderkey % 3
+        |   WHEN 0 THEN 'MONDO_0' || CAST(l_orderkey % 1000 AS VARCHAR)
+        |   WHEN 1 THEN CASE WHEN (l_orderkey % 25) % 2 = 0 THEN 'MONDO_9' || CAST(l_orderkey % 25 AS VARCHAR) END
+        |   END AS mondo,
+        |  l_linenumber AS phase,
+        |  (l_returnflag <> 'R') AS appr,
+        |  (l_linestatus = 'F' AND l_quantity < 5) AS wd
+        | FROM li),
+        |f AS (
+        | SELECT o, p, sk, mondo,
+        |  'http://purl.obolibrary.org/obo/CHEMBL_' || CAST(p AS VARCHAR) AS chl,
+        |  'http://purl.obolibrary.org/obo/' || mondo AS md,
+        |  'G' || CAST(sk % 150 AS VARCHAR) AS gname,
+        |  CASE WHEN (sk % 150) % 3 = 0 THEN NULL ELSE 'P' || CAST(sk % 150 AS VARCHAR) END AS upn,
+        |  CASE WHEN (sk % 150) % 3 = 0 THEN 0 ELSE 2 END AS pp,
+        |  CASE WHEN p % 5 <> 0 AND p % 6 >= 4 THEN 1 ELSE 0 END AS i1,
+        |  CASE WHEN p % 5 <> 0 AND (p % 25) % 2 = 0 THEN 1 ELSE 0 END AS i2,
+        |  CASE WHEN o % 4 = 0 THEN 1 ELSE 0 END AS tr,
+        |  CASE WHEN p % 2 = 0 THEN 1 ELSE 0 END AS pc
+        | FROM r WHERE mondo IS NOT NULL AND phase >= 3 AND appr AND NOT wd AND (sk % 150) < 100),
+        |g AS (SELECT *, 2 + pp AS o2, 2 + pp + i1 + i2 AS o3,
+        |  2 + pp + i1 + i2 + 2 * tr AS o4 FROM f),
+        |pu AS (SELECT 'http://purl.obolibrary.org/obo/' AS u),
+        |rd AS (SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns' AS u),
+        |t AS (
+        | SELECT chl AS s, (SELECT u FROM rd) || '#IS_SUBSTANCE_THAT_TREATS' AS p2, md AS o2v,
+        |  CAST(NULL AS VARCHAR) AS lit, 0 AS pos FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Source', md, 'Open Targets', 1 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#MOLECULARLY_INTERACTS_WITH',
+        |  (SELECT u FROM pu) || 'PR_' || upn, NULL, 2 FROM g WHERE upn IS NOT NULL
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Source',
+        |  (SELECT u FROM pu) || 'PR_' || upn, 'Open Targets and UniProt', 3 FROM g WHERE upn IS NOT NULL
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Indications',
+        |  'MONDO_1' || CAST(p % 7 AS VARCHAR), NULL, o2 FROM g WHERE i1 = 1
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Indications',
+        |  'MONDO_9' || CAST(p % 25 AS VARCHAR), NULL, o2 + i1 FROM g WHERE i2 = 1
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#EVALUATED_IN',
+        |  (SELECT u FROM pu) || 'NCT_00' || CAST(o AS VARCHAR), NULL, o3 FROM g WHERE tr = 1
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Source',
+        |  (SELECT u FROM pu) || 'NCT_00' || CAST(o AS VARCHAR), 'Open Targets', o3 + 1 FROM g WHERE tr = 1
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Name', 'drug-' || CAST(p % 31 AS VARCHAR), NULL, o4 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Target', gname, NULL, o4 + 1 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Type', 'Small molecule', NULL, o4 + 2 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Mechanism_of_action', 'moa-' || CAST(p % 11 AS VARCHAR), NULL, o4 + 3 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Description', 'about drug ' || CAST(p % 31 AS VARCHAR), NULL, o4 + 4 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Synonyms',
+        |  CASE WHEN p % 4 = 0 THEN '[]'
+        |   ELSE '[''syn-' || CAST(p % 13 AS VARCHAR) || ''', ''syn-' || CAST(p % 17 AS VARCHAR) || ''']' END,
+        |  NULL, o4 + 5 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Trade_names',
+        |  '[''trade-' || CAST(p % 7 AS VARCHAR) || ''']', NULL, o4 + 6 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Approved', 'True', NULL, o4 + 7 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Withdrawn', 'False', NULL, o4 + 8 FROM g
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Link_to_PubChem_record',
+        |  'pubchem.ncbi.nlm.nih.gov/compound/' || CAST(p * 7 AS VARCHAR), NULL, o4 + 9 FROM g WHERE pc = 1
+        | UNION ALL SELECT chl, (SELECT u FROM rd) || '#Link_to_UniProt_ID',
+        |  'u.org/P' || CAST(sk % 150 AS VARCHAR), NULL, o4 + 9 + pc FROM g)
+        |SELECT s, p2 AS p, o2v AS o, lit, CAST(pos AS BIGINT) AS pos FROM t
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q45_schema_writer" ->
+      """SELECT
+        | 'http://purl.obolibrary.org/obo/' ||
+        |  CASE WHEN CAST(string_split(p_brand, '#')[2] AS INT) % 2 = 0
+        |   THEN 'BR_' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) AS VARCHAR)
+        |   ELSE 'NA' END AS s,
+        | 'http://purl.obolibrary.org/obo/RO_0000050' AS p,
+        | 'http://purl.obolibrary.org/obo/' ||
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'MONDO_0000001'
+        |   WHEN p_partkey % 5 = 1 THEN 'HsapDv_0000000'
+        |   ELSE 'CL_' || CAST(p_partkey % 100 AS VARCHAR) END AS o
+        |FROM part ORDER BY s, p, o""".stripMargin,
     "q40_ontology_pipeline" ->
       """SELECT 'PT_' || p_partkey AS term, p_name AS label,
         | 'PMID:' || CAST(p_partkey % 13 AS VARCHAR) || ',X:' || CAST(p_partkey % 7 AS VARCHAR) AS xrefs,

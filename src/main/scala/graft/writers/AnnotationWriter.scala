@@ -68,6 +68,46 @@ object AnnotationWriter {
         })
   }
 
+  /** The four hardcoded MeSH patches appended to the parsed map
+    * (LoaderUtilities.py:860-873; note D003643 maps to an UBERON term). */
+  val meshPatches: Seq[(String, String)] = Seq(
+    "MESH:D000077192" -> "MONDO_0004991",
+    "MESH:D000086382" -> "MONDO_0100096",
+    "MESH:D003643" -> "UBERON_0000071",
+    "MESH:D005355" -> "MONDO_0002771")
+
+  /** J4 — MeSH→MONDO map CONSTRUCTION from a parsed MONDO ontology
+    * (LoaderUtilities.py:825-873): for each named owl:Class, the FIRST
+    * MESH-containing hasDbXref in document order (`break` after one); a
+    * later class with the same MeSH xref overwrites an earlier one (dict
+    * insertion); the four hardcoded patches override everything. Input is
+    * the RAW OwlSource triples (pre-dereification — the reference iterates
+    * direct class children, so owl:Axiom literal buckets must not
+    * contribute). Output: (mesh, mondo) ready for [[tuples]]. */
+  def meshToMondo(rawTriples: DataFrame): DataFrame = {
+    val spark = rawTriples.sparkSession
+    import spark.implicits._
+    val xr = rawTriples
+      // document order: monotone within a partition, partitions follow
+      // the file scan order
+      .withColumn("ord", monotonically_increasing_id())
+      .filter(col("sKind") === "uri" && col("oKind") === "literal" &&
+        col("p") === "http://www.geneontology.org/formats/oboInOwl#hasDbXref" &&
+        col("o").contains("MESH"))
+      .withColumn("st", Terms.parseTermFull(col("s")))
+      .filter(col("st.kind") === "class")
+    val firstPerClass = xr
+      .groupBy(col("st.term").as("mondo"))
+      .agg(min_by(struct(col("o"), col("ord")), col("ord")).as("f"))
+      .select(col("f.o").as("mesh"), col("mondo"), col("f.ord").as("ord"))
+    val lastPerMesh = firstPerClass
+      .groupBy("mesh")
+      .agg(max_by(col("mondo"), col("ord")).as("mondo"))
+    val patchDf = meshPatches.toDF("mesh", "mondo")
+    lastPerMesh.join(patchDf.select("mesh"), Seq("mesh"), "left_anti")
+      .unionByName(patchDf)
+  }
+
   /**
    * Annotation rows → tuples: relation triple, Source quad, and a Label
    * triple for Cell_set subjects. Null-normalized rows are dropped (F5).

@@ -19,8 +19,11 @@ class AnnotationWriterSpec extends SparkSpec {
 
   private val m2m = Seq(("MESH:D001943", "MONDO_0007254")).toDF("mesh", "mondo")
 
-  private def run(df: org.apache.spark.sql.DataFrame) =
-    AnnotationWriter.tuples(df, m2m).orderBy("ord")
+  private def run(df: org.apache.spark.sql.DataFrame) = run2(df, m2m)
+
+  private def run2(df: org.apache.spark.sql.DataFrame,
+                   map: org.apache.spark.sql.DataFrame) =
+    AnnotationWriter.tuples(df, map).orderBy("ord")
       .select("s", "p", "o", "lit").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
 
@@ -76,5 +79,54 @@ class AnnotationWriterSpec extends SparkSpec {
     val ts = run(ann("Cell_set", "s", "u-1", "SOURCE",
       "Cell_set_dataset", "d", "NLP_dataset_42"))
     assert(ts(0)._3 == s"$P/CSD_42")
+  }
+
+  test("meshToMondo builds the map from MONDO xrefs with the 4 patches") {
+    // J4 construction (LoaderUtilities.py:825-873): first MESH xref per
+    // class, last class wins per MESH term, axioms excluded, patches win
+    val obo = "http://purl.obolibrary.org/obo/"
+    val xml = s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      | xmlns:owl="http://www.w3.org/2002/07/owl#"
+      | xmlns:oio="http://www.geneontology.org/formats/oboInOwl#">
+      |<owl:Class rdf:about="${obo}MONDO_0000001">
+      | <oio:hasDbXref>UMLS:C1</oio:hasDbXref>
+      | <oio:hasDbXref>MESH:D111</oio:hasDbXref>
+      | <oio:hasDbXref>MESH:D999</oio:hasDbXref>
+      |</owl:Class>
+      |<owl:Class rdf:about="${obo}MONDO_0000002">
+      | <oio:hasDbXref>MESH:D111</oio:hasDbXref>
+      |</owl:Class>
+      |<owl:Class rdf:about="${obo}MONDO_0000003">
+      | <oio:hasDbXref>MESH:D005355</oio:hasDbXref>
+      |</owl:Class>
+      |<owl:Class rdf:about="${obo}MONDO_0000004">
+      | <oio:hasDbXref>UMLS:C2</oio:hasDbXref>
+      |</owl:Class>
+      |<owl:Axiom>
+      | <oio:hasDbXref>MESH:D777</oio:hasDbXref>
+      |</owl:Axiom>
+      |</rdf:RDF>""".stripMargin
+    val raw = graft.sources.OwlSource
+      .parseBytes("mondo-mini", xml.getBytes("UTF-8")).toSeq
+      .toDF("s", "p", "o", "sKind", "oKind")
+    val m = AnnotationWriter.meshToMondo(raw).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // first-xref-per-class: D999 (second MESH of class 1) never enters
+    assert(!m.contains("MESH:D999"))
+    // last class wins for a shared MESH xref
+    assert(m("MESH:D111") == "MONDO_0000002")
+    // the parsed D005355 entry is overridden by the hardcoded patch
+    assert(m("MESH:D005355") == "MONDO_0002771")
+    // axiom bnode literals are excluded
+    assert(!m.contains("MESH:D777"))
+    // all 4 patches present (incl. the UBERON-valued one)
+    AnnotationWriter.meshPatches.foreach { case (k, v) => assert(m(k) == v) }
+    assert(m.size == 1 + 4) // D111 + the 4 patches
+
+    // and the constructed map feeds the writer's Disease resolution
+    val out = run2(
+      ann("Cell_set", "s", "7-u", "HAS_PHENOTYPE", "Disease", "d", "MESH:D111"),
+      AnnotationWriter.meshToMondo(raw))
+    assert(out(0)._3 == s"$P/MONDO_0000002")
   }
 }
