@@ -382,10 +382,12 @@ object Queries {
     * writer emits the full tuple stream, and the DuckDB oracle rebuilds
     * the identical stream in SQL — every term synthesis rule, literal
     * stringification, and per-row position is cross-checked. */
-  def q28NsforestWriter(s: SparkSession, dir: String): DataFrame = {
+  /** NSForest-shaped results synthesized from the part table (shared by
+    * q28 and the q47 interchange round-trip). */
+  private def nsfResults(s: SparkSession, dir: String): DataFrame = {
     val words = split(col("p_name"), " ")
     val asPyList = concat(lit("['"), concat_ws("', '", words), lit("']"))
-    val results = t(s, dir, "part").select(
+    t(s, dir, "part").select(
       col("p_name").as("clusterName"),
       col("p_size").cast("long").as("clusterSize"),
       round(col("p_retailprice")).as("f_score"),
@@ -400,8 +402,32 @@ object Queries {
       substring(md5(col("p_name")), 1, 12).as("uuid"),
       when(col("p_size") % 10 === 0, lit(0.0))
         .otherwise(col("p_size").cast("double") / 4).as("median_silhouette"))
-    graft.writers.NSForestWriter.tuples(results, Seq("dv1", "dv2"), withOrd = false)
+  }
+
+  def q28NsforestWriter(s: SparkSession, dir: String): DataFrame =
+    graft.writers.NSForestWriter
+      .tuples(nsfResults(s, dir), Seq("dv1", "dv2"), withOrd = false)
       .withColumn("pos", col("pos").cast("long"))
+      .orderBy("s", "p", "o", "lit", "pos")
+
+  /** S3/S10 interchange gate: the q28 tuple stream encoded to the
+    * reference's positional JSON form ((s,o,p,literal) quads), then
+    * decoded back through the TupleJson mapping — the oracle is q28's,
+    * so any asymmetry in the positional encode/decode pair fails the
+    * hash compare. */
+  def q47TupleJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TupleJson
+    val tuples = graft.writers.NSForestWriter
+      .tuples(nsfResults(s, dir), Seq("dv1", "dv2"), withOrd = false)
+    val js = tuples.select(to_json(struct(
+      TupleJson.encodeTuple.as("t"), col("pos").as("pos"))).as("js"))
+    val schema = StructType(Seq(
+      StructField("t", ArrayType(StringType)),
+      StructField("pos", IntegerType)))
+    js.select(from_json(col("js"), schema).as("r"))
+      .select(TupleJson.decodeTuple(col("r.t")).as("d"), col("r.pos").as("pos"))
+      .select(col("d.s").as("s"), col("d.p").as("p"), col("d.o").as("o"),
+        col("d.lit").as("lit"), col("pos").cast("long").as("pos"))
       .orderBy("s", "p", "o", "lit", "pos")
   }
 
@@ -646,10 +672,13 @@ object Queries {
       lit("</rdf:RDF>"))
     val docs = t(s, dir, "part")
       .select(k.cast("string").as("doc"), xml.as("xml")).as[(String, String)]
+    // the StAX parse is consumed by fnodeTriples AND bnodeTriples, and the
+    // graph build reads the union four more times — materialize the parse
+    // ONCE (localCheckpoint: blocks reclaimed when the query result drops)
     val raw = docs.flatMap { case (d, x) =>
       graft.sources.OwlSource.parseBytes(s"doc-$d", x.getBytes("UTF-8"))
-    }.toDF()
-    val triples = graft.operators.Dereify.triples(raw)
+    }.toDF().localCheckpoint(true)
+    val triples = graft.operators.Dereify.triples(raw).localCheckpoint(true)
     val (v, e) = graft.operators.OntologyGraph
       .build(triples, Map("RO_0000050" -> "part of"))
     val pt = v.filter(col("collection") === "PT").select(
@@ -868,6 +897,9 @@ object Queries {
         lit(tc).as("to_coll"), tk.cast("string").as("to_key"),
         lit(label).as("label"))
 
+    // 4 catalog queries + the subgraph re-read these small tables many
+    // times; each union branch carries its own distinct shuffle —
+    // materialize both ONCE (they are |customer|-sized, tiny)
     val vertices = v("CS", cust, "c")
       .unionByName(v("CL", clKeys, "j"))
       .unionByName(v("CSD", clKeys.select((col("j") % 40).as("d")).distinct(), "d"))
@@ -876,6 +908,7 @@ object Queries {
       .unionByName(v("RS", rsKeys, "r"))
       .unionByName(v("CHEMBL", chKeys, "ch"))
       .unionByName(v("MONDO", mDom, "m"))
+      .localCheckpoint(true)
     val edges = e(cust, "CS", col("c"), "CL", col("c") % 200, "composed_of")
       .unionByName(e(clKeys, "CL", col("j"), "CSD", col("j") % 40, "source"))
       .unionByName(e(gsEdges, "CL", col("j"), "GS", col("g"), "expresses"))
@@ -890,16 +923,30 @@ object Queries {
       // decoy label the hierarchy walk must ignore
       .unionByName(e(mDom.filter(col("m") % 3 === 0 && col("m") + 2 < 20),
         "MONDO", col("m"), "MONDO", col("m") + 2, "OTHER"))
+      .localCheckpoint(true)
 
     val p1 = QueryCatalog.production(2)   // CS→CL→CSD
     val p2 = QueryCatalog.production(19)  // CS→CL→GS→MONDO + MONDO hierarchy
     val p3 = QueryCatalog.production(20)  // CS→CL→GS→PR→CHEMBL
     val p4 = QueryCatalog.production(23)  // CS→CL→GS→RS→CHEMBL→MONDO
-    def sig(q: QueryCatalog.PathQuery, tag: String) =
-      q.run(vertices, edges).select(lit(tag).as("q"),
+    // each non-hierarchy query's paths feed BOTH its signature output and
+    // the subgraph union — run each ONCE (phenotypeSubgraph would re-run
+    // them; its own composition is covered by QueryCatalogSpec)
+    val paths1 = p1.run(vertices, edges).localCheckpoint(true)
+    val paths3 = p3.run(vertices, edges).localCheckpoint(true)
+    val paths4 = p4.run(vertices, edges).localCheckpoint(true)
+    def sigOf(paths: DataFrame, tag: String) =
+      paths.select(lit(tag).as("q"),
         concat_ws("|", transform(col("vertices"), x => x.getField("key"))).as("val"))
+    def sig(q: QueryCatalog.PathQuery, tag: String) =
+      sigOf(q.run(vertices, edges), tag)
 
-    val (sv, se) = QueryCatalog.phenotypeSubgraph(vertices, edges, Seq(p1, p3, p4))
+    val (vs0, se) = PathQueries.subgraph(
+      paths1.unionByName(paths3).unionByName(paths4))
+    val docs = vertices
+      .withColumn("term", concat_ws("_", col("collection"), col("key")))
+      .withColumn("attrs", lit(null).cast("map<string,array<string>>"))
+    val sv = PathQueries.enrich(vs0, docs)
     val census = sv.groupBy("collection").agg(count(lit(1)).as("n"))
       .select(lit("sgv").as("q"), concat(col("collection"), lit("="), col("n")).as("val"))
     val enriched = sv.filter(col("term") === concat_ws("_", col("collection"), col("key")))
@@ -908,8 +955,8 @@ object Queries {
     val edgeCount = se.agg(count(lit(1)).as("n"))
       .select(lit("sge").as("q"), col("n").cast("string").as("val"))
 
-    sig(p1, "p1").unionByName(sig(p2, "p2"))
-      .unionByName(sig(p3, "p3")).unionByName(sig(p4, "p4"))
+    sigOf(paths1, "p1").unionByName(sig(p2, "p2"))
+      .unionByName(sigOf(paths3, "p3")).unionByName(sigOf(paths4, "p4"))
       .unionByName(census).unionByName(enriched).unionByName(edgeCount)
       .orderBy("q", "val")
   }
@@ -964,8 +1011,69 @@ object Queries {
     "q43_opentargets_diseases" -> (q43OpentargetsDiseases _),
     "q44_opentargets_drugs" -> (q44OpentargetsDrugs _),
     "q45_schema_writer" -> (q45SchemaWriter _),
-    "q46_production_catalog" -> (q46ProductionCatalog _)
+    "q46_production_catalog" -> (q46ProductionCatalog _),
+    "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _)
   )
+
+  /** Shared by q28 (writer) and q47 (interchange round-trip). */
+  private val nsforestStreamOracle: String =
+    """WITH r AS (
+        | SELECT p_name AS cn,
+        |  regexp_replace(regexp_replace(p_name, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS cnh,
+        |  CAST(p_size AS BIGINT) AS csize,
+        |  CAST(round(p_retailprice) AS VARCHAR) AS fs,
+        |  CAST(CAST(p_partkey % 100 AS DOUBLE) AS VARCHAR) AS prec,
+        |  CAST(p_partkey % 7 AS VARCHAR) AS tn, CAST(p_partkey % 5 AS VARCHAR) AS fp,
+        |  CAST(p_partkey % 3 AS VARCHAR) AS fn, CAST(p_partkey % 11 AS VARCHAR) AS tp,
+        |  CAST(len(string_split(p_name, ' ')) AS VARCHAR) AS mc,
+        |  string_split(p_name, ' ') AS words, p_name AS joined,
+        |  substr(md5(p_name), 1, 12) AS uid,
+        |  CASE WHEN p_size % 10 = 0 THEN NULL ELSE CAST(p_size/4.0 AS VARCHAR) END AS sil
+        | FROM part WHERE p_size >= 10),
+        |tm AS (
+        | SELECT *,
+        |  'http://purl.obolibrary.org/obo/CS_' || cnh || '-' || uid AS cs,
+        |  'http://purl.obolibrary.org/obo/BMC_' || uid AS bmc,
+        |  'http://purl.obolibrary.org/obo/BGS_' || uid AS bgs,
+        |  2 + 2*len(words) AS p0,
+        |  2 + 2*len(words) + 8 + CASE WHEN sil IS NULL THEN 0 ELSE 1 END AS q0
+        | FROM r),
+        |g AS (SELECT *, unnest(generate_series(1, len(words))) AS i FROM tm),
+        |tuples AS (
+        | SELECT bmc AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/rdf#type' AS p,
+        |  'http://purl.obolibrary.org/obo/SO_0001260' AS o, NULL AS lit, CAST(0 AS BIGINT) AS pos FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source',
+        |  'http://purl.obolibrary.org/obo/SO_0001260', 'NSForest', 1 FROM tm
+        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
+        |  'http://purl.obolibrary.org/obo/BFO_0000050', bmc, NULL, 2*i FROM g
+        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
+        |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', 2*i + 1 FROM g
+        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/RO_0015004', bmc, NULL, p0 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', p0 + 1 FROM tm
+        | UNION ALL SELECT bmc, 'http://purl.obolibrary.org/obo/RO_0015003', bgs, NULL, p0 + 2 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bgs, 'NSForest', p0 + 3 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, p0 + 4 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Total_cell_count', CAST(csize AS VARCHAR), NULL, p0 + 5 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, p0 + 6 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, p0 + 7 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Median_silhouette_score', sil, NULL, p0 + 8 FROM tm WHERE sil IS NOT NULL
+        | UNION ALL SELECT bgs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, q0 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, q0 + 1 FROM tm
+        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, q0 + 2 FROM tm
+        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/#source_algorithm', bmc, 'NSForest-v4.0_dev', q0 + 3 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', bmc, fs, q0 + 4 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Precision', bmc, prec, q0 + 5 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TN', bmc, tn, q0 + 6 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TP', bmc, tp, q0 + 7 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FN', bmc, fn, q0 + 8 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FP', bmc, fp, q0 + 9 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Marker_count', bmc, mc, q0 + 10 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', NULL, q0 + 11 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', 'NSForest', q0 + 12 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', NULL, q0 + 13 FROM tm
+        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
+        |SELECT s, p, o, lit, pos FROM tuples
+        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q46_production_catalog" ->
@@ -1397,64 +1505,8 @@ object Queries {
         |UNION ALL SELECT 'ORD', count(DISTINCT l_orderkey) FROM lineitem
         |UNION ALL SELECT 'PART', count(DISTINCT l_partkey) FROM lineitem
         |ORDER BY collection""".stripMargin,
-    "q28_nsforest_writer" ->
-      """WITH r AS (
-        | SELECT p_name AS cn,
-        |  regexp_replace(regexp_replace(p_name, '[ _,/]', '-', 'g'), '-+', '-', 'g') AS cnh,
-        |  CAST(p_size AS BIGINT) AS csize,
-        |  CAST(round(p_retailprice) AS VARCHAR) AS fs,
-        |  CAST(CAST(p_partkey % 100 AS DOUBLE) AS VARCHAR) AS prec,
-        |  CAST(p_partkey % 7 AS VARCHAR) AS tn, CAST(p_partkey % 5 AS VARCHAR) AS fp,
-        |  CAST(p_partkey % 3 AS VARCHAR) AS fn, CAST(p_partkey % 11 AS VARCHAR) AS tp,
-        |  CAST(len(string_split(p_name, ' ')) AS VARCHAR) AS mc,
-        |  string_split(p_name, ' ') AS words, p_name AS joined,
-        |  substr(md5(p_name), 1, 12) AS uid,
-        |  CASE WHEN p_size % 10 = 0 THEN NULL ELSE CAST(p_size/4.0 AS VARCHAR) END AS sil
-        | FROM part WHERE p_size >= 10),
-        |tm AS (
-        | SELECT *,
-        |  'http://purl.obolibrary.org/obo/CS_' || cnh || '-' || uid AS cs,
-        |  'http://purl.obolibrary.org/obo/BMC_' || uid AS bmc,
-        |  'http://purl.obolibrary.org/obo/BGS_' || uid AS bgs,
-        |  2 + 2*len(words) AS p0,
-        |  2 + 2*len(words) + 8 + CASE WHEN sil IS NULL THEN 0 ELSE 1 END AS q0
-        | FROM r),
-        |g AS (SELECT *, unnest(generate_series(1, len(words))) AS i FROM tm),
-        |tuples AS (
-        | SELECT bmc AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/rdf#type' AS p,
-        |  'http://purl.obolibrary.org/obo/SO_0001260' AS o, NULL AS lit, CAST(0 AS BIGINT) AS pos FROM tm
-        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source',
-        |  'http://purl.obolibrary.org/obo/SO_0001260', 'NSForest', 1 FROM tm
-        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
-        |  'http://purl.obolibrary.org/obo/BFO_0000050', bmc, NULL, 2*i FROM g
-        | UNION ALL SELECT 'http://purl.obolibrary.org/obo/GS_' || words[i],
-        |  'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', 2*i + 1 FROM g
-        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/RO_0015004', bmc, NULL, p0 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bmc, 'NSForest', p0 + 1 FROM tm
-        | UNION ALL SELECT bmc, 'http://purl.obolibrary.org/obo/RO_0015003', bgs, NULL, p0 + 2 FROM tm
-        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', bgs, 'NSForest', p0 + 3 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, p0 + 4 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Total_cell_count', CAST(csize AS VARCHAR), NULL, p0 + 5 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, p0 + 6 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, p0 + 7 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Median_silhouette_score', sil, NULL, p0 + 8 FROM tm WHERE sil IS NOT NULL
-        | UNION ALL SELECT bgs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Binary_genes', joined, NULL, q0 FROM tm
-        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Markers', joined, NULL, q0 + 1 FROM tm
-        | UNION ALL SELECT bmc, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', fs, NULL, q0 + 2 FROM tm
-        | UNION ALL SELECT cs, 'http://purl.obolibrary.org/obo/#source_algorithm', bmc, 'NSForest-v4.0_dev', q0 + 3 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#F_beta_confidence_score', bmc, fs, q0 + 4 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Precision', bmc, prec, q0 + 5 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TN', bmc, tn, q0 + 6 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#TP', bmc, tp, q0 + 7 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FN', bmc, fn, q0 + 8 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#FP', bmc, fp, q0 + 9 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Marker_count', bmc, mc, q0 + 10 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', NULL, q0 + 11 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv1', 'NSForest', q0 + 12 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns/dc#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', NULL, q0 + 13 FROM tm
-        | UNION ALL SELECT cs, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Source', 'http://purl.obolibrary.org/obo/CSD_dv2', 'NSForest', q0 + 14 FROM tm)
-        |SELECT s, p, o, lit, pos FROM tuples
-        |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin,
+    "q28_nsforest_writer" -> nsforestStreamOracle,
+    "q47_tuple_json_roundtrip" -> nsforestStreamOracle,
     "q39_author_to_cl_writer" ->
       """WITH P AS (SELECT 'http://purl.obolibrary.org/obo/' AS p),
         |R AS (SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns' AS r),

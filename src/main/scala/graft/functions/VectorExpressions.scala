@@ -38,6 +38,14 @@ object VectorExpressions {
     * bit-identical to the explode + 64-column-aggregate formulation. */
   def simHash64(tokens: Column): Column =
     ColumnShim.column(org.apache.spark.sql.graft.SimHash64(ColumnShim.expression(tokens)))
+
+  /** Bounded-heap top-k aggregate over struct<cos double, id long> —
+    * partial aggregation keeps at most k pairs per group per map task,
+    * so a top-k never shuffles the full scored set (the window
+    * formulation does). Best-first array out; ties to the lower id. */
+  def topKPairs(pair: Column, k: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft
+      .BoundedTopK(ColumnShim.expression(pair), k).toAggregateExpression())
 }
 
 /** splitmix64 — shared by interpreted eval and generated code. */

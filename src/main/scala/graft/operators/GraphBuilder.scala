@@ -38,7 +38,8 @@ object GraphBuilder {
     * @param whitelist  allowed vertex collections (F8,
     *                   OntologyParserLoader.py:41-43); None = allow all
     */
-  def vertices(tuples: DataFrame, whitelist: Option[Seq[String]] = None): DataFrame = {
+  def vertices(tuples: DataFrame, whitelist: Option[Seq[String]] = None,
+               attrAppend: Boolean = true): DataFrame = {
     val t3 = tuples.filter(col("lit").isNull)
     val uriUri = t3.filter(Terms.isUri(col("s")) && Terms.isUri(col("o")))
 
@@ -66,13 +67,20 @@ object GraphBuilder {
       .select(col("ck.collection"), col("ck.key"),
         Terms.uriFragment(col("p")).as("attr"), col("o").as("value"), col("ord"))
 
+    // A3 (append, the Python loader) vs A4 (overwrite, the Java builder,
+    // ResultsGraphBuilder.java:260-270: a repeated predicate replaces the
+    // value — LAST in input order wins, single-element list out)
+    val folded =
+      if (attrAppend)
+        // sort_array over (ord, value) keeps first-seen order like the
+        // reference's list-append, then dedup preserving that order
+        array_distinct(transform(
+          array_sort(collect_list(struct(col("ord"), col("value")))),
+          x => x.getField("value")))
+      else array(max_by(col("value"), col("ord")))
     val attrs = litTriples
       .groupBy("collection", "key", "attr")
-      // sort_array over (ord, value) keeps first-seen order like the
-      // reference's list-append, then dedup preserving that order
-      .agg(array_distinct(transform(
-        array_sort(collect_list(struct(col("ord"), col("value")))),
-        x => x.getField("value"))).as("values"))
+      .agg(folded.as("values"))
       .groupBy("collection", "key")
       .agg(map_from_entries(collect_list(struct(col("attr"), col("values")))).as("attrs"))
 

@@ -137,10 +137,15 @@ object PathQueries {
    */
   def withHierarchy(basePaths: DataFrame, edges: DataFrame, label: String,
                     maxDepth: Int = 64): DataFrame = {
-    val hier = edges.filter(col("label") === label)
+    // the single-label slice is read once per BFS level — materialize it
+    // eagerly (localCheckpoint, ContextCleaner-reclaimed — not a leaked
+    // CacheManager entry) and, when it is broadcast-sized, pin it to the
+    // broadcast side so the frontier never shuffles between levels
+    val hier0 = edges.filter(col("label") === label)
       .select(col("from_coll"), col("from_key"), col("to_coll"),
         col("to_key"), col("label"))
-      .cache()
+      .localCheckpoint(true)
+    val hier = if (hier0.count() <= 1000000) broadcast(hier0) else hier0
 
     val base = basePaths
       .withColumn("pid", monotonically_increasing_id())
@@ -155,8 +160,10 @@ object PathQueries {
       array().cast("array<struct<from_coll:string,from_key:string,to_coll:string,to_key:string,label:string>>").as("tes"),
       col("cur_coll"), col("cur_key"))
 
-    // best tail found so far per pid (starts as the empty tail)
-    var best = frontier.select(col("pid"), col("tvs"), col("tes"))
+    // tails per level (level 0 = the empty tail, so every pid survives);
+    // the longest-per-start winner is picked ONCE after the loop instead
+    // of re-aggregating every level
+    var levels = List(frontier.select(col("pid"), col("tvs"), col("tes")))
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
@@ -174,19 +181,18 @@ object PathQueries {
         .localCheckpoint(true) // cut lineage each level (depth ≤ 64)
       if (step.isEmpty) done = true
       else {
-        // longest-per-start: a longer tail always supersedes (W2 —
-        // SORT LENGTH DESC LIMIT 1). Among equal-length tails AQL keeps an
-        // arbitrary one; we keep max_by for determinism-enough semantics.
-        best = best.unionByName(step.select(col("pid"), col("tvs"), col("tes")))
-          .groupBy("pid")
-          .agg(max_by(struct(col("tvs"), col("tes")), size(col("tes"))).as("t"))
-          .select(col("pid"), col("t.tvs").as("tvs"), col("t.tes").as("tes"))
-          .localCheckpoint(true)
+        levels ::= step.select(col("pid"), col("tvs"), col("tes"))
         frontier = step
         depth += 1
       }
     }
-    hier.unpersist()
+    // longest-per-start: a longer tail always supersedes (W2 — SORT
+    // LENGTH DESC LIMIT 1). Among equal-length tails AQL keeps an
+    // arbitrary one; max_by keeps determinism-enough semantics.
+    val best = levels.reduce(_.unionByName(_))
+      .groupBy("pid")
+      .agg(max_by(struct(col("tvs"), col("tes")), size(col("tes"))).as("t"))
+      .select(col("pid"), col("t.tvs").as("tvs"), col("t.tes").as("tes"))
     base.join(best, Seq("pid"))
       .select(
         concat(col("vertices"), col("tvs")).as("vertices"),

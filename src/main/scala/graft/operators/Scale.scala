@@ -49,6 +49,15 @@ object Scale {
     * bucketing Catalyst plans NO shuffle exchange on either side
     * (asserted in the spec). The merge hint keeps small test tables from
     * taking the broadcast path, which would hide the co-location. */
+  /** W6 — deterministic "random" exemplar rows (the reference prints a
+    * random vertex for eyeballing, OntologyParserLoader.py diagnostics):
+    * rank by a seeded xxhash64 of the key columns and take n. Same seed →
+    * same rows on any cluster/partitioning; no RNG state, no collect of
+    * anything but the n winners. */
+  def exemplar(df: DataFrame, keyCols: Seq[String], seed: Long,
+               n: Int = 1): DataFrame =
+    df.orderBy(xxhash64((lit(seed) +: keyCols.map(col)): _*)).limit(n)
+
   def bucketedJoin(spark: SparkSession, table1: String, table2: String,
                    key: String): DataFrame =
     spark.table(table1).hint("merge").join(spark.table(table2), Seq(key))

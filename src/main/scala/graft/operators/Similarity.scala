@@ -43,12 +43,23 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cos", "rank")
+    topK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregate (BoundedTopK): map
+    * tasks truncate to k pairs per query BEFORE the shuffle, so the
+    * exchange carries k·|queries| rows per partition instead of every
+    * scored row (the round-1 window formulation funneled the whole scored
+    * set into |queries| tasks). Tie-break identical to the window version:
+    * cos desc, then the lower id. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.VectorExpressions.topKPairs(
+        struct(col("cos").cast("double").as("cos"),
+          col("nbr_id").cast("long").as("id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("r0", "t")))
+      .select(col("query_id"), col("t.id").as("nbr_id"), col("t.cos").as("cos"),
+        (col("r0") + 1).cast("int").as("rank"))
 
   /** Random-hyperplane signature: bit i = sign(vec · plane_i), planes
     * derived deterministically from splitmix64(plane, dim) → ±1. A custom
@@ -72,11 +83,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cos", "rank")
+    topK(scored, k)
   }
 
   /**
@@ -129,11 +136,7 @@ object Similarity {
     val scored = indexed.join(probed, Seq("cell_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cos", "rank")
+    topK(scored, k)
   }
 
   /** Nearest-centroid cell assignment as a NARROW per-row expression: the

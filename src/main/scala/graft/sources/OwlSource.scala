@@ -51,13 +51,47 @@ object OwlSource {
       .toDF()
   }
 
+  /** X11 — ontology version from parsed triples (find_obo_version,
+    * OntologyParserLoader.py:50-86): the owl:Ontology node's versionInfo
+    * literal when it parses strictly as yyyy-MM-dd; else the first
+    * yyyy-MM-dd embedded in its versionIRI; else null. `try_to_date` +
+    * `date_format` reproduces the reference's strptime→strftime
+    * normalization without ANSI exceptions. One row per ontology node. */
+  def oboVersion(triples: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val OWL = "http://www.w3.org/2002/07/owl#"
+    val onts = triples
+      .filter(col("p") === RDF_NS + "type" && col("o") === OWL + "Ontology")
+      .select(col("s").as("ont"))
+    val vi = triples.filter(col("p") === OWL + "versionInfo")
+      .select(col("s").as("ont"), col("o").as("__vi"))
+    val viri = triples.filter(col("p") === OWL + "versionIRI")
+      .select(col("s").as("ont"),
+        regexp_extract(col("o"), "(\\d{4}-\\d{2}-\\d{2})", 1).as("__viri"))
+    onts.join(vi, Seq("ont"), "left").join(viri, Seq("ont"), "left")
+      .select(col("ont"), coalesce(
+        date_format(try_to_date(col("__vi"), "yyyy-MM-dd"), "yyyy-MM-dd"),
+        date_format(try_to_date(when(col("__viri") =!= "", col("__viri")),
+          "yyyy-MM-dd"), "yyyy-MM-dd")).as("version"))
+  }
+
+  /** XMLInputFactory is not thread-safe and newInstance() does a
+    * service-loader lookup — per-document instantiation dominated the
+    * parse cost on many-small-document corpora (measured ~2× at sf0.1).
+    * One factory per executor thread; readers stay per-call. */
+  private val factories: ThreadLocal[XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, true)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
+
   /** Parse one RDF/XML document into triples (used directly in tests). */
   def parseBytes(path: String, content: Array[Byte]): Iterator[RawTriple] = {
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_COALESCING, true)
-    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    val reader = factory.createXMLStreamReader(new ByteArrayInputStream(content))
+    val reader = factories.get()
+      .createXMLStreamReader(new ByteArrayInputStream(content))
 
     val out = scala.collection.mutable.ArrayBuffer.empty[RawTriple]
     var stack = List.empty[Frame]

@@ -39,6 +39,18 @@ class GraphBuilderSpec extends SparkSpec {
     assert(v == Seq("macrophage", "big eater")) // first-seen order
   }
 
+  test("vertices: A4 overwrite fold keeps only the LAST value per attr") {
+    // the Java builder's semantics (ResultsGraphBuilder.java:260-270)
+    val t = tuples(
+      (obo + "CL_0000235", obo + "RO_1", obo + "CL_0000236", null),
+      (obo + "CL_0000235", rdfsLabel, "macrophage", null),
+      (obo + "CL_0000235", rdfsLabel, "big eater", null))
+    val v = GraphBuilder.vertices(t, attrAppend = false)
+      .filter($"key" === "0000235")
+      .select($"attrs"("label")).head().getSeq[String](0)
+    assert(v == Seq("big eater"))
+  }
+
   test("vertices: whitelist filters collections") {
     val t = tuples(
       (obo + "CL_1", obo + "RO_1", obo + "GOREL_2", null),

@@ -162,4 +162,16 @@ class OntologySpec extends SparkSpec {
     assert(ignored.count() == 2)
     assert(ignored.collect().exists(_.o == "PMID:1"))
   }
+
+  test("X11 oboVersion: versionInfo, versionIRI fallback, and absent") {
+    val dir = "/root/reference/src/test/data/obo"
+    def versionOf(f: String): Option[String] = {
+      val raw = OwlSource.readOwl(spark, s"$dir/$f")
+      OwlSource.oboVersion(raw).collect().headOption.flatMap(r => Option(r.getString(1)))
+    }
+    assert(versionOf("version-info-test.owl") == Some("2024-01-15"))
+    // macrophage.owl has a versionIRI release date
+    assert(versionOf("macrophage.owl") == Some("2024-09-26"))
+    assert(versionOf("no-version-test.owl").isEmpty)
+  }
 }

@@ -30,4 +30,14 @@ class ScaleSpec extends SparkSpec {
       s"expected shuffle-free join:\n$plan")
     assert(joined.count() == 500)
   }
+
+  test("W6 exemplar is deterministic per seed and needs no RNG state") {
+    import graft.operators.Scale
+    val df = (1 to 500).map(i => (i.toLong, s"name-$i")).toDF("id", "name")
+    val a = Scale.exemplar(df, Seq("id"), seed = 7L).collect().toSeq
+    val b = Scale.exemplar(df, Seq("id"), seed = 7L).collect().toSeq
+    assert(a == b && a.size == 1)
+    val c = Scale.exemplar(df, Seq("id"), seed = 8L, n = 3).collect().toSeq
+    assert(c.size == 3 && c != a)
+  }
 }

@@ -89,6 +89,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
   }
 
+  test("bounded-heap top-k matches the window formulation and aggregates partially") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val heap = Similarity.bruteForceTopK(corpus, queries, k = 7)
+    // the round-1 window formulation as the reference semantics
+    val c = corpus.select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec"))
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val scored = c.crossJoin(q).filter($"query_id" =!= $"nbr_id")
+      .withColumn("cos", Similarity.cosine($"q_vec", $"nbr_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"cos".desc, $"nbr_id".asc)
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 7).select("query_id", "nbr_id", "cos", "rank")
+    def set(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(set(heap) == set(win))
+    // map-side truncation: a partial aggregate runs before the exchange
+    val plan = heap.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partial"), s"no partial aggregation in:\n$plan")
+  }
+
   test("IVF cell assignment is narrow: no Exchange between scan and cell_id") {
     // round-1 regression: the window-argmax assignment shuffled the whole
     // corpus ×nCells; the literal-centroid argmax must stay map-only
