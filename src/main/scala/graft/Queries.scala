@@ -961,6 +961,28 @@ object Queries {
       .orderBy("q", "val")
   }
 
+  /** Hyperplane-LSH ANN gate with the all-pass bucket (nPlanes = 0): the
+    * bucket equi-join + BoundedTopK re-rank run for real over every
+    * candidate, making the result exactly brute-force top-k — the q26
+    * oracle applies. The bucketed scale path is spec-covered vs brute
+    * force. */
+  def q48LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nPlanes = 0)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Document fingerprint gate under the md5 hash (engine default is
+    * xxhash64 — same bottom-k machinery): bottom-8 of rolling char 8-gram
+    * hashes on a bounded slice, reproduced verbatim by the oracle. */
+  def q49Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat_ws(",", TextAnalysis.fingerprint(col("text"), gram = 8, k = 8,
+          hashFn = md5)).as("fp"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1012,8 +1034,24 @@ object Queries {
     "q44_opentargets_drugs" -> (q44OpentargetsDrugs _),
     "q45_schema_writer" -> (q45SchemaWriter _),
     "q46_production_catalog" -> (q46ProductionCatalog _),
-    "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _)
+    "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _),
+    "q48_lsh_topk" -> (q48LshTopK _),
+    "q49_fingerprint" -> (q49Fingerprint _)
   )
+
+  /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
+  private val bruteForceTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id AS nbr_id,
+        |  list_sum(list_transform(list_zip(q.qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        | SELECT query_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by q28 (writer) and q47 (interchange round-trip). */
   private val nsforestStreamOracle: String =
@@ -1686,17 +1724,13 @@ object Queries {
         |FROM part JOIN best b ON b.start = p_partkey
         |WHERE p_partkey % 97 <= 2
         |ORDER BY v0, v1""".stripMargin,
-    "q26_similarity_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        | SELECT q.query_id, c.vec_id AS nbr_id,
-        |  list_sum(list_transform(list_zip(q.qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        | FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-        |SELECT query_id, nbr_id, cos, rank FROM (
-        | SELECT query_id, nbr_id, cos,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    "q26_similarity_topk" -> bruteForceTopKOracle,
+    "q48_lsh_topk" -> bruteForceTopKOracle,
+    "q49_fingerprint" ->
+      """SELECT doc_id, array_to_string(
+        |  list_sort(list_distinct(list_transform(
+        |   generate_series(1, greatest(length(text) - 7, 1)),
+        |   i -> md5(substr(text, CAST(i AS INT), 8)))))[1:8], ',') AS fp
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   )
 }

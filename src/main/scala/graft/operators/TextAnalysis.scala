@@ -86,12 +86,16 @@ object TextAnalysis {
 
   /** Document fingerprint: bottom-k sketch of rolling char 8-gram hashes
     * (winnowing-style). Two documents sharing most of their text share most
-    * of their bottom-k fingerprint. Returns array<long> of size ≤ k. */
-  def fingerprint(textCol: Column, gram: Int = 8, k: Int = 16): Column = {
+    * of their bottom-k fingerprint. Returns an array of size ≤ k. The hash
+    * is injectable like the MinHash families: the engine default is
+    * xxhash64 (codegen'd longs); md5 gives a slower variant any SQL engine
+    * reproduces, used by the oracle-checked gate. */
+  def fingerprint(textCol: Column, gram: Int = 8, k: Int = 16,
+                  hashFn: Column => Column = xxhash64(_)): Column = {
     val n = length(textCol)
     val hashes = transform(
       sequence(lit(1), greatest(n - gram + 1, lit(1))),
-      i => xxhash64(textCol.substr(i, lit(gram))))
+      i => hashFn(textCol.substr(i, lit(gram))))
     slice(array_sort(array_distinct(hashes)), 1, k)
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.scalacheck.Gen
+
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
@@ -52,5 +54,25 @@ class SourcesSpec extends SparkSpec {
     val read = TupleJson.read(spark, dir.toString + "/bad.json")
     assert(read.filter(!col("valid")).count() == 1)
     assert(read.filter(col("valid")).count() == 1)
+  }
+
+  test("tuple encode/decode are inverse over generated tuples (property)") {
+    // arity-3 triples and arity-4 (s, o, p, literal) quads with arbitrary
+    // alphanumeric content round-trip exactly through the positional form
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val tup = Gen.zip(word, word, word, Gen.option(word))
+    val samples = Iterator.continually(tup.sample).flatten.take(120).toSeq
+    val df = samples.zipWithIndex
+      .map { case ((s0, p0, o0, l0), i) => (s0, p0, o0, l0, i.toLong) }
+      .toDF("s", "p", "o", "lit", "ord")
+    val back = df
+      .select(TupleJson.decodeTuple(TupleJson.encodeTuple).as("d"), $"ord")
+      .orderBy("ord")
+      .select("d.s", "d.p", "d.o", "d.lit", "d.valid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4)))
+    samples.zip(back).foreach { case ((s0, p0, o0, l0), (s1, p1, o1, l1, v)) =>
+      assert((s0, p0, o0, l0) == (s1, p1, o1, l1) && v)
+    }
   }
 }
