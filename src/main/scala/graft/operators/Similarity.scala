@@ -150,10 +150,23 @@ object Similarity {
     * the corpus and a full-corpus ×nCells shuffle. */
   def assignCells(df: DataFrame, centroids: Seq[(Int, Array[Float])],
                   vecCol: String, topCells: Int): DataFrame = {
-    val scored = array(centroids.map { case (i, c) =>
-      struct((lit(0.0) - cosine(col(vecCol), array(c.map(lit(_)).toSeq: _*))).as("neg_sim"),
-        lit(i).as("cell_id"))
-    }: _*)
+    // two narrow formulations: one codegen'd CosineSim per centroid for
+    // small quantizers (fastest; but each centroid adds an expression to
+    // the projection, so codegen would blow up at large nCells), or one
+    // interpreted HOF pass over a single array literal for large ones —
+    // both are map-only
+    val scored =
+      if (centroids.size <= 64)
+        array(centroids.map { case (i, c) =>
+          struct((lit(0.0) - cosine(col(vecCol), array(c.map(lit(_)).toSeq: _*)))
+            .as("neg_sim"), lit(i).as("cell_id"))
+        }: _*)
+      else {
+        val cents = typedLit(centroids.map { case (i, c) => (i, c.toSeq) })
+        transform(cents, c =>
+          struct((lit(0.0) - cosine(col(vecCol), c.getField("_2"))).as("neg_sim"),
+            c.getField("_1").as("cell_id")))
+      }
     if (topCells == 1)
       df.withColumn("cell_id", array_min(scored).getField("cell_id"))
     else

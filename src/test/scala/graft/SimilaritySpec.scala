@@ -131,4 +131,29 @@ class SimilaritySpec extends SparkSpec {
       .select("cell_id").as[Int].head()
     assert(one == 0)
   }
+
+  test("large-quantizer assignment (HOF path) agrees with the codegen path") {
+    // > 64 centroids switches to the single-array-literal formulation;
+    // both must assign every vector identically and stay Exchange-free
+    val corpus = (0L until 40L).map(i => (i, vec(8))).toDF("id", "v")
+    val big = (0 until 70).map(i =>
+      i -> Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
+    val viaHof = Similarity.assignCells(corpus, big, "v", 1)
+      .select("id", "cell_id").as[(Long, Int)].collect().toMap
+    // per-row check against a driver-side argmax on collected vectors
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    vecs.foreach { case (id, v) =>
+      val bestCell = big.map { case (i, c) => (-cos(v, c), i) }.min._2
+      assert(viaHof(id) == bestCell, s"id $id")
+    }
+    val plan = Similarity.assignCells(corpus, big, "v", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
