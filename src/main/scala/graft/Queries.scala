@@ -983,6 +983,21 @@ object Queries {
           hashFn = md5)).as("fp"))
       .orderBy("doc_id")
 
+  /** Near-dup clustering gate: connected components over the q19 Jaccard
+    * pair graph (transitive closure — A~B, B~C collapse even without an
+    * A~C candidate pair), plus the cluster-dedup survivor census as a
+    * sentinel row. Oracle: a recursive CTE computing min-reachable-id. */
+  def q50NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, minJaccard = 0.1)
+    val cc = Dedup.connectedComponents(pairs)
+    val survivors = Dedup.dedupByComponents(
+      t(s, dir, "documents"), pairs).agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("id"), col("n").as("component"))
+    cc.select(col("id"), col("component")).unionByName(survivors)
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1036,7 +1051,8 @@ object Queries {
     "q46_production_catalog" -> (q46ProductionCatalog _),
     "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _),
     "q48_lsh_topk" -> (q48LshTopK _),
-    "q49_fingerprint" -> (q49Fingerprint _)
+    "q49_fingerprint" -> (q49Fingerprint _),
+    "q50_near_dup_components" -> (q50NearDupComponents _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1114,6 +1130,35 @@ object Queries {
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q50_near_dup_components" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs0 AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id),
+        |pairs AS (
+        | SELECT id_a, id_b FROM pairs0
+        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+        |surv AS (
+        | SELECT CAST(-1 AS BIGINT) AS id,
+        |  (SELECT count(*) FROM documents)
+        |   - (SELECT count(*) FROM reach WHERE id <> component) AS component)
+        |SELECT id, component FROM reach
+        |UNION ALL SELECT id, component FROM surv
+        |ORDER BY id""".stripMargin,
     "q46_production_catalog" ->
       """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
         |cl AS (SELECT DISTINCT c % 200 AS j FROM cust),

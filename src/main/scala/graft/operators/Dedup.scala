@@ -202,6 +202,61 @@ object Dedup {
     }
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise candidates (MinHash/SimHash/Jaccard output) into duplicate
+    * CLUSTERS with one canonical survivor each. Transitive closure matters:
+    * A~B and B~C must collapse to one cluster even when A~C was never a
+    * candidate pair.
+    *
+    * Min-label propagation: every id starts as its own label; each round
+    * takes the min of its own and its neighbors' labels; fixpoint when no
+    * label changes. Each round is one equi-join + one hash aggregation on
+    * the id — scales with |pairs|, and converges in O(component diameter)
+    * rounds (near-dup clusters are dense and shallow; the 20-round default
+    * cap covers diameter-20 chains, far beyond observed dup structure).
+    * localCheckpoint per round cuts lineage; early exit on a converged
+    * round.
+    *
+    * @return (id, component) where component = the minimum id reachable
+    *         from `id` through the pair graph */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIter) {
+      val viaNbr = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("label"))
+      val updated = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val nChanged = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      changed = nChanged > 0
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Cluster-level dedup: one survivor (the minimum id) per connected
+    * component of the pair graph; documents with no near-dup pair survive
+    * untouched. Anti-join on the non-survivor member set — never touches
+    * document bodies. */
+  def dedupByComponents(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs that share at
     * least one shingle (equi-join on shingle, then |∩|/|∪|). Use after LSH
     * at scale; standalone it's exact but shuffles every (doc, shingle). */

@@ -75,6 +75,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("connected components match a union-find over generated pair graphs") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = pairs.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // same partition into components (min-id labels agree)
+    ids.foreach { id => assert(got(id) == find(id), s"id $id") }
+
+    // cluster dedup keeps exactly one survivor per component + untouched docs
+    val docs = (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByComponents(docs, df).select("doc_id")
+      .as[Long].collect().toSet
+    val losers = ids.filter(id => find(id) != id).toSet
+    assert(kept == (0L until 50L).toSet -- losers)
+  }
+
   test("shingleRows emits distinct in-order n-grams") {
     val sh = Dedup.shingleRows(Seq((1L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", "text", 3).select("shingle").as[String].collect().toSeq
