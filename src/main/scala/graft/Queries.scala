@@ -998,6 +998,30 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Corpus-split gate: deterministic md5-nibble train/val/test
+    * assignment censused per (source, split) — stable under any
+    * parallelism, reproduced exactly by the oracle. */
+  def q51DeterministicSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("split",
+        graft.operators.Scale.deterministicSplit(col("text")))
+      .groupBy("source", "split").agg(count(lit(1)).as("n"))
+      .orderBy("source", "split")
+
+  /** Redaction gate: emails/URLs/digit runs planted into the document
+    * text, scrubbed to typed tokens; the oracle applies the identical
+    * RE2-safe patterns, so the full redacted strings hash-compare. */
+  def q52Redact(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val salted = concat(substring(col("text"), 1, 80),
+      lit(" user"), d, lit("@ex"), d % 7, lit(".com http://ex.org/p"), d,
+      lit(" id"), d * 1000003L, lit(" end"))
+    t(s, dir, "documents").filter(d < 300)
+      .select(d.as("doc_id"),
+        graft.operators.TextAnalysis.redact(salted).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1052,7 +1076,9 @@ object Queries {
     "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _),
     "q48_lsh_topk" -> (q48LshTopK _),
     "q49_fingerprint" -> (q49Fingerprint _),
-    "q50_near_dup_components" -> (q50NearDupComponents _)
+    "q50_near_dup_components" -> (q50NearDupComponents _),
+    "q51_deterministic_split" -> (q51DeterministicSplit _),
+    "q52_redact" -> (q52Redact _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1130,6 +1156,24 @@ object Queries {
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q51_deterministic_split" ->
+      """SELECT source,
+        | CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c') THEN 'train'
+        |  WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
+        |  ELSE 'test' END AS split,
+        | count(*) AS n
+        |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q52_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   substr(text, 1, 80) || ' user' || CAST(doc_id AS VARCHAR) || '@ex'
+        |    || CAST(doc_id % 7 AS VARCHAR) || '.com http://ex.org/p'
+        |    || CAST(doc_id AS VARCHAR) || ' id'
+        |    || CAST(doc_id * 1000003 AS VARCHAR) || ' end',
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^ ]+', '<URL>', 'g'),
+        | '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

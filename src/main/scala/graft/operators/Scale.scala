@@ -49,6 +49,27 @@ object Scale {
     * bucketing Catalyst plans NO shuffle exchange on either side
     * (asserted in the spec). The merge hint keeps small test tables from
     * taking the broadcast path, which would hide the co-location. */
+  /** Deterministic train/val/test assignment for corpus curation: the
+    * first hex nibble of md5(key) allocates each row to one of 16 slots,
+    * and slots map to named splits. Stable across runs, clusters, and
+    * input order; no RNG state to coordinate; the label is a narrow
+    * column expression, so split filters push down to the scan. md5 (not
+    * xxhash64) so any engine reproduces the assignment bit-for-bit. */
+  def deterministicSplit(key: Column,
+                         slots: Seq[(String, Int)] =
+                           Seq("train" -> 13, "val" -> 2, "test" -> 1)): Column = {
+    require(slots.map(_._2).sum == 16 && slots.forall(_._2 > 0),
+      "slots must sum to 16 sixteenths")
+    val hex = "0123456789abcdef"
+    val nibble = substring(md5(key), 1, 1)
+    val starts = slots.scanLeft(0) { case (acc, (_, n)) => acc + n }
+    slots.zip(starts).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, n), start)) =>
+        when(nibble.isin(hex.slice(start, start + n).map(_.toString): _*), name)
+          .otherwise(acc)
+    }
+  }
+
   /** W6 — deterministic "random" exemplar rows (the reference prints a
     * random vertex for eyeballing, OntologyParserLoader.py diagnostics):
     * rank by a seeded xxhash64 of the key columns and take n. Same seed →

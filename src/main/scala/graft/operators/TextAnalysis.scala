@@ -84,6 +84,20 @@ object TextAnalysis {
       stopRatio.as("stopword_ratio"))
   }
 
+  /** PII-style redaction for training corpora: emails, URLs, and long
+    * digit runs become typed placeholder tokens. Patterns are
+    * RE2-compatible (no backrefs/lookaround), so the same regexes run
+    * identically in Java (Spark) and RE2 engines — one narrow codegen'd
+    * pass, applied email-first so addresses aren't half-eaten by the
+    * digit rule. */
+  def redact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
+
   /** Document fingerprint: bottom-k sketch of rolling char 8-gram hashes
     * (winnowing-style). Two documents sharing most of their text share most
     * of their bottom-k fingerprint. Returns an array of size ≤ k. The hash

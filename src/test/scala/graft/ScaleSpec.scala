@@ -40,4 +40,26 @@ class ScaleSpec extends SparkSpec {
     val c = Scale.exemplar(df, Seq("id"), seed = 8L, n = 3).collect().toSeq
     assert(c.size == 3 && c != a)
   }
+
+  test("deterministicSplit is stable, total, and roughly proportional") {
+    import graft.operators.Scale
+    import org.apache.spark.sql.functions._
+    val df = (1 to 2000).map(i => s"doc-text-$i").toDF("k")
+    val counts = df.select(Scale.deterministicSplit($"k").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    // 13/16, 2/16, 1/16 within loose tolerance
+    assert(math.abs(counts("train") - 2000.0 * 13 / 16) < 200)
+    assert(counts("val") > counts("test"))
+    // same keys -> same assignment on re-evaluation
+    val again = df.select(Scale.deterministicSplit($"k").as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    intercept[IllegalArgumentException] {
+      Scale.deterministicSplit($"k", Seq("a" -> 8, "b" -> 9))
+    }
+  }
 }

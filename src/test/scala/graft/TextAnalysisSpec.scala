@@ -52,4 +52,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L).toSet.intersect(fps(3L).toSet).size >= 12) // of 16
   }
+
+  test("redact scrubs emails, URLs, and long digit runs in one pass") {
+    import org.apache.spark.sql.functions._
+    val in = Seq(
+      "mail me at jane.doe+x@lab.example.org or see https://ex.org/a?b=1 ref 12345678",
+      "short 12345 stays; card 4111111111111111 goes").toDF("t")
+    val out = in.select(TextAnalysis.redact($"t")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> or see <URL> ref <NUM>")
+    assert(out(1) == "short 12345 stays; card <NUM> goes")
+  }
 }
