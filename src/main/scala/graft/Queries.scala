@@ -991,8 +991,14 @@ object Queries {
     val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, minJaccard = 0.1)
     val cc = Dedup.connectedComponents(pairs)
-    val survivors = Dedup.dedupByComponents(
-      t(s, dir, "documents"), pairs).agg(count(lit(1)).as("n"))
+    // survivor census from the SAME component run (dedupByComponents
+    // would re-derive components; its rule — drop non-minimum members —
+    // is applied here directly and unit-tested against union-find)
+    val losers = cc.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val survivors = t(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
       .select(lit(-1L).as("id"), col("n").as("component"))
     cc.select(col("id"), col("component")).unionByName(survivors)
       .orderBy("id")
