@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Structured Streaming surface (builder mandate; reference has no true
@@ -39,6 +40,69 @@ object Streams {
                   tsCol: String = "ts"): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  final case class SessionEvent(ts: java.sql.Timestamp, event_type: String,
+                                value: Double)
+  final case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+  final case class ClosedSession(event_type: String,
+                                 win_start: java.sql.Timestamp,
+                                 win_end: java.sql.Timestamp,
+                                 n: Long, sum_value: Double)
+
+  /**
+   * Custom-state sessionization — the `flatMapGroupsWithState` face of
+   * the engine (builder mandate): per event_type, events within `gapMs`
+   * of each other merge into one session; a session closes (and is
+   * emitted, Append mode) when a later event arrives past the gap OR the
+   * event-time watermark passes its timeout. State per key is ONE small
+   * struct — bounded regardless of stream length; the watermark bounds
+   * how long an idle session can linger.
+   */
+  def sessionize(events: Dataset[SessionEvent],
+                 watermark: String = "30 minutes",
+                 gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(key: String, s: SessionAgg): ClosedSession =
+      ClosedSession(key, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.n, s.sum)
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(key, s))
+          } else {
+            // fold the batch's events (sorted by event time) into
+            // sessions, seeding with the carried state; every session
+            // superseded by a gap closes now, the last stays open
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t <= s.endMs + gapMs =>
+                  Some(SessionAgg(s.startMs, math.max(s.endMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= close(key, s)
+                  Some(SessionAgg(t, t, 1, e.value))
+                case None => Some(SessionAgg(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`

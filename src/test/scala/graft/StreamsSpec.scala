@@ -69,4 +69,35 @@ class StreamsSpec extends SparkSpec {
     // 3 more-ann + 8 edge-ann + 2 provenance = 25
     assert(tuples.count() == 25)
   }
+
+  test("flatMapGroupsWithState sessionization closes on gap and on timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val sessions = Streams.sessionize(
+      in.toDF().toDF("ts", "event_type", "value").as[Streams.SessionEvent],
+      watermark = "30 minutes", gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // session 1: two clicks 5 minutes apart
+      in.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // still open
+      // a click 120 minutes later: past the gap -> session 1 closes
+      in.addData((ts(120), "click", 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_out")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(afterGap == Set(("click", 2L, 3.0)))
+      // a far-future event on ANOTHER key advances the watermark past
+      // session 2's timeout -> it closes via hasTimedOut
+      in.addData((ts(1000), "view", 9.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out")
+        .select("event_type", "n", "sum_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(afterTimeout.contains(("click", 1L, 4.0)))
+    } finally q.stop()
+  }
 }
