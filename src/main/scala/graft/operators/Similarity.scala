@@ -174,6 +174,40 @@ object Similarity {
         explode(slice(sort_array(scored), 1, topCells).getField("cell_id")))
   }
 
+  /** Persist the IVF index: every corpus vector assigned to its cell and
+    * written PARTITIONED BY cell_id — the layout claimed by the ivfTopK
+    * design note, made real: at 100 TB a query scans only its probed
+    * cells' files. */
+  def writeIvfIndex(corpus: DataFrame, centroids: Seq[(Int, Array[Float])],
+                    path: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    assignCells(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      centroids, "nbr_vec", 1)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** Query a persisted IVF index with STATIC partition pruning: the
+    * probed cell set (≤ |queries|·nProbe ints — tiny by the small-query
+    * contract) folds into an `isin` partition filter, so the parquet scan
+    * lists only those cell directories (PartitionFilters in the plan,
+    * spec-asserted); candidates then re-rank through the bounded-heap
+    * top-k. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    centroids: Seq[(Int, Array[Float])], queries: DataFrame,
+                    k: Int, nProbe: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probed = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      centroids, "q_vec", nProbe)
+    val cells = probed.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("cell_id").isin(cells: _*))
+    val scored = index.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    topK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding
     * variant of Dedup): pairs in the same bucket with cosine ≥ threshold. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, nPlanes: Int = 10,

@@ -132,6 +132,28 @@ class SimilaritySpec extends SparkSpec {
     assert(one == 0)
   }
 
+  test("persisted IVF index prunes to the probed cell partitions") {
+    val base = (0L until 60L).map(i => (i, vec(12)))
+    val corpus = (base ++ base.take(2).map { case (i, v) => (i + 100L, v) })
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i =>
+      i -> Array.tabulate(12)(d => math.cos(i * 12 + d + 1).toFloat))
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.writeIvfIndex(corpus, cents, dir)
+    // partitioned layout on disk
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell_id=")))
+    val queries = corpus.filter($"vec_id" >= 100L)
+    val r = Similarity.queryIvfIndex(spark, dir, cents, queries, k = 1, nProbe = 1)
+    // planted duplicates land in their twin's cell -> found at top-1
+    val top = r.collect().map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("nbr_id"))).toMap
+    assert(top == Map(100L -> 0L, 101L -> 1L))
+    // the scan carries a cell_id partition filter (static pruning)
+    val plan = Similarity.queryIvfIndex(spark, dir, cents, queries, 1, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // > 64 centroids switches to the single-array-literal formulation;
     // both must assign every vector identically and stay Exchange-free
