@@ -559,9 +559,11 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** MinHash+LSH end-to-end under the md5 families on a 100-doc subset —
+  /** MinHash+LSH end-to-end under the md5 families on the FULL documents
+    * table (k=16, 8 bands — a second config next to q20's k=8/4-band) —
     * banding, candidate self-join, and est_jaccard all reproduced by the
-    * DuckDB oracle (q20 keeps the fast xxhash64 family at full size). */
+    * DuckDB oracle. The md5-per-shingle hashing is the oracle tax; the
+    * engine-default xxhash64 family is spec-covered in DedupSpec. */
   def q37MinhashLshOracle(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(
         t(s, dir, "documents"),

@@ -210,16 +210,24 @@ object Dedup {
     *
     * Min-label propagation: every id starts as its own label; each round
     * takes the min of its own and its neighbors' labels; fixpoint when no
-    * label changes. Each round is one equi-join + one hash aggregation on
-    * the id — scales with |pairs|, and converges in O(component diameter)
-    * rounds (near-dup clusters are dense and shallow; the 20-round default
-    * cap covers diameter-20 chains, far beyond observed dup structure).
-    * localCheckpoint per round cuts lineage; early exit on a converged
-    * round.
+    * label changes. Each round is ONE Spark job: the previous label rides
+    * through the aggregation as `old`, and a long accumulator counts flips
+    * while the eager localCheckpoint materializes the round — no separate
+    * join+count convergence job. Task retries can only over-count the
+    * accumulator, never under-count: a genuinely converged round has zero
+    * flipped rows, so retries cannot fake convergence. Scales with |pairs|
+    * and converges in O(component diameter) rounds (near-dup clusters are
+    * dense and shallow; the 20-round default cap covers diameter-20
+    * chains, far beyond observed dup structure).
     *
+    * @param failOnMaxIter when the round cap is hit before the fixpoint,
+    *        throw (default) instead of silently returning
+    *        partially-propagated labels
     * @return (id, component) where component = the minimum id reachable
     *         from `id` through the pair graph */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          failOnMaxIter: Boolean = true): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -227,21 +235,34 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(labels.schema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     var it = 0
     var changed = true
     while (changed && it < maxIter) {
       val viaNbr = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"))
-      val updated = labels.unionByName(viaNbr)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val nChanged = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val acc = spark.sparkContext.longAccumulator(s"graft.cc.flips.$it")
+      val merged = labels.withColumn("old", col("label"))
+        .unionByName(viaNbr.withColumn("old", lit(null).cast(labelType)))
+        .groupBy("id")
+        // every id has exactly one self row, so max(old) recovers its
+        // previous label next to the new min
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      val updated = merged.map { r =>
+        if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(1))
+      }(enc).localCheckpoint(true)
       labels = updated
-      changed = nChanged > 0
+      changed = acc.value > 0
       it += 1
     }
+    if (changed && failOnMaxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds - " +
+          "the pair graph has a component with diameter > maxIter; raise " +
+          "maxIter (or pass failOnMaxIter=false to accept partial labels)")
     labels.select(col("id"), col("label").as("component"))
   }
 

@@ -140,12 +140,28 @@ object PathQueries {
     // the single-label slice is read once per BFS level — materialize it
     // eagerly (localCheckpoint, ContextCleaner-reclaimed — not a leaked
     // CacheManager entry) and, when it is broadcast-sized, pin it to the
-    // broadcast side so the frontier never shuffles between levels
+    // broadcast side so the frontier never shuffles between levels. The
+    // gate is estimated BYTES against the session's own
+    // autoBroadcastJoinThreshold (a row-count gate would happily broadcast
+    // hundreds of MB of long keys and OOM the driver at scale).
     val hier0 = edges.filter(col("label") === label)
       .select(col("from_coll"), col("from_key"), col("to_coll"),
         col("to_key"), col("label"))
       .localCheckpoint(true)
-    val hier = if (hier0.count() <= 1000000) broadcast(hier0) else hier0
+    val sz = hier0.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(length(concat_ws("", col("from_coll"), col("from_key"),
+        col("to_coll"), col("to_key"), col("label")))), lit(0L)).as("chars"))
+      .head()
+    // UTF-16 string payload + ~48 B per-row struct/field overhead
+    val estBytes = sz.getLong(1) * 2 + sz.getLong(0) * 48
+    val confStr = basePaths.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      if (confStr.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)
+    val hier = if (threshold > 0 && estBytes <= threshold) broadcast(hier0)
+               else hier0
 
     val base = basePaths
       .withColumn("pid", monotonically_increasing_id())

@@ -71,7 +71,10 @@ object TextAnalysis {
     val meanWordLen = when(nToks > 0,
       aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nToks)
       .otherwise(lit(0.0))
-    val nPunct = size(filter(split(textCol, ""), c => c.rlike("[\\p{Punct}]")))
+    // One narrow regex pass: punct count = chars removed by stripping the
+    // class. (The per-char split+rlike HOF form evaluated an interpreted
+    // regex per character — same 20-90x penalty class PLANS.md measured.)
+    val nPunct = nChars - length(regexp_replace(textCol, "[\\p{Punct}]", ""))
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val words = wordSet(textCol)
     val en = langMarkers("en")

@@ -74,21 +74,26 @@ private[sources] class OwlTable(paths: Seq[String]) extends Table with SupportsR
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new OwlReaderFactory
+        // ship the DRIVER's Hadoop conf to the executors — a blank
+        // Configuration would silently drop S3/HDFS credentials and custom
+        // FS settings, confining the connector to file:// despite the scan
+        // being FS-agnostic everywhere else
+        new OwlReaderFactory(new org.apache.spark.util.SerializableConfiguration(
+          SparkSession.active.sparkContext.hadoopConfiguration))
     }
 }
 
 private[sources] case class OwlInputPartition(file: String) extends InputPartition
 
-private[sources] class OwlReaderFactory extends PartitionReaderFactory {
+private[sources] class OwlReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[OwlInputPartition].file
     new PartitionReader[InternalRow] {
-      // executor-side read with a fresh Hadoop conf (file:// and default
-      // FS; cluster-specific FS settings would need a serialized conf)
       private val it: Iterator[OwlSource.RawTriple] = {
         val hp = new Path(file)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = hp.getFileSystem(conf.value)
         val in = fs.open(hp)
         val bytes =
           try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)

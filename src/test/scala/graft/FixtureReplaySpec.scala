@@ -24,7 +24,10 @@ import graft.writers._
 class FixtureReplaySpec extends SparkSpec {
   import spark.implicits._
 
-  private val dir = "/root/reference/src/test/data/summaries"
+  private def dir = {
+    assumeReference("src/test/data/summaries")
+    referencePath("src/test/data/summaries")
+  }
   private implicit val fmts: Formats = DefaultFormats
 
   private def fixture(name: String): JValue = JsonMethods.parse(

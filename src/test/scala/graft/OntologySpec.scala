@@ -164,7 +164,8 @@ class OntologySpec extends SparkSpec {
   }
 
   test("X11 oboVersion: versionInfo, versionIRI fallback, and absent") {
-    val dir = "/root/reference/src/test/data/obo"
+    assumeReference("src/test/data/obo")
+    val dir = referencePath("src/test/data/obo")
     def versionOf(f: String): Option[String] = {
       val raw = OwlSource.readOwl(spark, s"$dir/$f")
       OwlSource.oboVersion(raw).collect().headOption.flatMap(r => Option(r.getString(1)))

@@ -24,4 +24,17 @@ object SparkSpec {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  /** Root of the reference checkout for golden-fixture replay suites.
+    * Overridable via GRAFT_REFERENCE_ROOT so the suite is relocatable;
+    * tests that need it call [[assumeReference]] and cancel (not fail)
+    * when the checkout is absent, keeping `sbt test` self-contained. */
+  def referencePath(rel: String): String =
+    sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference") + "/" + rel
+
+  def assumeReference(rel: String): Unit = {
+    val p = referencePath(rel)
+    assume(new java.io.File(p).exists(),
+      s"reference fixture $p not present - skipping golden replay")
+  }
 }
