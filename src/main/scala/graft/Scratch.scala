@@ -55,13 +55,22 @@ object Scratch {
       }
       spark.stop(); return
     }
-    val df = SparkEntry.queries(name)(spark, dir)
+    // time CONSTRUCTION too: several queries run eager localCheckpoints
+    // while being built, so a clock started after construction hides most
+    // of their cost (q46 looked 1.2 s here vs 12.9 s honest build+count).
+    // build + first count is the Bench-comparable number.
     var t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    println(f"[scratch] build (incl. eager checkpoints): $tBuild%.2f s")
+    t0 = System.nanoTime()
     df.queryExecution.optimizedPlan // force analysis+optimization
     println(f"[scratch] optimize: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     t0 = System.nanoTime()
     val n = df.count()
-    println(f"[scratch] first count=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val tCount = (System.nanoTime() - t0) / 1e9
+    println(f"[scratch] first count=$n: $tCount%.2f s")
+    println(f"[scratch] build+count (Bench-comparable): ${tBuild + tCount}%.2f s")
     for (i <- 2 to 4) {
       t0 = System.nanoTime()
       println(f"[scratch] count#$i=${df.count()}: ${(System.nanoTime() - t0) / 1e9}%.2f s")
