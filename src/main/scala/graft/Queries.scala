@@ -981,8 +981,8 @@ object Queries {
   def q49Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").filter(col("doc_id") < 300)
       .select(col("doc_id"),
-        concat_ws(",", TextAnalysis.fingerprint(col("text"), gram = 8, k = 8,
-          hashFn = md5)).as("fp"))
+        concat_ws(",", TextAnalysis.fingerprintWith(col("text"), md5,
+          gram = 8, k = 8)).as("fp"))
       .orderBy("doc_id")
 
   /** Near-dup clustering gate: connected components over the q19 Jaccard

@@ -37,6 +37,70 @@ object Scratch {
       println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "fpbench") {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.count() // warm file cache
+      for (_ <- 1 to 2) {
+        var t = System.nanoTime()
+        val fast: Double = docs.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(sum(element_at(col("fp"), 1).cast("double"))).head().getDouble(0)
+        println(s"[scratch] codegen fingerprint sum=$fast in ${(System.nanoTime()-t)/1e9}")
+        t = System.nanoTime()
+        val hof: Double = docs.select(graft.operators.TextAnalysis
+            .fingerprintWith(col("text"), xxhash64(_)).as("fp"))
+          .agg(sum(element_at(col("fp"), 1).cast("double"))).head().getDouble(0)
+        println(s"[scratch] HOF fingerprint sum=$hof in ${(System.nanoTime()-t)/1e9}")
+        assert(fast == hof)
+      }
+      spark.stop(); return
+    }
+    if (name == "bisect37") {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      var t = System.nanoTime()
+      val sh = graft.operators.Dedup.shingleRows(docs, "doc_id", "text", 3)
+      println(s"[scratch] shingle rows=${sh.count()} in ${(System.nanoTime()-t)/1e9}")
+      for (k <- Seq(4, 16)) {
+        t = System.nanoTime()
+        val sigs = graft.operators.Dedup.minHashSignatures(
+          docs, "doc_id", "text", 3, k, graft.operators.Dedup.md5HashFamily)
+        println(s"[scratch] md5 sigs k=$k rows=${sigs.count()} in ${(System.nanoTime()-t)/1e9}")
+      }
+      t = System.nanoTime()
+      val sigsXx = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
+      println(s"[scratch] xx sigs k=16 rows=${sigsXx.count()} in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      val lsh = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 8,
+        graft.operators.Dedup.md5HashFamily, graft.operators.Dedup.md5BucketFamily)
+      println(s"[scratch] full md5 lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
+      // isolate the join phase: persisted sigs -> banded self-join, no checkpoint
+      val (bands, k2, r2) = (8, 16, 2)
+      val sigs2 = graft.operators.Dedup.minHashSignatures(
+        docs, "doc_id", "text", 3, k2, graft.operators.Dedup.md5HashFamily).persist()
+      t = System.nanoTime()
+      sigs2.count()
+      println(s"[scratch] sigs persist+count in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      val banded = sigs2.select(col("doc_id").as("id"), col("sig"),
+        explode(array((0 until bands).map(bnd => struct(
+          lit(bnd).as("band"),
+          graft.operators.Dedup.md5BucketFamily(bnd,
+            concat_ws(",", slice(col("sig"), bnd * r2 + 1, r2))).as("bucket"))): _*)).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      val aa = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+      val bb2 = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+      val prs = aa.join(bb2, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+            .cast("double") / lit(k2)).as("est_jaccard"))
+        .dropDuplicates("id_a", "id_b")
+      println(s"[scratch] join phase rows=${prs.count()} in ${(System.nanoTime()-t)/1e9}")
+      t = System.nanoTime()
+      prs.localCheckpoint(true)
+      println(s"[scratch] result localCheckpoint in ${(System.nanoTime()-t)/1e9}")
+      spark.stop(); return
+    }
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",

@@ -39,6 +39,18 @@ object VectorExpressions {
   def simHash64(tokens: Column): Column =
     ColumnShim.column(org.apache.spark.sql.graft.SimHash64(ColumnShim.expression(tokens)))
 
+  /** Distinct word n-gram shingles (space-joined) of a token array —
+    * one codegen'd call per row, byte-identical to the interpreted
+    * transform/slice/concat_ws/array_distinct formulation. */
+  def wordShingles(words: Column, n: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.WordShingles(ColumnShim.expression(words), n))
+
+  /** Bottom-k distinct xxhash64 over rolling char n-gram windows — the
+    * codegen'd document fingerprint (value-identical to the HOF
+    * sequence/substr/xxhash64 + distinct/sort/slice form). */
+  def ngramFingerprint(text: Column, gram: Int, k: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.NgramFingerprint(ColumnShim.expression(text), gram, k))
+
   /** Bounded-heap top-k aggregate over struct<cos double, id long> —
     * partial aggregation keeps at most k pairs per group per map task,
     * so a top-k never shuffles the full scored set (the window

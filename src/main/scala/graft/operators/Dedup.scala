@@ -35,13 +35,22 @@ object Dedup {
 
   /** Exploded (id, shingle) rows: distinct word n-grams per document.
     *
-    * The words array is materialized in its own projection FIRST — if the
-    * `split()` were inlined into the transform lambda, Spark's interpreted
-    * higher-order functions would recompute the split for every window
-    * position (O(len²) per document; measured 20× slower). CollapseProject
-    * keeps the projection because the alias is referenced multiple times
-    * by a non-cheap expression. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    * The window/join/distinct loop is one codegen'd call per row
+    * (WordShingles) — the interpreted transform/slice/concat_ws HOF
+    * formulation it replaces re-evaluated a lambda per window position and
+    * alone cost ~2.3 s of q37's 5 s at sf0.1 (DedupSpec pins
+    * byte-equality between the two forms). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__words"))
+      .select(col(idCol),
+        explode(graft.functions.VectorExpressions.wordShingles(col("__words"), n))
+          .as("shingle"))
+
+  /** The interpreted HOF formulation [[shingleRows]] replaced — kept as the
+    * equivalence witness (DedupSpec asserts identical output). */
+  private[graft] def shingleRowsHof(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame = {
     val w = col("__words")
     docs
       .select(col(idCol), split(lower(col(textCol)), "\\s+").as("__words"))

@@ -103,12 +103,24 @@ object TextAnalysis {
 
   /** Document fingerprint: bottom-k sketch of rolling char 8-gram hashes
     * (winnowing-style). Two documents sharing most of their text share most
-    * of their bottom-k fingerprint. Returns an array of size ≤ k. The hash
-    * is injectable like the MinHash families: the engine default is
-    * xxhash64 (codegen'd longs); md5 gives a slower variant any SQL engine
-    * reproduces, used by the oracle-checked gate. */
-  def fingerprint(textCol: Column, gram: Int = 8, k: Int = 16,
-                  hashFn: Column => Column = xxhash64(_)): Column = {
+    * of their bottom-k fingerprint. Returns an array of size ≤ k.
+    *
+    * Default path is one codegen'd expression per row (NgramFingerprint:
+    * hash every char window over its UTF-8 bytes, sort, dedup, take k) —
+    * it replaced an interpreted `transform(sequence..., i =>
+    * xxhash64(substr(i, gram)))` HOF that evaluated per character, the
+    * operator's entire cost at scale. [[fingerprintWith]] keeps the
+    * injectable-hash column form for the SQL-oracle gate (md5) and as the
+    * equivalence witness (TextAnalysisSpec pins both forms equal under
+    * xxhash64). */
+  def fingerprint(textCol: Column, gram: Int = 8, k: Int = 16): Column =
+    graft.functions.VectorExpressions.ngramFingerprint(textCol, gram, k)
+
+  /** Injectable-hash fingerprint (interpreted HOF): `hashFn` is applied to
+    * each char `gram`-window column; bottom-k of the distinct hashes. md5
+    * makes it reproducible in any SQL engine (q49's oracle). */
+  def fingerprintWith(textCol: Column, hashFn: Column => Column,
+                      gram: Int = 8, k: Int = 16): Column = {
     val n = length(textCol)
     val hashes = transform(
       sequence(lit(1), greatest(n - gram + 1, lit(1))),

@@ -1,0 +1,132 @@
+package org.apache.spark.sql
+package graft
+
+import java.util.{Arrays => JArrays, LinkedHashSet}
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Tight-loop helpers shared by interpreted eval and generated code. The
+ * shingle/fingerprint inner loops were the engine's last interpreted
+ * higher-order functions on a hot path (PLANS.md measured 20-90x penalties
+ * for per-element interpreted lambdas); these run one static Java call per
+ * row with zero Catalyst interpretation per element.
+ */
+object TextOps {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct word n-grams (space-joined), first-occurrence order —
+    * byte-identical to
+    * `array_distinct(filter(transform(sequence(0, greatest(size(w)-n, 0)),
+    *   i => when(i+n <= size(w), concat_ws(" ", slice(w, i+1, n)))), notNull))`
+    * including empty-token handling (concat_ws keeps empty strings). */
+  def shingles(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    val out = new LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= len) {
+      val win = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        // split() never emits null elements; guard anyway (concat_ws skips)
+        win(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      out.add(UTF8String.concatWs(SPACE, win: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Bottom-k of distinct xxhash64(seed 42) values over every char-level
+    * `gram`-window of `text` (winnowing-style document fingerprint) —
+    * value-identical to
+    * `slice(array_sort(array_distinct(transform(
+    *    sequence(1, greatest(length(t)-gram+1, 1)),
+    *    i => xxhash64(substr(t, i, gram))))), 1, k)`.
+    * Windows are CHARACTER windows (like substr), hashed over their UTF-8
+    * bytes without materializing any substring. */
+  def bottomKNgramHashes(text: UTF8String, gram: Int, k: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // char-start byte offsets (ASCII fast path: offsets are identities)
+    val nChars = text.numChars()
+    val starts = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (b < nBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      c += 1
+    }
+    starts(nChars) = nBytes
+    val nWin = math.max(nChars - gram + 1, 1)
+    val hashes = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val s = starts(w)
+      val e = starts(math.min(w + gram, nChars))
+      hashes(w) = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+      w += 1
+    }
+    JArrays.sort(hashes)
+    // dedup in place on the sorted array, stop once k survivors exist
+    val out = new Array[Long](math.min(k, nWin))
+    var n = 0
+    var i = 0
+    while (i < nWin && n < out.length) {
+      if (n == 0 || hashes(i) != out(n - 1)) { out(n) = hashes(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == out.length) out else JArrays.copyOf(out, n))
+  }
+}
+
+/** Distinct word n-gram shingles of a token array, one generated call per
+  * row. Replaces the interpreted transform/slice/concat_ws pipeline that
+  * dominated every MinHash-family query (~2.3 s of q37's 5 s at sf0.1). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.shingles(a.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.shingles($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Bottom-k distinct rolling char n-gram hash fingerprint, one generated
+  * call per row (the md5 column variant remains for the SQL oracle gate). */
+case class NgramFingerprint(child: Expression, gram: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(gram > 0 && k > 0, "gram and k must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.bottomKNgramHashes(a.asInstanceOf[UTF8String], gram, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.bottomKNgramHashes($a, $gram, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramFingerprint =
+    copy(child = newChild)
+}

@@ -23,6 +23,22 @@ class DedupSpec extends SparkSpec {
       "distributed columnar execution at massive scale " * 6)
   ).toDF("doc_id", "text")
 
+  test("codegen shingles are byte-identical to the HOF formulation") {
+    // empty-token edge: leading/trailing/multiple whitespace makes split()
+    // emit "" tokens which concat_ws keeps — both forms must agree on them
+    val tricky = docs.union(Seq(
+      (10L, "  leading and trailing  "), (11L, "a b"), (12L, ""),
+      (13L, "ünïcode tökens répeat ünïcode tökens répeat ünïcode tökens")
+    ).toDF("doc_id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val fast = Dedup.shingleRows(tricky, "doc_id", "text", n)
+        .as[(Long, String)].collect().sorted.toSeq
+      val hof = Dedup.shingleRowsHof(tricky, "doc_id", "text", n)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(fast == hof, s"n=$n")
+    }
+  }
+
   test("exact dedup keeps one survivor per identical text, min id wins") {
     val r = Dedup.exact(docs).collect()
       .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toMap

@@ -43,6 +43,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.getDouble(3) > 0) // "the"
   }
 
+  test("codegen fingerprint is value-identical to the HOF xxhash64 form") {
+    // unicode text exercises the char-window/byte-offset walk (substr is
+    // character-based); short text exercises the n <= gram single window
+    val docs = Seq(
+      "spark is a unified analytics engine for large scale data",
+      "naïve café résumé — ünïcodé windows über alles, 東京 データ",
+      "tiny", "", "exactly8!", "repeat repeat repeat repeat repeat"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((gram, k) <- Seq((8, 16), (3, 4), (8, 1000))) {
+      val r = docs.select(
+          TextAnalysis.fingerprint($"t", gram, k).as("fast"),
+          TextAnalysis.fingerprintWith($"t", xxhash64(_), gram, k).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      r.foreach { case (fast, hof) => assert(fast == hof, s"gram=$gram k=$k") }
+    }
+    // null text -> null fingerprint. (Deliberate divergence: the HOF form
+    // is NOT null there because xxhash64 skips null inputs and returns its
+    // seed, yielding a bogus [seed-hash] sketch for null docs.)
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t").isNull,
+        TextAnalysis.fingerprintWith($"t", xxhash64(_)).isNull).head()
+    assert(n.getBoolean(0) && !n.getBoolean(1))
+  }
+
   test("fingerprint is stable and shared between near-identical docs") {
     val a = "spark is a unified analytics engine for large scale data"
     val b = a + " processing" // appended word: most 8-gram hashes shared
