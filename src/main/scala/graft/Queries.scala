@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Terms
 import graft.operators.{Dedup, GraphBuilder, PathQueries, Similarity, TextAnalysis}
+import graft.plans.QueryCatalog
 
 /**
  * The query catalog: one entry per implemented operator family from
@@ -869,17 +870,13 @@ object Queries {
       .orderBy("s", "p", "o")
   }
 
-  /** Production path-query catalog gate (Q1–Q8 instantiations,
-    * PhenotypeGraphBuilder.java:48-223): a multi-collection graph
-    * (CS/CL/CSD/GS/PR/RS/CHEMBL/MONDO) derived modularly from customer
-    * keys; runs the catalog's 2-hop (#3 CS→CL→CSD), hierarchy
-    * (#20 CS→CL→GS→MONDO + MONDO SUB_CLASS_OF longest-chain), 4-hop
-    * (#21 CS→CL→GS→PR→CHEMBL) and 5-hop (#24 CS→CL→GS→RS→CHEMBL→MONDO)
-    * instantiations plus the phenotype-subgraph materialization with
-    * enrichment. The oracle reproduces paths with joins and the hierarchy
-    * chain in closed form. */
-  def q46ProductionCatalog(s: SparkSession, dir: String): DataFrame = {
-    import graft.plans.QueryCatalog
+  /** The production-catalog gate graph (shared by q46a–q46d): a
+    * multi-collection graph (CS/CL/CSD/GS/PR/RS/CHEMBL/MONDO) derived
+    * modularly from customer keys, with a SUB_CLASS_OF hierarchy and a
+    * decoy edge label. Returns (vertices, edges), both eagerly
+    * materialized — every catalog query reads the edge table once per hop
+    * and each union branch otherwise carries its own distinct shuffle. */
+  private def catalogGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = t(s, dir, "customer").select(col("c_custkey").cast("long").as("c"))
     val clKeys = cust.select((col("c") % 200).as("j")).distinct()
     val gsEdges = clKeys.select(col("j"), explode(array_distinct(
@@ -899,9 +896,6 @@ object Queries {
         lit(tc).as("to_coll"), tk.cast("string").as("to_key"),
         lit(label).as("label"))
 
-    // 4 catalog queries + the subgraph re-read these small tables many
-    // times; each union branch carries its own distinct shuffle —
-    // materialize both ONCE (they are |customer|-sized, tiny)
     val vertices = v("CS", cust, "c")
       .unionByName(v("CL", clKeys, "j"))
       .unionByName(v("CSD", clKeys.select((col("j") % 40).as("d")).distinct(), "d"))
@@ -926,25 +920,48 @@ object Queries {
       .unionByName(e(mDom.filter(col("m") % 3 === 0 && col("m") + 2 < 20),
         "MONDO", col("m"), "MONDO", col("m") + 2, "OTHER"))
       .localCheckpoint(true)
+    (vertices, edges)
+  }
 
-    val p1 = QueryCatalog.production(2)   // CS→CL→CSD
-    val p2 = QueryCatalog.production(19)  // CS→CL→GS→MONDO + MONDO hierarchy
-    val p3 = QueryCatalog.production(20)  // CS→CL→GS→PR→CHEMBL
-    val p4 = QueryCatalog.production(23)  // CS→CL→GS→RS→CHEMBL→MONDO
-    // each non-hierarchy query's paths feed BOTH its signature output and
-    // the subgraph union — run each ONCE (phenotypeSubgraph would re-run
-    // them; its own composition is covered by QueryCatalogSpec)
-    val paths1 = p1.run(vertices, edges).localCheckpoint(true)
-    val paths3 = p3.run(vertices, edges).localCheckpoint(true)
-    val paths4 = p4.run(vertices, edges).localCheckpoint(true)
-    def sigOf(paths: DataFrame, tag: String) =
-      paths.select(lit(tag).as("q"),
-        concat_ws("|", transform(col("vertices"), x => x.getField("key"))).as("val"))
-    def sig(q: QueryCatalog.PathQuery, tag: String) =
-      sigOf(q.run(vertices, edges), tag)
+  /** Path signature rows (q, key1|key2|...) — the per-shape gate output. */
+  private def catalogSig(paths: DataFrame, tag: String): DataFrame =
+    paths.select(lit(tag).as("q"),
+      concat_ws("|", transform(col("vertices"), x => x.getField("key"))).as("val"))
 
-    val (vs0, se) = PathQueries.subgraph(
-      paths1.unionByName(paths3).unionByName(paths4))
+  /** Production catalog per-shape gates (round-2 verdict: the former
+    * q46 composite hid any one shape's regression inside a 7-query
+    * aggregate — each shape now times and gates on its own):
+    * q46a = catalog #3 CS→CL→CSD (2-hop), q46b = #20 CS→CL→GS→MONDO with
+    * the MONDO SUB_CLASS_OF longest-chain hierarchy, q46c = #21
+    * CS→CL→GS→PR→CHEMBL (4-hop), q46d = #24 CS→CL→GS→RS→CHEMBL→MONDO
+    * (5-hop) plus the phenotype-subgraph materialization + enrichment
+    * censuses over ITS paths. Oracles reproduce every path and census in
+    * closed form (PhenotypeGraphBuilder.java:48-223). */
+  def q46aCatalog2Hop(s: SparkSession, dir: String): DataFrame = {
+    val (vertices, edges) = catalogGraph(s, dir)
+    catalogSig(QueryCatalog.production(2).run(vertices, edges), "p1")
+      .orderBy("q", "val")
+  }
+
+  def q46bCatalogHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val (vertices, edges) = catalogGraph(s, dir)
+    catalogSig(QueryCatalog.production(19).run(vertices, edges), "p2")
+      .orderBy("q", "val")
+  }
+
+  def q46cCatalog4Hop(s: SparkSession, dir: String): DataFrame = {
+    val (vertices, edges) = catalogGraph(s, dir)
+    catalogSig(QueryCatalog.production(20).run(vertices, edges), "p3")
+      .orderBy("q", "val")
+  }
+
+  def q46dCatalog5HopSubgraph(s: SparkSession, dir: String): DataFrame = {
+    val (vertices, edges) = catalogGraph(s, dir)
+    // the 5-hop paths feed BOTH the signature output and the subgraph —
+    // run the query ONCE
+    val paths4 = QueryCatalog.production(23).run(vertices, edges)
+      .localCheckpoint(true)
+    val (vs0, se) = PathQueries.subgraph(paths4)
     val docs = vertices
       .withColumn("term", concat_ws("_", col("collection"), col("key")))
       .withColumn("attrs", lit(null).cast("map<string,array<string>>"))
@@ -956,9 +973,7 @@ object Queries {
       .select(lit("sgt").as("q"), col("n").cast("string").as("val"))
     val edgeCount = se.agg(count(lit(1)).as("n"))
       .select(lit("sge").as("q"), col("n").cast("string").as("val"))
-
-    sigOf(paths1, "p1").unionByName(sig(p2, "p2"))
-      .unionByName(sigOf(paths3, "p3")).unionByName(sigOf(paths4, "p4"))
+    catalogSig(paths4, "p4")
       .unionByName(census).unionByName(enriched).unionByName(edgeCount)
       .orderBy("q", "val")
   }
@@ -1080,7 +1095,10 @@ object Queries {
     "q43_opentargets_diseases" -> (q43OpentargetsDiseases _),
     "q44_opentargets_drugs" -> (q44OpentargetsDrugs _),
     "q45_schema_writer" -> (q45SchemaWriter _),
-    "q46_production_catalog" -> (q46ProductionCatalog _),
+    "q46a_catalog_2hop" -> (q46aCatalog2Hop _),
+    "q46b_catalog_hierarchy" -> (q46bCatalogHierarchy _),
+    "q46c_catalog_4hop" -> (q46cCatalog4Hop _),
+    "q46d_catalog_5hop_subgraph" -> (q46dCatalog5HopSubgraph _),
     "q47_tuple_json_roundtrip" -> (q47TupleJsonRoundtrip _),
     "q48_lsh_topk" -> (q48LshTopK _),
     "q49_fingerprint" -> (q49Fingerprint _),
@@ -1211,30 +1229,37 @@ object Queries {
         |SELECT id, component FROM reach
         |UNION ALL SELECT id, component FROM surv
         |ORDER BY id""".stripMargin,
-    "q46_production_catalog" ->
+    "q46a_catalog_2hop" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer)
+        |SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)
+        | || '|' || CAST((c % 200) % 40 AS VARCHAR) AS val FROM cust
+        |ORDER BY q, val""".stripMargin,
+    "q46b_catalog_hierarchy" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
+        |cl AS (SELECT DISTINCT c % 200 AS j FROM cust),
+        |gse AS (SELECT j, unnest(list_distinct([(j*7) % 120, (j*11) % 120])) AS g FROM cl)
+        |SELECT 'p2' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
+        | || '|' || CAST(g AS VARCHAR) || '|' ||
+        | array_to_string(list_transform(generate_series(0, (19 - (g*5) % 20) // 4),
+        |  t -> CAST((g*5) % 20 + 4*t AS VARCHAR)), '|') AS val
+        |FROM cust JOIN gse ON gse.j = c % 200
+        |ORDER BY q, val""".stripMargin,
+    "q46c_catalog_4hop" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
+        |cl AS (SELECT DISTINCT c % 200 AS j FROM cust),
+        |gse AS (SELECT j, unnest(list_distinct([(j*7) % 120, (j*11) % 120])) AS g FROM cl)
+        |SELECT 'p3' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
+        | || '|' || CAST(g AS VARCHAR) || '|' || CAST((g*3) % 80 AS VARCHAR)
+        | || '|' || CAST(((g*3) % 80) % 30 AS VARCHAR) AS val
+        |FROM cust JOIN gse ON gse.j = c % 200
+        |ORDER BY q, val""".stripMargin,
+    "q46d_catalog_5hop_subgraph" ->
       """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
         |cl AS (SELECT DISTINCT c % 200 AS j FROM cust),
         |gse AS (SELECT j, unnest(list_distinct([(j*7) % 120, (j*11) % 120])) AS g FROM cl),
         |gs AS (SELECT DISTINCT g FROM gse),
-        |pr AS (SELECT DISTINCT (g*3) % 80 AS p0 FROM gs),
         |rs AS (SELECT DISTINCT g % 50 AS r FROM gs),
-        |chp AS (SELECT DISTINCT p0 % 30 AS ch FROM pr),
         |chr2 AS (SELECT DISTINCT (r*2) % 30 AS ch FROM rs),
-        |chembl AS (SELECT DISTINCT ch FROM (SELECT ch FROM chp UNION ALL SELECT ch FROM chr2)),
-        |p1 AS (
-        | SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)
-        |  || '|' || CAST((c % 200) % 40 AS VARCHAR) AS val FROM cust),
-        |p2 AS (
-        | SELECT 'p2' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
-        |  || '|' || CAST(g AS VARCHAR) || '|' ||
-        |  array_to_string(list_transform(generate_series(0, (19 - (g*5) % 20) // 4),
-        |   t -> CAST((g*5) % 20 + 4*t AS VARCHAR)), '|') AS val
-        | FROM cust JOIN gse ON gse.j = c % 200),
-        |p3 AS (
-        | SELECT 'p3' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
-        |  || '|' || CAST(g AS VARCHAR) || '|' || CAST((g*3) % 80 AS VARCHAR)
-        |  || '|' || CAST(((g*3) % 80) % 30 AS VARCHAR) AS val
-        | FROM cust JOIN gse ON gse.j = c % 200),
         |p4 AS (
         | SELECT 'p4' AS q, CAST(c AS VARCHAR) || '|' || CAST(j AS VARCHAR)
         |  || '|' || CAST(g AS VARCHAR) || '|' || CAST(g % 50 AS VARCHAR)
@@ -1244,26 +1269,21 @@ object Queries {
         |census AS (
         | SELECT 'sgv' AS q, 'CS=' || CAST(count(*) AS VARCHAR) AS val FROM cust
         | UNION ALL SELECT 'sgv', 'CL=' || CAST(count(*) AS VARCHAR) FROM cl
-        | UNION ALL SELECT 'sgv', 'CSD=' || CAST(count(DISTINCT j % 40) AS VARCHAR) FROM cl
         | UNION ALL SELECT 'sgv', 'GS=' || CAST(count(*) AS VARCHAR) FROM gs
-        | UNION ALL SELECT 'sgv', 'PR=' || CAST(count(*) AS VARCHAR) FROM pr
         | UNION ALL SELECT 'sgv', 'RS=' || CAST(count(*) AS VARCHAR) FROM rs
-        | UNION ALL SELECT 'sgv', 'CHEMBL=' || CAST(count(*) AS VARCHAR) FROM chembl
+        | UNION ALL SELECT 'sgv', 'CHEMBL=' || CAST(count(*) AS VARCHAR) FROM chr2
         | UNION ALL SELECT 'sgv', 'MONDO=' || CAST(count(DISTINCT ch % 20) AS VARCHAR) FROM chr2),
         |counts AS (
         | SELECT 'sgt' AS q, CAST((SELECT count(*) FROM cust) + (SELECT count(*) FROM cl)
-        |   + (SELECT count(DISTINCT j % 40) FROM cl) + (SELECT count(*) FROM gs)
-        |   + (SELECT count(*) FROM pr) + (SELECT count(*) FROM rs)
-        |   + (SELECT count(*) FROM chembl)
+        |   + (SELECT count(*) FROM gs) + (SELECT count(*) FROM rs)
+        |   + (SELECT count(*) FROM chr2)
         |   + (SELECT count(DISTINCT ch % 20) FROM chr2) AS VARCHAR) AS val
         | UNION ALL
-        | SELECT 'sge', CAST((SELECT count(*) FROM cust) + (SELECT count(*) FROM cl)
-        |   + (SELECT count(*) FROM gse) + 2 * (SELECT count(*) FROM gs)
-        |   + (SELECT count(*) FROM pr) + (SELECT count(*) FROM rs)
+        | SELECT 'sge', CAST((SELECT count(*) FROM cust) + (SELECT count(*) FROM gse)
+        |   + (SELECT count(*) FROM gs) + (SELECT count(*) FROM rs)
         |   + (SELECT count(*) FROM chr2) AS VARCHAR))
         |SELECT q, val FROM (
-        | SELECT q, val FROM p1 UNION ALL SELECT q, val FROM p2
-        | UNION ALL SELECT q, val FROM p3 UNION ALL SELECT q, val FROM p4
+        | SELECT q, val FROM p4
         | UNION ALL SELECT q, val FROM census UNION ALL SELECT q, val FROM counts)
         |ORDER BY q, val""".stripMargin,
     "q41_annotation_writer" ->

@@ -104,7 +104,7 @@ object Scratch {
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",
-        "q44_opentargets_drugs", "q46_production_catalog",
+        "q44_opentargets_drugs", "q46d_catalog_5hop_subgraph",
         "q51_deterministic_split")) {
         val df = SparkEntry.queries(q)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
