@@ -37,6 +37,102 @@ object Scratch {
       println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "skew") {
+      // Engineered-skew rehearsal (round-2 verdict ask #1): ~10x corpus
+      // with a viral near-dup cluster (one hot LSH bucket), then a hub
+      // graph vertex through the catalog hop join. Timings land in
+      // PLANS.md.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, PathQueries}
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val nRep = 10
+      val replicated = docs0.crossJoin(spark.range(nRep).toDF("r"))
+        .select((col("doc_id") * nRep + col("r")).as("doc_id"),
+          concat(col("text"), lit(" replica "), col("r")).as("text"))
+      val viralBase = docs0.orderBy("doc_id").limit(1)
+        .select("text").head().getString(0)
+      val viral = spark.range(3000).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit(viralBase), lit(" v"), col("id") % 37).as("text"))
+      val corpus = replicated.unionByName(viral).localCheckpoint(true)
+      println(s"[scratch] skew corpus: ${corpus.count()} docs " +
+        s"(${nRep}x replicas + 3000-doc viral cluster)")
+      // cluster-representative shuffle width: with only 8 partitions the 4
+      // hot (band,bucket) keys land on half the cores and plain looks
+      // balanced by accident; at 64 partitions (~a small cluster) the
+      // plain join leaves 60 idle while 4 grind the viral bucket
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      var ccInput: org.apache.spark.sql.DataFrame = null
+      for ((label, thr, salts, aqe) <- Seq(
+          ("plain", 0L, 0, false), ("plain+aqe", 0L, 0, true),
+          ("salted8", 1000L, 8, false), ("salted32", 1000L, 32, false))) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        val t0 = System.nanoTime()
+        val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", 3, 16, 4,
+          hotBucketThreshold = thr, hotSalts = math.max(salts, 1))
+        val n = pairs.count()
+        println(f"[scratch] lsh($label, thr=$thr): $n pairs in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // no blanket unpersist here: the corpus/ccInput localCheckpoints
+        // must survive (checkpoint blocks cannot be recomputed)
+        if (label == "salted32") ccInput = pairs
+        else spark.catalog.clearCache()
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", false)
+      var t0 = System.nanoTime()
+      val cc = Dedup.connectedComponents(
+        ccInput.filter(col("est_jaccard") >= 0.5), maxIter = 20)
+      println(f"[scratch] components: ${cc.select("component").distinct().count()} " +
+        f"clusters in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      release()
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+      // hub-vertex graph: 200k CS, 90% of edges funnel into one CL vertex
+      val nCS = 200000L
+      val cs = spark.range(nCS)
+      val e1 = cs.select(lit("CS").as("from_coll"), col("id").cast("string").as("from_key"),
+        lit("CL").as("to_coll"),
+        when(col("id") % 10 < 9, lit("hub"))
+          .otherwise(concat(lit("cl"), col("id") % 1000)).as("to_key"),
+        lit("composed_of").as("label"))
+      val clKeys = spark.range(1000).select(concat(lit("cl"), col("id")).as("k"))
+        .unionByName(spark.range(1).select(lit("hub").as("k")))
+      val e2 = clKeys.select(lit("CL").as("from_coll"), col("k").as("from_key"),
+        lit("CSD").as("to_coll"),
+        concat(lit("csd"), abs(hash(col("k"))) % 40).as("to_key"),
+        lit("source").as("label"))
+      val edges = e1.unionByName(e2).localCheckpoint(true)
+      val vertices = cs.select(lit("CS").as("collection"), col("id").cast("string").as("key"))
+        .unionByName(clKeys.select(lit("CL").as("collection"), col("k").as("key")))
+        .unionByName(e2.select(lit("CSD").as("collection"), col("to_key").as("key")).distinct())
+        .localCheckpoint(true)
+      println(s"[scratch] hub graph: ${vertices.count()} vertices, ${edges.count()} edges")
+      for (aqe <- Seq(false, true)) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        t0 = System.nanoTime()
+        val n = PathQueries.kHop(vertices, edges, "CS", Seq("CL", "CSD")).count()
+        println(f"[scratch] hub 2-hop kHop(aqe=$aqe): $n paths in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t0 = System.nanoTime()
+      graft.sources.GraphStore.writeHopTables(edges, buckets = 8, prefix = "skewhop")
+      println(f"[scratch] writeHopTables: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val nB = PathQueries.kHopBucketed(spark, "skewhop", "CS", Seq("CL", "CSD")).count()
+      println(f"[scratch] hub 2-hop kHopBucketed(aqe=on): $nB paths in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     if (name == "fpbench") {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -92,18 +92,40 @@ object Dedup {
   val md5BucketFamily: (Int, Column) => Column =
     (b, c) => md5(concat(lit(b.toString), lit(":"), c))
 
+  /** @param hotBucketThreshold when > 0, buckets with more than this many
+    *        members take a salted self-join path: the probe side keys each
+    *        row by hash(id) % hotSalts and the build side replicates
+    *        `hotSalts` ways, so one viral bucket (m members → m² candidate
+    *        pairs) spreads across `hotSalts` tasks instead of funnelling
+    *        into one straggler. Result-identical to the plain join (each
+    *        pair meets at exactly one salt); cold buckets keep the plain
+    *        equi-join. 0 (default) = rely on AQE skew handling only.
+    * @param hotSalts fan-out for the hot-bucket path */
   def minHashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  n: Int = 3, k: Int = 32, bands: Int = 8,
                  hashFamily: (Int, Column) => Column = xxHashFamily,
-                 bucketFamily: (Int, Column) => Column = xxBucketFamily): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
+                 bucketFamily: (Int, Column) => Column = xxBucketFamily,
+                 hotBucketThreshold: Long = 0L, hotSalts: Int = 16): DataFrame = {
     // the signature table is read twice (both sides of the candidate
     // self-join) — persist it so the shingle+agg lineage runs once (it is
     // small: |docs| × k longs), and release it as soon as the (smaller)
     // pair result is materialized — see Exec.withPersisted
     val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
     Exec.withPersisted(sigs) {
+      minHashLshPlan(sigs, idCol, k, bands, bucketFamily,
+        hotBucketThreshold, hotSalts)
+    }
+  }
+
+  /** The un-checkpointed candidate plan — separated so specs can assert
+    * on the physical plan (withPersisted's eager localCheckpoint leaves
+    * only an ExistingRDD scan visible on the returned frame). */
+  private[graft] def minHashLshPlan(sigs: DataFrame, idCol: String,
+                 k: Int, bands: Int,
+                 bucketFamily: (Int, Column) => Column,
+                 hotBucketThreshold: Long, hotSalts: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
     val banded = sigs.select(
       col(idCol).as("id"), col("sig"),
       explode(array((0 until bands).map(bnd => struct(
@@ -116,14 +138,36 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val candidates =
+      if (hotBucketThreshold <= 0L) a.join(b, Seq("band", "bucket"))
+      else {
+        // the hot set is by construction tiny (buckets over the threshold)
+        // — one partial-agg count over the banded rows, then a broadcast
+        // membership tag on both join sides
+        val hot = broadcast(banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > hotBucketThreshold)
+          .select(col("band"), col("bucket"), lit(true).as("__hot")))
+        val aT = a.join(hot, Seq("band", "bucket"), "left")
+        val bT = b.join(hot, Seq("band", "bucket"), "left")
+        val cold = aT.filter(col("__hot").isNull).drop("__hot")
+          .join(bT.filter(col("__hot").isNull).drop("__hot"),
+            Seq("band", "bucket"))
+        val hotPairs = aT.filter(col("__hot").isNotNull).drop("__hot")
+          .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(hotSalts)).cast("int"))
+          .join(bT.filter(col("__hot").isNotNull).drop("__hot")
+              .withColumn("__salt", explode(array((0 until hotSalts).map(lit): _*))),
+            Seq("band", "bucket", "__salt"))
+          .drop("__salt")
+        cold.unionByName(hotPairs)
+      }
+    candidates
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b))
           .cast("double") / lit(k)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
-    }
   }
 
   /** SimHash 64-bit fingerprint per document: sum ±1 per bit over token

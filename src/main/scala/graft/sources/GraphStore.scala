@@ -32,4 +32,22 @@ object GraphStore {
 
   def readEdges(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist the undirected edge view TWICE, bucketed+sorted by each hop
+    * join key — `<prefix>_by_src` on (src_coll, src_key) and
+    * `<prefix>_by_dst` on (dst_coll, dst_key) — so
+    * `PathQueries.kHopBucketed` joins hop after hop without ever
+    * shuffling the edge table (only the small growing path side moves).
+    * Double storage is the classic adjacency-layout trade: at 100 TB the
+    * recurring per-hop shuffle of the edge table costs far more than 2×
+    * disk. The directed view is recoverable via `orient = 'f'`. */
+  def writeHopTables(edges: DataFrame, buckets: Int, prefix: String): Unit = {
+    val und = graft.operators.PathQueries.undirected(edges)
+    und.write.mode("overwrite")
+      .bucketBy(buckets, "src_coll", "src_key").sortBy("src_coll", "src_key")
+      .format("parquet").saveAsTable(s"${prefix}_by_src")
+    und.write.mode("overwrite")
+      .bucketBy(buckets, "dst_coll", "dst_key").sortBy("dst_coll", "dst_key")
+      .format("parquet").saveAsTable(s"${prefix}_by_dst")
+  }
 }

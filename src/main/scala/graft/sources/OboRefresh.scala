@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/**
+ * S8 — ontology download lifecycle: version-compare a freshly fetched OWL
+ * file against the installed one, archive the old copy, and atomically
+ * swap the new one into place
+ * (reference: src/main/python/OntologyParserLoader.py:87-149
+ * `update_downloads`). The HTTP fetch itself stays out of engine scope
+ * (zero-egress sandbox — a driver-side fetcher writes the `<stem>-new`
+ * candidate file); everything from the candidate file onward is
+ * reproduced here:
+ *
+ *  - candidate version parsed with the same versionInfo-then-versionIRI
+ *    rule as `find_obo_version` (X11, OwlSource.oboVersion is the
+ *    DataFrame twin of [[findVersion]]);
+ *  - no current file → candidate becomes current;
+ *  - newer candidate → current renamed to
+ *    `<archive>/<stem>-<version><suffix>`, candidate renamed to current
+ *    (both plain renames, so the swap is atomic on a same-filesystem
+ *    download dir);
+ *  - otherwise the candidate is discarded.
+ */
+object OboRefresh {
+
+  sealed trait Outcome
+  /** No current file existed; the candidate was installed. */
+  case object Installed extends Outcome
+  /** The candidate was newer; the old file was archived at `archived`. */
+  final case class Replaced(archived: Path) extends Outcome
+  /** The candidate was not newer and was discarded. */
+  case object KeptCurrent extends Outcome
+
+  /** Driver-local twin of `OwlSource.oboVersion` (X11): the owl:Ontology
+    * node's versionInfo literal when it parses strictly as yyyy-MM-dd,
+    * else the first yyyy-MM-dd embedded in its versionIRI, else None —
+    * find_obo_version, OntologyParserLoader.py:50-85. */
+  def findVersion(file: Path): Option[String] = {
+    val OWL = "http://www.w3.org/2002/07/owl#"
+    val date = "^(\\d{4}-\\d{2}-\\d{2})$".r
+    val embedded = "(\\d{4}-\\d{2}-\\d{2})".r
+    val triples = OwlSource
+      .parseBytes(file.toString, Files.readAllBytes(file)).toSeq
+    val ontNodes = triples.collect {
+      case t if t.p == OwlSource.RDF_NS + "type" && t.o == OWL + "Ontology" => t.s
+    }.toSet
+    def forOnt(pred: String) = triples.collectFirst {
+      case t if ontNodes.contains(t.s) && t.p == OWL + pred => t.o
+    }
+    forOnt("versionInfo").collect { case date(d) => d }
+      .orElse(forOnt("versionIRI").flatMap(embedded.findFirstIn))
+  }
+
+  /** Compare-and-swap one download. `candidate` is the fetched
+    * `<stem>-new<suffix>` file; `current` the installed path; `archive`
+    * the archive directory (created on demand). Versions compare as
+    * yyyy-MM-dd strings (lexicographic = chronological); an unparseable
+    * version sorts lowest, matching the reference's "guaranteed to sort"
+    * contract without its None-comparison crash. */
+  def refresh(candidate: Path, current: Path, archive: Path): Outcome = {
+    require(Files.exists(candidate), s"candidate $candidate does not exist")
+    if (!Files.exists(current)) {
+      Files.move(candidate, current, StandardCopyOption.ATOMIC_MOVE)
+      Installed
+    } else {
+      val vNew = findVersion(candidate).getOrElse("")
+      val vCur = findVersion(current).getOrElse("")
+      if (vNew > vCur) {
+        Files.createDirectories(archive)
+        val name = current.getFileName.toString
+        val dot = name.lastIndexOf('.')
+        val (stem, suffix) =
+          if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot))
+        val archived = archive.resolve(
+          stem + "-" + (if (vCur.isEmpty) "unversioned" else vCur) + suffix)
+        Files.move(current, archived, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(candidate, current, StandardCopyOption.ATOMIC_MOVE)
+        Replaced(archived)
+      } else {
+        Files.delete(candidate)
+        KeptCurrent
+      }
+    }
+  }
+}

@@ -72,6 +72,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.count(_._2 >= 0.8) >= 2, "test data should have strong pairs")
   }
 
+  test("hot-bucket salted LSH is result-identical and engages on skew") {
+    // a viral cluster: 40 near-copies of one doc land in the same buckets
+    val viral = (100 to 139).map(i =>
+      (i.toLong, mutate(base, i % 20))).toDF("doc_id", "text")
+    val skewed = docs.union(viral)
+    val plain = Dedup.minHashLsh(skewed, k = 16, bands = 4)
+    val salted = Dedup.minHashLsh(skewed, k = 16, bands = 4,
+      hotBucketThreshold = 8L, hotSalts = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).sorted.toSeq
+    assert(key(salted) == key(plain))
+    assert(key(plain).nonEmpty)
+    // the salted path is actually in the plan (not silently all-cold) —
+    // asserted on the un-checkpointed candidate plan (the public API's
+    // eager localCheckpoint leaves only an ExistingRDD scan visible)
+    val sigs = Dedup.minHashSignatures(skewed, "doc_id", "text", 3, 16)
+    val plan = Dedup.minHashLshPlan(sigs, "doc_id", 16, 4,
+        Dedup.xxBucketFamily, 8L, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salted branch missing from plan:\n$plan")
+  }
+
   test("simhash: identical and near-identical docs within hamming 3") {
     val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -175,4 +175,60 @@ class OntologySpec extends SparkSpec {
     assert(versionOf("macrophage.owl") == Some("2024-09-26"))
     assert(versionOf("no-version-test.owl").isEmpty)
   }
+
+  test("S8 refresh lifecycle: install, archive-and-swap, keep-current") {
+    import graft.sources.OboRefresh
+    import java.nio.file.Files
+    def owl(version: Option[String], marker: String): Array[Byte] =
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:owl="http://www.w3.org/2002/07/owl#"
+         |     xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+         |    <owl:Ontology rdf:about="http://purl.obolibrary.org/obo/$marker.owl">
+         |${version.map(v => s"        <owl:versionInfo>$v</owl:versionInfo>").getOrElse("")}
+         |    </owl:Ontology>
+         |</rdf:RDF>
+         |""".stripMargin.getBytes("UTF-8")
+    val dir = Files.createTempDirectory("obo-refresh")
+    val cur = dir.resolve("cl.owl")
+    val cand = dir.resolve("cl-new.owl")
+    val archive = dir.resolve(".archive")
+
+    // no current file: candidate is installed
+    Files.write(cand, owl(Some("2024-01-15"), "a"))
+    assert(OboRefresh.refresh(cand, cur, archive) == OboRefresh.Installed)
+    assert(Files.exists(cur) && !Files.exists(cand))
+    assert(OboRefresh.findVersion(cur) == Some("2024-01-15"))
+
+    // newer candidate: old file archived under its version, new swapped in
+    Files.write(cand, owl(Some("2024-09-26"), "b"))
+    OboRefresh.refresh(cand, cur, archive) match {
+      case OboRefresh.Replaced(archived) =>
+        assert(archived.getFileName.toString == "cl-2024-01-15.owl")
+        assert(OboRefresh.findVersion(archived) == Some("2024-01-15"))
+      case other => fail(s"expected Replaced, got $other")
+    }
+    assert(OboRefresh.findVersion(cur) == Some("2024-09-26"))
+
+    // same/older candidate: discarded, current untouched
+    Files.write(cand, owl(Some("2024-01-15"), "c"))
+    assert(OboRefresh.refresh(cand, cur, archive) == OboRefresh.KeptCurrent)
+    assert(!Files.exists(cand))
+    assert(OboRefresh.findVersion(cur) == Some("2024-09-26"))
+
+    // unversioned candidate sorts lowest -> never replaces a versioned one
+    Files.write(cand, owl(None, "d"))
+    assert(OboRefresh.refresh(cand, cur, archive) == OboRefresh.KeptCurrent)
+  }
+
+  test("S8 findVersion agrees with oboVersion on the reference fixtures") {
+    assumeReference("src/test/data/obo")
+    import graft.sources.OboRefresh
+    import java.nio.file.Paths
+    val dir = referencePath("src/test/data/obo")
+    assert(OboRefresh.findVersion(Paths.get(dir, "version-info-test.owl"))
+      == Some("2024-01-15"))
+    assert(OboRefresh.findVersion(Paths.get(dir, "macrophage.owl"))
+      == Some("2024-09-26"))
+    assert(OboRefresh.findVersion(Paths.get(dir, "no-version-test.owl")).isEmpty)
+  }
 }

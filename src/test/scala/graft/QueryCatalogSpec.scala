@@ -51,6 +51,35 @@ class QueryCatalogSpec extends SparkSpec {
     assert(path == Seq("cs1", "c1", "g1", "d1", "d2", "d3")) // longest tail
   }
 
+  test("bucketed hop tables run the catalog shuffle-free and match kHop") {
+    import graft.operators.PathQueries
+    GraphStore.writeHopTables(edges, buckets = 4, prefix = "hopt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(concat_ws("|", transform($"vertices", v => v.getField("key"))))
+          .as[String].collect().sorted.toSeq
+      // 2-hop: both scans arrive bucketed on their join keys -> the whole
+      // plan runs with ZERO shuffle exchanges
+      val two = PathQueries.kHopBucketed(spark, "hopt", "CS", Seq("BMC", "BGS"))
+      assert(sig(two) == sig(PathQueries.kHop(verts, edges, "CS", Seq("BMC", "BGS"))))
+      val plan2 = two.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free 2-hop:\n$plan2")
+      // 3-hop: the growing path side re-shuffles once, the edge scans never
+      val three = PathQueries.kHopBucketed(spark, "hopt", "CS", Seq("CL", "GS", "MONDO"))
+      assert(sig(three) == sig(PathQueries.kHop(verts, edges, "CS", Seq("CL", "GS", "MONDO"))))
+      val plan3 = three.queryExecution.executedPlan.toString
+      val nEx = plan3.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(nEx <= 2, s"expected at most 2 path-side exchanges, got $nEx:\n$plan3")
+      // hierarchy variant over the recovered directed view matches run()
+      val q = PathQuery("CS", Seq("CL", "GS", "MONDO"),
+        Some(("MONDO-MONDO", "SUB_CLASS_OF")))
+      assert(sig(q.runBucketed(spark, "hopt")) == sig(q.run(verts, edges)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("phenotypeSubgraph unions all queries, dedups, and enriches") {
     val (vs, es) = QueryCatalog.phenotypeSubgraph(verts, edges)
     val vKeys = vs.select("key").as[String].collect().toSet
