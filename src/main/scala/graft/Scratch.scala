@@ -37,6 +37,43 @@ object Scratch {
       println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "skewjoin") {
+      // isolate the LSH candidate JOIN under skew: persisted sigs, no
+      // checkpoint, best-of-2 per variant (host disk stalls pollute
+      // whole-pipeline single runs)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val replicated = docs0.crossJoin(spark.range(10).toDF("r"))
+        .select((col("doc_id") * 10 + col("r")).as("doc_id"),
+          concat(col("text"), lit(" replica "), col("r")).as("text"))
+      val viralBase = docs0.orderBy("doc_id").limit(1).select("text").head().getString(0)
+      val viral = spark.range(3000).select(
+        (col("id") + 10000000L).as("doc_id"),
+        concat(lit(viralBase), lit(" v"), col("id") % 37).as("text"))
+      val corpus = replicated.unionByName(viral).localCheckpoint(true)
+      val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 16).persist()
+      println(s"[scratch] sigs: ${sigs.count()} docs")
+      for ((label, thr, salts, aqe) <- Seq(
+          ("plain", 0L, 1, false), ("plain+aqe", 0L, 1, true),
+          ("salted16", 1000L, 16, false), ("salted64", 1000L, 64, false))) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = Dedup.minHashLshPlan(sigs, "doc_id", 16, 4,
+            Dedup.xxBucketFamily, thr, salts).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          (n, dt)
+        }
+        println(f"[scratch] join($label): ${times.head._1} pairs, best ${times.map(_._2).min}%.2f s (${times.map(t => f"${t._2}%.1f").mkString(",")})")
+      }
+      spark.stop(); return
+    }
     if (name == "skew") {
       // Engineered-skew rehearsal (round-2 verdict ask #1): ~10x corpus
       // with a viral near-dup cluster (one hot LSH bucket), then a hub

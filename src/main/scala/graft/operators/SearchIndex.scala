@@ -79,4 +79,40 @@ object SearchIndex {
     import spark.implicits._
     index.join(broadcast(queries.toDF("q")), col("token") === col("q"))
   }
+
+  /** View lifecycle (ArangoDbUtilities.py:209-358 create_analyzers /
+    * delete_analyzers / create_view — the delete-then-recreate management
+    * the reference runs on every load): the "view" is a persisted
+    * postings table bucketed+sorted by token, so repeated searches and
+    * index-index joins co-locate without shuffling the postings.
+    * `collections` mirrors create_view's per-database link whitelist
+    * (ArangoDbUtilities.py:332-352): when set and the source has a
+    * `collection` column, only whitelisted collections are indexed. */
+  def createView(df: DataFrame, idCols: Seq[String],
+                 fields: Map[String, Column => Column], table: String,
+                 buckets: Int = 16,
+                 collections: Option[Seq[String]] = None): Unit = {
+    val src = collections match {
+      case Some(allowed) if df.columns.contains("collection") =>
+        df.filter(col("collection").isin(allowed.map(lit): _*))
+      case _ => df
+    }
+    postings(src, idCols, fields).write.mode("overwrite")
+      .bucketBy(buckets, "token").sortBy("token")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** delete_analyzers semantics: ignore-missing drop. */
+  def dropView(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+
+  /** The reference's full refresh sequence (delete analyzers + views,
+    * recreate both) collapses to drop + overwrite-create. */
+  def recreateView(df: DataFrame, idCols: Seq[String],
+                   fields: Map[String, Column => Column], table: String,
+                   buckets: Int = 16,
+                   collections: Option[Seq[String]] = None): Unit = {
+    dropView(df.sparkSession, table)
+    createView(df, idCols, fields, table, buckets, collections)
+  }
 }

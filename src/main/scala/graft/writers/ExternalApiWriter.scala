@@ -114,6 +114,25 @@ object ExternalApiWriter {
       Seq(col("gene_ensembl_id"), col("disease_id")), withOrd)
   }
 
+  /** Gene-annotation expression section
+    * (ExternalApiResultsTupleWriter.py:652-714): the reference iterates
+    * UBERON expression tissues, WARNS on deprecated terms, and emits NO
+    * tuples (every EXPRESSED_IN append is commented out to resolve its
+    * issue 105). The warning side channel is reproduced as data — one row
+    * per (gene, deprecated UBERON tissue) — and the tuple output is,
+    * faithfully, nothing.
+    * @param expressions (gene_ensembl_id, tissue_id) rows */
+  def deprecatedExpressionWarnings(expressions: DataFrame,
+                                   deprecated: Set[String]): DataFrame = {
+    val ub = col("tissue_id")
+    val hit = if (deprecated.isEmpty) lit(false)
+              else ub.isin(deprecated.toSeq: _*)
+    expressions.filter(ub.startsWith("UBERON_") && hit)
+      .select(col("gene_ensembl_id"), ub.as("term"),
+        concat(lit("Warning: Expression term "), ub, lit(" deprecated"))
+          .as("warning"))
+  }
+
   /** Open Targets drug rows → drug/disease/protein/trial tuples
     * (ExternalApiResultsTupleWriter.py:339-516).
     * @param drugs (gene_ensembl_id, drug_id, disease_id, max_phase,

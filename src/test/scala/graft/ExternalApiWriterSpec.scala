@@ -187,4 +187,24 @@ class ExternalApiWriterSpec extends SparkSpec {
     assert(ts.exists(t => t._1 == s"$P2/SO_0001583" &&
       t._2 == s"$R2#Variant_consequence_label" && t._3 == "missense_variant"))
   }
+
+  test("expression section warns on deprecated UBERON terms, emits no tuples") {
+    // ExternalApiResultsTupleWriter.py:652-714: non-UBERON tissues are
+    // skipped, deprecated UBERON tissues warn, and the tuple output is
+    // empty (every append is commented out in the reference)
+    val rows = Seq(
+      ("g1", "UBERON_0002048"), // deprecated -> warning
+      ("g1", "UBERON_0000955"), // fine -> silent
+      ("g2", "CL_0000000"),     // not UBERON -> skipped before the check
+      ("g2", "UBERON_0002048")  // deprecated -> warning
+    ).toDF("gene_ensembl_id", "tissue_id")
+    val w = ExternalApiWriter.deprecatedExpressionWarnings(rows,
+      deprecated = Set("UBERON_0002048", "CL_0000000"))
+      .orderBy("gene_ensembl_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(w.toSeq == Seq(
+      ("g1", "UBERON_0002048", "Warning: Expression term UBERON_0002048 deprecated"),
+      ("g2", "UBERON_0002048", "Warning: Expression term UBERON_0002048 deprecated")))
+    assert(ExternalApiWriter.deprecatedExpressionWarnings(rows, Set.empty).count() == 0)
+  }
 }
