@@ -43,6 +43,15 @@ object FunctionShim {
     "graft_top_k" -> { args =>
       require(args.length == 2, "graft_top_k(struct(score, id), k)")
       BoundedTopK(args(0), intArg(args(1), "graft_top_k"))
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(words, n)")
+      WordShingles(args(0), intArg(args(1), "graft_shingles"))
+    },
+    "graft_fingerprint" -> { args =>
+      require(args.length == 3, "graft_fingerprint(text, gram, k)")
+      NgramFingerprint(args(0), intArg(args(1), "graft_fingerprint"),
+        intArg(args(2), "graft_fingerprint"))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -51,6 +51,20 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles and graft_fingerprint run in SQL") {
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c a", "c a b")) // distinct, in-order
+    val fp = spark.sql(
+      "SELECT graft_fingerprint('spark is a unified analytics engine', 8, 4) AS f")
+      .as[Seq[Long]].head()
+    val viaCol = Seq("spark is a unified analytics engine").toDF("t")
+      .select(graft.operators.TextAnalysis.fingerprint($"t", 8, 4))
+      .as[Seq[Long]].head()
+    assert(fp == viaCol && fp.length == 4)
+  }
+
   test("GraftExtensions applies cleanly to a SparkSessionExtensions") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

@@ -77,6 +77,21 @@ class QueryCatalogSpec extends SparkSpec {
       val q = PathQuery("CS", Seq("CL", "GS", "MONDO"),
         Some(("MONDO-MONDO", "SUB_CLASS_OF")))
       assert(sig(q.runBucketed(spark, "hopt")) == sig(q.run(verts, edges)))
+      // repeating collection pattern (CS-CL, CL-CS): uniqueEdges tracking
+      // engages in the bucketed variant too — cs1-c1 must not be walked
+      // back, so the only 2-hop is cs1 -> c1 -> cs2
+      val repVerts = Seq(("CS", "cs1"), ("CS", "cs2"), ("CL", "c1"))
+        .toDF("collection", "key")
+      val repEdges = Seq(
+        ("CS", "cs1", "CL", "c1", "composed_of"),
+        ("CS", "cs2", "CL", "c1", "composed_of")
+      ).toDF("from_coll", "from_key", "to_coll", "to_key", "label")
+      GraphStore.writeHopTables(repEdges, buckets = 2, prefix = "hoprep")
+      val rb = graft.operators.PathQueries
+        .kHopBucketed(spark, "hoprep", "CS", Seq("CL", "CS"))
+      assert(sig(rb) == sig(graft.operators.PathQueries
+        .kHop(repVerts, repEdges, "CS", Seq("CL", "CS"))))
+      assert(sig(rb) == Seq("cs1|c1|cs2", "cs2|c1|cs1"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
