@@ -29,10 +29,17 @@ object SearchIndex {
       "aaaaaaceeeeiiiinooooouuuuy")
 
   /** N1 — char n-grams of every length in [minN, maxN], plus the original
-    * string when preserveOriginal (ArangoDbUtilities.py:222-234). The
-    * input column must already be materialized (plain attribute) so the
-    * per-position lambda doesn't recompute it. */
+    * string when preserveOriginal (ArangoDbUtilities.py:222-234). One
+    * codegen'd call per row (CharNgrams) — the per-position interpreted
+    * HOF it replaces is kept as [[charNgramsHof]], spec-pinned equal. */
   def charNgrams(c: Column, minN: Int = 3, maxN: Int = 4,
+                 preserveOriginal: Boolean = true): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.CharNgrams(
+        org.apache.spark.sql.graft.ColumnShim.expression(c),
+        minN, maxN, preserveOriginal))
+
+  private[graft] def charNgramsHof(c: Column, minN: Int = 3, maxN: Int = 4,
                  preserveOriginal: Boolean = true): Column = {
     val grams = (minN to maxN).map { n =>
       filter(
@@ -46,8 +53,18 @@ object SearchIndex {
 
   /** N2 — text-analyzer tokens: lowercase, accent-fold, split on
     * non-alphanumerics, edge n-grams 3..12 of each word plus the full
-    * word (ArangoDbUtilities.py:235-250). */
+    * word (ArangoDbUtilities.py:235-250). Normalization stays native
+    * codegen'd expressions; the per-word prefix fan-out is one generated
+    * call (EdgeNgrams), spec-pinned equal to [[edgeNgramTokensHof]]. */
   def edgeNgramTokens(c: Column, minN: Int = 3, maxN: Int = 12): Column = {
+    val words = filter(split(deAccent(lower(c)), "[^a-z0-9]+"), w => w =!= "")
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.EdgeNgrams(
+        org.apache.spark.sql.graft.ColumnShim.expression(words), minN, maxN))
+  }
+
+  private[graft] def edgeNgramTokensHof(c: Column, minN: Int = 3,
+                                        maxN: Int = 12): Column = {
     val words = filter(split(deAccent(lower(c)), "[^a-z0-9]+"), w => w =!= "")
     array_distinct(flatten(transform(words, w =>
       concat(

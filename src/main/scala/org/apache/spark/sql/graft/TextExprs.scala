@@ -86,6 +86,48 @@ object TextOps {
     }
     new GenericArrayData(if (n == out.length) out else JArrays.copyOf(out, n))
   }
+  /** Distinct char n-grams of every length in [minN, maxN] (full windows
+    * only), optionally followed by the original string — value-identical
+    * to the per-length transform/sequence/substr HOF chain
+    * (n-ascending, position-ascending, first-occurrence dedup). */
+  def charNgrams(text: UTF8String, minN: Int, maxN: Int,
+                 preserveOriginal: Boolean): ArrayData = {
+    val len = text.numChars()
+    val out = new LinkedHashSet[UTF8String]()
+    var n = minN
+    while (n <= maxN) {
+      var i = 0
+      while (i + n <= len) {
+        out.add(text.substring(i, i + n))
+        i += 1
+      }
+      n += 1
+    }
+    if (preserveOriginal) out.add(text)
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Distinct edge n-grams (prefixes of length minN..maxN) of each word
+    * plus the full word, word order preserved — value-identical to the
+    * flatten/transform/sequence/substr HOF chain. */
+  def edgePrefixes(words: ArrayData, minN: Int, maxN: Int): ArrayData = {
+    val out = new LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < words.numElements()) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        val len = w.numChars()
+        var n = minN
+        while (n <= maxN && n <= len) {
+          out.add(w.substring(0, n))
+          n += 1
+        }
+        out.add(w)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
 }
 
 /** Distinct word n-gram shingles of a token array, one generated call per
@@ -107,6 +149,48 @@ case class WordShingles(child: Expression, n: Int)
       s"${ev.value} = org.apache.spark.sql.graft.TextOps.shingles($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Distinct char n-grams (N1 analyzer) in one generated call per row. */
+case class CharNgrams(child: Expression, minN: Int, maxN: Int,
+                      preserveOriginal: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(0 < minN && minN <= maxN, "need 0 < minN <= maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.charNgrams(a.asInstanceOf[UTF8String], minN, maxN, preserveOriginal)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.charNgrams($a, $minN, $maxN, $preserveOriginal);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** Distinct per-word edge n-grams (N2 analyzer tail) in one generated
+  * call per row over the tokenized words array. */
+case class EdgeNgrams(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(0 < minN && minN <= maxN, "need 0 < minN <= maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.edgePrefixes(a.asInstanceOf[ArrayData], minN, maxN)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.edgePrefixes($a, $minN, $maxN);")
+
+  override protected def withNewChildInternal(newChild: Expression): EdgeNgrams =
     copy(child = newChild)
 }
 

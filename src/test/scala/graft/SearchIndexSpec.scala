@@ -19,6 +19,24 @@ class SearchIndexSpec extends SparkSpec {
   private val fields: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
     Map("label" -> (c => SearchIndex.edgeNgramTokens(c)))
 
+  test("codegen analyzers are value-identical to the HOF formulations") {
+    val texts = Seq("naïve T cell", "ab", "", "macrophage activation marker",
+      "東京 データ x", "ALL-CAPS and/or punct.,chars")
+      .toDF("t")
+    val r = texts.select(
+        SearchIndex.charNgrams($"t").as("cn"),
+        SearchIndex.charNgramsHof($"t").as("cnH"),
+        SearchIndex.charNgrams($"t", 2, 5, preserveOriginal = false).as("cn2"),
+        SearchIndex.charNgramsHof($"t", 2, 5, preserveOriginal = false).as("cn2H"),
+        SearchIndex.edgeNgramTokens($"t").as("en"),
+        SearchIndex.edgeNgramTokensHof($"t").as("enH"))
+      .as[(Seq[String], Seq[String], Seq[String], Seq[String], Seq[String], Seq[String])]
+      .collect()
+    r.foreach { case (cn, cnH, cn2, cn2H, en, enH) =>
+      assert(cn == cnH); assert(cn2 == cn2H); assert(en == enH)
+    }
+  }
+
   test("view lifecycle: create is bucketed, whitelist filters collections") {
     SearchIndex.createView(verts, Seq("collection", "key"), fields,
       "search_view", buckets = 4,
