@@ -138,36 +138,47 @@ object Dedup {
       col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
       col("band"), col("bucket"))
-    val candidates =
-      if (hotBucketThreshold <= 0L) a.join(b, Seq("band", "bucket"))
-      else {
-        // the hot set is by construction tiny (buckets over the threshold)
-        // — one partial-agg count over the banded rows, then a broadcast
-        // membership tag on both join sides
-        val hot = broadcast(banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") > hotBucketThreshold)
-          .select(col("band"), col("bucket"), lit(true).as("__hot")))
-        val aT = a.join(hot, Seq("band", "bucket"), "left")
-        val bT = b.join(hot, Seq("band", "bucket"), "left")
-        val cold = aT.filter(col("__hot").isNull).drop("__hot")
-          .join(bT.filter(col("__hot").isNull).drop("__hot"),
-            Seq("band", "bucket"))
-        val hotPairs = aT.filter(col("__hot").isNotNull).drop("__hot")
-          .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(hotSalts)).cast("int"))
-          .join(bT.filter(col("__hot").isNotNull).drop("__hot")
-              .withColumn("__salt", explode(array((0 until hotSalts).map(lit): _*))),
-            Seq("band", "bucket", "__salt"))
-          .drop("__salt")
-        cold.unionByName(hotPairs)
-      }
-    candidates
+    hotAwareSelfJoin(banded, a, b, Seq("band", "bucket"),
+      hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b))
           .cast("double") / lit(k)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Skew-aware LSH candidate self-join, shared by the MinHash band join
+    * and the SimHash chunk join. `all` is the bucketed row set (one row
+    * per (id, key...)), `a`/`b` its two renamed sides with `id_a`/`id_b`.
+    * Buckets with more than `hotThreshold` members take the salted path:
+    * probe side keyed by hash(id_a) % salts, build side replicated
+    * `salts` ways, so each pair still meets at exactly one salt —
+    * result-identical, `salts`-way parallelism on the hot keys. The hot
+    * set is by construction tiny (one partial-agg count, broadcast tag).
+    * hotThreshold <= 0 = plain join (AQE skew handling is the first
+    * line; see PLANS.md round 4). */
+  private[graft] def hotAwareSelfJoin(all: DataFrame, a: DataFrame,
+      b: DataFrame, keys: Seq[String], hotThreshold: Long,
+      salts: Int): DataFrame = {
+    if (hotThreshold <= 0L) a.join(b, keys)
+    else {
+      val hot = broadcast(all.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotThreshold)
+        .select(keys.map(col) :+ lit(true).as("__hot"): _*))
+      val aT = a.join(hot, keys, "left")
+      val bT = b.join(hot, keys, "left")
+      val cold = aT.filter(col("__hot").isNull).drop("__hot")
+        .join(bT.filter(col("__hot").isNull).drop("__hot"), keys)
+      val hotPairs = aT.filter(col("__hot").isNotNull).drop("__hot")
+        .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+        .join(bT.filter(col("__hot").isNotNull).drop("__hot")
+            .withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
+          keys :+ "__salt")
+        .drop("__salt")
+      cold.unionByName(hotPairs)
+    }
   }
 
   /** SimHash 64-bit fingerprint per document: sum ±1 per bit over token
@@ -184,8 +195,12 @@ object Dedup {
     * Candidates come from 4 LSH tables (16-bit chunks): two fingerprints
     * within hamming ≤ 3 must agree on at least one 16-bit chunk — an
     * equi-join per chunk, never a cross join. */
+  /** @param hotBucketThreshold same skew lever as [[minHashLsh]]'s — a
+    *        universally shared 16-bit chunk (e.g. the all-zero chunk of
+    *        short docs) is exactly a viral LSH bucket */
   def simHashNearDups(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                      textCol: String = "text", maxHamming: Int = 3,
+                      hotBucketThreshold: Long = 0L, hotSalts: Int = 16): DataFrame = {
     val fp = simHash(docs, idCol, textCol) // read by both join sides
     Exec.withPersisted(fp) {
     val chunked = fp.select(col(idCol).as("id"), col("simhash"),
@@ -198,7 +213,8 @@ object Dedup {
       col("chunk"), col("ck"))
     val b = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"),
       col("chunk"), col("ck"))
-    a.join(b, Seq("chunk", "ck"))
+    hotAwareSelfJoin(chunked, a, b, Seq("chunk", "ck"),
+        hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -100,6 +100,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L))) // identical -> hamming 0
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+    // skew lever: hot-chunk salted join is result-identical here too
+    val salted = Dedup.simHashNearDups(docs, maxHamming = 3,
+      hotBucketThreshold = 1L, hotSalts = 4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(salted == pairs)
   }
 
   test("md5-bit simhash pipeline agrees with the packed-long pipeline's shape") {
