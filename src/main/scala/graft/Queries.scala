@@ -978,6 +978,20 @@ object Queries {
       .orderBy("q", "val")
   }
 
+  /** The bucketed hop-table SCALE path as a driver gate: the same catalog
+    * 2-hop as q46a, but run via GraphStore.writeHopTables (undirected
+    * edge view persisted twice, bucketed+sorted by each hop join key) +
+    * PathQuery.runBucketed — the layout where the edge table never
+    * shuffles (zero exchanges on a 2-hop, plan-asserted in
+    * QueryCatalogSpec). Identical output contract: q46a's oracle. */
+  def q53BucketedCatalog(s: SparkSession, dir: String): DataFrame = {
+    val (_, edges) = catalogGraph(s, dir)
+    graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
+      prefix = "q53_hops")
+    catalogSig(QueryCatalog.production(2).runBucketed(s, "q53_hops"), "p1")
+      .orderBy("q", "val")
+  }
+
   /** Hyperplane-LSH ANN gate with the all-pass bucket (nPlanes = 0): the
     * bucket equi-join + BoundedTopK re-rank run for real over every
     * candidate, making the result exactly brute-force top-k — the q26
@@ -1104,7 +1118,8 @@ object Queries {
     "q49_fingerprint" -> (q49Fingerprint _),
     "q50_near_dup_components" -> (q50NearDupComponents _),
     "q51_deterministic_split" -> (q51DeterministicSplit _),
-    "q52_redact" -> (q52Redact _)
+    "q52_redact" -> (q52Redact _),
+    "q53_bucketed_catalog" -> (q53BucketedCatalog _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1200,6 +1215,11 @@ object Queries {
         |  'https?://[^ ]+', '<URL>', 'g'),
         | '[0-9]{6,}', '<NUM>', 'g') AS redacted
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "q53_bucketed_catalog" ->
+      """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer)
+        |SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)
+        | || '|' || CAST((c % 200) % 40 AS VARCHAR) AS val FROM cust
+        |ORDER BY q, val""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(
