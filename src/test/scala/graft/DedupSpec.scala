@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("codegen shingles equal HOF on generated unicode corpora (property)") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("naïve", "café", "東京", "ü", ""), Gen.const(" "))
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val samples = Iterator.continually(doc.sample).flatten.take(150).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val fast = Dedup.shingleRows(df, "doc_id", "text", n)
+        .as[(Long, String)].collect().sorted.toSeq
+      val hof = Dedup.shingleRowsHof(df, "doc_id", "text", n)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(fast == hof, s"n=$n")
+    }
+  }
+
   test("exact dedup keeps one survivor per identical text, min id wins") {
     val r = Dedup.exact(docs).collect()
       .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toMap

@@ -67,6 +67,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.getBoolean(0) && !n.getBoolean(1))
   }
 
+  test("codegen fingerprint equals HOF on generated unicode text (property)") {
+    import org.scalacheck.Gen
+    val frag = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("naïve café", "東京データ", "©®™", "", "!!"))
+    val doc = Gen.listOf(frag).map(_.mkString(" "))
+    val samples = Iterator.continually(doc.sample).flatten.take(150).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val r = samples.toDF("id", "t").select(
+        TextAnalysis.fingerprint($"t", 5, 8).as("fast"),
+        TextAnalysis.fingerprintWith($"t", xxhash64(_), 5, 8).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    r.foreach { case (fast, hof) => assert(fast == hof) }
+  }
+
   test("fingerprint is stable and shared between near-identical docs") {
     val a = "spark is a unified analytics engine for large scale data"
     val b = a + " processing" // appended word: most 8-gram hashes shared
