@@ -148,6 +148,17 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Run `body` with adaptive execution disabled, restoring the previous
+    * setting — for eager materializations whose output PARTITIONING must
+    * be captured (AQE wraps plans in AdaptiveSparkPlan, which reports
+    * UnknownPartitioning until finalized). */
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Skew-aware LSH candidate self-join, shared by the MinHash band join
     * and the SimHash chunk join. `all` is the bucketed row set (one row
     * per (id, key...)), `a`/`b` its two renamed sides with `id_a`/`id_b`.
@@ -297,10 +308,22 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           failOnMaxIter: Boolean = true): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .localCheckpoint(true)
+    // pre-partition the (static) edge table by the per-round join key —
+    // localCheckpoint preserves the partitioning, and the labels side
+    // arrives hash-partitioned on id from its aggregation, so every
+    // round's edge⋈label join runs WITHOUT re-shuffling the edges (the
+    // dominant volume: 2|E| rows vs |V| labels). Only the label-update
+    // aggregation still moves edge-count rows, with map-side combine.
+    // The checkpoint must be captured with AQE off: an AdaptiveSparkPlan
+    // reports UnknownPartitioning at capture time, which would silently
+    // re-introduce the per-round edge shuffle (plan-asserted in DedupSpec).
+    val edges = withAqeOff(spark) {
+      pairs
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b"), col("id_a")))
+        .repartition(col("v"))
+        .localCheckpoint(true)
+    }
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

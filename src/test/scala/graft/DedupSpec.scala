@@ -136,6 +136,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("cc round join reuses the checkpointed edge partitioning") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val pairs = (1 to 50).map(i => (i.toLong, (i + 1).toLong))
+        .toDF("id_a", "id_b")
+      // capture the checkpoint with AQE off, as connectedComponents does —
+      // an adaptive plan reports UnknownPartitioning at capture time
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges =
+        try pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .repartition(col("v")).localCheckpoint(true)
+        finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      val labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val joined = edges.join(labels, edges("v") === labels("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly ONE exchange: the labels aggregation; the checkpointed
+      // edges carry hashpartitioning(v) into the join, so the 2|E| side
+      // is never re-shuffled per round
+      val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(n == 1, s"expected only the label-side exchange, got $n:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connected components match a union-find over generated pair graphs") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
