@@ -873,10 +873,17 @@ object Queries {
   /** The production-catalog gate graph (shared by q46a–q46d): a
     * multi-collection graph (CS/CL/CSD/GS/PR/RS/CHEMBL/MONDO) derived
     * modularly from customer keys, with a SUB_CLASS_OF hierarchy and a
-    * decoy edge label. Returns (vertices, edges), both eagerly
+    * decoy edge label. [[catalogGraph]] returns (vertices, edges) eagerly
     * materialized — every catalog query reads the edge table once per hop
-    * and each union branch otherwise carries its own distinct shuffle. */
+    * and each union branch otherwise carries its own distinct shuffle;
+    * [[catalogGraphRaw]] skips the checkpoints for single-pass consumers
+    * (q53 writes the edges once and never touches the vertices). */
   private def catalogGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (v, e) = catalogGraphRaw(s, dir)
+    (v.localCheckpoint(true), e.localCheckpoint(true))
+  }
+
+  private def catalogGraphRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = t(s, dir, "customer").select(col("c_custkey").cast("long").as("c"))
     val clKeys = cust.select((col("c") % 200).as("j")).distinct()
     val gsEdges = clKeys.select(col("j"), explode(array_distinct(
@@ -904,7 +911,6 @@ object Queries {
       .unionByName(v("RS", rsKeys, "r"))
       .unionByName(v("CHEMBL", chKeys, "ch"))
       .unionByName(v("MONDO", mDom, "m"))
-      .localCheckpoint(true)
     val edges = e(cust, "CS", col("c"), "CL", col("c") % 200, "composed_of")
       .unionByName(e(clKeys, "CL", col("j"), "CSD", col("j") % 40, "source"))
       .unionByName(e(gsEdges, "CL", col("j"), "GS", col("g"), "expresses"))
@@ -919,7 +925,6 @@ object Queries {
       // decoy label the hierarchy walk must ignore
       .unionByName(e(mDom.filter(col("m") % 3 === 0 && col("m") + 2 < 20),
         "MONDO", col("m"), "MONDO", col("m") + 2, "OTHER"))
-      .localCheckpoint(true)
     (vertices, edges)
   }
 
@@ -985,7 +990,9 @@ object Queries {
     * shuffles (zero exchanges on a 2-hop, plan-asserted in
     * QueryCatalogSpec). Identical output contract: q46a's oracle. */
   def q53BucketedCatalog(s: SparkSession, dir: String): DataFrame = {
-    val (_, edges) = catalogGraph(s, dir)
+    // raw (un-checkpointed) graph: the edges are written exactly once by
+    // writeHopTables and the vertex table is never touched
+    val (_, edges) = catalogGraphRaw(s, dir)
     graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
       prefix = "q53_hops")
     catalogSig(QueryCatalog.production(2).runBucketed(s, "q53_hops"), "p1")

@@ -113,15 +113,20 @@ object Scratch {
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        val keepIds = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val pairs = Dedup.minHashLsh(corpus, "doc_id", "text", 3, 16, 4,
           hotBucketThreshold = thr, hotSalts = math.max(salts, 1))
         val n = pairs.count()
         println(f"[scratch] lsh($label, thr=$thr): $n pairs in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        // no blanket unpersist here: the corpus/ccInput localCheckpoints
-        // must survive (checkpoint blocks cannot be recomputed)
+        // release only what THIS variant pinned (its checkpointed pair
+        // result lives as RDD-level persistence, which clearCache alone
+        // would not free); pre-existing checkpoints (corpus, the kept
+        // ccInput) cannot be recomputed and must survive
         if (label == "salted32") ccInput = pairs
-        else spark.catalog.clearCache()
+        else spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keepIds.contains(id) }
+          .values.foreach(_.unpersist(false))
       }
       spark.conf.set("spark.sql.adaptive.enabled", false)
       var t0 = System.nanoTime()

@@ -106,27 +106,23 @@ object Dedup {
                  hashFamily: (Int, Column) => Column = xxHashFamily,
                  bucketFamily: (Int, Column) => Column = xxBucketFamily,
                  hotBucketThreshold: Long = 0L, hotSalts: Int = 16): DataFrame = {
-    // the signature table is read twice (both sides of the candidate
-    // self-join) — persist it so the shingle+agg lineage runs once (it is
-    // small: |docs| × k longs), and release it as soon as the (smaller)
-    // pair result is materialized — see Exec.withPersisted
+    // the signature AND banded tables are read by several plan branches
+    // (both candidate sides; the hot-count and tag joins when salting is
+    // on) — persist both so the shingle+agg and band-hash lineage runs
+    // once (both are small: |docs| × k longs / × bands rows), and release
+    // them as soon as the (smaller) pair result is materialized
     val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
-    Exec.withPersisted(sigs) {
-      minHashLshPlan(sigs, idCol, k, bands, bucketFamily,
-        hotBucketThreshold, hotSalts)
+    val banded = bandedOf(sigs, idCol, k, bands, bucketFamily)
+    Exec.withPersisted(sigs, banded) {
+      candidatePairs(banded, k, hotBucketThreshold, hotSalts)
     }
   }
 
-  /** The un-checkpointed candidate plan — separated so specs can assert
-    * on the physical plan (withPersisted's eager localCheckpoint leaves
-    * only an ExistingRDD scan visible on the returned frame). */
-  private[graft] def minHashLshPlan(sigs: DataFrame, idCol: String,
-                 k: Int, bands: Int,
-                 bucketFamily: (Int, Column) => Column,
-                 hotBucketThreshold: Long, hotSalts: Int): DataFrame = {
+  private def bandedOf(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                       bucketFamily: (Int, Column) => Column): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val banded = sigs.select(
+    sigs.select(
       col(idCol).as("id"), col("sig"),
       explode(array((0 until bands).map(bnd => struct(
         lit(bnd).as("band"),
@@ -134,11 +130,12 @@ object Dedup {
           .as("bucket"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    hotAwareSelfJoin(banded, a, b, Seq("band", "bucket"),
+  }
+
+  private def candidatePairs(banded: DataFrame, k: Int,
+                             hotBucketThreshold: Long, hotSalts: Int): DataFrame =
+    hotAwareSelfJoin(banded, Seq("band", "bucket"),
+      Seq(("id", "id_a", "id_b"), ("sig", "sig_a", "sig_b")),
       hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -146,12 +143,26 @@ object Dedup {
           (x, y) => x === y), b => b))
           .cast("double") / lit(k)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
-  }
+
+  /** The un-checkpointed candidate plan — separated so specs can assert
+    * on the physical plan (withPersisted's eager localCheckpoint leaves
+    * only an ExistingRDD scan visible on the returned frame). */
+  private[graft] def minHashLshPlan(sigs: DataFrame, idCol: String,
+                 k: Int, bands: Int,
+                 bucketFamily: (Int, Column) => Column,
+                 hotBucketThreshold: Long, hotSalts: Int): DataFrame =
+    candidatePairs(bandedOf(sigs, idCol, k, bands, bucketFamily),
+      k, hotBucketThreshold, hotSalts)
 
   /** Run `body` with adaptive execution disabled, restoring the previous
     * setting — for eager materializations whose output PARTITIONING must
     * be captured (AQE wraps plans in AdaptiveSparkPlan, which reports
-    * UnknownPartitioning until finalized). */
+    * UnknownPartitioning until finalized). Caveat: the toggle is
+    * session-scoped, so a concurrent query planned on the SAME session
+    * inside this window loses AQE for that plan — harmless for
+    * correctness, and the window covers only the edge-table
+    * materialization; callers running many queries concurrently should
+    * hand this operator its own session (`spark.newSession`). */
   private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key, "true")
@@ -161,29 +172,37 @@ object Dedup {
 
   /** Skew-aware LSH candidate self-join, shared by the MinHash band join
     * and the SimHash chunk join. `all` is the bucketed row set (one row
-    * per (id, key...)), `a`/`b` its two renamed sides with `id_a`/`id_b`.
-    * Buckets with more than `hotThreshold` members take the salted path:
-    * probe side keyed by hash(id_a) % salts, build side replicated
-    * `salts` ways, so each pair still meets at exactly one salt —
-    * result-identical, `salts`-way parallelism on the hot keys. The hot
-    * set is by construction tiny (one partial-agg count, broadcast tag).
-    * hotThreshold <= 0 = plain join (AQE skew handling is the first
-    * line; see PLANS.md round 4). */
-  private[graft] def hotAwareSelfJoin(all: DataFrame, a: DataFrame,
-      b: DataFrame, keys: Seq[String], hotThreshold: Long,
+    * per (id, key...)); `sideCols` maps each payload column to its
+    * (a-side, b-side) name — the first entry's a-side name is the pair
+    * id used for salting. Buckets with more than `hotThreshold` members
+    * take the salted path: probe side keyed by hash(id) % salts, build
+    * side replicated `salts` ways, so each pair still meets at exactly
+    * one salt — result-identical, `salts`-way parallelism on the hot
+    * keys. The hot set is by construction tiny (one partial-agg count,
+    * broadcast-tagged ONCE on the shared frame; callers persist `all` so
+    * the tag/filter branches scan a cached table). hotThreshold <= 0 =
+    * plain join (AQE skew handling is the first line; PLANS.md round 4). */
+  private[graft] def hotAwareSelfJoin(all: DataFrame, keys: Seq[String],
+      sideCols: Seq[(String, String, String)], hotThreshold: Long,
       salts: Int): DataFrame = {
-    if (hotThreshold <= 0L) a.join(b, keys)
+    def side(src: DataFrame, pick: ((String, String, String)) => String) =
+      src.select(keys.map(col) ++
+        sideCols.map(c => col(c._1).as(pick(c))) ++
+        (if (src.columns.contains("__hot")) Seq(col("__hot")) else Nil): _*)
+    if (hotThreshold <= 0L) side(all, _._2).join(side(all, _._3), keys)
     else {
       val hot = broadcast(all.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > hotThreshold)
         .select(keys.map(col) :+ lit(true).as("__hot"): _*))
-      val aT = a.join(hot, keys, "left")
-      val bT = b.join(hot, keys, "left")
+      val tagged = all.join(hot, keys, "left")
+      val aT = side(tagged, _._2)
+      val bT = side(tagged, _._3)
+      val idA = sideCols.head._2
       val cold = aT.filter(col("__hot").isNull).drop("__hot")
         .join(bT.filter(col("__hot").isNull).drop("__hot"), keys)
       val hotPairs = aT.filter(col("__hot").isNotNull).drop("__hot")
-        .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(salts)).cast("int"))
+        .withColumn("__salt", pmod(xxhash64(col(idA)), lit(salts)).cast("int"))
         .join(bT.filter(col("__hot").isNotNull).drop("__hot")
             .withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
           keys :+ "__salt")
@@ -220,11 +239,8 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))): _*))
         .as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ck"))
-    val a = chunked.select(col("id").as("id_a"), col("simhash").as("sh_a"),
-      col("chunk"), col("ck"))
-    val b = chunked.select(col("id").as("id_b"), col("simhash").as("sh_b"),
-      col("chunk"), col("ck"))
-    hotAwareSelfJoin(chunked, a, b, Seq("chunk", "ck"),
+    hotAwareSelfJoin(chunked, Seq("chunk", "ck"),
+        Seq(("id", "id_a", "id_b"), ("simhash", "sh_a", "sh_b")),
         hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

@@ -36,14 +36,30 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Drop a managed table AND its leftover warehouse directory. A fresh
+    * session's in-memory catalog forgets tables from previous JVMs while
+    * their files survive, and `saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS — every bucketed-table writer resets
+    * through here so overwrite semantics hold across restarts. */
+  def resetManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val dbLoc = spark.catalog.getDatabase("default").locationUri
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new java.net.URI(dbLoc)), table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Persist a DataFrame bucketed+sorted by the join key (table name in
     * the session catalog; files under the warehouse dir). */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
-                    table: String): Unit =
+                    table: String): Unit = {
+    resetManagedTable(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketing tables as a sort-merge join — with matching
     * bucketing Catalyst plans NO shuffle exchange on either side

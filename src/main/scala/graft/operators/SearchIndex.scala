@@ -110,10 +110,14 @@ object SearchIndex {
                  buckets: Int = 16,
                  collections: Option[Seq[String]] = None): Unit = {
     val src = collections match {
-      case Some(allowed) if df.columns.contains("collection") =>
+      case Some(allowed) =>
+        require(df.columns.contains("collection"),
+          "a collections whitelist needs a 'collection' column on the " +
+            s"source frame (got: ${df.columns.mkString(", ")})")
         df.filter(col("collection").isin(allowed.map(lit): _*))
-      case _ => df
+      case None => df
     }
+    Scale.resetManagedTable(df.sparkSession, table)
     postings(src, idCols, fields).write.mode("overwrite")
       .bucketBy(buckets, "token").sortBy("token")
       .format("parquet").saveAsTable(table)

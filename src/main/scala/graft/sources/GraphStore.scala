@@ -43,6 +43,8 @@ object GraphStore {
     * disk. The directed view is recoverable via `orient = 'f'`. */
   def writeHopTables(edges: DataFrame, buckets: Int, prefix: String): Unit = {
     val und = graft.operators.PathQueries.undirected(edges)
+    graft.operators.Scale.resetManagedTable(edges.sparkSession, s"${prefix}_by_src")
+    graft.operators.Scale.resetManagedTable(edges.sparkSession, s"${prefix}_by_dst")
     und.write.mode("overwrite")
       .bucketBy(buckets, "src_coll", "src_key").sortBy("src_coll", "src_key")
       .format("parquet").saveAsTable(s"${prefix}_by_src")

@@ -16,10 +16,11 @@ import java.nio.file.{Files, Path, StandardCopyOption}
  *    rule as `find_obo_version` (X11, OwlSource.oboVersion is the
  *    DataFrame twin of [[findVersion]]);
  *  - no current file → candidate becomes current;
- *  - newer candidate → current renamed to
- *    `<archive>/<stem>-<version><suffix>`, candidate renamed to current
- *    (both plain renames, so the swap is atomic on a same-filesystem
- *    download dir);
+ *  - newer candidate → current COPIED to
+ *    `<archive>/<stem>-<version><suffix>`, then the candidate atomically
+ *    renamed onto the current path — the install location holds a valid
+ *    file at every instant (no crash window, unlike the reference's
+ *    move-then-move);
  *  - otherwise the candidate is discarded.
  */
 object OboRefresh {
@@ -74,8 +75,13 @@ object OboRefresh {
           if (dot < 0) (name, "") else (name.substring(0, dot), name.substring(dot))
         val archived = archive.resolve(
           stem + "-" + (if (vCur.isEmpty) "unversioned" else vCur) + suffix)
-        Files.move(current, archived, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(candidate, current, StandardCopyOption.ATOMIC_MOVE)
+        // archive by COPY, then atomically rename the candidate onto the
+        // current path — the install location holds a valid file at every
+        // instant (the reference's move-then-move sequence has a crash
+        // window with no current file at all)
+        Files.copy(current, archived, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(candidate, current,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         Replaced(archived)
       } else {
         Files.delete(candidate)
