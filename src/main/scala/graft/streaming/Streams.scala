@@ -104,6 +104,95 @@ object Streams {
       }
   }
 
+  final case class BucketDoc(band: Int, bucket: Long, doc_id: Long,
+                             ts: java.sql.Timestamp, sig: Seq[Long])
+  final case class BucketState(docs: List[(Long, Seq[Long])], lastMs: Long)
+  final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /**
+   * Streaming near-duplicate detection — the streaming face of
+   * `Dedup.minHashLsh` for ingest-time dedup of an arriving corpus:
+   *
+   *  - per-row MinHash signature (NO grouping: shingles via the codegen'd
+   *    WordShingles, member j = min over the shingle array of
+   *    xxhash64(j, shingle) — identical values to the batch signature);
+   *  - explode into (band, bucket) keys exactly like the batch banding;
+   *  - `flatMapGroupsWithState` per bucket holds the (id, sig) of docs
+   *    seen so far and emits a pair for every new arrival whose estimated
+   *    Jaccard (fraction of agreeing members) clears `minJaccard` —
+   *    near-dups are found ACROSS micro-batches, not just within one;
+   *  - state is bounded two ways: `maxPerBucket` caps a viral bucket's
+   *    member list (the streaming twin of the batch hot-bucket lever —
+   *    beyond the cap new docs still match against the retained members
+   *    but are not added), and the event-time timeout drops buckets idle
+   *    past the watermark + `idleTtlMs`.
+   *
+   * A pair sharing several bands can be emitted once per band (streaming
+   * Append mode cannot re-aggregate emitted rows); downstream exact
+   * consumers dedup on (id_a, id_b).
+   *
+   * @param docs streaming Dataset of (doc_id, ts, text)
+   */
+  def streamingNearDups(docs: DataFrame, n: Int = 3, k: Int = 16,
+                        bands: Int = 4, minJaccard: Double = 0.5,
+                        watermark: String = "1 hour",
+                        idleTtlMs: Long = 60L * 60 * 1000,
+                        maxPerBucket: Int = 64): Dataset[NearDupPair] = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val shingles = graft.functions.VectorExpressions
+      .wordShingles(split(lower(col("text")), "\\s+"), n)
+    val sig = array((0 until k).map(j =>
+      array_min(transform(shingles, sh => xxhash64(lit(j), sh)))): _*)
+    val banded = docs
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array((0 until bands).map(bnd => struct(
+          lit(bnd).as("band"),
+          // long bucket key: hash of the band's signature slice
+          xxhash64(lit(bnd) +: (bnd * r until (bnd + 1) * r)
+            .map(col("sig")(_)): _*).as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band"), col("bb.bucket"), col("doc_id"), col("ts"),
+        col("sig"))
+      .as[BucketDoc]
+
+    def estJaccard(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / k
+
+    banded
+      .withWatermark("ts", watermark)
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[BucketDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[NearDupPair]
+            it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              st.docs.foreach { case (seenId, seenSig) =>
+                if (seenId != d.doc_id) {
+                  val est = estJaccard(seenSig, d.sig)
+                  if (est >= minJaccard)
+                    out += NearDupPair(math.min(seenId, d.doc_id),
+                      math.max(seenId, d.doc_id), est)
+                }
+              }
+              if (st.docs.size < maxPerBucket &&
+                  !st.docs.exists(_._1 == d.doc_id))
+                st = BucketState((d.doc_id, d.sig) :: st.docs,
+                  math.max(st.lastMs, d.ts.getTime))
+              else st = st.copy(lastMs = math.max(st.lastMs, d.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + idleTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`
     * as parquet. Restartable via the checkpoint dir. */

@@ -44,6 +44,61 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDups finds pairs across micro-batches, matching batch LSH") {
+    implicit val sc = spark.sqlContext
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def mut(i: Int) = base.split(" ").updated(i, s"MUT$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.streamingNearDups(
+      in.toDF().toDF("doc_id", "ts", "text"), minJaccard = 0.5)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      // batch 1: original + an unrelated doc; batch 2: near-dups arrive
+      in.addData((1L, ts(0), base), (9L, ts(1), "completely different words " * 12))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0)
+      in.addData((2L, ts(5), base), (3L, ts(6), mut(7)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // cross-batch: doc 2 (exact dup) and doc 3 (near-dup) pair with doc 1
+      assert(got.contains((1L, 2L)))
+      assert(got.contains((1L, 3L)))
+      assert(!got.exists { case (a, b) => a == 9L || b == 9L })
+      // agrees with the batch operator on the same corpus/config
+      val docs = Seq((1L, base), (9L, "completely different words " * 12),
+        (2L, base), (3L, mut(7))).toDF("doc_id", "text")
+      val batch = graft.operators.Dedup
+        .minHashLsh(docs, n = 3, k = 16, bands = 4)
+        .filter($"est_jaccard" >= 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("streamingNearDups caps per-bucket state on a viral cluster") {
+    implicit val sc = spark.sqlContext
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.streamingNearDups(
+      in.toDF().toDF("doc_id", "ts", "text"), minJaccard = 0.9,
+      maxPerBucket = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("viral_out").start()
+    try {
+      in.addData((1 to 10).map(i => (i.toLong, ts(i), base)): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("viral_out")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // only the first 3 arrivals are retained per bucket: every doc
+      // matches against at most those, so pair count is bounded at
+      // 3 + 7*3 = 24 per band-dedup, not the 45 of the full clique
+      assert(pairs.nonEmpty)
+      assert(pairs.forall { case (a, _) => a <= 3 })
+    } finally q.stop()
+  }
+
   test("incrementalTuples writes tuples per micro-batch via foreachBatch") {
     val dir = Files.createTempDirectory("stream")
     val src = dir.resolve("in"); Files.createDirectories(src)
