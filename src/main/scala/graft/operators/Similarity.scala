@@ -209,14 +209,18 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding
-    * variant of Dedup): pairs in the same bucket with cosine ≥ threshold. */
+    * variant of Dedup): pairs in the same bucket with cosine ≥ threshold.
+    * `hotBucketThreshold` is the same skew lever as the text-LSH joins —
+    * a cluster of (near-)identical embeddings shares one hyperplane
+    * bucket exactly like a viral document shares a band bucket. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, nPlanes: Int = 10,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     hotBucketThreshold: Long = 0L, hotSalts: Int = 16): DataFrame = {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
-    val a = sig.select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
-    val b = sig.select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    Dedup.hotAwareSelfJoin(sig, Seq("bucket"),
+        Seq(("id", "id_a", "id_b"), ("vec", "vec_a", "vec_b")),
+        hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)

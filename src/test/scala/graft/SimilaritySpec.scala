@@ -76,6 +76,11 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.cosineNearDups(corpus, threshold = 0.999)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((4L, 99L)))
+    // skew lever: hot-bucket salted join is result-identical
+    val salted = Similarity.cosineNearDups(corpus, threshold = 0.999,
+        hotBucketThreshold = 1L, hotSalts = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(salted == pairs)
   }
 
   test("IVF top-k finds planted duplicates and agrees with brute force on top-1") {
