@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dereify, OntologyGraph, SearchIndex}
+import graft.sources.{GraphStore, OwlSource}
+
+/**
+ * End-to-end workflow orchestration — the engine-level twins of the
+ * reference's main programs, chaining the operators a user would
+ * otherwise wire by hand:
+ *
+ *  - [[loadOntology]] = OntologyParserLoader.main (parse → triple-type
+ *    census → de-reify → property-graph build → store), the flow the
+ *    reference drives per ontology release;
+ *  - the store step also lays down the scale artifacts the query side
+ *    consumes: partitioned vertex/edge tables (partition pruning is the
+ *    index), the bucketed hop tables (shuffle-free hop joins), and the
+ *    token search view (ArangoDbUtilities' analyzers/views).
+ *
+ * Everything here is a composition of already-spec'd operators; the
+ * pipeline spec replays macrophage.owl+ro.owl through the whole chain
+ * and round-trips the store.
+ */
+object Pipelines {
+
+  /** What a load produced: the graph, the A8 triple-type census
+    * (count_triple_types, OntologyParserLoader.py:286-313) and the
+    * quarantined (invalid de-reification) triple count — the numbers the
+    * reference prints/logs along its main flow. */
+  final case class OntologyLoad(vertices: DataFrame, edges: DataFrame,
+                                tripleCensus: DataFrame, quarantined: Long)
+
+  /**
+   * Parse one ontology (plus the RO vocabulary), de-reify blank nodes,
+   * build the property graph, and optionally persist every query-side
+   * artifact.
+   *
+   * @param clPaths     ontology OWL file(s) — the reference's cl.owl /
+   *                    macrophage.owl
+   * @param roPath      relation-ontology OWL providing predicate labels
+   * @param storePath   when set, vertices/edges land as partitioned
+   *                    parquet under `<storePath>/vertices|edges`
+   * @param hopPrefix   when set, the bucketed by_src/by_dst hop tables
+   *                    are written for `PathQueries.kHopBucketed`
+   * @param searchView  when set, a token search view over the vertex
+   *                    terms (edge-ngram analyzer) is (re)created
+   */
+  def loadOntology(spark: SparkSession, clPaths: Seq[String], roPath: String,
+                   storePath: Option[String] = None,
+                   hopPrefix: Option[String] = None,
+                   searchView: Option[String] = None,
+                   hopBuckets: Int = 64): OntologyLoad = {
+    val raw = OwlSource.readOwl(spark, clPaths: _*)
+    val ro = Dereify.labels(OwlSource.readOwl(spark, roPath)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+
+    // A8 census over the RAW parse (the reference counts before
+    // de-reification, OntologyParserLoader.py:286)
+    val census = raw
+      .groupBy(col("sKind").as("s_kind"), col("oKind").as("o_kind"))
+      .agg(count(lit(1)).as("n"))
+
+    val (recon, ignored) = Dereify.dereify(raw)
+    val triples = Dereify.fnodeTriples(raw).unionByName(recon.toDF())
+    val quarantined = ignored.count()
+    val (vertices, edges) = OntologyGraph.build(triples, ro)
+
+    storePath.foreach { p =>
+      GraphStore.writeVertices(vertices, s"$p/vertices")
+      GraphStore.writeEdges(edges, s"$p/edges")
+    }
+    hopPrefix.foreach(GraphStore.writeHopTables(edges, hopBuckets, _))
+    searchView.foreach { t =>
+      // searchable text = the term id plus every label-attribute value
+      // (the reference's view links index the display fields,
+      // ArangoDbUtilities.py:318-330)
+      val labelValues = coalesce(
+        col("attrs")("label").getField("values"),
+        array().cast("array<string>"))
+      SearchIndex.recreateView(
+        vertices.withColumn("label",
+          concat_ws(" ", concat_ws(" ", col("term")), concat_ws(" ", labelValues))),
+        Seq("collection", "key"),
+        Map("label" -> (c => SearchIndex.edgeNgramTokens(c))), t)
+    }
+    OntologyLoad(vertices, edges, census, quarantined)
+  }
+}

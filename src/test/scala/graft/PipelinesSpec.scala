@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.plans.Pipelines
+import graft.operators.{PathQueries, SearchIndex}
+import graft.sources.GraphStore
+
+/** End-to-end OntologyParserLoader.main twin: parse → census → dereify →
+  * graph → store (+ hop tables + search view), replayed over the
+  * reference's committed macrophage.owl/ro.owl and round-tripped. */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("loadOntology chains the full reference flow and round-trips the store") {
+    assumeReference("src/test/data/obo")
+    val obo = referencePath("src/test/data/obo")
+    val store = Files.createTempDirectory("ont-store").toString
+    val load = Pipelines.loadOntology(spark,
+      Seq(s"$obo/macrophage.owl"), s"$obo/ro.owl",
+      storePath = Some(store), hopPrefix = Some("pipe_hops"),
+      searchView = Some("pipe_search"), hopBuckets = 4)
+
+    // graph content matches the golden chain (MacrophageGoldenSpec pins
+    // exact values; here: the flagship vertex + non-empty edges)
+    assert(load.vertices.filter($"collection" === "CL" && $"key" === "0000235")
+      .count() == 1) // macrophage
+    assert(load.edges.count() > 0)
+    // census covers the raw parse and quarantine is a concrete number
+    assert(load.tripleCensus.agg(sum("n")).head().getLong(0) > 0)
+    assert(load.quarantined >= 0)
+
+    // store round-trip: partitioned tables read back identically
+    val vBack = GraphStore.readVertices(spark, s"$store/vertices")
+    assert(vBack.count() == load.vertices.count())
+    val eBack = GraphStore.readEdges(spark, s"$store/edges")
+    assert(eBack.count() == load.edges.count())
+
+    // hop tables serve a path query over the stored graph
+    val hops = PathQueries.kHopBucketed(spark, "pipe_hops", "CL", Seq("CL"))
+    assert(hops.count() > 0)
+
+    // the search view finds the macrophage vertex by term prefix
+    val hits = SearchIndex.search(spark.table("pipe_search"), Seq("macroph"))
+      .select("key").as[String].collect().toSet
+    assert(hits.contains("0000235"))
+  }
+}
