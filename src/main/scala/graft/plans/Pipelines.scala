@@ -87,4 +87,45 @@ object Pipelines {
     }
     OntologyLoad(vertices, edges, census, quarantined)
   }
+
+  /**
+   * Results-graph build — ResultsGraphBuilder.java's main flow: writer
+   * tuples → vertex/edge tables (A1 first-wins vertices, A2 first-label
+   * edges, F8 collection whitelist) → persisted graph + hop tables, then
+   * the production path-query catalog runs against it
+   * (PhenotypeGraphBuilder.java:48-223).
+   *
+   * @param tuples   (s, p, o, lit, ord) rows from any tuple writer
+   * @param queries  catalog instantiations to materialize (defaults to
+   *                 the phenotype subgraph over the full production set)
+   * @return (vertices, edges, subgraphVertices, subgraphEdges)
+   */
+  def buildResultsGraph(tuples: DataFrame,
+                        whitelist: Option[Seq[String]] = None,
+                        storePath: Option[String] = None,
+                        hopPrefix: Option[String] = None,
+                        hopBuckets: Int = 64,
+                        queries: Seq[QueryCatalog.PathQuery] = QueryCatalog.production)
+  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.GraphBuilder
+    val vertices = GraphBuilder.vertices(tuples, whitelist)
+    val edges = GraphBuilder.edges(tuples)
+    storePath.foreach { p =>
+      GraphStore.writeVertices(vertices, s"$p/vertices")
+      GraphStore.writeEdges(edges, s"$p/edges")
+    }
+    hopPrefix.foreach(GraphStore.writeHopTables(edges, hopBuckets, _))
+    // only queries whose every hop collection exists can yield paths —
+    // the reference runs all 24 and lets empty ones return nothing;
+    // pre-filtering skips the no-op joins without changing the result
+    val present = vertices.select("collection").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    val runnable = queries.filter(q =>
+      (q.anchor +: q.hops).forall(present.contains))
+    val (sv, se) =
+      if (runnable.isEmpty) (vertices.limit(0).select("collection", "key"),
+        edges.limit(0))
+      else QueryCatalog.phenotypeSubgraph(vertices, edges, runnable)
+    (vertices, edges, sv, se)
+  }
 }

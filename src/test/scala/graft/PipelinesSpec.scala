@@ -46,4 +46,26 @@ class PipelinesSpec extends SparkSpec {
       .select("key").as[String].collect().toSet
     assert(hits.contains("0000235"))
   }
+
+  test("buildResultsGraph runs writer tuples through graph, store, and catalog") {
+    val obo = "http://purl.obolibrary.org/obo/"
+    val rdfs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val tuples = Seq(
+      (s"${obo}CS_cs1", s"${rdfs}composed_of", s"${obo}CL_c1",
+        null.asInstanceOf[String], 0L),
+      (s"${obo}CL_c1", s"${rdfs}source", s"${obo}CSD_d1",
+        null.asInstanceOf[String], 1L),
+      (s"${obo}CS_cs1", s"${rdfs}Label", "cell set one", "lit", 2L)
+    ).toDF("s", "p", "o", "lit", "ord")
+    val store = Files.createTempDirectory("res-store").toString
+    val (v, e, sv, se) = Pipelines.buildResultsGraph(tuples,
+      storePath = Some(store), hopPrefix = Some("res_hops"), hopBuckets = 2)
+    assert(v.count() == 3 && e.count() == 2)
+    // only the CS->CL->CSD catalog query is runnable on these
+    // collections; its subgraph covers the whole chain
+    assert(sv.count() == 3 && se.count() == 2)
+    assert(GraphStore.readEdges(spark, s"$store/edges").count() == 2)
+    assert(PathQueries.kHopBucketed(spark, "res_hops", "CS", Seq("CL", "CSD"))
+      .count() == 1)
+  }
 }
