@@ -990,9 +990,10 @@ object Queries {
     * shuffles (zero exchanges on a 2-hop, plan-asserted in
     * QueryCatalogSpec). Identical output contract: q46a's oracle. */
   def q53BucketedCatalog(s: SparkSession, dir: String): DataFrame = {
-    // raw (un-checkpointed) graph: the edges are written exactly once by
-    // writeHopTables and the vertex table is never touched
-    val (_, edges) = catalogGraphRaw(s, dir)
+    // vertices are never touched (raw graph, not catalogGraph); the edge
+    // union IS materialized once — writeHopTables reads it twice (by_src
+    // and by_dst), which would re-run the 11-branch union per write
+    val edges = catalogGraphRaw(s, dir)._2.localCheckpoint(true)
     graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
       prefix = "q53_hops")
     catalogSig(QueryCatalog.production(2).runBucketed(s, "q53_hops"), "p1")
