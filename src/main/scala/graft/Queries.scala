@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Terms
-import graft.operators.{Dedup, GraphBuilder, PathQueries, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, GraphBuilder, PathQueries, Similarity, TextAnalysis}
 import graft.plans.QueryCatalog
 
 /**
@@ -1067,6 +1067,75 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination gate: every 40th document stands in as the
+    * held-out eval set; a training doc is contaminated when any word
+    * 5-gram of it appears verbatim in the eval set (the GPT-3/Llama
+    * n-gram-collision rule). Census per source of train vs contaminated
+    * counts. The eval shingle set is broadcast — the corpus side never
+    * shuffles its text. */
+  def q54Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+    val train = docs.filter(col("doc_id") % 40 =!= 0)
+    val bad = Corpus.contaminatedIds(train, bench, "doc_id", "text", n = 5)
+      .withColumn("__c", lit(1))
+    train.join(bad, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        count(col("__c")).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** Sequence-packing gate: documents in deterministic md5-shuffled order,
+    * token offsets accumulated corpus-wide (two-phase distributed prefix
+    * sum — never a single-partition window), 1000-token training
+    * sequences. Census per sequence: docs, tokens, boundary-crossers.
+    * The oracle replays the same layout with one global window. */
+  def q55PackSequences(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 1000L)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(when(col("crosses_boundary"), 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy("seq_id")
+
+  /** Stratified-sampling gate: each language stratum downsampled to
+    * ~150 docs by the deterministic md5-threshold rule (first 8 hex
+    * digits under floor(rate·2³²), lexicographic = numeric on
+    * equal-length hex). Bit-for-bit reproducible in any engine. */
+  def q56StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(t(s, dir, "documents"), Seq("lang"),
+        col("text"), target = 150L)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
+  /** Repetition-scoring gate: per-document duplicate word-bigram ratio
+    * (1 − distinct/total windows) — the standard repetitive-document
+    * quality signal, one codegen'd WordShingles pass per row. */
+  def q57Repetition(s: SparkSession, dir: String): DataFrame =
+    Corpus.repetitionStats(t(s, dir, "documents").filter(col("doc_id") < 500))
+      .orderBy("doc_id")
+
+  /** TF-IDF salient-terms gate: top-3 terms per document by
+    * tf × (N/df) — the ln-free rational idf, so both engines compute
+    * bit-identical doubles. df spans the FULL corpus; output is bounded
+    * to the first 50 docs. */
+  def q58TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id", "rank")
+
+  /** Corpus-statistics gate: exact discrete percentiles (value at rank
+    * ceil(p·n) — interpolation-free, so integer-exact in any engine) of
+    * per-document token counts, per source. */
+  def q59TokenPercentiles(s: SparkSession, dir: String): DataFrame =
+    Corpus.discPercentiles(
+        t(s, dir, "documents").select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "source", col("n_tokens"), Seq(0.5, 0.9, 0.99))
+      .orderBy("source")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1127,7 +1196,13 @@ object Queries {
     "q50_near_dup_components" -> (q50NearDupComponents _),
     "q51_deterministic_split" -> (q51DeterministicSplit _),
     "q52_redact" -> (q52Redact _),
-    "q53_bucketed_catalog" -> (q53BucketedCatalog _)
+    "q53_bucketed_catalog" -> (q53BucketedCatalog _),
+    "q54_decontaminate" -> (q54Decontaminate _),
+    "q55_pack_sequences" -> (q55PackSequences _),
+    "q56_stratified_sample" -> (q56StratifiedSample _),
+    "q57_repetition" -> (q57Repetition _),
+    "q58_tfidf_topk" -> (q58TfidfTopTerms _),
+    "q59_token_percentiles" -> (q59TokenPercentiles _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1228,6 +1303,87 @@ object Queries {
         |SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)
         | || '|' || CAST((c % 200) % 40 AS VARCHAR) AS val FROM cust
         |ORDER BY q, val""".stripMargin,
+    "q54_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+        |train AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM bench),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM train),
+        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle))
+        |SELECT source, count(*) AS n_train, count(bad.doc_id) AS n_contaminated
+        |FROM train LEFT JOIN bad USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q55_pack_sequences" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+        | FROM documents),
+        |laid AS (
+        | SELECT n_tokens, SUM(n_tokens) OVER (ORDER BY key) - n_tokens AS start_token FROM toks)
+        |SELECT start_token // 1000 AS seq_id, count(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        | CAST(SUM(CASE WHEN n_tokens > 0
+        |   AND (start_token + n_tokens - 1) // 1000 > start_token // 1000
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+        |FROM laid GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q56_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang, n,
+        | lpad(lower(to_hex(CAST(floor(least(1.0, 150.0 / n) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
+        | FROM c),
+        |s AS (
+        | SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+        | WHERE r.n <= 150 OR substr(md5(d.text), 1, 8) < r.thresh)
+        |SELECT lang, count(*) AS n_kept FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q57_repetition" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+        | FROM documents WHERE doc_id < 500),
+        |f AS (
+        | SELECT doc_id,
+        |  CAST(greatest(len(words) - 1, 0) AS BIGINT) AS total_ngrams,
+        |  CAST(len(list_distinct(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+        |    i -> array_to_string(words[i:i+1], ' ')))) AS BIGINT) AS distinct_ngrams
+        | FROM w)
+        |SELECT doc_id, total_ngrams, distinct_ngrams,
+        | CASE WHEN total_ngrams > 0
+        |  THEN CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams
+        |  ELSE 0.0 END AS dup_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q58_tfidf_topk" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT doc_id, token, tf, df, tf * (CAST(n_docs AS DOUBLE) / df) AS weight,
+        |  row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tf * (CAST(n_docs AS DOUBLE) / df) DESC, token ASC) AS rank
+        | FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tf, df, weight, rank FROM scored
+        |WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""".stripMargin,
+    "q59_token_percentiles" ->
+      """WITH v AS (
+        | SELECT source,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS v
+        | FROM documents),
+        |r AS (
+        | SELECT source, v,
+        |  row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS cnt
+        | FROM v)
+        |SELECT source,
+        | MIN(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN v END) AS p50,
+        | MIN(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN v END) AS p90,
+        | MIN(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN v END) AS p99,
+        | CAST(MAX(cnt) AS BIGINT) AS n_rows
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Corpus, TextAnalysis}
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- decontamination
+
+  test("contaminatedIds flags exactly the train docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contains bench span
+      (2L, "one two three four five six"),         // clean
+      (3L, "x y alpha beta gamma delta w"),        // contains bench span mid-doc
+      (4L, "alpha beta gamma")                     // too short for a 4-gram? no: 3 words < 4
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta suffix")
+    ).toDF("doc_id", "text")
+    val bad = Corpus.contaminatedIds(train, bench, n = 4)
+      .as[Long].collect().sorted
+    assert(bad.toSeq == Seq(1L, 3L))
+    val clean = Corpus.decontaminate(train, bench, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq == Seq(2L, 4L))
+  }
+
+  test("decontamination is case-insensitive like the shingle pipeline") {
+    val train = Seq((1L, "Alpha BETA gamma DELTA")).toDF("doc_id", "text")
+    val bench = Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Corpus.contaminatedIds(train, bench, n = 4).count() == 1)
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  test("packSequences matches the single-partition global-window witness") {
+    val docs = (1L to 97L).map(i => (i, ("w " * (i % 13 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+      .repartition(5) // force the multi-partition prefix-sum path
+    val got = Corpus.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 20L)
+      .select("doc_id", "n_tokens", "start_token", "seq_id", "crosses_boundary")
+
+    // witness: one global window over the same md5 order (fine at test scale)
+    val w = Window.orderBy("__key")
+    val want = docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))).as("__key"))
+      .withColumn("start_token", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_token div 20L"))
+      .withColumn("crosses_boundary",
+        col("n_tokens") > 0 &&
+          expr("(start_token + n_tokens - 1) div 20L") > col("seq_id"))
+      .select("doc_id", "n_tokens", "start_token", "seq_id", "crosses_boundary")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("packSequences layout is gapless and boundary flags are exact") {
+    val docs = Seq((1L, 7L), (2L, 25L), (3L, 3L), (4L, 10L), (5L, 0L))
+      .toDF("doc_id", "n")
+    val rows = Corpus.packSequences(docs, "doc_id", col("n"), budget = 10L)
+      .orderBy("start_token").collect()
+    // offsets are a prefix sum: each start = previous start + previous len
+    val starts = rows.map(_.getAs[Long]("start_token"))
+    val lens = rows.map(_.getAs[Long]("n_tokens"))
+    assert(starts.head == 0L)
+    for (i <- 1 until rows.length)
+      assert(starts(i) == starts(i - 1) + lens(i - 1))
+    for (r <- rows) {
+      val (s, n) = (r.getAs[Long]("start_token"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("seq_id") == s / 10L)
+      val crosses = n > 0 && (s + n - 1) / 10L > s / 10L
+      assert(r.getAs[Boolean]("crosses_boundary") == crosses)
+    }
+  }
+
+  // ---------------------------------------------------------------- stratified sampling
+
+  test("stratifiedSample keeps whole strata at/below target and is deterministic") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, s"doc number $i", if (i <= 300) "big" else "small"))
+      .toDF("doc_id", "text", "lang")
+    val a = Corpus.stratifiedSample(docs, Seq("lang"), col("text"), target = 120L)
+    val b = Corpus.stratifiedSample(docs, Seq("lang"), col("text"), target = 120L)
+    // deterministic: identical runs
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val byLang = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // the under-target stratum survives whole
+    assert(byLang("small") == 100L)
+    // the over-target stratum is genuinely downsampled (rate 0.4): binomial
+    // bounds are generous, the md5 rule is deterministic so this never flakes
+    assert(byLang("big") < 300L && byLang("big") > 60L)
+    // sampled rows are a subset of the input
+    assert(a.join(docs, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
+  // ---------------------------------------------------------------- repetition
+
+  test("repetitionStats scores repeated bigrams and degenerate docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"), // 4 windows, 1 distinct -> 0.75
+      (2L, "all words here are unique"), // 4 windows, 4 distinct -> 0.0
+      (3L, "solo"),                      // no window -> 0.0
+      (4L, "")                           // no window -> 0.0
+    ).toDF("doc_id", "text")
+    val m = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((4L, 1L, 0.75)))
+    assert(m(2L) == ((4L, 4L, 0.0)))
+    assert(m(3L)._3 == 0.0 && m(4L)._3 == 0.0)
+  }
+
+  // ---------------------------------------------------------------- tf-idf
+
+  test("tfidfTopTerms ranks by tf*(N/df) with token tiebreak") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "common common cherry")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, common 3
+    // doc 1: apple tf2*(3/1)=6, banana 1*(3/2)=1.5, common 1*1=1
+    val top = Corpus.tfidfTopTerms(docs, k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token", "weight").as[(String, Double)].collect()
+    assert(top.toSeq == Seq(("apple", 6.0), ("banana", 1.5)))
+    // doc 3: common tf2*(3/3)=2.0 vs cherry 1*(3/2)=1.5 -> common first
+    val top3 = Corpus.tfidfTopTerms(docs, k = 1)
+      .filter(col("doc_id") === 3L)
+      .select("token").as[String].collect()
+    assert(top3.toSeq == Seq("common"))
+  }
+
+  // ---------------------------------------------------------------- percentiles
+
+  test("discPercentiles picks the value at rank ceil(p*n) per group") {
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 1L), ("b", 9L))).toDF("g", "v")
+    val got = Corpus.discPercentiles(df, "g", col("v"), Seq(0.5, 0.9, 0.99))
+      .orderBy("g").collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 50L &&
+      a.getLong(2) == 90L && a.getLong(3) == 99L && a.getLong(4) == 100L)
+    val b = got(1)
+    // n=3: ceil(.5*3)=2 -> 5; ceil(.9*3)=3 -> 9; ceil(.99*3)=3 -> 9
+    assert(b.getString(0) == "b" && b.getLong(1) == 5L &&
+      b.getLong(2) == 9L && b.getLong(3) == 9L && b.getLong(4) == 3L)
+  }
+}
