@@ -67,47 +67,61 @@ object Corpus {
     * whether it spans a sequence boundary (`crosses_boundary`).
     *
     * The global prefix sum is the classic two-phase scan, not a
-    * single-partition window: range-repartition on the shuffle key, a
-    * per-partition window (parallel), then per-partition subtotals —
-    * one row per PARTITION, never per doc — are collected, prefix-summed
-    * on the driver, and broadcast back as offsets. At 100 TB the only
-    * data that moves is one range shuffle of (id, n_tokens, key); the
-    * result would stream straight to a sink. */
+    * single-partition window. The first `blockNibbles` hex digits of the
+    * shuffle key split the corpus into uniform BLOCKS whose lexicographic
+    * order IS the key order (a block is a key prefix), so: one hash
+    * shuffle of the narrow (id, n_tokens, key) frame on block, a
+    * per-block window (parallel), block subtotals — one row per BLOCK
+    * (256 at the default width), never per doc — prefix-summed on the
+    * driver and broadcast back as offsets. Deriving blocks from the data
+    * instead of `spark_partition_id()` keeps the layout declarative
+    * (no dependence on physical partitioning, no second shuffle for the
+    * window) and deterministic under recomputation. At 100 TB the text
+    * column never moves and the result streams straight to a sink. */
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
-                    budget: Long, seed: Long = 42L): DataFrame = {
+                    budget: Long, seed: Long = 42L,
+                    blockNibbles: Int = 2): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(blockNibbles >= 1 && blockNibbles <= 8,
+      "blockNibbles must be in [1, 8]")
     val spark = docs.sparkSession
     import spark.implicits._
-    val parts = docs
+    val keyed = docs
       .select(col(idCol), coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"),
         md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
           .as("__key"))
-      .repartitionByRange(col("__key"))
-      .sortWithinPartitions("__key")
-      .withColumn("__pid", spark_partition_id())
-    Exec.withPersisted(parts) {
-      // one row per partition; bounded by the shuffle-partition count
-      val subtotals = parts.groupBy("__pid")
-        .agg(sum("n_tokens").as("sub"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .sortBy(_._1)
-      val offsets = subtotals
-        .scanLeft((0, 0L)) { case ((_, acc), (pid, sub)) => (pid, acc + sub) }
-        .init.zip(subtotals)
-        .map { case ((_, off), (pid, _)) => (pid, off) }
-      val w = Window.partitionBy("__pid").orderBy("__key")
-      parts
-        .join(broadcast(offsets.toSeq.toDF("__pid", "__offset")), "__pid")
-        .withColumn("start_token",
-          col("__offset") + sum("n_tokens").over(w) - col("n_tokens"))
-        .withColumn("seq_id", expr(s"start_token div ${budget}L"))
-        .withColumn("crosses_boundary",
-          col("n_tokens") > 0 &&
-            expr(s"(start_token + n_tokens - 1) div ${budget}L") > col("seq_id"))
-        .select(col(idCol), col("n_tokens"), col("start_token"),
-          col("seq_id"), col("crosses_boundary"))
-    }
+      .withColumn("__block", substring(col("__key"), 1, blockNibbles))
+    Exec.withPersisted(keyed)(packLayout(keyed, idCol, budget))
+  }
+
+  /** The layout job of [[packSequences]] minus the result checkpoint —
+    * also the plan-assertion hook (the checkpointed result's plan is just
+    * a scan). `keyed` must be persisted by the caller: the block
+    * subtotals are collected from it eagerly. */
+  private[graft] def packLayout(keyed: DataFrame, idCol: String,
+                                budget: Long): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val subtotals = keyed.groupBy("__block")
+      .agg(sum("n_tokens").as("sub"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = subtotals
+      .scanLeft(("", 0L)) { case ((_, acc), (blk, sub)) => (blk, acc + sub) }
+      .init.zip(subtotals)
+      .map { case ((_, off), (blk, _)) => (blk, off) }
+    val w = Window.partitionBy("__block").orderBy("__key")
+    keyed
+      .join(broadcast(offsets.toSeq.toDF("__block", "__offset")), "__block")
+      .withColumn("start_token",
+        col("__offset") + sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_token div ${budget}L"))
+      .withColumn("crosses_boundary",
+        col("n_tokens") > 0 &&
+          expr(s"(start_token + n_tokens - 1) div ${budget}L") > col("seq_id"))
+      .select(col(idCol), col("n_tokens"), col("start_token"),
+        col("seq_id"), col("crosses_boundary"))
   }
 
   // -----------------------------------------------------------------

@@ -77,6 +77,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packSequences layout plan shuffles the narrow frame exactly once") {
+    val docs = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val keyed = docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(concat_ws(":", lit("42"), col("doc_id").cast("string"))).as("__key"))
+      .withColumn("__block", substring(col("__key"), 1, 2))
+      .persist()
+    try {
+      val plan = Corpus.packLayout(keyed, "doc_id", 10L)
+        .queryExecution.executedPlan.toString
+      val shuffles = plan.split("\n")
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(shuffles == 1, s"expected 1 data shuffle, plan:\n$plan")
+      assert(plan.contains("BroadcastExchange"),
+        "block offsets must broadcast, not shuffle")
+    } finally keyed.unpersist(false)
+  }
+
   // ---------------------------------------------------------------- stratified sampling
 
   test("stratifiedSample keeps whole strata at/below target and is deterministic") {
