@@ -1136,6 +1136,20 @@ object Queries {
         "source", col("n_tokens"), Seq(0.5, 0.9, 0.99))
       .orderBy("source")
 
+  /** Z-order clustering gate: the Morton key over (quantized doc length,
+    * doc_id mod 256) — the 2-d data-skipping layout key
+    * ([[graft.operators.Scale.zValue]]), pure shift/mask arithmetic the
+    * oracle reproduces term by term. ZOrderSpec quantifies the pruning
+    * effect; here the key values themselves are gated. */
+  def q60Zorder(s: SparkSession, dir: String): DataFrame = {
+    val x = graft.operators.Scale.quantize(col("n_chars"), 0.0, 4000.0, 8)
+    val y = col("doc_id") % 256
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), x.as("x_cell"), y.as("y_cell"),
+        graft.operators.Scale.zValue(x, y, 8).as("zval"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1202,7 +1216,8 @@ object Queries {
     "q56_stratified_sample" -> (q56StratifiedSample _),
     "q57_repetition" -> (q57Repetition _),
     "q58_tfidf_topk" -> (q58TfidfTopTerms _),
-    "q59_token_percentiles" -> (q59TokenPercentiles _)
+    "q59_token_percentiles" -> (q59TokenPercentiles _),
+    "q60_zorder" -> (q60Zorder _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1384,6 +1399,22 @@ object Queries {
         | MIN(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN v END) AS p99,
         | CAST(MAX(cnt) AS BIGINT) AS n_rows
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q60_zorder" ->
+      """WITH cells AS (
+        | SELECT doc_id,
+        |  least(255, greatest(0, CAST(floor(((n_chars - 0.0) / 4000.0) * 256) AS BIGINT))) AS x_cell,
+        |  doc_id % 256 AS y_cell
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, x_cell, y_cell,
+        |   (((x_cell >> 0) & 1) << 0) + (((y_cell >> 0) & 1) << 1)
+        | + (((x_cell >> 1) & 1) << 2) + (((y_cell >> 1) & 1) << 3)
+        | + (((x_cell >> 2) & 1) << 4) + (((y_cell >> 2) & 1) << 5)
+        | + (((x_cell >> 3) & 1) << 6) + (((y_cell >> 3) & 1) << 7)
+        | + (((x_cell >> 4) & 1) << 8) + (((y_cell >> 4) & 1) << 9)
+        | + (((x_cell >> 5) & 1) << 10) + (((y_cell >> 5) & 1) << 11)
+        | + (((x_cell >> 6) & 1) << 12) + (((y_cell >> 6) & 1) << 13)
+        | + (((x_cell >> 7) & 1) << 14) + (((y_cell >> 7) & 1) << 15) AS zval
+        |FROM cells ORDER BY doc_id""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

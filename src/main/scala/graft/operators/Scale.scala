@@ -98,4 +98,48 @@ object Scale {
   def bucketedJoin(spark: SparkSession, table1: String, table2: String,
                    key: String): DataFrame =
     spark.table(table1).hint("merge").join(spark.table(table2), Seq(key))
+
+  /** Quantize a numeric column to an integer cell in [0, 2^bits) over a
+    * fixed [min, max] domain (out-of-range values clamp). Fixed literal
+    * bounds — not data-driven ranks — keep the cell assignment a narrow
+    * deterministic expression any engine reproduces. */
+  def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16 && max > min, "need 1<=bits<=16, max>min")
+    val cells = 1L << bits
+    least(lit(cells - 1), greatest(lit(0L),
+      floor(((c.cast("double") - lit(min)) / lit(max - min)) * cells)))
+  }
+
+  /** Z-order (Morton) key of two quantized cells: bit i of `x` lands at
+    * position 2i, bit i of `y` at 2i+1, so sorting by the key interleaves
+    * both dimensions — consecutive key ranges are small (x, y) boxes
+    * instead of full-width stripes. THE multi-column clustering layout
+    * for 100 TB scans: a write sorted by z lets parquet row-group min/max
+    * stats prune 2-d box predicates on BOTH columns, where a
+    * lexicographic (x, y) sort only ever prunes on x. Pure shift/mask
+    * arithmetic — codegen'd, reproducible in any engine. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, "need 1<=bits<=16")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** Persist `df` z-order-clustered on two quantized dimensions:
+    * range-partition + sort by the Morton key so every output file covers
+    * a compact (x, y) box. `ZOrderSpec` quantifies the effect: an
+    * 8×8 box predicate intersects ~4/16 z-ordered files vs ~8/16 under a
+    * lexicographic sort — at 100 TB that is the difference between
+    * scanning a quarter and half the corpus for the same query. */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
+                  files: Int, path: String): Unit = {
+    val z = zValue(x, y, bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
