@@ -1150,6 +1150,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental-dedup gate: 90% of the corpus (doc_id % 10 != 3) is
+    * written as a persisted LSH index bucketed by (band, bucket); the
+    * interleaved remainder joins against it as a new ingest batch (md5
+    * families, q20's 4-gram/k=8/4-band config, whole pipeline reproduced
+    * by the oracle — the split straddles several q20 pairs, so the gate
+    * is non-vacuous). The scale property — the index side never
+    * shuffles — is plan-asserted in DedupSpec. */
+  def q61LshIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 3),
+      n = 4, k = 8, bands = 4,
+      hashFamily = Dedup.md5HashFamily, bucketFamily = Dedup.md5BucketFamily,
+      buckets = 4, table = "q61_lsh_index")
+    Dedup.lshAgainstIndex(docs.filter(col("doc_id") % 10 === 3), "q61_lsh_index",
+        n = 4, k = 8, bands = 4,
+        hashFamily = Dedup.md5HashFamily, bucketFamily = Dedup.md5BucketFamily)
+      .orderBy("id_new", "id_idx")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1217,7 +1236,8 @@ object Queries {
     "q57_repetition" -> (q57Repetition _),
     "q58_tfidf_topk" -> (q58TfidfTopTerms _),
     "q59_token_percentiles" -> (q59TokenPercentiles _),
-    "q60_zorder" -> (q60Zorder _)
+    "q60_zorder" -> (q60Zorder _),
+    "q61_lsh_index" -> (q61LshIndex _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1415,6 +1435,36 @@ object Queries {
         | + (((x_cell >> 6) & 1) << 12) + (((y_cell >> 6) & 1) << 13)
         | + (((x_cell >> 7) & 1) << 14) + (((y_cell >> 7) & 1) << 15) AS zval
         |FROM cells ORDER BY doc_id""".stripMargin,
+    "q61_lsh_index" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 3, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+3], ' ')))) AS shingle
+        | FROM documents),
+        |sig AS (
+        | SELECT doc_id,
+        |  min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |  min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |  min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |  min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        | FROM sh GROUP BY doc_id),
+        |banded AS (
+        | SELECT doc_id,
+        |  unnest([md5('0:' || h0 || ',' || h1), md5('1:' || h2 || ',' || h3),
+        |          md5('2:' || h4 || ',' || h5), md5('3:' || h6 || ',' || h7)]) AS bucket
+        | FROM sig),
+        |pairs AS (
+        | SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_idx
+        | FROM banded n JOIN banded i ON n.bucket = i.bucket
+        | WHERE n.doc_id % 10 = 3 AND i.doc_id % 10 <> 3)
+        |SELECT p.id_new, p.id_idx,
+        | ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+        | + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)
+        | ) / 8.0 AS est_jaccard
+        |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_new JOIN sig sb ON sb.doc_id = p.id_idx
+        |ORDER BY id_new, id_idx""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -243,7 +243,8 @@ object Scratch {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",
         "q44_opentargets_drugs", "q46d_catalog_5hop_subgraph",
-        "q51_deterministic_split")) {
+        "q51_deterministic_split", "q54_decontaminate", "q56_stratified_sample",
+        "q58_tfidf_topk", "q60_zorder")) {
         val df = SparkEntry.queries(q)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq

@@ -118,8 +118,8 @@ object Dedup {
     }
   }
 
-  private def bandedOf(sigs: DataFrame, idCol: String, k: Int, bands: Int,
-                       bucketFamily: (Int, Column) => Column): DataFrame = {
+  private[graft] def bandedOf(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                              bucketFamily: (Int, Column) => Column): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     sigs.select(
@@ -153,6 +153,65 @@ object Dedup {
                  hotBucketThreshold: Long, hotSalts: Int): DataFrame =
     candidatePairs(bandedOf(sigs, idCol, k, bands, bucketFamily),
       k, hotBucketThreshold, hotSalts)
+
+  /** Persist the banded signature table bucketed+sorted by
+    * (band, bucket) — the corpus-side LSH INDEX for incremental dedup.
+    * At 100 TB this is written once per corpus snapshot; every later
+    * batch joins against it without the index ever shuffling again. */
+  def writeLshIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3, k: Int = 32,
+                    bands: Int = 8,
+                    hashFamily: (Int, Column) => Column = xxHashFamily,
+                    bucketFamily: (Int, Column) => Column = xxBucketFamily,
+                    buckets: Int = 4, table: String = "lsh_index"): Unit = {
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
+    Scale.resetManagedTable(docs.sparkSession, table)
+    bandedOf(sigs, idCol, k, bands, bucketFamily)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Near-dup candidates of a NEW batch against a persisted
+    * [[writeLshIndex]] table: (id_new, id_idx, est_jaccard). The
+    * incremental-ingest shape (CCNet-style): the corpus index is read
+    * bucket-local — no exchange on the big side, plan-asserted in
+    * DedupSpec — and only the (small) new batch shuffles into the
+    * index's bucketing. With `broadcastNew` the batch broadcasts instead
+    * and NOTHING shuffles — the right plan when the batch is tiny. The
+    * batch must use the index's (n, k, bands, families) configuration. */
+  def lshAgainstIndex(newDocs: DataFrame, table: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      hashFamily: (Int, Column) => Column = xxHashFamily,
+                      bucketFamily: (Int, Column) => Column = xxBucketFamily,
+                      broadcastNew: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigs = minHashSignatures(newDocs, idCol, textCol, n, k, hashFamily)
+    val newBanded = bandedOf(sigs, idCol, k, bands, bucketFamily)
+    Exec.withPersisted(newBanded) {
+      lshIndexJoinPlan(spark.table(table), newBanded, k, broadcastNew)
+    }
+  }
+
+  /** The un-checkpointed index-join plan (plan-assertion hook, like
+    * [[minHashLshPlan]]). */
+  private[graft] def lshIndexJoinPlan(idx: DataFrame, newBanded: DataFrame,
+                                      k: Int, broadcastNew: Boolean): DataFrame = {
+    val newSide0 = newBanded.select(col("id").as("id_new"),
+      col("sig").as("sig_new"), col("band"), col("bucket"))
+    val newSide =
+      if (broadcastNew) broadcast(newSide0) else newSide0.hint("merge")
+    newSide
+      .join(idx.select(col("id").as("id_idx"), col("sig").as("sig_idx"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_new") =!= col("id_idx"))
+      .select(col("id_new"), col("id_idx"),
+        (size(filter(zip_with(col("sig_new"), col("sig_idx"),
+          (x, y) => x === y), b => b))
+          .cast("double") / lit(k)).as("est_jaccard"))
+      .dropDuplicates("id_new", "id_idx")
+  }
 
   /** Run `body` with adaptive execution disabled, restoring the previous
     * setting — for eager materializations whose output PARTITIONING must

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{broadcast => _, _}
 import graft.operators.Dedup
 
 /** Dedup-operator behavior: exact survivors, MinHash estimates tracking
@@ -202,5 +203,71 @@ class DedupSpec extends SparkSpec {
     val none = Dedup.shingleRows(Seq((1L, "a b")).toDF("doc_id", "text"),
       "doc_id", "text", 3).count()
     assert(none == 0)
+  }
+
+  test("incremental LSH against a persisted index matches the batch operator") {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "a completely different document about spark physical plans",
+      "numbers one two three four five six seven eight nine ten")
+    val corpus = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 10L, t), (i * 10L + 1L, t + " tail"))
+    }.toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base(0) + " extra"),           // near-dup of cluster 0
+      (101L, "nothing like anything here at all zz yy xx")
+    ).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, n = 3, k = 8, bands = 4, table = "lsh_idx_spec")
+    try {
+      val viaIndex = Dedup.lshAgainstIndex(batch, "lsh_idx_spec",
+          n = 3, k = 8, bands = 4)
+        .select("id_new", "id_idx", "est_jaccard")
+      // witness: the batch operator over the union, restricted to
+      // cross-set pairs and re-oriented (new, idx)
+      val union = corpus.unionByName(batch)
+      val all = Dedup.minHashLsh(union, n = 3, k = 8, bands = 4)
+      val want = all
+        .filter((col("id_a") >= 100L) =!= (col("id_b") >= 100L))
+        .select(
+          when(col("id_a") >= 100L, col("id_a")).otherwise(col("id_b")).as("id_new"),
+          when(col("id_a") >= 100L, col("id_b")).otherwise(col("id_a")).as("id_idx"),
+          col("est_jaccard"))
+      assert(viaIndex.except(want).isEmpty && want.except(viaIndex).isEmpty)
+      assert(viaIndex.filter(col("id_new") === 100L).count() > 0,
+        "the planted near-dup must surface")
+      // broadcast-batch path: identical result
+      val viaBroadcast = Dedup.lshAgainstIndex(batch, "lsh_idx_spec",
+        n = 3, k = 8, bands = 4, broadcastNew = true)
+      assert(viaBroadcast.except(viaIndex).isEmpty &&
+        viaIndex.except(viaBroadcast).isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_spec")
+  }
+
+  test("index-join plan never shuffles the index side") {
+    val docs = (0L until 40L).map(i => (i, s"w$i x y z a b c")).toDF("doc_id", "text")
+    Dedup.writeLshIndex(docs, n = 3, k = 8, bands = 4, table = "lsh_idx_plan")
+    try {
+      val sigs = Dedup.minHashSignatures(docs.limit(5), "doc_id", "text", 3, 8)
+      val banded = Dedup.bandedOf(sigs, "doc_id", 8, 4, Dedup.xxBucketFamily)
+      // merge path: ONE exchange (the new batch into the index bucketing)
+      val merge = Dedup.lshIndexJoinPlan(spark.table("lsh_idx_plan"), banded,
+        8, broadcastNew = false)
+      val mPlan = merge.queryExecution.executedPlan.toString
+      assert(mPlan.contains("SortMergeJoin"), mPlan)
+      // the join needs both sides partitioned on (band, bucket): the
+      // index side satisfies it from its bucketing (zero exchanges), so
+      // exactly ONE (band, bucket) exchange exists — the new batch side.
+      // (The batch's internal signature agg and the final dropDuplicates
+      // exchange on other keys and don't count.)
+      val mEx = mPlan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning(band"))
+      assert(mEx == 1, s"expected 1 (band,bucket) exchange, got $mEx:\n$mPlan")
+      assert(mPlan.contains("Bucketed: true"), "index scan must be bucket-local")
+      // broadcast path: the join moves NOTHING through a shuffle
+      val bc = Dedup.lshIndexJoinPlan(spark.table("lsh_idx_plan"), banded,
+        8, broadcastNew = true)
+      val bPlan = bc.queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin"), bPlan)
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_plan")
   }
 }
