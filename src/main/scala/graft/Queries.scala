@@ -1169,6 +1169,26 @@ object Queries {
       .orderBy("id_new", "id_idx")
   }
 
+  /** Chunking gate: 200-char context windows every 150 chars (overlap 50)
+    * over the first 50 docs — exact window strings gated, so substring
+    * arithmetic, stride layout, and tail handling all hash-compare. */
+  def q62Chunk(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(t(s, dir, "documents").filter(col("doc_id") < 50),
+        size = 200, stride = 150)
+      .orderBy("doc_id", "chunk_id")
+
+  /** Mixture-reweighting gate: each source downsampled toward an
+    * 800-TOKEN budget (weight = whitespace token count) by the
+    * deterministic md5-threshold rule. Census per source of kept docs
+    * and kept tokens. */
+  def q63TokenBudgetSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSampleByWeight(t(s, dir, "documents"), Seq("source"),
+        col("text"), TextAnalysis.tokenCount(col("text")), budget = 800L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      .orderBy("source")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1237,7 +1257,9 @@ object Queries {
     "q58_tfidf_topk" -> (q58TfidfTopTerms _),
     "q59_token_percentiles" -> (q59TokenPercentiles _),
     "q60_zorder" -> (q60Zorder _),
-    "q61_lsh_index" -> (q61LshIndex _)
+    "q61_lsh_index" -> (q61LshIndex _),
+    "q62_chunk" -> (q62Chunk _),
+    "q63_token_budget_sample" -> (q63TokenBudgetSample _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1465,6 +1487,31 @@ object Queries {
         | ) / 8.0 AS est_jaccard
         |FROM pairs p JOIN sig sa ON sa.doc_id = p.id_new JOIN sig sb ON sb.doc_id = p.id_idx
         |ORDER BY id_new, id_idx""".stripMargin,
+    "q62_chunk" ->
+      """SELECT doc_id,
+        | CAST((start - 1) // 150 AS BIGINT) AS chunk_id,
+        | CAST(start AS BIGINT) AS start,
+        | substr(text, start, 200) AS chunk
+        |FROM (
+        | SELECT doc_id, text,
+        |  unnest(generate_series(1, greatest(len(text), 0), 150)) AS start
+        | FROM documents WHERE doc_id < 50)
+        |WHERE start <= len(text)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q63_token_budget_sample" ->
+      """WITH t AS (
+        | SELECT source, text,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        | FROM documents),
+        |w AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS wsum FROM t GROUP BY source),
+        |r AS (SELECT source, wsum,
+        | lpad(lower(to_hex(CAST(floor(least(1.0, 800.0 / wsum) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
+        | FROM w),
+        |s AS (
+        | SELECT t.source, t.toks FROM t JOIN r ON t.source = r.source
+        | WHERE r.wsum <= 800 OR substr(md5(t.text), 1, 8) < r.thresh)
+        |SELECT source, count(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS kept_tokens
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -155,6 +155,55 @@ object Corpus {
       .drop("__n", "__thresh")
   }
 
+  /** Downsample each stratum to approximately `budget` total WEIGHT
+    * (e.g. tokens) instead of a document count — the mixture-reweighting
+    * form (hit per-source token proportions, not doc proportions). Same
+    * deterministic md5-threshold rule as [[stratifiedSample]]; the
+    * keep-rate is budget / stratum-weight-sum. */
+  def stratifiedSampleByWeight(docs: DataFrame, strata: Seq[String],
+                               key: Column, weight: Column,
+                               budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val totals = docs.groupBy(strata.map(col): _*)
+      .agg(sum(weight.cast("long")).as("__w"))
+    val rates = totals.withColumn("__thresh",
+      lower(lpad(hex(
+        floor(least(lit(1.0), lit(budget.toDouble) / col("__w"))
+          * 4294967296.0).cast("long")), 8, "0")))
+    docs.join(broadcast(rates), strata)
+      .filter(col("__w") <= budget ||
+        substring(md5(key), 1, 8) < col("__thresh"))
+      .drop("__w", "__thresh")
+  }
+
+  // -----------------------------------------------------------------
+  // Context-window chunking
+  // -----------------------------------------------------------------
+
+  /** Split documents into fixed-size char windows every `stride` chars
+    * (stride < size ⇒ overlapping windows) — the standard chunking for
+    * embedding/retrieval pipelines. One narrow sequence+explode per row
+    * (no shuffle); empty text yields no chunks; the final windows may be
+    * shorter than `size`. Returns (id, chunk_id, start, chunk). */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", size: Int = 512,
+            stride: Int = 384): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    docs
+      // greatest(len, 1): Spark's sequence(1, 0, +step) throws instead of
+      // returning empty; the start <= len filter restores "no chunks for
+      // empty text" (DuckDB's generate_series(1, 0) is empty natively)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col(textCol)), lit(1)), lit(stride))).as("start"))
+      .filter(col("start") <= length(col("__t")))
+      .select(col(idCol),
+        ((col("start") - 1) / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        col("__t").substr(col("start"), lit(size)).as("chunk"))
+  }
+
   // -----------------------------------------------------------------
   // Repetition scoring
   // -----------------------------------------------------------------

@@ -116,6 +116,47 @@ class CorpusSpec extends SparkSpec {
     assert(a.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("stratifiedSampleByWeight keeps whole strata under budget, downsamples over") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"tok " * 10 + i, if (i <= 150) "heavy" else "light"))
+      .toDF("doc_id", "text", "source")
+    // heavy: 150 docs * ~11 tokens = ~1650; light: 50 * ~11 = ~550
+    val kept = Corpus.stratifiedSampleByWeight(docs, Seq("source"),
+      col("text"), TextAnalysis.tokenCount(col("text")), budget = 600L)
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("light") == 50L, "under-budget stratum survives whole")
+    assert(bySource("heavy") < 150L && bySource("heavy") > 10L)
+    // deterministic
+    val again = Corpus.stratifiedSampleByWeight(docs, Seq("source"),
+      col("text"), TextAnalysis.tokenCount(col("text")), budget = 600L)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- chunking
+
+  test("chunk emits strided overlapping windows with exact boundaries") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "xy")).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 1L, "abcd"), (1L, 1L, 4L, "defg"),
+      (1L, 2L, 7L, "ghij"), (1L, 3L, 10L, "j"),
+      (3L, 0L, 1L, "xy")))
+    // adjacent chunks overlap by size - stride
+    assert(got(0)._4.drop(3) == got(1)._4.take(1))
+  }
+
+  test("chunk with stride == size tiles without overlap or gaps") {
+    val docs = Seq((1L, "a" * 10)).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, size = 4, stride = 4)
+      .orderBy("chunk_id").select("chunk").as[String].collect()
+    assert(got.toSeq == Seq("aaaa", "aaaa", "aa"))
+    assert(got.map(_.length).sum == 10)
+  }
+
   // ---------------------------------------------------------------- repetition
 
   test("repetitionStats scores repeated bigrams and degenerate docs") {
