@@ -1393,7 +1393,7 @@ object Queries {
         | lpad(lower(to_hex(CAST(floor(least(1.0, 150.0 / n) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
         | FROM c),
         |s AS (
-        | SELECT d.lang FROM documents d JOIN r ON d.lang = r.lang
+        | SELECT d.lang FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
         | WHERE r.n <= 150 OR substr(md5(d.text), 1, 8) < r.thresh)
         |SELECT lang, count(*) AS n_kept FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q57_repetition" ->
@@ -1508,7 +1508,7 @@ object Queries {
         | lpad(lower(to_hex(CAST(floor(least(1.0, 800.0 / wsum) * 4294967296.0) AS BIGINT))), 8, '0') AS thresh
         | FROM w),
         |s AS (
-        | SELECT t.source, t.toks FROM t JOIN r ON t.source = r.source
+        | SELECT t.source, t.toks FROM t JOIN r ON t.source IS NOT DISTINCT FROM r.source
         | WHERE r.wsum <= 800 OR substr(md5(t.text), 1, 8) < r.thresh)
         |SELECT source, count(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS kept_tokens
         |FROM s GROUP BY source ORDER BY source""".stripMargin,

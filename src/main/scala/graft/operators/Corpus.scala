@@ -147,12 +147,27 @@ object Corpus {
       lower(lpad(hex(
         floor(least(lit(1.0), lit(target.toDouble) / col("__n"))
           * 4294967296.0).cast("long")), 8, "0")))
-    docs.join(broadcast(rates), strata)
+    joinStrata(docs, rates, strata)
       // n <= target short-circuits rate == 1.0, whose threshold 0x100000000
       // would not fit 8 nibbles
       .filter(col("__n") <= target ||
         substring(md5(key), 1, 8) < col("__thresh"))
       .drop("__n", "__thresh")
+  }
+
+  /** Null-safe broadcast join of per-stratum stats back onto the corpus:
+    * an equi-join would silently DROP every row whose stratum column is
+    * null, though the census counts null strata like any other. The
+    * stats side's keys are renamed before the <=> join so resolution
+    * never sees ambiguous self-derived attributes. */
+  private def joinStrata(docs: DataFrame, stats: DataFrame,
+                         strata: Seq[String]): DataFrame = {
+    val renamed = stats.select(stats.columns.map { c =>
+      if (strata.contains(c)) col(c).as("__s_" + c) else col(c)
+    }: _*)
+    val cond = strata.map(c => col(c) <=> col("__s_" + c)).reduce(_ && _)
+    docs.join(broadcast(renamed), cond)
+      .drop(strata.map("__s_" + _): _*)
   }
 
   /** Downsample each stratum to approximately `budget` total WEIGHT
@@ -170,7 +185,7 @@ object Corpus {
       lower(lpad(hex(
         floor(least(lit(1.0), lit(budget.toDouble) / col("__w"))
           * 4294967296.0).cast("long")), 8, "0")))
-    docs.join(broadcast(rates), strata)
+    joinStrata(docs, rates, strata)
       .filter(col("__w") <= budget ||
         substring(md5(key), 1, 8) < col("__thresh"))
       .drop("__w", "__thresh")

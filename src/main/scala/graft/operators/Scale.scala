@@ -135,8 +135,7 @@ object Scale {
     * scanning a quarter and half the corpus for the same query. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, bits: Int,
                   files: Int, path: String): Unit = {
-    val z = zValue(x, y, bits).as("__z")
-    df.withColumn("__z", z)
+    df.withColumn("__z", zValue(x, y, bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -116,6 +116,20 @@ class CorpusSpec extends SparkSpec {
     assert(a.join(docs, Seq("doc_id"), "left_anti").isEmpty)
   }
 
+  test("null strata survive sampling like any other stratum") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, s"text $i", if (i <= 50) "en" else null))
+      .toDF("doc_id", "text", "lang")
+    val kept = Corpus.stratifiedSample(docs, Seq("lang"), col("text"),
+      target = 100L)
+    // both strata are under target -> everything survives, nulls included
+    assert(kept.count() == 60L)
+    assert(kept.filter(col("lang").isNull).count() == 10L)
+    val keptW = Corpus.stratifiedSampleByWeight(docs, Seq("lang"),
+      col("text"), TextAnalysis.tokenCount(col("text")), budget = 10000L)
+    assert(keptW.filter(col("lang").isNull).count() == 10L)
+  }
+
   test("stratifiedSampleByWeight keeps whole strata under budget, downsamples over") {
     val docs = (1 to 200).map(i =>
       (i.toLong, s"tok " * 10 + i, if (i <= 150) "heavy" else "light"))
