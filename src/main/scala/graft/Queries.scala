@@ -1189,6 +1189,19 @@ object Queries {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
       .orderBy("source")
 
+  /** End-to-end curation gate: the full training-data flow (quality gate
+    * → exact dedup on md5(text) → near-dup components → benchmark
+    * decontamination → split labeling) over documents, with every 40th
+    * doc as the eval set; the per-stage survivor census is the gated
+    * result, reproduced by one recursive-CTE oracle. */
+  def q64CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.plans.Pipelines.curateCorpus(
+        docs.filter(col("doc_id") % 40 =!= 0),
+        docs.filter(col("doc_id") % 40 === 0))
+      .census.orderBy("stage")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1259,7 +1272,8 @@ object Queries {
     "q60_zorder" -> (q60Zorder _),
     "q61_lsh_index" -> (q61LshIndex _),
     "q62_chunk" -> (q62Chunk _),
-    "q63_token_budget_sample" -> (q63TokenBudgetSample _)
+    "q63_token_budget_sample" -> (q63TokenBudgetSample _),
+    "q64_curation_pipeline" -> (q64CurationPipeline _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1512,6 +1526,52 @@ object Queries {
         | WHERE r.wsum <= 800 OR substr(md5(t.text), 1, 8) < r.thresh)
         |SELECT source, count(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS kept_tokens
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q64_curation_pipeline" ->
+      """WITH RECURSIVE input AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+        |q AS (SELECT * FROM input
+        | WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 20),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        |d1 AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+        |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle FROM d1),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs0 AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT id_a, id_b FROM pairs0
+        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+        |d2 AS (SELECT * FROM d1
+        | WHERE doc_id NOT IN (SELECT id FROM reach WHERE id <> component)),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM bench),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM d2),
+        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle)),
+        |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |labeled AS (SELECT
+        | CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c') THEN 'train'
+        |  WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
+        |  ELSE 'test' END AS split FROM d3)
+        |SELECT stage, n FROM (
+        | SELECT '0_input' AS stage, count(*) AS n FROM input
+        | UNION ALL SELECT '1_quality', count(*) FROM q
+        | UNION ALL SELECT '2_exact', count(*) FROM d1
+        | UNION ALL SELECT '3_neardup', count(*) FROM d2
+        | UNION ALL SELECT '4_decontam', count(*) FROM d3
+        | UNION ALL SELECT '5_split_' || split, count(*) FROM labeled GROUP BY split)
+        |ORDER BY stage""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

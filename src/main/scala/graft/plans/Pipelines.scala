@@ -128,4 +128,67 @@ object Pipelines {
       else QueryCatalog.phenotypeSubgraph(vertices, edges, runnable)
     (vertices, edges, sv, se)
   }
+
+  /** What a curation run produced: the cleaned, split-labeled corpus and
+    * the per-stage survivor census (the numbers a pipeline owner reads
+    * first). */
+  final case class Curation(corpus: DataFrame, census: DataFrame)
+
+  /**
+   * The full training-data curation flow, chaining the individually
+   * gated operators in their canonical order:
+   *
+   *  1. quality gate — drop documents under `minTokens` whitespace tokens;
+   *  2. exact dedup — one survivor (min id) per md5(text) content key
+   *     (32-char keys shuffle instead of full text; md5 keeps the stage
+   *     reproducible in any engine);
+   *  3. near-dup collapse — n-gram Jaccard pairs → connected components
+   *     → one survivor (min id) per cluster;
+   *  4. benchmark decontamination — drop survivors sharing any word
+   *     `benchN`-gram with the eval set;
+   *  5. deterministic split labeling (md5-nibble train/val/test).
+   *
+   * Each stage is localCheckpointed so the census actions scan
+   * materialized blocks instead of recomputing prefix chains; a
+   * production run at corpus scale would write each stage to storage
+   * instead (the checkpoint is the single-job analogue).
+   *
+   * The census has one row per stage — ordinal-prefixed stage names and
+   * surviving row counts, plus the final per-split sizes.
+   */
+  def curateCorpus(docs: DataFrame, benchmark: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   minTokens: Int = 20, jaccardN: Int = 3,
+                   minJaccard: Double = 0.1, benchN: Int = 5): Curation = {
+    import graft.operators.{Corpus, Dedup, Scale, TextAnalysis}
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val q = docs.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+      .localCheckpoint(true)
+    val exactIds = q.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val d1 = q.join(exactIds, Seq(idCol), "left_semi").localCheckpoint(true)
+    val pairs = Dedup.ngramJaccardPairs(d1, idCol, textCol, jaccardN, minJaccard)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    val d2 = d1.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
+    val d3 = Corpus.decontaminate(d2, benchmark, idCol, textCol, benchN)
+      .localCheckpoint(true)
+    val labeled = d3.withColumn("split",
+      Scale.deterministicSplit(col(textCol))).localCheckpoint(true)
+
+    val stageCounts = Seq(
+      "0_input" -> docs.count(),
+      "1_quality" -> q.count(),
+      "2_exact" -> d1.count(),
+      "3_neardup" -> d2.count(),
+      "4_decontam" -> d3.count())
+    val splitCounts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toSeq
+      .map { case (s, n) => s"5_split_$s" -> n }
+    val census = (stageCounts ++ splitCounts).toDF("stage", "n")
+    Curation(labeled, census)
+  }
 }

@@ -68,4 +68,36 @@ class PipelinesSpec extends SparkSpec {
     assert(PathQueries.kHopBucketed(spark, "res_hops", "CS", Seq("CL", "CSD"))
       .count() == 1)
   }
+
+  test("curateCorpus drops exactly one doc per stage on a crafted corpus") {
+    import org.apache.spark.sql.functions.col
+    val textA = (1 to 25).map(i => s"w$i").mkString(" ")
+    val textNear = ((1 to 23).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated = ((1 to 16).map(i => s"c$i") ++
+      Seq("beta", "gamma", "delta", "epsilon", "zeta")).mkString(" ")
+    val clean = (1 to 22).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, "too short"),       // quality-dropped (< 20 tokens)
+      (2L, textA),             // exact-dup survivor (min id)
+      (3L, textA),             // exact-dup loser
+      (4L, textNear),          // near-dup of 2 -> component loser
+      (5L, contaminated),      // shares a 5-gram with the benchmark
+      (6L, clean)
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val cur = graft.plans.Pipelines.curateCorpus(docs, bench)
+    val census = cur.census.as[(String, Long)].collect().toMap
+    assert(census("0_input") == 6L)
+    assert(census("1_quality") == 5L)
+    assert(census("2_exact") == 4L)
+    assert(census("3_neardup") == 3L)
+    assert(census("4_decontam") == 2L)
+    assert(census.filter(_._1.startsWith("5_split_")).values.sum == 2L)
+
+    val kept = cur.corpus.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 6L))
+    assert(cur.corpus.filter(col("split").isNull).count() == 0)
+  }
 }
