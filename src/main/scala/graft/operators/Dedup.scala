@@ -172,6 +172,25 @@ object Dedup {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Append a batch's banded signatures to an existing [[writeLshIndex]]
+    * table (same bucketing spec required) — the ingest half of
+    * continuous dedup: once appended, later batches' probes see this
+    * batch. The index is a bag: re-appending a replayed batch only
+    * re-produces identical candidate pairs, which the probe's
+    * dropDuplicates removes (at-least-once semantics). */
+  def appendToLshIndex(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3, k: Int = 32,
+                       bands: Int = 8,
+                       hashFamily: (Int, Column) => Column = xxHashFamily,
+                       bucketFamily: (Int, Column) => Column = xxBucketFamily,
+                       buckets: Int = 4, table: String = "lsh_index"): Unit = {
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
+    bandedOf(sigs, idCol, k, bands, bucketFamily)
+      .write.mode("append")
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Near-dup candidates of a NEW batch against a persisted
     * [[writeLshIndex]] table: (id_new, id_idx, est_jaccard). The
     * incremental-ingest shape (CCNet-style): the corpus index is read

@@ -193,6 +193,41 @@ object Streams {
       }
   }
 
+  /** Continuous-ingest dedup: every micro-batch APPENDS its banded
+    * MinHash signatures to the persisted LSH index, then probes the
+    * index (which now includes the batch itself), so the emitted pair
+    * set covers batch-vs-corpus AND within-batch near-dups — over a full
+    * run it equals the batch operator's pair set on the accumulated
+    * corpus (spec-pinned). Pairs are canonicalized (id_a < id_b) and
+    * appended to `pairsPath` as parquet. The index side of the probe
+    * never shuffles (DedupSpec plan assertion); the batch side
+    * broadcasts. Restart semantics are at-least-once: a replayed batch
+    * re-appends signatures (the index is a bag — duplicates only
+    * re-produce identical pairs) and re-emits the same pair rows, so
+    * downstream readers dedup on (id_a, id_b). */
+  def incrementalIngest(docs: DataFrame, table: String, pairsPath: String,
+                        checkpoint: String, n: Int = 3, k: Int = 32,
+                        bands: Int = 8, buckets: Int = 4)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        Dedup.appendToLshIndex(batch, n = n, k = k, bands = bands,
+          buckets = buckets, table = table)
+        Dedup.lshAgainstIndex(batch, table, n = n, k = k, bands = bands,
+            broadcastNew = true)
+          .filter(col("id_new") =!= col("id_idx"))
+          .select(
+            least(col("id_new"), col("id_idx")).as("id_a"),
+            greatest(col("id_new"), col("id_idx")).as("id_b"),
+            col("est_jaccard"))
+          .dropDuplicates("id_a", "id_b")
+          .write.mode("append").parquet(pairsPath)
+        ()
+      }
+      .start()
+
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`
     * as parquet. Restartable via the checkpoint dir. */

@@ -77,6 +77,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalIngest accumulates the index and matches batch LSH pairs") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    def mut(i: Int) = base.split(" ").updated(i, s"MUT$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    // seed an EMPTY index with the right bucketing spec
+    graft.operators.Dedup.writeLshIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      n = 3, k = 16, bands = 4, table = "ingest_idx")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalIngest(in.toDF().toDF("doc_id", "text"),
+      "ingest_idx", s"$dir/pairs", s"$dir/ckpt", n = 3, k = 16, bands = 4)
+    try {
+      // batch 1 has a within-batch near-dup pair; batch 2 pairs across
+      in.addData((1L, base), (2L, mut(3)), (9L, "entirely other tokens " * 14))
+      q.processAllAvailable()
+      in.addData((3L, mut(11)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/pairs")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val docs = Seq((1L, base), (2L, mut(3)),
+        (9L, "entirely other tokens " * 14), (3L, mut(11)))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.minHashLsh(docs, n = 3, k = 16, bands = 4)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch, s"streaming $got vs batch $batch")
+      assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS ingest_idx")
+    }
+  }
+
   test("streamingNearDups caps per-bucket state on a viral cluster") {
     implicit val sc = spark.sqlContext
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
