@@ -1202,6 +1202,14 @@ object Queries {
       .census.orderBy("stage")
   }
 
+  /** Skew-diagnostic gate: the 5 hottest event users with corpus share
+    * and ratio-to-median-key — the report run before choosing a skew
+    * lever for a 100 TB join. Fully deterministic (count-desc, key-asc
+    * ties), so the whole report hash-compares. */
+  def q65SkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skewReport(events(s, dir), "user_id", topK = 5)
+      .orderBy("rank")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1273,7 +1281,8 @@ object Queries {
     "q61_lsh_index" -> (q61LshIndex _),
     "q62_chunk" -> (q62Chunk _),
     "q63_token_budget_sample" -> (q63TokenBudgetSample _),
-    "q64_curation_pipeline" -> (q64CurationPipeline _)
+    "q64_curation_pipeline" -> (q64CurationPipeline _),
+    "q65_skew_report" -> (q65SkewReport _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1572,6 +1581,19 @@ object Queries {
         | UNION ALL SELECT '4_decontam', count(*) FROM d3
         | UNION ALL SELECT '5_split_' || split, count(*) FROM labeled GROUP BY split)
         |ORDER BY stage""".stripMargin,
+    "q65_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS nk FROM c),
+        |med AS (
+        | SELECT n AS p50 FROM
+        |  (SELECT n, row_number() OVER (ORDER BY n) AS rn FROM c), tot
+        | WHERE rn = CAST(ceil(0.5 * nk) AS BIGINT)),
+        |top AS (
+        | SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank FROM c)
+        |SELECT rank, key, n,
+        | CAST(n AS DOUBLE) / total AS share,
+        | CAST(n AS DOUBLE) / p50 AS skew_vs_median
+        |FROM top, tot, med WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

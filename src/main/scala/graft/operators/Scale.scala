@@ -99,6 +99,32 @@ object Scale {
                    key: String): DataFrame =
     spark.table(table1).hint("merge").join(spark.table(table2), Seq(key))
 
+  /** Join-key skew report — the diagnostic run before choosing a skew
+    * lever ([[saltedJoin]], AQE, hot-bucket salting): per-key counts,
+    * the `topK` hottest keys with their corpus share, and each key's
+    * ratio to the MEDIAN key count (the skew factor that predicts
+    * straggler tasks). One partial-agg census + two 1-row broadcasts;
+    * the window runs over topK rows only. Fully deterministic (ties by
+    * key), so the report itself is oracle-checkable. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("n"))
+    Exec.withPersisted(counts) {
+      val total = counts.agg(sum("n").as("total"))
+      val median = Corpus.discPercentiles(
+          counts.withColumn("__g", lit(1)), "__g", col("n"), Seq(0.5))
+        .select(col("p50"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("key").asc)
+      counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+        .withColumn("rank", row_number().over(w))
+        .crossJoin(broadcast(total)).crossJoin(broadcast(median))
+        .select(col("rank"), col("key"), col("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          (col("n").cast("double") / col("p50")).as("skew_vs_median"))
+    }
+  }
+
   /** Quantize a numeric column to an integer cell in [0, 2^bits) over a
     * fixed [min, max] domain (out-of-range values clamp). Fixed literal
     * bounds — not data-driven ranks — keep the cell assignment a narrow

@@ -41,6 +41,22 @@ class ScaleSpec extends SparkSpec {
     assert(c.size == 3 && c != a)
   }
 
+  test("skewReport surfaces the hot key with exact share and median ratio") {
+    import org.apache.spark.sql.functions.col
+    // 1 hot key (60 rows), 20 cold keys (2 rows each): median count 2
+    val rows = (Seq.fill(60)(999L) ++ (1L to 20L).flatMap(k => Seq(k, k)))
+      .toDF("k")
+    val got = Scale.skewReport(rows, "k", topK = 3)
+      .orderBy("rank").collect()
+    assert(got.length == 3)
+    val hot = got(0)
+    assert(hot.getAs[Long]("key") == 999L && hot.getAs[Long]("n") == 60L)
+    assert(hot.getAs[Double]("share") == 60.0 / 100.0)
+    assert(hot.getAs[Double]("skew_vs_median") == 30.0)
+    // cold ties break by key ascending
+    assert(got(1).getAs[Long]("key") == 1L && got(2).getAs[Long]("key") == 2L)
+  }
+
   test("deterministicSplit is stable, total, and roughly proportional") {
     import graft.operators.Scale
     import org.apache.spark.sql.functions._
