@@ -280,8 +280,11 @@ object Corpus {
   /** Exact discrete percentiles (value at rank ceil(p·n), the
     * interpolation-free form every engine reproduces on integer inputs)
     * of `value` per group. One shuffle on the group key; the per-group
-    * sort parallelizes across groups. Returns one row per group with a
-    * `pNN` column per requested percentile plus `n_rows`. */
+    * sort parallelizes across GROUPS — a single-group call funnels every
+    * row through one window partition, so for a global median over huge
+    * inputs use a frequency-map pick instead (see `Scale.skewReport`).
+    * Returns one row per group with a `pNN` column per requested
+    * percentile plus `n_rows`. */
   def discPercentiles(df: DataFrame, groupCol: String, value: Column,
                       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),

@@ -158,19 +158,28 @@ object Dedup {
     * (band, bucket) — the corpus-side LSH INDEX for incremental dedup.
     * At 100 TB this is written once per corpus snapshot; every later
     * batch joins against it without the index ever shuffling again. */
+  /** The one writer both index paths share — overwrite (snapshot) and
+    * append (ingest) MUST keep the identical bucketing spec or appended
+    * batches would silently break bucket-locality of later probes. */
+  private def writeBandedTable(banded: DataFrame, mode: String,
+                               buckets: Int, table: String): Unit = {
+    if (mode == "overwrite")
+      Scale.resetManagedTable(banded.sparkSession, table)
+    banded.write.mode(mode)
+      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
   def writeLshIndex(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 3, k: Int = 32,
                     bands: Int = 8,
                     hashFamily: (Int, Column) => Column = xxHashFamily,
                     bucketFamily: (Int, Column) => Column = xxBucketFamily,
-                    buckets: Int = 4, table: String = "lsh_index"): Unit = {
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
-    Scale.resetManagedTable(docs.sparkSession, table)
-    bandedOf(sigs, idCol, k, bands, bucketFamily)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .format("parquet").saveAsTable(table)
-  }
+                    buckets: Int = 4, table: String = "lsh_index"): Unit =
+    writeBandedTable(
+      bandedOf(minHashSignatures(docs, idCol, textCol, n, k, hashFamily),
+        idCol, k, bands, bucketFamily),
+      "overwrite", buckets, table)
 
   /** Append a batch's banded signatures to an existing [[writeLshIndex]]
     * table (same bucketing spec required) — the ingest half of
@@ -183,12 +192,33 @@ object Dedup {
                        bands: Int = 8,
                        hashFamily: (Int, Column) => Column = xxHashFamily,
                        bucketFamily: (Int, Column) => Column = xxBucketFamily,
-                       buckets: Int = 4, table: String = "lsh_index"): Unit = {
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k, hashFamily)
-    bandedOf(sigs, idCol, k, bands, bucketFamily)
-      .write.mode("append")
-      .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
-      .format("parquet").saveAsTable(table)
+                       buckets: Int = 4, table: String = "lsh_index"): Unit =
+    writeBandedTable(
+      bandedOf(minHashSignatures(docs, idCol, textCol, n, k, hashFamily),
+        idCol, k, bands, bucketFamily),
+      "append", buckets, table)
+
+  /** One ingest step: compute the batch's banded signatures ONCE
+    * (persisted), append them to the index, then probe the (now
+    * batch-inclusive) index — so the returned pairs cover batch-vs-corpus
+    * AND within-batch near-dups without re-running the shingle+minhash
+    * aggregation for the second leg. The streaming hot path
+    * (`Streams.incrementalIngest`) calls this per micro-batch. */
+  def ingestAndProbe(newDocs: DataFrame, table: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     n: Int = 3, k: Int = 32, bands: Int = 8,
+                     hashFamily: (Int, Column) => Column = xxHashFamily,
+                     bucketFamily: (Int, Column) => Column = xxBucketFamily,
+                     buckets: Int = 4,
+                     broadcastNew: Boolean = true): DataFrame = {
+    val spark = newDocs.sparkSession
+    val banded = bandedOf(
+      minHashSignatures(newDocs, idCol, textCol, n, k, hashFamily),
+      idCol, k, bands, bucketFamily)
+    Exec.withPersisted(banded) {
+      writeBandedTable(banded, "append", buckets, table)
+      lshIndexJoinPlan(spark.table(table), banded, k, broadcastNew)
+    }
   }
 
   /** Near-dup candidates of a NEW batch against a persisted

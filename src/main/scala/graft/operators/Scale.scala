@@ -103,17 +103,25 @@ object Scale {
     * lever ([[saltedJoin]], AQE, hot-bucket salting): per-key counts,
     * the `topK` hottest keys with their corpus share, and each key's
     * ratio to the MEDIAN key count (the skew factor that predicts
-    * straggler tasks). One partial-agg census + two 1-row broadcasts;
-    * the window runs over topK rows only. Fully deterministic (ties by
-    * key), so the report itself is oracle-checkable. */
+    * straggler tasks). One partial-agg census + two 1-row broadcasts.
+    * The exact median comes from the count-value FREQUENCY map (smallest
+    * count value whose cumulative frequency reaches ceil(nk/2)) — the
+    * only window runs over |distinct count values| rows, never per key,
+    * so billions of distinct keys don't funnel one sort task (that
+    * failure mode is what this report diagnoses). Deterministic ties by
+    * key make the report oracle-checkable. */
   def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
     val counts = df.groupBy(col(key).as("key"))
       .agg(count(lit(1)).as("n"))
     Exec.withPersisted(counts) {
       val total = counts.agg(sum("n").as("total"))
-      val median = Corpus.discPercentiles(
-          counts.withColumn("__g", lit(1)), "__g", col("n"), Seq(0.5))
-        .select(col("p50"))
+      val nk = counts.agg(count(lit(1)).as("nk"))
+      val freq = counts.groupBy("n").agg(count(lit(1)).as("__f"))
+      val median = freq.crossJoin(broadcast(nk))
+        .withColumn("__cum", sum("__f").over(
+          org.apache.spark.sql.expressions.Window.orderBy("n")))
+        .filter(col("__cum") >= ceil(lit(0.5) * col("nk")))
+        .agg(min("n").as("p50"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("key").asc)
       counts.orderBy(col("n").desc, col("key").asc).limit(topK)

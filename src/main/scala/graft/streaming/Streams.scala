@@ -212,11 +212,10 @@ object Streams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.operators.Dedup
-        Dedup.appendToLshIndex(batch, n = n, k = k, bands = bands,
-          buckets = buckets, table = table)
-        Dedup.lshAgainstIndex(batch, table, n = n, k = k, bands = bands,
-            broadcastNew = true)
+        // one signature computation per batch: append + probe share the
+        // persisted banded frame (ingestAndProbe)
+        graft.operators.Dedup.ingestAndProbe(batch, table,
+            n = n, k = k, bands = bands, buckets = buckets)
           .filter(col("id_new") =!= col("id_idx"))
           .select(
             least(col("id_new"), col("id_idx")).as("id_a"),
