@@ -1210,6 +1210,13 @@ object Queries {
     graft.operators.Scale.skewReport(events(s, dir), "user_id", topK = 5)
       .orderBy("rank")
 
+  /** Duplicate-passage gate: 8-gram word spans shared by ≥2 documents
+    * with their carrier count and smallest carrier — the repeated-
+    * boilerplate signal behind exact substring dedup. */
+  def q66DuplicatePassages(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatePassages(t(s, dir, "documents"), n = 8, minDocs = 2)
+      .orderBy("shingle")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1282,7 +1289,8 @@ object Queries {
     "q62_chunk" -> (q62Chunk _),
     "q63_token_budget_sample" -> (q63TokenBudgetSample _),
     "q64_curation_pipeline" -> (q64CurationPipeline _),
-    "q65_skew_report" -> (q65SkewReport _)
+    "q65_skew_report" -> (q65SkewReport _),
+    "q66_duplicate_passages" -> (q66DuplicatePassages _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1594,6 +1602,15 @@ object Queries {
         | CAST(n AS DOUBLE) / total AS share,
         | CAST(n AS DOUBLE) / p50 AS skew_vs_median
         |FROM top, tot, med WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "q66_duplicate_passages" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 7, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+7], ' ')))) AS shingle
+        | FROM documents)
+        |SELECT shingle, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_id
+        |FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY shingle""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

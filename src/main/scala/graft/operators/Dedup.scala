@@ -61,6 +61,29 @@ object Dedup {
         x => x.isNotNull))).as("shingle"))
   }
 
+  /** Duplicate-passage mining: word `n`-gram spans that appear in at
+    * least `minDocs` distinct documents — the signal behind exact
+    * duplicated-substring dedup (long repeated passages: boilerplate,
+    * licenses, templated spam). Returns (shingle, n_docs, example_id),
+    * where example_id is the smallest carrying doc. At corpus scale
+    * group on xxhash64(shingle) instead of the raw span (set
+    * `hashKey = true`) so the shuffle moves 8-byte keys, keeping one
+    * min-exemplar span per hash for reporting. */
+  def duplicatePassages(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 8,
+                        minDocs: Int = 2,
+                        hashKey: Boolean = false): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val keyed = if (hashKey) sh.withColumn("__k", xxhash64(col("shingle")))
+                else sh.withColumn("__k", col("shingle"))
+    keyed.groupBy("__k")
+      .agg(min(col("shingle")).as("shingle"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("example_id"))
+      .filter(col("n_docs") >= minDocs)
+      .select("shingle", "n_docs", "example_id")
+  }
+
   /** MinHash signatures: k hash functions = xxhash64 salted by member index;
     * signature[j] = min over shingles. Returns (idCol, sig array<long>). */
   /** Default minhash family: xxhash64 salted by member index (fast,

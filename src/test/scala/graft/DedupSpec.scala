@@ -205,6 +205,24 @@ class DedupSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("duplicatePassages finds shared spans; hash-keyed path is identical") {
+    val span = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"intro words $span closing remarks"),
+      (2L, s"other prefix $span different tail"),
+      (3L, "nothing shared here at all five")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatePassages(docs, n = 5, minDocs = 2)
+      .orderBy("shingle")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.contains((span, 2L, 1L)))
+    // only windows fully inside the shared span repeat
+    assert(got.forall { case (s, nd, ex) => s.contains("quick") || s.contains("brown") || s.contains("fox") || nd >= 2 })
+    val hashed = Dedup.duplicatePassages(docs, n = 5, minDocs = 2, hashKey = true)
+    assert(hashed.except(Dedup.duplicatePassages(docs, n = 5, minDocs = 2)).isEmpty &&
+      Dedup.duplicatePassages(docs, n = 5, minDocs = 2).except(hashed).isEmpty)
+  }
+
   test("incremental LSH against a persisted index matches the batch operator") {
     val base = Seq(
       "the quick brown fox jumps over the lazy dog tonight",
