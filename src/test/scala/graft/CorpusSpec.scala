@@ -208,6 +208,59 @@ class CorpusSpec extends SparkSpec {
     assert(top3.toSeq == Seq("common"))
   }
 
+  // ---------------------------------------------------------------- partitioning invariance
+
+  test("deterministic operators are invariant under repartitioning (property)") {
+    import org.scalacheck.Gen
+    import graft.operators.Scale
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const("dup"))
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val samples = Iterator.continually(doc.sample).flatten.take(120).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, if (i % 3 == 0) "a" else "b") }
+    val base = samples.toDF("doc_id", "text", "lang")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+
+    for (parts <- Seq(1, 3, 13)) {
+      val docs = base.repartition(parts)
+      // split labels identical
+      assert(canon(docs.select(col("doc_id"),
+          Scale.deterministicSplit(col("text")))) ==
+        canon(base.select(col("doc_id"),
+          Scale.deterministicSplit(col("text")))), s"split parts=$parts")
+      // sampler keeps the same rows
+      assert(canon(Corpus.stratifiedSample(docs, Seq("lang"), col("text"), 30L)
+          .select("doc_id")) ==
+        canon(Corpus.stratifiedSample(base, Seq("lang"), col("text"), 30L)
+          .select("doc_id")), s"sample parts=$parts")
+      // packing layout identical (global order is data-derived, not
+      // partition-derived)
+      assert(canon(Corpus.packSequences(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 50L)) ==
+        canon(Corpus.packSequences(base, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 50L)),
+        s"pack parts=$parts")
+    }
+  }
+
+  test("chunk with stride == size reconstructs the document exactly (property)") {
+    import org.scalacheck.Gen
+    val text = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val samples = Iterator.continually(text.sample).flatten.take(80).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = samples.toDF("doc_id", "text")
+    val rebuilt = Corpus.chunk(docs, size = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("chunk_id"), col("chunk"))))
+        .getField("chunk")).as("rebuilt"))
+    val joined = docs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+      .as[(Long, String, String)].collect()
+    joined.foreach { case (id, t, r) => assert(t == r, s"doc $id") }
+  }
+
   // ---------------------------------------------------------------- percentiles
 
   test("discPercentiles picks the value at rank ceil(p*n) per group") {
