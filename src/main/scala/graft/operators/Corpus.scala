@@ -289,6 +289,8 @@ object Corpus {
                       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "percentiles must be in (0, 1]")
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      "percentile labels collide after rounding to whole percent")
     val ranked = df.select(col(groupCol), value.as("__v"))
       .withColumn("__rn",
         row_number().over(Window.partitionBy(groupCol).orderBy(col("__v"))))

@@ -74,13 +74,20 @@ object Dedup {
                         minDocs: Int = 2,
                         hashKey: Boolean = false): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
-    val keyed = if (hashKey) sh.withColumn("__k", xxhash64(col("shingle")))
-                else sh.withColumn("__k", col("shingle"))
-    keyed.groupBy("__k")
-      .agg(min(col("shingle")).as("shingle"),
-        countDistinct(col(idCol)).as("n_docs"),
-        min(col(idCol)).as("example_id"))
-      .filter(col("n_docs") >= minDocs)
+    val grouped =
+      if (hashKey)
+        // 8-byte keys shuffle; one min-exemplar span per hash survives
+        sh.groupBy(xxhash64(col("shingle")).as("__k"))
+          .agg(min(col("shingle")).as("shingle"),
+            countDistinct(col(idCol)).as("n_docs"),
+            min(col(idCol)).as("example_id"))
+      else
+        // group on the span itself: shuffling it once as the key is
+        // strictly cheaper than key + min-agg payload copies
+        sh.groupBy("shingle")
+          .agg(countDistinct(col(idCol)).as("n_docs"),
+            min(col(idCol)).as("example_id"))
+    grouped.filter(col("n_docs") >= minDocs)
       .select("shingle", "n_docs", "example_id")
   }
 

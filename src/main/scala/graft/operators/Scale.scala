@@ -122,9 +122,12 @@ object Scale {
           org.apache.spark.sql.expressions.Window.orderBy("n")))
         .filter(col("__cum") >= ceil(lit(0.5) * col("nk")))
         .agg(min("n").as("p50"))
+      // asc_nulls_last: Spark sorts nulls FIRST on asc, DuckDB LAST — a
+      // null key tying at the topK boundary would otherwise rank
+      // differently than the oracle
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("key").asc)
-      counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+        .orderBy(col("n").desc, col("key").asc_nulls_last)
+      counts.orderBy(col("n").desc, col("key").asc_nulls_last).limit(topK)
         .withColumn("rank", row_number().over(w))
         .crossJoin(broadcast(total)).crossJoin(broadcast(median))
         .select(col("rank"), col("key"), col("n"),

@@ -216,7 +216,6 @@ object Streams {
         // persisted banded frame (ingestAndProbe)
         graft.operators.Dedup.ingestAndProbe(batch, table,
             n = n, k = k, bands = bands, buckets = buckets)
-          .filter(col("id_new") =!= col("id_idx"))
           .select(
             least(col("id_new"), col("id_idx")).as("id_a"),
             greatest(col("id_new"), col("id_idx")).as("id_b"),

@@ -215,9 +215,9 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.duplicatePassages(docs, n = 5, minDocs = 2)
       .orderBy("shingle")
       .as[(String, Long, Long)].collect().toSeq
-    assert(got.contains((span, 2L, 1L)))
-    // only windows fully inside the shared span repeat
-    assert(got.forall { case (s, nd, ex) => s.contains("quick") || s.contains("brown") || s.contains("fox") || nd >= 2 })
+    // the shared span is exactly 5 words: its single window is the ONLY
+    // repeated 5-gram in the corpus
+    assert(got == Seq((span, 2L, 1L)))
     val hashed = Dedup.duplicatePassages(docs, n = 5, minDocs = 2, hashKey = true)
     assert(hashed.except(Dedup.duplicatePassages(docs, n = 5, minDocs = 2)).isEmpty &&
       Dedup.duplicatePassages(docs, n = 5, minDocs = 2).except(hashed).isEmpty)
