@@ -68,8 +68,13 @@ object TextAnalysis {
     val nChars = length(textCol)
     val toks = filter(split(textCol, "\\s+"), t => t =!= "")
     val nToks = size(toks)
+    // sum of token lengths == count of non-whitespace chars: one narrow
+    // regex pass instead of an interpreted per-token aggregate HOF (the
+    // 20-90x penalty class PLANS.md measured; TextAnalysisSpec pins
+    // equality with the HOF witness)
+    val sumWordLen = length(regexp_replace(textCol, "\\s+", ""))
     val meanWordLen = when(nToks > 0,
-      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nToks)
+      sumWordLen.cast("double") / nToks)
       .otherwise(lit(0.0))
     // One narrow regex pass: punct count = chars removed by stripping the
     // class. (The per-char split+rlike HOF form evaluated an interpreted
@@ -85,6 +90,16 @@ object TextAnalysis {
       nChars.as("n_chars"), nToks.as("n_tokens"),
       meanWordLen.as("mean_word_len"), punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"))
+  }
+
+  /** The interpreted per-token HOF [[qualityFeatures]]' mean-word-length
+    * replaced — kept as the equivalence witness (TextAnalysisSpec). */
+  private[graft] def meanWordLenHof(textCol: Column): Column = {
+    val toks = filter(split(textCol, "\\s+"), t => t =!= "")
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double")
+        / size(toks))
+      .otherwise(lit(0.0))
   }
 
   /** PII-style redaction for training corpora: emails, URLs, and long

@@ -43,6 +43,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.getDouble(3) > 0) // "the"
   }
 
+  test("narrow mean-word-len equals the per-token HOF witness (property)") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(7)),
+      Gen.oneOf("naïve", "東京", "", "  ", "\t"), Gen.const("a"))
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val samples = Iterator.continually(doc.sample).flatten.take(120).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("doc_id", "text")
+    val both = df.select(
+      TextAnalysis.qualityFeatures($"text").getField("mean_word_len").as("narrow"),
+      TextAnalysis.meanWordLenHof($"text").as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("codegen fingerprint is value-identical to the HOF xxhash64 form") {
     // unicode text exercises the char-window/byte-offset walk (substr is
     // character-based); short text exercises the n <= gram single window
