@@ -51,6 +51,11 @@ object VectorExpressions {
   def ngramFingerprint(text: Column, gram: Int, k: Int): Column =
     ColumnShim.column(org.apache.spark.sql.graft.NgramFingerprint(ColumnShim.expression(text), gram, k))
 
+  /** Occurrence counts of every marker word-set in ONE codegen'd pass
+    * over the token array (counts in marker-set order). */
+  def markerHits(words: Column, markers: Seq[Seq[String]]): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.MarkerHits(ColumnShim.expression(words), markers))
+
   /** Bounded-heap top-k aggregate over struct<cos double, id long> —
     * partial aggregation keeps at most k pairs per group per map task,
     * so a top-k never shuffles the full scored set (the window

@@ -25,8 +25,24 @@ object TextAnalysis {
   private def wordSet(textCol: Column): Column =
     split(lower(textCol), "[^a-zà-ÿ]+")
 
+  private val langsSorted: Seq[String] = langMarkers.keys.toSeq.sorted
+
+  /** Marker-occurrence counts for EVERY language in one codegen'd array
+    * pass (order = sorted language codes) — replaces a per-language
+    * interpreted `size(filter(words, isin(...)))` that evaluated a
+    * lambda per word per language (TextAnalysisSpec pins equality with
+    * the HOF witness). */
+  def allMarkerHits(textCol: Column): Column =
+    graft.functions.VectorExpressions.markerHits(
+      wordSet(textCol), langsSorted.map(langMarkers))
+
   /** Count of marker-word hits for one language. */
-  def markerHits(textCol: Column, lang: String): Column = {
+  def markerHits(textCol: Column, lang: String): Column =
+    element_at(allMarkerHits(textCol), langsSorted.indexOf(lang) + 1)
+
+  /** The interpreted HOF form [[markerHits]] replaced — kept as the
+    * equivalence witness. */
+  private[graft] def markerHitsHof(textCol: Column, lang: String): Column = {
     val words = wordSet(textCol)
     size(filter(words, w => w.isin(langMarkers(lang): _*)))
   }
@@ -82,9 +98,8 @@ object TextAnalysis {
     val nPunct = nChars - length(regexp_replace(textCol, "[\\p{Punct}]", ""))
     val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
     val words = wordSet(textCol)
-    val en = langMarkers("en")
     val stopRatio = when(size(words) > 0,
-      size(filter(words, w => w.isin(en: _*))).cast("double") / size(words))
+      markerHits(textCol, "en").cast("double") / size(words))
       .otherwise(0.0)
     struct(
       nChars.as("n_chars"), nToks.as("n_tokens"),

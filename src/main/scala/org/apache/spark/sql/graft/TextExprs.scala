@@ -43,6 +43,28 @@ object TextOps {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Per-set membership occurrence counts over `words` — the shared
+    * kernel of [[MarkerHits]]: one scan of the array, a hash probe per
+    * (word, set), no per-element Catalyst interpretation. */
+  def countIn(words: ArrayData,
+              sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val counts = new Array[Int](sets.length)
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(w)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Bottom-k of distinct xxhash64(seed 42) values over every char-level
     * `gram`-window of `text` (winnowing-style document fingerprint) —
     * value-identical to
@@ -212,5 +234,38 @@ case class NgramFingerprint(child: Expression, gram: Int, k: Int)
       s"${ev.value} = org.apache.spark.sql.graft.TextOps.bottomKNgramHashes($a, $gram, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramFingerprint =
+    copy(child = newChild)
+}
+
+/** Occurrence counts of each marker word-set among `words` in ONE pass —
+  * replaces a per-language interpreted `size(filter(words, isin(...)))`
+  * HOF (one lambda eval per word per language). Counts come back in
+  * marker-set order as array<int>. */
+case class MarkerHits(child: Expression, markers: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(markers.nonEmpty, "need at least one marker set")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markers.map { ms =>
+      val s = new java.util.HashSet[UTF8String]()
+      ms.foreach(m => s.add(UTF8String.fromString(m)))
+      s
+    }.toArray
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.countIn(a.asInstanceOf[ArrayData], sets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.countIn($a, $setsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
     copy(child = newChild)
 }

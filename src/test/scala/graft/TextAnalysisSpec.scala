@@ -43,6 +43,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.getDouble(3) > 0) // "the"
   }
 
+  test("codegen marker hits equal the per-language HOF witness (property)") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("the", "und", "la", "que", "der", "les", "", "café"))
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val samples = Iterator.continually(doc.sample).flatten.take(120).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("doc_id", "text")
+    for (lang <- TextAnalysis.langMarkers.keys) {
+      val both = df.select(
+        TextAnalysis.markerHits($"text", lang).as("fast"),
+        TextAnalysis.markerHitsHof($"text", lang).as("hof"))
+        .as[(Int, Int)].collect()
+      both.foreach { case (f, h) => assert(f == h, s"lang=$lang") }
+    }
+  }
+
   test("narrow mean-word-len equals the per-token HOF witness (property)") {
     import org.scalacheck.Gen
     val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(7)),
