@@ -1217,6 +1217,22 @@ object Queries {
     Dedup.duplicatePassages(t(s, dir, "documents"), n = 8, minDocs = 2)
       .orderBy("shingle")
 
+  /** ORC interchange gate: documents round-trip through Spark's built-in
+    * columnar ORC source/sink (with a pushed-down predicate on the read
+    * side), then census per source — the oracle computes the same census
+    * from the parquet originals, so the gate fails on any loss or type
+    * drift across the format boundary. */
+  def q67OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q67_orc"
+    t(s, dir, "documents").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1290,7 +1306,8 @@ object Queries {
     "q63_token_budget_sample" -> (q63TokenBudgetSample _),
     "q64_curation_pipeline" -> (q64CurationPipeline _),
     "q65_skew_report" -> (q65SkewReport _),
-    "q66_duplicate_passages" -> (q66DuplicatePassages _)
+    "q66_duplicate_passages" -> (q66DuplicatePassages _),
+    "q67_orc_roundtrip" -> (q67OrcRoundtrip _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1611,6 +1628,11 @@ object Queries {
         |SELECT shingle, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS example_id
         |FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY shingle""".stripMargin,
+    "q67_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(
