@@ -1233,6 +1233,26 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Batch sessionization gate (gaps-and-islands, 30-min gap): one row
+    * per (user, session) with event count, start, duration — all integer
+    * epoch-micros, so the whole layout hash-compares. */
+  def q68Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionize(events(s, dir), gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+
+  /** Ordered-funnel gate: signup → view → purchase by strictly
+    * increasing first-occurrence times; per-step completing users. */
+  def q69Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.funnel(events(s, dir),
+        Seq("signup", "view", "purchase"))
+      .orderBy("step")
+
+  /** Cohort-retention gate: weekly cohorts by first activity, per-offset
+    * active-user counts (pure integer epoch-micros division). */
+  def q70Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.retention(events(s, dir), periodDays = 7)
+      .orderBy("cohort", "period_offset")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1307,7 +1327,10 @@ object Queries {
     "q64_curation_pipeline" -> (q64CurationPipeline _),
     "q65_skew_report" -> (q65SkewReport _),
     "q66_duplicate_passages" -> (q66DuplicatePassages _),
-    "q67_orc_roundtrip" -> (q67OrcRoundtrip _)
+    "q67_orc_roundtrip" -> (q67OrcRoundtrip _),
+    "q68_sessionize" -> (q68Sessionize _),
+    "q69_funnel" -> (q69Funnel _),
+    "q70_retention" -> (q70Retention _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1633,6 +1656,40 @@ object Queries {
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 2 = 0
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q68_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        | us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap FROM e),
+        |f AS (SELECT user_id, us,
+        | CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new FROM g),
+        |s AS (SELECT user_id, us,
+        | CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(us) AS start_us, max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q69_funnel" ->
+      """WITH m AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        | FROM events GROUP BY user_id)
+        |SELECT * FROM (
+        | SELECT 1 AS step, 'signup' AS event_type,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users FROM m
+        | UNION ALL SELECT 2, 'view',
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+        | UNION ALL SELECT 3, 'purchase',
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+        |   AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END) AS BIGINT) FROM m)
+        |ORDER BY step""".stripMargin,
+    "q70_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
+        |c AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY user_id)
+        |SELECT c.cohort, a.period - c.cohort AS period_offset, count(*) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2
+        |ORDER BY cohort, period_offset""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

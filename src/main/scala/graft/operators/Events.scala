@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics over the (user, timestamp, type) schema — the
+ * classic product-analytics trio: sessionization (gaps-and-islands),
+ * ordered funnels, and cohort retention.
+ *
+ * Scale shape: everything here is one shuffle on the user key; the
+ * per-user windows parallelize across users (billions of users = good
+ * partitioning, never a global window), aggregations are partial-agg
+ * friendly, and all time arithmetic is integer epoch-microseconds so
+ * any engine reproduces it bit-for-bit.
+ */
+object Events {
+
+  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** Gaps-and-islands sessionization: a session breaks when the gap to
+    * the user's previous event EXCEEDS `gapSeconds`. One row per session
+    * with its event count, start, and duration. Tie-safe: rows sharing a
+    * timestamp land in the same session regardless of intra-tie order
+    * (zero gap; the RANGE running sum gives equal session indexes), so
+    * the result is deterministic under any partitioning.
+    *
+    * The batch twin of `streaming.Streams.sessionize`
+    * (flatMapGroupsWithState) — same gap rule, replayable over history. */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val byUser = Window.partitionBy(userCol).orderBy(col("__us"))
+    events.select(col(userCol), us(tsCol).as("__us"))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("__new").over(byUser))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("__us").as("start_us"),
+        (max("__us") - min("__us")).as("duration_us"))
+  }
+
+  /** First-occurrence ordered funnel: a user completes step i when the
+    * FIRST occurrence of every step 1..i exists and their first-occurrence
+    * times strictly increase (t1 < t2 < ... < ti). Returns one row per
+    * step with the completing-user count. One groupBy(user) with
+    * conditional mins — no self-joins, no per-event state. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mins = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, us(tsCol))).as(s"__t$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
+    val completed = steps.indices.map { i =>
+      val cond = (0 to i).map(j => col(s"__t$j").isNotNull)
+        .reduce(_ && _) &&
+        (1 to i).map(j => col(s"__t${j - 1}") < col(s"__t$j"))
+          .foldLeft(lit(true))(_ && _)
+      sum(when(cond, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val row = perUser.agg(completed.head, completed.tail: _*).head()
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s, row.getLong(i)) }
+      .toDF("step", "event_type", "n_users")
+  }
+
+  /** Cohort retention: users bucketed by their first-activity period
+    * (periodDays-wide windows from the epoch, pure integer division of
+    * epoch-microseconds); one row per (cohort period, offset) with the
+    * count of cohort users active in that offset period. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", periodDays: Int = 7): DataFrame = {
+    require(periodDays > 0, "periodDays must be positive")
+    val periodUs = periodDays * 86400000000L
+    val active = events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div ${periodUs}L")
+        .as("period"))
+      .distinct()
+    val cohorts = active.groupBy(col(userCol))
+      .agg(min("period").as("cohort"))
+    active.join(cohorts, userCol)
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

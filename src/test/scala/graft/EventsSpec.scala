@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1704067200000L + minute * 60000L) // 2024-01-01 + minutes
+
+  test("sessionize breaks on gaps > threshold and aggregates per island") {
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(20)),   // session 1: 3 events
+      (1L, ts(120)), (1L, ts(125)),              // session 2 after 100-min gap
+      (2L, ts(5))                                // lone event
+    ).toDF("user_id", "ts")
+    val got = Events.sessionize(events, gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 20L * 60000000L),
+      (1L, 2L, 2L, 5L * 60000000L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize is tie-safe: equal timestamps share a session deterministically") {
+    val events = Seq((1L, ts(0)), (1L, ts(0)), (1L, ts(0))).toDF("user_id", "ts")
+    val got = Events.sessionize(events, gapSeconds = 60L).collect()
+    assert(got.length == 1 &&
+      got.head.getAs[Long]("n_events") == 3L &&
+      got.head.getAs[Long]("duration_us") == 0L)
+  }
+
+  test("funnel counts strictly ordered first occurrences") {
+    val events = Seq(
+      (1L, ts(0), "signup"), (1L, ts(1), "view"), (1L, ts(2), "purchase"), // full
+      (2L, ts(0), "signup"), (2L, ts(1), "view"),                          // 2 steps
+      (3L, ts(1), "view"), (3L, ts(2), "signup"),                          // wrong order
+      (4L, ts(0), "purchase")                                              // step 3 only
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("signup", "view", "purchase"))
+      .orderBy("step").select("step", "n_users")
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+
+  test("funnel requires strict inequality between first occurrences") {
+    val events = Seq((1L, ts(0), "signup"), (1L, ts(0), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("signup", "view"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(got == Seq(1L, 0L))
+  }
+
+  test("retention buckets cohorts by first period and counts offsets") {
+    def day(d: Int): Timestamp = new Timestamp(1704067200000L + d * 86400000L)
+    val events = Seq(
+      (1L, day(0)), (1L, day(8)), (1L, day(15)), // cohort w0, active w0/w1/w2
+      (2L, day(1)), (2L, day(16)),               // cohort w0, active w0/w2
+      (3L, day(9))                               // cohort w1 only
+    ).toDF("user_id", "ts")
+    val got = Events.retention(events, periodDays = 7)
+      .orderBy("cohort", "period_offset")
+      .select("period_offset", "n_users").as[(Long, Long)].collect().toSeq
+    // epoch-aligned weeks: 2024-01-01 is mid-week of the epoch grid, but
+    // offsets are cohort-relative so the shape below is grid-independent
+    assert(got.map(_._2).sum == 6L) // six (user, week) activity cells
+    assert(got.head == ((0L, 2L)))  // both w0-cohort users active at offset 0
+  }
+}
