@@ -1253,6 +1253,26 @@ object Queries {
     graft.operators.Events.retention(events(s, dir), periodDays = 7)
       .orderBy("cohort", "period_offset")
 
+  /** As-of join gate: every purchase attributed to the user's latest
+    * click at-or-before it (inclusive), nulls when no prior click. The
+    * oracle is DuckDB's NATIVE ASOF LEFT JOIN — two independent
+    * implementations of the same semantics; the engine side is the
+    * union+carry-forward window (one shuffle, no range explosion). */
+  def q71AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min("event_id").as("click_id"))
+    graft.operators.Events.asofJoin(purchases, clicks,
+        "user_id", "ts", "click_id")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_click_id"), col("asof_us"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1330,7 +1350,8 @@ object Queries {
     "q67_orc_roundtrip" -> (q67OrcRoundtrip _),
     "q68_sessionize" -> (q68Sessionize _),
     "q69_funnel" -> (q69Funnel _),
-    "q70_retention" -> (q70Retention _)
+    "q70_retention" -> (q70Retention _),
+    "q71_asof_join" -> (q71AsofJoin _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1690,6 +1711,17 @@ object Queries {
         |SELECT c.cohort, a.period - c.cohort AS period_offset, count(*) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY cohort, period_offset""".stripMargin,
+    "q71_asof_join" ->
+      """WITH p AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        | WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, epoch_us(ts) AS us, min(event_id) AS click_id
+        | FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        | c.click_id AS asof_click_id, c.us AS asof_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.us
+        |ORDER BY p.event_id""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -71,6 +71,40 @@ object Events {
       .toDF("step", "event_type", "n_users")
   }
 
+  /** As-of join: every left row picks the right row with the GREATEST
+    * timestamp ≤ its own within the same key (inclusive, like DuckDB's
+    * `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`, which is the
+    * q71 oracle). Implemented as the union + carry-forward window trick —
+    * tag both sides, sort per key by (ts, side) with the right side
+    * first on ties, and let `last(..., ignoreNulls)` carry the latest
+    * right payload forward — so the whole join is ONE shuffle on the key
+    * with per-key parallel windows: no range-condition join, no
+    * candidate-pair explosion, the shape that survives billions of rows
+    * per side. The right side must be unique per (key, ts) (pre-aggregate
+    * otherwise); left rows with no prior right row keep nulls. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String = "user_id",
+               tsCol: String = "ts", payloadCol: String = "event_id"): DataFrame = {
+    val leftStruct = struct(left.columns.map(col): _*)
+    val payloadType = right.schema(payloadCol).dataType
+    val l = left.select(col(keyCol).as("__k"), us(tsCol).as("__us"),
+      lit(1).as("__kind"), leftStruct.as("__lrow"),
+      lit(null).cast(payloadType).as("__p"))
+    val lrowType = l.schema("__lrow").dataType
+    val r = right.select(col(keyCol).as("__k"), us(tsCol).as("__us"),
+      lit(0).as("__kind"), lit(null).cast(lrowType).as("__lrow"),
+      col(payloadCol).cast(payloadType).as("__p"))
+    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof_p", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__asof_us",
+        last(when(col("__kind") === 0, col("__us")), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(Seq(col("__lrow.*"),
+        col("__asof_p").as(s"asof_$payloadCol"),
+        col("__asof_us").as("asof_us")): _*)
+  }
+
   /** Cohort retention: users bucketed by their first-activity period
     * (periodDays-wide windows from the epoch, pure integer division of
     * epoch-microseconds); one row per (cohort period, offset) with the

@@ -56,6 +56,24 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq(1L, 0L))
   }
 
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq(
+      (100L, 1L, ts(10)), // matches click at ts(10) (inclusive tie)
+      (101L, 1L, ts(30)), // matches click at ts(20)
+      (102L, 1L, ts(1)),  // no prior click -> nulls
+      (103L, 2L, ts(50))  // other user's clicks must not leak
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), 7L), (1L, ts(20), 8L), (2L, ts(40), 9L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = Events.asofJoin(left, right, "user_id", "ts", "click_id")
+      .orderBy("event_id")
+      .select(col("event_id"), col("asof_click_id"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (100L, Some(7L)), (101L, Some(8L)), (102L, None), (103L, Some(9L))))
+  }
+
   test("retention buckets cohorts by first period and counts offsets") {
     def day(d: Int): Timestamp = new Timestamp(1704067200000L + d * 86400000L)
     val events = Seq(
