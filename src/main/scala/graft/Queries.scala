@@ -1273,6 +1273,25 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Range-join gate: every error event assigned to the user session
+    * containing it (sessions from the q68 layout; sessions are disjoint
+    * so each error hits exactly one). Engine side is the binned
+    * equi-join — never a nested-loop; the oracle is a plain BETWEEN
+    * range join over the same session CTE. */
+  def q72RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sessions = graft.operators.Events.sessionize(ev, gapSeconds = 1800L)
+      .select(col("user_id"), col("session_idx"), col("start_us"),
+        (col("start_us") + col("duration_us")).as("end_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("err_us"))
+    graft.operators.Events.rangeJoin(errors, sessions,
+        "user_id", "err_us", "start_us", "end_us")
+      .select("event_id", "user_id", "err_us", "session_idx")
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1351,7 +1370,8 @@ object Queries {
     "q68_sessionize" -> (q68Sessionize _),
     "q69_funnel" -> (q69Funnel _),
     "q70_retention" -> (q70Retention _),
-    "q71_asof_join" -> (q71AsofJoin _)
+    "q71_asof_join" -> (q71AsofJoin _),
+    "q72_range_join" -> (q72RangeJoin _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1722,6 +1742,24 @@ object Queries {
         | c.click_id AS asof_click_id, c.us AS asof_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.us
         |ORDER BY p.event_id""".stripMargin,
+    "q72_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        | us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap FROM e),
+        |f AS (SELECT user_id, us,
+        | CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new FROM g),
+        |s AS (SELECT user_id, us,
+        | CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS session_idx FROM f),
+        |sess AS (
+        | SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+        | FROM s GROUP BY user_id, session_idx),
+        |err AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS err_us FROM events
+        | WHERE event_type = 'error')
+        |SELECT err.event_id, err.user_id, err.err_us, sess.session_idx
+        |FROM err JOIN sess ON err.user_id = sess.user_id
+        | AND err.err_us BETWEEN sess.start_us AND sess.end_us
+        |ORDER BY err.event_id""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

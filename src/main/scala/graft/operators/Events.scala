@@ -105,6 +105,30 @@ object Events {
         col("__asof_us").as("asof_us")): _*)
   }
 
+  /** Range join: points matched to the intervals containing them
+    * (start ≤ pt ≤ end, inclusive) within the same key — via interval
+    * BINNING: each interval explodes to the fixed-width bins it covers,
+    * points equi-join on (key, bin), and the exact range predicate
+    * filters the candidates. Spark's native plan for a range condition
+    * is a nested-loop/cartesian (quadratic); the binned form is a plain
+    * equi-join whose cost scales with interval-length/binWidth — the
+    * standard interval-bucketing trade (EventsSpec asserts no
+    * BroadcastNestedLoopJoin in the plan). Each point lives in exactly
+    * one bin, so containment hits are emitted exactly once. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+                ptUsCol: String, startUsCol: String, endUsCol: String,
+                binWidthUs: Long = 3600000000L): DataFrame = {
+    require(binWidthUs > 0, "bin width must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startUsCol div ${binWidthUs}L"),
+        expr(s"$endUsCol div ${binWidthUs}L"))))
+    points.withColumn("__bin", expr(s"$ptUsCol div ${binWidthUs}L"))
+      .join(binned, Seq(keyCol, "__bin"))
+      .filter(col(ptUsCol) >= col(startUsCol) &&
+        col(ptUsCol) <= col(endUsCol))
+      .drop("__bin")
+  }
+
   /** Cohort retention: users bucketed by their first-activity period
     * (periodDays-wide windows from the epoch, pure integer division of
     * epoch-microseconds); one row per (cohort period, offset) with the

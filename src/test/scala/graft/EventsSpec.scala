@@ -74,6 +74,30 @@ class EventsSpec extends SparkSpec {
       (100L, Some(7L)), (101L, Some(8L)), (102L, None), (103L, Some(9L))))
   }
 
+  test("rangeJoin matches containment exactly and never plans a nested loop") {
+    val points = Seq(
+      (1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 999L), (4L, 2L, 100L)
+    ).toDF("pt_id", "k", "pt_us")
+    val intervals = Seq(
+      (10L, 1L, 100L, 200L),  // contains pt 1 (boundary-inclusive both ends)
+      (11L, 1L, 200L, 300L),  // contains pt 2
+      (12L, 2L, 50L, 5000L)   // long interval spanning many bins; contains pt 4
+    ).toDF("iv_id", "k", "s_us", "e_us")
+    val joined = Events.rangeJoin(points, intervals, "k",
+      "pt_us", "s_us", "e_us", binWidthUs = 100L)
+    val got = joined.select("pt_id", "iv_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L), (4L, 12L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // a point on a shared boundary hits BOTH intervals, once each
+    val boundary = Events.rangeJoin(
+      Seq((9L, 1L, 200L)).toDF("pt_id", "k", "pt_us"), intervals, "k",
+      "pt_us", "s_us", "e_us", binWidthUs = 100L)
+    assert(boundary.select("iv_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("retention buckets cohorts by first period and counts offsets") {
     def day(d: Int): Timestamp = new Timestamp(1704067200000L + d * 86400000L)
     val events = Seq(
