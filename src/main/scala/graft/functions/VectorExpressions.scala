@@ -56,6 +56,14 @@ object VectorExpressions {
   def markerHits(words: Column, markers: Seq[Seq[String]]): Column =
     ColumnShim.column(org.apache.spark.sql.graft.MarkerHits(ColumnShim.expression(words), markers))
 
+  /** Misra-Gries heavy-hitter sketch aggregate: ≤ k mergeable counters,
+    * every estimate a lower bound undercounting by ≤ n/(k+1) — any item
+    * above that frequency is guaranteed in the result. */
+  def freqSketch(item: Column, k: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft
+      .FreqSketch(ColumnShim.expression(item), k)
+      .toAggregateExpression())
+
   /** Bounded-heap top-k aggregate over struct<cos double, id long> —
     * partial aggregation keeps at most k pairs per group per map task,
     * so a top-k never shuffles the full scored set (the window

@@ -52,6 +52,11 @@ object FunctionShim {
       require(args.length == 3, "graft_fingerprint(text, gram, k)")
       NgramFingerprint(args(0), intArg(args(1), "graft_fingerprint"),
         intArg(args(2), "graft_fingerprint"))
+    },
+    "graft_freq_sketch" -> { args =>
+      require(args.length == 2, "graft_freq_sketch(item, k)")
+      FreqSketch(args(0), intArg(args(1), "graft_freq_sketch"))
+        .toAggregateExpression()
     })
 
   private def info(name: String): ExpressionInfo =
