@@ -67,8 +67,11 @@ object Events {
       sum(when(cond, 1L).otherwise(0L)).as(s"__c$i")
     }
     val row = perUser.agg(completed.head, completed.tail: _*).head()
-    steps.zipWithIndex.map { case (s, i) => (i + 1, s, row.getLong(i)) }
-      .toDF("step", "event_type", "n_users")
+    // empty input -> the global agg returns one all-null row; every step
+    // completed by zero users
+    steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s, if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toDF("step", "event_type", "n_users")
   }
 
   /** As-of join: every left row picks the right row with the GREATEST

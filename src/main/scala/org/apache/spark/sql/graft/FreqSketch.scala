@@ -62,16 +62,16 @@ case class FreqSketch(
     * decrement everything (amortized O(1) — each decrement pays for an
     * earlier arrival). */
   private def offer(buf: mutable.HashMap[UTF8String, Long],
-                    item: UTF8String, weight: Long): Unit = {
+                    item: UTF8String): Unit = {
     buf.get(item) match {
-      case Some(c) => buf.update(item, c + weight)
-      case None if buf.size < k => buf.update(item.clone(), weight)
+      case Some(c) => buf.update(item, c + 1L)
+      case None if buf.size < k => buf.update(item.clone(), 1L)
       case None =>
         // snapshot the keys: structural mutation during keysIterator is
         // undefined for mutable.HashMap
         val keys = buf.keys.toArray
         keys.foreach { key =>
-          val c = buf(key) - weight
+          val c = buf(key) - 1L
           if (c <= 0) buf.remove(key) else buf.update(key, c)
         }
     }
@@ -95,7 +95,7 @@ case class FreqSketch(
   override def update(buf: mutable.HashMap[UTF8String, Long],
                       input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[UTF8String], 1L)
+    if (v != null) offer(buf, v.asInstanceOf[UTF8String])
     buf
   }
 

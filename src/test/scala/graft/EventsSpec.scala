@@ -48,6 +48,14 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((1, 3L), (2, 2L), (3, 1L)))
   }
 
+  test("funnel on an empty corpus reports zero users per step") {
+    val events = Seq.empty[(Long, Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(events, Seq("signup", "view"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L))
+  }
+
   test("funnel requires strict inequality between first occurrences") {
     val events = Seq((1L, ts(0), "signup"), (1L, ts(0), "view"))
       .toDF("user_id", "ts", "event_type")
