@@ -239,6 +239,36 @@ object Scratch {
       println(s"[scratch] result localCheckpoint in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "eventskew") {
+      // hot-user rehearsal for the per-user-window operators: one user
+      // carries 60% of a 2M-event stream. AQE cannot split a window
+      // partition, so this measures the single-task ceiling the
+      // sessionize/asof windows hit at skew (PLANS.md records the
+      // numbers + the chunk-and-stitch mitigation path).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Events
+      val n = 2000000L
+      val ev = spark.range(n).select(
+        when(col("id") % 10 < 6, lit(0L)).otherwise(col("id") % 100000L)
+          .as("user_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        col("id").as("event_id"),
+        when(col("id") % 5 === 0, "click").otherwise("view").as("event_type"))
+        .localCheckpoint(true)
+      var t0 = System.nanoTime()
+      val nSess = Events.sessionize(ev, gapSeconds = 3L).count()
+      println(f"[scratch] sessionize(hot user, 2M events): $nSess sessions in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      val purchases = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(min("event_id").as("click_id"))
+      val nAsof = Events.asofJoin(purchases, clicks,
+        "user_id", "ts", "click_id").count()
+      println(f"[scratch] asofJoin(hot user): $nAsof rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
+    }
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",
