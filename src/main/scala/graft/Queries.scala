@@ -1292,6 +1292,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Multidimensional-aggregate gate: ROLLUP over (returnflag,
+    * linestatus) with GROUPING markers — subtotal and grand-total rows
+    * computed in one pass (Spark expands grouping sets inside the same
+    * hash aggregate, no extra scan per level). Decimal-exact sums keep
+    * the doubles bit-identical cross-engine. */
+  def q73Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1371,7 +1384,8 @@ object Queries {
     "q69_funnel" -> (q69Funnel _),
     "q70_retention" -> (q70Retention _),
     "q71_asof_join" -> (q71AsofJoin _),
-    "q72_range_join" -> (q72RangeJoin _)
+    "q72_range_join" -> (q72RangeJoin _),
+    "q73_rollup" -> (q73Rollup _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1760,6 +1774,13 @@ object Queries {
         |FROM err JOIN sess ON err.user_id = sess.user_id
         | AND err.err_us BETWEEN sess.start_us AND sess.end_us
         |ORDER BY err.event_id""".stripMargin,
+    "q73_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(
