@@ -1305,6 +1305,17 @@ object Queries {
         grouping(col("l_linestatus")).cast("int").as("g_status"))
       .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
 
+  /** Sampled-quantiles gate: deterministic md5-ordered bottom-1000 sample
+    * of lineitem quantities, exact disc percentiles off the sample. The
+    * engine plans the sample as a map-side partial top-k
+    * (TakeOrderedAndProject, CorpusSpec plan assertion); the oracle
+    * replays the same hash order with ORDER BY + LIMIT. */
+  def q74SampledQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sampledQuantiles(
+      t(s, dir, "lineitem"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+      col("l_quantity"), k = 1000, ps = Seq(0.5, 0.9, 0.99))
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1385,7 +1396,8 @@ object Queries {
     "q70_retention" -> (q70Retention _),
     "q71_asof_join" -> (q71AsofJoin _),
     "q72_range_join" -> (q72RangeJoin _),
-    "q73_rollup" -> (q73Rollup _)
+    "q73_rollup" -> (q73Rollup _),
+    "q74_sampled_quantiles" -> (q74SampledQuantiles _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1781,6 +1793,18 @@ object Queries {
         | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q74_sampled_quantiles" ->
+      """WITH s AS (
+        | SELECT md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS tag,
+        |  l_quantity AS v
+        | FROM lineitem ORDER BY tag LIMIT 1000),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS cnt FROM s)
+        |SELECT
+        | MIN(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN v END) AS p50,
+        | MIN(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN v END) AS p90,
+        | MIN(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN v END) AS p99,
+        | CAST(MAX(cnt) AS BIGINT) AS n_rows
+        |FROM r""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -277,6 +277,26 @@ object Corpus {
   // Exact distribution statistics
   // -----------------------------------------------------------------
 
+  /** Deterministic sample-based quantiles for distributions too large to
+    * sort: rank rows by a CONTENT hash (the same pseudo-random order on
+    * any engine or cluster — no RNG state), keep the bottom-`k` (Spark
+    * plans orderBy+limit as TakeOrderedAndProject: a map-side partial
+    * top-k per partition, never a global sort shuffle — plan-asserted in
+    * CorpusSpec), and read exact rank-pick percentiles off the k-row
+    * sample. Accuracy is the uniform-sampling O(1/√k) rank error, but
+    * unlike reservoir sampling the ANSWER is deterministic, so it can be
+    * oracle-gated (q74). Returns one row: the `pNN` columns + `n_rows`
+    * (= min(k, corpus)). */
+  def sampledQuantiles(df: DataFrame, key: Column, value: Column,
+                       k: Int, ps: Seq[Double]): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val sample = df.select(md5(key).as("__tag"), value.as("__v"))
+      .orderBy("__tag").limit(k)
+    discPercentiles(sample.withColumn("__g", lit("sample")),
+        "__g", col("__v"), ps)
+      .drop("__g")
+  }
+
   /** Exact discrete percentiles (value at rank ceil(p·n), the
     * interpolation-free form every engine reproduces on integer inputs)
     * of `value` per group. One shuffle on the group key; the per-group

@@ -263,6 +263,27 @@ class CorpusSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- percentiles
 
+  test("sampledQuantiles plans a map-side top-k and is repartition-invariant") {
+    val df = (1L to 5000L).map(i => (i, (i * 37 % 1000).toDouble))
+      .toDF("id", "v")
+    val got = Corpus.sampledQuantiles(df, col("id").cast("string"), col("v"),
+      k = 200, ps = Seq(0.5, 0.9))
+    val plan = df.select(md5(col("id").cast("string")).as("__tag"), col("v"))
+      .orderBy("__tag").limit(200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k sample must be a partial top-k, not a global sort:\n$plan")
+    val row = got.head()
+    assert(row.getAs[Long]("n_rows") == 200L)
+    // deterministic under repartitioning
+    val again = Corpus.sampledQuantiles(df.repartition(7),
+      col("id").cast("string"), col("v"), k = 200, ps = Seq(0.5, 0.9))
+    assert(got.collect().toSeq == again.collect().toSeq)
+    // sampled quantiles approximate the true ones (uniform values 0..999)
+    val p50 = row.getAs[Double]("p50")
+    assert(p50 > 350 && p50 < 650, s"p50=$p50 far from the true median ~500")
+  }
+
   test("discPercentiles picks the value at rank ceil(p*n) per group") {
     val df = ((1 to 100).map(v => ("a", v.toLong)) ++
       Seq(("b", 5L), ("b", 1L), ("b", 9L))).toDF("g", "v")
