@@ -1316,6 +1316,24 @@ object Queries {
       concat_ws(":", col("l_orderkey"), col("l_linenumber")),
       col("l_quantity"), k = 1000, ps = Seq(0.5, 0.9, 0.99))
 
+  /** Encoding-hygiene gate: control chars and U+FFFD mojibake markers
+    * planted into document text (chr-for-chr mirrored by the oracle),
+    * counted by the strip-and-diff features, and scrubbed — counts AND
+    * the scrubbed text both hash-compare. */
+  def q75Encoding(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(substring(col("text"), 1, 60),
+      lit("\u0001"), lit("x"), lit("\u0007"),
+      when(col("doc_id") % 3 === 0, lit("\ufffd\ufffd")).otherwise(lit("")))
+    val feats = graft.operators.TextAnalysis.encodingFeatures(planted)
+    t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        feats.getField("n_control").as("n_control"),
+        feats.getField("n_replacement").as("n_replacement"),
+        graft.operators.TextAnalysis.scrubControlChars(planted)
+          .as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1397,7 +1415,8 @@ object Queries {
     "q71_asof_join" -> (q71AsofJoin _),
     "q72_range_join" -> (q72RangeJoin _),
     "q73_rollup" -> (q73Rollup _),
-    "q74_sampled_quantiles" -> (q74SampledQuantiles _)
+    "q74_sampled_quantiles" -> (q74SampledQuantiles _),
+    "q75_encoding" -> (q75Encoding _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1805,6 +1824,17 @@ object Queries {
         | MIN(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN v END) AS p99,
         | CAST(MAX(cnt) AS BIGINT) AS n_rows
         |FROM r""".stripMargin,
+    "q75_encoding" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  substr(text, 1, 60) || chr(1) || 'x' || chr(7) ||
+        |   CASE WHEN doc_id % 3 = 0 THEN chr(65533) || chr(65533) ELSE '' END AS t
+        | FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        | length(t) - length(regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+        | length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS n_replacement,
+        | regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS scrubbed
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

@@ -131,6 +131,25 @@ object TextAnalysis {
         "https?://[^ ]+", "<URL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** Encoding-hygiene features for corpus quality filtering: counts of
+    * C0 control characters (minus tab/newline/CR, which are legitimate
+    * text) and of U+FFFD replacement characters — the mojibake marker a
+    * broken decode leaves behind. Each count is one narrow strip-and-
+    * diff regex pass (RE2-safe class, so any engine reproduces it). */
+  def encodingFeatures(textCol: Column): Column = {
+    val n = length(textCol)
+    struct(
+      (n - length(regexp_replace(textCol,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).as("n_control"),
+      (n - length(regexp_replace(textCol, "\uFFFD", "")))
+        .as("n_replacement"))
+  }
+
+  /** Drop C0 control characters (keeping tab/newline/CR) — the scrub
+    * applied when [[encodingFeatures]] flags a document worth keeping. */
+  def scrubControlChars(textCol: Column): Column =
+    regexp_replace(textCol, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+
   /** Document fingerprint: bottom-k sketch of rolling char 8-gram hashes
     * (winnowing-style). Two documents sharing most of their text share most
     * of their bottom-k fingerprint. Returns an array of size ≤ k.
