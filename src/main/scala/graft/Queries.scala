@@ -1334,6 +1334,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Pivot gate: linestatus values spread to columns with decimal-exact
+    * quantity sums per returnflag — Spark plans an explicit-values pivot
+    * as ONE aggregate pass (no per-value scan); the oracle is the
+    * equivalent conditional aggregation. */
+  def q76Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1416,7 +1427,8 @@ object Queries {
     "q72_range_join" -> (q72RangeJoin _),
     "q73_rollup" -> (q73Rollup _),
     "q74_sampled_quantiles" -> (q74SampledQuantiles _),
-    "q75_encoding" -> (q75Encoding _)
+    "q75_encoding" -> (q75Encoding _),
+    "q76_pivot" -> (q76Pivot _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1835,6 +1847,11 @@ object Queries {
         | length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS n_replacement,
         | regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS scrubbed
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q76_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(
