@@ -1189,18 +1189,47 @@ object Queries {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("kept_tokens"))
       .orderBy("source")
 
-  /** End-to-end curation gate: the full training-data flow (quality gate
-    * → exact dedup on md5(text) → near-dup components → benchmark
-    * decontamination → split labeling) over documents, with every 40th
-    * doc as the eval set; the per-stage survivor census is the gated
-    * result, reproduced by one recursive-CTE oracle. */
-  def q64CurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** q64a–q64e: the training-data curation flow (quality gate → exact
+    * dedup on md5(text) → near-dup components → benchmark decontamination
+    * → split labeling) over documents, with every 40th doc as the eval
+    * set — one gate PER STAGE (per-stage bench attribution, same
+    * recursive-CTE oracle family sharing CTE prefixes). Each gate runs
+    * the stage prefix up to its stage and reports the per-source (or
+    * per-split) survivor census. */
+  private def curationTrain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 40 =!= 0)
+  private def curationBench(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 40 === 0)
+  private def bySource(df: DataFrame): DataFrame =
+    df.groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")
+
+  def q64aCurationQuality(s: SparkSession, dir: String): DataFrame =
+    bySource(graft.plans.Pipelines.qualityStage(curationTrain(s, dir)))
+
+  def q64bCurationExact(s: SparkSession, dir: String): DataFrame =
+    bySource(graft.plans.Pipelines.exactStage(
+      graft.plans.Pipelines.qualityStage(curationTrain(s, dir))))
+
+  def q64cCurationNeardup(s: SparkSession, dir: String): DataFrame =
+    bySource(graft.plans.Pipelines.nearDupStage(
+      graft.plans.Pipelines.exactStage(
+        graft.plans.Pipelines.qualityStage(curationTrain(s, dir)))
+        .localCheckpoint(true)))
+
+  def q64dCurationDecontam(s: SparkSession, dir: String): DataFrame =
+    bySource(Corpus.decontaminate(
+      graft.plans.Pipelines.nearDupStage(
+        graft.plans.Pipelines.exactStage(
+          graft.plans.Pipelines.qualityStage(curationTrain(s, dir)))
+          .localCheckpoint(true))
+        .localCheckpoint(true),
+      curationBench(s, dir)))
+
+  def q64eCurationSplit(s: SparkSession, dir: String): DataFrame =
     graft.plans.Pipelines.curateCorpus(
-        docs.filter(col("doc_id") % 40 =!= 0),
-        docs.filter(col("doc_id") % 40 === 0))
-      .census.orderBy("stage")
-  }
+        curationTrain(s, dir), curationBench(s, dir),
+        autoSkewSalting = true)
+      .corpus.groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")
 
   /** Skew-diagnostic gate: the 5 hottest event users with corpus share
     * and ratio-to-median-key — the report run before choosing a skew
@@ -1223,7 +1252,10 @@ object Queries {
     * from the parquet originals, so the gate fails on any loss or type
     * drift across the format boundary. */
   def q67OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q67_orc"
+    // per-process path: a fixed tmpdir name would race concurrent gate
+    // runs (overwrite-vs-read on the same directory)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q67_orc_" +
+      java.lang.ProcessHandle.current().pid()
     t(s, dir, "documents").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .filter(col("doc_id") % 2 === 0)
@@ -1416,7 +1448,11 @@ object Queries {
     "q61_lsh_index" -> (q61LshIndex _),
     "q62_chunk" -> (q62Chunk _),
     "q63_token_budget_sample" -> (q63TokenBudgetSample _),
-    "q64_curation_pipeline" -> (q64CurationPipeline _),
+    "q64a_curation_quality" -> (q64aCurationQuality _),
+    "q64b_curation_exact" -> (q64bCurationExact _),
+    "q64c_curation_neardup" -> (q64cCurationNeardup _),
+    "q64d_curation_decontam" -> (q64dCurationDecontam _),
+    "q64e_curation_split" -> (q64eCurationSplit _),
     "q65_skew_report" -> (q65SkewReport _),
     "q66_duplicate_passages" -> (q66DuplicatePassages _),
     "q67_orc_roundtrip" -> (q67OrcRoundtrip _),
@@ -1505,6 +1541,53 @@ object Queries {
         |SELECT s, p, o, lit, pos FROM tuples
         |ORDER BY s, p, o, lit NULLS FIRST, pos""".stripMargin
 
+  // Shared CTE prefixes for the q64a-e curation-stage oracle family: each
+  // stage gate reuses the previous stage's CTEs verbatim, so the oracles
+  // stay cell-identical with the staged engine flow by construction.
+  private val curationOraclePrefixQuality: String =
+    """WITH RECURSIVE input AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+      |q AS (SELECT * FROM input
+      | WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 20)""".stripMargin
+
+  private val curationOraclePrefixExact: String =
+    curationOraclePrefixQuality + """,
+      |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      |d1 AS (SELECT q.* FROM q JOIN ex USING (doc_id))""".stripMargin
+
+  private val curationOraclePrefixNeardup: String =
+    curationOraclePrefixExact + """,
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(
+      | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle FROM d1),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+      |pairs0 AS (
+      | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT id_a, id_b FROM pairs0
+      |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+      |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |r(id, lab) AS (
+      | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      | UNION
+      | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+      |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+      |d2 AS (SELECT * FROM d1
+      | WHERE doc_id NOT IN (SELECT id FROM reach WHERE id <> component))""".stripMargin
+
+  private val curationOraclePrefixDecontam: String =
+    curationOraclePrefixNeardup + """,
+      |bsh AS (SELECT DISTINCT unnest(list_distinct(
+      | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM bench),
+      |tsh AS (SELECT doc_id, unnest(list_distinct(
+      | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
+      |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM d2),
+      |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle)),
+      |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q51_deterministic_split" ->
       """SELECT source,
@@ -1550,7 +1633,7 @@ object Queries {
         | FROM documents),
         |laid AS (
         | SELECT n_tokens, SUM(n_tokens) OVER (ORDER BY key) - n_tokens AS start_token FROM toks)
-        |SELECT start_token // 1000 AS seq_id, count(*) AS n_docs,
+        |SELECT CAST(start_token // 1000 AS BIGINT) AS seq_id, count(*) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
         | CAST(SUM(CASE WHEN n_tokens > 0
         |   AND (start_token + n_tokens - 1) // 1000 > start_token // 1000
@@ -1681,52 +1764,25 @@ object Queries {
         | WHERE r.wsum <= 800 OR substr(md5(t.text), 1, 8) < r.thresh)
         |SELECT source, count(*) AS n_kept, CAST(SUM(toks) AS BIGINT) AS kept_tokens
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
-    "q64_curation_pipeline" ->
-      """WITH RECURSIVE input AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
-        |q AS (SELECT * FROM input
-        | WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 20),
-        |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
-        |d1 AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
-        |sh AS (SELECT doc_id AS id, unnest(list_distinct(
-        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
-        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle FROM d1),
-        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-        |pairs0 AS (
-        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT id_a, id_b FROM pairs0
-        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-        | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
-        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |r(id, lab) AS (
-        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
-        | UNION
-        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
-        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
-        |d2 AS (SELECT * FROM d1
-        | WHERE doc_id NOT IN (SELECT id FROM reach WHERE id <> component)),
-        |bsh AS (SELECT DISTINCT unnest(list_distinct(
-        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
-        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM bench),
-        |tsh AS (SELECT doc_id, unnest(list_distinct(
-        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 4, 0)),
-        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+4], ' ')))) AS shingle FROM d2),
-        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle)),
-        |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+    "q64a_curation_quality" ->
+      (curationOraclePrefixQuality +
+        "\nSELECT source, count(*) AS n FROM q GROUP BY source ORDER BY source"),
+    "q64b_curation_exact" ->
+      (curationOraclePrefixExact +
+        "\nSELECT source, count(*) AS n FROM d1 GROUP BY source ORDER BY source"),
+    "q64c_curation_neardup" ->
+      (curationOraclePrefixNeardup +
+        "\nSELECT source, count(*) AS n FROM d2 GROUP BY source ORDER BY source"),
+    "q64d_curation_decontam" ->
+      (curationOraclePrefixDecontam +
+        "\nSELECT source, count(*) AS n FROM d3 GROUP BY source ORDER BY source"),
+    "q64e_curation_split" ->
+      (curationOraclePrefixDecontam + """,
         |labeled AS (SELECT
         | CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c') THEN 'train'
         |  WHEN substr(md5(text), 1, 1) IN ('d','e') THEN 'val'
         |  ELSE 'test' END AS split FROM d3)
-        |SELECT stage, n FROM (
-        | SELECT '0_input' AS stage, count(*) AS n FROM input
-        | UNION ALL SELECT '1_quality', count(*) FROM q
-        | UNION ALL SELECT '2_exact', count(*) FROM d1
-        | UNION ALL SELECT '3_neardup', count(*) FROM d2
-        | UNION ALL SELECT '4_decontam', count(*) FROM d3
-        | UNION ALL SELECT '5_split_' || split, count(*) FROM labeled GROUP BY split)
-        |ORDER BY stage""".stripMargin,
+        |SELECT split, count(*) AS n FROM labeled GROUP BY split ORDER BY split""".stripMargin),
     "q65_skew_report" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, count(*) AS nk FROM c),

@@ -286,12 +286,16 @@ object Corpus {
     * sample. Accuracy is the uniform-sampling O(1/√k) rank error, but
     * unlike reservoir sampling the ANSWER is deterministic, so it can be
     * oracle-gated (q74). Returns one row: the `pNN` columns + `n_rows`
-    * (= min(k, corpus)). */
+    * (= min(k, corpus)). Determinism requires unique-ish `key`s:
+    * duplicate keys share an md5 tag, so ties at the limit-k boundary
+    * are broken by the VALUE (the secondary sort below) — fully
+    * deterministic as long as (key, value) pairs are distinct; q74's
+    * orderkey:linenumber key is unique outright. */
   def sampledQuantiles(df: DataFrame, key: Column, value: Column,
                        k: Int, ps: Seq[Double]): DataFrame = {
     require(k > 0, "sample size must be positive")
     val sample = df.select(md5(key).as("__tag"), value.as("__v"))
-      .orderBy("__tag").limit(k)
+      .orderBy("__tag", "__v").limit(k)
     discPercentiles(sample.withColumn("__g", lit("sample")),
         "__g", col("__v"), ps)
       .drop("__g")

@@ -66,9 +66,13 @@ object Dedup {
     * duplicated-substring dedup (long repeated passages: boilerplate,
     * licenses, templated spam). Returns (shingle, n_docs, example_id),
     * where example_id is the smallest carrying doc. At corpus scale
-    * group on xxhash64(shingle) instead of the raw span (set
-    * `hashKey = true`) so the shuffle moves 8-byte keys, keeping one
-    * min-exemplar span per hash for reporting. */
+    * group on a hash of the shingle instead of the raw span (set
+    * `hashKey = true`) so the shuffle moves 16-byte keys, keeping one
+    * min-exemplar span per hash for reporting. The hash key is md5
+    * (128-bit): with billions of distinct n-grams a 64-bit key would hit
+    * birthday collisions (~50% at 5×10⁹ keys), silently merging distinct
+    * shingles and inflating n_docs; 128 bits keeps the collision odds
+    * negligible at any corpus size. */
   def duplicatePassages(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 8,
                         minDocs: Int = 2,
@@ -76,8 +80,10 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, n)
     val grouped =
       if (hashKey)
-        // 8-byte keys shuffle; one min-exemplar span per hash survives
-        sh.groupBy(xxhash64(col("shingle")).as("__k"))
+        // 16-byte (128-bit) keys shuffle; one min-exemplar span per hash
+        // survives. unhex(md5) not xxhash64: 64 bits birthday-collide over
+        // billions of distinct n-grams
+        sh.groupBy(unhex(md5(col("shingle"))).as("__k"))
           .agg(min(col("shingle")).as("shingle"),
             countDistinct(col(idCol)).as("n_docs"),
             min(col(idCol)).as("example_id"))
@@ -526,18 +532,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all candidate pairs that share at
     * least one shingle (equi-join on shingle, then |∩|/|∪|). Use after LSH
-    * at scale; standalone it's exact but shuffles every (doc, shingle). */
+    * at scale; standalone it's exact but shuffles every (doc, shingle).
+    *
+    * @param hotBucketThreshold same viral-key lever as [[minHashLsh]]'s —
+    *        a boilerplate shingle carried by m docs yields m² pair rows in
+    *        one task; above the threshold the self-join takes the salted
+    *        path (result-identical: each pair still meets exactly once per
+    *        shared shingle, so the intersection counts are unchanged).
+    *        0 (default) = plain equi-join. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", n: Int = 3,
-                        minJaccard: Double = 0.5): DataFrame = {
+                        minJaccard: Double = 0.5,
+                        hotBucketThreshold: Long = 0L,
+                        hotSalts: Int = 16): DataFrame = {
     // read three times (sizes + both join sides) — persist the exploded
     // shingles once, release after the pair result materializes
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
     Exec.withPersisted(sh) {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+    val pairs = hotAwareSelfJoin(sh, Seq("shingle"),
+        Seq(("id", "id_a", "id_b")), hotBucketThreshold, hotSalts)
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs

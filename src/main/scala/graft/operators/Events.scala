@@ -87,6 +87,13 @@ object Events {
     * otherwise); left rows with no prior right row keep nulls. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String = "user_id",
                tsCol: String = "ts", payloadCol: String = "event_id"): DataFrame = {
+    // the two appended output columns must not collide with a left column
+    // of the same name (the left row expands back to top level at the end)
+    val reserved = Seq(s"asof_$payloadCol", "asof_us")
+    val clash = left.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofJoin output column(s) ${clash.mkString(", ")} already exist " +
+        "in the left frame - rename them before joining")
     val leftStruct = struct(left.columns.map(col): _*)
     val payloadType = right.schema(payloadCol).dataType
     val l = left.select(col(keyCol).as("__k"), us(tsCol).as("__us"),

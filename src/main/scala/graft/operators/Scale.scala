@@ -108,8 +108,14 @@ object Scale {
     * count value whose cumulative frequency reaches ceil(nk/2)) — the
     * only window runs over |distinct count values| rows, never per key,
     * so billions of distinct keys don't funnel one sort task (that
-    * failure mode is what this report diagnoses). Deterministic ties by
-    * key make the report oracle-checkable. */
+    * failure mode is what this report diagnoses). Caveat: when per-key
+    * counts are mostly UNIQUE values (possible on near-uniform data),
+    * |distinct count values| approaches |keys| and the median window
+    * degrades toward a single-task sort again — in that regime swap the
+    * window for a two-pass rank (count the frequencies, then filter to
+    * the cumulative bucket holding ceil(nk/2)); skew reports are run on
+    * suspected-skewed keys, where the frequency map is tiny.
+    * Deterministic ties by key make the report oracle-checkable. */
   def skewReport(df: DataFrame, key: String, topK: Int = 5): DataFrame = {
     val counts = df.groupBy(col(key).as("key"))
       .agg(count(lit(1)).as("n"))
@@ -133,6 +139,26 @@ object Scale {
         .select(col("rank"), col("key"), col("n"),
           (col("n").cast("double") / col("total")).as("share"),
           (col("n").cast("double") / col("p50")).as("skew_vs_median"))
+    }
+  }
+
+  /** Turn a [[skewReport]] into a hot-key salting threshold — the policy
+    * glue between the diagnostic and the `hotBucketThreshold` lever on
+    * the LSH/Jaccard self-joins ([[graft.operators.Dedup]]): when the
+    * hottest key exceeds `ratio`× the median key count, salt every key
+    * above `median × ratio`; otherwise return 0 (= plain join, AQE skew
+    * handling is the first line). The report is already ≤ topK rows, so
+    * the collect here is bounded by construction. */
+  def recommendedThreshold(report: DataFrame, ratio: Double = 8.0): Long = {
+    val rows = report.select("n", "skew_vs_median").collect()
+    if (rows.isEmpty) return 0L
+    val maxSkew = rows.map(_.getDouble(1)).max
+    if (maxSkew < ratio) 0L
+    else {
+      // p50 = n / skew_vs_median of any row (same divisor in all rows)
+      val r0 = rows.head
+      val p50 = r0.getLong(0) / r0.getDouble(1)
+      math.ceil(p50 * ratio).toLong
     }
   }
 

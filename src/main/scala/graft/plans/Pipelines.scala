@@ -156,28 +156,76 @@ object Pipelines {
    * The census has one row per stage — ordinal-prefixed stage names and
    * surviving row counts, plus the final per-split sizes.
    */
-  def curateCorpus(docs: DataFrame, benchmark: DataFrame,
-                   idCol: String = "doc_id", textCol: String = "text",
-                   minTokens: Int = 20, jaccardN: Int = 3,
-                   minJaccard: Double = 0.1, benchN: Int = 5): Curation = {
-    import graft.operators.{Corpus, Dedup, Scale, TextAnalysis}
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Curation stage 1 — quality gate: drop documents under `minTokens`
+    * whitespace tokens. Narrow filter, pushes to the scan. */
+  def qualityStage(docs: DataFrame, textCol: String = "text",
+                   minTokens: Int = 20): DataFrame =
+    docs.filter(graft.operators.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
 
-    val q = docs.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
-      .localCheckpoint(true)
-    val exactIds = q.groupBy(md5(col(textCol)).as("__h"))
+  /** Curation stage 2 — exact dedup: one survivor (min id) per md5(text)
+    * content key. The 32-char keys shuffle instead of full text; md5
+    * keeps the stage reproducible in any engine. */
+  def exactStage(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val survivors = docs.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
-    val d1 = q.join(exactIds, Seq(idCol), "left_semi").localCheckpoint(true)
-    val pairs = Dedup.ngramJaccardPairs(d1, idCol, textCol, jaccardN, minJaccard)
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Curation stage 3 — near-dup collapse: n-gram Jaccard pairs →
+    * connected components → one survivor (min id) per cluster. Document
+    * bodies never join; the anti-join moves only loser ids.
+    *
+    * `hotBucketThreshold` is the viral-shingle salting lever
+    * (see [[graft.operators.Dedup.ngramJaccardPairs]]); pass
+    * [[graft.operators.Scale.recommendedThreshold]] of a shingle skew
+    * report to pick it from the data. */
+  def nearDupStage(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", jaccardN: Int = 3,
+                   minJaccard: Double = 0.1,
+                   hotBucketThreshold: Long = 0L,
+                   hotSalts: Int = 16): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, jaccardN,
+      minJaccard, hotBucketThreshold, hotSalts)
     val losers = Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    val d2 = d1.join(losers, Seq(idCol), "left_anti").localCheckpoint(true)
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Curation stage 5 — deterministic split labeling (md5-nibble
+    * train/val/test; stage 4 is [[graft.operators.Corpus.decontaminate]]
+    * unchanged). */
+  def splitStage(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("split",
+      graft.operators.Scale.deterministicSplit(col(textCol)))
+
+  def curateCorpus(docs: DataFrame, benchmark: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   minTokens: Int = 20, jaccardN: Int = 3,
+                   minJaccard: Double = 0.1, benchN: Int = 5,
+                   autoSkewSalting: Boolean = false,
+                   hotSalts: Int = 16): Curation = {
+    import graft.operators.{Corpus, Dedup, Scale}
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val q = qualityStage(docs, textCol, minTokens).localCheckpoint(true)
+    val d1 = exactStage(q, idCol, textCol).localCheckpoint(true)
+    // skew policy: diagnose the near-dup join key (the shingle) and let
+    // the report pick the salting threshold — salted on skewed corpora,
+    // plain on uniform ones, result-identical either way (PipelinesSpec)
+    val threshold =
+      if (!autoSkewSalting) 0L
+      else Scale.recommendedThreshold(
+        Scale.skewReport(
+          Dedup.shingleRows(d1, idCol, textCol, jaccardN), "shingle"))
+    val d2 = nearDupStage(d1, idCol, textCol, jaccardN, minJaccard,
+      threshold, hotSalts).localCheckpoint(true)
     val d3 = Corpus.decontaminate(d2, benchmark, idCol, textCol, benchN)
       .localCheckpoint(true)
-    val labeled = d3.withColumn("split",
-      Scale.deterministicSplit(col(textCol))).localCheckpoint(true)
+    val labeled = splitStage(d3, textCol).localCheckpoint(true)
 
     val stageCounts = Seq(
       "0_input" -> docs.count(),

@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salted branch missing from plan:\n$plan")
   }
 
+  test("ngramJaccardPairs hot-shingle salting is result-identical") {
+    // a boilerplate prefix shared by 40 docs makes its shingles viral
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val skewed = (1 to 40).map(i =>
+        (i.toLong, s"$boiler " + (1 to 12).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).sorted.toSeq
+    val plain = key(Dedup.ngramJaccardPairs(skewed, minJaccard = 0.1))
+    val salted = key(Dedup.ngramJaccardPairs(skewed, minJaccard = 0.1,
+      hotBucketThreshold = 8L, hotSalts = 4))
+    assert(plain.nonEmpty)
+    assert(salted == plain)
+  }
+
   test("simhash: identical and near-identical docs within hamming 3") {
     val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -100,4 +100,34 @@ class PipelinesSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 6L))
     assert(cur.corpus.filter(col("split").isNull).count() == 0)
   }
+
+  test("skew policy: report recommends salting on skewed shingles only, " +
+       "and the auto-salted composite matches the plain one") {
+    import graft.operators.{Dedup, Scale}
+    // skewed: a 10-word boilerplate prefix carried by 30 of 40 docs makes
+    // its internal 3-grams viral; uniform: every token unique
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val skewedDocs = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler " + (1 to 13).map(j => s"t${i}_$j").mkString(" "))) ++
+      (31 to 40).map(i =>
+        (i.toLong, (1 to 23).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val uniformDocs = (1 to 40).map(i =>
+        (i.toLong, (1 to 23).map(j => s"v${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def threshold(d: org.apache.spark.sql.DataFrame): Long =
+      Scale.recommendedThreshold(
+        Scale.skewReport(Dedup.shingleRows(d, "doc_id", "text", 3), "shingle"))
+    assert(threshold(skewedDocs) > 0L, "skewed corpus must engage salting")
+    assert(threshold(uniformDocs) == 0L, "uniform corpus must stay plain")
+
+    val bench = Seq((100L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7")).toDF("doc_id", "text")
+    def corpusKey(c: Pipelines.Curation) = c.corpus
+      .select("doc_id", "split").as[(Long, String)].collect().sorted.toSeq
+    val plain = Pipelines.curateCorpus(skewedDocs, bench)
+    val salted = Pipelines.curateCorpus(skewedDocs, bench, autoSkewSalting = true)
+    assert(corpusKey(salted) == corpusKey(plain))
+    // the boilerplate cluster collapsed to one survivor; uniques survived
+    assert(corpusKey(plain).map(_._1) == (Seq(1L) ++ (31L to 40L)))
+  }
 }
