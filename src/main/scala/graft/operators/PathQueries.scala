@@ -214,7 +214,10 @@ object PathQueries {
     // broadcast side so the frontier never shuffles between levels. The
     // gate is estimated BYTES against the session's own
     // autoBroadcastJoinThreshold (a row-count gate would happily broadcast
-    // hundreds of MB of long keys and OOM the driver at scale).
+    // hundreds of MB of long keys and OOM the driver at scale). When the
+    // slice EXCEEDS the gate, prefer [[withHierarchyBucketed]]: there the
+    // slice is a bucketed scan already partitioned on the join key, so it
+    // never re-shuffles per level either.
     val hier0 = edges.filter(col("label") === label)
       .select(col("from_coll"), col("from_key"), col("to_coll"),
         col("to_key"), col("label"))
@@ -233,7 +236,51 @@ object PathQueries {
       else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)
     val hier = if (threshold > 0 && estBytes <= threshold) broadcast(hier0)
                else hier0
+    hierarchyLoop(basePaths, hier, maxDepth)
+  }
 
+  /** [[withHierarchy]] over the bucketed `<prefix>_by_src` hop table
+    * (GraphStore.writeHopTables layout) — the 100 TB variant: the
+    * single-label directed slice (`orient = 'f'`, label pushed to the
+    * scan) arrives hash-partitioned on its join key from the bucketing,
+    * so the edge side NEVER shuffles at any BFS level no matter how far
+    * past the broadcast gate the label slice grows; only the (small)
+    * frontier moves. Result ≡ [[withHierarchy]] on the directed view
+    * (spec-pinned); per-level edge-side shuffle-freedom is plan-asserted
+    * in QueryCatalogSpec via [[hierarchyStep]]. */
+  def withHierarchyBucketed(spark: SparkSession, prefix: String,
+                            basePaths: DataFrame, label: String,
+                            maxDepth: Int = 64): DataFrame = {
+    val hier = spark.table(s"${prefix}_by_src")
+      .filter(col("orient") === "f" && col("label") === label)
+      .select(col("src_coll").as("from_coll"), col("src_key").as("from_key"),
+        col("dst_coll").as("to_coll"), col("dst_key").as("to_key"),
+        col("label"))
+    hierarchyLoop(basePaths, hier, maxDepth)
+  }
+
+  /** One BFS level: extend every frontier chain by one `hier` edge.
+    * Separated so specs can plan-assert the per-level join (the loop's
+    * eager localCheckpoint hides the join plan from the outside). The
+    * projection aliases keep the bucketed scan's (src_coll, src_key)
+    * partitioning attached to (from_coll, from_key) — Spark's
+    * alias-aware output partitioning — which is what makes the bucketed
+    * variant's per-level join edge-shuffle-free. */
+  private[graft] def hierarchyStep(frontier: DataFrame, hier: DataFrame): DataFrame =
+    frontier.join(hier,
+        frontier("cur_coll") === hier("from_coll") &&
+        frontier("cur_key") === hier("from_key"))
+      .select(
+        col("pid"),
+        concat(col("tvs"), array(struct(
+          col("to_coll").as("collection"), col("to_key").as("key")))).as("tvs"),
+        concat(col("tes"), array(struct(
+          col("from_coll"), col("from_key"), col("to_coll"), col("to_key"),
+          col("label")))).as("tes"),
+        col("to_coll").as("cur_coll"), col("to_key").as("cur_key"))
+
+  private def hierarchyLoop(basePaths: DataFrame, hier: DataFrame,
+                            maxDepth: Int): DataFrame = {
     val base = basePaths
       .withColumn("pid", monotonically_increasing_id())
       .withColumn("cur_coll", element_at(col("vertices"), -1).getField("collection"))
@@ -254,17 +301,7 @@ object PathQueries {
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
-      val step = frontier.join(hier,
-          frontier("cur_coll") === hier("from_coll") &&
-          frontier("cur_key") === hier("from_key"))
-        .select(
-          col("pid"),
-          concat(col("tvs"), array(struct(
-            col("to_coll").as("collection"), col("to_key").as("key")))).as("tvs"),
-          concat(col("tes"), array(struct(
-            col("from_coll"), col("from_key"), col("to_coll"), col("to_key"),
-            col("label")))).as("tes"),
-          col("to_coll").as("cur_coll"), col("to_key").as("cur_key"))
+      val step = hierarchyStep(frontier, hier)
         .localCheckpoint(true) // cut lineage each level (depth ≤ 64)
       if (step.isEmpty) done = true
       else {

@@ -36,19 +36,17 @@ object QueryCatalog {
     /** Scale path: run over the bucketed hop tables written by
       * `GraphStore.writeHopTables(edges, buckets, prefix)` — the edge
       * table never shuffles (see kHopBucketed). Result-identical to
-      * [[run]] on the same graph. The hierarchy walk recovers the
-      * directed view from the by_src table's orient flag. */
+      * [[run]] on the same graph. The hierarchy walk joins each BFS
+      * level directly against the by_src table (orient = 'f' + label
+      * pushed to the bucketed scan), so the label slice never
+      * re-shuffles per level regardless of its size
+      * (PathQueries.withHierarchyBucketed). */
     def runBucketed(spark: org.apache.spark.sql.SparkSession, prefix: String,
                     maxDepth: Int = 64): DataFrame = {
       val base = PathQueries.kHopBucketed(spark, prefix, anchor, hops)
       hierarchy match {
         case Some((_, label)) =>
-          val directed = spark.table(s"${prefix}_by_src")
-            .filter(col("orient") === "f")
-            .select(col("src_coll").as("from_coll"), col("src_key").as("from_key"),
-              col("dst_coll").as("to_coll"), col("dst_key").as("to_key"),
-              col("label"))
-          PathQueries.withHierarchy(base, directed, label, maxDepth)
+          PathQueries.withHierarchyBucketed(spark, prefix, base, label, maxDepth)
         case None => base
       }
     }
