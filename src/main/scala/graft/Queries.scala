@@ -1377,6 +1377,72 @@ object Queries {
       .agg(dsum(col("l_quantity")))
       .orderBy("l_returnflag")
 
+  /** FreqSketch LOWER-BOUND gate: a deliberately skewed key (1/3 of the
+    * corpus on one 'HOT' item + a singleton tail) sketched at k=9 far
+    * below the vocabulary, then every GUARANTEED item (true count >
+    * n/(k+1)) is checked against the Misra-Gries contract:
+    * true ≥ estimate ≥ true − n/(k+1). The ok verdict — not the
+    * merge-order-dependent estimate — is the gated output, so the
+    * guarantee itself becomes a driver gate. */
+  def q77FreqSketchBound(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents").select(
+      when(col("doc_id") % 3 === 0, lit("HOT"))
+        .otherwise(concat(lit("doc_"), col("doc_id"))).as("item"))
+      .localCheckpoint(true) // read by sketch + exact census + total
+    val sk = keyed
+      .agg(graft.functions.VectorExpressions.freqSketch(col("item"), 9).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+    val exact = keyed.groupBy("item").agg(count(lit(1)).as("true_n"))
+    val tot = keyed.agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(tot))
+      .filter(col("true_n") > col("n_total") / lit(10.0)) // n/(k+1), k=9
+      .join(sk, Seq("item"), "left")
+      .select(col("item"), col("true_n"),
+        (col("est").isNotNull && col("est") <= col("true_n") &&
+          col("est") >= col("true_n") - col("n_total") / lit(10.0)).as("ok"))
+      .orderBy("item")
+  }
+
+  /** KLL-sketch guarantee gate (the q77 pattern for quantiles): sketch
+    * l_extendedprice at m=400, read 5 quantiles off the summary, and gate
+    * the CONTRACT — |true_rank(estimate) − ceil(p·n)| ≤ the summary's own
+    * err_bound, err_bound within the partitioning-independent mass-budget
+    * n·log2(2n/m)/m (with 2× slack), and Σ item weights = n. True ranks
+    * come from one broadcast pass over the data; only the boolean
+    * verdicts are output, so merge-order shifts never reach the hash. */
+  def q78KllBound(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions._
+    val vals = t(s, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("v"))
+    val m = 400
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val sk = vals.agg(kllSketch(col("v"), m).as("s"))
+      .select(col("s"),
+        aggregate(col("s.items"), lit(0L), (acc, x) => acc + x.getField("w"))
+          .as("mass"))
+      .localCheckpoint(true)
+    val ests = sk.select(
+      col("s.n").as("n"), col("s.err_bound").as("err"), col("mass"),
+      explode(array(qs.map(p =>
+        struct(lit(p).as("p"), kllQuantile(col("s"), p).as("est"))): _*)).as("q"))
+      .select(col("n"), col("err"), col("mass"),
+        col("q.p").as("p"), col("q.est").as("est"))
+    val ranks = vals.crossJoin(broadcast(ests))
+      .groupBy("p", "n", "err", "mass", "est")
+      .agg(count(when(col("v") <= col("est"), 1)).as("rank"))
+    val quantileChecks = ranks.select(
+      concat(lit("p"), col("p")).as("chk"),
+      (abs(col("rank") - ceil(col("p") * col("n"))) <= col("err")).as("ok"))
+    val budget = ests.limit(1).select(
+      lit("err_budget").as("chk"),
+      (col("err") <= lit(2.0) * col("n") *
+        (log(lit(2.0) * col("n") / m) / log(lit(2.0))) / lit(m)).as("ok"))
+    val mass = ests.limit(1).select(
+      lit("mass_conserved").as("chk"), (col("mass") === col("n")).as("ok"))
+    quantileChecks.unionByName(budget).unionByName(mass).orderBy("chk")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1464,7 +1530,9 @@ object Queries {
     "q73_rollup" -> (q73Rollup _),
     "q74_sampled_quantiles" -> (q74SampledQuantiles _),
     "q75_encoding" -> (q75Encoding _),
-    "q76_pivot" -> (q76Pivot _)
+    "q76_pivot" -> (q76Pivot _),
+    "q77_freq_sketch_bound" -> (q77FreqSketchBound _),
+    "q78_kll_bound" -> (q78KllBound _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1908,6 +1976,22 @@ object Queries {
         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
         | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch-guarantee gates: the oracle reproduces the exact side
+    // (guaranteed-item set + true counts / the check names) and pins the
+    // verdict columns to TRUE — a bound violation on the engine side
+    // flips ok to false (or drops the guaranteed item) and fails the hash
+    "q77_freq_sketch_bound" ->
+      """WITH keyed AS (
+        | SELECT CASE WHEN doc_id % 3 = 0 THEN 'HOT'
+        |  ELSE 'doc_' || CAST(doc_id AS VARCHAR) END AS item FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM keyed),
+        |exact AS (SELECT item, count(*) AS true_n FROM keyed GROUP BY item)
+        |SELECT item, true_n, TRUE AS ok FROM exact, tot
+        |WHERE true_n > n_total / 10.0 ORDER BY item""".stripMargin,
+    "q78_kll_bound" ->
+      """SELECT chk, TRUE AS ok FROM (VALUES ('p0.01'), ('p0.25'), ('p0.5'),
+        | ('p0.75'), ('p0.99'), ('err_budget'), ('mass_conserved')) t(chk)
+        |ORDER BY chk""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

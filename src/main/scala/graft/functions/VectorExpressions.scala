@@ -64,6 +64,36 @@ object VectorExpressions {
       .FreqSketch(ColumnShim.expression(item), k)
       .toAggregateExpression())
 
+  /** KLL-lite mergeable quantile sketch aggregate over a double column:
+    * O(k·log(n/k)) state per map task, self-certified rank-error bound
+    * (output struct(n, err_bound, items)); read values off it with
+    * [[kllQuantile]]. */
+  def kllSketch(value: Column, k: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft
+      .KllSketch(ColumnShim.expression(value), k)
+      .toAggregateExpression())
+
+  /** Rank-pick quantile from a [[kllSketch]] summary: the first item (by
+    * value order) whose cumulative weight reaches ceil(p·n) — the same
+    * interpolation-free rule as `Corpus.discPercentiles`, with rank
+    * error ≤ the summary's own err_bound. Null on an empty sketch. */
+  def kllQuantile(sketch: Column, p: Double): Column = {
+    import org.apache.spark.sql.functions._
+    require(p > 0 && p <= 1, "quantile must be in (0, 1]")
+    val target = ceil(lit(p) * sketch.getField("n")).cast("long")
+    val folded = aggregate(
+      sketch.getField("items"),
+      struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("w")
+        when(acc.getField("ans").isNotNull, acc)
+          .otherwise(struct(cum.as("cum"),
+            when(cum >= target, x.getField("v"))
+              .otherwise(lit(null).cast("double")).as("ans")))
+      })
+    folded.getField("ans")
+  }
+
   /** Bounded-heap top-k aggregate over struct<cos double, id long> —
     * partial aggregation keeps at most k pairs per group per map task,
     * so a top-k never shuffles the full scored set (the window

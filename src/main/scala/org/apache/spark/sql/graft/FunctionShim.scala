@@ -57,6 +57,11 @@ object FunctionShim {
       require(args.length == 2, "graft_freq_sketch(item, k)")
       FreqSketch(args(0), intArg(args(1), "graft_freq_sketch"))
         .toAggregateExpression()
+    },
+    "graft_kll_sketch" -> { args =>
+      require(args.length == 2, "graft_kll_sketch(value_double, k)")
+      KllSketch(args(0), intArg(args(1), "graft_kll_sketch"))
+        .toAggregateExpression()
     })
 
   private def info(name: String): ExpressionInfo =

@@ -45,4 +45,63 @@ class SketchSpec extends SparkSpec {
       .head().getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
     assert(got.head == (("x", 9L)))
   }
+
+  // ---------------------------------------------------------------
+  // KLL-lite quantile sketch
+  // ---------------------------------------------------------------
+
+  private def kllRow(values: Seq[Double], k: Int, parts: Int): Row =
+    values.toDF("v").repartition(parts)
+      .agg(VectorExpressions.kllSketch(col("v"), k).as("s"))
+      .select(Seq(col("s.n"), col("s.err_bound"), col("s.items")) ++
+        (0.01 +: (1 to 19).map(_ * 0.05) :+ 0.99).distinct.map(p =>
+          VectorExpressions.kllQuantile(col("s"), p).as(s"p$p")): _*)
+      .head()
+
+  test("kll is exact (err_bound 0) when k exceeds the input") {
+    // a deterministic permutation of 1..100
+    val values = (1 to 100).map(_.toDouble).sortBy(v => (v * 37) % 101)
+    for (parts <- Seq(1, 4)) {
+      val r = kllRow(values, k = 256, parts = parts)
+      assert(r.getLong(0) == 100L && r.getLong(1) == 0L, s"parts=$parts")
+      // rank-pick quantiles off an exact summary equal the true values
+      assert(r.getDouble(r.fieldIndex("p0.5")) == 50.0, s"parts=$parts")
+      assert(r.getDouble(r.fieldIndex("p0.99")) == 99.0, s"parts=$parts")
+    }
+  }
+
+  test("kll rank error stays within the self-certified bound at every " +
+       "partitioning, and the bound within the theory budget") {
+    val n = 20000
+    val m = 400
+    // deterministic shuffle of 1..n so true rank(v) = v
+    val values = (1 to n).map(_.toDouble).sortBy(v => (v * 7919) % 20011)
+    for (parts <- Seq(1, 4, 32)) {
+      val r = kllRow(values, k = m, parts = parts)
+      assert(r.getLong(0) == n.toLong, s"parts=$parts")
+      val err = r.getLong(1)
+      // err_bound <= ~2 n log2(n/m) / m (x2 slack for merge re-compactions)
+      val budget = (4.0 * n * (math.log(n.toDouble / m) / math.log(2)) / m).toLong
+      assert(err > 0 && err <= budget, s"parts=$parts err=$err budget=$budget")
+      // mass conservation: summary weights account for every row
+      val mass = r.getSeq[Row](2).map(_.getLong(1)).sum
+      assert(mass == n.toLong, s"parts=$parts mass=$mass")
+      // every quantile's estimate has true rank within err_bound of target
+      for (p <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+        val est = r.getDouble(r.fieldIndex(s"p$p"))
+        val target = math.ceil(p * n).toLong
+        assert(math.abs(est.toLong - target) <= err,
+          s"parts=$parts p=$p est=$est target=$target err=$err")
+      }
+    }
+  }
+
+  test("kll sketch is SQL-callable via graft_kll_sketch") {
+    org.apache.spark.sql.graft.FunctionShim.registerAll(spark)
+    (1 to 50).map(_.toDouble).toDF("v").createOrReplaceTempView("kll_in")
+    val r = spark.sql(
+      "SELECT graft_kll_sketch(CAST(v AS DOUBLE), 64) AS s FROM kll_in")
+      .select(col("s.n"), col("s.err_bound")).head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 0L)
+  }
 }
