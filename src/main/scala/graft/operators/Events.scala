@@ -44,6 +44,72 @@ object Events {
         (max("__us") - min("__us")).as("duration_us"))
   }
 
+  /** Chunk-and-stitch sessionization — EXACT [[sessionize]] semantics
+    * with the single-task-per-user ceiling removed: one pathological user
+    * with a billion events funnels [[sessionize]]'s whole per-user window
+    * into one task (the measured ceiling in PLANS.md eventskew); here the
+    * per-event window runs within (user, coarse time bucket) partitions,
+    * and only a per-(user, bucket) SUMMARY (first/last timestamp, local
+    * session count — |buckets| rows, not |events|) takes the sequential
+    * per-user pass that stitches boundary-crossing sessions back
+    * together.
+    *
+    * Correct because the gap rule is ADJACENT-ONLY: a session crosses a
+    * bucket boundary iff the gap between one bucket's last event and the
+    * next non-empty bucket's first event is within the threshold, so the
+    * global session index of a local session is
+    * `(Σ earlier buckets' local sessions) + local_idx − (Σ stitched
+    * boundaries up to and including this bucket)` — pure prefix sums over
+    * the summary rows. Result ≡ [[sessionize]] (spec-pinned on hot-user
+    * fixtures, boundary-exact gaps included).
+    *
+    * Pick `bucketSeconds` ≫ `gapSeconds` (default 256× — buckets an
+    * order of magnitude longer than any session gap) so per-bucket event
+    * counts, not per-user history, bound the window task. */
+  def sessionizeChunked(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", gapSeconds: Long = 1800L,
+                        bucketSeconds: Long = 0L): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val bucketUs = (if (bucketSeconds > 0) bucketSeconds
+                    else gapSeconds * 256L) * 1000000L
+    val gapUs = gapSeconds * 1000000L
+
+    val ev = events.select(col(userCol), us(tsCol).as("__us"))
+      .withColumn("__bucket", expr(s"__us div ${bucketUs}L"))
+    // per-(user, bucket) local sessionization — the parallel part
+    val wLocal = Window.partitionBy(userCol, "__bucket").orderBy(col("__us"))
+    val local = ev
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(wLocal))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapUs, 1L).otherwise(0L))
+      .withColumn("__lidx", sum("__new").over(wLocal))
+    // per-(user, bucket) summary — |non-empty buckets| rows per user
+    val summary = local.groupBy(col(userCol), col("__bucket"))
+      .agg(min("__us").as("__first"), max("__us").as("__last"),
+        max("__lidx").as("__nlocal"))
+    val wBuckets = Window.partitionBy(userCol).orderBy(col("__bucket"))
+    val stitched = summary
+      .withColumn("__stitch",
+        when(col("__first") - lag("__last", 1).over(wBuckets) <= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__pre",
+        coalesce(sum("__nlocal").over(
+          wBuckets.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__stitches",
+        sum("__stitch").over(
+          wBuckets.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(userCol), col("__bucket"), col("__pre"), col("__stitches"))
+    // both sides arrive hash-partitioned on (user, bucket) from their
+    // window/aggregation — the stitch join re-uses that layout
+    local.join(stitched, Seq(userCol, "__bucket"))
+      .withColumn("session_idx",
+        col("__pre") + col("__lidx") - col("__stitches"))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("__us").as("start_us"),
+        (max("__us") - min("__us")).as("duration_us"))
+  }
+
   /** First-occurrence ordered funnel: a user completes step i when the
     * FIRST occurrence of every step 1..i exists and their first-occurrence
     * times strictly increase (t1 < t2 < ... < ti). Returns one row per

@@ -35,6 +35,58 @@ class EventsSpec extends SparkSpec {
       got.head.getAs[Long]("duration_us") == 0L)
   }
 
+  test("sessionizeChunked == sessionize: boundary-exact gaps, stitched " +
+       "multi-bucket sessions, and empty buckets in between") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // gap 10 s, bucket 100 s — crafted boundary cases in SECONDS:
+    //  user 1: [0,5] | [95,105] crosses bucket 0->1 with a gap of EXACTLY
+    //  10 s (NOT a break: rule is gap > threshold), then 300 new session,
+    //  then 1000 after 3 empty-ish buckets (break), 1005
+    //  user 2: a session that spans three buckets [95..210]
+    val secs = Seq(
+      1L -> Seq(0L, 5L, 95L, 105L, 300L, 1000L, 1005L),
+      2L -> (0 to 13).map(i => 95L + 9L * i), // 95..212, one unbroken run
+      3L -> Seq(42L))
+    val events = secs.flatMap { case (u, ts) => ts.map(t => (u, t * 1000000L)) }
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_idx", "n_events", "start_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val exact = canon(Events.sessionize(events, gapSeconds = 10L))
+    val chunked = canon(Events.sessionizeChunked(events, gapSeconds = 10L,
+      bucketSeconds = 100L))
+    assert(chunked == exact)
+    assert(exact.count(_._1 == 1L) == 4) // [0,5] [95,105] [300] [1000,1005]
+    assert(exact.count(_._1 == 2L) == 1) // one session across 3 buckets
+  }
+
+  test("sessionizeChunked == sessionize on a hot-user corpus (the " +
+       "eventskew shape) at several bucket widths") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // one user with 4000 events: mostly small increments, a long gap
+    // every 97th event — deterministic, no RNG
+    var t = 0L
+    val hot = (1 to 4000).map { i =>
+      t += (if (i % 97 == 0) 5000L else (i * 7) % 13 + 1)
+      (77L, t * 1000000L)
+    }
+    val cold = (1 to 50).map(i => (100L + i, (i * 31).toLong * 1000000L))
+    val events = (hot ++ cold).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .repartition(8)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_idx", "n_events", "start_us", "duration_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val exact = canon(Events.sessionize(events, gapSeconds = 60L))
+    for (bucket <- Seq(120L, 600L, 0L)) { // 0 = the gap*256 default
+      val chunked = canon(Events.sessionizeChunked(events, gapSeconds = 60L,
+        bucketSeconds = bucket))
+      assert(chunked == exact, s"bucketSeconds=$bucket")
+    }
+    assert(exact.count(_._1 == 77L) > 30) // the long gaps made real sessions
+  }
+
   test("funnel counts strictly ordered first occurrences") {
     val events = Seq(
       (1L, ts(0), "signup"), (1L, ts(1), "view"), (1L, ts(2), "purchase"), // full
