@@ -175,6 +175,32 @@ object Scratch {
       println(f"[scratch] hub 2-hop kHopBucketed(aqe=on): $nB paths in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.stop(); return
     }
+    if (name == "time") {
+      // fresh-JVM single-query timing at the BENCH configuration
+      // (local[32], 32 shuffle partitions): launch this mode once per
+      // repetition from the shell for fresh-JVM best-of-N. Usage:
+      //   runMain graft.Scratch time <sfDir> <queryName>...
+      val sfDir = dir
+      val s32 = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s32.sparkContext.setLogLevel("WARN")
+      s32.range(1000000).selectExpr("sum(id)").collect() // warm codegen/JIT
+      args.drop(2).foreach { q =>
+        val fn = Queries.all(q)
+        val t0 = System.nanoTime()
+        val n = fn(s32, sfDir).count()
+        println(f"[scratch] time($q): $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        s32.catalog.clearCache()
+        s32.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      s32.stop(); return
+    }
     if (name == "fpbench") {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -550,6 +550,19 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
     Exec.withPersisted(sh) {
+      ngramJaccardPairsFromShingles(sh, minJaccard, hotBucketThreshold,
+        hotSalts)
+    }
+  }
+
+  /** [[ngramJaccardPairs]] over an ALREADY-MATERIALIZED (id, shingle)
+    * frame — for callers that need the shingle explosion for something
+    * else too (e.g. a skew census) and shouldn't pay the corpus pass
+    * twice. The caller owns persistence of `sh`. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame,
+                                    minJaccard: Double = 0.5,
+                                    hotBucketThreshold: Long = 0L,
+                                    hotSalts: Int = 16): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = hotAwareSelfJoin(sh, Seq("shingle"),
         Seq(("id", "id_a", "id_b")), hotBucketThreshold, hotSalts)
@@ -562,6 +575,5 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    }
   }
 }

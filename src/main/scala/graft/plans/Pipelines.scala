@@ -188,7 +188,12 @@ object Pipelines {
     import graft.operators.Dedup
     val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, jaccardN,
       minJaccard, hotBucketThreshold, hotSalts)
-    val losers = Dedup.connectedComponents(pairs)
+    collapseByComponents(docs, pairs, idCol)
+  }
+
+  private def collapseByComponents(docs: DataFrame, pairs: DataFrame,
+                                   idCol: String): DataFrame = {
+    val losers = graft.operators.Dedup.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -207,7 +212,7 @@ object Pipelines {
                    minJaccard: Double = 0.1, benchN: Int = 5,
                    autoSkewSalting: Boolean = false,
                    hotSalts: Int = 16): Curation = {
-    import graft.operators.{Corpus, Dedup, Scale}
+    import graft.operators.{Corpus, Dedup, Exec, Scale}
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -215,14 +220,22 @@ object Pipelines {
     val d1 = exactStage(q, idCol, textCol).localCheckpoint(true)
     // skew policy: diagnose the near-dup join key (the shingle) and let
     // the report pick the salting threshold — salted on skewed corpora,
-    // plain on uniform ones, result-identical either way (PipelinesSpec)
-    val threshold =
-      if (!autoSkewSalting) 0L
-      else Scale.recommendedThreshold(
-        Scale.skewReport(
-          Dedup.shingleRows(d1, idCol, textCol, jaccardN), "shingle"))
-    val d2 = nearDupStage(d1, idCol, textCol, jaccardN, minJaccard,
-      threshold, hotSalts).localCheckpoint(true)
+    // plain on uniform ones, result-identical either way (PipelinesSpec).
+    // The census and the pair join share ONE materialized shingle
+    // explosion: diagnosing skew must not cost a second corpus pass.
+    val d2 = if (autoSkewSalting) {
+      val sh = Dedup.shingleRows(d1, idCol, textCol, jaccardN)
+        .select(col(idCol).as("id"), col("shingle"))
+      // withPersisted already checkpoints the stage result eagerly
+      Exec.withPersisted(sh) {
+        val threshold = Scale.recommendedThreshold(
+          Scale.skewReport(sh, "shingle"))
+        collapseByComponents(d1,
+          Dedup.ngramJaccardPairsFromShingles(sh, minJaccard, threshold,
+            hotSalts), idCol)
+      }
+    } else nearDupStage(d1, idCol, textCol, jaccardN, minJaccard,
+      0L, hotSalts).localCheckpoint(true)
     val d3 = Corpus.decontaminate(d2, benchmark, idCol, textCol, benchN)
       .localCheckpoint(true)
     val labeled = splitStage(d3, textCol).localCheckpoint(true)
