@@ -1443,6 +1443,27 @@ object Queries {
     quantileChecks.unionByName(budget).unionByName(mass).orderBy("chk")
   }
 
+  /** Fuzzy-decontamination gate: MinHash-LSH similarity between the
+    * train split and the every-40th-doc eval split under the md5
+    * families (k=8, 4 bands, est ≥ 0.25) — the paraphrase-robust twin of
+    * q54's exact-shingle test, fully reproduced by the DuckDB oracle
+    * (q37's oracle machinery applied across two tables). Per-source
+    * census of train size and contaminated count. */
+  def q79FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bad = Corpus.fuzzyContaminatedIds(
+      docs.filter(col("doc_id") % 40 =!= 0),
+      docs.filter(col("doc_id") % 40 === 0),
+      "doc_id", "text", n = 3, k = 8, bands = 4, minEstJaccard = 0.25,
+      hashFamily = Dedup.md5HashFamily,
+      bucketFamily = Dedup.md5BucketFamily)
+    docs.filter(col("doc_id") % 40 =!= 0)
+      .join(bad.withColumn("__bad", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"), count(col("__bad")).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1532,7 +1553,8 @@ object Queries {
     "q75_encoding" -> (q75Encoding _),
     "q76_pivot" -> (q76Pivot _),
     "q77_freq_sketch_bound" -> (q77FreqSketchBound _),
-    "q78_kll_bound" -> (q78KllBound _)
+    "q78_kll_bound" -> (q78KllBound _),
+    "q79_fuzzy_decontaminate" -> (q79FuzzyDecontaminate _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1992,6 +2014,49 @@ object Queries {
       """SELECT chk, TRUE AS ok FROM (VALUES ('p0.01'), ('p0.25'), ('p0.5'),
         | ('p0.75'), ('p0.99'), ('err_budget'), ('mass_conserved')) t(chk)
         |ORDER BY chk""".stripMargin,
+    "q79_fuzzy_decontaminate" ->
+      """WITH train AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+        |tsh AS (SELECT doc_id, unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle FROM train),
+        |bsh AS (SELECT doc_id, unnest(list_distinct(
+        | list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |  i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle FROM bench),
+        |tsig AS (SELECT doc_id,
+        |  min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |  min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |  min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |  min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        | FROM tsh GROUP BY doc_id),
+        |bsig AS (SELECT doc_id,
+        |  min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+        |  min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+        |  min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+        |  min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+        | FROM bsh GROUP BY doc_id),
+        |tband AS (SELECT doc_id, unnest([md5('0:' || h0 || ',' || h1),
+        |  md5('1:' || h2 || ',' || h3), md5('2:' || h4 || ',' || h5),
+        |  md5('3:' || h6 || ',' || h7)]) AS bucket FROM tsig),
+        |bband AS (SELECT doc_id, unnest([md5('0:' || h0 || ',' || h1),
+        |  md5('1:' || h2 || ',' || h3), md5('2:' || h4 || ',' || h5),
+        |  md5('3:' || h6 || ',' || h7)]) AS bucket FROM bsig),
+        |pairs AS (SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+        | FROM tband t JOIN bband b ON t.bucket = b.bucket),
+        |bad AS (SELECT DISTINCT p.tid AS doc_id
+        | FROM pairs p JOIN tsig sa ON sa.doc_id = p.tid
+        |  JOIN bsig sb ON sb.doc_id = p.bid
+        | WHERE ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 >= 0.25)
+        |SELECT source, count(*) AS n_train, count(bad.doc_id) AS n_contaminated
+        |FROM train LEFT JOIN bad USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q50_near_dup_components" ->
       """WITH RECURSIVE sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

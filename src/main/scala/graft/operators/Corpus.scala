@@ -53,6 +53,50 @@ object Corpus {
     train.join(contaminatedIds(train, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** FUZZY decontamination: training documents whose MinHash-estimated
+    * Jaccard similarity to ANY benchmark document reaches
+    * `minEstJaccard` — catches paraphrased/reformatted eval leakage that
+    * the exact n-gram test ([[contaminatedIds]]) misses (an eval doc
+    * re-wrapped or lightly edited shares few verbatim 8-grams but keeps
+    * high shingle Jaccard).
+    *
+    * Shape at 100 TB: both sides reduce to narrow banded signature
+    * tables (k longs per doc); candidates meet through the (band,
+    * bucket) equi-join with the tiny benchmark side broadcast — the
+    * train corpus never shuffles text OR signatures, and the verify
+    * filter runs on the joined candidates only. Same banding math as
+    * [[Dedup.minHashLsh]]; the md5 families make it oracle-reproducible
+    * (q79). */
+  def fuzzyContaminatedIds(train: DataFrame, benchmark: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 3, k: Int = 32, bands: Int = 8,
+                           minEstJaccard: Double = 0.5,
+                           hashFamily: (Int, Column) => Column = Dedup.xxHashFamily,
+                           bucketFamily: (Int, Column) => Column = Dedup.xxBucketFamily,
+                           broadcastBenchmark: Boolean = true): DataFrame = {
+    val tBand = Dedup.bandedOf(
+      Dedup.minHashSignatures(train, idCol, textCol, n, k, hashFamily),
+      idCol, k, bands, bucketFamily)
+    val bBand0 = Dedup.bandedOf(
+      Dedup.minHashSignatures(benchmark, idCol, textCol, n, k, hashFamily),
+      idCol, k, bands, bucketFamily)
+      .select(col("sig").as("__bsig"), col("band"), col("bucket"))
+    val bBand = if (broadcastBenchmark) broadcast(bBand0) else bBand0
+    tBand.join(bBand, Seq("band", "bucket"))
+      .filter(size(filter(zip_with(col("sig"), col("__bsig"),
+          (x, y) => x === y), b => b)).cast("double") / lit(k)
+        >= minEstJaccard)
+      .select(col("id").as(idCol)).distinct()
+  }
+
+  /** The training corpus minus fuzzy-contaminated documents. */
+  def decontaminateFuzzy(train: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 3, k: Int = 32, bands: Int = 8,
+                         minEstJaccard: Double = 0.5): DataFrame =
+    train.join(fuzzyContaminatedIds(train, benchmark, idCol, textCol,
+      n, k, bands, minEstJaccard), Seq(idCol), "left_anti")
+
   // -----------------------------------------------------------------
   // Deterministic shuffle + sequence packing
   // -----------------------------------------------------------------

@@ -33,6 +33,31 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.contaminatedIds(train, bench, n = 4).count() == 1)
   }
 
+  test("fuzzyContaminatedIds catches a lightly-edited eval doc the exact " +
+       "8-gram test misses, and leaves unrelated docs alone") {
+    // 40 words, every 7th mutated: no 8-gram survives verbatim, but the
+    // 3-gram Jaccard stays high
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 7 == 6) s"EDIT$i" else w }.mkString(" ")
+    val train = Seq(
+      (1L, edited),
+      (2L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    // the exact test misses the paraphrase...
+    assert(Corpus.contaminatedIds(train, bench, n = 8).count() == 0)
+    // ...the fuzzy test catches it, and only it
+    // r=1 banding (bands=k): candidate on any agreeing member — the
+    // high-recall configuration for decontamination, where a missed
+    // leak costs more than extra verify work
+    val bad = Corpus.fuzzyContaminatedIds(train, bench,
+      k = 16, bands = 16, minEstJaccard = 0.2).as[Long].collect().toSeq
+    assert(bad == Seq(1L))
+    assert(Corpus.decontaminateFuzzy(train, bench, k = 16, bands = 16,
+      minEstJaccard = 0.2).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   // ---------------------------------------------------------------- packing
 
   test("packSequences matches the single-partition global-window witness") {
