@@ -345,14 +345,35 @@ object Corpus {
       .drop("__g")
   }
 
+  /** Approximate per-group percentiles off a KLL sketch — the 100 TB
+    * twin of [[discPercentiles]]: ONE partial-aggregating pass (no
+    * per-group sort window, no single-task ceiling for huge or skewed
+    * groups), with every estimate within the sketch's self-certified
+    * rank-error bound of its exact rank-pick counterpart (CorpusSpec
+    * pins |rank error| ≤ err_bound against [[discPercentiles]]).
+    * Returns one row per group: `pNN` columns, `n_rows`, and the
+    * certified `err_bound`. */
+  def approxPercentiles(df: DataFrame, groupCol: String, value: Column,
+                        ps: Seq[Double], k: Int = 400): DataFrame = {
+    import graft.functions.VectorExpressions.{kllQuantile, kllSketch}
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
+    val sk = df.groupBy(col(groupCol))
+      .agg(kllSketch(value.cast("double"), k).as("__s"))
+    val cols = ps.map { p =>
+      kllQuantile(col("__s"), p).as("p" + (p * 100).round.toInt)
+    } ++ Seq(col("__s.n").as("n_rows"), col("__s.err_bound").as("err_bound"))
+    sk.select(col(groupCol) +: cols: _*)
+  }
+
   /** Exact discrete percentiles (value at rank ceil(p·n), the
     * interpolation-free form every engine reproduces on integer inputs)
     * of `value` per group. One shuffle on the group key; the per-group
     * sort parallelizes across GROUPS — a single-group call funnels every
     * row through one window partition, so for a global median over huge
-    * inputs use a frequency-map pick instead (see `Scale.skewReport`).
-    * Returns one row per group with a `pNN` column per requested
-    * percentile plus `n_rows`. */
+    * inputs use a frequency-map pick instead (see `Scale.skewReport`) or
+    * [[approxPercentiles]]. Returns one row per group with a `pNN`
+    * column per requested percentile plus `n_rows`. */
   def discPercentiles(df: DataFrame, groupCol: String, value: Column,
                       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),

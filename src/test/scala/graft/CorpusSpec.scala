@@ -309,6 +309,35 @@ class CorpusSpec extends SparkSpec {
     assert(p50 > 350 && p50 < 650, s"p50=$p50 far from the true median ~500")
   }
 
+  test("approxPercentiles stays within its certified rank error of " +
+       "discPercentiles per group") {
+    // two groups with different sizes and distributions; values are the
+    // ranks themselves so |value error| == |rank error|
+    val rows = (1 to 5000).map(i => ("big", i.toDouble)) ++
+      (1 to 150).map(i => ("small", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(8)
+    val ps = Seq(0.1, 0.5, 0.9)
+    val exact = Corpus.discPercentiles(df, "g", col("v"), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.map(p => r.getAs[Double]("p" + (p * 100).round.toInt))).toMap
+    val approx = Corpus.approxPercentiles(df, "g", col("v"), ps, k = 200)
+      .collect()
+    assert(approx.length == 2)
+    approx.foreach { r =>
+      val g = r.getString(0)
+      val err = r.getAs[Long]("err_bound")
+      val n = r.getAs[Long]("n_rows")
+      assert(n == (if (g == "big") 5000L else 150L))
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val est = r.getAs[Double]("p" + (p * 100).round.toInt)
+        assert(math.abs(est - exact(g)(i)) <= err.toDouble,
+          s"g=$g p=$p est=$est exact=${exact(g)(i)} err=$err")
+      }
+      // the small group (150 < k) never compacts: exact, err 0
+      if (g == "small") assert(err == 0L)
+    }
+  }
+
   test("discPercentiles picks the value at rank ceil(p*n) per group") {
     val df = ((1 to 100).map(v => ("a", v.toLong)) ++
       Seq(("b", 5L), ("b", 1L), ("b", 9L))).toDF("g", "v")
