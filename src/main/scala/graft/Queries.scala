@@ -1223,7 +1223,10 @@ object Queries {
           graft.plans.Pipelines.qualityStage(curationTrain(s, dir)))
           .localCheckpoint(true))
         .localCheckpoint(true),
-      curationBench(s, dir)))
+      curationBench(s, dir),
+      // 5-gram width: MUST match curateCorpus's benchN (q64e) and the
+      // oracle family's [i:i+4] slices
+      n = 5))
 
   def q64eCurationSplit(s: SparkSession, dir: String): DataFrame =
     graft.plans.Pipelines.curateCorpus(
@@ -1428,12 +1431,19 @@ object Queries {
         struct(lit(p).as("p"), kllQuantile(col("s"), p).as("est"))): _*)).as("q"))
       .select(col("n"), col("err"), col("mass"),
         col("q.p").as("p"), col("q.est").as("est"))
+    // tie-safe rank band: the estimate's true ranks span
+    // [count(v < est) + 1, count(v <= est)]; the contract holds iff that
+    // interval intersects [target − err, target + err] (a plain
+    // count(v <= est) check would spuriously fail on tie-heavy columns
+    // where the estimate's duplicate count alone exceeds err)
     val ranks = vals.crossJoin(broadcast(ests))
       .groupBy("p", "n", "err", "mass", "est")
-      .agg(count(when(col("v") <= col("est"), 1)).as("rank"))
+      .agg(count(when(col("v") < col("est"), 1)).as("rank_lt"),
+        count(when(col("v") <= col("est"), 1)).as("rank_le"))
     val quantileChecks = ranks.select(
       concat(lit("p"), col("p")).as("chk"),
-      (abs(col("rank") - ceil(col("p") * col("n"))) <= col("err")).as("ok"))
+      (col("rank_lt") < ceil(col("p") * col("n")) + col("err") &&
+        col("rank_le") >= ceil(col("p") * col("n")) - col("err")).as("ok"))
     val budget = ests.limit(1).select(
       lit("err_budget").as("chk"),
       (col("err") <= lit(2.0) * col("n") *

@@ -181,6 +181,12 @@ object Scratch {
       // repetition from the shell for fresh-JVM best-of-N. Usage:
       //   runMain graft.Scratch time <sfDir> <queryName>...
       val sfDir = dir
+      // the default local[8] session above is already active and
+      // getOrCreate() would silently return it (master cannot change on
+      // a live session) — stop it so the bench configuration is real
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
       val s32 = SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

@@ -131,8 +131,13 @@ object Pipelines {
 
   /** What a curation run produced: the cleaned, split-labeled corpus and
     * the per-stage survivor census (the numbers a pipeline owner reads
-    * first). */
-  final case class Curation(corpus: DataFrame, census: DataFrame)
+    * first). The census is LAZY — its six count actions (including a
+    * full input-table scan) run only when `census` is first read, so
+    * corpus-only consumers don't pay for it. */
+  final class Curation(val corpus: DataFrame,
+                       censusThunk: () => DataFrame) {
+    lazy val census: DataFrame = censusThunk()
+  }
 
   /**
    * The full training-data curation flow, chaining the individually
@@ -240,16 +245,17 @@ object Pipelines {
       .localCheckpoint(true)
     val labeled = splitStage(d3, textCol).localCheckpoint(true)
 
-    val stageCounts = Seq(
-      "0_input" -> docs.count(),
-      "1_quality" -> q.count(),
-      "2_exact" -> d1.count(),
-      "3_neardup" -> d2.count(),
-      "4_decontam" -> d3.count())
-    val splitCounts = labeled.groupBy("split").count()
-      .as[(String, Long)].collect().toSeq
-      .map { case (s, n) => s"5_split_$s" -> n }
-    val census = (stageCounts ++ splitCounts).toDF("stage", "n")
-    Curation(labeled, census)
+    new Curation(labeled, () => {
+      val stageCounts = Seq(
+        "0_input" -> docs.count(),
+        "1_quality" -> q.count(),
+        "2_exact" -> d1.count(),
+        "3_neardup" -> d2.count(),
+        "4_decontam" -> d3.count())
+      val splitCounts = labeled.groupBy("split").count()
+        .as[(String, Long)].collect().toSeq
+        .map { case (s, n) => s"5_split_$s" -> n }
+      (stageCounts ++ splitCounts).toDF("stage", "n")
+    })
   }
 }
