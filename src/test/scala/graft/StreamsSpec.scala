@@ -30,6 +30,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeable sketches run as streaming aggregates: KLL quantiles " +
+       "and heavy hitters over micro-batches keep their guarantees") {
+    // TypedImperativeAggregate partial-merges across micro-batches in
+    // update mode — the continuous-corpus-statistics shape: one bounded
+    // sketch per key instead of a per-value shuffle per trigger
+    import graft.functions.VectorExpressions
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val agg = in.toDF().toDF("g", "v")
+      .groupBy("g")
+      .agg(VectorExpressions.kllSketch(col("v"), 64).as("s"),
+        VectorExpressions.freqSketch(col("v").cast("string"), 8).as("f"))
+      .select(col("g"), col("s.n").as("n"), col("s.err_bound").as("err"),
+        VectorExpressions.kllQuantile(col("s"), 0.5).as("p50"), col("f"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sk_out").start()
+    try {
+      // 1..100 arrive across three micro-batches, plus a hot item
+      in.addData((1 to 40).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData((41 to 80).map(i => ("a", i.toDouble)): _*)
+      q.processAllAvailable()
+      in.addData(((81 to 100).map(i => ("a", i.toDouble)) ++
+        Seq.fill(50)(("a", 7.0))): _*)
+      q.processAllAvailable()
+      val r = spark.table("sk_out").filter(col("g") === "a").head()
+      val (n, err, p50) = (r.getAs[Long]("n"), r.getAs[Long]("err"),
+        r.getAs[Double]("p50"))
+      assert(n == 150L)
+      // median of {1..100} ∪ {7.0 × 50}: target rank 75 → true value in
+      // [7, 100]; the estimate's rank must sit within the certified bound
+      val values = ((1 to 100).map(_.toDouble) ++ Seq.fill(50)(7.0)).sorted
+      val rankLe = values.count(_ <= p50)
+      val rankLt = values.count(_ < p50)
+      assert(rankLt < 75 + err && rankLe >= 75 - err,
+        s"p50=$p50 rankBand=[$rankLt+1,$rankLe] err=$err")
+      // the hot item (50/150 = 33% > n/(k+1) = 150/9) must survive MG
+      val hh = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("f"))
+        .map(x => (x.getString(0), x.getLong(1))).toMap
+      assert(hh.contains("7.0") && hh("7.0") <= 50L &&
+        hh("7.0") >= 50L - 150L / 9L)
+    } finally q.stop()
+  }
+
   test("streaming dedup with bounded state drops duplicate keys") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
