@@ -1474,6 +1474,27 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Cardinality-sketch gate (the q77/q78 pattern for distinct counts):
+    * Spark's native HLL++ (`approx_count_distinct`, rsd 0.05) per event
+    * type over the high-cardinality user key, checked against the exact
+    * distinct count — |approx − exact| must stay within 4·rsd·exact.
+    * Exact counts + boolean verdicts are the output (HLL++ is
+    * deterministic for fixed data, but the bound — not the estimate —
+    * is the contract worth gating). At 100 TB the sketch is the only
+    * viable distinct count: fixed 2^p-byte state per group, one pass,
+    * mergeable — vs a full shuffle of every distinct (type, user) pair
+    * for the exact form. */
+  def q80ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("__a"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__a") - col("n_exact")).cast("double")
+          <= lit(4 * 0.05) * col("n_exact")).as("ok"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1564,7 +1585,8 @@ object Queries {
     "q76_pivot" -> (q76Pivot _),
     "q77_freq_sketch_bound" -> (q77FreqSketchBound _),
     "q78_kll_bound" -> (q78KllBound _),
-    "q79_fuzzy_decontaminate" -> (q79FuzzyDecontaminate _)
+    "q79_fuzzy_decontaminate" -> (q79FuzzyDecontaminate _),
+    "q80_approx_distinct" -> (q80ApproxDistinct _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2024,6 +2046,9 @@ object Queries {
       """SELECT chk, TRUE AS ok FROM (VALUES ('p0.01'), ('p0.25'), ('p0.5'),
         | ('p0.75'), ('p0.99'), ('err_budget'), ('mass_conserved')) t(chk)
         |ORDER BY chk""".stripMargin,
+    "q80_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q79_fuzzy_decontaminate" ->
       """WITH train AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
