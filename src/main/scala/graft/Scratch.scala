@@ -291,6 +291,15 @@ object Scratch {
       var t0 = System.nanoTime()
       val nSess = Events.sessionize(ev, gapSeconds = 3L).count()
       println(f"[scratch] sessionize(hot user, 2M events): $nSess sessions in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // the chunk-and-stitch variant: same sessions, per-(user, bucket)
+      // windows — the 1.2M-event hot user splits across ~bucket tasks
+      for (bucket <- Seq(3600L, 0L)) {
+        t0 = System.nanoTime()
+        val nC = Events.sessionizeChunked(ev, gapSeconds = 3L,
+          bucketSeconds = bucket).count()
+        require(nC == nSess, s"chunked=$nC exact=$nSess")
+        println(f"[scratch] sessionizeChunked(bucket=$bucket%s): $nC sessions in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       t0 = System.nanoTime()
       val purchases = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"))
