@@ -185,6 +185,22 @@ object Similarity {
       centroids, "nbr_vec", 1)
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
+  /** Append a batch to an existing [[writeIvfIndex]] layout — the ingest
+    * half of continuous ANN (the IVF sibling of
+    * `Dedup.appendToLshIndex`): new vectors take the same narrow
+    * nearest-centroid assignment against the SAME frozen centroid set
+    * (re-training would silently re-map existing cells; refresh the
+    * quantizer by rewriting the index instead) and land as new files
+    * inside their cell_id partition directories — probes see them on the
+    * next read with no index rewrite and no shuffle of the existing
+    * index. */
+  def appendToIvfIndex(newVecs: DataFrame, centroids: Seq[(Int, Array[Float])],
+                       path: String, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit =
+    assignCells(newVecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      centroids, "nbr_vec", 1)
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+
   /** Query a persisted IVF index with STATIC partition pruning: the
     * probed cell set (≤ |queries|·nProbe ints — tiny by the small-query
     * contract) folds into an `isin` partition filter, so the parquet scan

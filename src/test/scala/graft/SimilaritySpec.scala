@@ -159,6 +159,28 @@ class SimilaritySpec extends SparkSpec {
       s"expected partition pruning in:\n$plan")
   }
 
+  test("appendToIvfIndex: appended batch ≡ rebuilding the index whole") {
+    val a = (0L until 40L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val b = (100L until 120L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i =>
+      i -> Array.tabulate(12)(d => math.cos(i * 12 + d + 1).toFloat))
+    val incDir = java.nio.file.Files.createTempDirectory("ivfi").toString + "/idx"
+    val allDir = java.nio.file.Files.createTempDirectory("ivfa").toString + "/idx"
+    Similarity.writeIvfIndex(a, cents, incDir)
+    Similarity.appendToIvfIndex(b, cents, incDir)
+    Similarity.writeIvfIndex(a.unionByName(b), cents, allDir)
+    def canon(p: String) = spark.read.parquet(p)
+      .select($"nbr_id", $"cell_id").as[(Long, Int)].collect().sorted.toSeq
+    assert(canon(incDir) == canon(allDir))
+    // probes against the appended index see the new batch
+    val q = b.limit(3)
+    val inc = Similarity.queryIvfIndex(spark, incDir, cents, q, k = 1, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")))
+    val whole = Similarity.queryIvfIndex(spark, allDir, cents, q, k = 1, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")))
+    assert(inc.sorted.toSeq == whole.sorted.toSeq)
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // > 64 centroids switches to the single-array-literal formulation;
     // both must assign every vector identically and stay Exchange-free
