@@ -226,6 +226,28 @@ object Streams {
       }
       .start()
 
+  /** Continuous ANN ingest — the IVF twin of [[incrementalIngest]]:
+    * every micro-batch of (id, embedding) rows takes the narrow
+    * nearest-centroid assignment against the frozen quantizer and lands
+    * inside the persisted index's cell_id partitions
+    * (`Similarity.appendToIvfIndex`). Exactly-once per batch via the
+    * checkpoint; probes (`Similarity.queryIvfIndex`) see each batch as
+    * soon as its files commit. */
+  def incrementalVectorIngest(vecs: DataFrame,
+                              centroids: Seq[(Int, Array[Float])],
+                              indexPath: String, checkpoint: String,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch, centroids,
+          indexPath, idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`
     * as parquet. Restartable via the checkpoint dir. */

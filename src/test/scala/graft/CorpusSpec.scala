@@ -56,6 +56,13 @@ class CorpusSpec extends SparkSpec {
     assert(bad == Seq(1L))
     assert(Corpus.decontaminateFuzzy(train, bench, k = 16, bands = 16,
       minEstJaccard = 0.2).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // scale shape: the benchmark side broadcasts through the candidate
+    // join — the train corpus never shuffles for it
+    val plan = Corpus.fuzzyContaminatedIds(train, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
   }
 
   // ---------------------------------------------------------------- packing

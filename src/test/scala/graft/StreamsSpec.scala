@@ -179,6 +179,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalVectorIngest accumulates the IVF index across batches") {
+    implicit val sc = spark.sqlContext
+    def vec(seed: Long) = Array.tabulate(8)(d => math.sin(seed * 8 + d + 1).toFloat)
+    val cents = (0 until 3).map(i =>
+      i -> Array.tabulate(8)(d => math.cos(i * 8 + d + 1).toFloat))
+    val dir = Files.createTempDirectory("sivf").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.incrementalVectorIngest(
+      in.toDF().toDF("vec_id", "embedding"), cents,
+      s"$dir/idx", s"$dir/ckpt")
+    try {
+      in.addData((0L until 10L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      in.addData((10L until 20L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      // both batches landed in the partitioned layout...
+      val idx = spark.read.parquet(s"$dir/idx")
+      assert(idx.count() == 20L)
+      // ...with the same assignment a batch build would produce
+      val want = graft.operators.Similarity.assignCells(
+        (0L until 20L).map(i => (i, vec(i))).toDF("nbr_id", "nbr_vec"),
+        cents, "nbr_vec", 1)
+        .select("nbr_id", "cell_id").as[(Long, Int)].collect().sorted.toSeq
+      assert(idx.select("nbr_id", "cell_id").as[(Long, Int)]
+        .collect().sorted.toSeq == want)
+      // and probes over the streamed index find a twin vector at top-1
+      val r = graft.operators.Similarity.queryIvfIndex(spark, s"$dir/idx",
+        cents, Seq((5L, vec(5L))).toDF("vec_id", "embedding"),
+        k = 1, nProbe = 3)
+      assert(r.count() == 1L)
+    } finally q.stop()
+  }
+
   test("incrementalTuples writes tuples per micro-batch via foreachBatch") {
     val dir = Files.createTempDirectory("stream")
     val src = dir.resolve("in"); Files.createDirectories(src)
