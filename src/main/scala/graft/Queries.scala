@@ -1495,6 +1495,28 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Scale-path twin of q68 under the SAME oracle: chunk-and-stitch
+    * sessionization (per-(user, bucket) windows + summary stitch — no
+    * per-user single-task ceiling) must reproduce the exact
+    * gaps-and-islands output hash-for-hash. */
+  def q81SessionizeChunked(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionizeChunked(events(s, dir),
+        gapSeconds = 1800L)
+      .orderBy("user_id", "session_idx")
+
+  /** Scale-path twin of q46b under the SAME oracle: the catalog
+    * hierarchy shape executed over bucketed hop tables
+    * (PathQuery.runBucketed → kHopBucketed + withHierarchyBucketed,
+    * where neither the hop joins nor the per-level hierarchy joins ever
+    * shuffle the edge side). */
+  def q82BucketedHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val edges = catalogGraphRaw(s, dir)._2.localCheckpoint(true)
+    graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
+      prefix = "q82_hops")
+    catalogSig(QueryCatalog.production(19).runBucketed(s, "q82_hops"), "p2")
+      .orderBy("q", "val")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1586,7 +1608,9 @@ object Queries {
     "q77_freq_sketch_bound" -> (q77FreqSketchBound _),
     "q78_kll_bound" -> (q78KllBound _),
     "q79_fuzzy_decontaminate" -> (q79FuzzyDecontaminate _),
-    "q80_approx_distinct" -> (q80ApproxDistinct _)
+    "q80_approx_distinct" -> (q80ApproxDistinct _),
+    "q81_sessionize_chunked" -> (q81SessionizeChunked _),
+    "q82_bucketed_hierarchy" -> (q82BucketedHierarchy _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -1710,7 +1734,7 @@ object Queries {
       |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b USING (shingle)),
       |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM bad))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesLiteral: Map[String, String] = Map(
     "q51_deterministic_split" ->
       """SELECT source,
         | CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b','c') THEN 'train'
@@ -2742,4 +2766,11 @@ object Queries {
         |   i -> md5(substr(text, CAST(i AS INT), 8)))))[1:8], ',') AS fp
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   )
+
+  /** Scale-path twins gate under the SAME oracle as their exact form:
+    * the driver hash-compares the alternative execution strategy
+    * against the identical expected output. */
+  val oracles: Map[String, String] = oraclesLiteral ++ Map(
+    "q81_sessionize_chunked" -> oraclesLiteral("q68_sessionize"),
+    "q82_bucketed_hierarchy" -> oraclesLiteral("q46b_catalog_hierarchy"))
 }
