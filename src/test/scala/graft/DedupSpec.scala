@@ -129,6 +129,41 @@ class DedupSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hot-bucket salting is result-identical on generated corpora " +
+       "(property, all three self-join families)") {
+    import org.scalacheck.Gen
+    // a 12-word vocabulary over 15-word docs: shingles collide heavily,
+    // so low thresholds make REAL hot buckets at every config
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val doc = Gen.listOfN(15, word).map(_.mkString(" "))
+    val corpus = Iterator.continually(doc.sample).flatten.take(30).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def pairsKey(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double](score))).sorted.toSeq
+    for ((thr, salts) <- Seq((1L, 2), (2L, 4), (5L, 3))) {
+      val jPlain = pairsKey(
+        Dedup.ngramJaccardPairs(corpus, minJaccard = 0.05), "jaccard")
+      val jSalt = pairsKey(Dedup.ngramJaccardPairs(corpus, minJaccard = 0.05,
+        hotBucketThreshold = thr, hotSalts = salts), "jaccard")
+      assert(jSalt == jPlain, s"jaccard thr=$thr salts=$salts")
+      assert(jPlain.nonEmpty)
+      val mPlain = pairsKey(
+        Dedup.minHashLsh(corpus, k = 8, bands = 4), "est_jaccard")
+      val mSalt = pairsKey(Dedup.minHashLsh(corpus, k = 8, bands = 4,
+        hotBucketThreshold = thr, hotSalts = salts), "est_jaccard")
+      assert(mSalt == mPlain, s"minhash thr=$thr salts=$salts")
+      def hamKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("hamming"))).sorted.toSeq
+      val sPlain = hamKey(Dedup.simHashNearDups(corpus, maxHamming = 8))
+      val sSalt = hamKey(Dedup.simHashNearDups(corpus, maxHamming = 8,
+        hotBucketThreshold = thr, hotSalts = salts))
+      assert(sSalt == sPlain, s"simhash thr=$thr salts=$salts")
+    }
+  }
+
   test("simhash: identical and near-identical docs within hamming 3") {
     val pairs = Dedup.simHashNearDups(docs, maxHamming = 3).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
