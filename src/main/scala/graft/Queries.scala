@@ -1517,6 +1517,47 @@ object Queries {
       .orderBy("q", "val")
   }
 
+  /** Grouped-KLL gate (q78's contract through the groupBy path):
+    * approxPercentiles of l_quantity per returnflag — each group's
+    * p25/p50/p75 estimate must sit within the group's OWN certified
+    * err_bound of the exact rank-pick percentile (computed exactly in
+    * the same query), and n_rows must be the exact group size. Output =
+    * group, n_rows, per-p booleans; the oracle reproduces group sizes
+    * and pins the verdicts TRUE. */
+  def q83GroupedKllBound(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75)
+    val vals = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("double").as("v"))
+    val approx = Corpus.approxPercentiles(vals, "g", col("v"), ps, k = 256)
+    val exact = Corpus.discPercentiles(vals, "g", col("v"), ps)
+      .select(Seq(col("g")) ++ ps.map { p =>
+        val l = "p" + (p * 100).round.toInt
+        col(l).as(s"x_$l")
+      } :+ col("n_rows").as("x_n"): _*)
+    // compare in RANK space, tie-safely: count the values sitting
+    // STRICTLY between the approximate and exact answers — that count
+    // is the true rank distance and must be ≤ the group's err_bound
+    // (0 when the answers coincide). One broadcast of the tiny
+    // per-group answer frame, one conditional-agg pass over the data.
+    val est = broadcast(approx.join(exact, Seq("g")))
+    val spans = vals.join(est, Seq("g"))
+    val verdicts = ps.map { p =>
+      val l = "p" + (p * 100).round.toInt
+      val lo = least(col(l), col(s"x_$l"))
+      val hi = greatest(col(l), col(s"x_$l"))
+      sum(when(col("v") > lo && col("v") < hi, 1L).otherwise(0L)).as(s"__btw_$l")
+    }
+    spans.groupBy("g", "err_bound", "n_rows", "x_n")
+      .agg(verdicts.head, verdicts.tail: _*)
+      .select(Seq(col("g"), col("n_rows"),
+        (col("n_rows") === col("x_n")).as("n_ok")) ++
+        ps.map { p =>
+          val l = "p" + (p * 100).round.toInt
+          (col(s"__btw_$l") <= col("err_bound")).as(s"ok_$l")
+        }: _*)
+      .orderBy("g")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1610,7 +1651,8 @@ object Queries {
     "q79_fuzzy_decontaminate" -> (q79FuzzyDecontaminate _),
     "q80_approx_distinct" -> (q80ApproxDistinct _),
     "q81_sessionize_chunked" -> (q81SessionizeChunked _),
-    "q82_bucketed_hierarchy" -> (q82BucketedHierarchy _)
+    "q82_bucketed_hierarchy" -> (q82BucketedHierarchy _),
+    "q83_grouped_kll_bound" -> (q83GroupedKllBound _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2073,6 +2115,10 @@ object Queries {
     "q80_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q83_grouped_kll_bound" ->
+      """SELECT l_returnflag AS g, count(*) AS n_rows, TRUE AS n_ok,
+        | TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY g""".stripMargin,
     "q79_fuzzy_decontaminate" ->
       """WITH train AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
