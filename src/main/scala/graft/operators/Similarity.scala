@@ -105,13 +105,13 @@ object Similarity {
    * only its probed cells' files (partition pruning), and the re-rank
    * shuffles candidates, never the corpus.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    // 1. train the coarse quantizer on (a sample of) the corpus
+  /** Train the coarse quantizer: k-means over the corpus (or a sample —
+    * pass `corpus.sample(...)` at scale). The model is nCells dense
+    * vectors; the train-time UDF shim is the ONLY UDF in the engine
+    * (MLlib's fit needs ml.linalg vectors; query-time paths never use
+    * it). */
+  def trainCentroids(corpus: DataFrame, nCells: Int,
+                     vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
     val toVec = org.apache.spark.sql.functions.udf {
       (a: scala.collection.Seq[Float]) =>
         org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
@@ -119,8 +119,18 @@ object Similarity {
     val train = corpus.select(toVec(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(7L).setMaxIter(10).fit(train)
-    val centroids: Seq[(Int, Array[Float])] = model.clusterCenters.zipWithIndex
+    model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // 1. train the coarse quantizer on (a sample of) the corpus
+    val centroids = trainCentroids(corpus, nCells, vecCol)
 
     // 2. assign every vector to its nearest centroid(s) — genuinely
     // narrow (see assignCells); the corpus is never shuffled to learn its
@@ -222,6 +232,76 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
     topK(scored, k)
+  }
+
+  // -----------------------------------------------------------------
+  // Versioned self-contained IVF index (quantizer refresh lifecycle)
+  // -----------------------------------------------------------------
+
+  /** Refresh the IVF index under `root` with a freshly trained
+    * quantizer — the ANN twin of the OBO download lifecycle
+    * (`OboRefresh`): re-training re-maps every cell id, so a refresh
+    * can never append in place; instead each refresh writes a complete
+    * new version directory `<root>/v<N+1>/{centroids, cells}` (the
+    * centroids persist WITH the index, making it self-contained) and
+    * then atomically replaces the `<root>/CURRENT` pointer (tmp file +
+    * atomic rename). Readers resolve the pointer at query start, so a
+    * concurrent reader sees the old version or the new one, never a
+    * half-written index; old version directories remain for in-flight
+    * readers (prune them out of band).
+    * @return the new version number */
+  def refreshIvfIndex(corpus: DataFrame, nCells: Int, root: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val next = currentIvfVersion(root).getOrElse(0) + 1
+    val vdir = s"$root/v$next"
+    val centroids = trainCentroids(corpus, nCells, vecCol)
+    centroids.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
+    writeIvfIndex(corpus, centroids, s"$vdir/cells", idCol, vecCol)
+    // atomic cutover: write the pointer beside CURRENT, then rename
+    val dir = java.nio.file.Paths.get(root)
+    val tmp = dir.resolve(s".CURRENT.tmp$next")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The version the `CURRENT` pointer names, if the index exists. */
+  def currentIvfVersion(root: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(root, "CURRENT")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toInt)
+    else None
+  }
+
+  /** Load the persisted quantizer of one index version. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       root: String, version: Int): Seq[(Int, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/v$version/centroids")
+      .select("cell_id", "centroid").as[(Int, Seq[Float])]
+      .collect().map { case (i, c) => (i, c.toArray) }.toSeq
+  }
+
+  /** Query the CURRENT version of a versioned index: resolve the
+    * pointer once, load its centroids, probe with static partition
+    * pruning ([[queryIvfIndex]]). Self-contained — callers hold no
+    * quantizer state. */
+  def queryVersionedIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                             root: String, queries: DataFrame, k: Int,
+                             nProbe: Int, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val v = currentIvfVersion(root).getOrElse(
+      throw new IllegalStateException(s"no CURRENT pointer under $root"))
+    val centroids = readIvfCentroids(spark, root, v)
+    queryIvfIndex(spark, s"$root/v$v/cells", centroids, queries, k, nProbe,
+      idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding

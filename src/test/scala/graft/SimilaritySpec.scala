@@ -181,6 +181,32 @@ class SimilaritySpec extends SparkSpec {
     assert(inc.sorted.toSeq == whole.sorted.toSeq)
   }
 
+  test("versioned IVF index: refresh trains, cuts over atomically, and " +
+       "queries are self-contained") {
+    val a = (0L until 40L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val b = (100L until 110L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("vivf").toString + "/idx"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    assert(Similarity.currentIvfVersion(root).isEmpty)
+    val v1 = Similarity.refreshIvfIndex(a, nCells = 3, root)
+    assert(v1 == 1 && Similarity.currentIvfVersion(root).contains(1))
+    // self-contained query: no caller-held centroids
+    val q = a.limit(2)
+    assert(Similarity.queryVersionedIvfIndex(spark, root, q,
+      k = 1, nProbe = 3).count() == 2L)
+    // refresh over a grown corpus: new version, pointer cut over, old
+    // version directory still present for in-flight readers
+    val v2 = Similarity.refreshIvfIndex(a.unionByName(b), nCells = 3, root)
+    assert(v2 == 2 && Similarity.currentIvfVersion(root).contains(2))
+    assert(new java.io.File(s"$root/v1/cells").exists())
+    val r = Similarity.queryVersionedIvfIndex(spark, root,
+      b.limit(2), k = 1, nProbe = 3)
+    assert(r.count() == 2L)
+    // the persisted quantizer round-trips exactly
+    val cents = Similarity.readIvfCentroids(spark, root, v2)
+    assert(cents.size == 3 && cents.forall(_._2.length == 12))
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // > 64 centroids switches to the single-array-literal formulation;
     // both must assign every vector identically and stay Exchange-free
