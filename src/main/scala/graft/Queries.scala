@@ -989,14 +989,18 @@ object Queries {
     * PathQuery.runBucketed — the layout where the edge table never
     * shuffles (zero exchanges on a 2-hop, plan-asserted in
     * QueryCatalogSpec). Identical output contract: q46a's oracle. */
-  def q53BucketedCatalog(s: SparkSession, dir: String): DataFrame = {
-    // vertices are never touched (raw graph, not catalogGraph); the edge
-    // union IS materialized once — writeHopTables reads it twice (by_src
-    // and by_dst), which would re-run the 11-branch union per write
+  def q53BucketedCatalog(s: SparkSession, dir: String): DataFrame =
+    bucketedCatalogGate(s, dir, prodIdx = 2, prefix = "q53_hops", tag = "p1")
+
+  /** Shared body of the bucketed-catalog gates (q53, q82): vertices are
+    * never touched (raw graph, not catalogGraph); the edge union IS
+    * materialized once — writeHopTables reads it twice (by_src and
+    * by_dst), which would re-run the 11-branch union per write. */
+  private def bucketedCatalogGate(s: SparkSession, dir: String, prodIdx: Int,
+                                  prefix: String, tag: String): DataFrame = {
     val edges = catalogGraphRaw(s, dir)._2.localCheckpoint(true)
-    graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
-      prefix = "q53_hops")
-    catalogSig(QueryCatalog.production(2).runBucketed(s, "q53_hops"), "p1")
+    graft.sources.GraphStore.writeHopTables(edges, buckets = 8, prefix)
+    catalogSig(QueryCatalog.production(prodIdx).runBucketed(s, prefix), tag)
       .orderBy("q", "val")
   }
 
@@ -1509,13 +1513,8 @@ object Queries {
     * (PathQuery.runBucketed → kHopBucketed + withHierarchyBucketed,
     * where neither the hop joins nor the per-level hierarchy joins ever
     * shuffle the edge side). */
-  def q82BucketedHierarchy(s: SparkSession, dir: String): DataFrame = {
-    val edges = catalogGraphRaw(s, dir)._2.localCheckpoint(true)
-    graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
-      prefix = "q82_hops")
-    catalogSig(QueryCatalog.production(19).runBucketed(s, "q82_hops"), "p2")
-      .orderBy("q", "val")
-  }
+  def q82BucketedHierarchy(s: SparkSession, dir: String): DataFrame =
+    bucketedCatalogGate(s, dir, prodIdx = 19, prefix = "q82_hops", tag = "p2")
 
   /** Grouped-KLL gate (q78's contract through the groupBy path):
     * approxPercentiles of l_quantity per returnflag — each group's

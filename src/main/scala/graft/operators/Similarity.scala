@@ -245,39 +245,60 @@ object Similarity {
     * new version directory `<root>/v<N+1>/{centroids, cells}` (the
     * centroids persist WITH the index, making it self-contained) and
     * then atomically replaces the `<root>/CURRENT` pointer (tmp file +
-    * atomic rename). Readers resolve the pointer at query start, so a
-    * concurrent reader sees the old version or the new one, never a
-    * half-written index; old version directories remain for in-flight
-    * readers (prune them out of band).
+    * FileContext OVERWRITE rename). Readers resolve the pointer at
+    * query start, so a concurrent reader sees the old version or the
+    * new one, never a half-written index; old version directories
+    * remain for in-flight readers (prune them out of band).
+    *
+    * Concurrent REFRESHERS are serialized by a claim file created with
+    * overwrite=false inside the new version directory — two writers
+    * that both read CURRENT=N race to claim v(N+1) and the loser fails
+    * fast (FileAlreadyExistsException) instead of overwriting the
+    * winner's half-written directory. All pointer/claim I/O goes
+    * through the Hadoop FileSystem of `root`, so the lifecycle works on
+    * any Spark-reachable filesystem, not just a locally mounted one.
     * @return the new version number */
   def refreshIvfIndex(corpus: DataFrame, nCells: Int, root: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val next = currentIvfVersion(root).getOrElse(0) + 1
-    val vdir = s"$root/v$next"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val next = currentIvfVersion(spark, root).getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
+    // CAS claim: create(overwrite = false) fails for the second of two
+    // concurrent refreshers that both observed CURRENT = next - 1
+    fs.mkdirs(vdir)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     val centroids = trainCentroids(corpus, nCells, vecCol)
     centroids.map { case (i, c) => (i, c.toSeq) }
       .toDF("cell_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/centroids")
-    writeIvfIndex(corpus, centroids, s"$vdir/cells", idCol, vecCol)
-    // atomic cutover: write the pointer beside CURRENT, then rename
-    val dir = java.nio.file.Paths.get(root)
-    val tmp = dir.resolve(s".CURRENT.tmp$next")
-    java.nio.file.Files.writeString(tmp, next.toString)
-    java.nio.file.Files.move(tmp, dir.resolve("CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/centroids")
+    writeIvfIndex(corpus, centroids, s"$root/v$next/cells", idCol, vecCol)
+    // atomic cutover: pointer tmp file + OVERWRITE rename
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".CURRENT.tmp$next")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "CURRENT"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
   /** The version the `CURRENT` pointer names, if the index exists. */
-  def currentIvfVersion(root: String): Option[Int] = {
-    val p = java.nio.file.Paths.get(root, "CURRENT")
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim.toInt)
-    else None
+  def currentIvfVersion(spark: org.apache.spark.sql.SparkSession,
+                        root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    } else None
   }
 
   /** Load the persisted quantizer of one index version. */
@@ -297,7 +318,7 @@ object Similarity {
                              root: String, queries: DataFrame, k: Int,
                              nProbe: Int, idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
-    val v = currentIvfVersion(root).getOrElse(
+    val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no CURRENT pointer under $root"))
     val centroids = readIvfCentroids(spark, root, v)
     queryIvfIndex(spark, s"$root/v$v/cells", centroids, queries, k, nProbe,

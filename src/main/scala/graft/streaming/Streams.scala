@@ -229,10 +229,15 @@ object Streams {
   /** Continuous ANN ingest — the IVF twin of [[incrementalIngest]]:
     * every micro-batch of (id, embedding) rows takes the narrow
     * nearest-centroid assignment against the frozen quantizer and lands
-    * inside the persisted index's cell_id partitions
-    * (`Similarity.appendToIvfIndex`). Exactly-once per batch via the
-    * checkpoint; probes (`Similarity.queryIvfIndex`) see each batch as
-    * soon as its files commit. */
+    * under the index root. EFFECTIVELY EXACTLY-ONCE: each batch writes
+    * its own `batch=<id>` partition directory with mode overwrite, so a
+    * replayed batch (crash between the parquet commit and the streaming
+    * checkpoint commit) REPLACES its previous attempt instead of
+    * appending duplicate rows — duplicates would silently corrupt ANN
+    * top-k (the same nbr_id filling two of the k slots), unlike the LSH
+    * twin whose duplicate pairs downstream dedup absorbs. Probes read
+    * the root as usual: `batch` is just an extra partition column and
+    * cell_id partition pruning still applies within every batch dir. */
   def incrementalVectorIngest(vecs: DataFrame,
                               centroids: Seq[(Int, Array[Float])],
                               indexPath: String, checkpoint: String,
@@ -241,9 +246,13 @@ object Streams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(batch, centroids,
-          indexPath, idCol, vecCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.assignCells(
+            batch.select(org.apache.spark.sql.functions.col(idCol).as("nbr_id"),
+              org.apache.spark.sql.functions.col(vecCol).as("nbr_vec")),
+            centroids, "nbr_vec", 1)
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$indexPath/batch=$batchId")
         ()
       }
       .start()

@@ -131,14 +131,14 @@ class DedupSpec extends SparkSpec {
 
   test("hot-bucket salting is result-identical on generated corpora " +
        "(property, all three self-join families)") {
-    import org.scalacheck.Gen
     // a 12-word vocabulary over 15-word docs: shingles collide heavily,
-    // so low thresholds make REAL hot buckets at every config
-    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
-    val doc = Gen.listOfN(15, word).map(_.mkString(" "))
-    val corpus = Iterator.continually(doc.sample).flatten.take(30).toSeq
-      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("doc_id", "text")
+    // so low thresholds make REAL hot buckets at every config. The
+    // corpus is pseudo-random but DETERMINISTIC (an unseeded generator
+    // would make the nonEmpty assertion below flake on unlucky draws)
+    val corpus = (0 until 30).map { i =>
+      (i.toLong,
+        (0 until 15).map(j => s"w${(i * 31 + j * 7 + i * j) % 12}").mkString(" "))
+    }.toDF("doc_id", "text")
     def pairsKey(df: org.apache.spark.sql.DataFrame, score: String) =
       df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Double](score))).sorted.toSeq

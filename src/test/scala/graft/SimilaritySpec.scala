@@ -187,9 +187,9 @@ class SimilaritySpec extends SparkSpec {
     val b = (100L until 110L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
     val root = java.nio.file.Files.createTempDirectory("vivf").toString + "/idx"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    assert(Similarity.currentIvfVersion(root).isEmpty)
+    assert(Similarity.currentIvfVersion(spark, root).isEmpty)
     val v1 = Similarity.refreshIvfIndex(a, nCells = 3, root)
-    assert(v1 == 1 && Similarity.currentIvfVersion(root).contains(1))
+    assert(v1 == 1 && Similarity.currentIvfVersion(spark, root).contains(1))
     // self-contained query: no caller-held centroids
     val q = a.limit(2)
     assert(Similarity.queryVersionedIvfIndex(spark, root, q,
@@ -197,7 +197,7 @@ class SimilaritySpec extends SparkSpec {
     // refresh over a grown corpus: new version, pointer cut over, old
     // version directory still present for in-flight readers
     val v2 = Similarity.refreshIvfIndex(a.unionByName(b), nCells = 3, root)
-    assert(v2 == 2 && Similarity.currentIvfVersion(root).contains(2))
+    assert(v2 == 2 && Similarity.currentIvfVersion(spark, root).contains(2))
     assert(new java.io.File(s"$root/v1/cells").exists())
     val r = Similarity.queryVersionedIvfIndex(spark, root,
       b.limit(2), k = 1, nProbe = 3)
