@@ -1557,6 +1557,19 @@ object Queries {
       .orderBy("g")
   }
 
+  /** Gopher-rules gate: the composite web-corpus quality filter
+    * (token-count window, mean-word-length band, symbol-token ratio,
+    * alphabetic-token ratio, minimum stopword hits) as one narrow
+    * scan-level predicate; per-source census of docs vs survivors. The
+    * oracle reproduces every rule in closed form. */
+  def q84GopherFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(graft.operators.TextAnalysis.gopherKeep(col("text")), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1651,7 +1664,8 @@ object Queries {
     "q80_approx_distinct" -> (q80ApproxDistinct _),
     "q81_sessionize_chunked" -> (q81SessionizeChunked _),
     "q82_bucketed_hierarchy" -> (q82BucketedHierarchy _),
-    "q83_grouped_kll_bound" -> (q83GroupedKllBound _)
+    "q83_grouped_kll_bound" -> (q83GroupedKllBound _),
+    "q84_gopher_filter" -> (q84GopherFilter _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2118,6 +2132,23 @@ object Queries {
       """SELECT l_returnflag AS g, count(*) AS n_rows, TRUE AS n_ok,
         | TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY g""".stripMargin,
+    "q84_gopher_filter" ->
+      """WITH t AS (SELECT source,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS swl,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x LIKE '%#%'))
+        |   + len(list_filter(string_split_regex(text, '\s+'), x -> contains(x, '...'))) AS nsym,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-zà-ÿ]+'),
+        |   w -> list_contains(['the','and','of','to','is','in','that','it'], w))) AS stop
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(SUM(CASE WHEN ntok BETWEEN 50 AND 100000
+        |  AND (CASE WHEN ntok > 0 THEN CAST(swl AS DOUBLE) / ntok ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |  AND (CASE WHEN ntok > 0 THEN CAST(nsym AS DOUBLE) / ntok ELSE 0.0 END) <= 0.1
+        |  AND (CASE WHEN ntok > 0 THEN CAST(nalpha AS DOUBLE) / ntok ELSE 0.0 END) >= 0.8
+        |  AND stop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q79_fuzzy_decontaminate" ->
       """WITH train AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 40 <> 0),
         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),

@@ -107,6 +107,42 @@ object TextAnalysis {
       stopRatio.as("stopword_ratio"))
   }
 
+  /** Gopher-style composite quality RULES (Rae et al. 2021 §A1.1
+    * heuristics, the widely-adopted web-corpus gate): a document
+    * survives when every threshold holds. All inputs are
+    * [[qualityFeatures]]' narrow expressions plus two extra one-pass
+    * counts, so the whole verdict is a scan-level filter that pushes
+    * down — at 100 TB this gate runs in the first pass over raw text
+    * and drops the bulk of the corpus before anything shuffles.
+    * Thresholds are parameters (defaults follow the paper's commonly
+    * cited values); returns a BOOLEAN keep column. */
+  def gopherKeep(textCol: Column,
+                 minTokens: Int = 50, maxTokens: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minAlphaWordRatio: Double = 0.8,
+                 minStopwordHits: Int = 2): Column = {
+    val f = qualityFeatures(textCol)
+    val toks = filter(split(textCol, "\\s+"), t => t =!= "")
+    val nToks = size(toks)
+    // hash-or-ellipsis symbol ratio over tokens (the paper gates # and
+    // "..." lines); one narrow pass each
+    val nHash = size(filter(toks, t => t.contains("#")))
+    val nEllipsis = size(filter(toks, t => t.contains("...")))
+    val symbolRatio = when(nToks > 0,
+      (nHash + nEllipsis).cast("double") / nToks).otherwise(0.0)
+    // fraction of tokens containing at least one alphabetic character
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaRatio = when(nToks > 0,
+      nAlpha.cast("double") / nToks).otherwise(0.0)
+    val stopHits = markerHits(textCol, "en")
+    f.getField("n_tokens").between(minTokens, maxTokens) &&
+      f.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      symbolRatio <= maxSymbolRatio &&
+      alphaRatio >= minAlphaWordRatio &&
+      stopHits >= minStopwordHits
+  }
+
   /** The interpreted per-token HOF [[qualityFeatures]]' mean-word-length
     * replaced — kept as the equivalence witness (TextAnalysisSpec). */
   private[graft] def meanWordLenHof(textCol: Column): Column = {

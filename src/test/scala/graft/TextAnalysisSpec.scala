@@ -123,6 +123,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L).toSet.intersect(fps(3L).toSet).size >= 12) // of 16
   }
 
+  test("gopherKeep drops exactly the rule-violating documents") {
+    import graft.operators.TextAnalysis
+    val filler = (1 to 60).map(i => s"word$i").mkString(" ")
+    val good = s"the and $filler"                       // every rule holds
+    val short = "the and just a few words here"         // < 50 tokens
+    val longWords = (1 to 60).map(i => "x" * 12).mkString(" ") +
+      " the and"                                        // mean word len > 10
+    val hashy = (1 to 30).map(i => s"#tag$i").mkString(" ") +
+      " the and " + (1 to 30).map(i => s"w$i").mkString(" ") // symbol ratio
+    val numeric = (1 to 60).map(i => s"$i$i$i").mkString(" ") +
+      " the and"                                        // alpha ratio < 0.8
+    val noStops = (1 to 60).map(i => s"tok$i").mkString(" ") // < 2 stop hits
+    val docs = Seq((1L, good), (2L, short), (3L, longWords), (4L, hashy),
+      (5L, numeric), (6L, noStops)).toDF("doc_id", "text")
+    val kept = docs.filter(TextAnalysis.gopherKeep(col("text")))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("redact scrubs emails, URLs, and long digit runs in one pass") {
     import org.apache.spark.sql.functions._
     val in = Seq(
