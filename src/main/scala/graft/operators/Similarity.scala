@@ -242,21 +242,23 @@ object Similarity {
     * quantizer — the ANN twin of the OBO download lifecycle
     * (`OboRefresh`): re-training re-maps every cell id, so a refresh
     * can never append in place; instead each refresh writes a complete
-    * new version directory `<root>/v<N+1>/{centroids, cells}` (the
+    * new version directory `<root>/v<N>/{centroids, cells}` (the
     * centroids persist WITH the index, making it self-contained) and
-    * then atomically replaces the `<root>/CURRENT` pointer (tmp file +
-    * FileContext OVERWRITE rename). Readers resolve the pointer at
-    * query start, so a concurrent reader sees the old version or the
-    * new one, never a half-written index; old version directories
-    * remain for in-flight readers (prune them out of band).
+    * COMMITS it by creating the `v<N>/_COMMITTED` marker last. Readers
+    * resolve "current" as the highest committed version — there is no
+    * pointer file to swap, so no rename/delete window exists anywhere:
+    * a version is either invisible or complete. Old versions remain for
+    * in-flight readers (prune them out of band).
     *
-    * Concurrent REFRESHERS are serialized by a claim file created with
-    * overwrite=false inside the new version directory — two writers
-    * that both read CURRENT=N race to claim v(N+1) and the loser fails
-    * fast (FileAlreadyExistsException) instead of overwriting the
-    * winner's half-written directory. All pointer/claim I/O goes
-    * through the Hadoop FileSystem of `root`, so the lifecycle works on
-    * any Spark-reachable filesystem, not just a locally mounted one.
+    * Concurrency: the version number comes from the directory LISTING
+    * (max v* present + 1, committed or not), so a refresher that died
+    * mid-write leaves an uncommitted garbage directory but never wedges
+    * later refreshes. Two refreshers that list the same max race on the
+    * `.claim` file created with overwrite=false; the loser fails fast.
+    * That claim is truly atomic on HDFS-like filesystems; on
+    * RawLocal/S3-style stores create-no-overwrite is check-then-create,
+    * so run refreshes single-writer there (the commit-marker protocol
+    * keeps READERS safe everywhere regardless).
     * @return the new version number */
   def refreshIvfIndex(corpus: DataFrame, nCells: Int, root: String,
                       idCol: String = "vec_id",
@@ -266,10 +268,11 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
-    val next = currentIvfVersion(spark, root).getOrElse(0) + 1
+    fs.mkdirs(rootPath)
+    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
-    // CAS claim: create(overwrite = false) fails for the second of two
-    // concurrent refreshers that both observed CURRENT = next - 1
+    // claim: create(overwrite = false) fails for the second of two
+    // refreshers that raced to the same listing
     fs.mkdirs(vdir)
     fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     val centroids = trainCentroids(corpus, nCells, vecCol)
@@ -277,28 +280,30 @@ object Similarity {
       .toDF("cell_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/centroids")
     writeIvfIndex(corpus, centroids, s"$root/v$next/cells", idCol, vecCol)
-    // atomic cutover: pointer tmp file + OVERWRITE rename
-    val tmp = new org.apache.hadoop.fs.Path(rootPath, s".CURRENT.tmp$next")
-    val out = fs.create(tmp, true)
-    out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
-      .rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "CURRENT"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // commit: the marker is the LAST write — readers never see less
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     next
   }
 
-  /** The version the `CURRENT` pointer names, if the index exists. */
+  private def listIvfVersions(fs: org.apache.hadoop.fs.FileSystem,
+                              rootPath: org.apache.hadoop.fs.Path)
+  : Seq[(Int, Boolean)] = {
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map { s =>
+        (s.getPath.getName.drop(1).toInt,
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMMITTED")))
+      }
+  }
+
+  /** The highest COMMITTED version under `root`, if any — uncommitted
+    * (in-flight or abandoned) version directories are invisible. */
   def currentIvfVersion(spark: org.apache.spark.sql.SparkSession,
                         root: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(root, "CURRENT")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
-    } else None
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listIvfVersions(fs, rootPath).collect { case (v, true) => v }.maxOption
   }
 
   /** Load the persisted quantizer of one index version. */
@@ -310,16 +315,16 @@ object Similarity {
       .collect().map { case (i, c) => (i, c.toArray) }.toSeq
   }
 
-  /** Query the CURRENT version of a versioned index: resolve the
-    * pointer once, load its centroids, probe with static partition
-    * pruning ([[queryIvfIndex]]). Self-contained — callers hold no
-    * quantizer state. */
+  /** Query the latest COMMITTED version of a versioned index: resolve
+    * it once, load its centroids, probe with static partition pruning
+    * ([[queryIvfIndex]]). Self-contained — callers hold no quantizer
+    * state. */
   def queryVersionedIvfIndex(spark: org.apache.spark.sql.SparkSession,
                              root: String, queries: DataFrame, k: Int,
                              nProbe: Int, idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no CURRENT pointer under $root"))
+      throw new IllegalStateException(s"no committed index version under $root"))
     val centroids = readIvfCentroids(spark, root, v)
     queryIvfIndex(spark, s"$root/v$v/cells", centroids, queries, k, nProbe,
       idCol, vecCol)

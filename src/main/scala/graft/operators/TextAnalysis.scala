@@ -122,11 +122,16 @@ object TextAnalysis {
                  maxSymbolRatio: Double = 0.1,
                  minAlphaWordRatio: Double = 0.8,
                  minStopwordHits: Int = 2): Column = {
-    val f = qualityFeatures(textCol)
+    // one shared tokenization; each rule is a narrow expression over it
+    // (NOT the full qualityFeatures struct, which would also drag its
+    // unused punct/stopword-ratio passes into the predicate)
     val toks = filter(split(textCol, "\\s+"), t => t =!= "")
     val nToks = size(toks)
+    val meanWordLen = when(nToks > 0,
+      length(regexp_replace(textCol, "\\s+", "")).cast("double") / nToks)
+      .otherwise(lit(0.0))
     // hash-or-ellipsis symbol ratio over tokens (the paper gates # and
-    // "..." lines); one narrow pass each
+    // "..." lines)
     val nHash = size(filter(toks, t => t.contains("#")))
     val nEllipsis = size(filter(toks, t => t.contains("...")))
     val symbolRatio = when(nToks > 0,
@@ -136,8 +141,8 @@ object TextAnalysis {
     val alphaRatio = when(nToks > 0,
       nAlpha.cast("double") / nToks).otherwise(0.0)
     val stopHits = markerHits(textCol, "en")
-    f.getField("n_tokens").between(minTokens, maxTokens) &&
-      f.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+    nToks.between(minTokens, maxTokens) &&
+      meanWordLen.between(minMeanWordLen, maxMeanWordLen) &&
       symbolRatio <= maxSymbolRatio &&
       alphaRatio >= minAlphaWordRatio &&
       stopHits >= minStopwordHits

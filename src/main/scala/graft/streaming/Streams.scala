@@ -237,13 +237,36 @@ object Streams {
     * top-k (the same nbr_id filling two of the k slots), unlike the LSH
     * twin whose duplicate pairs downstream dedup absorbs. Probes read
     * the root as usual: `batch` is just an extra partition column and
-    * cell_id partition pruning still applies within every batch dir. */
+    * cell_id partition pruning still applies within every batch dir.
+    *
+    * Layout contract: this sink OWNS its root — the nested
+    * `batch=/cell_id=` layout cannot mix with a flat
+    * `Similarity.writeIvfIndex` directory (Spark partition discovery
+    * rejects mixed depths), so seed any pre-existing base corpus
+    * through the stream (or keep base and stream under separate roots
+    * and union at probe time). Enforced at start. Replay caveat: while
+    * a replayed batch is being re-written, a concurrent probe can
+    * transiently miss that one batch directory (the old append-mode
+    * alternative never removed files but duplicated rows instead —
+    * wrong answers beat a transient miss). */
   def incrementalVectorIngest(vecs: DataFrame,
                               centroids: Seq[(Int, Array[Float])],
                               indexPath: String, checkpoint: String,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding")
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val conf = vecs.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath)) {
+      val foreign = fs.listStatus(rootPath).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("batch=") || n.startsWith("_") ||
+          n.startsWith("."))
+      require(foreign.isEmpty,
+        s"incrementalVectorIngest owns its root; $indexPath already holds " +
+          s"non-batch entries (${foreign.take(3).mkString(", ")}) - a flat " +
+          "writeIvfIndex layout cannot mix with the batch= layout")
+    }
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -256,6 +279,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`

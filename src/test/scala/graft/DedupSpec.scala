@@ -129,8 +129,8 @@ class DedupSpec extends SparkSpec {
     assert(salted == plain)
   }
 
-  test("hot-bucket salting is result-identical on generated corpora " +
-       "(property, all three self-join families)") {
+  test("hot-bucket salting is result-identical across all three " +
+       "self-join families on a deterministic high-collision corpus") {
     // a 12-word vocabulary over 15-word docs: shingles collide heavily,
     // so low thresholds make REAL hot buckets at every config. The
     // corpus is pseudo-random but DETERMINISTIC (an unseeded generator

@@ -205,16 +205,15 @@ class SimilaritySpec extends SparkSpec {
     // the persisted quantizer round-trips exactly
     val cents = Similarity.readIvfCentroids(spark, root, v2)
     assert(cents.size == 3 && cents.forall(_._2.length == 12))
-    // concurrent-refresher CAS: a racer that already claimed v3 makes
-    // this refresh fail fast instead of clobbering the claimed dir
-    val claimed = new java.io.File(s"$root/v3")
-    claimed.mkdirs()
-    assert(new java.io.File(claimed, ".claim").createNewFile())
-    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
-      Similarity.refreshIvfIndex(a, nCells = 3, root)
-    }
-    // the loser changed nothing: pointer still names v2
+    // an ABANDONED (claimed, never committed) v3 from a dead refresher:
+    // readers never see it, and the next refresh skips past it instead
+    // of wedging on the stale claim
+    val stale = new java.io.File(s"$root/v3")
+    stale.mkdirs()
+    assert(new java.io.File(stale, ".claim").createNewFile())
     assert(Similarity.currentIvfVersion(spark, root).contains(2))
+    val v4 = Similarity.refreshIvfIndex(a, nCells = 3, root)
+    assert(v4 == 4 && Similarity.currentIvfVersion(spark, root).contains(4))
   }
 
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
