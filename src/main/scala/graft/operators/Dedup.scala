@@ -518,6 +518,103 @@ object Dedup {
     labels.select(col("id"), col("label").as("component"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — the O(log d)-round twin of [[connectedComponents]]
+    * for pair graphs with DEEP components. Min-label propagation pays
+    * one shuffle round per unit of component diameter: a duplicate
+    * CHAIN (A~B~C~… — each doc near only its neighbors, the shape
+    * serially-edited boilerplate produces) of depth d costs d rounds.
+    * Star contraction roughly halves chain depth per round pair, so the
+    * same chain converges in O(log d) rounds:
+    *
+    *  - large-star: each node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood;
+    *  - small-star: each node points its smaller-or-self neighborhood
+    *    at that neighborhood's minimum.
+    *
+    * Each phase is one groupBy (per-node min) + one equi-join back on
+    * the node — no new shuffle shapes vs label-prop — but unlike
+    * label-prop's static edge table, the edge set CONTRACTS toward the
+    * fixpoint (every non-root holding exactly one edge to its
+    * component's minimum), so late rounds move less data, and deep
+    * components need exponentially fewer of them.
+    *
+    * Fixpoint witness: a round that leaves (|E|, XOR of xxhash64(u,v))
+    * both unchanged. Star graphs are fixpoints of both phases, and a
+    * signature collision between DIFFERENT consecutive edge sets needs
+    * an adversarial graph (equal cardinality AND equal 64-bit hash
+    * XOR); DedupSpec additionally property-pins the result ≡
+    * [[connectedComponents]] on random graphs and pins an
+    * out-of-label-prop-reach chain (depth > maxIter) converging here.
+    *
+    * Self-pairs (id_a = id_b) carry no connectivity and are dropped; as
+    * in [[connectedComponents]], ids appearing only in self-pairs do
+    * not reach the output.
+    *
+    * @return (id, component) for every id in `pairs`, component = the
+    *         minimum reachable id — the same contract as
+    *         [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 16,
+                              failOnMaxIter: Boolean = true): DataFrame = {
+    def symmetric(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      symmetric(e.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: over S = {v ∈ Γ(u): v < u}, m = min(S); emit (u, m)
+    // and (v, m) for v ∈ S (the v = m self-row dies in symmetric's
+    // u ≠ v filter). Every undirected edge {a,b}, a<b, passes the
+    // v < u filter exactly once (at u = b), so no edge is orphaned.
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e.filter(col("v") < col("u"))
+      val mins = down.groupBy("u").agg(min("v").as("m"))
+      symmetric(down.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // XOR, not SUM: order-independent over the distinct edge set and
+      // can't overflow under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = signature(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = signature(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      it += 1
+    }
+    if (!converged && failOnMaxIter)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter " +
+          "rounds - raise maxIter (or pass failOnMaxIter=false to accept " +
+          "partial labels)")
+    edges.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("component"))
+  }
+
   /** Cluster-level dedup: one survivor (the minimum id) per connected
     * component of the pair graph; documents with no near-dup pair survive
     * untouched. Anti-join on the non-survivor member set — never touches

@@ -246,6 +246,34 @@ class DedupSpec extends SparkSpec {
     assert(kept == (0L until 50L).toSet -- losers)
   }
 
+  test("star contraction matches label propagation on random pair graphs") {
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to 70)
+        .map(_ => (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+        .toDF("id_a", "id_b")
+      val exact = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == exact, s"seed $seed")
+    }
+  }
+
+  test("star contraction converges in O(log d) rounds on a deep chain") {
+    // a 48-deep duplicate chain: label propagation needs one round per
+    // unit of depth (maxIter = 10 must fail), star contraction halves
+    // depth per round pair (maxIter = 10 must converge AND be correct)
+    val chain = (0L until 48L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 10)
+    }
+    val star = Dedup.connectedComponentsStar(chain, maxIter = 10).collect()
+    assert(star.length == 49 && star.forall(_.getLong(1) == 0L))
+  }
+
   test("shingleRows emits distinct in-order n-grams") {
     val sh = Dedup.shingleRows(Seq((1L, "a b c d")).toDF("doc_id", "text"),
       "doc_id", "text", 3).select("shingle").as[String].collect().toSeq
