@@ -1030,13 +1030,20 @@ object Queries {
     * pair graph (transitive closure — A~B, B~C collapse even without an
     * A~C candidate pair), plus the cluster-dedup survivor census as a
     * sentinel row. Oracle: a recursive CTE computing min-reachable-id. */
-  def q50NearDupComponents(s: SparkSession, dir: String): DataFrame = {
+  def q50NearDupComponents(s: SparkSession, dir: String): DataFrame =
+    nearDupComponentsGate(s, dir, Dedup.connectedComponents(_))
+
+  /** Shared body of the near-dup component gates (q50, q85): jaccard
+    * pairs → components (via the passed algorithm) → member labels plus
+    * a survivor census row. The census comes from the SAME component
+    * run (dedupByComponents would re-derive components; its rule — drop
+    * non-minimum members — is applied here directly and unit-tested
+    * against union-find). */
+  private def nearDupComponentsGate(s: SparkSession, dir: String,
+      components: DataFrame => DataFrame): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       n = 3, minJaccard = 0.1)
-    val cc = Dedup.connectedComponents(pairs)
-    // survivor census from the SAME component run (dedupByComponents
-    // would re-derive components; its rule — drop non-minimum members —
-    // is applied here directly and unit-tested against union-find)
+    val cc = components(pairs)
     val losers = cc.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     val survivors = t(s, dir, "documents")
@@ -1046,6 +1053,14 @@ object Queries {
     cc.select(col("id"), col("component")).unionByName(survivors)
       .orderBy("id")
   }
+
+  /** Scale-path twin of q50 under the SAME oracle: components via
+    * alternating large-star/small-star contraction
+    * ([[Dedup.connectedComponentsStar]]) — O(log d) rounds on deep
+    * duplicate chains where label propagation pays O(d) — must
+    * reproduce the label-propagation output hash-for-hash. */
+  def q85ComponentsStar(s: SparkSession, dir: String): DataFrame =
+    nearDupComponentsGate(s, dir, Dedup.connectedComponentsStar(_))
 
   /** Corpus-split gate: deterministic md5-nibble train/val/test
     * assignment censused per (source, split) — stable under any
@@ -1570,6 +1585,24 @@ object Queries {
           .otherwise(0L)).as("n_kept"))
       .orderBy("source")
 
+  /** Scale-path twin of q54 under the SAME oracle: decontamination
+    * through the bloom prefilter ([[Corpus.contaminatedIdsBloom]] —
+    * eval shingles as a codegen'd `might_contain` bloom on the train
+    * scan, exact verify join behind it) must reproduce the
+    * broadcast-semi-join census hash-for-hash. */
+  def q86DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 40 === 0)
+    val train = docs.filter(col("doc_id") % 40 =!= 0)
+    val bad = Corpus.contaminatedIdsBloom(train, bench, "doc_id", "text", n = 5)
+      .withColumn("__c", lit(1))
+    train.join(bad, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        count(col("__c")).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1665,7 +1698,9 @@ object Queries {
     "q81_sessionize_chunked" -> (q81SessionizeChunked _),
     "q82_bucketed_hierarchy" -> (q82BucketedHierarchy _),
     "q83_grouped_kll_bound" -> (q83GroupedKllBound _),
-    "q84_gopher_filter" -> (q84GopherFilter _)
+    "q84_gopher_filter" -> (q84GopherFilter _),
+    "q85_components_star" -> (q85ComponentsStar _),
+    "q86_decontaminate_bloom" -> (q86DecontaminateBloom _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2848,5 +2883,7 @@ object Queries {
     * against the identical expected output. */
   val oracles: Map[String, String] = oraclesLiteral ++ Map(
     "q81_sessionize_chunked" -> oraclesLiteral("q68_sessionize"),
-    "q82_bucketed_hierarchy" -> oraclesLiteral("q46b_catalog_hierarchy"))
+    "q82_bucketed_hierarchy" -> oraclesLiteral("q46b_catalog_hierarchy"),
+    "q85_components_star" -> oraclesLiteral("q50_near_dup_components"),
+    "q86_decontaminate_bloom" -> oraclesLiteral("q54_decontaminate"))
 }

@@ -53,6 +53,86 @@ object Corpus {
     train.join(contaminatedIds(train, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** Bloom-prefiltered twin of [[contaminatedIds]] — the scale path for
+    * benchmark suites too large for their distinct shingle STRINGS to
+    * broadcast as a join hash relation. The eval shingles fold into a
+    * Spark `BloomFilter` (via the native `bloom_filter_agg`/
+    * `might_contain` expression pair that powers Spark's own runtime
+    * join filtering — codegen'd, no UDF): at `bitsPerItem = 20` that is
+    * 2.5 bytes per shingle (~6e-5 false-positive rate) vs tens of bytes
+    * for the string itself, a 10-20× smaller broadcast. Train shingles
+    * probe the bloom as a NARROW filter on the scan; only the surviving
+    * sliver reaches the exact left-semi verify join, which discards
+    * bloom false positives — the RESULT is exactly
+    * [[contaminatedIds]]'s, only the data movement changes (gate q86
+    * pins it under q54's oracle).
+    *
+    * The bloom rides the plan as a binary literal, so its size is
+    * driver+plan-bounded: size `bitsPerItem` (and, beyond ~256M items,
+    * shard the benchmark and OR the verdicts) rather than letting the
+    * filter degrade silently — `BloomFilterAggregate` caps numBits at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (raised here
+    * to fit `bitsPerItem`). */
+  def contaminatedIdsBloom(train: DataFrame, benchmark: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 8, bitsPerItem: Int = 20): DataFrame = {
+    val benchSh = Dedup.shingleRows(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    Exec.withPersisted(benchSh) {
+      contaminatedIdsBloomPlan(train, benchSh, idCol, textCol, n, bitsPerItem)
+    }
+  }
+
+  /** The lazy plan behind [[contaminatedIdsBloom]]: builds the bloom
+    * from `benchSh` (one aggregate job), probes it on the train shingle
+    * scan, verifies exactly. Caller owns `benchSh` persistence (it is
+    * read by the build AND the verify join). Exposed `private[graft]`
+    * so the spec can assert the `might_contain` probe in the physical
+    * plan before the operator's eager checkpoint hides it. */
+  private[graft] def contaminatedIdsBloomPlan(
+      train: DataFrame, benchSh: DataFrame, idCol: String, textCol: String,
+      n: Int, bitsPerItem: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnShim
+    val spark = train.sparkSession
+    val nItems = math.max(benchSh.count(), 1L)
+    val numBits = nItems * bitsPerItem
+    val prevMax = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits, 67108864L).toString)
+    val bfBytes =
+      try benchSh.select(ColumnShim.column(
+          new BloomFilterAggregate(
+            ColumnShim.expression(xxhash64(col("shingle"))),
+            Literal(nItems), Literal(numBits)).toAggregateExpression())
+          .as("bf")).head().getAs[Array[Byte]]("bf")
+      finally prevMax match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      }
+    val mightContain = ColumnShim.column(new BloomFilterMightContain(
+      Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(xxhash64(col("shingle")))))
+    Dedup.shingleRows(train, idCol, textCol, n)
+      .filter(mightContain)
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** The training corpus minus contaminated documents, bloom path —
+    * result-identical to [[decontaminate]] (the bloom only prunes what
+    * reaches the exact verify join). */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8, bitsPerItem: Int = 20): DataFrame =
+    train.join(
+      contaminatedIdsBloom(train, benchmark, idCol, textCol, n, bitsPerItem),
+      Seq(idCol), "left_anti")
+
   /** FUZZY decontamination: training documents whose MinHash-estimated
     * Jaccard similarity to ANY benchmark document reaches
     * `minEstJaccard` — catches paraphrased/reformatted eval leakage that

@@ -27,6 +27,31 @@ class CorpusSpec extends SparkSpec {
     assert(clean.toSeq == Seq(2L, 4L))
   }
 
+  test("bloom-prefiltered decontamination is result-identical and plans " +
+      "a codegen'd might_contain, no UDF") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("red", "blue", "green", "ash", "oak", "elm", "fox",
+      "owl", "ant", "bee")
+    def doc(): String = (1 to 12).map(_ => words(rnd.nextInt(words.size)))
+      .mkString(" ")
+    val train = (1L to 120L).map(i => (i, doc())).toDF("doc_id", "text")
+    val bench = (200L to 210L).map(i => (i, doc())).toDF("doc_id", "text")
+    val exact = Corpus.contaminatedIds(train, bench, n = 3)
+      .as[Long].collect().sorted.toSeq
+    val bloom = Corpus.contaminatedIdsBloom(train, bench, n = 3)
+      .as[Long].collect().sorted.toSeq
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    assert(bloom == exact)
+    // the prefilter is the native bloom predicate on the train scan
+    // (the lazy plan — the public operator checkpoints eagerly)
+    val benchSh = graft.operators.Dedup
+      .shingleRows(bench, "doc_id", "text", 3).select("shingle").distinct()
+    val plan = Corpus
+      .contaminatedIdsBloomPlan(train, benchSh, "doc_id", "text", 3, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("decontamination is case-insensitive like the shingle pipeline") {
     val train = Seq((1L, "Alpha BETA gamma DELTA")).toDF("doc_id", "text")
     val bench = Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text")
