@@ -104,6 +104,44 @@ object Streams {
       }
   }
 
+  /**
+   * Built-in `session_window` face of [[sessionize]] — same gap rule,
+   * same closed-session rows (win_end = last event, n, sum), expressed
+   * as a watermarked native aggregation instead of custom state.
+   *
+   * Why both exist: [[sessionize]] demonstrates arbitrary-state
+   * sessionization (and closes a session the moment a gap-succeeding
+   * event arrives); this one is the scale path. The native session
+   * aggregation pre-merges sessions map-side in the local partition
+   * before the stateful shuffle, so a hot key's micro-batch events
+   * reduce to a handful of candidate sessions BEFORE one task sees
+   * them — the custom fold instead buffers and sorts the key's whole
+   * batch slice in a single group iterator. State-store state is one
+   * (start, end, agg) struct per OPEN session, merged by the store.
+   *
+   * Emission is Append-mode standard: a session emits once the event
+   * watermark passes its close (`session_window.end` = last event +
+   * gap; the published win_end subtracts the gap back to the last
+   * event, pinning the [[sessionize]] schema). StreamsSpec pins the
+   * two faces emit identical session sets on the same stream.
+   *
+   * @param events streaming frame with (ts timestamp, event_type,
+   *               value) — [[SessionEvent]]'s shape, untyped
+   */
+  def sessionizeNative(events: DataFrame,
+                       watermark: String = "30 minutes",
+                       gapMs: Long = 30L * 60 * 1000): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"),
+        s"${gapMs / 1000.0} seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("event_type"),
+        col("session_window.start").as("win_start"),
+        (col("session_window.end") - make_dt_interval(
+          lit(0), lit(0), lit(0), lit(gapMs / 1000.0))).as("win_end"),
+        col("n"), col("sum_value"))
+
   final case class BucketDoc(band: Int, bucket: Long, doc_id: Long,
                              ts: java.sql.Timestamp, sig: Seq[Long])
   final case class BucketState(docs: List[(Long, Seq[Long])], lastMs: Long)

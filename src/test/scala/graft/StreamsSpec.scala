@@ -268,4 +268,38 @@ class StreamsSpec extends SparkSpec {
       assert(afterTimeout.contains(("click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("native session_window sessionization emits the same sessions as " +
+      "the custom-state face") {
+    implicit val sc = spark.sqlContext
+    val inA = MemoryStream[(Timestamp, String, Double)]
+    val inB = MemoryStream[(Timestamp, String, Double)]
+    val custom = Streams.sessionize(
+      inA.toDF().toDF("ts", "event_type", "value").as[Streams.SessionEvent],
+      watermark = "30 minutes", gapMs = 30L * 60 * 1000)
+    val native = Streams.sessionizeNative(
+      inB.toDF().toDF("ts", "event_type", "value"),
+      watermark = "30 minutes", gapMs = 30L * 60 * 1000)
+    val qA = custom.writeStream.outputMode("append")
+      .format("memory").queryName("sess_custom").start()
+    val qB = native.writeStream.outputMode("append")
+      .format("memory").queryName("sess_native").start()
+    try {
+      val batches = Seq(
+        Seq((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(3), "view", 7.0)),
+        Seq((ts(120), "click", 4.0), (ts(125), "view", 1.0)),
+        // far-future watermark push so every prior session emits in both
+        Seq((ts(100000), "other", 0.0)))
+      batches.foreach { b =>
+        inA.addData(b); inB.addData(b)
+        qA.processAllAvailable(); qB.processAllAvailable()
+      }
+      def rows(tbl: String) = spark.table(tbl)
+        .select("event_type", "win_start", "win_end", "n", "sum_value")
+        .as[(String, Timestamp, Timestamp, Long, Double)].collect().toSet
+      val got = rows("sess_native")
+      assert(got == rows("sess_custom"))
+      assert(got.contains(("click", ts(0), ts(5), 2L, 3.0)))
+    } finally { qA.stop(); qB.stop() }
+  }
 }
