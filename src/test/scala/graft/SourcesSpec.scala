@@ -75,4 +75,57 @@ class SourcesSpec extends SparkSpec {
       assert((s0, p0, o0, l0) == (s1, p1, o1, l1) && v)
     }
   }
+
+  test("direct xlsx scan equals the CSV pre-convert of the same grid") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // a minimal real workbook: shared strings (one rich-text), an
+    // inline string, a formula-string result, a boolean, numerics, a
+    // skipped cell, and a short row
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
+    val xlsx = dir.resolve("schema.xlsx").toFile
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(xlsx))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+        |<si><t>subject</t></si>
+        |<si><r><t>cell </t></r><r><t>type</t></r></si>
+        |<si><t>B cell</t></si>
+        |</sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>count</t></is></c><c r="C1" t="str"><v>flag</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42</v></c><c r="C2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3" t="b"><v>0</v></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><r><t>T </t></r><r><t>cell</t></r></is></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    zos.close()
+
+    val fromXlsx = graft.sources.XlsxSource.read(spark, xlsx.getPath)
+    // the CSV pre-convert of the same grid (what rounds 1-4 required)
+    val csv = dir.resolve("schema.csv")
+    java.nio.file.Files.writeString(csv,
+      "subject,count,flag\ncell type,42,true\nB cell,,false\nT cell,,\n")
+    val fromCsv = spark.read.option("header", "true").csv(csv.toString)
+    assert(fromXlsx.schema == fromCsv.schema)
+    assert(fromXlsx.collect().toSeq == fromCsv.collect().toSeq)
+
+    // and the loaded sheet drives SchemaWriter exactly like the CSV path
+    import spark.implicits._
+    val terms = Seq(("B cell", "CL:0000236"), ("T cell", "CL:0000084"))
+      .toDF("schema_name", "curie")
+    val resolved = graft.writers.SchemaWriter
+      .resolveCurie(fromXlsx, terms, "subject", "subject_curie")
+      .select("subject", "subject_curie").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(resolved == Set(("cell type", "NA"), ("B cell", "CL:0000236"),
+      ("T cell", "CL:0000084")))
+  }
 }
