@@ -74,6 +74,65 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "starcc") {
+      // Deep-component rehearsal for connectedComponentsStar: a chain
+      // graph whose depth is far past any practical label-prop round
+      // cap, and a shallow-cluster graph shaped like real LSH output.
+      // Timings land in PLANS.md.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      // release() unpersists checkpoint blocks (lineage-truncated, not
+      // recomputable), so each run rebuilds its input afterwards
+      def chain() = spark.range(100000L)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .localCheckpoint(true)
+      // 1) one 100k-deep chain: label-prop needs 100k rounds (a round
+      //    per unit of depth) — not runnable at ANY cap; star needs
+      //    ~log2(100k) ≈ 17 contraction rounds
+      var t0 = System.nanoTime()
+      val star = Dedup.connectedComponentsStar(chain(), maxIter = 32)
+        .agg(count(lit(1)), max("component")).head()
+      println(f"[scratch] star on 100k-deep chain: ${star.getLong(0)} ids, " +
+        f"max component ${star.getLong(1)} (must be 0), " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      release()
+      t0 = System.nanoTime()
+      val lpPartial = Dedup.connectedComponents(chain(), maxIter = 24,
+        failOnMaxIter = false)
+        .filter(col("id") =!= col("component")).count()
+      println(f"[scratch] label-prop capped at 24 rounds: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s, still-unconverged " +
+        f"labels present (non-root rows ${lpPartial}, correct = 100000)")
+      release()
+      // 2) 150k nodes in 30k clusters of 5 (chained within the cluster,
+      //    depth 4) — the shallow shape real near-dup pair sets have;
+      //    both algorithms converge in a handful of rounds
+      def clusters() = spark.range(150000L)
+        .filter((col("id") + 1) % 5 =!= 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .localCheckpoint(true)
+      for ((label, run) <- Seq[(String, () => Long)](
+          ("label-prop", () => Dedup.connectedComponents(clusters())
+            .filter(col("id") === col("component")).count()),
+          ("star", () => Dedup.connectedComponentsStar(clusters())
+            .filter(col("id") === col("component")).count()))) {
+        val times = (1 to 2).map { _ =>
+          val s0 = System.nanoTime()
+          val roots = run()
+          val dt = (System.nanoTime() - s0) / 1e9
+          release(); (roots, dt)
+        }
+        println(f"[scratch] $label on 30k shallow clusters: " +
+          f"${times.head._1} roots (must be 30000), best " +
+          f"${times.map(_._2).min}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "skew") {
       // Engineered-skew rehearsal (round-2 verdict ask #1): ~10x corpus
       // with a viral near-dup cluster (one hot LSH bucket), then a hub

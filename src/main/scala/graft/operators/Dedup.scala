@@ -556,43 +556,49 @@ object Dedup {
     *         [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 16,
                               failOnMaxIter: Boolean = true): DataFrame = {
-    def symmetric(e: DataFrame): DataFrame =
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+    // Edges live in canonical DOWN form (u > v), deduped: symmetrizing
+    // for a neighborhood pass is then a distinct-free union (the two
+    // orientations can't collide), and large-star's raw emissions
+    // (v, m) with v > m are ALREADY down-form — small-star consumes
+    // them directly. Two distincts per round, not four.
+    def sym(down: DataFrame): DataFrame =
+      down.union(down.select(col("v").as("u"), col("u").as("v")))
 
     // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
-    def largeStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("u").agg(min("v").as("mn"))
+    def largeStar(down: DataFrame): DataFrame = {
+      val full = sym(down)
+      val mins = full.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      symmetric(e.join(mins, "u")
+      full.join(mins, "u")
         .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
-    }
-
-    // small-star: over S = {v ∈ Γ(u): v < u}, m = min(S); emit (u, m)
-    // and (v, m) for v ∈ S (the v = m self-row dies in symmetric's
-    // u ≠ v filter). Every undirected edge {a,b}, a<b, passes the
-    // v < u filter exactly once (at u = b), so no edge is orphaned.
-    def smallStar(e: DataFrame): DataFrame = {
-      val down = e.filter(col("v") < col("u"))
-      val mins = down.groupBy("u").agg(min("v").as("m"))
-      symmetric(down.join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v"))))
+        .distinct()
     }
 
-    def signature(e: DataFrame): (Long, Long) = {
+    // small-star: over S = {v ∈ Γ(u): v < u} — in down form exactly
+    // this node's rows — m = min(S); emit (u, m) and (v, m) for v ∈ S
+    // (the v = m self-row dies in the u ≠ v filter)
+    def smallStar(down: DataFrame): DataFrame = {
+      val mins = down.groupBy("u").agg(min("v").as("m"))
+      down.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def signature(down: DataFrame): (Long, Long) = {
       // XOR, not SUM: order-independent over the distinct edge set and
       // can't overflow under ANSI arithmetic
-      val r = e.agg(count(lit(1)),
+      val r = down.agg(count(lit(1)),
         expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
     var edges = pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .filter(col("u") =!= col("v"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
     var prev = signature(edges)
@@ -611,7 +617,7 @@ object Dedup {
         s"connectedComponentsStar did not converge within $maxIter " +
           "rounds - raise maxIter (or pass failOnMaxIter=false to accept " +
           "partial labels)")
-    edges.groupBy("u").agg(min("v").as("mn"))
+    sym(edges).groupBy("u").agg(min("v").as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("component"))
   }
 
