@@ -1603,6 +1603,16 @@ object Queries {
       .orderBy("source")
   }
 
+  /** SQ8 compressed-corpus ANN gate: per-dimension min/max stats, the
+    * 0..255 affine codes, the decode, and the asymmetric cosine top-k
+    * are ALL reproduced by the oracle (double arithmetic end-to-end, so
+    * the scores hash bit-for-bit like q26/q27). */
+  def q87SqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.sqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1700,7 +1710,8 @@ object Queries {
     "q83_grouped_kll_bound" -> (q83GroupedKllBound _),
     "q84_gopher_filter" -> (q84GopherFilter _),
     "q85_components_star" -> (q85ComponentsStar _),
-    "q86_decontaminate_bloom" -> (q86DecontaminateBloom _)
+    "q86_decontaminate_bloom" -> (q86DecontaminateBloom _),
+    "q87_sq_topk" -> (q87SqTopK _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2885,5 +2896,32 @@ object Queries {
     "q81_sessionize_chunked" -> oraclesLiteral("q68_sessionize"),
     "q82_bucketed_hierarchy" -> oraclesLiteral("q46b_catalog_hierarchy"),
     "q85_components_star" -> oraclesLiteral("q50_near_dup_components"),
-    "q86_decontaminate_bloom" -> oraclesLiteral("q54_decontaminate"))
+    "q86_decontaminate_bloom" -> oraclesLiteral("q54_decontaminate"),
+    "q87_sq_topk" ->
+      """WITH dims AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 64) t(i)),
+        |stats AS (
+        | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |  max(CAST(embedding[i] AS DOUBLE)) AS mx
+        | FROM embeddings CROSS JOIN dims GROUP BY i),
+        |codes AS (
+        | SELECT e.vec_id, s.i,
+        |  CASE WHEN (s.mx - s.mn) / 255.0 = 0 THEN 0
+        |   ELSE CAST(round((CAST(e.embedding[s.i] AS DOUBLE) - s.mn)
+        |    / ((s.mx - s.mn) / 255.0)) AS INTEGER) END AS c
+        | FROM embeddings e CROSS JOIN stats s),
+        |deq AS (
+        | SELECT c2.vec_id,
+        |  list(s.mn + c2.c * ((s.mx - s.mn) / 255.0) ORDER BY s.i) AS dv
+        | FROM codes c2 JOIN stats s USING (i) GROUP BY c2.vec_id),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, d.vec_id AS nbr_id,
+        |  list_sum(list_transform(list_zip(q.qe, d.dv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(d.dv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM deq d CROSS JOIN q WHERE d.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        | SELECT query_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -61,6 +61,69 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("nbr_id"), col("t.cos").as("cos"),
         (col("r0") + 1).cast("int").as("rank"))
 
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8) — ANN over a compressed corpus
+  // -------------------------------------------------------------------
+
+  /** Per-dimension corpus [min, max] in ONE partial-agg pass: 2·dim
+    * counters map-side, a single 2·dim-value row to the driver — the
+    * corpus is never exploded or shuffled to learn its ranges. */
+  def sqStats(corpus: DataFrame, dim: Int,
+              vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn$i"),
+        max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i"))
+    }
+    val r = corpus.agg(aggs.head, aggs.drop(1): _*).head()
+    ((0 until dim).map(i => r.getDouble(2 * i)),
+      (0 until dim).map(i => r.getDouble(2 * i + 1)))
+  }
+
+  /** SQ8 encode: per-dimension affine map onto 0..255 (FAISS SQ8 / int8
+    * range quantization) — a float corpus shrinks 4× (constant-range
+    * dims collapse to code 0). Narrow: the 2·dim stats ride the plan as
+    * array literals; `round` is exactly DuckDB's away-from-zero on the
+    * non-negative argument, so the gate reproduces codes bit-for-bit. */
+  def sqEncode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedLit(mins)
+    val scale = typedLit(mins.indices.map(i => (maxs(i) - mins(i)) / 255.0))
+    transform(vec, (x, i) =>
+      when(element_at(scale, i + 1) === 0d, 0)
+        .otherwise(round((x.cast("double") - element_at(mn, i + 1)) /
+          element_at(scale, i + 1)).cast("int")))
+  }
+
+  /** SQ8 decode back to array<double>: mn + code·scale — each element
+    * lands within scale/2 of the original. */
+  def sqDecode(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mn = typedLit(mins)
+    val scale = typedLit(mins.indices.map(i => (maxs(i) - mins(i)) / 255.0))
+    transform(codes, (c, i) =>
+      element_at(mn, i + 1) + c.cast("double") * element_at(scale, i + 1))
+  }
+
+  /** Asymmetric SQ8 top-k: the corpus is held as int8-range CODES (the
+    * compressed index — at 100 TB this is the 4× memory/scan lever and
+    * the shape FAISS calls SQ with asymmetric distance: full-precision
+    * queries, quantized corpus). Codes decode in the scoring map
+    * (narrow), exact cosine against the broadcast queries, BoundedTopK
+    * truncates per map task. Recall loss is the quantization error
+    * only; SimilaritySpec pins top-1 agreement with [[bruteForceTopK]]
+    * on separated clusters and gate q87 pins the whole pipeline
+    * (stats → codes → decode → score) cell-exact vs DuckDB. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = sqStats(corpus, dim, vecCol)
+    val codes = corpus.select(col(idCol).as("nbr_id"),
+      sqEncode(col(vecCol), mins, maxs).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        cosine(col("q_vec"), sqDecode(col("codes"), mins, maxs)))
+    topK(scored, k)
+  }
+
   /** Random-hyperplane signature: bit i = sign(vec · plane_i), planes
     * derived deterministically from splitmix64(plane, dim) → ±1. A custom
     * codegen'd expression (VectorExpressions.HyperplaneSig) — executors

@@ -49,6 +49,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 codes are bounded, decode within scale/2, encode stays narrow") {
+    val corpus = (0L until 60L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqStats(corpus, dim = 12)
+    assert(mins.zip(maxs).forall { case (a, b) => a <= b })
+    val coded = corpus.select($"vec_id", $"embedding",
+      Similarity.sqEncode($"embedding", mins, maxs).as("codes"),
+      Similarity.sqDecode(
+        Similarity.sqEncode($"embedding", mins, maxs), mins, maxs).as("deq"))
+    val rows = coded.as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    rows.foreach { case (id, emb, codes, deq) =>
+      assert(codes.forall(c => c >= 0 && c <= 255), s"id $id codes $codes")
+      emb.indices.foreach { i =>
+        val scale = (maxs(i) - mins(i)) / 255.0
+        assert(math.abs(deq(i) - emb(i)) <= scale / 2 + 1e-12,
+          s"id $id dim $i: ${deq(i)} vs ${emb(i)}")
+      }
+    }
+    // encode is a per-row expression: no Exchange between scan and codes
+    val plan = corpus.select(Similarity.sqEncode($"embedding", mins, maxs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("SQ8 top-k agrees with brute force on separated clusters") {
+    // two well-separated directions: quantization noise cannot flip
+    // cluster membership, so top-1 must agree with exact search
+    val base = vec(16)
+    val other = base.map(-_)
+    def jitter(v: Seq[Float], eps: Float): Seq[Float] =
+      v.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val corpus = ((0L until 20L).map(i => (i, jitter(base, 0.05f))) ++
+      (20L until 40L).map(i => (i, jitter(other, 0.05f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L || $"vec_id" === 25L)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter($"rank" === 1).select("query_id", "nbr_id")
+        .as[(Long, Long)].collect().toMap
+    val exact = top1(Similarity.bruteForceTopK(corpus, queries, 3))
+    val sq = top1(Similarity.sqTopK(corpus, queries, 3, dim = 16))
+    assert(sq.keySet == exact.keySet)
+    // same-cluster guarantee: the sq top-1 lies in the query's cluster
+    assert(sq(0L) < 20L && sq(25L) >= 20L)
+    assert(exact == sq || sq.forall { case (q, n) =>
+      (q < 20L) == (n < 20L) })
+  }
+
   test("hyperplane signature is deterministic and similarity-sensitive") {
     val v = vec(16)
     val near = v.updated(0, v(0) + 0.001f)
