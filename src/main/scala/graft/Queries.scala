@@ -1613,6 +1613,19 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ compressed-corpus ANN gate, deterministic codebooks (subspace
+    * codewords = the first 16 rows' subvectors, SQL-reproducible):
+    * per-subspace L2 codeword assignment, the m-byte codes, the
+    * concatenated reconstruction, and the asymmetric cosine top-k all
+    * replay cell-exact in the oracle. The k-means trainer ([[Similarity.pqTrain]])
+    * swaps in different codebooks without touching this machinery. */
+  def q88PqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqCodebooksFromRows(emb, dim = 64, m = 8, k = 16)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1711,7 +1724,8 @@ object Queries {
     "q84_gopher_filter" -> (q84GopherFilter _),
     "q85_components_star" -> (q85ComponentsStar _),
     "q86_decontaminate_bloom" -> (q86DecontaminateBloom _),
-    "q87_sq_topk" -> (q87SqTopK _)
+    "q87_sq_topk" -> (q87SqTopK _),
+    "q88_pq_topk" -> (q88PqTopK _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2913,6 +2927,37 @@ object Queries {
         | SELECT c2.vec_id,
         |  list(s.mn + c2.c * ((s.mx - s.mn) / 255.0) ORDER BY s.i) AS dv
         | FROM codes c2 JOIN stats s USING (i) GROUP BY c2.vec_id),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, d.vec_id AS nbr_id,
+        |  list_sum(list_transform(list_zip(q.qe, d.dv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(d.dv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM deq d CROSS JOIN q WHERE d.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        | SELECT query_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q88_pq_topk" ->
+      """WITH sub AS (SELECT CAST(s AS INTEGER) AS s FROM generate_series(0, 7) t(s)),
+        |cb AS (
+        | SELECT CAST(vec_id AS INTEGER) AS j, s,
+        |  list_transform(embedding[s*8+1 : s*8+8], x -> CAST(x AS DOUBLE)) AS cw
+        | FROM embeddings CROSS JOIN sub WHERE vec_id < 16),
+        |assg AS (
+        | SELECT e.vec_id, c.s, c.j,
+        |  list_sum(list_transform(list_zip(
+        |    list_transform(e.embedding[c.s*8+1 : c.s*8+8], x -> CAST(x AS DOUBLE)), c.cw),
+        |   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+        | FROM embeddings e CROSS JOIN cb c),
+        |best AS (
+        | SELECT vec_id, s, j FROM (
+        |  SELECT vec_id, s, j,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+        |  FROM assg) WHERE rn = 1),
+        |deq AS (
+        | SELECT b.vec_id, flatten(list(c.cw ORDER BY b.s)) AS dv
+        | FROM best b JOIN cb c ON c.s = b.s AND c.j = b.j GROUP BY b.vec_id),
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |scored AS (
         | SELECT q.query_id, d.vec_id AS nbr_id,

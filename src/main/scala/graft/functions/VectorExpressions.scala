@@ -28,6 +28,11 @@ object VectorExpressions {
   def vecCosine(a: Column, b: Column): Column =
     ColumnShim.column(org.apache.spark.sql.graft.CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Squared L2 distance of two float/double array columns → double
+    * (the PQ codeword-assignment metric). */
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.L2Sq(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Random-hyperplane LSH signature (nPlanes bits packed in a long).
     * Deterministic: plane p's coefficient for dimension d is the ±1 sign
     * of splitmix64(p * GOLDEN + d). */

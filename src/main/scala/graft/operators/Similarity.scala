@@ -124,6 +124,100 @@ object Similarity {
     topK(scored, k)
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) — 32× compressed ANN codes
+  // -------------------------------------------------------------------
+
+  /** PQ codebooks: for each of m subspaces, k codewords of dim/m
+    * doubles (FAISS IVF-PQ's fine quantizer). A 64-dim float vector
+    * (256 B) becomes m=8 byte codes — 32× compression. */
+  type PqCodebooks = Seq[Seq[Seq[Double]]]
+
+  /** Deterministic codebooks — subspace s's codewords are the first k
+    * corpus rows' s-th subvectors (ordered by id). This is the
+    * oracle-checkable choice (gate q88 reproduces it in SQL verbatim);
+    * production training uses [[pqTrain]], whose k-means codebooks
+    * change the CODES but not one line of the encode/decode/score
+    * machinery the gate pins. */
+  def pqCodebooksFromRows(corpus: DataFrame, dim: Int, m: Int, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): PqCodebooks = {
+    val dsub = dim / m
+    val rows = corpus.orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+    (0 until m).map(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)).toSeq)
+  }
+
+  /** Production PQ trainer: seeded k-means per subspace (MLlib, train
+    * time only — query paths never touch ml.linalg). */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int, k: Int,
+              vecCol: String = "embedding"): PqCodebooks = {
+    val dsub = dim / m
+    val toVec = org.apache.spark.sql.functions.udf {
+      (a: scala.collection.Seq[Float]) =>
+        org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
+    }
+    (0 until m).map { s =>
+      val sub = corpus.select(
+        toVec(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(7L + s).setMaxIter(10).fit(sub)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  /** PQ encode: per subspace, the index of the L2-nearest codeword
+    * (ties to the lower index) — m codegen'd [[graft.functions.VectorExpressions.vecL2Sq]]
+    * probes per codeword over the plan-literal codebooks, argmin via
+    * struct-ordered array_min. Narrow: no join, no shuffle between the
+    * vector scan and its codes. */
+  def pqEncode(vec: Column, cb: PqCodebooks): Column = {
+    val m = cb.size
+    val dsub = cb.head.head.size
+    val codes = (0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      val cands = cb(s).indices.map { j =>
+        struct(
+          graft.functions.VectorExpressions
+            .vecL2Sq(sub, typedLit(cb(s)(j))).as("d"),
+          lit(j).as("i"))
+      }
+      array_min(array(cands: _*)).getField("i")
+    }
+    array(codes: _*)
+  }
+
+  /** PQ decode: concatenated chosen codewords → array<double> (the
+    * reconstruction ADC scores against). */
+  def pqDecode(codes: Column, cb: PqCodebooks): Column = {
+    val m = cb.size
+    val parts = (0 until m).map { s =>
+      element_at(typedLit(cb(s)), element_at(codes, s + 1) + 1)
+    }
+    concat(parts: _*)
+  }
+
+  /** Asymmetric PQ top-k: the corpus is held as m small codes (32×
+    * compression at dim 64 / m 8), full-precision queries score the
+    * reconstructions — decode is a narrow literal lookup, cosine is the
+    * codegen'd kernel, BoundedTopK truncates map-side. Equivalent to
+    * classic table-lookup ADC (the table entries ARE codeword dot
+    * products; summing them equals scoring the concatenated
+    * reconstruction), expressed reconstruction-first so the SQL oracle
+    * can replay it cell-exact. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             cb: PqCodebooks,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = corpus.select(col(idCol).as("nbr_id"),
+      pqEncode(col(vecCol), cb).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), pqDecode(col("codes"), cb)))
+    topK(scored, k)
+  }
+
   /** Random-hyperplane signature: bit i = sign(vec · plane_i), planes
     * derived deterministically from splitmix64(plane, dim) → ±1. A custom
     * codegen'd expression (VectorExpressions.HyperplaneSig) — executors

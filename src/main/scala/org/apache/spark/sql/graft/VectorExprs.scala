@@ -62,6 +62,63 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two float/double array columns → double.
+  * Same widen-to-double, left-to-right accumulation contract as
+  * [[CosineSim]], so a SQL oracle's list_sum of squared CASTed
+  * differences matches bit-for-bit. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 case class HyperplaneSig(child: Expression, nPlanes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(nPlanes > 0 && nPlanes <= 63, "nPlanes in 1..63")

@@ -95,6 +95,54 @@ class SimilaritySpec extends SparkSpec {
       (q < 20L) == (n < 20L) })
   }
 
+  test("PQ encode picks the L2-argmin codeword; decode reconstructs it; " +
+      "encode stays narrow") {
+    val corpus = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksFromRows(corpus, dim = 16, m = 4, k = 8)
+    assert(cb.size == 4 && cb.forall(_.size == 8) &&
+      cb.forall(_.forall(_.size == 4)))
+    val rows = corpus.select($"vec_id", $"embedding",
+      Similarity.pqEncode($"embedding", cb).as("codes"),
+      Similarity.pqDecode(
+        Similarity.pqEncode($"embedding", cb), cb).as("deq"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (id, emb, codes, deq) =>
+      assert(codes.size == 4 && deq.size == 16)
+      val embD = emb.map(_.toDouble)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        val sub = embD.slice(s * 4, s * 4 + 4)
+        // driver-side argmin reference, ties to the lower index
+        val want = cb(s).zipWithIndex
+          .map { case (cw, j) => (l2(sub, cw), j) }.min._2
+        assert(c == want, s"id $id subspace $s")
+        assert(deq.slice(s * 4, s * 4 + 4) == cb(s)(c))
+      }
+    }
+    val plan = corpus.select(Similarity.pqEncode($"embedding", cb))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("PQ top-k agrees with brute force on separated clusters") {
+    val base = vec(16)
+    val other = base.map(-_)
+    def jitter(v: Seq[Float], eps: Float): Seq[Float] =
+      v.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val corpus = ((0L until 20L).map(i => (i, jitter(base, 0.05f))) ++
+      (20L until 40L).map(i => (i, jitter(other, 0.05f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L || $"vec_id" === 25L)
+    // trained codebooks (k-means path) — both clusters get codewords,
+    // so reconstructions keep cluster identity
+    val cb = Similarity.pqTrain(corpus, dim = 16, m = 4, k = 4)
+    val sq = Similarity.pqTopK(corpus, queries, 3, cb)
+      .filter($"rank" === 1).select("query_id", "nbr_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sq(0L) < 20L && sq(25L) >= 20L)
+  }
+
   test("hyperplane signature is deterministic and similarity-sensitive") {
     val v = vec(16)
     val near = v.updated(0, v(0) + 0.001f)
