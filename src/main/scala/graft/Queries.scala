@@ -1626,6 +1626,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ persisted-index gate, scale-twin of q88 under the SAME
+    * oracle: the full write-index → prune → ADC-re-rank path with
+    * nProbe = nCells (candidates = whole corpus) must reproduce
+    * [[Similarity.pqTopK]]'s ranking hash-for-hash — the coarse
+    * quantizer can shape PRUNING but must never change the scores. */
+  def q89IvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqCodebooksFromRows(emb, dim = 64, m = 8, k = 16)
+    val centroids = Similarity.trainCentroids(emb, nCells = 16)
+    // per-process path: a fixed tmpdir name would race concurrent runs
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_q89_ivfpq_" +
+      java.lang.ProcessHandle.current().pid()
+    Similarity.writeIvfPqIndex(emb, centroids, cb, path)
+    Similarity.queryIvfPqIndex(s, path, centroids, cb,
+        emb.filter(col("vec_id") < 10), k = 5, nProbe = 16)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1725,7 +1743,8 @@ object Queries {
     "q85_components_star" -> (q85ComponentsStar _),
     "q86_decontaminate_bloom" -> (q86DecontaminateBloom _),
     "q87_sq_topk" -> (q87SqTopK _),
-    "q88_pq_topk" -> (q88PqTopK _)
+    "q88_pq_topk" -> (q88PqTopK _),
+    "q89_ivfpq_index" -> (q89IvfPqIndex _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2938,7 +2957,13 @@ object Queries {
         | SELECT query_id, nbr_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
         | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q88_pq_topk" ->
+    "q88_pq_topk" -> pqTopKOracle,
+    "q89_ivfpq_index" -> pqTopKOracle)
+
+  /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ
+    * index at full probe — same scores by construction). A def, not a
+    * val: the oracles map above initializes first. */
+  private def pqTopKOracle: String =
       """WITH sub AS (SELECT CAST(s AS INTEGER) AS s FROM generate_series(0, 7) t(s)),
         |cb AS (
         | SELECT CAST(vec_id AS INTEGER) AS j, s,
@@ -2968,5 +2993,5 @@ object Queries {
         |SELECT query_id, nbr_id, cos, rank FROM (
         | SELECT query_id, nbr_id, cos,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
-        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -392,6 +392,52 @@ object Similarity {
   }
 
   // -----------------------------------------------------------------
+  // IVF-PQ: coarse cells for pruning + PQ codes for payload
+  // -----------------------------------------------------------------
+
+  /** The FAISS-IVFPQ layout on parquet: every vector lands in its
+    * nearest coarse cell's PARTITION (same pruning contract as
+    * [[writeIvfIndex]]) but stores only its m PQ CODES — at dim 64 /
+    * m 8 the index payload is 32× smaller than the raw-vector IVF
+    * index, which at 100 TB of embeddings is the difference between
+    * re-ranking from disk and re-ranking from page cache. Both
+    * quantizers stay frozen for appends, exactly like
+    * [[appendToIvfIndex]]. */
+  def writeIvfPqIndex(corpus: DataFrame, centroids: Seq[(Int, Array[Float])],
+                      cb: PqCodebooks, path: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+    assignCells(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      centroids, "nbr_vec", 1)
+      .select(col("nbr_id"), pqEncode(col("nbr_vec"), cb).as("codes"),
+        col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** Query the IVF-PQ index: static partition pruning from the probed
+    * cells (identical to [[queryIvfIndex]] — PartitionFilters in the
+    * scan, spec-asserted), then asymmetric ADC re-rank against the
+    * decoded codes. With nProbe = nCells the candidate set is the whole
+    * corpus and the result is exactly [[pqTopK]]'s — gate q89 pins that
+    * equivalence under q88's oracle. */
+  def queryIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      centroids: Seq[(Int, Array[Float])], cb: PqCodebooks,
+                      queries: DataFrame, k: Int, nProbe: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val probed = assignCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      centroids, "q_vec", nProbe)
+    val cells = probed.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("cell_id").isin(cells: _*))
+    val scored = index.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), pqDecode(col("codes"), cb)))
+    topK(scored, k)
+  }
+
+  // -----------------------------------------------------------------
   // Versioned self-contained IVF index (quantizer refresh lifecycle)
   // -----------------------------------------------------------------
 

@@ -253,6 +253,34 @@ class SimilaritySpec extends SparkSpec {
       s"expected partition pruning in:\n$plan")
   }
 
+  test("IVF-PQ index stores codes, prunes partitions, and at full probe " +
+      "equals direct pqTopK") {
+    val corpus = (0L until 50L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i =>
+      i -> Array.tabulate(16)(d => math.cos(i * 16 + d + 1).toFloat))
+    val cb = Similarity.pqCodebooksFromRows(corpus, dim = 16, m = 4, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, cents, cb, dir)
+    // partitioned layout holding codes, not vectors
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.toSet == Set("nbr_id", "codes", "cell_id"))
+    val queries = corpus.filter($"vec_id" < 3)
+    // static partition pruning survives the codes payload
+    val plan = Similarity
+      .queryIvfPqIndex(spark, dir, cents, cb, queries, k = 2, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"expected partition pruning in:\n$plan")
+    // full probe == direct PQ scoring, row for row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val viaIndex = rows(Similarity
+      .queryIvfPqIndex(spark, dir, cents, cb, queries, k = 4, nProbe = 4))
+    val direct = rows(Similarity.pqTopK(corpus, queries, 4, cb))
+    assert(viaIndex == direct)
+  }
+
   test("appendToIvfIndex: appended batch ≡ rebuilding the index whole") {
     val a = (0L until 40L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
     val b = (100L until 120L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
