@@ -413,6 +413,23 @@ object Similarity {
         col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
+  /** Append a batch to an existing [[writeIvfPqIndex]] layout — both
+    * quantizers stay frozen (the coarse one as in [[appendToIvfIndex]];
+    * re-training the PQ codebooks would silently re-code existing
+    * rows, so refreshing either means rewriting the index). New codes
+    * land as new files in their cell partitions; probes see them on
+    * the next read with no rewrite and no shuffle of the index. */
+  def appendToIvfPqIndex(newVecs: DataFrame,
+                         centroids: Seq[(Int, Array[Float])],
+                         cb: PqCodebooks, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit =
+    assignCells(newVecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      centroids, "nbr_vec", 1)
+      .select(col("nbr_id"), pqEncode(col("nbr_vec"), cb).as("codes"),
+        col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+
   /** Query the IVF-PQ index: static partition pruning from the probed
     * cells (identical to [[queryIvfIndex]] — PartitionFilters in the
     * scan, spec-asserted), then asymmetric ADC re-rank against the

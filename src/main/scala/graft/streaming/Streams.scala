@@ -319,6 +319,52 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming ingest into a persisted IVF-PQ index
+   * (`Similarity.writeIvfPqIndex` layout with a `batch=` level, like
+   * [[incrementalVectorIngest]]'s): each micro-batch assigns its
+   * vectors to their frozen coarse cell, PQ-encodes them against the
+   * frozen codebooks, and overwrites its own `batch=<id>` directory —
+   * replayed batches replace, never duplicate, so the ingest is
+   * exactly-once on top of at-least-once delivery. Readers prune on
+   * cell_id exactly as with the batch-built index.
+   */
+  def incrementalPqIngest(vecs: DataFrame,
+                          centroids: Seq[(Int, Array[Float])],
+                          cb: graft.operators.Similarity.PqCodebooks,
+                          indexPath: String, checkpoint: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val conf = vecs.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath)) {
+      val foreign = fs.listStatus(rootPath).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("batch=") || n.startsWith("_") ||
+          n.startsWith("."))
+      require(foreign.isEmpty,
+        s"incrementalPqIngest owns its root; $indexPath already holds " +
+          s"non-batch entries (${foreign.take(3).mkString(", ")}) - a flat " +
+          "writeIvfPqIndex layout cannot mix with the batch= layout")
+    }
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col => c}
+        graft.operators.Similarity.assignCells(
+            batch.select(c(idCol).as("nbr_id"), c(vecCol).as("nbr_vec")),
+            centroids, "nbr_vec", 1)
+          .select(c("nbr_id"),
+            graft.operators.Similarity.pqEncode(c("nbr_vec"), cb).as("codes"),
+            c("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`
     * as parquet. Restartable via the checkpoint dir. */

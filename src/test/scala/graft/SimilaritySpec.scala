@@ -281,6 +281,23 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("appendToIvfPqIndex: appended batch ≡ rebuilding the index whole") {
+    val a = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val b = (100L until 120L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i =>
+      i -> Array.tabulate(16)(d => math.cos(i * 16 + d + 1).toFloat))
+    val cb = Similarity.pqCodebooksFromRows(a, dim = 16, m = 4, k = 8)
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpqi").toString + "/idx"
+    val allDir = java.nio.file.Files.createTempDirectory("ivfpqa").toString + "/idx"
+    Similarity.writeIvfPqIndex(a, cents, cb, incDir)
+    Similarity.appendToIvfPqIndex(b, cents, cb, incDir)
+    Similarity.writeIvfPqIndex(a.unionByName(b), cents, cb, allDir)
+    def all(dir: String) = spark.read.parquet(dir)
+      .select("nbr_id", "codes", "cell_id")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(all(incDir) == all(allDir))
+  }
+
   test("appendToIvfIndex: appended batch ≡ rebuilding the index whole") {
     val a = (0L until 40L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
     val b = (100L until 120L).map(i => (i, vec(12))).toDF("vec_id", "embedding")

@@ -212,6 +212,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalPqIngest streams PQ codes matching the batch index") {
+    implicit val sc = spark.sqlContext
+    def vec(seed: Long) = Array.tabulate(8)(d => math.sin(seed * 8 + d + 1).toFloat)
+    val cents = (0 until 3).map(i =>
+      i -> Array.tabulate(8)(d => math.cos(i * 8 + d + 1).toFloat))
+    val allRows = (0L until 20L).map(i => (i, vec(i)))
+    val cb = graft.operators.Similarity.pqCodebooksFromRows(
+      allRows.take(8).toDF("vec_id", "embedding"), dim = 8, m = 2, k = 4)
+    val dir = Files.createTempDirectory("sivfpq").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.incrementalPqIngest(
+      in.toDF().toDF("vec_id", "embedding"), cents, cb,
+      s"$dir/idx", s"$dir/ckpt")
+    try {
+      in.addData(allRows.take(10): _*)
+      q.processAllAvailable()
+      in.addData(allRows.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/idx")
+        .select("nbr_id", "codes", "cell_id")
+        .as[(Long, Seq[Int], Int)].collect().toSet
+      // identical rows to a one-shot batch build of the same corpus
+      val batchDir = Files.createTempDirectory("bivfpq").toString + "/idx"
+      graft.operators.Similarity.writeIvfPqIndex(
+        allRows.toDF("vec_id", "embedding"), cents, cb, batchDir)
+      val want = spark.read.parquet(batchDir)
+        .select("nbr_id", "codes", "cell_id")
+        .as[(Long, Seq[Int], Int)].collect().toSet
+      assert(got == want && got.size == 20)
+    } finally q.stop()
+  }
+
   test("incrementalTuples writes tuples per micro-batch via foreachBatch") {
     val dir = Files.createTempDirectory("stream")
     val src = dir.resolve("in"); Files.createDirectories(src)
