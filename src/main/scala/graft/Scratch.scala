@@ -74,6 +74,35 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "pqenc") {
+      // Fused PqAssign kernel vs the compositional L2Sq+array_min
+      // encode at 1M synthetic 64-dim vectors (m=8, k=16) — the per-row
+      // cost that dominates a 100 TB encode pass. Timings → PLANS.md.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val n = 1000000L
+      val corpus = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          d => sin(col("id") * 64 + d.cast("double")).cast("float"))
+          .as("embedding"))
+        .localCheckpoint(true)
+      val cbRows = corpus.limit(16)
+      val cb = Similarity.pqCodebooksFromRows(cbRows, dim = 64, m = 8, k = 16)
+      for ((label, enc) <- Seq[(String, org.apache.spark.sql.Column)](
+          ("fused", Similarity.pqEncode(col("embedding"), cb)),
+          ("compositional",
+            Similarity.pqEncodeCompositional(col("embedding"), cb)))) {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          // sum of first codes forces full evaluation, result tiny
+          corpus.select(enc.as("c")).agg(sum(element_at(col("c"), 1))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] pq encode ($label) over ${n} x 64-dim: best " +
+          f"${times.min}%.2f s (${times.map(t => f"$t%.2f").mkString(",")})")
+      }
+      spark.stop(); return
+    }
     if (name == "starcc") {
       // Deep-component rehearsal for connectedComponentsStar: a chain
       // graph whose depth is far past any practical label-prop round

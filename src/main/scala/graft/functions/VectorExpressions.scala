@@ -33,6 +33,13 @@ object VectorExpressions {
   def vecL2Sq(a: Column, b: Column): Column =
     ColumnShim.column(org.apache.spark.sql.graft.L2Sq(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Fused PQ codeword assignment: all m subspace codes in one codegen'd
+    * pass (value-identical to m·k chained [[vecL2Sq]] probes + argmin). */
+  def pqAssign(vec: Column, codebooks: Array[Double],
+               m: Int, k: Int, dsub: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.PqAssign(
+      ColumnShim.expression(vec), codebooks, m, k, dsub))
+
   /** Random-hyperplane LSH signature (nPlanes bits packed in a long).
     * Deterministic: plane p's coefficient for dimension d is the ±1 sign
     * of splitmix64(p * GOLDEN + d). */

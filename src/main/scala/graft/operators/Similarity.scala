@@ -168,11 +168,23 @@ object Similarity {
   }
 
   /** PQ encode: per subspace, the index of the L2-nearest codeword
-    * (ties to the lower index) — m codegen'd [[graft.functions.VectorExpressions.vecL2Sq]]
-    * probes per codeword over the plan-literal codebooks, argmin via
-    * struct-ordered array_min. Narrow: no join, no shuffle between the
+    * (ties to the lower index) — ONE fused codegen'd kernel pass
+    * (PqAssign) over the vector with the codebooks as a referenced
+    * constant; value-identical to the compositional m×k L2Sq +
+    * array_min formulation (spec-pinned), without its per-row struct
+    * array allocation churn. Narrow: no join, no shuffle between the
     * vector scan and its codes. */
   def pqEncode(vec: Column, cb: PqCodebooks): Column = {
+    val m = cb.size
+    val k = cb.head.size
+    val dsub = cb.head.head.size
+    val flat = cb.flatten.flatten.toArray
+    graft.functions.VectorExpressions.pqAssign(vec, flat, m, k, dsub)
+  }
+
+  /** The compositional encode (m×k codegen'd L2Sq probes + struct
+    * argmin) — the witness the fused kernel is spec-pinned against. */
+  private[graft] def pqEncodeCompositional(vec: Column, cb: PqCodebooks): Column = {
     val m = cb.size
     val dsub = cb.head.head.size
     val codes = (0 until m).map { s =>

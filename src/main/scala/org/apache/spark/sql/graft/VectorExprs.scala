@@ -119,6 +119,92 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused PQ codeword assignment: one pass over the vector emits all m
+  * subspace codes (argmin squared-L2 codeword per subspace, ties to the
+  * lower index). Arithmetic contract matches chaining [[L2Sq]] probes
+  * (widen to double, accumulate left-to-right, strict-less argmin), so
+  * swapping this kernel in changes no gated value — it removes the
+  * m×k struct array + array_min allocation churn per row.
+  *
+  * @param codebooks flattened row-major: codeword (s, j) occupies
+  *        [(s·k + j)·dsub, +dsub) */
+case class PqAssign(child: Expression, codebooks: Array[Double],
+                    m: Int, k: Int, dsub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.length == m * k * dsub, "codebooks shape mismatch")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < k) {
+        var d = 0.0
+        var t = 0
+        val base = (s * k + j) * dsub
+        while (t < dsub) {
+          val x = if (isF) v.getFloat(s * dsub + t).toDouble
+                  else v.getDouble(s * dsub + t)
+          val diff = x - codebooks(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
+      val best = ctx.freshName("best"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""
+        |int[] $codes = new int[$m];
+        |for (int $s = 0; $s < $m; $s++) {
+        |  int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+        |  for (int $j = 0; $j < $k; $j++) {
+        |    double $d = 0.0;
+        |    int $base = ($s * $k + $j) * $dsub;
+        |    for (int $t = 0; $t < $dsub; $t++) {
+        |      double $diff = (double) $v.$get($s * $dsub + $t) - $cb[$base + $t];
+        |      $d += $diff * $diff;
+        |    }
+        |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+        |  }
+        |  $codes[$s] = $best;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+}
+
 case class HyperplaneSig(child: Expression, nPlanes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(nPlanes > 0 && nPlanes <= 63, "nPlanes in 1..63")

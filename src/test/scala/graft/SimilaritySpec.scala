@@ -125,6 +125,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("fused PqAssign kernel is value-identical to the compositional " +
+      "L2Sq + array_min encode") {
+    val corpus = (0L until 80L).map(i => (i, vec(24))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksFromRows(corpus, dim = 24, m = 6, k = 8)
+    val both = corpus.select(
+      Similarity.pqEncode($"embedding", cb).as("fused"),
+      Similarity.pqEncodeCompositional($"embedding", cb).as("comp"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    both.foreach { case (f, c) => assert(f == c) }
+  }
+
   test("PQ top-k agrees with brute force on separated clusters") {
     val base = vec(16)
     val other = base.map(-_)
