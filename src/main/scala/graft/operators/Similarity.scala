@@ -562,6 +562,68 @@ object Similarity {
       idCol, vecCol)
   }
 
+  /** Refresh a versioned IVF-PQ index: retrains BOTH quantizers (the
+    * coarse cells and the per-subspace codebooks — either changing
+    * invalidates existing rows, so a refresh always rewrites) and
+    * publishes a complete self-contained version directory
+    * `<root>/v<N>/{centroids, codebooks, cells}` under the same
+    * claim-file CAS + commit-marker-last protocol as
+    * [[refreshIvfIndex]]: concurrent refreshers race on the `.claim`
+    * create(overwrite=false), a version is either invisible or
+    * complete, old versions stay for in-flight readers. */
+  def refreshIvfPqIndex(corpus: DataFrame, nCells: Int, dim: Int, m: Int,
+                        kCodes: Int, root: String,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
+    fs.mkdirs(vdir)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
+    val centroids = trainCentroids(corpus, nCells, vecCol)
+    val cb = pqTrain(corpus, dim, m, kCodes, vecCol)
+    centroids.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/centroids")
+    cb.zipWithIndex.flatMap { case (words, s) =>
+        words.zipWithIndex.map { case (w, j) => (s, j, w) }
+      }.toDF("s", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/codebooks")
+    writeIvfPqIndex(corpus, centroids, cb, s"$root/v$next/cells", idCol, vecCol)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
+    next
+  }
+
+  /** Load the persisted PQ codebooks of one index version. */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      root: String, version: Int): PqCodebooks = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/v$version/codebooks")
+      .select("s", "j", "codeword").as[(Int, Int, Seq[Double])]
+      .collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /** Query the latest COMMITTED version of a versioned IVF-PQ index —
+    * self-contained: resolves the version, loads both persisted
+    * quantizers, probes with partition pruning + ADC re-rank. */
+  def queryVersionedIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                               root: String, queries: DataFrame, k: Int,
+                               nProbe: Int, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val v = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val centroids = readIvfCentroids(spark, root, v)
+    val cb = readPqCodebooks(spark, root, v)
+    queryIvfPqIndex(spark, s"$root/v$v/cells", centroids, cb, queries, k,
+      nProbe, idCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding
     * variant of Dedup): pairs in the same bucket with cosine ≥ threshold.
     * `hotBucketThreshold` is the same skew lever as the text-LSH joins —

@@ -366,6 +366,32 @@ class SimilaritySpec extends SparkSpec {
     assert(v4 == 4 && Similarity.currentIvfVersion(spark, root).contains(4))
   }
 
+  test("versioned IVF-PQ index: refresh retrains both quantizers, cuts " +
+       "over atomically, queries are self-contained") {
+    val a = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val b = (100L until 110L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("vivfpq").toString + "/idx"
+    assert(Similarity.currentIvfVersion(spark, root).isEmpty)
+    val v1 = Similarity.refreshIvfPqIndex(a, nCells = 3, dim = 16, m = 4,
+      kCodes = 4, root)
+    assert(v1 == 1 && Similarity.currentIvfVersion(spark, root).contains(1))
+    assert(Similarity.queryVersionedIvfPqIndex(spark, root, a.limit(2),
+      k = 1, nProbe = 3).count() == 2L)
+    // refresh over a grown corpus: new version, old dir stays readable
+    val v2 = Similarity.refreshIvfPqIndex(a.unionByName(b), nCells = 3,
+      dim = 16, m = 4, kCodes = 4, root)
+    assert(v2 == 2 && Similarity.currentIvfVersion(spark, root).contains(2))
+    assert(new java.io.File(s"$root/v1/cells").exists())
+    assert(Similarity.queryVersionedIvfPqIndex(spark, root, b.limit(2),
+      k = 1, nProbe = 3).count() == 2L)
+    // both persisted quantizers round-trip with the right shapes
+    val cents = Similarity.readIvfCentroids(spark, root, v2)
+    assert(cents.size == 3 && cents.forall(_._2.length == 16))
+    val cb = Similarity.readPqCodebooks(spark, root, v2)
+    assert(cb.size == 4 && cb.forall(_.size == 4) &&
+      cb.forall(_.forall(_.size == 4)))
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // > 64 centroids switches to the single-array-literal formulation;
     // both must assign every vector identically and stay Exchange-free
