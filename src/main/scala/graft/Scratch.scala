@@ -9,8 +9,9 @@ object Scratch {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(sys.env.getOrElse("SCRATCH_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SCRATCH_PARTITIONS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,6 +36,22 @@ object Scratch {
       t = System.nanoTime()
       val lsh = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text", 3, 32, 8)
       println(s"[scratch] lsh rows=${lsh.count()} in ${(System.nanoTime()-t)/1e9}")
+      spark.stop(); return
+    }
+    if (name == "hopwrite") {
+      // q82 stage attribution: edge-union checkpoint vs hop-table write
+      // vs the bucketed query itself (PLANS round-6 #3 jitter pin)
+      var t = System.nanoTime()
+      val edges = graft.Queries.catalogEdgesForScratch(spark, dir)
+        .localCheckpoint(true)
+      println(f"[scratch] edge union+checkpoint: ${(System.nanoTime()-t)/1e9}%.2f s")
+      t = System.nanoTime()
+      graft.sources.GraphStore.writeHopTables(edges, buckets = 8, "scr_hops")
+      println(f"[scratch] writeHopTables: ${(System.nanoTime()-t)/1e9}%.2f s")
+      t = System.nanoTime()
+      val n = graft.plans.QueryCatalog.production(19)
+        .runBucketed(spark, "scr_hops").count()
+      println(f"[scratch] bucketed hierarchy query (rows=$n): ${(System.nanoTime()-t)/1e9}%.2f s")
       spark.stop(); return
     }
     if (name == "skewjoin") {
