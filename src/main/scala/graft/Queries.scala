@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Terms
-import graft.operators.{Corpus, Dedup, GraphBuilder, PathQueries, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, GraphBuilder, PathQueries, SearchIndex, Similarity, TextAnalysis}
 import graft.plans.QueryCatalog
 
 /**
@@ -883,6 +883,11 @@ object Queries {
     (v.localCheckpoint(true), e.localCheckpoint(true))
   }
 
+  /** Scratch-only accessor: the raw catalog edge union (no checkpoint)
+    * for stage-attribution profiling of the bucketed gates. */
+  private[graft] def catalogEdgesForScratch(s: SparkSession, dir: String): DataFrame =
+    catalogGraphRaw(s, dir)._2
+
   private def catalogGraphRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = t(s, dir, "customer").select(col("c_custkey").cast("long").as("c"))
     val clKeys = cust.select((col("c") % 200).as("j")).distinct()
@@ -1644,6 +1649,36 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** The fixed ranked-retrieval queries shared by q90/q91 (tokens drawn
+    * from the synthetic documents vocabulary so every query matches). */
+  private val bm25GateQueries = Seq((0L, "spark window agg"),
+    (1L, "hash join table"), (2L, "stream batch filter"))
+
+  /** BM25 ranked-retrieval gate — the scoring half of the reference's
+    * ArangoSearch views (the N1-N3 gates cover analyzers + token MATCH;
+    * this ranks). Rational idf (lnIdf = false): every operation is IEEE
+    * +,·,/ so the oracle reproduces scores bit-for-bit (the q58 trick);
+    * the production ln-idf path is spec-pinned in SearchIndexSpec. */
+  def q90Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SearchIndex.bm25TopK(t(s, dir, "documents"),
+        bm25GateQueries.toDF("query_id", "qtext"), k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
+  /** BM25 ranked-VIEW twin of q90 under the SAME oracle: build the
+    * bucketed tf/df/meta tables once, probe them — the view only moves
+    * the corpus-statistics pass to build time, so scores must be
+    * hash-identical to the one-shot path. */
+  def q91Bm25View(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SearchIndex.createBm25View(t(s, dir, "documents"), "q91_bm25",
+      buckets = 8)
+    SearchIndex.bm25Query(s, "q91_bm25",
+        bm25GateQueries.toDF("query_id", "qtext"), k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1744,7 +1779,9 @@ object Queries {
     "q86_decontaminate_bloom" -> (q86DecontaminateBloom _),
     "q87_sq_topk" -> (q87SqTopK _),
     "q88_pq_topk" -> (q88PqTopK _),
-    "q89_ivfpq_index" -> (q89IvfPqIndex _)
+    "q89_ivfpq_index" -> (q89IvfPqIndex _),
+    "q90_bm25_topk" -> (q90Bm25TopK _),
+    "q91_bm25_view" -> (q91Bm25View _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -2922,6 +2959,38 @@ object Queries {
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
   )
 
+  /** Shared by q90 (one-shot BM25) and q91 (persisted ranked view) —
+    * rational-idf BM25 with k1 = 1.2, b = 0.75: k1+1 = 2.2, 1−b = 0.25;
+    * the per-doc sum runs over the token-SORTED term list on both
+    * engines so float addition order matches. */
+  private val bm25Oracle: String =
+    """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |meta AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |  CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
+        |q(query_id, qtext) AS (VALUES (0, 'spark window agg'), (1, 'hash join table'), (2, 'stream batch filter')),
+        |qtok AS (SELECT query_id, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> ''))) AS token FROM q),
+        |term AS (
+        | SELECT query_id, doc_id, token,
+        |  (((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |   * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) AS s
+        | FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) JOIN qtok USING (token) CROSS JOIN meta),
+        |scored AS (
+        | SELECT query_id, doc_id, list_sum(list(s ORDER BY token)) AS score
+        | FROM term GROUP BY query_id, doc_id),
+        |ranked AS (
+        | SELECT query_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, doc_id, score, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Scale-path twins gate under the SAME oracle as their exact form:
     * the driver hash-compares the alternative execution strategy
     * against the identical expected output. */
@@ -2958,7 +3027,10 @@ object Queries {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
         | FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q88_pq_topk" -> pqTopKOracle,
-    "q89_ivfpq_index" -> pqTopKOracle)
+    "q89_ivfpq_index" -> pqTopKOracle,
+    "q90_bm25_topk" -> bm25Oracle,
+    "q91_bm25_view" -> bm25Oracle)
+
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ
     * index at full probe — same scores by construction). A def, not a

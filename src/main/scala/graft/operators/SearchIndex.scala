@@ -136,4 +136,143 @@ object SearchIndex {
     dropView(df.sparkSession, table)
     createView(df, idCols, fields, table, buckets, collections)
   }
+
+  // -----------------------------------------------------------------
+  // BM25 ranked retrieval — the scoring half of ArangoSearch views
+  // -----------------------------------------------------------------
+
+  /** Word tokens for ranking: lowercase alphanumeric runs — the same
+    * tokenizer as [[graft.operators.Corpus.tfidfTopTerms]] (ranking
+    * operates on whole words; the n-gram analyzers above serve
+    * substring/typeahead MATCHING, where document frequency is
+    * meaningless). */
+  private def rankTokens(c: Column): Column =
+    filter(split(deAccent(lower(c)), "[^a-z0-9]+"), t => t =!= "")
+
+  /** The BM25 per-term weight over columns (tf, df, dl) and broadcast
+    * stats (__n docs, avgdl):
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`.
+    * `lnIdf = true` is the production Lucene/ArangoSearch idf
+    * `ln(1 + (N−df+0.5)/(df+0.5))`; `lnIdf = false` drops the ln for the
+    * RATIONAL idf — every remaining operation is IEEE +,·,/ so any
+    * engine computes bit-identical doubles and the result can be
+    * oracle-gated (q90/q91), the same trick as the tf·(N/df) gate q58.
+    * Rankings agree whenever idf ordering agrees (ln is monotone). */
+  private def bm25TermScore(k1: Double, b: Double, lnIdf: Boolean): Column = {
+    val idfRaw = (col("__n").cast("double") - col("df") + lit(0.5d)) /
+      (col("df") + lit(0.5d))
+    val idf = if (lnIdf) log1p(idfRaw) else idfRaw
+    idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / col("avgdl")))
+  }
+
+  /** Shared ranking tail: per-term postings (id, token, tf, dl, df) ×
+    * 1-row stats (__n, avgdl) × queries → top-`k` docs per query.
+    *
+    * Shape at 100 TB: the query side is tiny — broadcast onto the
+    * postings so only matching terms survive the scan; the per-(query,
+    * doc) term sum folds a SORTED token array (float addition ordered
+    * the same on every engine AND every partitioning — a plain sum()
+    * of doubles is shuffle-order-dependent); the final top-k is the
+    * BoundedTopK bounded-heap aggregate, truncating to k per map task
+    * BEFORE the query_id shuffle (a rank window would funnel every
+    * scored doc into |queries| tasks). Ties to the lower doc id. */
+  private def bm25Rank(term: DataFrame, stats: DataFrame, queries: DataFrame,
+                       k: Int, k1: Double, b: Double, lnIdf: Boolean,
+                       qIdCol: String, qTextCol: String): DataFrame = {
+    val qtok = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(rankTokens(col(qTextCol)))).as("token"))
+    val scored = term.join(broadcast(qtok), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", bm25TermScore(k1, b, lnIdf))
+    val perDoc = scored.groupBy(col("query_id"), col("id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("token"), col("__s").as("s")))),
+        lit(0.0d), (acc, x) => acc + x.getField("s")).as("score"))
+    perDoc.groupBy("query_id")
+      .agg(graft.functions.VectorExpressions.topKPairs(
+        struct(col("score").cast("double").as("cos"),
+          col("id").cast("long").as("id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("r0", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.cos").as("score"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
+  /** One-shot BM25 top-`k`: corpus statistics (tf, dl, df, N, avgdl) are
+    * derived in-query — two partial aggs over the token stream plus a
+    * vocabulary-sized df agg (Zipf-bounded). For a repeatedly-queried
+    * corpus build [[createBm25View]] once instead and probe it with
+    * [[bm25Query]] — same scores, no per-query corpus pass.
+    * `queries` rows are (`qIdCol`, `qTextCol`). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               qIdCol: String = "query_id", qTextCol: String = "qtext",
+               lnIdf: Boolean = true): DataFrame = {
+    // ONE tokenize+aggregate pass over the corpus: dl (Σ tf per doc),
+    // df, and avgdl (Σ tf / N — identical integers to Σ dl / N) all
+    // derive from the materialized tf, never from a re-scan
+    val tf = docs.select(col(idCol).as("id"),
+        explode(rankTokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val stats = tf.agg(sum("tf").as("__tok")).crossJoin(n)
+      .select(col("__n"),
+        (col("__tok").cast("double") / col("__n")).as("avgdl"))
+    bm25Rank(tf.join(dl, "id").join(dfreq, "token"), stats, queries,
+      k, k1, b, lnIdf, qIdCol, qTextCol)
+  }
+
+  /** Materialized BM25 "ranked view" — the index-build half of the
+    * reference's view lifecycle, extended with ranking statistics:
+    * `<table>` holds the postings (id, token, tf, dl) bucketed+sorted by
+    * token, `<table>_df` the document frequencies bucketed the SAME way
+    * (so the probe-time df join is plan-level shuffle-free), and
+    * `<table>_meta` the 1-row corpus stats (n_docs, avgdl). Build pays
+    * the corpus pass once; every probe is then broadcast-join + bucketed
+    * join + one bounded-top-k shuffle. */
+  def createBm25View(docs: DataFrame, table: String, buckets: Int = 16,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    // one tokenize pass; dl folds back from tf, df/avgdl read the
+    // WRITTEN postings — the corpus text is scanned exactly once
+    val tf = docs.select(col(idCol).as("id"),
+        explode(rankTokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // dl joins tf against itself — scan once
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    Scale.writeBucketed(tf.join(dl, "id"), "token", buckets, table)
+    val written = spark.table(table)
+    Scale.writeBucketed(
+      written.groupBy("token").agg(count(lit(1)).as("df")),
+      "token", buckets, s"${table}_df")
+    Scale.resetManagedTable(spark, s"${table}_meta")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    written.agg(sum("tf").as("__tok")).crossJoin(n)
+      .select(col("__n").as("n_docs"),
+        (col("__tok").cast("double") / col("__n")).as("avgdl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Probe a [[createBm25View]] index: identical scores to [[bm25TopK]]
+    * over the same corpus (spec-pinned; gate q91 runs under q90's
+    * oracle), without re-deriving any corpus statistic. The tf ⋈ df join
+    * is bucket-local — plan-asserted shuffle-free in SearchIndexSpec. */
+  def bm25Query(spark: org.apache.spark.sql.SparkSession, table: String,
+                queries: DataFrame, k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                qIdCol: String = "query_id", qTextCol: String = "qtext",
+                lnIdf: Boolean = true): DataFrame = {
+    val term = spark.table(table).join(spark.table(s"${table}_df"), "token")
+    val stats = spark.table(s"${table}_meta")
+      .select(col("n_docs").as("__n"), col("avgdl"))
+    bm25Rank(term, stats, queries, k, k1, b, lnIdf, qIdCol, qTextCol)
+  }
 }

@@ -54,6 +54,59 @@ class SearchIndexSpec extends SparkSpec {
     assert(ddl.contains("token"), s"expected token bucketing in:\n$ddl")
   }
 
+  test("bm25: production ln-idf scores match the closed form") {
+    // one-term query against a 4-doc corpus: score is hand-computable
+    val docs = Seq(
+      (0L, "apple banana banana"), // tf(banana)=2, dl=3
+      (1L, "apple cherry"),
+      (2L, "banana"),
+      (3L, "date fig grape plum")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "banana")).toDF("query_id", "qtext")
+    val got = SearchIndex.bm25TopK(docs, q, k = 10)
+      .orderBy("rank")
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    val n = 4.0; val df = 2.0; val avgdl = 10.0 / 4.0
+    val idf = math.log1p((n - df + 0.5) / (df + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    // doc 2 (tf=1, dl=1) outranks doc 0 (tf=2, dl=3): length norm
+    assert(got.map(_._1).toSeq == Seq(2L, 0L))
+    assert(math.abs(got(0)._2 - s(1, 1)) < 1e-12)
+    assert(math.abs(got(1)._2 - s(2, 3)) < 1e-12)
+  }
+
+  test("bm25: score ties rank by the lower doc id") {
+    val docs = Seq((7L, "kiwi mango"), (3L, "kiwi mango"), (5L, "pear"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "kiwi mango")).toDF("query_id", "qtext")
+    val got = SearchIndex.bm25TopK(docs, q, k = 5)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 7L))
+  }
+
+  test("bm25 ranked view: probe scores identical to the one-shot path, " +
+       "tf-df join is bucket-local") {
+    val docs = (0L until 60L).map { i =>
+      (i, s"alpha beta w${i % 7} w${i % 11} gamma w${i % 5}")
+    }.toDF("doc_id", "text")
+    val q = Seq((0L, "alpha w3"), (1L, "beta w4 w10")).toDF("query_id", "qtext")
+    SearchIndex.createBm25View(docs, "bm25_probe_view", buckets = 4)
+    val direct = SearchIndex.bm25TopK(docs, q, k = 8)
+    val viaView = SearchIndex.bm25Query(spark, "bm25_probe_view", q, k = 8)
+    assert(direct.orderBy("query_id", "rank").collect().toSeq ==
+      viaView.orderBy("query_id", "rank").collect().toSeq)
+    // the bucketed tf ⋈ df join must not shuffle either side
+    val joinPlan = spark.table("bm25_probe_view")
+      .join(spark.table("bm25_probe_view_df"), "token")
+      .queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      s"expected bucket-local join:\n$joinPlan")
+    SearchIndex.dropView(spark, "bm25_probe_view")
+    SearchIndex.dropView(spark, "bm25_probe_view_df")
+    SearchIndex.dropView(spark, "bm25_probe_view_meta")
+  }
+
   test("view lifecycle: recreate overwrites, drop removes, drop is idempotent") {
     SearchIndex.recreateView(verts.filter(!$"label".contains("macroph")),
       Seq("collection", "key"), fields, "search_view2", buckets = 2)
