@@ -1679,6 +1679,47 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** CDC latest-wins merge gate: orders is the base (version 0); the
+    * updates side rewrites every 7th key at version 1, REPLAYS every
+    * 11th key at version 0 (side tie — updates wins, the correction
+    * convention), and tombstones every 21st key. Exercises all four
+    * outcomes: higher version wins, tie side wins, tombstone drops,
+    * untouched keys keep the base row. */
+  def q92MergeLatest(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        lit(0).as("version"), lit(false).as("deleted"))
+    val upd = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, "U1").otherwise("T0").as("status"),
+        when(col("o_orderkey") % 7 === 0, 1).otherwise(0).as("version"),
+        (col("o_orderkey") % 21 === 0).as("deleted"))
+    graft.operators.Merge.mergeLatest(base, upd, Seq("o_orderkey"),
+        "version", deleteCol = Some("deleted"))
+      .filter(col("o_orderkey") < 400)
+      .select("o_orderkey", "status", "version")
+      .orderBy("o_orderkey")
+  }
+
+  /** The fixed phrases shared by the q93 gate (drawn from the synthetic
+    * vocabulary; lengths 2-3 including one with no matches). */
+  private val phraseGateRows = Seq((0L, "window agg"),
+    (1L, "spark window agg"), (2L, "batch window"), (3L, "slow fast table"))
+
+  /** Phrase-search gate (ArangoSearch PHRASE() on the word tokenizer):
+    * per (phrase, doc) the number of consecutive-token anchor
+    * positions. The engine runs the positional-postings anchor-join
+    * (one broadcast join + one count-distinct-offsets agg — not a
+    * k-way positional self-join); the oracle slides a window over the
+    * token list. */
+  def q93PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SearchIndex.phraseSearch(t(s, dir, "documents"),
+        phraseGateRows.toDF("phrase_id", "phrase"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1781,7 +1822,9 @@ object Queries {
     "q88_pq_topk" -> (q88PqTopK _),
     "q89_ivfpq_index" -> (q89IvfPqIndex _),
     "q90_bm25_topk" -> (q90Bm25TopK _),
-    "q91_bm25_view" -> (q91Bm25View _)
+    "q91_bm25_view" -> (q91Bm25View _),
+    "q92_merge_latest" -> (q92MergeLatest _),
+    "q93_phrase_search" -> (q93PhraseSearch _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3029,7 +3072,39 @@ object Queries {
     "q88_pq_topk" -> pqTopKOracle,
     "q89_ivfpq_index" -> pqTopKOracle,
     "q90_bm25_topk" -> bm25Oracle,
-    "q91_bm25_view" -> bm25Oracle)
+    "q91_bm25_view" -> bm25Oracle,
+    "q92_merge_latest" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_orderstatus AS status, 0 AS version,
+        |  false AS deleted, 0 AS side
+        | FROM orders),
+        |upd AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U1' ELSE 'T0' END AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS version,
+        |  (o_orderkey % 21 = 0) AS deleted, 1 AS side
+        | FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |   ORDER BY version DESC, side DESC) AS rn FROM u)
+        |SELECT o_orderkey, status, version FROM w
+        |WHERE rn = 1 AND NOT deleted AND o_orderkey < 400
+        |ORDER BY o_orderkey""".stripMargin,
+    "q93_phrase_search" ->
+      """WITH d AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        | FROM documents),
+        |p(phrase_id, phrase) AS (VALUES (0, 'window agg'), (1, 'spark window agg'),
+        |  (2, 'batch window'), (3, 'slow fast table')),
+        |pt AS (SELECT phrase_id,
+        |  list_filter(string_split_regex(lower(phrase), '[^a-z0-9]+'), x -> x <> '') AS ptoks
+        | FROM p),
+        |m AS (SELECT phrase_id, doc_id,
+        |  len(list_filter(generate_series(1, len(toks) - len(ptoks) + 1),
+        |    i -> toks[i:i+len(ptoks)-1] = ptoks)) AS n_anchors
+        | FROM d CROSS JOIN pt)
+        |SELECT phrase_id, doc_id, n_anchors FROM m
+        |WHERE n_anchors > 0 ORDER BY phrase_id, doc_id""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

@@ -138,6 +138,53 @@ object SearchIndex {
   }
 
   // -----------------------------------------------------------------
+  // Phrase search — ArangoSearch PHRASE() over positional postings
+  // -----------------------------------------------------------------
+
+  /** Positional postings: one row per (id, token, pos) occurrence —
+    * the index shape phrase/proximity queries need (plain [[postings]]
+    * deduplicates and drops positions). Narrow: one tokenize +
+    * posexplode pass, no shuffle. */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(rankTokens(col(textCol))).as(Seq("pos", "token")))
+
+  /** Exact phrase match (ArangoSearch `PHRASE()` semantics on the word
+    * tokenizer): docs where the phrase's tokens occur CONSECUTIVELY.
+    * `phrases` rows are (`pIdCol`, `pTextCol`); returns (phrase_id,
+    * doc id, n_anchors = number of occurrence start positions).
+    *
+    * Not a k-way self-join of the postings (the textbook positional
+    * intersection — k−1 joins for a k-word phrase): each phrase token j
+    * matches postings at anchor = pos − j, so ONE broadcast join +
+    * one count-distinct-j aggregate finds anchors where ALL k tokens
+    * line up, for every phrase at once. Scales as (postings ⋈ tiny
+    * phrase side) + one shuffle on (phrase, doc, anchor). */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   pIdCol: String = "phrase_id",
+                   pTextCol: String = "phrase"): DataFrame = {
+    val ptok = phrases.select(col(pIdCol).as("phrase_id"),
+        posexplode(rankTokens(col(pTextCol))).as(Seq("__j", "token")))
+    // match rule below counts distinct OFFSETS j, so a phrase with a
+    // repeated token ("a b a") still requires every offset to line up
+    val plen = ptok.groupBy("phrase_id")
+      .agg((max(col("__j")) + 1).as("__len"))
+    positionalPostings(docs, idCol, textCol)
+      .join(broadcast(ptok), "token")
+      .withColumn("__anchor", col("pos") - col("__j"))
+      .filter(col("__anchor") >= 0)
+      .groupBy(col("phrase_id"), col("id"), col("__anchor"))
+      .agg(countDistinct(col("__j")).as("__hit"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("__hit") === col("__len"))
+      .groupBy(col("phrase_id"), col("id"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  // -----------------------------------------------------------------
   // BM25 ranked retrieval — the scoring half of ArangoSearch views
   // -----------------------------------------------------------------
 

@@ -54,6 +54,24 @@ class SearchIndexSpec extends SparkSpec {
     assert(ddl.contains("token"), s"expected token bucketing in:\n$ddl")
   }
 
+  test("phrase search: consecutive tokens only, anchors counted, " +
+       "repeated-token phrases need every offset") {
+    val docs = Seq(
+      (0L, "x alpha beta y"),        // match "alpha beta"
+      (1L, "alpha x beta"),          // NOT consecutive
+      (2L, "w w w"),                 // two anchors for "w w"
+      (3L, "a b a b a"),             // "a b a": anchors at 0 and 2
+      (4L, "a b c a")                // "a b a": b at 1 but no a at 2
+    ).toDF("doc_id", "text")
+    val phrases = Seq((0L, "alpha beta"), (1L, "w w"), (2L, "a b a"))
+      .toDF("phrase_id", "phrase")
+    val got = SearchIndex.phraseSearch(docs, phrases)
+      .orderBy("phrase_id", "doc_id")
+      .select("phrase_id", "doc_id", "n_anchors")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1L), (1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
   test("bm25: production ln-idf scores match the closed form") {
     // one-term query against a 4-doc corpus: score is hand-computable
     val docs = Seq(
