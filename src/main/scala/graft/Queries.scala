@@ -1720,6 +1720,23 @@ object Queries {
       .orderBy("phrase_id", "doc_id")
   }
 
+  /** Bigram-LM quality-scoring gate (CCNet-style): train the add-α
+    * model on the whole documents table, score every document with the
+    * ln-free rational mean-probability form — every op is IEEE +,·,/
+    * folded in bigram-sorted order, so DuckDB reproduces the score
+    * bit-for-bit (the log-space perplexity face is spec-pinned in
+    * CorpusSpec instead). */
+  def q94LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // train on the even half only so the scored half actually exercises
+    // the OOV/smoothing path (a model trained on the full corpus never
+    // sees an unseen bigram)
+    val (bg, ug) = Corpus.trainBigramLm(docs.filter(col("doc_id") % 2 === 0))
+    Corpus.lmScore(docs, bg, ug)
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1824,7 +1841,8 @@ object Queries {
     "q90_bm25_topk" -> (q90Bm25TopK _),
     "q91_bm25_view" -> (q91Bm25View _),
     "q92_merge_latest" -> (q92MergeLatest _),
-    "q93_phrase_search" -> (q93PhraseSearch _)
+    "q93_phrase_search" -> (q93PhraseSearch _),
+    "q94_lm_score" -> (q94LmScore _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3104,7 +3122,33 @@ object Queries {
         |    i -> toks[i:i+len(ptoks)-1] = ptoks)) AS n_anchors
         | FROM d CROSS JOIN pt)
         |SELECT phrase_id, doc_id, n_anchors FROM m
-        |WHERE n_anchors > 0 ORDER BY phrase_id, doc_id""".stripMargin)
+        |WHERE n_anchors > 0 ORDER BY phrase_id, doc_id""".stripMargin,
+    "q94_lm_score" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        | FROM documents),
+        |big AS (
+        | SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |   i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+        |  FROM toks)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY doc_id, w1, w2),
+        |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM big
+        | WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |ug AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM model GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ug),
+        |sc AS (
+        | SELECT d.doc_id, d.w1, d.w2, d.k, m.n12,
+        |  (CAST(coalesce(m.n12, 0) AS DOUBLE) + CAST(0.1 AS DOUBLE)) /
+        |  (CAST(coalesce(u.n1, 0) AS DOUBLE) + CAST(0.1 AS DOUBLE) * v.v) AS p
+        | FROM db d LEFT JOIN model m USING (w1, w2) LEFT JOIN ug u USING (w1) CROSS JOIN v),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN n12 IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+        |  list_sum(list(CAST(k AS DOUBLE) * p ORDER BY w1, w2)) AS s
+        | FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_oov, s / CAST(n_bigrams AS DOUBLE) AS score
+        |FROM agg WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

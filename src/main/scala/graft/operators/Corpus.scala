@@ -398,6 +398,117 @@ object Corpus {
   }
 
   // -----------------------------------------------------------------
+  // Bigram language-model scoring (CCNet-style LM quality filter)
+  // -----------------------------------------------------------------
+
+  /** Consecutive lowercase-alphanumeric token pairs of `textCol` as an
+    * array of (w1, w2) structs — one narrow per-row expression. The
+    * zip of the tokens with their own 1-shifted slice goes empty for
+    * <2-token docs (`sequence` can't: an inferred step counts DOWN for
+    * start > stop and an explicit step 1 throws). */
+  private def bigramPairs(textCol: String): Column = {
+    val t = filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(
+      slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Bigram occurrences counted per document: (idCol, w1, w2, k). The
+    * count is one partial-aggregated shuffle on (doc, w1, w2), which
+    * collapses in-document repetition before any model join. */
+  private def docBigrams(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol), explode(bigramPairs(textCol)).as("__bg"))
+      .select(col(idCol), col("__bg.w1"), col("__bg.w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+
+  /** Train an add-α-ready bigram LM over `docs(textCol)`: returns
+    * (bigrams (w1, w2, n12), unigrams (w1, n1)) where n1 counts w1 as a
+    * bigram HISTORY (= Σ n12 over w2), so Σ_w2 P(w2|w1) = 1 under the
+    * smoothing in [[lmScore]]. One corpus-wide partial-aggregated
+    * shuffle (+ a vocabulary-sized one for histories); the model is
+    * vocabulary-bounded (Zipf), not corpus-bounded. */
+  def trainBigramLm(docs: DataFrame, textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val bg = docs.select(explode(bigramPairs(textCol)).as("__bg"))
+      .select(col("__bg.w1"), col("__bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val ug = bg.groupBy("w1").agg(sum("n12").as("n1"))
+    (bg, ug)
+  }
+
+  /** Score documents under an add-α smoothed bigram LM (the CCNet /
+    * KenLM-style quality signal: in-domain text scores high, gibberish
+    * low — Wenzek et al. 2020). Per bigram
+    * `p = (n12 + α) / (n1 + α·V)` with V = |history vocabulary|; a
+    * document's score is the MEAN smoothed probability of its bigrams —
+    * the ln-free rational form (the q58/q90 trick): every operation is
+    * IEEE +,·,/ folded in bigram-sorted order, so any engine reproduces
+    * it bit-for-bit and the gate (q94) hash-compares cell-exact.
+    * [[lmPerplexity]] is the log-space production twin.
+    *
+    * Returns (idCol, n_bigrams, n_oov, score); documents with fewer than
+    * two tokens have no bigrams and drop out (explode of an empty pair
+    * array — same as the SQL unnest). n_oov counts bigram OCCURRENCES
+    * whose pair the model never saw.
+    *
+    * Shape at 100 TB: doc-side bigrams pre-count per doc (partial agg)
+    * before joining the model on (w1, w2) and histories on w1 — both
+    * vocabulary-sized sides, broadcast-able under AQE when they fit,
+    * shuffle equi-joins (stopword skew AQE-handled) when not; the final
+    * per-doc fold shuffles once on the doc id. Document text itself
+    * never moves. */
+  def lmScore(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              alpha: Double = 0.1): DataFrame = {
+    val v = unigrams.select(count(lit(1)).cast("double").as("__v"))
+    val scored = docBigrams(docs, idCol, textCol)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__p",
+        (coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("n1"), lit(0L)).cast("double") + lit(alpha) * col("__v")))
+    scored.groupBy(col(idCol))
+      .agg(
+        sum("k").as("n_bigrams"),
+        sum(when(col("n12").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        aggregate(
+          sort_array(collect_list(struct(col("w1"), col("w2"),
+            (col("k").cast("double") * col("__p")).as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("__sum"))
+      .withColumn("score", col("__sum") / col("n_bigrams").cast("double"))
+      .drop("__sum")
+  }
+
+  /** Log-space production twin of [[lmScore]]: mean negative log
+    * probability and perplexity `exp(mean_nll)` — the actual CCNet
+    * filter statistic (ln is not bit-portable across engines, so this
+    * face is spec-pinned to [[lmScore]]'s machinery and to a closed-form
+    * fixture rather than SQL-oracle-gated). Same join/fold shape. */
+  def lmPerplexity(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   alpha: Double = 0.1): DataFrame = {
+    val v = unigrams.select(count(lit(1)).cast("double").as("__v"))
+    val scored = docBigrams(docs, idCol, textCol)
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(unigrams, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__lp",
+        log((coalesce(col("n12"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("n1"), lit(0L)).cast("double") + lit(alpha) * col("__v"))))
+    scored.groupBy(col(idCol))
+      .agg(
+        sum("k").as("n_bigrams"),
+        sum(col("k").cast("double") * col("__lp")).as("__sum"))
+      .withColumn("mean_nll", -col("__sum") / col("n_bigrams").cast("double"))
+      .withColumn("perplexity", exp(col("mean_nll")))
+      .drop("__sum")
+  }
+
+  // -----------------------------------------------------------------
   // Exact distribution statistics
   // -----------------------------------------------------------------
 

@@ -383,4 +383,73 @@ class CorpusSpec extends SparkSpec {
     assert(b.getString(0) == "b" && b.getLong(1) == 5L &&
       b.getLong(2) == 9L && b.getLong(3) == 9L && b.getLong(4) == 3L)
   }
+
+  // ---------------------------------------------------------------- bigram LM
+
+  test("bigram LM: closed-form scores on a tiny corpus, in-domain text " +
+    "beats gibberish, perplexity face matches Math.log/exp closed form") {
+    val trainDocs = Seq(
+      (0L, "the cat sat"),
+      (2L, "the cat ran")
+    ).toDF("doc_id", "text")
+    val (bg, ug) = Corpus.trainBigramLm(trainDocs)
+    // model: (the,cat)->2, (cat,sat)->1, (cat,ran)->1; histories:
+    // the->2, cat->2; V = 2
+    val model = bg.orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(model == Seq(("cat", "ran", 1L), ("cat", "sat", 1L),
+      ("the", "cat", 2L)))
+    assert(ug.orderBy("w1").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("cat", 2L), ("the", 2L)))
+
+    val score = Seq(
+      (10L, "the cat sat"),   // all seen
+      (11L, "zz qq"),         // fully OOV
+      (12L, "x")              // <2 tokens: no bigrams, drops out
+    ).toDF("doc_id", "text")
+    val a = 0.1
+    val v = 2.0
+    val got = Corpus.lmScore(score, bg, ug, alpha = a)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L)) // doc 12 dropped
+    // doc 10: p(cat|the)=(2+a)/(2+a*2), p(sat|cat)=(1+a)/(2+a*2)
+    val p1 = (2 + a) / (2 + a * v); val p2 = (1 + a) / (2 + a * v)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 0L)
+    assert(got(0).getDouble(3) == (p1 + p2) / 2.0)
+    // doc 11: one bigram (zz,qq), OOV: p = a/(0 + a*2) = 1/V = 0.5
+    val pOov = a / (a * v)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 1L &&
+      got(1).getDouble(3) == pOov)
+
+    val ppl = Corpus.lmPerplexity(score, bg, ug, alpha = a)
+      .orderBy("doc_id").collect()
+    val nll10 = -(math.log(p1) + math.log(p2)) / 2.0
+    assert(math.abs(ppl(0).getDouble(2) - nll10) < 1e-12)
+    assert(math.abs(ppl(0).getDouble(3) - math.exp(nll10)) < 1e-12)
+    assert(math.abs(ppl(1).getDouble(2) + math.log(pOov)) < 1e-12)
+  }
+
+  test("bigram LM: in-domain text gets lower perplexity than " +
+    "same-vocabulary gibberish (the CCNet filter signal)") {
+    val subjects = Seq("the cat", "the dog", "a bird")
+    val verbs = Seq("sat on", "ran past", "looked at")
+    val objects = Seq("the mat", "the fence", "a tree")
+    val docs = (for {
+      (s, i) <- subjects.zipWithIndex
+      (vb, j) <- verbs.zipWithIndex
+      (o, k) <- objects.zipWithIndex
+    } yield ((i * 9 + j * 3 + k).toLong, s"$s $vb $o")).toDF("doc_id", "text")
+    val (bg, ug) = Corpus.trainBigramLm(docs)
+    // gibberish: same vocabulary, reversed token order per doc breaks
+    // the learned transitions
+    val gib = docs.select(col("doc_id"),
+      array_join(reverse(split(col("text"), " ")), " ").as("text"))
+    val real = Corpus.lmPerplexity(docs, bg, ug)
+      .agg(avg("perplexity")).head().getDouble(0)
+    val fake = Corpus.lmPerplexity(gib, bg, ug)
+      .agg(avg("perplexity")).head().getDouble(0)
+    assert(real < fake,
+      s"in-domain ppl $real should beat reversed-gibberish ppl $fake")
+  }
 }
