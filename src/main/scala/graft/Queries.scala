@@ -1737,6 +1737,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance-weight gate: raw = all documents, target = the
+    * doc_id % 7 slice (a deterministic stand-in for the curated target
+    * corpus). Rational mean-ratio face under the md5-prefix bucket
+    * family — cell-exact in any engine; the log-likelihood-ratio
+    * production face is spec-pinned in CorpusSpec. */
+  def q95DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Corpus.dsirWeights(docs, docs.filter(col("doc_id") % 7 === 0))
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1842,7 +1854,8 @@ object Queries {
     "q91_bm25_view" -> (q91Bm25View _),
     "q92_merge_latest" -> (q92MergeLatest _),
     "q93_phrase_search" -> (q93PhraseSearch _),
-    "q94_lm_score" -> (q94LmScore _)
+    "q94_lm_score" -> (q94LmScore _),
+    "q95_dsir_weights" -> (q95DsirWeights _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3148,6 +3161,32 @@ object Queries {
         |  list_sum(list(CAST(k AS DOUBLE) * p ORDER BY w1, w2)) AS s
         | FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, n_oov, s / CAST(n_bigrams AS DOUBLE) AS score
+        |FROM agg WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "q95_dsir_weights" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        | FROM documents),
+        |big AS (
+        | SELECT doc_id, substr(md5(bg.w1 || ' ' || bg.w2), 1, 2) AS b FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |   i -> {'w1': t[i], 'w2': t[i+1]})) AS bg
+        |  FROM toks)),
+        |rawd AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY b),
+        |tgtd AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM big
+        | WHERE doc_id % 7 = 0 GROUP BY b),
+        |tots AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM rawd) AS nr,
+        | (SELECT CAST(sum(nt) AS DOUBLE) FROM tgtd) AS nt2),
+        |ratio AS (SELECT rawd.b,
+        |  ((CAST(coalesce(tgtd.nt, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / (tots.nt2 + CAST(0.5 AS DOUBLE) * CAST(256 AS DOUBLE)))
+        |  / ((CAST(rawd.n AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / (tots.nr + CAST(0.5 AS DOUBLE) * CAST(256 AS DOUBLE))) AS r
+        | FROM rawd LEFT JOIN tgtd USING (b) CROSS JOIN tots),
+        |db AS (SELECT doc_id, b, count(*) AS k FROM big GROUP BY doc_id, b),
+        |agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+        |  list_sum(list(CAST(k AS DOUBLE) * r ORDER BY b)) AS s
+        | FROM db JOIN ratio USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats, s / CAST(n_feats AS DOUBLE) AS score
         |FROM agg WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)
 
 

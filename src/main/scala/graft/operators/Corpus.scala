@@ -509,6 +509,116 @@ object Corpus {
   }
 
   // -----------------------------------------------------------------
+  // DSIR importance weighting (hashed n-gram importance resampling)
+  // -----------------------------------------------------------------
+
+  /** md5-prefix bucket family: 2 hex chars = 256 buckets, reproducible
+    * in any SQL engine — the q95 gate face. */
+  val md5BucketFamily: (Column, Column) => Column =
+    (w1, w2) => substring(md5(concat_ws(" ", w1, w2)), 1, 2)
+
+  /** xxhash64 bucket family (codegen'd production default): `buckets`
+    * buckets as zero-padded strings so fold order stays total. */
+  def xxhashBucketFamily(buckets: Int): (Column, Column) => Column =
+    (w1, w2) => lpad(pmod(xxhash64(w1, w2), lit(buckets.toLong))
+      .cast("string"), 10, "0")
+
+  /** Hashed-bigram feature-bucket occurrences counted per document:
+    * (idCol, b, k). One narrow explode pass + one partial-aggregated
+    * shuffle on (doc, bucket). */
+  private def docFeatureBuckets(docs: DataFrame, idCol: String,
+      textCol: String, bucketFn: (Column, Column) => Column): DataFrame =
+    docs.select(col(idCol), explode(bigramPairs(textCol)).as("__bg"))
+      .select(col(idCol), bucketFn(col("__bg.w1"), col("__bg.w2")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("k"))
+
+  /** A corpus's feature-bucket distribution: (b, n), ≤ numBuckets rows
+    * — one partial-aggregated shuffle that collapses to bucket
+    * cardinality map-side. */
+  private def bucketDist(docs: DataFrame, textCol: String,
+      bucketFn: (Column, Column) => Column): DataFrame =
+    docs.select(explode(bigramPairs(textCol)).as("__bg"))
+      .select(bucketFn(col("__bg.w1"), col("__bg.w2")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+
+  /** The per-bucket importance ratio `p_target[b] / p_raw[b]` under
+    * add-α smoothed hashed-feature distributions
+    * `p[b] = (n[b] + α) / (N + α·numBuckets)` — a ≤numBuckets-row frame
+    * both weight faces broadcast. */
+  private def dsirRatios(raw: DataFrame, target: DataFrame,
+      textCol: String, alpha: Double, numBuckets: Int,
+      bucketFn: (Column, Column) => Column): DataFrame = {
+    val rawDist = bucketDist(raw, textCol, bucketFn)
+    val tgtDist = bucketDist(target, textCol, bucketFn)
+      .withColumnRenamed("n", "nt")
+    val tots = rawDist.agg(sum("n").cast("double").as("__nr"))
+      .crossJoin(tgtDist.agg(sum("nt").cast("double").as("__nt")))
+    val ab = lit(alpha) * lit(numBuckets.toDouble)
+    rawDist.join(tgtDist, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"),
+        (((coalesce(col("nt"), lit(0L)).cast("double") + alpha) /
+            (col("__nt") + ab)) /
+          ((col("n").cast("double") + alpha) / (col("__nr") + ab)))
+          .as("r"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-bigram feature profile is,
+    * under bag-of-hashed-ngrams generative models of the raw and target
+    * corpora. This face is the ln-free rational form for the q95 gate —
+    * the MEAN per-feature importance ratio `Σ k_b·(p_t[b]/p_r[b]) / n`,
+    * every op IEEE +,·,/ folded in bucket-sorted order so any engine
+    * reproduces it bit-for-bit. [[dsirLogWeights]] is the paper's
+    * log-likelihood-ratio production twin. Returns (idCol, n_feats,
+    * score); <2-token docs have no features and drop out.
+    *
+    * Shape at 100 TB: the two corpus distributions partial-aggregate to
+    * ≤numBuckets rows map-side; the ratio table broadcasts to the
+    * per-doc feature counts (narrow join); the only data-sized shuffles
+    * are the (doc, bucket) pre-count and the final per-doc fold on the
+    * doc id. Document text never moves. */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  alpha: Double = 0.5, numBuckets: Int = 256,
+                  bucketFn: (Column, Column) => Column = md5BucketFamily)
+      : DataFrame = {
+    val ratios = dsirRatios(raw, target, textCol, alpha, numBuckets, bucketFn)
+    docFeatureBuckets(raw, idCol, textCol, bucketFn)
+      .join(broadcast(ratios), "b")
+      .groupBy(col(idCol))
+      .agg(
+        sum("k").as("n_feats"),
+        aggregate(
+          sort_array(collect_list(struct(col("b"),
+            (col("k").cast("double") * col("r")).as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("__sum"))
+      .withColumn("score", col("__sum") / col("n_feats").cast("double"))
+      .drop("__sum")
+  }
+
+  /** Log-space production twin of [[dsirWeights]]: the paper's
+    * importance log-weight `Σ_b k_b·ln(p_t[b]/p_r[b])` (unnormalized —
+    * resampling compares weights across docs, and Gumbel-top-k or
+    * threshold selection both consume it directly; ln is not
+    * bit-portable across engines, so this face is spec-pinned).
+    * Compose with [[stratifiedSampleByWeight]] for the resample step. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     alpha: Double = 0.5, numBuckets: Int = 256,
+                     bucketFn: (Column, Column) => Column = md5BucketFamily)
+      : DataFrame = {
+    val ratios = dsirRatios(raw, target, textCol, alpha, numBuckets, bucketFn)
+    docFeatureBuckets(raw, idCol, textCol, bucketFn)
+      .join(broadcast(ratios), "b")
+      .groupBy(col(idCol))
+      .agg(
+        sum("k").as("n_feats"),
+        sum(col("k").cast("double") * log(col("r"))).as("log_weight"))
+  }
+
+  // -----------------------------------------------------------------
   // Exact distribution statistics
   // -----------------------------------------------------------------
 

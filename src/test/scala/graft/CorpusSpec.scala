@@ -452,4 +452,41 @@ class CorpusSpec extends SparkSpec {
     assert(real < fake,
       s"in-domain ppl $real should beat reversed-gibberish ppl $fake")
   }
+
+  // ---------------------------------------------------------------- DSIR
+
+  test("DSIR: closed-form ratio on a two-bucket family, target-like docs " +
+    "out-weigh off-target docs in both faces") {
+    // deterministic 2-bucket family: bucket by whether w1 sorts before w2
+    val fam: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column =
+      (w1, w2) => when(w1 <= w2, "asc").otherwise("desc")
+    val raw = Seq(
+      (0L, "a b a b"),  // bigrams ab, ba, ab -> asc 2, desc 1
+      (1L, "b a b a"),  // desc 2, asc 1
+      (2L, "a b")       // asc 1
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "a b a b")).toDF("doc_id", "text") // asc 2, desc 1
+    val a = 0.5; val bkts = 2
+    // raw dist: asc 4, desc 3, N=7; target: asc 2, desc 1, N=3
+    val pAsc = ((2 + a) / (3 + a * bkts)) / ((4 + a) / (7 + a * bkts))
+    val pDesc = ((1 + a) / (3 + a * bkts)) / ((3 + a) / (7 + a * bkts))
+    val got = Corpus.dsirWeights(raw, target, alpha = a, numBuckets = bkts,
+        bucketFn = fam).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3L &&
+      got(0).getDouble(2) == (2 * pAsc + 1 * pDesc) / 3.0)
+    assert(got(1).getLong(1) == 3L &&
+      got(1).getDouble(2) == (1 * pAsc + 2 * pDesc) / 3.0)
+    assert(got(2).getLong(1) == 1L && got(2).getDouble(2) == pAsc)
+    // target is asc-heavy: the asc-heavy raw doc must out-weigh the
+    // desc-heavy one in both faces
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+    val lw = Corpus.dsirLogWeights(raw, target, alpha = a,
+        numBuckets = bkts, bucketFn = fam).orderBy("doc_id").collect()
+    val lw0 = 2 * math.log(pAsc) + 1 * math.log(pDesc)
+    val lw1 = 1 * math.log(pAsc) + 2 * math.log(pDesc)
+    assert(math.abs(lw(0).getDouble(2) - lw0) < 1e-12)
+    assert(math.abs(lw(1).getDouble(2) - lw1) < 1e-12)
+    assert(lw(0).getDouble(2) > lw(1).getDouble(2))
+  }
 }
