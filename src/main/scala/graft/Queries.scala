@@ -1749,6 +1749,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid-retrieval gate: reciprocal-rank fusion of the q90 BM25
+    * lexical ranking and a brute-force cosine vector ranking over the
+    * embeddings table (query vectors = vec_ids 0-2, paired with the
+    * three q90 text queries by id — the synthetic stand-in for a real
+    * query's dual text+embedding form; the FUSION mechanism is what the
+    * gate exercises, rank-only so no cross-retriever score mixing). */
+  def q96HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bm25 = SearchIndex.bm25TopK(t(s, dir, "documents"),
+        bm25GateQueries.toDF("query_id", "qtext"), k = 10, lnIdf = false)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 3), k = 10)
+      .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+    SearchIndex.rrfFuse(Seq("bm25" -> bm25, "vec" -> vec))
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1855,7 +1874,8 @@ object Queries {
     "q92_merge_latest" -> (q92MergeLatest _),
     "q93_phrase_search" -> (q93PhraseSearch _),
     "q94_lm_score" -> (q94LmScore _),
-    "q95_dsir_weights" -> (q95DsirWeights _)
+    "q95_dsir_weights" -> (q95DsirWeights _),
+    "q96_hybrid_rrf" -> (q96HybridRrf _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3187,7 +3207,55 @@ object Queries {
         |  list_sum(list(CAST(k AS DOUBLE) * r ORDER BY b)) AS s
         | FROM db JOIN ratio USING (b) GROUP BY doc_id)
         |SELECT doc_id, n_feats, s / CAST(n_feats AS DOUBLE) AS score
-        |FROM agg WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)
+        |FROM agg WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "q96_hybrid_rrf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |meta AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |  CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
+        |q(query_id, qtext) AS (VALUES (0, 'spark window agg'), (1, 'hash join table'), (2, 'stream batch filter')),
+        |qtok AS (SELECT query_id, unnest(list_distinct(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> ''))) AS token FROM q),
+        |term AS (
+        | SELECT query_id, doc_id, token,
+        |  (((CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |   * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)))
+        |  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)) AS s
+        | FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) JOIN qtok USING (token) CROSS JOIN meta),
+        |bscored AS (
+        | SELECT query_id, doc_id, list_sum(list(s ORDER BY token)) AS score
+        | FROM term GROUP BY query_id, doc_id),
+        |bmr AS (SELECT query_id, doc_id, rank FROM (
+        | SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        | FROM bscored) WHERE rank <= 10),
+        |vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+        |vscored AS (
+        | SELECT vq.query_id, c.vec_id AS doc_id,
+        |  list_sum(list_transform(list_zip(vq.qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(vq.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM embeddings c CROSS JOIN vq WHERE c.vec_id <> vq.query_id),
+        |vr AS (SELECT query_id, doc_id, rank FROM (
+        | SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+        | FROM vscored) WHERE rank <= 10),
+        |u AS (
+        | SELECT query_id, doc_id, 'bm25' AS src,
+        |  CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS c FROM bmr
+        | UNION ALL
+        | SELECT query_id, doc_id, 'vec' AS src,
+        |  CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE)) AS c FROM vr),
+        |f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_retrievers,
+        |  list_sum(list(c ORDER BY src)) AS rrf_score FROM u GROUP BY query_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+        |SELECT query_id, doc_id, n_retrievers, rrf_score, rank FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

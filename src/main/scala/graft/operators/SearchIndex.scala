@@ -322,4 +322,48 @@ object SearchIndex {
       .select(col("n_docs").as("__n"), col("avgdl"))
     bm25Rank(term, stats, queries, k, k1, b, lnIdf, qIdCol, qTextCol)
   }
+
+  // -----------------------------------------------------------------
+  // Hybrid retrieval — reciprocal-rank fusion of ranked lists
+  // -----------------------------------------------------------------
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    * hybrid-search combiner for lexical + vector retrieval: each
+    * retriever's ranked list contributes `1 / (rrfK + rank)` per (query,
+    * doc), the fused score is the sum, and the fused ranking re-sorts on
+    * it (ties to the lower doc id). Rank-only fusion needs no score
+    * calibration across retrievers — BM25 scores and cosines never mix —
+    * and every operation is IEEE +,/ folded in retriever-tag-sorted
+    * order, so the q96 gate replays cell-exact in any engine.
+    *
+    * `rankings` pairs a tag with a (qCol, idCol, rankCol) frame — e.g.
+    * `Seq("bm25" -> bm25TopK(...), "vec" -> bruteForceTopK(...))`.
+    * Returns (qCol, idCol, n_retrievers, rrf_score, rank ≤ topK).
+    *
+    * Shape at 100 TB: inputs are already per-query top-k truncated by
+    * their retrievers (BoundedTopK / bm25Rank), so the union carries
+    * O(|queries|·k·|retrievers|) rows — the fusion groupBy and the
+    * per-query rank window are shuffles over that small frame, never
+    * over a corpus. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], rrfK: Int = 60,
+              topK: Int = 10, qCol: String = "query_id",
+              idCol: String = "doc_id", rankCol: String = "rank")
+      : DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col(qCol), col(idCol), lit(tag).as("__src"),
+        (lit(1.0) / (lit(rrfK.toDouble) + col(rankCol).cast("double")))
+          .as("__c"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qCol).orderBy(col("rrf_score").desc, col(idCol).asc)
+    tagged.groupBy(col(qCol), col(idCol))
+      .agg(
+        count(lit(1)).as("n_retrievers"),
+        aggregate(
+          sort_array(collect_list(struct(col("__src"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("rrf_score"))
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= topK)
+  }
 }

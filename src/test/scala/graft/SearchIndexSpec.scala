@@ -136,4 +136,24 @@ class SearchIndexSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("search_view2"))
     SearchIndex.dropView(spark, "search_view2") // ignore-missing
   }
+
+  test("rrf fusion: closed-form scores, overlap outranks either single " +
+    "list, equal-score ties break to the lower doc id") {
+    val bm25 = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
+      (1L, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((0L, 20L, 1), (0L, 40L, 2),
+      (1L, 60L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = SearchIndex.rrfFuse(Seq("bm25" -> bm25, "vec" -> vec))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // query 0: doc 20 appears in both (ranks 2 and 1) and must fuse on top
+    assert(got.take(4).map(_._2).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(got(0)._3 == 2L && got(0)._4 == 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._4 == 1.0 / 61 && got(2)._4 == 1.0 / 62 &&
+      got(3)._4 == 1.0 / 63)
+    // query 1: docs 50 and 60 each rank 1 in one retriever -> equal
+    // score, tie to the lower doc id
+    assert(got.drop(4).map(_._2).toSeq == Seq(50L, 60L))
+    assert(got(4)._4 == got(5)._4)
+  }
 }
