@@ -1768,6 +1768,28 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental-aggregate-maintenance gate: per-status aggregates of
+    * the o_orderkey % 3 ≠ 0 slice (the "base" view) merged with the
+    * % 3 = 0 slice's aggregates (the "delta") must equal the direct
+    * aggregate over all orders — the monoid-merge invariant. Integer
+    * sums + decimal min/max only (no float addition anywhere). */
+  def q97MergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n_orders"),
+        sum("o_custkey").as("sum_cust"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+    graft.operators.Merge.mergeAggregates(
+        aggOf(orders.filter(col("o_orderkey") % 3 =!= 0)),
+        aggOf(orders.filter(col("o_orderkey") % 3 === 0)),
+        Seq("o_orderstatus"),
+        Seq("n_orders" -> "sum", "sum_cust" -> "sum",
+          "min_price" -> "min", "max_price" -> "max"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1875,7 +1897,8 @@ object Queries {
     "q93_phrase_search" -> (q93PhraseSearch _),
     "q94_lm_score" -> (q94LmScore _),
     "q95_dsir_weights" -> (q95DsirWeights _),
-    "q96_hybrid_rrf" -> (q96HybridRrf _)
+    "q96_hybrid_rrf" -> (q96HybridRrf _),
+    "q97_merge_agg" -> (q97MergeAgg _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3255,7 +3278,12 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |  ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
         |SELECT query_id, doc_id, n_retrievers, rrf_score, rank FROM r
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q97_merge_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

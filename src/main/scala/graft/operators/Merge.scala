@@ -53,4 +53,39 @@ object Merge {
     deleteCol.map(d => winner.filter(!coalesce(col(d), lit(false))))
       .getOrElse(winner)
   }
+
+  /** Monoid merge of aggregate tables — the incremental-view-maintenance
+    * counterpart to [[mergeLatest]]: `base` holds per-key aggregates of
+    * everything seen so far, `delta` the same aggregates over new data
+    * only; the merge re-combines per key so the result EQUALS the
+    * aggregate over the union of the raw inputs, without re-reading the
+    * base's raw data. `merge` lists (column → combiner) in output
+    * order; combiners are the re-aggregatable monoids `sum` (also the
+    * combiner for counts: counts add), `min`, `max`. Non-monoid
+    * metrics (avg, ratios) must be carried as their monoid parts
+    * (sum + count) and derived after the merge.
+    *
+    * Shape at 100 TB: one partial-aggregated shuffle over base ∪ delta —
+    * both sides are already key-cardinality (not data-cardinality)
+    * tables, and with a bucketed base the exchange drops to the delta
+    * side only. */
+  def mergeAggregates(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                      merge: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "need at least one merge key")
+    require(base.columns.toSeq == delta.columns.toSeq,
+      s"schemas differ: base ${base.columns.mkString(",")} vs " +
+        s"delta ${delta.columns.mkString(",")}")
+    require(merge.nonEmpty, "need at least one aggregate column")
+    val exprs = merge.map {
+      case (c, "sum") => sum(col(c)).as(c)
+      case (c, "min") => min(col(c)).as(c)
+      case (c, "max") => max(col(c)).as(c)
+      case (c, how) =>
+        throw new IllegalArgumentException(
+          s"column $c: unknown combiner '$how' (sum|min|max)")
+    }
+    base.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+  }
 }

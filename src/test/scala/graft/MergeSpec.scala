@@ -56,6 +56,39 @@ class MergeSpec extends SparkSpec {
       || plan.toLowerCase.contains("max_by"), s"expected max_by agg:\n$plan")
   }
 
+  test("mergeAggregates: merged base+delta equals the direct aggregate " +
+    "over the union, per combiner") {
+    val raw1 = Seq(("a", 1L, 10L), ("a", 2L, 5L), ("b", 3L, 7L))
+      .toDF("k", "x", "y")
+    val raw2 = Seq(("a", 4L, 20L), ("c", 5L, 1L)).toDF("k", "x", "y")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        min("y").as("mn"), max("y").as("mx"))
+    val merged = Merge.mergeAggregates(aggOf(raw1), aggOf(raw2), Seq("k"),
+        Seq("n" -> "sum", "sx" -> "sum", "mn" -> "min", "mx" -> "max"))
+      .orderBy("k").collect()
+    val direct = aggOf(raw1.unionByName(raw2)).orderBy("k").collect()
+    assert(merged.toSeq == direct.toSeq)
+    // closed form for the overlapping key
+    val a = merged(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3L &&
+      a.getLong(2) == 7L && a.getLong(3) == 5L && a.getLong(4) == 20L)
+    // delta-only key appears; base-only key survives untouched
+    assert(merged.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("mergeAggregates: unknown combiner and mismatched schemas are " +
+    "rejected") {
+    val t1 = Seq(("a", 1L)).toDF("k", "x")
+    intercept[IllegalArgumentException] {
+      Merge.mergeAggregates(t1, t1, Seq("k"), Seq("x" -> "avg"))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.mergeAggregates(t1, Seq(("a", 1L)).toDF("k", "z"), Seq("k"),
+        Seq("x" -> "sum"))
+    }
+  }
+
   test("mergeLatest: mismatched schemas are rejected") {
     intercept[IllegalArgumentException] {
       Merge.mergeLatest(base, upd.drop("deleted"), Seq("k"), "version")
