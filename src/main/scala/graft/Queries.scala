@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Terms
-import graft.operators.{Corpus, Dedup, GraphBuilder, PathQueries, SearchIndex, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, GraphAlgos, GraphBuilder, PathQueries, SearchIndex, Similarity, TextAnalysis}
 import graft.plans.QueryCatalog
 
 /**
@@ -1790,6 +1790,42 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** PageRank gate: 5 static iterations (GraphX convention) over a
+    * deterministic graph derived from orders (custkey-mod → orderkey-mod
+    * edges). Every operation is IEEE +,·,/ with source-sorted
+    * contribution folds, so DuckDB's unrolled recursion replays all five
+    * rounds bit-for-bit. */
+  def q98PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.pageRank(edges, iterations = 5).orderBy("node")
+  }
+
+  /** The q98 oracle: 5 PageRank rounds unrolled as CTE pairs (DuckDB
+    * forbids aggregates in a recursive CTE's recursive term). `1−d` is
+    * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
+    * to match the engine bit-for-bit. */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |  list_sum(list(p.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)) AS s
+         | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
+         | GROUP BY e.dst),
+         |p$i AS (SELECT n.node,
+         |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
+         | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
+       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM nodes),
+       |$rounds
+       |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1898,7 +1934,8 @@ object Queries {
     "q94_lm_score" -> (q94LmScore _),
     "q95_dsir_weights" -> (q95DsirWeights _),
     "q96_hybrid_rrf" -> (q96HybridRrf _),
-    "q97_merge_agg" -> (q97MergeAgg _)
+    "q97_merge_agg" -> (q97MergeAgg _),
+    "q98_pagerank" -> (q98PageRank _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3283,7 +3320,8 @@ object Queries {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q98_pagerank" -> pageRankOracle(5))
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

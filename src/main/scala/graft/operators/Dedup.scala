@@ -307,7 +307,7 @@ object Dedup {
     * correctness, and the window covers only the edge-table
     * materialization; callers running many queries concurrently should
     * hand this operator its own session (`spark.newSession`). */
-  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+  private[operators] def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key, "true")
     spark.conf.set(key, "false")

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative whole-graph analytics over edge DataFrames — the
+ * beyond-reference complement to the knowledge-graph traversals in
+ * [[PathQueries]] (which answer per-start-node questions; these rank the
+ * graph globally).
+ *
+ * Scale rules follow [[Dedup.connectedComponents]]: the edge table is
+ * the dominant volume, so it is pre-partitioned on the per-round join
+ * key ONCE (AQE-off capture so localCheckpoint records the
+ * partitioning) and never re-shuffles; each round moves only
+ * rank-sized (|V|) rows plus the map-side-combined contribution
+ * aggregation.
+ */
+object GraphAlgos {
+
+  /** Static PageRank, GraphX convention: ranks start at 1.0 and iterate
+    * `pr'(v) = (1−d) + d·Σ_{u→v} pr(u)/outdeg(u)` for a FIXED number of
+    * rounds, with no dangling-mass redistribution (nodes without
+    * out-edges absorb rank; Spark GraphX's staticPageRank does the
+    * same). Edges are deduplicated first, so parallel edges contribute
+    * once.
+    *
+    * Determinism: each in-neighbor sum folds over the SOURCE-sorted
+    * contribution list and every remaining operation is IEEE +,·,/
+    * (`1−d` is computed as the same IEEE subtraction any engine
+    * evaluates, never a pre-rounded literal), so a fixed iteration
+    * count replays bit-identically anywhere — the q98 gate
+    * hash-compares all five rounds' fixpoint against DuckDB's unrolled
+    * recursion cell-exact.
+    *
+    * Shape at 100 TB: the distinct'd edge table partitions on src once
+    * and its out-degree table inherits that partitioning (partial agg,
+    * no exchange); each round shuffles the |V|-sized rank table to the
+    * edge partitioning for the src join, then the contributions
+    * aggregate on dst with map-side combine. The per-round cost is two
+    * |V|-shuffles + one map-combined |E| aggregation — never a
+    * re-shuffle of the edge table itself (plan-asserted in
+    * GraphAlgosSpec). */
+  def pageRank(edges0: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85, srcCol: String = "src",
+               dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    // out-degree: partial agg over the src-partitioned edges — no exchange
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val base = lit(1.0 - damping) // IEEE 1−d, same bits any engine computes
+    var ranks = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), col("src"),
+          (col("pr") / col("deg").cast("double")).as("c"))
+      val sums = contribs.groupBy(col("dst").as("node"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

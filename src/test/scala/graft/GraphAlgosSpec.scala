@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphAlgos
+
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b, a -> c, b -> c, c -> a
+  private def diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    .toDF("src", "dst")
+
+  test("pageRank: one-iteration closed form on the diamond graph " +
+    "(GraphX convention, no dangling redistribution)") {
+    val d = 0.85
+    val base = 1.0 - d
+    val got = GraphAlgos.pageRank(diamond, iterations = 1)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // outdeg: 1 -> 2, 2 -> 1, 3 -> 1; all ranks start at 1.0
+    assert(got(0) == (1L -> (base + d * (1.0 / 1))))      // from c
+    assert(got(1) == (2L -> (base + d * (1.0 / 2))))      // from a
+    assert(got(2) == (3L -> (base + d * (1.0 / 2 + 1.0 / 1)))) // a then b
+  }
+
+  test("pageRank: five iterations are bit-deterministic across runs and " +
+    "rank the hub above the spokes") {
+    // star with back-edges: every spoke points at the hub, hub points back
+    val star = ((1L to 6L).map(i => (i + 10L, 1L)) ++
+      (1L to 6L).map(i => (1L, i + 10L))).toDF("src", "dst")
+    val a = GraphAlgos.pageRank(star, iterations = 5).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = GraphAlgos.pageRank(star, iterations = 5).orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b) // exact bit equality, not approximate
+    val ranks = a.toMap
+    assert((11L to 16L).forall(sp => ranks(1L) > ranks(sp)),
+      s"hub must out-rank spokes: $ranks")
+    // spokes are symmetric: identical ranks
+    assert((12L to 16L).forall(sp => ranks(sp) == ranks(11L)))
+  }
+
+  test("pageRank iteration never re-shuffles the edge table") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // structural slice of one pageRank round, mirroring the operator
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges =
+        try diamond.select(col("src"), col("dst")).distinct()
+          .repartition(col("src")).localCheckpoint(true)
+        finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1.0))
+      val sums = edges.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      val plan = sums.queryExecution.executedPlan.toString
+      // the checkpointed edges carry hashpartitioning(src) into the deg
+      // aggregation AND both src joins — no exchange anywhere re-keys
+      // the |E|-sized side on src
+      val srcEx = plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning(src"))
+      assert(srcEx == 0, s"edge side must not re-shuffle:\n$plan")
+      // the only exchanges are rank-table-sized: the contribution
+      // aggregation, plus at most a ranks-side re-key (here even that
+      // one vanishes — ranks derive their partitioning from src)
+      val n = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(n >= 1 && n <= 2,
+        s"expected only |V|-sized exchanges, got $n:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
