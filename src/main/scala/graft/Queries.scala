@@ -1802,18 +1802,42 @@ object Queries {
     GraphAlgos.pageRank(edges, iterations = 5).orderBy("node")
   }
 
-  /** The q98 oracle: 5 PageRank rounds unrolled as CTE pairs (DuckDB
+  /** Personalized-PageRank gate: reset mass confined to the node % 50
+    * seed set over the same derived graph as q98 — seeds keep high
+    * rank, unreachable nodes sit at exactly 0. Same oracle family with
+    * a seeded init/base term. */
+  def q99PersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val seeds = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 50 === 0)
+    GraphAlgos.personalizedPageRank(edges, seeds, iterations = 5)
+      .orderBy("node")
+  }
+
+  /** The q98/q99 oracle: PageRank rounds unrolled as CTE pairs (DuckDB
     * forbids aggregates in a recursive CTE's recursive term). `1−d` is
     * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
-    * to match the engine bit-for-bit. */
-  private def pageRankOracle(iters: Int): String = {
+    * to match the engine bit-for-bit; `init`/`seedPred` parameterize
+    * the personalized variant (reset mass on seeds only). */
+  private def pageRankOracle(iters: Int, seedPred: Option[String] = None)
+      : String = {
+    val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val (init, base) = seedPred match {
+      case None => ("CAST(1 AS DOUBLE)", oneMinusD)
+      case Some(p) =>
+        (s"CASE WHEN $p THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
+          s"CASE WHEN $p THEN $oneMinusD ELSE CAST(0 AS DOUBLE) END")
+    }
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (SELECT e.dst AS node,
          |  list_sum(list(p.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)) AS s
          | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
          | GROUP BY e.dst),
          |p$i AS (SELECT n.node,
-         |  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |  $base
          |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
          | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
     }.mkString(",\n")
@@ -1821,7 +1845,7 @@ object Queries {
        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |p0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM nodes),
+       |p0 AS (SELECT node, $init AS pr FROM nodes),
        |$rounds
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }
@@ -1935,7 +1959,8 @@ object Queries {
     "q95_dsir_weights" -> (q95DsirWeights _),
     "q96_hybrid_rrf" -> (q96HybridRrf _),
     "q97_merge_agg" -> (q97MergeAgg _),
-    "q98_pagerank" -> (q98PageRank _)
+    "q98_pagerank" -> (q98PageRank _),
+    "q99_personalized_pagerank" -> (q99PersonalizedPageRank _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3321,7 +3346,9 @@ object Queries {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q98_pagerank" -> pageRankOracle(5))
+    "q98_pagerank" -> pageRankOracle(5),
+    "q99_personalized_pagerank" ->
+      pageRankOracle(5, seedPred = Some("node % 50 = 0")))
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

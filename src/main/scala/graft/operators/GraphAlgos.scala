@@ -43,7 +43,25 @@ object GraphAlgos {
     * GraphAlgosSpec). */
   def pageRank(edges0: DataFrame, iterations: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
-               dstCol: String = "dst"): DataFrame = {
+               dstCol: String = "dst"): DataFrame =
+    run(edges0, None, iterations, damping, srcCol, dstCol)
+
+  /** Personalized PageRank: the reset mass lands ONLY on the `seeds`
+    * node set (init 1 on seeds, 0 elsewhere; per-round base
+    * `(1−d)·1{v ∈ seeds}`), so ranks measure proximity to the seeds —
+    * the "entities related to X" query over a knowledge graph. Same
+    * determinism and shuffle shape as [[pageRank]]; gate q99 replays it
+    * against the q98 oracle family with a seeded base term. */
+  def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5, damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "node"): DataFrame =
+    run(edges0, Some(seeds.select(col(seedCol).as("node")).distinct()),
+      iterations, damping, srcCol, dstCol)
+
+  private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
+                  iterations: Int, damping: Double,
+                  srcCol: String, dstCol: String): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val edges = Dedup.withAqeOff(spark) {
@@ -54,12 +72,22 @@ object GraphAlgos {
     }
     // out-degree: partial agg over the src-partitioned edges — no exchange
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node"))
+    val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
-      .localCheckpoint(true)
-    val base = lit(1.0 - damping) // IEEE 1−d, same bits any engine computes
-    var ranks = nodes.withColumn("pr", lit(1.0))
+    // IEEE 1−d, same bits any engine computes — never a rounded literal
+    val oneMinusD = 1.0 - damping
+    val nodes = (seedsOpt match {
+      case Some(sd) => allNodes
+        .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), lit(false)).as("__seed"))
+      case None => allNodes.withColumn("__seed", lit(true))
+    }).localCheckpoint(true)
+    val base = when(col("__seed"), lit(oneMinusD)).otherwise(lit(0.0))
+    var ranks = nodes
+      .select(col("node"),
+        when(col("__seed"), lit(1.0)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to iterations) {
       val contribs = edges
         .join(deg, "src")

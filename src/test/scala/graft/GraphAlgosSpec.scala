@@ -40,6 +40,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert((12L to 16L).forall(sp => ranks(sp) == ranks(11L)))
   }
 
+  test("personalized pageRank: reset mass confined to seeds, " +
+    "unreachable nodes stay at exactly zero") {
+    // chain 1 -> 2 -> 3, island 9 -> 10; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = 0.85
+    val base = 1.0 - d
+    val got = GraphAlgos.personalizedPageRank(edges, seeds, iterations = 2)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // iter1: pr(1)=base, pr(2)=d*1, pr(3)=d*0=0, island 0
+    // iter2: pr(1)=base, pr(2)=d*base, pr(3)=d*(d*1)
+    assert(got(1L) == base)
+    assert(got(2L) == d * base)
+    assert(got(3L) == d * (d * 1.0))
+    assert(got(9L) == 0.0 && got(10L) == 0.0)
+    // the uniform face stays the old pageRank: every node seeded
+    val uni = GraphAlgos.pageRank(edges, iterations = 2).orderBy("node")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(10L) > 0.0 && uni(1L) == base)
+  }
+
   test("pageRank iteration never re-shuffles the edge table") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
