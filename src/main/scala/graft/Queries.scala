@@ -1850,6 +1850,20 @@ object Queries {
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }
 
+  /** C4 line-dedup gate: build three-line documents (original text, a
+    * corpus-wide footer, the uppercased text) — the footer line occurs
+    * in every doc and must vanish; original/upper lines survive unless
+    * the underlying text is an exact corpus duplicate (the documents
+    * table plants those), in which case the whole doc empties. */
+  def q100LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs3 = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit("\nCOMMON FOOTER\n"), upper(col("text")))
+        .as("text"))
+    Corpus.removeBoilerplateLines(docs3, minDocs = 3)
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1960,7 +1974,8 @@ object Queries {
     "q96_hybrid_rrf" -> (q96HybridRrf _),
     "q97_merge_agg" -> (q97MergeAgg _),
     "q98_pagerank" -> (q98PageRank _),
-    "q99_personalized_pagerank" -> (q99PersonalizedPageRank _)
+    "q99_personalized_pagerank" -> (q99PersonalizedPageRank _),
+    "q100_line_dedup" -> (q100LineDedup _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3348,7 +3363,25 @@ object Queries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q98_pagerank" -> pageRankOracle(5),
     "q99_personalized_pagerank" ->
-      pageRankOracle(5, seedPred = Some("node % 50 = 0")))
+      pageRankOracle(5, seedPred = Some("node % 50 = 0")),
+    "q100_line_dedup" ->
+      """WITH d3 AS (
+        | SELECT doc_id, text || chr(10) || 'COMMON FOOTER' || chr(10) || upper(text) AS text
+        | FROM documents),
+        |l AS (
+        | SELECT doc_id, u.pos AS pos, u.ln AS ln FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)),
+        |   i -> {'pos': i, 'ln': sp[i]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d3))),
+        |hot AS (
+        | SELECT ln FROM l WHERE trim(ln) <> ''
+        | GROUP BY ln HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (
+        | SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+        | FROM l ANTI JOIN hot USING (ln) GROUP BY doc_id)
+        |SELECT d3.doc_id, coalesce(kept.text, '') AS text
+        |FROM d3 LEFT JOIN kept USING (doc_id)
+        |WHERE d3.doc_id < 300 ORDER BY d3.doc_id""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

@@ -509,6 +509,49 @@ object Corpus {
   }
 
   // -----------------------------------------------------------------
+  // Boilerplate line removal (C4-style line-level dedup)
+  // -----------------------------------------------------------------
+
+  /** Remove every line that occurs in at least `minDocs` DISTINCT
+    * documents (the C4 cleaning rule, Raffel et al. 2020 §2.2:
+    * three-sentence/line corpus-level dedup catches navigation chrome,
+    * cookie banners, boilerplate footers). Blank/whitespace-only lines
+    * are never counted as boilerplate (they carry document structure,
+    * and removing "the empty line" corpus-wide would reflow every doc).
+    * Documents whose lines are ALL boilerplate survive with empty text.
+    * Returns (idCol, textCol) with each doc's surviving lines rejoined
+    * in their original order.
+    *
+    * Shape at 100 TB: the line explode is narrow; the hot-line set is
+    * tiny by nature (a line must repeat across ≥minDocs docs to enter,
+    * and the count partial-aggregates map-side), so it broadcasts to a
+    * narrow anti-join on the line scan — document text shuffles exactly
+    * once, for the per-doc reassembly. Set `broadcastHot = false` to
+    * fall back to a shuffled anti-join if a pathological corpus yields
+    * a hot set too large to broadcast. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", minDocs: Int = 3,
+                             broadcastHot: Boolean = true): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot0 = lines
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy("line").agg(countDistinct(col(idCol)).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select("line")
+    val hot = if (broadcastHot) broadcast(hot0) else hot0
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol))
+    // docs that lost every line reappear with empty text
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  // -----------------------------------------------------------------
   // DSIR importance weighting (hashed n-gram importance resampling)
   // -----------------------------------------------------------------
 

@@ -453,6 +453,29 @@ class CorpusSpec extends SparkSpec {
       s"in-domain ppl $real should beat reversed-gibberish ppl $fake")
   }
 
+  // ---------------------------------------------------------------- line dedup
+
+  test("removeBoilerplateLines: corpus-repeated lines vanish, order and " +
+    "blank lines survive, all-boilerplate docs empty out") {
+    val docs = Seq(
+      (1L, "unique one\nFOOTER\n\nkeep me"),
+      (2L, "FOOTER\nunique two"),
+      (3L, "also unique\nFOOTER"),
+      (4L, "FOOTER") // only the boilerplate line -> empties out
+    ).toDF("doc_id", "text")
+    val got = Corpus.removeBoilerplateLines(docs, minDocs = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "unique one\n\nkeep me"), // FOOTER gone, blank line kept, order kept
+      (2L, "unique two"),
+      (3L, "also unique"),
+      (4L, "")))
+    // below the threshold nothing is removed
+    val loose = Corpus.removeBoilerplateLines(docs, minDocs = 5)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(loose.toSeq == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
   // ---------------------------------------------------------------- DSIR
 
   test("DSIR: closed-form ratio on a two-bucket family, target-like docs " +
