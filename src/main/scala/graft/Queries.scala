@@ -1864,6 +1864,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Proximity-search gate (the slop form of q93): token pairs within
+    * 1+slop positions, slop = 2. Counts every qualifying position pair,
+    * so overlapping matches are exercised. */
+  def q101ProximitySearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Seq((0L, "window", "agg"), (1L, "spark", "agg"),
+      (2L, "batch", "window"), (3L, "fast", "slow")).toDF(
+      "pair_id", "token_a", "token_b")
+    SearchIndex.proximitySearch(t(s, dir, "documents"), pairs, slop = 2)
+      .orderBy("pair_id", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Registry + oracles
   // ---------------------------------------------------------------------
@@ -1975,7 +1987,8 @@ object Queries {
     "q97_merge_agg" -> (q97MergeAgg _),
     "q98_pagerank" -> (q98PageRank _),
     "q99_personalized_pagerank" -> (q99PersonalizedPageRank _),
-    "q100_line_dedup" -> (q100LineDedup _)
+    "q100_line_dedup" -> (q100LineDedup _),
+    "q101_proximity_search" -> (q101ProximitySearch _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3381,7 +3394,28 @@ object Queries {
         | FROM l ANTI JOIN hot USING (ln) GROUP BY doc_id)
         |SELECT d3.doc_id, coalesce(kept.text, '') AS text
         |FROM d3 LEFT JOIN kept USING (doc_id)
-        |WHERE d3.doc_id < 300 ORDER BY d3.doc_id""".stripMargin)
+        |WHERE d3.doc_id < 300 ORDER BY d3.doc_id""".stripMargin,
+    "q101_proximity_search" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        | FROM documents),
+        |post AS (
+        | SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |   i -> {'pos': i, 'tok': t[i]})) AS u
+        |  FROM toks)),
+        |p(pair_id, token_a, token_b) AS (VALUES (0, 'window', 'agg'),
+        |  (1, 'spark', 'agg'), (2, 'batch', 'window'), (3, 'fast', 'slow')),
+        |m AS (
+        | SELECT p.pair_id, a.doc_id,
+        |  count(*) AS n_pairs
+        | FROM p
+        |  JOIN post a ON a.tok = p.token_a
+        |  JOIN post b ON b.doc_id = a.doc_id AND b.tok = p.token_b
+        |   AND b.pos - a.pos BETWEEN 1 AND 3
+        | GROUP BY p.pair_id, a.doc_id)
+        |SELECT pair_id, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
+        |FROM m ORDER BY pair_id, doc_id""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

@@ -323,6 +323,36 @@ object SearchIndex {
     bm25Rank(term, stats, queries, k, k1, b, lnIdf, qIdCol, qTextCol)
   }
 
+  /** Ordered proximity search (the slop form of [[phraseSearch]], like
+    * Lucene's `"a b"~N` or ArangoSearch `PHRASE(f, a, n, b)` for token
+    * pairs): per (pair, doc), the number of occurrence position pairs
+    * (pa, pb) with `0 < pb − pa ≤ 1 + slop` — slop 0 degenerates to
+    * adjacent (phrase) matching, spec-pinned ≡ [[phraseSearch]] on
+    * 2-token phrases. `pairs` rows are (pIdCol, aCol, bCol).
+    *
+    * Shape at 100 TB: anchors = postings ⋈ broadcast(pair side) stays
+    * narrow; the candidate join is an equi-join on (doc, token) between
+    * the anchor sliver and the postings — only docs containing token_a
+    * participate, and the position-band filter applies on the joined
+    * rows (never a range/cross join). */
+  def proximitySearch(docs: DataFrame, pairs: DataFrame, slop: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      pIdCol: String = "pair_id", aCol: String = "token_a",
+                      bCol: String = "token_b"): DataFrame = {
+    val post = positionalPostings(docs, idCol, textCol)
+    val aSide = post
+      .join(broadcast(pairs.select(col(pIdCol).as("pair_id"),
+        lower(col(aCol)).as("token"), lower(col(bCol)).as("__tok_b"))),
+        "token")
+      .select(col("pair_id"), col("id"), col("pos").as("__pa"),
+        col("__tok_b").as("token"))
+    aSide.join(post, Seq("token", "id"))
+      .filter((col("pos") - col("__pa")).between(1, 1 + slop))
+      .groupBy(col("pair_id"), col("id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // -----------------------------------------------------------------
   // Hybrid retrieval — reciprocal-rank fusion of ranked lists
   // -----------------------------------------------------------------

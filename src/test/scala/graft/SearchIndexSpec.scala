@@ -137,6 +137,29 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.dropView(spark, "search_view2") // ignore-missing
   }
 
+  test("proximity search: slop 0 equals 2-token phrase search, slop " +
+    "admits gapped pairs and counts overlaps") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha delta beta"),
+      (2L, "alpha x y beta"),
+      (3L, "beta alpha") // wrong order: never matches
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, "alpha", "beta")).toDF("pair_id", "token_a", "token_b")
+    // slop 0: adjacent only — doc1 has alpha@0 beta@1? positions:
+    // alpha0 beta1 gamma2 alpha3 delta4 beta5 -> (0,1) adjacent
+    val adj = SearchIndex.proximitySearch(docs, pairs, slop = 0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(adj.toSeq == Seq((1L, 1L)))
+    val ph = SearchIndex.phraseSearch(docs,
+        Seq((0L, "alpha beta")).toDF("phrase_id", "phrase"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ph.toSeq == adj.toSeq) // slop 0 ≡ phrase on 2-token phrases
+    // slop 2: doc1 gains (3,5) gap-2; doc2's (0,3) is gap-3 -> needs slop 2
+    val prox = SearchIndex.proximitySearch(docs, pairs, slop = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(prox.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("rrf fusion: closed-form scores, overlap outranks either single " +
     "list, equal-score ties break to the lower doc id") {
     val bm25 = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
