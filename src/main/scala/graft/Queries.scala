@@ -1817,6 +1817,41 @@ object Queries {
       .orderBy("node")
   }
 
+  /** HITS gate: 4 unnormalized rounds over the q98 graph — hubs and
+    * authorities replay cell-exact (neighbor-sorted IEEE folds; the
+    * per-round normalization factors out of the ranking and is skipped,
+    * see GraphAlgos.hits). */
+  def q102Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.hits(edges, iterations = 4).orderBy("node")
+  }
+
+  /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
+    * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""aa$i AS (SELECT e.dst AS node,
+         |  list_sum(list(h.hub ORDER BY e.src)) AS v
+         | FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |a$i AS (SELECT n.node, coalesce(aa$i.v, CAST(0 AS DOUBLE)) AS auth
+         | FROM nodes n LEFT JOIN aa$i USING (node)),
+         |hh$i AS (SELECT e.src AS node,
+         |  list_sum(list(a.auth ORDER BY e.dst)) AS v
+         | FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |h$i AS (SELECT n.node, coalesce(hh$i.v, CAST(0 AS DOUBLE)) AS hub
+         | FROM nodes n LEFT JOIN hh$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
+       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+       |$rounds
+       |SELECT h$iters.node, h$iters.hub, a$iters.auth
+       |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
+  }
+
   /** The q98/q99 oracle: PageRank rounds unrolled as CTE pairs (DuckDB
     * forbids aggregates in a recursive CTE's recursive term). `1−d` is
     * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
@@ -1988,7 +2023,8 @@ object Queries {
     "q98_pagerank" -> (q98PageRank _),
     "q99_personalized_pagerank" -> (q99PersonalizedPageRank _),
     "q100_line_dedup" -> (q100LineDedup _),
-    "q101_proximity_search" -> (q101ProximitySearch _)
+    "q101_proximity_search" -> (q101ProximitySearch _),
+    "q102_hits" -> (q102Hits _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3415,7 +3451,8 @@ object Queries {
         |   AND b.pos - a.pos BETWEEN 1 AND 3
         | GROUP BY p.pair_id, a.doc_id)
         |SELECT pair_id, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
-        |FROM m ORDER BY pair_id, doc_id""".stripMargin)
+        |FROM m ORDER BY pair_id, doc_id""".stripMargin,
+    "q102_hits" -> hitsOracle(4))
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

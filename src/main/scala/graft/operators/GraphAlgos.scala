@@ -59,6 +59,68 @@ object GraphAlgos {
     run(edges0, Some(seeds.select(col(seedCol).as("node")).distinct()),
       iterations, damping, srcCol, dstCol)
 
+  /** HITS hubs & authorities (Kleinberg 1999): `iterations` rounds of
+    * `auth(v) = Σ_{u→v} hub(u)` then `hub(v) = Σ_{v→w} auth(w)`, hubs
+    * initialized to 1. UNNORMALIZED by default — the per-round scaling
+    * divides both vectors by a scalar, so it factors out of the ranking
+    * entirely, and skipping it keeps every operation IEEE +,· with
+    * neighbor-sorted folds (gate q102 replays cell-exact in DuckDB);
+    * `normalize = true` divides each final vector by its max (max is
+    * fold-order-free, division exact). Values grow ≤ maxdeg^(2·rounds):
+    * keep rounds small or normalize for degree-billions graphs.
+    *
+    * Shape at 100 TB: TWO checkpointed edge copies — partitioned by src
+    * (hub phase) and by dst (auth phase), the hop-table trick — so
+    * neither phase ever re-shuffles edges; each phase is one |V|-sized
+    * rank join + one map-side-combined aggregation. */
+  def hits(edges0: DataFrame, iterations: Int = 4,
+           srcCol: String = "src", dstCol: String = "dst",
+           normalize: Boolean = false): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    val (eBySrc, eByDst) = Dedup.withAqeOff(spark) {
+      val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+      (e.repartition(col("src")).localCheckpoint(true),
+        e.repartition(col("dst")).localCheckpoint(true))
+    }
+    val nodes = eBySrc.select(col("src").as("node"))
+      .union(eBySrc.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var hubs = nodes.withColumn("hub", lit(1.0))
+    var auths = nodes.withColumn("auth", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val aSums = eBySrc.join(hubs, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("src"), col("hub").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+      auths = nodes.join(aSums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      val hSums = eByDst.join(auths, col("dst") === col("node"))
+        .groupBy(col("src").as("node"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("dst"), col("auth").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+      hubs = nodes.join(hSums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+    }
+    val out = hubs.join(auths, "node")
+    if (!normalize) out
+    else {
+      val m = out.agg(max(col("hub")).as("__mh"), max(col("auth")).as("__ma"))
+      out.crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("__mh") > 0, col("hub") / col("__mh"))
+            .otherwise(col("hub")).as("hub"),
+          when(col("__ma") > 0, col("auth") / col("__ma"))
+            .otherwise(col("auth")).as("auth"))
+    }
+  }
+
   private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
                   iterations: Int, damping: Double,
                   srcCol: String, dstCol: String): DataFrame = {

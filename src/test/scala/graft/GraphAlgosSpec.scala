@@ -62,6 +62,22 @@ class GraphAlgosSpec extends SparkSpec {
     assert(uni(10L) > 0.0 && uni(1L) == base)
   }
 
+  test("hits: one-round closed form on the diamond, normalization " +
+    "preserves ranking with max pinned to 1") {
+    // diamond: 1->2, 1->3, 2->3, 3->1; hubs start at 1
+    // round 1: auth(1)=h(3)=1; auth(2)=h(1)=1; auth(3)=h(1)+h(2)=2
+    //          hub(1)=a(2)+a(3)=3; hub(2)=a(3)=2; hub(3)=a(1)=1
+    val got = GraphAlgos.hits(diamond, iterations = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 3.0, 1.0), (2L, 2.0, 1.0), (3L, 1.0, 2.0)))
+    val norm = GraphAlgos.hits(diamond, iterations = 1, normalize = true)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(norm.toSeq == Seq((1L, 1.0, 0.5), (2L, 2.0 / 3, 0.5),
+      (3L, 1.0 / 3, 1.0)))
+  }
+
   test("pageRank iteration never re-shuffles the edge table") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
