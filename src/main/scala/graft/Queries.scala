@@ -1828,6 +1828,18 @@ object Queries {
     GraphAlgos.hits(edges, iterations = 4).orderBy("node")
   }
 
+  /** Weighted-PageRank gate: same graph with per-edge weights (parallel
+    * orders pre-aggregated to unique (src, dst) pairs carrying summed
+    * integer weights); rank splits over out-edges proportionally. */
+  def q103WeightedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w0"))
+      .groupBy("src", "dst").agg(sum("w0").as("w"))
+    GraphAlgos.weightedPageRank(edges, iterations = 5).orderBy("node")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int): String = {
@@ -1857,8 +1869,8 @@ object Queries {
     * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
     * to match the engine bit-for-bit; `init`/`seedPred` parameterize
     * the personalized variant (reset mass on seeds only). */
-  private def pageRankOracle(iters: Int, seedPred: Option[String] = None)
-      : String = {
+  private def pageRankOracle(iters: Int, seedPred: Option[String] = None,
+                             weighted: Boolean = false): String = {
     val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
     val (init, base) = seedPred match {
       case None => ("CAST(1 AS DOUBLE)", oneMinusD)
@@ -1866,9 +1878,12 @@ object Queries {
         (s"CASE WHEN $p THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
           s"CASE WHEN $p THEN $oneMinusD ELSE CAST(0 AS DOUBLE) END")
     }
+    val contrib =
+      if (weighted) "p.pr * (CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE))"
+      else "p.pr / CAST(d.deg AS DOUBLE)"
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (SELECT e.dst AS node,
-         |  list_sum(list(p.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)) AS s
+         |  list_sum(list($contrib ORDER BY e.src)) AS s
          | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
          | GROUP BY e.dst),
          |p$i AS (SELECT n.node,
@@ -1876,9 +1891,17 @@ object Queries {
          |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
          | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
-       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    val eCte =
+      if (weighted)
+        """e AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
+          |  CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w
+          | FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2),
+          |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
+      else
+        """e AS (SELECT DISTINCT o_custkey % 200 AS src,
+          |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
+    s"""WITH $eCte,
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |p0 AS (SELECT node, $init AS pr FROM nodes),
        |$rounds
@@ -2024,7 +2047,8 @@ object Queries {
     "q99_personalized_pagerank" -> (q99PersonalizedPageRank _),
     "q100_line_dedup" -> (q100LineDedup _),
     "q101_proximity_search" -> (q101ProximitySearch _),
-    "q102_hits" -> (q102Hits _)
+    "q102_hits" -> (q102Hits _),
+    "q103_weighted_pagerank" -> (q103WeightedPageRank _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3452,7 +3476,8 @@ object Queries {
         | GROUP BY p.pair_id, a.doc_id)
         |SELECT pair_id, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
         |FROM m ORDER BY pair_id, doc_id""".stripMargin,
-    "q102_hits" -> hitsOracle(4))
+    "q102_hits" -> hitsOracle(4),
+    "q103_weighted_pagerank" -> pageRankOracle(5, weighted = true))
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

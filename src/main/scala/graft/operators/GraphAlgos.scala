@@ -44,7 +44,20 @@ object GraphAlgos {
   def pageRank(edges0: DataFrame, iterations: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
                dstCol: String = "dst"): DataFrame =
-    run(edges0, None, iterations, damping, srcCol, dstCol)
+    run(edges0, None, iterations, damping, srcCol, dstCol, None)
+
+  /** Weighted PageRank: each edge carries `weightCol` and u's rank
+    * splits over out-edges proportionally — contribution
+    * `pr(u)·(w(u,v)/W(u))` with `W(u) = Σ out-weights`. Precondition:
+    * (src, dst) pairs are UNIQUE in `edges0` (pre-aggregate parallel
+    * edges; the unweighted faces dedup internally, this one cannot
+    * without guessing a combine rule). Same determinism contract
+    * (sorted folds, IEEE ops — gate q103) and shuffle shape. */
+  def weightedPageRank(edges0: DataFrame, iterations: Int = 5,
+                       damping: Double = 0.85, srcCol: String = "src",
+                       dstCol: String = "dst",
+                       weightCol: String = "w"): DataFrame =
+    run(edges0, None, iterations, damping, srcCol, dstCol, Some(weightCol))
 
   /** Personalized PageRank: the reset mass lands ONLY on the `seeds`
     * node set (init 1 on seeds, 0 elsewhere; per-round base
@@ -57,7 +70,7 @@ object GraphAlgos {
                            srcCol: String = "src", dstCol: String = "dst",
                            seedCol: String = "node"): DataFrame =
     run(edges0, Some(seeds.select(col(seedCol).as("node")).distinct()),
-      iterations, damping, srcCol, dstCol)
+      iterations, damping, srcCol, dstCol, None)
 
   /** HITS hubs & authorities (Kleinberg 1999): `iterations` rounds of
     * `auth(v) = Σ_{u→v} hub(u)` then `hub(v) = Σ_{v→w} auth(w)`, hubs
@@ -123,17 +136,25 @@ object GraphAlgos {
 
   private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
                   iterations: Int, damping: Double,
-                  srcCol: String, dstCol: String): DataFrame = {
+                  srcCol: String, dstCol: String,
+                  weightCol: Option[String]): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val edges = Dedup.withAqeOff(spark) {
-      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct()
-        .repartition(col("src"))
-        .localCheckpoint(true)
+      val sel = weightCol match {
+        case Some(w) => edges0.select(col(srcCol).as("src"),
+          col(dstCol).as("dst"), col(w).as("__w"))
+        case None => edges0.select(col(srcCol).as("src"),
+          col(dstCol).as("dst")).distinct()
+      }
+      sel.repartition(col("src")).localCheckpoint(true)
     }
-    // out-degree: partial agg over the src-partitioned edges — no exchange
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // out-degree (or out-weight total): partial agg over the
+    // src-partitioned edges — no exchange
+    val deg = weightCol match {
+      case Some(_) => edges.groupBy("src").agg(sum(col("__w")).as("deg"))
+      case None => edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    }
     val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
@@ -151,11 +172,16 @@ object GraphAlgos {
       .select(col("node"),
         when(col("__seed"), lit(1.0)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to iterations) {
+      val contribution = weightCol match {
+        // weighted: pr·(w/W) — two IEEE ops, mirrored in the oracle
+        case Some(_) => col("pr") *
+          (col("__w").cast("double") / col("deg").cast("double"))
+        case None => col("pr") / col("deg").cast("double")
+      }
       val contribs = edges
         .join(deg, "src")
         .join(ranks, col("src") === col("node"))
-        .select(col("dst"), col("src"),
-          (col("pr") / col("deg").cast("double")).as("c"))
+        .select(col("dst"), col("src"), contribution.as("c"))
       val sums = contribs.groupBy(col("dst").as("node"))
         .agg(aggregate(
           sort_array(collect_list(struct(col("src"), col("c")))),

@@ -62,6 +62,25 @@ class GraphAlgosSpec extends SparkSpec {
     assert(uni(10L) > 0.0 && uni(1L) == base)
   }
 
+  test("weightedPageRank: uniform weights equal the unweighted face, " +
+    "skewed weights shift mass to the heavy edge") {
+    val uni = diamond.withColumn("w", lit(7L))
+    val a = GraphAlgos.weightedPageRank(uni, iterations = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = GraphAlgos.pageRank(diamond, iterations = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // same split ratios -> same ranks (7/14 = 1/2 exactly in binary)
+    assert(a.toSeq == b.toSeq)
+    // node 1 splits 3:1 toward node 2 -> node 2 must now out-rank the
+    // uniform-split value, node 3 fall below it
+    val sk = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val w = GraphAlgos.weightedPageRank(sk, iterations = 3)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val u = b.toMap
+    assert(w(2L) > u(2L) && w(3L) < u(3L))
+  }
+
   test("hits: one-round closed form on the diamond, normalization " +
     "preserves ranking with max pinned to 1") {
     // diamond: 1->2, 1->3, 2->3, 3->1; hubs start at 1
