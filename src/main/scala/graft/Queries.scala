@@ -1840,6 +1840,20 @@ object Queries {
     GraphAlgos.weightedPageRank(edges, iterations = 5).orderBy("node")
   }
 
+  /** Multi-source shortest-paths gate: hop distances from the node % 50
+    * landmark set over the q98 graph, capped at 6 hops — pure integer
+    * arithmetic against a bounded recursive CTE. */
+  def q104ShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val landmarks = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 50 === 0)
+    GraphAlgos.shortestPaths(edges, landmarks, maxHops = 6)
+      .orderBy("node", "landmark")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int): String = {
@@ -2048,7 +2062,8 @@ object Queries {
     "q100_line_dedup" -> (q100LineDedup _),
     "q101_proximity_search" -> (q101ProximitySearch _),
     "q102_hits" -> (q102Hits _),
-    "q103_weighted_pagerank" -> (q103WeightedPageRank _)
+    "q103_weighted_pagerank" -> (q103WeightedPageRank _),
+    "q104_shortest_paths" -> (q104ShortestPaths _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3477,7 +3492,19 @@ object Queries {
         |SELECT pair_id, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs
         |FROM m ORDER BY pair_id, doc_id""".stripMargin,
     "q102_hits" -> hitsOracle(4),
-    "q103_weighted_pagerank" -> pageRankOracle(5, weighted = true))
+    "q103_weighted_pagerank" -> pageRankOracle(5, weighted = true),
+    "q104_shortest_paths" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+        |r(node, landmark, dist) AS (
+        | SELECT node, node, 0 FROM seeds
+        | UNION ALL
+        | SELECT e.dst, r.landmark, r.dist + 1
+        | FROM r JOIN e ON e.src = r.node WHERE r.dist < 6)
+        |SELECT node, landmark, CAST(min(dist) AS INTEGER) AS dist
+        |FROM r GROUP BY node, landmark ORDER BY node, landmark""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

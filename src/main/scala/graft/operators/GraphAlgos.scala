@@ -134,6 +134,60 @@ object GraphAlgos {
     }
   }
 
+  /** Multi-source BFS shortest paths (GraphX ShortestPaths analog):
+    * hop distance from every `landmarks` node to every node it reaches
+    * along edge direction, capped at `maxHops`. Returns (node,
+    * landmark, dist) — pure integer arithmetic, so the q104 gate is
+    * trivially exact in any engine.
+    *
+    * Shape at 100 TB: the frontier is (reached × landmarks)-sized and
+    * min-combines per round with map-side partial aggregation; the edge
+    * table pre-partitions on src once and never re-shuffles (the
+    * frontier joins it on its partitioning key). Rounds stop early via
+    * an accumulator the moment no distance improves — each round is ONE
+    * job, the [[Dedup.connectedComponents]] pattern. */
+  def shortestPaths(edges0: DataFrame, landmarks: DataFrame,
+                    maxHops: Int = 6, srcCol: String = "src",
+                    dstCol: String = "dst",
+                    landmarkCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    var dists = landmarks
+      .select(col(landmarkCol).as("node")).distinct()
+      .select(col("node"), col("node").as("landmark"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    val outSchema = org.apache.spark.sql.types.StructType(dists.schema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    var hop = 0
+    var changed = true
+    while (changed && hop < maxHops) {
+      val acc = spark.sparkContext.longAccumulator(s"graft.sp.improved.$hop")
+      val step = edges.join(dists, col("src") === col("node"))
+        .select(col("dst").as("node"), col("landmark"),
+          (col("dist") + 1).as("dist"), lit(null).cast("int").as("old"))
+      val merged = dists.withColumn("old", col("dist"))
+        .unionByName(step)
+        .groupBy("node", "landmark")
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
+      // a (node, landmark) pair improves when the new min beats every
+      // previously-known distance (old is null for first-reached pairs)
+      val updated = merged.map { r =>
+        if (r.isNullAt(3) || r.getInt(2) < r.getInt(3)) acc.add(1L)
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
+      }(enc).localCheckpoint(true)
+      dists = updated
+      changed = acc.value > 0
+      hop += 1
+    }
+    dists
+  }
+
   private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
                   iterations: Int, damping: Double,
                   srcCol: String, dstCol: String,

@@ -97,6 +97,27 @@ class GraphAlgosSpec extends SparkSpec {
       (3L, 1.0 / 3, 1.0)))
   }
 
+  test("shortestPaths: multi-landmark BFS distances, hop cap respected, " +
+    "unreachable pairs absent, early convergence exact") {
+    // chain 1->2->3->4, shortcut 1->4, island 9->10; landmarks {1, 9}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (9L, 10L))
+      .toDF("src", "dst")
+    val lm = Seq(1L, 9L).toDF("node")
+    val got = GraphAlgos.shortestPaths(edges, lm, maxHops = 6)
+      .orderBy("node", "landmark").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 2),
+      (4L, 1L, 1), // the shortcut beats the chain's 3
+      (9L, 9L, 0), (10L, 9L, 1)))
+    // cap below the chain depth drops only the too-far pair
+    val capped = GraphAlgos.shortestPaths(edges, lm, maxHops = 1)
+      .orderBy("node", "landmark").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.toSeq == Seq(
+      (1L, 1L, 0), (2L, 1L, 1), (4L, 1L, 1), (9L, 9L, 0), (10L, 9L, 1)))
+  }
+
   test("pageRank iteration never re-shuffles the edge table") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
