@@ -376,6 +376,41 @@ object Scratch {
       println(s"[scratch] result localCheckpoint in ${(System.nanoTime()-t)/1e9}")
       spark.stop(); return
     }
+    if (name == "graphscale") {
+      // whole-graph-analytics rehearsal: 2M-edge synthetic graph with a
+      // celebrity node (one dst receives ~10% of all edges) — measures
+      // the exact (sorted-fold collect_list) vs fast (codegen'd sum)
+      // iteration paths and shortest-paths BFS at 3 orders of magnitude
+      // above the gates' 200-node graph. Deterministic generator (no
+      // RNG): multiplicative hashing over spark.range.
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val edges = spark.range(n).select(
+        pmod(hash(col("id")).cast("long"), lit(100000L)).as("src"),
+        // ~10% of edges land on node 7 (celebrity), rest spread
+        when(col("id") % 10 === 0, 7L)
+          .otherwise(pmod(hash(col("id"), lit(1)).cast("long"), lit(100000L)))
+          .as("dst"))
+        .localCheckpoint(true)
+      println(s"[scratch] edges=${edges.count()} distinct=${edges.distinct().count()}")
+      for (mode <- Seq(true, false)) {
+        val t0 = System.nanoTime()
+        val pr = graft.operators.GraphAlgos.pageRank(edges, iterations = 5,
+          exactFolds = mode)
+        val top = pr.orderBy(desc("pr")).limit(3).collect()
+          .map(r => s"${r.getLong(0)}:${"%.3f".format(r.getDouble(1))}")
+        println(f"[scratch] pageRank exactFolds=$mode: ${(System.nanoTime()-t0)/1e9}%.2f s top=${top.mkString(",")}")
+      }
+      var t0 = System.nanoTime()
+      val sp = graft.operators.GraphAlgos.shortestPaths(edges,
+        spark.range(4).select((col("id") * 25000L).as("node")), maxHops = 4)
+      println(f"[scratch] shortestPaths(4 landmarks, 4 hops): rows=${sp.count()} in ${(System.nanoTime()-t0)/1e9}%.2f s")
+      t0 = System.nanoTime()
+      val h = graft.operators.GraphAlgos.hits(edges, iterations = 2,
+        exactFolds = false)
+      println(f"[scratch] hits(2 rounds, fast): rows=${h.count()} in ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.stop(); return
+    }
     if (name == "eventskew") {
       // hot-user rehearsal for the per-user-window operators: one user
       // carries 60% of a 2M-event stream. AQE cannot split a window

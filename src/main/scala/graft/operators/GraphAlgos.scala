@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
  */
 object GraphAlgos {
 
+  /** In-neighbor sum for one iteration round. `exact = true` folds the
+    * neighbor-SORTED contribution list — bit-stable across engines and
+    * runs (the oracle-gate contract), but it materializes one array per
+    * node via collect_list, which a celebrity node (100M in-edges at
+    * corpus scale) turns into a single giant group. `exact = false` is
+    * the 100 TB path: a plain codegen'd sum with map-side partial
+    * aggregation — no arrays, same values up to float-addition
+    * association (spec-pinned ≤1e-12 relative on the gates' graphs). */
+  private def neighborSum(sortKey: org.apache.spark.sql.Column,
+                          v: org.apache.spark.sql.Column,
+                          exact: Boolean): org.apache.spark.sql.Column =
+    if (exact)
+      aggregate(sort_array(collect_list(struct(sortKey.as("k"), v.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v"))
+    else sum(v)
+
   /** Static PageRank, GraphX convention: ranks start at 1.0 and iterate
     * `pr'(v) = (1−d) + d·Σ_{u→v} pr(u)/outdeg(u)` for a FIXED number of
     * rounds, with no dangling-mass redistribution (nodes without
@@ -43,8 +59,9 @@ object GraphAlgos {
     * GraphAlgosSpec). */
   def pageRank(edges0: DataFrame, iterations: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
-               dstCol: String = "dst"): DataFrame =
-    run(edges0, None, iterations, damping, srcCol, dstCol, None)
+               dstCol: String = "dst",
+               exactFolds: Boolean = true): DataFrame =
+    run(edges0, None, iterations, damping, srcCol, dstCol, None, exactFolds)
 
   /** Weighted PageRank: each edge carries `weightCol` and u's rank
     * splits over out-edges proportionally — contribution
@@ -56,8 +73,10 @@ object GraphAlgos {
   def weightedPageRank(edges0: DataFrame, iterations: Int = 5,
                        damping: Double = 0.85, srcCol: String = "src",
                        dstCol: String = "dst",
-                       weightCol: String = "w"): DataFrame =
-    run(edges0, None, iterations, damping, srcCol, dstCol, Some(weightCol))
+                       weightCol: String = "w",
+                       exactFolds: Boolean = true): DataFrame =
+    run(edges0, None, iterations, damping, srcCol, dstCol, Some(weightCol),
+      exactFolds)
 
   /** Personalized PageRank: the reset mass lands ONLY on the `seeds`
     * node set (init 1 on seeds, 0 elsewhere; per-round base
@@ -68,9 +87,10 @@ object GraphAlgos {
   def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
                            iterations: Int = 5, damping: Double = 0.85,
                            srcCol: String = "src", dstCol: String = "dst",
-                           seedCol: String = "node"): DataFrame =
+                           seedCol: String = "node",
+                           exactFolds: Boolean = true): DataFrame =
     run(edges0, Some(seeds.select(col(seedCol).as("node")).distinct()),
-      iterations, damping, srcCol, dstCol, None)
+      iterations, damping, srcCol, dstCol, None, exactFolds)
 
   /** HITS hubs & authorities (Kleinberg 1999): `iterations` rounds of
     * `auth(v) = Σ_{u→v} hub(u)` then `hub(v) = Σ_{v→w} auth(w)`, hubs
@@ -88,7 +108,8 @@ object GraphAlgos {
     * rank join + one map-side-combined aggregation. */
   def hits(edges0: DataFrame, iterations: Int = 4,
            srcCol: String = "src", dstCol: String = "dst",
-           normalize: Boolean = false): DataFrame = {
+           normalize: Boolean = false,
+           exactFolds: Boolean = true): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val (eBySrc, eByDst) = Dedup.withAqeOff(spark) {
@@ -106,17 +127,13 @@ object GraphAlgos {
     for (_ <- 1 to iterations) {
       val aSums = eBySrc.join(hubs, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("src"), col("hub").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+        .agg(neighborSum(col("src"), col("hub"), exactFolds).as("s"))
       auths = nodes.join(aSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
         .localCheckpoint(true)
       val hSums = eByDst.join(auths, col("dst") === col("node"))
         .groupBy(col("src").as("node"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("dst"), col("auth").as("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+        .agg(neighborSum(col("dst"), col("auth"), exactFolds).as("s"))
       hubs = nodes.join(hSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
         .localCheckpoint(true)
@@ -191,7 +208,8 @@ object GraphAlgos {
   private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
                   iterations: Int, damping: Double,
                   srcCol: String, dstCol: String,
-                  weightCol: Option[String]): DataFrame = {
+                  weightCol: Option[String],
+                  exactFolds: Boolean): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val edges = Dedup.withAqeOff(spark) {
@@ -237,9 +255,7 @@ object GraphAlgos {
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), col("src"), contribution.as("c"))
       val sums = contribs.groupBy(col("dst").as("node"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        .agg(neighborSum(col("src"), col("c"), exactFolds).as("s"))
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))

@@ -118,6 +118,28 @@ class GraphAlgosSpec extends SparkSpec {
       (1L, 1L, 0), (2L, 1L, 1), (4L, 1L, 1), (9L, 9L, 0), (10L, 9L, 1)))
   }
 
+  test("exactFolds=false (the celebrity-node 100 TB path) matches the " +
+    "sorted-fold face within float association noise, plan has no " +
+    "collect_list") {
+    // denser random-ish graph so sums have many terms
+    val edges = (0L until 400L).map(i =>
+      ((i * 7) % 40, (i * 11 + 3) % 40)).distinct.toDF("src", "dst")
+    val exact = GraphAlgos.pageRank(edges, iterations = 4)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val fast = GraphAlgos.pageRank(edges, iterations = 4, exactFolds = false)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(exact.map(_._1).toSeq == fast.map(_._1).toSeq)
+    exact.zip(fast).foreach { case ((n, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-12 * math.max(math.abs(a), 1.0),
+        s"node $n: exact $a vs fast $b")
+    }
+    val hExact = GraphAlgos.hits(diamond, iterations = 2)
+      .orderBy("node").collect().toSeq
+    val hFast = GraphAlgos.hits(diamond, iterations = 2, exactFolds = false)
+      .orderBy("node").collect().toSeq
+    assert(hExact == hFast) // tiny sums: identical even bitwise
+  }
+
   test("pageRank iteration never re-shuffles the edge table") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
