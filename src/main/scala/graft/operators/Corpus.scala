@@ -529,17 +529,29 @@ object Corpus {
     * once, for the per-doc reassembly. Set `broadcastHot = false` to
     * fall back to a shuffled anti-join if a pathological corpus yields
     * a hot set too large to broadcast. */
-  def removeBoilerplateLines(docs: DataFrame, idCol: String = "doc_id",
-                             textCol: String = "text", minDocs: Int = 3,
-                             broadcastHot: Boolean = true): DataFrame = {
-    val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hot0 = lines
+  /** The hot-line set behind [[removeBoilerplateLines]]: every
+    * non-blank line occurring in at least `minDocs` distinct documents,
+    * as a one-column (line) frame. Persist it (tiny by nature) to reuse
+    * across runs or feed the streaming twin
+    * (`Streams.removeBoilerplateStream`). */
+  def boilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       minDocs: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("line"))
       .filter(length(trim(col("line"))) > 0)
       .groupBy("line").agg(countDistinct(col(idCol)).as("__n"))
       .filter(col("__n") >= minDocs)
       .select("line")
-    val hot = if (broadcastHot) broadcast(hot0) else hot0
+
+  /** [[removeBoilerplateLines]] against an EXPLICIT hot-line set (e.g.
+    * a persisted [[boilerplateLines]] table from a reference corpus). */
+  def removeLines(docs: DataFrame, hotLines: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  broadcastHot: Boolean = true): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = if (broadcastHot) broadcast(hotLines) else hotLines
     val kept = lines.join(hot, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(
@@ -550,6 +562,12 @@ object Corpus {
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  def removeBoilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", minDocs: Int = 3,
+                             broadcastHot: Boolean = true): DataFrame =
+    removeLines(docs, boilerplateLines(docs, idCol, textCol, minDocs),
+      idCol, textCol, broadcastHot)
 
   // -----------------------------------------------------------------
   // DSIR importance weighting (hashed n-gram importance resampling)

@@ -379,4 +379,21 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming twin of `Corpus.removeLines`: scrub a FROZEN hot-line
+    * set (a persisted `Corpus.boilerplateLines` table built from the
+    * historical corpus — the same frozen-reference shape as
+    * [[incrementalIngest]]'s LSH index) from documents as they arrive.
+    * Entirely STATELESS: the scrub is one per-row expression — the hot
+    * set rides the plan as an `In`/`InSet` literal (tiny by nature: a
+    * line must repeat across minDocs docs to enter) — so it works in
+    * any output mode with no state store, and the spec pins it
+    * emit-identical to the batch face on the same hot set. */
+  def removeBoilerplateStream(docs: DataFrame, hotLines: Seq[String],
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    if (hotLines.isEmpty) docs.select(col(idCol), col(textCol))
+    else docs.select(col(idCol),
+      array_join(filter(split(col(textCol), "\n"),
+        l => !l.isin(hotLines: _*)), "\n").as(textCol))
 }

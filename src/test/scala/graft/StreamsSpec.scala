@@ -334,4 +334,34 @@ class StreamsSpec extends SparkSpec {
       assert(got.contains(("click", ts(0), ts(5), 2L, 3.0)))
     } finally { qA.stop(); qB.stop() }
   }
+
+  test("streaming boilerplate-line scrub against a frozen hot set is " +
+    "emit-identical to the batch face, stateless") {
+    import graft.operators.Corpus
+    implicit val sc = spark.sqlContext
+    val hist = Seq(
+      (1L, "a\nFOOTER\nb"), (2L, "FOOTER\nc"), (3L, "d\nFOOTER")
+    ).toDF("doc_id", "text")
+    val hot = Corpus.boilerplateLines(hist, minDocs = 3)
+      .as[String].collect().toSeq
+    assert(hot == Seq("FOOTER"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.removeBoilerplateStream(
+        in.toDF().toDF("doc_id", "text"), hot)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    try {
+      val newDocs = Seq((10L, "x\nFOOTER\ny"), (11L, "FOOTER"),
+        (12L, "plain"))
+      in.addData(newDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("scrub_out").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val batch = Corpus.removeLines(newDocs.toDF("doc_id", "text"),
+          hot.toDF("line"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == batch)
+      assert(got == Seq((10L, "x\ny"), (11L, ""), (12L, "plain")))
+    } finally q.stop()
+  }
 }
