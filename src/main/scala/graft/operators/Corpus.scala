@@ -463,6 +463,8 @@ object Corpus {
   def lmScore(docs: DataFrame, bigrams: DataFrame, unigrams: DataFrame,
               idCol: String = "doc_id", textCol: String = "text",
               alpha: Double = 0.1): DataFrame = {
+    require(!Seq("w1", "w2", "k").contains(idCol),
+      s"doc id column '$idCol' collides with lmScore's internal names")
     val v = unigrams.select(count(lit(1)).cast("double").as("__v"))
     val scored = docBigrams(docs, idCol, textCol)
       .join(bigrams, Seq("w1", "w2"), "left")
@@ -549,6 +551,8 @@ object Corpus {
   def removeLines(docs: DataFrame, hotLines: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text",
                   broadcastHot: Boolean = true): DataFrame = {
+    require(idCol != "line" && idCol != "pos",
+      s"doc id column '$idCol' collides with removeLines' internal names")
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val hot = if (broadcastHot) broadcast(hotLines) else hotLines

@@ -40,6 +40,8 @@ object Merge {
                   versionCol: String,
                   deleteCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "need at least one merge key")
+    require(!base.columns.contains("__side"),
+      "column name __side is reserved by mergeLatest")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"schemas differ: base ${base.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")

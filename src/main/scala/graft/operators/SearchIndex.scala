@@ -165,6 +165,8 @@ object SearchIndex {
                    idCol: String = "doc_id", textCol: String = "text",
                    pIdCol: String = "phrase_id",
                    pTextCol: String = "phrase"): DataFrame = {
+    require(idCol != pIdCol,
+      s"doc id column '$idCol' collides with the phrase id output column")
     val ptok = phrases.select(col(pIdCol).as("phrase_id"),
         posexplode(rankTokens(col(pTextCol))).as(Seq("__j", "token")))
     // match rule below counts distinct OFFSETS j, so a phrase with a
@@ -339,6 +341,8 @@ object SearchIndex {
                       idCol: String = "doc_id", textCol: String = "text",
                       pIdCol: String = "pair_id", aCol: String = "token_a",
                       bCol: String = "token_b"): DataFrame = {
+    require(idCol != pIdCol,
+      s"doc id column '$idCol' collides with the pair id output column")
     val post = positionalPostings(docs, idCol, textCol)
     val aSide = post
       .join(broadcast(pairs.select(col(pIdCol).as("pair_id"),
