@@ -1854,6 +1854,18 @@ object Queries {
       .orderBy("node", "landmark")
   }
 
+  /** General ordered-window search gate (k-token slop form): mixed 2-
+    * and 3-token phrases, slop 1 — anchors are distinct first-token
+    * positions beginning at least one valid chain. */
+  def q105OrderedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val phrases = Seq((0L, "spark agg"), (1L, "spark window agg"),
+      (2L, "batch filter join"), (3L, "fast table")).toDF(
+      "phrase_id", "phrase")
+    SearchIndex.orderedSearch(t(s, dir, "documents"), phrases, slop = 1)
+      .orderBy("phrase_id", "doc_id")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int): String = {
@@ -2063,7 +2075,8 @@ object Queries {
     "q101_proximity_search" -> (q101ProximitySearch _),
     "q102_hits" -> (q102Hits _),
     "q103_weighted_pagerank" -> (q103WeightedPageRank _),
-    "q104_shortest_paths" -> (q104ShortestPaths _)
+    "q104_shortest_paths" -> (q104ShortestPaths _),
+    "q105_ordered_search" -> (q105OrderedSearch _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3504,7 +3517,34 @@ object Queries {
         | SELECT e.dst, r.landmark, r.dist + 1
         | FROM r JOIN e ON e.src = r.node WHERE r.dist < 6)
         |SELECT node, landmark, CAST(min(dist) AS INTEGER) AS dist
-        |FROM r GROUP BY node, landmark ORDER BY node, landmark""".stripMargin)
+        |FROM r GROUP BY node, landmark ORDER BY node, landmark""".stripMargin,
+    "q105_ordered_search" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        | FROM documents),
+        |post AS (
+        | SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)),
+        |   i -> {'pos': i, 'tok': t[i]})) AS u
+        |  FROM toks)),
+        |p2(pid, t1, t2) AS (VALUES (0, 'spark', 'agg'), (3, 'fast', 'table')),
+        |p3(pid, t1, t2, t3) AS (VALUES (1, 'spark', 'window', 'agg'),
+        |  (2, 'batch', 'filter', 'join')),
+        |m2 AS (SELECT p.pid, a.doc_id, count(DISTINCT a.pos) AS n
+        | FROM p2 p JOIN post a ON a.tok = p.t1
+        |  JOIN post b ON b.doc_id = a.doc_id AND b.tok = p.t2
+        |   AND b.pos - a.pos BETWEEN 1 AND 2
+        | GROUP BY p.pid, a.doc_id),
+        |m3 AS (SELECT p.pid, a.doc_id, count(DISTINCT a.pos) AS n
+        | FROM p3 p JOIN post a ON a.tok = p.t1
+        |  JOIN post b ON b.doc_id = a.doc_id AND b.tok = p.t2
+        |   AND b.pos - a.pos BETWEEN 1 AND 2
+        |  JOIN post c ON c.doc_id = a.doc_id AND c.tok = p.t3
+        |   AND c.pos - b.pos BETWEEN 1 AND 2
+        | GROUP BY p.pid, a.doc_id)
+        |SELECT pid AS phrase_id, doc_id, CAST(n AS BIGINT) AS n_anchors
+        |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+        |ORDER BY phrase_id, doc_id""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

@@ -357,6 +357,54 @@ object SearchIndex {
       .withColumnRenamed("id", idCol)
   }
 
+  /** General ordered-window search: ALL of a phrase's tokens in order
+    * with every consecutive gap in [1, 1+slop] — the k-token
+    * generalization of [[proximitySearch]] (slop 0 ≡ [[phraseSearch]],
+    * spec-pinned). Returns (pIdCol, doc id, n_anchors = distinct
+    * first-token positions starting at least one valid chain).
+    *
+    * Engine shape: the frontier advances one phrase-token per step —
+    * (phrase, doc, start, cur) tuples DISTINCT'd each step so chain
+    * multiplicity never multiplies (state is bounded by positions², not
+    * by the number of chains); each step is the anchor sliver ⋈
+    * broadcast(step tokens) ⋈ postings on (doc, token) with the
+    * position band as a post-join filter. Steps = max phrase length
+    * (phrases are config-sized); the corpus-sized postings never
+    * re-shuffle their text. */
+  def orderedSearch(docs: DataFrame, phrases: DataFrame, slop: Int = 1,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    pIdCol: String = "phrase_id",
+                    pTextCol: String = "phrase"): DataFrame = {
+    require(idCol != pIdCol,
+      s"doc id column '$idCol' collides with the phrase id output column")
+    val post = positionalPostings(docs, idCol, textCol)
+    val ptok = phrases.select(col(pIdCol).as("pid"),
+      posexplode(rankTokens(col(pTextCol))).as(Seq("__j", "token")))
+    val plen = ptok.groupBy("pid").agg((max(col("__j")) + 1).as("__len"))
+    val maxLen = plen.agg(max(col("__len"))).head().getInt(0)
+    var anchors = post
+      .join(broadcast(ptok.filter(col("__j") === 0).drop("__j")), "token")
+      .select(col("pid"), col("id"), col("pos").as("__start"),
+        col("pos").as("__cur"))
+    var done = anchors.join(broadcast(plen.filter(col("__len") === 1)), "pid")
+      .select(col("pid"), col("id"), col("__start"))
+    for (j <- 1 until maxLen) {
+      anchors = anchors
+        .join(broadcast(ptok.filter(col("__j") === j).drop("__j")), "pid")
+        .join(post.withColumnRenamed("pos", "__next"), Seq("token", "id"))
+        .filter((col("__next") - col("__cur")).between(1, 1 + slop))
+        .select(col("pid"), col("id"), col("__start"),
+          col("__next").as("__cur"))
+        .distinct()
+      done = done.unionByName(
+        anchors.join(broadcast(plen.filter(col("__len") === j + 1)), "pid")
+          .select(col("pid"), col("id"), col("__start")))
+    }
+    done.groupBy(col("pid").as(pIdCol), col("id"))
+      .agg(countDistinct(col("__start")).as("n_anchors"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // -----------------------------------------------------------------
   // Hybrid retrieval — reciprocal-rank fusion of ranked lists
   // -----------------------------------------------------------------

@@ -160,6 +160,30 @@ class SearchIndexSpec extends SparkSpec {
     assert(prox.toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("ordered search: k-token chains with per-gap slop, slop 0 equals " +
+    "phraseSearch, distinct anchors counted not chain multiplicity") {
+    val docs = Seq(
+      (1L, "a x b y c"),      // a..b gap2, b..c gap2: matches slop>=1
+      (2L, "a b c"),          // adjacent: matches any slop
+      (3L, "a b x x c"),      // b..c gap 3: needs slop >= 2
+      (4L, "c b a"),          // reversed: never
+      (5L, "a b b c")         // two b's -> two chains, ONE anchor (pos 0)
+    ).toDF("doc_id", "text")
+    val ph = Seq((0L, "a b c")).toDF("phrase_id", "phrase")
+    def run(slop: Int) = SearchIndex.orderedSearch(docs, ph, slop)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // slop 0 = strictly consecutive: only doc 2 ("a b c") qualifies
+    // (doc 5's "a b b c" has no consecutive a-b-c triple)
+    assert(run(0).toSeq == Seq((2L, 1L)))
+    val phr = SearchIndex.phraseSearch(docs, ph)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(run(0).toSeq == phr.toSeq) // slop 0 ≡ phraseSearch
+    assert(run(1).map(_._1).toSeq == Seq(1L, 2L, 5L))
+    assert(run(2).map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
+    // doc 5 at slop 1: chains a0-b1-c3(gap2 ok) and a0-b2-c3 -> 1 anchor
+    assert(run(1).toMap.apply(5L) == 1L)
+  }
+
   test("rrf fusion: closed-form scores, overlap outranks either single " +
     "list, equal-score ties break to the lower doc id") {
     val bm25 = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
