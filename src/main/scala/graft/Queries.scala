@@ -1866,6 +1866,17 @@ object Queries {
       .orderBy("phrase_id", "doc_id")
   }
 
+  /** Triangle-count gate: per-node triangle membership over the
+    * undirected form of the q98 graph — integer-exact; the engine's
+    * degree-ordered orientation and the oracle's canonical u<v<w
+    * enumeration count identical triangles. */
+  def q106Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.triangleCounts(edges).orderBy("node")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int): String = {
@@ -2076,7 +2087,8 @@ object Queries {
     "q102_hits" -> (q102Hits _),
     "q103_weighted_pagerank" -> (q103WeightedPageRank _),
     "q104_shortest_paths" -> (q104ShortestPaths _),
-    "q105_ordered_search" -> (q105OrderedSearch _)
+    "q105_ordered_search" -> (q105OrderedSearch _),
+    "q106_triangles" -> (q106Triangles _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3544,7 +3556,21 @@ object Queries {
         | GROUP BY p.pid, a.doc_id)
         |SELECT pid AS phrase_id, doc_id, CAST(n AS BIGINT) AS n_anchors
         |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
-        |ORDER BY phrase_id, doc_id""".stripMargin)
+        |ORDER BY phrase_id, doc_id""".stripMargin,
+    "q106_triangles" ->
+      """WITH e0 AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+        | FROM orders WHERE o_orderkey < 2000),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM e0 WHERE src <> dst),
+        |tri AS (
+        | SELECT a.u AS x, a.v AS y, b.v AS z
+        | FROM und a JOIN und b ON b.u = a.v
+        |  JOIN und c ON c.u = a.u AND c.v = b.v)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        | SELECT x AS node FROM tri
+        | UNION ALL SELECT y FROM tri
+        | UNION ALL SELECT z FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ

@@ -205,6 +205,46 @@ object GraphAlgos {
     dists
   }
 
+  /** Per-node triangle counts over the UNDIRECTED graph underlying
+    * `edges0` (direction and parallel edges collapse; self-loops drop).
+    * Returns (node, n_triangles) for every node in at least one
+    * triangle — integer-exact, so the q106 gate replays in any engine.
+    *
+    * Shape at 100 TB: edges orient from the LOWER (degree, id) endpoint
+    * to the higher before the wedge join — the standard bound (each
+    * out-neighborhood ≤ O(√m)), so the wedge intermediate is
+    * Σ outdeg² = O(m^1.5) instead of Σ deg² (which a single hub makes
+    * quadratic). Two equi-joins: wedges meet on the middle vertex, then
+    * close against the oriented edge set on (first, last); per-node
+    * counts are one map-side-combined explode+aggregate over the
+    * triangle list. */
+  def triangleCounts(edges0: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient from lower (degree, id) to higher: a hub never fans out
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(
+      oriented.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   private def run(edges0: DataFrame, seedsOpt: Option[DataFrame],
                   iterations: Int, damping: Double,
                   srcCol: String, dstCol: String,

@@ -140,6 +140,41 @@ class GraphAlgosSpec extends SparkSpec {
     assert(hExact == hFast) // tiny sums: identical even bitwise
   }
 
+  test("triangleCounts: closed forms on K4 and square-with-diagonal, " +
+    "direction/parallel/self edges collapse, matches a driver reference " +
+    "on a random graph") {
+    // K4: each node is in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val gotK4 = GraphAlgos.triangleCounts(k4).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotK4.toSeq == (1L to 4L).map(_ -> 3L))
+    // square 1-2-3-4 + diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // noisy input: reversed duplicates, a parallel edge, a self-loop
+    val sq = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (3L, 1L), (1L, 3L), (2L, 2L)).toDF("src", "dst")
+    val gotSq = GraphAlgos.triangleCounts(sq).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotSq.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L)))
+    // random graph vs a driver-side brute-force reference
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val got = GraphAlgos.triangleCounts(pairs.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = pairs.toSet
+    val ref = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, b) <- pairs; c <- 0L until 25L
+      if c != a && c != b &&
+        es.contains((math.min(a, c), math.max(a, c))) &&
+        es.contains((math.min(b, c), math.max(b, c))) && b < c
+    } { ref(a) += 1; ref(b) += 1; ref(c) += 1 }
+    assert(got == ref.toMap)
+  }
+
   test("pageRank iteration never re-shuffles the edge table") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
