@@ -1877,6 +1877,30 @@ object Queries {
     GraphAlgos.triangleCounts(edges).orderBy("node")
   }
 
+  /** Local clustering coefficient — a pure COMPOSITION gate:
+    * `2·triangles(v) / (d(v)·(d(v)−1))` over [[GraphAlgos.triangleCounts]]
+    * and the undirected degree, rational arithmetic end to end. */
+  def q107ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.join(GraphAlgos.triangleCounts(edges), Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coeff"))
+      .orderBy("node")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int): String = {
@@ -2088,7 +2112,8 @@ object Queries {
     "q103_weighted_pagerank" -> (q103WeightedPageRank _),
     "q104_shortest_paths" -> (q104ShortestPaths _),
     "q105_ordered_search" -> (q105OrderedSearch _),
-    "q106_triangles" -> (q106Triangles _)
+    "q106_triangles" -> (q106Triangles _),
+    "q107_clustering_coeff" -> (q107ClusteringCoeff _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3570,7 +3595,30 @@ object Queries {
         | SELECT x AS node FROM tri
         | UNION ALL SELECT y FROM tri
         | UNION ALL SELECT z FROM tri)
-        |GROUP BY node ORDER BY node""".stripMargin)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q107_clustering_coeff" ->
+      """WITH e0 AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+        | FROM orders WHERE o_orderkey < 2000),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        | SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node),
+        |tri AS (
+        | SELECT a.u AS x, a.v AS y, b.v AS z
+        | FROM und a JOIN und b ON b.u = a.v
+        |  JOIN und c ON c.u = a.u AND c.v = b.v),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+        | SELECT x AS node FROM tri
+        | UNION ALL SELECT y FROM tri
+        | UNION ALL SELECT z FROM tri)
+        | GROUP BY node)
+        |SELECT d.node, d.d, CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+        | CASE WHEN d.d >= 2
+        |  THEN CAST(coalesce(tc.t, 0) * 2 AS DOUBLE)
+        |   / CAST(d.d * (d.d - 1) AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS coeff
+        |FROM deg d LEFT JOIN tc USING (node) ORDER BY d.node""".stripMargin)
 
 
   /** Shared by q88 (direct PQ top-k) and q89 (the persisted IVF-PQ
