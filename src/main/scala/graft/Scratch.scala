@@ -19,6 +19,33 @@ object Scratch {
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SCRATCH_LOG", "WARN"))
     // warm the session on a trivial job first so we time the query, not JVM
     spark.range(1000).selectExpr("sum(id)").collect()
+    if (name.startsWith("bench:")) {
+      // Bench-identical per-query timing for a name-prefix subset:
+      // best-of-2, full release between runs. Usage:
+      //   runMain graft.Scratch bench:q64,q82 <sfDir>
+      val prefixes = name.stripPrefix("bench:").split(",").toSeq
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      var total = 0.0
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        .foreach { case (n, fn) =>
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            release(); dt
+          }
+          total += times.min
+          println(f"[scratch] $n: best=${times.min}%.2f s (runs: " +
+            times.map(t => f"$t%.2f").mkString(", ") + ")")
+        }
+      println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
+      spark.stop(); return
+    }
     if (name == "bisect20") {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

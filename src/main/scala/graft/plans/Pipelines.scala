@@ -133,9 +133,14 @@ object Pipelines {
     * the per-stage survivor census (the numbers a pipeline owner reads
     * first). The census is LAZY — its six count actions (including a
     * full input-table scan) run only when `census` is first read, so
-    * corpus-only consumers don't pay for it. */
+    * corpus-only consumers don't pay for it. `stages` exposes each
+    * intermediate stage's MATERIALIZED (checkpointed) output keyed
+    * `quality`/`exact`/`neardup`/`decontam`, so per-stage consumers
+    * (attribution gates, stage audits) read the blocks the pipeline
+    * already produced instead of re-running the stage prefix. */
   final class Curation(val corpus: DataFrame,
-                       censusThunk: () => DataFrame) {
+                       censusThunk: () => DataFrame,
+                       val stages: Map[String, DataFrame] = Map.empty) {
     lazy val census: DataFrame = censusThunk()
   }
 
@@ -245,7 +250,9 @@ object Pipelines {
       .localCheckpoint(true)
     val labeled = splitStage(d3, textCol).localCheckpoint(true)
 
-    new Curation(labeled, () => {
+    new Curation(labeled, stages = Map(
+      "quality" -> q, "exact" -> d1, "neardup" -> d2, "decontam" -> d3),
+      censusThunk = () => {
       val stageCounts = Seq(
         "0_input" -> docs.count(),
         "1_quality" -> q.count(),

@@ -99,6 +99,14 @@ class PipelinesSpec extends SparkSpec {
     val kept = cur.corpus.select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 6L))
     assert(cur.corpus.filter(col("split").isNull).count() == 0)
+
+    // per-stage attribution surface: every intermediate stage is exposed
+    // materialized, and its count matches the census row for that stage
+    assert(cur.stages.keySet == Set("quality", "exact", "neardup", "decontam"))
+    assert(cur.stages("quality").count() == census("1_quality"))
+    assert(cur.stages("exact").count() == census("2_exact"))
+    assert(cur.stages("neardup").count() == census("3_neardup"))
+    assert(cur.stages("decontam").count() == census("4_decontam"))
   }
 
   test("skew policy: report recommends salting on skewed shingles only, " +
