@@ -160,9 +160,12 @@ object GraphAlgos {
     * Shape at 100 TB: the frontier is (reached × landmarks)-sized and
     * min-combines per round with map-side partial aggregation; the edge
     * table pre-partitions on src once and never re-shuffles (the
-    * frontier joins it on its partitioning key). Rounds stop early via
-    * an accumulator the moment no distance improves — each round is ONE
-    * job, the [[Dedup.connectedComponents]] pattern. */
+    * frontier joins it on its partitioning key). Rounds stop early the
+    * moment no distance improves — each round is ONE job (the
+    * [[Dedup.connectedComponents]] pattern), and the improvement count
+    * rides the round's own checkpoint action as a codegen'd
+    * `Dataset.observe` metric, so the whole round stays inside
+    * whole-stage codegen (no per-row JVM lambda, no second pass). */
   def shortestPaths(edges0: DataFrame, landmarks: DataFrame,
                     maxHops: Int = 6, srcCol: String = "src",
                     dstCol: String = "dst",
@@ -179,30 +182,39 @@ object GraphAlgos {
       .select(col(landmarkCol).as("node")).distinct()
       .select(col("node"), col("node").as("landmark"), lit(0).as("dist"))
       .localCheckpoint(true)
-    val outSchema = org.apache.spark.sql.types.StructType(dists.schema.fields)
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     var hop = 0
     var changed = true
     while (changed && hop < maxHops) {
-      val acc = spark.sparkContext.longAccumulator(s"graft.sp.improved.$hop")
-      val step = edges.join(dists, col("src") === col("node"))
-        .select(col("dst").as("node"), col("landmark"),
-          (col("dist") + 1).as("dist"), lit(null).cast("int").as("old"))
-      val merged = dists.withColumn("old", col("dist"))
-        .unionByName(step)
-        .groupBy("node", "landmark")
-        .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
-      // a (node, landmark) pair improves when the new min beats every
-      // previously-known distance (old is null for first-reached pairs)
-      val updated = merged.map { r =>
-        if (r.isNullAt(3) || r.getInt(2) < r.getInt(3)) acc.add(1L)
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))
-      }(enc).localCheckpoint(true)
-      dists = updated
-      changed = acc.value > 0
+      val (updated, obs) = spRound(edges, dists)
+      dists = updated.localCheckpoint(true)
+      changed = obs.get("improved").asInstanceOf[Long] > 0
       hop += 1
     }
     dists
+  }
+
+  /** One shortest-paths round: frontier-extend along edges, min-combine
+    * with known distances, and observe the improvement count (a
+    * (node, landmark) pair improves when the new min beats every
+    * previously-known distance; `old` is null for first-reached pairs).
+    * The observation resolves when the caller's action on the returned
+    * frame completes — no extra job, no row-typed lambda (spec-asserted:
+    * the round plan contains no DeserializeToObject). */
+  private[graft] def spRound(edges: DataFrame, dists: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val step = edges.join(dists, col("src") === col("node"))
+      .select(col("dst").as("node"), col("landmark"),
+        (col("dist") + 1).as("dist"), lit(null).cast("int").as("old"))
+    val merged = dists.withColumn("old", col("dist"))
+      .unionByName(step)
+      .groupBy("node", "landmark")
+      .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
+    val obs = org.apache.spark.sql.Observation()
+    val updated = merged
+      .observe(obs, count(when(col("old").isNull ||
+        col("dist") < col("old"), 1)).as("improved"))
+      .select("node", "landmark", "dist")
+    (updated, obs)
   }
 
   /** Per-node triangle counts over the UNDIRECTED graph underlying

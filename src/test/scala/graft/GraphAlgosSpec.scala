@@ -118,6 +118,23 @@ class GraphAlgosSpec extends SparkSpec {
       (1L, 1L, 0), (2L, 1L, 1), (4L, 1L, 1), (9L, 9L, 0), (10L, 9L, 1)))
   }
 
+  test("shortestPaths round stays expression-native: no row-typed lambda, " +
+    "improvement count rides the round's own action as an observation") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val dists = Seq((1L, 1L, 0)).toDF("node", "landmark", "dist")
+    val (updated, obs) = GraphAlgos.spRound(edges, dists)
+    val plan = updated.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"),
+      s"round plan fell out of codegen:\n$plan")
+    assert(plan.contains("CollectMetrics"),
+      s"observation node missing from round plan:\n$plan")
+    // the checkpoint action both materializes the round AND resolves the
+    // observation — exactly one pass over the merged frame
+    val out = updated.localCheckpoint(true)
+    assert(obs.get("improved").asInstanceOf[Long] == 1L) // pair (2,1) new
+    assert(out.count() == 2L)
+  }
+
   test("exactFolds=false (the celebrity-node 100 TB path) matches the " +
     "sorted-fold face within float association noise, plan has no " +
     "collect_list") {
