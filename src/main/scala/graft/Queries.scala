@@ -1815,7 +1815,8 @@ object Queries {
     val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
       .select((col("o_custkey") % 200).as("src"),
         (col("o_orderkey") % 200).as("dst"))
-    GraphAlgos.pageRank(edges, iterations = 5).orderBy("node")
+    GraphAlgos.pageRank(edges, iterations = 5, exactFolds = true)
+      .orderBy("node")
   }
 
   /** Personalized-PageRank gate: reset mass confined to the node % 50
@@ -1829,7 +1830,8 @@ object Queries {
     val seeds = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .filter(col("node") % 50 === 0)
-    GraphAlgos.personalizedPageRank(edges, seeds, iterations = 5)
+    GraphAlgos.personalizedPageRank(edges, seeds, iterations = 5,
+        exactFolds = true)
       .orderBy("node")
   }
 
@@ -1841,7 +1843,8 @@ object Queries {
     val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
       .select((col("o_custkey") % 200).as("src"),
         (col("o_orderkey") % 200).as("dst"))
-    GraphAlgos.hits(edges, iterations = 4).orderBy("node")
+    GraphAlgos.hits(edges, iterations = 4, exactFolds = true)
+      .orderBy("node")
   }
 
   /** Weighted-PageRank gate: same graph with per-edge weights (parallel
@@ -1853,7 +1856,8 @@ object Queries {
         (col("o_orderkey") % 200).as("dst"),
         (col("o_orderkey") % 7 + 1).as("w0"))
       .groupBy("src", "dst").agg(sum("w0").as("w"))
-    GraphAlgos.weightedPageRank(edges, iterations = 5).orderBy("node")
+    GraphAlgos.weightedPageRank(edges, iterations = 5, exactFolds = true)
+      .orderBy("node")
   }
 
   /** Multi-source shortest-paths gate: hop distances from the node % 50

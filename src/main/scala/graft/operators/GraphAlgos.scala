@@ -25,7 +25,10 @@ object GraphAlgos {
     * corpus scale) turns into a single giant group. `exact = false` is
     * the 100 TB path: a plain codegen'd sum with map-side partial
     * aggregation — no arrays, same values up to float-addition
-    * association (spec-pinned ≤1e-12 relative on the gates' graphs). */
+    * association (spec-pinned ≤1e-12 relative on the gates' graphs).
+    * The family DEFAULTS to the fast path — production callers get
+    * map-side combine unless they opt into the bit-exact face (gates
+    * and cross-engine replay do; nothing else should). */
   private def neighborSum(sortKey: org.apache.spark.sql.Column,
                           v: org.apache.spark.sql.Column,
                           exact: Boolean): org.apache.spark.sql.Column =
@@ -60,7 +63,7 @@ object GraphAlgos {
   def pageRank(edges0: DataFrame, iterations: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
                dstCol: String = "dst",
-               exactFolds: Boolean = true): DataFrame =
+               exactFolds: Boolean = false): DataFrame =
     run(edges0, None, iterations, damping, srcCol, dstCol, None, exactFolds)
 
   /** Weighted PageRank: each edge carries `weightCol` and u's rank
@@ -74,7 +77,7 @@ object GraphAlgos {
                        damping: Double = 0.85, srcCol: String = "src",
                        dstCol: String = "dst",
                        weightCol: String = "w",
-                       exactFolds: Boolean = true): DataFrame =
+                       exactFolds: Boolean = false): DataFrame =
     run(edges0, None, iterations, damping, srcCol, dstCol, Some(weightCol),
       exactFolds)
 
@@ -88,7 +91,7 @@ object GraphAlgos {
                            iterations: Int = 5, damping: Double = 0.85,
                            srcCol: String = "src", dstCol: String = "dst",
                            seedCol: String = "node",
-                           exactFolds: Boolean = true): DataFrame =
+                           exactFolds: Boolean = false): DataFrame =
     run(edges0, Some(seeds.select(col(seedCol).as("node")).distinct()),
       iterations, damping, srcCol, dstCol, None, exactFolds)
 
@@ -109,7 +112,7 @@ object GraphAlgos {
   def hits(edges0: DataFrame, iterations: Int = 4,
            srcCol: String = "src", dstCol: String = "dst",
            normalize: Boolean = false,
-           exactFolds: Boolean = true): DataFrame = {
+           exactFolds: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val (eBySrc, eByDst) = Dedup.withAqeOff(spark) {

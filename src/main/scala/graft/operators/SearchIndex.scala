@@ -217,6 +217,18 @@ object SearchIndex {
           lit(b) * col("dl").cast("double") / col("avgdl")))
   }
 
+  /** Fail fast when a ranking id column is not integral: the top-k heap
+    * aggregate packs ids into a long, so a string/decimal id would cast
+    * to null and corrupt the ranking silently instead of erroring. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+                                what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$what id column '$idCol' must be an integral type, got $dt " +
+        "(top-k ranking packs ids as long)")
+  }
+
   /** Shared ranking tail: per-term postings (id, token, tf, dl, df) ×
     * 1-row stats (__n, avgdl) × queries → top-`k` docs per query.
     *
@@ -231,6 +243,9 @@ object SearchIndex {
   private def bm25Rank(term: DataFrame, stats: DataFrame, queries: DataFrame,
                        k: Int, k1: Double, b: Double, lnIdf: Boolean,
                        qIdCol: String, qTextCol: String): DataFrame = {
+    // topKPairs packs the doc id into a long heap slot; a string or
+    // decimal id would cast to null and silently corrupt the ranking
+    requireIntegralId(term, "id", "bm25 corpus")
     val qtok = queries.select(col(qIdCol).as("query_id"),
       explode(array_distinct(rankTokens(col(qTextCol)))).as("token"))
     val scored = term.join(broadcast(qtok), "token")
@@ -381,7 +396,14 @@ object SearchIndex {
     val ptok = phrases.select(col(pIdCol).as("pid"),
       posexplode(rankTokens(col(pTextCol))).as(Seq("__j", "token")))
     val plen = ptok.groupBy("pid").agg((max(col("__j")) + 1).as("__len"))
-    val maxLen = plen.agg(max(col("__len"))).head().getInt(0)
+    // no phrases, or none that tokenizes to any token: the max aggregate
+    // is null — return the (typed) empty result instead of an NPE
+    val maxLenRow = plen.agg(max(col("__len"))).head()
+    if (maxLenRow.isNullAt(0))
+      return phrases.select(col(pIdCol)).limit(0)
+        .crossJoin(docs.select(col(idCol)).limit(0))
+        .withColumn("n_anchors", lit(0L))
+    val maxLen = maxLenRow.getInt(0)
     var anchors = post
       .join(broadcast(ptok.filter(col("__j") === 0).drop("__j")), "token")
       .select(col("pid"), col("id"), col("pos").as("__start"),

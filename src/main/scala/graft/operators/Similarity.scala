@@ -75,6 +75,9 @@ object Similarity {
         max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i"))
     }
     val r = corpus.agg(aggs.head, aggs.drop(1): _*).head()
+    require(!r.isNullAt(0),
+      s"sqStats: corpus has no non-null '$vecCol' vectors — nothing to " +
+        "learn quantization ranges from")
     ((0 until dim).map(i => r.getDouble(2 * i)),
       (0 until dim).map(i => r.getDouble(2 * i + 1)))
   }

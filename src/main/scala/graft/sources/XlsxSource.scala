@@ -86,6 +86,8 @@ object XlsxSource {
           s"$path has no xl/worksheets/sheet$sheetIndex.xml"))
       val r = factory.createXMLStreamReader(zip.getInputStream(sheetEntry))
       val rows = Vector.newBuilder[Vector[String]]
+      var emitted = 0      // rows emitted so far (0-based next index)
+      var rowIndex = -1    // this <row>'s 0-based sheet index (r attr)
       var row: scala.collection.mutable.ArrayBuffer[String] = null
       var cellCol = -1
       var cellType = ""
@@ -98,6 +100,12 @@ object XlsxSource {
             case XMLStreamConstants.START_ELEMENT =>
               r.getLocalName match {
                 case "row" =>
+                  // Excel omits entirely-blank rows from the XML but
+                  // numbers the survivors via the r attribute; losing
+                  // them would shift later rows up and diverge from the
+                  // CSV render of the same grid (which keeps blank lines)
+                  rowIndex = Option(r.getAttributeValue(null, "r"))
+                    .map(_.toInt - 1).getOrElse(emitted)
                   row = scala.collection.mutable.ArrayBuffer.empty[String]
                 case "c" if row != null =>
                   cellCol = Option(r.getAttributeValue(null, "r"))
@@ -128,8 +136,13 @@ object XlsxSource {
                   else row(cellCol) = value
                   cellCol = -1
                 case "row" if row != null =>
+                  while (emitted < rowIndex) { // pad skipped blank rows
+                    rows += Vector.empty
+                    emitted += 1
+                  }
                   maxWidth = math.max(maxWidth, row.length)
                   rows += row.toVector
+                  emitted += 1
                   row = null
                 case _ =>
               }

@@ -28,9 +28,11 @@ class GraphAlgosSpec extends SparkSpec {
     // star with back-edges: every spoke points at the hub, hub points back
     val star = ((1L to 6L).map(i => (i + 10L, 1L)) ++
       (1L to 6L).map(i => (1L, i + 10L))).toDF("src", "dst")
-    val a = GraphAlgos.pageRank(star, iterations = 5).orderBy("node")
+    val a = GraphAlgos.pageRank(star, iterations = 5, exactFolds = true)
+      .orderBy("node")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val b = GraphAlgos.pageRank(star, iterations = 5).orderBy("node")
+    val b = GraphAlgos.pageRank(star, iterations = 5, exactFolds = true)
+      .orderBy("node")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(a == b) // exact bit equality, not approximate
     val ranks = a.toMap
@@ -141,7 +143,7 @@ class GraphAlgosSpec extends SparkSpec {
     // denser random-ish graph so sums have many terms
     val edges = (0L until 400L).map(i =>
       ((i * 7) % 40, (i * 11 + 3) % 40)).distinct.toDF("src", "dst")
-    val exact = GraphAlgos.pageRank(edges, iterations = 4)
+    val exact = GraphAlgos.pageRank(edges, iterations = 4, exactFolds = true)
       .orderBy("node").collect().map(r => r.getLong(0) -> r.getDouble(1))
     val fast = GraphAlgos.pageRank(edges, iterations = 4, exactFolds = false)
       .orderBy("node").collect().map(r => r.getLong(0) -> r.getDouble(1))
@@ -150,7 +152,7 @@ class GraphAlgosSpec extends SparkSpec {
       assert(math.abs(a - b) <= 1e-12 * math.max(math.abs(a), 1.0),
         s"node $n: exact $a vs fast $b")
     }
-    val hExact = GraphAlgos.hits(diamond, iterations = 2)
+    val hExact = GraphAlgos.hits(diamond, iterations = 2, exactFolds = true)
       .orderBy("node").collect().toSeq
     val hFast = GraphAlgos.hits(diamond, iterations = 2, exactFolds = false)
       .orderBy("node").collect().toSeq

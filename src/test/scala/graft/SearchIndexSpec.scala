@@ -182,6 +182,23 @@ class SearchIndexSpec extends SparkSpec {
     assert(run(2).map(_._1).toSeq == Seq(1L, 2L, 3L, 5L))
     // doc 5 at slop 1: chains a0-b1-c3(gap2 ok) and a0-b2-c3 -> 1 anchor
     assert(run(1).toMap.apply(5L) == 1L)
+
+    // degenerate inputs return the typed empty result, not an NPE
+    val noPhrases = ph.limit(0)
+    val e1 = SearchIndex.orderedSearch(docs, noPhrases, 1)
+    assert(e1.columns.toSeq == Seq("phrase_id", "doc_id", "n_anchors"))
+    assert(e1.count() == 0L)
+    val tokenless = Seq((0L, "  ")).toDF("phrase_id", "phrase")
+    assert(SearchIndex.orderedSearch(docs, tokenless, 1).count() == 0L)
+  }
+
+  test("bm25 fails fast on a non-integral doc id column") {
+    val docs = Seq(("d1", "alpha beta"), ("d2", "alpha")).toDF("doc_id", "text")
+    val qs = Seq((0L, "alpha")).toDF("query_id", "qtext")
+    val e = intercept[IllegalArgumentException] {
+      SearchIndex.bm25TopK(docs, qs, k = 2).collect()
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("rrf fusion: closed-form scores, overlap outranks either single " +

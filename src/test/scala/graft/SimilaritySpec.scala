@@ -49,6 +49,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sqStats fails fast on an empty corpus instead of an opaque NPE") {
+    val empty = (0L until 4L).map(i => (i, vec(4))).toDF("vec_id", "embedding")
+      .limit(0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.sqStats(empty, dim = 4)
+    }
+    assert(e.getMessage.contains("no non-null"))
+  }
+
   test("SQ8 codes are bounded, decode within scale/2, encode stays narrow") {
     val corpus = (0L until 60L).map(i => (i, vec(12))).toDF("vec_id", "embedding")
     val (mins, maxs) = Similarity.sqStats(corpus, dim = 12)

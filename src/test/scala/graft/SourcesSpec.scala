@@ -128,4 +128,35 @@ class SourcesSpec extends SparkSpec {
     assert(resolved == Set(("cell type", "NA"), ("B cell", "CL:0000236"),
       ("T cell", "CL:0000084")))
   }
+
+  test("xlsx: entirely-blank rows Excel omits from the XML are restored " +
+    "from the row r index (no upward shift of later rows)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_blank")
+    val xlsx = dir.resolve("gap.xlsx").toFile
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(xlsx))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    // rows 2 and 4 are blank: Excel writes no <row> element for them
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c></row>
+        |<row r="3"><c r="A3"><v>1</v></c><c r="B3"><v>2</v></c></row>
+        |<row r="5"><c r="A5"><v>3</v></c></row>
+        |</sheetData>
+        |</worksheet>""".stripMargin)
+    zos.close()
+    val grid = graft.sources.XlsxSource.readSheet(xlsx.getPath)
+    assert(grid == Vector(
+      Vector("a", "b"),
+      Vector(null, null),
+      Vector("1", "2"),
+      Vector(null, null),
+      Vector("3", null)))
+  }
 }
