@@ -46,6 +46,55 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name == "recall") {
+      // measure recall@k of the approximate ANN paths vs brute force at
+      // the q108-gate settings — run at BOTH sf dirs before pinning a
+      // gate threshold (the in-gate require must hold at sf0.01 verify
+      // AND sf0.1 bench)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val queries = emb.filter(col("vec_id") % 25 === 0).localCheckpoint(true)
+      val k = 10
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+        .select("query_id", "nbr_id").localCheckpoint(true)
+      val total = exact.count().toDouble
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        approx.select("query_id", "nbr_id").intersect(exact).count() / total
+      println(f"[scratch] queries=${queries.count()} total-pairs=$total%.0f")
+      for (nProbe <- Seq(2, 4, 8)) {
+        val r = recall(Similarity.ivfTopK(emb, queries, k, 16, nProbe))
+        println(f"[scratch] ivf nCells=16 nProbe=$nProbe recall@$k=$r%.3f")
+      }
+      for (nPlanes <- Seq(6, 8, 12)) {
+        val r = recall(Similarity.lshTopK(emb, queries, k, nPlanes))
+        println(f"[scratch] lsh nPlanes=$nPlanes recall@$k=$r%.3f")
+      }
+      for ((b, l) <- Seq((4, 15), (5, 12), (6, 10), (8, 7))) {
+        val r = recall(Similarity.lshTopK(emb, queries, k, b, l))
+        println(f"[scratch] lsh-multi b=$b L=$l recall@$k=$r%.3f")
+      }
+      val cents = Similarity.trainCentroids(emb, 16)
+      val cb = Similarity.pqTrain(emb, dim = 64, m = 8, k = 256)
+      for (kw <- Seq(64, 256)) {
+        val cbK = Similarity.pqTrain(emb, dim = 64, m = 8, k = kw)
+        val r = recall(Similarity.pqTopK(emb, queries, k, cbK))
+        println(f"[scratch] pq m=8 k=$kw full-scan recall@$k=$r%.3f")
+      }
+      val path = s"${System.getProperty("java.io.tmpdir")}/scr_recall_ivfpq"
+      Similarity.writeIvfPqIndex(emb, cents, cb, path)
+      val pqFull = Similarity.pqTopK(emb, queries, k, cb)
+        .select("query_id", "nbr_id").localCheckpoint(true)
+      for (nProbe <- Seq(2, 4, 8)) {
+        val got = Similarity.queryIvfPqIndex(spark, path, cents, cb,
+          queries, k, nProbe).select("query_id", "nbr_id").localCheckpoint(true)
+        val r = got.intersect(exact).count() / total
+        val ret = got.intersect(pqFull).count() / total
+        println(f"[scratch] ivfpq nCells=16 m=8 k=256 nProbe=$nProbe recall@$k=$r%.3f retention-vs-pqfull=$ret%.3f")
+      }
+      spark.stop(); return
+    }
     if (name == "bisect20") {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -224,12 +224,15 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              cb: PqCodebooks,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val codes = corpus.select(col(idCol).as("nbr_id"),
-      pqEncode(col(vecCol), cb).as("codes"))
+    // decode ONCE per corpus row, BEFORE the query join — decoding
+    // inside the join would re-reconstruct the same vector per (row ×
+    // query) pair, |queries|× wasted work at any scale
+    val deq = corpus.select(col(idCol).as("nbr_id"),
+      pqDecode(pqEncode(col(vecCol), cb), cb).as("nbr_deq"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val scored = codes.crossJoin(broadcast(q))
+    val scored = deq.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), pqDecode(col("codes"), cb)))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_deq")))
     topK(scored, k)
   }
 
@@ -245,17 +248,58 @@ object Similarity {
     else graft.functions.VectorExpressions.hyperplaneSig(vec, nPlanes)
 
   /** LSH-bucketed approximate top-k: candidates share a hyperplane-signature
-    * bucket; exact cosine re-ranks inside the bucket. */
+    * bucket; exact cosine re-ranks inside the bucket.
+    *
+    * `nTables > 1` is the RECALL lever (single-table sign-LSH recall
+    * collapses on weakly-clustered corpora — measured ~0 at 12 planes on
+    * the synthetic embeddings): one `nPlanes·nTables`-bit signature is
+    * computed per vector in a single narrow pass, then sliced into
+    * `nTables` independent `nPlanes`-bit band buckets (the SimHash/
+    * MinHash banding construction); a pair is a candidate when ANY band
+    * collides. Candidate recall = 1 − (1 − q^nPlanes)^nTables for
+    * per-bit agreement q, tunable without touching the corpus layout.
+    *
+    * Shape at 100 TB: still one signature scan and one equi-join — the
+    * banded join carries (table, bucket) keys, cosine is computed BEFORE
+    * the dedup shuffle (8-byte scores move, vectors don't), and the
+    * per-pair max collapses band duplicates with map-side combine. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
+              nTables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
-      hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
-    topK(scored, k)
+    require(nTables >= 1, "nTables must be >= 1")
+    require(nPlanes * nTables <= 63,
+      s"nPlanes*nTables must fit a long signature (<= 63), got " +
+        s"$nPlanes*$nTables")
+    if (nTables == 1) {
+      val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+        hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        hyperplaneSignature(col(vecCol), nPlanes).as("bucket"))
+      val scored = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+      topK(scored, k)
+    } else {
+      val mask = (1L << nPlanes) - 1
+      def banded(df: DataFrame, outId: String, outVec: String): DataFrame =
+        df.select(col(idCol).as(outId), col(vecCol).as(outVec),
+            hyperplaneSignature(col(vecCol), nPlanes * nTables).as("__sig"))
+          .select(col(outId), col(outVec), posexplode(
+            array((0 until nTables).map(t =>
+              shiftright(col("__sig"), t * nPlanes)
+                .bitwiseAND(lit(mask))): _*)).as(Seq("__t", "bucket")))
+      val c = banded(corpus, "nbr_id", "nbr_vec")
+      val q = banded(queries, "query_id", "q_vec")
+      val scored = c.join(broadcast(q), Seq("__t", "bucket"))
+        .filter(col("query_id") =!= col("nbr_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+        // a pair can collide in several bands: collapse to one candidate
+        // row (identical cos values — max is a no-op combine rule) so the
+        // top-k heap never double-counts a neighbor
+        .groupBy("query_id", "nbr_id")
+        .agg(max(col("cos")).as("cos"))
+      topK(scored, k)
+    }
   }
 
   /**
@@ -297,12 +341,15 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trained: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // 1. train the coarse quantizer on (a sample of) the corpus
-    val centroids = trainCentroids(corpus, nCells, vecCol)
+    // 1. train the coarse quantizer on (a sample of) the corpus — or
+    // reuse a caller-trained model (the centroids are tiny and
+    // deterministic; re-training per query batch is pure waste)
+    val centroids = trained.getOrElse(trainCentroids(corpus, nCells, vecCol))
 
     // 2. assign every vector to its nearest centroid(s) — genuinely
     // narrow (see assignCells); the corpus is never shuffled to learn its
@@ -463,9 +510,12 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq
     val index = spark.read.parquet(path)
       .filter(col("cell_id").isin(cells: _*))
+      // decode once per surviving index row, not per (row × probing
+      // query) join pair — see pqTopK
+      .withColumn("nbr_deq", pqDecode(col("codes"), cb))
     val scored = index.join(broadcast(probed), Seq("cell_id"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", cosine(col("q_vec"), pqDecode(col("codes"), cb)))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_deq")))
     topK(scored, k)
   }
 

@@ -184,6 +184,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
   }
 
+  test("banded multi-table LSH: recall dominates single-table at equal " +
+    "total bits, band duplicates collapse to one candidate, rank rows " +
+    "stay unique") {
+    val corpus = (0L until 120L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 30 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "nbr_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("query_id", "nbr_id").intersect(exact).count()
+    // same 60-bit signature budget: 1x60 single-table vs 15x4 banded
+    val single = Similarity.lshTopK(corpus, queries, 5, nPlanes = 60)
+    val banded = Similarity.lshTopK(corpus, queries, 5, nPlanes = 4,
+      nTables = 15)
+    assert(hits(banded) > hits(single),
+      s"banded ${hits(banded)} should beat single-table ${hits(single)}")
+    // each (query, rank) appears once: band collisions never duplicate
+    val r = banded.groupBy("query_id", "nbr_id").count()
+      .filter($"count" > 1).count()
+    assert(r == 0L)
+    // nTables = 1 keeps the original single-bucket plan: the join is on
+    // the whole signature, no band column, no pre-join explode
+    val plan1 = Similarity.lshTopK(corpus, queries, 5, nPlanes = 12)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan1.contains("__t") && !plan1.contains("__sig"))
+  }
+
   test("cosineNearDups surfaces planted duplicates") {
     val base = (0L until 30L).map(i => (i, vec(12)))
     val corpus = (base :+ ((99L, base(4)._2))).toDF("vec_id", "embedding")
