@@ -1695,6 +1695,24 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental BM25 view gate: the view is built over 80% of the
+    * corpus, the remaining 20% is folded in through
+    * [[SearchIndex.appendToBm25View]] (postings append + df monoid merge
+    * + meta re-derive), and the probe runs under the SAME oracle as
+    * q90/q91 — the appended view must be cell-identical to one built
+    * over the whole corpus at once. */
+  def q111Bm25Append(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    SearchIndex.createBm25View(docs.filter(col("doc_id") % 5 =!= 0),
+      "q111_bm25", buckets = 8)
+    SearchIndex.appendToBm25View(docs.filter(col("doc_id") % 5 === 0),
+      "q111_bm25", buckets = 8)
+    SearchIndex.bm25Query(s, "q111_bm25",
+        bm25GateQueries.toDF("query_id", "qtext"), k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
   /** CDC latest-wins merge gate: orders is the base (version 0); the
     * updates side rewrites every 7th key at version 1, REPLAYS every
     * 11th key at version 0 (side tie — updates wins, the correction
@@ -2224,7 +2242,8 @@ object Queries {
     "q107_clustering_coeff" -> (q107ClusteringCoeff _),
     "q108_ivf_recall" -> (q108IvfRecall _),
     "q109_lsh_multi_recall" -> (q109LshMultiRecall _),
-    "q110_ivfpq_recall" -> (q110IvfPqRecall _)
+    "q110_ivfpq_recall" -> (q110IvfPqRecall _),
+    "q111_bm25_append" -> (q111Bm25Append _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3473,6 +3492,8 @@ object Queries {
     "q89_ivfpq_index" -> pqTopKOracle,
     "q90_bm25_topk" -> bm25Oracle,
     "q91_bm25_view" -> bm25Oracle,
+    // the appended view must equal the batch-built one cell-for-cell
+    "q111_bm25_append" -> bm25Oracle,
     "q92_merge_latest" ->
       """WITH base AS (
         | SELECT o_orderkey, o_orderstatus AS status, 0 AS version,

@@ -303,6 +303,7 @@ object SearchIndex {
   def createBm25View(docs: DataFrame, table: String, buckets: Int = 16,
                      idCol: String = "doc_id",
                      textCol: String = "text"): Unit = {
+    requireIntegralId(docs, idCol, "bm25 corpus")
     val spark = docs.sparkSession
     // one tokenize pass; dl folds back from tf, df/avgdl read the
     // WRITTEN postings — the corpus text is scanned exactly once
@@ -317,11 +318,74 @@ object SearchIndex {
       written.groupBy("token").agg(count(lit(1)).as("df")),
       "token", buckets, s"${table}_df")
     Scale.resetManagedTable(spark, s"${table}_meta")
+    // n_tokens is avgdl's MONOID PART: avgdl itself doesn't re-combine,
+    // so the incremental path ([[appendToBm25View]]) merges (n_docs,
+    // n_tokens) and re-derives avgdl — the same sum/count trick as
+    // Merge.mergeAggregates' non-monoid-metrics rule
     val n = docs.agg(count(lit(1)).as("__n"))
     written.agg(sum("tf").as("__tok")).crossJoin(n)
-      .select(col("__n").as("n_docs"),
+      .select(col("__n").as("n_docs"), col("__tok").as("n_tokens"),
         (col("__tok").cast("double") / col("__n")).as("avgdl"))
       .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_meta")
+  }
+
+  /** Incremental maintenance of a [[createBm25View]] index: fold a batch
+    * of NEW documents in without re-reading the indexed corpus — the
+    * composition of the ranked view with the monoid-merge rule
+    * ([[Merge.mergeAggregates]]). Spec-pinned ≡ dropping and rebuilding
+    * the view over the union (gate q111 runs the appended view under the
+    * q90 oracle); the reference can only drop-and-recreate its ranked
+    * views (cell-kn-mvp-etl-results/.../ArangoDbUtilities.py:209-358).
+    *
+    * Per table: postings are APPEND-ONLY (new doc ids touch no existing
+    * row — tf and dl are per-doc facts, so delta rows land as new files
+    * in their token buckets); df re-combines by `df_new = df_old +
+    * df_delta` (count monoid) and the vocabulary-sized table rewrites;
+    * the 1-row meta re-derives avgdl from its merged monoid parts.
+    *
+    * Precondition (CDC append contract): `newDocs` ids are NOT already
+    * in the view — a re-sent document would double-count its tokens.
+    * Updating a document is a different operation (anti-join the old
+    * rows out first, or rebuild), exactly as in [[Similarity]]'s frozen-
+    * quantizer appends.
+    *
+    * Shape at 100 TB: one tokenize pass over the DELTA only; the only
+    * table rewritten is Zipf-bounded (vocabulary-sized); the corpus-
+    * sized postings table is never read, never shuffled, never moved. */
+  def appendToBm25View(newDocs: DataFrame, table: String, buckets: Int = 16,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): Unit = {
+    requireIntegralId(newDocs, idCol, "bm25 corpus")
+    val spark = newDocs.sparkSession
+    val tf = newDocs.select(col(idCol).as("id"),
+        explode(rankTokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val delta = tf.join(dl, "id")
+      .select("id", "token", "tf", "dl") // column order of the base table
+    delta.write.mode("append")
+      .bucketBy(buckets, "token").sortBy("token")
+      .format("parquet").saveAsTable(table)
+    val dfDelta = delta.groupBy("token").agg(count(lit(1)).as("df"))
+    // materialize the merge BEFORE writeBucketed drops the table it reads
+    val dfMerged = graft.operators.Merge.mergeAggregates(
+        spark.table(s"${table}_df"), dfDelta,
+        Seq("token"), Seq("df" -> "sum"))
+      .localCheckpoint(true)
+    Scale.writeBucketed(dfMerged, "token", buckets, s"${table}_df")
+    val metaDelta = tf.agg(
+      countDistinct(col("id")).as("n_docs"), sum("tf").as("n_tokens"))
+    val metaMerged = spark.table(s"${table}_meta")
+      .select("n_docs", "n_tokens")
+      .unionByName(metaDelta)
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .select(col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avgdl"))
+      .localCheckpoint(true)
+    Scale.resetManagedTable(spark, s"${table}_meta")
+    metaMerged.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_meta")
   }
 

@@ -125,6 +125,42 @@ class SearchIndexSpec extends SparkSpec {
     SearchIndex.dropView(spark, "bm25_probe_view_meta")
   }
 
+  test("appendToBm25View: appended view ≡ full rebuild over the union " +
+    "(postings, df, meta, and probe scores all cell-identical)") {
+    val all = (0L until 80L).map { i =>
+      (i, s"alpha beta w${i % 7} w${i % 11} gamma w${i % 5}")
+    }.toDF("doc_id", "text")
+    val base = all.filter($"doc_id" < 60)
+    val batch = all.filter($"doc_id" >= 60)
+    val q = Seq((0L, "alpha w3"), (1L, "beta w4 w10")).toDF("query_id", "qtext")
+
+    SearchIndex.createBm25View(base, "bm25_appended", buckets = 4)
+    SearchIndex.appendToBm25View(batch, "bm25_appended", buckets = 4)
+    SearchIndex.createBm25View(all, "bm25_whole", buckets = 4)
+
+    // every view table matches its batch-built twin row-for-row
+    for (suffix <- Seq("", "_df", "_meta")) {
+      val a = spark.table(s"bm25_appended$suffix")
+      val b = spark.table(s"bm25_whole$suffix")
+      assert(a.schema == b.schema, s"schema drift in $suffix")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"content drift in table suffix '$suffix'")
+    }
+    // and the probe is bit-identical (same integers in, same IEEE ops)
+    val viaAppend = SearchIndex.bm25Query(spark, "bm25_appended", q, k = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    val viaWhole = SearchIndex.bm25Query(spark, "bm25_whole", q, k = 8)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaAppend == viaWhole)
+    // re-sending an already-indexed doc id is a contract violation the
+    // integral-id guard can't catch — the view silently double-counts —
+    // so pin the documented precondition here as a reminder that update
+    // means anti-join-then-append, not append
+    for (t <- Seq("bm25_appended", "bm25_whole"))
+      for (sfx <- Seq("", "_df", "_meta"))
+        SearchIndex.dropView(spark, s"$t$sfx")
+  }
+
   test("view lifecycle: recreate overwrites, drop removes, drop is idempotent") {
     SearchIndex.recreateView(verts.filter(!$"label".contains("macroph")),
       Seq("collection", "key"), fields, "search_view2", buckets = 2)
