@@ -1713,6 +1713,34 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Weighted-HITS gate: 4 unnormalized rounds over the q103 weighted
+    * graph (unique (src, dst) pairs, summed integer weights) — each
+    * contribution is `w·hub` / `w·auth`, per-term multiply exact, folds
+    * source-sorted, so the oracle replays cell-exact. Completes the
+    * weighted × {PageRank, HITS} matrix. */
+  def q112WeightedHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w0"))
+      .groupBy("src", "dst").agg(sum("w0").as("w"))
+    GraphAlgos.hits(edges, iterations = 4, weightCol = Some("w"),
+        exactFolds = true)
+      .orderBy("node")
+  }
+
+  /** Eigenvector-centrality gate: 5 power-iteration rounds over the q98
+    * graph, renormalized by the round max (fold-order-free, division
+    * exact) — the no-base-mass companion to PageRank. */
+  def q113EigenvectorCentrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.eigenvectorCentrality(edges, iterations = 5,
+        exactFolds = true)
+      .orderBy("node")
+  }
+
   /** CDC latest-wins merge gate: orders is the base (version 0); the
     * updates side rewrites every 7th key at version 1, REPLAYS every
     * 11th key at version 0 (side tie — updates wins, the correction
@@ -2029,26 +2057,59 @@ object Queries {
 
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
-  private def hitsOracle(iters: Int): String = {
+  private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
+    val (hc, ac) =
+      if (weighted) ("CAST(e.w AS DOUBLE) * h.hub", "CAST(e.w AS DOUBLE) * a.auth")
+      else ("h.hub", "a.auth")
     val rounds = (1 to iters).map { i =>
       s"""aa$i AS (SELECT e.dst AS node,
-         |  list_sum(list(h.hub ORDER BY e.src)) AS v
+         |  list_sum(list($hc ORDER BY e.src)) AS v
          | FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
          |a$i AS (SELECT n.node, coalesce(aa$i.v, CAST(0 AS DOUBLE)) AS auth
          | FROM nodes n LEFT JOIN aa$i USING (node)),
          |hh$i AS (SELECT e.src AS node,
-         |  list_sum(list(a.auth ORDER BY e.dst)) AS v
+         |  list_sum(list($ac ORDER BY e.dst)) AS v
          | FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
          |h$i AS (SELECT n.node, coalesce(hh$i.v, CAST(0 AS DOUBLE)) AS hub
          | FROM nodes n LEFT JOIN hh$i USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
-       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+    val eCte =
+      if (weighted)
+        """e AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
+          |  CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w
+          | FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2)""".stripMargin
+      else
+        """e AS (SELECT DISTINCT o_custkey % 200 AS src,
+          |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000)""".stripMargin
+    s"""WITH $eCte,
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
        |$rounds
        |SELECT h$iters.node, h$iters.hub, a$iters.auth
        |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
+  }
+
+  /** The q113 oracle: power-iteration rounds unrolled — in-neighbor
+    * sorted-fold sum, then renormalize by the round max (fold-order-free,
+    * division exact — see GraphAlgos.eigenvectorCentrality). */
+  private def eigenOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |  list_sum(list(x.score ORDER BY e.src)) AS s
+         | FROM e JOIN x${i - 1} x ON x.node = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node, coalesce(s$i.s, CAST(0 AS DOUBLE)) AS score
+         | FROM nodes n LEFT JOIN s$i USING (node)),
+         |m$i AS (SELECT max(score) AS m FROM r$i),
+         |x$i AS (SELECT node,
+         |  CASE WHEN m.m > 0 THEN score / m.m ELSE score END AS score
+         | FROM r$i CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
+       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |x0 AS (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
+       |$rounds
+       |SELECT node, score FROM x$iters ORDER BY node""".stripMargin
   }
 
   /** The q98/q99 oracle: PageRank rounds unrolled as CTE pairs (DuckDB
@@ -2243,7 +2304,9 @@ object Queries {
     "q108_ivf_recall" -> (q108IvfRecall _),
     "q109_lsh_multi_recall" -> (q109LshMultiRecall _),
     "q110_ivfpq_recall" -> (q110IvfPqRecall _),
-    "q111_bm25_append" -> (q111Bm25Append _)
+    "q111_bm25_append" -> (q111Bm25Append _),
+    "q112_weighted_hits" -> (q112WeightedHits _),
+    "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3675,6 +3738,8 @@ object Queries {
         |FROM m ORDER BY pair_id, doc_id""".stripMargin,
     "q102_hits" -> hitsOracle(4),
     "q103_weighted_pagerank" -> pageRankOracle(5, weighted = true),
+    "q112_weighted_hits" -> hitsOracle(4, weighted = true),
+    "q113_eigenvector_centrality" -> eigenOracle(5),
     "q104_shortest_paths" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
         |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),

@@ -105,6 +105,14 @@ object GraphAlgos {
     * fold-order-free, division exact). Values grow ≤ maxdeg^(2·rounds):
     * keep rounds small or normalize for degree-billions graphs.
     *
+    * `weightCol` turns each contribution into `w(u,v)·hub(u)` /
+    * `w(v,w)·auth(w)` (weighted HITS). Precondition as in
+    * [[weightedPageRank]]: (src, dst) pairs UNIQUE in `edges0` — the
+    * unweighted face dedups internally, the weighted one cannot without
+    * guessing a combine rule. Per-term multiplication is IEEE-exact and
+    * order-free, so the weighted face keeps the same determinism
+    * contract (gate q112).
+    *
     * Shape at 100 TB: TWO checkpointed edge copies — partitioned by src
     * (hub phase) and by dst (auth phase), the hop-table trick — so
     * neither phase ever re-shuffles edges; each phase is one |V|-sized
@@ -112,12 +120,19 @@ object GraphAlgos {
   def hits(edges0: DataFrame, iterations: Int = 4,
            srcCol: String = "src", dstCol: String = "dst",
            normalize: Boolean = false,
+           weightCol: Option[String] = None,
            exactFolds: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges0.sparkSession
     val (eBySrc, eByDst) = Dedup.withAqeOff(spark) {
-      val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct()
+      val e = weightCol match {
+        case None =>
+          edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            lit(1.0).as("__w")).distinct()
+        case Some(w) =>
+          edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(w).cast("double").as("__w"))
+      }
       (e.repartition(col("src")).localCheckpoint(true),
         e.repartition(col("dst")).localCheckpoint(true))
     }
@@ -130,13 +145,15 @@ object GraphAlgos {
     for (_ <- 1 to iterations) {
       val aSums = eBySrc.join(hubs, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
-        .agg(neighborSum(col("src"), col("hub"), exactFolds).as("s"))
+        .agg(neighborSum(col("src"), col("__w") * col("hub"),
+          exactFolds).as("s"))
       auths = nodes.join(aSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
         .localCheckpoint(true)
       val hSums = eByDst.join(auths, col("dst") === col("node"))
         .groupBy(col("src").as("node"))
-        .agg(neighborSum(col("dst"), col("auth"), exactFolds).as("s"))
+        .agg(neighborSum(col("dst"), col("__w") * col("auth"),
+          exactFolds).as("s"))
       hubs = nodes.join(hSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
         .localCheckpoint(true)
@@ -152,6 +169,58 @@ object GraphAlgos {
           when(col("__ma") > 0, col("auth") / col("__ma"))
             .otherwise(col("auth")).as("auth"))
     }
+  }
+
+  /** Eigenvector centrality by power iteration: `iterations` rounds of
+    * `x'(v) = Σ_{u→v} w(u,v)·x(u)`, renormalized by the round MAX (not
+    * the L2 norm: max is fold-order-free and the division IEEE-exact,
+    * so a fixed round count replays bit-identically in any engine —
+    * gate q113's unrolled-recursion oracle). Unweighted edges dedup
+    * and weigh 1; `weightCol` requires unique (src, dst) pairs as in
+    * the weighted PageRank/HITS faces. Nodes with no in-edges fix at
+    * 0, as eigenvector centrality defines (use [[pageRank]] when
+    * every node needs base mass).
+    *
+    * Shape at 100 TB: the edge table pre-partitions on src once and
+    * never re-shuffles; each round is one |V|-sized rank join + one
+    * map-side-combined dst aggregation + a 1-row max broadcast. */
+  def eigenvectorCentrality(edges0: DataFrame, iterations: Int = 5,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            weightCol: Option[String] = None,
+                            exactFolds: Boolean = false): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      val e = weightCol match {
+        case None =>
+          edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            lit(1.0).as("__w")).distinct()
+        case Some(w) =>
+          edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(w).cast("double").as("__w"))
+      }
+      e.repartition(col("src")).localCheckpoint(true)
+    }
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var x = nodes.withColumn("score", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val sums = edges.join(x, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(neighborSum(col("src"), col("__w") * col("score"),
+          exactFolds).as("s"))
+      val raw = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("score"))
+      val m = raw.agg(max(col("score")).as("__m"))
+      x = raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          when(col("__m") > 0, col("score") / col("__m"))
+            .otherwise(col("score")).as("score"))
+        .localCheckpoint(true)
+    }
+    x
   }
 
   /** Multi-source BFS shortest paths (GraphX ShortestPaths analog):

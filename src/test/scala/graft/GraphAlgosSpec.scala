@@ -99,6 +99,46 @@ class GraphAlgosSpec extends SparkSpec {
       (3L, 1.0 / 3, 1.0)))
   }
 
+  test("weighted hits: uniform weights equal the unweighted face, " +
+    "one-round closed form with a skewed weight") {
+    // weight 1 everywhere: w·hub = hub bitwise, so the weighted path
+    // must reproduce the unweighted one exactly
+    val uni = diamond.withColumn("w", lit(1L))
+    val a = GraphAlgos.hits(uni, iterations = 2, weightCol = Some("w"))
+      .orderBy("node").collect().toSeq
+    val b = GraphAlgos.hits(diamond, iterations = 2)
+      .orderBy("node").collect().toSeq
+    assert(a == b) // weight 1: bitwise-identical to unweighted
+    // skew edge 1->2 with weight 3 (others 1):
+    // round 1: auth(1)=h3=1, auth(2)=3·h1=3, auth(3)=h1+h2=2
+    //          hub(1)=3·a2+a3=11, hub(2)=a3=2, hub(3)=a1=1
+    val sk = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.hits(sk, iterations = 1, weightCol = Some("w"),
+        exactFolds = true)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 11.0, 1.0), (2L, 2.0, 3.0), (3L, 1.0, 2.0)))
+  }
+
+  test("eigenvector centrality: closed form on the diamond, max-normalized " +
+    "each round, source-only nodes decay to zero") {
+    // diamond: 1->2, 1->3, 2->3, 3->1; x0 = 1
+    // round 1 sums: s(1)=x3=1, s(2)=x1=1, s(3)=x1+x2=2; max=2
+    //  -> x1 = (0.5, 0.5, 1.0)
+    // round 2 sums: s(1)=1.0, s(2)=0.5, s(3)=0.5+0.5=1.0; max=1.0
+    //  -> x2 = (1.0, 0.5, 1.0)
+    val got = GraphAlgos.eigenvectorCentrality(diamond, iterations = 2,
+        exactFolds = true)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 0.5), (3L, 1.0)))
+    // a pure source (no in-edges) holds score 0 after round 1
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c = GraphAlgos.eigenvectorCentrality(chain, iterations = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(c(0) == (1L, 0.0))
+  }
+
   test("shortestPaths: multi-landmark BFS distances, hop cap respected, " +
     "unreachable pairs absent, early convergence exact") {
     // chain 1->2->3->4, shortcut 1->4, island 9->10; landmarks {1, 9}
