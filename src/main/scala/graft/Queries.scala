@@ -1741,6 +1741,20 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Catalog-surface gate for the global-analytics member: personalized
+    * PageRank seeded from the CS vertices over the phenotype subgraph of
+    * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
+    * the entities related to the cell sets". The gate runs the bit-exact
+    * fold face; the catalog member's PRODUCTION default is the map-side
+    * path, spec-pinned ≤1e-12 against this face. Oracle = the q98 family
+    * over ArangoDB-style collection/key node handles. */
+  def q114RankRelatedEntities(s: SparkSession, dir: String): DataFrame = {
+    val (vertices, edges) = catalogGraph(s, dir)
+    QueryCatalog.rankRelatedEntities(vertices, edges,
+        queries = Seq(QueryCatalog.production(2)), exactFolds = true)
+      .orderBy("collection", "key")
+  }
+
   /** CDC latest-wins merge gate: orders is the base (version 0); the
     * updates side rewrites every 7th key at version 1, REPLAYS every
     * 11th key at version 0 (side tie — updates wins, the correction
@@ -2089,6 +2103,41 @@ object Queries {
        |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
   }
 
+  /** The q114 oracle: the q98 seeded-PageRank recursion over the
+    * production-#2 phenotype subgraph (CS→CL→CSD on the q46 fixture),
+    * node identity = the ArangoDB-style collection/key handle. The
+    * sorted fold orders by the handle STRING — byte order for ASCII in
+    * both engines, so the replay stays cell-exact. */
+  private def q114Oracle(iters: Int): String = {
+    val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS node,
+         |  list_sum(list(p.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)) AS s
+         | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
+         | GROUP BY e.dst),
+         |p$i AS (SELECT n.node,
+         |  CASE WHEN n.node LIKE 'CS/%' THEN $oneMinusD
+         |   ELSE CAST(0 AS DOUBLE) END
+         |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
+         | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
+       |e AS (
+       | SELECT DISTINCT 'CS/' || CAST(c AS VARCHAR) AS src,
+       |  'CL/' || CAST(c % 200 AS VARCHAR) AS dst FROM cust
+       | UNION
+       | SELECT DISTINCT 'CL/' || CAST(c % 200 AS VARCHAR),
+       |  'CSD/' || CAST((c % 200) % 40 AS VARCHAR) FROM cust),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS (SELECT node, CASE WHEN node LIKE 'CS/%' THEN CAST(1 AS DOUBLE)
+       | ELSE CAST(0 AS DOUBLE) END AS pr FROM nodes),
+       |$rounds
+       |SELECT split_part(node, '/', 1) AS collection,
+       | split_part(node, '/', 2) AS key, pr AS rank
+       |FROM p$iters ORDER BY collection, key""".stripMargin
+  }
+
   /** The q113 oracle: power-iteration rounds unrolled — in-neighbor
     * sorted-fold sum, then renormalize by the round max (fold-order-free,
     * division exact — see GraphAlgos.eigenvectorCentrality). */
@@ -2306,7 +2355,8 @@ object Queries {
     "q110_ivfpq_recall" -> (q110IvfPqRecall _),
     "q111_bm25_append" -> (q111Bm25Append _),
     "q112_weighted_hits" -> (q112WeightedHits _),
-    "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _)
+    "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _),
+    "q114_rank_related_entities" -> (q114RankRelatedEntities _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3740,6 +3790,7 @@ object Queries {
     "q103_weighted_pagerank" -> pageRankOracle(5, weighted = true),
     "q112_weighted_hits" -> hitsOracle(4, weighted = true),
     "q113_eigenvector_centrality" -> eigenOracle(5),
+    "q114_rank_related_entities" -> q114Oracle(5),
     "q104_shortest_paths" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
         |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),

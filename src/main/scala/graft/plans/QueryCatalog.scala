@@ -81,6 +81,39 @@ object QueryCatalog {
     PathQuery("CS", Seq("CL", "GS", "RS", "CHEMBL", "PR"))
   )
 
+  /** "Rank the entities related to the cell sets" — the global-analytics
+    * catalog member over the graph [[phenotypeSubgraph]] materializes:
+    * personalized PageRank with the reset mass confined to the
+    * `seedCollection` vertices, so scores measure proximity to the cell
+    * sets a Cell KN user starts from (the subgraph exists precisely to
+    * serve such queries; PhenotypeGraphBuilder.java:48-109).
+    *
+    * Node identity is the ArangoDB-style `collection/key` handle (an
+    * Arango `_key` cannot contain '/', so the join-back split is exact).
+    * PRODUCTION DEFAULT is the map-side-combined fold
+    * (`exactFolds = false` — a celebrity ontology term must never build
+    * a collect_list array); the bit-exact face exists for gates and
+    * cross-engine replay only (gate q114 runs it; the spec pins the two
+    * faces ≤1e-12 apart on the fixture graph). */
+  def rankRelatedEntities(vertices: DataFrame, edges: DataFrame,
+                          seedCollection: String = "CS",
+                          iterations: Int = 5, damping: Double = 0.85,
+                          queries: Seq[PathQuery] = production,
+                          exactFolds: Boolean = false): DataFrame = {
+    val (sv, se) = phenotypeSubgraph(vertices, edges, queries)
+    val e = se.select(
+      concat_ws("/", col("from_coll"), col("from_key")).as("src"),
+      concat_ws("/", col("to_coll"), col("to_key")).as("dst"))
+    val seeds = sv.filter(col("collection") === seedCollection)
+      .select(concat_ws("/", col("collection"), col("key")).as("node"))
+    graft.operators.GraphAlgos
+      .personalizedPageRank(e, seeds, iterations, damping,
+        exactFolds = exactFolds)
+      .select(split(col("node"), "/").getItem(0).as("collection"),
+        split(col("node"), "/").getItem(1).as("key"),
+        col("pr").as("rank"))
+  }
+
   /** Phenotype-graph materialization: run every query, union the paths,
     * dedup vertices/edges, enrich vertex docs from the ontology vertex
     * table (PhenotypeGraphBuilder.java:48-223 — the sequential AQL loop,

@@ -127,6 +127,32 @@ class QueryCatalogSpec extends SparkSpec {
     assert(es.count() >= 5)
   }
 
+  test("rankRelatedEntities: CS seeds keep the reset mass, related " +
+    "entities rank by proximity, production default tracks the exact " +
+    "face within float association noise") {
+    val exact = QueryCatalog.rankRelatedEntities(verts, edges,
+        exactFolds = true)
+      .orderBy("collection", "key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val ranks = exact.map { case (c, k, v) => s"$c/$k" -> v }.toMap
+    // seeds carry base mass; anything they point at inherits scaled mass
+    assert(ranks("CS/cs1") == 1.0 - 0.85)
+    assert(ranks.keys.exists(_.startsWith("BGS/")))
+    assert(ranks.filter(!_._1.startsWith("CS/")).values.forall(_ >= 0.0))
+    // a node OUTSIDE the subgraph never appears
+    assert(!ranks.contains("PUB/zzz"))
+    // the production default (map-side combined fold) is the same
+    // ranking within association noise
+    val fast = QueryCatalog.rankRelatedEntities(verts, edges)
+      .orderBy("collection", "key").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(exact.map(t => (t._1, t._2)).toSeq == fast.map(t => (t._1, t._2)).toSeq)
+    exact.zip(fast).foreach { case ((_, k, a), (_, _, b)) =>
+      assert(math.abs(a - b) <= 1e-12 * math.max(math.abs(a), 1.0),
+        s"node $k: exact $a vs fast $b")
+    }
+  }
+
   test("graph store round-trips and prunes partitions by collection") {
     val dir = Files.createTempDirectory("gs")
     GraphStore.writeVertices(verts, dir.resolve("v").toString)
