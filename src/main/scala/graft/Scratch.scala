@@ -46,6 +46,75 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name == "buildprobe") {
+      // split index-BUILD from PROBE for the four write+probe gates
+      // (q61/q82/q89/q91): the driver's bench times them as one number,
+      // which hides the amortization story — at 100x the build runs once
+      // and the probe is the steady-state cost. Best-of-2 per phase.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Similarity, SearchIndex}
+      def b2(what: String)(f: => Long): Unit = {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"[scratch] $what: best=${times.map(_._1).min}%.2f s " +
+          f"(runs: ${times.map(t => f"${t._1}%.2f").mkString(", ")}; " +
+          f"rows=${times.head._2})")
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .localCheckpoint(true)
+      b2("q61_build (writeLshIndex)") {
+        Dedup.writeLshIndex(docs.filter(col("doc_id") % 10 =!= 3),
+          n = 4, k = 8, bands = 4, hashFamily = Dedup.md5HashFamily,
+          bucketFamily = Dedup.md5BucketFamily, buckets = 4,
+          table = "scr_lsh_index"); 0L
+      }
+      b2("q61_probe (lshAgainstIndex)") {
+        Dedup.lshAgainstIndex(docs.filter(col("doc_id") % 10 === 3),
+          "scr_lsh_index", n = 4, k = 8, bands = 4,
+          hashFamily = Dedup.md5HashFamily,
+          bucketFamily = Dedup.md5BucketFamily).count()
+      }
+      val edges = graft.Queries.catalogEdgesForScratch(spark, dir)
+        .localCheckpoint(true)
+      b2("q82_build (writeHopTables)") {
+        graft.sources.GraphStore.writeHopTables(edges, buckets = 8,
+          "scr_bp_hops"); 0L
+      }
+      b2("q82_probe (bucketed hierarchy query)") {
+        graft.plans.QueryCatalog.production(19)
+          .runBucketed(spark, "scr_bp_hops").count()
+      }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      var cb: Similarity.PqCodebooks = null
+      var cents: Seq[(Int, Array[Float])] = null
+      val pqPath = s"${System.getProperty("java.io.tmpdir")}/scr_bp_ivfpq"
+      b2("q89_build (train quantizers + writeIvfPqIndex)") {
+        cb = Similarity.pqCodebooksFromRows(emb, dim = 64, m = 8, k = 16)
+        cents = Similarity.trainCentroids(emb, nCells = 16)
+        Similarity.writeIvfPqIndex(emb, cents, cb, pqPath); 0L
+      }
+      b2("q89_probe (queryIvfPqIndex, full probe)") {
+        Similarity.queryIvfPqIndex(spark, pqPath, cents, cb,
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 16).count()
+      }
+      val bmq = {
+        import spark.implicits._
+        Seq((0L, "spark window agg"), (1L, "join filter"),
+          (2L, "columnar batch")).toDF("query_id", "qtext")
+      }
+      b2("q91_build (createBm25View)") {
+        SearchIndex.createBm25View(docs, "scr_bp_bm25", buckets = 8); 0L
+      }
+      b2("q91_probe (bm25Query)") {
+        SearchIndex.bm25Query(spark, "scr_bp_bm25", bmq, k = 10,
+          lnIdf = false).count()
+      }
+      spark.stop(); return
+    }
     if (name == "recall") {
       // measure recall@k of the approximate ANN paths vs brute force at
       // the q108-gate settings — run at BOTH sf dirs before pinning a
