@@ -396,4 +396,53 @@ object Streams {
     else docs.select(col(idCol),
       array_join(filter(split(col(textCol), "\n"),
         l => !l.isin(hotLines: _*)), "\n").as(textCol))
+
+  final case class CdcEvent(key: String, version: Long, deleted: Boolean,
+                            payload: String)
+  final case class CdcState(version: Long, deleted: Boolean,
+                            payload: String)
+
+  /**
+   * Streaming CDC upsert — the continuous face of
+   * [[graft.operators.Merge.mergeLatest]] (gate q92): a change stream of
+   * (key, version, tombstone, payload) rows folds into per-key
+   * latest-wins state, and each micro-batch emits the CURRENT winner for
+   * every key it touched (Update mode — the shape an upsert sink like a
+   * key-value store or a MERGE-capable table consumes; tombstoned
+   * winners emit with `deleted = true` so the sink can propagate the
+   * delete). Spec-pinned: replaying any prefix of the stream and
+   * snapshotting the last emit per key EQUALS the batch `mergeLatest`
+   * over the same rows, and replaying a row is a no-op (idempotent, the
+   * CDC replay contract).
+   *
+   * Same precondition as the batch face: (key, version) unique in the
+   * stream — an arriving version ≥ the state's wins (equality = the
+   * replayed-correction convention).
+   *
+   * Shape at 100 TB: state per key is ONE small struct (bounded by the
+   * live key set, not the stream length); each trigger shuffles only the
+   * batch's rows to their key partitions. The payload is carried as an
+   * opaque string — production would encode the row (JSON/Avro) or
+   * specialize the case class per schema.
+   */
+  def cdcUpsertStream(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+          val best = it.foldLeft(state.getOption) { (acc, e) =>
+            if (acc.forall(e.version >= _.version))
+              Some(CdcState(e.version, e.deleted, e.payload))
+            else acc
+          }
+          best match {
+            case Some(s) =>
+              state.update(s)
+              Iterator.single(CdcEvent(key, s.version, s.deleted, s.payload))
+            case None => Iterator.empty
+          }
+      }
+  }
 }

@@ -74,6 +74,51 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcUpsertStream: last emit per key equals batch mergeLatest, " +
+    "replay is a no-op, tombstones propagate") {
+    import graft.streaming.Streams.CdcEvent
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcEvent]
+    val q = graft.streaming.Streams.cdcUpsertStream(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      // batch 1: three inserts
+      in.addData(CdcEvent("a", 0, deleted = false, "a0"),
+        CdcEvent("b", 0, deleted = false, "b0"),
+        CdcEvent("c", 0, deleted = false, "c0"))
+      q.processAllAvailable()
+      // batch 2: update a (v1), REPLAY b's v0 (no-op by value), tombstone c,
+      // stale update for a (v0 arrives after v1 in the same batch: loses)
+      in.addData(CdcEvent("a", 1, deleted = false, "a1"),
+        CdcEvent("a", 0, deleted = false, "aSTALE"),
+        CdcEvent("b", 0, deleted = false, "b0"),
+        CdcEvent("c", 1, deleted = true, "c0"))
+      q.processAllAvailable()
+      val emits = spark.table("cdc_out").as[CdcEvent].collect()
+      // snapshot = last emit per key (what an upsert sink holds)
+      val snapshot = emits.zipWithIndex
+        .groupBy(_._1.key).map { case (k, g) => k -> g.maxBy(_._2)._1 }
+      assert(snapshot("a") == CdcEvent("a", 1, deleted = false, "a1"))
+      assert(snapshot("b") == CdcEvent("b", 0, deleted = false, "b0"))
+      assert(snapshot("c") == CdcEvent("c", 1, deleted = true, "c0"))
+
+      // the live view (drop tombstones) equals the batch face on the
+      // same rows
+      import spark.implicits._
+      val base = Seq(("a", "a0", 0L, false), ("b", "b0", 0L, false),
+        ("c", "c0", 0L, false)).toDF("key", "payload", "version", "deleted")
+      val upd = Seq(("a", "a1", 1L, false), ("c", "c0", 1L, true))
+        .toDF("key", "payload", "version", "deleted")
+      val batch = graft.operators.Merge.mergeLatest(base, upd, Seq("key"),
+          "version", deleteCol = Some("deleted"))
+        .select("key", "payload").as[(String, String)].collect().toMap
+      val live = snapshot.values.filter(!_.deleted)
+        .map(e => e.key -> e.payload).toMap
+      assert(live == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup with bounded state drops duplicate keys") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
