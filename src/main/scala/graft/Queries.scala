@@ -1755,6 +1755,19 @@ object Queries {
       .orderBy("collection", "key")
   }
 
+  /** SemDeDup gate: semantic dedup of the embeddings corpus — nearest-
+    * centroid assignment (deterministic first-16-rows centroids so the
+    * oracle replays the argmax), within-cell cosine ≥ 0.3 pairs,
+    * min-id component survivors. Non-vacuous at both scales (223 pairs
+    * at sf0.01, 2605 at sf0.1 — measured before pinning). */
+  def q115SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticDedup(emb,
+        Similarity.centroidsFromRows(emb, nCells = 16), threshold = 0.3)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** CDC latest-wins merge gate: orders is the base (version 0); the
     * updates side rewrites every 7th key at version 1, REPLAYS every
     * 11th key at version 0 (side tie — updates wins, the correction
@@ -2356,7 +2369,8 @@ object Queries {
     "q111_bm25_append" -> (q111Bm25Append _),
     "q112_weighted_hits" -> (q112WeightedHits _),
     "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _),
-    "q114_rank_related_entities" -> (q114RankRelatedEntities _)
+    "q114_rank_related_entities" -> (q114RankRelatedEntities _),
+    "q115_semantic_dedup" -> (q115SemanticDedup _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3791,6 +3805,38 @@ object Queries {
     "q112_weighted_hits" -> hitsOracle(4, weighted = true),
     "q113_eigenvector_centrality" -> eigenOracle(5),
     "q114_rank_related_entities" -> q114Oracle(5),
+    // SemDeDup: same cosine spelling as the q26 family; assignment ties
+    // break to the lower cell id exactly as assignCells' struct ordering
+    "q115_semantic_dedup" ->
+      """WITH RECURSIVE cents AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |assg AS (
+        | SELECT e.vec_id, c.cell,
+        |  list_sum(list_transform(list_zip(e.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM embeddings e CROSS JOIN cents c),
+        |best AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+        |  FROM assg) WHERE rn = 1),
+        |pairs AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib
+        | FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        | WHERE list_sum(list_transform(list_zip(ea.embedding, eb.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3),
+        |e AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+        |losers AS (SELECT id FROM reach WHERE id <> component)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
     "q104_shortest_paths" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
         |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),

@@ -247,6 +247,57 @@ object Similarity {
     if (nPlanes == 0) lit(0L)
     else graft.functions.VectorExpressions.hyperplaneSig(vec, nPlanes)
 
+  /** Deterministic coarse centroids for oracle-replayable gates: the
+    * `nCells` lowest-id corpus vectors, verbatim (the coarse-quantizer
+    * analogue of [[pqCodebooksFromRows]]). Production trains k-means
+    * ([[trainCentroids]]); this face exists so an external engine can
+    * reproduce the cell assignment cell-exactly. */
+  def centroidsFromRows(corpus: DataFrame, nCells: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Seq[(Int, Array[Float])] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).toArray)
+      }.toSeq
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedded corpus — assign every vector to its
+    * nearest coarse centroid, find within-cell pairs with cosine ≥
+    * `threshold`, collapse each connected component to its minimum-id
+    * survivor (the [[Dedup]] convention), and anti-join the losers out.
+    * Returns the surviving corpus rows unchanged.
+    *
+    * Shape at 100 TB: the cell assignment is NARROW ([[assignCells]] —
+    * no join, no shuffle); candidate pairs come from a per-cell
+    * equi-self-join (never all-pairs — the clustering exists precisely
+    * to bound the quadratic term to cell sizes); components run on the
+    * pair graph (node-sized, not corpus-sized); the final anti-join
+    * moves only loser ids. The corpus embedding payload shuffles once,
+    * into its cells. */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Array[Float])],
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    val assigned = assignCells(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+        centroids, "__vec", 1)
+      .localCheckpoint(true) // both pair sides read the same assignment
+    val a = assigned.select(col("cell_id"), col("__id").as("id_a"),
+      col("__vec").as("__va"))
+    val b = assigned.select(col("cell_id"), col("__id").as("id_b"),
+      col("__vec").as("__vb"))
+    val pairs = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a hyperplane-signature
     * bucket; exact cosine re-ranks inside the bucket.
     *

@@ -210,6 +210,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan1.contains("__t") && !plan1.contains("__sig"))
   }
 
+  test("semanticDedup: within-cell duplicates collapse to the min id, " +
+    "cross-threshold neighbors survive, assignment stays narrow") {
+    val base = (0L until 50L).map(i => (i, vec(12)))
+    // plant two exact copies of doc 7 (same cell by construction) and a
+    // mild perturbation of doc 3 that stays below the 0.999 threshold
+    val v7 = base(7)._2
+    val v3 = base(3)._2
+    val nearMiss = v3.indices.map(i =>
+      if (i % 2 == 0) v3(i) + 0.15f else v3(i) - 0.15f)
+    val corpus = (base ++ Seq((100L, v7), (101L, v7), (102L, nearMiss)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.centroidsFromRows(corpus, nCells = 8)
+    val kept = Similarity.semanticDedup(corpus, cents, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // the duplicate cluster {7, 100, 101} keeps only 7
+    assert(kept.contains(7L) && !kept.contains(100L) && !kept.contains(101L))
+    // the near-miss is not a semantic dup at this threshold
+    assert(kept.contains(102L))
+    assert(kept.size == corpus.count() - 2)
+    // centroidsFromRows is the verbatim first rows
+    assert(cents.map(_._1) == (0 until 8))
+    assert(cents(7)._2.toSeq == v7)
+  }
+
   test("cosineNearDups surfaces planted duplicates") {
     val base = (0L until 30L).map(i => (i, vec(12)))
     val corpus = (base :+ ((99L, base(4)._2))).toDF("vec_id", "embedding")
