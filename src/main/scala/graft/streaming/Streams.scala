@@ -397,6 +397,50 @@ object Streams {
       array_join(filter(split(col(textCol), "\n"),
         l => !l.isin(hotLines: _*)), "\n").as(textCol))
 
+  /** One micro-batch of the BM25 ingest, replay-guarded: a batch id
+    * at-or-below the high-water mark is a completed replay and becomes a
+    * no-op (the standard foreachBatch idempotence pattern —
+    * `appendToBm25View` itself is NOT idempotent, a re-applied batch
+    * would double-count df). The batch id records LAST, after all three
+    * view tables apply, so only a crash INSIDE the three-table apply can
+    * replay a partial batch — the same window every non-transactional
+    * multi-table sink has; the vector twin ([[incrementalPqIngest]])
+    * closes it with per-batch overwrite partitions, which a bucketed
+    * saveAsTable cannot express. */
+  private[graft] def applyBm25Batch(batch: DataFrame, batchId: Long,
+                                    table: String, buckets: Int,
+                                    idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val guard = s"${table}_ingest_meta"
+    val applied = spark.catalog.tableExists(guard) &&
+      !spark.table(guard).filter(col("batch_id") === batchId).isEmpty
+    if (!applied && !batch.isEmpty) {
+      graft.operators.SearchIndex.appendToBm25View(batch, table, buckets,
+        idCol, textCol)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(guard)
+    }
+  }
+
+  /** Continuous BM25 view maintenance — the ranked-retrieval twin of
+    * [[incrementalIngest]]: each micro-batch of new documents folds into
+    * an existing [[graft.operators.SearchIndex.createBm25View]] through
+    * the monoid append path (postings append-only, vocabulary-sized df
+    * rewrite, meta re-derive). Seed the view first (an empty corpus is a
+    * valid seed); probes via `bm25Query` see each batch as soon as it
+    * lands. Replay-guarded per batch (see [[applyBm25Batch]]). */
+  def incrementalBm25Ingest(docs: DataFrame, table: String,
+                            checkpoint: String, buckets: Int = 16,
+                            idCol: String = "doc_id",
+                            textCol: String = "text")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBm25Batch(batch, batchId, table, buckets, idCol, textCol)
+      }
+      .start()
+
   final case class CdcEvent(key: String, version: Long, deleted: Boolean,
                             payload: String)
   final case class CdcState(version: Long, deleted: Boolean,

@@ -119,6 +119,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalBm25Ingest: streamed batches build the same view as " +
+    "one batch build, replayed batch ids are no-ops") {
+    import graft.operators.SearchIndex
+    val all = (0L until 60L).map { i =>
+      (i, s"alpha beta w${i % 7} w${i % 11} gamma w${i % 5}")
+    }.toDF("doc_id", "text")
+    val b1 = all.filter(col("doc_id") < 40)
+    val b2 = all.filter(col("doc_id") >= 40)
+    // seed an EMPTY view, stream two batches through the guarded apply
+    SearchIndex.createBm25View(all.limit(0), "bm25_stream", buckets = 4)
+    graft.streaming.Streams.applyBm25Batch(b1, 0L, "bm25_stream", 4,
+      "doc_id", "text")
+    graft.streaming.Streams.applyBm25Batch(b2, 1L, "bm25_stream", 4,
+      "doc_id", "text")
+    // a replayed (already-recorded) batch must change nothing
+    graft.streaming.Streams.applyBm25Batch(b2, 1L, "bm25_stream", 4,
+      "doc_id", "text")
+    SearchIndex.createBm25View(all, "bm25_batch", buckets = 4)
+    for (suffix <- Seq("", "_df", "_meta")) {
+      val a = spark.table(s"bm25_stream$suffix")
+      val b = spark.table(s"bm25_batch$suffix")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"drift in table suffix '$suffix'")
+    }
+    val q = Seq((0L, "alpha w3")).toDF("query_id", "qtext")
+    assert(SearchIndex.bm25Query(spark, "bm25_stream", q, k = 5)
+      .collect().toSeq ==
+      SearchIndex.bm25Query(spark, "bm25_batch", q, k = 5).collect().toSeq)
+    for (t <- Seq("bm25_stream", "bm25_stream_df", "bm25_stream_meta",
+      "bm25_stream_ingest_meta", "bm25_batch", "bm25_batch_df",
+      "bm25_batch_meta")) SearchIndex.dropView(spark, t)
+  }
+
   test("streaming dedup with bounded state drops duplicate keys") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
