@@ -46,6 +46,29 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name == "q114profile") {
+      // stage attribution for the rank-related-entities gate: fixture
+      // graph build vs subgraph materialization vs the 5 PPR rounds
+      import org.apache.spark.sql.functions._
+      var t = System.nanoTime()
+      val (v, e) = graft.Queries.catalogGraphForScratch(spark, dir)
+      println(f"[scratch] catalogGraph build+checkpoint: ${(System.nanoTime()-t)/1e9}%.2f s")
+      t = System.nanoTime()
+      val (sv, se) = graft.plans.QueryCatalog.phenotypeSubgraph(v, e,
+        Seq(graft.plans.QueryCatalog.production(2)))
+      val (nv, ne) = (sv.count(), se.count())
+      println(f"[scratch] phenotypeSubgraph ($nv v, $ne e): ${(System.nanoTime()-t)/1e9}%.2f s")
+      t = System.nanoTime()
+      val edges = se.select(
+        concat_ws("/", col("from_coll"), col("from_key")).as("src"),
+        concat_ws("/", col("to_coll"), col("to_key")).as("dst"))
+      val seeds = sv.filter(col("collection") === "CS")
+        .select(concat_ws("/", col("collection"), col("key")).as("node"))
+      val n = graft.operators.GraphAlgos.personalizedPageRank(edges, seeds,
+        iterations = 5, exactFolds = true).count()
+      println(f"[scratch] PPR 5 rounds exact ($n nodes): ${(System.nanoTime()-t)/1e9}%.2f s")
+      spark.stop(); return
+    }
     if (name == "buildprobe") {
       // split index-BUILD from PROBE for the four write+probe gates
       // (q61/q82/q89/q91): the driver's bench times them as one number,
