@@ -208,6 +208,15 @@ class SimilaritySpec extends SparkSpec {
     val plan1 = Similarity.lshTopK(corpus, queries, 5, nPlanes = 12)
       .queryExecution.optimizedPlan.toString
     assert(!plan1.contains("__t") && !plan1.contains("__sig"))
+    // the banded construction computes the 60-bit signature ONCE per
+    // side — the 15 band buckets derive from the projected __sig column,
+    // never 15 signature evaluations per row (analyzed plan: the
+    // optimizer folds this tiny LocalRelation away entirely)
+    val planN = banded.queryExecution.analyzed.toString.toLowerCase
+    val sigEvals = planN.sliding("hyperplanesig".length)
+      .count(_ == "hyperplanesig")
+    assert(sigEvals == 2, s"expected one signature eval per side, got " +
+      s"$sigEvals:\n$planN")
   }
 
   test("semanticDedup: within-cell duplicates collapse to the min id, " +
