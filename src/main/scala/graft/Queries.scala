@@ -1763,6 +1763,20 @@ object Queries {
       .orderBy("node")
   }
 
+  /** k-core gate: iterative peeling on the q113 graph at k = 3.
+    * Integer-exact end to end; the oracle unrolls more peel rounds than
+    * the graph needs (extra rounds are no-ops once converged), while
+    * the engine side observes its own convergence and fails fast if
+    * `maxRounds` were ever too small — so a silent divergence cannot
+    * slip through as a hash mismatch. */
+  def q116KCore(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.kCore(edges, k = 3, maxRounds = 16)
+      .orderBy("node")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2196,6 +2210,31 @@ object Queries {
        |SELECT node, score FROM x$iters ORDER BY node""".stripMargin
   }
 
+  /** The q116 oracle: k-core peel rounds unrolled as CTE pairs over the
+    * q113 edge set — each round drops sub-k nodes from the two-way
+    * adjacency; rounds past convergence are no-ops, so `rounds` only
+    * needs to be ≥ the graph's peel depth (the engine side requires its
+    * own convergence, so an under-unrolled oracle can't silently agree
+    * with a diverged engine). Pure integer arithmetic. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT node FROM a${i - 1} GROUP BY node
+         | HAVING count(*) < $k),
+         |a$i AS (SELECT node, nbr FROM a${i - 1}
+         | WHERE node NOT IN (SELECT node FROM r$i)
+         |  AND nbr NOT IN (SELECT node FROM r$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS (SELECT DISTINCT least(src, dst) AS u,
+       |  greatest(src, dst) AS v FROM (
+       |  SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+       |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
+       |a0 AS (SELECT u AS node, v AS nbr FROM und
+       | UNION ALL SELECT v, u FROM und),
+       |$steps
+       |SELECT node, count(*) AS deg FROM a$rounds
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** The q98/q99 oracle: PageRank rounds unrolled as CTE pairs (DuckDB
     * forbids aggregates in a recursive CTE's recursive term). `1−d` is
     * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
@@ -2392,7 +2431,8 @@ object Queries {
     "q112_weighted_hits" -> (q112WeightedHits _),
     "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _),
     "q114_rank_related_entities" -> (q114RankRelatedEntities _),
-    "q115_semantic_dedup" -> (q115SemanticDedup _)
+    "q115_semantic_dedup" -> (q115SemanticDedup _),
+    "q116_kcore" -> (q116KCore _)
   )
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
@@ -3827,6 +3867,7 @@ object Queries {
     "q112_weighted_hits" -> hitsOracle(4, weighted = true),
     "q113_eigenvector_centrality" -> eigenOracle(5),
     "q114_rank_related_entities" -> q114Oracle(5),
+    "q116_kcore" -> kCoreOracle(3, 8),
     // SemDeDup: same cosine spelling as the q26 family; assignment ties
     // break to the lower cell id exactly as assignCells' struct ordering
     "q115_semantic_dedup" ->

@@ -387,4 +387,74 @@ object GraphAlgos {
     }
     ranks
   }
+
+  /** k-core: the maximal subgraph of the UNDIRECTED graph underlying
+    * `edges0` in which every node keeps degree ≥ k. Iterative peeling:
+    * each round drops every node whose degree over the SURVIVING edge
+    * set falls below k, until a round removes nothing. Returns
+    * (node, deg) for the k-core members with their in-core degrees —
+    * integer-exact end to end, so the q116 gate replays the peel
+    * rounds cell-exactly in DuckDB (unrolled-round CTEs; extra rounds
+    * past convergence are no-ops, so the oracle just over-unrolls).
+    *
+    * Shape at 100 TB: the adjacency (both orientations of each
+    * undirected edge) partitions on `node` once (AQE-off capture);
+    * per-round degrees are a partial agg over that partitioning (no
+    * exchange) whose sub-k output — the removal set — is fringe-sized
+    * after the first round and is checkpointed per round (a tiny
+    * second job). The two endpoint anti-joins run with AQE on: a small
+    * removal set auto-broadcasts, so steady-state rounds never
+    * re-shuffle the adjacency; a rare mass-removal round (e.g. the
+    * first, when most of the graph sits below k) degrades to one
+    * adjacency shuffle instead of overflowing a broadcast. The
+    * convergence check rides the round's checkpoint action as a
+    * `Dataset.observe` row count (adjacency strictly shrinks iff the
+    * round peeled something) — no extra pass.
+    *
+    * Parallel peeling needs one round per fringe "layer"; a path graph
+    * peels O(n) layers at k = 2, so `maxRounds` caps the loop and, by
+    * default, non-convergence fails fast rather than returning a
+    * superset that is not a k-core. */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 64,
+            srcCol: String = "src", dstCol: String = "dst",
+            requireConverged: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var adj = Dedup.withAqeOff(spark) {
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .union(und.select(col("v"), col("u")))
+        .repartition(col("node"))
+        .localCheckpoint(true)
+    }
+    var prevRows = adj.count()
+    var changed = prevRows > 0L
+    var round = 0
+    while (changed && round < maxRounds) {
+      val removed = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
+        .select("node")
+        .localCheckpoint(true)
+      val obs = org.apache.spark.sql.Observation()
+      adj = adj
+        .join(removed, Seq("node"), "left_anti")
+        .join(removed.select(col("node").as("nbr")), Seq("nbr"), "left_anti")
+        .select("node", "nbr")
+        .observe(obs, count(lit(1)).as("rows"))
+        .localCheckpoint(true)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      changed = rows < prevRows && rows > 0L
+      prevRows = rows
+      round += 1
+    }
+    require(!requireConverged || !changed,
+      s"k-core peeling did not converge within $maxRounds rounds " +
+        "(deep fringe layers — raise maxRounds)")
+    adj.groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

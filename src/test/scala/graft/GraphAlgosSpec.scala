@@ -268,4 +268,46 @@ class GraphAlgosSpec extends SparkSpec {
         s"expected only |V|-sized exchanges, got $n:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("kCore: multi-round peel strips a tail layer by layer, leaving " +
+    "the triangle with exact in-core degrees") {
+    // triangle {1,2,3} with a tail 3-4-5: round 1 peels 5 (deg 1),
+    // round 2 peels 4 (deg fell to 1), round 3 removes nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.kCore(edges, k = 2)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: empty core, full core, and edge-noise collapse") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // k = 3 on a triangle: every node has degree 2 -> empty k-core
+    assert(GraphAlgos.kCore(tri, k = 3).isEmpty)
+    // K4 at k = 3: all four nodes survive at degree exactly 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = GraphAlgos.kCore(k4, k = 3)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == (1L to 4L).map(_ -> 3L))
+    // direction, parallel edges and self-loops collapse before peeling
+    val noisy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 1L)).toDF("src", "dst")
+    val clean = GraphAlgos.kCore(tri, k = 2).orderBy("node").collect().toSeq
+    assert(GraphAlgos.kCore(noisy, k = 2).orderBy("node").collect().toSeq
+      == clean)
+  }
+
+  test("kCore: a deep fringe past maxRounds fails fast by default") {
+    // a path peels one layer per round from each end: 8 nodes need 4
+    // rounds at k = 2 before the (empty) core is reached
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgos.kCore(path, k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(GraphAlgos.kCore(path, k = 2, maxRounds = 8).isEmpty)
+  }
 }
