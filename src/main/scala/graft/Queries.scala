@@ -29,13 +29,18 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
-    * normalize to a microsecond timestamp like every other engine does. */
+  /** Normalize events.parquet's `ts` to a plain microsecond TIMESTAMP
+    * regardless of how the file encodes it. Historically the driver wrote
+    * TIMESTAMP(NANOS), which Spark only reads as long
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench);
+    * newer testdata writes timestamp[us] with no UTC flag, which Spark
+    * reads as TIMESTAMP_NTZ. The session timezone is UTC, so the
+    * NTZ→TIMESTAMP cast is exact. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
@@ -1763,17 +1768,25 @@ object Queries {
       .orderBy("node")
   }
 
-  /** k-core gate: iterative peeling on the q113 graph at k = 3.
-    * Integer-exact end to end; the oracle unrolls more peel rounds than
-    * the graph needs (extra rounds are no-ops once converged), while
-    * the engine side observes its own convergence and fails fast if
-    * `maxRounds` were ever too small — so a silent divergence cannot
-    * slip through as a hash mismatch. */
+  /** k-core gate: iterative peeling on the q113 graph at k = 14 —
+    * chosen so the gate forces REAL peel rounds at every scale factor
+    * (min degree is 6 at sf0.001 and 11–12 at sf0.01/0.1, so the old
+    * k=3 made the whole graph a trivial 3-core and the peel loop a
+    * no-op). Measured before pinning: k=14 peels 3/4/2 rounds at
+    * sf0.001/0.01/0.1 and leaves a NON-EMPTY core at the gate scales
+    * (185 nodes at sf0.01, 190 at sf0.1; sf0.001 dissolves — also a
+    * real assertion), with peel depth well under the oracle's 16
+    * unrolled rounds. Integer-exact
+    * end to end; the oracle unrolls the same 16 rounds as the engine's
+    * maxRounds so the two bounds cannot drift, while the engine side
+    * observes its own convergence and fails fast if `maxRounds` were
+    * ever too small — so a silent divergence cannot slip through as a
+    * hash mismatch. */
   def q116KCore(s: SparkSession, dir: String): DataFrame = {
     val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
       .select((col("o_custkey") % 200).as("src"),
         (col("o_orderkey") % 200).as("dst"))
-    GraphAlgos.kCore(edges, k = 3, maxRounds = 16)
+    GraphAlgos.kCore(edges, k = 14, maxRounds = 16)
       .orderBy("node")
   }
 
@@ -2125,28 +2138,28 @@ object Queries {
       if (weighted) ("CAST(e.w AS DOUBLE) * h.hub", "CAST(e.w AS DOUBLE) * a.auth")
       else ("h.hub", "a.auth")
     val rounds = (1 to iters).map { i =>
-      s"""aa$i AS (SELECT e.dst AS node,
+      s"""aa$i AS MATERIALIZED (SELECT e.dst AS node,
          |  list_sum(list($hc ORDER BY e.src)) AS v
          | FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
-         |a$i AS (SELECT n.node, coalesce(aa$i.v, CAST(0 AS DOUBLE)) AS auth
+         |a$i AS MATERIALIZED (SELECT n.node, coalesce(aa$i.v, CAST(0 AS DOUBLE)) AS auth
          | FROM nodes n LEFT JOIN aa$i USING (node)),
-         |hh$i AS (SELECT e.src AS node,
+         |hh$i AS MATERIALIZED (SELECT e.src AS node,
          |  list_sum(list($ac ORDER BY e.dst)) AS v
          | FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
-         |h$i AS (SELECT n.node, coalesce(hh$i.v, CAST(0 AS DOUBLE)) AS hub
+         |h$i AS MATERIALIZED (SELECT n.node, coalesce(hh$i.v, CAST(0 AS DOUBLE)) AS hub
          | FROM nodes n LEFT JOIN hh$i USING (node))""".stripMargin
     }.mkString(",\n")
     val eCte =
       if (weighted)
-        """e AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
+        """e AS MATERIALIZED (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
           |  CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w
           | FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2)""".stripMargin
       else
-        """e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        """e AS MATERIALIZED (SELECT DISTINCT o_custkey % 200 AS src,
           |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000)""".stripMargin
     s"""WITH $eCte,
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nodes),
        |$rounds
        |SELECT h$iters.node, h$iters.hub, a$iters.auth
        |FROM h$iters JOIN a$iters USING (node) ORDER BY node""".stripMargin
@@ -2160,26 +2173,26 @@ object Queries {
   private def q114Oracle(iters: Int): String = {
     val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS node,
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node,
          |  list_sum(list(p.pr / CAST(d.deg AS DOUBLE) ORDER BY e.src)) AS s
          | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
          | GROUP BY e.dst),
-         |p$i AS (SELECT n.node,
+         |p$i AS MATERIALIZED (SELECT n.node,
          |  CASE WHEN n.node LIKE 'CS/%' THEN $oneMinusD
          |   ELSE CAST(0 AS DOUBLE) END
          |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
          | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
-       |e AS (
+    s"""WITH cust AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer),
+       |e AS MATERIALIZED (
        | SELECT DISTINCT 'CS/' || CAST(c AS VARCHAR) AS src,
        |  'CL/' || CAST(c % 200 AS VARCHAR) AS dst FROM cust
        | UNION
        | SELECT DISTINCT 'CL/' || CAST(c % 200 AS VARCHAR),
        |  'CSD/' || CAST((c % 200) % 40 AS VARCHAR) FROM cust),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |p0 AS (SELECT node, CASE WHEN node LIKE 'CS/%' THEN CAST(1 AS DOUBLE)
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS MATERIALIZED (SELECT node, CASE WHEN node LIKE 'CS/%' THEN CAST(1 AS DOUBLE)
        | ELSE CAST(0 AS DOUBLE) END AS pr FROM nodes),
        |$rounds
        |SELECT split_part(node, '/', 1) AS collection,
@@ -2192,20 +2205,20 @@ object Queries {
     * division exact — see GraphAlgos.eigenvectorCentrality). */
   private def eigenOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS node,
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node,
          |  list_sum(list(x.score ORDER BY e.src)) AS s
          | FROM e JOIN x${i - 1} x ON x.node = e.src GROUP BY e.dst),
-         |r$i AS (SELECT n.node, coalesce(s$i.s, CAST(0 AS DOUBLE)) AS score
+         |r$i AS MATERIALIZED (SELECT n.node, coalesce(s$i.s, CAST(0 AS DOUBLE)) AS score
          | FROM nodes n LEFT JOIN s$i USING (node)),
-         |m$i AS (SELECT max(score) AS m FROM r$i),
-         |x$i AS (SELECT node,
+         |m$i AS MATERIALIZED (SELECT max(score) AS m FROM r$i),
+         |x$i AS MATERIALIZED (SELECT node,
          |  CASE WHEN m.m > 0 THEN score / m.m ELSE score END AS score
          | FROM r$i CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT o_custkey % 200 AS src,
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % 200 AS src,
        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |x0 AS (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |x0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS score FROM nodes),
        |$rounds
        |SELECT node, score FROM x$iters ORDER BY node""".stripMargin
   }
@@ -2215,20 +2228,27 @@ object Queries {
     * adjacency; rounds past convergence are no-ops, so `rounds` only
     * needs to be ≥ the graph's peel depth (the engine side requires its
     * own convergence, so an under-unrolled oracle can't silently agree
-    * with a diverged engine). Pure integer arithmetic. */
+    * with a diverged engine). Pure integer arithmetic.
+    *
+    * Every CTE is `AS MATERIALIZED`: each `aN` is referenced three times
+    * by round N+1 (once by `rN`, twice by the NOT IN subqueries), and
+    * DuckDB inlines non-materialized CTEs — 16 unrolled rounds would
+    * otherwise expand to ~3^16 copies of the base scan and the oracle
+    * never finishes (this hung the round-6 harness). Materialized, the
+    * whole query runs in ~0.1 s. */
   private def kCoreOracle(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
-      s"""r$i AS (SELECT node FROM a${i - 1} GROUP BY node
+      s"""r$i AS MATERIALIZED (SELECT node FROM a${i - 1} GROUP BY node
          | HAVING count(*) < $k),
-         |a$i AS (SELECT node, nbr FROM a${i - 1}
+         |a$i AS MATERIALIZED (SELECT node, nbr FROM a${i - 1}
          | WHERE node NOT IN (SELECT node FROM r$i)
          |  AND nbr NOT IN (SELECT node FROM r$i))""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS (SELECT DISTINCT least(src, dst) AS u,
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
        |  greatest(src, dst) AS v FROM (
        |  SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
        |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
-       |a0 AS (SELECT u AS node, v AS nbr FROM und
+       |a0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
        | UNION ALL SELECT v, u FROM und),
        |$steps
        |SELECT node, count(*) AS deg FROM a$rounds
@@ -2253,28 +2273,28 @@ object Queries {
       if (weighted) "p.pr * (CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE))"
       else "p.pr / CAST(d.deg AS DOUBLE)"
     val rounds = (1 to iters).map { i =>
-      s"""s$i AS (SELECT e.dst AS node,
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node,
          |  list_sum(list($contrib ORDER BY e.src)) AS s
          | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
          | GROUP BY e.dst),
-         |p$i AS (SELECT n.node,
+         |p$i AS MATERIALIZED (SELECT n.node,
          |  $base
          |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
          | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
     }.mkString(",\n")
     val eCte =
       if (weighted)
-        """e AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
+        """e AS MATERIALIZED (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
           |  CAST(sum(o_orderkey % 7 + 1) AS BIGINT) AS w
           | FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2),
-          |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
+          |deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
       else
-        """e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        """e AS MATERIALIZED (SELECT DISTINCT o_custkey % 200 AS src,
           |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
-          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
+          |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)""".stripMargin
     s"""WITH $eCte,
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-       |p0 AS (SELECT node, $init AS pr FROM nodes),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS MATERIALIZED (SELECT node, $init AS pr FROM nodes),
        |$rounds
        |SELECT node, pr FROM p$iters ORDER BY node""".stripMargin
   }
@@ -3867,7 +3887,7 @@ object Queries {
     "q112_weighted_hits" -> hitsOracle(4, weighted = true),
     "q113_eigenvector_centrality" -> eigenOracle(5),
     "q114_rank_related_entities" -> q114Oracle(5),
-    "q116_kcore" -> kCoreOracle(3, 8),
+    "q116_kcore" -> kCoreOracle(14, 16),
     // SemDeDup: same cosine spelling as the q26 family; assignment ties
     // break to the lower cell id exactly as assignCells' struct ordering
     "q115_semantic_dedup" ->

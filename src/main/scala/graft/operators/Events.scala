@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
  */
 object Events {
 
-  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+  /** Epoch-microseconds of a timestamp column. The cast makes the helper
+    * tolerant of TIMESTAMP_NTZ inputs (files written without a UTC flag):
+    * under the engine's UTC session timezone the NTZ→TIMESTAMP cast is
+    * exact, and on an already-TIMESTAMP column it is the identity. */
+  private def us(tsCol: String): Column =
+    unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
 
   /** Gaps-and-islands sessionization: a session breaks when the gap to
     * the user's previous event EXCEEDS `gapSeconds`. One row per session
@@ -214,8 +219,9 @@ object Events {
     require(periodDays > 0, "periodDays must be positive")
     val periodUs = periodDays * 86400000000L
     val active = events
-      .select(col(userCol), expr(s"unix_micros($tsCol) div ${periodUs}L")
-        .as("period"))
+      .select(col(userCol),
+        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${periodUs}L")
+          .as("period"))
       .distinct()
     val cohorts = active.groupBy(col(userCol))
       .agg(min("period").as("cohort"))

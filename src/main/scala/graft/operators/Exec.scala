@@ -25,4 +25,21 @@ private[graft] object Exec {
     try body.localCheckpoint(eager = true)
     finally inputs.foreach(_.unpersist(false))
   }
+
+  /** Drop the block-manager storage behind eagerly localCheckpoint'ed
+    * DataFrames. `Dataset.unpersist()` can't do this — checkpoint blocks
+    * live at the RDD layer, not in the CacheManager — so iterative
+    * operators that checkpoint per round would otherwise accumulate one
+    * full copy of their working set PER ROUND until the ContextCleaner
+    * notices (at the 100 TB target that pins many copies of the edge
+    * set). Only call on frames no later plan references: a checkpoint's
+    * lineage is truncated, so a released frame is NOT recomputable. */
+  def releaseCheckpoint(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
 }

@@ -426,16 +426,21 @@ object GraphAlgos {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    val obs0 = org.apache.spark.sql.Observation()
     var adj = Dedup.withAqeOff(spark) {
       und.select(col("u").as("node"), col("v").as("nbr"))
         .union(und.select(col("v"), col("u")))
         .repartition(col("node"))
+        .observe(obs0, count(lit(1)).as("rows"))
         .localCheckpoint(true)
     }
-    var prevRows = adj.count()
+    // The eager checkpoint already scanned every row; the observation
+    // hands us the seed count for free instead of a second full pass.
+    var prevRows = obs0.get("rows").asInstanceOf[Long]
     var changed = prevRows > 0L
     var round = 0
     while (changed && round < maxRounds) {
+      val prevAdj = adj
       val removed = adj.groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") < k)
         .select("node")
@@ -447,6 +452,11 @@ object GraphAlgos {
         .select("node", "nbr")
         .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
+      // The new round's checkpoint is materialized (eager), so the
+      // previous adjacency copy and this round's removal set are dead —
+      // free their blocks now rather than letting maxRounds copies of
+      // the 2|E| working set pile up in the block manager.
+      Exec.releaseCheckpoint(prevAdj, removed)
       val rows = obs.get("rows").asInstanceOf[Long]
       changed = rows < prevRows && rows > 0L
       prevRows = rows

@@ -277,18 +277,24 @@ object Similarity {
     * into its cells. */
   def semanticDedup(corpus: DataFrame, centroids: Seq[(Int, Array[Float])],
                     threshold: Double, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxCellSize: Int = 1 << 20,
+                    maxSplitDepth: Int = 4): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1, 1], got $threshold")
-    val assigned = assignCells(
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val assigned0 = assignCells(
         corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
         centroids, "__vec", 1)
+      .select(col("cell_id").cast("string").as("__cell"),
+        col("__id"), col("__vec"))
       .localCheckpoint(true) // both pair sides read the same assignment
-    val a = assigned.select(col("cell_id"), col("__id").as("id_a"),
+    val assigned = capCells(assigned0, maxCellSize, maxSplitDepth)
+    val a = assigned.select(col("__cell"), col("__id").as("id_a"),
       col("__vec").as("__va"))
-    val b = assigned.select(col("cell_id"), col("__id").as("id_b"),
+    val b = assigned.select(col("__cell"), col("__id").as("id_b"),
       col("__vec").as("__vb"))
-    val pairs = a.join(b, Seq("cell_id"))
+    val pairs = a.join(b, Seq("__cell"))
       .filter(col("id_a") < col("id_b") &&
         cosine(col("__va"), col("__vb")) >= threshold)
       .select("id_a", "id_b")
@@ -296,6 +302,91 @@ object Similarity {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Skew guard for [[semanticDedup]]'s per-cell self-join: any cell
+    * larger than `maxCellSize` re-introduces the quadratic term the
+    * clustering exists to bound (one runaway cell at 100 TB = an
+    * O(cell²) stage). Oversized cells are split by the same trick that
+    * built them — nearest-of-m sub-centroids, so semantic neighbors
+    * (the duplicates we're hunting) stay co-celled — recursively up to
+    * `maxSplitDepth`; any cell STILL over the cap after that is
+    * hash-partitioned into `ceil(n/maxCellSize)` slices, which trades
+    * a bounded recall loss inside that one pathological cell for a hard
+    * cost ceiling.
+    *
+    * Sub-centroids are hash-sampled members (expected 2·n/maxCellSize
+    * per cell, deterministic in the member ids — no RNG state, no
+    * per-cell sort/window, so the split itself never single-threads the
+    * hot cell). Cells already within the cap pass through untouched;
+    * the whole guard costs one map-side-combined size count per round
+    * and touches ONLY oversized-cell rows. With the default 1M cap the
+    * guard is a no-op at gate scale (q115 unchanged). */
+  private def capCells(assigned0: DataFrame, maxCellSize: Int,
+                       maxSplitDepth: Int): DataFrame = {
+    var assigned = assigned0
+    var depth = 0
+    var capped = false
+    while (!capped && depth <= maxSplitDepth) {
+      val oversized = assigned.groupBy("__cell")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCellSize)
+        .localCheckpoint(true) // ≤ |corpus|/maxCellSize rows — tiny
+      if (oversized.isEmpty) capped = true
+      else {
+        val ok = assigned.join(broadcast(oversized.select("__cell")),
+          Seq("__cell"), "left_anti")
+        val over = assigned.join(broadcast(oversized), Seq("__cell"))
+        val split =
+          if (depth < maxSplitDepth) {
+            // Nearest-of-m sub-centroid split. Members are sampled as
+            // centroids with probability ~m/n (m = 2·ceil(n/cap)) via a
+            // depth-salted hash of their id; the chosen member's own id
+            // labels the sub-cell. Integer column math throughout (`/`
+            // on columns is double division; use floor-casts).
+            val m = greatest(lit(1L),
+              floor(col("__n") * 2L / maxCellSize.toLong).cast("long"))
+            val stride = greatest(lit(1L),
+              floor(col("__n") / m).cast("long"))
+            val subC = over
+              .filter(pmod(xxhash64(col("__id"), lit(depth)), stride) === 0L)
+              .select(col("__cell"), col("__id").as("__sub"),
+                col("__vec").as("__cvec"))
+              .localCheckpoint(true) // ≤ 2·|over|/cap rows — small side
+            val withC = over.join(broadcast(subC), Seq("__cell"))
+              .withColumn("__d", cosine(col("__vec"), col("__cvec")))
+              .groupBy("__cell", "__id")
+              .agg(max_by(col("__sub"),
+                struct(col("__d"), negate(col("__sub")))).as("__best"),
+                first("__vec").as("__vec_keep"))
+              .select(concat(col("__cell"), lit("/"), col("__best"))
+                  .as("__cell"),
+                col("__id"), col("__vec_keep").as("__vec"))
+            // Hash sampling can (rarely) select zero centroids for a
+            // cell; those rows pass through unchanged and retry under
+            // the next round's salt (or the final hash cap).
+            val noC = over.join(
+                broadcast(subC.select("__cell").distinct()),
+                Seq("__cell"), "left_anti")
+              .select("__cell", "__id", "__vec")
+            withC.union(noC)
+          } else {
+            // Depth exhausted (sub-centroid rounds failed to break the
+            // cell — e.g. all-identical vectors): hard hash cap into
+            // ceil(n/cap) slices.
+            val nSlices = floor((col("__n") + maxCellSize - 1L) /
+              maxCellSize.toLong).cast("long")
+            over.select(concat(col("__cell"), lit("#"),
+                pmod(xxhash64(col("__id")), nSlices)).as("__cell"),
+              col("__id"), col("__vec"))
+          }
+        assigned = ok.select("__cell", "__id", "__vec")
+          .union(split.select("__cell", "__id", "__vec"))
+          .localCheckpoint(true)
+        depth += 1
+      }
+    }
+    assigned
   }
 
   /** LSH-bucketed approximate top-k: candidates share a hyperplane-signature

@@ -243,6 +243,42 @@ class SimilaritySpec extends SparkSpec {
     assert(cents(7)._2.toSeq == v7)
   }
 
+  test("semanticDedup: oversized-cell skew guard splits the hot cell " +
+    "without losing planted duplicates; pathological cells hash-cap") {
+    val base = (0L until 60L).map(i => (i, vec(12)))
+    val v7 = base(7)._2
+    val corpus = (base ++ Seq((100L, v7), (101L, v7)))
+      .toDF("vec_id", "embedding")
+    // ONE centroid → every row lands in one cell of 62 rows, far above
+    // the 8-row cap: the guard must sub-centroid-split it. Exact dups
+    // share a vector, so nearest-sub-centroid keeps them co-celled and
+    // the collapse result is IDENTICAL to the unguarded run.
+    val cents = Similarity.centroidsFromRows(corpus, nCells = 1)
+    val unguarded = Similarity.semanticDedup(corpus, cents,
+        threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    val guarded = Similarity.semanticDedup(corpus, cents,
+        threshold = 0.999, maxCellSize = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(guarded == unguarded)
+    assert(guarded.contains(7L) && !guarded.contains(100L) &&
+      !guarded.contains(101L))
+    // A cell of ALL-IDENTICAL vectors can't be split semantically (every
+    // member is nearest to the same sub-centroid) — the depth-exhausted
+    // hash cap must still bound it and terminate; the cost is a bounded
+    // recall loss (one survivor PER SLICE instead of one overall).
+    val same = (0L until 30L).map(i => (i, base(0)._2))
+      .toDF("vec_id", "embedding")
+    val sameCents = Similarity.centroidsFromRows(same, nCells = 1)
+    val survivors = Similarity.semanticDedup(same, sameCents,
+        threshold = 0.999, maxCellSize = 5, maxSplitDepth = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.contains(0L)) // global min id always survives
+    assert(survivors.size < 30 && survivors.size <= 7,
+      s"hash cap should leave ~ceil(30/5) slice survivors, got " +
+        s"${survivors.size}")
+  }
+
   test("cosineNearDups surfaces planted duplicates") {
     val base = (0L until 30L).map(i => (i, vec(12)))
     val corpus = (base :+ ((99L, base(4)._2))).toDF("vec_id", "embedding")

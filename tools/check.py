@@ -7,7 +7,7 @@ For each query dir under verify_out: load the Spark-written parquet and the
 oracle SQL result (run on the sf_dir tables), sort columns by name, sort
 rows, compare cell-by-cell (exact; floats reported with max abs diff).
 """
-import json, math, sys
+import json, math, sys, time
 import duckdb
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
@@ -27,12 +27,20 @@ def canon(df):
     return cols, rows
 
 n_pass = n_fail = n_weak = 0
+slow = []
 for name in sorted(oracle):
     try:
         spark_df = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+        t0 = time.monotonic()
         orc_df = con.sql(oracle[name])
+        oc, orows = canon(orc_df)  # fetchall forces oracle execution
+        dt = time.monotonic() - t0
+        if dt > 10.0:
+            # An oracle this slow at sf0.01 will hang the driver's
+            # harness at scale — treat as a bug even if it passes.
+            slow.append((name, dt))
+            print(f"SLOW {name}: oracle took {dt:.1f}s (>10s budget)")
         sc, sr = canon(spark_df)
-        oc, orows = canon(orc_df)
         if sc != oc:
             print(f"FAIL {name}: schema {sc} vs {oc}")
             n_fail += 1
@@ -68,4 +76,7 @@ for name in sorted(set(n for n in __import__('os').listdir(out)
                        if n != 'oracle_sql.json') - set(oracle)):
     print(f"WEAK {name}: no oracle (rows-only check)")
     n_weak += 1
-print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+if slow:
+    print(f"\nSLOW ORACLES (>{10}s): " +
+          ", ".join(f"{n}={d:.1f}s" for n, d in slow))
+print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak, {len(slow)} slow")
