@@ -37,19 +37,107 @@ object Multimodal {
   final case class FeatureRow(media_id: Long, features: Array[Float])
 
   /**
-   * STUB — deterministic fake decoder standing in for an image codec.
-   * A real implementation would parse the container header; this derives
-   * plausible metadata purely from the bytes so tests and oracles are
-   * reproducible: width = n%640+1, height = (n*7)%480+1, channels = 3.
+   * STUB — deterministic fake decoder standing in for a pixel codec.
+   * Derives plausible metadata purely from the byte count so tests and
+   * oracles are reproducible: width = n%640+1, height = (n*7)%480+1,
+   * channels = 3. [[decodeHeader]] falls back to this for payloads whose
+   * container format it doesn't recognize, which keeps synthetic test
+   * corpora (text bytes posing as media) deterministic.
    */
   def decodeStub(content: Array[Byte]): MediaMeta = {
     val n = content.length.toLong
     MediaMeta("fake", (n % 640).toInt + 1, ((n * 7) % 480).toInt + 1, 3, n)
   }
 
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16be(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** REAL container-header decode — pure JVM byte inspection, no codec
+    * dependency — for the three formats whose dimensions live in a fixed
+    * header: PNG (IHDR chunk), JPEG (SOFn marker scan), GIF (logical
+    * screen descriptor). This is the production default for [[decode]];
+    * anything unrecognized or truncated falls back to [[decodeStub]]
+    * rather than failing the batch (corrupt rows are a quarantine
+    * concern, not a stage-kill concern, at 100 TB).
+    *
+    * Only the header is touched — never the pixel data — so the per-row
+    * cost is O(header), not O(payload). */
+  def decodeHeader(content: Array[Byte]): MediaMeta = {
+    val b = content
+    val n = b.length.toLong
+    // PNG: 8-byte signature, then the IHDR chunk is REQUIRED first:
+    // 4-byte length, "IHDR", 4-byte BE width, 4-byte BE height,
+    // 1-byte bit depth, 1-byte color type (channels per color type).
+    if (b.length >= 26 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+        u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = u32be(b, 16)
+      val h = u32be(b, 20)
+      val channels = u8(b, 25) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette index
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => return decodeStub(content)
+      }
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+        return decodeStub(content)
+      return MediaMeta("png", w.toInt, h.toInt, channels, n)
+    }
+    // JPEG: SOI then marker segments; dimensions are in the first SOFn
+    // (C0-CF minus the non-frame C4/C8/CC): 2-byte length, 1-byte
+    // precision, 2-byte BE height, 2-byte BE width, 1-byte #components.
+    if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return decodeStub(content)
+        var j = i
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return decodeStub(content)
+        val marker = u8(b, j)
+        if ((marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (j + 8 >= b.length) return decodeStub(content)
+          val h = u16be(b, j + 4)
+          val w = u16be(b, j + 6)
+          val channels = u8(b, j + 8)
+          if (w <= 0 || h <= 0 || channels <= 0) return decodeStub(content)
+          return MediaMeta("jpeg", w, h, channels, n)
+        } else if (marker == 0xd8 || marker == 0x01 ||
+            (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return decodeStub(content) // EOI / entropy data: no SOF seen
+        } else {
+          if (j + 2 >= b.length) return decodeStub(content)
+          val len = u16be(b, j + 1)
+          if (len < 2) return decodeStub(content)
+          i = j + 1 + len
+        }
+      }
+      return decodeStub(content)
+    }
+    // GIF87a/GIF89a: LITTLE-endian 2-byte width/height at offsets 6/8.
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = u8(b, 6) | (u8(b, 7) << 8)
+      val h = u8(b, 8) | (u8(b, 9) << 8)
+      if (w <= 0 || h <= 0) return decodeStub(content)
+      return MediaMeta("gif", w, h, 3, n)
+    }
+    decodeStub(content)
+  }
+
   /** Attach decoded metadata to a (media_id, content) table. Batched
-    * mapPartitions — the mapInPandas-shaped entry point. */
-  def decode(media: DataFrame, batchSize: Int = 64): Dataset[MediaRow] = {
+    * mapPartitions — the mapInPandas-shaped entry point. `parse` defaults
+    * to the real header decoder ([[decodeHeader]]), which itself falls
+    * back to the deterministic stub on unrecognized payloads. */
+  def decode(media: DataFrame, batchSize: Int = 64,
+             parse: Array[Byte] => MediaMeta = decodeHeader): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("content"))
@@ -57,7 +145,7 @@ object Multimodal {
       .mapPartitions { it =>
         // batch to amortize per-item codec setup, like an Arrow batch
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) => MediaRow(id, bytes, decodeStub(bytes)) }
+          batch.map { case (id, bytes) => MediaRow(id, bytes, parse(bytes)) }
         }
       }
   }

@@ -43,4 +43,67 @@ class MultimodalSpec extends SparkSpec {
       .filter($"media_id" === 1L).head().features.toSeq
     assert(a == b && a.length == 8 && a.exists(_ != 0f))
   }
+
+  // --- real container headers (decodeHeader is the production default) ---
+
+  /** A structurally real PNG prefix: 8-byte signature + IHDR chunk for a
+    * 256x128 RGBA image (pixel data absent — the parser only reads the
+    * header, as it must at 100 TB). */
+  private def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val ihdr = Array(0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+      8, colorType, 0, 0, 0)
+    (sig ++ ihdr).map(_.toByte)
+  }
+
+  /** A structurally real JPEG prefix: SOI, an APP0 segment the scanner
+    * must skip, then SOF0 with 8-bit precision, height, width, 3
+    * components. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val soi = Array(0xff, 0xd8)
+    val app0 = Array(0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F', 0,
+      1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof0 = Array(0xff, 0xc0, 0, 17, 8,
+      h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    (soi ++ app0 ++ sof0 :+ 0xff :+ 0xd9).map(_.toByte)
+  }
+
+  test("decodeHeader parses real PNG/JPEG/GIF headers and falls back to " +
+    "the stub on unrecognized or truncated payloads") {
+    val png = Multimodal.decodeHeader(pngBytes(256, 128, colorType = 6))
+    assert(png.format == "png" && png.width == 256 && png.height == 128 &&
+      png.channels == 4)
+    assert(Multimodal.decodeHeader(pngBytes(31, 7, colorType = 0)).channels == 1)
+    val jpg = Multimodal.decodeHeader(jpegBytes(640, 480))
+    assert(jpg.format == "jpeg" && jpg.width == 640 && jpg.height == 480 &&
+      jpg.channels == 3)
+    val gif = Multimodal.decodeHeader(
+      ("GIF89a".getBytes("ASCII") ++ Array(0x34, 0x02, 0x58, 0x01, 0, 0)
+        .map(_.toByte)))
+    assert(gif.format == "gif" && gif.width == 0x0234 && gif.height == 0x0158)
+    // unrecognized bytes and truncated containers keep stub semantics
+    val junk = Array.fill[Byte](100)(3)
+    assert(Multimodal.decodeHeader(junk) == Multimodal.decodeStub(junk))
+    val cutPng = pngBytes(256, 128, 6).take(20)
+    assert(Multimodal.decodeHeader(cutPng) == Multimodal.decodeStub(cutPng))
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(Multimodal.decodeHeader(noSof) == Multimodal.decodeStub(noSof))
+  }
+
+  test("decode runs the real header parser distributed; synthetic corpora " +
+    "keep stub metadata (q32 face unchanged)") {
+    val mixed = Seq(
+      (10L, pngBytes(64, 32, 2)),
+      (11L, jpegBytes(20, 10)),
+      (12L, Array.fill[Byte](500)(9))).toDF("media_id", "content")
+    val d = Multimodal.decode(mixed, batchSize = 2).collect()
+      .map(m => m.media_id -> m.meta).toMap
+    assert(d(10L).format == "png" && d(10L).width == 64 &&
+      d(10L).channels == 3)
+    assert(d(11L).format == "jpeg" && d(11L).height == 10)
+    assert(d(12L).format == "fake" && d(12L).width == (500 % 640) + 1)
+  }
 }
