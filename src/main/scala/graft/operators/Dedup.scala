@@ -506,6 +506,9 @@ object Dedup {
         if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
         org.apache.spark.sql.Row(r.get(0), r.get(1))
       }(enc).localCheckpoint(true)
+      // updated is materialized (eager); last round's label blocks are
+      // dead — free them so long runs don't stack |V|-sized copies
+      Exec.releaseCheckpoint(labels)
       labels = updated
       changed = acc.value > 0
       it += 1
@@ -587,26 +590,40 @@ object Dedup {
         .distinct()
     }
 
-    def signature(down: DataFrame): (Long, Long) = {
-      // XOR, not SUM: order-independent over the distinct edge set and
-      // can't overflow under ANSI arithmetic
-      val r = down.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // The fixpoint signature rides an Observation on each round's eager
+    // checkpoint — the materialization pass computes (|E|, XOR of
+    // xxhash64(u,v)) for free instead of a second full scan per round.
+    // XOR, not SUM: order-independent over the distinct edge set and
+    // can't overflow under ANSI arithmetic.
+    val sigCols = Seq(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(u, v))").as("x"))
+    def sigOf(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = obs.get
+      (m("n").asInstanceOf[Long],
+        Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
 
+    val obs0 = org.apache.spark.sql.Observation()
     var edges = pairs
       .filter(col("id_a") =!= col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .distinct()
+      .observe(obs0, sigCols.head, sigCols.tail: _*)
       .localCheckpoint(true)
-    var prev = signature(edges)
+    var prev = sigOf(obs0)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val cur = signature(next)
+      val prevEdges = edges
+      val obs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(edges))
+        .observe(obs, sigCols.head, sigCols.tail: _*)
+        .localCheckpoint(true)
+      // the contracted round is materialized; the previous round's
+      // blocks are dead — free them instead of stacking maxIter copies
+      Exec.releaseCheckpoint(prevEdges)
+      val cur = sigOf(obs)
       converged = cur == prev
       prev = cur
       edges = next
