@@ -1790,6 +1790,56 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Streaming-restart replay gate for the BM25 ingest: seed the view
+    * over 80% of the corpus, fold in the remaining 20% as micro-batch 0
+    * through [[graft.streaming.Streams.applyBm25Batch]] — then deliver
+    * THE SAME batch again, simulating a foreachBatch restart replay.
+    * The append path is NOT idempotent (a re-applied batch doubles the
+    * df counts and shifts every score), so this gate is green only if
+    * the batch-id high-water guard makes the redelivery a no-op; it
+    * probes under the same oracle as q90/q91/q111 (view ≡ one built
+    * over the whole corpus at once). */
+  def q117Bm25ReplayedIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    // fresh guard per run: the gate must be re-runnable in one JVM
+    // (Bench runs every query twice)
+    s.sql("DROP TABLE IF EXISTS q117_bm25_ingest_meta")
+    SearchIndex.createBm25View(docs.filter(col("doc_id") % 5 =!= 0),
+      "q117_bm25", buckets = 8)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    graft.streaming.Streams.applyBm25Batch(batch, 0L, "q117_bm25", 8,
+      "doc_id", "text")
+    graft.streaming.Streams.applyBm25Batch(batch, 0L, "q117_bm25", 8,
+      "doc_id", "text") // the simulated restart redelivery
+    SearchIndex.bm25Query(s, "q117_bm25",
+        bm25GateQueries.toDF("query_id", "qtext"), k = 10, lnIdf = false)
+      .orderBy("query_id", "rank")
+  }
+
+  /** CDC replay twin of q92: the whole update batch is delivered TWICE
+    * (the at-least-once redelivery every non-transactional streaming
+    * sink must tolerate) — latest-wins merge is idempotent by
+    * construction, so the result must equal plain q92 under the
+    * IDENTICAL oracle. A merge that accumulated (counted, summed,
+    * appended) instead of keeping the winner goes red here. */
+  def q118MergeReplayed(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        lit(0).as("version"), lit(false).as("deleted"))
+    val upd = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, "U1").otherwise("T0").as("status"),
+        when(col("o_orderkey") % 7 === 0, 1).otherwise(0).as("version"),
+        (col("o_orderkey") % 21 === 0).as("deleted"))
+    graft.operators.Merge.mergeLatest(base, upd.union(upd),
+        Seq("o_orderkey"), "version", deleteCol = Some("deleted"))
+      .filter(col("o_orderkey") < 400)
+      .select("o_orderkey", "status", "version")
+      .orderBy("o_orderkey")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2452,8 +2502,32 @@ object Queries {
     "q113_eigenvector_centrality" -> (q113EigenvectorCentrality _),
     "q114_rank_related_entities" -> (q114RankRelatedEntities _),
     "q115_semantic_dedup" -> (q115SemanticDedup _),
-    "q116_kcore" -> (q116KCore _)
+    "q116_kcore" -> (q116KCore _),
+    "q117_bm25_replay" -> (q117Bm25ReplayedIngest _),
+    "q118_merge_replay" -> (q118MergeReplayed _)
   )
+
+  /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
+    * delivery) and q118 (doubled delivery: row_number over identical
+    * duplicated rows picks an identical winner, so the replayed run
+    * must hash-match this same oracle). */
+  private val mergeLatestOracle: String =
+    """WITH base AS (
+      | SELECT o_orderkey, o_orderstatus AS status, 0 AS version,
+      |  false AS deleted, 0 AS side
+      | FROM orders),
+      |upd AS (
+      | SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'U1' ELSE 'T0' END AS status,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS version,
+      |  (o_orderkey % 21 = 0) AS deleted, 1 AS side
+      | FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |   ORDER BY version DESC, side DESC) AS rn FROM u)
+      |SELECT o_orderkey, status, version FROM w
+      |WHERE rn = 1 AND NOT deleted AND o_orderkey < 400
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Shared by q26 (brute force) and q48 (all-pass-bucket LSH). */
   private val bruteForceTopKOracle: String =
@@ -3703,23 +3777,12 @@ object Queries {
     "q91_bm25_view" -> bm25Oracle,
     // the appended view must equal the batch-built one cell-for-cell
     "q111_bm25_append" -> bm25Oracle,
-    "q92_merge_latest" ->
-      """WITH base AS (
-        | SELECT o_orderkey, o_orderstatus AS status, 0 AS version,
-        |  false AS deleted, 0 AS side
-        | FROM orders),
-        |upd AS (
-        | SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U1' ELSE 'T0' END AS status,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS version,
-        |  (o_orderkey % 21 = 0) AS deleted, 1 AS side
-        | FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
-        |w AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |   ORDER BY version DESC, side DESC) AS rn FROM u)
-        |SELECT o_orderkey, status, version FROM w
-        |WHERE rn = 1 AND NOT deleted AND o_orderkey < 400
-        |ORDER BY o_orderkey""".stripMargin,
+    // ...and so must the view after a REPLAYED ingest batch (the
+    // high-water guard makes the redelivery a no-op)
+    "q117_bm25_replay" -> bm25Oracle,
+    "q92_merge_latest" -> mergeLatestOracle,
+    // replay-idempotence twin: doubled update delivery, same result
+    "q118_merge_replay" -> mergeLatestOracle,
     "q93_phrase_search" ->
       """WITH d AS (
         | SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
