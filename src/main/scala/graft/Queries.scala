@@ -1803,8 +1803,15 @@ object Queries {
     import s.implicits._
     val docs = t(s, dir, "documents")
     // fresh guard per run: the gate must be re-runnable in one JVM
-    // (Bench runs every query twice)
+    // (Bench runs every query twice) AND across JVMs — with the
+    // in-memory catalog a previous run's guard table survives only as
+    // a warehouse DIRECTORY, which saveAsTable(append) refuses to
+    // adopt, so drop the catalog entry and the orphaned location both
     s.sql("DROP TABLE IF EXISTS q117_bm25_ingest_meta")
+    val guardLoc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q117_bm25_ingest_meta")
+    guardLoc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(guardLoc, true)
     SearchIndex.createBm25View(docs.filter(col("doc_id") % 5 =!= 0),
       "q117_bm25", buckets = 8)
     val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -1838,6 +1845,46 @@ object Queries {
       .filter(col("o_orderkey") < 400)
       .select("o_orderkey", "status", "version")
       .orderBy("o_orderkey")
+  }
+
+  /** PII-redaction gate: plant deterministic PII into the documents
+    * text (an email per doc, an IP every 3rd, a phone every 5th —
+    * `concat_ws` drops the null slots), scrub with [[Corpus.redactPii]],
+    * and return the redacted text plus per-category counts. The
+    * patterns live in the Java∩RE2 regex subset, so DuckDB's
+    * regexp_replace/regexp_extract_all replay the scrub byte-for-byte. */
+  def q119PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), concat_ws(" ", col("text"),
+        concat(lit("user"), col("doc_id"), lit("@example.com")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"))),
+        when(col("doc_id") % 5 === 0, lit("+1 555-123-4567"))).as("text"))
+    Corpus.redactPii(planted)
+      .filter(col("doc_id") < 300)
+      .select("doc_id", "text", "n_email", "n_ipv4", "n_phone", "n_ssn",
+        "n_pii")
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-span masking gate (exact-substring dedup, Lee et al.
+    * 2022): every 7th document gets a fixed 10-token sentence appended —
+    * a span shared by ~70 docs at sf0.01 — and the corpus's planted
+    * exact-duplicate documents share ALL their 8-gram spans. Both must
+    * come back masked (the shared sentence cut out of otherwise-unique
+    * docs; the exact dups fully emptied), while unique text survives
+    * token-for-token. Pure integer/string semantics — the DuckDB oracle
+    * replays the shingle/count/coverage pipeline with list functions. */
+  def q120SpanMask(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy sleeping dog")))
+        .otherwise(col("text")).as("text"))
+    Corpus.maskDuplicateSpans(planted, n = 8)
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
   }
 
   /** Catalog-surface gate for the global-analytics member: personalized
@@ -2504,7 +2551,9 @@ object Queries {
     "q115_semantic_dedup" -> (q115SemanticDedup _),
     "q116_kcore" -> (q116KCore _),
     "q117_bm25_replay" -> (q117Bm25ReplayedIngest _),
-    "q118_merge_replay" -> (q118MergeReplayed _)
+    "q118_merge_replay" -> (q118MergeReplayed _),
+    "q119_pii_redact" -> (q119PiiRedact _),
+    "q120_span_mask" -> (q120SpanMask _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -3951,6 +4000,64 @@ object Queries {
     "q113_eigenvector_centrality" -> eigenOracle(5),
     "q114_rank_related_entities" -> q114Oracle(5),
     "q116_kcore" -> kCoreOracle(14, 16),
+    // Same planted PII, same Java∩RE2 patterns; DuckDB regexp_replace
+    // needs the explicit 'g' flag (Spark is global by default)
+    "q119_pii_redact" ->
+      """WITH planted AS (
+        | SELECT doc_id, concat_ws(' ', text,
+        |   'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |   CASE WHEN doc_id % 3 = 0 THEN '10.0.' ||
+        |     CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |     CAST(doc_id % 100 AS VARCHAR) END,
+        |   CASE WHEN doc_id % 5 = 0 THEN '+1 555-123-4567' END) AS t
+        | FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(t, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+        | FROM planted)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |   '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '[PHONE]', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS text,
+        | n_email, n_ipv4, n_phone, n_ssn,
+        | n_email + n_ipv4 + n_phone + n_ssn AS n_pii
+        |FROM c WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    // Positioned 8-gram shingles -> corpus-duplicated spans -> covered
+    // positions -> surviving tokens rejoined; empty-but-present docs
+    "q120_span_mask" ->
+      """WITH planted AS (
+        | SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
+        |   ' the quick brown fox jumps over the lazy sleeping dog'
+        |  ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS toks
+        | FROM planted),
+        |sh AS (SELECT doc_id, i AS pos,
+        |  array_to_string(toks[i+1:i+8], ' ') AS s
+        | FROM d, unnest(generate_series(0, len(toks) - 8)) AS t(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS p
+        | FROM m, unnest(generate_series(0, 7)) AS o(k)),
+        |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        | FROM d, unnest(generate_series(1, len(toks))) AS g(i)),
+        |kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+        | LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        | WHERE c.doc_id IS NULL),
+        |outp AS (SELECT doc_id,
+        |  array_to_string(list(tok ORDER BY p), ' ') AS text
+        | FROM kept GROUP BY doc_id),
+        |nm AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(outp.text, '') AS text,
+        | coalesce(nm.n, 0) AS n_masked_tokens
+        |FROM d LEFT JOIN outp USING (doc_id) LEFT JOIN nm USING (doc_id)
+        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
     // SemDeDup: same cosine spelling as the q26 family; assignment ties
     // break to the lower cell id exactly as assignCells' struct ordering
     "q115_semantic_dedup" ->

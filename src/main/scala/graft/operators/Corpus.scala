@@ -574,6 +574,114 @@ object Corpus {
       idCol, textCol, broadcastHot)
 
   // -----------------------------------------------------------------
+  // PII redaction
+  // -----------------------------------------------------------------
+
+  /** The default PII pattern set for [[redactPii]]: (name, regex,
+    * replacement tag). Patterns are written in the common subset of
+    * Java regex and RE2 (character classes, bounded repetition, `\b`;
+    * no lookaround, no backreferences) so an external SQL engine
+    * replays the redaction byte-for-byte — the q119 gate contract.
+    * Order matters: patterns apply sequentially and are designed
+    * non-overlapping (the phone form requires a leading `+`, so the
+    * SSN pattern can't fire inside it). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}", "[PHONE]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"))
+
+  /** PII scrub for training corpora: every pattern occurrence is
+    * replaced by its tag, and per-category hit counts (measured on the
+    * ORIGINAL text, so a doc's PII density is observable after the
+    * scrub) come back as `n_<name>` columns plus a `n_pii` total —
+    * the columns a downstream "drop if n_pii > k" policy filter needs.
+    *
+    * Shape at 100 TB: entirely narrow — one regexp_count per pattern
+    * plus one folded regexp_replace chain per row, all inside
+    * whole-stage codegen; no shuffle, no UDF. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text",
+                patterns: Seq[(String, String, String)] = piiPatterns)
+  : DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val counts = patterns.map { case (nm, re, _) =>
+      regexp_count(col(textCol), lit(re)).cast("long").as(s"n_$nm")
+    }
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
+    }
+    val total = patterns.map(p => col(s"n_${p._1}"))
+      .reduce(_ + _).as("n_pii")
+    docs.select(col(idCol) +: redacted.as(textCol) +: counts: _*)
+      .withColumn("n_pii", total)
+  }
+
+  // -----------------------------------------------------------------
+  // Exact duplicate-span masking (Lee et al. 2022, arXiv:2107.06499)
+  // -----------------------------------------------------------------
+
+  /** Exact-substring deduplication at span granularity: every `n`-token
+    * window whose token sequence occurs at least `minCount` times in
+    * the WHOLE corpus is masked out of every document containing it
+    * (all occurrences — the conservative form: a span repeated across
+    * documents is boilerplate/leakage wherever it appears), and the
+    * surviving tokens are rejoined with single spaces. Returns
+    * (idCol, textCol, n_masked_tokens) for every input document — a
+    * fully-masked document comes back with empty text, not dropped.
+    *
+    * Tokens are lowercase alphanumeric runs (the corpus-wide
+    * convention); "substring" therefore means token-subsequence, which
+    * is how the suffix-array formulation is applied to LM training
+    * data in practice.
+    *
+    * Shape at 100 TB: the positioned shingle pass is one narrow
+    * explode; duplicate detection is one partial-aggregated count on
+    * xxhash64(shingle) (64-bit keys move, strings don't); the
+    * match-back is an equi-join on that hash; coverage expansion is a
+    * bounded n× explode of MATCHED positions only; reconstruction
+    * shuffles each doc's surviving (pos, token) pairs once. Nothing is
+    * quadratic; the hot-key concern (a viral span) is bounded by the
+    * join being per-occurrence, not per-pair. */
+  def maskDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 8,
+                         minCount: Int = 2): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    require(minCount >= 2, "minCount < 2 would mask every token")
+    val toks = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+        .as("__toks"))
+    val sh = toks.select(col(idCol), posexplode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
+    val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val covered = sh.join(dup, "__h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = toks.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "__tok")))
+    val kept = tokPos.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("__masked"))
+    val nMasked = covered.groupBy(idCol)
+      .agg(count(lit(1)).as("__nm"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .join(nMasked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__masked"), lit("")).as(textCol),
+        coalesce(col("__nm"), lit(0L)).as("n_masked_tokens"))
+  }
+
+  // -----------------------------------------------------------------
   // DSIR importance weighting (hashed n-gram importance resampling)
   // -----------------------------------------------------------------
 

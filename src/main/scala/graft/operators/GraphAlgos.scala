@@ -142,6 +142,10 @@ object GraphAlgos {
       .localCheckpoint(true)
     var hubs = nodes.withColumn("hub", lit(1.0))
     var auths = nodes.withColumn("auth", lit(0.0))
+    // initial hubs/auths share the `nodes` checkpoint (never released);
+    // loop rounds release their predecessor once the successor lands
+    var prevHubs: DataFrame = null
+    var prevAuths: DataFrame = null
     for (_ <- 1 to iterations) {
       val aSums = eBySrc.join(hubs, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
@@ -150,6 +154,8 @@ object GraphAlgos {
       auths = nodes.join(aSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
         .localCheckpoint(true)
+      if (prevAuths != null) Exec.releaseCheckpoint(prevAuths)
+      prevAuths = auths
       val hSums = eByDst.join(auths, col("dst") === col("node"))
         .groupBy(col("src").as("node"))
         .agg(neighborSum(col("dst"), col("__w") * col("auth"),
@@ -157,6 +163,8 @@ object GraphAlgos {
       hubs = nodes.join(hSums, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
         .localCheckpoint(true)
+      if (prevHubs != null) Exec.releaseCheckpoint(prevHubs)
+      prevHubs = hubs
     }
     val out = hubs.join(auths, "node")
     if (!normalize) out
@@ -206,6 +214,9 @@ object GraphAlgos {
       .distinct()
       .localCheckpoint(true)
     var x = nodes.withColumn("score", lit(1.0))
+    // initial x shares the `nodes` checkpoint (never released); loop
+    // rounds release their predecessor once the successor lands
+    var prevX: DataFrame = null
     for (_ <- 1 to iterations) {
       val sums = edges.join(x, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
@@ -219,6 +230,8 @@ object GraphAlgos {
           when(col("__m") > 0, col("score") / col("__m"))
             .otherwise(col("score")).as("score"))
         .localCheckpoint(true)
+      if (prevX != null) Exec.releaseCheckpoint(prevX)
+      prevX = x
     }
     x
   }
@@ -258,7 +271,9 @@ object GraphAlgos {
     var changed = true
     while (changed && hop < maxHops) {
       val (updated, obs) = spRound(edges, dists)
+      val prevDists = dists // own checkpoint (incl. round 0): releasable
       dists = updated.localCheckpoint(true)
+      Exec.releaseCheckpoint(prevDists)
       changed = obs.get("improved").asInstanceOf[Long] > 0
       hop += 1
     }
@@ -367,6 +382,11 @@ object GraphAlgos {
     var ranks = nodes
       .select(col("node"),
         when(col("__seed"), lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    // round N's checkpoint is dead once round N+1 materializes; released
+    // below so long runs hold ONE |V| rank copy, not `iterations` copies.
+    // (The initial ranks frame shares the `nodes` checkpoint and must
+    // never be released — tracked via prevRanks = null for round 1.)
+    var prevRanks: DataFrame = null
     for (_ <- 1 to iterations) {
       val contribution = weightCol match {
         // weighted: pr·(w/W) — two IEEE ops, mirrored in the oracle
@@ -384,6 +404,8 @@ object GraphAlgos {
         .select(col("node"),
           (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      if (prevRanks != null) Exec.releaseCheckpoint(prevRanks)
+      prevRanks = ranks
     }
     ranks
   }

@@ -512,4 +512,56 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(lw(1).getDouble(2) - lw1) < 1e-12)
     assert(lw(0).getDouble(2) > lw(1).getDouble(2))
   }
+
+  test("redactPii replaces every category, counts hits on the original " +
+    "text, and leaves clean docs untouched") {
+    val docs = Seq(
+      (1L, "contact a.b+c@mail.example.org or b@x.io today"),
+      (2L, "server 192.168.1.200 and 10.0.0.1 rebooted"),
+      (3L, "call +1 555-123-4567 ssn 123-45-6789 ok"),
+      (4L, "perfectly clean prose with nothing to hide")
+    ).toDF("doc_id", "text")
+    val r = Corpus.redactPii(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("text") ==
+      "contact [EMAIL] or [EMAIL] today")
+    assert(r(0).getAs[Long]("n_email") == 2 && r(0).getAs[Long]("n_pii") == 2)
+    assert(r(1).getAs[String]("text") == "server [IP] and [IP] rebooted")
+    assert(r(1).getAs[Long]("n_ipv4") == 2)
+    assert(r(2).getAs[String]("text") == "call [PHONE] ssn [SSN] ok")
+    assert(r(2).getAs[Long]("n_phone") == 1 && r(2).getAs[Long]("n_ssn") == 1)
+    assert(r(3).getAs[String]("text") ==
+      "perfectly clean prose with nothing to hide")
+    assert(r(3).getAs[Long]("n_pii") == 0)
+  }
+
+  test("maskDuplicateSpans cuts corpus-repeated n-token spans everywhere " +
+    "they occur, keeps unique text, and empties full duplicates") {
+    // docs 1/2 share a 4-token span inside otherwise-unique text;
+    // docs 5/6 are exact duplicates (every 4-gram repeats); doc 7 is
+    // unique; doc 8 is too short to shingle
+    val shared = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine $shared ten eleven twelve"),
+      (5L, "copy of the very same exact document body"),
+      (6L, "copy of the very same exact document body"),
+      (7L, "completely unique tokens nowhere else repeated herein"),
+      (8L, "too short")
+    ).toDF("doc_id", "text")
+    val got = Corpus.maskDuplicateSpans(docs, n = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("text") == "one two three four five six")
+    assert(got(0).getAs[Long]("n_masked_tokens") == 4)
+    assert(got(1).getAs[String]("text") ==
+      "seven eight nine ten eleven twelve")
+    // exact duplicates: every token covered -> empty text, present row
+    assert(got(2).getAs[String]("text") == "" &&
+      got(2).getAs[Long]("n_masked_tokens") == 8)
+    assert(got(3).getAs[String]("text") == "")
+    assert(got(4).getAs[String]("text") ==
+      "completely unique tokens nowhere else repeated herein")
+    assert(got(4).getAs[Long]("n_masked_tokens") == 0)
+    assert(got(5).getAs[String]("text") == "too short" &&
+      got(5).getAs[Long]("n_masked_tokens") == 0)
+  }
 }
