@@ -596,6 +596,10 @@ object Corpus {
     * ORIGINAL text, so a doc's PII density is observable after the
     * scrub) come back as `n_<name>` columns plus a `n_pii` total —
     * the columns a downstream "drop if n_pii > k" policy filter needs.
+    * The scrub-only single-expression face (no counts, fixed
+    * email/URL/digit-run set) is [[TextAnalysis.redact]] (gate q52);
+    * this is the policy face: configurable pattern table + the density
+    * columns.
     *
     * Shape at 100 TB: entirely narrow — one regexp_count per pattern
     * plus one folded regexp_replace chain per row, all inside
