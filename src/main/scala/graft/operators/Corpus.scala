@@ -647,23 +647,55 @@ object Corpus {
     * shuffles each doc's surviving (pos, token) pairs once. Nothing is
     * quadratic; the hot-key concern (a viral span) is bounded by the
     * join being per-occurrence, not per-pair. */
+  /** Lowercase-alphanumeric tokens of `textCol` — the corpus-wide
+    * tokenization every text operator here shares. */
+  private def spanToks(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
+
+  /** The `n`-token shingle starting at 0-based token position `i`,
+    * joined with single spaces — the span identity both the batch
+    * dedup and the frozen-set streaming scrub hash. */
+  private def spanAt(toks: Column, i: Column, n: Int): Column =
+    array_join(slice(toks, i + 1, lit(n)), " ")
+
+  /** xxhash64 of every `n`-token span occurring at least `minCount`
+    * times corpus-wide — the frozen "hot span" set a streaming scrub
+    * ([[graft.streaming.Streams.maskSpansStream]]) applies to arriving
+    * documents, and the duplicate test inside [[maskDuplicateSpans]].
+    * Output: (span_hash). Vocabulary-bounded, typically tiny (a span
+    * must repeat verbatim to enter). */
+  def duplicateSpanHashes(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 8,
+                          minCount: Int = 2): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    require(minCount >= 2, "minCount < 2 would mask every token")
+    positionedSpanHashes(docs, idCol, textCol, n)
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__h").as("span_hash"))
+  }
+
+  /** (idCol, pos, __h): every document's positioned `n`-token span
+    * hashes — one narrow explode, 64-bit hashes only. */
+  private def positionedSpanHashes(docs: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => spanAt(col("__toks"), i, n)))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
+
   def maskDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", n: Int = 8,
                          minCount: Int = 2): DataFrame = {
     require(n >= 1, "span length must be >= 1")
     require(minCount >= 2, "minCount < 2 would mask every token")
-    val toks = docs.select(col(idCol),
-      filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
-        .as("__toks"))
-    val sh = toks.select(col(idCol), posexplode(
-        when(size(col("__toks")) >= n,
-          transform(sequence(lit(0), size(col("__toks")) - n),
-            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
-    val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .select("__h")
+    val toks = docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
+    val sh = positionedSpanHashes(docs, idCol, textCol, n)
+    val dup = duplicateSpanHashes(docs, idCol, textCol, n, minCount)
+      .select(col("span_hash").as("__h"))
     val covered = sh.join(dup, "__h")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
@@ -683,6 +715,46 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("__masked"), lit("")).as(textCol),
         coalesce(col("__nm"), lit(0L)).as("n_masked_tokens"))
+  }
+
+  /** Frozen-set span scrub: mask every `n`-token span whose xxhash64 is
+    * in `hotHashes` — the STATELESS face of [[maskDuplicateSpans]] for
+    * a hot-span set computed once from the historical corpus
+    * ([[duplicateSpanHashes]]) and then applied to documents as they
+    * arrive (see [[graft.streaming.Streams.maskSpansStream]]). One
+    * per-row expression chain — no shuffle, no state, works in any
+    * streaming output mode; the hot set rides the plan as an array
+    * literal (tiny by nature: a span must repeat verbatim corpus-wide
+    * to enter — same size argument as the C4 boilerplate line set).
+    * Spec-pinned: on the corpus the set was computed from, output ≡
+    * [[maskDuplicateSpans]] row-for-row. */
+  def maskSpansAgainst(docs: DataFrame, hotHashes: Seq[Long],
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 8): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
+    val hot = lit(hotHashes.toArray)
+    // staged projections: __toks and __covered become named attributes
+    // so each nested-HOF chain is planned exactly once (duplicating the
+    // chain across output columns both doubles the work and trips
+    // inconsistent lambda binding between the two copies)
+    val toks = col("__toks")
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val matched = filter(starts,
+      i => array_contains(hot, xxhash64(spanAt(toks, i, n))))
+    val covered = array_distinct(flatten(transform(matched,
+      i => sequence(i, i + (n - 1)))))
+    val zipped = when(size(toks) > 0,
+        zip_with(toks, sequence(lit(0), size(toks) - 1),
+          (t, p) => struct(t.as("t"), p.as("p"))))
+      .otherwise(array().cast("array<struct<t:string,p:int>>"))
+    val kept = filter(zipped,
+      s => !array_contains(col("__covered"), s.getField("p")))
+    docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
+      .select(col(idCol), toks, covered.as("__covered"))
+      .select(col(idCol),
+        array_join(transform(kept, s => s.getField("t")), " ").as(textCol),
+        size(col("__covered")).cast("long").as("n_masked_tokens"))
   }
 
   // -----------------------------------------------------------------

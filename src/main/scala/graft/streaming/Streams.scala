@@ -397,6 +397,20 @@ object Streams {
       array_join(filter(split(col(textCol), "\n"),
         l => !l.isin(hotLines: _*)), "\n").as(textCol))
 
+  /** Streaming twin of `Corpus.maskDuplicateSpans`: scrub a FROZEN
+    * duplicated-span set (xxhash64 of every corpus-repeated n-token
+    * window, built once from history via `Corpus.duplicateSpanHashes`)
+    * from documents as they arrive — the exact-substring-dedup analogue
+    * of [[removeBoilerplateStream]]. Entirely STATELESS (one per-row
+    * expression chain, hot set as a plan literal), so it works in any
+    * output mode with no state store; spec-pinned row-identical to the
+    * batch face on the corpus the set was computed from. */
+  def maskSpansStream(docs: DataFrame, hotSpanHashes: Seq[Long],
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 8): DataFrame =
+    graft.operators.Corpus.maskSpansAgainst(docs, hotSpanHashes, idCol,
+      textCol, n)
+
   /** One micro-batch of the BM25 ingest, replay-guarded: a batch id
     * at-or-below the high-water mark is a completed replay and becomes a
     * no-op (the standard foreachBatch idempotence pattern —

@@ -442,4 +442,41 @@ class StreamsSpec extends SparkSpec {
       assert(got == Seq((10L, "x\ny"), (11L, ""), (12L, "plain")))
     } finally q.stop()
   }
+
+  test("streaming span scrub against a frozen duplicated-span set is " +
+    "emit-identical to the batch masker, stateless") {
+    import graft.operators.Corpus
+    implicit val sc = spark.sqlContext
+    val hist = Seq(
+      (1L, "one two three alpha beta gamma delta four"),
+      (2L, "five six alpha beta gamma delta seven eight"),
+      (3L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val hot = Corpus.duplicateSpanHashes(hist, n = 4)
+      .as[Long].collect().toSeq
+    assert(hot.size == 1) // exactly the shared 4-gram
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.maskSpansStream(in.toDF().toDF("doc_id", "text"), hot,
+        n = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_out").start()
+    try {
+      val newDocs = Seq(
+        (10L, "prefix alpha beta gamma delta suffix"),
+        (11L, "alpha beta gamma delta"),
+        (12L, "clean text stays token for token"))
+      in.addData(newDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("span_out").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((10L, "prefix suffix", 4L), (11L, "", 4L),
+        (12L, "clean text stays token for token", 0L)))
+      // frozen-set face ≡ batch face on the corpus the set came from
+      val viaStream = Corpus.maskSpansAgainst(hist, hot, n = 4)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val viaBatch = Corpus.maskDuplicateSpans(hist, n = 4)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(viaStream == viaBatch)
+    } finally q.stop()
+  }
 }
