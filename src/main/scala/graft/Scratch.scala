@@ -69,6 +69,59 @@ object Scratch {
       println(f"[scratch] PPR 5 rounds exact ($n nodes): ${(System.nanoTime()-t)/1e9}%.2f s")
       spark.stop(); return
     }
+    if (name == "semskew") {
+      // SemDeDup skew-guard rehearsal: ONE centroid puts the whole
+      // embeddings corpus in a single cell — the pathological skew the
+      // r7 capCells guard exists for. Compare guarded vs unguarded
+      // wall-clock and survivor identity at this sf.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val one = Similarity.centroidsFromRows(emb, nCells = 1)
+      def run(tag: String, cap: Int): Set[Long] = {
+        val t0 = System.nanoTime()
+        val kept = Similarity.semanticDedup(emb, one, threshold = 0.3,
+            maxCellSize = cap)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        println(f"[scratch] semskew $tag: ${kept.size} survivors, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        kept
+      }
+      val un = run("unguarded (cap=MaxValue)", Int.MaxValue)
+      val gu = run("guarded (cap=2000)", 2000)
+      println(s"[scratch] semskew survivor agreement: " +
+        s"${(un intersect gu).size}/${un.size} vs ${gu.size} guarded " +
+        "(guard may split borderline pairs across sub-cells)")
+      spark.stop(); return
+    }
+    if (name == "spanviral") {
+      // Viral-span rehearsal for maskDuplicateSpans: a sentence planted
+      // in EVERY document — the hottest possible span hash. The dup
+      // join is per-occurrence (|docs| rows), never per-pair; this pins
+      // the measured cost of that shape at this sf.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Corpus
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val viral = docs.select(col("doc_id"), concat(col("text"),
+        lit(" the quick brown fox jumps over the lazy sleeping dog"))
+        .as("text"))
+      def run(tag: String, d: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = Corpus.maskDuplicateSpans(d, n = 8)
+          .agg(count(lit(1)), sum("n_masked_tokens")).head()
+        println(f"[scratch] spanviral $tag: ${r.getLong(0)} docs, " +
+          f"${r.getLong(1)} tokens masked, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      run("baseline (every-7th planted)", docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" the quick brown fox jumps over the lazy sleeping dog")))
+          .otherwise(col("text")).as("text")))
+      run("viral (every doc planted)", viral)
+      spark.stop(); return
+    }
     if (name == "buildprobe") {
       // split index-BUILD from PROBE for the four write+probe gates
       // (q61/q82/q89/q91): the driver's bench times them as one number,

@@ -534,6 +534,16 @@ class CorpusSpec extends SparkSpec {
     assert(r(3).getAs[Long]("n_pii") == 0)
   }
 
+  test("redactPii and maskSpansAgainst plan narrow: no Exchange, no UDF") {
+    val docs = Seq((1L, "a@b.co and +1 555-123-4567")).toDF("doc_id", "text")
+    val p1 = Corpus.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"redactPii shuffled:\n$p1")
+    val p2 = Corpus.maskSpansAgainst(docs, Seq(1L, 2L), n = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"maskSpansAgainst shuffled:\n$p2")
+    assert(!p1.contains("BatchEvalPython") && !p2.contains("BatchEvalPython"))
+  }
+
   test("maskDuplicateSpans cuts corpus-repeated n-token spans everywhere " +
     "they occur, keeps unique text, and empties full duplicates") {
     // docs 1/2 share a 4-token span inside otherwise-unique text;
