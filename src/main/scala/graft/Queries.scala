@@ -1887,6 +1887,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Directional as-of gate — the forward and nearest faces of q71's
+    * backward join over the same purchases/clicks layout. Forward is
+    * oracled by DuckDB's native ASOF with the inequality flipped
+    * (`l.ts <= r.ts`); nearest is the CASE over both native joins
+    * (backward wins distance ties — the pandas merge_asof convention,
+    * mirrored in the engine). */
+  def q121AsofDirections(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min("event_id").as("click_id"))
+    val fwd = graft.operators.Events.asofJoin(purchases, clicks,
+        "user_id", "ts", "click_id", direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_click_id").as("fwd_click_id"),
+        col("asof_us").as("fwd_us"))
+    val near = graft.operators.Events.asofJoin(purchases, clicks,
+        "user_id", "ts", "click_id", direction = "nearest")
+      .select(col("event_id"),
+        col("asof_click_id").as("near_click_id"),
+        col("asof_us").as("near_us"))
+    fwd.join(near, "event_id")
+      .orderBy("event_id")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2553,7 +2581,8 @@ object Queries {
     "q117_bm25_replay" -> (q117Bm25ReplayedIngest _),
     "q118_merge_replay" -> (q118MergeReplayed _),
     "q119_pii_redact" -> (q119PiiRedact _),
-    "q120_span_mask" -> (q120SpanMask _)
+    "q120_span_mask" -> (q120SpanMask _),
+    "q121_asof_directions" -> (q121AsofDirections _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -2966,6 +2995,29 @@ object Queries {
         | c.click_id AS asof_click_id, c.us AS asof_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.us
         |ORDER BY p.event_id""".stripMargin,
+    "q121_asof_directions" ->
+      """WITH p AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        | WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, epoch_us(ts) AS us, min(event_id) AS click_id
+        | FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+        |f AS (
+        | SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.click_id AS fwd_click_id, c.us AS fwd_us
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us <= c.us),
+        |b AS (
+        | SELECT p.event_id, c.click_id AS b_click_id, c.us AS b_us
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.us)
+        |SELECT f.event_id, f.user_id, f.ts_us, f.fwd_click_id, f.fwd_us,
+        | CASE WHEN f.fwd_us IS NULL OR (b.b_us IS NOT NULL AND
+        |   f.ts_us - b.b_us <= f.fwd_us - f.ts_us)
+        |  THEN b.b_click_id ELSE f.fwd_click_id END AS near_click_id,
+        | CASE WHEN f.fwd_us IS NULL OR (b.b_us IS NOT NULL AND
+        |   f.ts_us - b.b_us <= f.fwd_us - f.ts_us)
+        |  THEN b.b_us ELSE f.fwd_us END AS near_us
+        |FROM f JOIN b USING (event_id)
+        |ORDER BY f.event_id""".stripMargin,
     "q72_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us,

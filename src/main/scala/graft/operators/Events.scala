@@ -145,19 +145,32 @@ object Events {
     }.toDF("step", "event_type", "n_users")
   }
 
-  /** As-of join: every left row picks the right row with the GREATEST
-    * timestamp ≤ its own within the same key (inclusive, like DuckDB's
-    * `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`, which is the
-    * q71 oracle). Implemented as the union + carry-forward window trick —
-    * tag both sides, sort per key by (ts, side) with the right side
-    * first on ties, and let `last(..., ignoreNulls)` carry the latest
-    * right payload forward — so the whole join is ONE shuffle on the key
-    * with per-key parallel windows: no range-condition join, no
+  /** As-of join. Per left row, within the same key (all bounds
+    * INCLUSIVE, matching DuckDB's ASOF JOIN family — the q71/q121
+    * oracles):
+    *  - `"backward"` (default): the right row with the GREATEST
+    *    timestamp ≤ the left's (`l.ts >= r.ts`);
+    *  - `"forward"`: the right row with the SMALLEST timestamp ≥ the
+    *    left's (`l.ts <= r.ts`);
+    *  - `"nearest"`: whichever of the two is closer in time, backward
+    *    winning exact-distance ties (the pandas `merge_asof` tie
+    *    convention).
+    *
+    * Implemented as the union + carry window trick — tag both sides,
+    * sort per key by (ts, side) with the right side adjacent to ties,
+    * and let `last/first(..., ignoreNulls)` carry the right payload
+    * across the frame — so any direction is ONE shuffle on the key with
+    * per-key parallel windows: no range-condition join, no
     * candidate-pair explosion, the shape that survives billions of rows
-    * per side. The right side must be unique per (key, ts) (pre-aggregate
-    * otherwise); left rows with no prior right row keep nulls. */
+    * per side ("nearest" adds a second sorted window over the SAME hash
+    * partitioning — no extra exchange, plan-asserted in EventsSpec).
+    * The right side must be unique per (key, ts) (pre-aggregate
+    * otherwise); left rows with no match in the direction keep nulls. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String = "user_id",
-               tsCol: String = "ts", payloadCol: String = "event_id"): DataFrame = {
+               tsCol: String = "ts", payloadCol: String = "event_id",
+               direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     // the two appended output columns must not collide with a left column
     // of the same name (the left row expands back to top level at the end)
     val reserved = Seq(s"asof_$payloadCol", "asof_us")
@@ -174,12 +187,38 @@ object Events {
     val r = right.select(col(keyCol).as("__k"), us(tsCol).as("__us"),
       lit(0).as("__kind"), lit(null).cast(lrowType).as("__lrow"),
       col(payloadCol).cast(payloadType).as("__p"))
-    val w = Window.partitionBy("__k").orderBy(col("__us"), col("__kind"))
+    // backward: right-before-left on ties, carry the last prior right
+    val wB = Window.partitionBy("__k").orderBy(col("__us"), col("__kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__asof_p", last(col("__p"), ignoreNulls = true).over(w))
-      .withColumn("__asof_us",
-        last(when(col("__kind") === 0, col("__us")), ignoreNulls = true).over(w))
+    // forward: left-before-right on ties, take the first following right
+    val wF = Window.partitionBy("__k")
+      .orderBy(col("__us"), col("__kind").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightUs = when(col("__kind") === 0, col("__us"))
+    val base = l.unionByName(r)
+    val tagged = direction match {
+      case "backward" =>
+        base.withColumn("__asof_p", last(col("__p"), true).over(wB))
+          .withColumn("__asof_us", last(rightUs, true).over(wB))
+      case "forward" =>
+        base.withColumn("__asof_p", first(col("__p"), true).over(wF))
+          .withColumn("__asof_us", first(rightUs, true).over(wF))
+      case "nearest" =>
+        base
+          .withColumn("__bp", last(col("__p"), true).over(wB))
+          .withColumn("__bus", last(rightUs, true).over(wB))
+          .withColumn("__fp", first(col("__p"), true).over(wF))
+          .withColumn("__fus", first(rightUs, true).over(wF))
+          .withColumn("__asof_p",
+            when(col("__fus").isNull || (col("__bus").isNotNull &&
+              (col("__us") - col("__bus")) <= (col("__fus") - col("__us"))),
+              col("__bp")).otherwise(col("__fp")))
+          .withColumn("__asof_us",
+            when(col("__fus").isNull || (col("__bus").isNotNull &&
+              (col("__us") - col("__bus")) <= (col("__fus") - col("__us"))),
+              col("__bus")).otherwise(col("__fus")))
+    }
+    tagged
       .filter(col("__kind") === 1)
       .select(Seq(col("__lrow.*"),
         col("__asof_p").as(s"asof_$payloadCol"),

@@ -134,6 +134,36 @@ class EventsSpec extends SparkSpec {
       (100L, Some(7L)), (101L, Some(8L)), (102L, None), (103L, Some(9L))))
   }
 
+  test("asofJoin forward/nearest directions: inclusive bounds, backward " +
+    "wins distance ties, one exchange for nearest") {
+    val left = Seq(
+      (100L, 1L, ts(10)), // fwd: tie click at ts(10); near: same
+      (101L, 1L, ts(30)), // fwd: none; near: backward ts(20)
+      (102L, 1L, ts(1)),  // fwd: ts(10); near: forward (no backward)
+      (103L, 1L, ts(15)), // equidistant 10/20 -> nearest = backward(10)
+      (104L, 2L, ts(50))  // fwd: none for user 2 -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), 7L), (1L, ts(20), 8L), (2L, ts(40), 9L)
+    ).toDF("user_id", "ts", "click_id")
+    def run(d: String) = Events.asofJoin(left, right, "user_id", "ts",
+        "click_id", direction = d)
+      .orderBy("event_id").select(col("event_id"), col("asof_click_id"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(run("forward") == Seq((100L, Some(7L)), (101L, None),
+      (102L, Some(7L)), (103L, Some(8L)), (104L, None)))
+    assert(run("nearest") == Seq((100L, Some(7L)), (101L, Some(8L)),
+      (102L, Some(7L)), (103L, Some(7L)), (104L, Some(9L))))
+    // nearest runs BOTH windows over one hash partitioning: exactly one
+    // exchange in the plan, never a second shuffle or a range join
+    val plan = Events.asofJoin(left, right, "user_id", "ts", "click_id",
+        direction = "nearest")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+  }
+
   test("rangeJoin matches containment exactly and never plans a nested loop") {
     val points = Seq(
       (1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 999L), (4L, 2L, 100L)
