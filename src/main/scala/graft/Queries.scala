@@ -1915,6 +1915,21 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Gap-fill gate: every user's event stream regularized onto a daily
+    * grid with LOCF ([[graft.operators.Events.resampleLocf]] — bounds
+    * agg, narrow grid explode, one as-of shuffle). The oracle rebuilds
+    * the grid with generate_series and fills with native ASOF. */
+  def q122ResampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val obs = ev.groupBy(col("user_id"), col("ts"))
+      .agg(min("event_id").as("event_id"))
+    graft.operators.Events.resampleLocf(obs, "user_id", "ts", "event_id",
+        stepUs = 86400000000L)
+      .filter(col("user_id") < 50)
+      .select("user_id", "grid_us", "asof_event_id", "asof_us")
+      .orderBy("user_id", "grid_us")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2582,7 +2597,8 @@ object Queries {
     "q118_merge_replay" -> (q118MergeReplayed _),
     "q119_pii_redact" -> (q119PiiRedact _),
     "q120_span_mask" -> (q120SpanMask _),
-    "q121_asof_directions" -> (q121AsofDirections _)
+    "q121_asof_directions" -> (q121AsofDirections _),
+    "q122_resample_locf" -> (q122ResampleLocf _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -3018,6 +3034,22 @@ object Queries {
         |  THEN b.b_us ELSE f.fwd_us END AS near_us
         |FROM f JOIN b USING (event_id)
         |ORDER BY f.event_id""".stripMargin,
+    "q122_resample_locf" ->
+      """WITH o AS (
+        | SELECT user_id, epoch_us(ts) AS us, min(event_id) AS event_id
+        | FROM events GROUP BY user_id, epoch_us(ts)),
+        |b AS (SELECT user_id, min(us) AS mn, max(us) AS mx
+        | FROM o GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(
+        |   mn - mn % 86400000000, mx - mx % 86400000000,
+        |   86400000000)) AS grid_us
+        | FROM b)
+        |SELECT g.user_id, g.grid_us,
+        | o.event_id AS asof_event_id, o.us AS asof_us
+        |FROM g ASOF LEFT JOIN o
+        | ON g.user_id = o.user_id AND g.grid_us >= o.us
+        |WHERE g.user_id < 50
+        |ORDER BY g.user_id, g.grid_us""".stripMargin,
     "q72_range_join" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us,

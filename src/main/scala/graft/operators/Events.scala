@@ -225,6 +225,37 @@ object Events {
         col("__asof_us").as("asof_us")): _*)
   }
 
+  /** Gap-fill / resample onto a fixed time grid with last-observation-
+    * carried-forward: per key, one row per `stepUs`-wide grid instant
+    * from floor(first obs) to floor(last obs), each carrying the latest
+    * observation at-or-before it ([[asofJoin]] backward — the grid
+    * instant preceding the first observation keeps nulls, the standard
+    * LOCF bucket-0 convention). Returns the grid columns (`keyCol`,
+    * `grid_us`, `tsCol`) plus `asof_<payloadCol>` / `asof_us`.
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate ties.
+    *
+    * Shape at 100 TB: bounds are one partial-aggregated pass; the grid
+    * is a narrow per-key explode bounded by span/step rows per key (no
+    * shuffle); the fill is the one-shuffle as-of window. A pathological
+    * span/step ratio inflates the GRID, not a join — size `stepUs` to
+    * the reporting granularity, never below it. */
+  def resampleLocf(obs: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts", payloadCol: String = "event_id",
+                   stepUs: Long = 86400000000L): DataFrame = {
+    require(stepUs > 0, "step must be positive")
+    val bounds = obs.groupBy(col(keyCol))
+      .agg(min(us(tsCol)).as("__mn"), max(us(tsCol)).as("__mx"))
+    val grid = bounds.select(col(keyCol),
+        explode(sequence(
+          (col("__mn") - pmod(col("__mn"), lit(stepUs))),
+          (col("__mx") - pmod(col("__mx"), lit(stepUs))),
+          lit(stepUs))).as("grid_us"))
+      .withColumn(tsCol, timestamp_micros(col("grid_us")))
+    asofJoin(grid, obs.select(col(keyCol), col(tsCol), col(payloadCol)),
+      keyCol, tsCol, payloadCol)
+  }
+
   /** Range join: points matched to the intervals containing them
     * (start ≤ pt ≤ end, inclusive) within the same key — via interval
     * BINNING: each interval explodes to the fixed-width bins it covers,

@@ -164,6 +164,28 @@ class EventsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
   }
 
+  test("resampleLocf fills a fixed grid per key with the last observation " +
+    "carried forward; bucket 0 before the first obs keeps nulls") {
+    // hourly grid; user 1 observes at 0:30 and 2:30 — grid instants
+    // 0h (pre-obs null), 1h and 2h (both carry the 0:30 obs; the 2:30
+    // obs only defines the grid's END, it is after every instant)
+    val obs = Seq(
+      (1L, ts(30), 7L), (1L, ts(150), 8L), (2L, ts(60), 9L)
+    ).toDF("user_id", "ts", "event_id")
+    val hourUs = 3600000000L
+    val got = Events.resampleLocf(obs, "user_id", "ts", "event_id",
+        stepUs = hourUs)
+      .orderBy("user_id", "grid_us")
+      .select(col("user_id"), col("grid_us"), col("asof_event_id"))
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val base = 1704067200000000L // 2024-01-01 in epoch micros
+    assert(got == Seq(
+      (1L, base, None),               // grid 0h precedes the 0:30 obs
+      (1L, base + hourUs, Some(7L)),  // 1h carries the 0:30 obs
+      (1L, base + 2 * hourUs, Some(7L)), // 2h still carries 0:30
+      (2L, base + hourUs, Some(9L)))) // single-instant grid, tie-inclusive
+  }
+
   test("rangeJoin matches containment exactly and never plans a nested loop") {
     val points = Seq(
       (1L, 1L, 100L), (2L, 1L, 250L), (3L, 1L, 999L), (4L, 2L, 100L)
