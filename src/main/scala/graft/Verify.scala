@@ -24,13 +24,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall-clock on stderr: when a driver-side run stalls
+        // or hangs, THIS log line attributes it to a query without
+        // archaeology (the round-6 lesson — a silent hang zeroed the
+        // round; stdout stays clean for the driver's JSON contract)
+        System.err.println(f"[verify] $name ok " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(f"[verify] $name failed after " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs: ${e.getMessage}")
       }
       // release anything the query pinned (caches, localCheckpoint
-      // blocks) so 49 queries in one JVM can't accumulate state
+      // blocks) so 120+ queries in one JVM can't accumulate state
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
