@@ -1930,6 +1930,19 @@ object Queries {
       .orderBy("user_id", "grid_us")
   }
 
+  /** Windowed sequential-funnel gate: signup → view → purchase where
+    * each step must land strictly after the previous step's completion
+    * and within 24 h of it. Measured non-vacuous before pinning:
+    * 150/39/15 users at sf0.01 vs 150/150/150 unwindowed and
+    * 150/71/21 for q69's first-occurrence form — the three faces are
+    * genuinely different semantics. Oracle = per-step iterative CTEs. */
+  def q123FunnelWindow(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Events.funnelSequential(events(s, dir),
+        Seq("signup", "view", "purchase"),
+        windowUs = Some(86400000000L))
+      .orderBy("step")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2598,7 +2611,8 @@ object Queries {
     "q119_pii_redact" -> (q119PiiRedact _),
     "q120_span_mask" -> (q120SpanMask _),
     "q121_asof_directions" -> (q121AsofDirections _),
-    "q122_resample_locf" -> (q122ResampleLocf _)
+    "q122_resample_locf" -> (q122ResampleLocf _),
+    "q123_funnel_window" -> (q123FunnelWindow _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -3034,6 +3048,22 @@ object Queries {
         |  THEN b.b_us ELSE f.fwd_us END AS near_us
         |FROM f JOIN b USING (event_id)
         |ORDER BY f.event_id""".stripMargin,
+    "q123_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t FROM e
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s0 USING (user_id)
+        | WHERE e.event_type = 'view' AND e.us > s0.t
+        |  AND e.us <= s0.t + 86400000000 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        | WHERE e.event_type = 'purchase' AND e.us > s1.t
+        |  AND e.us <= s1.t + 86400000000 GROUP BY e.user_id)
+        |SELECT * FROM (
+        | SELECT 1 AS step, 'signup' AS event_type,
+        |  (SELECT count(*) FROM s0) AS n_users
+        | UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s1)
+        | UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s2))
+        |ORDER BY step""".stripMargin,
     "q122_resample_locf" ->
       """WITH o AS (
         | SELECT user_id, epoch_us(ts) AS us, min(event_id) AS event_id

@@ -145,6 +145,49 @@ object Events {
     }.toDF("step", "event_type", "n_users")
   }
 
+  /** Strict sequential funnel — the windowed production form of
+    * [[funnel]]: step i completes at the user's FIRST step-i event
+    * STRICTLY AFTER their step-(i-1) completion (not the global first
+    * occurrence — an early stray view doesn't block a later
+    * signup→view chain), and when `windowUs` is set, within that many
+    * microseconds of it (the "converted within 24h of the previous
+    * step" product question). Returns (step, event_type, n_users).
+    *
+    * Shape at 100 TB: one shuffle join + partial-aggregated min per
+    * step — `steps.size` rounds over a frontier that only SHRINKS
+    * (completing users), each round's frontier eagerly checkpointed and
+    * its predecessor's blocks released; never a per-user sorted pass or
+    * a window over the whole stream. */
+  def funnelSequential(events: DataFrame, steps: Seq[String],
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       windowUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowUs.forall(_ > 0), "window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      us(tsCol).as("__us"))
+    var frontier = typed.filter(col("__t") === steps.head)
+      .groupBy("__u").agg(min("__us").as("__prev"))
+      .localCheckpoint(true)
+    val counts = Array.newBuilder[(Int, String, Long)]
+    counts += ((1, steps.head, frontier.count()))
+    steps.drop(1).zipWithIndex.foreach { case (s, i) =>
+      val prevFrontier = frontier
+      val inWindow = windowUs.map(w => col("__us") <= col("__prev") + w)
+        .getOrElse(lit(true))
+      frontier = typed.filter(col("__t") === s)
+        .join(frontier, "__u")
+        .filter(col("__us") > col("__prev") && inWindow)
+        .groupBy("__u").agg(min("__us").as("__prev"))
+        .localCheckpoint(true)
+      Exec.releaseCheckpoint(prevFrontier)
+      counts += ((i + 2, s, frontier.count()))
+    }
+    counts.result().toSeq.toDF("step", "event_type", "n_users")
+  }
+
   /** As-of join. Per left row, within the same key (all bounds
     * INCLUSIVE, matching DuckDB's ASOF JOIN family — the q71/q121
     * oracles):

@@ -164,6 +164,32 @@ class EventsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
   }
 
+  test("funnelSequential: steps chain off the PREVIOUS completion (an " +
+    "early stray view doesn't block), and the window prunes slow users") {
+    val events = Seq(
+      // user 1: view BEFORE signup, then view+purchase after — the
+      // first-occurrence funnel rejects (t_view < t_signup); the
+      // sequential form completes all 3 steps
+      (1L, "view", ts(0)), (1L, "signup", ts(10)), (1L, "view", ts(20)),
+      (1L, "purchase", ts(30)),
+      // user 2: completes signup->view fast, purchase 3h later —
+      // dropped by a 1h window at step 3
+      (2L, "signup", ts(0)), (2L, "view", ts(10)), (2L, "purchase", ts(190)),
+      // user 3: signup only
+      (3L, "signup", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("signup", "view", "purchase")
+    def counts(w: Option[Long]) =
+      Events.funnelSequential(events, steps, windowUs = w)
+        .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(counts(None) == Seq(3L, 2L, 2L))
+    assert(counts(Some(3600000000L)) == Seq(3L, 2L, 1L))
+    // the first-occurrence face disagrees on user 1 by design
+    val firstOcc = Events.funnel(events, steps)
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(firstOcc == Seq(3L, 1L, 1L))
+  }
+
   test("resampleLocf fills a fixed grid per key with the last observation " +
     "carried forward; bucket 0 before the first obs keeps nulls") {
     // hourly grid; user 1 observes at 0:30 and 2:30 — grid instants
