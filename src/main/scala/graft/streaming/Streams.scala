@@ -455,6 +455,40 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream interval join — the ad-attribution shape: each
+    * arriving purchase matches every click by the same user in the
+    * PRECEDING `withinSeconds` (inclusive both ends, the batch
+    * `Events.rangeJoin` convention). Both sides carry event-time
+    * watermarks, and the interval condition gives Spark the state
+    * bound it needs: a buffered click is evicted once the purchase
+    * watermark passes `click.ts + within`, a buffered purchase once
+    * the click watermark passes `purchase.ts` — so state holds only
+    * the active window per side, never the full history. Append-mode
+    * output (matches emit when both watermarks allow no more joins).
+    *
+    * The batch twin is `Events.rangeJoin(points=purchases,
+    * intervals=[click.ts, click.ts+within])` — spec-pinned
+    * emit-identical on a replayed stream. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      withinSeconds: Long,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      purchaseIdCol: String = "event_id",
+                      clickIdCol: String = "click_id",
+                      watermark: String = "10 minutes"): DataFrame = {
+    require(withinSeconds > 0, "attribution window must be positive")
+    val p = purchases.select(col(userCol).as("user_id"),
+        col(tsCol).as("p_ts"), col(purchaseIdCol).as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col(userCol).as("__c_user"),
+        col(tsCol).as("c_ts"), col(clickIdCol).as("click_id"))
+      .withWatermark("c_ts", watermark)
+    p.join(c, col("user_id") === col("__c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $withinSeconds SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   final case class CdcEvent(key: String, version: Long, deleted: Boolean,
                             payload: String)
   final case class CdcState(version: Long, deleted: Boolean,

@@ -443,6 +443,54 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches clicks in the preceding " +
+    "window, inclusive, and equals the batch face") {
+    import graft.operators.Events
+    implicit val sc = spark.sqlContext
+    def t(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val cIn = MemoryStream[(Long, Timestamp, Long)]
+    val q = Streams.attributionJoin(
+        pIn.toDF().toDF("user_id", "ts", "event_id"),
+        cIn.toDF().toDF("user_id", "ts", "click_id"),
+        withinSeconds = 600L) // 10-minute attribution window
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      val clicks = Seq((1L, t(0), 10L), (1L, t(8), 11L), (1L, t(30), 12L),
+        (2L, t(5), 13L))
+      val purchases = Seq((1L, t(9), 100L), (1L, t(31), 101L),
+        (2L, t(40), 102L))
+      cIn.addData(clicks: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past the window so all matches emit
+      cIn.addData((9L, t(500), 99L)); pIn.addData((9L, t(500), 999L))
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("purchase_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      // purchase 100 at t9: clicks t0 (9 min before) and t8; purchase
+      // 101 at t31: click t30 only (t8 is 23 min before); purchase 102
+      // at t40: user 2's click t5 is 35 min before -> no match
+      val expected = Set((100L, 10L), (100L, 11L), (101L, 12L))
+      assert((got -- Set((999L, 99L))) == expected)
+      // batch twin: the same pairs via rangeJoin over click intervals
+      val batch = Events.rangeJoin(
+          purchases.toDF("user_id", "ts", "event_id")
+            .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("p_us")),
+          clicks.toDF("user_id", "ts", "click_id")
+            .select(col("user_id"), col("click_id"),
+              unix_micros(col("ts")).as("c_us"),
+              (unix_micros(col("ts")) + 600L * 1000000L).as("c_end")),
+          "user_id", "p_us", "c_us", "c_end")
+        .select("event_id", "click_id")
+        .as[(Long, Long)].collect().toSet
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
   test("streaming span scrub against a frozen duplicated-span set is " +
     "emit-identical to the batch masker, stateless") {
     import graft.operators.Corpus
