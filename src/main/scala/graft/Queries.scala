@@ -1943,6 +1943,20 @@ object Queries {
       .orderBy("step")
   }
 
+  /** Quality-aware dedup-survivor gate: the q50 near-dup clusters with
+    * the survivor rule production dedup actually uses — keep the
+    * highest-`n_chars` member (ties → lowest id), not an arbitrary
+    * min-id one. One row per cluster: (component, survivor_id,
+    * n_members). Oracle = q50's recursive component CTE + a window
+    * rank over (n_chars DESC, id ASC). */
+  def q124DedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.1)
+    Dedup.componentBest(docs, pairs, "n_chars")
+      .orderBy("component")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2612,7 +2626,8 @@ object Queries {
     "q120_span_mask" -> (q120SpanMask _),
     "q121_asof_directions" -> (q121AsofDirections _),
     "q122_resample_locf" -> (q122ResampleLocf _),
-    "q123_funnel_window" -> (q123FunnelWindow _)
+    "q123_funnel_window" -> (q123FunnelWindow _),
+    "q124_dedup_best" -> (q124DedupBest _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -3245,6 +3260,38 @@ object Queries {
         |SELECT id, component FROM reach
         |UNION ALL SELECT id, component FROM surv
         |ORDER BY id""".stripMargin,
+    // q50's component pipeline, survivor rule swapped to best-quality
+    "q124_dedup_best" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs0 AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id),
+        |pairs AS (
+        | SELECT id_a, id_b FROM pairs0
+        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+        |m AS (SELECT reach.id, reach.component, d.n_chars
+        | FROM reach JOIN documents d ON d.doc_id = reach.id),
+        |w AS (SELECT id, component, row_number() OVER (
+        |  PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn
+        | FROM m),
+        |nm AS (SELECT component, count(*) AS n_members FROM m GROUP BY component)
+        |SELECT w.component, w.id AS survivor_id, nm.n_members
+        |FROM w JOIN nm USING (component) WHERE w.rn = 1
+        |ORDER BY w.component""".stripMargin,
     "q46a_catalog_2hop" ->
       """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer)
         |SELECT 'p1' AS q, CAST(c AS VARCHAR) || '|' || CAST(c % 200 AS VARCHAR)

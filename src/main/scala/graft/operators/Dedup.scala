@@ -650,6 +650,41 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per near-dup cluster: the member with the highest `scoreCol`
+    * (ties → lowest id) plus the cluster size — the QUALITY-AWARE
+    * survivor rule production dedup uses instead of min-id (keep the
+    * longest / best-scored copy of a duplicated document, not an
+    * arbitrary one). Returns (component, survivor_id, n_members);
+    * singletons (docs in no pair) are not clusters and don't appear.
+    * One max_by hash aggregate over the (cluster-member)-sized label
+    * table — never touches document bodies. */
+  def componentBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+                    idCol: String = "doc_id"): DataFrame =
+    componentBestFrom(connectedComponents(pairs), docs, scoreCol, idCol)
+
+  private def componentBestFrom(cc: DataFrame, docs: DataFrame,
+                                scoreCol: String, idCol: String): DataFrame =
+    cc.join(docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+      .groupBy("component")
+      .agg(max_by(col("id"), struct(col("__s"), negate(col("id"))))
+        .as("survivor_id"),
+        count(lit(1)).as("n_members"))
+
+  /** Cluster-level dedup keeping the BEST-scored member per component
+    * (ties → lowest id) — [[dedupByComponents]] with the survivor rule
+    * swapped from min-id to max-score. Components are computed once;
+    * the anti-join moves only loser ids. */
+  def dedupByComponentsBest(docs: DataFrame, pairs: DataFrame,
+                            scoreCol: String,
+                            idCol: String = "doc_id"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val best = componentBestFrom(cc, docs, scoreCol, idCol)
+    val losers = cc.join(best, "component")
+      .filter(col("id") =!= col("survivor_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs that share at
     * least one shingle (equi-join on shingle, then |∩|/|∪|). Use after LSH
     * at scale; standalone it's exact but shuffles every (doc, shingle).

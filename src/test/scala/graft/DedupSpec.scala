@@ -246,6 +246,27 @@ class DedupSpec extends SparkSpec {
     assert(kept == (0L until 50L).toSet -- losers)
   }
 
+  test("componentBest keeps the highest-scored member per cluster, " +
+    "ties to the lowest id; dedupByComponentsBest anti-joins the rest") {
+    // cluster {1,2,3}: scores 5,9,9 -> survivor 2 (tie 2 vs 3 -> min id)
+    // cluster {10,11}: scores 4,7 -> survivor 11
+    // doc 20: singleton, no cluster row, always survives the dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 7L),
+      (20L, 1L)).toDF("doc_id", "score")
+    val best = Dedup.componentBest(docs, pairs, "score")
+      .orderBy("component")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(best == Seq((1L, 2L, 3L), (10L, 11L, 2L)))
+    val kept = Dedup.dedupByComponentsBest(docs, pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 20L))
+    // min-id rule keeps a different (worse-scored) survivor by design
+    val minId = Dedup.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L, 20L))
+  }
+
   test("star contraction matches label propagation on random pair graphs") {
     for (seed <- Seq(3, 17, 29)) {
       val rnd = new scala.util.Random(seed)
