@@ -209,6 +209,38 @@ object Pipelines {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Curation stage 4.5 — text hygiene on the SURVIVING corpus (after
+    * dedup/decontamination, where it's cheapest and can no longer
+    * perturb the content keys those stages hash): optional PII scrub
+    * ([[graft.operators.TextAnalysis.redact]] — the single-expression
+    * face; density-count policy filtering is a pre-pipeline concern,
+    * see `Corpus.redactPii`) and optional duplicate-span masking
+    * ([[graft.operators.Corpus.maskDuplicateSpans]], rejoined by id so
+    * every non-text column passes through). Row-preserving: hygiene
+    * rewrites text, it never drops documents. Note the masking stage
+    * rejoins the surviving LOWERCASE-ALNUM tokens — with it enabled the
+    * corpus leaves in normalized token form (redaction runs first, on
+    * the raw punctuation its regexes need; placeholders like <EMAIL>
+    * then normalize to their token). */
+  def hygieneStage(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", redactPii: Boolean = false,
+                   maskSpanN: Option[Int] = None,
+                   maskMinCount: Int = 2): DataFrame = {
+    val r =
+      if (redactPii)
+        docs.withColumn(textCol,
+          graft.operators.TextAnalysis.redact(col(textCol)))
+      else docs
+    maskSpanN match {
+      case Some(n) =>
+        val masked = graft.operators.Corpus
+          .maskDuplicateSpans(r, idCol, textCol, n, maskMinCount)
+          .select(col(idCol), col(textCol))
+        r.drop(textCol).join(masked, Seq(idCol))
+      case None => r
+    }
+  }
+
   /** Curation stage 5 — deterministic split labeling (md5-nibble
     * train/val/test; stage 4 is [[graft.operators.Corpus.decontaminate]]
     * unchanged). */
@@ -221,7 +253,9 @@ object Pipelines {
                    minTokens: Int = 20, jaccardN: Int = 3,
                    minJaccard: Double = 0.1, benchN: Int = 5,
                    autoSkewSalting: Boolean = false,
-                   hotSalts: Int = 16): Curation = {
+                   hotSalts: Int = 16,
+                   redactPii: Boolean = false,
+                   maskSpanN: Option[Int] = None): Curation = {
     import graft.operators.{Corpus, Dedup, Exec, Scale}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -248,10 +282,15 @@ object Pipelines {
       0L, hotSalts).localCheckpoint(true)
     val d3 = Corpus.decontaminate(d2, benchmark, idCol, textCol, benchN)
       .localCheckpoint(true)
-    val labeled = splitStage(d3, textCol).localCheckpoint(true)
+    val hygiene =
+      if (!redactPii && maskSpanN.isEmpty) d3
+      else hygieneStage(d3, idCol, textCol, redactPii, maskSpanN)
+        .localCheckpoint(true)
+    val labeled = splitStage(hygiene, textCol).localCheckpoint(true)
 
     new Curation(labeled, stages = Map(
-      "quality" -> q, "exact" -> d1, "neardup" -> d2, "decontam" -> d3),
+      "quality" -> q, "exact" -> d1, "neardup" -> d2, "decontam" -> d3,
+      "hygiene" -> hygiene),
       censusThunk = () => {
       val stageCounts = Seq(
         "0_input" -> docs.count(),

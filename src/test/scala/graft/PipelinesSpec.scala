@@ -102,11 +102,43 @@ class PipelinesSpec extends SparkSpec {
 
     // per-stage attribution surface: every intermediate stage is exposed
     // materialized, and its count matches the census row for that stage
-    assert(cur.stages.keySet == Set("quality", "exact", "neardup", "decontam"))
+    assert(cur.stages.keySet ==
+      Set("quality", "exact", "neardup", "decontam", "hygiene"))
     assert(cur.stages("quality").count() == census("1_quality"))
     assert(cur.stages("exact").count() == census("2_exact"))
     assert(cur.stages("neardup").count() == census("3_neardup"))
     assert(cur.stages("decontam").count() == census("4_decontam"))
+    // hygiene defaults off: the stage is pass-through (same frame)
+    assert(cur.stages("hygiene").count() == census("4_decontam"))
+  }
+
+  test("curateCorpus hygiene stage scrubs PII and duplicated spans " +
+    "row-preservingly; defaults leave the corpus byte-identical") {
+    val span = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i").mkString(" ") +
+        s" mail me at bob@example.com $span"),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" ") + s" $span"),
+      (3L, (1 to 22).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "nothing in common here at all ok fine then"))
+      .toDF("doc_id", "text")
+    val cur = Pipelines.curateCorpus(docs, bench,
+      redactPii = true, maskSpanN = Some(6))
+    val out = cur.corpus.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // hygiene drops no rows
+    // redaction runs on the original text (the regexes need the raw
+    // punctuation); the span-mask stage then rejoins the surviving
+    // LOWERCASE-ALNUM tokens, so the <EMAIL> placeholder normalizes to
+    // the 'email' token — the address itself must be gone either way
+    assert(out(1L).contains("email") && !out(1L).contains("bob"))
+    assert(!out(1L).contains("alpha") && !out(2L).contains("alpha"))
+    assert(out(3L).endsWith("c22"))
+    // defaults off -> output identical to the pre-hygiene pipeline
+    val off = Pipelines.curateCorpus(docs, bench).corpus
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(off(1L).contains("bob@example.com") && off(2L).contains("alpha"))
   }
 
   test("skew policy: report recommends salting on skewed shingles only, " +
