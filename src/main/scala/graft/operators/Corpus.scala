@@ -732,7 +732,6 @@ object Corpus {
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 8): DataFrame = {
     require(n >= 1, "span length must be >= 1")
-    val hot = lit(hotHashes.toArray)
     // staged projections: __toks and __covered become named attributes
     // so each nested-HOF chain is planned exactly once (duplicating the
     // chain across output columns both doubles the work and trips
@@ -740,8 +739,14 @@ object Corpus {
     val toks = col("__toks")
     val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
-    val matched = filter(starts,
-      i => array_contains(hot, xxhash64(spanAt(toks, i, n))))
+    // isin (not array_contains over an array literal): above 10 values
+    // the optimizer rewrites it to InSet's hash lookup, so membership is
+    // O(1) per window instead of a linear scan over the hot set —
+    // the difference between O(T) and O(T·H) per document
+    val matched =
+      if (hotHashes.isEmpty) array().cast("array<int>")
+      else filter(starts,
+        i => xxhash64(spanAt(toks, i, n)).isin(hotHashes: _*))
     val covered = array_distinct(flatten(transform(matched,
       i => sequence(i, i + (n - 1)))))
     val zipped = when(size(toks) > 0,
