@@ -340,12 +340,16 @@ object Similarity {
         val split =
           if (depth < maxSplitDepth) {
             // Nearest-of-m sub-centroid split. Members are sampled as
-            // centroids with probability ~m/n (m = 2·ceil(n/cap)) via a
-            // depth-salted hash of their id; the chosen member's own id
-            // labels the sub-cell. Integer column math throughout (`/`
-            // on columns is double division; use floor-casts).
-            val m = greatest(lit(1L),
-              floor(col("__n") * 2L / maxCellSize.toLong).cast("long"))
+            // centroids with probability ~m/n (m = 2·ceil(n/cap), CAPPED
+            // at 64 per cell — the sampled centroids carry their vectors
+            // onto the broadcast side, so m must stay bounded no matter
+            // how colossal one cell is; a 64-way split per round still
+            // shrinks any cell 64^maxSplitDepth-fold before the hash cap)
+            // via a depth-salted hash of their id; the chosen member's
+            // own id labels the sub-cell. Integer column math throughout
+            // (`/` on columns is double division; use floor-casts).
+            val m = least(lit(64L), greatest(lit(1L),
+              floor(col("__n") * 2L / maxCellSize.toLong).cast("long")))
             val stride = greatest(lit(1L),
               floor(col("__n") / m).cast("long"))
             val subC = over
