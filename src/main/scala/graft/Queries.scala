@@ -500,12 +500,17 @@ object Queries {
   /** Multimodal plumbing: documents' text bytes as a binary media column →
     * batched decode (stubbed codec) → frame sampling; metadata and frame
     * counts are deterministic functions of byte length, which the oracle
-    * recomputes from octet_length. */
+    * recomputes from octet_length. The STUB parser is passed explicitly:
+    * the production default is the real header decoder, and a document
+    * whose text happened to start with a container signature (e.g. the
+    * literal string "GIF89a") would otherwise parse as media and break
+    * the byte-length oracle. */
   def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
     val media = t(s, dir, "documents")
       .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
-    val decoded = graft.operators.Multimodal.decode(media)
+    val decoded = graft.operators.Multimodal.decode(media,
+      parse = graft.operators.Multimodal.decodeStub)
     val frames = graft.operators.Multimodal.frameSample(decoded, everyN = 2)
       .groupBy("media_id").agg(cnt(lit(1)).as("n_frames_sampled"))
     decoded.toDF()
@@ -3086,7 +3091,8 @@ object Queries {
         |b AS (SELECT user_id, min(us) AS mn, max(us) AS mx
         | FROM o GROUP BY user_id),
         |g AS (SELECT user_id, unnest(generate_series(
-        |   mn - mn % 86400000000, mx - mx % 86400000000,
+        |   mn - ((mn % 86400000000) + 86400000000) % 86400000000,
+        |   mx - ((mx % 86400000000) + 86400000000) % 86400000000,
         |   86400000000)) AS grid_us
         | FROM b)
         |SELECT g.user_id, g.grid_us,

@@ -693,13 +693,22 @@ object Corpus {
     require(n >= 1, "span length must be >= 1")
     require(minCount >= 2, "minCount < 2 would mask every token")
     val toks = docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
+    // ONE positioned-shingle pass feeds both the duplicate count and
+    // the match-back (deriving them independently would tokenize and
+    // explode the corpus once per consumer); `covered` — the matched-
+    // positions table, duplication-bounded, far smaller than the
+    // corpus — is the eagerly-materialized result because both the
+    // reconstruction anti-join and the per-doc mask count read it.
     val sh = positionedSpanHashes(docs, idCol, textCol, n)
-    val dup = duplicateSpanHashes(docs, idCol, textCol, n, minCount)
-      .select(col("span_hash").as("__h"))
-    val covered = sh.join(dup, "__h")
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
+    val covered = Exec.withPersisted(sh) {
+      val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= minCount)
+        .select("__h")
+      sh.join(dup, "__h")
+        .select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+        .distinct()
+    }
     val tokPos = toks.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "__tok")))
     val kept = tokPos.join(covered, Seq(idCol, "pos"), "left_anti")

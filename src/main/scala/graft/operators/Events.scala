@@ -17,12 +17,22 @@ import org.apache.spark.sql.functions._
  */
 object Events {
 
-  /** Epoch-microseconds of a timestamp column. The cast makes the helper
-    * tolerant of TIMESTAMP_NTZ inputs (files written without a UTC flag):
-    * under the engine's UTC session timezone the NTZ→TIMESTAMP cast is
-    * exact, and on an already-TIMESTAMP column it is the identity. */
-  private def us(tsCol: String): Column =
-    unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+  /** Epoch-microseconds of a timestamp column. TIMESTAMP passes through
+    * `unix_micros` directly; TIMESTAMP_NTZ (files written without a UTC
+    * flag) is first cast to TIMESTAMP — exact under the engine's UTC
+    * session timezone. Any OTHER type is rejected up front: a blanket
+    * cast would silently read a numeric epoch column as SECONDS (and a
+    * string column as best-effort parse-to-null), turning every
+    * downstream result quietly wrong instead of failing analysis. */
+  private def us(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"column $tsCol must be TIMESTAMP or TIMESTAMP_NTZ, got $other " +
+          "- convert explicitly (e.g. timestamp_micros for epoch longs)")
+    }
 
   /** Gaps-and-islands sessionization: a session breaks when the gap to
     * the user's previous event EXCEEDS `gapSeconds`. One row per session
@@ -37,7 +47,7 @@ object Events {
                  tsCol: String = "ts", gapSeconds: Long = 1800L): DataFrame = {
     require(gapSeconds > 0, "gap must be positive")
     val byUser = Window.partitionBy(userCol).orderBy(col("__us"))
-    events.select(col(userCol), us(tsCol).as("__us"))
+    events.select(col(userCol), us(events, tsCol).as("__us"))
       .withColumn("__gap", col("__us") - lag("__us", 1).over(byUser))
       .withColumn("__new",
         when(col("__gap").isNull || col("__gap") > gapSeconds * 1000000L, 1L)
@@ -79,7 +89,7 @@ object Events {
                     else gapSeconds * 256L) * 1000000L
     val gapUs = gapSeconds * 1000000L
 
-    val ev = events.select(col(userCol), us(tsCol).as("__us"))
+    val ev = events.select(col(userCol), us(events, tsCol).as("__us"))
       .withColumn("__bucket", expr(s"__us div ${bucketUs}L"))
     // per-(user, bucket) local sessionization — the parallel part
     val wLocal = Window.partitionBy(userCol, "__bucket").orderBy(col("__us"))
@@ -127,7 +137,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val mins = steps.zipWithIndex.map { case (s, i) =>
-      min(when(col(typeCol) === s, us(tsCol))).as(s"__t$i")
+      min(when(col(typeCol) === s, us(events, tsCol))).as(s"__t$i")
     }
     val perUser = events.groupBy(col(userCol)).agg(mins.head, mins.tail: _*)
     val completed = steps.indices.map { i =>
@@ -167,7 +177,7 @@ object Events {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
-      us(tsCol).as("__us"))
+      us(events, tsCol).as("__us"))
     var frontier = typed.filter(col("__t") === steps.head)
       .groupBy("__u").agg(min("__us").as("__prev"))
       .localCheckpoint(true)
@@ -185,6 +195,9 @@ object Events {
       Exec.releaseCheckpoint(prevFrontier)
       counts += ((i + 2, s, frontier.count()))
     }
+    // the returned frame is a tiny local counts table; the last step's
+    // |users|-sized frontier checkpoint would otherwise stay pinned
+    Exec.releaseCheckpoint(frontier)
     counts.result().toSeq.toDF("step", "event_type", "n_users")
   }
 
@@ -223,11 +236,11 @@ object Events {
         "in the left frame - rename them before joining")
     val leftStruct = struct(left.columns.map(col): _*)
     val payloadType = right.schema(payloadCol).dataType
-    val l = left.select(col(keyCol).as("__k"), us(tsCol).as("__us"),
+    val l = left.select(col(keyCol).as("__k"), us(left, tsCol).as("__us"),
       lit(1).as("__kind"), leftStruct.as("__lrow"),
       lit(null).cast(payloadType).as("__p"))
     val lrowType = l.schema("__lrow").dataType
-    val r = right.select(col(keyCol).as("__k"), us(tsCol).as("__us"),
+    val r = right.select(col(keyCol).as("__k"), us(right, tsCol).as("__us"),
       lit(0).as("__kind"), lit(null).cast(lrowType).as("__lrow"),
       col(payloadCol).cast(payloadType).as("__p"))
     // backward: right-before-left on ties, carry the last prior right
@@ -288,7 +301,7 @@ object Events {
                    stepUs: Long = 86400000000L): DataFrame = {
     require(stepUs > 0, "step must be positive")
     val bounds = obs.groupBy(col(keyCol))
-      .agg(min(us(tsCol)).as("__mn"), max(us(tsCol)).as("__mx"))
+      .agg(min(us(obs, tsCol)).as("__mn"), max(us(obs, tsCol)).as("__mx"))
     val grid = bounds.select(col(keyCol),
         explode(sequence(
           (col("__mn") - pmod(col("__mn"), lit(stepUs))),
@@ -333,8 +346,8 @@ object Events {
     val periodUs = periodDays * 86400000000L
     val active = events
       .select(col(userCol),
-        expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div ${periodUs}L")
-          .as("period"))
+        (us(events, tsCol).cast("long")).as("__us"))
+      .select(col(userCol), expr(s"__us div ${periodUs}L").as("period"))
       .distinct()
     val cohorts = active.groupBy(col(userCol))
       .agg(min("period").as("cohort"))

@@ -332,8 +332,10 @@ object Similarity {
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxCellSize)
         .localCheckpoint(true) // ≤ |corpus|/maxCellSize rows — tiny
-      if (oversized.isEmpty) capped = true
-      else {
+      if (oversized.isEmpty) {
+        Exec.releaseCheckpoint(oversized)
+        capped = true
+      } else {
         val ok = assigned.join(broadcast(oversized.select("__cell")),
           Seq("__cell"), "left_anti")
         val over = assigned.join(broadcast(oversized), Seq("__cell"))
@@ -384,9 +386,16 @@ object Similarity {
                 pmod(xxhash64(col("__id")), nSlices)).as("__cell"),
               col("__id"), col("__vec"))
           }
+        val prevAssigned = assigned
         assigned = ok.select("__cell", "__id", "__vec")
           .union(split.select("__cell", "__id", "__vec"))
           .localCheckpoint(true)
+        // the new round's assignment is materialized; the previous
+        // |corpus|-sized copy and this round's side tables are dead —
+        // the same release discipline as every other iterative loop
+        // (maxSplitDepth stacked assignment copies at 100 TB otherwise)
+        if (prevAssigned ne assigned0) Exec.releaseCheckpoint(prevAssigned)
+        Exec.releaseCheckpoint(oversized)
         depth += 1
       }
     }

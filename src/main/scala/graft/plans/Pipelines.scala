@@ -233,10 +233,14 @@ object Pipelines {
       else docs
     maskSpanN match {
       case Some(n) =>
+        // r feeds BOTH join sides (the masker and the column carry-over):
+        // materialize it once so an expensive upstream lineage isn't
+        // evaluated twice when the caller hands in an uncheckpointed frame
+        val rc = r.localCheckpoint(true)
         val masked = graft.operators.Corpus
-          .maskDuplicateSpans(r, idCol, textCol, n, maskMinCount)
+          .maskDuplicateSpans(rc, idCol, textCol, n, maskMinCount)
           .select(col(idCol), col(textCol))
-        r.drop(textCol).join(masked, Seq(idCol))
+        rc.drop(textCol).join(masked, Seq(idCol))
       case None => r
     }
   }
