@@ -1412,6 +1412,20 @@ object Queries {
         grouping(col("l_linestatus")).cast("int").as("g_status"))
       .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
 
+  /** CUBE twin of q73 — all four grouping-set combinations of
+    * (returnflag, linestatus) in one hash-aggregate pass (Spark expands
+    * the sets inside the same aggregate, no extra scans per level);
+    * GROUPING markers disambiguate subtotal rows from real NULL groups.
+    * Completes the multidimensional-aggregate family: ROLLUP (q73),
+    * CUBE (here), PIVOT (q76). */
+  def q125Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
   /** Sampled-quantiles gate: deterministic md5-ordered bottom-1000 sample
     * of lineitem quantities, exact disc percentiles off the sample. The
     * engine plans the sample as a map-side partial top-k
@@ -2632,7 +2646,8 @@ object Queries {
     "q121_asof_directions" -> (q121AsofDirections _),
     "q122_resample_locf" -> (q122ResampleLocf _),
     "q123_funnel_window" -> (q123FunnelWindow _),
-    "q124_dedup_best" -> (q124DedupBest _)
+    "q124_dedup_best" -> (q124DedupBest _),
+    "q125_cube" -> (q125Cube _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -3125,6 +3140,13 @@ object Queries {
         | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
         | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+    "q125_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
     "q74_sampled_quantiles" ->
       """WITH s AS (
