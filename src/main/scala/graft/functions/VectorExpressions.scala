@@ -68,6 +68,13 @@ object VectorExpressions {
   def markerHits(words: Column, markers: Seq[Seq[String]]): Column =
     ColumnShim.column(org.apache.spark.sql.graft.MarkerHits(ColumnShim.expression(words), markers))
 
+  /** Frozen-set duplicate-span masking over a token array in ONE
+    * codegen'd pass — struct<text, n_masked>; value-identical to the
+    * interpreted HOF chain (spec-pinned). */
+  def maskSpans(words: Column, hotHashes: Seq[Long], n: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.MaskSpans(
+      ColumnShim.expression(words), hotHashes, n))
+
   /** Misra-Gries heavy-hitter sketch aggregate: ≤ k mergeable counters,
     * every estimate a lower bound undercounting by ≤ n/(k+1) — any item
     * above that frequency is guaranteed in the result. */

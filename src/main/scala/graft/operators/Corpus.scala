@@ -741,6 +741,23 @@ object Corpus {
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 8): DataFrame = {
     require(n >= 1, "span length must be >= 1")
+    // one codegen'd kernel call per row (TextOps.maskSpans — hash-set
+    // probe per window, no per-element Catalyst interpretation); the
+    // interpreted HOF chain below survives as the spec-pinned twin
+    docs.select(col(idCol),
+        graft.functions.VectorExpressions.maskSpans(
+          spanToks(col(textCol)), hotHashes, n).as("__m"))
+      .select(col(idCol), col("__m.text").as(textCol),
+        col("__m.n_masked").cast("long").as("n_masked_tokens"))
+  }
+
+  /** The interpreted HOF formulation of [[maskSpansAgainst]] — kept as
+    * the equivalence witness for the codegen'd kernel (CorpusSpec pins
+    * the two row-identical). */
+  private[graft] def maskSpansAgainstHof(docs: DataFrame, hotHashes: Seq[Long],
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 8): DataFrame = {
+    require(n >= 1, "span length must be >= 1")
     // staged projections: __toks and __covered become named attributes
     // so each nested-HOF chain is planned exactly once (duplicating the
     // chain across output columns both doubles the work and trips

@@ -108,6 +108,56 @@ object TextOps {
     }
     new GenericArrayData(if (n == out.length) out else JArrays.copyOf(out, n))
   }
+  /** Frozen-set duplicate-span masking in one pass — value-identical to
+    * the interpreted filter/transform/zip_with HOF chain in
+    * `Corpus.maskSpansAgainst` (the spec-pinned twin): every `n`-token
+    * window whose space-joined xxhash64 (seed 42, Spark's `xxhash64`)
+    * is in `hot` marks its positions covered; surviving tokens rejoin
+    * with single spaces. Returns (masked text, covered count). One
+    * boolean array + one hash probe per window; no per-element Catalyst
+    * interpretation — the streaming scrub's hot path. */
+  def maskSpans(words: ArrayData, hot: java.util.HashSet[java.lang.Long],
+                n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = words.numElements()
+    val covered = new Array[Boolean](len)
+    var i = 0
+    while (i + n <= len) {
+      val win = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        win(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(SPACE, win: _*)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      if (hot.contains(h)) {
+        var k = i
+        while (k < i + n) { covered(k) = true; k += 1 }
+      }
+      i += 1
+    }
+    var nMasked = 0
+    var nKeep = 0
+    i = 0
+    while (i < len) {
+      if (covered(i)) nMasked += 1 else nKeep += 1
+      i += 1
+    }
+    val keep = new Array[UTF8String](nKeep)
+    i = 0
+    var o = 0
+    while (i < len) {
+      if (!covered(i)) {
+        keep(o) = if (words.isNullAt(i)) null else words.getUTF8String(i)
+        o += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.concatWs(SPACE, keep: _*), nMasked))
+  }
+
   /** Distinct char n-grams of every length in [minN, maxN] (full windows
     * only), optionally followed by the original string — value-identical
     * to the per-length transform/sequence/substr HOF chain
@@ -234,6 +284,38 @@ case class NgramFingerprint(child: Expression, gram: Int, k: Int)
       s"${ev.value} = org.apache.spark.sql.graft.TextOps.bottomKNgramHashes($a, $gram, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramFingerprint =
+    copy(child = newChild)
+}
+
+/** Frozen-set duplicate-span masking (struct<text, n_masked>), one
+  * generated call per row — the codegen'd face of the streaming span
+  * scrub (the interpreted HOF chain stays as the spec-pinned twin). */
+case class MaskSpans(child: Expression, hotHashes: Seq[Long], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "span length must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_masked", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val hot: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    hotHashes.foreach(h => s.add(h))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.maskSpans(a.asInstanceOf[ArrayData], hot, n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hotRef = ctx.addReferenceObj("hotSpans", hot, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.maskSpans($a, $hotRef, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaskSpans =
     copy(child = newChild)
 }
 

@@ -544,6 +544,32 @@ class CorpusSpec extends SparkSpec {
     assert(!p1.contains("BatchEvalPython") && !p2.contains("BatchEvalPython"))
   }
 
+  test("codegen'd maskSpansAgainst kernel is row-identical to the " +
+    "interpreted HOF twin, including empty/short/fully-masked docs") {
+    val span = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, s"one two $span three"),
+      (2L, span),              // fully masked -> empty text
+      (3L, "short"),           // shorter than n -> untouched
+      (4L, ""),                // zero tokens
+      (5L, s"$span $span mix") // overlapping double occurrence
+    ).toDF("doc_id", "text")
+    val hot = Corpus.duplicateSpanHashes(docs, n = 4).as[Long].collect().toSeq
+    assert(hot.nonEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val fast = rows(Corpus.maskSpansAgainst(docs, hot, n = 4))
+    val hof = rows(Corpus.maskSpansAgainstHof(docs, hot, n = 4))
+    assert(fast == hof)
+    assert(fast.find(_._1 == 2L).get._2 == "" &&
+      fast.find(_._1 == 2L).get._3 == 4L)
+    assert(fast.find(_._1 == 3L).get._2 == "short")
+    assert(fast.find(_._1 == 4L).get._3 == 0L)
+    // empty hot set: pass-through tokens, zero masked, both faces
+    assert(rows(Corpus.maskSpansAgainst(docs, Nil, n = 4)) ==
+      rows(Corpus.maskSpansAgainstHof(docs, Nil, n = 4)))
+  }
+
   test("maskDuplicateSpans cuts corpus-repeated n-token spans everywhere " +
     "they occur, keeps unique text, and empties full duplicates") {
     // docs 1/2 share a 4-token span inside otherwise-unique text;
