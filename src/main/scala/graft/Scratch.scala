@@ -122,6 +122,34 @@ object Scratch {
       run("viral (every doc planted)", viral)
       spark.stop(); return
     }
+    if (name == "spanscrub") {
+      // codegen'd MaskSpans kernel vs the interpreted HOF twin on the
+      // full documents table (hot set = the corpus's real duplicated
+      // 8-gram spans + the planted q120 sentence). Best-of-3 each.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Corpus
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy sleeping dog")))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      val hot = Corpus.duplicateSpanHashes(docs, n = 8)
+        .collect().map(_.getLong(0)).toSeq
+      println(s"[scratch] spanscrub hot set: ${hot.size} spans")
+      def best3(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          mk.agg(sum("n_masked_tokens")).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] spanscrub $tag: best=${times.min}%.2f s " +
+          "(runs: " + times.map(t => f"$t%.2f").mkString(", ") + ")")
+      }
+      best3("codegen kernel")(Corpus.maskSpansAgainst(docs, hot, n = 8))
+      best3("interpreted HOF")(Corpus.maskSpansAgainstHof(docs, hot, n = 8))
+      spark.stop(); return
+    }
     if (name == "buildprobe") {
       // split index-BUILD from PROBE for the four write+probe gates
       // (q61/q82/q89/q91): the driver's bench times them as one number,
