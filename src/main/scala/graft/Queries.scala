@@ -1976,6 +1976,21 @@ object Queries {
       .orderBy("component")
   }
 
+  /** Community-detection gate: 4 synchronous label-propagation sweeps
+    * (most-frequent neighbor label, ties to smallest — deterministic)
+    * over a sparser cut of the orders graph (mod 500, where frequency
+    * voting actually stops at community boundaries: 30-32 communities
+    * over 500 nodes at every sf, measured before pinning; the dense
+    * mod-200 graph collapses to 2 labels). Oracle unrolls the same 4
+    * sweeps with a windowed vote per round. */
+  def q126LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst"))
+    GraphAlgos.labelPropagation(edges, rounds = 4)
+      .orderBy("node")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2441,6 +2456,31 @@ object Queries {
        |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** The q126 oracle: synchronous LPA sweeps unrolled — per round a
+    * windowed vote (count DESC, label ASC) over the neighbor-label
+    * join. MATERIALIZED like every unrolled iterative oracle (each lN
+    * is referenced by the next round's join). */
+  private def lpaOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, label FROM (
+         | SELECT a.node, l.label, count(*) AS c,
+         |  row_number() OVER (PARTITION BY a.node
+         |   ORDER BY count(*) DESC, l.label ASC) AS rn
+         | FROM adj a JOIN l${i - 1} l ON l.node = a.nbr
+         | GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |  greatest(src, dst) AS v FROM (
+       |  SELECT o_custkey % 500 AS src, o_orderkey % 500 AS dst
+       |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
+       | UNION ALL SELECT v, u FROM und),
+       |l0 AS (SELECT node, node AS label FROM
+       | (SELECT DISTINCT node FROM adj)),
+       |$steps
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** The q98/q99 oracle: PageRank rounds unrolled as CTE pairs (DuckDB
     * forbids aggregates in a recursive CTE's recursive term). `1−d` is
     * written as the IEEE subtraction, never a pre-rounded 0.15 literal,
@@ -2647,7 +2687,8 @@ object Queries {
     "q122_resample_locf" -> (q122ResampleLocf _),
     "q123_funnel_window" -> (q123FunnelWindow _),
     "q124_dedup_best" -> (q124DedupBest _),
-    "q125_cube" -> (q125Cube _)
+    "q125_cube" -> (q125Cube _),
+    "q126_label_propagation" -> (q126LabelPropagation _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4189,6 +4230,7 @@ object Queries {
     "q113_eigenvector_centrality" -> eigenOracle(5),
     "q114_rank_related_entities" -> q114Oracle(5),
     "q116_kcore" -> kCoreOracle(14, 16),
+    "q126_label_propagation" -> lpaOracle(4),
     // Same planted PII, same Java∩RE2 patterns; DuckDB regexp_replace
     // needs the explicit 'g' flag (Spark is global by default)
     "q119_pii_redact" ->

@@ -489,4 +489,57 @@ object GraphAlgos {
         "(deep fringe layers — raise maxRounds)")
     adj.groupBy("node").agg(count(lit(1)).as("deg"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) over the undirected graph: every node starts as its own
+    * label; each round every node adopts the MOST FREQUENT label among
+    * its neighbors, ties broken to the SMALLEST label — the
+    * deterministic tie rule that makes fixed-round runs replayable in
+    * any engine (classic LPA breaks ties randomly; synchronous sweeps
+    * can oscillate on bipartite structures, which is why `rounds` is a
+    * FIXED count rather than a convergence loop — the standard
+    * bounded-sweep deployment). Distinct from
+    * [[Dedup.connectedComponents]]: min-label propagation merges every
+    * connected node set; frequency voting stops at community
+    * boundaries, where a node's in-community degree outvotes its
+    * cross-community edges.
+    *
+    * Shape at 100 TB: the symmetrized adjacency partitions ONCE on the
+    * neighbor key (AQE-off capture — per-round label joins re-use the
+    * layout with no edge shuffle); each round is one join + one
+    * map-side-combined (node, label) count + one per-node max_by; label
+    * frames checkpoint per round and release their predecessor. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 4,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val spark = edges0.sparkSession
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = Dedup.withAqeOff(spark) {
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .union(und.select(col("v"), col("u")))
+        .repartition(col("nbr"))
+        .localCheckpoint(true)
+    }
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevLabels: DataFrame = labels // own checkpoint: releasable
+    for (_ <- 1 to rounds) {
+      labels = adj.join(labels.select(col("node").as("nbr"), col("label")),
+          "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        .agg(max_by(col("label"), struct(col("__c"), negate(col("label"))))
+          .as("label"))
+        .localCheckpoint(true)
+      Exec.releaseCheckpoint(prevLabels)
+      prevLabels = labels
+    }
+    labels
+  }
 }

@@ -300,6 +300,33 @@ class GraphAlgosSpec extends SparkSpec {
       == clean)
   }
 
+  test("labelPropagation: two dense cliques joined by one bridge edge " +
+    "settle into two communities; components would merge them") {
+    // K4 {1..4} + K4 {11..14} + bridge 4-11: within-clique degree (3)
+    // outvotes the single cross edge, so the cliques keep distinct
+    // labels — the behavior that distinguishes LPA from components
+    def k4(off: Long) = for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (off + a, off + b)
+    val edges = (k4(0) ++ k4(10) :+ (4L, 11L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = (1L to 4L).map(got)
+    val right = (11L to 14L).map(got)
+    assert(left.distinct.size == 1 && right.distinct.size == 1)
+    assert(left.head != right.head)
+    // min-label components merge everything across the bridge
+    val cc = graft.operators.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"))
+      .select("component").distinct().count()
+    assert(cc == 1L)
+    // deterministic: a re-run is row-identical
+    val again = GraphAlgos.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("kCore: a deep fringe past maxRounds fails fast by default") {
     // a path peels one layer per round from each end: 8 nodes need 4
     // rounds at k = 2 before the (empty) core is reached
