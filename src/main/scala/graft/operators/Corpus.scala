@@ -743,10 +743,13 @@ object Corpus {
     require(n >= 1, "span length must be >= 1")
     // one codegen'd kernel call per row (TextOps.maskSpans — hash-set
     // probe per window, no per-element Catalyst interpretation); the
-    // interpreted HOF chain below survives as the spec-pinned twin
+    // interpreted HOF chain below survives as the spec-pinned twin.
+    // Null text coalesces to "" BEFORE tokenizing so a null row comes
+    // back ("", 0) exactly like the HOF face (a bare null input would
+    // otherwise null-short-circuit the whole kernel).
     docs.select(col(idCol),
         graft.functions.VectorExpressions.maskSpans(
-          spanToks(col(textCol)), hotHashes, n).as("__m"))
+          spanToks(coalesce(col(textCol), lit(""))), hotHashes, n).as("__m"))
       .select(col(idCol), col("__m.text").as(textCol),
         col("__m.n_masked").cast("long").as("n_masked_tokens"))
   }

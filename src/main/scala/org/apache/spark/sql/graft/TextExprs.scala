@@ -120,32 +120,34 @@ object TextOps {
                 n: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val len = words.numElements()
     val covered = new Array[Boolean](len)
-    var i = 0
-    while (i + n <= len) {
-      val win = new Array[UTF8String](n)
-      var j = 0
-      while (j < n) {
-        win(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
-        j += 1
-      }
-      val s = UTF8String.concatWs(SPACE, win: _*)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, 42L)
-      if (hot.contains(h)) {
-        var k = i
-        while (k < i + n) { covered(k) = true; k += 1 }
-      }
-      i += 1
-    }
     var nMasked = 0
-    var nKeep = 0
-    i = 0
-    while (i < len) {
-      if (covered(i)) nMasked += 1 else nKeep += 1
-      i += 1
+    // empty hot set: nothing can match — skip all hashing (the no-op
+    // pass-through case must actually be free)
+    if (!hot.isEmpty) {
+      var i = 0
+      while (i + n <= len) {
+        val win = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          win(j) = if (words.isNullAt(i + j)) null
+                   else words.getUTF8String(i + j)
+          j += 1
+        }
+        val s = UTF8String.concatWs(SPACE, win: _*)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        if (hot.contains(h)) {
+          var k = i
+          while (k < i + n) {
+            if (!covered(k)) { covered(k) = true; nMasked += 1 }
+            k += 1
+          }
+        }
+        i += 1
+      }
     }
-    val keep = new Array[UTF8String](nKeep)
-    i = 0
+    val keep = new Array[UTF8String](len - nMasked)
+    var i = 0
     var o = 0
     while (i < len) {
       if (!covered(i)) {

@@ -552,7 +552,8 @@ class CorpusSpec extends SparkSpec {
       (2L, span),              // fully masked -> empty text
       (3L, "short"),           // shorter than n -> untouched
       (4L, ""),                // zero tokens
-      (5L, s"$span $span mix") // overlapping double occurrence
+      (5L, s"$span $span mix"),// overlapping double occurrence
+      (6L, null.asInstanceOf[String]) // null text -> ("", 0), both faces
     ).toDF("doc_id", "text")
     val hot = Corpus.duplicateSpanHashes(docs, n = 4).as[Long].collect().toSeq
     assert(hot.nonEmpty)
@@ -565,6 +566,11 @@ class CorpusSpec extends SparkSpec {
       fast.find(_._1 == 2L).get._3 == 4L)
     assert(fast.find(_._1 == 3L).get._2 == "short")
     assert(fast.find(_._1 == 4L).get._3 == 0L)
+    // null text must come back ("", 0) — NOT null-short-circuit the
+    // kernel (equality with the HOF face alone couldn't catch both
+    // being wrong the same way)
+    assert(fast.find(_._1 == 6L).get._2 == "" &&
+      fast.find(_._1 == 6L).get._3 == 0L)
     // empty hot set: pass-through tokens, zero masked, both faces
     assert(rows(Corpus.maskSpansAgainst(docs, Nil, n = 4)) ==
       rows(Corpus.maskSpansAgainstHof(docs, Nil, n = 4)))
