@@ -1991,6 +1991,21 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Weighted-LPA gate: the q126 sweeps with votes summed over integer
+    * edge weights (o_orderkey%7+1, parallel edges summed) instead of
+    * counted — completes the weighted × {PageRank, HITS, LPA} matrix.
+    * Measured before pinning: weighted labels differ from unweighted
+    * at 473/500 nodes at sf0.01, so the weight path is exercised for
+    * real. Integer-exact end to end. */
+  def q127WeightedLpa(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 500).as("src"),
+        (col("o_orderkey") % 500).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+    GraphAlgos.labelPropagation(edges, rounds = 4, weightCol = Some("w"))
+      .orderBy("node")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2460,21 +2475,34 @@ object Queries {
     * windowed vote (count DESC, label ASC) over the neighbor-label
     * join. MATERIALIZED like every unrolled iterative oracle (each lN
     * is referenced by the next round's join). */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaOracle(rounds: Int, weighted: Boolean = false): String = {
+    val vote = if (weighted) "sum(a.w)" else "count(*)"
     val steps = (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT node, label FROM (
-         | SELECT a.node, l.label, count(*) AS c,
+         | SELECT a.node, l.label, $vote AS c,
          |  row_number() OVER (PARTITION BY a.node
-         |   ORDER BY count(*) DESC, l.label ASC) AS rn
+         |   ORDER BY $vote DESC, l.label ASC) AS rn
          | FROM adj a JOIN l${i - 1} l ON l.node = a.nbr
          | GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
-       |  greatest(src, dst) AS v FROM (
-       |  SELECT o_custkey % 500 AS src, o_orderkey % 500 AS dst
-       |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
-       |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
-       | UNION ALL SELECT v, u FROM und),
+    val und =
+      if (weighted)
+        """und AS MATERIALIZED (SELECT least(src, dst) AS u,
+          |  greatest(src, dst) AS v, CAST(sum(w0) AS BIGINT) AS w FROM (
+          |  SELECT o_custkey % 500 AS src, o_orderkey % 500 AS dst,
+          |   o_orderkey % 7 + 1 AS w0
+          |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst
+          | GROUP BY 1, 2),
+          |adj AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM und
+          | UNION ALL SELECT v, u, w FROM und)""".stripMargin
+      else
+        """und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+          |  greatest(src, dst) AS v FROM (
+          |  SELECT o_custkey % 500 AS src, o_orderkey % 500 AS dst
+          |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
+          |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
+          | UNION ALL SELECT v, u FROM und)""".stripMargin
+    s"""WITH $und,
        |l0 AS (SELECT node, node AS label FROM
        | (SELECT DISTINCT node FROM adj)),
        |$steps
@@ -2688,7 +2716,8 @@ object Queries {
     "q123_funnel_window" -> (q123FunnelWindow _),
     "q124_dedup_best" -> (q124DedupBest _),
     "q125_cube" -> (q125Cube _),
-    "q126_label_propagation" -> (q126LabelPropagation _)
+    "q126_label_propagation" -> (q126LabelPropagation _),
+    "q127_weighted_lpa" -> (q127WeightedLpa _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4231,6 +4260,7 @@ object Queries {
     "q114_rank_related_entities" -> q114Oracle(5),
     "q116_kcore" -> kCoreOracle(14, 16),
     "q126_label_propagation" -> lpaOracle(4),
+    "q127_weighted_lpa" -> lpaOracle(4, weighted = true),
     // Same planted PII, same Java∩RE2 patterns; DuckDB regexp_replace
     // needs the explicit 'g' flag (Spark is global by default)
     "q119_pii_redact" ->

@@ -511,17 +511,28 @@ object GraphAlgos {
     * frames checkpoint per round and release their predecessor. */
   def labelPropagation(edges0: DataFrame, rounds: Int = 4,
                        srcCol: String = "src",
-                       dstCol: String = "dst"): DataFrame = {
+                       dstCol: String = "dst",
+                       weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1, "need at least one round")
     val spark = edges0.sparkSession
-    val und = edges0
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // undirected edge weights: parallel/duplicate (u,v) rows SUM
+    // (weight-1 everywhere ≡ the unweighted distinct form — spec-pinned)
+    val und = weightCol match {
+      case None => edges0
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .withColumn("__w", lit(1L))
+      case Some(w) => edges0
+        .select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"), col(w).as("__w0"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(sum(col("__w0")).as("__w"))
+    }
     val adj = Dedup.withAqeOff(spark) {
-      und.select(col("u").as("node"), col("v").as("nbr"))
-        .union(und.select(col("v"), col("u")))
+      und.select(col("u").as("node"), col("v").as("nbr"), col("__w"))
+        .union(und.select(col("v"), col("u"), col("__w")))
         .repartition(col("nbr"))
         .localCheckpoint(true)
     }
@@ -532,7 +543,7 @@ object GraphAlgos {
     for (_ <- 1 to rounds) {
       labels = adj.join(labels.select(col("node").as("nbr"), col("label")),
           "nbr")
-        .groupBy("node", "label").agg(count(lit(1)).as("__c"))
+        .groupBy("node", "label").agg(sum(col("__w")).as("__c"))
         .groupBy("node")
         .agg(max_by(col("label"), struct(col("__c"), negate(col("label"))))
           .as("label"))

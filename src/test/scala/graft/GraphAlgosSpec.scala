@@ -325,6 +325,21 @@ class GraphAlgosSpec extends SparkSpec {
     val again = GraphAlgos.labelPropagation(edges, rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
+    // weight-1 everywhere ≡ the unweighted face, row-for-row
+    val w1 = GraphAlgos.labelPropagation(
+        edges.withColumn("w", lit(1L)), rounds = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == got)
+    // a heavy bridge outvotes clique-internal unit edges: with the
+    // 4-11 edge at weight 10, node 4 hears {1,2,3}@1 each vs 11's
+    // label @10 — the right clique's label invades across the bridge
+    val heavy = GraphAlgos.labelPropagation(
+        edges.withColumn("w",
+          when(col("src") === 4L && col("dst") === 11L, 10L).otherwise(1L)),
+        rounds = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(heavy(4L) != got(4L),
+      s"weighted bridge should flip node 4: ${heavy(4L)} vs ${got(4L)}")
   }
 
   test("kCore: a deep fringe past maxRounds fails fast by default") {
