@@ -2006,6 +2006,68 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Link-prediction gate: common-neighbor / Jaccard / Resource
+    * Allocation scores for every non-adjacent distance-2 pair of the
+    * q106 graph with ≥ 3 common neighbors. cn and the Jaccard operands
+    * are integer-exact; jaccard is one final IEEE division; ra runs
+    * the bit-exact middle-sorted fold (the production default is the
+    * map-side-combined sum, spec-pinned against this face). */
+  def q128LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    GraphAlgos.linkPrediction(edges, minCommon = 3, exactFolds = true)
+      .orderBy("u", "v")
+  }
+
+  /** Harmonic-centrality gate: landmark-sampled harmonic centrality on
+    * the q104 graph (sources = nodes ≡ 0 mod 20, BFS ≤ 6 hops along
+    * edge direction). h_scaled = Σ lcm(1..6)/d = Σ 60/d is an EXACT
+    * integer (60/d exact for every d ≤ 6), so the gate is pure integer
+    * compare on top of the q104-family recursive-CTE oracle. */
+  def q129Harmonic(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val landmarks = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 20 === 0)
+    GraphAlgos.harmonicCentrality(edges, landmarks, maxHops = 6)
+      .orderBy("node")
+  }
+
+  /** Prefix-filtered Jaccard self-join gate: the PPJoin candidate rule
+    * (per-doc rarest-shingle prefixes + length filter + exact
+    * verification) at τ = 0.2 on the documents corpus — same oracle
+    * family as q19, which gates the naive all-shared-shingles join at
+    * τ = 0.1. Output-identical to the naive join by construction; this
+    * gate proves the candidate pruning loses no pair cross-engine. */
+  def q130JaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** Window-analytics gate: the ranked/offset/frame window-function
+    * family (rank, lag delta, ROWS running sum, ntile quartile, lead)
+    * over per-customer order sequences — deterministic because the
+    * ordering key is unique per partition. Running sum and delta go
+    * through DECIMAL(18,2) so frame-fold order cannot flip a low bit
+    * (the file-header convention: decimal-exact sums cast to double
+    * at the end). */
+  def q131WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val price = col("o_totalprice").cast("decimal(18,2)")
+    t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        (price - lag(price, 1).over(w)).cast("double").as("delta"),
+        sum(price).over(frame).cast("double").as("running"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2717,7 +2779,11 @@ object Queries {
     "q124_dedup_best" -> (q124DedupBest _),
     "q125_cube" -> (q125Cube _),
     "q126_label_propagation" -> (q126LabelPropagation _),
-    "q127_weighted_lpa" -> (q127WeightedLpa _)
+    "q127_weighted_lpa" -> (q127WeightedLpa _),
+    "q128_link_prediction" -> (q128LinkPrediction _),
+    "q129_harmonic" -> (q129Harmonic _),
+    "q130_jaccard_prefix" -> (q130JaccardPrefix _),
+    "q131_window_analytics" -> (q131WindowAnalytics _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4438,7 +4504,86 @@ object Queries {
     // hash. The oracle is the q26 family at k=10.
     "q108_ivf_recall" -> recallBaselineOracle,
     "q109_lsh_multi_recall" -> recallBaselineOracle,
-    "q110_ivfpq_recall" -> recallBaselineOracle)
+    "q110_ivfpq_recall" -> recallBaselineOracle,
+    // link prediction: wedges through each middle vertex z; ra folds the
+    // z-sorted 1/deg list (list_sum(list ... ORDER BY z)) exactly like
+    // the engine's exactFolds face; cn/jaccard integer-exact + one
+    // final IEEE division
+    "q128_link_prediction" ->
+      """WITH e0 AS (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+        | FROM orders WHERE o_orderkey < 2000),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        | FROM e0 WHERE src <> dst),
+        |adj AS (SELECT u AS z, v AS x FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+        |w AS (SELECT a.x AS u, b.x AS v, a.z AS z, dg.d AS d
+        | FROM adj a JOIN adj b ON b.z = a.z AND a.x < b.x
+        | JOIN deg dg ON dg.z = a.z),
+        |sc AS (SELECT u, v, count(*) AS cn,
+        |  list_sum(list(CAST(1 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY z)) AS ra
+        | FROM w GROUP BY u, v HAVING count(*) >= 3)
+        |SELECT s.u, s.v, s.cn,
+        | CAST(s.cn AS DOUBLE) / CAST(du.d + dv.d - s.cn AS DOUBLE) AS jaccard,
+        | s.ra
+        |FROM sc s JOIN deg du ON du.z = s.u JOIN deg dv ON dv.z = s.v
+        |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = s.u AND und.v = s.v)
+        |ORDER BY s.u, s.v""".stripMargin,
+    // harmonic centrality: the q104 BFS recursion (distinct levels, not
+    // path enumeration), min-dist per (node, landmark), then the exact
+    // integer Σ 60/d (60 = lcm(1..6), so every term is integral)
+    "q129_harmonic" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 20 = 0),
+        |r(node, landmark, dist) AS (
+        | SELECT node, node, 0 FROM seeds
+        | UNION
+        | SELECT e.dst, r.landmark, r.dist + 1
+        | FROM r JOIN e ON e.src = r.node WHERE r.dist < 6),
+        |d AS (SELECT node, landmark, min(dist) AS dist FROM r
+        | GROUP BY node, landmark)
+        |SELECT node, count(*) AS n_sources,
+        | CAST(sum(CAST(60 AS DOUBLE) / CAST(dist AS DOUBLE)) AS BIGINT)
+        |  AS h_scaled
+        |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+    // prefix-filtered jaccard: the oracle is the NAIVE all-shared-
+    // shingles join (the q19 family at τ = 0.2) — output equality IS the
+    // proof that the prefix+length candidate pruning loses no pair
+    "q130_jaccard_prefix" ->
+      """WITH sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        | CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // window family: unique ordering key per partition makes every
+    // function deterministic; delta/running go through DECIMAL(18,2)
+    // so frame-fold order cannot flip a low bit
+    "q131_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER w AS INTEGER) AS rnk,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |  - lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE)
+        |  AS delta,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS running,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders WHERE o_orderkey < 5000
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
 
   /** Shared exact baseline for the q108–q110 recall gates: brute-force

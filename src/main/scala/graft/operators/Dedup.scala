@@ -731,4 +731,83 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** PREFIX-FILTERED n-gram Jaccard self-join (the PPJoin/AllPairs
+    * candidate rule, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * 100 TB face of [[ngramJaccardPairs]], same output exactly
+    * (spec-pinned; gate q130).
+    *
+    * Why the naive join dies at scale: it equi-joins docs on EVERY
+    * shared shingle, so one hot shingle (a stopword 3-gram that
+    * appears in 10% of a web corpus) alone generates 10⁻²·N²
+    * candidate rows. Prefix filtering keeps, per doc, only the
+    * `n_sh − ⌈τ·n_sh⌉ + 1` GLOBALLY RAREST shingles (df ASC, shingle
+    * ASC — one total order shared by all docs) as join keys: two sets
+    * with Jaccard ≥ τ must overlap inside both prefixes (fewer than
+    * τ·n matches can only be missing if more than (1−τ)·n prefix
+    * slots all miss — pigeonhole), so no true pair is lost, while hot
+    * shingles rank LAST in the global order and fall outside nearly
+    * every prefix — the skew generator never becomes a join key. A
+    * length filter (`min(na,nb) ≥ τ·max(na,nb)`, necessary since
+    * jaccard ≤ min/max) prunes cross-size candidates before
+    * verification.
+    *
+    * Verification is per-candidate-pair `array_intersect` over each
+    * doc's sorted shingle array (doc-bounded work; candidates after
+    * prefix+length filtering are output-sized, not hot-key-sized) —
+    * the exact jaccard recomputation means an over-generated
+    * candidate can never produce a wrong row, so the float guards
+    * below only ever err toward MORE candidates: both ⌈τ·n⌉ and the
+    * length filter subtract 1e-9 before ceil/compare, keeping the
+    * boundary cases (τ·n exactly integral) on the safe side of IEEE
+    * rounding.
+    *
+    * Shape at 100 TB: one df census (map-side combined), one per-doc
+    * window to rank shingles (shuffle on id — the same key as the
+    * size census), a self-join whose key distribution is by
+    * construction cold, and the verify join on the candidate pair
+    * set. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", n: Int = 3,
+                              minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "minJaccard must be in (0, 1] — prefix filtering needs a real threshold")
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
+    Exec.withPersisted(sh) {
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val sets = sh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("n_sh"))
+      Exec.withPersisted(sets) {
+        val prefixLen =
+          (col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
+        val prefix = sh.join(df, "shingle")
+          .join(sets.select(col("id"), col("n_sh")), "id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+          .filter(col("rn") <= prefixLen)
+          .select("id", "shingle", "n_sh")
+        val cand = prefix.select(col("id").as("id_a"), col("shingle"),
+            col("n_sh").as("na"))
+          .join(prefix.select(col("id").as("id_b"), col("shingle"),
+            col("n_sh").as("nb")), "shingle")
+          .filter(col("id_a") < col("id_b") &&
+            least(col("na"), col("nb")).cast("double") >=
+              greatest(col("na"), col("nb")) * minJaccard - 1e-9)
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(sets.select(col("id").as("id_a"), col("set").as("__sa"),
+            col("n_sh").as("na")), Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("set").as("__sb"),
+            col("n_sh").as("nb")), Seq("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= minJaccard)
+          .select("id_a", "id_b", "jaccard")
+      }
+    }
+  }
 }

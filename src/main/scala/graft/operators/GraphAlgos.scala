@@ -490,6 +490,116 @@ object GraphAlgos {
     adj.groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** Link prediction over the undirected graph underlying `edges0`:
+    * scores every non-adjacent node pair (u, v) at distance 2 by the
+    * classic neighborhood indices — common-neighbor count `cn`,
+    * Jaccard `cn / (deg(u) + deg(v) − cn)`, and the Resource
+    * Allocation index `ra = Σ_{z ∈ CN(u,v)} 1/deg(z)` (Zhou et al.
+    * 2009 — the ln-free member of the Adamic-Adar family, chosen for
+    * the same reason the BM25 gate uses rational idf: no
+    * transcendental whose last bit could differ across engines).
+    * Returns (u, v, cn, jaccard, ra) with u < v.
+    *
+    * Determinism: cn and the Jaccard numerator/denominator are
+    * integers; jaccard is ONE final IEEE division; `ra` folds the
+    * middle-vertex-SORTED 1/deg list when `exactFolds` (the gate/
+    * cross-engine face — q128), else a plain codegen'd sum with
+    * map-side combine (the production default, same convention as
+    * [[pageRank]]).
+    *
+    * Shape at 100 TB: wedges enumerate through the middle vertex z —
+    * one self-join of the adjacency on z, so the intermediate is
+    * Σ deg(z)², which a celebrity middle makes quadratic. The
+    * DISTANCE-2 OUTPUT ITSELF is quadratic around hubs (every pair of
+    * a hub's neighbors is a candidate), so at corpus scale callers
+    * bound the problem, not the engine trick: `maxMidDegree` drops
+    * middles above a degree cap (the standard production guard — a
+    * 10M-degree hub's wedge set carries no signal for any single
+    * pair), and `minCommon` prunes the long single-wedge tail at the
+    * map-side-combined aggregate. Degrees join the adjacency before
+    * the self-join (partial agg on the same key, no extra exchange);
+    * the existing-edge anti-join runs on the already-partitioned
+    * (u, v) pair key. */
+  def linkPrediction(edges0: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst", minCommon: Int = 1,
+                     maxMidDegree: Option[Int] = None,
+                     excludeExisting: Boolean = true,
+                     exactFolds: Boolean = false): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = und.select(col("u").as("z"), col("v").as("x"))
+      .union(und.select(col("v"), col("u")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+    val mid = (maxMidDegree match {
+      case Some(cap) => adj.join(deg.filter(col("d") <= cap), "z")
+      case None => adj.join(deg, "z")
+    })
+    val wedges = mid.select(col("z"), col("x").as("u"), col("d"))
+      .join(mid.select(col("z"), col("x").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val scored = wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"),
+        neighborSum(col("z"), lit(1.0) / col("d").cast("double"),
+          exactFolds).as("ra"))
+      .filter(col("cn") >= minCommon)
+    val out = scored
+      .join(deg.select(col("z").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("z").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn")).cast("double")).as("jaccard"),
+        col("ra"))
+    if (excludeExisting) out.join(und, Seq("u", "v"), "left_anti") else out
+  }
+
+  /** Harmonic centrality from a LANDMARK SAMPLE (the Eppstein-Wang
+    * estimator family): `h(v) = Σ_{u ∈ landmarks, u ≠ v, u→v reachable}
+    * 1/d(u, v)` with BFS distances capped at `maxHops` — the
+    * centrality that stays well-defined on disconnected graphs
+    * (unreachable sources contribute 0, not ∞ like closeness).
+    * Returns (node, n_sources, h_scaled) where `h_scaled` =
+    * h(v) · lcm(1..maxHops) as an EXACT integer — every 1/d is
+    * represented as lcm/d (an integer, since d | lcm), so the sum is
+    * order-free and the q129 gate replays cell-exactly in any engine;
+    * callers wanting the float face divide by [[harmonicScale]].
+    *
+    * Shape at 100 TB: delegates the whole traversal to
+    * [[shortestPaths]] (frontier min-combine, edges partitioned once,
+    * one job per round); the final aggregate is one map-side-combined
+    * |reached × landmarks| → |V| reduction. Exact all-pairs harmonic
+    * centrality is O(V·E) — at corpus scale the landmark sample IS
+    * the estimator (scale `h_scaled` by |V|/|landmarks| for the
+    * population estimate); on a bounded subgraph pass every node as a
+    * landmark for the exact value. */
+  def harmonicCentrality(edges0: DataFrame, landmarks: DataFrame,
+                         maxHops: Int = 6, srcCol: String = "src",
+                         dstCol: String = "dst",
+                         landmarkCol: String = "node"): DataFrame = {
+    val lcm = harmonicScale(maxHops)
+    // lcm/d is exact in double for every d in 1..maxHops (both are
+    // small integers and d | lcm), so the sum is integer-valued and
+    // associative — safe under map-side combine in any fold order
+    shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol, landmarkCol)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(lit(lcm.toDouble) / col("dist").cast("double"))
+          .cast("long").as("h_scaled"))
+  }
+
+  /** The integer scale of [[harmonicCentrality]]'s `h_scaled`:
+    * lcm(1..maxHops). */
+  def harmonicScale(maxHops: Int): Long = {
+    require(maxHops >= 1 && maxHops <= 40, "maxHops out of range")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to maxHops.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan et
     * al. 2007) over the undirected graph: every node starts as its own
     * label; each round every node adopts the MOST FREQUENT label among

@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 5L || a == 5L })
   }
 
+  test("prefix-filtered jaccard join ≡ the naive all-shared-shingles " +
+    "join at every threshold (PPJoin candidate rule loses no pair)") {
+    // widen the corpus with threshold-boundary pairs: a half-overlap doc
+    // and short docs where ⌈τ·n⌉ rounding decides the prefix length
+    val corpus = docs.union(Seq(
+      (6L, (1 to 40).map(i => s"word$i").mkString(" ")), // prefix of base
+      (7L, "tiny doc alpha beta"),
+      (8L, "tiny doc alpha gamma"),
+      (9L, "tiny doc alpha beta")                         // exact dup of 7
+    ).toDF("doc_id", "text"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    for (tau <- Seq(0.1, 0.3, 0.5, 1.0)) {
+      val naive = key(Dedup.ngramJaccardPairs(corpus, minJaccard = tau))
+      val pref = key(Dedup.ngramJaccardPairsPrefix(corpus, minJaccard = tau))
+      assert(pref == naive, s"divergence at tau=$tau")
+    }
+    // non-vacuous: the mid thresholds keep a strict subset
+    assert(key(Dedup.ngramJaccardPairsPrefix(corpus, minJaccard = 0.1)).size >
+      key(Dedup.ngramJaccardPairsPrefix(corpus, minJaccard = 1.0)).size)
+    assert(key(Dedup.ngramJaccardPairsPrefix(corpus, minJaccard = 1.0))
+      .keySet == Set((1L, 2L), (7L, 9L)))
+  }
+
   test("minhash estimate tracks exact Jaccard within banding tolerance") {
     val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.01).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),

@@ -352,4 +352,81 @@ class GraphAlgosSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
     assert(GraphAlgos.kCore(path, k = 2, maxRounds = 8).isEmpty)
   }
+
+  test("linkPrediction: C4 closed form — both diagonals score cn=2, " +
+    "jaccard=1, ra=1; existing edges never appear") {
+    // cycle 1-2-3-4-1: distance-2 pairs are the diagonals (1,3) and
+    // (2,4), each with BOTH off-diagonal nodes as common neighbors;
+    // all degrees are 2, so jaccard = 2/(2+2-2) = 1, ra = 1/2 + 1/2
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = GraphAlgos.linkPrediction(c4, exactFolds = true)
+      .orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 1.0, 1.0), (2L, 4L, 2L, 1.0, 1.0)))
+    // direction and parallel edges collapse: reversed + duplicated
+    // edge list scores identically
+    val noisy = c4.union(c4.select(col("dst").as("src"),
+      col("src").as("dst"))).union(c4)
+    val again = GraphAlgos.linkPrediction(noisy, exactFolds = true)
+      .orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(again == got)
+  }
+
+  test("linkPrediction: excludeExisting=false scores adjacent pairs " +
+    "too; minCommon prunes the single-wedge tail") {
+    // triangle 1-2-3 plus pendant 3-4: adjacent pair (1,2) shares z=3
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val all = GraphAlgos.linkPrediction(g, excludeExisting = false,
+        exactFolds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) via 3, (1,3) via 2, (2,3) via 1, (1,4)/(2,4) via 3
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
+    val strict = GraphAlgos.linkPrediction(g, minCommon = 2,
+        excludeExisting = false, exactFolds = true).collect()
+    assert(strict.isEmpty, "no pair has 2 common neighbors here")
+  }
+
+  test("linkPrediction: maxMidDegree drops hub-mediated wedges — the " +
+    "celebrity-middle guard") {
+    // star: hub 9 connects 1..5; every candidate pair exists only
+    // through the hub (degree 5)
+    val star = (1L to 5L).map(i => (i, 9L)).toDF("src", "dst")
+    assert(GraphAlgos.linkPrediction(star).count() == 10L) // C(5,2)
+    assert(GraphAlgos.linkPrediction(star,
+      maxMidDegree = Some(4)).isEmpty)
+    // production default (map-side sum) matches the exact fold ≤1e-12
+    val fast = GraphAlgos.linkPrediction(star).orderBy("u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val exact = GraphAlgos.linkPrediction(star, exactFolds = true)
+      .orderBy("u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(fast.map(t => (t._1, t._2, t._3, t._4)) ==
+      exact.map(t => (t._1, t._2, t._3, t._4)))
+    assert(fast.zip(exact).forall { case (f, e) =>
+      math.abs(f._5 - e._5) <= 1e-12 * math.max(1.0, math.abs(e._5)) })
+  }
+
+  test("harmonicCentrality: directed-chain closed form at the 60× " +
+    "integer scale; unreached nodes absent") {
+    // 1 -> 2 -> 3 -> 4, all nodes as landmarks: h_scaled(v) = Σ 60/d
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val lm = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = GraphAlgos.harmonicCentrality(chain, lm, maxHops = 6)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // node 2: d=1 from 1 → 60; node 3: d=2,1 → 30+60; node 4: 20+30+60
+    assert(got == Seq((2L, 1L, 60L), (3L, 2L, 90L), (4L, 3L, 110L)))
+    assert(GraphAlgos.harmonicScale(6) == 60L)
+    assert(GraphAlgos.harmonicScale(1) == 1L)
+    // maxHops truncation: cap 1 sees only direct predecessors
+    val capped = GraphAlgos.harmonicCentrality(chain, lm, maxHops = 1)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L)))
+  }
 }
