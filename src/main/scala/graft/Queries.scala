@@ -2068,6 +2068,34 @@ object Queries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Weighted shortest-paths gate: bounded-round Bellman-Ford on the
+    * q104 graph with integer weights o_orderkey%7+1 (parallel (src,
+    * dst) edges combine by MIN weight), landmarks ≡ 0 mod 50, 12
+    * rounds max. Integer-exact end to end; the oracle unrolls the
+    * same 12 min-combine rounds MATERIALIZED (post-convergence rounds
+    * are no-ops) while the engine observes its own convergence and
+    * fails fast if 12 were ever too few — a silent divergence cannot
+    * slip through as a hash mismatch. */
+  def q132WeightedShortestPaths(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"),
+        (col("o_orderkey") % 7 + 1).as("w"))
+    val landmarks = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 50 === 0)
+    GraphAlgos.weightedShortestPaths(edges, landmarks, maxRounds = 12)
+      .orderBy("node", "landmark")
+  }
+
+  /** Collocation-mining gate: bigram lift over the documents corpus at
+    * support ≥ 5 — counts are integer-exact, lift is two IEEE
+    * multiplications + one division (the rational core of PMI; no
+    * log, the q90 rational-idf convention). */
+  def q133Collocations(s: SparkSession, dir: String): DataFrame =
+    Corpus.collocations(t(s, dir, "documents"), "text", minCount = 5L)
+      .orderBy("w1", "w2")
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2783,7 +2811,9 @@ object Queries {
     "q128_link_prediction" -> (q128LinkPrediction _),
     "q129_harmonic" -> (q129Harmonic _),
     "q130_jaccard_prefix" -> (q130JaccardPrefix _),
-    "q131_window_analytics" -> (q131WindowAnalytics _)
+    "q131_window_analytics" -> (q131WindowAnalytics _),
+    "q132_weighted_sp" -> (q132WeightedShortestPaths _),
+    "q133_collocations" -> (q133Collocations _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4583,7 +4613,57 @@ object Queries {
         | lead(o_orderkey, 1) OVER w AS next_key
         |FROM orders WHERE o_orderkey < 5000
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q132_weighted_sp" -> wspOracle(12),
+    // collocations: bigram lift with integer counts; the marginals and N
+    // re-aggregate the (w1, w2) count table exactly as the engine does
+    "q133_collocations" ->
+      """WITH toks AS (
+        | SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |  x -> x <> '') AS t FROM documents),
+        |bg AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        | SELECT unnest(list_transform(
+        |  generate_series(1, greatest(len(t) - 1, 0)),
+        |  i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        | FROM toks)),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+        |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM cb)
+        |SELECT cb.w1, cb.w2, cb.c12, m1.c1, m2.c2,
+        | (CAST(cb.c12 AS DOUBLE) * CAST(n.n_total AS DOUBLE))
+        |  / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)) AS lift
+        |FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+        |WHERE cb.c12 >= 5
+        |ORDER BY cb.w1, cb.w2""".stripMargin)
+
+  /** The q132 oracle: Bellman-Ford min-combine rounds unrolled
+    * MATERIALIZED (the kCore/LPA convention for iterative oracles) —
+    * each round unions the previous distances with one relaxation step
+    * and keeps the per-(node, landmark) min. Post-convergence rounds
+    * are no-ops, so over-unrolling to the engine's maxRounds pins the
+    * two bounds together. */
+  private def wspOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, landmark, min(dist) AS dist
+         | FROM (SELECT node, landmark, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, d.landmark, d.dist + e.w
+         |  FROM d${i - 1} d JOIN e ON e.src = d.node)
+         | GROUP BY node, landmark)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+       | FROM (SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst,
+       |  o_orderkey % 7 + 1 AS w FROM orders WHERE o_orderkey < 2000)
+       | GROUP BY src, dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+       |d0 AS MATERIALIZED (SELECT node, node AS landmark,
+       | CAST(0 AS BIGINT) AS dist FROM seeds),
+       |$steps
+       |SELECT node, landmark, dist FROM d$rounds
+       |ORDER BY node, landmark""".stripMargin
+  }
 
 
   /** Shared exact baseline for the q108–q110 recall gates: brute-force

@@ -976,4 +976,45 @@ object Corpus {
     } :+ max(col("__cnt")).as("n_rows")
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Collocation mining: adjacent-token bigram association by LIFT —
+    * `lift(w1, w2) = N·c(w1,w2) / (c(w1)·c(w2))` where c(w1,w2) counts
+    * bigram OCCURRENCES corpus-wide, c(w1)/c(w2) count occurrences of
+    * each word in first/second bigram position, and N is the total
+    * bigram count. Lift > 1 means the pair co-occurs more than chance —
+    * the rational core of PMI (PMI = log lift) WITHOUT the log, for the
+    * same cross-engine-determinism reason the BM25 gate uses rational
+    * idf: counts are integer-exact and the score is two IEEE
+    * multiplications + one division (gate q133). `minCount` is the
+    * standard support floor — below it lift explodes on hapax noise
+    * (two words that each appear once always get maximal lift).
+    * Returns (w1, w2, c12, c1, c2, lift).
+    *
+    * Shape at 100 TB: one narrow pass explodes each doc's zip-shifted
+    * bigram list ([[bigramPairs]] — no join, no positions table); ONE
+    * map-side-combined count produces the (w1, w2) table, which is
+    * VOCABULARY²-bounded, not corpus-bounded; the marginals c1/c2/N
+    * all re-aggregate that already-small table (never the raw
+    * occurrence stream again — it is persisted for exactly the one
+    * count), and N broadcasts as a single row. */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val pairs = docs.select(explode(bigramPairs(textCol)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    Exec.withPersisted(c12) {
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val c2 = c12.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val n = c12.agg(sum(col("c12")).as("n_total"))
+      c12.filter(col("c12") >= minCount)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          ((col("c12").cast("double") * col("n_total").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double")))
+            .as("lift"))
+    }
+  }
 }

@@ -304,6 +304,80 @@ object GraphAlgos {
     (updated, obs)
   }
 
+  /** WEIGHTED multi-source shortest paths: bounded-round distributed
+    * Bellman-Ford (min-plus relaxation) from every `landmarks` node
+    * along edge direction, with NON-NEGATIVE integer edge weights
+    * (`weightCol`; parallel (src, dst) edges combine by MIN weight —
+    * the only sound rule for shortest paths). Returns (node, landmark,
+    * dist) — pure integer arithmetic, so the q132 gate replays
+    * cell-exactly in any engine (the oracle unrolls the same
+    * `maxRounds` min-combine rounds; post-convergence rounds are
+    * no-ops, so the two bounds cannot drift).
+    *
+    * Rounds needed = the hop count of the longest shortest PATH (not
+    * the weighted diameter) — with non-negative weights every round
+    * strictly improves some (node, landmark) pair until the fixpoint,
+    * and `requireConverged` fails fast if `maxRounds` was too small
+    * rather than returning non-minimal distances (the [[kCore]]
+    * convention). Negative weights are the caller's responsibility:
+    * Bellman-Ford relaxation stays correct, but a reachable negative
+    * cycle never converges and trips the same fail-fast.
+    *
+    * Shape at 100 TB: identical to [[shortestPaths]] — the weighted
+    * edge table pre-partitions on src ONCE (AQE-off capture) and never
+    * re-shuffles; each round is one frontier join + one
+    * map-side-combined min aggregation, with the improvement count
+    * riding the round's own checkpoint action as a `Dataset.observe`
+    * metric (one job per round, no second pass). */
+  def weightedShortestPaths(edges0: DataFrame, landmarks: DataFrame,
+                            maxRounds: Int = 16, srcCol: String = "src",
+                            dstCol: String = "dst",
+                            weightCol: String = "w",
+                            landmarkCol: String = "node",
+                            requireConverged: Boolean = true): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(weightCol).cast("long").as("__w"))
+        .groupBy("src", "dst").agg(min(col("__w")).as("__w"))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    var dists = landmarks
+      .select(col(landmarkCol).as("node")).distinct()
+      .select(col("node"), col("node").as("landmark"),
+        lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val step = edges.join(dists, col("src") === col("node"))
+        .select(col("dst").as("node"), col("landmark"),
+          (col("dist") + col("__w")).as("dist"),
+          lit(null).cast("long").as("old"))
+      val merged = dists.withColumn("old", col("dist"))
+        .unionByName(step)
+        .groupBy("node", "landmark")
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
+      val obs = org.apache.spark.sql.Observation()
+      val updated = merged
+        .observe(obs, count(when(col("old").isNull ||
+          col("dist") < col("old"), 1)).as("improved"))
+        .select("node", "landmark", "dist")
+      val prevDists = dists
+      dists = updated.localCheckpoint(true)
+      Exec.releaseCheckpoint(prevDists)
+      changed = obs.get("improved").asInstanceOf[Long] > 0
+      round += 1
+    }
+    require(!requireConverged || !changed,
+      s"weighted shortest paths did not converge within $maxRounds " +
+        "rounds (long shortest-path hop chains or a negative cycle — " +
+        "raise maxRounds or check weights)")
+    dists
+  }
+
   /** Per-node triangle counts over the UNDIRECTED graph underlying
     * `edges0` (direction and parallel edges collapse; self-loops drop).
     * Returns (node, n_triangles) for every node in at least one

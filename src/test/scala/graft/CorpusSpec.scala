@@ -606,4 +606,31 @@ class CorpusSpec extends SparkSpec {
     assert(got(5).getAs[String]("text") == "too short" &&
       got(5).getAs[Long]("n_masked_tokens") == 0)
   }
+
+  test("collocations: bigram lift closed form — chance pairs score 1, " +
+    "exclusive pairs score above, support floor prunes hapax noise") {
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"),          // x→y exclusively
+      (3L, "p q"), (4L, "p q"),          // p→q exclusively
+      (5L, "x q")                        // one crossover bigram
+    ).toDF("doc_id", "text")
+    // N = 5; c(x,y)=2, c1(x)=3, c2(y)=2 → lift = 2·5/(3·2)
+    val all = Corpus.collocations(docs, minCount = 1L).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Double]("lift")))).toMap
+    assert(all(("x", "y")) == ((2L, 3L, 2L, 2.0 * 5 / (3 * 2))))
+    assert(all(("p", "q")) == ((2L, 2L, 3L, 2.0 * 5 / (2 * 3))))
+    assert(all(("x", "q")) == ((1L, 3L, 3L, 1.0 * 5 / (3 * 3))))
+    // support floor drops the singleton crossover
+    val floored = Corpus.collocations(docs, minCount = 2L).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(floored == Set(("x", "y"), ("p", "q")))
+    // occurrences count, not distinct-per-doc: "a b a b" has (a,b) twice
+    val rep = Corpus.collocations(Seq((1L, "a b a b")).toDF("doc_id", "text"),
+        minCount = 1L).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+        r.getAs[Long]("c12"))).toMap
+    assert(rep(("a", "b")) == 2L && rep(("b", "a")) == 1L)
+  }
 }

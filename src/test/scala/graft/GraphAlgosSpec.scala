@@ -411,6 +411,45 @@ class GraphAlgosSpec extends SparkSpec {
       math.abs(f._5 - e._5) <= 1e-12 * math.max(1.0, math.abs(e._5)) })
   }
 
+  test("weightedShortestPaths: a light 2-hop path beats a heavy direct " +
+    "edge; parallel edges combine by min; weight-1 ≡ unweighted BFS") {
+    // 1→2 costs 10 direct, but 1→3→2 costs 1+2 = 3
+    val g = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+      .toDF("src", "dst", "w")
+    val lm = Seq(1L).toDF("node")
+    val got = GraphAlgos.weightedShortestPaths(g, lm)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+    // a cheaper parallel duplicate of the heavy edge wins
+    val par = GraphAlgos.weightedShortestPaths(
+        g.union(Seq((1L, 2L, 2L)).toDF("src", "dst", "w")), lm)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(par(2L) == 2L)
+    // weight 1 everywhere reproduces the unweighted BFS distances
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val bfs = GraphAlgos.shortestPaths(chain, lm).orderBy("node", "landmark")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq
+    val w1 = GraphAlgos.weightedShortestPaths(
+        chain.withColumn("w", lit(1L)), lm).orderBy("node", "landmark")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w1 == bfs)
+  }
+
+  test("weightedShortestPaths: fails fast when maxRounds is too small " +
+    "for the shortest-path hop depth") {
+    val path = (1L to 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val lm = Seq(1L).toDF("node")
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgos.weightedShortestPaths(path, lm, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val full = GraphAlgos.weightedShortestPaths(path, lm, maxRounds = 8)
+      .orderBy("node").collect().map(r => r.getLong(2)).toSeq
+    assert(full == (0L to 6L))
+  }
+
   test("harmonicCentrality: directed-chain closed form at the 60× " +
     "integer scale; unreached nodes absent") {
     // 1 -> 2 -> 3 -> 4, all nodes as landmarks: h_scaled(v) = Σ 60/d
