@@ -2096,6 +2096,36 @@ object Queries {
     Corpus.collocations(t(s, dir, "documents"), "text", minCount = 5L)
       .orderBy("w1", "w2")
 
+  /** Hopping-window gate: the batch face of the streaming windowed agg —
+    * 1-hour windows sliding every 15 minutes over events, per
+    * (window, event_type) counts + decimal-exact value sums. The
+    * oracle derives each event's covering windows by pure integer
+    * index arithmetic on epoch micros (k ∈ ((t−W) // S, t // S]) —
+    * an independent formulation of Spark's epoch-aligned `window()`
+    * semantics. */
+  def q134HoppingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.hoppingWindowAgg(events(s, dir))
+      .orderBy("ws_us", "event_type")
+
+  /** Bipartite-projection gate: the customer co-purchase graph — two
+    * customers connect with weight = # distinct part bins (partkey mod
+    * 1000 — the raw part space grows with sf, so binning keeps the
+    * projection non-vacuous at EVERY scale: 10447/1185/321 pairs at
+    * sf0.001/0.01/0.1, measured before pinning) both ordered, shared
+    * bins ≥ 2 over orders < 2000. Integer-exact; the co-occurrence
+    * graph builder whose output feeds the PageRank/LPA/link-prediction
+    * family. */
+  def q135BipartiteProject(s: SparkSession, dir: String): DataFrame = {
+    val bip = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_partkey") % 1000).as("part"))
+    GraphAlgos.bipartiteProject(bip, "cust", "part", minShared = 2)
+      .orderBy("l1", "l2")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2813,7 +2843,9 @@ object Queries {
     "q130_jaccard_prefix" -> (q130JaccardPrefix _),
     "q131_window_analytics" -> (q131WindowAnalytics _),
     "q132_weighted_sp" -> (q132WeightedShortestPaths _),
-    "q133_collocations" -> (q133Collocations _)
+    "q133_collocations" -> (q133Collocations _),
+    "q134_hopping_window" -> (q134HoppingWindow _),
+    "q135_bipartite_project" -> (q135BipartiteProject _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4635,7 +4667,30 @@ object Queries {
         |  / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE)) AS lift
         |FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
         |WHERE cb.c12 >= 5
-        |ORDER BY cb.w1, cb.w2""".stripMargin)
+        |ORDER BY cb.w1, cb.w2""".stripMargin,
+    // hopping windows: event t covers window-index k iff
+    // k·S ≤ t < k·S + W  ⇔  k ∈ ((t−W) // S, t // S] — integer floor
+    // division on epoch micros, W = 1h, S = 15min
+    "q134_hopping_window" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS t, event_type, value FROM events),
+        |ks AS (SELECT t, event_type, value,
+        |  unnest(generate_series((t - 3600000000) // 900000000 + 1,
+        |   t // 900000000)) AS k
+        | FROM ev)
+        |SELECT k * 900000000 AS ws_us, k * 900000000 + 3600000000 AS we_us,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM ks GROUP BY k, event_type
+        |ORDER BY ws_us, event_type""".stripMargin,
+    "q135_bipartite_project" ->
+      """WITH bip AS (SELECT DISTINCT o.o_custkey AS cust,
+        |  l.l_partkey % 1000 AS part
+        | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        | WHERE l.l_orderkey < 2000)
+        |SELECT a.cust AS l1, b.cust AS l2, count(*) AS w
+        |FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        |GROUP BY a.cust, b.cust HAVING count(*) >= 2
+        |ORDER BY l1, l2""".stripMargin)
 
   /** The q132 oracle: Bellman-Ford min-combine rounds unrolled
     * MATERIALIZED (the kCore/LPA convention for iterative oracles) —

@@ -355,4 +355,44 @@ object Events {
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Hopping (sliding) time-window aggregation — the BATCH face of the
+    * streaming windowed agg in [[graft.streaming.Streams]]: every event
+    * lands in the `width/slide` windows covering its timestamp
+    * ([start, start + width), starts aligned to epoch multiples of
+    * `slide` — Spark's `window()` convention, which the built-in
+    * generates natively as a narrow per-row explode, no join). Returns
+    * (ws_us, we_us, <keys>, n, total) with window bounds as epoch
+    * micros and `total` the DECIMAL-exact sum of `valueCol` cast back
+    * to double (associative under any partial-agg order — gate q134
+    * replays it cell-exactly from window-index arithmetic in DuckDB).
+    *
+    * Shape at 100 TB: one map-side-combined hash aggregate on
+    * (window, keys); the explode factor is width/slide (4 for the
+    * 1h/15min default) applied BEFORE partial aggregation, so the
+    * shuffle carries one row per (window, key) per map task — never
+    * the exploded event stream. */
+  def hoppingWindowAgg(events: DataFrame, width: String = "1 hour",
+                       slide: String = "15 minutes",
+                       tsCol: String = "ts",
+                       keyCols: Seq[String] = Seq("event_type"),
+                       valueCol: String = "value",
+                       decimalScale: Int = 6): DataFrame = {
+    val ts = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => col(tsCol)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(tsCol).cast(org.apache.spark.sql.types.TimestampType)
+      case other => throw new IllegalArgumentException(
+        s"column $tsCol must be TIMESTAMP or TIMESTAMP_NTZ, got $other")
+    }
+    events
+      .groupBy(window(ts, width, slide) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(
+            org.apache.spark.sql.types.DecimalType(18, decimalScale)))
+          .cast("double").as("total"))
+      .select(unix_micros(col("window.start")).as("ws_us") +:
+        unix_micros(col("window.end")).as("we_us") +:
+        keyCols.map(col) :+ col("n") :+ col("total"): _*)
+  }
 }

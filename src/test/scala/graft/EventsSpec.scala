@@ -251,4 +251,29 @@ class EventsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 6L) // six (user, week) activity cells
     assert(got.head == ((0L, 2L)))  // both w0-cohort users active at offset 0
   }
+
+  test("hoppingWindowAgg: each event lands in width/slide epoch-aligned " +
+    "windows; decimal sums are exact; non-timestamp ts rejected") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // two events inside the same four 1h/15min windows: 01:00 and 01:05
+    val ev = Seq((3600000000L, "a", 0.1), (3900000000L, "a", 0.2))
+      .toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("value"))
+    val got = Events.hoppingWindowAgg(ev)
+      .orderBy("ws_us").collect()
+      .map(r => (r.getAs[Long]("ws_us"), r.getAs[Long]("we_us"),
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSeq
+    // covering window indices k ∈ ((t−W)//S, t//S] = 1..4 for both
+    assert(got == (1L to 4L).map(k =>
+      (k * 900000000L, k * 900000000L + 3600000000L, 2L, 0.3)))
+    // 0.1 + 0.2 through DECIMAL is exactly 0.3 — the double fold is not
+    assert(got.head._4 == 0.3 && 0.1 + 0.2 != 0.3)
+    val bad = ev.select(col("ts").cast("long").as("ts"),
+      col("event_type"), col("value"))
+    val e = intercept[IllegalArgumentException] {
+      Events.hoppingWindowAgg(bad)
+    }
+    assert(e.getMessage.contains("TIMESTAMP"))
+  }
 }

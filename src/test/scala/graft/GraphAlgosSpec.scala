@@ -450,6 +450,23 @@ class GraphAlgosSpec extends SparkSpec {
     assert(full == (0L to 6L))
   }
 
+  test("bipartiteProject: shared-right co-occurrence weights, support " +
+    "floor, and the celebrity-right degree cap") {
+    // left {1,2,3} × right {a,b}: 1-a 2-a 1-b 2-b 3-b (+ a duplicate)
+    val bip = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b"), (3L, "b"),
+      (1L, "a")).toDF("l", "r")
+    val got = GraphAlgos.bipartiteProject(bip).orderBy("l1", "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val floored = GraphAlgos.bipartiteProject(bip, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(floored == Seq((1L, 2L, 2L)))
+    // cap 2 drops right node b (degree 3): only the a-wedge survives
+    val capped = GraphAlgos.bipartiteProject(bip, maxRightDegree = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((1L, 2L, 1L)))
+  }
+
   test("harmonicCentrality: directed-chain closed form at the 60× " +
     "integer scale; unreached nodes absent") {
     // 1 -> 2 -> 3 -> 4, all nodes as landmarks: h_scaled(v) = Σ 60/d
