@@ -2126,6 +2126,24 @@ object Queries {
       .orderBy("l1", "l2")
   }
 
+  /** Betweenness-centrality gate: source-sampled Brandes on the q104
+    * graph (sources ≡ 0 mod 50, hop-truncated at 6) — BFS distances,
+    * integer-exact forward path counts, then backward dependency
+    * accumulation with successor-sorted IEEE folds (the bit-exact
+    * face; the production default is the map-side sum, spec-pinned
+    * ≤ 1e-12 against this face). The oracle unrolls all three phases
+    * level by level. */
+  def q136Betweenness(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val sources = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 50 === 0)
+    GraphAlgos.betweenness(edges, sources, maxHops = 6, exactFolds = true)
+      .orderBy("node")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2845,7 +2863,8 @@ object Queries {
     "q132_weighted_sp" -> (q132WeightedShortestPaths _),
     "q133_collocations" -> (q133Collocations _),
     "q134_hopping_window" -> (q134HoppingWindow _),
-    "q135_bipartite_project" -> (q135BipartiteProject _)
+    "q135_bipartite_project" -> (q135BipartiteProject _),
+    "q136_betweenness" -> (q136Betweenness _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4690,7 +4709,59 @@ object Queries {
         |SELECT a.cust AS l1, b.cust AS l2, count(*) AS w
         |FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
         |GROUP BY a.cust, b.cust HAVING count(*) >= 2
-        |ORDER BY l1, l2""".stripMargin)
+        |ORDER BY l1, l2""".stripMargin,
+    "q136_betweenness" -> betweennessOracle(6))
+
+  /** The q136 oracle: Brandes unrolled level by level — BFS distances
+    * (the q104 recursion), forward σ DP (sg0..sgD, integer), backward
+    * δ DP (dlD-1..dl0, successor-sorted list_sum folds mirroring the
+    * engine's exactFolds face term-for-term: (σv/σw)·(1+coalesce(δw,
+    * 0))), then the source-sorted bc fold with zeros joined back. */
+  private def betweennessOracle(maxHops: Int): String = {
+    val sgs = (1 to maxHops).map { k =>
+      s"""sg$k AS MATERIALIZED (SELECT dd.node, dd.s,
+         |  CAST(sum(p.sigma) AS BIGINT) AS sigma
+         | FROM d dd JOIN e ON e.dst = dd.node
+         | JOIN sg${k - 1} p ON p.node = e.src AND p.s = dd.s
+         | WHERE dd.dist = $k GROUP BY dd.node, dd.s)""".stripMargin
+    }.mkString(",\n")
+    val dls = ((maxHops - 1) to 0 by -1).map { k =>
+      s"""dl$k AS MATERIALIZED (SELECT v.node, v.s, list_sum(list(
+         |  (CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+         |   * (CAST(1 AS DOUBLE) + coalesce(dw.delta, CAST(0 AS DOUBLE)))
+         |  ORDER BY w.node)) AS delta
+         | FROM sg$k v JOIN e ON e.src = v.node
+         | JOIN sg${k + 1} w ON w.node = e.dst AND w.s = v.s
+         | LEFT JOIN dl${k + 1} dw ON dw.node = w.node AND dw.s = v.s
+         | GROUP BY v.node, v.s)""".stripMargin
+    }.mkString(",\n")
+    val allDl = ((maxHops - 1) to 0 by -1)
+      .map(k => s"SELECT * FROM dl$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
+       |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+       |nodes AS (SELECT DISTINCT node FROM (
+       | SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+       |r(node, s, dist) AS (
+       | SELECT node, node, 0 FROM seeds
+       | UNION
+       | SELECT e.dst, r.s, r.dist + 1
+       | FROM r JOIN e ON e.src = r.node WHERE r.dist < $maxHops),
+       |d AS MATERIALIZED (SELECT node, s, min(dist) AS dist FROM r
+       | GROUP BY node, s),
+       |sg0 AS MATERIALIZED (SELECT node, s, CAST(1 AS BIGINT) AS sigma
+       | FROM d WHERE dist = 0),
+       |$sgs,
+       |dl$maxHops AS (SELECT node, s, CAST(0 AS DOUBLE) AS delta
+       | FROM sg$maxHops WHERE 1 = 0),
+       |$dls,
+       |alld AS ($allDl),
+       |bcv AS (SELECT node, list_sum(list(delta ORDER BY s)) AS bc
+       | FROM alld WHERE node <> s GROUP BY node)
+       |SELECT n.node, coalesce(b.bc, CAST(0 AS DOUBLE)) AS bc
+       |FROM nodes n LEFT JOIN bcv b USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
 
   /** The q132 oracle: Bellman-Ford min-combine rounds unrolled
     * MATERIALIZED (the kCore/LPA convention for iterative oracles) —

@@ -674,6 +674,107 @@ object GraphAlgos {
     (1L to maxHops.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
   }
 
+  /** Betweenness centrality from a SOURCE SAMPLE — Brandes' algorithm
+    * (2001) restricted to shortest paths that START at a `sources`
+    * node, the standard scalable estimator (Brandes-Pich 2007: scale
+    * by |V|/|sources| for the population estimate; pass every node for
+    * the exact value on a bounded subgraph). Directed, hop-count
+    * shortest paths, truncated at `maxHops` (k-betweenness).
+    *
+    * Three level-synchronized phases, each a bounded loop of
+    * join+aggregate rounds — never a per-node traversal:
+    *  1. BFS distances per (node, source) — [[shortestPaths]];
+    *  2. path counts σ(v,s) by FORWARD DP over distance levels
+    *     (σ of a level-d node = Σ σ of its level-(d−1) predecessors —
+    *     integer-exact, map-side combinable);
+    *  3. dependencies δ(v,s) by BACKWARD DP: δ(v) = Σ over successors
+    *     w at the next level of (σ(v)/σ(w))·(1+δ(w)) — each term two
+    *     IEEE ops, folded in successor-sorted order under `exactFolds`
+    *     (the q136 gate face; production default is the
+    *     map-side-combined sum, the [[pageRank]] convention).
+    * Betweenness bc(v) = Σ_{s≠v} δ(v,s), source-sorted fold. Returns
+    * every node (zeros included).
+    *
+    * Shape at 100 TB: the edge table pre-partitions once inside
+    * [[shortestPaths]]; phases 2-3 each run ≤ maxHops rounds of one
+    * (level × sources)-sized join + one map-side-combined aggregate;
+    * per-level frames checkpoint and release their predecessor. The
+    * (node, source) working set is |reached| · |sources| — the source
+    * sample bounds it, exactly like [[harmonicCentrality]]. */
+  def betweenness(edges0: DataFrame, sources: DataFrame,
+                  maxHops: Int = 6, srcCol: String = "src",
+                  dstCol: String = "dst", sourceCol: String = "node",
+                  exactFolds: Boolean = false): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    val dist = shortestPaths(edges, sources, maxHops, "src", "dst",
+      sourceCol).localCheckpoint(true)
+    // forward: σ per level (σ(s,s)=1; level-d σ sums level-(d−1)
+    // predecessors through edges whose head lands exactly on level d)
+    var levels = Vector(dist.filter(col("dist") === 0)
+      .select(col("node"), col("landmark").as("s"), lit(1L).as("sigma"))
+      .localCheckpoint(true))
+    for (d <- 1 to maxHops) {
+      val prev = levels.last
+      val atD = dist.filter(col("dist") === d)
+        .select(col("node"), col("landmark").as("s"))
+      val next = edges
+        .join(prev.select(col("node").as("src"), col("s"), col("sigma")),
+          "src")
+        .select(col("dst").as("node"), col("s"), col("sigma"))
+        .join(atD, Seq("node", "s"), "left_semi")
+        .groupBy("node", "s").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      levels = levels :+ next
+    }
+    // backward: δ per level from the deepest in; a node's successors
+    // sit exactly one level deeper, so each round joins two adjacent
+    // level frames (missing δ on the deepest level reads as 0)
+    val zero = levels.last
+      .select(col("node"), col("s"), lit(0.0).as("delta"))
+      .limit(0)
+    var deltaDeeper = zero
+    var deltas = Vector.empty[DataFrame]
+    for (d <- (maxHops - 1) to 0 by -1) {
+      val vs = levels(d)
+      val ws = levels(d + 1)
+      val term = edges
+        .join(vs.select(col("node").as("src"), col("s"),
+          col("sigma").as("__sv")), "src")
+        .join(ws.select(col("node").as("dst"), col("s"),
+          col("sigma").as("__sw")), Seq("dst", "s"))
+        .join(deltaDeeper.select(col("node").as("dst"), col("s"),
+          col("delta").as("__dw")), Seq("dst", "s"), "left")
+        .select(col("src").as("node"), col("s"), col("dst").as("w"),
+          ((col("__sv").cast("double") / col("__sw").cast("double")) *
+            (lit(1.0) + coalesce(col("__dw"), lit(0.0)))).as("t"))
+      val dLevel = term.groupBy("node", "s")
+        .agg(neighborSum(col("w"), col("t"), exactFolds).as("delta"))
+        .localCheckpoint(true)
+      deltas = deltas :+ dLevel
+      deltaDeeper = dLevel
+    }
+    // dist and the σ level frames are fully consumed into the EAGER
+    // δ checkpoints above — release their blocks before returning (the
+    // returned plan references only edges + the δ frames)
+    Exec.releaseCheckpoint(dist)
+    levels.foreach(Exec.releaseCheckpoint(_))
+    val allDeltas = deltas.reduceLeft(_.unionByName(_))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val bc = allDeltas.filter(col("node") =!= col("s"))
+      .groupBy("node")
+      .agg(neighborSum(col("s"), col("delta"), exactFolds).as("bc"))
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+  }
+
   /** Bipartite projection: collapse a two-mode (left, right) edge list
     * into the one-mode co-occurrence graph on the LEFT nodes — edge
     * (l1, l2) with weight = the number of DISTINCT right nodes both

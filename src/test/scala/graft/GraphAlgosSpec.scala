@@ -450,6 +450,77 @@ class GraphAlgosSpec extends SparkSpec {
     assert(full == (0L to 6L))
   }
 
+  test("betweenness: diamond closed form — the two middle nodes split " +
+    "the dependency; sources/sinks score zero") {
+    // 1→2→4, 1→3→4: two shortest 1→4 paths, one through each middle
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = GraphAlgos.betweenness(g, all, exactFolds = true)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+  }
+
+  test("betweenness: matches a driver-side Brandes reference on a " +
+    "pseudo-random graph; fast folds track the exact face") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val maxHops = 5
+    // driver-side truncated Brandes: BFS + σ DP + δ DP per source
+    val adj = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).sorted }.withDefaultValue(Seq.empty[Long])
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val bcRef = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
+    for (s <- nodes) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+        .withDefaultValue(0L)
+      var frontier = Seq(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxHops) {
+        d += 1
+        val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+        for (u <- frontier; v <- adj(u)) {
+          if (!dist.contains(v)) next += v
+        }
+        for (v <- next) dist(v) = d
+        for (u <- frontier; v <- adj(u); if dist(v) == d)
+          sigma(v) += sigma(u)
+        frontier = next.toSeq
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for (lvl <- (d - 1) to 0 by -1;
+           v <- dist.filter(_._2 == lvl).keys.toSeq.sorted) {
+        var acc = 0.0
+        for (w <- adj(v); if dist.get(w).contains(lvl + 1))
+          acc += (sigma(v).toDouble / sigma(w).toDouble) * (1.0 + delta(w))
+        if (adj(v).exists(w => dist.get(w).contains(lvl + 1)))
+          delta(v) = acc
+        if (v != s) bcRef(v) += delta(v)
+      }
+    }
+    val df = edges.toDF("src", "dst")
+    val srcs = nodes.toDF("node")
+    val exact = GraphAlgos.betweenness(df, srcs, maxHops,
+        exactFolds = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(exact(v) - bcRef(v)) <=
+        1e-9 * math.max(1.0, bcRef(v)), s"node $v: ${exact(v)} vs ${bcRef(v)}")
+    }
+    val fast = GraphAlgos.betweenness(df, srcs, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { v =>
+      assert(math.abs(fast(v) - exact(v)) <=
+        1e-12 * math.max(1.0, math.abs(exact(v))))
+    }
+  }
+
   test("bipartiteProject: shared-right co-occurrence weights, support " +
     "floor, and the celebrity-right degree cap") {
     // left {1,2,3} × right {a,b}: 1-a 2-a 1-b 2-b 3-b (+ a duplicate)
