@@ -2144,6 +2144,24 @@ object Queries {
       .orderBy("node")
   }
 
+  /** k-truss gate: edge-support peeling at k = 8 on the DENSER mod-100
+    * orders graph — chosen by measurement so the gate forces real
+    * cascaded peel rounds at every scale (5/5/13 rounds at
+    * sf0.001/0.01/0.1) with a NON-EMPTY truss at the larger scales
+    * (1583 edges at sf0.01, 1428 at sf0.1; sf0.001 dissolves — also a
+    * real assertion); the mod-200 graph's max support is ~7, making
+    * every k ≥ 8 trivially empty and k ≤ 7 a no-op. Integer-exact;
+    * the oracle unrolls the same 16 rounds as the engine's maxRounds
+    * (post-convergence rounds are no-ops) while the engine fails fast
+    * if 16 were ever too few. */
+  def q137KTruss(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 100).as("src"),
+        (col("o_orderkey") % 100).as("dst"))
+    GraphAlgos.kTruss(edges, k = 8, maxRounds = 16)
+      .orderBy("u", "v")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2864,7 +2882,8 @@ object Queries {
     "q133_collocations" -> (q133Collocations _),
     "q134_hopping_window" -> (q134HoppingWindow _),
     "q135_bipartite_project" -> (q135BipartiteProject _),
-    "q136_betweenness" -> (q136Betweenness _)
+    "q136_betweenness" -> (q136Betweenness _),
+    "q137_ktruss" -> (q137KTruss _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4710,7 +4729,8 @@ object Queries {
         |FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
         |GROUP BY a.cust, b.cust HAVING count(*) >= 2
         |ORDER BY l1, l2""".stripMargin,
-    "q136_betweenness" -> betweennessOracle(6))
+    "q136_betweenness" -> betweennessOracle(6),
+    "q137_ktruss" -> kTrussOracle(8, 16))
 
   /** The q136 oracle: Brandes unrolled level by level — BFS distances
     * (the q104 recursion), forward σ DP (sg0..sgD, integer), backward
@@ -4761,6 +4781,46 @@ object Queries {
        |SELECT n.node, coalesce(b.bc, CAST(0 AS DOUBLE)) AS bc
        |FROM nodes n LEFT JOIN bcv b USING (node)
        |ORDER BY n.node""".stripMargin
+  }
+
+  /** The q137 oracle: k-truss peel rounds unrolled MATERIALIZED — per
+    * round: degrees → degree-ordered orientation → triangle
+    * enumeration → per-edge support explode/count → keep support
+    * ≥ k−2. The final support joins from the LAST round's count,
+    * which (post-convergence) was computed on the final edge set. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""dg$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+         |  SELECT u AS node FROM $p UNION ALL SELECT v FROM $p)
+         | GROUP BY node),
+         |o$i AS MATERIALIZED (SELECT
+         |  CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+         |  CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+         | FROM $p e JOIN dg$i du ON du.node = e.u
+         | JOIN dg$i dv ON dv.node = e.v),
+         |t$i AS MATERIALIZED (SELECT w.a, w.b, w.c FROM (
+         |  SELECT x.a AS a, x.b AS b, y.b AS c
+         |  FROM o$i x JOIN o$i y ON y.a = x.b) w
+         | JOIN o$i z ON z.a = w.a AND z.b = w.c),
+         |s$i AS MATERIALIZED (SELECT least(p1, p2) AS u,
+         |  greatest(p1, p2) AS v, count(*) AS supp FROM (
+         |  SELECT a AS p1, b AS p2 FROM t$i
+         |  UNION ALL SELECT b, c FROM t$i
+         |  UNION ALL SELECT a, c FROM t$i) GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM $p e
+         | JOIN s$i s ON s.u = e.u AND s.v = e.v
+         | WHERE s.supp >= $k - 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |  greatest(src, dst) AS v FROM (
+       |  SELECT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+       |  FROM orders WHERE o_orderkey < 2000) WHERE src <> dst),
+       |e0 AS MATERIALIZED (SELECT u, v FROM und),
+       |$steps
+       |SELECT e.u, e.v, coalesce(s.supp, 0) AS support
+       |FROM e$rounds e LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v
+       |ORDER BY e.u, e.v""".stripMargin
   }
 
   /** The q132 oracle: Bellman-Ford min-combine rounds unrolled

@@ -46,6 +46,23 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name == "ktrussprofile") {
+      // per-config timing for the truss peel: AQE on vs off
+      import org.apache.spark.sql.functions._
+      val edges = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 100).as("src"),
+          (col("o_orderkey") % 100).as("dst"))
+      for (aqe <- Seq("true", "false"); _ <- 1 to 2) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        val t0 = System.nanoTime()
+        val n = graft.operators.GraphAlgos.kTruss(edges, k = 8,
+          maxRounds = 16).count()
+        println(f"[scratch] kTruss aqe=$aqe: ${(System.nanoTime()-t0)/1e9}%.2f s ($n edges)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     if (name == "q114profile") {
       // stage attribution for the rank-related-entities gate: fixture
       // graph build vs subgraph materialization vs the 5 PPR rounds

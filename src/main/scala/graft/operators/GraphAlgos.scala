@@ -775,6 +775,99 @@ object GraphAlgos {
       .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
   }
 
+  /** k-truss decomposition: the maximal subgraph of the UNDIRECTED
+    * graph underlying `edges0` in which every EDGE sits in at least
+    * k−2 triangles (the edge-level analog of [[kCore]] — trusses are
+    * the denser, community-core refinement: every k-truss is inside
+    * the (k−1)-core but not vice versa). Iterative peeling: each round
+    * recounts per-edge triangle support over the SURVIVING edge set
+    * and drops every edge below k−2, until a round removes nothing.
+    * Returns (u, v, support) for the surviving edges with their
+    * in-truss support — integer-exact, so the q137 gate replays the
+    * peel rounds cell-exactly (16 unrolled MATERIALIZED rounds; the
+    * engine observes its own convergence and fails fast if `maxRounds`
+    * were ever too small, so a silent divergence cannot slip through).
+    *
+    * Shape at 100 TB: edges orient ONCE by INITIAL (degree, id) — any
+    * fixed total order stays acyclic as edges drop, triangle
+    * membership is orientation-independent, and initial degrees only
+    * shrink, so the [[triangleCounts]] O(m^1.5) wedge bound holds for
+    * every round while the per-round degree recount + re-orientation
+    * joins of the textbook formulation disappear (3 fewer shuffles per
+    * round). Each round is then: wedge join, closure join, one
+    * map-side-combined per-edge support count (triangle edges explode
+    * ALREADY oriented — the order is transitive), and the filter; edge
+    * frames checkpoint per round and release their predecessor; the
+    * drop count rides the round's checkpoint as a `Dataset.observe`
+    * metric. Support deltas instead of re-counts are the known further
+    * optimization and are not needed at gate scale. */
+  def kTruss(edges0: DataFrame, k: Int, maxRounds: Int = 16,
+             srcCol: String = "src", dstCol: String = "dst",
+             requireConverged: Boolean = true): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val obs0 = org.apache.spark.sql.Observation()
+    var edges = und
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .observe(obs0, count(lit(1)).as("rows"))
+      .localCheckpoint(true)
+    var prevRows = obs0.get("rows").asInstanceOf[Long]
+    var changed = prevRows > 0L
+    var round = 0
+    while (changed && round < maxRounds) {
+      val prevEdges = edges
+      val obs = org.apache.spark.sql.Observation()
+      edges = edges.join(orientedSupport(edges), Seq("a", "b"), "left")
+        .filter(coalesce(col("supp"), lit(0L)) >= k - 2)
+        .select("a", "b")
+        .observe(obs, count(lit(1)).as("rows"))
+        .localCheckpoint(true)
+      Exec.releaseCheckpoint(prevEdges)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      changed = rows < prevRows && rows > 0L
+      prevRows = rows
+      round += 1
+    }
+    require(!requireConverged || !changed,
+      s"k-truss peeling did not converge within $maxRounds rounds " +
+        "(deep support cascades — raise maxRounds)")
+    edges.join(orientedSupport(edges), Seq("a", "b"), "left")
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"),
+        coalesce(col("supp"), lit(0L)).as("support"))
+  }
+
+  /** Per-edge triangle support of an ORIENTED (acyclic total order)
+    * edge frame (a, b): wedge join, closure join, and one explode of
+    * each triangle's three edges — all three are oriented pairs by
+    * transitivity, so the count keys directly on (a, b). */
+  private def orientedSupport(oriented: DataFrame): DataFrame = {
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(oriented.select(col("a"), col("b").as("c")),
+      Seq("a", "c"))
+    tri.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("c").as("b")),
+        struct(col("a"), col("c").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+  }
+
   /** Bipartite projection: collapse a two-mode (left, right) edge list
     * into the one-mode co-occurrence graph on the LEFT nodes — edge
     * (l1, l2) with weight = the number of DISTINCT right nodes both

@@ -450,6 +450,34 @@ class GraphAlgosSpec extends SparkSpec {
     assert(full == (0L to 6L))
   }
 
+  test("kTruss: K4 survives at k=4 with support 2; a pendant triangle " +
+    "and loose edge peel away; shared-edge triangles cascade to empty") {
+    // K4 on 1..4 (every edge in 2 triangles) + triangle {4,5,6} (support
+    // 1 edges) + pendant 6-7 (no triangle)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val g = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("src", "dst")
+    val got = GraphAlgos.kTruss(g, k = 4).orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == k4.map { case (a, b) => (a, b, 2L) })
+    assert(GraphAlgos.kTruss(g, k = 5).isEmpty)
+    // two triangles sharing edge (2,3): k=4 drops the support-1 outer
+    // edges, which cascades the shared edge to support 0 — empty truss
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(GraphAlgos.kTruss(twoTri, k = 4).isEmpty)
+    // ...and the cascade needs 2 rounds: maxRounds=1 fails fast
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgos.kTruss(twoTri, k = 4, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // k=2 is the whole graph (support ≥ 0), with per-edge supports
+    val all = GraphAlgos.kTruss(twoTri, k = 2).orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
   test("betweenness: diamond closed form — the two middle nodes split " +
     "the dependency; sources/sinks score zero") {
     // 1→2→4, 1→3→4: two shortest 1→4 paths, one through each middle
