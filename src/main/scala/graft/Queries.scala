@@ -2162,6 +2162,38 @@ object Queries {
       .orderBy("u", "v")
   }
 
+  /** Butterfly-count gate: per-left-node butterfly (bipartite 4-cycle)
+    * participation over the q135 two-mode graph — COMPOSITION of
+    * [[GraphAlgos.bipartiteProject]] (no support floor) with the
+    * closed form bf(l) = Σ_{l'} C(w(l,l'), 2): a pair sharing w right
+    * nodes closes C(w,2) butterflies, integer-exact. The butterfly
+    * census is the bipartite clustering signal (spam/bot co-behavior
+    * detection at scale). */
+  def q138Butterflies(s: SparkSession, dir: String): DataFrame = {
+    val bip = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_partkey") % 1000).as("part"))
+    val pairs = GraphAlgos.bipartiteProject(bip, "cust", "part")
+      .withColumn("bf", expr("(w * (w - 1)) div 2"))
+      .filter(col("bf") > 0)
+    pairs.select(explode(array(col("l1"), col("l2"))).as("node"),
+        col("bf"))
+      .groupBy("node").agg(sum("bf").as("n_butterflies"))
+      .orderBy("node")
+  }
+
+  /** TextRank gate: weighted PageRank over the word co-occurrence
+    * graph of the documents corpus (5 rounds, bit-exact sorted-fold
+    * face) — text machinery COMPOSED with graph machinery; the oracle
+    * builds the same bigram graph and unrolls the q98-family weighted
+    * rounds. */
+  def q139TextRank(s: SparkSession, dir: String): DataFrame =
+    Corpus.textRank(t(s, dir, "documents"), exactFolds = true)
+      .orderBy("word")
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2883,7 +2915,9 @@ object Queries {
     "q134_hopping_window" -> (q134HoppingWindow _),
     "q135_bipartite_project" -> (q135BipartiteProject _),
     "q136_betweenness" -> (q136Betweenness _),
-    "q137_ktruss" -> (q137KTruss _)
+    "q137_ktruss" -> (q137KTruss _),
+    "q138_butterflies" -> (q138Butterflies _),
+    "q139_textrank" -> (q139TextRank _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4730,7 +4764,24 @@ object Queries {
         |GROUP BY a.cust, b.cust HAVING count(*) >= 2
         |ORDER BY l1, l2""".stripMargin,
     "q136_betweenness" -> betweennessOracle(6),
-    "q137_ktruss" -> kTrussOracle(8, 16))
+    "q137_ktruss" -> kTrussOracle(8, 16),
+    // butterflies: each co-occurrence pair sharing w right nodes closes
+    // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
+    "q138_butterflies" ->
+      """WITH bip AS (SELECT DISTINCT o.o_custkey AS cust,
+        |  l.l_partkey % 1000 AS part
+        | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        | WHERE l.l_orderkey < 2000),
+        |pw AS (SELECT a.cust AS l1, b.cust AS l2, count(*) AS w
+        | FROM bip a JOIN bip b ON a.part = b.part AND a.cust < b.cust
+        | GROUP BY a.cust, b.cust),
+        |bf AS (SELECT l1, l2, (w * (w - 1)) // 2 AS bf FROM pw
+        | WHERE w >= 2)
+        |SELECT node, CAST(sum(bf) AS BIGINT) AS n_butterflies FROM (
+        | SELECT l1 AS node, bf FROM bf
+        | UNION ALL SELECT l2, bf FROM bf)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q139_textrank" -> textRankOracle(5))
 
   /** The q136 oracle: Brandes unrolled level by level — BFS distances
     * (the q104 recursion), forward σ DP (sg0..sgD, integer), backward
@@ -4821,6 +4872,44 @@ object Queries {
        |SELECT e.u, e.v, coalesce(s.supp, 0) AS support
        |FROM e$rounds e LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v
        |ORDER BY e.u, e.v""".stripMargin
+  }
+
+  /** The q139 oracle: the q98-family weighted PageRank rounds over the
+    * bigram co-occurrence graph (undirected = both directions of each
+    * least/greatest pair), mirroring the engine composition
+    * term-for-term: deg = Σ out-weights, contribution
+    * pr·(w/deg), src-sorted list_sum folds, IEEE 1−d. */
+  private def textRankOracle(iters: Int): String = {
+    val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node,
+         |  list_sum(list(p.pr * (CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE))
+         |   ORDER BY e.src)) AS s
+         | FROM e JOIN deg d USING (src) JOIN p${i - 1} p ON p.node = e.src
+         | GROUP BY e.dst),
+         |p$i AS MATERIALIZED (SELECT n.node,
+         |  $oneMinusD
+         |   + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS pr
+         | FROM nodes n LEFT JOIN s$i s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       | SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |  x -> x <> '') AS t FROM documents),
+       |bg AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+       | SELECT unnest(list_transform(
+       |  generate_series(1, greatest(len(t) - 1, 0)),
+       |  i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+       | FROM toks)),
+       |pw AS (SELECT least(w1, w2) AS u, greatest(w1, w2) AS v,
+       |  count(*) AS w FROM bg WHERE w1 <> w2 GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM pw
+       | UNION ALL SELECT v, u, w FROM pw),
+       |deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+       | FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |p0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) AS pr FROM nodes),
+       |$rounds
+       |SELECT node AS word, pr AS score FROM p$iters ORDER BY word""".stripMargin
   }
 
   /** The q132 oracle: Bellman-Ford min-combine rounds unrolled

@@ -997,6 +997,32 @@ object Corpus {
     * all re-aggregate that already-small table (never the raw
     * occurrence stream again — it is persisted for exactly the one
     * count), and N broadcasts as a single row. */
+  /** TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph — nodes are tokens,
+    * an UNDIRECTED edge weighted by the corpus-wide count of the two
+    * tokens appearing adjacent (either order). Pure composition:
+    * [[bigramPairs]] builds the graph in one narrow explode + one
+    * map-side-combined count (vocabulary²-bounded, like
+    * [[collocations]]), then [[GraphAlgos.weightedPageRank]] ranks it
+    * (undirected = each edge contributes both directions). Returns
+    * (word, score); gate q139 replays 5 rounds cell-exactly under the
+    * sorted-fold face. */
+  def textRank(docs: DataFrame, textCol: String = "text",
+               iterations: Int = 5, damping: Double = 0.85,
+               exactFolds: Boolean = false): DataFrame = {
+    val pw = docs.select(explode(bigramPairs(textCol)).as("p"))
+      .select(least(col("p.w1"), col("p.w2")).as("u"),
+        greatest(col("p.w1"), col("p.w2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(pw.select(col("v").as("src"), col("u").as("dst"),
+        col("w")))
+    GraphAlgos.weightedPageRank(edges, iterations, damping,
+        exactFolds = exactFolds)
+      .select(col("node").as("word"), col("pr").as("score"))
+  }
+
   def collocations(docs: DataFrame, textCol: String = "text",
                    minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")

@@ -607,6 +607,25 @@ class CorpusSpec extends SparkSpec {
       got(5).getAs[Long]("n_masked_tokens") == 0)
   }
 
+  test("textRank: the hub word outranks symmetric spokes, re-runs are " +
+    "bit-identical, fast folds track the exact face") {
+    val docs = Seq((1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
+      (4L, "hub delta")).toDF("doc_id", "text")
+    val s1 = Corpus.textRank(docs, exactFolds = true).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(Seq("alpha", "beta", "gamma", "delta")
+      .forall(w => s1("hub") > s1(w)), s1.toString)
+    // the four spokes are structurally identical — identical scores
+    assert(Seq("beta", "gamma", "delta").forall(w => s1(w) == s1("alpha")))
+    val s2 = Corpus.textRank(docs, exactFolds = true).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(s2 == s1)
+    val fast = Corpus.textRank(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(s1.forall { case (w, v) =>
+      math.abs(fast(w) - v) <= 1e-12 * math.max(1.0, v) })
+  }
+
   test("collocations: bigram lift closed form — chance pairs score 1, " +
     "exclusive pairs score above, support floor prunes hapax noise") {
     val docs = Seq(
