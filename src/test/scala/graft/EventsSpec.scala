@@ -275,5 +275,14 @@ class EventsSpec extends SparkSpec {
       Events.hoppingWindowAgg(bad)
     }
     assert(e.getMessage.contains("TIMESTAMP"))
+    // the window explode happens BEFORE the single aggregation
+    // exchange, with a map-side partial phase — one shuffle total
+    val plan = Events.hoppingWindowAgg(ev)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"window counts must map-side combine:\n$plan")
   }
 }

@@ -450,6 +450,29 @@ class GraphAlgosSpec extends SparkSpec {
     assert(full == (0L to 6L))
   }
 
+  test("linkPrediction / bipartiteProject plans stay equi-join shaped: " +
+    "no cartesian or nested-loop join; the production fold keeps " +
+    "codegen (no collect_list), the exact face carries it by design") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val fastPlan = GraphAlgos.linkPrediction(g)
+      .queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("CartesianProduct") &&
+      !fastPlan.contains("BroadcastNestedLoopJoin"), fastPlan)
+    assert(!fastPlan.contains("collect_list"),
+      s"production ra fold must be a plain sum:\n$fastPlan")
+    val exactPlan = GraphAlgos.linkPrediction(g, exactFolds = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("collect_list"),
+      "the exact face is the sorted fold — faces must differ")
+    val bip = Seq((1L, "a"), (2L, "a"), (1L, "b")).toDF("l", "r")
+    val bpPlan = GraphAlgos.bipartiteProject(bip)
+      .queryExecution.executedPlan.toString
+    assert(!bpPlan.contains("CartesianProduct") &&
+      !bpPlan.contains("BroadcastNestedLoopJoin"), bpPlan)
+    assert(bpPlan.contains("partial_count"),
+      s"pair weights must map-side combine:\n$bpPlan")
+  }
+
   test("kTruss: K4 survives at k=4 with support 2; a pendant triangle " +
     "and loose edge peel away; shared-edge triangles cascade to empty") {
     // K4 on 1..4 (every edge in 2 triangles) + triangle {4,5,6} (support
