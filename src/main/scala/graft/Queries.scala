@@ -4678,8 +4678,7 @@ object Queries {
         |d AS (SELECT node, landmark, min(dist) AS dist FROM r
         | GROUP BY node, landmark)
         |SELECT node, count(*) AS n_sources,
-        | CAST(sum(CAST(60 AS DOUBLE) / CAST(dist AS DOUBLE)) AS BIGINT)
-        |  AS h_scaled
+        | CAST(sum(60 // dist) AS BIGINT) AS h_scaled
         |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
     // prefix-filtered jaccard: the oracle is the NAIVE all-shared-
     // shingles join (the q19 family at τ = 0.2) — output equality IS the
@@ -4860,8 +4859,8 @@ object Queries {
          |  UNION ALL SELECT b, c FROM t$i
          |  UNION ALL SELECT a, c FROM t$i) GROUP BY 1, 2),
          |e$i AS MATERIALIZED (SELECT e.u, e.v FROM $p e
-         | JOIN s$i s ON s.u = e.u AND s.v = e.v
-         | WHERE s.supp >= $k - 2)""".stripMargin
+         | LEFT JOIN s$i s ON s.u = e.u AND s.v = e.v
+         | WHERE coalesce(s.supp, 0) >= $k - 2)""".stripMargin
     }.mkString(",\n")
     s"""WITH und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
        |  greatest(src, dst) AS v FROM (

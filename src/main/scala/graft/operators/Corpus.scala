@@ -977,26 +977,6 @@ object Corpus {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Collocation mining: adjacent-token bigram association by LIFT —
-    * `lift(w1, w2) = N·c(w1,w2) / (c(w1)·c(w2))` where c(w1,w2) counts
-    * bigram OCCURRENCES corpus-wide, c(w1)/c(w2) count occurrences of
-    * each word in first/second bigram position, and N is the total
-    * bigram count. Lift > 1 means the pair co-occurs more than chance —
-    * the rational core of PMI (PMI = log lift) WITHOUT the log, for the
-    * same cross-engine-determinism reason the BM25 gate uses rational
-    * idf: counts are integer-exact and the score is two IEEE
-    * multiplications + one division (gate q133). `minCount` is the
-    * standard support floor — below it lift explodes on hapax noise
-    * (two words that each appear once always get maximal lift).
-    * Returns (w1, w2, c12, c1, c2, lift).
-    *
-    * Shape at 100 TB: one narrow pass explodes each doc's zip-shifted
-    * bigram list ([[bigramPairs]] — no join, no positions table); ONE
-    * map-side-combined count produces the (w1, w2) table, which is
-    * VOCABULARY²-bounded, not corpus-bounded; the marginals c1/c2/N
-    * all re-aggregate that already-small table (never the raw
-    * occurrence stream again — it is persisted for exactly the one
-    * count), and N broadcasts as a single row. */
   /** TextRank keyword scoring (Mihalcea & Tarau 2004): weighted
     * PageRank over the word co-occurrence graph — nodes are tokens,
     * an UNDIRECTED edge weighted by the corpus-wide count of the two
@@ -1023,6 +1003,26 @@ object Corpus {
       .select(col("node").as("word"), col("pr").as("score"))
   }
 
+  /** Collocation mining: adjacent-token bigram association by LIFT —
+    * `lift(w1, w2) = N·c(w1,w2) / (c(w1)·c(w2))` where c(w1,w2) counts
+    * bigram OCCURRENCES corpus-wide, c(w1)/c(w2) count occurrences of
+    * each word in first/second bigram position, and N is the total
+    * bigram count. Lift > 1 means the pair co-occurs more than chance —
+    * the rational core of PMI (PMI = log lift) WITHOUT the log, for the
+    * same cross-engine-determinism reason the BM25 gate uses rational
+    * idf: counts are integer-exact and the score is two IEEE
+    * multiplications + one division (gate q133). `minCount` is the
+    * standard support floor — below it lift explodes on hapax noise
+    * (two words that each appear once always get maximal lift).
+    * Returns (w1, w2, c12, c1, c2, lift).
+    *
+    * Shape at 100 TB: one narrow pass explodes each doc's zip-shifted
+    * bigram list ([[bigramPairs]] — no join, no positions table); ONE
+    * map-side-combined count produces the (w1, w2) table, which is
+    * VOCABULARY²-bounded, not corpus-bounded; the marginals c1/c2/N
+    * all re-aggregate that already-small table (never the raw
+    * occurrence stream again — it is persisted for exactly the one
+    * count), and N broadcasts as a single row. */
   def collocations(docs: DataFrame, textCol: String = "text",
                    minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")

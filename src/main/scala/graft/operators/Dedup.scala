@@ -774,15 +774,16 @@ object Dedup {
       "minJaccard must be in (0, 1] — prefix filtering needs a real threshold")
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
-    Exec.withPersisted(sh) {
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("n_sh"))
+    // ONE withPersisted level for both reused intermediates — nesting
+    // two would eagerly checkpoint the final pair table twice
+    Exec.withPersisted(sh, sets) {
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val sets = sh.groupBy("id")
-        .agg(sort_array(collect_list(col("shingle"))).as("set"),
-          count(lit(1)).as("n_sh"))
-      Exec.withPersisted(sets) {
-        val prefixLen =
-          (col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
-        val prefix = sh.join(df, "shingle")
+      val prefixLen =
+        (col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
+      val prefix = sh.join(df, "shingle")
           .join(sets.select(col("id"), col("n_sh")), "id")
           .withColumn("rn", row_number().over(
             Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
@@ -807,7 +808,6 @@ object Dedup {
             col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= minJaccard)
           .select("id_a", "id_b", "jaccard")
-      }
     }
   }
 }

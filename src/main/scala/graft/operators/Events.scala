@@ -381,6 +381,15 @@ object Events {
     val ts = events.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.TimestampType => col(tsCol)
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast reinterprets the wall clock in the
+        // SESSION timezone; any tz but UTC would silently shift every
+        // window boundary away from the documented epoch-micro
+        // arithmetic on the NTZ value — fail loudly instead
+        require(events.sparkSession.conf.get(
+            "spark.sql.session.timeZone") == "UTC",
+          s"NTZ $tsCol requires spark.sql.session.timeZone=UTC (the " +
+            "engine-wide convention) — window placement would otherwise " +
+            "depend on the session timezone")
         col(tsCol).cast(org.apache.spark.sql.types.TimestampType)
       case other => throw new IllegalArgumentException(
         s"column $tsCol must be TIMESTAMP or TIMESTAMP_NTZ, got $other")

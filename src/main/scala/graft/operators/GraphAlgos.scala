@@ -263,6 +263,18 @@ object GraphAlgos {
         .repartition(col("src"))
         .localCheckpoint(true)
     }
+    shortestPathsPrepped(edges, landmarks, maxHops, landmarkCol)
+  }
+
+  /** [[shortestPaths]] over an ALREADY-PREPARED edge frame — distinct
+    * (src, dst), src-partitioned, checkpointed. For composing callers
+    * ([[betweenness]]) that hold such a frame and would otherwise pay
+    * a second identical distinct+shuffle+checkpoint pass and pin a
+    * redundant copy of the edge set. */
+  private[graft] def shortestPathsPrepped(edges: DataFrame,
+                                          landmarks: DataFrame,
+                                          maxHops: Int,
+                                          landmarkCol: String): DataFrame = {
     var dists = landmarks
       .select(col(landmarkCol).as("node")).distinct()
       .select(col("node"), col("node").as("landmark"), lit(0).as("dist"))
@@ -637,9 +649,11 @@ object GraphAlgos {
     * (unreachable sources contribute 0, not ∞ like closeness).
     * Returns (node, n_sources, h_scaled) where `h_scaled` =
     * h(v) · lcm(1..maxHops) as an EXACT integer — every 1/d is
-    * represented as lcm/d (an integer, since d | lcm), so the sum is
-    * order-free and the q129 gate replays cell-exactly in any engine;
-    * callers wanting the float face divide by [[harmonicScale]].
+    * represented as lcm div d (an int64, since d | lcm), so the sum is
+    * pure int64 arithmetic: order-free, overflow-safe up to
+    * |landmarks|·lcm < 2^63 (not the 2^53 a double fold would cap at),
+    * and the q129 gate replays cell-exactly in any engine; callers
+    * wanting the float face divide by [[harmonicScale]].
     *
     * Shape at 100 TB: delegates the whole traversal to
     * [[shortestPaths]] (frontier min-combine, edges partitioned once,
@@ -654,15 +668,14 @@ object GraphAlgos {
                          dstCol: String = "dst",
                          landmarkCol: String = "node"): DataFrame = {
     val lcm = harmonicScale(maxHops)
-    // lcm/d is exact in double for every d in 1..maxHops (both are
-    // small integers and d | lcm), so the sum is integer-valued and
-    // associative — safe under map-side combine in any fold order
+    // lcm div d is exact int64 (d | lcm), so the sum is long-typed end
+    // to end — associative, fold-order-free under map-side combine, and
+    // immune to the 2^53 integer ceiling a double-typed sum would hit
     shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol, landmarkCol)
       .filter(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_sources"),
-        sum(lit(lcm.toDouble) / col("dist").cast("double"))
-          .cast("long").as("h_scaled"))
+        sum(expr(s"${lcm}L div dist")).as("h_scaled"))
   }
 
   /** The integer scale of [[harmonicCentrality]]'s `h_scaled`:
@@ -713,8 +726,7 @@ object GraphAlgos {
         .repartition(col("src"))
         .localCheckpoint(true)
     }
-    val dist = shortestPaths(edges, sources, maxHops, "src", "dst",
-      sourceCol).localCheckpoint(true)
+    val dist = shortestPathsPrepped(edges, sources, maxHops, sourceCol)
     // forward: σ per level (σ(s,s)=1; level-d σ sums level-(d−1)
     // predecessors through edges whose head lands exactly on level d)
     var levels = Vector(dist.filter(col("dist") === 0)
@@ -828,12 +840,18 @@ object GraphAlgos {
     var prevRows = obs0.get("rows").asInstanceOf[Long]
     var changed = prevRows > 0L
     var round = 0
+    // each round CARRIES its computed support through the checkpoint:
+    // the converged (no-drop) round's support was computed on exactly
+    // the surviving edge set, so the epilogue is a projection instead
+    // of one more O(m^1.5) triangle enumeration
     while (changed && round < maxRounds) {
       val prevEdges = edges
+      val bare = edges.select("a", "b")
       val obs = org.apache.spark.sql.Observation()
-      edges = edges.join(orientedSupport(edges), Seq("a", "b"), "left")
-        .filter(coalesce(col("supp"), lit(0L)) >= k - 2)
-        .select("a", "b")
+      edges = bare.join(orientedSupport(bare), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("supp"), lit(0L)).as("supp"))
+        .filter(col("supp") >= k - 2)
         .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
       Exec.releaseCheckpoint(prevEdges)
@@ -845,10 +863,17 @@ object GraphAlgos {
     require(!requireConverged || !changed,
       s"k-truss peeling did not converge within $maxRounds rounds " +
         "(deep support cascades — raise maxRounds)")
-    edges.join(orientedSupport(edges), Seq("a", "b"), "left")
-      .select(least(col("a"), col("b")).as("u"),
+    if (round == 0)
+      // empty input: the loop never ran and no supp column exists
+      edges.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"), lit(0L).as("support"))
+    else
+      // carried supp is the fixpoint support when converged; on a
+      // requireConverged=false bail-out it is the PRE-final-drop count
+      // (an upper bound on the returned superset — documented)
+      edges.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"),
-        coalesce(col("supp"), lit(0L)).as("support"))
+        col("supp").as("support"))
   }
 
   /** Per-edge triangle support of an ORIENTED (acyclic total order)
