@@ -2194,6 +2194,66 @@ object Queries {
     Corpus.textRank(t(s, dir, "documents"), exactFolds = true)
       .orderBy("word")
 
+  /** Reciprocity gate: the graph-symmetry census on the q136 directed
+    * mod-200 orders graph — exact BIGINT edge/reciprocated counts plus
+    * ONE IEEE division, so the ratio hash-replays bit-identically. */
+  def q140Reciprocity(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.reciprocity(
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 200).as("src"),
+          (col("o_orderkey") % 200).as("dst")))
+
+  /** Degree-assortativity gate: Newman's degree-correlation
+    * coefficient over the undirected mod-200 orders graph — all five
+    * moments exact BIGINT sums, the coefficient ONE fixed IEEE
+    * expression over them (casts exact below 2^53), mirrored
+    * term-for-term in the oracle. */
+  def q141Assortativity(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.degreeAssortativity(
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 200).as("src"),
+          (col("o_orderkey") % 200).as("dst")))
+
+  /** SCC gate: forward-backward coloring on a DELIBERATELY layered
+    * graph — 8 directed 8-rings over custkey residues mod 64 (each
+    * ring one SCC by itself) plus data-derived cross edges that all
+    * land in residues 33..40 (rings 4-5), welding rings 4+5 into one
+    * downstream component entered from everywhere: round 1 retires
+    * the never-entered rings' roots, a later round the welded
+    * component — both phases (color fixpoint + same-color backward
+    * sweep) forced at every sf, never vacuous (the q116 lesson). The
+    * oracle needs no iterative peeling: 5 doublings of the
+    * reachability closure and scc(v) = min mutual-reach partner. */
+  def q142Scc(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 64).as("ck"),
+        (col("o_orderkey") % 16 + 32).as("ok"))
+    val ring = base.select(col("ck").as("id")).distinct()
+      .select(col("id").as("src"),
+        (expr("id div 8") * 8 + ((col("id") % 8) + 1) % 8).as("dst"))
+    val crossE = base.filter(col("ck") =!= col("ok"))
+      .select(col("ck").as("src"), col("ok").as("dst")).distinct()
+    GraphAlgos.stronglyConnectedComponents(ring.unionByName(crossE))
+      .orderBy("node")
+  }
+
+  /** Deterministic-walk gate: 8-step hash-greedy walks from the 8
+    * mod-25 start residues of the q136 graph under the md5 rank face
+    * ([[graft.operators.Dedup.md5HashFamily]] convention — DuckDB
+    * replays the same per-hop argmin); the production xxhash64 face
+    * shares all machinery but the rank expression (spec-pinned valid
+    * walks). */
+  def q143Walks(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val starts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 25 === 0)
+    GraphAlgos.hashGreedyWalks(edges, starts, steps = 8, md5Hash = true)
+      .orderBy("walk", "step")
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2917,7 +2977,11 @@ object Queries {
     "q136_betweenness" -> (q136Betweenness _),
     "q137_ktruss" -> (q137KTruss _),
     "q138_butterflies" -> (q138Butterflies _),
-    "q139_textrank" -> (q139TextRank _)
+    "q139_textrank" -> (q139TextRank _),
+    "q140_reciprocity" -> (q140Reciprocity _),
+    "q141_assortativity" -> (q141Assortativity _),
+    "q142_scc" -> (q142Scc _),
+    "q143_walks" -> (q143Walks _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4780,7 +4844,95 @@ object Queries {
         | SELECT l1 AS node, bf FROM bf
         | UNION ALL SELECT l2, bf FROM bf)
         |GROUP BY node ORDER BY node""".stripMargin,
-    "q139_textrank" -> textRankOracle(5))
+    "q139_textrank" -> textRankOracle(5),
+    "q140_reciprocity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % 200 AS src,
+        |  o_orderkey % 200 AS dst FROM orders
+        | WHERE o_orderkey < 2000 AND o_custkey % 200 <> o_orderkey % 200)
+        |SELECT count(*) AS n_edges, count(r.src) AS n_recip,
+        |  CAST(count(r.src) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS reciprocity
+        |FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src"""
+        .stripMargin,
+    "q141_assortativity" ->
+      """WITH und AS MATERIALIZED (SELECT DISTINCT
+        |  least(o_custkey % 200, o_orderkey % 200) AS u,
+        |  greatest(o_custkey % 200, o_orderkey % 200) AS v
+        | FROM orders
+        | WHERE o_orderkey < 2000 AND o_custkey % 200 <> o_orderkey % 200),
+        |deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node),
+        |bo AS MATERIALIZED (SELECT u, v FROM und
+        | UNION ALL SELECT v, u FROM und),
+        |s AS MATERIALIZED (SELECT count(*) AS m,
+        |  CAST(sum(dx.d) AS BIGINT) AS sx,
+        |  CAST(sum(dy.d) AS BIGINT) AS sy,
+        |  CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+        |  CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+        |  CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+        | FROM bo JOIN deg dx ON dx.node = bo.u
+        | JOIN deg dy ON dy.node = bo.v)
+        |SELECT m AS n_samples, sxy AS s_xy,
+        |  CAST(m * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+        |FROM s""".stripMargin,
+    "q142_scc" -> sccOracle(5),
+    "q143_walks" -> walksOracle(8))
+
+  /** The q142 oracle: no iterative peeling to hang on (the q116
+    * lesson) — 5 MATERIALIZED doublings of the reachability closure
+    * (identity-seeded, so r_{k+1} ⊇ r_k and covers paths ≤ 2^k hops ≫
+    * the fixture's ~15-hop diameter), then
+    * scc(v) = min{w : w→*v AND v→*w} via one self-join of the closure
+    * on the swapped pair. */
+  private def sccOracle(doublings: Int): String = {
+    val steps = (1 to doublings).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT DISTINCT a.s, b.t
+         | FROM r${i - 1} a JOIN r${i - 1} b ON a.t = b.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (SELECT o_custkey % 64 AS ck,
+       |  o_orderkey % 16 + 32 AS ok FROM orders WHERE o_orderkey < 2000),
+       |ring AS MATERIALIZED (SELECT id AS s,
+       |  (id // 8) * 8 + ((id % 8) + 1) % 8 AS t
+       | FROM (SELECT DISTINCT ck AS id FROM base)),
+       |cr AS MATERIALIZED (SELECT DISTINCT ck AS s, ok AS t FROM base
+       | WHERE ck <> ok),
+       |e AS MATERIALIZED (SELECT s, t FROM ring WHERE s <> t
+       | UNION SELECT s, t FROM cr),
+       |n AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT t FROM e),
+       |r0 AS MATERIALIZED (SELECT id AS s, id AS t FROM n
+       | UNION SELECT s, t FROM e),
+       |$steps
+       |SELECT a.t AS node, CAST(min(a.s) AS BIGINT) AS scc
+       |FROM r$doublings a JOIN r$doublings b ON a.s = b.t AND a.t = b.s
+       |GROUP BY a.t ORDER BY node""".stripMargin
+  }
+
+  /** The q143 oracle: each hop unrolled as one arg_min over the
+    * frontier⋈edges candidates under the same md5 rank key the engine
+    * evaluates — string-for-string (seed | walk | step | src | dst). */
+  private def walksOracle(steps: Int): String = {
+    val hops = (1 to steps).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT walk, arg_min(t, md5(concat_ws('|',
+         |  'walk', CAST(walk AS VARCHAR), '${i - 1}',
+         |  CAST(s AS VARCHAR), CAST(t AS VARCHAR)))) AS node
+         | FROM w${i - 1} JOIN e ON e.s = w${i - 1}.node
+         | GROUP BY walk)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to steps).map { i =>
+      s"SELECT walk, $i AS step, node FROM w$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % 200 AS s,
+       |  o_orderkey % 200 AS t FROM orders
+       | WHERE o_orderkey < 2000 AND o_custkey % 200 <> o_orderkey % 200),
+       |w0 AS MATERIALIZED (SELECT id AS walk, id AS node FROM (
+       |  SELECT s AS id FROM e UNION SELECT t FROM e) WHERE id % 25 = 0),
+       |$hops
+       |$sel
+       |ORDER BY walk, step""".stripMargin
+  }
 
   /** The q136 oracle: Brandes unrolled level by level — BFS distances
     * (the q104 recursion), forward σ DP (sg0..sgD, integer), backward

@@ -991,4 +991,333 @@ object GraphAlgos {
     }
     labels
   }
+
+  /** Strongly connected components by forward-backward coloring — the
+    * directed twin of [[Dedup.connectedComponents]] and the standard
+    * distributed SCC (the same outer structure Spark GraphX ships):
+    * repeat { trim trivial nodes; color = min id forward-reachable
+    * (min-label propagation to fixpoint); every color root (c(v) = v)
+    * is the minimum of its SCC; mark the root's SCC by BACKWARD
+    * propagation restricted to same-color edges; assign + remove }.
+    *
+    * Correctness of one outer round: c(v) = min id that reaches v, so
+    * a root r reaches every v with c(v) = r and is reached by none
+    * smaller — members of r's SCC all carry color r (they reach r, so
+    * anything reaching them reaches r and c ≥ r; r reaches them, so
+    * c ≤ r), and a same-color backward sweep from r marks exactly the
+    * nodes reaching r THROUGH r-colored nodes — SCC paths qualify
+    * (every intermediate is in the SCC, and mutual-reach paths never
+    * leave the SCC: a foreign waypoint would itself be mutually
+    * reachable and thus inside), and any marked v both reaches r (the
+    * sweep) and is reached by r (its color), so marked ≡ SCC(r). The
+    * global minimum active id is always a root, so every outer round
+    * retires ≥ 1 component; rounds scale with the condensation's
+    * root-chain depth, not |V|.
+    *
+    * Returns (node, scc) with scc = the minimum member id, for every
+    * node incident to a non-self-loop edge (self-loops drop and
+    * isolated ids do not reach the output — the
+    * [[Dedup.connectedComponents]] convention).
+    *
+    * Shape at 100 TB: the active edge table re-checkpoints partitioned
+    * on src once per OUTER round and the inner color loop reuses it
+    * round after round (frontier joins move only |V|-sized label rows;
+    * the label update aggregates with map-side combine); trim and
+    * removal are semi/anti joins against |V|-sized sets. Convergence
+    * counts ride each checkpoint's own action as `Dataset.observe`
+    * metrics — no second pass — and each round frees the previous
+    * round's checkpoint blocks. (A sub-round batching knob was
+    * measured and rejected: wall time is STAGE-bound — one shuffle
+    * stage per propagation round regardless of how rounds group into
+    * jobs — so batching only added plan/caching overhead.) */
+  def stronglyConnectedComponents(edges0: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxOuter: Int = 16, maxInner: Int = 64,
+      requireConverged: Boolean = true): DataFrame = {
+    require(maxOuter >= 1, "maxOuter must be >= 1")
+    require(maxInner >= 1, "maxInner must be >= 1")
+    val spark = edges0.sparkSession
+    var edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .repartition(col("u"))
+        .localCheckpoint(true)
+    }
+    val idType = edges.schema("u").dataType
+    var nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var nActive = nodes.count()
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nActive > 0L && outer < maxOuter) {
+      // --- trim to fixpoint: a node with no active in-edge or no
+      // active out-edge lies on no cycle — it is its own SCC. Each
+      // pass removes ALL current sources and sinks, so a DAG region of
+      // depth d drains in O(d) cheap passes instead of d outer rounds.
+      var trimming = true
+      while (trimming && nActive > 0L) {
+        val both = edges.select(col("u").as("id")).distinct()
+          .join(edges.select(col("v").as("id")).distinct(),
+            Seq("id"), "left_semi")
+        val obsT = org.apache.spark.sql.Observation()
+        val trivial = nodes.join(both, Seq("id"), "left_anti")
+          .select(col("id").as("node"), col("id").as("scc"))
+          .observe(obsT, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val nTrivial = obsT.get("n").asInstanceOf[Long]
+        if (nTrivial == 0L) {
+          Exec.releaseCheckpoint(trivial)
+          trimming = false
+        } else {
+          parts += trivial
+          val prevNodes = nodes
+          val prevEdges = edges
+          nodes = nodes.join(trivial.select(col("node").as("id")),
+              Seq("id"), "left_anti")
+            .localCheckpoint(true)
+          edges = Dedup.withAqeOff(spark) {
+            edges.join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
+              .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
+              .repartition(col("u"))
+              .localCheckpoint(true)
+          }
+          Exec.releaseCheckpoint(prevNodes, prevEdges)
+          nActive -= nTrivial
+        }
+      }
+      if (nActive > 0L) {
+        // --- color: c = min id forward-reachable to v, to fixpoint
+        var colors = nodes.select(col("id"), col("id").as("c"))
+          .localCheckpoint(true)
+        var inner = 0
+        var changed = true
+        // `stride` propagation sub-rounds share one checkpoint action;
+        // convergence observes only the FINAL sub-round — min-label
+        // descent is monotone, so "last full round improved nothing"
+        // IS the fixpoint witness, and at most stride−1 post-fixpoint
+        // sub-rounds of join work are wasted (the action-count trade:
+        // iterative tiny rounds are scheduler-bound, not shuffle-bound)
+        while (changed && inner < maxInner) {
+          val step = edges.join(colors, col("u") === col("id"))
+            .select(col("v").as("id"), col("c"))
+            .withColumn("old", lit(null).cast(idType))
+          val obs = org.apache.spark.sql.Observation()
+          val updated = colors.withColumn("old", col("c"))
+            .unionByName(step)
+            .groupBy("id")
+            // every id has exactly one self row, so min(old) (nulls
+            // ignored) recovers its previous color next to the new min
+            .agg(min(col("c")).as("c"), min(col("old")).as("old"))
+            .observe(obs, count(when(col("c") < col("old"), 1))
+              .as("improved"))
+            .select("id", "c")
+            .localCheckpoint(true)
+          Exec.releaseCheckpoint(colors)
+          colors = updated
+          changed = obs.get("improved").asInstanceOf[Long] > 0L
+          inner += 1
+        }
+        require(!requireConverged || !changed,
+          s"SCC color propagation did not converge within $maxInner " +
+            "inner rounds (long reachability chains — raise maxInner)")
+        // --- backward sweep within same color, from the roots
+        val ce = edges
+          .join(colors.select(col("id").as("u"), col("c").as("cu")), "u")
+          .join(colors.select(col("id").as("v"), col("c").as("cv")), "v")
+          .filter(col("cu") === col("cv"))
+          .select(col("u"), col("v"), col("cu").as("c"))
+          .localCheckpoint(true)
+        var marked = colors.filter(col("c") === col("id"))
+          .localCheckpoint(true)
+        var growing = true
+        var back = 0
+        while (growing && back < maxInner) {
+          val grow = ce.join(marked,
+              ce("v") === marked("id") && ce("c") === marked("c"))
+            .select(ce("u").as("id"), ce("c").as("c"))
+            .distinct()
+            .withColumn("m", lit(null).cast("int"))
+          val obs = org.apache.spark.sql.Observation()
+          val updated = marked.withColumn("m", lit(1))
+            .unionByName(grow)
+            .groupBy("id")
+            .agg(min(col("c")).as("c"), max(col("m")).as("m"))
+            .observe(obs, count(when(col("m").isNull, 1)).as("grown"))
+            .select("id", "c")
+            .localCheckpoint(true)
+          Exec.releaseCheckpoint(marked)
+          marked = updated
+          growing = obs.get("grown").asInstanceOf[Long] > 0L
+          back += 1
+        }
+        require(!requireConverged || !growing,
+          s"SCC backward sweep did not converge within $maxInner inner " +
+            "rounds (long in-SCC paths — raise maxInner)")
+        parts += marked.select(col("id").as("node"), col("c").as("scc"))
+          .localCheckpoint(true)
+        val obsN = org.apache.spark.sql.Observation()
+        val prevNodes = nodes
+        val prevEdges = edges
+        nodes = nodes.join(marked.select("id"), Seq("id"), "left_anti")
+          .observe(obsN, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        edges = Dedup.withAqeOff(spark) {
+          edges.join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
+            .repartition(col("u"))
+            .localCheckpoint(true)
+        }
+        Exec.releaseCheckpoint(prevNodes, prevEdges, colors, ce, marked)
+        nActive = obsN.get("n").asInstanceOf[Long]
+      }
+      outer += 1
+    }
+    require(!requireConverged || nActive == 0L,
+      s"SCC did not converge within $maxOuter outer rounds (deep " +
+        "condensation root chains — raise maxOuter)")
+    Exec.releaseCheckpoint(nodes, edges)
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("scc", idType))))
+    else {
+      val out = parts.reduce(_ unionByName _).localCheckpoint(true)
+      Exec.releaseCheckpoint(parts.toSeq: _*)
+      out
+    }
+  }
+
+  /** Graph-level reciprocity census: of the distinct directed non-loop
+    * edges, how many have their reverse present. Returns ONE row
+    * (n_edges, n_recip, reciprocity = n_recip/n_edges as one IEEE
+    * division of exact BIGINT counts — bit-replayable in any engine).
+    * The reciprocity ratio is the standard first diagnostic of a
+    * directed graph's symmetry (citation vs follower vs conversation
+    * shapes).
+    *
+    * Shape at 100 TB: one distinct, one self-equi-join on the reversed
+    * key pair (shuffle on (src, dst) both sides — no broadcast, the
+    * mirror side is the same table), one map-side-combined global
+    * count. */
+  def reciprocity(edges0: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("__r"))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"), count(col("__r")).as("n_recip"))
+      .select(col("n_edges"), col("n_recip"),
+        (col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edges of the UNDIRECTED graph under
+    * `edges0` (each edge sampled in both orientations — the symmetric
+    * convention, so Σx = Σy). Positive = hubs attach to hubs
+    * (social-network shape), negative = hubs attach to leaves
+    * (internet/biology shape).
+    *
+    * Every moment is an exact BIGINT sum (degree products stay far
+    * under 2^63 until |E|·deg² ~ 10^18) and the coefficient is ONE
+    * fixed IEEE expression over those exact integers — casts are exact
+    * below 2^53 — so the q141 gate hash-replays bit-identically in
+    * DuckDB. Returns ONE row (n_samples, s_xy, assortativity).
+    *
+    * Shape at 100 TB: degree census = one map-side-combined count on
+    * the edge table; the two degree joins shuffle edge rows on u then
+    * v; the moments collapse in a single map-side-combined global
+    * aggregate. No driver-side iteration. */
+  def degreeAssortativity(edges0: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst"): DataFrame = {
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val both = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    val sums = both
+      .join(deg.select(col("node").as("u"), col("d").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dy")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    sums.select(col("m").as("n_samples"), col("sxy").as("s_xy"),
+      ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+          sqrt((col("m") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))))
+        .as("assortativity"))
+  }
+
+  /** Deterministic hash-greedy random walks — the graph-sampling
+    * primitive under DeepWalk/node2vec-style embedding training: one
+    * walk per start node, `steps` hops, each hop moving to the
+    * out-neighbor that minimizes a keyed hash of
+    * (seed, walk, step, src, dst). The hash is the only randomness, so
+    * walks replay bit-identically across runs AND engines; per-step
+    * re-keying lets revisits leave differently (no 2-cycle traps).
+    * `md5Hash = true` ranks by the md5 hex string — the
+    * [[Dedup.md5HashFamily]] convention, replayable in the DuckDB
+    * oracle (gate q143); the default ranks by xxhash64 — same
+    * machinery, codegen'd and far cheaper, for production sampling.
+    *
+    * Dead ends terminate the walk (its rows stop at the last reachable
+    * step). Returns (walk, step, node), step 0 = the start.
+    *
+    * Shape at 100 TB: the frontier is |walks| rows; each step is one
+    * frontier⋈edges join (shuffle moves frontier rows to the edge
+    * partitioning) and one map-side-combined min_by per walk —
+    * candidate fan-out is bounded by out-degree, never materialized
+    * past the partial aggregate. Each step's frontier checkpoints
+    * eagerly (the assembled output replays no step twice); all step
+    * checkpoints release only after the output materializes. */
+  def hashGreedyWalks(edges0: DataFrame, starts: DataFrame, steps: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      startCol: String = "node", seed: String = "walk",
+      md5Hash: Boolean = false): DataFrame = {
+    require(steps >= 0, "steps must be >= 0")
+    val e = edges0.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+      .localCheckpoint(true)
+    var frontier = starts.select(col(startCol).as("walk")).distinct()
+      .select(col("walk"), col("walk").as("node"))
+      .localCheckpoint(true)
+    val fronts = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    val outs = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.select(col("walk"), lit(0).as("step"), col("node")))
+    for (i <- 0 until steps) {
+      val rank =
+        if (md5Hash)
+          md5(concat_ws("|", lit(seed), col("walk").cast("string"),
+            lit(i.toString), col("s").cast("string"),
+            col("t").cast("string")))
+        else
+          xxhash64(lit(seed), col("walk"), lit(i), col("s"), col("t"))
+      frontier = frontier.join(e, frontier("node") === e("s"))
+        .select(col("walk"), col("s"), col("t"), rank.as("__h"))
+        .groupBy("walk")
+        .agg(min_by(col("t"), col("__h")).as("node"))
+        .localCheckpoint(true)
+      fronts += frontier
+      outs += frontier.select(col("walk"), lit(i + 1).as("step"),
+        col("node"))
+    }
+    val out = outs.reduce(_ unionByName _).localCheckpoint(true)
+    Exec.releaseCheckpoint(fronts.toSeq :+ e: _*)
+    out
+  }
 }

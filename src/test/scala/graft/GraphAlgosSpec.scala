@@ -607,4 +607,142 @@ class GraphAlgosSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(capped == Seq((2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L)))
   }
+
+  // ===== strongly connected components =====
+
+  test("scc: cycles collapse, bridges and DAG tails stay singleton") {
+    // {1,2,3} cycle -> 4 -> {5,6} cycle; 7 -> 8 DAG tail
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (7L, 8L)).toDF("src", "dst")
+    val got = GraphAlgos.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("scc: a pure DAG is all singletons (trim path)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("scc: chained cycles force multiple outer rounds and keep " +
+    "components distinct") {
+    // ring A {1,2,3} -> ring B {11,12,13} -> ring C {21,22,23}
+    def ring(ids: Seq[Long]) = ids.zip(ids.tail :+ ids.head)
+    val edges = (ring(Seq(1L, 2L, 3L)) ++ ring(Seq(11L, 12L, 13L)) ++
+      ring(Seq(21L, 22L, 23L)) ++ Seq((3L, 11L), (13L, 21L)))
+      .toDF("src", "dst")
+    val got = GraphAlgos.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.collect { case (k, v) if k < 10L => v }.toSet == Set(1L))
+    assert(got.collect { case (k, v) if k > 10L && k < 20L => v }
+      .toSet == Set(11L))
+    assert(got.collect { case (k, v) if k > 20L => v }.toSet == Set(21L))
+  }
+
+  test("scc: matches the brute-force mutual-reachability labels on a " +
+    "seeded random graph, bit-identically across runs") {
+    val rnd = new scala.util.Random(42)
+    val n = 24
+    val edges0 = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // brute force: boolean closure, scc(v) = min mutual-reach partner
+    val reach = Array.fill(n, n)(false)
+    edges0.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    (0 until n).foreach(i => reach(i)(i) = true)
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val present = edges0.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = present.map { v =>
+      v -> present.filter(w => reach(v.toInt)(w.toInt) &&
+        reach(w.toInt)(v.toInt)).min
+    }.toMap
+    val df = edges0.toDF("src", "dst")
+    val a = GraphAlgos.stronglyConnectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphAlgos.stronglyConnectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == want)
+    assert(a == b)
+  }
+
+  test("scc: self-loops drop and a self-loop-only graph returns empty") {
+    val edges = Seq((1L, 1L)).toDF("src", "dst")
+    assert(GraphAlgos.stronglyConnectedComponents(edges).count() == 0L)
+  }
+
+  // ===== graph-level metrics =====
+
+  test("reciprocity: counts mutual pairs once per direction") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = GraphAlgos.reciprocity(edges).collect().head
+    assert(r.getLong(0) == 4L) // distinct non-loop edges
+    assert(r.getLong(1) == 2L) // (1,2) and (2,1)
+    assert(r.getDouble(2) == 2.0 / 4.0)
+  }
+
+  test("degreeAssortativity: a path graph is perfectly disassortative") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = GraphAlgos.degreeAssortativity(edges).collect().head
+    assert(r.getLong(0) == 4L) // both orientations of two edges
+    assert(r.getLong(1) == 8L) // sxy = 1*2 + 2*1 + 2*1 + 1*2
+    assert(r.getDouble(2) == -1.0)
+  }
+
+  test("degreeAssortativity: degree-matched components correlate to +1 " +
+    "(up to the sqrt(x)*sqrt(x) ulp)") {
+    // an edge (deg 1-1) plus a triangle (deg 2-2): every sample has
+    // x == y, so the correlation is +1 within one double ulp
+    val edges = Seq((1L, 2L), (11L, 12L), (12L, 13L), (13L, 11L))
+      .toDF("src", "dst")
+    val r = GraphAlgos.degreeAssortativity(edges).collect().head
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  // ===== deterministic walks =====
+
+  test("hashGreedyWalks: every hop follows an edge, runs are " +
+    "bit-identical, and both hash faces produce valid walks") {
+    val epairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 1L),
+      (3L, 4L), (4L, 1L))
+    val edges = epairs.toDF("src", "dst")
+    val eset = epairs.toSet
+    val starts = Seq(1L, 4L).toDF("node")
+    for (md5Face <- Seq(true, false)) {
+      val rows = GraphAlgos.hashGreedyWalks(edges, starts, steps = 6,
+          md5Hash = md5Face)
+        .orderBy("walk", "step")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val byWalk = rows.groupBy(_._1)
+      assert(byWalk.keySet == Set(1L, 4L))
+      byWalk.values.foreach { path =>
+        val sorted = path.sortBy(_._2)
+        assert(sorted.head._2 == 0 && sorted.head._3 == sorted.head._1)
+        assert(sorted.map(_._2).toSeq == (0 to 6))
+        sorted.sliding(2).foreach { case Array(p, q) =>
+          assert(eset.contains((p._3, q._3)),
+            s"hop ${p._3} -> ${q._3} is not an edge")
+        }
+      }
+      val again = GraphAlgos.hashGreedyWalks(edges, starts, steps = 6,
+          md5Hash = md5Face)
+        .orderBy("walk", "step")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.toSeq == again.toSeq)
+    }
+  }
+
+  test("hashGreedyWalks: dead ends terminate the walk early") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val starts = Seq(1L, 3L).toDF("node")
+    val rows = GraphAlgos.hashGreedyWalks(edges, starts, steps = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // walk 1: 1 -> 2 -> 3 then stops; walk 3: no out-edges at all
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
+    assert(rows.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
+  }
 }
