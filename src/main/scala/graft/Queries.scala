@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Terms
-import graft.operators.{Corpus, Dedup, GraphAlgos, GraphBuilder, PathQueries, SearchIndex, Similarity, TextAnalysis}
+import graft.operators.{Assoc, Corpus, Dedup, GraphAlgos, GraphBuilder, PathQueries, SearchIndex, Similarity, TextAnalysis}
 import graft.plans.QueryCatalog
 
 /**
@@ -2254,6 +2254,61 @@ object Queries {
       .orderBy("walk", "step")
   }
 
+  /** Association-rule gate: pairwise support/confidence/lift over the
+    * order baskets (item = partkey mod 50, floor 3 co-occurrences) —
+    * exact BIGINT counts, each ratio ONE IEEE expression, mirrored
+    * term-for-term in the oracle. */
+  def q144AssocRules(s: SparkSession, dir: String): DataFrame =
+    Assoc.associationRules(
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 50).as("item")),
+      minPairCount = 3L)
+      .orderBy("antecedent", "consequent")
+
+  /** Token-diversity gate: per-document Gini impurity of the token
+    * distribution — the log-free exact-rational diversity score
+    * (Σc²/n² of BIGINT counts + one division), bit-replayable where
+    * entropy's ln() never is. */
+  def q145TokenDiversity(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenDiversity(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Temporal-reachability gate: earliest arrival from the mod-10
+    * seed nodes over timestamped interaction edges (user → event
+    * residues, t = epoch micros) — integer-exact min-relaxation; the
+    * oracle unrolls the SAME 12 rounds as the engine's maxRounds
+    * (post-fixpoint rounds are no-ops; the engine fails fast if 12
+    * were ever too few — the q137 bound-parity convention). */
+  def q146TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val edges = ev.select((col("user_id") % 50).as("src"),
+      (col("event_id") % 50).as("dst"),
+      unix_micros(col("ts")).as("t"))
+    val starts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 10 === 0)
+    graft.operators.Events.earliestArrival(edges, starts, maxRounds = 12)
+      .orderBy("node")
+  }
+
+  /** Modularity gate: Newman Q of the fixed mod-12 partition over the
+    * undirected mod-200 orders graph — exact integer numerator
+    * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
+    * composes with [[graft.operators.GraphAlgos.labelPropagation]]
+    * (spec-asserted); the gate pins the arithmetic under a partition
+    * DuckDB can name in one expression. */
+  def q147Modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val labels = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .withColumn("label", col("node") % 12)
+    GraphAlgos.modularity(edges, labels)
+  }
+
   /** Catalog-surface gate for the global-analytics member: personalized
     * PageRank seeded from the CS vertices over the phenotype subgraph of
     * production query #2 (CS→CL→CSD) on the q46 fixture graph — "rank
@@ -2981,7 +3036,11 @@ object Queries {
     "q140_reciprocity" -> (q140Reciprocity _),
     "q141_assortativity" -> (q141Assortativity _),
     "q142_scc" -> (q142Scc _),
-    "q143_walks" -> (q143Walks _)
+    "q143_walks" -> (q143Walks _),
+    "q144_assoc_rules" -> (q144AssocRules _),
+    "q145_token_diversity" -> (q145TokenDiversity _),
+    "q146_temporal_reach" -> (q146TemporalReach _),
+    "q147_modularity" -> (q147Modularity _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4879,7 +4938,67 @@ object Queries {
         |   sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
         |FROM s""".stripMargin,
     "q142_scc" -> sccOracle(5),
-    "q143_walks" -> walksOracle(8))
+    "q143_walks" -> walksOracle(8),
+    "q144_assoc_rules" ->
+      """WITH b0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey % 50 AS item FROM lineitem WHERE l_orderkey < 2000),
+        |keep AS MATERIALIZED (SELECT basket FROM b0 GROUP BY basket
+        | HAVING count(*) <= 256),
+        |b AS MATERIALIZED (SELECT b0.* FROM b0 JOIN keep USING (basket)),
+        |n AS MATERIALIZED (SELECT count(DISTINCT basket) AS n_baskets
+        | FROM b),
+        |it AS MATERIALIZED (SELECT item, count(*) AS c FROM b
+        | GROUP BY item),
+        |p AS MATERIALIZED (SELECT x.item AS antecedent,
+        |  y.item AS consequent, count(*) AS c_pair
+        | FROM b x JOIN b y ON x.basket = y.basket AND x.item <> y.item
+        | GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.antecedent, p.consequent, p.c_pair, a.c AS c_ante,
+        |  c.c AS c_cons, n.n_baskets,
+        |  CAST(p.c_pair AS DOUBLE) / CAST(n.n_baskets AS DOUBLE)
+        |    AS support,
+        |  CAST(p.c_pair AS DOUBLE) / CAST(a.c AS DOUBLE) AS confidence,
+        |  (CAST(p.c_pair AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)) /
+        |  (CAST(a.c AS DOUBLE) * CAST(c.c AS DOUBLE)) AS lift
+        |FROM p JOIN it a ON a.item = p.antecedent
+        |JOIN it c ON c.item = p.consequent CROSS JOIN n
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q145_token_diversity" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |cnt AS MATERIALIZED (SELECT doc_id, tok, count(*) AS c
+        | FROM toks GROUP BY doc_id, tok),
+        |agg AS MATERIALIZED (SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * c) AS BIGINT) AS s2 FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens * n_tokens - s2 AS DOUBLE) /
+        |  CAST(n_tokens * n_tokens AS DOUBLE) AS gini
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q146_temporal_reach" -> temporalReachOracle(12),
+    "q147_modularity" ->
+      """WITH und AS MATERIALIZED (SELECT DISTINCT
+        |  least(o_custkey % 200, o_orderkey % 200) AS u,
+        |  greatest(o_custkey % 200, o_orderkey % 200) AS v
+        | FROM orders
+        | WHERE o_orderkey < 2000 AND o_custkey % 200 <> o_orderkey % 200),
+        |lab AS MATERIALIZED (SELECT node, node % 12 AS lbl FROM (
+        |  SELECT u AS node FROM und UNION SELECT v FROM und)),
+        |j AS MATERIALIZED (SELECT lu.lbl AS lu, lv.lbl AS lv FROM und
+        | JOIN lab lu ON lu.node = und.u
+        | JOIN lab lv ON lv.node = und.v),
+        |m AS MATERIALIZED (SELECT count(*) AS m FROM j),
+        |dc AS MATERIALIZED (SELECT lbl, count(*) AS d FROM (
+        |  SELECT lu AS lbl FROM j UNION ALL SELECT lv FROM j)
+        | GROUP BY lbl),
+        |s2 AS MATERIALIZED (SELECT CAST(sum(d * d) AS BIGINT) AS sd2
+        | FROM dc),
+        |se AS MATERIALIZED (SELECT count(*) AS se FROM j WHERE lu = lv)
+        |SELECT m.m, 4 * m.m * se.se - s2.sd2 AS q_num,
+        |  CAST(4 * m.m * se.se - s2.sd2 AS DOUBLE) /
+        |  CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+        |FROM m CROSS JOIN s2 CROSS JOIN se""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure
@@ -4932,6 +5051,29 @@ object Queries {
        |$hops
        |$sel
        |ORDER BY walk, step""".stripMargin
+  }
+
+  /** The q146 oracle: earliest-arrival relaxation unrolled round by
+    * round — each aN min-merges the previous arrivals with the
+    * time-respecting frontier step (t ≥ arr(src)); integer epoch
+    * micros end to end. */
+  private def temporalReachOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT node, min(arr) AS arr FROM (
+         |  SELECT node, arr FROM a${i - 1}
+         |  UNION ALL SELECT e.dst AS node, e.t AS arr
+         |  FROM e JOIN a${i - 1} p ON e.src = p.node AND e.t >= p.arr)
+         | GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT user_id % 50 AS src,
+       |  event_id % 50 AS dst, epoch_us(ts) AS t FROM events
+       | WHERE epoch_us(ts) >= 0),
+       |n AS MATERIALIZED (SELECT src AS node FROM e
+       | UNION SELECT dst FROM e),
+       |a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS arr FROM n
+       | WHERE node % 10 = 0),
+       |$steps
+       |SELECT node, arr FROM a$rounds ORDER BY node""".stripMargin
   }
 
   /** The q136 oracle: Brandes unrolled level by level — BFS distances

@@ -1043,4 +1043,31 @@ object Corpus {
             .as("lift"))
     }
   }
+
+  /** Per-document token-distribution diversity as GINI IMPURITY
+    * (1 − Σ pᵢ², pᵢ = token frequency share) — the log-free twin of
+    * token entropy: 0 = one token repeated (slop/boilerplate), → 1 =
+    * all tokens distinct. Chosen over entropy deliberately: Σc²/n² is
+    * an EXACT rational of BIGINT counts and one IEEE division, so the
+    * q145 gate replays bit-identically in any engine, where ln() is
+    * libm-dependent and never cross-engine exact. Emits (doc_id,
+    * n_tokens, gini); docs with zero alphanumeric tokens drop (no
+    * distribution to score).
+    *
+    * Shape at 100 TB: two map-side-combined aggregations — (doc,
+    * token) counts then per-doc moments; the shuffle keys on doc_id
+    * both times, no joins, no driver state. */
+  def tokenDiversity(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => t =!= "")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+  }
 }

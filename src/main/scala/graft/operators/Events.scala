@@ -404,4 +404,70 @@ object Events {
         unix_micros(col("window.end")).as("we_us") +:
         keyCols.map(col) :+ col("n") :+ col("total"): _*)
   }
+
+  /** Temporal (time-respecting) earliest-arrival reachability: over
+    * timestamped edges (src, dst, t), a path is valid only if edge
+    * times never decrease, and arr(v) = the earliest time v is
+    * reachable from any source — the propagation-speed primitive
+    * (information/contagion spread through an interaction log; static
+    * reachability over the same edges badly OVERSTATES what temporal
+    * ordering permits). Relaxation: arr(v) = min over edges (u, v, t)
+    * with t ≥ arr(u) of t, iterated from arr(source) = `startTime` to
+    * fixpoint — monotone descent over integer times, so any engine
+    * replays it exactly. Sources emit `startTime` itself; unreachable
+    * nodes are absent.
+    *
+    * Shape at 100 TB: the [[GraphAlgos]] loop contract — the
+    * timestamped edge table (pre-filtered to t ≥ startTime, the only
+    * edges that can ever fire) partitions on src ONCE under AQE-off
+    * capture; each round joins the |V|-sized arrival frontier and
+    * min-combines map-side, with the improvement count riding the
+    * round's own checkpoint via `Dataset.observe`; rounds scale with
+    * the temporal hop diameter and `requireConverged` fails fast if
+    * `maxRounds` was too small (never silently non-minimal). */
+  def earliestArrival(edges0: DataFrame, sources: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      timeCol: String = "t", sourceCol: String = "node",
+      startTime: Long = 0L, maxRounds: Int = 16,
+      requireConverged: Boolean = true): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(timeCol).cast("long").as("__t"))
+        .filter(col("__t") >= startTime)
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    var arr = sources.select(col(sourceCol).as("node")).distinct()
+      .withColumn("arr", lit(startTime))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val step = edges.join(arr, col("src") === col("node"))
+        .filter(col("__t") >= col("arr"))
+        .select(col("dst").as("node"), col("__t").as("arr"),
+          lit(null).cast("long").as("old"))
+      val merged = arr.withColumn("old", col("arr"))
+        .unionByName(step)
+        .groupBy("node")
+        .agg(min(col("arr")).as("arr"), min(col("old")).as("old"))
+      val obs = org.apache.spark.sql.Observation()
+      val updated = merged
+        .observe(obs, count(when(col("old").isNull ||
+          col("arr") < col("old"), 1)).as("improved"))
+        .select("node", "arr")
+      val prev = arr
+      arr = updated.localCheckpoint(true)
+      Exec.releaseCheckpoint(prev)
+      changed = obs.get("improved").asInstanceOf[Long] > 0L
+      round += 1
+    }
+    require(!requireConverged || !changed,
+      s"earliest-arrival did not converge within $maxRounds rounds " +
+        "(long temporal hop chains — raise maxRounds)")
+    arr
+  }
 }

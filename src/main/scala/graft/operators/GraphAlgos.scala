@@ -1263,6 +1263,49 @@ object GraphAlgos {
         .as("assortativity"))
   }
 
+  /** Newman modularity of a node partition over the UNDIRECTED graph
+    * under `edges0`: Q = Σ_c [e_c/m − (d_c/2m)²] where e_c = intra-c
+    * edges, d_c = degree mass of c, m = edges — the standard quality
+    * score for [[labelPropagation]] / clustering output. Computed as
+    * the EXACT integer numerator q_num = 4m·Σe_c − Σd_c² over
+    * denominator 4m², with ONE final IEEE division (both sides < 2^53
+    * until m ~ 5·10⁷ per evaluation scope), so the q147 gate replays
+    * bit-identically. Nodes missing from `labels` drop with their
+    * edges (inner-join convention — score the labeled subgraph).
+    * Returns ONE row (m, q_num, modularity).
+    *
+    * Shape at 100 TB: two label joins shuffle the edge table (on u
+    * then v), then everything collapses through map-side-combined
+    * counts; the final row is a cross join of three scalar aggregates.
+    * No driver-side iteration. */
+  def modularity(edges0: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val lab = labels.select(col(nodeCol), col(labelCol)).distinct()
+    val j = und
+      .join(lab.select(col(nodeCol).as("u"), col(labelCol).as("lu")), "u")
+      .join(lab.select(col(nodeCol).as("v"), col(labelCol).as("lv")), "v")
+    Exec.withPersisted(j) {
+      val mDf = j.agg(count(lit(1)).as("m"))
+      val dc = j.select(explode(array(col("lu"), col("lv"))).as("lbl"))
+        .groupBy("lbl").agg(count(lit(1)).as("d"))
+      val sd2 = dc.agg(sum(col("d") * col("d")).as("sd2"))
+      val se = j.filter(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("se"))
+      mDf.crossJoin(broadcast(sd2)).crossJoin(broadcast(se))
+        .select(col("m"),
+          (lit(4L) * col("m") * col("se") - col("sd2")).as("q_num"),
+          ((lit(4L) * col("m") * col("se") - col("sd2")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+            .as("modularity"))
+    }
+  }
+
   /** Deterministic hash-greedy random walks — the graph-sampling
     * primitive under DeepWalk/node2vec-style embedding training: one
     * walk per start node, `steps` hops, each hop moving to the

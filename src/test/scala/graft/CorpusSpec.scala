@@ -652,4 +652,19 @@ class CorpusSpec extends SparkSpec {
         r.getAs[Long]("c12"))).toMap
     assert(rep(("a", "b")) == 2L && rep(("b", "a")) == 1L)
   }
+
+  test("tokenDiversity: exact Gini impurity of the token distribution") {
+    val docs = Seq(
+      (1L, "a a b"),          // counts 2,1 -> 1 - 5/9 = 4/9
+      (2L, "x y z"),          // all distinct -> 1 - 3/9 = 2/3
+      (3L, "w w w w"),        // one token -> 0
+      (4L, "...!!!")          // no alphanumeric tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = Corpus.tokenDiversity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((3L, 4.0 / 9.0)))
+    assert(got(2L) == ((3L, 6.0 / 9.0)))
+    assert(got(3L) == ((4L, 0.0)))
+  }
 }

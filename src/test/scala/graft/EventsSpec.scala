@@ -285,4 +285,44 @@ class EventsSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"window counts must map-side combine:\n$plan")
   }
+
+  test("earliestArrival: time-respecting paths only, min wins, " +
+    "unreachable absent") {
+    // 1 -> 2 at t=5; 2 -> 3 at t=3 (BEFORE arrival at 2: unusable);
+    // 2 -> 3 at t=7 (usable); 1 -> 4 at t=2; 9 isolated source
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 7L),
+      (1L, 4L, 2L)).toDF("src", "dst", "t")
+    val got = Events.earliestArrival(edges, Seq(1L, 9L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 9L -> 0L, 2L -> 5L, 3L -> 7L, 4L -> 2L))
+  }
+
+  test("earliestArrival: a later direct edge never beats an earlier " +
+    "multi-hop chain, and vice versa - global min arrival") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 12L), (1L, 3L, 20L))
+      .toDF("src", "dst", "t")
+    val got = Events.earliestArrival(edges, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 12L) // chain 10 -> 12 beats direct 20
+    val edges2 = Seq((1L, 2L, 10L), (2L, 3L, 12L), (1L, 3L, 4L))
+      .toDF("src", "dst", "t")
+    val got2 = Events.earliestArrival(edges2, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(3L) == 4L) // direct 4 beats the chain
+  }
+
+  test("earliestArrival: startTime filters pre-start edges and " +
+    "convergence fails fast when maxRounds is too small") {
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 50L)).toDF("src", "dst", "t")
+    val got = Events.earliestArrival(edges, Seq(1L).toDF("node"),
+        startTime = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 3L -> 50L)) // t=5 edge can never fire
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L))
+      .toDF("src", "dst", "t")
+    intercept[IllegalArgumentException] {
+      Events.earliestArrival(chain, Seq(1L).toDF("node"), maxRounds = 2)
+        .count()
+    }
+  }
 }

@@ -703,6 +703,37 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("modularity: exact integer numerator on two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6} bridged by (3,4): m = 7,
+    // intra = 6, d_A = d_B = 7 -> q_num = 4*7*6 - 98 = 70, Q = 70/196
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "label")
+    val r = GraphAlgos.modularity(edges, labels).collect().head
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 70L)
+    assert(r.getDouble(2) == 70.0 / 196.0)
+  }
+
+  test("modularity: composes with labelPropagation and scores the " +
+    "planted partition above the random one") {
+    def ring(ids: Seq[Long]) = ids.zip(ids.tail :+ ids.head)
+    val a = Seq(1L, 2L, 3L, 4L)
+    val b = Seq(11L, 12L, 13L, 14L)
+    // two K4-ish rings with chords, one bridge
+    val edges = (ring(a) ++ ring(b) ++ Seq((1L, 3L), (11L, 13L),
+      (4L, 11L))).toDF("src", "dst")
+    val lpa = GraphAlgos.labelPropagation(edges, rounds = 4)
+    val good = GraphAlgos.modularity(edges, lpa,
+      nodeCol = "node", labelCol = "label")
+      .collect().head.getDouble(2)
+    val bad = GraphAlgos.modularity(edges,
+      (a ++ b).toDF("node").withColumn("label", col("node") % 2))
+      .collect().head.getDouble(2)
+    assert(good > bad, s"LPA partition $good must beat parity $bad")
+  }
+
   // ===== deterministic walks =====
 
   test("hashGreedyWalks: every hop follows an edge, runs are " +
