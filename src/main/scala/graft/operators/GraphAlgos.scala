@@ -848,10 +848,20 @@ object GraphAlgos {
       val prevEdges = edges
       val bare = edges.select("a", "b")
       val obs = org.apache.spark.sql.Observation()
-      edges = bare.join(orientedSupport(bare), Seq("a", "b"), "left")
-        .select(col("a"), col("b"),
-          coalesce(col("supp"), lit(0L)).as("supp"))
-        .filter(col("supp") >= k - 2)
+      // k >= 3: an edge in no triangle (absent from the support table)
+      // has supp 0 < k-2 and drops either way, and every survivor
+      // (supp >= k-2 >= 1) IS in the support table — so the per-round
+      // edges⋈support join is pure overhead and the filtered support
+      // table alone is the next edge set (one fewer shuffle per peel
+      // round). k = 2 keeps every edge, so only there do
+      // support-0 edges need the join back.
+      val counted =
+        if (k >= 3) orientedSupport(bare).filter(col("supp") >= k - 2)
+        else bare.join(orientedSupport(bare), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("supp"), lit(0L)).as("supp"))
+          .filter(col("supp") >= k - 2)
+      edges = counted
         .observe(obs, count(lit(1)).as("rows"))
         .localCheckpoint(true)
       Exec.releaseCheckpoint(prevEdges)
