@@ -2292,6 +2292,21 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Readability gate: Flesch reading-ease from three exact integer
+    * censuses (words / sentences / vowel-group syllables) and the one
+    * fixed IEEE expression — literals CAST to DOUBLE on the oracle
+    * side so both engines evaluate identical doubles. */
+  def q148Readability(s: SparkSession, dir: String): DataFrame =
+    Corpus.readability(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** RFM gate: recency/frequency/monetary quintile scores per user —
+    * decimal-exact spend, unique (metric, user) tie keys make every
+    * ntile rank engine-independent. */
+  def q149Rfm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.rfmScores(events(s, dir))
+      .orderBy("user_id")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3040,7 +3055,9 @@ object Queries {
     "q144_assoc_rules" -> (q144AssocRules _),
     "q145_token_diversity" -> (q145TokenDiversity _),
     "q146_temporal_reach" -> (q146TemporalReach _),
-    "q147_modularity" -> (q147Modularity _)
+    "q147_modularity" -> (q147Modularity _),
+    "q148_readability" -> (q148Readability _),
+    "q149_rfm" -> (q149Rfm _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -4998,7 +5015,41 @@ object Queries {
         |SELECT m.m, 4 * m.m * se.se - s2.sd2 AS q_num,
         |  CAST(4 * m.m * se.se - s2.sd2 AS DOUBLE) /
         |  CAST(4 * m.m * m.m AS DOUBLE) AS modularity
-        |FROM m CROSS JOIN s2 CROSS JOIN se""".stripMargin)
+        |FROM m CROSS JOIN s2 CROSS JOIN se""".stripMargin,
+    "q148_readability" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id,
+        |  greatest(1, len(list_filter(string_split_regex(text,
+        |    '[.!?]+'), s -> regexp_matches(s, '[a-zA-Z0-9]')))) AS s,
+        |  unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS word
+        | FROM documents),
+        |agg AS MATERIALIZED (SELECT doc_id, count(*) AS n_words,
+        |  CAST(max(s) AS BIGINT) AS n_sentences,
+        |  CAST(sum(greatest(1,
+        |    len(string_split_regex(word, '[aeiouy]+')) - 1))
+        |    AS BIGINT) AS n_syllables
+        | FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206.835 AS DOUBLE) -
+        |  CAST(1.015 AS DOUBLE) *
+        |    (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |  CAST(84.6 AS DOUBLE) *
+        |    (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    AS flesch
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q149_rfm" ->
+      """WITH per AS MATERIALIZED (SELECT user_id,
+        |  max(epoch_us(ts)) AS last_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        | FROM events GROUP BY user_id),
+        |t AS MATERIALIZED (SELECT user_id, last_us, n_events, monetary,
+        |  ntile(5) OVER (ORDER BY last_us, user_id) AS r,
+        |  ntile(5) OVER (ORDER BY n_events, user_id) AS f,
+        |  ntile(5) OVER (ORDER BY monetary, user_id) AS m
+        | FROM per)
+        |SELECT user_id, last_us, n_events, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS rfm
+        |FROM t ORDER BY user_id""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

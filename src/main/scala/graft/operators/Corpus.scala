@@ -1057,6 +1057,46 @@ object Corpus {
     * Shape at 100 TB: two map-side-combined aggregations — (doc,
     * token) counts then per-doc moments; the shuffle keys on doc_id
     * both times, no joins, no driver state. */
+  /** Flesch reading-ease per document from three EXACT integer
+    * censuses — words (the house alnum tokenizer), sentences
+    * (non-empty [.!?]+ segments, floored at 1), and syllables (vowel
+    * groups per word, floored at 1/word — the standard heuristic) —
+    * combined by the one fixed IEEE expression
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W), so the q148 gate replays
+    * bit-identically (literals, divisions, and the left-associated
+    * subtraction chain mirror term-for-term in the oracle). Docs with
+    * zero words drop. Readability is the classic cheap quality signal
+    * next to [[gopherRules]]' length/ratio gates.
+    *
+    * Shape at 100 TB: one explode over words, one map-side-combined
+    * per-doc aggregation — the sentence census rides the explode as a
+    * constant per-doc column (max-combined), no joins. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => t =!= "")
+    val sentences = greatest(lit(1),
+      size(filter(split(col(textCol), "[.!?]+"),
+        s => s.rlike("[a-zA-Z0-9]")))).cast("long")
+    val perWord = docs.select(col(idCol).as("doc_id"),
+      sentences.as("__s"), explode(words).as("w"))
+    perWord
+      .withColumn("__y",
+        greatest(lit(1L), (size(split(col("w"), "[aeiouy]+")) - 1)
+          .cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        max(col("__s")).as("n_sentences"),
+        sum(col("__y")).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double"))).as("flesch"))
+  }
+
   def tokenDiversity(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -405,6 +405,43 @@ object Events {
         keyCols.map(col) :+ col("n") :+ col("total"): _*)
   }
 
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * classic segmentation trio as deterministic quantile buckets:
+    * per user, last-event epoch micros, event count, and the
+    * DECIMAL-exact spend sum (the file-header convention: decimal is
+    * associative, so any aggregation plan produces the same cents),
+    * then `buckets`-tile ranks over (metric, user) — the unique tie
+    * key makes every rank replayable in any engine. `rfm` packs the
+    * three digits (r·100 + f·10 + m). Higher bucket = more recent /
+    * more frequent / higher spend.
+    *
+    * Shape at 100 TB: one map-side-combined per-user aggregation
+    * (billions of events → |users| rows), then three window ranks over
+    * the AGGREGATED table — |users|-sized sorts, the same cost class
+    * as the final ORDER BY of any report, never a window over raw
+    * events. */
+  def rfmScores(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", valueCol: String = "value",
+                buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val per = events
+      .select(col(userCol).as("user_id"), us(events, tsCol).as("__us"),
+        col(valueCol).cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)).as("__v"))
+      .groupBy("user_id")
+      .agg(max(col("__us")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("__v")).cast("double").as("monetary"))
+    per
+      .withColumn("r", ntile(buckets).over(
+        Window.orderBy(col("last_us"), col("user_id"))))
+      .withColumn("f", ntile(buckets).over(
+        Window.orderBy(col("n_events"), col("user_id"))))
+      .withColumn("m", ntile(buckets).over(
+        Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
   /** Temporal (time-respecting) earliest-arrival reachability: over
     * timestamped edges (src, dst, t), a path is valid only if edge
     * times never decrease, and arr(v) = the earliest time v is

@@ -653,6 +653,25 @@ class CorpusSpec extends SparkSpec {
     assert(rep(("a", "b")) == 2L && rep(("b", "a")) == 1L)
   }
 
+  test("readability: exact censuses and the Flesch expression") {
+    val docs = Seq(
+      (1L, "Hi there. One banana!"),
+      // vowel-only and consonant-only words floor at 1 syllable
+      (2L, "aa str"),
+      (3L, "!!! ...") // no words -> dropped
+    ).toDF("doc_id", "text")
+    val got = Corpus.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // hi=1, there=2, one=2, banana=3 -> Y=8; W=4, S=2
+    assert(got(1L) == ((4L, 2L, 8L,
+      206.835 - 1.015 * (4.0 / 2.0) - 84.6 * (8.0 / 4.0))))
+    // aa=1 (one group), str=0 -> floored 1 -> Y=2; W=2, S floors at 1
+    assert(got(2L) == ((2L, 1L, 2L,
+      206.835 - 1.015 * (2.0 / 1.0) - 84.6 * (2.0 / 2.0))))
+  }
+
   test("tokenDiversity: exact Gini impurity of the token distribution") {
     val docs = Seq(
       (1L, "a a b"),          // counts 2,1 -> 1 - 5/9 = 4/9

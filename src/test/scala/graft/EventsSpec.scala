@@ -286,6 +286,26 @@ class EventsSpec extends SparkSpec {
       s"window counts must map-side combine:\n$plan")
   }
 
+  test("rfmScores: decimal-exact monetary, deterministic tiles, " +
+    "packed digit") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // users 1..4: increasing recency, frequency, and spend together
+    val events = (1 to 4).flatMap { u =>
+      (1 to u).map(i => (u.toLong, ts(u * 10 + i), u * 1.10))
+    }.toDF("user_id", "ts", "value")
+    val got = graft.operators.Events.rfmScores(events, buckets = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5),
+          r.getInt(6), r.getInt(7)))).toMap
+    // user u: n_events = u, monetary = u * 1.10 * u (exact cents)
+    assert(got(1L)._1 == 1L && got(4L)._1 == 4L)
+    assert(got(2L)._2 == 2.20 * 2)
+    assert(got(1L)._3 == 1 && got(1L)._4 == 1 && got(1L)._5 == 1)
+    assert(got(4L)._3 == 2 && got(4L)._4 == 2 && got(4L)._5 == 2)
+    assert(got(1L)._6 == 111 && got(4L)._6 == 222)
+  }
+
   test("earliestArrival: time-respecting paths only, min wins, " +
     "unreachable absent") {
     // 1 -> 2 at t=5; 2 -> 3 at t=3 (BEFORE arrival at 2: unusable);
