@@ -1055,11 +1055,13 @@ object GraphAlgos {
         .localCheckpoint(true)
     }
     val idType = edges.schema("u").dataType
+    val obsN0 = org.apache.spark.sql.Observation()
     var nodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v")))
       .distinct()
+      .observe(obsN0, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    var nActive = nodes.count()
+    var nActive = obsN0.get("n").asInstanceOf[Long]
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     while (nActive > 0L && outer < maxOuter) {
