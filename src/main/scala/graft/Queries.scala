@@ -2307,6 +2307,37 @@ object Queries {
     graft.operators.Events.rfmScores(events(s, dir))
       .orderBy("user_id")
 
+  /** Transition-matrix gate: the first-order Markov view of user
+    * journeys — exact transition counts with (us, event_id) tie keys,
+    * marginals, and one-division probabilities. */
+  def q150Transitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.transitionMatrix(events(s, dir))
+      .orderBy("from_type", "to_type")
+
+  /** Percent-rank gate: rank-based normalization of the exact per-doc
+    * token count — integer ranks over a unique (score, id) order, one
+    * IEEE division. */
+  def q151PercentRank(s: SparkSession, dir: String): DataFrame =
+    Corpus.percentRankNormalize(
+      Corpus.tokenDiversity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens")),
+      scoreCol = "n_tokens")
+      .orderBy("doc_id")
+
+  /** Z-score outlier gate: per-type decimal-exact moments, population
+    * σ, |z| > 3 rows with their z — every selected row and double
+    * bit-replayable. */
+  def q152ZscoreOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.zscoreOutliers(events(s, dir))
+      .orderBy("event_id")
+
+  /** Concurrency-sweep gate: the running count of open sessions over
+    * the q68 sessionization's boundary stream — closed-interval tie
+    * order on a unique key, integer-exact. */
+  def q153Concurrency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionConcurrency(events(s, dir))
+      .orderBy("t", "is_end", "user_id", "session_idx")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3057,7 +3088,11 @@ object Queries {
     "q146_temporal_reach" -> (q146TemporalReach _),
     "q147_modularity" -> (q147Modularity _),
     "q148_readability" -> (q148Readability _),
-    "q149_rfm" -> (q149Rfm _)
+    "q149_rfm" -> (q149Rfm _),
+    "q150_transitions" -> (q150Transitions _),
+    "q151_percent_rank" -> (q151PercentRank _),
+    "q152_zscore_outliers" -> (q152ZscoreOutliers _),
+    "q153_concurrency" -> (q153Concurrency _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5049,7 +5084,72 @@ object Queries {
         | FROM per)
         |SELECT user_id, last_us, n_events, monetary, r, f, m,
         |  r * 100 + f * 10 + m AS rfm
-        |FROM t ORDER BY user_id""".stripMargin)
+        |FROM t ORDER BY user_id""".stripMargin,
+    "q150_transitions" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id,
+        |  event_type AS from_type, epoch_us(ts) AS us FROM events),
+        |nx AS MATERIALIZED (SELECT from_type, lead(from_type) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        | FROM e),
+        |c AS MATERIALIZED (SELECT from_type, to_type, count(*) AS n
+        | FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT from_type,
+        |  CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n, m.n_from,
+        |  CAST(c.n AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS prob
+        |FROM c JOIN m USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q151_percent_rank" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |agg AS MATERIALIZED (SELECT doc_id, count(*) AS n_tokens
+        | FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, percent_rank() OVER (
+        |  ORDER BY n_tokens, doc_id) AS pct
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q152_zscore_outliers" ->
+      """WITH st AS MATERIALIZED (SELECT event_type AS ty,
+        |  CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) *
+        |    CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2d
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.sxd / st.nd) /
+        |  sqrt((st.nd * st.sx2d - st.sxd * st.sxd) / (st.nd * st.nd))
+        |    AS z
+        |FROM events e JOIN st ON st.ty = e.event_type
+        |WHERE ((e.value - st.sxd / st.nd) /
+        |  sqrt((st.nd * st.sx2d - st.sxd * st.sxd) / (st.nd * st.nd))) *
+        |  ((e.value - st.sxd / st.nd) /
+        |  sqrt((st.nd * st.sx2d - st.sxd * st.sxd) / (st.nd * st.nd)))
+        |  > 9.0
+        |ORDER BY event_id""".stripMargin,
+    "q153_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        | us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        | FROM e),
+        |f AS (SELECT user_id, us,
+        | CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+        |   AS new FROM g),
+        |s AS (SELECT user_id, us,
+        | CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY us)
+        |   AS BIGINT) AS session_idx FROM f),
+        |sess AS MATERIALIZED (SELECT user_id, session_idx,
+        |  min(us) AS st, max(us) AS en FROM s
+        | GROUP BY user_id, session_idx),
+        |bnd AS MATERIALIZED (
+        | SELECT user_id, session_idx, st AS t, 0 AS is_end FROM sess
+        | UNION ALL
+        | SELECT user_id, session_idx, en, 1 FROM sess)
+        |SELECT user_id, session_idx, t, is_end,
+        |  CAST(SUM(CASE WHEN is_end = 0 THEN 1 ELSE -1 END) OVER (
+        |    ORDER BY t, is_end, user_id, session_idx) AS BIGINT)
+        |    AS concurrency
+        |FROM bnd
+        |ORDER BY t, is_end, user_id, session_idx""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -1097,6 +1097,25 @@ object Corpus {
             col("n_words").cast("double"))).as("flesch"))
   }
 
+  /** Rank-based score normalization: percent_rank of `scoreCol` over
+    * the whole frame with `idCol` as the tie key — the
+    * distribution-free way to turn any quality signal into a [0, 1]
+    * percentile for threshold-free corpus mixing ("keep the top 30%"
+    * survives any score rescaling; z-scores don't). percent_rank is
+    * (rank−1)/(N−1) — exact integer ranks, one IEEE division — so the
+    * q151 gate replays bit-identically.
+    *
+    * Shape at 100 TB: ONE global sort of (id, score) rows — the same
+    * cost class as the final ORDER BY of any report. For per-group
+    * normalization partition the window instead; this is the corpus-
+    * wide face. */
+  def percentRankNormalize(scored: DataFrame, scoreCol: String,
+                           idCol: String = "doc_id"): DataFrame =
+    scored.select(col(idCol), col(scoreCol))
+      .withColumn("pct", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol), col(idCol))))
+
   def tokenDiversity(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

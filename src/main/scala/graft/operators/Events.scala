@@ -405,6 +405,97 @@ object Events {
         keyCols.map(col) :+ col("n") :+ col("total"): _*)
   }
 
+  /** Event-type transition matrix — the first-order Markov view of
+    * user journeys: for each (from_type, to_type) consecutive pair
+    * within a user's timeline, the exact BIGINT count, the from-state
+    * marginal, and prob = n/n_from as ONE IEEE division (bit-exact in
+    * any engine). Ordering ties break on `idCol`, so the successor of
+    * every event is engine-independent. The to-state of a user's last
+    * event is undefined and drops.
+    *
+    * Shape at 100 TB: one per-user window (billions of users
+    * parallelize; never a global window over events) and two
+    * map-side-combined counts; the marginal re-aggregates the
+    * |types|²-bounded transition table, not the events. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("__us"), col(idCol))
+    val nxt = events
+      .select(col(userCol), col(idCol), col(typeCol).as("from_type"),
+        us(events, tsCol).as("__us"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val c = nxt.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val m = c.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    c.join(m, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+  }
+
+  /** Per-group z-score outliers with DECIMAL-exact moments: per
+    * `typeCol` group, n, Σx and Σx² accumulate as decimals (value
+    * snapped to cents — associative, so any aggregation plan produces
+    * the same sums), then μ, population σ and z = (x−μ)/σ are ONE
+    * fixed IEEE expression over the exact moments — the q152 gate
+    * replays every selected row and z bit-identically. Returns the
+    * events with |z| > `threshold` (compared as z² > threshold², the
+    * same expression both engines evaluate). A zero-variance group
+    * yields ±Inf/NaN z — of the caller's degenerate group, not the
+    * operator.
+    *
+    * Shape at 100 TB: one map-side-combined group aggregate (|types|
+    * rows), broadcast back over the events — no window, no sort. */
+  def zscoreOutliers(events: DataFrame, typeCol: String = "event_type",
+                     valueCol: String = "value", idCol: String = "event_id",
+                     threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val stats = events
+      .select(col(typeCol).as("__ty"), col(valueCol).cast(dec).as("__v"))
+      .groupBy("__ty")
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sx"),
+        sum(col("__v") * col("__v")).as("__sx2"))
+      .select(col("__ty"),
+        col("__n").cast("double").as("__nd"),
+        col("__sx").cast("double").as("__sxd"),
+        col("__sx2").cast("double").as("__sx2d"))
+    val mu = col("__sxd") / col("__nd")
+    val sigma = sqrt((col("__nd") * col("__sx2d") -
+      col("__sxd") * col("__sxd")) / (col("__nd") * col("__nd")))
+    events.join(broadcast(stats), col(typeCol) === col("__ty"))
+      .withColumn("z", (col(valueCol) - mu) / sigma)
+      .filter(col("z") * col("z") > threshold * threshold)
+      .select(col(idCol), col(typeCol), col(valueCol), col("z"))
+  }
+
+  /** Session-concurrency sweep line over [[sessionize]] output: each
+    * session contributes a start (+1) and an end (−1) boundary, and
+    * the running sum ordered by (t, is_end, user, session) is the
+    * number of concurrently open sessions after each boundary —
+    * closed-interval convention (starts sort before ends at the same
+    * instant, so a zero-duration session still counts 1 and the count
+    * never dips negative). The unique ordering key makes every row
+    * engine-independent.
+    *
+    * Shape at 100 TB: the sweep is ONE global window — but over the
+    * 2·|sessions| boundary table (the same cost class as the final
+    * ORDER BY of any report), never over raw events; sessionization
+    * itself stays per-user partitioned. */
+  def sessionConcurrency(events: DataFrame, userCol: String = "user_id",
+                         tsCol: String = "ts",
+                         gapSeconds: Long = 1800L): DataFrame = {
+    val sess = sessionize(events, userCol, tsCol, gapSeconds)
+    val bounds = sess.select(col(userCol), col("session_idx"),
+        col("start_us").as("t"), lit(0).as("is_end"))
+      .unionByName(sess.select(col(userCol), col("session_idx"),
+        (col("start_us") + col("duration_us")).as("t"), lit(1).as("is_end")))
+    val sweep = Window.orderBy(col("t"), col("is_end"), col(userCol),
+      col("session_idx"))
+    bounds.withColumn("concurrency",
+      sum(when(col("is_end") === 0, 1L).otherwise(-1L)).over(sweep))
+  }
+
   /** RFM (recency / frequency / monetary) customer scoring — the
     * classic segmentation trio as deterministic quantile buckets:
     * per user, last-event epoch micros, event count, and the

@@ -653,6 +653,16 @@ class CorpusSpec extends SparkSpec {
     assert(rep(("a", "b")) == 2L && rep(("b", "a")) == 1L)
   }
 
+  test("percentRankNormalize: integer ranks over the unique " +
+    "(score, id) order, one division") {
+    val scored = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L))
+      .toDF("doc_id", "score")
+    val got = Corpus.percentRankNormalize(scored, "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0 / 3.0, 3L -> 2.0 / 3.0,
+      4L -> 1.0))
+  }
+
   test("readability: exact censuses and the Flesch expression") {
     val docs = Seq(
       (1L, "Hi there. One banana!"),

@@ -286,6 +286,50 @@ class EventsSpec extends SparkSpec {
       s"window counts must map-side combine:\n$plan")
   }
 
+  test("transitionMatrix: per-user successor counts, marginals, " +
+    "one-division probabilities") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val events = Seq(
+      (1L, 1L, ts(1), "A"), (1L, 2L, ts(2), "B"), (1L, 3L, ts(3), "A"),
+      (2L, 4L, ts(1), "B"), (2L, 5L, ts(2), "B")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Events.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 1L, 1.0)),
+      ("B", "A") -> ((1L, 2L, 0.5)),
+      ("B", "B") -> ((1L, 2L, 0.5))))
+  }
+
+  test("zscoreOutliers: decimal-exact population moments select " +
+    "exactly the planted outlier") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val rows = (1 to 19).map(i => (i.toLong, ts(i), "buy", 0.0)) :+
+      (20L, ts(20), "buy", 100.0)
+    val events = rows.toDF("event_id", "ts", "event_type", "value")
+    val got = graft.operators.Events.zscoreOutliers(events).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // n=20, mu=5, var=(20*10000-10000)/400=475 -> z = 95/sqrt(475)
+    val sigma = math.sqrt((20.0 * 10000.0 - 100.0 * 100.0) / 400.0)
+    assert(got == Map(20L -> (100.0 - 5.0) / sigma))
+  }
+
+  test("sessionConcurrency: closed-interval sweep counts overlapping " +
+    "sessions and never dips negative") {
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    // user 1: one session [0s, 10s]; user 2: zero-duration at 5s
+    val events = Seq((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+      .toDF("user_id", "ts")
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val got = graft.operators.Events.sessionConcurrency(events)
+      .orderBy("t", "is_end", "user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(2) - base, r.getInt(3), r.getLong(4))).toSeq
+    assert(got == Seq((0L, 0, 1L), (5000000L, 0, 2L), (5000000L, 1, 1L),
+      (10000000L, 1, 0L)))
+  }
+
   test("rfmScores: decimal-exact monetary, deterministic tiles, " +
     "packed digit") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
