@@ -2338,6 +2338,29 @@ object Queries {
     graft.operators.Events.sessionConcurrency(events(s, dir))
       .orderBy("t", "is_end", "user_id", "session_idx")
 
+  /** Edit-distance join gate: all part-name pairs within Levenshtein
+    * distance 2 — the engine's q-gram-filtered hybrid must EQUAL the
+    * naive all-pairs oracle (2252 pairs at sf0.01's cap), proving the
+    * count filter and the short-string bucket lose nothing. */
+  def q154EditDistance(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(
+      t(s, dir, "part").filter(col("p_partkey") < 400),
+      idCol = "p_partkey", strCol = "p_name")
+      .orderBy("id_a", "id_b")
+
+  /** Skyline gate: the (cents, qty) Pareto frontier of the capped
+    * lineitems — dominance by comparisons only (no float arithmetic),
+    * two window minima instead of the naive O(n²) anti-join. */
+  def q155Skyline(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.skylineMin(
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty")),
+      "cents", "qty")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3092,7 +3115,9 @@ object Queries {
     "q150_transitions" -> (q150Transitions _),
     "q151_percent_rank" -> (q151PercentRank _),
     "q152_zscore_outliers" -> (q152ZscoreOutliers _),
-    "q153_concurrency" -> (q153Concurrency _)
+    "q153_concurrency" -> (q153Concurrency _),
+    "q154_edit_distance" -> (q154EditDistance _),
+    "q155_skyline" -> (q155Skyline _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5149,7 +5174,28 @@ object Queries {
         |    ORDER BY t, is_end, user_id, session_idx) AS BIGINT)
         |    AS concurrency
         |FROM bnd
-        |ORDER BY t, is_end, user_id, session_idx""".stripMargin)
+        |ORDER BY t, is_end, user_id, session_idx""".stripMargin,
+    "q154_edit_distance" ->
+      """WITH s AS MATERIALIZED (SELECT p_partkey AS id, p_name AS nm
+        | FROM part WHERE p_partkey < 400)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.nm, b.nm) AS dist
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q155_skyline" ->
+      """WITH base AS MATERIALIZED (SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        | FROM lineitem WHERE l_orderkey < 2000),
+        |w AS MATERIALIZED (SELECT *,
+        |  min(qty) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING) AS m1,
+        |  min(qty) OVER (PARTITION BY cents) AS m2 FROM base)
+        |SELECT l_orderkey, l_linenumber, cents, qty FROM w
+        |WHERE (m1 IS NULL OR m1 > qty) AND qty = m2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -810,4 +810,76 @@ object Dedup {
           .select("id_a", "id_b", "jaccard")
     }
   }
+
+  /** Edit-distance similarity join: all id pairs whose strings are
+    * within Levenshtein distance `maxDist` — the entity-resolution /
+    * typo-dedup primitive next to the token-set families above.
+    * Candidate generation is the positional-multiset q-gram count
+    * filter: a true pair shares at least
+    * `max(len) − q + 1 − maxDist·q` q-gram occurrences (each edit
+    * destroys ≤ q grams), counted as a MULTISET via per-(id, gram)
+    * occurrence ordinals so repeated grams can't inflate the filter;
+    * survivors verify with one `levenshtein` call. The bound only
+    * bites when `max(len) ≥ q + maxDist·q`, so pairs where BOTH
+    * strings are shorter than that threshold route through a
+    * length-bucketed cross join instead (the two paths partition the
+    * pair space on max(len) — no pair is double-emitted or missed;
+    * strings shorter than q, which have no grams at all, always land
+    * in the short bucket because a partner within `maxDist` of their
+    * length is short too). Gate q154 equals the NAIVE all-pairs
+    * oracle — equality proves no pair lost (the q130 convention).
+    *
+    * Shape at 100 TB: grams explode to |chars| rows and join on
+    * (gram, ordinal) — hot grams salt like any equi-join skew; the
+    * count filter collapses candidates with map-side combine BEFORE
+    * the string-carrying verify join; the short bucket is a cross
+    * join over short-string rows only (at corpus scale short strings
+    * exact-dedup first; the honest residual is documented, not
+    * hidden). */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+      strCol: String = "text", maxDist: Int = 2, q: Int = 3): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val thresh = q + maxDist * q // gram bound bites at max(len) >= thresh
+    val s = docs.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    Exec.withPersisted(s) {
+      val sh = s.filter(col("len") <= thresh - 1)
+      val shortPairs = sh.select(col("id").as("id_a"), col("s").as("sa"),
+          col("len").as("la"))
+        .join(sh.select(col("id").as("id_b"), col("s").as("sb"),
+          col("len").as("lb")),
+          col("id_a") < col("id_b") &&
+            abs(col("la") - col("lb")) <= maxDist)
+      val grams = s.filter(col("len") >= q)
+        .select(col("id"), col("len"), posexplode(expr(
+          s"transform(sequence(1, length(s) - ${q - 1}), i -> substring(s, i, $q))"))
+          .as(Seq("pos", "gram")))
+        .withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id", "gram").orderBy("pos")))
+        .select("id", "len", "gram", "ord")
+      val cand = grams
+        .select(col("id").as("id_a"), col("len").as("la"), col("gram"),
+          col("ord"))
+        .join(grams.select(col("id").as("id_b"), col("len").as("lb"),
+          col("gram"), col("ord")), Seq("gram", "ord"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= maxDist &&
+          greatest(col("la"), col("lb")) >= thresh)
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >=
+          greatest(col("la"), col("lb")) - (q - 1) - maxDist * q)
+      val gramPairs = cand
+        .join(s.select(col("id").as("id_a"), col("s").as("sa")), "id_a")
+        .join(s.select(col("id").as("id_b"), col("s").as("sb")), "id_b")
+      shortPairs.select(col("id_a"), col("id_b"),
+          levenshtein(col("sa"), col("sb")).as("dist"))
+        .unionByName(gramPairs.select(col("id_a"), col("id_b"),
+          levenshtein(col("sa"), col("sb")).as("dist")))
+        .filter(col("dist") <= maxDist)
+    }
+  }
 }

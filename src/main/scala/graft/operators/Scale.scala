@@ -204,4 +204,29 @@ object Scale {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** 2-D skyline (Pareto frontier, minimize both): rows not dominated
+    * by any other row — r' dominates r when x' ≤ x, y' ≤ y and one is
+    * strict. Expressed as two window minima instead of the naive
+    * O(n²) anti-join: a row survives iff no strictly-smaller-x row
+    * has y' ≤ y (RANGE … 1 PRECEDING running min) AND it holds the
+    * minimum y within its own x group (exact ties both survive —
+    * neither dominates). Comparisons only, no float arithmetic, so
+    * the q155 gate replays exactly on any engine.
+    *
+    * `xCol` must be numeric (the RANGE frame's ordering key). Shape
+    * at 100 TB: one global sort on x — the same cost class as any
+    * final ORDER BY; the equal-x partition min rides the same sort.
+    * All input columns pass through. */
+  def skylineMin(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window.orderBy(col(xCol))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col(xCol))
+    df.withColumn("__m1", min(col(yCol)).over(w1))
+      .withColumn("__m2", min(col(yCol)).over(w2))
+      .filter((col("__m1").isNull || col("__m1") > col(yCol)) &&
+        col(yCol) === col("__m2"))
+      .drop("__m1", "__m2")
+  }
 }

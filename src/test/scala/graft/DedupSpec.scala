@@ -413,4 +413,40 @@ class DedupSpec extends SparkSpec {
       assert(bPlan.contains("BroadcastHashJoin"), bPlan)
     } finally spark.sql("DROP TABLE IF EXISTS lsh_idx_plan")
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: hybrid q-gram + short-bucket join equals " +
+    "the naive all-pairs result on strings straddling the threshold") {
+    val rnd = new scala.util.Random(11)
+    val strs = (1L to 60L).map { i =>
+      i -> (1 to (4 + rnd.nextInt(11))).map(_ => "ab" (rnd.nextInt(2)))
+        .mkString
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    val got = Dedup.editDistancePairs(strs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "vacuous fixture")
+  }
+
+  test("editDistancePairs: repeated q-grams cannot inflate the count " +
+    "filter (multiset ordinals) and exact duplicates report dist 0") {
+    val docs = Seq((1L, "aaaaaaaaaaaa"), (2L, "aaaaaaaaaabb"),
+      (3L, "cccccccccccc"), (4L, "aaaaaaaaaaaa")).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2), (1L, 4L, 0), (2L, 4L, 2)))
+  }
 }

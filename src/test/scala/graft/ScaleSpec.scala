@@ -78,4 +78,15 @@ class ScaleSpec extends SparkSpec {
       Scale.deterministicSplit($"k", Seq("a" -> 8, "b" -> 9))
     }
   }
+
+  test("skylineMin: dominance by comparisons, exact ties both survive") {
+    val pts = Seq((1L, 1L, 5L), (2L, 1L, 7L), (3L, 2L, 4L), (4L, 3L, 4L),
+      (5L, 5L, 1L), (6L, 6L, 1L), (7L, 2L, 4L)).toDF("id", "x", "y")
+    val got = Scale.skylineMin(pts, "x", "y").collect()
+      .map(_.getLong(0)).toSet
+    // (1,5) frontier; (1,7) dominated by (1,5); (2,4) frontier TWICE
+    // (ids 3 and 7 tie exactly - neither dominates); (3,4) dominated by
+    // (2,4); (5,1) frontier; (6,1) dominated by (5,1)
+    assert(got == Set(1L, 3L, 7L, 5L))
+  }
 }
