@@ -2361,6 +2361,22 @@ object Queries {
       "cents", "qty")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** k-shell gate: the full onion decomposition of the SPARSE mod-300
+    * orders graph — chosen by measurement for real structure at every
+    * sf (3 shell values at sf0.001/sf0.01, 2 at sf0.1; the level-6
+    * cascade runs up to 13 peel rounds — never vacuous, the q116
+    * lesson). Engine peels incrementally level by level; the oracle
+    * independently peels the FULL graph per k (16 unrolled rounds ≥
+    * the measured 13-round max) and takes max membership — the same
+    * function by the standard equivalence, different shapes. */
+  def q156KShell(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.kShell(
+      t(s, dir, "orders").filter(col("o_orderkey") < 1200)
+        .select((col("o_custkey") % 300).as("src"),
+          (col("o_orderkey") % 300).as("dst")),
+      maxK = 8, maxRounds = 16)
+      .orderBy("node")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3117,7 +3133,8 @@ object Queries {
     "q152_zscore_outliers" -> (q152ZscoreOutliers _),
     "q153_concurrency" -> (q153Concurrency _),
     "q154_edit_distance" -> (q154EditDistance _),
-    "q155_skyline" -> (q155Skyline _)
+    "q155_skyline" -> (q155Skyline _),
+    "q156_kshell" -> (q156KShell _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5195,7 +5212,8 @@ object Queries {
         |  min(qty) OVER (PARTITION BY cents) AS m2 FROM base)
         |SELECT l_orderkey, l_linenumber, cents, qty FROM w
         |WHERE (m1 IS NULL OR m1 > qty) AND qty = m2
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q156_kshell" -> kShellOracle(8, 16))
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure
@@ -5248,6 +5266,42 @@ object Queries {
        |$hops
        |$sel
        |ORDER BY walk, step""".stripMargin
+  }
+
+  /** The q156 oracle: shell(v) = max k with v in the k-core, each
+    * k-core peeled INDEPENDENTLY from the full graph (rounds unrolled
+    * MATERIALIZED — the q116 discipline; post-fixpoint rounds are
+    * no-ops) — deliberately a different shape from the engine's
+    * incremental onion peel, so the gate cross-checks the standard
+    * equivalence rather than replaying the same loop. */
+  private def kShellOracle(maxK: Int, rounds: Int): String = {
+    val chains = (1 to maxK).map { k =>
+      val rs = (1 to rounds).map { r =>
+        s"""dg${k}_$r AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+           |  SELECT u AS node FROM e${k}_${r - 1}
+           |  UNION ALL SELECT v FROM e${k}_${r - 1}) GROUP BY node),
+           |kp${k}_$r AS MATERIALIZED (SELECT node FROM dg${k}_$r
+           | WHERE d >= $k),
+           |e${k}_$r AS MATERIALIZED (SELECT e.u, e.v FROM e${k}_${r - 1} e
+           | JOIN kp${k}_$r a ON a.node = e.u
+           | JOIN kp${k}_$r b ON b.node = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""e${k}_0 AS MATERIALIZED (SELECT u, v FROM und),
+         |$rs""".stripMargin
+    }.mkString(",\n")
+    val members = (1 to maxK).map { k =>
+      s"""SELECT u AS node, $k AS k FROM e${k}_$rounds
+         |UNION ALL SELECT v, $k FROM e${k}_$rounds""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH und AS MATERIALIZED (SELECT DISTINCT
+       |  least(o_custkey % 300, o_orderkey % 300) AS u,
+       |  greatest(o_custkey % 300, o_orderkey % 300) AS v
+       | FROM orders
+       | WHERE o_orderkey < 1200 AND o_custkey % 300 <> o_orderkey % 300),
+       |$chains
+       |SELECT node, CAST(max(k) AS BIGINT) AS shell FROM (
+       |$members)
+       |GROUP BY node ORDER BY node""".stripMargin
   }
 
   /** The q146 oracle: earliest-arrival relaxation unrolled round by

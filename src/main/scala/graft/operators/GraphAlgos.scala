@@ -576,6 +576,106 @@ object GraphAlgos {
     adj.groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
+  /** k-shell (onion) decomposition: every node's CORE NUMBER —
+    * shell(v) = the largest k with v in the k-core — where [[kCore]]
+    * answers one k, this peels the whole onion: k walks up from 1 and
+    * each level's cascade removes the nodes whose degree in the
+    * REMAINING graph falls below k, assigning them shell k−1 (the
+    * standard equivalence: removed while building the k-core ⇔ in the
+    * (k−1)-core but not the k-core). Incremental — level k peels the
+    * (k−1)-core, never the full graph — and integer-exact, so the
+    * q156 gate replays cell-for-cell against the oracle's per-k
+    * full-graph peels (shell = max k with membership; same function,
+    * independently computed shapes).
+    *
+    * Shape at 100 TB: the [[kCore]] loop contract per level —
+    * map-side-combined degree census, two anti-joins against the
+    * removal set, eager checkpoint with the row count riding
+    * `Dataset.observe`, predecessor blocks freed each round. Total
+    * rounds = Σ per-level cascade depths (the onion's layering), each
+    * bounded by `maxRounds` and the level count by `maxK`, both
+    * fail-fast. */
+  def kShell(edges0: DataFrame, srcCol: String = "src",
+             dstCol: String = "dst", maxK: Int = 16, maxRounds: Int = 16,
+             requireConverged: Boolean = true): DataFrame = {
+    require(maxK >= 1, "maxK must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var adj = Dedup.withAqeOff(spark) {
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .union(und.select(col("v"), col("u")))
+        .repartition(col("node"))
+        .localCheckpoint(true)
+    }
+    // nodes are tracked EXPLICITLY: a node whose neighbors are all
+    // removed mid-cascade vanishes from the adjacency (zero rows), so
+    // "absent from the degree census" must read as degree 0 — removed
+    // — not as "already gone"
+    val obsN0 = org.apache.spark.sql.Observation()
+    var nodes = adj.select("node").distinct()
+      .observe(obsN0, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    var nActive = obsN0.get("n").asInstanceOf[Long]
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    while (nActive > 0L && k <= maxK) {
+      var cascading = true
+      var round = 0
+      while (cascading && nActive > 0L) {
+        require(round < maxRounds || !requireConverged,
+          s"k-shell cascade at level $k exceeded $maxRounds rounds " +
+            "(deep fringe layers — raise maxRounds)")
+        val keep = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select("node")
+        val obsD = org.apache.spark.sql.Observation()
+        val removed = nodes.join(keep, Seq("node"), "left_anti")
+          .select(col("node"), lit((k - 1).toLong).as("shell"))
+          .observe(obsD, count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        if (obsD.get("n").asInstanceOf[Long] == 0L) {
+          Exec.releaseCheckpoint(removed)
+          cascading = false
+        } else {
+          parts += removed
+          val prevAdj = adj
+          val prevNodes = nodes
+          val obsK = org.apache.spark.sql.Observation()
+          nodes = nodes.join(removed.select("node"), Seq("node"),
+              "left_anti")
+            .observe(obsK, count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          adj = adj
+            .join(removed.select("node"), Seq("node"), "left_anti")
+            .join(removed.select(col("node").as("nbr")), Seq("nbr"),
+              "left_anti")
+            .select("node", "nbr")
+            .localCheckpoint(true)
+          Exec.releaseCheckpoint(prevAdj, prevNodes)
+          nActive = obsK.get("n").asInstanceOf[Long]
+          round += 1
+        }
+      }
+      k += 1
+    }
+    require(!requireConverged || nActive == 0L,
+      s"k-shell did not exhaust the graph by level $maxK " +
+        "(degeneracy >= maxK — raise maxK)")
+    Exec.releaseCheckpoint(adj, nodes)
+    if (parts.isEmpty)
+      und.select(col("u").as("node"), lit(0L).as("shell")).limit(0)
+    else {
+      val out = parts.reduce(_ unionByName _).localCheckpoint(true)
+      Exec.releaseCheckpoint(parts.toSeq: _*)
+      out
+    }
+  }
+
   /** Link prediction over the undirected graph underlying `edges0`:
     * scores every non-adjacent node pair (u, v) at distance 2 by the
     * classic neighborhood indices — common-neighbor count `cn`,

@@ -703,6 +703,55 @@ class GraphAlgosSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("kShell: onion layers on a K4 with a triangle lobe and a tail") {
+    // K4 {1,2,3,4} (shell 3) - 4-5-6 triangle edge? build: K4, triangle
+    // {4,5,6} sharing node 4, tail 6-7-8
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L),
+      (7L, 8L))).toDF("src", "dst")
+    val got = GraphAlgos.kShell(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("kShell: matches brute-force core numbers on a seeded random " +
+    "graph, bit-identically across runs") {
+    val rnd = new scala.util.Random(5)
+    val edges0 = Seq.fill(80)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute force: incremental peel
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
+    edges0.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1L
+    while (adj.nonEmpty && k <= 30) {
+      var go = true
+      while (go) {
+        val drop = adj.filter(_._2.size < k).keys.toSeq
+        if (drop.isEmpty) go = false
+        else drop.foreach { n =>
+          want(n) = k - 1
+          adj(n).foreach(m => adj.get(m).foreach(_ -= n))
+          adj -= n
+        }
+      }
+      k += 1
+    }
+    val df = edges0.toDF("src", "dst")
+    val a = GraphAlgos.kShell(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphAlgos.kShell(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == want.toMap)
+    assert(a == b)
+  }
+
   test("modularity: exact integer numerator on two bridged triangles") {
     // triangles {1,2,3} and {4,5,6} bridged by (3,4): m = 7,
     // intra = 6, d_A = d_B = 7 -> q_num = 4*7*6 - 98 = 70, Q = 70/196
