@@ -626,10 +626,10 @@ object GraphAlgos {
     while (nActive > 0L && k <= maxK) {
       var cascading = true
       var round = 0
-      while (cascading && nActive > 0L) {
-        require(round < maxRounds || !requireConverged,
-          s"k-shell cascade at level $k exceeded $maxRounds rounds " +
-            "(deep fringe layers — raise maxRounds)")
+      // hard-bounded even with requireConverged = false: a partial
+      // cascade then reports UPPER-BOUND shells (documented), never an
+      // unbounded driver loop
+      while (cascading && nActive > 0L && round < maxRounds) {
         val keep = adj.groupBy("node").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select("node")
@@ -661,6 +661,9 @@ object GraphAlgos {
           round += 1
         }
       }
+      require(!requireConverged || !cascading || nActive == 0L,
+        s"k-shell cascade at level $k exceeded $maxRounds rounds " +
+          "(deep fringe layers — raise maxRounds)")
       k += 1
     }
     require(!requireConverged || nActive == 0L,
