@@ -2377,6 +2377,81 @@ object Queries {
       maxK = 8, maxRounds = 16)
       .orderBy("node")
 
+  /** Unpivot gate: the wide per-flag aggregate melted back to long
+    * (metric, value) rows — the inverse face of the pivot operator
+    * (q76). Catalyst plans the reshape as one Expand, no shuffle
+    * beyond the aggregation's own. */
+  def q157Unpivot(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.unpivotLong(
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("sum_cents")),
+      idCols = Seq("l_returnflag"),
+      valueCols = Seq("n_rows", "sum_qty", "sum_cents"))
+      .orderBy("l_returnflag", "metric")
+
+  /** Gaps-and-islands gate: maximal runs of consecutive active days
+    * per user — the classic streak query, integer day numbers so every
+    * value is exact. */
+  def q158Streaks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.dayStreaks(
+      events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day")),
+      keyCol = "user_id", dayCol = "day")
+      .orderBy("user_id", "start_day")
+
+  /** Mode gate: each user's most frequent event type with the
+    * deterministic (count desc, type asc) tie-break — the two-level
+    * aggregation keeps the window partition at distinct-type size. */
+  def q159Mode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.modePerKey(events(s, dir), "user_id", "event_type")
+      .orderBy("user_id")
+
+  /** Exact-quartile gate: per-priority p25/p50/p75 of the order total
+    * in cents by rank selection (inverted CDF) — the selected elements
+    * are integers, so no interpolation arithmetic exists to diverge
+    * between engines. */
+  def q160Quartiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactQuartiles(
+      t(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "o_orderpriority", valueCol = "cents")
+      .orderBy("o_orderpriority")
+
+  /** Grouped-OLS gate: price-on-quantity regression per return flag
+    * over the capped lineitems — DECIMAL(38,0) moments, and the
+    * num/den differences that reach IEEE are < 2^53 (measured
+    * 6.2e11 / 4.1e8 at sf0.1), so the exact→double casts are
+    * value-preserving on both engines. */
+  def q161LinReg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.groupedLinReg(
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents")),
+      keyCol = "l_returnflag", xCol = "qty", yCol = "cents")
+      .orderBy("l_returnflag")
+
+  /** Lag-1 autocorrelation gate: serial correlation of each user's
+    * event-value series in cents under the unique (us, event_id)
+    * order — exact HUGEINT/DECIMAL moments, one fixed final
+    * num/sqrt(dx·dy) expression (all three < 2^53 by the measured
+    * value/row bounds: ≤ 99 events/user, cents ≤ 5.7e4). */
+  def q162Autocorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.lag1Autocorr(
+      events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "user_id", orderCols = Seq("us", "event_id"),
+      valueCol = "cents")
+      .orderBy("user_id")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3134,7 +3209,13 @@ object Queries {
     "q153_concurrency" -> (q153Concurrency _),
     "q154_edit_distance" -> (q154EditDistance _),
     "q155_skyline" -> (q155Skyline _),
-    "q156_kshell" -> (q156KShell _)
+    "q156_kshell" -> (q156KShell _),
+    "q157_unpivot" -> (q157Unpivot _),
+    "q158_streaks" -> (q158Streaks _),
+    "q159_mode" -> (q159Mode _),
+    "q160_quartiles" -> (q160Quartiles _),
+    "q161_linreg" -> (q161LinReg _),
+    "q162_autocorr" -> (q162Autocorr _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5213,7 +5294,98 @@ object Queries {
         |SELECT l_orderkey, l_linenumber, cents, qty FROM w
         |WHERE (m1 IS NULL OR m1 > qty) AND qty = m2
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-    "q156_kshell" -> kShellOracle(8, 16))
+    "q156_kshell" -> kShellOracle(8, 16),
+    "q157_unpivot" ->
+      """WITH agg AS MATERIALIZED (SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value
+        |  FROM agg
+        |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM agg
+        |UNION ALL SELECT l_returnflag, 'sum_cents', sum_cents FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q158_streaks" ->
+      """WITH d AS MATERIALIZED (SELECT DISTINCT user_id,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS grp FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_day""".stripMargin,
+    "q159_mode" ->
+      """WITH c AS MATERIALIZED (SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_mode
+        | FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, n_mode,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY n_mode DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode, n_mode FROM r
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q160_quartiles" ->
+      """WITH b AS MATERIALIZED (SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |r AS (SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM b)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = ((n-1)*1)//4 + 1 THEN cents END) AS p25,
+        |  max(CASE WHEN rn = ((n-1)*2)//4 + 1 THEN cents END) AS p50,
+        |  max(CASE WHEN rn = ((n-1)*3)//4 + 1 THEN cents END) AS p75,
+        |  max(n) AS n
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q161_linreg" ->
+      """WITH b AS MATERIALIZED (SELECT l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS y
+        | FROM lineitem WHERE l_orderkey < 1000),
+        |m AS MATERIALIZED (SELECT l_returnflag,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx,
+        |  CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        | FROM b GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |    AS slope,
+        |  (CAST(sy AS DOUBLE) -
+        |   (CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+        |   CAST(n AS DOUBLE) AS intercept
+        |FROM m WHERE n*sxx - sx*sx <> 0
+        |ORDER BY l_returnflag""".stripMargin,
+    "q162_autocorr" ->
+      """WITH b AS MATERIALIZED (SELECT user_id, event_id,
+        |  epoch_us(ts) AS us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |p AS (SELECT user_id, cents AS y,
+        |  lag(cents) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS x FROM b),
+        |m AS MATERIALIZED (SELECT user_id,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx,
+        |  CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        | FROM p WHERE x IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) /
+        |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |       CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr
+        |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |ORDER BY user_id""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -218,6 +218,16 @@ object Scale {
     * at 100 TB: one global sort on x — the same cost class as any
     * final ORDER BY; the equal-x partition min rides the same sort.
     * All input columns pass through. */
+  /** Wide→long reshape (melt): each id row fans out to one row per
+    * metric column, `(ids..., metric, value)`. Thin face over
+    * `Dataset.unpivot`, which Catalyst plans as a single Expand — one
+    * narrow stage, no shuffle, |valueCols|× the row count. The
+    * inverse of the pivot operator (q76). */
+  def unpivotLong(df: DataFrame, idCols: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      "metric", "value")
+
   def skylineMin(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val w1 = org.apache.spark.sql.expressions.Window.orderBy(col(xCol))
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
