@@ -2452,6 +2452,84 @@ object Queries {
       valueCol = "cents")
       .orderBy("user_id")
 
+  /** Interval-union gate: per-user covered time under 5-minute
+    * exposure windows around each event — merged spans via the cummax
+    * sweep, span count + total coverage, integer microseconds. */
+  def q163Coverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.intervalCoverage(
+      events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + 300000000L).as("end_us")),
+      keyCol = "user_id", startCol = "start_us", endCol = "end_us")
+      .orderBy("user_id")
+
+  /** MAD-outlier gate: robust per-type outliers at 5×MAD — lower
+    * medians by rank selection, all-integer deviations, no 1.4826
+    * constant, so every flagged row is engine-independent. */
+  def q164Mad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.madOutliers(
+      events(s, dir).select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "event_type", valueCol = "cents", k = 5)
+      .select("event_id", "event_type", "cents", "median", "mad")
+      .orderBy("event_id")
+
+  /** GROUPING SETS gate: the custom-combination face completing the
+    * rollup (q73) / cube (q125) family — (flag, status), (flag), and
+    * grand total in ONE pass (Catalyst plans a single Expand). */
+  def q165GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
+  /** CUSUM gate: sequential change detection over each user's
+    * event-value series (target 5000 cents ≈ the global mean, alarm
+    * at +50000) — the max-clamped recursion is the one analytics
+    * staple windows can't express; the oracle replays it as a
+    * recursive CTE, all-integer state on both engines. */
+  def q166Cusum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cusumAlarms(
+      events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "user_id", ord1Col = "us", ord2Col = "event_id",
+      valueCol = "cents", target = 5000L, threshold = 50000L)
+      .orderBy("user_id")
+
+  /** Decile-lift gate: the gains table of event value against the
+    * purchase label — exact counts in every decile, cumulative
+    * capture, and lift as the one fixed final double expression. */
+  def q167Lift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.decileLift(
+      events(s, dir).select(col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        (col("event_type") === "purchase").cast("int").as("lab")),
+      scoreCol = "cents", idCol = "event_id", labelCol = "lab")
+      .orderBy("decile")
+
+  /** Rolling-band gate: Bollinger breakouts over each user's trailing
+    * 10 observations at ±2σ — the z-test cross-multiplied to integers
+    * ((n·x − Σx)² > 4(n·Σx² − (Σx)²)), zero float arithmetic. */
+  def q168Bands(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rollingBandBreakout(
+      events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "user_id", orderCols = Seq("us", "event_id"),
+      valueCol = "cents", window = 10, k = 2, minObs = 5)
+      .select("event_id", "user_id", "cents")
+      .orderBy("event_id")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3215,7 +3293,13 @@ object Queries {
     "q159_mode" -> (q159Mode _),
     "q160_quartiles" -> (q160Quartiles _),
     "q161_linreg" -> (q161LinReg _),
-    "q162_autocorr" -> (q162Autocorr _)
+    "q162_autocorr" -> (q162Autocorr _),
+    "q163_coverage" -> (q163Coverage _),
+    "q164_mad" -> (q164Mad _),
+    "q165_grouping_sets" -> (q165GroupingSets _),
+    "q166_cusum" -> (q166Cusum _),
+    "q167_lift" -> (q167Lift _),
+    "q168_bands" -> (q168Bands _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5385,7 +5469,107 @@ object Queries {
         |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
         |       CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr
         |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q163_coverage" ->
+      """WITH b AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS s_us,
+        |  epoch_us(ts) + 300000000 AS e_us FROM events),
+        |w AS (SELECT user_id, s_us, e_us,
+        |  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        | FROM b),
+        |f AS (SELECT user_id, s_us, e_us,
+        |  CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END
+        |    AS nw FROM w),
+        |sp AS (SELECT user_id, s_us, e_us,
+        |  CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY s_us, e_us) AS BIGINT) AS span FROM f),
+        |g AS MATERIALIZED (SELECT user_id, span, min(s_us) AS s,
+        |  max(e_us) AS e FROM sp GROUP BY user_id, span)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q164_mad" ->
+      """WITH b AS MATERIALIZED (SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |r AS (SELECT event_type, cents,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cents)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM b),
+        |med AS MATERIALIZED (SELECT event_type, cents AS median FROM r
+        |  WHERE rn = (n-1)//2 + 1),
+        |d AS MATERIALIZED (SELECT b.event_id, b.event_type, b.cents,
+        |  med.median, abs(b.cents - med.median) AS dev
+        | FROM b JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY dev)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |mad AS MATERIALIZED (SELECT event_type, dev AS mad FROM r2
+        |  WHERE rn = (n-1)//2 + 1)
+        |SELECT d.event_id, d.event_type, d.cents, d.median, mad.mad
+        |FROM d JOIN mad USING (event_type)
+        |WHERE d.dev > 5 * mad.mad
+        |ORDER BY event_id""".stripMargin,
+    "q165_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY GROUPING SETS (
+        |  (l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
+        .stripMargin,
+    "q166_cusum" ->
+      """WITH RECURSIVE b AS MATERIALIZED (SELECT user_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        | FROM events),
+        |r AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT)
+        |    AS s
+        |  FROM (SELECT DISTINCT user_id FROM b)
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn,
+        |    greatest(CAST(0 AS BIGINT), r.s + b.cents - 5000)
+        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, max(rn) AS n, max(s) AS max_cusum,
+        |  min(CASE WHEN s >= 50000 THEN rn END) AS first_alarm
+        |FROM r WHERE rn >= 1 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q167_lift" ->
+      """WITH b AS MATERIALIZED (SELECT event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+        | FROM events),
+        |d AS (SELECT ntile(10) OVER (ORDER BY cents DESC, event_id)
+        |  AS decile, lab FROM b),
+        |a AS MATERIALIZED (SELECT decile, CAST(count(*) AS BIGINT)
+        |  AS n, CAST(sum(lab) AS BIGINT) AS pos FROM d GROUP BY decile)
+        |SELECT decile, n, pos,
+        |  CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |  CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+        |  (CAST(sum(pos) OVER (ORDER BY decile) AS DOUBLE) /
+        |   CAST(sum(n) OVER (ORDER BY decile) AS DOUBLE)) /
+        |  (CAST(sum(pos) OVER () AS DOUBLE) /
+        |   CAST(sum(n) OVER () AS DOUBLE)) AS lift
+        |FROM a ORDER BY decile""".stripMargin,
+    "q168_bands" ->
+      """WITH b AS MATERIALIZED (SELECT event_id, user_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_id, user_id, cents,
+        |  count(cents) OVER win AS n, sum(cents) OVER win AS sx,
+        |  sum(cents * cents) OVER win AS sx2
+        | FROM b WINDOW win AS (PARTITION BY user_id
+        |   ORDER BY us, event_id
+        |   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, cents FROM w
+        |WHERE n >= 5 AND
+        |  (n*cents - sx) * (n*cents - sx) > 4 * (n*sx2 - sx*sx)
+        |ORDER BY event_id""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

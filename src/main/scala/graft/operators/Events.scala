@@ -482,6 +482,33 @@ object Events {
     * 2·|sessions| boundary table (the same cost class as the final
     * ORDER BY of any report), never over raw events; sessionization
     * itself stays per-user partitioned. */
+  /** Merge overlapping [start_us, end_us) intervals per key and report
+    * each key's covered span count and total covered time — the
+    * interval-union sweep (ad exposure, machine uptime, session
+    * coverage). A span starts where an interval's start exceeds the
+    * running max of all earlier ends (cummax window), so the merge is
+    * one per-key window + one groupBy — no self-join, no sweep-line
+    * collect. Window partitions are per-key interval counts: the same
+    * skew class as sessionize, safe at scale for bounded per-key
+    * activity. */
+  def intervalCoverage(intervals: DataFrame, keyCol: String = "user_id",
+                       startCol: String = "start_us",
+                       endCol: String = "end_us"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = intervals
+      .withColumn("__new", when(prevMaxEnd.isNull ||
+        col(startCol) > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(w))
+      .groupBy(col(keyCol), col("__span"))
+      .agg(min(col(startCol)).as("s"), max(col(endCol)).as("e"))
+    spans.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("covered_us"))
+  }
+
   def sessionConcurrency(events: DataFrame, userCol: String = "user_id",
                          tsCol: String = "ts",
                          gapSeconds: Long = 1800L): DataFrame = {

@@ -114,6 +114,127 @@ object Stats {
       .drop("__grp")
   }
 
+  /** The lower median of an integral column per key by rank selection —
+    * the element at 1-based position (n-1) div 2 + 1. Shared by the
+    * robust-statistics operators; one window sort + one filter, exact. */
+  def lowerMedianPerKey(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    df.select(col(keyCol), col(valueCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === expr("(__n - 1) div 2 + 1"))
+      .select(col(keyCol), col(valueCol).as("median"))
+  }
+
+  /** Robust outliers by median absolute deviation: rows whose absolute
+    * deviation from the per-key lower median exceeds k·MAD (MAD = the
+    * lower median of the absolute deviations). All-integer comparisons
+    * — no 1.4826 consistency constant, no float anywhere — so every
+    * flagged row is engine-independent. Two rank-selection passes plus
+    * two broadcast joins of the |keys|-sized medians. */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 5): DataFrame = {
+    val med = broadcast(lowerMedianPerKey(df, keyCol, valueCol))
+    val dev = df.join(med, keyCol)
+      .withColumn("dev", abs(col(valueCol) - col("median")))
+    val mad = broadcast(lowerMedianPerKey(dev, keyCol, "dev")
+      .withColumnRenamed("median", "mad"))
+    dev.join(mad, keyCol)
+      .filter(col("dev") > lit(k) * col("mad"))
+      .drop("dev")
+  }
+
+  /** Decile lift table for a ranking score against a binary label —
+    * the classic gains chart: ntile(10) over the unique (score desc,
+    * id) order, exact per-decile and cumulative positive counts, and
+    * lift as the ONE fixed final expression
+    * (cum_pos/cum_n)/(tot_pos/tot_n). The ntile/windows run over the
+    * scored table; the cumulative pass runs over 10 rows.
+    *
+    * Scale note: an exact global ntile is a total order — one sort
+    * partition. This face is for evaluation slices (model scoring
+    * reports, ≤ tens of millions of rows); at corpus scale, cut the
+    * deciles with KllSketch quantile boundaries instead and keep the
+    * per-decile aggregation distributed. */
+  def decileLift(df: DataFrame, scoreCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val deciles = df
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    deciles
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_pos", sum(col("pos")).over(cum))
+      .withColumn("lift",
+        (col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+        (sum(col("pos")).over(tot).cast("double") /
+          sum(col("n")).over(tot).cast("double")))
+  }
+
+  /** One-sided CUSUM change detection per key: the sequential scan
+    * S_i = max(0, S_{i-1} + (x_i − target)) over the (ord1, ord2)
+    * order, reporting each key's peak statistic and the first 1-based
+    * index where S crossed `threshold`. The recursion is genuinely
+    * sequential (max-clamp breaks prefix-sum algebra), so this is the
+    * documented mapGroups exception: groupByKey on the key, sort the
+    * key's series in memory, one linear pass — all-integer state.
+    * Scale: per-key series must fit one task (bounded per-key
+    * activity, the sessionize contract); keys distribute freely. */
+  def cusumAlarms(df: DataFrame, keyCol: String, ord1Col: String,
+      ord2Col: String, valueCol: String, target: Long,
+      threshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(ord1Col).cast("long"),
+        col(ord2Col).cast("long"), col(valueCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val series = rows.toArray.sortBy(r => (r._2, r._3))
+        var s = 0L
+        var maxS = 0L
+        var firstAlarm = -1L
+        var i = 0
+        while (i < series.length) {
+          s = math.max(0L, s + (series(i)._4 - target))
+          if (s > maxS) maxS = s
+          if (firstAlarm < 0 && s >= threshold) firstAlarm = i + 1L
+          i += 1
+        }
+        (key, series.length.toLong, maxS,
+          if (firstAlarm < 0) None else Some(firstAlarm))
+      }
+      .toDF(keyCol, "n", "max_cusum", "first_alarm")
+  }
+
+  /** Rolling volatility-breakout flags (Bollinger bands, integer-exact):
+    * a row breaks out when its value leaves the ±k·σ band of the
+    * PRECEDING `window` observations. The z² > k² test is
+    * cross-multiplied to the all-integer comparison
+    * (n·x − Σx)² > k²·(n·Σx² − (Σx)²), so no square root or division
+    * exists to diverge between engines. One per-key window pass. */
+  def rollingBandBreakout(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, window: Int = 10,
+      k: Int = 2, minObs: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-window, -1)
+    val x = col(valueCol)
+    df.withColumn("__n", count(x).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sx2", sum(x * x).over(w))
+      .filter(col("__n") >= minObs &&
+        (col("__n") * x - col("__sx")) * (col("__n") * x - col("__sx")) >
+          lit(k.toLong * k) *
+            (col("__n") * col("__sx2") - col("__sx") * col("__sx")))
+      .drop("__n", "__sx", "__sx2")
+  }
+
   /** Per-key lag-1 serial (Pearson) autocorrelation of an integral
     * series under a caller-supplied total order. Adjacent pairs come
     * from one lag window; the correlation uses the same exact-moment

@@ -389,4 +389,20 @@ class EventsSpec extends SparkSpec {
         .count()
     }
   }
+
+  test("intervalCoverage merges overlapping and touching intervals") {
+    // user 1: [0,10) ∪ [5,15) ∪ [15,20) merge to [0,20); [30,40) apart
+    val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),
+      (1L, 30L, 40L), (2L, 100L, 101L)).toDF("user_id", "s", "e")
+    val got = Events.intervalCoverage(df, "user_id", "s", "e")
+      .orderBy("user_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 30L), (2L, 1L, 1L)))
+  }
+
+  test("intervalCoverage: a contained interval never extends its span") {
+    val df = Seq((1L, 0L, 100L), (1L, 10L, 20L)).toDF("u", "s", "e")
+    val got = Events.intervalCoverage(df, "u", "s", "e")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 100L)))
+  }
 }

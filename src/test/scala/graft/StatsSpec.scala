@@ -58,6 +58,52 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - 1.0) < 1e-12 && got(1)._2 === 5L)
   }
 
+  test("madOutliers flags only deviations beyond k times the MAD") {
+    // values 10,12,14,16,100: median=14, devs 4,2,0,2,86 -> MAD=2
+    // k=5: threshold 10, only the 100 row (dev 86) is out
+    val df = Seq((1L, "t", 10L), (2L, "t", 12L), (3L, "t", 14L),
+      (4L, "t", 16L), (5L, "t", 100L)).toDF("id", "k", "v")
+    val got = Stats.madOutliers(df, "k", "v", k = 5)
+      .select("id", "v", "median", "mad")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((5L, 100L, 14L, 2L)))
+  }
+
+  test("cusumAlarms tracks the clamped recursion and first crossing") {
+    // target 10: x=15,15,2,15 -> S=5,10,2,7; threshold 10 crossed at i=2
+    val df = Seq((1L, 1L, 0L, 15L), (1L, 2L, 0L, 15L), (1L, 3L, 0L, 2L),
+      (1L, 4L, 0L, 15L), (2L, 1L, 0L, 5L)).toDF("k", "o1", "o2", "v")
+    val got = Stats.cusumAlarms(df, "k", "o1", "o2", "v",
+      target = 10L, threshold = 10L)
+      .orderBy("k").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, 4L, 10L, Some(2L)), (2L, 1L, 0L, None)))
+  }
+
+  test("decileLift computes exact cumulative capture and lift") {
+    // 20 rows, scores 20..1, positives at the top 4 scores
+    val df = (1L to 20L).map(i => (i, 21L - i, if (i <= 4) 1 else 0))
+      .toDF("id", "score", "lab")
+    val got = Stats.decileLift(df, "score", "id", "lab")
+      .orderBy("decile")
+      .select("decile", "n", "pos", "cum_n", "cum_pos", "lift")
+      .as[(Int, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.length === 10 && got.forall(_._2 === 2L))
+    assert(got.head === ((1, 2L, 2L, 2L, 2L, 5.0))) // 100% vs 20% base
+    assert(got(1)._5 === 4L && got(1)._6 === 5.0)
+    assert(got(2)._5 === 4L && math.abs(got(2)._6 - (4.0 / 6.0) / 0.2) < 1e-12)
+    assert(got.last._6 === 1.0) // full-population lift is 1 by definition
+  }
+
+  test("rollingBandBreakout flags the spike and skips warm-up rows") {
+    val base = (1L to 8L).map(i => (1L, i, 10L + (i % 2))) // 10,11 alternation
+    val spike = Seq((1L, 9L, 100L))
+    val got = Stats.rollingBandBreakout(
+      (base ++ spike).toDF("k", "o", "v"), "k", Seq("o"), "v",
+      window = 10, k = 2, minObs = 5)
+      .select("o", "v").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((9L, 100L))) // rows 1-5 under minObs; 6-8 in band
+  }
+
   test("unpivotLong is the long inverse of a wide aggregate") {
     val wide = Seq(("x", 1L, 10L)).toDF("id", "m1", "m2")
     val got = Scale.unpivotLong(wide, Seq("id"), Seq("m1", "m2"))
