@@ -63,6 +63,26 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "ktrussfaces") {
+      // recount vs decremental peel at the q137 fixture shape
+      import org.apache.spark.sql.functions._
+      val edges = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 100).as("src"),
+          (col("o_orderkey") % 100).as("dst"))
+      for (face <- Seq("recount", "decremental"); _ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = (if (face == "recount")
+          graft.operators.GraphAlgos.kTruss(edges, k = 8, maxRounds = 16)
+        else
+          graft.operators.GraphAlgos.kTrussDecremental(edges, k = 8,
+            maxRounds = 16)).count()
+        println(f"[scratch] kTruss $face: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n edges)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      spark.stop(); return
+    }
     if (name == "q114profile") {
       // stage attribution for the rank-related-entities gate: fixture
       // graph build vs subgraph materialization vs the 5 PPR rounds

@@ -502,10 +502,10 @@ object Dedup {
         // every id has exactly one self row, so max(old) recovers its
         // previous label next to the new min
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      val updated = merged.map { r =>
+      val updated = Exec.checkpointCut(merged.map { r =>
         if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
         org.apache.spark.sql.Row(r.get(0), r.get(1))
-      }(enc).localCheckpoint(true)
+      }(enc).toDF())
       // updated is materialized (eager); last round's label blocks are
       // dead — free them so long runs don't stack |V|-sized copies
       Exec.releaseCheckpoint(labels)
@@ -617,9 +617,8 @@ object Dedup {
     while (!converged && it < maxIter) {
       val prevEdges = edges
       val obs = org.apache.spark.sql.Observation()
-      val next = smallStar(largeStar(edges))
-        .observe(obs, sigCols.head, sigCols.tail: _*)
-        .localCheckpoint(true)
+      val next = Exec.checkpointCut(smallStar(largeStar(edges))
+        .observe(obs, sigCols.head, sigCols.tail: _*))
       // the contracted round is materialized; the previous round's
       // blocks are dead — free them instead of stacking maxIter copies
       Exec.releaseCheckpoint(prevEdges)

@@ -615,7 +615,7 @@ object Events {
           col("arr") < col("old"), 1)).as("improved"))
         .select("node", "arr")
       val prev = arr
-      arr = updated.localCheckpoint(true)
+      arr = Exec.checkpointCut(updated)
       Exec.releaseCheckpoint(prev)
       changed = obs.get("improved").asInstanceOf[Long] > 0L
       round += 1

@@ -26,6 +26,18 @@ private[graft] object Exec {
     finally inputs.foreach(_.unpersist(false))
   }
 
+  /** Eager localCheckpoint for ROUND FRAMES of iterative loops: cuts
+    * lineage AND drops the carried origin statistics. Without the stats
+    * cut, a loop whose round-N plan joins round-N−1 checkpoints makes
+    * Catalyst's size-product join estimate grow geometrically in DIGITS
+    * per round — by round ~10 the driver is multiplying million-digit
+    * BigIntegers inside the optimizer (see
+    * [[org.apache.spark.sql.graft.PlanStats]] for the measured
+    * pathology). Use for every per-round checkpoint; one-shot
+    * checkpoints outside loops can keep their stats. */
+  def checkpointCut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PlanStats.dropStats(df.localCheckpoint(true))
+
   /** Drop the block-manager storage behind eagerly localCheckpoint'ed
     * DataFrames. `Dataset.unpersist()` can't do this — checkpoint blocks
     * live at the RDD layer, not in the CacheManager — so iterative

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /**
  * Iterative whole-graph analytics over edge DataFrames — the
@@ -284,7 +285,7 @@ object GraphAlgos {
     while (changed && hop < maxHops) {
       val (updated, obs) = spRound(edges, dists)
       val prevDists = dists // own checkpoint (incl. round 0): releasable
-      dists = updated.localCheckpoint(true)
+      dists = Exec.checkpointCut(updated)
       Exec.releaseCheckpoint(prevDists)
       changed = obs.get("improved").asInstanceOf[Long] > 0
       hop += 1
@@ -378,7 +379,7 @@ object GraphAlgos {
           col("dist") < col("old"), 1)).as("improved"))
         .select("node", "landmark", "dist")
       val prevDists = dists
-      dists = updated.localCheckpoint(true)
+      dists = Exec.checkpointCut(updated)
       Exec.releaseCheckpoint(prevDists)
       changed = obs.get("improved").asInstanceOf[Long] > 0
       round += 1
@@ -549,17 +550,16 @@ object GraphAlgos {
     var round = 0
     while (changed && round < maxRounds) {
       val prevAdj = adj
-      val removed = adj.groupBy("node").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < k)
-        .select("node")
-        .localCheckpoint(true)
+      val removed = Exec.checkpointCut(
+        adj.groupBy("node").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k)
+          .select("node"))
       val obs = org.apache.spark.sql.Observation()
-      adj = adj
+      adj = Exec.checkpointCut(adj
         .join(removed, Seq("node"), "left_anti")
         .join(removed.select(col("node").as("nbr")), Seq("nbr"), "left_anti")
         .select("node", "nbr")
-        .observe(obs, count(lit(1)).as("rows"))
-        .localCheckpoint(true)
+        .observe(obs, count(lit(1)).as("rows")))
       // The new round's checkpoint is materialized (eager), so the
       // previous adjacency copy and this round's removal set are dead —
       // free their blocks now rather than letting maxRounds copies of
@@ -634,10 +634,10 @@ object GraphAlgos {
           .filter(col("deg") >= k)
           .select("node")
         val obsD = org.apache.spark.sql.Observation()
-        val removed = nodes.join(keep, Seq("node"), "left_anti")
-          .select(col("node"), lit((k - 1).toLong).as("shell"))
-          .observe(obsD, count(lit(1)).as("n"))
-          .localCheckpoint(true)
+        val removed = Exec.checkpointCut(
+          nodes.join(keep, Seq("node"), "left_anti")
+            .select(col("node"), lit((k - 1).toLong).as("shell"))
+            .observe(obsD, count(lit(1)).as("n")))
         if (obsD.get("n").asInstanceOf[Long] == 0L) {
           Exec.releaseCheckpoint(removed)
           cascading = false
@@ -646,16 +646,14 @@ object GraphAlgos {
           val prevAdj = adj
           val prevNodes = nodes
           val obsK = org.apache.spark.sql.Observation()
-          nodes = nodes.join(removed.select("node"), Seq("node"),
-              "left_anti")
-            .observe(obsK, count(lit(1)).as("n"))
-            .localCheckpoint(true)
-          adj = adj
+          nodes = Exec.checkpointCut(
+            nodes.join(removed.select("node"), Seq("node"), "left_anti")
+              .observe(obsK, count(lit(1)).as("n")))
+          adj = Exec.checkpointCut(adj
             .join(removed.select("node"), Seq("node"), "left_anti")
             .join(removed.select(col("node").as("nbr")), Seq("nbr"),
               "left_anti")
-            .select("node", "nbr")
-            .localCheckpoint(true)
+            .select("node", "nbr"))
           Exec.releaseCheckpoint(prevAdj, prevNodes)
           nActive = obsK.get("n").asInstanceOf[Long]
           round += 1
@@ -930,7 +928,7 @@ object GraphAlgos {
       .union(und.select(col("v")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val obs0 = org.apache.spark.sql.Observation()
-    var edges = und
+    var edges = Exec.checkpointCut(und
       .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
       .select(
@@ -938,8 +936,7 @@ object GraphAlgos {
           col("u")).otherwise(col("v")).as("a"),
         when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
           col("v")).otherwise(col("u")).as("b"))
-      .observe(obs0, count(lit(1)).as("rows"))
-      .localCheckpoint(true)
+      .observe(obs0, count(lit(1)).as("rows")))
     var prevRows = obs0.get("rows").asInstanceOf[Long]
     var changed = prevRows > 0L
     var round = 0
@@ -964,9 +961,8 @@ object GraphAlgos {
           .select(col("a"), col("b"),
             coalesce(col("supp"), lit(0L)).as("supp"))
           .filter(col("supp") >= k - 2)
-      edges = counted
-        .observe(obs, count(lit(1)).as("rows"))
-        .localCheckpoint(true)
+      edges = Exec.checkpointCut(counted
+        .observe(obs, count(lit(1)).as("rows")))
       Exec.releaseCheckpoint(prevEdges)
       val rows = obs.get("rows").asInstanceOf[Long]
       changed = rows < prevRows && rows > 0L
@@ -987,6 +983,110 @@ object GraphAlgos {
       edges.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"),
         col("supp").as("support"))
+  }
+
+  /** k-truss by support DECREMENTS — the 100 TB-scale twin of
+    * [[kTruss]]'s per-round recount, spec-pinned to identical output
+    * (GraphAlgosSpec). Triangles are enumerated ONCE (the single
+    * O(m^1.5) pass); each peel round then only (1) kills the alive
+    * triangles touching a just-removed edge (three equi-joins against
+    * the removed set), (2) decrements the surviving edges' support by
+    * the killed triangles' exploded edges, and (3) re-splits. Per-round
+    * work is proportional to the support actually destroyed — the sum
+    * over ALL rounds is ≤ 3·|triangles| — instead of a fresh full
+    * triangle enumeration per round.
+    *
+    * Trade-offs, measured at the q137 gate scale (sf0.1, mod-100
+    * graph, 13 peel rounds): wall time is STAGE-bound there, and this
+    * face runs more, smaller stages per round — the recount face stays
+    * the gate default (same lesson as the SCC sub-round batching
+    * knob). At real scale the balance inverts: the recount face pays
+    * O(m^1.5) × rounds in shuffled wedge rows, this face pays it once
+    * plus deltas, at the cost of materializing the triangle list
+    * (≈ one extra |T|-row checkpoint per round, |T| shrinking
+    * monotonically). */
+  def kTrussDecremental(edges0: DataFrame, k: Int, maxRounds: Int = 16,
+      srcCol: String = "src", dstCol: String = "dst",
+      requireConverged: Boolean = true): DataFrame = {
+    require(k >= 3, "decremental k-truss requires k >= 3 " +
+      "(k = 2 keeps every edge - no peeling exists to incrementalize)")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
+      .select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
+    // the one full enumeration: every triangle as its oriented triple
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    var tris = Exec.checkpointCut(wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select("a", "b", "c"))
+    val supp0 = tris.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("c").as("b")),
+        struct(col("a"), col("c").as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("supp"))
+    val withSupp = oriented.join(supp0, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("supp"))
+    val obs0 = org.apache.spark.sql.Observation()
+    var survivors = Exec.checkpointCut(withSupp.filter(col("supp") >= k - 2))
+    var removed = Exec.checkpointCut(withSupp.filter(col("supp") < k - 2)
+      .select("a", "b")
+      .observe(obs0, count(lit(1)).as("rows")))
+    var nRemoved = obs0.get("rows").asInstanceOf[Long]
+    var round = 0
+    while (nRemoved > 0L && round < maxRounds) {
+      val (prevT, prevS, prevR) = (tris, survivors, removed)
+      val marked = tris
+        .join(removed.select(col("a"), col("b"), lit(1).as("__r1")),
+          Seq("a", "b"), "left")
+        .join(removed.select(col("a").as("b"), col("b").as("c"),
+          lit(1).as("__r2")), Seq("b", "c"), "left")
+        .join(removed.select(col("a"), col("b").as("c"),
+          lit(1).as("__r3")), Seq("a", "c"), "left")
+      val killed = marked.filter(col("__r1").isNotNull ||
+        col("__r2").isNotNull || col("__r3").isNotNull)
+      tris = Exec.checkpointCut(marked.filter(col("__r1").isNull &&
+          col("__r2").isNull && col("__r3").isNull)
+        .select("a", "b", "c"))
+      val decr = killed.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("c").as("b")),
+          struct(col("a"), col("c").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("__dec"))
+      val next = survivors.join(decr, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("supp") - coalesce(col("__dec"), lit(0L))).as("supp"))
+      val obs = org.apache.spark.sql.Observation()
+      survivors = Exec.checkpointCut(next.filter(col("supp") >= k - 2))
+      removed = Exec.checkpointCut(next.filter(col("supp") < k - 2)
+        .select("a", "b")
+        .observe(obs, count(lit(1)).as("rows")))
+      Exec.releaseCheckpoint(prevT, prevS, prevR)
+      nRemoved = obs.get("rows").asInstanceOf[Long]
+      round += 1
+    }
+    require(!requireConverged || nRemoved == 0L,
+      s"k-truss peeling did not converge within $maxRounds rounds " +
+        "(deep support cascades - raise maxRounds)")
+    Exec.releaseCheckpoint(tris, removed)
+    survivors.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v"), col("supp").as("support"))
   }
 
   /** Per-edge triangle support of an ORIENTED (acyclic total order)
@@ -1092,13 +1192,13 @@ object GraphAlgos {
       .localCheckpoint(true)
     var prevLabels: DataFrame = labels // own checkpoint: releasable
     for (_ <- 1 to rounds) {
-      labels = adj.join(labels.select(col("node").as("nbr"), col("label")),
+      labels = Exec.checkpointCut(
+        adj.join(labels.select(col("node").as("nbr"), col("label")),
           "nbr")
         .groupBy("node", "label").agg(sum(col("__w")).as("__c"))
         .groupBy("node")
         .agg(max_by(col("label"), struct(col("__c"), negate(col("label"))))
-          .as("label"))
-        .localCheckpoint(true)
+          .as("label")))
       Exec.releaseCheckpoint(prevLabels)
       prevLabels = labels
     }
@@ -1178,10 +1278,10 @@ object GraphAlgos {
           .join(edges.select(col("v").as("id")).distinct(),
             Seq("id"), "left_semi")
         val obsT = org.apache.spark.sql.Observation()
-        val trivial = nodes.join(both, Seq("id"), "left_anti")
-          .select(col("id").as("node"), col("id").as("scc"))
-          .observe(obsT, count(lit(1)).as("n"))
-          .localCheckpoint(true)
+        val trivial = Exec.checkpointCut(
+          nodes.join(both, Seq("id"), "left_anti")
+            .select(col("id").as("node"), col("id").as("scc"))
+            .observe(obsT, count(lit(1)).as("n")))
         val nTrivial = obsT.get("n").asInstanceOf[Long]
         if (nTrivial == 0L) {
           Exec.releaseCheckpoint(trivial)
@@ -1190,14 +1290,14 @@ object GraphAlgos {
           parts += trivial
           val prevNodes = nodes
           val prevEdges = edges
-          nodes = nodes.join(trivial.select(col("node").as("id")),
-              Seq("id"), "left_anti")
-            .localCheckpoint(true)
+          nodes = Exec.checkpointCut(
+            nodes.join(trivial.select(col("node").as("id")),
+              Seq("id"), "left_anti"))
           edges = Dedup.withAqeOff(spark) {
-            edges.join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
+            Exec.checkpointCut(edges
+              .join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
               .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
-              .repartition(col("u"))
-              .localCheckpoint(true)
+              .repartition(col("u")))
           }
           Exec.releaseCheckpoint(prevNodes, prevEdges)
           nActive -= nTrivial
@@ -1205,8 +1305,8 @@ object GraphAlgos {
       }
       if (nActive > 0L) {
         // --- color: c = min id forward-reachable to v, to fixpoint
-        var colors = nodes.select(col("id"), col("id").as("c"))
-          .localCheckpoint(true)
+        var colors = Exec.checkpointCut(
+          nodes.select(col("id"), col("id").as("c")))
         var inner = 0
         var changed = true
         // `stride` propagation sub-rounds share one checkpoint action;
@@ -1229,7 +1329,7 @@ object GraphAlgos {
             .observe(obs, count(when(col("c") < col("old"), 1))
               .as("improved"))
             .select("id", "c")
-            .localCheckpoint(true)
+            .pipe(Exec.checkpointCut)
           Exec.releaseCheckpoint(colors)
           colors = updated
           changed = obs.get("improved").asInstanceOf[Long] > 0L
@@ -1244,9 +1344,9 @@ object GraphAlgos {
           .join(colors.select(col("id").as("v"), col("c").as("cv")), "v")
           .filter(col("cu") === col("cv"))
           .select(col("u"), col("v"), col("cu").as("c"))
-          .localCheckpoint(true)
-        var marked = colors.filter(col("c") === col("id"))
-          .localCheckpoint(true)
+          .pipe(Exec.checkpointCut)
+        var marked = Exec.checkpointCut(
+          colors.filter(col("c") === col("id")))
         var growing = true
         var back = 0
         while (growing && back < maxInner) {
@@ -1262,7 +1362,7 @@ object GraphAlgos {
             .agg(min(col("c")).as("c"), max(col("m")).as("m"))
             .observe(obs, count(when(col("m").isNull, 1)).as("grown"))
             .select("id", "c")
-            .localCheckpoint(true)
+            .pipe(Exec.checkpointCut)
           Exec.releaseCheckpoint(marked)
           marked = updated
           growing = obs.get("grown").asInstanceOf[Long] > 0L
@@ -1276,14 +1376,14 @@ object GraphAlgos {
         val obsN = org.apache.spark.sql.Observation()
         val prevNodes = nodes
         val prevEdges = edges
-        nodes = nodes.join(marked.select("id"), Seq("id"), "left_anti")
-          .observe(obsN, count(lit(1)).as("n"))
-          .localCheckpoint(true)
+        nodes = Exec.checkpointCut(
+          nodes.join(marked.select("id"), Seq("id"), "left_anti")
+            .observe(obsN, count(lit(1)).as("n")))
         edges = Dedup.withAqeOff(spark) {
-          edges.join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
+          Exec.checkpointCut(edges
+            .join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
             .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
-            .repartition(col("u"))
-            .localCheckpoint(true)
+            .repartition(col("u")))
         }
         Exec.releaseCheckpoint(prevNodes, prevEdges, colors, ce, marked)
         nActive = obsN.get("n").asInstanceOf[Long]

@@ -501,6 +501,32 @@ class GraphAlgosSpec extends SparkSpec {
       (2L, 4L, 1L), (3L, 4L, 1L)))
   }
 
+  test("kTrussDecremental matches the recount face cell-for-cell") {
+    // the q137 fixture shape plus random mod graphs with cascades
+    val rng = new scala.util.Random(41)
+    val rand = (0 until 3).map { _ =>
+      (0 until 260).map { _ =>
+        (rng.nextInt(40).toLong, rng.nextInt(40).toLong) }
+        .toDF("src", "dst")
+    }
+    val cascade = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    for (g <- rand :+ cascade; k <- Seq(3, 4, 8)) {
+      val a = GraphAlgos.kTruss(g, k).orderBy("u", "v").collect().toSeq
+      val b = GraphAlgos.kTrussDecremental(g, k).orderBy("u", "v")
+        .collect().toSeq
+      assert(a === b, s"recount vs decremental diverged at k=$k")
+    }
+    // k=2 has no peeling to incrementalize: rejected loudly
+    intercept[IllegalArgumentException] {
+      GraphAlgos.kTrussDecremental(cascade, k = 2)
+    }
+    // maxRounds too small still fails fast
+    intercept[IllegalArgumentException] {
+      GraphAlgos.kTrussDecremental(cascade, k = 4, maxRounds = 1)
+    }
+  }
+
   test("betweenness: diamond closed form — the two middle nodes split " +
     "the dependency; sources/sinks score zero") {
     // 1→2→4, 1→3→4: two shortest 1→4 paths, one through each middle
