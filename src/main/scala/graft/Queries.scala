@@ -2530,6 +2530,71 @@ object Queries {
       .select("event_id", "user_id", "cents")
       .orderBy("event_id")
 
+  /** Histogram gate: fixed-width 5000-cent bins of event value per
+    * type with clamped edge bins — integer divisions, exact counts. */
+  def q169Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogramFixed(
+      events(s, dir).select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "event_type", valueCol = "cents",
+      lo = 0L, width = 5000L, nBins = 12)
+      .orderBy("event_type", "bin")
+
+  /** Attribution gate: last-touch marketing attribution — every
+    * purchase joined to the user's latest click at-or-before it within
+    * 7 days (the backward as-of machinery; touches pre-deduped to
+    * min id per (user, instant), the q71 tie-safety convention). */
+  def q170Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val touches = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("touch_id"))
+    graft.operators.Events.lastTouchAttribution(conv, touches,
+      windowUs = 7L * 24 * 3600 * 1000000L, touchIdCol = "touch_id")
+      .select(col("event_id"), col("user_id"),
+        col("asof_touch_id").as("touch_id"), col("asof_us"))
+      .orderBy("event_id")
+  }
+
+  /** Band-join gate: |value_a − value_b| ≤ 100 cents across two
+    * deterministic event samples — the engine's bucketed band join
+    * (3× replication, never cartesian) must EQUAL the naive all-pairs
+    * oracle. */
+  def q171BandJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("cents",
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+    graft.operators.Stats.bandJoin(
+      ev.filter(col("event_type") === "view" && col("event_id") % 17 === 0)
+        .select(col("event_id").as("id_a"), col("cents").as("va")),
+      ev.filter(col("event_type") === "purchase" &&
+          col("event_id") % 13 === 0)
+        .select(col("event_id").as("id_b"), col("cents").as("vb")),
+      valueColA = "va", valueColB = "vb", delta = 100L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Path-trigram gate: the top-level census of 3-step user journeys —
+    * the n = 3 generalization of the q150 transition matrix, exact
+    * counts over the unique (us, event_id) order. */
+  def q172Trigrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.pathNGrams(events(s, dir), n = 3)
+      .orderBy("step_1", "step_2", "step_3")
+
+  /** Seasonal-deviation gate: events exceeding 2× their (user,
+    * hour-of-day) baseline mean with ≥ 4 observations — the
+    * comparison cross-multiplied to exact integers, no division. */
+  def q173Seasonal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.seasonalDeviation(
+      events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      valueCol = "cents", mult = 2, minObs = 4)
+      .select("event_id", "user_id", "hod", "cents", "n_base", "sum_base")
+      .orderBy("event_id")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3299,7 +3364,12 @@ object Queries {
     "q165_grouping_sets" -> (q165GroupingSets _),
     "q166_cusum" -> (q166Cusum _),
     "q167_lift" -> (q167Lift _),
-    "q168_bands" -> (q168Bands _)
+    "q168_bands" -> (q168Bands _),
+    "q169_histogram" -> (q169Histogram _),
+    "q170_attribution" -> (q170Attribution _),
+    "q171_band_join" -> (q171BandJoin _),
+    "q172_trigrams" -> (q172Trigrams _),
+    "q173_seasonal" -> (q173Seasonal _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5569,7 +5639,64 @@ object Queries {
         |SELECT event_id, user_id, cents FROM w
         |WHERE n >= 5 AND
         |  (n*cents - sx) * (n*cents - sx) > 4 * (n*sx2 - sx*sx)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q169_histogram" ->
+      """SELECT event_type,
+        |  least(greatest(
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000,
+        |    0), 11) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bin""".stripMargin,
+    "q170_attribution" ->
+      """WITH p AS MATERIALIZED (SELECT event_id, user_id,
+        |  epoch_us(ts) AS ts_us FROM events
+        | WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us,
+        |  min(event_id) AS touch_id FROM events
+        | WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+        |SELECT p.event_id, p.user_id, c.touch_id, c.us AS asof_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.us
+        |WHERE p.ts_us - c.us <= 604800000000
+        |ORDER BY p.event_id""".stripMargin,
+    "q171_band_join" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |a AS (SELECT event_id AS id_a, cents AS va FROM e
+        | WHERE event_type = 'view' AND event_id % 17 = 0),
+        |b AS (SELECT event_id AS id_b, cents AS vb FROM e
+        | WHERE event_type = 'purchase' AND event_id % 13 = 0)
+        |SELECT id_a, va, id_b, vb FROM a, b
+        |WHERE abs(va - vb) <= 100
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q172_trigrams" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type,
+        |  epoch_us(ts) AS us, event_id FROM events),
+        |w AS (SELECT event_type AS step_1,
+        |  lead(event_type, 1) OVER win AS step_2,
+        |  lead(event_type, 2) OVER win AS step_3
+        | FROM e WINDOW win AS (PARTITION BY user_id
+        |   ORDER BY us, event_id))
+        |SELECT step_1, step_2, step_3, CAST(count(*) AS BIGINT)
+        |  AS n_paths
+        |FROM w WHERE step_3 IS NOT NULL
+        |GROUP BY step_1, step_2, step_3
+        |ORDER BY step_1, step_2, step_3""".stripMargin,
+    "q173_seasonal" ->
+      """WITH b AS MATERIALIZED (SELECT event_id, user_id,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |g AS MATERIALIZED (SELECT user_id, hod,
+        |  CAST(count(*) AS BIGINT) AS n_base,
+        |  CAST(sum(cents) AS BIGINT) AS sum_base
+        | FROM b GROUP BY user_id, hod)
+        |SELECT b.event_id, b.user_id, b.hod, b.cents, g.n_base,
+        |  g.sum_base
+        |FROM b JOIN g USING (user_id, hod)
+        |WHERE g.n_base >= 4 AND b.cents * g.n_base > 2 * g.sum_base
+        |ORDER BY b.event_id""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

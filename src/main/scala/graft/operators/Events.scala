@@ -482,6 +482,57 @@ object Events {
     * 2·|sessions| boundary table (the same cost class as the final
     * ORDER BY of any report), never over raw events; sessionization
     * itself stays per-user partitioned. */
+  /** Ordered n-grams of each key's event-type path: every window of
+    * `n` consecutive events (the (us, idCol) total order) becomes one
+    * (step_1, …, step_n) row, counted globally — the journey-mining
+    * generalization of [[transitionMatrix]] (its n = 2 case). One
+    * per-key window pass + one map-side-combined count. */
+  def pathNGrams(events: DataFrame, n: Int = 3,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id",
+                 typeCol: String = "event_type"): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(us(events, tsCol), col(idCol))
+    val withLeads = (1 until n).foldLeft(
+      events.withColumn("step_1", col(typeCol))) { (df, i) =>
+        df.withColumn(s"step_${i + 1}", lead(col(typeCol), i).over(w))
+      }
+    withLeads.filter(col(s"step_$n").isNotNull)
+      .groupBy((1 to n).map(i => col(s"step_$i")): _*)
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
+  /** Seasonal-baseline deviation: flag events whose value exceeds
+    * `mult`× their own (key, hour-of-day) mean, with the mean
+    * comparison cross-multiplied to exact integers
+    * (value·n > mult·Σ) — no division, engine-independent rows.
+    * Keys with fewer than `minObs` observations in the hour are
+    * never flagged (no baseline to deviate from). */
+  def seasonalDeviation(events: DataFrame, valueCol: String = "cents",
+                        userCol: String = "user_id", tsCol: String = "ts",
+                        mult: Int = 2, minObs: Int = 4): DataFrame = {
+    val withHour = events.withColumn("hod", hour(col(tsCol)).cast("long"))
+    val base = withHour.groupBy(col(userCol), col("hod"))
+      .agg(count(lit(1)).as("n_base"), sum(col(valueCol)).as("sum_base"))
+    withHour.join(base, Seq(userCol, "hod"))
+      .filter(col("n_base") >= minObs &&
+        col(valueCol) * col("n_base") > lit(mult) * col("sum_base"))
+  }
+
+  /** Last-touch attribution: each conversion joins the latest touch
+    * event of the same key at-or-before it, within `windowUs` — the
+    * marketing-attribution face of the backward [[asofJoin]] (which
+    * carries the machinery: one union + one per-key window, no range
+    * self-join). Conversions with no in-window touch drop. */
+  def lastTouchAttribution(conversions: DataFrame, touches: DataFrame,
+                           windowUs: Long, keyCol: String = "user_id",
+                           tsCol: String = "ts",
+                           touchIdCol: String = "event_id"): DataFrame =
+    asofJoin(conversions, touches, keyCol, tsCol, touchIdCol)
+      .filter(col("asof_us").isNotNull &&
+        us(conversions, tsCol) - col("asof_us") <= windowUs)
+
   /** Merge overlapping [start_us, end_us) intervals per key and report
     * each key's covered span count and total covered time — the
     * interval-union sweep (ad exposure, machine uptime, session

@@ -235,6 +235,42 @@ object Stats {
       .drop("__n", "__sx", "__sx2")
   }
 
+  /** Fixed-width histogram of an integral column per key: bin i covers
+    * [lo + i·width, lo + (i+1)·width), everything below lo clamps to
+    * bin 0 and at-or-above hi to the last bin. One map-side-combined
+    * groupBy; bins are integer divisions, so counts are exact. */
+  def histogramFixed(df: DataFrame, keyCol: String, valueCol: String,
+      lo: Long, width: Long, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, "width and nBins must be positive")
+    val raw = expr(s"(($valueCol - $lo) div $width)")
+    val bin = least(greatest(raw, lit(0L)), lit(nBins - 1L))
+    df.groupBy(col(keyCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Band join: all pairs (a, b) with |a.value − b.value| ≤ delta,
+    * WITHOUT the cartesian product — each side buckets by
+    * value div delta and b replicates to its three candidate buckets
+    * (b−1, b, b+1), so the equi-join on bucket sees every qualifying
+    * pair exactly once and the post-filter drops the near-misses. The
+    * classic banding trick (the numeric twin of the LSH band join);
+    * shuffle cost is 3× the smaller side, never |A|·|B|. Skewed value
+    * clusters concentrate in one bucket — at corpus scale pick delta
+    * so buckets stay bounded, or salt the hot bucket (Scale.saltedJoin
+    * composes). */
+  def bandJoin(a: DataFrame, b: DataFrame, valueColA: String,
+      valueColB: String, delta: Long): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val aB = a.withColumn("__bucket", expr(s"$valueColA div $delta"))
+    val bB = b.withColumn("__b0", expr(s"$valueColB div $delta"))
+      .withColumn("__bucket",
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    aB.join(bB, "__bucket")
+      .filter(abs(col(valueColA) - col(valueColB)) <= delta)
+      .drop("__bucket")
+  }
+
   /** Per-key lag-1 serial (Pearson) autocorrelation of an integral
     * series under a caller-supplied total order. Adjacent pairs come
     * from one lag window; the correlation uses the same exact-moment

@@ -390,6 +390,45 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("pathNGrams counts ordered type windows per user") {
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "a"))
+      .map { case (u, m, t) => (u, ts(m.toInt), m * 10 + u, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.pathNGrams(ev, n = 3)
+      .orderBy("step_1", "step_2", "step_3")
+      .as[(String, String, String, Long)].collect().toSeq
+    // user1: aba, bab; user2: aba → (a,b,a)×2, (b,a,b)×1
+    assert(got === Seq(("a", "b", "a", 2L), ("b", "a", "b", 1L)))
+  }
+
+  test("seasonalDeviation flags only cross-multiplied exceedances " +
+    "with enough baseline") {
+    // hour 0: values 10,10,10,50 (n=4, sum=80): 50*4=200 > 2*80 ✓
+    // hour 1: only 3 obs — never flagged
+    val ev = Seq((1, 10L), (2, 10L), (3, 10L), (4, 50L)).map { case (m, v) =>
+      (1L, ts(m), 100L + m, v) } ++
+      Seq((1L, ts(70), 201L, 99L), (1L, ts(75), 202L, 1L),
+        (1L, ts(80), 203L, 1L))
+    val df = ev.toDF("user_id", "ts", "event_id", "cents")
+    val got = Events.seasonalDeviation(df, valueCol = "cents")
+      .select("event_id").as[Long].collect().toSeq
+    assert(got === Seq(104L))
+  }
+
+  test("lastTouchAttribution picks the latest in-window touch") {
+    val conv = Seq((1L, ts(100), 900L), (1L, ts(5000), 901L))
+      .toDF("user_id", "ts", "event_id")
+    val touch = Seq((1L, ts(10), 1L), (1L, ts(90), 2L), (1L, ts(200), 3L))
+      .toDF("user_id", "ts", "touch_id")
+    val got = Events.lastTouchAttribution(conv, touch,
+      windowUs = 60L * 60000000L, touchIdCol = "touch_id")
+      .select("event_id", "asof_touch_id").as[(Long, Long)].collect().toSeq
+    // conv 900 at t=100: latest touch ≤ 100 within 60 min is id 2
+    // conv 901 at t=5000: touch 3 at 200 is 4800 min earlier — dropped
+    assert(got === Seq((900L, 2L)))
+  }
+
   test("intervalCoverage merges overlapping and touching intervals") {
     // user 1: [0,10) ∪ [5,15) ∪ [15,20) merge to [0,20); [30,40) apart
     val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),

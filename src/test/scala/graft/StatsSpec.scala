@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Scale, Stats}
+import org.apache.spark.sql.functions.abs
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -102,6 +103,31 @@ class StatsSpec extends SparkSpec {
       window = 10, k = 2, minObs = 5)
       .select("o", "v").as[(Long, Long)].collect().toSeq
     assert(got === Seq((9L, 100L))) // rows 1-5 under minObs; 6-8 in band
+  }
+
+  test("histogramFixed clamps under/overflow into the edge bins") {
+    val df = Seq(("a", -5L), ("a", 0L), ("a", 9L), ("a", 10L), ("a", 25L),
+      ("a", 999L)).toDF("k", "v")
+    val got = Stats.histogramFixed(df, "k", "v", lo = 0L, width = 10L,
+      nBins = 3).orderBy("bin").as[(String, Long, Long)].collect().toSeq
+    // bins: [-inf,10)→0 (clamped -5 plus 0,9), [10,20)→1, [20,inf)→2
+    assert(got === Seq(("a", 0L, 3L), ("a", 1L, 1L), ("a", 2L, 2L)))
+  }
+
+  test("bandJoin equals the naive all-pairs filter") {
+    val rng = new scala.util.Random(7)
+    val a = (1L to 60L).map(i => (i, rng.nextInt(500).toLong)).toDF("ia", "va")
+    val b = (1L to 60L).map(i => (i, rng.nextInt(500).toLong)).toDF("ib", "vb")
+    val got = Stats.bandJoin(a, b, "va", "vb", delta = 25L)
+      .select("ia", "ib").orderBy("ia", "ib")
+      .as[(Long, Long)].collect().toSeq
+    val naive = a.crossJoin(b)
+      .filter(abs($"va" - $"vb") <= 25L)
+      .select("ia", "ib").orderBy("ia", "ib")
+      .as[(Long, Long)].collect().toSeq
+    assert(got === naive && got.nonEmpty)
+    // and the bucketed plan produces no duplicate pairs
+    assert(got === got.distinct)
   }
 
   test("unpivotLong is the long inverse of a wide aggregate") {
