@@ -2595,6 +2595,62 @@ object Queries {
       .select("event_id", "user_id", "hod", "cents", "n_base", "sum_base")
       .orderBy("event_id")
 
+  /** Profile gate: the one-pass column profiler over customer —
+    * per-column null / exact-distinct / min / max, doubles pre-cast to
+    * cents so every stringified value renders identically in any
+    * engine. */
+  def q174Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.profile(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("c_acctbal_cents"),
+        col("c_mktsegment")),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal_cents",
+        "c_mktsegment"))
+      .orderBy("column")
+
+  /** Integrity gate: referential-integrity census over the star
+    * schema's natural FKs (all clean) plus one deliberately corrupted
+    * declaration (tripled customer keys) so the orphan path is
+    * exercised, not just asserted zero. */
+  def q175Integrity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    graft.operators.Quality.integrityCheck(Seq(
+      ("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+      ("orders_customer", o, "o_custkey", c, "c_custkey"),
+      ("customer_nation", c.select(col("c_nationkey").cast("long")
+        .as("c_nationkey")), "c_nationkey",
+        n.select(col("n_nationkey").cast("long").as("n_nationkey")),
+        "n_nationkey"),
+      ("orders_customer_x3", o.select((col("o_custkey") * 3)
+        .as("k3")), "k3", c, "c_custkey")))
+      .orderBy("fk")
+  }
+
+  /** Snapshot-diff gate: CDC classification between two deterministic
+    * versions of orders — keys mod 7 change (one cent), mod 11 exist
+    * only in the old snapshot (removed), mod 13 only in the new
+    * (added); precedence of overlaps follows the derivation order.
+    * The engine compares at xxhash64 width; the oracle compares the
+    * payload values — equal classifications prove the hash compare
+    * loses nothing. */
+  def q176SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val old = base.filter(col("o_orderkey") % 13 =!= 0)
+    val nw = base.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("cents", when(col("o_orderkey") % 7 === 0,
+        col("cents") + 100).otherwise(col("cents")))
+    graft.operators.Quality.snapshotDiff(old, nw, "o_orderkey",
+      Seq("o_orderstatus", "cents"))
+      .select("o_orderkey", "status")
+      .orderBy("o_orderkey")
+  }
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3369,7 +3425,10 @@ object Queries {
     "q170_attribution" -> (q170Attribution _),
     "q171_band_join" -> (q171BandJoin _),
     "q172_trigrams" -> (q172Trigrams _),
-    "q173_seasonal" -> (q173Seasonal _)
+    "q173_seasonal" -> (q173Seasonal _),
+    "q174_profile" -> (q174Profile _),
+    "q175_integrity" -> (q175Integrity _),
+    "q176_snapshot_diff" -> (q176SnapshotDiff _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5696,7 +5755,81 @@ object Queries {
         |  g.sum_base
         |FROM b JOIN g USING (user_id, hod)
         |WHERE g.n_base >= 4 AND b.cents * g.n_base > 2 * g.sum_base
-        |ORDER BY b.event_id""".stripMargin)
+        |ORDER BY b.event_id""".stripMargin,
+    "q174_profile" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal_cents", "c_mktsegment")
+      val per = cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT)
+           |   AS n_null,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_val,
+           | CAST(max($c) AS VARCHAR) AS max_val
+           |FROM b""".stripMargin
+      }
+      """WITH b AS MATERIALIZED (SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS c_acctbal_cents,
+        |  c_mktsegment FROM customer)
+        |""".stripMargin + per.mkString("\nUNION ALL\n") +
+        "\nORDER BY \"column\""
+    },
+    "q175_integrity" ->
+      """WITH fk1 AS (SELECT 'lineitem_orders' AS fk,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+        |    AS BIGINT) AS n_null_key,
+        |  CAST(count(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |    THEN 1 END) AS BIGINT) AS n_orphan
+        | FROM lineitem),
+        |fk2 AS (SELECT 'orders_customer',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |    THEN 1 END) AS BIGINT)
+        | FROM orders),
+        |fk3 AS (SELECT 'customer_nation',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN c_nationkey IS NULL THEN 1 END)
+        |    AS BIGINT),
+        |  CAST(count(CASE WHEN c_nationkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM nation
+        |    WHERE CAST(n_nationkey AS BIGINT) =
+        |      CAST(c_nationkey AS BIGINT)) THEN 1 END) AS BIGINT)
+        | FROM customer),
+        |fk4 AS (SELECT 'orders_customer_x3',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer WHERE c_custkey = o_custkey * 3)
+        |    THEN 1 END) AS BIGINT)
+        | FROM orders)
+        |SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+        |UNION ALL SELECT * FROM fk3 UNION ALL SELECT * FROM fk4
+        |ORDER BY fk""".stripMargin,
+    "q176_snapshot_diff" ->
+      """WITH base AS MATERIALIZED (SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |old AS (SELECT * FROM base WHERE o_orderkey % 13 <> 0),
+        |nw AS (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END
+        |    AS cents FROM base WHERE o_orderkey % 11 <> 0)
+        |SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+        |       WHEN nw.o_orderkey IS NULL THEN 'removed'
+        |       WHEN old.o_orderstatus <> nw.o_orderstatus
+        |         OR old.cents <> nw.cents THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey
+        |WHERE NOT (old.o_orderkey IS NOT NULL AND nw.o_orderkey IS
+        |  NOT NULL AND old.o_orderstatus = nw.o_orderstatus AND
+        |  old.cents = nw.cents)
+        |ORDER BY o_orderkey""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality operators — the checks a 100 TB ingest runs before
+ * anything downstream trusts a snapshot (reference analog: the
+ * null/shape guards and censuses the writers run before emitting,
+ * `AnnotationResultsWriter.py` guard blocks, `Reports.py` censuses).
+ *
+ * All three are single-plan, shuffle-minimal, and exact:
+ *  - [[profile]] — ONE pass over the table computes every column's
+ *    null count, approx-free distinct count, and min/max (stringified
+ *    for a uniform schema), then melts to one row per column. The
+ *    multi-agg is a single partial-aggregated global fold; the melt is
+ *    an Expand of the 1-row aggregate.
+ *  - [[integrityCheck]] — orphan foreign keys per declared (child,
+ *    parent) pair via left-anti joins; each pair is one shuffle (or a
+ *    broadcast when the parent key set is small).
+ *  - [[snapshotDiff]] — two snapshots full-outer-joined on the key,
+ *    rows classified added/removed/changed/unchanged by comparing a
+ *    hash of the non-key payload. One shuffle per side; the hash
+ *    (xxhash64 of the payload struct) keeps the compare narrow no
+ *    matter how wide the table.
+ */
+object Quality {
+
+  /** One-pass column profile: (column, n_rows, n_null, n_distinct,
+    * min_val, max_val) per profiled column, values stringified so one
+    * schema fits every column type. Distinct counts are EXACT
+    * (count_distinct, one expand-aggregate) — swap for
+    * approx_count_distinct at corpus scale if the expand dominates. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        count_distinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Referential-integrity census over declared foreign keys: for each
+    * (name, child, childKey, parent, parentKey) declaration, the
+    * number of child rows whose non-null key has no parent — plus the
+    * child's total and null-key counts for rate context. */
+  def integrityCheck(
+      fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(fks.nonEmpty, "integrityCheck needs at least one FK")
+    fks.map { case (name, child, ck, parent, pk) =>
+      val nonNull = child.filter(col(ck).isNotNull)
+      val orphans = nonNull
+        .join(parent.select(col(pk).as(ck)).distinct(), Seq(ck), "left_anti")
+      val counts = child.agg(
+        count(lit(1)).as("n_child"),
+        count(when(col(ck).isNull, 1)).as("n_null_key"))
+      counts.crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_null_key"),
+          col("n_orphan"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Snapshot diff: classify every key as added / removed / changed /
+    * unchanged between two versions of a table. The payload compare is
+    * a single xxhash64 over the named payload columns (wide tables
+    * diff at hash width); emit one row per non-unchanged key with its
+    * status, keeping the new payload hash for audit. Set
+    * `keepUnchanged` to include the unchanged census row-by-row. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCols: Seq[String], keepUnchanged: Boolean = false): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs payload columns")
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(keyCol),
+        xxhash64(payloadCols.map(col): _*).as(h))
+    val joined = hashed(oldDf, "__h_old")
+      .join(hashed(newDf, "__h_new"), Seq(keyCol), "full_outer")
+    val status = when(col("__h_old").isNull, "added")
+      .when(col("__h_new").isNull, "removed")
+      .when(col("__h_old") =!= col("__h_new"), "changed")
+      .otherwise("unchanged")
+    val out = joined.select(col(keyCol), status.as("status"),
+      col("__h_new").as("new_hash"))
+    if (keepUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Quality
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports nulls, exact distincts, and stringified bounds") {
+    val df = Seq((1L, Some("b")), (2L, None), (3L, Some("a")),
+      (3L, Some("a"))).toDF("id", "s")
+    val got = Quality.profile(df, Seq("id", "s"))
+      .orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      ("id", 4L, 0L, 3L, "1", "3"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("integrityCheck counts orphans and null keys per declaration") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val got = Quality.integrityCheck(Seq(("c_p", child, "k", parent, "p")))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("c_p", 4L, 1L, 1L))) // 9 is the one orphan
+  }
+
+  test("snapshotDiff classifies added/removed/changed and hides " +
+    "unchanged by default") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    val nw = Seq((2L, "y"), (3L, "Z"), (4L, "w")).toDF("id", "v")
+    val got = Quality.snapshotDiff(old, nw, "id", Seq("v"))
+      .select("id", "status").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    val all = Quality.snapshotDiff(old, nw, "id", Seq("v"),
+      keepUnchanged = true).collect()
+    assert(all.length === 4)
+  }
+}
