@@ -2651,6 +2651,64 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Weighted-median gate: the quantity-weighted lower median price
+    * per return flag — running-weight rank selection, all integers. */
+  def q177WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.weightedMedianPerKey(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty")),
+      keyCol = "l_returnflag", valueCol = "cents", weightCol = "qty")
+      .orderBy("l_returnflag")
+
+  /** Top-percent gate: the top 10% orders by value per priority under
+    * the unique (cents desc, key) order — exact integer rank cut. */
+  def q178TopPercent(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.topPercent(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "o_orderpriority", valueCol = "cents",
+      tieCol = "o_orderkey", pct = 10)
+      .orderBy("o_orderkey")
+
+  /** Friends-of-friends gate: each node's count of distance-2
+    * non-neighbors — a thin census over [[GraphAlgos.linkPrediction]]
+    * pairs (both directions), pinning the pair semantics from the
+    * node's perspective. */
+  def q179Foaf(s: SparkSession, dir: String): DataFrame = {
+    val pairs = GraphAlgos.linkPrediction(
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 150).as("src"),
+          (col("o_orderkey") % 150).as("dst")))
+    pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_foaf"))
+      .orderBy("node")
+  }
+
+  /** Min-max-normalization gate: integer 0..10000 scaling of event
+    * value within its type — floor division instead of float scaling,
+    * degenerate (constant) groups dropped on both sides. */
+  def q180MinMaxNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.minMaxNorm(
+      events(s, dir).select(col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "event_type", valueCol = "cents")
+      .orderBy("event_id")
+
+  /** Burst gate: hours where a user's activity exceeds 2× their own
+    * median hourly count with ≥ 4 baseline hours — rank-selected
+    * medians, integer comparisons. mult = 2 by measurement: 7 burst
+    * hours at sf0.01 and 151 at sf0.1 (3× is vacuous below sf0.1 —
+    * the q116 lesson: a gate must exercise its operator). */
+  def q181Bursts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.bursts(events(s, dir), mult = 2)
+      .select("user_id", "hour_us", "n_events", "med_hourly")
+      .orderBy("user_id", "hour_us")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3428,7 +3486,12 @@ object Queries {
     "q173_seasonal" -> (q173Seasonal _),
     "q174_profile" -> (q174Profile _),
     "q175_integrity" -> (q175Integrity _),
-    "q176_snapshot_diff" -> (q176SnapshotDiff _)
+    "q176_snapshot_diff" -> (q176SnapshotDiff _),
+    "q177_weighted_median" -> (q177WeightedMedian _),
+    "q178_top_percent" -> (q178TopPercent _),
+    "q179_foaf" -> (q179Foaf _),
+    "q180_minmax_norm" -> (q180MinMaxNorm _),
+    "q181_bursts" -> (q181Bursts _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5829,7 +5892,73 @@ object Queries {
         |WHERE NOT (old.o_orderkey IS NOT NULL AND nw.o_orderkey IS
         |  NOT NULL AND old.o_orderstatus = nw.o_orderstatus AND
         |  old.cents = nw.cents)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q177_weighted_median" ->
+      """WITH b AS MATERIALIZED (SELECT l_returnflag,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |w AS (SELECT l_returnflag, cents,
+        |  sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(qty) OVER (PARTITION BY l_returnflag) AS tot FROM b)
+        |SELECT l_returnflag, min(cents) AS w_median,
+        |  CAST(max(tot) AS BIGINT) AS w_total
+        |FROM w WHERE cum >= (tot + 1) // 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q178_top_percent" ->
+      """WITH b AS MATERIALIZED (SELECT o_orderkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents DESC, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM b)
+        |SELECT o_orderkey, o_orderpriority, cents FROM r
+        |WHERE rn <= greatest(1, (n * 10) // 100)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q179_foaf" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT
+        |  least(o_custkey % 150, o_orderkey % 150) AS u,
+        |  greatest(o_custkey % 150, o_orderkey % 150) AS v
+        | FROM orders WHERE o_orderkey < 2000
+        |  AND o_custkey % 150 <> o_orderkey % 150),
+        |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+        | UNION SELECT v, u FROM e),
+        |p2 AS MATERIALIZED (SELECT DISTINCT a1.a AS x, a2.b AS y
+        | FROM adj a1 JOIN adj a2 ON a1.b = a2.a WHERE a1.a <> a2.b),
+        |fo AS (SELECT x, y FROM p2 WHERE NOT EXISTS (
+        |  SELECT 1 FROM adj WHERE adj.a = p2.x AND adj.b = p2.y))
+        |SELECT x AS node, CAST(count(*) AS BIGINT) AS n_foaf
+        |FROM fo GROUP BY x ORDER BY node""".stripMargin,
+    "q180_minmax_norm" ->
+      """WITH b AS MATERIALIZED (SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |w AS (SELECT event_id, event_type, cents,
+        |  min(cents) OVER (PARTITION BY event_type) AS mn,
+        |  max(cents) OVER (PARTITION BY event_type) AS mx FROM b)
+        |SELECT event_id, event_type, cents,
+        |  ((cents - mn) * 10000) // (mx - mn) AS norm
+        |FROM w WHERE mx > mn
+        |ORDER BY event_id""".stripMargin,
+    "q181_bursts" ->
+      """WITH h AS MATERIALIZED (SELECT user_id,
+        |  epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM events
+        | GROUP BY 1, 2),
+        |r AS (SELECT user_id, n_events,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY n_events)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM h),
+        |med AS MATERIALIZED (SELECT user_id, n_events AS med_hourly
+        | FROM r WHERE rn = (n - 1) // 2 + 1),
+        |nh AS MATERIALIZED (SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_hours FROM h GROUP BY 1)
+        |SELECT h.user_id, h.hour_us, h.n_events, med.med_hourly
+        |FROM h JOIN med USING (user_id) JOIN nh USING (user_id)
+        |WHERE nh.n_hours >= 4 AND h.n_events > 2 * med.med_hourly
+        |ORDER BY h.user_id, h.hour_us""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

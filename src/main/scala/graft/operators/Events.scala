@@ -533,6 +533,29 @@ object Events {
       .filter(col("asof_us").isNotNull &&
         us(conversions, tsCol) - col("asof_us") <= windowUs)
 
+  /** Burst detection: hours in which a user's event count exceeds
+    * `mult`× their own lower-median hourly count (with at least
+    * `minHours` active hours of baseline) — all rank selections and
+    * integer comparisons, zero float. Two aggregations over the
+    * (user, hour) census + one broadcast-sized median join. */
+  def bursts(events: DataFrame, userCol: String = "user_id",
+             tsCol: String = "ts", mult: Int = 3,
+             minHours: Int = 4): DataFrame = {
+    val hourly = events
+      .withColumn("hour_us", (us(events, tsCol) -
+        pmod(us(events, tsCol), lit(3600000000L))))
+      .groupBy(col(userCol), col("hour_us"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = Stats.lowerMedianPerKey(hourly, userCol, "n_events")
+      .withColumnRenamed("median", "med_hourly")
+    val nHours = hourly.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_hours"))
+    hourly.join(broadcast(med), userCol)
+      .join(broadcast(nHours), userCol)
+      .filter(col("n_hours") >= minHours &&
+        col("n_events") > lit(mult) * col("med_hourly"))
+  }
+
   /** Merge overlapping [start_us, end_us) intervals per key and report
     * each key's covered span count and total covered time — the
     * interval-union sweep (ad exposure, machine uptime, session

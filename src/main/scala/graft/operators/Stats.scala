@@ -271,6 +271,54 @@ object Stats {
       .drop("__bucket")
   }
 
+  /** Weighted lower median per key: the smallest value whose running
+    * weight (over the value order) reaches ceil(W/2). Intra-tie
+    * cumulative order is irrelevant — all rows of a value share the
+    * value, so the selected VALUE is deterministic — and everything is
+    * integer comparisons. One window pass + one groupBy. */
+  def weightedMedianPerKey(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol), col(valueCol), col(weightCol))
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__tot", sum(col(weightCol)).over(tot))
+      .filter(col("__cum") >= expr("(__tot + 1) div 2"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valueCol)).as("w_median"), max(col("__tot")).as("w_total"))
+  }
+
+  /** Top-`pct`-percent rows per key by (value desc, tie) rank — keeps
+    * rank ≤ max(1, (n·pct) div 100), all integer arithmetic so the
+    * kept set is engine-exact. The tie column must make the order
+    * total. */
+  def topPercent(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct must be in 1..100")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol).desc, col(tieCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") <= greatest(lit(1L), expr(s"(__n * $pct) div 100")))
+      .drop("__rn", "__n")
+  }
+
+  /** Per-key integer min-max normalization to 0..scale: norm =
+    * (x − min)·scale div (max − min). Degenerate keys (max = min) are
+    * dropped rather than dividing by zero. Exact — the floor division
+    * replaces the usual float scaling. */
+  def minMaxNorm(df: DataFrame, keyCol: String, valueCol: String,
+      scale: Int = 10000): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("__mn", min(col(valueCol)).over(w))
+      .withColumn("__mx", max(col(valueCol)).over(w))
+      .filter(col("__mx") > col("__mn"))
+      .withColumn("norm",
+        expr(s"(($valueCol - __mn) * $scale) div (__mx - __mn)"))
+      .drop("__mn", "__mx")
+  }
+
   /** Per-key lag-1 serial (Pearson) autocorrelation of an integral
     * series under a caller-supplied total order. Adjacent pairs come
     * from one lag window; the correlation uses the same exact-moment

@@ -429,6 +429,20 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((900L, 2L)))
   }
 
+  test("bursts flags hours above mult x the user's median " +
+    "and needs enough baseline") {
+    // user 1: hourly counts 1,1,1,6 (median 1) → the 6-event hour bursts
+    // user 2: counts 1,9 but only 2 active hours — below minHours
+    val ev = (Seq(0, 60, 120).map(m => (1L, ts(m))) ++
+      (0 until 6).map(i => (1L, ts(180 + i))) ++
+      Seq((2L, ts(0))) ++ (0 until 9).map(i => (2L, ts(60 + i))))
+      .toDF("user_id", "ts")
+    val got = Events.bursts(ev, mult = 3, minHours = 4)
+      .select("user_id", "n_events", "med_hourly")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 6L, 1L)))
+  }
+
   test("intervalCoverage merges overlapping and touching intervals") {
     // user 1: [0,10) ∪ [5,15) ∪ [15,20) merge to [0,20); [30,40) apart
     val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),

@@ -130,6 +130,36 @@ class StatsSpec extends SparkSpec {
     assert(got === got.distinct)
   }
 
+  test("weightedMedianPerKey selects the running-weight crossing value") {
+    // weights: 1@10, 2@20, 5@30 → W=8, T=(8+1)div2=4, crossing at 30
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 5L),
+      ("b", 7L, 1L)).toDF("k", "v", "w")
+    val got = Stats.weightedMedianPerKey(df, "k", "v", "w")
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 30L, 8L), ("b", 7L, 1L)))
+    // all-equal weights reduce to the plain lower median
+    val eq = (1L to 4L).map(v => ("e", v, 1L)).toDF("k", "v", "w")
+    assert(Stats.weightedMedianPerKey(eq, "k", "v", "w")
+      .as[(String, Long, Long)].collect().toSeq === Seq(("e", 2L, 4L)))
+  }
+
+  test("topPercent keeps max(1, n*pct div 100) rows from the top") {
+    val df = (1L to 25L).map(i => ("g", i, i)).toDF("k", "v", "id")
+    val got = Stats.topPercent(df, "k", "v", "id", pct = 10)
+      .select("v").as[Long].collect().toSeq.sorted
+    assert(got === Seq(24L, 25L)) // (25*10) div 100 = 2 rows
+    val tiny = Seq(("g", 5L, 1L)).toDF("k", "v", "id")
+    assert(Stats.topPercent(tiny, "k", "v", "id", 10).count() === 1L)
+  }
+
+  test("minMaxNorm scales to 0..10000 and drops constant groups") {
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 200L),
+      ("c", 4L, 9L), ("c", 5L, 9L)).toDF("k", "id", "v")
+    val got = Stats.minMaxNorm(df, "k", "v")
+      .orderBy("id").select("id", "norm").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L), (2L, 5000L), (3L, 10000L)))
+  }
+
   test("unpivotLong is the long inverse of a wide aggregate") {
     val wide = Seq(("x", 1L, 10L)).toDF("id", "m1", "m2")
     val got = Scale.unpivotLong(wide, Seq("id"), Seq("m1", "m2"))
