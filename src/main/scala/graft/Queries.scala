@@ -2709,6 +2709,58 @@ object Queries {
       .select("user_id", "hour_us", "n_events", "med_hourly")
       .orderBy("user_id", "hour_us")
 
+  /** Drawdown gate: each user's largest drop from a running value
+    * peak over the (us, event_id) order — one window pass, exact. */
+  def q182Drawdown(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.maxDrawdown(
+      events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      keyCol = "user_id", orderCols = Seq("us", "event_id"),
+      valueCol = "cents")
+      .orderBy("user_id")
+
+  /** Mann-Whitney gate: the doubled-U rank-sum statistic between
+    * purchase and click values — midranks via the 2·rank + ties − 1
+    * identity, all integers, with u2_a + u2_b = 2·n_a·n_b as the
+    * built-in self-check. */
+  def q183MannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mannWhitneyU2(
+      events(s, dir).select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      groupCol = "event_type", valueCol = "cents",
+      groupA = "purchase", groupB = "click")
+
+  /** ABC gate: Pareto classification of parts by revenue — cumulative
+    * share thresholds cross-multiplied to integers (cum·100 ≤ pct·tot),
+    * unique (revenue desc, part) order. */
+  def q184Abc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.abcClassify(
+      t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("revenue")),
+      idCol = "l_partkey", valueCol = "revenue")
+      .orderBy("l_partkey")
+
+  /** Time-to-convert gate: signup→purchase latency per user (first
+    * signup to first at-or-after purchase) with whole-day buckets. */
+  def q185TimeToConvert(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.timeToConvert(events(s, dir),
+      fromType = "signup", toType = "purchase")
+      .orderBy("user_id")
+
+  /** SCD2 gate: run-length validity intervals of each user's event
+    * type over time — the slowly-changing-dimension build, with
+    * valid_to as the next interval's start. */
+  def q186Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.scd2Intervals(events(s, dir),
+      attrCol = "event_type")
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us",
+        "n_events")
+      .orderBy("user_id", "valid_from_us")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3491,7 +3543,12 @@ object Queries {
     "q178_top_percent" -> (q178TopPercent _),
     "q179_foaf" -> (q179Foaf _),
     "q180_minmax_norm" -> (q180MinMaxNorm _),
-    "q181_bursts" -> (q181Bursts _)
+    "q181_bursts" -> (q181Bursts _),
+    "q182_drawdown" -> (q182Drawdown _),
+    "q183_mannwhitney" -> (q183MannWhitney _),
+    "q184_abc" -> (q184Abc _),
+    "q185_time_to_convert" -> (q185TimeToConvert _),
+    "q186_scd2" -> (q186Scd2 _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5958,7 +6015,92 @@ object Queries {
         |SELECT h.user_id, h.hour_us, h.n_events, med.med_hourly
         |FROM h JOIN med USING (user_id) JOIN nh USING (user_id)
         |WHERE nh.n_hours >= 4 AND h.n_events > 2 * med.med_hourly
-        |ORDER BY h.user_id, h.hour_us""".stripMargin)
+        |ORDER BY h.user_id, h.hour_us""".stripMargin,
+    "q182_drawdown" ->
+      """WITH b AS MATERIALIZED (SELECT user_id, event_id,
+        |  epoch_us(ts) AS us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |w AS (SELECT user_id, cents,
+        |  max(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        | FROM b)
+        |SELECT user_id, max(peak - cents) AS max_drawdown,
+        |  max(peak) AS peak, CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q183_mannwhitney" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |r AS (SELECT event_type,
+        |  CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY cents) AS BIGINT) AS t
+        | FROM b),
+        |m AS MATERIALIZED (SELECT event_type, 2 * rk + t - 1 AS mr2
+        | FROM r),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN mr2 END)
+        |    AS BIGINT) AS s2a,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN mr2 END)
+        |    AS BIGINT) AS s2b
+        | FROM m)
+        |SELECT n_a, n_b, s2a - n_a * (n_a + 1) AS u2_a,
+        |  s2b - n_b * (n_b + 1) AS u2_b FROM agg""".stripMargin,
+    "q184_abc" ->
+      """WITH rev AS MATERIALIZED (SELECT l_partkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS revenue
+        | FROM lineitem GROUP BY l_partkey),
+        |w AS (SELECT l_partkey, revenue,
+        |  sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(revenue) OVER () AS tot FROM rev)
+        |SELECT l_partkey, revenue,
+        |  CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+        |       WHEN cum * 100 <= 95 * tot THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM w ORDER BY l_partkey""".stripMargin,
+    "q185_time_to_convert" ->
+      """WITH s AS MATERIALIZED (SELECT user_id,
+        |  min(epoch_us(ts)) AS from_us FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        | WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.from_us, min(p.us) AS to_us,
+        |  min(p.us) - s.from_us AS delta_us,
+        |  (min(p.us) - s.from_us) // 86400000000 AS day_bucket
+        |FROM s JOIN p ON p.user_id = s.user_id AND p.us >= s.from_us
+        |GROUP BY s.user_id, s.from_us
+        |ORDER BY s.user_id""".stripMargin,
+    "q186_scd2" ->
+      """WITH b AS MATERIALIZED (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN lag(event_type) OVER win IS NULL
+        |    OR lag(event_type) OVER win <> event_type
+        |   THEN 1 ELSE 0 END AS chg
+        | FROM b WINDOW win AS (PARTITION BY user_id
+        |   ORDER BY us, event_id)),
+        |seg AS (SELECT user_id, event_type, us,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS sg
+        | FROM c),
+        |runs AS MATERIALIZED (SELECT user_id, sg,
+        |  min(us) AS valid_from_us, max(event_type) AS event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        | FROM seg GROUP BY user_id, sg)
+        |SELECT user_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) AS valid_to_us,
+        |  n_events
+        |FROM runs
+        |ORDER BY user_id, valid_from_us""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

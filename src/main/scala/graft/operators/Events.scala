@@ -556,6 +556,56 @@ object Events {
         col("n_events") > lit(mult) * col("med_hourly"))
   }
 
+  /** Time-to-convert: for each key, the delay from its first `fromType`
+    * event to its first `toType` event AT OR AFTER it (keys that never
+    * convert drop), plus the whole-day bucket — the funnel-latency
+    * distribution input. Two filtered min-aggregations + one join, all
+    * integer microseconds. */
+  def timeToConvert(events: DataFrame, fromType: String, toType: String,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): DataFrame = {
+    val usC = us(events, tsCol)
+    val first = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(usC).as("from_us"))
+    val conv = events.filter(col(typeCol) === toType)
+      .select(col(userCol), usC.as("__to"))
+    first.join(conv, userCol)
+      .filter(col("__to") >= col("from_us"))
+      .groupBy(col(userCol), col("from_us"))
+      .agg(min(col("__to")).as("to_us"))
+      .withColumn("delta_us", col("to_us") - col("from_us"))
+      .withColumn("day_bucket", expr("delta_us div 86400000000"))
+  }
+
+  /** SCD2 intervalization: collapse each key's event stream into
+    * validity intervals of a tracked attribute — a new interval opens
+    * when the attribute CHANGES from the previous event (run-length
+    * encoding over time), `valid_to_us` is the next interval's start
+    * (null while current). The warehouse slowly-changing-dimension
+    * build, as one window pass + one groupBy. */
+  def scd2Intervals(events: DataFrame, attrCol: String,
+                    userCol: String = "user_id",
+                    tsCol: String = "ts",
+                    idCol: String = "event_id"): DataFrame = {
+    val usC = us(events, tsCol)
+    val w = Window.partitionBy(col(userCol)).orderBy(usC, col(idCol))
+    val seg = events
+      .withColumn("__us", usC)
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = seg.groupBy(col(userCol), col("__seg"))
+      .agg(min(col("__us")).as("valid_from_us"),
+        max(col(attrCol)).as(attrCol), // constant within the run
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(col(userCol)).orderBy(col("valid_from_us"))
+    runs.withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(wNext))
+      .drop("__seg")
+  }
+
   /** Merge overlapping [start_us, end_us) intervals per key and report
     * each key's covered span count and total covered time — the
     * interval-union sweep (ad exposure, machine uptime, session

@@ -319,6 +319,65 @@ object Stats {
       .drop("__mn", "__mx")
   }
 
+  /** Maximum drawdown per key: the largest drop from a running peak
+    * over the caller's total order — max(cummax(x) − x), with the
+    * peak reported alongside. One window pass, all integers. */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__peak", max(col(valueCol)).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__peak") - col(valueCol)).as("max_drawdown"),
+        max(col("__peak")).as("peak"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Mann-Whitney U between two labeled groups, DOUBLED to stay
+    * integral under midranks: for each row, 2·midrank =
+    * 2·rank + ties − 1 (rank = the block's first position, ties = the
+    * block size), so 2U_A = Σ_A 2·midrank − n_A(n_A+1) is exact — the
+    * rank-sum test statistic with tie correction and zero floats.
+    * Returns one row (n_a, n_b, u2_a, u2_b) with
+    * u2_a + u2_b = 2·n_a·n_b (the identity doubles as a self-check). */
+  def mannWhitneyU2(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val two = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol), col(valueCol))
+    val w = Window.orderBy(col(valueCol))
+    val ranked = two
+      .withColumn("__r", rank().over(w))
+      .withColumn("__t", count(lit(1)).over(
+        Window.partitionBy(col(valueCol))))
+      .withColumn("__2mr", lit(2) * col("__r") + col("__t") - 1)
+    ranked.agg(
+        sum(when(col(groupCol) === groupA, 1L)).as("n_a"),
+        sum(when(col(groupCol) === groupB, 1L)).as("n_b"),
+        sum(when(col(groupCol) === groupA, col("__2mr"))).as("__s2a"),
+        sum(when(col(groupCol) === groupB, col("__2mr"))).as("__s2b"))
+      .select(col("n_a"), col("n_b"),
+        (col("__s2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        (col("__s2b") - col("n_b") * (col("n_b") + 1)).as("u2_b"))
+  }
+
+  /** ABC (Pareto) classification: items ranked by value desc (tie on
+    * id), class A while the running share ≤ `aPct`%, B while ≤ `bPct`%,
+    * C after — the share comparisons cross-multiplied to integers
+    * (cum·100 ≤ pct·total), no division. */
+  def abcClassify(df: DataFrame, idCol: String, valueCol: String,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    val w = Window.orderBy(col(valueCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    df.withColumn("__cum", sum(col(valueCol)).over(w))
+      .withColumn("__tot", sum(col(valueCol)).over(tot))
+      .withColumn("abc_class",
+        when(col("__cum") * 100 <= lit(aPct.toLong) * col("__tot"), "A")
+          .when(col("__cum") * 100 <= lit(bPct.toLong) * col("__tot"), "B")
+          .otherwise("C"))
+      .drop("__cum", "__tot")
+  }
+
   /** Per-key lag-1 serial (Pearson) autocorrelation of an integral
     * series under a caller-supplied total order. Adjacent pairs come
     * from one lag window; the correlation uses the same exact-moment

@@ -443,6 +443,33 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((1L, 6L, 1L)))
   }
 
+  test("timeToConvert pairs first-from with first-at-or-after-to") {
+    val ev = Seq((1L, ts(10), 1L, "signup"), (1L, ts(5), 2L, "purchase"),
+      (1L, ts(30), 3L, "purchase"), (1L, ts(40), 4L, "purchase"),
+      (2L, ts(0), 5L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.timeToConvert(ev, "signup", "purchase")
+      .select("user_id", "delta_us").as[(Long, Long)].collect().toSeq
+    // user 1: signup at 10min, first purchase AFTER it at 30min
+    assert(got === Seq((1L, 20L * 60000000L)))
+  }
+
+  test("scd2Intervals run-length-encodes attribute changes") {
+    val ev = Seq((1L, ts(0), 1L, "x"), (1L, ts(10), 2L, "x"),
+      (1L, ts(20), 3L, "y"), (1L, ts(30), 4L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Events.scd2Intervals(ev, "event_type")
+      .orderBy("valid_from_us")
+      .select("event_type", "valid_from_us", "valid_to_us", "n_events")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    val m = 60000000L
+    val base = 1704067200000000L // the ts() helper's 2024-01-01 epoch
+    assert(got === Seq(
+      ("x", base, Some(base + 20 * m), 2L),
+      ("y", base + 20 * m, Some(base + 30 * m), 1L),
+      ("x", base + 30 * m, None, 1L)))
+  }
+
   test("intervalCoverage merges overlapping and touching intervals") {
     // user 1: [0,10) ∪ [5,15) ∪ [15,20) merge to [0,20); [30,40) apart
     val df = Seq((1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L),

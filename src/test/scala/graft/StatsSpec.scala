@@ -160,6 +160,36 @@ class StatsSpec extends SparkSpec {
     assert(got === Seq((1L, 0L), (2L, 5000L), (3L, 10000L)))
   }
 
+  test("maxDrawdown tracks the worst drop from a running peak") {
+    // series 10, 30, 5, 20, 15: peak 30, worst drop 30-5=25
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 5L),
+      (1L, 4L, 20L), (1L, 5L, 15L)).toDF("k", "o", "v")
+    val got = Stats.maxDrawdown(df, "k", Seq("o"), "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 25L, 30L, 5L)))
+  }
+
+  test("mannWhitneyU2 matches the closed form and the U-sum identity") {
+    // A = {1,2}, B = {3,4}: all B above all A → U_A = 0, U_B = 4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val got = Stats.mannWhitneyU2(df, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((2L, 2L, 0L, 8L)))
+    // full tie: every value equal → U2 splits evenly (tie midranks)
+    val tie = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val t = Stats.mannWhitneyU2(tie, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(t._3 === 4L && t._4 === 4L && t._3 + t._4 === 2 * t._1 * t._2)
+  }
+
+  test("abcClassify cuts classes at cross-multiplied share thresholds") {
+    // revenues 80, 15, 4, 1 (total 100): cum 80→A, 95→B, 99→C, 100→C
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 4L), (4L, 1L)).toDF("id", "v")
+    val got = Stats.abcClassify(df, "id", "v")
+      .orderBy("id").select("abc_class").as[String].collect().toSeq
+    assert(got === Seq("A", "B", "C", "C"))
+  }
+
   test("unpivotLong is the long inverse of a wide aggregate") {
     val wide = Seq(("x", 1L, 10L)).toDF("id", "m1", "m2")
     val got = Scale.unpivotLong(wide, Seq("id"), Seq("m1", "m2"))
