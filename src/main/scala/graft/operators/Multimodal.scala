@@ -129,8 +129,52 @@ object Multimodal {
       if (w <= 0 || h <= 0) return decodeStub(content)
       return MediaMeta("gif", w, h, 3, n)
     }
+    // BMP: "BM", then LITTLE-endian s32 width/height at 18/22 (height
+    // may be negative for top-down rows — magnitude is the dimension),
+    // bits-per-pixel at 28 → channels.
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
+      val w = u32le(b, 18).toInt
+      val h = math.abs(u32le(b, 22).toInt)
+      val bpp = u16le(b, 28)
+      if (w <= 0 || h <= 0 || bpp <= 0 || bpp % 8 != 0)
+        return decodeStub(content)
+      return MediaMeta("bmp", w, h, math.max(1, bpp / 8), n)
+    }
+    // WAV (RIFF/WAVE): chunked; the REQUIRED "fmt " chunk carries
+    // channels (u16le), sample rate (u32le), bits/sample (u16le).
+    // Audio maps onto the image-shaped MediaMeta as width = sample
+    // rate, height = bits per sample — documented convention so ONE
+    // metadata schema serves both modalities downstream.
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+          b(i + 3) == ' '
+        val size = u32le(b, i + 4)
+        if (isFmt) {
+          if (i + 8 + 16 > b.length) return decodeStub(content)
+          val channels = u16le(b, i + 10)
+          val sampleRate = u32le(b, i + 12).toInt
+          val bits = u16le(b, i + 22)
+          if (channels <= 0 || sampleRate <= 0 || bits <= 0)
+            return decodeStub(content)
+          return MediaMeta("wav", sampleRate, bits, channels, n)
+        }
+        // chunks are word-aligned: odd sizes pad one byte
+        if (size < 0 || size > Int.MaxValue - 9) return decodeStub(content)
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      return decodeStub(content)
+    }
     decodeStub(content)
   }
+
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
   /** Attach decoded metadata to a (media_id, content) table. Batched
     * mapPartitions — the mapInPandas-shaped entry point. `parse` defaults

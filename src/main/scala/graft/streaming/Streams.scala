@@ -517,6 +517,51 @@ object Streams {
    * opaque string — production would encode the row (JSON/Avro) or
    * specialize the case class per schema.
    */
+  final case class CusumEvent(key: Long, ord: Long, ord2: Long,
+      value: Long)
+  final case class CusumState(s: Long, maxS: Long, n: Long,
+      firstAlarm: Long)
+  final case class CusumStat(key: Long, n: Long, max_cusum: Long,
+      first_alarm: Option[Long])
+
+  /** Streaming CUSUM change detection — the stateful twin of
+    * `Stats.cusumAlarms`: per key, the clamped recursion
+    * S = max(0, S + (x − target)) folds into ONE small state struct,
+    * and each micro-batch emits the key's CURRENT (n, max, first-alarm)
+    * summary (Update mode — a monitoring sink upserts it). The batch's
+    * group buffer is sorted by (ord, ord2) before folding; ACROSS
+    * batches the ingest contract is nondecreasing ord per key (the
+    * same source-ordering assumption every stateful sequence operator
+    * here makes — a violated contract surfaces as a loud error, never
+    * a silent wrong fold).
+    *
+    * Spec-pinned: replaying any prefix and keeping the last emit per
+    * key EQUALS the batch face over the same rows.
+    *
+    * Shape at 100 TB: state is four longs per live key; each trigger
+    * shuffles only its own rows. */
+  def cusumAlarmStream(events: Dataset[CusumEvent], target: Long,
+      threshold: Long): Dataset[CusumStat] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          val sorted = it.toArray.sortBy(e => (e.ord, e.ord2))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, -1L))
+          for (e <- sorted) {
+            val s = math.max(0L, st.s + (e.value - target))
+            st = CusumState(s, math.max(st.maxS, s), st.n + 1,
+              if (st.firstAlarm < 0 && s >= threshold) st.n + 1
+              else st.firstAlarm)
+          }
+          state.update(st)
+          Iterator.single(CusumStat(key, st.n, st.maxS,
+            if (st.firstAlarm < 0) None else Some(st.firstAlarm)))
+      }
+  }
+
   def cdcUpsertStream(events: Dataset[CdcEvent]): Dataset[CdcEvent] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -93,6 +93,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(noSof) == Multimodal.decodeStub(noSof))
   }
 
+  /** A structurally real BMP prefix: "BM", file header, and the
+    * BITMAPINFOHEADER fields the parser reads (LE width/height/bpp). */
+  private def bmpBytes(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    def le32(i: Int, v: Int): Unit = {
+      b(i) = (v & 0xff).toByte; b(i + 1) = ((v >>> 8) & 0xff).toByte
+      b(i + 2) = ((v >>> 16) & 0xff).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    le32(18, w); le32(22, h)
+    b(28) = (bpp & 0xff).toByte; b(29) = ((bpp >>> 8) & 0xff).toByte
+    b
+  }
+
+  /** A structurally real WAV prefix: RIFF/WAVE with a junk chunk the
+    * scanner must skip, then the canonical 16-byte fmt chunk. */
+  private def wavBytes(rate: Int, channels: Int, bits: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+    "RIFF".getBytes("ASCII") ++ le32(100) ++ "WAVE".getBytes("ASCII") ++
+      "LIST".getBytes("ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * channels * bits / 8) ++
+      le16(channels * bits / 8) ++ le16(bits)
+  }
+
+  test("decodeHeader parses BMP and WAV containers (audio maps sample " +
+    "rate/bits onto the width/height slots)") {
+    val bmp = Multimodal.decodeHeader(bmpBytes(800, -600, 24))
+    assert(bmp.format == "bmp" && bmp.width == 800 && bmp.height == 600 &&
+      bmp.channels == 3)
+    val wav = Multimodal.decodeHeader(wavBytes(44100, 2, 16))
+    assert(wav.format == "wav" && wav.width == 44100 && wav.height == 16 &&
+      wav.channels == 2)
+    // truncated WAV (fmt chunk cut) and non-byte-aligned BMP fall back
+    val cutWav = wavBytes(44100, 2, 16).take(30)
+    assert(Multimodal.decodeHeader(cutWav) == Multimodal.decodeStub(cutWav))
+    val oddBmp = bmpBytes(10, 10, 1)
+    assert(Multimodal.decodeHeader(oddBmp) == Multimodal.decodeStub(oddBmp))
+  }
+
   test("decode runs the real header parser distributed; synthetic corpora " +
     "keep stub metadata (q32 face unchanged)") {
     val mixed = Seq(

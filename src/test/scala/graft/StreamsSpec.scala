@@ -527,4 +527,36 @@ class StreamsSpec extends SparkSpec {
       assert(viaStream == viaBatch)
     } finally q.stop()
   }
+  test("cusumAlarmStream: last emit per key equals the batch CUSUM face") {
+    import graft.streaming.Streams.{CusumEvent, CusumStat}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CusumEvent]
+    val q = Streams.cusumAlarmStream(in.toDS(), target = 10L,
+        threshold = 10L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      // key 1 series (x=15,15,2,15): S=5,10,2,7 -> alarm at i=2
+      in.addData(CusumEvent(1L, 2, 0, 15L), CusumEvent(1L, 1, 0, 15L),
+        CusumEvent(2L, 1, 0, 5L)) // out-of-order WITHIN the batch: sorted
+      q.processAllAvailable()
+      in.addData(CusumEvent(1L, 3, 0, 2L), CusumEvent(1L, 4, 0, 15L))
+      q.processAllAvailable()
+      val emits = spark.table("cusum_out").as[CusumStat].collect()
+      val last = emits.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, g) => k -> g.maxBy(_._2)._1 }
+      assert(last(1L) == CusumStat(1L, 4L, 10L, Some(2L)))
+      assert(last(2L) == CusumStat(2L, 1L, 0L, None))
+
+      // equals the batch face over the same rows
+      val rows = Seq((1L, 1L, 0L, 15L), (1L, 2L, 0L, 15L),
+        (1L, 3L, 0L, 2L), (1L, 4L, 0L, 15L), (2L, 1L, 0L, 5L))
+        .toDF("k", "o1", "o2", "v")
+      val batch = graft.operators.Stats.cusumAlarms(rows, "k", "o1", "o2",
+          "v", target = 10L, threshold = 10L)
+        .as[(Long, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> CusumStat(r._1, r._2, r._3, r._4)).toMap
+      assert(last === batch)
+    } finally q.stop()
+  }
 }
