@@ -2761,6 +2761,43 @@ object Queries {
         "n_events")
       .orderBy("user_id", "valid_from_us")
 
+  /** Quality-score gate: the fixed-integer-weight linear quality
+    * classifier (fastText-style filter face) — every feature and the
+    * score are integers, the kept set is engine-exact. Threshold 100
+    * by measurement (median ≈ 110..115, min 20 at sf0.01/0.1), so the
+    * filter drops a real fraction — never vacuous (q116 lesson). */
+  def q187QualityScore(s: SparkSession, dir: String): DataFrame =
+    Corpus.linearQualityScore(t(s, dir, "documents"), threshold = 100L)
+      .select("doc_id", "n_tokens", "n_digits", "n_upper", "score")
+      .orderBy("doc_id")
+
+  /** Pseudonymization gate: md5 surrogate keys for user ids (the
+    * md5-family gate face of the production xxhash64 convention,
+    * q143-style) with the per-surrogate event census proving join
+    * consistency survives the mapping. */
+  def q188Pseudonymize(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(md5(concat(lit("salt:"), col("user_id").cast("string")))
+        .as("sur"))
+      .groupBy("sur").agg(count(lit(1)).as("n_events"))
+      .orderBy("sur")
+
+  /** Bag set-ops gate: EXCEPT ALL / INTERSECT ALL multiplicities over
+    * two overlapping priority multisets — completes the U3
+    * union/difference family with the bag-semantics faces. */
+  def q189BagSetops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderkey") < 3000).select("o_orderpriority")
+    val b = o.filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 4500)
+      .select("o_orderpriority")
+    a.exceptAll(b).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all")))
+      .orderBy("op", "o_orderpriority")
+  }
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3548,7 +3585,10 @@ object Queries {
     "q183_mannwhitney" -> (q183MannWhitney _),
     "q184_abc" -> (q184Abc _),
     "q185_time_to_convert" -> (q185TimeToConvert _),
-    "q186_scd2" -> (q186Scd2 _)
+    "q186_scd2" -> (q186Scd2 _),
+    "q187_quality_score" -> (q187QualityScore _),
+    "q188_pseudonymize" -> (q188Pseudonymize _),
+    "q189_bag_setops" -> (q189BagSetops _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6100,7 +6140,45 @@ object Queries {
         |    ORDER BY valid_from_us) AS valid_to_us,
         |  n_events
         |FROM runs
-        |ORDER BY user_id, valid_from_us""".stripMargin)
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "q187_quality_score" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_digits,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
+        |    AS n_upper,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_digits, n_upper,
+        |  2*n_tokens - 3*n_digits - 1*n_upper + 1*(n_chars_q // 100)
+        |    AS score
+        |FROM b
+        |WHERE 2*n_tokens - 3*n_digits - 1*n_upper +
+        |  1*(n_chars_q // 100) >= 100
+        |ORDER BY doc_id""".stripMargin,
+    "q188_pseudonymize" ->
+      """SELECT md5('salt:' || CAST(user_id AS VARCHAR)) AS sur,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1 ORDER BY sur""".stripMargin,
+    "q189_bag_setops" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders
+        | WHERE o_orderkey < 3000),
+        |b AS (SELECT o_orderpriority FROM orders
+        | WHERE o_orderkey >= 1500 AND o_orderkey < 4500),
+        |ex AS (SELECT o_orderpriority FROM a
+        | EXCEPT ALL SELECT o_orderpriority FROM b),
+        |ia AS (SELECT o_orderpriority FROM a
+        | INTERSECT ALL SELECT o_orderpriority FROM b)
+        |SELECT 'except_all' AS op, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all', o_orderpriority,
+        |  CAST(count(*) AS BIGINT) FROM ia GROUP BY 2
+        |ORDER BY op, o_orderpriority""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

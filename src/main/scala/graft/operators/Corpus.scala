@@ -1129,4 +1129,31 @@ object Corpus {
         ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
           (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
   }
+  /** Fixed-weight linear quality classifier — the exact-arithmetic
+    * stand-in for a fastText-style quality model: an integer-weighted
+    * score over integer text features (token count, digit chars,
+    * uppercase chars, raw length div 100), kept when score ≥
+    * `threshold`. Every feature and the score are integers, so the
+    * kept set is engine-exact — the model-based-filter FACE with none
+    * of the float fragility; swap the weights for learned ones in
+    * production. One narrow projection, no shuffle. */
+  def linearQualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", wTokens: Int = 2, wDigits: Int = -3,
+      wUpper: Int = -1, wLen: Int = 1, threshold: Long = 0L): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), c => c =!= "")
+    val nDigits = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[0-9]", ""))).cast("long")
+    val nUpper = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[A-Z]", ""))).cast("long")
+    docs.select(col(idCol), col(textCol),
+        size(toks).cast("long").as("n_tokens"),
+        nDigits.as("n_digits"), nUpper.as("n_upper"),
+        length(col(textCol)).cast("long").as("n_chars_q"))
+      .withColumn("score",
+        lit(wTokens.toLong) * col("n_tokens") +
+        lit(wDigits.toLong) * col("n_digits") +
+        lit(wUpper.toLong) * col("n_upper") +
+        lit(wLen.toLong) * expr("n_chars_q div 100"))
+      .filter(col("score") >= threshold)
+  }
 }

@@ -696,4 +696,20 @@ class CorpusSpec extends SparkSpec {
     assert(got(2L) == ((3L, 6.0 / 9.0)))
     assert(got(3L) == ((4L, 0.0)))
   }
+  test("linearQualityScore weights integer features and filters at " +
+    "the threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean lowercase words here ok"),     // 5 tok, 0 dig, 0 up
+      (2L, "SPAM 123 456 789 CALL NOW"),          // digit/upper heavy
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.linearQualityScore(docs,
+        threshold = 5L)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: 2*5 = 10 >= 5 kept; doc 3: 2*1 = 2 dropped
+    // doc 2: 2*6 - 3*9 - 1*11 = -26 dropped
+    assert(got === Map(1L -> 10L))
+  }
 }
