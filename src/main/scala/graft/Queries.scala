@@ -2798,6 +2798,46 @@ object Queries {
       .orderBy("op", "o_orderpriority")
   }
 
+  /** Rich-club gate: φ(k) over the mod-200 orders graph at thresholds
+    * spanning the measured degree range (median 15–19, max 27) — k=26
+    * exercises the n_k < 2 null path, the rest real hub pruning. */
+  def q190RichClub(s: SparkSession, dir: String): DataFrame =
+    GraphAlgos.richClub(
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 200).as("src"),
+          (col("o_orderkey") % 200).as("dst")),
+      ks = Seq(14, 18, 22, 26))
+      .orderBy("k")
+
+  /** Gini gate: revenue inequality across the capped part domain —
+    * exact DECIMAL moments (n·Σx ≈ 2.8e13 < 2^53 at sf0.1, measured),
+    * one final IEEE division. */
+  def q191Gini(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniCoefficient(
+      t(s, dir, "lineitem").filter(col("l_partkey") < 500)
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("revenue")),
+      idCol = "l_partkey", valueCol = "revenue")
+
+  /** Percolation gate: connected components of the orders graph AFTER
+    * an edge-weight threshold (multiplicity ≥ 2 on the sparse mod-400
+    * projection — 19..58 components at every sf, measured) — the
+    * weighted-percolation composition of a threshold filter with
+    * [[Dedup.connectedComponents]]. */
+  def q192Percolation(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select(least(col("o_custkey") % 400, col("o_orderkey") % 400)
+        .as("id_a"),
+        greatest(col("o_custkey") % 400, col("o_orderkey") % 400)
+          .as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3588,7 +3628,10 @@ object Queries {
     "q186_scd2" -> (q186Scd2 _),
     "q187_quality_score" -> (q187QualityScore _),
     "q188_pseudonymize" -> (q188Pseudonymize _),
-    "q189_bag_setops" -> (q189BagSetops _)
+    "q189_bag_setops" -> (q189BagSetops _),
+    "q190_richclub" -> (q190RichClub _),
+    "q191_gini" -> (q191Gini _),
+    "q192_percolation" -> (q192Percolation _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6178,7 +6221,60 @@ object Queries {
         |UNION ALL
         |SELECT 'intersect_all', o_orderpriority,
         |  CAST(count(*) AS BIGINT) FROM ia GROUP BY 2
-        |ORDER BY op, o_orderpriority""".stripMargin)
+        |ORDER BY op, o_orderpriority""".stripMargin,
+    "q190_richclub" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT
+        |  least(o_custkey % 200, o_orderkey % 200) AS u,
+        |  greatest(o_custkey % 200, o_orderkey % 200) AS v
+        | FROM orders WHERE o_orderkey < 2000
+        |  AND o_custkey % 200 <> o_orderkey % 200),
+        |d AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS d
+        | FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        | GROUP BY node),
+        |ks AS (SELECT unnest([14, 18, 22, 26]) AS k),
+        |nk AS (SELECT k, CAST(count(d.node) AS BIGINT) AS n_k
+        | FROM ks LEFT JOIN d ON d.d > ks.k GROUP BY k),
+        |ek AS (SELECT k, CAST(count(x.a) AS BIGINT) AS e_k FROM ks
+        | LEFT JOIN (SELECT du.d AS a, dv.d AS b FROM e
+        |   JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v) x
+        |  ON x.a > ks.k AND x.b > ks.k GROUP BY k)
+        |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_k, ek.e_k,
+        |  CASE WHEN nk.n_k >= 2 THEN
+        |    CAST(2 * ek.e_k AS DOUBLE) /
+        |    CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) END AS phi
+        |FROM nk JOIN ek USING (k) ORDER BY k""".stripMargin,
+    "q191_gini" ->
+      """WITH rev AS MATERIALIZED (SELECT l_partkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS revenue
+        | FROM lineitem WHERE l_partkey < 500 GROUP BY l_partkey),
+        |r AS (SELECT revenue,
+        |  CAST(row_number() OVER (ORDER BY revenue, l_partkey)
+        |    AS HUGEINT) AS i FROM rev),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CAST(revenue AS HUGEINT)) AS HUGEINT) AS sx,
+        |  CAST(sum(i * CAST(revenue AS HUGEINT)) AS HUGEINT) AS six
+        | FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
+        |  CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+        |  CAST(n * sx AS DOUBLE) AS gini
+        |FROM m WHERE sx > 0""".stripMargin,
+    "q192_percolation" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (SELECT
+        |  least(o_custkey % 400, o_orderkey % 400) AS u,
+        |  greatest(o_custkey % 400, o_orderkey % 400) AS v,
+        |  count(*) AS w
+        | FROM orders WHERE o_orderkey < 4000
+        |  AND o_custkey % 400 <> o_orderkey % 400
+        | GROUP BY 1, 2),
+        |p AS (SELECT u, v FROM e0 WHERE w >= 2),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v)
+        |SELECT id, min(lab) AS component FROM r GROUP BY id
+        |ORDER BY id""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

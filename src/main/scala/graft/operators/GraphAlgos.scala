@@ -1419,6 +1419,44 @@ object GraphAlgos {
     * key pair (shuffle on (src, dst) both sides — no broadcast, the
     * mirror side is the same table), one map-side-combined global
     * count. */
+  /** Rich-club census: for each degree threshold k, the node count
+    * n_k with degree > k, the edge count e_k with BOTH endpoints above
+    * k, and φ(k) = 2·e_k / (n_k·(n_k−1)) — the standard test of
+    * whether hubs preferentially interconnect. Exact integer counts
+    * folded in ONE conditional aggregation over the degree-joined edge
+    * table (no per-k scan); φ is one final IEEE division, null when
+    * n_k < 2. */
+  def richClub(edges0: DataFrame, ks: Seq[Int], srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(ks.nonEmpty, "need at least one threshold")
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val nAggs = ks.map(k => count(when(col("d") > k, 1)).as(s"__n_$k"))
+    val nK = deg.agg(nAggs.head, nAggs.tail: _*)
+    val eAggs = ks.map(k =>
+      count(when(col("__du") > k && col("__dv") > k, 1)).as(s"__e_$k"))
+    val eK = und
+      .join(deg.select(col("node").as("u"), col("d").as("__du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("__dv")), "v")
+      .agg(eAggs.head, eAggs.tail: _*)
+    val wide = nK.crossJoin(eK)
+    val rows = ks.map { k =>
+      struct(lit(k.toLong).as("k"), col(s"__n_$k").as("n_k"),
+        col(s"__e_$k").as("e_k"),
+        when(col(s"__n_$k") >= 2,
+          (lit(2) * col(s"__e_$k")).cast("double") /
+            (col(s"__n_$k") * (col(s"__n_$k") - 1)).cast("double"))
+          .as("phi"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
   def reciprocity(edges0: DataFrame, srcCol: String = "src",
                   dstCol: String = "dst"): DataFrame = {
     val e = edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -378,6 +378,30 @@ object Stats {
       .drop("__cum", "__tot")
   }
 
+  /** Gini coefficient of an integral value column (the inequality
+    * census): over the (value, id)-sorted order,
+    * G = (2·Σ i·x − (n+1)·Σx) / (n·Σx) — numerator and denominator
+    * exact in DECIMAL(38,0), ONE final IEEE division. Callers keep
+    * n·Σx < 2^53 (cap the id domain) so the exact→double casts are
+    * value-preserving in any engine. Returns one row (n, total, gini).
+    * One sort + one fold; the sort is a total order — report-sized
+    * inputs (per-entity revenue tables, not raw corpora). */
+  def giniCoefficient(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val w = Window.orderBy(col(valueCol), col(idCol))
+    df.withColumn("__i", row_number().over(w).cast(d38))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col(valueCol).cast(d38)).as("__sx"),
+        sum(col("__i") * col(valueCol).cast(d38)).as("__six"))
+      .filter(col("__sx") > 0)
+      .select(col("__n").cast("long").as("n"),
+        col("__sx").cast("long").as("total"),
+        ((lit(2).cast(d38) * col("__six") -
+          (col("__n") + 1) * col("__sx")).cast("double") /
+          (col("__n") * col("__sx")).cast("double")).as("gini"))
+  }
+
   /** Per-key lag-1 serial (Pearson) autocorrelation of an integral
     * series under a caller-supplied total order. Adjacent pairs come
     * from one lag window; the correlation uses the same exact-moment

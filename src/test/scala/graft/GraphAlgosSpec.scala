@@ -527,6 +527,24 @@ class GraphAlgosSpec extends SparkSpec {
     }
   }
 
+  test("richClub: a hub clique with pendant spokes concentrates at " +
+    "high k") {
+    // K4 on 1..4 (deg 3+spokes) + one pendant per hub (deg 1)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val spokes = Seq((1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L))
+    val got = GraphAlgos.richClub((k4 ++ spokes).toDF("src", "dst"),
+      ks = Seq(1, 3)).orderBy("k").collect()
+    // k=1: hubs have deg 4, pendants deg 1 → n=4, e=6, phi=1.0
+    assert(got(0).getLong(1) === 4L && got(0).getLong(2) === 6L &&
+      got(0).getDouble(3) === 1.0)
+    // k=3: still the 4 hubs (deg 4 > 3) → same club
+    assert(got(1).getLong(1) === 4L && got(1).getDouble(3) === 1.0)
+    // k beyond max degree: empty club, null phi
+    val empty = GraphAlgos.richClub(k4.toDF("src", "dst"), ks = Seq(9))
+      .collect().head
+    assert(empty.getLong(1) === 0L && empty.isNullAt(3))
+  }
+
   test("betweenness: diamond closed form — the two middle nodes split " +
     "the dependency; sources/sinks score zero") {
     // 1→2→4, 1→3→4: two shortest 1→4 paths, one through each middle

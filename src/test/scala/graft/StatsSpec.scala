@@ -190,6 +190,19 @@ class StatsSpec extends SparkSpec {
     assert(got === Seq("A", "B", "C", "C"))
   }
 
+  test("giniCoefficient: zero for equality, (n-1)/n-scaled for " +
+    "total concentration") {
+    val equal = (1L to 4L).map(i => (i, 10L)).toDF("id", "v")
+    val g0 = Stats.giniCoefficient(equal, "id", "v")
+      .as[(Long, Long, Double)].collect().head
+    assert(g0._1 === 4L && g0._2 === 40L && math.abs(g0._3) < 1e-15)
+    // one holder of everything: G = (n-1)/n = 0.75
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 100L)).toDF("id", "v")
+    val g1 = Stats.giniCoefficient(conc, "id", "v")
+      .as[(Long, Long, Double)].collect().head
+    assert(math.abs(g1._3 - 0.75) < 1e-15)
+  }
+
   test("unpivotLong is the long inverse of a wide aggregate") {
     val wide = Seq(("x", 1L, 10L)).toDF("id", "m1", "m2")
     val got = Scale.unpivotLong(wide, Seq("id"), Seq("m1", "m2"))
