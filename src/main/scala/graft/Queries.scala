@@ -2838,6 +2838,92 @@ object Queries {
     Dedup.connectedComponents(pairs).orderBy("id")
   }
 
+  /** Welch t-test gate: purchase vs click cents (the q183 prep) through
+    * [[graft.operators.Stats.welchT]] — exact DECIMAL moments, then the
+    * t statistic and Welch–Satterthwaite df as mirrored fixed IEEE
+    * chains, hash-compared bit-for-bit. */
+  def q193Welch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.welchT(
+      events(s, dir).select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      groupCol = "event_type", valueCol = "cents",
+      groupA = "purchase", groupB = "click")
+
+  /** χ² contingency gate: event_type × 6-hour band cells with exact
+    * marginals and per-cell contributions (no cross-cell float sum —
+    * the per-cell term is the engine-exact face). */
+  def q194ChiSq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.chiSquareContingency(
+      events(s, dir).select(col("event_type"),
+        expr("((unix_micros(ts) div 3600000000) % 24) div 6")
+          .as("hour_band")),
+      rowCol = "event_type", colCol = "hour_band")
+      .orderBy("r", "c")
+
+  /** Item-item recommender gate: top-3 cosine neighbours per item over
+    * the lineitem order baskets (item = partkey mod 100) — counts
+    * exact, cosine one IEEE chain, rank on identical bits. */
+  def q195ItemItem(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Assoc.itemItemCosine(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+        (col("l_partkey") % 100).as("item")),
+      k = 3, minPairCount = 2L)
+      .orderBy("item", "rk")
+
+  /** Dyadic-EWMA gate: per-user hourly event counts smoothed with the
+    * α=1/2 truncated EWMA (depth 8) — every weight a power of two, so
+    * the decay sum is EXACT in binary64 and hash-replays; the oracle
+    * unrolls the same 8 lags with literal dyadic weights. */
+  def q196Ewma(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+    graft.operators.Events.ewmaDyadic(hourly, "user_id", Seq("hr"), "n",
+        depth = 8)
+      .orderBy("user_id", "hr")
+  }
+
+  /** Running-distinct gate: per-user distinct-event-type milestones
+    * (the k-th new type with its introducing timestamp) — two windows
+    * on one user shuffle, event_id tie-break end to end. */
+  def q197RunningDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.runningDistinct(events(s, dir))
+      .withColumn("k_distinct", col("k_distinct").cast("long"))
+      .orderBy("user_id", "k_distinct")
+
+  /** Compaction-plan gate: documents binned into ~20 KB output files
+    * per source by start-offset binning over the (source, doc_id)
+    * running size — the shard-sizing pass before a partitioned write,
+    * exact integers throughout. */
+  def q198Compaction(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.compactionBins(
+      t(s, dir, "documents"), "source", "doc_id", "n_chars",
+      targetSize = 20000L)
+      .orderBy("source", "bin")
+
+  /** Systematic weighted-sample gate: every document whose char-weight
+    * interval covers a multiple of 5000 on the doc_id-ordered
+    * cumulative line — deterministic weighted sampling, zero RNG,
+    * pure integer predicate. */
+  def q199SysSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.systematicWeightedSample(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", step = 5000L)
+      .orderBy("doc_id")
+
+  /** Benford gate: leading-digit census of lineitem price cents —
+    * textual first digit (no log10), exact counts and integer
+    * per-mille shares. */
+  def q200Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.benfordCensus(
+      t(s, dir, "lineitem").select(
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "cents")
+      .orderBy("digit")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3631,7 +3717,15 @@ object Queries {
     "q189_bag_setops" -> (q189BagSetops _),
     "q190_richclub" -> (q190RichClub _),
     "q191_gini" -> (q191Gini _),
-    "q192_percolation" -> (q192Percolation _)
+    "q192_percolation" -> (q192Percolation _),
+    "q193_welch" -> (q193Welch _),
+    "q194_chisq" -> (q194ChiSq _),
+    "q195_itemitem" -> (q195ItemItem _),
+    "q196_ewma" -> (q196Ewma _),
+    "q197_running_distinct" -> (q197RunningDistinct _),
+    "q198_compaction" -> (q198Compaction _),
+    "q199_syssample" -> (q199SysSample _),
+    "q200_benford" -> (q200Benford _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6274,7 +6368,159 @@ object Queries {
         | UNION
         | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v)
         |SELECT id, min(lab) AS component FROM r GROUP BY id
-        |ORDER BY id""".stripMargin)
+        |ORDER BY id""".stripMargin,
+    "q193_welch" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS HUGEINT) AS na,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS HUGEINT) AS nb,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END)
+        |    AS HUGEINT) AS sa,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN cents END)
+        |    AS HUGEINT) AS sb,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents * cents END)
+        |    AS HUGEINT) AS qa,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN cents * cents END)
+        |    AS HUGEINT) AS qb
+        | FROM b),
+        |v AS (SELECT na, nb, sa, sb,
+        |  CAST(na * qa - sa * sa AS DOUBLE) /
+        |    CAST(na * (na - 1) AS DOUBLE) AS va,
+        |  CAST(nb * qb - sb * sb AS DOUBLE) /
+        |    CAST(nb * (nb - 1) AS DOUBLE) AS vb
+        | FROM agg),
+        |se AS (SELECT na, nb, sa, sb,
+        |  va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+        | FROM v)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
+        |   CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb)
+        |    AS t_stat,
+        |  ((sea + seb) * (sea + seb)) /
+        |   (sea * sea / CAST(na - 1 AS DOUBLE) +
+        |    seb * seb / CAST(nb - 1 AS DOUBLE)) AS df_welch
+        |FROM se""".stripMargin,
+    "q194_chisq" ->
+      """WITH b AS MATERIALIZED (SELECT event_type AS r,
+        |  ((epoch_us(ts) // 3600000000) % 24) // 6 AS c FROM events),
+        |cells AS MATERIALIZED (SELECT r, c, count(*) AS obs
+        | FROM b GROUP BY r, c),
+        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS row_tot
+        | FROM cells GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS col_tot
+        | FROM cells GROUP BY c),
+        |g AS (SELECT CAST(sum(obs) AS BIGINT) AS grand_tot FROM cells)
+        |SELECT cells.r, cells.c, obs, row_tot, col_tot, grand_tot,
+        |  CAST(obs * grand_tot - row_tot * col_tot AS DOUBLE) *
+        |  CAST(obs * grand_tot - row_tot * col_tot AS DOUBLE) /
+        |  CAST(row_tot * col_tot * grand_tot AS DOUBLE) AS contrib
+        |FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+        |ORDER BY r, c""".stripMargin,
+    "q195_itemitem" ->
+      """WITH b0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey % 100 AS item FROM lineitem),
+        |keep AS (SELECT basket FROM b0 GROUP BY basket
+        | HAVING count(*) <= 256),
+        |bb AS MATERIALIZED (SELECT b0.basket, b0.item
+        | FROM b0 JOIN keep USING (basket)),
+        |items AS MATERIALIZED (SELECT item, count(*) AS n
+        | FROM bb GROUP BY item),
+        |pairs AS (SELECT x.item AS item, y.item AS nbr,
+        |  count(*) AS c_pair
+        | FROM bb x JOIN bb y
+        |   ON x.basket = y.basket AND x.item <> y.item
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT p.item, p.nbr, p.c_pair,
+        |  i.n AS n_item, j.n AS n_nbr,
+        |  CAST(p.c_pair AS DOUBLE) / sqrt(CAST(i.n * j.n AS DOUBLE))
+        |    AS cosine
+        | FROM pairs p JOIN items i ON i.item = p.item
+        |   JOIN items j ON j.item = p.nbr),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+        |  ORDER BY cosine DESC, nbr) AS INT) AS rk FROM s)
+        |SELECT item, nbr, c_pair, n_item, n_nbr, cosine, rk
+        |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin,
+    "q196_ewma" ->
+      """WITH h AS MATERIALIZED (SELECT user_id,
+        |  epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, hr, n,
+        |  lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+        |  lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+        |  lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+        |  lag(n, 7) OVER w AS l7
+        | FROM h WINDOW w AS (PARTITION BY user_id ORDER BY hr))
+        |SELECT user_id, hr, n,
+        |  CAST(n AS DOUBLE) * 0.5
+        |  + coalesce(CAST(l1 AS DOUBLE) * 0.25, 0.0)
+        |  + coalesce(CAST(l2 AS DOUBLE) * 0.125, 0.0)
+        |  + coalesce(CAST(l3 AS DOUBLE) * 0.0625, 0.0)
+        |  + coalesce(CAST(l4 AS DOUBLE) * 0.03125, 0.0)
+        |  + coalesce(CAST(l5 AS DOUBLE) * 0.015625, 0.0)
+        |  + coalesce(CAST(l6 AS DOUBLE) * 0.0078125, 0.0)
+        |  + coalesce(CAST(l7 AS DOUBLE) * 0.00390625, 0.0)
+        |  + (CASE WHEN l1 IS NULL
+        |      THEN CAST(n AS DOUBLE) * 0.5 ELSE 0.0 END)
+        |  + (CASE WHEN l1 IS NOT NULL AND l2 IS NULL
+        |      THEN CAST(l1 AS DOUBLE) * 0.25 ELSE 0.0 END)
+        |  + (CASE WHEN l2 IS NOT NULL AND l3 IS NULL
+        |      THEN CAST(l2 AS DOUBLE) * 0.125 ELSE 0.0 END)
+        |  + (CASE WHEN l3 IS NOT NULL AND l4 IS NULL
+        |      THEN CAST(l3 AS DOUBLE) * 0.0625 ELSE 0.0 END)
+        |  + (CASE WHEN l4 IS NOT NULL AND l5 IS NULL
+        |      THEN CAST(l4 AS DOUBLE) * 0.03125 ELSE 0.0 END)
+        |  + (CASE WHEN l5 IS NOT NULL AND l6 IS NULL
+        |      THEN CAST(l5 AS DOUBLE) * 0.015625 ELSE 0.0 END)
+        |  + (CASE WHEN l6 IS NOT NULL AND l7 IS NULL
+        |      THEN CAST(l6 AS DOUBLE) * 0.0078125 ELSE 0.0 END)
+        |  + (CASE WHEN l7 IS NOT NULL
+        |      THEN CAST(l7 AS DOUBLE) * 0.00390625 ELSE 0.0 END)
+        |  AS ewma
+        |FROM l ORDER BY user_id, hr""".stripMargin,
+    "q197_running_distinct" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type,
+        |  epoch_us(ts) AS us, event_id FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) AS rn FROM e),
+        |m AS (SELECT user_id, event_type, us, event_id
+        | FROM f WHERE rn = 1)
+        |SELECT user_id, event_type, us AS ts_us,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS BIGINT) AS k_distinct
+        |FROM m ORDER BY user_id, k_distinct""".stripMargin,
+    "q198_compaction" ->
+      """WITH w AS (SELECT source, doc_id, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM documents)
+        |SELECT source, CAST((cum - n_chars) // 20000 AS BIGINT) AS bin,
+        |  count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS ord_from, max(doc_id) AS ord_to
+        |FROM w GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q199_syssample" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |  sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_weight
+        |FROM w
+        |WHERE ((cum - n_chars + 4999) // 5000) * 5000 < cum
+        |ORDER BY doc_id""".stripMargin,
+    "q200_benford" ->
+      """WITH v AS MATERIALIZED (SELECT
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, count(*) AS n
+        | FROM v WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
+        |SELECT digit, n, (n * 1000) // tot AS permille
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -64,4 +64,49 @@ object Assoc {
             .as("lift"))
     }
   }
+
+  /** Item-item collaborative filtering: top-`k` neighbours per item by
+    * co-occurrence cosine c_ij/√(n_i·n_j) over (basket, item) pairs —
+    * the classic "users who X also Y" recommender precompute.
+    *
+    * Numerics: counts are exact BIGINTs; n_i·n_j < 2^53 converts to
+    * double exactly, √ is correctly rounded, so the cosine is ONE
+    * fixed IEEE chain both engines reproduce bit-for-bit; the top-k
+    * window orders by (cosine DESC, neighbour) on those identical
+    * bits. Scale shape: same within-basket self-join as
+    * [[associationRules]] (quadratic in basket SIZE, `maxBasketSize`
+    * guards mega-baskets), then everything is item-keyed counts; the
+    * per-item top-k is a window over |items| partitions. */
+  def itemItemCosine(tx: DataFrame, basketCol: String = "basket",
+      itemCol: String = "item", k: Int = 3,
+      minPairCount: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val b0 = tx.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val keep = b0.groupBy("basket").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+      .select("basket")
+    val b = b0.join(keep, Seq("basket"), "left_semi")
+    Exec.withPersisted(b) {
+      val items = b.groupBy("item").agg(count(lit(1)).as("n"))
+      val pairs = b
+        .join(b.select(col("basket"), col("item").as("nbr")), "basket")
+        .filter(col("item") =!= col("nbr"))
+        .groupBy("item", "nbr")
+        .agg(count(lit(1)).as("c_pair"))
+        .filter(col("c_pair") >= minPairCount)
+      val scored = pairs
+        .join(items.select(col("item"), col("n").as("n_item")), "item")
+        .join(items.select(col("item").as("nbr"), col("n").as("n_nbr")),
+          "nbr")
+        .withColumn("cosine", col("c_pair").cast("double") /
+          sqrt((col("n_item") * col("n_nbr")).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("nbr"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select("item", "nbr", "c_pair", "n_item", "n_nbr", "cosine", "rk")
+    }
+  }
 }

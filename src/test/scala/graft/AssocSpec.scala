@@ -44,4 +44,29 @@ class AssocSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (x, y) => Set(x, y) == Set("a", "c") })
     assert(rows(("a", "b")) == ((1L, 3L))) // only basket 2; n = 3
   }
+
+  test("itemItemCosine ranks neighbours by exact-bits cosine") {
+    // baskets {a,b} {a,b} {a,c}: n_a=3 n_b=2 n_c=1; c(a,b)=2 c(a,c)=1
+    val tx2 = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("basket", "item")
+    val got = Assoc.itemItemCosine(tx2, k = 2, minPairCount = 1L)
+      .orderBy("item", "rk")
+      .as[(String, String, Long, Long, Long, Double, Int)]
+      .collect().toSeq
+    val a = got.filter(_._1 == "a")
+    assert(a.map(r => (r._2, r._3, r._7)) === Seq(("b", 2L, 1), ("c", 1L, 2)))
+    assert(a.head._6 === 2.0 / math.sqrt(6.0))
+    // symmetric faces exist for b and c with the same exact counts
+    assert(got.filter(_._1 == "b").map(_._2) === Seq("a"))
+    assert(got.filter(_._1 == "c").head._6 === 1.0 / math.sqrt(3.0))
+  }
+
+  test("itemItemCosine floors pairs at minPairCount") {
+    val tx2 = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("basket", "item")
+    val got = Assoc.itemItemCosine(tx2, k = 2, minPairCount = 2L)
+      .as[(String, String, Long, Long, Long, Double, Int)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2)).toSet === Set("a" -> "b", "b" -> "a"))
+  }
 }

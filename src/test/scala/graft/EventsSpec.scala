@@ -485,4 +485,37 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L, 100L)))
   }
+
+  test("ewmaDyadic matches the α=1/2 recursion while t <= depth") {
+    // e1 = 1, e2 = (2+1)/2 = 1.5, e3 = (3+1.5)/2 = 2.25
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("u", "ord", "n")
+    val got = Events.ewmaDyadic(df, "u", Seq("ord"), "n", depth = 8)
+      .orderBy("ord").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._4) === Seq(1.0, 1.5, 2.25))
+  }
+
+  test("ewmaDyadic truncation doubles the oldest in-window weight") {
+    // depth 2, series 1,2,3: e3 = 3/2 + 2/2 = 2.5 (the 1 fell out)
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("u", "ord", "n")
+    val got = Events.ewmaDyadic(df, "u", Seq("ord"), "n", depth = 2)
+      .orderBy("ord").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._4) === Seq(1.0, 1.5, 2.5))
+  }
+
+  test("runningDistinct emits one ordered milestone per new value") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val df = Seq(
+      (1L, "a", 100L, 1L), (1L, "a", 200L, 2L), (1L, "b", 300L, 3L),
+      (2L, "b", 50L, 4L))
+      .toDF("user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+    val got = Events.runningDistinct(df)
+      .orderBy("user_id", "k_distinct")
+      .as[(Long, String, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, "a", 100L, 1), (1L, "b", 300L, 2),
+      (2L, "b", 50L, 1)))
+  }
 }

@@ -89,4 +89,33 @@ class ScaleSpec extends SparkSpec {
     // (2,4); (5,1) frontier; (6,1) dominated by (5,1)
     assert(got == Set(1L, 3L, 7L, 5L))
   }
+
+  test("compactionBins assigns by start offset and bounds overshoot") {
+    val df = Seq(("p", 1L, 10L), ("p", 2L, 10L), ("p", 3L, 10L),
+      ("q", 1L, 100L)).toDF("part", "ord", "sz")
+    val got = Scale.compactionBins(df, "part", "ord", "sz", 15L)
+      .orderBy("part", "bin")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // p: starts 0,10,20 → bins 0,0,1; q: one oversized row, bin 0
+    assert(got === Seq(("p", 0L, 2L, 20L, 1L, 2L),
+      ("p", 1L, 1L, 10L, 3L, 3L), ("q", 0L, 1L, 100L, 1L, 1L)))
+  }
+
+  test("systematicWeightedSample keeps rows covering step multiples") {
+    val df = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+      .toDF("id", "w")
+    val got = Scale.systematicWeightedSample(df, "id", "w", 5L)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // cums 3,6,9,12; intervals [0,3) [3,6) [6,9) [9,12): multiples
+    // 0, 5, 10 land in rows 1, 2, 4 — row 3 skipped
+    assert(got === Seq((1L, 3L, 3L), (2L, 3L, 6L), (4L, 3L, 12L)))
+  }
+
+  test("systematicWeightedSample always keeps rows heavier than step") {
+    val df = Seq((1L, 1L), (2L, 12L), (3L, 1L)).toDF("id", "w")
+    val got = Scale.systematicWeightedSample(df, "id", "w", 5L)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // heavy row 2 covers 5 AND 10; row 1 covers 0; row 3's [13,14) none
+    assert(got.map(_._1) === Seq(1L, 2L))
+  }
 }

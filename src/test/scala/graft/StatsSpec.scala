@@ -209,4 +209,51 @@ class StatsSpec extends SparkSpec {
       .orderBy("metric").as[(String, String, Long)].collect().toSeq
     assert(got === Seq(("x", "m1", 1L), ("x", "m2", 10L)))
   }
+
+  test("welchT reproduces the hand-computed statistic and df") {
+    // A = {1,2,3}: n=3 Σ=6 Σ²=14 → var = (3·14−36)/6 = 1
+    // B = {2,4,6,8}: n=4 Σ=20 Σ²=120 → var = (4·120−400)/12 = 20/3
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++
+      Seq(2L, 4L, 6L, 8L).map(("B", _))).toDF("g", "v")
+    val r = Stats.welchT(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(r._1 === 3L && r._2 === 4L)
+    val sea = 1.0 / 3.0
+    val seb = (20.0 / 3.0) / 4.0
+    val t = (2.0 - 5.0) / math.sqrt(sea + seb)
+    val dfW = math.pow(sea + seb, 2) /
+      (sea * sea / 2.0 + seb * seb / 3.0)
+    assert(math.abs(r._3 - t) < 1e-12 && math.abs(r._4 - dfW) < 1e-12)
+  }
+
+  test("chiSquareContingency: exact marginals and per-cell terms") {
+    val df = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2")))
+      .toDF("r0", "c0")
+    val got = Stats.chiSquareContingency(df, "r0", "c0")
+      .orderBy("r", "c")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // num = obs·100 − row·col = ±200 for every cell of this table
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) === Seq(
+      ("r1", "c1", 10L, 30L, 40L, 100L),
+      ("r1", "c2", 20L, 30L, 60L, 100L),
+      ("r2", "c1", 30L, 70L, 40L, 100L),
+      ("r2", "c2", 40L, 70L, 60L, 100L)))
+    val exp = Seq(40000.0 / 120000.0, 40000.0 / 180000.0,
+      40000.0 / 280000.0, 40000.0 / 420000.0)
+    got.map(_._7).zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-15)
+    }
+  }
+
+  test("benfordCensus takes the textual leading digit, skips <= 0") {
+    // 1..19 plus junk: digit 1 appears 11× (1, 10..19), 2..9 once each
+    val df = ((1L to 19L) ++ Seq(0L, -5L)).toDF("v")
+    val got = Stats.benfordCensus(df, "v").orderBy("digit")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.head === ((1, 11L, 11000L / 19L)))
+    assert(got.map(_._1) === (1 to 9) &&
+      got.tail.forall(r => r._2 === 1L && r._3 === 1000L / 19L))
+  }
 }
