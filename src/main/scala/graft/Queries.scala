@@ -2924,6 +2924,68 @@ object Queries {
       "cents")
       .orderBy("digit")
 
+  /** Holt linear smoothing gate: monthly order counts per priority
+    * (1997+) through the α=β=1/2 double-exponential recursion — both
+    * faces execute the identical left-associated IEEE chain (engine:
+    * sequential typed scan; oracle: recursive CTE), so level/trend/
+    * forecast hash-replay bit-for-bit. */
+  def q201Holt(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) >= 1997)
+      .select(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mo"))
+      .groupBy("o_orderpriority", "mo").agg(count(lit(1)).as("n"))
+    graft.operators.Stats.holtLinear(monthly, "o_orderpriority", "mo", "n")
+      .orderBy("o_orderpriority", "mo")
+  }
+
+  /** Quantile-normalization gate: per-source doc lengths mapped onto
+    * the pooled length distribution by exact rank-position arithmetic
+    * — the batch-effect correction, no interpolation floats. */
+  def q202QuantileNorm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileNormalize(
+      t(s, dir, "documents"), "source", "n_chars", "doc_id")
+      .orderBy("doc_id")
+
+  /** Winsorized-stats gate: per-source doc-length summaries clamped at
+    * the exact rank-selected p5/p95 cuts — integer-only robust stats. */
+  def q203Winsor(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.winsorizedStats(
+      t(s, dir, "documents"), "source", "n_chars")
+      .orderBy("source")
+
+  /** k-anonymity gate: (nation, segment) equivalence classes over
+    * customers with thousand-dollar balance bands as the sensitive
+    * attribute — class sizes, l-diversity counts, and the k/l flags
+    * the release audit reads. */
+  def q204KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.kAnonymity(
+      t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "div 100000").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10L, l = 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Containment-join gate: directed near-subset pairs at
+    * |A∩B|/|A| ≥ 4/5 over 3-gram sets — 50 pairs at sf0.01 / 512 at
+    * sf0.1 (measured before pinning; the quote/excerpt detector). */
+  def q205Containment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3, num = 4, den = 5)
+      .orderBy("id_a", "id_b")
+
+  /** Weighted-cosine join gate: doc pairs at 3-gram count-vector
+    * cosine ≥ 0.6 (dot²·25 ≥ 9·|a|²·|b|² cross-multiplied exactly) —
+    * 25 pairs at sf0.01 / 256 at sf0.1, measured; the repeated-phrase
+    * twin of the Jaccard families. */
+  def q206CosinePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.cosineTokenPairs(
+      t(s, dir, "documents"), "doc_id", "text", n = 3,
+      t2num = 9, t2den = 25)
+      .orderBy("id_a", "id_b")
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3725,7 +3787,13 @@ object Queries {
     "q197_running_distinct" -> (q197RunningDistinct _),
     "q198_compaction" -> (q198Compaction _),
     "q199_syssample" -> (q199SysSample _),
-    "q200_benford" -> (q200Benford _)
+    "q200_benford" -> (q200Benford _),
+    "q201_holt" -> (q201Holt _),
+    "q202_quantile_norm" -> (q202QuantileNorm _),
+    "q203_winsor" -> (q203Winsor _),
+    "q204_kanonymity" -> (q204KAnonymity _),
+    "q205_containment" -> (q205Containment _),
+    "q206_cosine_pairs" -> (q206CosinePairs _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6520,7 +6588,119 @@ object Queries {
         | FROM v WHERE cents > 0 GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM d)
         |SELECT digit, n, (n * 1000) // tot AS permille
-        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin)
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q201_holt" ->
+      """WITH RECURSIVE monthly AS MATERIALIZED (
+        | SELECT o_orderpriority AS pr,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS mo,
+        |  count(*) AS n
+        | FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1, 2),
+        |m AS MATERIALIZED (SELECT pr, mo, n,
+        |  CAST(row_number() OVER (PARTITION BY pr ORDER BY mo)
+        |    AS BIGINT) AS t
+        | FROM monthly),
+        |h(pr, mo, t, l, b) AS (
+        | SELECT pr, mo, t, CAST(n AS DOUBLE), CAST(0 AS DOUBLE)
+        | FROM m WHERE t = 1
+        | UNION ALL
+        | SELECT m.pr, m.mo, m.t,
+        |  (CAST(m.n AS DOUBLE) + h.l + h.b) * 0.5,
+        |  ((CAST(m.n AS DOUBLE) + h.l + h.b) * 0.5 - h.l + h.b) * 0.5
+        | FROM h JOIN m ON m.pr = h.pr AND m.t = h.t + 1)
+        |SELECT pr AS o_orderpriority, mo, l AS level, b AS trend,
+        |  l + b AS forecast
+        |FROM h ORDER BY o_orderpriority, mo""".stripMargin,
+    "q202_quantile_norm" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id, source, n_chars
+        | FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS rr,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nk,
+        |  CAST(count(*) OVER () AS BIGINT) AS nn
+        | FROM b),
+        |g AS (SELECT n_chars AS gval,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+        |    AS BIGINT) AS gpos
+        | FROM b)
+        |SELECT r.doc_id, r.source, r.n_chars, g.gval AS normalized
+        |FROM r JOIN g ON g.gpos = CASE WHEN r.nk > 1
+        |  THEN (r.rr - 1) * (r.nn - 1) // (r.nk - 1) + 1
+        |  ELSE (r.nn + 1) // 2 END
+        |ORDER BY doc_id""".stripMargin,
+    "q203_winsor" ->
+      """WITH r AS MATERIALIZED (SELECT source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+        |    AS BIGINT) AS rr,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        | FROM documents),
+        |c AS (SELECT source,
+        |  max(CASE WHEN rr = (n - 1) * 5 // 100 + 1
+        |    THEN n_chars END) AS lo_cut,
+        |  max(CASE WHEN rr = (n - 1) * 95 // 100 + 1
+        |    THEN n_chars END) AS hi_cut
+        | FROM r GROUP BY source)
+        |SELECT r.source, count(*) AS n, c.lo_cut, c.hi_cut,
+        |  CAST(sum(greatest(least(r.n_chars, c.hi_cut), c.lo_cut))
+        |    AS BIGINT) AS winsorized_sum,
+        |  CAST(sum(CASE WHEN r.n_chars < c.lo_cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN r.n_chars > c.hi_cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_hi
+        |FROM r JOIN c USING (source)
+        |GROUP BY r.source, c.lo_cut, c.hi_cut
+        |ORDER BY source""".stripMargin,
+    "q204_kanonymity" ->
+      """WITH b AS MATERIALIZED (SELECT c_nationkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    // 100000 AS bal_band
+        | FROM customer)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT bal_band) >= 3 AS l_diverse
+        |FROM b GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q205_containment" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |  list_distinct(list_transform(
+        |   generate_series(1, greatest(
+        |    len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(
+        |    string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
+        |  AS sh
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |  CAST(len(a.sh) AS BIGINT) AS na,
+        |  CAST(len(b.sh) AS BIGINT) AS nb
+        | FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, inter, na, nb,
+        |  CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+        |FROM p WHERE inter * 5 >= na * 4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q206_cosine_pairs" ->
+      """WITH tok AS MATERIALIZED (SELECT id, gram, count(*) AS c FROM (
+        |  SELECT doc_id AS id, unnest(list_transform(
+        |   generate_series(1, greatest(
+        |    len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(
+        |    string_split_regex(lower(text), '\s+')[i:i+2], ' ')))
+        |   AS gram
+        |  FROM documents) GROUP BY 1, 2),
+        |n2 AS MATERIALIZED (SELECT id, CAST(sum(c * c) AS BIGINT) AS n2
+        | FROM tok GROUP BY id),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        | FROM tok a JOIN tok b ON a.gram = b.gram AND a.id < b.id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, dot, x.n2 AS na2, y.n2 AS nb2,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(x.n2 * y.n2 AS DOUBLE))
+        |    AS cosine
+        |FROM p JOIN n2 x ON x.id = p.id_a JOIN n2 y ON y.id = p.id_b
+        |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
+        |  CAST(x.n2 AS HUGEINT) * y.n2 * 9
+        |ORDER BY id_a, id_b""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

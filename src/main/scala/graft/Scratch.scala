@@ -106,6 +106,62 @@ object Scratch {
       println(f"[scratch] PPR 5 rounds exact ($n nodes): ${(System.nanoTime()-t)/1e9}%.2f s")
       spark.stop(); return
     }
+    if (name == "q130profile") {
+      // phase attribution for the prefix-Jaccard join: shingles vs
+      // sets vs df vs prefix vs candidates vs verify
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Dedup, Exec}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      var t0 = System.nanoTime()
+      def lap(tag: String, n: Long): Unit = {
+        println(f"[scratch] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        t0 = System.nanoTime()
+      }
+      val minJaccard = 0.2
+      val sh = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .select(col("doc_id").as("id"), col("shingle")).persist()
+      lap("shingles", sh.count())
+      val sets = sh.groupBy("id")
+        .agg(sort_array(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("n_sh")).persist()
+      lap("sets", sets.count())
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      lap("df", df.count())
+      val prefixLen = (col("n_sh") - ceil(col("n_sh") * minJaccard - 1e-9) + 1)
+      val prefix = sh.join(df, "shingle")
+        .join(sets.select(col("id"), col("n_sh")), "id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+        .filter(col("rn") <= prefixLen)
+        .select("id", "shingle", "n_sh").persist()
+      lap("prefix", prefix.count())
+      val cand = prefix.select(col("id").as("id_a"), col("shingle"),
+          col("n_sh").as("na"))
+        .join(prefix.select(col("id").as("id_b"), col("shingle"),
+          col("n_sh").as("nb")), "shingle")
+        .filter(col("id_a") < col("id_b") &&
+          least(col("na"), col("nb")).cast("double") >=
+            greatest(col("na"), col("nb")) * minJaccard - 1e-9)
+        .select("id_a", "id_b").distinct().persist()
+      lap("candidates", cand.count())
+      val out = cand
+        .join(sets.select(col("id").as("id_a"), col("set").as("__sa"),
+          col("n_sh").as("na")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("set").as("__sb"),
+          col("n_sh").as("nb")), Seq("id_b"))
+        .withColumn("inter",
+          size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+      lap("verify", out.count())
+      val full = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.2)
+      lap("operator end-to-end (withPersisted)", full.count())
+      spark.stop(); return
+    }
     if (name == "semskew") {
       // SemDeDup skew-guard rehearsal: ONE centroid puts the whole
       // embeddings corpus in a single cell — the pathological skew the

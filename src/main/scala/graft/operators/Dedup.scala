@@ -881,4 +881,114 @@ object Dedup {
         .filter(col("dist") <= maxDist)
     }
   }
+
+  /** Containment (asymmetric near-subset) join: DIRECTED doc pairs
+    * where |A∩B|/|A| ≥ num/den over word `n`-gram sets — the
+    * quote/excerpt detector exact Jaccard can't express (a tweet
+    * quoted inside an article has tiny Jaccard but containment ≈ 1).
+    * Intersections come from the postings self-join counted per pair
+    * (map-side combined — no arrays shipped), the threshold is the
+    * cross-multiplied integer test inter·den ≥ na·num, and the one
+    * double is the final per-row division. Shape at 100 TB: candidate
+    * volume is Σ_shingle df² — `maxDf` (optional) drops
+    * hotter-than-boilerplate shingles BEFORE the join, trading
+    * bounded recall loss (documented: dropping a shared shingle can
+    * only lower inter) for a hard cap on any single join group. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      num: Int = 4, den: Int = 5,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      "containment threshold num/den must be in (0, 1]")
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
+    Exec.withPersisted(sh) {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val posting = maxDf match {
+        case Some(cap) =>
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > cap).select("shingle")
+          sh.join(hot, Seq("shingle"), "left_anti")
+        case None => sh
+      }
+      posting.select(col("id").as("id_a"), col("shingle"))
+        .join(posting.select(col("id").as("id_b"), col("shingle")),
+          "shingle")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")),
+          "id_a")
+        .filter(col("inter") * den >= col("na") * num)
+        .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"), col("inter"), col("na"),
+          col("nb"),
+          (col("inter").cast("double") / col("na").cast("double"))
+            .as("containment"))
+    }
+  }
+
+  /** Token-weighted cosine similarity join: doc pairs with
+    * cos(A, B) = Σc_a·c_b / √(Σc_a²·Σc_b²) ≥ √(t2num/t2den) over word
+    * COUNT vectors — the weighted twin of [[ngramJaccardPairsPrefix]]
+    * (repeated terms matter: Jaccard treats a word said once and
+    * fifty times alike). Dot products fold exactly from the postings
+    * self-join (BIGINT), the threshold is the squared cross-multiplied
+    * integer test dot²·t2den ≥ na2·nb2·t2num (DECIMAL(38,0) — dot² at
+    * corpus scale passes 2^63), and the emitted cosine is one
+    * division + one correctly-rounded √ over exact integers. Same
+    * Σdf² candidate shape and the same optional `maxDf` hot-token
+    * guard as [[containmentPairs]]. */
+  def cosineTokenPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3,
+      t2num: Int = 9, t2den: Int = 25,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(t2num >= 1 && t2den >= 1 && t2num <= t2den,
+      "squared threshold t2num/t2den must be in (0, 1]")
+    require(n >= 1, "n must be >= 1")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // n-grams WITH multiplicity (no array_distinct — counts are the
+    // point); unigrams (n = 1) over this corpus's tiny vocabulary would
+    // make every posting list |corpus|-long — n ≥ 2 keeps df bounded
+    // by real phrase repetition, which is also the better signal.
+    val w = col("__words")
+    val tok = docs
+      .select(col(idCol).as("id"),
+        split(lower(col(textCol)), "\\s+").as("__words"))
+      .select(col("id"), explode(filter(
+        transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+          i => when(i + n <= size(w),
+            concat_ws(" ", slice(w, i + lit(1), lit(n))))),
+        x => x.isNotNull)).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("id", "token").agg(count(lit(1)).as("c"))
+    Exec.withPersisted(tok) {
+      val norms = tok.groupBy("id").agg(sum(col("c") * col("c")).as("n2"))
+      val posting = maxDf match {
+        case Some(cap) =>
+          val hot = tok.groupBy("token").agg(count(lit(1)).as("__df"))
+            .filter(col("__df") > cap).select("token")
+          tok.join(hot, Seq("token"), "left_anti")
+        case None => tok
+      }
+      posting.select(col("id").as("id_a"), col("token"),
+          col("c").as("ca"))
+        .join(posting.select(col("id").as("id_b"), col("token"),
+          col("c").as("cb")), "token")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(norms.select(col("id").as("id_a"), col("n2").as("na2")),
+          "id_a")
+        .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")),
+          "id_b")
+        .filter(col("dot").cast(d38) * col("dot").cast(d38) * t2den >=
+          col("na2").cast(d38) * col("nb2").cast(d38) * t2num)
+        .select(col("id_a"), col("id_b"), col("dot"), col("na2"),
+          col("nb2"),
+          (col("dot").cast("double") /
+            sqrt((col("na2") * col("nb2")).cast("double"))).as("cosine"))
+    }
+  }
 }

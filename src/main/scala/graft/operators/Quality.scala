@@ -91,4 +91,23 @@ object Quality {
       col("__h_new").as("new_hash"))
     if (keepUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
+
+  /** k-anonymity / l-diversity census over quasi-identifier columns:
+    * one row per equivalence class with its size, the count of
+    * distinct sensitive values it holds, and whether it meets the
+    * `k` (size) and `l` (diversity) floors — the release-readiness
+    * audit before a table leaves the curation boundary, and the
+    * suppression plan (every row of a failing class must be dropped
+    * or generalized). One groupBy on the quasi columns with a
+    * count_distinct expand — both map-side combined; exact integers
+    * only. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long = 5L, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

@@ -503,6 +503,116 @@ object Stats {
     }
   }
 
+  /** Holt linear (double-exponential) smoothing with α = β = 1/2 over a
+    * per-key integral series: level l_t = (x_t + l_{t−1} + b_{t−1})/2,
+    * trend b_t = (l_t − l_{t−1} + b_{t−1})/2, seeded l_1 = x_1, b_1 = 0;
+    * forecast = l + b. The 1/2 coefficients make every step a halving —
+    * and since BOTH faces (this sequential scan and the oracle's
+    * recursive CTE) execute the identical left-associated IEEE chain,
+    * the doubles hash-replay bit-for-bit regardless of length.
+    *
+    * Execution is a typed groupByKey + per-key sort — series are
+    * report-sized (monthly rollups), the scan parallelizes across
+    * keys, and state is two doubles. Callers cap the series span
+    * upstream (a monthly rollup, not raw events). */
+  def holtLinear(df: DataFrame, keyCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(ordCol).cast("long"),
+        col(valueCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val series = rows.toArray.sortBy(_._2)
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (String, Long, Double, Double, Double)](series.length)
+        var l = 0.0
+        var b = 0.0
+        var i = 0
+        while (i < series.length) {
+          val x = series(i)._3.toDouble
+          if (i == 0) { l = x; b = 0.0 }
+          else {
+            val lPrev = l
+            l = (x + l + b) * 0.5
+            b = (l - lPrev + b) * 0.5
+          }
+          out += ((key, series(i)._2, l, b, l + b))
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF(keyCol, ordCol, "level", "trend", "forecast")
+  }
+
+  /** Quantile normalization: each row's value is replaced by the GLOBAL
+    * value at the equivalent rank position — the batch-effect
+    * correction that forces every key's distribution onto the pooled
+    * one. Positions are exact integer rank arithmetic on the unique
+    * (value, id) order: within-key rank r of n_k maps to global
+    * position (r−1)·(N−1) div (n_k−1) + 1 (singleton keys map to the
+    * global lower median), and the mapped VALUE is selected by join —
+    * no interpolation, no floats anywhere. Two window sorts (per-key
+    * and global) + one equi-join on position; at 100 TB the global
+    * sort is the cost driver — run per stratum where the use case
+    * allows. */
+  def quantileNormalize(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(keyCol), col(valueCol), col(idCol))
+    val wk = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wg = Window.orderBy(col(valueCol), col(idCol))
+    val ranked = base
+      .withColumn("__r", row_number().over(wk))
+      .withColumn("__nk", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__N", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__pos",
+        when(col("__nk") > 1,
+          expr("(__r - 1) * (__N - 1) div (__nk - 1) + 1"))
+          .otherwise(expr("(__N + 1) div 2")))
+    val global = base
+      .select(col(valueCol).as("__gval"), col(idCol).as("__gid"))
+      .withColumn("__gpos", row_number().over(
+        Window.orderBy(col("__gval"), col("__gid"))))
+      .select("__gpos", "__gval")
+    ranked.join(global, col("__pos") === col("__gpos"))
+      .select(col(idCol), col(keyCol), col(valueCol),
+        col("__gval").as("normalized"))
+  }
+
+  /** Winsorized per-key summary: values clamped at the key's exact
+    * rank-selected lower/upper percentile cuts (the [[exactQuartiles]]
+    * "lower value" definition at `loPct`/`hiPct`), then folded to
+    * integer-exact stats — the outlier-robust mean's building blocks
+    * with nothing float in the pipeline. One window sort per key +
+    * one groupBy. */
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,
+      "need 0 <= loPct < hiPct <= 100")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol))
+    val wk = Window.partitionBy(col(keyCol))
+    def pos(p: Int): Column = expr(s"(__n - 1) * $p div 100 + 1")
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__lo", max(when(col("__r") === pos(loPct),
+        col(valueCol))).over(wk))
+      .withColumn("__hi", max(when(col("__r") === pos(hiPct),
+        col(valueCol))).over(wk))
+    ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("__lo")).as("lo_cut"),
+        min(col("__hi")).as("hi_cut"),
+        sum(greatest(least(col(valueCol), col("__hi")), col("__lo")))
+          .as("winsorized_sum"),
+        sum(when(col(valueCol) < col("__lo"), 1L).otherwise(0L))
+          .as("n_clamped_lo"),
+        sum(when(col(valueCol) > col("__hi"), 1L).otherwise(0L))
+          .as("n_clamped_hi"))
+  }
+
   /** Benford leading-digit census of a positive integral column — the
     * classic fabricated-data / parser-bug audit. The leading digit is
     * taken textually (first char of the decimal rendering — identical

@@ -449,4 +449,43 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((1L, 2L, 2), (1L, 4L, 0), (2L, 4L, 2)))
   }
+
+  test("containmentPairs finds directed near-subsets, not Jaccard") {
+    // doc 2 is a 5-gram excerpt of doc 1 (containment 1.0 in that
+    // direction; the reverse is far below 4/5); doc 3 is unrelated
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "c d e f g h i"),
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, n = 3, num = 4, den = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // doc2 has 5 3-grams, all inside doc1's 10
+    assert(got === Set((2L, 1L, 5L)))
+  }
+
+  test("containmentPairs maxDf drops hot shingles before the join") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "c d e f g h i"),
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    // every shared shingle has df = 2 — a cap of 1 kills the pair
+    val got = Dedup.containmentPairs(docs, n = 3, num = 4, den = 5,
+      maxDf = Some(1L)).collect()
+    assert(got.isEmpty)
+  }
+
+  test("cosineTokenPairs weights repeated n-grams (Jaccard can't)") {
+    // docs 1/2: same 3-gram multiset scaled — cosine 1.0; doc 3 shares
+    // the set but with skewed multiplicities — cosine < 1
+    val docs = Seq(
+      (1L, "a b c a b c"),          // grams: abc,bca,cab,abc → counts 2,1,1
+      (2L, "a b c a b c a b c"),    // counts 3,2,2 — not parallel: < 1
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.cosineTokenPairs(docs, n = 3, t2num = 9, t2den = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.length === 1)
+    val (a, b, cos) = got.head
+    assert((a, b) === ((1L, 2L)) && cos > 0.9 && cos < 1.0)
+  }
 }

@@ -36,4 +36,18 @@ class QualitySpec extends SparkSpec {
       keepUnchanged = true).collect()
     assert(all.length === 4)
   }
+
+  test("kAnonymity flags small classes and low sensitive diversity") {
+    // class (1,a): 3 rows, 2 sensitive values; (1,b): 1 row;
+    // (2,a): 2 rows, 1 sensitive value
+    val df = Seq((1, "a", 10L), (1, "a", 10L), (1, "a", 20L),
+      (1, "b", 30L), (2, "a", 40L), (2, "a", 40L))
+      .toDF("nat", "seg", "bal")
+    val got = Quality.kAnonymity(df, Seq("nat", "seg"), "bal",
+        k = 2L, l = 2L)
+      .orderBy("nat", "seg")
+      .as[(Int, String, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq((1, "a", 3L, 2L, true, true),
+      (1, "b", 1L, 1L, false, false), (2, "a", 2L, 1L, true, false)))
+  }
 }

@@ -247,6 +247,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("holtLinear replays the α=β=1/2 recursion") {
+    val df = Seq(("k", 1L, 4L), ("k", 2L, 8L), ("k", 3L, 6L))
+      .toDF("g", "t", "x")
+    val got = Stats.holtLinear(df, "g", "t", "x")
+      .orderBy("t").as[(String, Long, Double, Double, Double)]
+      .collect().toSeq
+    // l: 4, (8+4)/2=6, (6+6+1)/2=6.5; b: 0, 1, 0.75
+    assert(got === Seq(("k", 1L, 4.0, 0.0, 4.0),
+      ("k", 2L, 6.0, 1.0, 7.0), ("k", 3L, 6.5, 0.75, 7.25)))
+  }
+
+  test("quantileNormalize maps ranks onto the pooled distribution") {
+    val df = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("B", 30L, 3L),
+      ("B", 40L, 4L), ("C", 50L, 5L)).toDF("k", "v", "id")
+    val got = Stats.quantileNormalize(df, "k", "v", "id")
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    // 2-element keys stretch to the pooled extremes (pos 1 and 5);
+    // the singleton key C lands on the pooled lower median (pos 3)
+    assert(got.map(_._4) === Seq(10L, 50L, 10L, 50L, 30L))
+  }
+
+  test("winsorizedStats clamps at exact rank-selected cuts") {
+    val df = (1L to 20L).map(("k", _)).toDF("g", "v")
+    val got = Stats.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // p5 pos = 19·5 div 100 + 1 = 1 → cut 1; p95 pos = 19 → cut 19
+    assert(got === (("k", 20L, 1L, 19L, 209L, 0L, 1L)))
+  }
+
   test("benfordCensus takes the textual leading digit, skips <= 0") {
     // 1..19 plus junk: digit 1 appears 11× (1, 10..19), 2..9 once each
     val df = ((1L to 19L) ++ Seq(0L, -5L)).toDF("v")
