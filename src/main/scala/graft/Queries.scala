@@ -2986,6 +2986,42 @@ object Queries {
       t2num = 9, t2den = 25)
       .orderBy("id_a", "id_b")
 
+  /** Feature-hashing gate: the hashing-trick encoder under the
+    * md5-hex-prefix bucket family (the q95 convention — DuckDB replays
+    * the bucketing; production face is xxhash64 mod dim). */
+  def q207FeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.featureHash(
+      t(s, dir, "documents"), "doc_id", "text",
+      bucket = tok => substring(md5(tok), 1, 3))
+      .orderBy("doc_id", "feature")
+
+  /** Target-encoding gate: leave-one-out mean balance cents per market
+    * segment over customers — exact category moments, one division
+    * per row, singleton fallback to the global LOO mean. */
+  def q208TargetEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.targetEncode(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")),
+      "c_mktsegment", "cents", "c_custkey")
+      .orderBy("c_custkey")
+
+  /** Interval-overlap-join gate: per-user purchase exposure windows
+    * (30 min) against click windows (5 min) with exact overlap
+    * microseconds — key-equi join + range predicates. */
+  def q209OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + 1800000000L).as("e_us"))
+    val b = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + 300000000L).as("e_us"))
+    graft.operators.Events.intervalOverlapJoin(a, b, "user_id",
+        "s_us", "e_us")
+      .orderBy("key", "s_a", "s_b")
+  }
+
   /** Modularity gate: Newman Q of the fixed mod-12 partition over the
     * undirected mod-200 orders graph — exact integer numerator
     * 4m·Σe_c − Σd_c² over 4m², ONE final IEEE division. The OPERATOR
@@ -3793,7 +3829,10 @@ object Queries {
     "q203_winsor" -> (q203Winsor _),
     "q204_kanonymity" -> (q204KAnonymity _),
     "q205_containment" -> (q205Containment _),
-    "q206_cosine_pairs" -> (q206CosinePairs _)
+    "q206_cosine_pairs" -> (q206CosinePairs _),
+    "q207_feature_hash" -> (q207FeatureHash _),
+    "q208_target_encode" -> (q208TargetEncode _),
+    "q209_overlap_join" -> (q209OverlapJoin _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6700,7 +6739,45 @@ object Queries {
         |FROM p JOIN n2 x ON x.id = p.id_a JOIN n2 y ON y.id = p.id_b
         |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
         |  CAST(x.n2 AS HUGEINT) * y.n2 * 9
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q207_feature_hash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        |  AS tok
+        | FROM documents)
+        |SELECT doc_id, substr(md5(tok), 1, 3) AS feature,
+        |  count(*) AS weight,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens
+        |FROM toks GROUP BY 1, 2 ORDER BY doc_id, feature""".stripMargin,
+    "q208_target_encode" ->
+      """WITH b AS MATERIALIZED (SELECT c_custkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents
+        | FROM customer),
+        |cat AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS s
+        | FROM b GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(cents) AS BIGINT) AS sg FROM b)
+        |SELECT b.c_custkey, b.c_mktsegment, b.cents,
+        |  CASE WHEN cat.n > 1
+        |   THEN CAST(cat.s - b.cents AS DOUBLE) /
+        |     CAST(cat.n - 1 AS DOUBLE)
+        |   ELSE CAST(g.sg - b.cents AS DOUBLE) /
+        |     CAST(g.ng - 1 AS DOUBLE) END AS loo_mean
+        |FROM b JOIN cat USING (c_mktsegment) CROSS JOIN g
+        |ORDER BY c_custkey""".stripMargin,
+    "q209_overlap_join" ->
+      """WITH a AS MATERIALIZED (SELECT user_id AS key,
+        |  epoch_us(ts) AS s_a, epoch_us(ts) + 1800000000 AS e_a
+        | FROM events WHERE event_type = 'purchase'),
+        |b AS MATERIALIZED (SELECT user_id AS key,
+        |  epoch_us(ts) AS s_b, epoch_us(ts) + 300000000 AS e_b
+        | FROM events WHERE event_type = 'click')
+        |SELECT a.key, s_a, e_a, s_b, e_b,
+        |  least(e_a, e_b) - greatest(s_a, s_b) AS overlap
+        |FROM a JOIN b ON a.key = b.key AND s_a < e_b AND s_b < e_a
+        |ORDER BY a.key, s_a, s_b""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -397,6 +397,31 @@ object Corpus {
         col("weight"), col("rank"))
   }
 
+  /** Hashing-trick featurization: tokens bucketed by a caller-supplied
+    * hash into a fixed feature space, counts summed per (doc, feature)
+    * — the fixed-width sparse encoding that needs no vocabulary pass
+    * (collisions are the accepted trade; `n_tokens` reports how many
+    * distinct tokens merged into each emitted feature). The default
+    * bucket is the production xxhash64-mod-`dim`; gates pass the
+    * md5-hex-prefix family (the q95 convention) so DuckDB replays the
+    * bucketing. One groupBy — map-side combined, no vocabulary state,
+    * which is exactly why the trick scales to 100 TB where a
+    * dictionary-fit encoder needs a global build. */
+  def featureHash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 1024,
+      bucket: Column => Column = null): DataFrame = {
+    val bkt: Column => Column =
+      if (bucket != null) bucket
+      else t => pmod(xxhash64(t), lit(dim)).cast("string")
+    docs.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as("__tok"))
+      .select(col(idCol), col("__tok"), bkt(col("__tok")).as("feature"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(count(lit(1)).as("weight"),
+        countDistinct(col("__tok")).as("n_tokens"))
+  }
+
   // -----------------------------------------------------------------
   // Bigram language-model scoring (CCNet-style LM quality filter)
   // -----------------------------------------------------------------

@@ -750,6 +750,26 @@ object Events {
     arr
   }
 
+  /** Interval-overlap join: pairs of [start, end) intervals from two
+    * sets that overlap on the same key, with the exact overlap length
+    * min(e) − max(s) — shift overlap, concurrent-session attribution,
+    * exposure windows. The join is key-equi + two range predicates;
+    * Spark plans the equi part as the shuffle key, so the quadratic
+    * term is per-key only (the q171 band-bucket decomposition composes
+    * when a single key's interval count explodes). Integer
+    * microseconds end to end. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val left = a.select(col(keyCol).as("key"), col(startCol).as("s_a"),
+      col(endCol).as("e_a"))
+    val right = b.select(col(keyCol).as("key"), col(startCol).as("s_b"),
+      col(endCol).as("e_b"))
+    left.join(right, Seq("key"))
+      .filter(col("s_a") < col("e_b") && col("s_b") < col("e_a"))
+      .withColumn("overlap",
+        least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+  }
+
   /** Truncated dyadic EWMA (α = 1/2) of a per-key integral series under
     * a caller-supplied total order: the streaming decay score
     * e_t = Σ_{k<K} x_{t-k}·2^{-(k+1)} + x_{t-K+1}·2^{-(K-1)} with

@@ -613,6 +613,34 @@ object Stats {
           .as("n_clamped_hi"))
   }
 
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in its category — the standard
+    * high-cardinality categorical feature that, computed naively
+    * (full-category mean), leaks the row's own label into its feature.
+    * Category moments (n, Σtarget) fold exactly as BIGINTs; the
+    * encoding is ONE division per row over exact integers:
+    * (Σ − own)/(n − 1), falling back to the leave-one-out GLOBAL mean
+    * for singleton categories. One groupBy + one broadcast join (the
+    * category table is |categories|-sized) — no window, no second
+    * shuffle of the fact table. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      idCol: String): DataFrame = {
+    val cats = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(col(targetCol)).as("__s"))
+    val glob = df.agg(count(lit(1)).as("__ng"),
+      sum(col(targetCol)).as("__sg"))
+    df.select(col(idCol), col(catCol), col(targetCol))
+      .join(broadcast(cats), Seq(catCol))
+      .crossJoin(broadcast(glob))
+      .select(col(idCol), col(catCol), col(targetCol),
+        when(col("__n") > 1,
+          (col("__s") - col(targetCol)).cast("double") /
+            (col("__n") - 1).cast("double"))
+          .otherwise(
+            (col("__sg") - col(targetCol)).cast("double") /
+              (col("__ng") - 1).cast("double")).as("loo_mean"))
+  }
+
   /** Benford leading-digit census of a positive integral column — the
     * classic fabricated-data / parser-bug audit. The leading digit is
     * taken textually (first char of the decimal rendering — identical

@@ -582,4 +582,35 @@ object Streams {
           }
       }
   }
+
+  final case class DecayEvent(key: Long, value: Long)
+  final case class DecayState(n: Long, score: Double)
+  final case class DecayScore(key: Long, n_batches: Long, score: Double)
+
+  /** Streaming dyadic decay score — the stateful twin of
+    * `Events.ewmaDyadic` over the per-trigger series: each micro-batch
+    * folds its integer sum x for the key and halves history,
+    * score = (x + score_prev)·0.5 (first batch seeds score = x). With
+    * α = 1/2 every update is a halving of exact dyadic values, so an
+    * arbitrary batch boundary placement replays bit-for-bit — the
+    * spec pins stream-final state ≡ the batch face on the batch-sum
+    * series. State is two fields per live key; each trigger shuffles
+    * only its own rows (the trending-score / rate-limiter shape). */
+  def decayScoreStream(events: Dataset[DecayEvent]): Dataset[DecayScore] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DecayState, DecayScore](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[DecayEvent], state: GroupState[DecayState]) =>
+          var x = 0L
+          for (e <- it) x += e.value
+          val st = state.getOption.getOrElse(DecayState(0L, 0.0))
+          val next =
+            if (st.n == 0L) DecayState(1L, x.toDouble)
+            else DecayState(st.n + 1L, (x.toDouble + st.score) * 0.5)
+          state.update(next)
+          Iterator.single(DecayScore(key, next.n, next.score))
+      }
+  }
 }

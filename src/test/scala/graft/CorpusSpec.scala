@@ -712,4 +712,29 @@ class CorpusSpec extends SparkSpec {
     // doc 2: 2*6 - 3*9 - 1*11 = -26 dropped
     assert(got === Map(1L -> 10L))
   }
+
+  test("featureHash sums collisions and reports merged-token counts") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb")).toDF("doc_id", "text")
+    // identity bucket: exact token counts survive
+    val ident = graft.operators.Corpus.featureHash(docs,
+        bucket = t => t)
+      .orderBy("doc_id", "feature")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(ident === Seq((1L, "aa", 2L, 1L), (1L, "bb", 1L, 1L),
+      (1L, "cc", 1L, 1L), (2L, "bb", 1L, 1L)))
+    // a 1-char bucket forces collisions: weights sum, n_tokens counts
+    val coll = graft.operators.Corpus.featureHash(docs,
+        bucket = t => substring(t, 1, 1))
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(coll === Map("a" -> ((2L, 1L)), "b" -> ((1L, 1L)),
+      "c" -> ((1L, 1L))))
+    // default face (xxhash64 mod dim) preserves total weight
+    val total = graft.operators.Corpus.featureHash(docs)
+      .agg(org.apache.spark.sql.functions.sum("weight")).collect()
+      .head.getLong(0)
+    assert(total === 5L)
+  }
 }

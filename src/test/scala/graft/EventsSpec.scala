@@ -486,6 +486,19 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 100L)))
   }
 
+  test("intervalOverlapJoin: overlap length exact, touching excluded") {
+    val a = Seq((1L, 0L, 100L), (1L, 200L, 300L), (2L, 0L, 10L))
+      .toDF("u", "s", "e")
+    val b = Seq((1L, 50L, 120L), (1L, 300L, 400L), (2L, 50L, 60L))
+      .toDF("u", "s", "e")
+    val got = Events.intervalOverlapJoin(a, b, "u", "s", "e")
+      .select("key", "s_a", "s_b", "overlap")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // [0,100)∩[50,120) = 50; [200,300) touches [300,400): excluded;
+    // key 2 disjoint
+    assert(got === Set((1L, 0L, 50L, 50L)))
+  }
+
   test("ewmaDyadic matches the α=1/2 recursion while t <= depth") {
     // e1 = 1, e2 = (2+1)/2 = 1.5, e3 = (3+1.5)/2 = 2.25
     val df = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))

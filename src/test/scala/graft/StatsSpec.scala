@@ -276,6 +276,14 @@ class StatsSpec extends SparkSpec {
     assert(got === (("k", 20L, 1L, 19L, 209L, 0L, 1L)))
   }
 
+  test("targetEncode: leave-one-out means, singleton falls to global") {
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "B", 5L)).toDF("id", "cat", "y")
+    val got = Stats.targetEncode(df, "cat", "y", "id")
+      .orderBy("id").as[(Long, String, Long, Double)].collect().toSeq
+    assert(got.map(_._4) === Seq(25.0, 20.0, 15.0, (65.0 - 5.0) / 3.0))
+  }
+
   test("benfordCensus takes the textual leading digit, skips <= 0") {
     // 1..19 plus junk: digit 1 appears 11× (1, 10..19), 2..9 once each
     val df = ((1L to 19L) ++ Seq(0L, -5L)).toDF("v")

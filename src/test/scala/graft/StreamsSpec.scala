@@ -559,4 +559,38 @@ class StreamsSpec extends SparkSpec {
       assert(last === batch)
     } finally q.stop()
   }
+
+  test("decayScoreStream: last emit equals the dyadic EWMA batch face " +
+    "over the batch-sum series") {
+    import graft.streaming.Streams.{DecayEvent, DecayScore}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DecayEvent]
+    val q = Streams.decayScoreStream(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("decay_out").start()
+    try {
+      in.addData(DecayEvent(1L, 3L), DecayEvent(1L, 1L), DecayEvent(2L, 8L))
+      q.processAllAvailable() // key 1 batch sum 4 -> 4.0; key 2 -> 8.0
+      in.addData(DecayEvent(1L, 2L))
+      q.processAllAvailable() // key 1: (2 + 4)/2 = 3.0
+      in.addData(DecayEvent(1L, 5L), DecayEvent(2L, 2L))
+      q.processAllAvailable() // key 1: (5 + 3)/2 = 4.0; key 2: (2+8)/2 = 5.0
+      val emits = spark.table("decay_out").as[DecayScore].collect()
+      val last = emits.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, g) => k -> g.maxBy(_._2)._1 }
+      assert(last(1L) == DecayScore(1L, 3L, 4.0))
+      assert(last(2L) == DecayScore(2L, 2L, 5.0))
+
+      // ≡ the batch EWMA face over the per-batch sums
+      val series = Seq((1L, 1L, 4L), (1L, 2L, 2L), (1L, 3L, 5L),
+        (2L, 1L, 8L), (2L, 3L, 2L)).toDF("k", "t", "n")
+      val batch = graft.operators.Events
+        .ewmaDyadic(series, "k", Seq("t"), "n", depth = 8)
+        .groupBy("k").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.col("ewma"),
+          org.apache.spark.sql.functions.col("t")).as("e"))
+        .as[(Long, Double)].collect().toMap
+      assert(batch(1L) === last(1L).score && batch(2L) === last(2L).score)
+    } finally q.stop()
+  }
 }
