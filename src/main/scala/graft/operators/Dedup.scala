@@ -771,8 +771,17 @@ object Dedup {
                               minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       "minJaccard must be in (0, 1] — prefix filtering needs a real threshold")
+    // shingles carry as 64-bit hashes from here on: the candidate join
+    // shuffles 8-byte keys instead of ~20-byte strings and the verify's
+    // array_intersect compares longs — measured best-of-2 8.46 → 4.08 s
+    // on the q130 shape (sf0.1, local[32]). The prefix stays correct
+    // under the (df, hash) order — the filter theorem needs only ONE
+    // consistent total order on the shingle universe — and distinct
+    // shingles stay distinct absent an xxhash64 collision (at
+    // billion-shingle corpus scale a collision perturbs one inter
+    // count by 1; it cannot merge documents on its own).
     val sh = shingleRows(docs, idCol, textCol, n)
-      .select(col(idCol).as("id"), col("shingle"))
+      .select(col(idCol).as("id"), xxhash64(col("shingle")).as("shingle"))
     val sets = sh.groupBy("id")
       .agg(sort_array(collect_list(col("shingle"))).as("set"),
         count(lit(1)).as("n_sh"))
