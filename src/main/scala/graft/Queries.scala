@@ -3006,6 +3006,27 @@ object Queries {
       "c_mktsegment", "cents", "c_custkey")
       .orderBy("c_custkey")
 
+  /** Confusion-matrix gate: a cheap length-based quality predictor
+    * (n_chars ≥ 240) scored against a token-count truth (≥ 45 tokens)
+    * over documents — exact tp/fp/fn/tn, single-division P/R/F1. */
+  def q210Confusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.confusionStats(
+      t(s, dir, "documents").select(
+        (col("n_chars") >= 240).as("pred"),
+        (size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= "")) >= 45).as("truth")),
+      "pred", "truth")
+
+  /** Rank-AUC gate: how well does spend separate purchases from clicks
+    * — AUC off the exact tie-corrected Mann-Whitney doubled U (the
+    * q183 prep), one final division. */
+  def q211Auc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rankAuc(
+      events(s, dir).select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "event_type", "cents", positive = "purchase", negative = "click")
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3832,7 +3853,9 @@ object Queries {
     "q206_cosine_pairs" -> (q206CosinePairs _),
     "q207_feature_hash" -> (q207FeatureHash _),
     "q208_target_encode" -> (q208TargetEncode _),
-    "q209_overlap_join" -> (q209OverlapJoin _)
+    "q209_overlap_join" -> (q209OverlapJoin _),
+    "q210_confusion" -> (q210Confusion _),
+    "q211_auc" -> (q211Auc _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6777,7 +6800,51 @@ object Queries {
         |SELECT a.key, s_a, e_a, s_b, e_b,
         |  least(e_a, e_b) - greatest(s_a, s_b) AS overlap
         |FROM a JOIN b ON a.key = b.key AND s_a < e_b AND s_b < e_a
-        |ORDER BY a.key, s_a, s_b""".stripMargin)
+        |ORDER BY a.key, s_a, s_b""".stripMargin,
+    "q210_confusion" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  n_chars >= 240 AS pred,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) >= 45 AS truth
+        | FROM documents),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tn
+        | FROM b)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+        |  CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    AS f1
+        |FROM c""".stripMargin,
+    "q211_auc" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |r AS (SELECT event_type,
+        |  CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY cents) AS BIGINT) AS t
+        | FROM b),
+        |m AS MATERIALIZED (SELECT event_type, 2 * rk + t - 1 AS mr2
+        | FROM r),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN mr2 END)
+        |    AS BIGINT) AS s2a
+        | FROM m)
+        |SELECT n_a, n_b,
+        |  CAST(s2a - n_a * (n_a + 1) AS DOUBLE) /
+        |    CAST(2 * n_a * n_b AS DOUBLE) AS auc
+        |FROM agg""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -613,6 +613,43 @@ object Stats {
           .as("n_clamped_hi"))
   }
 
+  /** Confusion-matrix evaluation of a boolean prediction against a
+    * boolean truth: exact tp/fp/fn/tn counts in ONE map-side-combined
+    * fold, then precision, recall, and F1 each as a single IEEE
+    * division over exact integers (F1 via 2tp/(2tp+fp+fn) — one
+    * division, not the P/R composition, so there is no intermediate
+    * rounding to mirror). */
+  def confusionStats(df: DataFrame, predCol: String,
+      truthCol: String): DataFrame = {
+    val p = col(predCol)
+    val t = col(truthCol)
+    df.agg(
+        sum(when(p && t, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !t, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && t, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !t, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        ((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1"))
+  }
+
+  /** Rank AUC (the probability a positive outranks a negative, ties at
+    * half credit): AUC = U/(n₊·n₀) off the exact tie-corrected
+    * [[mannWhitneyU2]] doubled statistic — integer rank sums end to
+    * end, ONE final division. The classifier-free evaluation twin of
+    * the Mann-Whitney gate. */
+  def rankAuc(df: DataFrame, groupCol: String, valueCol: String,
+      positive: String, negative: String): DataFrame =
+    mannWhitneyU2(df, groupCol, valueCol, positive, negative)
+      .select(col("n_a"), col("n_b"),
+        (col("u2_a").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("auc"))
+
   /** Leave-one-out target encoding: each row's category is replaced by
     * the mean target of the OTHER rows in its category — the standard
     * high-cardinality categorical feature that, computed naively

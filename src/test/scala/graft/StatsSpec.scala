@@ -276,6 +276,25 @@ class StatsSpec extends SparkSpec {
     assert(got === (("k", 20L, 1L, 19L, 209L, 0L, 1L)))
   }
 
+  test("confusionStats: exact cells, single-division P/R/F1") {
+    val df = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false)))
+      .toDF("p", "t")
+    val r = Stats.confusionStats(df, "p", "t")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(r === ((3L, 1L, 2L, 4L, 0.75, 0.6, 2.0 / 3.0)))
+  }
+
+  test("rankAuc gives ties half credit") {
+    // A = {3,5}, B = {1,3}: wins 3, tie 1 → AUC = 3.5/4
+    val df = Seq(("A", 3L), ("A", 5L), ("B", 1L), ("B", 3L))
+      .toDF("g", "v")
+    val r = Stats.rankAuc(df, "g", "v", "A", "B")
+      .as[(Long, Long, Double)].collect().head
+    assert(r === ((2L, 2L, 0.875)))
+  }
+
   test("targetEncode: leave-one-out means, singleton falls to global") {
     val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
       (4L, "B", 5L)).toDF("id", "cat", "y")
