@@ -3027,6 +3027,33 @@ object Queries {
           .cast("long").as("cents")),
       "event_type", "cents", positive = "purchase", negative = "click")
 
+  /** Dataset-fingerprint gate: per-returnflag content digests of
+    * lineitem under the md5-prefix row-hash face (conv of 14 hex
+    * chars, 56 bits exact; production face is xxhash64) — the
+    * order-independent, mergeable snapshot digest. */
+  def q212Fingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.datasetFingerprint(
+      t(s, dir, "lineitem"), Seq("l_returnflag"),
+      Seq("l_orderkey", "l_partkey", "l_linenumber"),
+      rowHash = p => conv(substring(md5(p), 1, 14), 16, 10).cast("long"))
+      .orderBy("l_returnflag")
+
+  /** Cross-correlation gate: do hourly clicks predict hourly purchases
+    * one hour later — exact moments over the inner-joined (t, t+1)
+    * pairs, one final IEEE expression. */
+  def q213CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("event_type"))
+      .groupBy("hr")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    graft.operators.Stats.crossCorrelation(hourly, "hr", "clicks",
+      "purchases", lag = 1L)
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3855,7 +3882,9 @@ object Queries {
     "q208_target_encode" -> (q208TargetEncode _),
     "q209_overlap_join" -> (q209OverlapJoin _),
     "q210_confusion" -> (q210Confusion _),
-    "q211_auc" -> (q211Auc _)
+    "q211_auc" -> (q211Auc _),
+    "q212_fingerprint" -> (q212Fingerprint _),
+    "q213_crosscorr" -> (q213CrossCorr _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6844,7 +6873,38 @@ object Queries {
         |SELECT n_a, n_b,
         |  CAST(s2a - n_a * (n_a + 1) AS DOUBLE) /
         |    CAST(2 * n_a * n_b AS DOUBLE) AS auc
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q212_fingerprint" ->
+      """WITH h AS MATERIALIZED (SELECT l_returnflag,
+        |  CAST(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 14)) AS BIGINT) AS rh
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(rh AS HUGEINT)) % 1000000000000000000
+        |    AS BIGINT) AS fingerprint
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q213_crosscorr" ->
+      """WITH hourly AS MATERIALIZED (SELECT
+        |  epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchases
+        | FROM events GROUP BY 1),
+        |j AS (SELECT CAST(x.clicks AS HUGEINT) AS x,
+        |  CAST(y.purchases AS HUGEINT) AS y
+        | FROM hourly x JOIN hourly y ON y.hr = x.hr + 1),
+        |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)) AS cross_corr
+        |FROM agg
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin)
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

@@ -110,4 +110,30 @@ object Quality {
       .withColumn("k_anonymous", col("class_size") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
+
+  /** Content-addressed dataset fingerprint: per group, the row count and
+    * an ORDER-INDEPENDENT digest — the SUM of per-row hashes mod 10¹⁸ —
+    * so the digest folds map-side, merges across partitions/snapshots
+    * (the monoid property a sorted-concat digest lacks), and any engine
+    * reproduces it without a global sort. Two snapshots with equal
+    * (n_rows, fingerprint) per group are content-identical up to hash
+    * collision; a sum (vs xor) also catches duplicated-row pairs.
+    * `rowHash` defaults to the production xxhash64 face; gates pass the
+    * md5-prefix face (conv of the first 14 hex chars — 56 bits, exact
+    * in BIGINT) so DuckDB replays the digest bit-for-bit. */
+  def datasetFingerprint(df: DataFrame, groupCols: Seq[String],
+      payloadCols: Seq[String],
+      rowHash: Column => Column = null): DataFrame = {
+    require(payloadCols.nonEmpty, "datasetFingerprint needs payload columns")
+    val payload = concat_ws("|", payloadCols.map(c => col(c).cast("string")): _*)
+    val h: Column =
+      if (rowHash != null) rowHash(payload)
+      else pmod(xxhash64(payload), lit(Long.MaxValue))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.withColumn("__h", h.cast(d38))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h")) % lit(1000000000000000000L).cast(d38))
+          .cast("long").as("fingerprint"))
+  }
 }

@@ -613,6 +613,37 @@ object Stats {
           .as("n_clamped_hi"))
   }
 
+  /** Lagged cross-correlation of two integral series sharing an integer
+    * time axis: Pearson corr of (x_t, y_{t+lag}) over inner-joined
+    * points, with the [[groupedLinReg]] exact-moment recipe — five
+    * BIGINT/DECIMAL folds, corr = num/√(dx·dy) as ONE fixed IEEE
+    * expression. The lead/lag-indicator question ("do clicks predict
+    * purchases an hour later?") as one self-join + one fold. */
+  def crossCorrelation(df: DataFrame, ordCol: String, xCol: String,
+      yCol: String, lag: Long): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val xs = df.select((col(ordCol) + lag).as("__t"), col(xCol).as("__x"))
+    val ys = df.select(col(ordCol).as("__t"), col(yCol).as("__y"))
+    val x = col("__x").cast(d38)
+    val y = col("__y").cast(d38)
+    xs.join(ys, "__t")
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        sum(y * y).as("__syy"))
+      .withColumn("__num",
+        col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy",
+        col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .filter(col("__dx") > 0 && col("__dy") > 0)
+      .select(col("__n").cast("long").as("n_points"),
+        (col("__num").cast("double") /
+          sqrt(col("__dx").cast("double") * col("__dy").cast("double")))
+          .as("cross_corr"))
+  }
+
   /** Confusion-matrix evaluation of a boolean prediction against a
     * boolean truth: exact tp/fp/fn/tn counts in ONE map-side-combined
     * fold, then precision, recall, and F1 each as a single IEEE

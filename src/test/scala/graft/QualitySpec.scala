@@ -50,4 +50,23 @@ class QualitySpec extends SparkSpec {
     assert(got === Seq((1, "a", 3L, 2L, true, true),
       (1, "b", 1L, 1L, false, false), (2, "a", 2L, 1L, true, false)))
   }
+
+  test("datasetFingerprint is order-independent and change-sensitive") {
+    val a = Seq((1L, "x", "g"), (2L, "y", "g"), (3L, "z", "g"))
+      .toDF("id", "v", "grp")
+    val shuffled = Seq((3L, "z", "g"), (1L, "x", "g"), (2L, "y", "g"))
+      .toDF("id", "v", "grp")
+    val changed = Seq((1L, "x", "g"), (2L, "Y", "g"), (3L, "z", "g"))
+      .toDF("id", "v", "grp")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Quality.datasetFingerprint(df, Seq("grp"), Seq("id", "v"))
+        .as[(String, Long, Long)].collect().head
+    assert(fp(a) === fp(shuffled))
+    assert(fp(a)._2 === 3L)
+    assert(fp(a)._3 !== fp(changed)._3)
+    // the digest is a fold: union of halves equals the whole
+    val h1 = a.filter($"id" <= 1)
+    val h2 = a.filter($"id" > 1)
+    assert(fp(h1.unionByName(h2)) === fp(a))
+  }
 }

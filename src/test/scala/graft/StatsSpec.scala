@@ -276,6 +276,22 @@ class StatsSpec extends SparkSpec {
     assert(got === (("k", 20L, 1L, 19L, 209L, 0L, 1L)))
   }
 
+  test("crossCorrelation detects a pure one-step lead at +1.0 exactly") {
+    // y is x delayed by one tick → corr(x_t, y_{t+1}) = 1 (bit-exact:
+    // num/√(num·num) with identical exact moments)
+    val df = Seq((1L, 1L, 5L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 9L, 3L))
+      .toDF("t", "x", "y")
+    val r = Stats.crossCorrelation(df, "t", "x", "y", lag = 1L)
+      .as[(Long, Double)].collect().head
+    assert(r === ((3L, 1.0)))
+    // lag 0 on an anti-correlated pair lands negative
+    val df2 = Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 1L))
+      .toDF("t", "x", "y")
+    val r2 = Stats.crossCorrelation(df2, "t", "x", "y", lag = 0L)
+      .as[(Long, Double)].collect().head
+    assert(r2 === ((3L, -1.0)))
+  }
+
   test("confusionStats: exact cells, single-division P/R/F1") {
     val df = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
       Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false)))
