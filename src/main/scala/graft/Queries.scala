@@ -3054,6 +3054,14 @@ object Queries {
       "purchases", lag = 1L)
   }
 
+  /** BPE merge-training gate: 6 greedy merge rounds over the corpus
+    * word table — weighted pair argmax with (weight DESC, a, b)
+    * tie-break, rewrite by literal replace on the pipe-doubled symbol
+    * encoding both engines execute identically. */
+  def q214Bpe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeTrain(t(s, dir, "documents"), merges = 6)
+      .orderBy("merge_rank")
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3884,7 +3892,8 @@ object Queries {
     "q210_confusion" -> (q210Confusion _),
     "q211_auc" -> (q211Auc _),
     "q212_fingerprint" -> (q212Fingerprint _),
-    "q213_crosscorr" -> (q213CrossCorr _)
+    "q213_crosscorr" -> (q213CrossCorr _),
+    "q214_bpe" -> (q214Bpe _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6904,7 +6913,43 @@ object Queries {
         |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |        CAST(n * syy - sy * sy AS DOUBLE)) AS cross_corr
         |FROM agg
-        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin)
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+    "q214_bpe" -> bpeOracle(6))
+
+  /** The q214 oracle: each BPE round is (weighted pair count →
+    * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the
+    * final union — → literal-replace rewrite on the pipe-doubled
+    * symbol strings). w_{r-1} feeds both p_r and w_r, so every round
+    * frame is MATERIALIZED (the q116 lesson); an exhausted b_r goes
+    * empty and every later round stays empty, matching the engine's
+    * early stop. */
+  private def bpeOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS weight FROM (
+         | SELECT freq, unnest(list_transform(generate_series(1, len(t) - 1),
+         |  i -> {'a': t[i], 'b': t[i+1]})) AS u
+         | FROM (SELECT freq, string_split(trim(s, '|'), '||') AS t
+         |  FROM w${r - 1})) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, weight FROM p$r
+         | ORDER BY weight DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT w, freq,
+         |  replace(s, '|' || br.a || '||' || br.b || '|',
+         |    '|' || br.a || br.b || '|') AS s
+         | FROM w${r - 1} CROSS JOIN b$r br)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map { r =>
+      s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"CAST(weight AS BIGINT) AS weight FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS freq,
+       |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+       | FROM (SELECT unnest(list_filter(
+       |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |  FROM documents) GROUP BY w),
+       |$steps
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** The q142 oracle: no iterative peeling to hang on (the q116
     * lesson) — 5 MATERIALIZED doublings of the reachability closure

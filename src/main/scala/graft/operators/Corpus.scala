@@ -422,6 +422,72 @@ object Corpus {
         countDistinct(col("__tok")).as("n_tokens"))
   }
 
+  /** Distributed BPE merge training: learn `merges` byte-pair-encoding
+    * merge rules over the corpus word-frequency table — greedy
+    * highest-weight adjacent symbol pair per round, ties to the
+    * lexicographically smallest (a, b). Returns the ordered merge
+    * table (merge_rank, lhs, rhs, merged, weight) — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Execution shape: one pass builds the word/freq table (the corpus
+    * never reappears — rounds run over |vocab| rows); each round is a
+    * map-side-combined weighted pair count, a 1-ROW argmax collect
+    * (the same small-side driver contract as the k-means centroids),
+    * and a narrow codegen'd rewrite. The rewrite is literal string
+    * `replace` on a pipe-doubled symbol encoding ("|h||e||l||l||o|" —
+    * every symbol owns its delimiters, so replacing "|a||b|" with
+    * "|ab|" merges left-to-right non-overlapping occurrences exactly
+    * like the sequential greedy fold, and a second engine replays it
+    * with its own replace()). Stops early when no pair remains. */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+      merges: Int = 6): DataFrame = {
+    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var tbl = words.withColumn("s",
+      concat(lit("|"), concat_ws("||", split(col("w"), "(?!^)")), lit("|")))
+      .persist()
+    tbl.count()
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long)]
+    var r = 1
+    var continue = true
+    while (r <= merges && continue) {
+      val t = col("__t")
+      val pairs = tbl
+        .select(col("freq"),
+          split(expr("trim(BOTH '|' FROM s)"), "\\|\\|").as("__t"))
+        .select(col("freq"), explode(filter(
+          transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
+            i => when(i + 2 <= size(t),
+              struct(element_at(t, i + 1).as("a"),
+                element_at(t, i + 2).as("b")))),
+          x => x.isNotNull)).as("__p"))
+        .select(col("__p.a"), col("__p.b"), col("freq"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("weight"))
+      val best = pairs
+        .orderBy(col("weight").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (a, b, w) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, a, b, a + b, w))
+        val next = tbl.withColumn("s",
+          expr(s"replace(s, '|$a||$b|', '|$a$b|')")).persist()
+        next.count()
+        tbl.unpersist(false)
+        tbl = next
+        r += 1
+      }
+    }
+    tbl.unpersist(false)
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "weight")
+  }
+
   // -----------------------------------------------------------------
   // Bigram language-model scoring (CCNet-style LM quality filter)
   // -----------------------------------------------------------------

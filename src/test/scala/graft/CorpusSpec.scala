@@ -713,6 +713,17 @@ class CorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 10L))
   }
 
+  test("bpeTrain learns greedy merges and stops when pairs run out") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.bpeTrain(docs, merges = 6)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // round 1: (a,a)=4 beats (a,b)=3; round 2: (a,b)=3 beats (aa,a)=2;
+    // round 3: (aa,ab)=2; round 4: no adjacent pairs left -> early stop
+    assert(got === Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
+
   test("featureHash sums collisions and reports merged-token counts") {
     import org.apache.spark.sql.functions.{col, substring}
     val docs = Seq((1L, "aa bb aa cc"), (2L, "bb")).toDF("doc_id", "text")
