@@ -3062,6 +3062,15 @@ object Queries {
     graft.operators.Corpus.bpeTrain(t(s, dir, "documents"), merges = 6)
       .orderBy("merge_rank")
 
+  /** BPE segmentation gate: the 6 learned merges applied back to the
+    * corpus in rank order (each rule one literal-replace pass) —
+    * per-document word and BPE-token counts. */
+  def q215BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Corpus.bpeTrain(docs, merges = 6)
+    graft.operators.Corpus.bpeSegment(docs, merges).orderBy("doc_id")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3893,7 +3902,8 @@ object Queries {
     "q211_auc" -> (q211Auc _),
     "q212_fingerprint" -> (q212Fingerprint _),
     "q213_crosscorr" -> (q213CrossCorr _),
-    "q214_bpe" -> (q214Bpe _)
+    "q214_bpe" -> (q214Bpe _),
+    "q215_bpe_segment" -> (q215BpeSegment _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6914,7 +6924,8 @@ object Queries {
         |        CAST(n * syy - sy * sy AS DOUBLE)) AS cross_corr
         |FROM agg
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
-    "q214_bpe" -> bpeOracle(6))
+    "q214_bpe" -> bpeOracle(6),
+    "q215_bpe_segment" -> bpeSegmentOracle(6))
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the
@@ -6949,6 +6960,51 @@ object Queries {
        |$steps
        |$sel
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The q215 oracle: the q214 training rounds, then each learned rule
+    * replayed over the per-document word strings in rank order. An
+    * unlearned round's scalar subqueries coalesce to the '|~|'
+    * sentinel (outside the [a-z0-9] symbol alphabet) so the replace
+    * no-ops — matching the engine, which applies only collected
+    * rules. */
+  private def bpeSegmentOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT u.a AS a, u.b AS b, sum(freq) AS weight FROM (
+         | SELECT freq, unnest(list_transform(generate_series(1, len(t) - 1),
+         |  i -> {'a': t[i], 'b': t[i+1]})) AS u
+         | FROM (SELECT freq, string_split(trim(s, '|'), '||') AS t
+         |  FROM w${r - 1})) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b, weight FROM p$r
+         | ORDER BY weight DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT w, freq,
+         |  replace(s, '|' || br.a || '||' || br.b || '|',
+         |    '|' || br.a || br.b || '|') AS s
+         | FROM w${r - 1} CROSS JOIN b$r br)""".stripMargin
+    }.mkString(",\n")
+    val applies = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT doc_id, replace(s,
+         |  coalesce('|' || (SELECT a FROM b$r) || '||' ||
+         |    (SELECT b FROM b$r) || '|', '|~|'),
+         |  coalesce('|' || (SELECT a || b FROM b$r) || '|', '|~|')) AS s
+         | FROM s${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS freq,
+       |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+       | FROM (SELECT unnest(list_filter(
+       |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |  FROM documents) GROUP BY w),
+       |$steps,
+       |s0 AS MATERIALIZED (SELECT doc_id,
+       |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS s
+       | FROM (SELECT doc_id, unnest(list_filter(
+       |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+       |  FROM documents)),
+       |$applies
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(string_split(trim(s, '|'), '||'))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM s$rounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The q142 oracle: no iterative peeling to hang on (the q116

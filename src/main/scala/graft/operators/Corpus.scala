@@ -439,6 +439,14 @@ object Corpus {
     * "|ab|" merges left-to-right non-overlapping occurrences exactly
     * like the sequential greedy fold, and a second engine replays it
     * with its own replace()). Stops early when no pair remains. */
+  /** Characters of a word as an array WITHOUT the trailing empty
+    * element `split(w, "(?!^)")` alone would keep: Spark's split uses
+    * limit = −1, so the zero-width end-of-string match survives — the
+    * q215 lesson (training shrugged it off because its pair extraction
+    * trims it; segmentation counted it as a phantom token per word). */
+  private def charSplit(w: Column): Column =
+    filter(split(w, "(?!^)"), c => c =!= "")
+
   def bpeTrain(docs: DataFrame, textCol: String = "text",
       merges: Int = 6): DataFrame = {
     require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
@@ -448,7 +456,7 @@ object Corpus {
         split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     var tbl = words.withColumn("s",
-      concat(lit("|"), concat_ws("||", split(col("w"), "(?!^)")), lit("|")))
+      concat(lit("|"), concat_ws("||", charSplit(col("w"))), lit("|")))
       .persist()
     tbl.count()
     val out = new scala.collection.mutable.ArrayBuffer[
@@ -486,6 +494,35 @@ object Corpus {
     }
     tbl.unpersist(false)
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "weight")
+  }
+
+  /** Apply a learned [[bpeTrain]] merge table to a corpus: every word
+    * is segmented by replaying the merge rules in rank order (each
+    * rule once, left-to-right non-overlapping — the same literal
+    * replace on the pipe-doubled encoding the trainer used, folded
+    * into ONE codegen'd projection of nested replaces). Returns the
+    * per-document (n_words, n_bpe_tokens) census — the
+    * tokens-per-document measurement a budgeting pass feeds on. The
+    * merge table is collected (merge-count rows — the broadcast-side
+    * contract); the corpus is touched once, narrow. */
+  def bpeSegment(docs: DataFrame, mergesTable: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rules = mergesTable.orderBy("merge_rank")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val piped = concat(lit("|"),
+      concat_ws("||", charSplit(col("__w"))), lit("|"))
+    val segmented = rules.foldLeft(piped) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    docs.select(col(idCol), explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("__w"))
+      .select(col(idCol),
+        size(split(regexp_replace(segmented, "^\\||\\|$", ""), "\\|\\|"))
+          .as("__nt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).as("n_bpe_tokens"))
   }
 
   // -----------------------------------------------------------------

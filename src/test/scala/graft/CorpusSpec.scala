@@ -724,6 +724,17 @@ class CorpusSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("bpeSegment replays learned merges; unseen words stay chars") {
+    val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = graft.operators.Corpus.bpeTrain(train, merges = 6)
+    val apply = Seq((1L, "aaab aaab ab"), (2L, "ba aab")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.bpeSegment(apply, merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: every word collapses to one learned token (3 words → 3)
+    // doc 2: "ba" has no applicable rule (2 chars); "aab" → a,ab (2)
+    assert(got === Seq((1L, 3L, 3L), (2L, 2L, 4L)))
+  }
+
   test("featureHash sums collisions and reports merged-token counts") {
     import org.apache.spark.sql.functions.{col, substring}
     val docs = Seq((1L, "aa bb aa cc"), (2L, "bb")).toDF("doc_id", "text")
