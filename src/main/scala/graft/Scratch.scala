@@ -797,7 +797,11 @@ object Scratch {
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",
         "q44_opentargets_drugs", "q46d_catalog_5hop_subgraph",
         "q51_deterministic_split", "q54_decontaminate", "q56_stratified_sample",
-        "q58_tfidf_topk", "q60_zorder")) {
+        "q58_tfidf_topk", "q60_zorder",
+        // the round-7 tail families' heavy faces
+        "q195_itemitem", "q198_compaction", "q202_quantile_norm",
+        "q205_containment", "q206_cosine_pairs", "q207_feature_hash",
+        "q208_target_encode", "q209_overlap_join", "q212_fingerprint")) {
         val df = SparkEntry.queries(q)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toSeq

@@ -713,6 +713,16 @@ class CorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 10L))
   }
 
+  test("featureHash plan: one map-side-combined shuffle, no join") {
+    val docs = Seq((1L, "aa bb aa cc")).toDF("doc_id", "text")
+    val plan = graft.operators.Corpus.featureHash(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"feature counting must combine map-side:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the hashing trick must need no vocabulary join:\n$plan")
+  }
+
   test("bpeTrain learns greedy merges and stops when pairs run out") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val got = graft.operators.Corpus.bpeTrain(docs, merges = 6)

@@ -319,6 +319,21 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._4) === Seq(25.0, 20.0, 15.0, (65.0 - 5.0) / 3.0))
   }
 
+  test("targetEncode plan: both stat sides broadcast, fact table " +
+    "shuffles zero times") {
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 5L))
+      .toDF("id", "cat", "y")
+    val plan = Stats.targetEncode(df, "cat", "y", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"category/global moments must broadcast:\n$plan")
+    // the fact table must not be exchanged for the join itself: the
+    // only allowed exchanges are inside the two broadcast stat builds
+    val joins = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.forall(l => l.contains("Broadcast")),
+      s"every join must be broadcast-side:\n$plan")
+  }
+
   test("benfordCensus takes the textual leading digit, skips <= 0") {
     // 1..19 plus junk: digit 1 appears 11× (1, 10..19), 2..9 once each
     val df = ((1L to 19L) ++ Seq(0L, -5L)).toDF("v")
