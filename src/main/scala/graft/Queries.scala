@@ -3071,6 +3071,52 @@ object Queries {
     graft.operators.Corpus.bpeSegment(docs, merges).orderBy("doc_id")
   }
 
+  /** Correlation-matrix gate: pairwise Pearson over four exact-integer
+    * lineitem measures in ONE fold — 6 coefficient rows from a single
+    * aggregate, each one fixed IEEE expression. */
+  def q216CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_quantity").cast(DecimalType(18, 2)).cast("long").as("qty"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("price_c"),
+      (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").as("disc_bp"),
+      (col("l_tax").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").as("tax_bp"))
+    graft.operators.Stats.correlationMatrix(li,
+        Seq("qty", "price_c", "disc_bp", "tax_bp"))
+      .orderBy("var_a", "var_b")
+  }
+
+  /** TVD-drift gate: each source's doc-length-band distribution against
+    * the pooled corpus — exact integer numerator (absent bins folded in
+    * closed form, no key×bin cross join), one division. */
+  def q217TvdDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.tvdDrift(
+      t(s, dir, "documents").select(col("source"),
+        expr("n_chars div 100").as("len_band")),
+      "source", "len_band")
+      .orderBy("source")
+
+  /** KS-statistic gate: two-sample Kolmogorov–Smirnov D between
+    * purchase and click spend — exact integer numerator over the
+    * value-ordered cumulative counts. */
+  def q218Ks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksStatistic(
+      events(s, dir).select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "event_type", "cents", groupA = "purchase", groupB = "click")
+
+  /** Kaplan–Meier gate: signup→purchase conversion survival with
+    * right-censoring at the corpus horizon — integer risk sets, the
+    * product-limit chain replayed by a recursive CTE in the same IEEE
+    * order. */
+  def q219KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.kaplanMeier(events(s, dir),
+        fromType = "signup", toType = "purchase")
+      .orderBy("t_us")
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3903,7 +3949,11 @@ object Queries {
     "q212_fingerprint" -> (q212Fingerprint _),
     "q213_crosscorr" -> (q213CrossCorr _),
     "q214_bpe" -> (q214Bpe _),
-    "q215_bpe_segment" -> (q215BpeSegment _)
+    "q215_bpe_segment" -> (q215BpeSegment _),
+    "q216_corr_matrix" -> (q216CorrMatrix _),
+    "q217_tvd_drift" -> (q217TvdDrift _),
+    "q218_ks" -> (q218Ks _),
+    "q219_kaplan_meier" -> (q219KaplanMeier _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6925,7 +6975,126 @@ object Queries {
         |FROM agg
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
     "q214_bpe" -> bpeOracle(6),
-    "q215_bpe_segment" -> bpeSegmentOracle(6))
+    "q215_bpe_segment" -> bpeSegmentOracle(6),
+    "q216_corr_matrix" ->
+      """WITH li AS MATERIALIZED (SELECT
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS c1,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS c2,
+        |  CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |    AS c3,
+        |  CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c4
+        | FROM lineitem),
+        |m AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(c1 AS HUGEINT)) AS s1, sum(CAST(c2 AS HUGEINT)) AS s2,
+        |  sum(CAST(c3 AS HUGEINT)) AS s3, sum(CAST(c4 AS HUGEINT)) AS s4,
+        |  sum(CAST(c1 AS HUGEINT) * c1) AS q1,
+        |  sum(CAST(c2 AS HUGEINT) * c2) AS q2,
+        |  sum(CAST(c3 AS HUGEINT) * c3) AS q3,
+        |  sum(CAST(c4 AS HUGEINT) * c4) AS q4,
+        |  sum(CAST(c1 AS HUGEINT) * c2) AS p12,
+        |  sum(CAST(c1 AS HUGEINT) * c3) AS p13,
+        |  sum(CAST(c1 AS HUGEINT) * c4) AS p14,
+        |  sum(CAST(c2 AS HUGEINT) * c3) AS p23,
+        |  sum(CAST(c2 AS HUGEINT) * c4) AS p24,
+        |  sum(CAST(c3 AS HUGEINT) * c4) AS p34
+        | FROM li)
+        |SELECT var_a, var_b, CAST(n AS BIGINT) AS n,
+        |  CAST(num AS DOUBLE) /
+        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS corr
+        |FROM (
+        | SELECT 'qty' AS var_a, 'price_c' AS var_b, n,
+        |  n*p12 - s1*s2 AS num, n*q1 - s1*s1 AS dx, n*q2 - s2*s2 AS dy
+        |  FROM m
+        | UNION ALL SELECT 'qty', 'disc_bp', n,
+        |  n*p13 - s1*s3, n*q1 - s1*s1, n*q3 - s3*s3 FROM m
+        | UNION ALL SELECT 'qty', 'tax_bp', n,
+        |  n*p14 - s1*s4, n*q1 - s1*s1, n*q4 - s4*s4 FROM m
+        | UNION ALL SELECT 'price_c', 'disc_bp', n,
+        |  n*p23 - s2*s3, n*q2 - s2*s2, n*q3 - s3*s3 FROM m
+        | UNION ALL SELECT 'price_c', 'tax_bp', n,
+        |  n*p24 - s2*s4, n*q2 - s2*s2, n*q4 - s4*s4 FROM m
+        | UNION ALL SELECT 'disc_bp', 'tax_bp', n,
+        |  n*p34 - s3*s4, n*q3 - s3*s3, n*q4 - s4*s4 FROM m)
+        |ORDER BY var_a, var_b""".stripMargin,
+    "q217_tvd_drift" ->
+      """WITH cells AS MATERIALIZED (SELECT source AS k,
+        |  n_chars // 100 AS b, count(*) AS n_kb
+        | FROM documents GROUP BY 1, 2),
+        |keys AS (SELECT k, CAST(sum(n_kb) AS BIGINT) AS n_k
+        | FROM cells GROUP BY k),
+        |bins AS (SELECT b, CAST(sum(n_kb) AS BIGINT) AS m_b
+        | FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(n_kb) AS BIGINT) AS nn FROM cells),
+        |g AS (SELECT cells.k, max(n_k) AS n,
+        |  CAST(sum(abs(n_kb * nn - m_b * n_k)) +
+        |    (max(nn) - sum(m_b)) * max(n_k) AS BIGINT) AS tvd_num,
+        |  max(nn) AS nn2
+        | FROM cells JOIN bins USING (b) JOIN keys USING (k) CROSS JOIN tot
+        | GROUP BY cells.k)
+        |SELECT k AS source, n, tvd_num,
+        |  CAST(tvd_num AS DOUBLE) / CAST(2 * n * nn2 AS DOUBLE) AS tvd
+        |FROM g ORDER BY source""".stripMargin,
+    "q218_ks" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |pv AS (SELECT cents AS v,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS cb
+        | FROM b GROUP BY 1),
+        |cum AS (SELECT v,
+        |  CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cma,
+        |  CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cmb,
+        |  CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |  CAST(sum(cb) OVER () AS BIGINT) AS nb
+        | FROM pv)
+        |SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  max(abs(cma * nb - cmb * na)) AS d_num,
+        |  CAST(max(abs(cma * nb - cmb * na)) AS DOUBLE) /
+        |    CAST(max(na) * max(nb) AS DOUBLE) AS d_stat
+        |FROM cum""".stripMargin,
+    "q219_kaplan_meier" ->
+      """WITH RECURSIVE e AS MATERIALIZED (SELECT user_id AS u,
+        |  event_type AS et, epoch_us(ts) AS us FROM events),
+        |h AS (SELECT max(us) AS hz FROM e),
+        |s AS MATERIALIZED (SELECT u, min(us) AS from_us FROM e
+        | WHERE et = 'signup' GROUP BY u),
+        |d AS MATERIALIZED (SELECT s.u, s.from_us, min(c.us) AS to_us
+        | FROM s LEFT JOIN e c ON c.u = s.u AND c.et = 'purchase'
+        |   AND c.us >= s.from_us
+        | GROUP BY s.u, s.from_us),
+        |dur AS (SELECT
+        |  coalesce(to_us - from_us, (SELECT hz FROM h) - from_us) AS dur,
+        |  to_us IS NOT NULL AS conv FROM d),
+        |tm AS MATERIALIZED (SELECT dur AS t_us,
+        |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_event,
+        |  CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_censor
+        | FROM dur GROUP BY 1),
+        |rk AS MATERIALIZED (SELECT t_us, n_event, n_censor,
+        |  CAST(sum(n_event + n_censor) OVER () -
+        |    coalesce(sum(n_event + n_censor) OVER (ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk,
+        |  CAST(row_number() OVER (ORDER BY t_us) AS BIGINT) AS i
+        | FROM tm),
+        |km(i, t_us, n_risk, n_event, n_censor, sv) AS (
+        | SELECT i, t_us, n_risk, n_event, n_censor,
+        |  (1 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        | FROM rk WHERE i = 1
+        | UNION ALL
+        | SELECT rk.i, rk.t_us, rk.n_risk, rk.n_event, rk.n_censor,
+        |  km.sv * (1 - CAST(rk.n_event AS DOUBLE) /
+        |    CAST(rk.n_risk AS DOUBLE))
+        | FROM km JOIN rk ON rk.i = km.i + 1)
+        |SELECT t_us, n_risk, n_event, n_censor, sv AS survival
+        |FROM km ORDER BY t_us""".stripMargin)
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the

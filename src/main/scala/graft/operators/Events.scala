@@ -750,6 +750,71 @@ object Events {
     arr
   }
 
+  /** Kaplan–Meier survival estimate for the `fromType` → `toType`
+    * conversion with right-censoring: users who emit `fromType` but
+    * never convert are censored at the corpus horizon (global max
+    * timestamp). One row per distinct duration with the at-risk count,
+    * event/censor counts, and the product-limit survival
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ).
+    *
+    * Numerics: counts and at-risk sets are exact integers (cumulative
+    * window); the survival product is a SEQUENTIAL IEEE chain over the
+    * time-ordered rows — executed as one sorted per-group scan here
+    * and as a recursive CTE by the oracle, the identical op order, so
+    * the doubles replay bit-for-bit (censor-only times multiply by an
+    * exact 1.0 — a no-op in any engine). The ordered product does not
+    * distribute; the scan runs over |distinct durations| rows (≤
+    * |users|, report-sized), never raw events. */
+  def kaplanMeier(events: DataFrame, fromType: String, toType: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val t = us(events, tsCol)
+    val withUs = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      t.as("us"))
+    val horizon = withUs.agg(max(col("us")).as("__h"))
+    val starts = withUs.filter(col("et") === fromType)
+      .groupBy("u").agg(min(col("us")).as("from_us"))
+    val convs = withUs.filter(col("et") === toType)
+      .select(col("u"), col("us"))
+    // the conversion condition lives INSIDE the left join: a user whose
+    // only conversions precede the start must surface as censored (null
+    // match), not vanish through a post-join filter
+    val durations = starts.as("s")
+      .join(convs.select(col("u").as("cu"), col("us").as("cus")),
+        col("u") === col("cu") && col("cus") >= col("from_us"), "left")
+      .groupBy("u", "from_us").agg(min(col("cus")).as("to_us"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        coalesce(col("to_us") - col("from_us"),
+          col("__h") - col("from_us")).as("dur"),
+        col("to_us").isNotNull.as("converted"))
+    val times = durations.groupBy(col("dur").as("t_us"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("n_censor"))
+    val w = Window.orderBy(col("t_us"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val risky = times
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censor")).over(all) -
+          coalesce(sum(col("n_event") + col("n_censor")).over(w), lit(0L)))
+    risky
+      .select(col("t_us"), col("n_risk"), col("n_event"), col("n_censor"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        var s = 1.0
+        sorted.iterator.map { case (tu, n, d, c) =>
+          s = s * (1.0 - d.toDouble / n.toDouble)
+          (tu, n, d, c, s)
+        }
+      }
+      .toDF("t_us", "n_risk", "n_event", "n_censor", "survival")
+  }
+
   /** Interval-overlap join: pairs of [start, end) intervals from two
     * sets that overlap on the same key, with the exact overlap length
     * min(e) − max(s) — shift overlap, concurrent-session attribution,

@@ -613,6 +613,100 @@ object Stats {
           .as("n_clamped_hi"))
   }
 
+  /** Pairwise Pearson correlation matrix of integral columns in ONE
+    * pass: every moment (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ) folds exactly in a
+    * single map-side-combined aggregate, then each pair's coefficient
+    * is the [[lag1Autocorr]] fixed IEEE expression num/√(dx·dy) —
+    * p(p−1)/2 pairs materialize from the one aggregate row via an
+    * explode, so the fact table is scanned once no matter how many
+    * columns. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least 2 columns")
+    val d38 = DecimalType(38, 0)
+    def x(c: String) = col(c).cast(d38)
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).cast(d38).as("__n")) ++
+        cols.map(c => sum(x(c)).as(s"__s_$c")) ++
+        cols.map(c => sum(x(c) * x(c)).as(s"__q_$c")) ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield sum(x(cols(i)) * x(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))
+    val a = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (ci, cj) = (cols(i), cols(j))
+      val num = col("__n") * col(s"__p_${ci}_${cj}") -
+        col(s"__s_$ci") * col(s"__s_$cj")
+      val dx = col("__n") * col(s"__q_$ci") -
+        col(s"__s_$ci") * col(s"__s_$ci")
+      val dy = col("__n") * col(s"__q_$cj") -
+        col(s"__s_$cj") * col(s"__s_$cj")
+      struct(lit(ci).as("var_a"), lit(cj).as("var_b"),
+        (num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))).as("corr"))
+    }
+    a.select(col("__n").cast("long").as("n"),
+        explode(array(pairs: _*)).as("__pr"))
+      .select(col("__pr.var_a").as("var_a"), col("__pr.var_b").as("var_b"),
+        col("n"), col("__pr.corr").as("corr"))
+  }
+
+  /** Total-variation drift of each key's bin distribution against the
+    * pooled one: TVD(k) = ½·Σ_b |p_kb − q_b| computed as the exact
+    * integer numerator Σ_b |n_kb·N − m_b·n_k| over 2·n_k·N — bins the
+    * key never emits contribute m_b·n_k, folded in closed form as
+    * (N − Σ_present m_b)·n_k, so NO key×bin cross join exists. The
+    * distribution-shift audit (which source drifted from the corpus)
+    * in two groupBys + one broadcast. */
+  def tvdDrift(df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val cells = df.groupBy(col(keyCol).as("k"), col(binCol).as("b"))
+      .agg(count(lit(1)).as("n_kb"))
+    Exec.withPersisted(cells) {
+      val keys = cells.groupBy("k").agg(sum(col("n_kb")).as("n_k"))
+      val bins = cells.groupBy("b").agg(sum(col("n_kb")).as("m_b"))
+      val tot = cells.agg(sum(col("n_kb")).as("N"))
+      cells
+        .join(broadcast(bins), "b")
+        .join(broadcast(keys), "k")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("k").as(keyCol))
+        .agg(max(col("n_k")).as("n"),
+          (sum(abs(col("n_kb") * col("N") - col("m_b") * col("n_k"))) +
+            (max(col("N")) - sum(col("m_b"))) * max(col("n_k")))
+            .as("tvd_num"),
+          max(col("N")).as("__N"))
+        .select(col(keyCol), col("n"), col("tvd_num"),
+          (col("tvd_num").cast("double") /
+            (lit(2L) * col("n") * col("__N")).cast("double")).as("tvd"))
+    }
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic: D = max_v |F_A(v) −
+    * F_B(v)| carried as the exact integer numerator
+    * max |cumA·n_B − cumB·n_A| over the per-distinct-value cumulative
+    * counts (one value-ordered window), with ONE final division. The
+    * heavier drift test next to [[tvdDrift]] — order-sensitive, so it
+    * sees shape shifts equal-bin TVD misses. */
+  def ksStatistic(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val two = df.filter(col(groupCol).isin(groupA, groupB))
+    val perVal = two.groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    perVal
+      .withColumn("__cumA", sum(col("ca")).over(w))
+      .withColumn("__cumB", sum(col("cb")).over(w))
+      .withColumn("__na", sum(col("ca")).over(all))
+      .withColumn("__nb", sum(col("cb")).over(all))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cumA") * col("__nb") - col("__cumB") * col("__na")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+  }
+
   /** Lagged cross-correlation of two integral series sharing an integer
     * time axis: Pearson corr of (x_t, y_{t+lag}) over inner-joined
     * points, with the [[groupedLinReg]] exact-moment recipe — five

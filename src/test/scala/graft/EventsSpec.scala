@@ -486,6 +486,38 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 100L)))
   }
 
+  test("kaplanMeier: product-limit chain with horizon censoring") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // 4 signups at t=0; conversions at 10, 10, 20; user 4 censored at
+    // the horizon (20)
+    val rows = Seq(
+      (1L, "signup", 0L), (2L, "signup", 0L), (3L, "signup", 0L),
+      (4L, "signup", 0L),
+      (1L, "purchase", 10L), (2L, "purchase", 10L), (3L, "purchase", 20L))
+    val df = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Events.kaplanMeier(df, "signup", "purchase")
+      .orderBy("t_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 4L, 2L, 0L, 0.5), (20L, 2L, 1L, 1L, 0.25)))
+  }
+
+  test("kaplanMeier censors users whose conversions precede signup") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val rows = Seq((1L, "purchase", 5L), (1L, "signup", 10L),
+      (2L, "signup", 10L), (2L, "purchase", 30L))
+    val df = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Events.kaplanMeier(df, "signup", "purchase")
+      .orderBy("t_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // both durations are 20: user 2 converts, user 1 is censored at
+    // the horizon (30) — it must NOT vanish
+    assert(got === Seq((20L, 2L, 1L, 1L, 0.5)))
+  }
+
   test("intervalOverlapJoin: overlap length exact, touching excluded") {
     val a = Seq((1L, 0L, 100L), (1L, 200L, 300L), (2L, 0L, 10L))
       .toDF("u", "s", "e")

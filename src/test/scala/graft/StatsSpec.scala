@@ -276,6 +276,35 @@ class StatsSpec extends SparkSpec {
     assert(got === (("k", 20L, 1L, 19L, 209L, 0L, 1L)))
   }
 
+  test("correlationMatrix: all pairs from one fold, exact ±1 cases") {
+    val df = Seq((1L, 2L, 3L), (2L, 4L, 2L), (3L, 6L, 1L))
+      .toDF("x", "y", "z")
+    val got = Stats.correlationMatrix(df, Seq("x", "y", "z"))
+      .orderBy("var_a", "var_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("x", "y", 3L, 1.0), ("x", "z", 3L, -1.0),
+      ("y", "z", 3L, -1.0)))
+  }
+
+  test("tvdDrift folds absent bins in closed form") {
+    // A: bins {1:2, 2:2}; B: bins {1:1, 3:1}; pooled m = {1:3, 2:2, 3:1}
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("A", 2L),
+      ("B", 1L), ("B", 3L)).toDF("k", "b")
+    val got = Stats.tvdDrift(df, "k", "b").orderBy("k")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", 4L, 8L, 8.0 / 48.0),
+      ("B", 2L, 8L, 8.0 / 24.0)))
+  }
+
+  test("ksStatistic: exact integer numerator at the CDF gap") {
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val r = Stats.ksStatistic(df, "g", "v", "A", "B")
+      .as[(Long, Long, Long, Double)].collect().head
+    // the gap is at v=1: F_A = 1/2, F_B = 0 → D = 1/2
+    assert(r === ((2L, 2L, 2L, 0.5)))
+  }
+
   test("crossCorrelation detects a pure one-step lead at +1.0 exactly") {
     // y is x delayed by one tick → corr(x_t, y_{t+1}) = 1 (bit-exact:
     // num/√(num·num) with identical exact moments)
