@@ -3117,6 +3117,26 @@ object Queries {
         fromType = "signup", toType = "purchase")
       .orderBy("t_us")
 
+  /** Spearman gate: rank correlation of quantity vs price over
+    * lineitem — doubled average ranks keep every moment an exact
+    * integer, one final IEEE expression. */
+  def q220Spearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearman(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast(DecimalType(18, 2)).cast("long").as("qty"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("price_c")),
+      "qty", "price_c")
+
+  /** Two-proportion z gate: do purchases clear the 50-dollar bar at a
+    * different rate than clicks — exact counts, one IEEE chain. */
+  def q221TwoProportionZ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.twoProportionZ(
+      events(s, dir).select(col("event_type"),
+        ((col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long") >= 5000L).as("hi")),
+      "event_type", "hi", groupA = "purchase", groupB = "click")
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3953,7 +3973,9 @@ object Queries {
     "q216_corr_matrix" -> (q216CorrMatrix _),
     "q217_tvd_drift" -> (q217TvdDrift _),
     "q218_ks" -> (q218Ks _),
-    "q219_kaplan_meier" -> (q219KaplanMeier _)
+    "q219_kaplan_meier" -> (q219KaplanMeier _),
+    "q220_spearman" -> (q220Spearman _),
+    "q221_two_prop_z" -> (q221TwoProportionZ _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7094,7 +7116,50 @@ object Queries {
         |    CAST(rk.n_risk AS DOUBLE))
         | FROM km JOIN rk ON rk.i = km.i + 1)
         |SELECT t_us, n_risk, n_event, n_censor, sv AS survival
-        |FROM km ORDER BY t_us""".stripMargin)
+        |FROM km ORDER BY t_us""".stripMargin,
+    "q220_spearman" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS price_c
+        | FROM lineitem),
+        |r AS (SELECT
+        |  CAST(2 * rank() OVER (ORDER BY qty) +
+        |    count(*) OVER (PARTITION BY qty) - 1 AS HUGEINT) AS rx,
+        |  CAST(2 * rank() OVER (ORDER BY price_c) +
+        |    count(*) OVER (PARTITION BY price_c) - 1 AS HUGEINT) AS ry
+        | FROM b),
+        |agg AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+        |  sum(rx * rx) AS sxx, sum(ry * ry) AS syy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        |FROM agg""".stripMargin,
+    "q221_two_prop_z" ->
+      """WITH b AS MATERIALIZED (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 5000
+        |    AS hi
+        | FROM events WHERE event_type IN ('purchase', 'click')),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' AND hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN event_type = 'click' AND hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+        | FROM b)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |  sqrt((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |   (1.0 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |   (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    AS z_stat
+        |FROM agg""".stripMargin)
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the

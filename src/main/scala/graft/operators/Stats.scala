@@ -679,6 +679,56 @@ object Stats {
     }
   }
 
+  /** Spearman rank correlation with ties: Pearson over the DOUBLED
+    * average ranks 2·rank + t − 1 (the [[mannWhitneyU2]] integer trick
+    * — average ranks are half-integers, doubling keeps every moment an
+    * exact integer), one fixed final IEEE expression. Two rank windows
+    * + one fold; monotone-not-linear dependence [[correlationMatrix]]
+    * understates. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ranked = df
+      .withColumn("__rx", lit(2) * rank().over(Window.orderBy(col(xCol))) +
+        count(lit(1)).over(Window.partitionBy(col(xCol))) - 1)
+      .withColumn("__ry", lit(2) * rank().over(Window.orderBy(col(yCol))) +
+        count(lit(1)).over(Window.partitionBy(col(yCol))) - 1)
+    val x = col("__rx").cast(d38)
+    val y = col("__ry").cast(d38)
+    ranked.agg(count(lit(1)).cast(d38).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"), sum(x * y).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .select(col("__n").cast("long").as("n"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double"))).as("rho"))
+  }
+
+  /** Two-proportion z-test: does the success rate differ between two
+    * groups — exact counts, then the z statistic as ONE fixed IEEE
+    * chain over them (pooled p̂, the conversion-rate A/B staple).
+    * Single map-side-combined fold. */
+  def twoProportionZ(df: DataFrame, groupCol: String, successCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val s = col(successCol)
+    val agg = df.filter(col(groupCol).isin(groupA, groupB))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA && s, 1L).otherwise(0L)).as("s_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!isA && s, 1L).otherwise(0L)).as("s_b"))
+    def dbl(c: Column): Column = c.cast("double")
+    val p1 = dbl(col("s_a")) / dbl(col("n_a"))
+    val p2 = dbl(col("s_b")) / dbl(col("n_b"))
+    val p = dbl(col("s_a") + col("s_b")) / dbl(col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+      ((p1 - p2) / sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+        .as("z_stat"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic: D = max_v |F_A(v) −
     * F_B(v)| carried as the exact integer numerator
     * max |cumA·n_B − cumB·n_A| over the per-distinct-value cumulative

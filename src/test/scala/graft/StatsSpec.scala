@@ -305,6 +305,27 @@ class StatsSpec extends SparkSpec {
     assert(r === ((2L, 2L, 2L, 0.5)))
   }
 
+  test("spearman: monotone nonlinear is a perfect 1.0; ties averaged") {
+    val df = Seq((1L, 1L), (2L, 4L), (3L, 9L)).toDF("x", "y")
+    val r = Stats.spearman(df, "x", "y").as[(Long, Double)].collect().head
+    assert(r === ((3L, 1.0)))
+    val tied = Seq((1L, 3L), (1L, 3L), (2L, 5L)).toDF("x", "y")
+    val r2 = Stats.spearman(tied, "x", "y").as[(Long, Double)]
+      .collect().head
+    assert(r2 === ((3L, 1.0)))
+  }
+
+  test("twoProportionZ replays the fixed pooled-p chain") {
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq(("B", true)) ++ Seq.fill(3)(("B", false))).toDF("g", "s")
+    val r = Stats.twoProportionZ(df, "g", "s", "A", "B")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val p = 3.0 / 8.0
+    val expect = (0.5 - 0.25) /
+      math.sqrt(p * (1.0 - p) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert(r === ((4L, 2L, 4L, 1L, expect)))
+  }
+
   test("crossCorrelation detects a pure one-step lead at +1.0 exactly") {
     // y is x delayed by one tick → corr(x_t, y_{t+1}) = 1 (bit-exact:
     // num/√(num·num) with identical exact moments)
