@@ -3137,6 +3137,42 @@ object Queries {
           .cast("long") >= 5000L).as("hi")),
       "event_type", "hi", groupA = "purchase", groupB = "click")
 
+  /** Vocabulary-overlap gate: pairwise distinct-token Jaccard between
+    * sources — the scraped-mirror / domain-shift audit, exact
+    * intersections and one division per pair. */
+  def q222VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceVocabularyOverlap(
+      t(s, dir, "documents"))
+      .orderBy("src_a", "src_b")
+
+  /** Novelty gate: per-document fraction of corpus-unique 3-grams —
+    * the memorization/boilerplate inverse, exact df census. */
+  def q223Novelty(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.noveltyScores(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Vocabulary-growth gate: new distinct 3-grams and running 3-gram
+    * vocabulary per 50-doc block in id order — the Heaps-law curve
+    * (word unigrams are vacuous on this corpus's ~30-token vocabulary:
+    * one bucket; 3-grams spread first occurrences across every block —
+    * measured before pinning). */
+  def q224VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.vocabularyGrowth(t(s, dir, "documents"),
+        bucketSize = 50L, nGram = 3)
+      .orderBy("bucket")
+
+  /** Dup-cluster size-histogram gate: the q50 near-dup components
+    * folded to (cluster_size, n_clusters) — the dedup audit's
+    * headline distribution. */
+  def q225DupSizeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", n = 3, minJaccard = 0.1)
+    Dedup.connectedComponents(pairs)
+      .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -3975,7 +4011,11 @@ object Queries {
     "q218_ks" -> (q218Ks _),
     "q219_kaplan_meier" -> (q219KaplanMeier _),
     "q220_spearman" -> (q220Spearman _),
-    "q221_two_prop_z" -> (q221TwoProportionZ _)
+    "q221_two_prop_z" -> (q221TwoProportionZ _),
+    "q222_vocab_overlap" -> (q222VocabOverlap _),
+    "q223_novelty" -> (q223Novelty _),
+    "q224_vocab_growth" -> (q224VocabGrowth _),
+    "q225_dup_size_histogram" -> (q225DupSizeHistogram _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7159,7 +7199,82 @@ object Queries {
         |   (1.0 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
         |   (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
         |    AS z_stat
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+    "q222_vocab_overlap" ->
+      """WITH kt AS MATERIALIZED (SELECT DISTINCT k, token FROM (
+        |  SELECT source AS k, unnest(list_filter(
+        |   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        |   AS token
+        |  FROM documents)),
+        |sizes AS (SELECT k, count(*) AS n_vocab FROM kt GROUP BY k),
+        |p AS (SELECT a.k AS src_a, b.k AS src_b, count(*) AS inter
+        | FROM kt a JOIN kt b ON a.token = b.token AND a.k < b.k
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+        |  CAST(inter AS DOUBLE) /
+        |    CAST(sa.n_vocab + sb.n_vocab - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN sizes sa ON sa.k = src_a JOIN sizes sb ON sb.k = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q223_novelty" ->
+      """WITH sh AS MATERIALIZED (SELECT doc_id AS id,
+        |  unnest(list_distinct(list_transform(
+        |   generate_series(1, greatest(
+        |    len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(
+        |    string_split_regex(lower(text), '\s+')[i:i+2], ' '))))
+        |  AS shingle
+        | FROM documents),
+        |df AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle)
+        |SELECT id AS doc_id, count(*) AS n_shingles,
+        |  CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN df USING (shingle) GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+    "q224_vocab_growth" ->
+      """WITH fs AS MATERIALIZED (SELECT token, min(id) AS first_id
+        | FROM (SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |   generate_series(1, greatest(
+        |    len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(
+        |    string_split_regex(lower(text), '\s+')[i:i+2], ' '))))
+        |   AS token
+        |  FROM documents)
+        | GROUP BY token),
+        |pb AS (SELECT first_id // 50 AS bucket, count(*) AS new_tokens
+        | FROM fs GROUP BY 1)
+        |SELECT bucket, new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY bucket
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS vocab_size
+        |FROM pb ORDER BY bucket""".stripMargin,
+    "q225_dup_size_histogram" ->
+      """WITH RECURSIVE sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |  list_transform(generate_series(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0)),
+        |   i -> array_to_string(string_split_regex(lower(text), '\s+')[i:i+2], ' ')))) AS shingle
+        | FROM documents),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+        |pairs0 AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id),
+        |pairs AS (
+        | SELECT id_a, id_b FROM pairs0
+        |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+        | WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r(id, lab) AS (
+        | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        | UNION
+        | SELECT e.u, r.lab FROM e JOIN r ON r.id = e.v),
+        |reach AS (SELECT id, min(lab) AS component FROM r GROUP BY id),
+        |cs AS (SELECT component, CAST(count(*) AS BIGINT)
+        |  AS cluster_size FROM reach GROUP BY component)
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the

@@ -422,6 +422,91 @@ object Corpus {
         countDistinct(col("__tok")).as("n_tokens"))
   }
 
+  /** Pairwise vocabulary overlap between corpus slices: for every key
+    * pair, the exact distinct-token intersection and the Jaccard
+    * |∩|/|∪| — which sources actually share a register (near-identical
+    * vocabularies signal a scraped mirror; disjoint ones a domain
+    * shift). Postings count-join on (token) over the |keys|·|vocab|
+    * slice table; |keys|² output — run per shard family at corpus
+    * scale, never per document. */
+  def sourceVocabularyOverlap(docs: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val kt = docs.select(col(keyCol).as("k"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as("token"))
+      .distinct()
+    Exec.withPersisted(kt) {
+      val sizes = kt.groupBy("k").agg(count(lit(1)).as("n_vocab"))
+      kt.select(col("k").as("src_a"), col("token"))
+        .join(kt.select(col("k").as("src_b"), col("token")), "token")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("k").as("src_a"), col("n_vocab").as("n_a")),
+          "src_a")
+        .join(sizes.select(col("k").as("src_b"), col("n_vocab").as("n_b")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("n_a"),
+          col("n_b"),
+          (col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"))
+            .as("jaccard"))
+    }
+  }
+
+  /** Per-document novelty: the fraction of a document's distinct word
+    * `n`-grams that occur in NO other document — the
+    * memorization/boilerplate inverse (novelty ≈ 0 is a template;
+    * ≈ 1 is fresh text). Exact integers + one division; the df table
+    * is the same shape every dedup family builds. */
+  def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
+    Exec.withPersisted(sh) {
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      sh.join(df, "shingle")
+        .groupBy(col("id").as(idCol))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty", col("n_unique").cast("double") /
+          col("n_shingles").cast("double"))
+    }
+  }
+
+  /** Vocabulary-growth (Heaps-law) census: walking the corpus in id
+    * order, how many NEVER-SEEN-BEFORE tokens does each `bucketSize`
+    * block of documents contribute, and what is the running vocabulary
+    * size — the diminishing-returns curve data-collection decisions
+    * read. First occurrence is min(doc id) per token (one
+    * map-side-combined fold); the cumulative is a window over the
+    * |buckets|-sized table. */
+  def vocabularyGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bucketSize: Long = 50L,
+      nGram: Int = 1): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be >= 1")
+    require(nGram >= 1, "nGram must be >= 1")
+    // unit = single tokens, or word n-grams when the unigram vocabulary
+    // is too small to curve (n-gram growth is the same Heaps question
+    // one level up — and the non-vacuous face on tiny vocabularies)
+    val units =
+      if (nGram == 1)
+        docs.select(col(idCol).as("id"),
+          explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+            t => t =!= "")).as("token"))
+      else Dedup.shingleRows(docs, idCol, textCol, nGram)
+        .select(col(idCol).as("id"), col("shingle").as("token"))
+    val firstSeen = units
+      .groupBy("token").agg(min(col("id")).as("first_id"))
+    val perBucket = firstSeen
+      .groupBy(expr(s"first_id div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBucket.withColumn("vocab_size", sum(col("new_tokens")).over(w))
+  }
+
   /** Distributed BPE merge training: learn `merges` byte-pair-encoding
     * merge rules over the corpus word-frequency table — greedy
     * highest-weight adjacent symbol pair per round, ties to the

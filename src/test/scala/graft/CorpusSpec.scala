@@ -723,6 +723,33 @@ class CorpusSpec extends SparkSpec {
       s"the hashing trick must need no vocabulary join:\n$plan")
   }
 
+  test("sourceVocabularyOverlap: exact distinct-token Jaccard") {
+    val docs = Seq(("A", "x y"), ("A", "y z"), ("B", "y z w"))
+      .toDF("source", "text").withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val got = graft.operators.Corpus.sourceVocabularyOverlap(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", 2L, 3L, 3L, 0.5)))
+  }
+
+  test("noveltyScores: fraction of corpus-unique shingles") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.noveltyScores(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // "a b c" is shared (df 2); each doc's second shingle is unique
+    assert(got === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("vocabularyGrowth: first-occurrence buckets and running vocab") {
+    val docs = Seq((0L, "x y"), (1L, "y z"), (50L, "z w"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus.vocabularyGrowth(docs)
+      .orderBy("bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L, 3L), (1L, 1L, 4L)))
+  }
+
   test("bpeTrain learns greedy merges and stops when pairs run out") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val got = graft.operators.Corpus.bpeTrain(docs, merges = 6)
