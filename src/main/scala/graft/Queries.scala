@@ -3173,6 +3173,26 @@ object Queries {
       .orderBy("cluster_size")
   }
 
+  /** User-growth gate: per-day active/new/returning users and the
+    * running distinct-user total — exact integers, first-seen as one
+    * min fold. */
+  def q226UserGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.userGrowth(events(s, dir))
+      .orderBy("day")
+
+  /** Stickiness gate: DAU over trailing-7-day WAU per active day —
+    * the trailing distinct computed by fan-out, never per-day history
+    * rescans. */
+  def q227Stickiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.stickiness(events(s, dir))
+      .orderBy("day")
+
+  /** Entry/exit census gate: session landing/exit event-type pairs
+    * with bounce counts over the q68 session rule. */
+  def q228EntryExit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionEntryExit(events(s, dir))
+      .orderBy("entry_type", "exit_type")
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -4015,7 +4035,10 @@ object Queries {
     "q222_vocab_overlap" -> (q222VocabOverlap _),
     "q223_novelty" -> (q223Novelty _),
     "q224_vocab_growth" -> (q224VocabGrowth _),
-    "q225_dup_size_histogram" -> (q225DupSizeHistogram _)
+    "q225_dup_size_histogram" -> (q225DupSizeHistogram _),
+    "q226_user_growth" -> (q226UserGrowth _),
+    "q227_stickiness" -> (q227Stickiness _),
+    "q228_entry_exit" -> (q228EntryExit _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7274,7 +7297,56 @@ object Queries {
         |cs AS (SELECT component, CAST(count(*) AS BIGINT)
         |  AS cluster_size FROM reach GROUP BY component)
         |SELECT cluster_size, count(*) AS n_clusters FROM cs
-        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q226_user_growth" ->
+      """WITH du AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |fd AS (SELECT day, count(*) AS new_users FROM (
+        |  SELECT u, min(day) AS day FROM du GROUP BY u) GROUP BY day)
+        |SELECT dau.day, dau.dau,
+        |  coalesce(fd.new_users, 0) AS new_users,
+        |  dau.dau - coalesce(fd.new_users, 0) AS returning_users,
+        |  CAST(sum(coalesce(fd.new_users, 0)) OVER (ORDER BY dau.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_users
+        |FROM dau LEFT JOIN fd USING (day) ORDER BY day""".stripMargin,
+    "q227_stickiness" ->
+      """WITH du AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+        |wau AS (SELECT day, count(*) AS wau FROM (
+        |  SELECT DISTINCT u, day + o AS day FROM du
+        |   CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o))
+        | GROUP BY day)
+        |SELECT dau.day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q228_entry_exit" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_type AS et,
+        |  epoch_us(ts) AS us, event_id AS id FROM events),
+        |g AS (SELECT user_id, et, us, id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+        | FROM e),
+        |f AS (SELECT user_id, et, us, id,
+        |  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+        |   AS new FROM g),
+        |s AS (SELECT user_id, et, us, id,
+        |  CAST(SUM(new) OVER (PARTITION BY user_id ORDER BY us)
+        |   AS BIGINT) AS sess FROM f),
+        |r AS (SELECT user_id, sess, et,
+        |  row_number() OVER (PARTITION BY user_id, sess
+        |   ORDER BY us, id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id, sess) AS cnt FROM s),
+        |ee AS (SELECT user_id, sess,
+        |  max(CASE WHEN rn = 1 THEN et END) AS entry_type,
+        |  max(CASE WHEN rn = cnt THEN et END) AS exit_type,
+        |  max(cnt) AS n FROM r GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bounce
+        |FROM ee GROUP BY 1, 2
+        |ORDER BY entry_type, exit_type""".stripMargin)
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the

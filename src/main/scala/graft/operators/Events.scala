@@ -750,6 +750,84 @@ object Events {
     arr
   }
 
+  /** Daily user-growth accounting: per UTC day, active users, users
+    * seen for the FIRST time ever, returning users, and the running
+    * total of distinct users — the growth census every product
+    * dashboard leads with. First-seen is one min fold per user; the
+    * rest is day-keyed counts + a |days|-sized cumulative window.
+    * Exact integers end to end. */
+  def userGrowth(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val du = events.select(col(userCol).as("u"), us(events, tsCol).as("__us"))
+      .select(col("u"), expr("__us div 86400000000").as("day")).distinct()
+    Exec.withPersisted(du) {
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val firstDay = du.groupBy("u").agg(min(col("day")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firstDay, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("returning_users", col("dau") - col("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+    }
+  }
+
+  /** DAU/WAU stickiness: per active day, the day's distinct users, the
+    * trailing-`windowDays` distinct users, and their ratio. The
+    * trailing-distinct is computed by fanning each (day, user) row to
+    * the `windowDays` future days it stays visible in — |du|·window
+    * narrow rows, grouped with one map-side-combined distinct — never
+    * a per-day rescan of history. */
+  def stickiness(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val du = events.select(col(userCol).as("u"), us(events, tsCol).as("__us"))
+      .select(col("u"), expr("__us div 86400000000").as("day")).distinct()
+    Exec.withPersisted(du) {
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("u"), explode(sequence(col("day"),
+          col("day") + (windowDays - 1))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+    }
+  }
+
+  /** Session entry/exit census: sessionize (the [[sessionize]] gaps
+    * rule), take each session's first and last event type under the
+    * (time, event id) total order, and census the (entry, exit) pairs
+    * with the single-event bounce count — the landing/exit-page table.
+    * One user-keyed window pass + two |sessions|-sized folds. */
+  def sessionEntryExit(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id",
+      gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val byUser = Window.partitionBy(userCol).orderBy(col("__us"))
+    val sessions = events
+      .select(col(userCol), col(typeCol).as("__et"),
+        us(events, tsCol).as("__us"), col(idCol).as("__id"))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("__sess", sum("__new").over(byUser))
+      .groupBy(col(userCol), col("__sess"))
+      .agg(min_by(col("__et"), struct(col("__us"), col("__id")))
+          .as("entry_type"),
+        max_by(col("__et"), struct(col("__us"), col("__id")))
+          .as("exit_type"),
+        count(lit(1)).as("__n"))
+    sessions.groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+  }
+
   /** Kaplan–Meier survival estimate for the `fromType` → `toType`
     * conversion with right-censoring: users who emit `fromType` but
     * never convert are censored at the corpus horizon (global max

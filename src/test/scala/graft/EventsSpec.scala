@@ -486,6 +486,45 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 100L)))
   }
 
+  test("userGrowth: new vs returning split and running total") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val d = 86400000000L
+    val df = Seq((1L, 0L), (1L, d), (2L, d + 5L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = Events.userGrowth(df).orderBy("day")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L, 1L, 0L, 1L), (1L, 2L, 1L, 1L, 2L)))
+  }
+
+  test("stickiness: trailing-window distinct via fan-out") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val d = 86400000000L
+    val df = Seq((1L, 0L), (3L, 1L), (1L, d), (2L, d + 5L))
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = Events.stickiness(df).orderBy("day")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // day 0: dau {1,3}, wau {1,3}; day 1: dau {1,2}, wau {1,2,3}
+    assert(got === Seq((0L, 2L, 2L, 1.0), (1L, 2L, 3L, 2.0 / 3.0)))
+  }
+
+  test("sessionEntryExit: landing/exit pairs with bounce counting") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val m = 60000000L
+    val df = Seq(
+      (1L, "view", 0L, 1L), (1L, "click", 10 * m, 2L),
+      (1L, "purchase", 60 * m, 3L))
+      .toDF("user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"), col("event_id"))
+    val got = Events.sessionEntryExit(df)
+      .orderBy("entry_type", "exit_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("purchase", "purchase", 1L, 1L),
+      ("view", "click", 1L, 0L)))
+  }
+
   test("kaplanMeier: product-limit chain with horizon censoring") {
     import org.apache.spark.sql.functions.timestamp_micros
     // 4 signups at t=0; conversions at 10, 10, 20; user 4 censored at
