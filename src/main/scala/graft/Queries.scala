@@ -3193,6 +3193,35 @@ object Queries {
     graft.operators.Events.sessionEntryExit(events(s, dir))
       .orderBy("entry_type", "exit_type")
 
+  /** Degree-distribution gate: power-of-two degree bins over the
+    * mod-200 orders graph — log₂ via binary-string length, no float
+    * log anywhere. */
+  def q229DegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    graft.operators.GraphAlgos.degreeDistribution(edges)
+      .orderBy("bin")
+  }
+
+  /** Inter-event-gap quartiles gate: per event type, the exact
+    * rank-selected quartiles of the within-user gap between
+    * consecutive events of that type — the cadence profile, composed
+    * from one lag window + [[graft.operators.Stats.exactQuartiles]]. */
+  def q230GapQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "user_id")
+      .orderBy(col("__us"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .select(col("event_type"), col("__gap").as("gap_us"))
+    graft.operators.Stats.exactQuartiles(gaps, "event_type", "gap_us")
+      .orderBy("event_type")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -4038,7 +4067,9 @@ object Queries {
     "q225_dup_size_histogram" -> (q225DupSizeHistogram _),
     "q226_user_growth" -> (q226UserGrowth _),
     "q227_stickiness" -> (q227Stickiness _),
-    "q228_entry_exit" -> (q228EntryExit _)
+    "q228_entry_exit" -> (q228EntryExit _),
+    "q229_degree_dist" -> (q229DegreeDist _),
+    "q230_gap_quartiles" -> (q230GapQuartiles _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7346,7 +7377,37 @@ object Queries {
         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS n_bounce
         |FROM ee GROUP BY 1, 2
-        |ORDER BY entry_type, exit_type""".stripMargin)
+        |ORDER BY entry_type, exit_type""".stripMargin,
+    "q229_degree_dist" ->
+      """WITH und AS MATERIALIZED (SELECT DISTINCT
+        |  least(o_custkey % 200, o_orderkey % 200) AS u,
+        |  greatest(o_custkey % 200, o_orderkey % 200) AS v
+        | FROM orders WHERE o_orderkey < 4000
+        |  AND o_custkey % 200 <> o_orderkey % 200),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        | GROUP BY node)
+        |SELECT CAST(length(bin(d)) - 1 AS INT) AS bin,
+        |  count(*) AS n_nodes,
+        |  (CAST(1 AS BIGINT) << CAST(length(bin(d)) - 1 AS INT))
+        |    AS degree_lo
+        |FROM deg GROUP BY 1, 3 ORDER BY bin""".stripMargin,
+    "q230_gap_quartiles" ->
+      """WITH e AS MATERIALIZED (SELECT event_type, user_id, event_id,
+        |  epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |  us - lag(us) OVER (PARTITION BY event_type, user_id
+        |    ORDER BY us, event_id) AS gap FROM e),
+        |b AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT event_type, gap,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = ((n-1)*1)//4 + 1 THEN gap END) AS p25,
+        |  max(CASE WHEN rn = ((n-1)*2)//4 + 1 THEN gap END) AS p50,
+        |  max(CASE WHEN rn = ((n-1)*3)//4 + 1 THEN gap END) AS p75,
+        |  max(n) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** The q214 oracle: each BPE round is (weighted pair count →
     * 1-row argmax, MATERIALIZED — referenced by the rewrite AND the

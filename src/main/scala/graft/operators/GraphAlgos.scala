@@ -1616,4 +1616,26 @@ object GraphAlgos {
     Exec.releaseCheckpoint(fronts.toSeq :+ e: _*)
     out
   }
+
+  /** Degree distribution with exact log₂ binning: undirected degrees
+    * histogrammed into [2ᵇ, 2ᵇ⁺¹) buckets — the power-law census every
+    * graph profile opens with. The bin index is the binary-string
+    * length minus one (`conv(d, 10, 2)` — integer arithmetic, NO
+    * floating log2 to diverge between engines). Two map-side-combined
+    * folds; output is ≤ 64 rows. */
+  def degreeDistribution(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    und.select(col("u").as("node"))
+      .union(und.select(col("v")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .select((length(conv(col("d"), 10, 2)) - 1).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("degree_lo", expr("shiftleft(CAST(1 AS BIGINT), bin)"))
+  }
 }

@@ -869,4 +869,13 @@ class GraphAlgosSpec extends SparkSpec {
     assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
     assert(rows.filter(_._1 == 3L).map(_._2).toSeq == Seq(0))
   }
+
+  test("degreeDistribution: power-of-two bins without float log") {
+    // star center degree 4 → bin 2; leaves degree 1 → bin 0
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.degreeDistribution(star).orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 4L, 1L), (2, 1L, 4L)))
+  }
 }
