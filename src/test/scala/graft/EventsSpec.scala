@@ -557,6 +557,20 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((20L, 2L, 1L, 1L, 0.5)))
   }
 
+  test("kaplanMeier: an all-censored cohort keeps survival at 1.0") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val rows = Seq((1L, "signup", 0L), (2L, "signup", 5L),
+      (3L, "click", 20L)) // no purchases at all; horizon = 20
+    val df = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = Events.kaplanMeier(df, "signup", "purchase")
+      .orderBy("t_us")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // censor times 20 and 15; d = 0 everywhere → survival stays 1.0
+    assert(got === Seq((15L, 2L, 0L, 1L, 1.0), (20L, 1L, 0L, 1L, 1.0)))
+  }
+
   test("intervalOverlapJoin: overlap length exact, touching excluded") {
     val a = Seq((1L, 0L, 100L), (1L, 200L, 300L), (2L, 0L, 10L))
       .toDF("u", "s", "e")

@@ -101,6 +101,17 @@ class ScaleSpec extends SparkSpec {
       ("p", 1L, 1L, 10L, 3L, 3L), ("q", 0L, 1L, 100L, 1L, 1L)))
   }
 
+  test("compactionBins: a row bigger than the target gets its own bin " +
+    "and the next row starts a new one") {
+    val df = Seq(("p", 1L, 100L), ("p", 2L, 1L)).toDF("part", "ord", "sz")
+    val got = Scale.compactionBins(df, "part", "ord", "sz", 15L)
+      .orderBy("bin").as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // row 1 starts at offset 0 → bin 0; row 2 starts at 100 → bin 6
+    assert(got === Seq(("p", 0L, 1L, 100L, 1L, 1L),
+      ("p", 6L, 1L, 1L, 2L, 2L)))
+  }
+
   test("systematicWeightedSample keeps rows covering step multiples") {
     val df = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
       .toDF("id", "w")

@@ -326,6 +326,28 @@ class StatsSpec extends SparkSpec {
     assert(r === ((4L, 2L, 4L, 1L, expect)))
   }
 
+  test("ksStatistic: identical distributions give D = 0 exactly") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    val r = Stats.ksStatistic(df, "g", "v", "A", "B")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(r === ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("tvdDrift: a single key carries the whole corpus at TVD 0") {
+    val df = Seq(("A", 1L), ("A", 2L)).toDF("k", "b")
+    val got = Stats.tvdDrift(df, "k", "b")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", 2L, 0L, 0.0)))
+  }
+
+  test("holtLinear: a single observation is its own level, zero trend") {
+    val df = Seq(("k", 1L, 7L)).toDF("g", "t", "x")
+    val got = Stats.holtLinear(df, "g", "t", "x")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got === Seq(("k", 1L, 7.0, 0.0, 7.0)))
+  }
+
   test("crossCorrelation detects a pure one-step lead at +1.0 exactly") {
     // y is x delayed by one tick → corr(x_t, y_{t+1}) = 1 (bit-exact:
     // num/√(num·num) with identical exact moments)
