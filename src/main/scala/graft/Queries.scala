@@ -6953,7 +6953,7 @@ object Queries {
         | FROM d a JOIN d b ON a.doc_id <> b.doc_id)
         |SELECT id_a, id_b, inter, na, nb,
         |  CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-        |FROM p WHERE inter * 5 >= na * 4
+        |FROM p WHERE inter * 5 >= na * 4 AND na > 0
         |ORDER BY id_a, id_b""".stripMargin,
     "q206_cosine_pairs" ->
       """WITH tok AS MATERIALIZED (SELECT id, gram, count(*) AS c FROM (

@@ -569,8 +569,13 @@ object Corpus {
         val (a, b, w) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((r, a, b, a + b, w))
+        // symbols pass as literals (never spliced into SQL text) — the
+        // same call_function("replace", ...) form bpeSegment uses, so a
+        // widened tokenizer alphabet (quotes, backslashes) cannot turn
+        // into an escaping hazard here
         val next = tbl.withColumn("s",
-          expr(s"replace(s, '|$a||$b|', '|$a$b|')")).persist()
+          call_function("replace", col("s"),
+            lit(s"|$a||$b|"), lit(s"|$a$b|"))).persist()
         next.count()
         tbl.unpersist(false)
         tbl = next

@@ -779,12 +779,18 @@ object Dedup {
     // consistent total order on the shingle universe — and distinct
     // shingles stay distinct absent an xxhash64 collision (at
     // billion-shingle corpus scale a collision perturbs one inter
-    // count by 1; it cannot merge documents on its own).
+    // count by 1; it cannot merge documents on its own). An INTRA-doc
+    // collision would also differ from a raw-string oracle (DuckDB
+    // compares the strings themselves), so the set and n_sh below are
+    // computed post-dedup: a collision then degrades Jaccard
+    // symmetrically (numerator and denominator shift together by 1)
+    // instead of skewing only the denominator.
     val sh = shingleRows(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), xxhash64(col("shingle")).as("shingle"))
     val sets = sh.groupBy("id")
-      .agg(sort_array(collect_list(col("shingle"))).as("set"),
-        count(lit(1)).as("n_sh"))
+      .agg(sort_array(array_distinct(collect_list(col("shingle"))))
+        .as("set"))
+      .withColumn("n_sh", size(col("set")).cast("long"))
     // ONE withPersisted level for both reused intermediates — nesting
     // two would eagerly checkpoint the final pair table twice
     Exec.withPersisted(sh, sets) {

@@ -250,7 +250,14 @@ object Scale {
     * parallelizes across partitions (never a global sort). Bins can
     * overshoot by at most one row's size — the standard streaming
     * bin-packing guarantee. Returns one row per (partition, bin):
-    * row count, total size, and the ord-range it covers. */
+    * row count, total size, and the ord-range it covers.
+    *
+    * CONTRACT: `ordCol` must be a UNIQUE key within each `partCol`
+    * group (a file path, a doc id). The running total is a ROWS frame
+    * ordered by `ordCol` alone, so ties would make the cumulative sums
+    * — and therefore bin assignment — depend on the engine's incidental
+    * row order; uniqueness is what makes the plan deterministic and
+    * replayable across engines. */
   def compactionBins(df: DataFrame, partCol: String, ordCol: String,
       sizeCol: String, targetSize: Long): DataFrame = {
     require(targetSize >= 1, "targetSize must be >= 1")
@@ -277,7 +284,11 @@ object Scale {
     * arithmetic on the running total: first multiple ≥ start is
     * (start + step − 1) div step · step, selected iff < cum. One
     * window sort on the caller's order — at 100 TB order by a
-    * partition-friendly key and run per partition. */
+    * partition-friendly key and run per partition.
+    *
+    * CONTRACT: `ordCol` must be a UNIQUE key over the frame (same
+    * rule, and reason, as [[compactionBins]]): the ROWS-frame running
+    * weight line is only deterministic when the order is total. */
   def systematicWeightedSample(df: DataFrame, ordCol: String,
       weightCol: String, step: Long): DataFrame = {
     require(step >= 1, "step must be >= 1")
