@@ -3073,7 +3073,17 @@ object Queries {
 
   /** Correlation-matrix gate: pairwise Pearson over four exact-integer
     * lineitem measures in ONE fold — 6 coefficient rows from a single
-    * aggregate, each one fixed IEEE expression. */
+    * aggregate, each one fixed IEEE expression.
+    *
+    * Cast-exactness note (applies to every float gate whose moments
+    * exceed 2^53 — this one, q161/q162/q191/q193/q213/q220): Spark's
+    * Decimal(38,0)→double is correctly rounded (BigDecimal.doubleValue,
+    * measured 0/100k mismatches on adversarial 54–126-bit values), but
+    * DuckDB 1.0's HUGEINT→DOUBLE is NOT (~1% off by 1 ulp on the same
+    * sweep) — the oracles therefore route every HUGEINT→DOUBLE through
+    * VARCHAR (strtod is correctly rounded), making both engines exact
+    * for ALL values, not just the current testdata. BIGINT→DOUBLE needs
+    * no mediation (hardware conversion, correctly rounded). */
   def q216CorrMatrix(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(
       col("l_quantity").cast(DecimalType(18, 2)).cast("long").as("qty"),
@@ -6210,12 +6220,12 @@ object Queries {
         |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         | FROM b GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |  CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) / CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)
         |    AS slope,
-        |  (CAST(sy AS DOUBLE) -
-        |   (CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
-        |   CAST(n AS DOUBLE) AS intercept
+        |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE) -
+        |   (CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) /
+        |   CAST(CAST(n AS VARCHAR) AS DOUBLE) AS intercept
         |FROM m WHERE n*sxx - sx*sx <> 0
         |ORDER BY l_returnflag""".stripMargin,
     "q162_autocorr" ->
@@ -6235,9 +6245,9 @@ object Queries {
         |  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
         | FROM p WHERE x IS NOT NULL GROUP BY user_id)
         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
-        |  CAST(n*sxy - sx*sy AS DOUBLE) /
-        |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
-        |       CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr
+        |  CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) /
+        |  sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) *
+        |       CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE)) AS autocorr
         |FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |ORDER BY user_id""".stripMargin,
     "q163_coverage" ->
@@ -6694,8 +6704,8 @@ object Queries {
         |  CAST(sum(i * CAST(revenue AS HUGEINT)) AS HUGEINT) AS six
         | FROM r)
         |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total,
-        |  CAST(2 * six - (n + 1) * sx AS DOUBLE) /
-        |  CAST(n * sx AS DOUBLE) AS gini
+        |  CAST(CAST(2 * six - (n + 1) * sx AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(n * sx AS VARCHAR) AS DOUBLE) AS gini
         |FROM m WHERE sx > 0""".stripMargin,
     "q192_percolation" ->
       """WITH RECURSIVE e0 AS MATERIALIZED (SELECT
@@ -6732,21 +6742,21 @@ object Queries {
         |    AS HUGEINT) AS qb
         | FROM b),
         |v AS (SELECT na, nb, sa, sb,
-        |  CAST(na * qa - sa * sa AS DOUBLE) /
-        |    CAST(na * (na - 1) AS DOUBLE) AS va,
-        |  CAST(nb * qb - sb * sb AS DOUBLE) /
-        |    CAST(nb * (nb - 1) AS DOUBLE) AS vb
+        |  CAST(CAST(na * qa - sa * sa AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(na * (na - 1) AS VARCHAR) AS DOUBLE) AS va,
+        |  CAST(CAST(nb * qb - sb * sb AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(nb * (nb - 1) AS VARCHAR) AS DOUBLE) AS vb
         | FROM agg),
         |se AS (SELECT na, nb, sa, sb,
-        |  va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+        |  va / CAST(CAST(na AS VARCHAR) AS DOUBLE) AS sea, vb / CAST(CAST(nb AS VARCHAR) AS DOUBLE) AS seb
         | FROM v)
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) -
-        |   CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb)
+        |  (CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(CAST(na AS VARCHAR) AS DOUBLE) -
+        |   CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(CAST(nb AS VARCHAR) AS DOUBLE)) / sqrt(sea + seb)
         |    AS t_stat,
         |  ((sea + seb) * (sea + seb)) /
-        |   (sea * sea / CAST(na - 1 AS DOUBLE) +
-        |    seb * seb / CAST(nb - 1 AS DOUBLE)) AS df_welch
+        |   (sea * sea / CAST(CAST(na - 1 AS VARCHAR) AS DOUBLE) +
+        |    seb * seb / CAST(CAST(nb - 1 AS VARCHAR) AS DOUBLE)) AS df_welch
         |FROM se""".stripMargin,
     "q194_chisq" ->
       """WITH b AS MATERIALIZED (SELECT event_type AS r,
@@ -7085,9 +7095,9 @@ object Queries {
         |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
         |  sum(x * x) AS sxx, sum(y * y) AS syy FROM j)
         |SELECT CAST(n AS BIGINT) AS n_points,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |        CAST(n * syy - sy * sy AS DOUBLE)) AS cross_corr
+        |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        |   sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS cross_corr
         |FROM agg
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
     "q214_bpe" -> bpeOracle(6),
@@ -7116,8 +7126,8 @@ object Queries {
         |  sum(CAST(c3 AS HUGEINT) * c4) AS p34
         | FROM li)
         |SELECT var_a, var_b, CAST(n AS BIGINT) AS n,
-        |  CAST(num AS DOUBLE) /
-        |    sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS corr
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |    sqrt(CAST(CAST(dx AS VARCHAR) AS DOUBLE) * CAST(CAST(dy AS VARCHAR) AS DOUBLE)) AS corr
         |FROM (
         | SELECT 'qty' AS var_a, 'price_c' AS var_b, n,
         |  n*p12 - s1*s2 AS num, n*q1 - s1*s1 AS dx, n*q2 - s2*s2 AS dy
@@ -7227,9 +7237,9 @@ object Queries {
         |  sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
         |  sum(rx * rx) AS sxx, sum(ry * ry) AS syy FROM r)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |        CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+        |   sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS rho
         |FROM agg""".stripMargin,
     "q221_two_prop_z" ->
       """WITH b AS MATERIALIZED (SELECT event_type,
