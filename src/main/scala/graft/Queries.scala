@@ -3232,6 +3232,20 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Decremental k-truss gate: the enumerate-once/decrement face of
+    * [[q137KTruss]] — the declared 100 TB path (per-round work ∝
+    * support destroyed, never a fresh O(m^1.5) triangle pass) — under
+    * the SAME fixture and the SAME 16-round MATERIALIZED peel oracle.
+    * Both faces must land on the identical (u, v, support) fixpoint;
+    * this row makes that an oracle gate rather than only a spec pin. */
+  def q231KTrussDecr(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 100).as("src"),
+        (col("o_orderkey") % 100).as("dst"))
+    GraphAlgos.kTrussDecremental(edges, k = 8, maxRounds = 16)
+      .orderBy("u", "v")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -4079,7 +4093,8 @@ object Queries {
     "q227_stickiness" -> (q227Stickiness _),
     "q228_entry_exit" -> (q228EntryExit _),
     "q229_degree_dist" -> (q229DegreeDist _),
-    "q230_gap_quartiles" -> (q230GapQuartiles _)
+    "q230_gap_quartiles" -> (q230GapQuartiles _),
+    "q231_ktruss_decr" -> (q231KTrussDecr _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5926,6 +5941,9 @@ object Queries {
         |ORDER BY l1, l2""".stripMargin,
     "q136_betweenness" -> betweennessOracle(6),
     "q137_ktruss" -> kTrussOracle(8, 16),
+    // same fixture and peel fixpoint — the decremental face must land
+    // on the identical (u, v, support) rows the recount face does
+    "q231_ktruss_decr" -> kTrussOracle(8, 16),
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->
