@@ -3246,6 +3246,27 @@ object Queries {
       .orderBy("u", "v")
   }
 
+  /** SemDeDup hash-cap gate: an ALL-IDENTICAL hot cell (every
+    * embedding replaced by one constant vector, one centroid) that
+    * sub-centroid splitting can never break — the branch q115 never
+    * reaches. cap = 40 forces the depth-exhausted hash cap on round 1
+    * at every sf; the md5 slice face makes the residues
+    * SQL-replayable, and the oracle unrolls the same 6 re-counted
+    * rounds the engine is bounded to (bound-parity: the engine fails
+    * fast if 6 were ever too few, post-convergence oracle rounds
+    * no-op). Survivors = min id per final slice — the closed form of
+    * complete-graph components within a slice. */
+  def q232SemDedupCap(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    Similarity.semanticDedup(corpus,
+        centroids = Seq((0, Array(1.0f, 0.0f, 0.0f, 0.0f))),
+        threshold = 0.9, maxCellSize = 40, maxSplitDepth = 0,
+        maxCapRounds = 6, md5CapHash = true)
+      .select("vec_id").orderBy("vec_id")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -4094,7 +4115,8 @@ object Queries {
     "q228_entry_exit" -> (q228EntryExit _),
     "q229_degree_dist" -> (q229DegreeDist _),
     "q230_gap_quartiles" -> (q230GapQuartiles _),
-    "q231_ktruss_decr" -> (q231KTrussDecr _)
+    "q231_ktruss_decr" -> (q231KTrussDecr _),
+    "q232_semdedup_cap" -> (q232SemDedupCap _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5944,6 +5966,7 @@ object Queries {
     // same fixture and peel fixpoint — the decremental face must land
     // on the identical (u, v, support) rows the recount face does
     "q231_ktruss_decr" -> kTrussOracle(8, 16),
+    "q232_semdedup_cap" -> semCapOracle(40, 6),
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->
@@ -7718,6 +7741,32 @@ object Queries {
        |SELECT e.u, e.v, coalesce(s.supp, 0) AS support
        |FROM e$rounds e LEFT JOIN s$rounds s ON s.u = e.u AND s.v = e.v
        |ORDER BY e.u, e.v""".stripMargin
+  }
+
+  /** The q232 oracle: the [[graft.operators.Similarity.semanticDedup]]
+    * hash-cap rounds unrolled — per round, any cell over `cap` rows
+    * re-labels each member by the depth-salted md5 residue mod
+    * 2·ceil(n/cap) (the engine's md5CapHash face, byte-identical hash
+    * convention); with an all-identical corpus the survivors are the
+    * min id of each final cell. Bound-parity with the engine's
+    * `maxCapRounds`. */
+  private def semCapOracle(cap: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val d = r - 1
+      s"""n$d AS (SELECT cell, count(*) AS cnt FROM c$d GROUP BY cell),
+         |c$r AS MATERIALIZED (SELECT e.vec_id,
+         |  CASE WHEN n.cnt > $cap THEN e.cell || '#' ||
+         |   CAST(CAST(('0x' || substr(md5(
+         |      CAST(e.vec_id AS VARCHAR) || '|$d'), 1, 14)) AS BIGINT)
+         |    % (2 * ((n.cnt + ${cap - 1}) // $cap)) AS VARCHAR)
+         |  ELSE e.cell END AS cell
+         | FROM c$d e JOIN n$d n USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c0 AS MATERIALIZED (SELECT vec_id, '0' AS cell
+       | FROM embeddings),
+       |$steps
+       |SELECT min(vec_id) AS vec_id FROM c$rounds GROUP BY cell
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The q139 oracle: the q98-family weighted PageRank rounds over the

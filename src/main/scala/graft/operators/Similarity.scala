@@ -279,7 +279,9 @@ object Similarity {
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     maxCellSize: Int = 1 << 20,
-                    maxSplitDepth: Int = 4): DataFrame = {
+                    maxSplitDepth: Int = 4,
+                    maxCapRounds: Int = 16,
+                    md5CapHash: Boolean = false): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1, 1], got $threshold")
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
@@ -289,7 +291,8 @@ object Similarity {
       .select(col("cell_id").cast("string").as("__cell"),
         col("__id"), col("__vec"))
       .localCheckpoint(true) // both pair sides read the same assignment
-    val assigned = capCells(assigned0, maxCellSize, maxSplitDepth)
+    val assigned = capCells(assigned0, maxCellSize, maxSplitDepth,
+      maxCapRounds, md5CapHash)
     val a = assigned.select(col("__cell"), col("__id").as("id_a"),
       col("__vec").as("__va"))
     val b = assigned.select(col("__cell"), col("__id").as("id_b"),
@@ -321,13 +324,26 @@ object Similarity {
     * hot cell). Cells already within the cap pass through untouched;
     * the whole guard costs one map-side-combined size count per round
     * and touches ONLY oversized-cell rows. With the default 1M cap the
-    * guard is a no-op at gate scale (q115 unchanged). */
-  private def capCells(assigned0: DataFrame, maxCellSize: Int,
-                       maxSplitDepth: Int): DataFrame = {
+    * guard is a no-op at gate scale (q115 unchanged).
+    *
+    * The cap is a HARD guarantee: every round — including the
+    * hash-cap rounds after sub-centroid depth is exhausted — is
+    * followed by a re-count, and hash slices that land over the cap
+    * (the expected slice size is cap/2, but a binomial tail can
+    * overshoot) are re-sliced under the next round's salt until no
+    * oversized cell remains; `maxCapRounds` bounds the hash rounds and
+    * the loop FAILS FAST if exceeded rather than returning an uncapped
+    * cell. `md5CapHash` selects the oracle-replayable slice hash (the
+    * [[graft.operators.Dedup.md5HashFamily]] convention — any SQL
+    * engine replays the residues); production stays on codegen'd
+    * xxhash64. */
+  private[graft] def capCells(assigned0: DataFrame, maxCellSize: Int,
+                       maxSplitDepth: Int, maxCapRounds: Int = 16,
+                       md5CapHash: Boolean = false): DataFrame = {
     var assigned = assigned0
     var depth = 0
     var capped = false
-    while (!capped && depth <= maxSplitDepth) {
+    while (!capped) {
       val oversized = assigned.groupBy("__cell")
         .agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxCellSize)
@@ -336,6 +352,11 @@ object Similarity {
         Exec.releaseCheckpoint(oversized)
         capped = true
       } else {
+        require(depth < maxSplitDepth + maxCapRounds,
+          s"cell cap $maxCellSize not reached after $maxSplitDepth " +
+            s"sub-centroid rounds + $maxCapRounds hash-cap rounds — " +
+            "raise maxCapRounds (an oversized cell must never escape " +
+            "the guard silently)")
         val ok = assigned.join(broadcast(oversized.select("__cell")),
           Seq("__cell"), "left_anti")
         val over = assigned.join(broadcast(oversized), Seq("__cell"))
@@ -378,12 +399,21 @@ object Similarity {
             withC.union(noC)
           } else {
             // Depth exhausted (sub-centroid rounds failed to break the
-            // cell — e.g. all-identical vectors): hard hash cap into
-            // ceil(n/cap) slices.
-            val nSlices = floor((col("__n") + maxCellSize - 1L) /
+            // cell — e.g. all-identical vectors): hash cap into
+            // 2·ceil(n/cap) slices (expected slice size cap/2, so the
+            // re-count loop above converges in O(1) expected rounds).
+            // The slice hash is salted by `depth` — a slice that
+            // overshoots the cap re-slices under a fresh salt next
+            // round instead of replaying the same split.
+            val nSlices = lit(2L) * floor((col("__n") + maxCellSize - 1L) /
               maxCellSize.toLong).cast("long")
-            over.select(concat(col("__cell"), lit("#"),
-                pmod(xxhash64(col("__id")), nSlices)).as("__cell"),
+            val res =
+              if (md5CapHash)
+                pmod(conv(substring(md5(concat(col("__id").cast("string"),
+                  lit("|"), lit(depth.toString))), 1, 14), 16, 10)
+                  .cast("long"), nSlices)
+              else pmod(xxhash64(col("__id"), lit(depth)), nSlices)
+            over.select(concat(col("__cell"), lit("#"), res).as("__cell"),
               col("__id"), col("__vec"))
           }
         val prevAssigned = assigned

@@ -274,9 +274,40 @@ class SimilaritySpec extends SparkSpec {
         threshold = 0.999, maxCellSize = 5, maxSplitDepth = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(survivors.contains(0L)) // global min id always survives
-    assert(survivors.size < 30 && survivors.size <= 7,
-      s"hash cap should leave ~ceil(30/5) slice survivors, got " +
+    // every final slice holds <= 5 rows (the hard cap), so at least
+    // ceil(30/5) = 6 slices exist; re-counted re-slicing of overshooting
+    // slices can push the count somewhat above the first round's
+    // 2*ceil(30/5) = 12 slices, but never near the corpus size
+    assert(survivors.size >= 6 && survivors.size <= 24,
+      s"hash cap should leave one survivor per <=5-row slice, got " +
         s"${survivors.size}")
+  }
+
+  test("capCells: the cap is a hard guarantee (post-round re-counts), " +
+    "md5 face matches xxhash face's grouping bound, and an exhausted " +
+    "round budget fails fast instead of returning an uncapped cell") {
+    val v = vec(8)
+    val assigned = (0L until 40L).map(i => ("0", i, v))
+      .toDF("__cell", "__id", "__vec")
+    // cap 3 over 40 identical rows, no sub-centroid rounds: the first
+    // hash round's 28 slices of mean size ~1.4 can still overshoot 3 —
+    // the re-count loop must keep slicing until NO cell exceeds the cap
+    for (md5Face <- Seq(false, true)) {
+      val capped = Similarity.capCells(assigned, maxCellSize = 3,
+        maxSplitDepth = 0, maxCapRounds = 16, md5CapHash = md5Face)
+      val sizes = capped.groupBy("__cell").count()
+        .select("count").as[Long].collect()
+      assert(sizes.nonEmpty && sizes.max <= 3L,
+        s"md5Face=$md5Face left a cell of ${sizes.max} > cap 3")
+      assert(sizes.sum == 40L) // no row lost or duplicated by capping
+    }
+    // zero rounds + an oversized cell = the guard cannot deliver its
+    // contract: it must throw, never silently pass the cell through
+    val e = intercept[IllegalArgumentException] {
+      Similarity.capCells(assigned, maxCellSize = 3, maxSplitDepth = 0,
+        maxCapRounds = 0)
+    }
+    assert(e.getMessage.contains("cap"))
   }
 
   test("cosineNearDups surfaces planted duplicates") {
