@@ -3267,6 +3267,41 @@ object Queries {
       .select("vec_id").orderBy("vec_id")
   }
 
+  /** Full-depth hierarchy gate: the reference's ≤64-hop contract
+    * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
+    * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
+    * present at every sf) walked from key 0 (79 edges remain → the
+    * depth cap truncates the tail at exactly 64) and from key 40
+    * (39 remain → the longest-tail rule takes the natural end at 79),
+    * with label-OTHER skip decoys the single-label prefilter must
+    * drop. The oracle is the same walk as a 64-bounded recursive CTE
+    * + per-start argmax. The shallow-fixture gates (q31/q46b/q82)
+    * never push past ~6 levels; this is the depth-64 rehearsal. */
+  def q233DeepHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "orders")
+      .select((col("o_orderkey") % 80).as("r")).distinct()
+    def chain(step: Int, label: String): DataFrame =
+      nodes.as("a").join(nodes.as("b"), col("b.r") === col("a.r") + step)
+        .select(lit("H").as("from_coll"),
+          col("a.r").cast("string").as("from_key"),
+          lit("H").as("to_coll"), col("b.r").cast("string").as("to_key"),
+          lit(label).as("label"))
+    val edges = chain(1, "SUB_CLASS_OF").unionByName(chain(5, "OTHER"))
+    val base = nodes.filter(col("r").isin(0, 40))
+      .select(
+        array(struct(lit("H").as("collection"),
+          col("r").cast("string").as("key"))).as("vertices"),
+        array().cast("array<struct<from_coll:string,from_key:string," +
+          "to_coll:string,to_key:string,label:string>>").as("edges"))
+    PathQueries.withHierarchy(base, edges, "SUB_CLASS_OF", maxDepth = 64)
+      .select(
+        element_at(col("vertices"), 1).getField("key").as("start"),
+        size(col("edges")).cast("long").as("depth"),
+        concat_ws("|", transform(col("vertices"),
+          v => v.getField("key"))).as("path_keys"))
+      .orderBy("start")
+  }
+
   /** Interval-overlap-join gate: per-user purchase exposure windows
     * (30 min) against click windows (5 min) with exact overlap
     * microseconds — key-equi join + range predicates. */
@@ -4116,7 +4151,8 @@ object Queries {
     "q229_degree_dist" -> (q229DegreeDist _),
     "q230_gap_quartiles" -> (q230GapQuartiles _),
     "q231_ktruss_decr" -> (q231KTrussDecr _),
-    "q232_semdedup_cap" -> (q232SemDedupCap _)
+    "q232_semdedup_cap" -> (q232SemDedupCap _),
+    "q233_deep_hierarchy" -> (q233DeepHierarchy _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5967,6 +6003,23 @@ object Queries {
     // on the identical (u, v, support) rows the recount face does
     "q231_ktruss_decr" -> kTrussOracle(8, 16),
     "q232_semdedup_cap" -> semCapOracle(40, 6),
+    "q233_deep_hierarchy" ->
+      """WITH RECURSIVE nodes AS MATERIALIZED (
+        |  SELECT DISTINCT o_orderkey % 80 AS r FROM orders),
+        |e AS MATERIALIZED (SELECT a.r AS f, b.r AS t
+        | FROM nodes a JOIN nodes b ON b.r = a.r + 1),
+        |walk(start, cur, ks, d) AS (
+        |  SELECT r, r, CAST(r AS VARCHAR), 0 FROM nodes
+        |   WHERE r IN (0, 40)
+        |  UNION ALL
+        |  SELECT w.start, e.t, w.ks || '|' || CAST(e.t AS VARCHAR),
+        |    w.d + 1
+        |  FROM walk w JOIN e ON e.f = w.cur WHERE w.d < 64),
+        |best AS (SELECT start, max(d) AS md FROM walk GROUP BY start)
+        |SELECT CAST(w.start AS VARCHAR) AS start,
+        |  CAST(w.d AS BIGINT) AS depth, w.ks AS path_keys
+        |FROM walk w JOIN best b ON b.start = w.start AND b.md = w.d
+        |ORDER BY start""".stripMargin,
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->
