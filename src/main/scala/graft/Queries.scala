@@ -3267,6 +3267,55 @@ object Queries {
       .select("vec_id").orderBy("vec_id")
   }
 
+  /** BMP pixel-decode gate: each document's first 39 text bytes become
+    * an 8-bit greyscale 13×3 BMP (bottom-up rows, stride 16 with 0xEE
+    * pad bytes, palette) via [[graft.operators.Multimodal.bmpGray8Bytes]];
+    * [[graft.operators.Multimodal.imagePixelStats]] must walk the REAL
+    * pixel array — data offset, stride-pad exclusion, bottom-up row
+    * order (the logical corners pin it) — and the oracle recomputes
+    * every stat from the characters directly. All integers, exact. */
+  def q234BmpPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, graft.operators.Multimodal.bmpGray8Bytes(
+          txt.substring(0, 39).getBytes("US-ASCII"), 13, 3))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.imagePixelStats(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        element_at(col("ch_sum"), 1).as("px_sum"),
+        col("px_min"), col("px_max"),
+        element_at(col("top_left"), 1).as("top_left"),
+        element_at(col("bottom_right"), 1).as("bottom_right"))
+      .orderBy("media_id")
+  }
+
+  /** WAV sample-decode gate: each document's first 40 characters
+    * become mono 16-bit PCM samples (c−100)·256 via
+    * [[graft.operators.Multimodal.wavPcm16Bytes]];
+    * [[graft.operators.Multimodal.audioSampleStats]] must walk the
+    * RIFF chunks and fold the little-endian samples — sum, sum of
+    * squares, min/max, and midline crossings (sign flips ignoring
+    * exact zeros) all exact integers the oracle recomputes from the
+    * text. */
+  def q235WavSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        val samples = txt.substring(0, 40)
+          .map(c => ((c.toInt - 100) * 256).toShort).toArray
+        (id, graft.operators.Multimodal.wavPcm16Bytes(samples))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.audioSampleStats(media)
+      .select(col("media_id"), col("n_samples"), col("s_sum"),
+        col("sq_sum"), col("s_min"), col("s_max"), col("n_zero_cross"))
+      .orderBy("media_id")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4152,7 +4201,9 @@ object Queries {
     "q230_gap_quartiles" -> (q230GapQuartiles _),
     "q231_ktruss_decr" -> (q231KTrussDecr _),
     "q232_semdedup_cap" -> (q232SemDedupCap _),
-    "q233_deep_hierarchy" -> (q233DeepHierarchy _)
+    "q233_deep_hierarchy" -> (q233DeepHierarchy _),
+    "q234_bmp_pixels" -> (q234BmpPixels _),
+    "q235_wav_samples" -> (q235WavSamples _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6020,6 +6071,39 @@ object Queries {
         |  CAST(w.d AS BIGINT) AS depth, w.ks AS path_keys
         |FROM walk w JOIN best b ON b.start = w.start AND b.md = w.d
         |ORDER BY start""".stripMargin,
+    "q234_bmp_pixels" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id,
+        |  list_transform(generate_series(1, 39),
+        |    i -> ord(substr(text, i, 1))) AS v
+        | FROM documents)
+        |SELECT doc_id AS media_id, 13 AS width, 3 AS height,
+        |  CAST(39 AS BIGINT) AS n_px,
+        |  CAST(list_sum(v) AS BIGINT) AS px_sum,
+        |  CAST(list_min(v) AS INT) AS px_min,
+        |  CAST(list_max(v) AS INT) AS px_max,
+        |  CAST(v[1] AS INT) AS top_left,
+        |  CAST(v[39] AS INT) AS bottom_right
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q235_wav_samples" ->
+      """WITH v AS MATERIALIZED (SELECT doc_id, i,
+        |  (ord(substr(text, i, 1)) - 100) * 256 AS v
+        | FROM documents, generate_series(1, 40) AS g(i)),
+        |nz AS (SELECT doc_id, sign(v) AS sg,
+        |  lag(sign(v)) OVER (PARTITION BY doc_id ORDER BY i) AS psg
+        | FROM v WHERE v <> 0),
+        |cr AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        | FROM nz GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS s_sum,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sq_sum,
+        |  CAST(min(v) AS INT) AS s_min, CAST(max(v) AS INT) AS s_max
+        | FROM v GROUP BY doc_id)
+        |SELECT a.doc_id AS media_id, n_samples, s_sum, sq_sum,
+        |  s_min, s_max, coalesce(c.n_zero_cross, 0) AS n_zero_cross
+        |FROM agg a LEFT JOIN cr c ON c.doc_id = a.doc_id
+        |ORDER BY media_id""".stripMargin,
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->

@@ -11,10 +11,15 @@ import org.apache.spark.sql.types._
  * the Scala analogue of Python's mapInPandas contract (batch in, batch
  * out, executor-local, no driver round-trips).
  *
- * The actual codecs are NOT in this container, so `decodeStub` is a
- * clearly-marked deterministic fake (metadata derived from the byte
- * stream); everything around it — schema, batching, partitioning,
- * feature shape — is the real plumbing a codec would drop into.
+ * Container HEADERS decode for real (PNG/JPEG/GIF/BMP/WAV —
+ * [[decodeHeader]]), and the UNCOMPRESSED payloads decode for real
+ * too: BMP pixel rows ([[decodeBmpPixels]]) and WAV PCM samples
+ * ([[decodeWavSamples]]) are raw bytes behind the header, no codec
+ * library needed. Only compressed pixel data (PNG inflate, JPEG DCT,
+ * GIF LZW) keeps a clearly-marked deterministic stub (`decodeStub`) —
+ * those libraries are not in this container; everything around the
+ * stub — schema, batching, partitioning, feature shape — is the real
+ * plumbing a codec would drop into.
  *
  * At 100 TB: rows are value-heavy (MBs per row), so operators here never
  * shuffle the binary payload — metadata-only projections go through
@@ -225,6 +230,262 @@ object Multimodal {
           math.max(until, from)))
       }
     }
+  }
+
+  // -----------------------------------------------------------------
+  // REAL payload decode for the uncompressed containers. BMP pixel
+  // rows and WAV PCM samples are raw bytes after the (already-real)
+  // header — no codec dependency exists to stub. Compressed codecs
+  // (PNG/JPEG/GIF pixel data) remain the one honest stub in this
+  // module: inflate/DCT libraries are not in this container.
+  // -----------------------------------------------------------------
+
+  /** Exact integer pixel statistics of an uncompressed BMP payload. */
+  final case class BmpPixelStats(width: Int, height: Int, channels: Int,
+                                 n_px: Long, ch_sum: Array[Long],
+                                 px_min: Int, px_max: Int,
+                                 top_left: Array[Int],
+                                 bottom_right: Array[Int])
+
+  /** REAL BMP pixel decode — 8/24/32 bpp uncompressed DIBs, pure JVM
+    * byte walking. Handles the three traps a naive reader hits: the
+    * pixel array starts at the header's data offset (byte 10), each
+    * file row pads to a 4-byte stride (pad bytes must NOT enter the
+    * stats), and rows are stored bottom-up unless height is negative
+    * (top-down) — `top_left`/`bottom_right` are LOGICAL corners, which
+    * is what pins row order in the gate. Per-channel sums, min/max,
+    * and corners are all exact integers (8-bit samples are the
+    * channel values; 24/32 bpp returns channels in B,G,R[,A] file
+    * order). Returns None for compressed (biCompression ≠ 0) or
+    * truncated payloads — quarantine, not stage-kill. */
+  def decodeBmpPixels(content: Array[Byte]): Option[BmpPixelStats] = {
+    val b = content
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = u32le(b, 10).toInt
+    val w = u32le(b, 18).toInt
+    val hRaw = u32le(b, 22).toInt
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val bpp = u16le(b, 28)
+    val compression = u32le(b, 30)
+    if (w <= 0 || h <= 0 || compression != 0L ||
+        (bpp != 8 && bpp != 24 && bpp != 32)) return None
+    val ch = bpp / 8
+    val stride = ((w * ch + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
+      return None
+    val sums = new Array[Long](ch)
+    var mn = 255
+    var mx = 0
+    var y = 0
+    while (y < h) {
+      // logical row y lives at file row (h-1-y) unless top-down
+      val fileRow = if (topDown) y else h - 1 - y
+      var x = 0
+      val rowOff = dataOff + fileRow * stride
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val v = u8(b, rowOff + x * ch + c)
+          sums(c) += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    def px(yy: Int, xx: Int): Array[Int] = {
+      val fr = if (topDown) yy else h - 1 - yy
+      Array.tabulate(ch)(c => u8(b, dataOff + fr * stride + xx * ch + c))
+    }
+    Some(BmpPixelStats(w, h, ch, w.toLong * h, sums, mn, mx,
+      px(0, 0), px(h - 1, w - 1)))
+  }
+
+  /** Exact integer sample statistics of a PCM WAV payload. */
+  final case class WavSampleStats(channels: Int, bits: Int,
+                                  n_samples: Long, s_sum: Long,
+                                  sq_sum: Long, s_min: Int, s_max: Int,
+                                  n_zero_cross: Long)
+
+  /** REAL WAV PCM sample decode — walks the RIFF chunks to the `data`
+    * chunk and folds the samples: 16-bit signed little-endian or
+    * 8-bit unsigned (recentred to signed by −128, the WAV
+    * convention), any channel count (samples interleave; stats pool
+    * across channels, zero-crossings count sign flips of consecutive
+    * frames' first channel). Everything is an exact integer — sum,
+    * sum of squares, min/max, crossings — so any engine replays the
+    * numbers bit-for-bit. None for non-PCM (fmt tag ≠ 1), absent
+    * chunks, or truncated data. */
+  def decodeWavSamples(content: Array[Byte]): Option[WavSampleStats] = {
+    val b = content
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var i = 12
+    var channels = 0
+    var bits = 0
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= b.length && (!fmtOk || dataOff < 0)) {
+      val size = u32le(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' &&
+        b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+        b(i + 3) == 'a'
+      if (isFmt) {
+        if (i + 8 + 16 > b.length) return None
+        if (u16le(b, i + 8) != 1) return None // PCM only
+        channels = u16le(b, i + 10)
+        bits = u16le(b, i + 22)
+        fmtOk = channels > 0 && (bits == 8 || bits == 16)
+        if (!fmtOk) return None
+      } else if (isData) {
+        dataOff = i + 8
+        dataLen = size.toInt
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || dataOff < 0 ||
+        dataOff.toLong + dataLen > b.length) return None
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    def sample(j: Int): Int =
+      if (bits == 16) (u8(b, dataOff + 2 * j) |
+        (b(dataOff + 2 * j + 1).toInt << 8)) // high byte keeps its sign
+      else u8(b, dataOff + j) - 128
+    var sum = 0L
+    var sq = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var cross = 0L
+    var prevSign = 0
+    var j = 0
+    while (j < n) {
+      val v = sample(j)
+      sum += v
+      sq += v.toLong * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (j % channels == 0) { // first channel of each frame
+        val s = Integer.signum(v)
+        if (s != 0 && prevSign != 0 && s != prevSign) cross += 1
+        if (s != 0) prevSign = s
+      }
+      j += 1
+    }
+    if (n == 0) { mn = 0; mx = 0 }
+    Some(WavSampleStats(channels, bits, n, sum, sq, mn, mx, cross))
+  }
+
+  /** Byte builder for an 8-bit greyscale BMP (bottom-up rows, 4-byte
+    * stride, pad bytes 0xEE so stride mistakes corrupt the stats
+    * loudly, a 256-entry greyscale palette after the headers). The
+    * spec/gate fixture constructor — and an honest writer for test
+    * media. */
+  def bmpGray8Bytes(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"need ${w * h} pixels")
+    val stride = ((w + 3) / 4) * 4
+    val dataOff = 14 + 40 + 256 * 4
+    val size = dataOff + stride * h
+    val out = new Array[Byte](size)
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, size); p32(10, dataOff)
+    p32(14, 40); p32(18, w); p32(22, h)
+    p16(26, 1); p16(28, 8); p32(30, 0)
+    var g = 0
+    while (g < 256) { // greyscale palette (B,G,R,0)
+      val o = 54 + g * 4
+      out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+      g += 1
+    }
+    var y = 0
+    while (y < h) {
+      val rowOff = dataOff + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) { out(rowOff + x) = pixels(y * w + x); x += 1 }
+      while (x < stride) { out(rowOff + x) = 0xEE.toByte; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Byte builder for a mono 16-bit PCM WAV. */
+  def wavPcm16Bytes(samples: Array[Short],
+                    sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    def tag(i: Int, s: String): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = s.charAt(k).toByte; k += 1 }
+    }
+    tag(0, "RIFF"); p32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1)
+    p32(24, sampleRate); p32(28, sampleRate.toLong * 2)
+    p16(32, 2); p16(34, 16)
+    tag(36, "data"); p32(40, dataLen)
+    var j = 0
+    while (j < samples.length) { p16(44 + 2 * j, samples(j) & 0xffff); j += 1 }
+    out
+  }
+
+  /** Per-row image pixel statistics over a (media_id, content) frame —
+    * batched mapPartitions (the mapInPandas contract), REAL for
+    * uncompressed BMPs, rows that don't decode are dropped (the
+    * quarantine census is `decode`'s job). Payload never shuffles. */
+  def imagePixelStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          decodeBmpPixels(bytes).map(s => (id, s))
+        })
+      }
+      .select(col("_1").as("media_id"), col("_2.width").as("width"),
+        col("_2.height").as("height"), col("_2.channels").as("channels"),
+        col("_2.n_px").as("n_px"), col("_2.ch_sum").as("ch_sum"),
+        col("_2.px_min").as("px_min"), col("_2.px_max").as("px_max"),
+        col("_2.top_left").as("top_left"),
+        col("_2.bottom_right").as("bottom_right"))
+  }
+
+  /** Per-row audio sample statistics — REAL for PCM WAVs, same batched
+    * mapPartitions shape as [[imagePixelStats]]. */
+  def audioSampleStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          decodeWavSamples(bytes).map(s => (id, s))
+        })
+      }
+      .select(col("_1").as("media_id"), col("_2.channels").as("channels"),
+        col("_2.bits").as("bits"), col("_2.n_samples").as("n_samples"),
+        col("_2.s_sum").as("s_sum"), col("_2.sq_sum").as("sq_sum"),
+        col("_2.s_min").as("s_min"), col("_2.s_max").as("s_max"),
+        col("_2.n_zero_cross").as("n_zero_cross"))
   }
 
   /** STUB feature extraction: a real model would embed the media; the

@@ -148,4 +148,91 @@ class MultimodalSpec extends SparkSpec {
     assert(d(11L).format == "jpeg" && d(11L).height == 10)
     assert(d(12L).format == "fake" && d(12L).width == (500 % 640) + 1)
   }
+
+  // --- real payload decode (BMP pixels, WAV samples) ---
+
+  test("decodeBmpPixels: 8-bit greyscale round-trip excludes stride pads " +
+    "and reads bottom-up rows into logical order") {
+    val px = Array.tabulate(39)(i => i.toByte) // 13x3, values 0..38
+    val stats = Multimodal.decodeBmpPixels(
+      Multimodal.bmpGray8Bytes(px, 13, 3)).get
+    assert(stats.width == 13 && stats.height == 3 && stats.channels == 1)
+    assert(stats.n_px == 39L)
+    // 0xEE pad bytes would push the sum up by 3*3*238 and max to 238
+    assert(stats.ch_sum.toSeq == Seq((0 until 39).sum.toLong))
+    assert(stats.px_min == 0 && stats.px_max == 38)
+    // logical top-left is pixel 0, bottom-right is pixel 38 — a reader
+    // that forgets bottom-up storage returns 26 and 12 here
+    assert(stats.top_left.toSeq == Seq(0) &&
+      stats.bottom_right.toSeq == Seq(38))
+  }
+
+  /** Hand-rolled 24-bpp BMP: 2x2, rows stored TOP-DOWN (negative
+    * height), stride 8 (2 pad bytes/row), pixels in B,G,R file order:
+    * logical (0,0)=(1,2,3) (0,1)=(4,5,6) (1,0)=(7,8,9) (1,1)=(10,11,12). */
+  private def bmp24TopDown: Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+    "BM".getBytes("ASCII") ++ le32(70) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(-2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      Array.fill[Byte](20)(0) ++
+      Array[Byte](1, 2, 3, 4, 5, 6, -1, -1) ++ // top row + 0xFF pads
+      Array[Byte](7, 8, 9, 10, 11, 12, -1, -1)
+  }
+
+  test("decodeBmpPixels: 24-bpp top-down rows keep file B,G,R channel " +
+    "order and per-channel sums") {
+    val s = Multimodal.decodeBmpPixels(bmp24TopDown).get
+    assert(s.width == 2 && s.height == 2 && s.channels == 3)
+    assert(s.ch_sum.toSeq == Seq(1L + 4 + 7 + 10, 2L + 5 + 8 + 11,
+      3L + 6 + 9 + 12))
+    assert(s.px_min == 1 && s.px_max == 12) // 0xFF pads excluded
+    assert(s.top_left.toSeq == Seq(1, 2, 3) &&
+      s.bottom_right.toSeq == Seq(10, 11, 12))
+    // compressed or truncated payloads quarantine as None, never throw
+    val rle = bmp24TopDown.clone(); rle(30) = 1 // biCompression = RLE
+    assert(Multimodal.decodeBmpPixels(rle).isEmpty)
+    assert(Multimodal.decodeBmpPixels(bmp24TopDown.take(60)).isEmpty)
+  }
+
+  test("decodeWavSamples: 16-bit LE samples fold exactly, zero-crossings " +
+    "skip exact zeros, 8-bit recentres by -128") {
+    val samples = Array[Short](1000, -2000, 3000, 0, -1)
+    val s = Multimodal.decodeWavSamples(
+      Multimodal.wavPcm16Bytes(samples)).get
+    assert(s.channels == 1 && s.bits == 16 && s.n_samples == 5L)
+    assert(s.s_sum == 1999L && s.s_min == -2000 && s.s_max == 3000)
+    assert(s.sq_sum == 1000L * 1000 + 2000L * 2000 + 3000L * 3000 + 1)
+    assert(s.n_zero_cross == 3L) // +→−, −→+, +→− (the 0 is skipped)
+    // 8-bit unsigned face: header hand-patched to bits=8, data re-laid
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, (v >>> 24).toByte)
+    val wav8 = "RIFF".getBytes("ASCII") ++ le32(40) ++
+      "WAVE".getBytes("ASCII") ++ "fmt ".getBytes("ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++
+      le16(8) ++ "data".getBytes("ASCII") ++ le32(3) ++
+      Array[Byte](0, 128.toByte, 255.toByte) // → −128, 0, 127
+    val t = Multimodal.decodeWavSamples(wav8).get
+    assert(t.bits == 8 && t.n_samples == 3L && t.s_sum == -1L)
+    assert(t.s_min == -128 && t.s_max == 127 && t.n_zero_cross == 1L)
+    // non-PCM (fmt tag 3 = float) quarantines as None
+    val f32 = Multimodal.wavPcm16Bytes(samples)
+    f32(20) = 3
+    assert(Multimodal.decodeWavSamples(f32).isEmpty)
+  }
+
+  test("imagePixelStats / audioSampleStats run batched and drop " +
+    "non-decodable rows") {
+    val rows = Seq(
+      (1L, Multimodal.bmpGray8Bytes(Array.tabulate(6)(_.toByte), 3, 2)),
+      (2L, Multimodal.wavPcm16Bytes(Array[Short](5, -5))),
+      (3L, Array.fill[Byte](64)(9))).toDF("media_id", "content")
+    val img = Multimodal.imagePixelStats(rows, batchSize = 2)
+      .select("media_id").as[Long].collect().toSeq
+    val aud = Multimodal.audioSampleStats(rows, batchSize = 2)
+      .select("media_id").as[Long].collect().toSeq
+    assert(img == Seq(1L) && aud == Seq(2L))
+  }
 }
