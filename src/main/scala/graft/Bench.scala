@@ -26,9 +26,26 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // host-noise sentinel: the SAME fixed query timed at the start,
+    // middle, and end of the run. Round-over-round deltas then
+    // self-classify — a sentinel band that shifted with the run means
+    // host noise (this host's 174–217 s identical-discipline spread),
+    // a stable sentinel under a moved gate means a plan change.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sentinelName = ordered.head._1
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      ordered.head._2(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseAll()
+      dt
+    }
+    val sentStart = sentinel()
     // deterministic order; best-of-2 per query damps this host's random
     // multi-second disk-write stalls (single-straggler shuffle tasks)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var sentMid = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == ordered.size / 2) sentMid = sentinel()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -43,12 +60,15 @@ object Bench {
       }
       name -> (if (errors.contains(name)) -1.0 else times.min)
     }
+    val sentEnd = sentinel()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val sent = s"""{"query":"$sentinelName","start":$sentStart,""" +
+      s""""mid":$sentMid,"end":$sentEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sentinel":$sent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -523,7 +523,16 @@ object Corpus {
     * every symbol owns its delimiters, so replacing "|a||b|" with
     * "|ab|" merges left-to-right non-overlapping occurrences exactly
     * like the sequential greedy fold, and a second engine replays it
-    * with its own replace()). Stops early when no pair remains. */
+    * with its own replace()). Stops early when no pair remains.
+    *
+    * COST NOTE: greedy BPE is inherently driver-sequential — each merge
+    * is one Spark job round-trip (pair count + 1-row argmax + rewrite
+    * persist), so a real 32k-merge vocabulary is 32k scheduled rounds
+    * (~hours of pure scheduling at 100 TB even though each round's data
+    * work is |vocab|-sized). At gate scale (≤64 merges) this is fine;
+    * for production vocabularies use [[bpeTrainBatched]], which learns
+    * the same rule list in merges/batch driver rounds by accepting all
+    * symbol-disjoint top pairs per count. */
   /** Characters of a word as an array WITHOUT the trailing empty
     * element `split(w, "(?!^)")` alone would keep: Spark's split uses
     * limit = −1, so the zero-width end-of-string match survives — the
@@ -580,6 +589,83 @@ object Corpus {
         tbl.unpersist(false)
         tbl = next
         r += 1
+      }
+    }
+    tbl.unpersist(false)
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "weight")
+  }
+
+  /** Batched BPE merge training — the production-vocabulary face of
+    * [[bpeTrain]]: each driver round counts pairs ONCE, then accepts up
+    * to `batchSize` pairs in (weight DESC, a, b) order whose symbols
+    * are DISJOINT from every pair already accepted this round. Disjoint
+    * symbols make the batch's literal rewrites independent (replacing
+    * |a||b| can neither create nor destroy an occurrence of |c||d| when
+    * {a,b} ∩ {c,d} = ∅), so conflicting runners-up are deferred to the
+    * next round's fresh count rather than merged on stale weights —
+    * where a conflict forces deferral the result is EXACTLY the greedy
+    * rule list (spec-pinned); where weights interact through shared
+    * symbols the lists may order differently, the standard batched-BPE
+    * trade. Driver rounds collapse from `merges` to ~`merges/batchSize`
+    * — the difference between 32k and ~1k scheduled rounds at a real
+    * vocabulary. */
+  def bpeTrainBatched(docs: DataFrame, textCol: String = "text",
+      merges: Int = 6, batchSize: Int = 8): DataFrame = {
+    require(merges >= 1 && merges <= 65536,
+      "merges must be in [1, 65536]")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(filter(
+        split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var tbl = words.withColumn("s",
+      concat(lit("|"), concat_ws("||", charSplit(col("w"))), lit("|")))
+      .persist()
+    tbl.count()
+    val out = new scala.collection.mutable.ArrayBuffer[
+      (Int, String, String, String, Long)]
+    var continue = true
+    while (out.size < merges && continue) {
+      val t = col("__t")
+      val pairs = tbl
+        .select(col("freq"),
+          split(expr("trim(BOTH '|' FROM s)"), "\\|\\|").as("__t"))
+        .select(col("freq"), explode(filter(
+          transform(sequence(lit(0), greatest(size(t) - 2, lit(0))),
+            i => when(i + 2 <= size(t),
+              struct(element_at(t, i + 1).as("a"),
+                element_at(t, i + 2).as("b")))),
+          x => x.isNotNull)).as("__p"))
+        .select(col("__p.a"), col("__p.b"), col("freq"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("weight"))
+      // candidate window: 4x the batch covers the skipped conflicts
+      // (the first candidate is always symbol-free, so every non-empty
+      // count round accepts at least one pair — guaranteed progress)
+      val cands = pairs
+        .orderBy(col("weight").desc, col("a"), col("b"))
+        .limit(batchSize * 4).collect()
+      if (cands.isEmpty) continue = false
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val accepted = cands.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (a, b, _) =>
+            if (used(a) || used(b)) false
+            else { used += a; used += b; true }
+          }
+          .take(math.min(batchSize, merges - out.size)).toSeq
+        accepted.foreach { case (a, b, w) =>
+          out += ((out.size + 1, a, b, a + b, w))
+        }
+        val rewritten = accepted.foldLeft(col("s")) { case (acc, (a, b, _)) =>
+          call_function("replace", acc,
+            lit(s"|$a||$b|"), lit(s"|$a$b|"))
+        }
+        val next = tbl.withColumn("s", rewritten).persist()
+        next.count()
+        tbl.unpersist(false)
+        tbl = next
       }
     }
     tbl.unpersist(false)

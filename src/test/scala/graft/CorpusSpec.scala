@@ -761,6 +761,37 @@ class CorpusSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 2L)))
   }
 
+  test("bpeTrainBatched equals greedy on symbol-disjoint vocabularies " +
+    "and defers shared-symbol conflicts to the next fresh count") {
+    // disjoint symbols, distinct weights: (x,y)=3, (z,w)=2, (p,q)=1 —
+    // one batched round learns what greedy takes three rounds for,
+    // with identical ranks and weights
+    val disjoint = Seq((1L, "xy xy xy zw zw pq")).toDF("doc_id", "text")
+    val greedy = graft.operators.Corpus.bpeTrain(disjoint, merges = 3)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val batched = graft.operators.Corpus.bpeTrainBatched(disjoint,
+        merges = 3, batchSize = 8)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batched === greedy)
+    assert(batched === Seq((1, "x", "y", "xy", 3L),
+      (2, "z", "w", "zw", 2L), (3, "p", "q", "pq", 1L)))
+    // shared symbol: (a,b)=2 and (b,c)=2 conflict on b — the batch
+    // accepts only (a,b) and re-counts, finding (ab,c)=2 exactly as
+    // greedy does; batched ≡ greedy through the conflict
+    val conflict = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val g2 = graft.operators.Corpus.bpeTrain(conflict, merges = 2)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b2 = graft.operators.Corpus.bpeTrainBatched(conflict,
+        merges = 2, batchSize = 4)
+      .orderBy("merge_rank")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(b2 === g2)
+    assert(b2 === Seq((1, "a", "b", "ab", 2L), (2, "ab", "c", "abc", 2L)))
+  }
+
   test("bpeSegment replays learned merges; unseen words stay chars") {
     val train = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val merges = graft.operators.Corpus.bpeTrain(train, merges = 6)
