@@ -792,6 +792,184 @@ object Scratch {
       println(f"[scratch] asofJoin(hot user): $nAsof rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.stop(); return
     }
+    if (name == "decadegen") {
+      // One-decade up-sample: replicate every table `factor`× with
+      // deterministic (hash-driven, no RNG) perturbation, preserving
+      // the generator's distributional character so sf0.1 → "sf1.0"
+      // measures SCALING, not a different workload. Usage:
+      //   runMain graft.Scratch decadegen <srcDir> <dstDir> [factor]
+      // Per-table contract:
+      //   documents  — doc_id block-offset; rep>0 text is a stride
+      //     permutation (p coprime to the word count, a bijection) of
+      //     the SAME word multiset + ~1/7 hash-substituted words, so
+      //     unigram stats replicate while 3-gram shingles are fresh
+      //     (near-dup density stays ∝ corpus, not corpus²)
+      //   embeddings — vec_id block-offset; rep>0 adds ±0.05 per-dim
+      //     hash noise then re-normalizes (clusters densify 10×, the
+      //     realistic ANN/SemDeDup scale-up)
+      //   orders/lineitem/customer/part/supplier — all keys block-
+      //     offset consistently (FKs stay valid); events — event_id/
+      //     user_id block-offset (10× users, same per-user depth)
+      //   region/nation — dimension tables, copied as-is
+      import org.apache.spark.sql.functions._
+      val srcDir = args(1); val dstDir = args(2)
+      val factor = if (args.length > 3) args(3).toInt else 10
+      def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+      def wr(df: org.apache.spark.sql.DataFrame, t: String, parts: Int): Unit = {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$dstDir/$t.parquet")
+        println(s"[scratch] wrote $t")
+      }
+      val reps = explode(lit((0 until factor).toArray)).as("r")
+      def off(c: String, step: Long) = (col(c) + col("r") * step).as(c)
+      val okStep = rd("orders").agg(max("o_orderkey")).head.getLong(0) + 1
+      val ckStep = rd("customer").agg(max("c_custkey")).head.getLong(0) + 1
+      val pkStep = rd("part").agg(max("p_partkey")).head.getLong(0) + 1
+      val skStep = rd("supplier").agg(max("s_suppkey")).head.getLong(0) + 1
+
+      val docsSrc = rd("documents")
+      val dkStep = docsSrc.agg(max("doc_id")).head.getLong(0) + 1
+      // corpus vocabulary for the substitution channel (31 words here;
+      // capped defensively — it rides the plan as a literal)
+      val vocab = docsSrc.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count().orderBy(desc("count"), col("w"))
+        .limit(64).collect().map(_.getString(0))
+      val vocabLit = array(vocab.map(lit): _*)
+      val docs = docsSrc.select(col("*"), reps)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n", size(col("ws")))
+        // stride coprime to n → i*p mod n is a permutation
+        .withColumn("p", element_at(
+          filter(lit(Array(3, 5, 7, 11, 13, 17, 19, 23, 29, 31)),
+            x => pmod(col("n"), x) =!= 0),
+          pmod(col("r"), lit(5)) + 1))
+        .withColumn("text2",
+          when(col("r") === 0 || col("n") < 2 || col("p").isNull, col("text"))
+          .otherwise(array_join(
+            transform(sequence(lit(0), col("n") - 1), i => {
+              val w = element_at(col("ws"), pmod(i * col("p"), col("n")) + 1)
+              val h = xxhash64(col("doc_id"), col("r"), i)
+              when(pmod(h, lit(7)) === 0,
+                element_at(vocabLit, (pmod(h, lit(vocab.length)) + 1).cast("int")))
+                .otherwise(w)
+            }), " ")))
+        .select(off("doc_id", dkStep), col("text2").as("text"),
+          col("lang"), col("source"), length(col("text2")).cast("long").as("n_chars"))
+      wr(docs, "documents", 4 * factor)
+
+      val emb = rd("embeddings").select(col("*"), reps)
+        .withColumn("pert", when(col("r") === 0, col("embedding")).otherwise {
+          val noisy = transform(col("embedding"), (x, i) =>
+            x + (pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000L))
+              .cast("float") / 1000f - 0.5f) * 0.1f)
+          val nrm = sqrt(aggregate(noisy, lit(0.0d), (a, x) => a + x * x))
+          transform(noisy, x => (x / nrm).cast("float"))
+        })
+        .select((col("vec_id") +
+            col("r") * (rd("embeddings").agg(max("vec_id")).head.getLong(0) + 1))
+          .as("vec_id"), col("pert").as("embedding"), col("label"))
+      wr(emb, "embeddings", 2 * factor)
+
+      wr(rd("orders").select(col("*"), reps)
+        .select(off("o_orderkey", okStep), off("o_custkey", ckStep),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")), "orders", 4 * factor)
+      wr(rd("lineitem").select(col("*"), reps)
+        .select(off("l_orderkey", okStep), off("l_partkey", pkStep),
+          off("l_suppkey", skStep), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+        "lineitem", 8 * factor)
+      wr(rd("customer").select(col("*"), reps)
+        .select(off("c_custkey", ckStep), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment")), "customer", factor)
+      val partCols = rd("part").columns
+      wr(rd("part").select(col("*"), reps)
+        .select(off("p_partkey", pkStep) +:
+          partCols.filterNot(_ == "p_partkey").map(col): _*), "part", factor)
+      val supCols = rd("supplier").columns
+      wr(rd("supplier").select(col("*"), reps)
+        .select(off("s_suppkey", skStep) +:
+          supCols.filterNot(_ == "s_suppkey").map(col): _*), "supplier", factor)
+      val ekStep = rd("events").agg(max("event_id")).head.getLong(0) + 1
+      val ukStep = rd("events").agg(max("user_id")).head.getLong(0) + 1
+      wr(rd("events").select(col("*"), reps)
+        .select(off("event_id", ekStep), col("ts"), off("user_id", ukStep),
+          col("event_type"), col("value"), col("props")), "events", 4 * factor)
+      wr(rd("region"), "region", 1)
+      wr(rd("nation"), "nation", 1)
+      println(s"[scratch] decadegen done → $dstDir (factor $factor)")
+      spark.stop(); return
+    }
+    if (name == "decade") {
+      // Scaled operator BODIES for the gates whose query-side fixtures
+      // are size-pinned (o_orderkey < 2000 cuts): the graph/event
+      // operators re-derived so the input grows ∝ the table. Run at
+      // sf0.01 / sf0.1 / <decadegen sf1.0> and fit exponents:
+      //   SCRATCH_MASTER=local[32] SCRATCH_PARTITIONS=32 \
+      //     runMain graft.Scratch decade <sfDir>
+      import org.apache.spark.sql.functions._
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      def time(tag: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[scratch] decade $tag: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        release()
+      }
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val nOrd = orders.count()
+      val k = math.max(100L, nOrd / 150L) // nodes ∝ rows: avg degree stays ~fixed
+      val edges = orders.select((col("o_custkey") % k).as("src"),
+        (col("o_orderkey") % k).as("dst")).localCheckpoint(true)
+      time("pagerank5") {
+        graft.operators.GraphAlgos.pageRank(edges, iterations = 5,
+          exactFolds = false).count()
+      }
+      time(s"ktruss(k=8,nodes=$k)") {
+        graft.operators.GraphAlgos.kTruss(edges, k = 8, maxRounds = 16).count()
+      }
+      time("scc") {
+        val base = orders.select((col("o_custkey") % k).as("ck"),
+          (col("o_orderkey") % (k / 4) + k).as("ok"))
+        val ring = base.select(col("ck").as("id")).distinct()
+          .select(col("id").as("src"),
+            (expr("id div 8") * 8 + ((col("id") % 8) + 1) % 8).as("dst"))
+        val crossE = base.filter(col("ck") =!= col("ok"))
+          .select(col("ck").as("src"), col("ok").as("dst")).distinct()
+        graft.operators.GraphAlgos
+          .stronglyConnectedComponents(ring.unionByName(crossE)).count()
+      }
+      time("sessionize") {
+        graft.operators.Events.sessionize(
+          spark.read.parquet(s"$dir/events.parquet")).count()
+      }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val nEmb = emb.count()
+      val nCells = math.max(16, (nEmb / 125).toInt) // cell size ~fixed
+      time(s"ivf(nCells=$nCells,probe5%)") {
+        graft.operators.Similarity.ivfTopK(emb,
+          emb.filter(col("vec_id") % 20 === 3), k = 10, nCells = nCells,
+          nProbe = 2).count()
+      }
+      time(s"semdedup(nCells=$nCells)") {
+        graft.operators.Similarity.semanticDedup(emb,
+          graft.operators.Similarity.centroidsFromRows(emb, nCells = nCells),
+          threshold = 0.3).count()
+      }
+      time("spanmask(corpus-derived hot set)") {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val hot = graft.operators.Corpus.duplicateSpanHashes(docs)
+          .collect().map(_.getLong(0)).toSeq
+        println(s"[scratch]   hot-span set: ${hot.size}")
+        graft.operators.Corpus.maskSpansAgainst(docs, hot).count()
+      }
+      spark.stop(); return
+    }
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",
