@@ -914,7 +914,9 @@ object Scratch {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
       }
+      val only = if (args.length > 2) args(2).split(",").toSeq else Nil
       def time(tag: String)(body: => Long): Unit = {
+        if (only.nonEmpty && !only.exists(tag.startsWith)) return
         val t0 = System.nanoTime()
         val n = body
         println(f"[scratch] decade $tag: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -923,14 +925,25 @@ object Scratch {
       val orders = spark.read.parquet(s"$dir/orders.parquet")
       val nOrd = orders.count()
       val k = math.max(100L, nOrd / 150L) // nodes ∝ rows: avg degree stays ~fixed
-      val edges = orders.select((col("o_custkey") % k).as("src"),
+      // fresh frame per timed body: release() drops ALL persisted RDDs,
+      // so a shared localCheckpoint would vanish between sections
+      def edges() = orders.select((col("o_custkey") % k).as("src"),
         (col("o_orderkey") % k).as("dst")).localCheckpoint(true)
       time("pagerank5") {
-        graft.operators.GraphAlgos.pageRank(edges, iterations = 5,
+        graft.operators.GraphAlgos.pageRank(edges(), iterations = 5,
           exactFolds = false).count()
       }
       time(s"ktruss(k=8,nodes=$k)") {
-        graft.operators.GraphAlgos.kTruss(edges, k = 8, maxRounds = 16).count()
+        // community-blocked edges (all within 100-node blocks): per-block
+        // density — and hence triangle/truss structure — is scale-
+        // invariant, while the number of blocks grows ∝ rows. A uniform
+        // n-node random graph at fixed avg degree loses ALL its
+        // triangles as n grows (support ∝ deg²/n), which would measure
+        // the peel loop on an ever-emptier graph instead of scaling it.
+        val blocked = orders.select((col("o_custkey") % k).as("src"),
+          (col("o_custkey") % k - col("o_custkey") % k % 100 +
+            col("o_orderkey") % 100).as("dst")).localCheckpoint(true)
+        graft.operators.GraphAlgos.kTruss(blocked, k = 8, maxRounds = 16).count()
       }
       time("scc") {
         val base = orders.select((col("o_custkey") % k).as("ck"),
@@ -947,18 +960,19 @@ object Scratch {
         graft.operators.Events.sessionize(
           spark.read.parquet(s"$dir/events.parquet")).count()
       }
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .localCheckpoint(true)
-      val nEmb = emb.count()
+      def emb() = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nEmb = emb().count()
       val nCells = math.max(16, (nEmb / 125).toInt) // cell size ~fixed
       time(s"ivf(nCells=$nCells,probe5%)") {
-        graft.operators.Similarity.ivfTopK(emb,
-          emb.filter(col("vec_id") % 20 === 3), k = 10, nCells = nCells,
+        val e = emb()
+        graft.operators.Similarity.ivfTopK(e,
+          e.filter(col("vec_id") % 20 === 3), k = 10, nCells = nCells,
           nProbe = 2).count()
       }
       time(s"semdedup(nCells=$nCells)") {
-        graft.operators.Similarity.semanticDedup(emb,
-          graft.operators.Similarity.centroidsFromRows(emb, nCells = nCells),
+        val e = emb()
+        graft.operators.Similarity.semanticDedup(e,
+          graft.operators.Similarity.centroidsFromRows(e, nCells = nCells),
           threshold = 0.3).count()
       }
       time("spanmask(corpus-derived hot set)") {
