@@ -3316,6 +3316,80 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** Cohen's-kappa gate: agreement between the true event_type and a
+    * simulated 70%-accurate labeler (disagreements map to the reversed
+    * type string — deterministic, SQL-replicable). Every count is an
+    * exact BIGINT; po/pe/kappa are each ONE final division. */
+  def q236Kappa(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type").as("r1"),
+      when(col("event_id") % 10 < 7, col("event_type"))
+        .otherwise(reverse(col("event_type"))).as("r2"))
+    graft.operators.Stats.cohenKappa(ev, "r1", "r2")
+  }
+
+  /** One-way-ANOVA gate over event values (cents) by event type —
+    * integer moments per group, the cross-group Σ s²/n as a sorted
+    * sequential fold (the q94 list_sum convention), >2^53 products
+    * through the VARCHAR-mediated cast (the q216 lesson). */
+  def q237Anova(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type").as("g"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Stats.anovaOneWay(ev, "g", "cents")
+  }
+
+  /** Benjamini–Hochberg gate: md5-uniform p-values (the q95/q212
+    * md5-conv convention) with a planted signal — every 50th document's
+    * p is divided by 2000, so the step-up frontier lands inside the
+    * planted block and both rejected=true and =false rows exist at
+    * every sf (measured non-vacuous before pinning). */
+  def q238BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val p0 = conv(substring(md5(col("text")), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+    val tests = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 50 === 0, p0 / lit(2000.0)).otherwise(p0).as("p"))
+    graft.operators.Stats.bhReject(tests, "doc_id", "p")
+      .orderBy("doc_id")
+  }
+
+  /** Jaro–Winkler record-linkage gate: dirty part names (p_name + key
+    * suffix) with a planted char-swap typo twin for every third kept
+    * part; [[graft.operators.Dedup.jaroWinklerPairs]] must reproduce
+    * DuckDB's native jaro_winkler_similarity BIT-FOR-BIT over the
+    * blocked candidate set (the kernel mirrors the rapidfuzz IEEE
+    * order — probed constants pinned in DedupSpec). */
+  def q239JwPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+      .select(col("p_partkey").as("id"),
+        concat(col("p_name"), lit(" #"), col("p_partkey")).as("nm"))
+    val typos = base.filter(col("id") % 3 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        concat(substring(col("nm"), 1, 1), substring(col("nm"), 3, 1),
+          substring(col("nm"), 2, 1), substring(col("nm"), 4, 10000)).as("nm"))
+    graft.operators.Dedup.jaroWinklerPairs(base.unionByName(typos),
+        "id", "nm", minSim = 0.9, blockLen = 1, maxLenDiff = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Debounce gate: drop an event when its per-(user, type) predecessor
+    * is under 5 minutes away — the memoryless duplicate-burst scrub
+    * (one lag window; q68's sessionize scale argument verbatim). */
+  def q240Debounce(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.debounce(events(s, dir),
+        Seq("user_id", "event_type"), "ts", windowSeconds = 300L,
+        tieCol = "event_id")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  /** Jensen–Shannon drift gate: per-token JS terms between the even-
+    * and odd-doc_id corpus halves — exact counts plus fixed-order IEEE
+    * chains whose ln is bit-identical across JVM and DuckDB libm on
+    * this host (probed in PLANS round 8; this gate is the standing
+    * regression witness for that equivalence). */
+  def q241JsTokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.jsDivergenceByToken(t(s, dir, "documents"),
+        col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+      .orderBy("token")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4203,7 +4277,13 @@ object Queries {
     "q232_semdedup_cap" -> (q232SemDedupCap _),
     "q233_deep_hierarchy" -> (q233DeepHierarchy _),
     "q234_bmp_pixels" -> (q234BmpPixels _),
-    "q235_wav_samples" -> (q235WavSamples _)
+    "q235_wav_samples" -> (q235WavSamples _),
+    "q236_kappa" -> (q236Kappa _),
+    "q237_anova" -> (q237Anova _),
+    "q238_bh_fdr" -> (q238BhFdr _),
+    "q239_jw_pairs" -> (q239JwPairs _),
+    "q240_debounce" -> (q240Debounce _),
+    "q241_js_tokens" -> (q241JsTokens _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6104,6 +6184,115 @@ object Queries {
         |  s_min, s_max, coalesce(c.n_zero_cross, 0) AS n_zero_cross
         |FROM agg a LEFT JOIN cr c ON c.doc_id = a.doc_id
         |ORDER BY media_id""".stripMargin,
+    "q236_kappa" ->
+      """WITH b AS MATERIALIZED (SELECT event_type AS r1,
+        |  CASE WHEN event_id % 10 < 7 THEN event_type
+        |    ELSE reverse(event_type) END AS r2
+        | FROM events),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        | FROM b),
+        |m1 AS (SELECT r1 AS c, CAST(count(*) AS BIGINT) AS m1 FROM b GROUP BY r1),
+        |m2 AS (SELECT r2 AS c, CAST(count(*) AS BIGINT) AS m2 FROM b GROUP BY r2),
+        |x AS (SELECT CAST(coalesce(sum(m1.m1 * m2.m2), 0) AS BIGINT) AS mm
+        | FROM m1 JOIN m2 USING (c))
+        |SELECT n, agree AS n_agree, mm AS cross_marginal,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(mm AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+        |  CAST(n * agree - mm AS DOUBLE) / CAST(n * n - mm AS DOUBLE) AS kappa
+        |FROM a, x""".stripMargin,
+    "q237_anova" ->
+      """WITH b AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+        |  CAST(sum(cents) AS HUGEINT) AS sg,
+        |  CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS qg
+        | FROM b GROUP BY g),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS s,
+        |  CAST(sum(qg) AS HUGEINT) AS q,
+        |  list_sum(list(CAST(CAST(sg * sg AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(ng AS VARCHAR) AS DOUBLE) ORDER BY g)) AS sq
+        | FROM pg)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_x,
+        |  CAST(CAST(q AS VARCHAR) AS DOUBLE) AS sum_x2,
+        |  sq - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS ss_between,
+        |  CAST(CAST(q AS VARCHAR) AS DOUBLE) - sq AS ss_within,
+        |  ((sq - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(n AS VARCHAR) AS DOUBLE)) /
+        |    CAST(CAST(k - 1 AS VARCHAR) AS DOUBLE)) /
+        |  ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - sq) /
+        |    CAST(CAST(CAST(n AS BIGINT) - k AS VARCHAR) AS DOUBLE)) AS f_stat
+        |FROM f""".stripMargin,
+    "q238_bh_fdr" ->
+      """WITH p0 AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN
+        |    CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      / 16777216.0 / 2000.0
+        |  ELSE
+        |    CAST(CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS DOUBLE)
+        |      / 16777216.0
+        |  END AS p
+        | FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p0),
+        |r AS (SELECT doc_id, p,
+        |  CAST(row_number() OVER (ORDER BY p, doc_id) AS INT) AS rank,
+        |  p * CAST(m.m AS DOUBLE) * 100.0 <= 5.0 * CAST(
+        |    row_number() OVER (ORDER BY p, doc_id) AS DOUBLE) AS ok
+        | FROM p0, m),
+        |c AS (SELECT max(CASE WHEN ok THEN rank END) AS cut FROM r)
+        |SELECT doc_id, p, rank,
+        |  (c.cut IS NOT NULL AND rank <= c.cut) AS rejected
+        |FROM r, c ORDER BY doc_id""".stripMargin,
+    "q239_jw_pairs" ->
+      """WITH base AS MATERIALIZED (SELECT p_partkey AS id,
+        |  p_name || ' #' || CAST(p_partkey AS VARCHAR) AS nm
+        | FROM part WHERE p_partkey % 20 = 0),
+        |typo AS (SELECT id + 10000000 AS id,
+        |  substr(nm, 1, 1) || substr(nm, 3, 1) || substr(nm, 2, 1) ||
+        |    substr(nm, 4) AS nm
+        | FROM base WHERE id % 3 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM typo),
+        |s AS (SELECT id, nm, lower(substr(nm, 1, 1)) AS blk,
+        |  length(nm) AS len FROM u)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  jaro_winkler_similarity(a.nm, b.nm) AS jw
+        |FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+        |  AND abs(a.len - b.len) <= 4
+        |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q240_debounce" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |g AS (SELECT event_id, user_id, event_type,
+        |  us - lag(us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) AS gap
+        | FROM e)
+        |SELECT event_id, user_id, event_type FROM g
+        |WHERE gap IS NULL OR gap >= 300000000
+        |ORDER BY event_id""".stripMargin,
+    "q241_js_tokens" ->
+      """WITH toks AS (SELECT doc_id % 2 = 0 AS a,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS token
+        | FROM documents),
+        |c AS (SELECT token,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+        | FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+        |  CAST(sum(c_b) AS BIGINT) AS nb FROM c),
+        |d AS (SELECT token, c_a, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+        |  CAST(c_b AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+        | FROM c, tot)
+        |SELECT token, c_a, c_b,
+        |  CASE WHEN c_a > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END AS d_a,
+        |  CASE WHEN c_b > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END AS d_b
+        |FROM d ORDER BY token""".stripMargin,
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->

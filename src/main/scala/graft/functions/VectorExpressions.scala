@@ -75,6 +75,14 @@ object VectorExpressions {
     ColumnShim.column(org.apache.spark.sql.graft.MaskSpans(
       ColumnShim.expression(words), hotHashes, n))
 
+  /** Jaro–Winkler similarity of two string columns → double, one
+    * codegen'd kernel call per row, bit-identical to DuckDB's
+    * `jaro_winkler_similarity` on ASCII inputs (probed semantics —
+    * see the Expression scaladoc). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.JaroWinkler(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** Misra-Gries heavy-hitter sketch aggregate: ≤ k mergeable counters,
     * every estimate a lower bound undercounting by ≤ n/(k+1) — any item
     * above that frequency is guaranteed in the result. */

@@ -1460,4 +1460,45 @@ object Corpus {
         lit(wLen.toLong) * expr("n_chars_q div 100"))
       .filter(col("score") >= threshold)
   }
+
+  /** Per-token Jensen–Shannon divergence contributions between two
+    * corpus slices — the distribution-drift diagnostic that names WHICH
+    * tokens drive the divergence (the corpus-level scalar hides it).
+    * For each token: counts c_a/c_b (exact BIGINTs), and the two JS
+    * terms d_a = p·ln(p/m), d_b = q·ln(q/m) with p = c_a/N_a,
+    * q = c_b/N_b, m = (p+q)/2; JS(A,B) = (Σd_a + Σd_b)/2 — left
+    * UNSUMMED: per-token rows are both the stronger gate (every term
+    * bit-compared) and the more useful shape. Each double is a FIXED
+    * per-row expression chain (two count divisions, one ratio, one ln,
+    * one multiply — ln is bit-identical across JVM/DuckDB libm on this
+    * host, measured in PLANS round 8); zero-count sides contribute 0 by
+    * the usual 0·ln0 convention.
+    *
+    * Scale: one token-explode pass, one (token)-keyed partial-aggregated
+    * census, a broadcast of the two scalar totals. Vocabulary-bounded
+    * output (Zipf), corpus-bounded input — the same shape as
+    * [[trainBigramLm]]. */
+  def jsDivergenceByToken(docs: DataFrame, sideA: Column, sideB: Column,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(sideA || sideB)
+      .select(sideA.as("__a"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as("token"))
+    val census = toks.groupBy("token").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("c_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("c_b"))
+    Exec.withPersisted(census) {
+      val totals = census.agg(sum("c_a").as("__na"), sum("c_b").as("__nb"))
+      def dbl(c: Column): Column = c.cast("double")
+      census.crossJoin(broadcast(totals))
+        .withColumn("__p", dbl(col("c_a")) / dbl(col("__na")))
+        .withColumn("__q", dbl(col("c_b")) / dbl(col("__nb")))
+        .withColumn("__m", (col("__p") + col("__q")) / lit(2.0d))
+        .select(col("token"), col("c_a"), col("c_b"),
+          when(col("c_a") > 0, col("__p") * log(col("__p") / col("__m")))
+            .otherwise(lit(0.0d)).as("d_a"),
+          when(col("c_b") > 0, col("__q") * log(col("__q") / col("__m")))
+            .otherwise(lit(0.0d)).as("d_b"))
+    }
+  }
 }

@@ -1006,4 +1006,36 @@ object Dedup {
             sqrt((col("na2") * col("nb2")).cast("double"))).as("cosine"))
     }
   }
+
+  /** Record-linkage Jaro–Winkler pair join: candidate pairs share a
+    * `blockLen`-char lowercase prefix block AND sit within `maxLenDiff`
+    * of each other in length (both are JW-sound filters in practice —
+    * Winkler's boost rewards shared prefixes, and a large length gap
+    * caps m/max(la,lb) well below any useful threshold), then the exact
+    * codegen'd [[graft.functions.VectorExpressions.jaroWinkler]] kernel
+    * scores the survivors. Never all-pairs: the block equi-join carries
+    * the quadratic term per block only — at production scale pick
+    * `blockLen` (or swap in a phonetic key) so blocks stay bounded, and
+    * a viral block takes the [[minHashLsh]] hot-bucket salting path
+    * unchanged ([[hotAwareSelfJoin]] applies to any (key, id) shape). */
+  def jaroWinklerPairs(docs: DataFrame, idCol: String = "doc_id",
+      strCol: String = "text", minSim: Double = 0.9,
+      blockLen: Int = 1, maxLenDiff: Int = 4): DataFrame = {
+    require(blockLen >= 1, "blockLen must be >= 1")
+    require(maxLenDiff >= 0, "maxLenDiff must be >= 0")
+    val s = docs.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"),
+        lower(substring(col(strCol), 1, blockLen)).as("blk"),
+        length(col(strCol)).as("len"))
+    s.select(col("id").as("id_a"), col("s").as("sa"), col("blk"),
+        col("len").as("la"))
+      .join(s.select(col("id").as("id_b"), col("s").as("sb"), col("blk"),
+        col("len").as("lb")), Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxLenDiff)
+      .withColumn("jw",
+        graft.functions.VectorExpressions.jaroWinkler(col("sa"), col("sb")))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
 }

@@ -972,4 +972,28 @@ object Events {
           Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol)))
           .as("k_distinct"))
   }
+
+  /** Debounce dedup: drop an event when the PREVIOUS event with the same
+    * keys is within `windowSeconds` — the memoryless gap rule (an event
+    * survives iff it opens a ≥window gap from its predecessor), i.e. the
+    * standard repeated-ping/duplicate-webhook scrub. This is NOT the
+    * stateful throttle (gap measured from the last KEPT event) — a chain
+    * of sub-window gaps collapses entirely here, which is exactly the
+    * duplicate-burst semantics wanted for ingest dedup; a throttle face
+    * would need the sessionize chain rule instead.
+    *
+    * One lag window per (keys) partition — the sessionize scale argument
+    * applies verbatim (hot keys → [[sessionizeChunked]]-style bucketing).
+    * Deterministic: ties on the timestamp break by `tieCol`. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsCol: String,
+               windowSeconds: Long, tieCol: String): DataFrame = {
+    require(windowSeconds > 0, "window must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__us"), col(tieCol))
+    events
+      .withColumn("__us", us(events, tsCol))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(w))
+      .filter(col("__gap").isNull || col("__gap") >= windowSeconds * 1000000L)
+      .drop("__us", "__gap")
+  }
 }

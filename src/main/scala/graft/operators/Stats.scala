@@ -859,6 +859,112 @@ object Stats {
     * in any engine for positive integers, no log10 float), counts are
     * exact, and the share is an exact integer per-mille
     * (n·1000 div total). One groupBy on 9 keys. */
+  /** Cohen's kappa inter-rater agreement over two label columns — the
+    * label-quality staple of a human/model annotation pipeline (are two
+    * annotators, or a model and a gold set, agreeing beyond chance?).
+    *
+    * Exact by construction: the observed-agreement count and the
+    * chance-agreement cross-marginal Σ row_c·col_c are BIGINT folds, and
+    * po / pe / kappa are each ONE final IEEE division over exact
+    * integers — kappa = (N·agree − Σm₁m₂) / (N² − Σm₁m₂), no float
+    * intermediate anywhere (the Welch/χ² file-header recipe).
+    *
+    * Scale: two map-side-combined category censuses (|categories| rows
+    * each) broadcast-joined, plus one count — never a shuffle of the
+    * data by anything but the tiny category key. */
+  def cohenKappa(df: DataFrame, rater1Col: String,
+      rater2Col: String): DataFrame = {
+    val base = df.select(col(rater1Col).as("__r1"), col(rater2Col).as("__r2"))
+    val agg = base.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L)).as("__agree"))
+    val m1 = base.groupBy(col("__r1").as("__c")).agg(count(lit(1)).as("__m1"))
+    val m2 = base.groupBy(col("__r2").as("__c")).agg(count(lit(1)).as("__m2"))
+    val cross = m1.join(m2, Seq("__c"))
+      .agg(coalesce(sum(col("__m1") * col("__m2")), lit(0L)).as("__mm"))
+    def dbl(c: Column): Column = c.cast("double")
+    agg.crossJoin(broadcast(cross)).select(
+      col("__n").as("n"),
+      col("__agree").as("n_agree"),
+      col("__mm").as("cross_marginal"),
+      (dbl(col("__agree")) / dbl(col("__n"))).as("po"),
+      (dbl(col("__mm")) / dbl(col("__n") * col("__n"))).as("pe"),
+      (dbl(col("__n") * col("__agree") - col("__mm")) /
+        dbl(col("__n") * col("__n") - col("__mm"))).as("kappa"))
+  }
+
+  /** One-way ANOVA between-group decomposition. Values enter as exact
+    * integers (caller pre-scales, the cents convention); per-group
+    * moments (n, Σx, Σx²) are BIGINT folds. The cross-group float sum
+    * Σ_g s_g²/n_g is a SORTED sequential fold over the per-group structs
+    * (the q94 convention — DuckDB replays it with
+    * `list_sum(list(... ORDER BY grp))`), after which SSB/SSW/F are a
+    * fixed chain of IEEE expressions. Emits ONE row: k, n, the two exact
+    * global moments, ssb, ssw, f_stat.
+    *
+    * Scale: one groupBy to |groups| rows, then a single collect-free
+    * 1-row fold — the group census is tiny by contract (ANOVA with
+    * millions of groups is a different test). */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val x = col(valueCol).cast(d38)
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).cast(d38).as("__ng"),
+        sum(x).as("__sg"), sum(x * x).as("__qg"))
+    def dbl(c: Column): Column = c.cast("double")
+    perGroup.agg(
+        count(lit(1)).as("k"),
+        sum(col("__ng")).as("__n"),
+        sum(col("__sg")).as("__s"),
+        sum(col("__qg")).as("__q"),
+        // deterministic cross-group sum: fold in group order
+        aggregate(
+          sort_array(collect_list(struct(col("__g"),
+            (dbl(col("__sg") * col("__sg")) / dbl(col("__ng"))).as("__t")))),
+          lit(0.0d), (acc, s) => acc + s.getField("__t")).as("__sq"))
+      .select(
+        col("k"), col("__n").cast("long").as("n"),
+        col("__s").cast("double").as("sum_x"),
+        col("__q").cast("double").as("sum_x2"),
+        (col("__sq") - dbl(col("__s") * col("__s")) / dbl(col("__n")))
+          .as("ss_between"),
+        (dbl(col("__q")) - col("__sq")).as("ss_within"),
+        (((col("__sq") - dbl(col("__s") * col("__s")) / dbl(col("__n"))) /
+            dbl(col("k") - 1)) /
+          ((dbl(col("__q")) - col("__sq")) /
+            dbl(col("__n").cast("long") - col("k")))).as("f_stat"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over per-test p-values:
+    * rank ascending, find the largest rank i with p·m ≤ q·i, reject
+    * every test at or below it. The comparison is carried as
+    * p·m·qDenom ≤ qNum·i — q enters as an exact rational, so both
+    * engines evaluate the SAME double comparison (one multiply chain,
+    * no division) and the reject frontier is deterministic.
+    *
+    * Scale: one global sort window (BH is a total-order procedure by
+    * definition — at 10⁹ tests, pre-aggregate to unique p-values first)
+    * plus a running max; no collect. */
+  def bhReject(df: DataFrame, idCol: String, pCol: String,
+      qNum: Long = 5, qDenom: Long = 100): DataFrame = {
+    val m = df.agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col(pCol), col(idCol))
+    val ranked = df.crossJoin(broadcast(m))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__ok",
+        col(pCol) * col("__m").cast("double") * lit(qDenom.toDouble) <=
+          lit(qNum.toDouble) * col("__rank").cast("double"))
+    val frontier = Window.orderBy(col(pCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("__cut",
+        max(when(col("__ok"), col("__rank"))).over(frontier))
+      .select(col(idCol), col(pCol), col("__rank").as("rank"),
+        (col("__cut").isNotNull && col("__rank") <= col("__cut"))
+          .as("rejected"))
+  }
+
   def benfordCensus(df: DataFrame, valueCol: String): DataFrame = {
     val digits = df.filter(col(valueCol) > 0)
       .select(substring(col(valueCol).cast("string"), 1, 1)

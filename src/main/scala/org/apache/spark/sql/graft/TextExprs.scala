@@ -3,7 +3,7 @@ package graft
 
 import java.util.{Arrays => JArrays, LinkedHashSet}
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -202,6 +202,55 @@ object TextOps {
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** Jaro–Winkler similarity kernel over the UTF-8 bytes (see the
+    * [[JaroWinkler]] scaladoc for the DuckDB-equivalence contract).
+    * IEEE order is load-bearing: (m/la + m/lb + (m−t)/m)/3, then
+    * sim + p·0.1·(1−sim) with left-associative products. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val sa = a.getBytes; val sb = b.getBytes
+    val la = sa.length; val lb = sb.length
+    if (la == 0 || lb == 0) return 0.0
+    val bound = math.max(math.max(la, lb) / 2 - 1, 0)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + bound)
+      var j = math.max(0, i - bound)
+      var found = false
+      while (j <= hi && !found) {
+        if (!matchedB(j) && sa(i) == sb(j)) {
+          matchedA(i) = true; matchedB(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(j)) j += 1
+        if (sa(i) != sb(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2 // integer halving — the DuckDB/rapidfuzz convention (probed)
+    var sim = (m.toDouble / la + m.toDouble / lb +
+      (m - t).toDouble / m) / 3.0
+    if (sim > 0.7) {
+      val maxP = math.min(4, math.min(la, lb))
+      var p = 0
+      while (p < maxP && sa(p) == sb(p)) p += 1
+      sim = sim + p * 0.1 * (1.0 - sim)
+    }
+    sim
+  }
 }
 
 /** Distinct word n-gram shingles of a token array, one generated call per
@@ -352,4 +401,33 @@ case class MarkerHits(child: Expression, markers: Seq[Seq[String]])
 
   override protected def withNewChildInternal(newChild: Expression): MarkerHits =
     copy(child = newChild)
+}
+
+/** Jaro–Winkler string similarity (record-linkage staple) as one static
+  * kernel call per row — the same match-window / integer-halved-
+  * transposition / prefix-boost algorithm DuckDB ships (rapidfuzz
+  * lineage), with IEEE operations in the identical order, so the gate
+  * compares bit-for-bit against `jaro_winkler_similarity` (probed
+  * semantics, PLANS round 8: both-empty → 0, window 0 = same-position
+  * only, transpositions halve as INTEGERS — 'abcdef'/'bcadef' = 17/18 —
+  * boost only when sim > 0.7, prefix capped at 4). Byte-level
+  * comparison: identical to DuckDB's codepoint walk on ASCII inputs;
+  * multi-byte text would count bytes where DuckDB counts codepoints. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.TextOps.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
 }

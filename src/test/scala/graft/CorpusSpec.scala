@@ -827,4 +827,30 @@ class CorpusSpec extends SparkSpec {
       .head.getLong(0)
     assert(total === 5L)
   }
+
+  test("jsDivergenceByToken emits exact counts and fixed-order JS terms") {
+    val docs = Seq((1L, "src0", "a a b"), (2L, "src1", "a b b"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Corpus.jsDivergenceByToken(docs,
+        col("source") === "src0", col("source") === "src1")
+      .orderBy("token")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // p=2/3 vs q=1/3 (and mirrored): terms are p*ln(p/m) in fixed order
+    assert(got === Seq(
+      ("a", 2L, 1L, 0.19178804830118723, -0.1351550360360548),
+      ("b", 1L, 2L, -0.1351550360360548, 0.19178804830118723)))
+  }
+
+  test("jsDivergenceByToken zero-count side contributes exactly 0") {
+    val docs = Seq((1L, "src0", "only left"), (2L, "src1", "right side"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Corpus.jsDivergenceByToken(docs,
+        col("source") === "src0", col("source") === "src1")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("only")._5 === 0.0 && got("only")._3 === 0L)
+    assert(got("right")._4 === 0.0 && got("right")._2 === 0L)
+    // one-sided token's own term: p*ln(p/(p/2)) = p*ln(2)
+    assert(got("only")._4 === 0.5 * math.log(2.0))
+  }
 }

@@ -488,4 +488,44 @@ class DedupSpec extends SparkSpec {
     val (a, b, cos) = got.head
     assert((a, b) === ((1L, 2L)) && cos > 0.9 && cos < 1.0)
   }
+
+  test("jaroWinkler kernel is bit-identical to the probed DuckDB values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      org.apache.spark.sql.graft.TextOps.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // every constant below is DuckDB jaro_winkler_similarity output,
+    // probed on this host (PLANS round 8) — compared with ===, i.e.
+    // bit-for-bit
+    assert(jw("MARTHA", "MARHTA") === 0.96111111111111114)
+    assert(jw("DWAYNE", "DUANE") === 0.84000000000000008)
+    assert(jw("DIXON", "DICKSONX") === 0.81333333333333324)
+    assert(jw("red widget", "red widgte") === 0.97999999999999998)
+    assert(jw("CRATE", "TRACE") === 0.73333333333333339) // boost gated: prefix 0
+    assert(jw("abcdefgh", "badcfehg") === 0.83333333333333337)
+    assert(jw("a", "ab") === 0.85000000000000009)
+    assert(jw("aaaa", "aaaa") === 1.0)
+    assert(jw("", "") === 0.0)       // DuckDB: empty is NOT a perfect match
+    assert(jw("a", "") === 0.0)
+    assert(jw("abc", "bca") === 0.0) // window 0: no same-position chars
+    // integer transposition halving: 3 mismatched matches -> t=1, not 1.5
+    assert(jw("abcdef", "bcadef") === 0.94444444444444453 +
+      0.0 * 0.1) // jaro face: no common prefix, boost adds nothing
+  }
+
+  test("jaroWinklerPairs blocks by prefix+length and scores survivors") {
+    val names = Seq((1L, "red widget"), (2L, "red widgte"), // transposed tail
+      (3L, "red bolt"),                                     // same block, low sim
+      (4L, "blue widget")                                   // different block
+    ).toDF("id", "name")
+    val got = Dedup.jaroWinklerPairs(names, "id", "name", minSim = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.97999999999999998)))
+    // dropping the threshold surfaces the same-block low-sim pair too,
+    // but NEVER the cross-block one (blocking is structural)
+    val loose = Dedup.jaroWinklerPairs(names, "id", "name", minSim = 0.0,
+        maxLenDiff = 10)
+      .as[(Long, Long, Double)].collect().toSeq.map(p => (p._1, p._2))
+    assert(loose.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }

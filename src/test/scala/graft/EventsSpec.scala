@@ -454,6 +454,27 @@ class EventsSpec extends SparkSpec {
     assert(got === Seq((1L, 20L * 60000000L)))
   }
 
+  test("debounce keeps an event iff it opens a >= window gap (memoryless)") {
+    val ev = Seq(
+      (1L, ts(0), 10L), (1L, ts(1), 11L), (1L, ts(2), 12L), // chain collapses
+      (1L, ts(30), 13L),                                    // fresh gap: kept
+      (2L, ts(0), 20L)                                      // other key: kept
+    ).toDF("user_id", "ts", "event_id")
+    val got = Events.debounce(ev, Seq("user_id"), "ts",
+        windowSeconds = 120L, tieCol = "event_id")
+      .orderBy("event_id").select("event_id").as[Long].collect().toSeq
+    // the 3-event burst keeps only its head: t=1 and t=2 both sit within
+    // 2 min of their PREDECESSOR (not of the last kept event)
+    assert(got === Seq(10L, 13L, 20L))
+  }
+
+  test("debounce breaks timestamp ties by the tie column") {
+    val ev = Seq((1L, ts(0), 5L), (1L, ts(0), 3L)).toDF("user_id", "ts", "id")
+    val got = Events.debounce(ev, Seq("user_id"), "ts", 60L, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(3L)) // lower tie id wins; duplicate dropped
+  }
+
   test("scd2Intervals run-length-encodes attribute changes") {
     val ev = Seq((1L, ts(0), 1L, "x"), (1L, ts(10), 2L, "x"),
       (1L, ts(20), 3L, "y"), (1L, ts(30), 4L, "x"))

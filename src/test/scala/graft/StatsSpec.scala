@@ -415,4 +415,67 @@ class StatsSpec extends SparkSpec {
     assert(got.map(_._1) === (1 to 9) &&
       got.tail.forall(r => r._2 === 1L && r._3 === 1000L / 19L))
   }
+
+  test("cohenKappa computes exact po/pe/kappa from integer marginals") {
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("a", "b"), ("b", "a"))
+      .toDF("r1", "r2")
+    // N=5, agree=3, marginals a:3/b:2 both sides, cross = 9+4 = 13
+    val got = Stats.cohenKappa(df, "r1", "r2")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(got === ((5L, 3L, 13L, 3.0 / 5.0, 13.0 / 25.0, 2.0 / 12.0)))
+  }
+
+  test("cohenKappa is 1 on perfect agreement and 0 at chance") {
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("r1", "r2")
+    assert(Stats.cohenKappa(perfect, "r1", "r2")
+      .select("kappa").as[Double].head === 1.0)
+    // 2x2 uniform: po = 0.5 = pe -> kappa 0
+    val chance = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("r1", "r2")
+    assert(Stats.cohenKappa(chance, "r1", "r2")
+      .select("kappa").as[Double].head === 0.0)
+  }
+
+  test("anovaOneWay reproduces the closed-form decomposition") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 4L), ("g2", 5L), ("g2", 6L)).toDF("g", "v")
+    val got = Stats.anovaOneWay(df, "g", "v")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    // S=21 Q=91; sum s_g^2/n_g = 12 + 75 = 87; SSB = 87 - 73.5 = 13.5
+    // SSW = 91 - 87 = 4; F = (13.5/1)/(4/4) = 13.5
+    assert(got === ((2L, 6L, 21.0, 91.0, 13.5, 4.0, 13.5)))
+  }
+
+  test("anovaOneWay F is huge when groups are exactly separated") {
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 20L), ("b", 20L)).toDF("g", "v")
+    val r = Stats.anovaOneWay(df, "g", "v")
+      .select("ss_between", "ss_within").as[(Double, Double)].head
+    assert(r === ((100.0, 0.0))) // all variance between groups
+  }
+
+  test("bhReject is a step-up procedure: a late pass rescues earlier ranks") {
+    val df = Seq(("t1", 0.06), ("t2", 0.09)).toDF("id", "p")
+    // q=0.1, m=2: p(1)=0.06 > 0.05 fails, p(2)=0.09 <= 0.10 passes
+    // -> cutoff 2 -> BOTH rejected (the step-up hallmark)
+    val got = Stats.bhReject(df, "id", "p", qNum = 10, qDenom = 100)
+      .orderBy("rank").as[(String, Double, Int, Boolean)].collect().toSeq
+    assert(got.map(_._4) === Seq(true, true))
+  }
+
+  test("bhReject cuts at the last passing rank and never past it") {
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.5))
+      .toDF("id", "p")
+    val got = Stats.bhReject(df, "id", "p") // q = 0.05
+      .orderBy("rank").as[(String, Double, Int, Boolean)].collect().toSeq
+    assert(got.map(_._4) === Seq(true, true, true, false))
+    assert(got.map(_._3) === Seq(1, 2, 3, 4))
+  }
+
+  test("bhReject rejects nothing when no rank passes") {
+    val df = Seq(("a", 0.9), ("b", 0.95)).toDF("id", "p")
+    val got = Stats.bhReject(df, "id", "p")
+      .select("rejected").as[Boolean].collect().toSeq
+    assert(got === Seq(false, false))
+  }
 }
