@@ -3390,6 +3390,75 @@ object Queries {
         col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
       .orderBy("token")
 
+  /** Fleiss'-kappa gate: 3 simulated raters per document (explode of
+    * 0..2), each mostly agreeing on a doc-derived category with a
+    * rater-dependent disagreement arm — deterministic, SQL-replicable,
+    * constant r=3 by construction (the Fleiss precondition). */
+  def q242Fleiss(s: SparkSession, dir: String): DataFrame = {
+    val ratings = t(s, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("t"))
+      .select(col("doc_id"),
+        when((col("doc_id") + col("t") * 7) % 5 < 3,
+          concat(lit("c"), (col("doc_id") % 4).cast("string")))
+          .otherwise(concat(lit("c"),
+            ((col("doc_id") + col("t")) % 4).cast("string"))).as("cat"))
+    graft.operators.Stats.fleissKappa(ratings, "doc_id", "cat")
+  }
+
+  /** Kruskal–Wallis gate over event cents by type — the rank twin of
+    * q237's ANOVA on the same slice. Midranks come from the value
+    * CENSUS (rank windows over distinct values only), rank-sums are
+    * DECIMAL(38,0), their squares ride the VARCHAR-mediated oracle
+    * cast, and the cross-group fold is sorted (the q237 recipe). */
+  def q243Kruskal(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type").as("g"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Stats.kruskalWallis(ev, "g", "cents")
+  }
+
+  /** Calibration-bin gate: md5-slice scores (num / 2^24, the standing
+    * uniform convention) with labels drawn from a SECOND md5 slice
+    * compared against the first — Bernoulli(score) by construction, so
+    * the table is genuinely calibrated and every gap is small but
+    * nonzero. All bin moments exact integers; three fixed divisions
+    * per row. */
+  def q244Calibration(s: SparkSession, dir: String): DataFrame = {
+    val num = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long")
+    val y = (conv(substring(md5(col("text")), 7, 6), 16, 10).cast("long")
+      < num).cast("long")
+    val scored = t(s, dir, "documents")
+      .select(num.as("num"), y.as("y"))
+    graft.operators.Stats.calibrationBins(scored, "num", 16777216L, "y")
+      .orderBy("bin")
+  }
+
+  /** Brier-decomposition gate on the q244 scored table: the score sum
+    * of squares exceeds 2^53 at sf0.01, so every moment rides
+    * DECIMAL(38,0) on the Spark side and the VARCHAR-mediated cast in
+    * the oracle (the q216 lesson); REL/RES per-bin squared gaps are
+    * cross-multiplied to exact integers and folded in bin order. */
+  def q245Brier(s: SparkSession, dir: String): DataFrame = {
+    val num = conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long")
+    val y = (conv(substring(md5(col("text")), 7, 6), 16, 10).cast("long")
+      < num).cast("long")
+    val scored = t(s, dir, "documents")
+      .select(num.as("num"), y.as("y"))
+    graft.operators.Stats.brierDecomposition(scored, "num", 16777216L, "y")
+  }
+
+  /** ACF gate: per-day event cents totals (calendar-bounded series),
+    * lags 1..7 — each coefficient ONE division of two DECIMAL(38,0)
+    * exact moments (N²·XX − N·S·(H+T) + (N−l)·S² over N·(N·Q − S²)),
+    * VARCHAR-mediated in the oracle since the products pass 2^53. */
+  def q246Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+    graft.operators.Stats.acf(daily, "day", "x", maxLag = 7)
+      .orderBy("lag")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4283,7 +4352,12 @@ object Queries {
     "q238_bh_fdr" -> (q238BhFdr _),
     "q239_jw_pairs" -> (q239JwPairs _),
     "q240_debounce" -> (q240Debounce _),
-    "q241_js_tokens" -> (q241JsTokens _)
+    "q241_js_tokens" -> (q241JsTokens _),
+    "q242_fleiss" -> (q242Fleiss _),
+    "q243_kruskal" -> (q243Kruskal _),
+    "q244_calibration" -> (q244Calibration _),
+    "q245_brier" -> (q245Brier _),
+    "q246_acf" -> (q246Acf _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6293,6 +6367,116 @@ object Queries {
         |  CASE WHEN c_a > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END AS d_a,
         |  CASE WHEN c_b > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END AS d_b
         |FROM d ORDER BY token""".stripMargin,
+    "q242_fleiss" ->
+      """WITH r AS MATERIALIZED (SELECT doc_id,
+        |  CASE WHEN (doc_id + u.t * 7) % 5 < 3
+        |    THEN 'c' || CAST(doc_id % 4 AS VARCHAR)
+        |    ELSE 'c' || CAST((doc_id + u.t) % 4 AS VARCHAR) END AS cat
+        | FROM documents CROSS JOIN range(0, 3) AS u(t)),
+        |nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n
+        | FROM r GROUP BY doc_id, cat),
+        |it AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS items,
+        |  CAST(sum(n * n) AS BIGINT) AS s2 FROM nij),
+        |ca AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS c2
+        | FROM (SELECT cat, sum(n) AS cj FROM nij GROUP BY cat)),
+        |f AS (SELECT items, t // items AS r, s2, c2,
+        |  CAST(s2 - t AS DOUBLE) /
+        |    CAST(t * ((t // items) - 1) AS DOUBLE) AS p_bar,
+        |  CAST(c2 AS DOUBLE) / CAST(t * t AS DOUBLE) AS pe
+        | FROM it, ca)
+        |SELECT items AS n_items, r AS n_raters, s2, c2, p_bar, pe,
+        |  (p_bar - pe) / (1.0 - pe) AS kappa FROM f""".stripMargin,
+    "q243_kruskal" ->
+      """WITH b AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        | FROM events),
+        |ngv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS ngv
+        | FROM b GROUP BY g, v),
+        |cen AS (SELECT v, CAST(sum(ngv) AS BIGINT) AS t
+        | FROM ngv GROUP BY v),
+        |cum AS (SELECT v, t, coalesce(sum(t) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM cen),
+        |pg AS (SELECT g, CAST(sum(ngv) AS BIGINT) AS ng,
+        |  CAST(sum(CAST(ngv AS HUGEINT) * (2 * cum + t + 1)) AS HUGEINT)
+        |    AS s2g
+        | FROM ngv JOIN cum USING (v) GROUP BY g),
+        |tie AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT)
+        |    AS tie,
+        |  CAST(sum(t) AS BIGINT) AS n FROM cen),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  list_sum(list(CAST(CAST(s2g * s2g AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(4 * CAST(ng AS HUGEINT) AS VARCHAR) AS DOUBLE)
+        |    ORDER BY g)) AS sq
+        | FROM pg),
+        |h AS (SELECT k, n, tie,
+        |  12.0 * sq / CAST(CAST(CAST(n AS HUGEINT) * (n + 1) AS VARCHAR)
+        |    AS DOUBLE) - 3.0 * CAST(n + 1 AS DOUBLE) AS h
+        | FROM f, tie)
+        |SELECT k, n, tie AS tie_sum, h,
+        |  h / (1.0 - CAST(tie AS DOUBLE) /
+        |    CAST(CAST(CAST(n AS HUGEINT) * n * n - n AS VARCHAR)
+        |      AS DOUBLE)) AS h_adj
+        |FROM h""".stripMargin,
+    "q244_calibration" ->
+      """WITH s AS MATERIALIZED (SELECT
+        |  CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS num,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) <
+        |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT)
+        |    THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |b AS (SELECT least((num * 10) // 16777216, 9) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(num) AS BIGINT) AS sum_num
+        | FROM s GROUP BY 1)
+        |SELECT bin, n, n_pos, sum_num,
+        |  CAST(sum_num AS DOUBLE) / CAST(n * 16777216 AS DOUBLE)
+        |    AS mean_pred,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    CAST(sum_num AS DOUBLE) / CAST(n * 16777216 AS DOUBLE) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
+    "q245_brier" ->
+      """WITH s AS MATERIALIZED (SELECT
+        |  CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS num,
+        |  CASE WHEN CAST(('0x' || substr(md5(text), 7, 6)) AS BIGINT) <
+        |    CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT)
+        |    THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |b AS (SELECT least((num * 10) // 16777216, 9) AS bin,
+        |  CAST(count(*) AS HUGEINT) AS nb, CAST(sum(y) AS HUGEINT) AS pb,
+        |  CAST(sum(CAST(num AS HUGEINT)) AS HUGEINT) AS sb,
+        |  CAST(sum(CAST(num AS HUGEINT) * num) AS HUGEINT) AS qb,
+        |  CAST(sum(CAST(num AS HUGEINT) * y) AS HUGEINT) AS xb
+        | FROM s GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nb) AS HUGEINT) AS n,
+        |  CAST(sum(pb) AS HUGEINT) AS p, CAST(sum(qb) AS HUGEINT) AS q,
+        |  CAST(sum(xb) AS HUGEINT) AS x FROM b),
+        |f AS (SELECT
+        |  list_sum(list(
+        |    CAST(CAST((sb - 16777216 * pb) * (sb - 16777216 * pb)
+        |      AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(nb * 16777216 * 16777216 AS VARCHAR) AS DOUBLE)
+        |    ORDER BY bin)) AS relsum,
+        |  list_sum(list(
+        |    CAST(CAST((tot.n * pb - nb * tot.p) * (tot.n * pb - nb * tot.p)
+        |      AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(nb * tot.n * tot.n AS VARCHAR) AS DOUBLE)
+        |    ORDER BY bin)) AS ressum
+        | FROM b, tot)
+        |SELECT CAST(tot.n AS BIGINT) AS n,
+        |  (CAST(CAST(tot.q AS VARCHAR) AS DOUBLE) -
+        |    33554432.0 * CAST(CAST(tot.x AS VARCHAR) AS DOUBLE) +
+        |    281474976710656.0 * CAST(CAST(tot.p AS VARCHAR) AS DOUBLE)) /
+        |   CAST(CAST(tot.n * 16777216 * 16777216 AS VARCHAR) AS DOUBLE)
+        |    AS brier,
+        |  f.relsum / CAST(CAST(tot.n AS VARCHAR) AS DOUBLE) AS reliability,
+        |  f.ressum / CAST(CAST(tot.n AS VARCHAR) AS DOUBLE) AS resolution,
+        |  CAST(CAST(tot.p * (tot.n - tot.p) AS VARCHAR) AS DOUBLE) /
+        |   CAST(CAST(tot.n * tot.n AS VARCHAR) AS DOUBLE) AS uncertainty
+        |FROM tot, f""".stripMargin,
+    "q246_acf" -> acfOracle(7),
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->
@@ -8100,6 +8284,38 @@ object Queries {
     * least/greatest pair), mirroring the engine composition
     * term-for-term: deg = Σ out-weights, contribution
     * pr·(w/deg), src-sorted list_sum folds, IEEE 1−d. */
+  /** q246 oracle generator: per-day cents series, lag columns 1..maxLag,
+    * exact HUGEINT moments, and per-lag the single-division ACF chain
+    * with VARCHAR-mediated casts (the q216 lesson — the products pass
+    * 2^53). Mirrors [[graft.operators.Stats.acf]] term-for-term. */
+  private def acfOracle(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(l =>
+      s"lag(x, $l) OVER (ORDER BY day) AS x$l").mkString(",\n  ")
+    val momCols = (1 to maxLag).map(l =>
+      s"""sum(x * x$l) AS xx$l,
+         |  sum(CASE WHEN x$l IS NOT NULL THEN x END) AS t$l,
+         |  sum(x$l) AS h$l""".stripMargin).mkString(",\n  ")
+    val lagRows = (1 to maxLag).map(l =>
+      s"""SELECT $l AS lag,
+         |  CAST(CAST(n * n * xx$l - n * s * (h$l + t$l) +
+         |    (n - $l) * s * s AS VARCHAR) AS DOUBLE) /
+         |  CAST(CAST(n * (n * q - s * s) AS VARCHAR) AS DOUBLE) AS acf
+         |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH b AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day,
+       |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |    AS HUGEINT) AS x
+       | FROM events GROUP BY day),
+       |l AS (SELECT x,
+       |  $lagCols
+       | FROM b),
+       |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+       |  sum(x * x) AS q,
+       |  $momCols
+       | FROM l)
+       |$lagRows
+       |ORDER BY lag""".stripMargin
+  }
+
   private def textRankOracle(iters: Int): String = {
     val oneMinusD = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
     val rounds = (1 to iters).map { i =>

@@ -977,4 +977,236 @@ object Stats {
           expr("(n * 1000) div __tot").as("permille"))
     }
   }
+
+  /** Fleiss' kappa — the multi-rater generalization of
+    * [[cohenKappa]] (r raters assign each item one of k categories;
+    * did they agree beyond chance?). Input is the long rating shape:
+    * one row per (item, rating). Contract: every item carries the SAME
+    * number of ratings r (the Fleiss precondition); r is derived as
+    * total div items and spec-pinned.
+    *
+    * Exact by construction: S2 = Σ_ij n_ij² and C2 = Σ_j c_j² are
+    * BIGINT folds over the (item, category) census, and
+    * p_bar = (S2 − T) / (T(r−1)), pe = C2 / T², kappa =
+    * (p_bar − pe) / (1 − pe) are each a fixed IEEE chain over those
+    * exact integers (T = total ratings) — the same chain DuckDB
+    * evaluates, so the gate compares bit-for-bit.
+    *
+    * Scale: one (item, category) groupBy (map-side combined), then two
+    * tiny aggregations — the item census shrinks to |items| rows and
+    * the category census to |k| rows; no all-ratings shuffle beyond
+    * the first census. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val nij = df.groupBy(col(itemCol).as("__i"),
+        col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    Exec.withPersisted(nij) {
+      val items = nij.agg(
+        sum(col("__n")).as("__t"),
+        count_distinct(col("__i")).as("__items"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      val cats = nij.groupBy("__c").agg(sum(col("__n")).as("__cj"))
+        .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__c2"))
+      def dbl(c: Column): Column = c.cast("double")
+      items.crossJoin(broadcast(cats))
+        .withColumn("__r", expr("__t div __items"))
+        .withColumn("__pbar",
+          dbl(col("__s2") - col("__t")) /
+            dbl(col("__t") * (col("__r") - 1)))
+        .withColumn("__pe", dbl(col("__c2")) / dbl(col("__t") * col("__t")))
+        .select(col("__items").as("n_items"), col("__r").as("n_raters"),
+          col("__s2").as("s2"), col("__c2").as("c2"),
+          col("__pbar").as("p_bar"), col("__pe").as("pe"),
+          ((col("__pbar") - col("__pe")) / (lit(1.0d) - col("__pe")))
+            .as("kappa"))
+    }
+  }
+
+  /** Kruskal–Wallis H (rank one-way ANOVA) over an integral value
+    * column, with the tie correction. Midranks ride the
+    * [[mannWhitneyU2]] doubling trick — 2·midrank = 2·cum + t + 1 is
+    * an exact BIGINT — but computed over the VALUE CENSUS, not the
+    * rows: rank windows run over |distinct values| (vocabulary-sized),
+    * never a global per-row sort, so the plan survives 10⁹ rows with a
+    * skew-free (group, value) shuffle plus a tiny census window.
+    *
+    * H = 12/(N(N+1)) · Σ_g S_g²/(4·n_g) · ... carried as: per-group
+    * rank-sums S2_g = Σ n_gv(2cum_v + t_v + 1) exact DECIMAL(38,0),
+    * the cross-group Σ (S2_g)²/(4n_g) a SORTED sequential fold (the
+    * q237 ANOVA convention; squares >2^53 go through the
+    * VARCHAR-mediated oracle cast), tie term Σ(t³−t) exact, and
+    * h / h_adj each one fixed IEEE chain. Emits ONE row:
+    * k, n, tie_sum, h, h_adj. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val ngv = df.groupBy(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__ngv"))
+    Exec.withPersisted(ngv) {
+      val census = ngv.groupBy("__v").agg(sum(col("__ngv")).as("__t"))
+        .withColumn("__cum",
+          coalesce(sum(col("__t")).over(Window.orderBy(col("__v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val perGroup = ngv.join(census, Seq("__v"))
+        .groupBy("__g")
+        .agg(sum(col("__ngv")).as("__ng"),
+          sum(col("__ngv").cast(d38) *
+            (lit(2) * col("__cum") + col("__t") + 1)).as("__s2g"))
+      val ties = census.agg(
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"),
+        sum(col("__t")).as("__n"))
+      def dbl(c: Column): Column = c.cast("double")
+      perGroup.agg(
+          count(lit(1)).as("k"),
+          // deterministic cross-group fold in group order (q237 recipe)
+          aggregate(
+            sort_array(collect_list(struct(col("__g"),
+              (dbl(col("__s2g") * col("__s2g")) /
+                dbl(lit(4).cast(d38) * col("__ng"))).as("__term")))),
+            lit(0.0d), (acc, s) => acc + s.getField("__term")).as("__sq"))
+        .crossJoin(broadcast(ties))
+        .withColumn("__h",
+          lit(12.0d) * col("__sq") /
+            dbl(col("__n").cast(d38) * (col("__n") + 1)) -
+            lit(3.0d) * dbl(col("__n") + 1))
+        .select(col("k"), col("__n").as("n"), col("__tie").as("tie_sum"),
+          col("__h").as("h"),
+          (col("__h") / (lit(1.0d) - dbl(col("__tie")) /
+            dbl(col("__n").cast(d38) * col("__n") * col("__n") -
+              col("__n")))).as("h_adj"))
+    }
+  }
+
+  /** Calibration (reliability) bins for an integer-rational score —
+    * the model-eval staple (is a quality/domain classifier's 0.7
+    * actually 70%?). Scores enter as an integer numerator over a fixed
+    * power-of-two denominator (the md5-slice convention used by every
+    * score gate here), so binning (num·bins div den, capped) and every
+    * per-bin moment (n, n_pos, Σnum) are EXACT integers;
+    * mean_pred = Σnum/(n·den), frac_pos and gap are each one fixed
+    * IEEE chain. One groupBy to ≤`bins` rows — map-side combined,
+    * trivially scale-safe. */
+  def calibrationBins(df: DataFrame, scoreNumCol: String,
+      scoreDen: Long, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    df.select(col(scoreNumCol).cast("long").as("__num"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__bin",
+        least(expr(s"(__num * $bins) div ${scoreDen}L"), lit(bins - 1)))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__num").cast(d38)).as("__snum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("__snum").cast("long").as("sum_num"),
+        (dbl(col("__snum")) / dbl(col("n").cast(d38) * scoreDen))
+          .as("mean_pred"),
+        (dbl(col("n_pos")) / dbl(col("n"))).as("frac_pos"),
+        (dbl(col("n_pos")) / dbl(col("n")) -
+          dbl(col("__snum")) / dbl(col("n").cast(d38) * scoreDen))
+          .as("gap"))
+  }
+
+  /** Brier score with the Murphy reliability/resolution/uncertainty
+    * decomposition, all-exact: with p = num/den,
+    * Σ(p−y)² = (Σnum² − 2·den·Σ(num·y) + den²·Σy)/den² is a pure
+    * DECIMAL(38,0) fold (ONE final division by n·den²);
+    * REL = Σ_b (Σnum_b − den·pos_b)²/(n_b·den²) / N and
+    * RES = Σ_b (N·pos_b − n_b·P)²/(n_b·N²) / N cross-multiply each
+    * bin's squared gap to exact integers (one division per bin, sorted
+    * fold over ≤bins terms — the q237 convention), and
+    * UNC = P(N−P)/N² is one division. The >2^53 squares ride the
+    * VARCHAR-mediated oracle cast (q216 lesson). Emits ONE row.
+    * Note brier ≠ rel − res + unc exactly — binning makes the Murphy
+    * identity hold only when forecasts are constant within bins. */
+  def brierDecomposition(df: DataFrame, scoreNumCol: String,
+      scoreDen: Long, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(scoreNumCol).cast("long").as("__num"),
+        col(labelCol).cast("long").as("__y"))
+      .withColumn("__bin",
+        least(expr(s"(__num * $bins) div ${scoreDen}L"), lit(bins - 1)))
+    val perBin = base.groupBy("__bin")
+      .agg(count(lit(1)).cast(d38).as("__nb"), sum(col("__y")).cast(d38)
+        .as("__pb"), sum(col("__num").cast(d38)).as("__sb"),
+        sum(col("__num").cast(d38) * col("__num")).as("__qb"),
+        sum(col("__num").cast(d38) * col("__y")).as("__xb"))
+    perBin.agg(
+        sum(col("__nb")).as("__n"), sum(col("__pb")).as("__p"),
+        sum(col("__qb")).as("__q"), sum(col("__xb")).as("__x"),
+        collect_list(struct(col("__bin"), col("__nb"), col("__pb"),
+          col("__sb"))).as("__bins"))
+      .withColumn("__relsum",
+        aggregate(sort_array(col("__bins")), lit(0.0d), (acc, b) => {
+          val gap = b.getField("__sb") - lit(scoreDen).cast(d38) *
+            b.getField("__pb")
+          acc + dbl(gap * gap) /
+            dbl(b.getField("__nb") * scoreDen * scoreDen)
+        }))
+      .withColumn("__ressum",
+        aggregate(sort_array(col("__bins")), lit(0.0d), (acc, b) => {
+          val gap = col("__n") * b.getField("__pb") -
+            b.getField("__nb") * col("__p")
+          acc + dbl(gap * gap) /
+            dbl(b.getField("__nb") * col("__n") * col("__n"))
+        }))
+      .select(col("__n").cast("long").as("n"),
+        ((dbl(col("__q")) - lit(2.0d * scoreDen) * dbl(col("__x")) +
+          lit(scoreDen.toDouble * scoreDen) * dbl(col("__p"))) /
+          dbl(col("__n") * scoreDen * scoreDen)).as("brier"),
+        (col("__relsum") / dbl(col("__n"))).as("reliability"),
+        (col("__ressum") / dbl(col("__n"))).as("resolution"),
+        (dbl(col("__p") * (col("__n") - col("__p"))) /
+          dbl(col("__n") * col("__n"))).as("uncertainty"))
+  }
+
+  /** Exact autocorrelation function at lags 1..`maxLag` over a
+    * row-positional integral series (the caller pre-aggregates to the
+    * series grain — e.g. per-day sums — so the input is
+    * calendar-bounded; the global order window is over that tiny
+    * series, never raw rows). Positional semantics: lag l pairs the
+    * t-th observation with the (t−l)-th in `idxCol` order — gaps in
+    * the index are NOT filled (same as any engine's lag()).
+    *
+    * Full-series-mean estimator, fully exact: with S=Σx, Q=Σx²,
+    * XX_l=Σx_t·x_{t−l}, H_l/T_l the overlap sums of each side,
+    * r_l = (N²·XX_l − N·S·(H_l+T_l) + (N−l)·S²) / (N·(N·Q − S²)) —
+    * every term a DECIMAL(38,0) product (>2^53 rides the VARCHAR
+    * oracle cast), ONE division per lag. */
+  def acf(df: DataFrame, idxCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val d38 = DecimalType(38, 0)
+    val w = Window.orderBy(col(idxCol))
+    val lagged = (1 to maxLag).foldLeft(
+      df.select(col(idxCol), col(valueCol).cast(d38).as("__x"))) {
+      (d, l) => d.withColumn(s"__x$l", lag(col("__x"), l).over(w))
+    }
+    val aggs =
+      Seq(count(lit(1)).cast(d38).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__q")) ++
+      (1 to maxLag).flatMap { l =>
+        Seq(sum(col("__x") * col(s"__x$l")).as(s"__xx$l"),
+          sum(when(col(s"__x$l").isNotNull, col("__x"))).as(s"__t$l"),
+          sum(col(s"__x$l")).as(s"__h$l"))
+      }
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    def dbl(c: Column): Column = c.cast("double")
+    val rows = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"),
+        (dbl(col("__n") * col("__n") * col(s"__xx$l") -
+          col("__n") * col("__s") * (col(s"__h$l") + col(s"__t$l")) +
+          (col("__n") - l) * col("__s") * col("__s")) /
+          dbl(col("__n") *
+            (col("__n") * col("__q") - col("__s") * col("__s"))))
+          .as("acf"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.lag").as("lag"), col("__r.acf").as("acf"))
+  }
 }

@@ -478,4 +478,94 @@ class StatsSpec extends SparkSpec {
       .select("rejected").as[Boolean].collect().toSeq
     assert(got === Seq(false, false))
   }
+
+  test("fleissKappa matches the hand-computed 3-item 2-rater example") {
+    // item1: A,A  item2: A,B  item3: B,B -> S2=10, T=6, r=2, C2=18
+    val df = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B")).toDF("item", "cat")
+    val got = Stats.fleissKappa(df, "item", "cat")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    val pBar = 4.0 / 6.0
+    val pe = 18.0 / 36.0
+    assert(got === ((3L, 2L, 10L, 18L, pBar, pe, (pBar - pe) / (1.0 - pe))))
+  }
+
+  test("fleissKappa is exactly 1 under perfect agreement") {
+    val df = Seq((1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "B"), (2L, "B"), (2L, "B")).toDF("item", "cat")
+    val got = Stats.fleissKappa(df, "item", "cat")
+      .select("kappa", "n_raters").as[(Double, Long)].collect().head
+    assert(got === ((1.0, 3L)))
+  }
+
+  test("kruskalWallis matches the tie-free hand example and h_adj = h") {
+    // a: 1,3,5  b: 2,4,6 -> R_a=9, R_b=12, H = 150/7 - 21
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 2L), ("b", 4L), ("b", 6L)).toDF("g", "v")
+    val got = Stats.kruskalWallis(df, "g", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val sq = 0.0 + (18.0 * 18.0) / 12.0 + (24.0 * 24.0) / 12.0
+    val h = 12.0 * sq / 42.0 - 3.0 * 7.0
+    assert(got === ((2L, 6L, 0L, h, h / 1.0)))
+  }
+
+  test("kruskalWallis applies the tie correction via midranks") {
+    // a: 1,2,2  b: 2,3 -> 2-midranks 2,6,6 / 6,10; tie block t=3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val got = Stats.kruskalWallis(df, "g", "v")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val sq = 0.0 + (14.0 * 14.0) / 12.0 + (16.0 * 16.0) / 8.0
+    val h = 12.0 * sq / 30.0 - 3.0 * 6.0
+    assert(got === ((2L, 5L, 24L, h, h / (1.0 - 24.0 / 120.0))))
+  }
+
+  test("calibrationBins: exact integer bin moments, capped top bin") {
+    // den=8, bins=4: num 1,1 -> bin 0; num 6,7 -> bin 3 (7*4 div 8 = 3)
+    val df = Seq((1L, 0L), (1L, 1L), (7L, 1L), (6L, 0L)).toDF("num", "y")
+    val got = Stats.calibrationBins(df, "num", 8L, "y", bins = 4)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 2L, 2.0 / 16.0, 0.5, 0.5 - 2.0 / 16.0),
+      (3L, 2L, 1L, 13L, 13.0 / 16.0, 0.5, 0.5 - 13.0 / 16.0)))
+  }
+
+  test("calibrationBins caps overflow scores into the last bin") {
+    val df = Seq((8L, 1L)).toDF("num", "y") // num = den -> capped to 3
+    val got = Stats.calibrationBins(df, "num", 8L, "y", bins = 4)
+      .select("bin").as[Long].collect().toSeq
+    assert(got === Seq(3L))
+  }
+
+  test("brierDecomposition matches the hand-computed 4-row example") {
+    // den=2: p = 0, 1, .5, .5 vs y = 0, 1, 1, 0 -> brier = 0.125
+    val df = Seq((0L, 0L), (2L, 1L), (1L, 1L), (1L, 0L)).toDF("num", "y")
+    val got = Stats.brierDecomposition(df, "num", 2L, "y", bins = 2)
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    val brier = (6.0 - 4.0 * 3.0 + 4.0 * 2.0) / 16.0
+    val rel = (0.0 + 0.0 / 4.0 + 0.0 / 12.0) / 4.0
+    val res = (0.0 + 4.0 / 16.0 + 4.0 / 48.0) / 4.0
+    assert(got === ((4L, brier, rel, res, 4.0 / 16.0)))
+  }
+
+  test("acf on an alternating series: exact -5/6, 4/6, -3/6 pattern") {
+    val df = (1 to 6).map(i => (i.toLong, if (i % 2 == 1) 1L else -1L))
+      .toDF("idx", "x")
+    val got = Stats.acf(df, "idx", "x", maxLag = 3)
+      .orderBy("lag").as[(Int, Double)].collect().toSeq
+    // S = 0 so r_l = N²·XX_l / (N·N·Q): -180/216, 144/216, -108/216
+    assert(got === Seq((1, -180.0 / 216.0), (2, 144.0 / 216.0),
+      (3, -108.0 / 216.0)))
+  }
+
+  test("acf is positional: index gaps do not null out lag pairs") {
+    val dense = Seq((1L, 3L), (2L, 5L), (3L, 4L)).toDF("idx", "x")
+    val gappy = Seq((10L, 3L), (20L, 5L), (40L, 4L)).toDF("idx", "x")
+    val a = Stats.acf(dense, "idx", "x", 1).as[(Int, Double)].collect().head
+    val b = Stats.acf(gappy, "idx", "x", 1).as[(Int, Double)].collect().head
+    assert(a === b)
+  }
 }
