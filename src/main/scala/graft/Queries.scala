@@ -3459,6 +3459,62 @@ object Queries {
       .orderBy("lag")
   }
 
+  /** Borůvka MSF gate: 25 disjoint 8-node cycles (orders mod-200
+    * residues, all present at every sf) with injective deterministic
+    * weights — a cycle's MSF is closed-form (all edges minus its
+    * max-weight edge), so the oracle is a per-cycle argmax exclusion
+    * while the ENGINE must earn it through three merge rounds (8-node
+    * cycles halve 8 → 4 → 2 → 1). */
+  def q247Msf(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "orders")
+      .select((col("o_orderkey") % 200).as("i")).distinct()
+    val edges = nodes.select(col("i").as("src"),
+      when(col("i") % 8 === 7, col("i") - 7)
+        .otherwise(col("i") + 1).as("dst"),
+      (((col("i") * 7919) % 104729) * 1000 + col("i")).as("w"))
+    graft.operators.GraphAlgos.minSpanningForest(edges, "src", "dst", "w")
+      .orderBy("u", "v")
+  }
+
+  /** Densest-subgraph gate: a 200-node ring (background, avg degree 2)
+    * with a planted 20-clique — the peel must shed the ring in round 0
+    * and crown the clique (ρ = 9.5) in round 1. ε = 1 exact-rational
+    * threshold (deg·V ≤ 2·A), best-round selection under strict
+    * cross-multiplied density comparison; the oracle replays the peel
+    * MATERIALIZED round by round (the q116 k-core convention) and
+    * picks the best round via a NOT EXISTS over the exact stats. */
+  def q248Densest(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "orders")
+      .select((col("o_orderkey") % 200).as("i")).distinct()
+    val ring = nodes.select(col("i").as("src"),
+      ((col("i") + 1) % 200).as("dst"))
+    val nl = nodes.select(col("i").as("a")).filter(col("a") < 20)
+    val clique = nl.crossJoin(nl.select(col("a").as("b")))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    graft.operators.GraphAlgos.densestSubgraph(
+        ring.unionByName(clique), "src", "dst",
+        epsNum = 1, epsDen = 1, maxRounds = 16)
+      .orderBy("node")
+  }
+
+  /** Markov-stationary gate: the event-type transition chain (per-user
+    * consecutive pairs, counted), 6 power-iteration rounds from the
+    * uniform start with source-sorted exact folds — the q98 PageRank
+    * determinism contract applied to the transition matrix; dangling
+    * states hold their mass (conservation is the self-check). */
+  def q249Stationary(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.GraphAlgos.markovStationary(tr, "src", "dst", "w",
+        iterations = 6, exactFolds = true)
+      .orderBy("node")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4357,7 +4413,10 @@ object Queries {
     "q243_kruskal" -> (q243Kruskal _),
     "q244_calibration" -> (q244Calibration _),
     "q245_brier" -> (q245Brier _),
-    "q246_acf" -> (q246Acf _)
+    "q246_acf" -> (q246Acf _),
+    "q247_msf" -> (q247Msf _),
+    "q248_densest" -> (q248Densest _),
+    "q249_stationary" -> (q249Stationary _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6477,6 +6536,22 @@ object Queries {
         |   CAST(CAST(tot.n * tot.n AS VARCHAR) AS DOUBLE) AS uncertainty
         |FROM tot, f""".stripMargin,
     "q246_acf" -> acfOracle(7),
+    "q247_msf" ->
+      """WITH n AS MATERIALIZED (SELECT DISTINCT o_orderkey % 200 AS i
+        | FROM orders),
+        |e AS MATERIALIZED (SELECT
+        |  least(i, CASE WHEN i % 8 = 7 THEN i - 7 ELSE i + 1 END) AS u,
+        |  greatest(i, CASE WHEN i % 8 = 7 THEN i - 7 ELSE i + 1 END)
+        |    AS v,
+        |  ((i * 7919) % 104729) * 1000 + i AS w,
+        |  i // 8 AS cyc
+        | FROM n),
+        |r AS (SELECT u, v, w,
+        |  row_number() OVER (PARTITION BY cyc ORDER BY w DESC) AS rn
+        | FROM e)
+        |SELECT u, v, w FROM r WHERE rn > 1 ORDER BY u, v""".stripMargin,
+    "q248_densest" -> densestOracle(8),
+    "q249_stationary" -> stationaryOracle(6),
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->
@@ -8314,6 +8389,95 @@ object Queries {
        | FROM l)
        |$lagRows
        |ORDER BY lag""".stripMargin
+  }
+
+  /** q248 oracle generator: the Bahmani peel unrolled MATERIALIZED
+    * round by round (the q116 convention), ε = 1 cross-multiplied
+    * integer threshold, best round by NOT EXISTS over the exact
+    * per-round (A, V) stats (strict improvement, earliest wins), then
+    * the best round's degree census re-selected by round index. */
+  private def densestOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""s${i - 1} AS (SELECT ${i - 1} AS round,
+         |  CAST(coalesce(sum(deg), 0) AS BIGINT) AS a,
+         |  CAST(count(*) AS BIGINT) AS v FROM d${i - 1}),
+         |r${i - 1} AS MATERIALIZED (SELECT d${i - 1}.node
+         | FROM d${i - 1}, s${i - 1}
+         | WHERE deg * s${i - 1}.v <= 2 * s${i - 1}.a),
+         |a$i AS MATERIALIZED (SELECT node, nbr FROM a${i - 1}
+         | WHERE node NOT IN (SELECT node FROM r${i - 1})
+         |  AND nbr NOT IN (SELECT node FROM r${i - 1})),
+         |d$i AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         | FROM a$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val statsUnion = (0 until rounds)
+      .map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    val degsUnion = (0 until rounds)
+      .map(i => s"SELECT $i AS round, node, deg FROM d$i")
+      .mkString(" UNION ALL ")
+    s"""WITH n AS MATERIALIZED (SELECT DISTINCT o_orderkey % 200 AS i
+       | FROM orders),
+       |ring AS (SELECT i AS a, (i + 1) % 200 AS b FROM n),
+       |cl AS (SELECT x.i AS a, y.i AS b FROM n x JOIN n y
+       | ON x.i < y.i AND x.i < 20 AND y.i < 20),
+       |und AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+       |  greatest(a, b) AS v
+       | FROM (SELECT * FROM ring UNION ALL SELECT * FROM cl)
+       | WHERE a <> b),
+       |a0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
+       | UNION ALL SELECT v, u FROM und),
+       |d0 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       | FROM a0 GROUP BY node),
+       |$steps,
+       |stats AS ($statsUnion),
+       |best AS (SELECT round, a, v FROM stats s
+       | WHERE v > 0 AND NOT EXISTS (SELECT 1 FROM stats t
+       |  WHERE t.v > 0 AND t.a * s.v > s.a * t.v)
+       | ORDER BY round LIMIT 1),
+       |degs AS ($degsUnion)
+       |SELECT g.node, g.deg, CAST(best.round AS INT) AS best_round,
+       |  best.v AS best_v, best.a // 2 AS best_e,
+       |  CAST(best.a // 2 AS DOUBLE) / CAST(best.v AS DOUBLE) AS density
+       |FROM degs g, best WHERE g.round = best.round
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q249 oracle generator: the event-type transition chain, then the
+    * stationary power iteration unrolled (the q98 convention) — uniform
+    * start 1/n, per-round source-SORTED list_sum folds matching the
+    * engine's exactFolds contract, dangling states holding their mass
+    * via the same coalesce + CASE chain. */
+  private def stationaryOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""x$i AS MATERIALIZED (SELECT d.node,
+         |  coalesce(s.s, 0.0) + CASE WHEN NOT d.has_out THEN x.p
+         |    ELSE 0.0 END AS p
+         | FROM d JOIN x${i - 1} x USING (node) LEFT JOIN (
+         |  SELECT e.dst AS node,
+         |   list_sum(list(x.p * (CAST(e.w AS DOUBLE) /
+         |     CAST(wt.wsum AS DOUBLE)) ORDER BY e.src)) AS s
+         |  FROM e JOIN wt USING (src)
+         |  JOIN x${i - 1} x ON x.node = e.src
+         |  GROUP BY e.dst) s USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS MATERIALIZED (SELECT
+       |  lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src,
+       |  event_type AS dst
+       | FROM events),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       | FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+       |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+       | FROM e GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |d AS (SELECT node, node IN (SELECT src FROM e) AS has_out
+       | FROM nodes),
+       |x0 AS (SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS p
+       | FROM nodes, nn),
+       |$steps
+       |SELECT node, p FROM x$iters ORDER BY node""".stripMargin
   }
 
   private def textRankOracle(iters: Int): String = {

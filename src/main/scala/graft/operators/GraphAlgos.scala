@@ -1638,4 +1638,292 @@ object GraphAlgos {
       .agg(count(lit(1)).as("n_nodes"))
       .withColumn("degree_lo", expr("shiftleft(CAST(1 AS BIGINT), bin)"))
   }
+
+  /** Minimum spanning forest by distributed Borůvka: each round every
+    * component selects its minimum incident cross edge under the TOTAL
+    * order (w, u, v) — the tie-break makes weights effectively
+    * distinct, so the selected set can never close a cycle — and the
+    * components merge; ≥ halving per round bounds the loop at
+    * ⌈log₂ V⌉ rounds. Integer-exact end to end; parallel edges
+    * collapse to their minimum weight up front.
+    *
+    * The merge step never recomputes components from scratch: each
+    * component points along its selected edge (a functional graph
+    * whose only cycles are mutual-min pairs, broken toward the smaller
+    * label), and POINTER JUMPING (p ← p∘p, ⌈log₂ depth⌉ self-joins of
+    * the component-sized table, convergence riding `observe` on the
+    * jump's checkpoint) resolves every chain to its root; node labels
+    * then compose through the round's (comp → root) mapping — one
+    * |V|-row join, the forest itself is never re-walked.
+    *
+    * Shape at 100 TB: the canonical edge table partitions once
+    * (AQE-off capture) and never re-shuffles; per round, two label
+    * hash-joins (|V| build side), one map-side-combined min-struct
+    * aggregate over cross edges, then jump rounds over a table that
+    * HALVES every Borůvka round. Dead checkpoints are released per
+    * round. */
+  def minSpanningForest(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w",
+      maxRounds: Int = 16, requireConverged: Boolean = true): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"),
+          col(weightCol).cast("long").as("w"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(min("w").as("w"))
+        .repartition(col("u"))
+        .localCheckpoint(true)
+    }
+    var forest: DataFrame = null   // accumulated (u, v, w) — ≤ V−1 rows
+    var labels: DataFrame = null   // (id, component), null = identity
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val withComps = if (labels == null)
+        edges.select(col("u"), col("v"), col("w"),
+          col("u").as("cu"), col("v").as("cv"))
+      else edges
+        .join(labels.select(col("id").as("u"), col("component").as("cu")),
+          Seq("u"), "left")
+        .join(labels.select(col("id").as("v"), col("component").as("cv")),
+          Seq("v"), "left")
+        .select(col("u"), col("v"), col("w"),
+          coalesce(col("cu"), col("u")).as("cu"),
+          coalesce(col("cv"), col("v")).as("cv"))
+      val cross = withComps.filter(col("cu") =!= col("cv"))
+      val cand = cross.select(col("cu").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+            .as("e"))
+        .union(cross.select(col("cv").as("comp"),
+          struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+            .as("e")))
+      val obs = org.apache.spark.sql.Observation()
+      // per-component minimum cross edge, with the partner component
+      val sel = Exec.checkpointCut(cand.groupBy("comp").agg(min("e").as("e"))
+        .select(col("comp"), col("e.u").as("u"), col("e.v").as("v"),
+          col("e.w").as("w"),
+          when(col("comp") === col("e.cu"), col("e.cv"))
+            .otherwise(col("e.cu")).as("partner"))
+        .observe(obs, count(lit(1)).as("rows")))
+      val picked = obs.get("rows").asInstanceOf[Long]
+      if (picked == 0L) {
+        Exec.releaseCheckpoint(sel)
+        done = true
+      } else {
+        // pointer graph: p(c) = partner(c); mutual-min 2-cycles (the
+        // only cycles under the edge total order) break to the smaller.
+        // Each jump JOB composes three lookups in one plan and
+        // SELF-CERTIFIES: pointers move monotonically toward their
+        // root, so "the 3rd lookup moved nothing beyond the 2nd" is a
+        // fixpoint proof observed on the same materialization — no
+        // separate confirmation job. One job resolves depth ≤ 8; k
+        // jobs, depth ≤ 8·4^(k−1). The first job folds the
+        // mutual-break construction in — sel is the checkpoint it
+        // re-reads, never an unmaterialized plan.
+        var p: DataFrame = null
+        var jumping = true
+        while (jumping) {
+          val base = if (p != null) p else sel.alias("a")
+            .join(sel.select(col("comp").as("partner"),
+              col("partner").as("pp")).alias("b"), Seq("partner"), "left")
+            .select(col("comp"),
+              when(col("pp") === col("comp") &&
+                col("comp") < col("partner"),
+                col("comp")).otherwise(col("partner")).as("p"))
+          def m(k: String, v: String) =
+            base.select(col("comp").as(k), col("p").as(v))
+          val jObs = org.apache.spark.sql.Observation()
+          val prevP = p
+          p = Exec.checkpointCut(base
+            .join(m("__k1", "__v1"), col("p") === col("__k1"), "left")
+            .select(col("comp"),
+              coalesce(col("__v1"), col("p")).as("__q1"))
+            .join(m("__k2", "__v2"), col("__q1") === col("__k2"), "left")
+            .select(col("comp"), col("__q1"),
+              coalesce(col("__v2"), col("__q1")).as("__q2"))
+            .join(m("__k3", "__v3"), col("__q2") === col("__k3"), "left")
+            .select(col("comp"), col("__q2"),
+              coalesce(col("__v3"), col("__q2")).as("p"))
+            .withColumn("__settled", col("p") === col("__q2"))
+            .observe(jObs, sum(when(col("__settled"), 0L).otherwise(1L))
+              .as("moved"))
+            .select("comp", "p"))
+          if (prevP != null) Exec.releaseCheckpoint(prevP)
+          jumping = Option(jObs.get("moved")).exists(_.asInstanceOf[Long] > 0L)
+        }
+        // compose node labels through this round's (comp → root) map —
+        // ONE |V|-row join per round, checkpointed so the next round's
+        // selection reads a materialized label table (a lazy compose
+        // chain was measured SLOWER at gate scale: plan compile cost
+        // outweighs the saved job)
+        val prevLabels = labels
+        labels = Exec.checkpointCut {
+          val base = if (prevLabels == null)
+            edges.select(col("u").as("id")).union(edges.select(col("v")))
+              .distinct().select(col("id"), col("id").as("component"))
+          else prevLabels
+          base.join(p.select(col("comp").as("component"), col("p")),
+              Seq("component"), "left")
+            .select(col("id"),
+              coalesce(col("p"), col("component")).as("component"))
+        }
+        if (prevLabels != null) Exec.releaseCheckpoint(prevLabels)
+        Exec.releaseCheckpoint(p)
+        // sel's checkpoint stays alive: the final forest union reads
+        // it (≤ #components rows per round, log-many rounds — tiny)
+        val newEdges = sel.select("u", "v", "w").distinct()
+        forest = if (forest == null) newEdges else forest.union(newEdges)
+        round += 1
+      }
+    }
+    require(!requireConverged || done,
+      s"Boruvka did not converge within $maxRounds rounds")
+    if (forest == null) edges.limit(0)
+    else forest.groupBy("u", "v").agg(min("w").as("w"))
+  }
+
+  /** Densest subgraph, distributed greedy peel (Bahmani–Kumar–
+    * Vattani 2012, 2(1+ε)-approx): each round measures the current
+    * average-degree density and removes EVERY node whose degree is
+    * ≤ (1+ε)·avg — the threshold comparison cross-multiplied to exact
+    * integers (deg·V·εden ≤ (εden+εnum)·A with A = Σdeg = 2E), so the
+    * peel is engine-independent — then keeps the best-density round
+    * under the exact rational order A_i·V_best > A_best·V_i (strict:
+    * earliest best wins ties). Min degree ≤ average guarantees every
+    * round removes something, so the loop is ≤ log_{1+ε} V rounds.
+    *
+    * Returns the best round's members as (node, deg — degree INSIDE
+    * that subgraph) plus the constant witness columns
+    * (best_round, best_v, best_e, density).
+    *
+    * Shape at 100 TB: the [[kCore]] loop contract — node-partitioned
+    * adjacency captured once, per-round map-side-combined degree
+    * census, two anti-joins against the (fringe-sized) removal set,
+    * dead checkpoints freed per round. The per-round stats row is a
+    * 1-row collect (the centroid contract). */
+  def densestSubgraph(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", epsNum: Int = 1, epsDen: Int = 1,
+      maxRounds: Int = 32, requireConverged: Boolean = true): DataFrame = {
+    require(epsNum >= 0 && epsDen >= 1, "epsilon must be >= 0")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    val und = edges0
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var adj = Dedup.withAqeOff(spark) {
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .union(und.select(col("v"), col("u")))
+        .repartition(col("node"))
+        .localCheckpoint(true)
+    }
+    var bestDeg: DataFrame = null
+    var bestA = 0L; var bestV = 0L; var bestRound = -1
+    var round = 0
+    var empty = false
+    while (!empty && round < maxRounds) {
+      val deg = Exec.checkpointCut(
+        adj.groupBy("node").agg(count(lit(1)).as("deg")))
+      // 1-row stats collect per round — the centroid contract
+      val stats = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("a"),
+        count(lit(1)).as("v")).collect()(0)
+      val a = stats.getLong(0); val v = stats.getLong(1)
+      if (v == 0L) {
+        Exec.releaseCheckpoint(deg)
+        empty = true
+      } else {
+        // strict exact-rational improvement; earliest best wins ties
+        if (bestRound < 0 || a * bestV > bestA * v) {
+          if (bestDeg != null) Exec.releaseCheckpoint(bestDeg)
+          bestDeg = deg; bestA = a; bestV = v; bestRound = round
+        }
+        val removed = Exec.checkpointCut(deg
+          .filter(col("deg") * v * epsDen <= lit((epsDen + epsNum).toLong) * a)
+          .select("node"))
+        val prevAdj = adj
+        adj = Exec.checkpointCut(adj
+          .join(removed, Seq("node"), "left_anti")
+          .join(removed.select(col("node").as("nbr")), Seq("nbr"), "left_anti")
+          .select("node", "nbr"))
+        Exec.releaseCheckpoint(prevAdj, removed)
+        if (deg ne bestDeg) Exec.releaseCheckpoint(deg)
+        round += 1
+      }
+    }
+    require(!requireConverged || empty,
+      s"densest-subgraph peel did not exhaust the graph within " +
+        s"$maxRounds rounds")
+    if (bestDeg == null)
+      adj.groupBy("node").agg(count(lit(1)).as("deg"))
+        .withColumn("best_round", lit(-1))
+        .withColumn("best_v", lit(0L)).withColumn("best_e", lit(0L))
+        .withColumn("density", lit(0.0d))
+    else bestDeg
+      .withColumn("best_round", lit(bestRound))
+      .withColumn("best_v", lit(bestV))
+      .withColumn("best_e", lit(bestA / 2))
+      // ONE fixed IEEE division over the exact witness pair
+      .withColumn("density",
+        lit(bestA / 2).cast("double") / lit(bestV).cast("double"))
+  }
+
+  /** Stationary distribution of the Markov chain defined by a weighted
+    * transition edge list: x₀ uniform over states, then a fixed number
+    * of power-iteration rounds x'(v) = Σ_u x(u)·(w_{uv}/W_u), with
+    * DANGLING states (no out-edges) holding their mass in place (the
+    * self-loop convention — mass is conserved exactly, unlike the
+    * absorb-and-lose alternative). A fixed iteration count with
+    * `exactFolds` (source-sorted neighbor folds, the [[pageRank]]
+    * contract) replays bit-identically in any engine.
+    *
+    * Shape at 100 TB: identical to [[weightedPageRank]] — the edge
+    * table partitions on src once, each round shuffles only the
+    * |states| distribution table plus a map-side-combined contribution
+    * aggregate. */
+  def markovStationary(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w",
+      iterations: Int = 6, exactFolds: Boolean = false): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(weightCol).cast("long").as("__w"))
+        .groupBy("src", "dst").agg(sum("__w").as("__w"))
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    val wsum = edges.groupBy("src").agg(sum(col("__w")).as("wsum"))
+    val srcs = edges.select(col("src").as("node")).distinct()
+    val nodes = Exec.checkpointCut(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+        .join(srcs.withColumn("__out", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__out"), lit(false)).as("__out")))
+    val n = nodes.count()
+    var x = nodes.select(col("node"),
+      (lit(1.0d) / lit(n).cast("double")).as("p"))
+    var prevX: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(wsum, "src")
+        .join(x, col("src") === col("node"))
+        .select(col("dst"), col("src"),
+          (col("p") * (col("__w").cast("double") /
+            col("wsum").cast("double"))).as("c"))
+      val sums = contribs.groupBy(col("dst").as("node"))
+        .agg(neighborSum(col("src"), col("c"), exactFolds).as("s"))
+      x = Exec.checkpointCut(nodes
+        .join(sums, Seq("node"), "left")
+        .join(x.select(col("node"), col("p").as("__pp")), Seq("node"))
+        .select(col("node"),
+          (coalesce(col("s"), lit(0.0d)) +
+            when(!col("__out"), col("__pp")).otherwise(lit(0.0d))).as("p")))
+      if (prevX != null) Exec.releaseCheckpoint(prevX)
+      prevX = x
+    }
+    x
+  }
 }

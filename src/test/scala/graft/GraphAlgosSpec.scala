@@ -878,4 +878,85 @@ class GraphAlgosSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((0, 4L, 1L), (2, 1L, 4L)))
   }
+
+  private def msfSet(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("minSpanningForest drops exactly the heaviest edge of a cycle") {
+    val tri = Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 3L, 30L))
+      .toDF("src", "dst", "w")
+    assert(msfSet(GraphAlgos.minSpanningForest(tri)) ===
+      Seq((1L, 2L, 10L), (2L, 3L, 20L)))
+  }
+
+  test("minSpanningForest survives a monotone path (deep pointer chains)") {
+    // path 0-1-...-9, increasing weights: every comp points downhill,
+    // the pointer graph is one long chain — the jump loop's worst case
+    val path = (0L to 8L).map(i => (i, i + 1, 100L + i)).toDF("src", "dst", "w")
+    assert(msfSet(GraphAlgos.minSpanningForest(path)) ===
+      (0L to 8L).map(i => (i, i + 1, 100L + i)))
+  }
+
+  test("minSpanningForest: parallel edges collapse to the min weight") {
+    val par = Seq((1L, 2L, 5L), (2L, 1L, 3L)).toDF("src", "dst", "w")
+    assert(msfSet(GraphAlgos.minSpanningForest(par)) === Seq((1L, 2L, 3L)))
+  }
+
+  test("minSpanningForest handles a disconnected forest and ties") {
+    // component A: equal-weight triangle — the (w,u,v) total order
+    // keeps (1,2) and (1,3); component B: a lone edge
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 7L)).toDF("src", "dst", "w")
+    assert(msfSet(GraphAlgos.minSpanningForest(g)) ===
+      Seq((1L, 2L, 5L), (1L, 3L, 5L), (10L, 11L, 7L)))
+  }
+
+  test("densestSubgraph crowns a planted K4 over a tail (eps = 0)") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = GraphAlgos.densestSubgraph((k4 ++ tail).toDF("src", "dst"),
+      epsNum = 0, epsDen = 1)
+    val rows = got.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    val head = got.select("best_round", "best_v", "best_e", "density")
+      .distinct().collect().head
+    assert((head.getInt(0), head.getLong(1), head.getLong(2),
+      head.getDouble(3)) === ((1, 4L, 6L, 1.5)))
+  }
+
+  test("densestSubgraph: a regular graph peels in one round, best = 0") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = GraphAlgos.densestSubgraph(tri, epsNum = 0, epsDen = 1)
+    assert(got.count() === 3L)
+    val head = got.select("best_round", "density").distinct().collect().head
+    assert((head.getInt(0), head.getDouble(1)) === ((0, 1.0)))
+  }
+
+  test("markovStationary: the uniform distribution is the 2-cycle fixpoint") {
+    val chain = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val got = GraphAlgos.markovStationary(chain, iterations = 3,
+        exactFolds = true)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 0.5), ("b", 0.5)))
+  }
+
+  test("markovStationary: dangling states hold mass (absorbing end)") {
+    val g = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val got = GraphAlgos.markovStationary(g, iterations = 4,
+        exactFolds = true)
+      .orderBy("node").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 0.0), ("b", 1.0)))
+  }
+
+  test("markovStationary conserves probability mass exactly-ish") {
+    val g = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 2L), ("c", "b", 2L)).toDF("src", "dst", "w")
+    val total = GraphAlgos.markovStationary(g, iterations = 5,
+        exactFolds = true)
+      .agg(sum("p")).as[Double].collect().head
+    assert(math.abs(total - 1.0) < 1e-12)
+  }
 }
