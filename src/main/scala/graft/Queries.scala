@@ -3515,6 +3515,65 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Naive-Bayes gate: train the multinomial classifier on the even
+    * half of the corpus (label = source), predict the odd half — the
+    * domain/quality-classifier sweep of a curation pipeline. The gate
+    * pins the ARGMAX, not the raw score: JVM Math.log and glibc ln
+    * disagree by 1 ulp on some exact-rational arguments (measured:
+    * ln(53/1349) — so "ln is bit-identical" is argument-specific, NOT
+    * a law; q241/q94 hold because their argument sets were probed),
+    * and the argmax is separated by log-units while the ulp noise is
+    * 1e-15 — the decision, unlike the score, is engine-independent. */
+  def q250NaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("source"), col("text"))
+    val test = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Corpus.naiveBayesPredict(train, test, "source")
+      .select("id", "pred")
+      .orderBy("id")
+  }
+
+  /** Count-Min bound gate (the q77 pattern, upper-bound face): the
+    * same skewed HOT + singleton-tail key sketched at d=4, w=1024;
+    * every item must satisfy the CM contract est ≥ true (guaranteed by
+    * construction — counters only add) and the slack check
+    * est ≤ true + 8·N/w (8× the expected collision mass; deterministic
+    * for fixed data + seeds because CM, unlike Misra-Gries, is
+    * merge-order-independent). Only the verdicts are gated. */
+  def q251CmBound(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 1024
+    val keyed = t(s, dir, "documents").select(
+      when(col("doc_id") % 3 === 0, lit("HOT"))
+        .otherwise(concat(lit("doc_"), col("doc_id"))).as("item"))
+      .localCheckpoint(true)
+    val sk = keyed
+      .agg(graft.functions.VectorExpressions.cmSketch(col("item"), d, w)
+        .as("m"))
+    val exact = keyed.groupBy("item").agg(count(lit(1)).as("true_n"))
+    val tot = keyed.agg(count(lit(1)).as("n_total"))
+    val est = graft.functions.VectorExpressions.cmEstimate(
+      col("m"), col("item"), d, w)
+    exact.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+      .select(col("item"), col("true_n"),
+        (est >= col("true_n")).as("lower_ok"),
+        (est <= col("true_n") + lit(8) * col("n_total") / lit(w))
+          .as("slack_ok"))
+      .orderBy("item")
+  }
+
+  /** Temperature-mix gate: per-source √-scaled token allocation of a
+    * 1M-token budget — exact domain token counts, IEEE-exact sqrt,
+    * domain-sorted share fold, one floor chain. */
+  def q252TempMix(s: SparkSession, dir: String): DataFrame = {
+    val withTok = t(s, dir, "documents").select(col("source"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ntok"))
+    graft.operators.Corpus.temperatureMixSqrt(withTok, "source", "ntok",
+        budgetTokens = 1000000L)
+      .orderBy("domain")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4416,7 +4475,10 @@ object Queries {
     "q246_acf" -> (q246Acf _),
     "q247_msf" -> (q247Msf _),
     "q248_densest" -> (q248Densest _),
-    "q249_stationary" -> (q249Stationary _)
+    "q249_stationary" -> (q249Stationary _),
+    "q250_naive_bayes" -> (q250NaiveBayes _),
+    "q251_cm_bound" -> (q251CmBound _),
+    "q252_temp_mix" -> (q252TempMix _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6552,6 +6614,71 @@ object Queries {
         |SELECT u, v, w FROM r WHERE rn > 1 ORDER BY u, v""".stripMargin,
     "q248_densest" -> densestOracle(8),
     "q249_stationary" -> stationaryOracle(6),
+    "q250_naive_bayes" ->
+      """WITH tr AS MATERIALIZED (SELECT source AS label, text
+        | FROM documents WHERE doc_id % 2 = 0),
+        |te AS MATERIALIZED (SELECT doc_id AS id, text
+        | FROM documents WHERE doc_id % 2 = 1),
+        |trt AS (SELECT label,
+        |  unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS token
+        | FROM tr),
+        |counts AS MATERIALIZED (SELECT label, token,
+        |  CAST(count(*) AS BIGINT) AS n FROM trt GROUP BY label, token),
+        |ct AS (SELECT label, CAST(sum(n) AS BIGINT) AS t_c
+        | FROM counts GROUP BY label),
+        |pri AS (SELECT label, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM tr GROUP BY label),
+        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |voc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+        | FROM counts),
+        |cls AS (SELECT ct.label, ct.t_c, voc.v,
+        |  ln(CAST(pri.n_docs AS DOUBLE) / CAST(ntr.n AS DOUBLE))
+        |    AS prior_ln
+        | FROM ct JOIN pri USING (label), ntr, voc),
+        |tet AS (SELECT id, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT id, unnest(list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS token FROM te)
+        | GROUP BY id, token),
+        |terms AS (SELECT t.id, c.label, c.prior_ln, t.token,
+        |  CAST(t.cnt AS DOUBLE) *
+        |    ln(CAST(coalesce(k.n, 0) + 1 AS DOUBLE) /
+        |      CAST(c.t_c + c.v AS DOUBLE)) AS term
+        | FROM tet t CROSS JOIN cls c
+        | LEFT JOIN counts k ON k.label = c.label AND k.token = t.token),
+        |folded AS (SELECT id, label,
+        |  any_value(prior_ln) +
+        |    list_reduce(list(term ORDER BY token),
+        |      (x, y) -> x + y) AS score
+        | FROM terms GROUP BY id, label),
+        |allsc AS (SELECT i.id, c.label,
+        |  coalesce(f.score, c.prior_ln) AS score
+        | FROM (SELECT DISTINCT id FROM te) i CROSS JOIN cls c
+        | LEFT JOIN folded f ON f.id = i.id AND f.label = c.label)
+        |SELECT id, label AS pred FROM (
+        | SELECT id, label, score, row_number() OVER (PARTITION BY id
+        |  ORDER BY score DESC, label) AS rn FROM allsc)
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
+    "q251_cm_bound" ->
+      """WITH keyed AS (
+        | SELECT CASE WHEN doc_id % 3 = 0 THEN 'HOT'
+        |  ELSE 'doc_' || CAST(doc_id AS VARCHAR) END AS item
+        | FROM documents)
+        |SELECT item, CAST(count(*) AS BIGINT) AS true_n,
+        |  TRUE AS lower_ok, TRUE AS slack_ok
+        |FROM keyed GROUP BY item ORDER BY item""".stripMargin,
+    "q252_temp_mix" ->
+      """WITH d AS (SELECT source AS domain,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS ntok
+        | FROM documents),
+        |pd AS (SELECT domain, CAST(sum(ntok) AS BIGINT) AS tokens,
+        |  sqrt(CAST(sum(ntok) AS DOUBLE)) AS w
+        | FROM d GROUP BY domain),
+        |tot AS (SELECT list_sum(list(w ORDER BY domain)) AS wsum FROM pd)
+        |SELECT domain, tokens, w, w / wsum AS share,
+        |  CAST(floor(1000000.0 * w / wsum) AS BIGINT) AS alloc_tokens
+        |FROM pd, tot ORDER BY domain""".stripMargin,
     // butterflies: each co-occurrence pair sharing w right nodes closes
     // C(w, 2) 4-cycles; per-node counts sum over the pair's endpoints
     "q138_butterflies" ->

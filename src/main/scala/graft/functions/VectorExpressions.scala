@@ -91,6 +91,22 @@ object VectorExpressions {
       .FreqSketch(ColumnShim.expression(item), k)
       .toAggregateExpression())
 
+  /** Count-Min sketch aggregate: a d×w counter matrix (array<long>),
+    * merge = element-wise add, so — unlike [[freqSketch]] — estimates
+    * are DETERMINISTIC under any partitioning. Query with
+    * [[cmEstimate]]; every estimate is an upper bound on the true
+    * count. */
+  def cmSketch(item: Column, d: Int, w: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft
+      .CmSketch(ColumnShim.expression(item), d, w)
+      .toAggregateExpression())
+
+  /** Point query against a [[cmSketch]] matrix: min over the d rows of
+    * the item's cells — ≥ the item's true count, always. */
+  def cmEstimate(matrix: Column, item: Column, d: Int, w: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.CmEstimate(
+      ColumnShim.expression(matrix), ColumnShim.expression(item), d, w))
+
   /** KLL-lite mergeable quantile sketch aggregate over a double column:
     * O(k·log(n/k)) state per map task, self-certified rank-error bound
     * (output struct(n, err_bound, items)); read values off it with

@@ -1501,4 +1501,109 @@ object Corpus {
             .otherwise(lit(0.0d)).as("d_b"))
     }
   }
+
+  private def nbTokens(df: DataFrame, textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Multinomial naive-Bayes scores — the domain/quality classifier a
+    * curation pipeline trains on labeled slices and sweeps over the
+    * corpus (the GPT-3/WebText quality-filter shape). Train counts are
+    * exact BIGINTs; per-(doc, class) the score is
+    * ln(prior) + Σ_t cnt_t·ln((n_{c,t}+1)/(T_c+V)) with add-one
+    * smoothing — each ln over a ratio of exact integers (the q241 libm
+    * witness), the token fold SORTED (term order is token-ascending,
+    * summed first, prior added last — the oracle's
+    * `prior + list_sum(... ORDER BY token)` association exactly).
+    * Unseen tokens need no special case: the left-joined n is 0 and
+    * (0+1)/(T_c+V) IS the smoothed unseen mass.
+    *
+    * Scale: one train census shuffled on (class, token), one test
+    * census on (id, token), a broadcast of the class table (|classes|
+    * is small by contract — this is a CLASSIFIER, not a join), and a
+    * token-keyed left join; V and N ride 1-row broadcasts. Returns one
+    * row per (test id, class). */
+  def naiveBayesScores(train: DataFrame, test: DataFrame,
+      labelCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainToks = train.select(col(labelCol).as("label"),
+        explode(nbTokens(train, textCol)).as("token"))
+    val counts = trainToks.groupBy("label", "token")
+      .agg(count(lit(1)).as("n"))
+    Exec.withPersisted(counts) {
+      val classTotals = counts.groupBy("label")
+        .agg(sum(col("n")).as("t_c"))
+      val priors = train.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs"))
+      val nTrain = train.agg(count(lit(1)).as("__n"))
+      val vocab = counts.select("token").distinct()
+        .agg(count(lit(1)).as("__v"))
+      val classes = classTotals.join(priors, Seq("label"))
+        .crossJoin(broadcast(nTrain)).crossJoin(broadcast(vocab))
+        .select(col("label"), col("t_c"), col("__v").as("v"),
+          log(col("n_docs").cast("double") / col("__n").cast("double"))
+            .as("prior_ln"))
+      val testToks = test.select(col(idCol).as("id"),
+          explode(nbTokens(test, textCol)).as("token"))
+        .groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+      val terms = testToks
+        .crossJoin(broadcast(classes))
+        .join(counts, Seq("label", "token"), "left")
+        .select(col("id"), col("label"), col("prior_ln"), col("token"),
+          (col("cnt").cast("double") *
+            log((coalesce(col("n"), lit(0L)) + 1).cast("double") /
+              (col("t_c") + col("v")).cast("double"))).as("term"))
+      val folded = terms.groupBy("id", "label")
+        .agg(first(col("prior_ln")).as("prior_ln"),
+          aggregate(
+            sort_array(collect_list(struct(col("token"), col("term")))),
+            lit(0.0d), (acc, s) => acc + s.getField("term")).as("__sum"))
+        .select(col("id"), col("label"),
+          (col("prior_ln") + col("__sum")).as("score"))
+      // token-less test docs still score: prior only, per class
+      test.select(col(idCol).as("id")).distinct()
+        .crossJoin(broadcast(classes.select(col("label"),
+          col("prior_ln"))))
+        .join(folded, Seq("id", "label"), "left")
+        .select(col("id"), col("label"),
+          coalesce(col("score"), col("prior_ln")).as("score"))
+    }
+  }
+
+  /** Argmax face of [[naiveBayesScores]]: one row per test doc with the
+    * winning class (score DESC, label ASC — the float comparison is
+    * over bit-identical doubles, so the pick is engine-independent). */
+  def naiveBayesPredict(train: DataFrame, test: DataFrame,
+      labelCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scores = naiveBayesScores(train, test, labelCol, idCol, textCol)
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("label"))
+    scores.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score"))
+  }
+
+  /** Temperature-scaled domain mixing at τ = 2 (the p^(1/τ) = √p
+    * up-weighting of LLaMA/Pile-style data recipes): per-domain token
+    * counts are exact, w_d = sqrt(tokens_d) is IEEE-correctly-rounded
+    * (sqrt is exact-rounded by the standard, unlike pow — which is why
+    * this face pins τ = 2), the share denominator Σ√ folds in domain
+    * order (the q237 convention), and the final allocation
+    * floor(budget·w/Σw) is one fixed chain. One groupBy to |domains|
+    * rows. */
+  def temperatureMixSqrt(docs: DataFrame, domainCol: String,
+      tokenCountCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val perDomain = docs.groupBy(col(domainCol).as("domain"))
+      .agg(sum(col(tokenCountCol)).as("tokens"))
+      .withColumn("w", sqrt(col("tokens").cast("double")))
+    val tot = perDomain.agg(
+      aggregate(sort_array(collect_list(struct(col("domain"), col("w")))),
+        lit(0.0d), (acc, s) => acc + s.getField("w")).as("__wsum"))
+    perDomain.crossJoin(broadcast(tot))
+      .select(col("domain"), col("tokens"), col("w"),
+        (col("w") / col("__wsum")).as("share"),
+        floor(lit(budgetTokens.toDouble) * col("w") / col("__wsum"))
+          .cast("long").as("alloc_tokens"))
+  }
 }

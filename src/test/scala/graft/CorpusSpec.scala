@@ -853,4 +853,44 @@ class CorpusSpec extends SparkSpec {
     // one-sided token's own term: p*ln(p/(p/2)) = p*ln(2)
     assert(got("only")._4 === 0.5 * math.log(2.0))
   }
+
+  test("naiveBayesScores matches the hand-folded two-class example") {
+    val train = Seq(("spam", "buy buy cash"), ("ham", "hi hi there"))
+      .toDF("label", "text")
+    val test = Seq((1L, "buy cash hi")).toDF("doc_id", "text")
+    val got = Corpus.naiveBayesScores(train, test, "label")
+      .orderBy("label").as[(Long, String, Double)].collect().toSeq
+    // V=4, T_c=3 both; terms folded token-ASC from 0.0, prior added last
+    val prior = math.log(1.0 / 2.0)
+    val ham = prior + (0.0 + 1.0 * math.log(1.0 / 7.0) +
+      1.0 * math.log(1.0 / 7.0) + 1.0 * math.log(3.0 / 7.0))
+    val spam = prior + (0.0 + 1.0 * math.log(3.0 / 7.0) +
+      1.0 * math.log(2.0 / 7.0) + 1.0 * math.log(1.0 / 7.0))
+    assert(got === Seq((1L, "ham", ham), (1L, "spam", spam)))
+  }
+
+  test("naiveBayesPredict: argmax, prior-only tokenless docs, tie -> asc") {
+    val train = Seq(("spam", "buy buy cash"), ("ham", "hi hi there"))
+      .toDF("label", "text")
+    val test = Seq((1L, "buy cash"), (2L, "hi there"), (3L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val got = Corpus.naiveBayesPredict(train, test, "label")
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq((1L, "spam"), (2L, "ham"), (3L, "ham"))) // 3: equal priors, asc
+    assert(got(2)._3 === math.log(1.0 / 2.0)) // tokenless = prior only
+  }
+
+  test("temperatureMixSqrt: sqrt weights, sorted share fold, floor alloc") {
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 400L))
+      .toDF("source", "ntok")
+    val got = Corpus.temperatureMixSqrt(docs, "source", "ntok", 1000000L)
+      .orderBy("domain")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    val (wa, wb) = (math.sqrt(100.0), math.sqrt(400.0))
+    val wsum = 0.0 + wa + wb
+    assert(got === Seq(
+      ("a", 100L, wa, wa / wsum, math.floor(1000000.0 * wa / wsum).toLong),
+      ("b", 400L, wb, wb / wsum, math.floor(1000000.0 * wb / wsum).toLong)))
+  }
 }

@@ -104,4 +104,42 @@ class SketchSpec extends SparkSpec {
       .select(col("s.n"), col("s.err_bound")).head()
     assert(r.getLong(0) == 50L && r.getLong(1) == 0L)
   }
+
+  private def cmEst(items: Seq[String], queries: Seq[String], d: Int,
+      w: Int, parts: Int): Map[String, Long] = {
+    val sk = items.toDF("item").repartition(parts)
+      .agg(VectorExpressions.cmSketch(col("item"), d, w).as("m"))
+    val q = queries.toDF("q")
+    q.crossJoin(sk)
+      .select(col("q"),
+        VectorExpressions.cmEstimate(col("m"), col("q"), d, w).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("CmSketch is exact when width dwarfs the vocabulary") {
+    val items = Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")
+    for (parts <- Seq(1, 4)) {
+      val got = cmEst(items, Seq("a", "b", "c", "zz"), d = 4,
+        w = 1024, parts = parts)
+      assert(got("a") == 30L && got("b") == 20L && got("c") == 10L,
+        s"parts=$parts")
+      assert(got("zz") == 0L, s"parts=$parts: unseen item overcounted")
+    }
+  }
+
+  test("CmSketch estimates are upper bounds even under forced collisions") {
+    val truth = (1 to 50).map(i => s"k$i" -> (i % 7 + 1).toLong).toMap
+    val items = truth.toSeq.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    val got = cmEst(items, truth.keys.toSeq, d = 3, w = 8, parts = 5)
+    truth.foreach { case (k, n) =>
+      assert(got(k) >= n, s"$k: CM must never undercount")
+    }
+  }
+
+  test("CmSketch is deterministic across partitionings (unlike MG)") {
+    val items = (1 to 500).map(i => s"it${i % 37}")
+    val a = cmEst(items, Seq("it0", "it5", "it36"), 4, 64, parts = 1)
+    val b = cmEst(items, Seq("it0", "it5", "it36"), 4, 64, parts = 9)
+    assert(a == b)
+  }
 }
