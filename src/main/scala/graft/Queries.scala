@@ -3382,9 +3382,11 @@ object Queries {
 
   /** Jensen–Shannon drift gate: per-token JS terms between the even-
     * and odd-doc_id corpus halves — exact counts plus fixed-order IEEE
-    * chains whose ln is bit-identical across JVM and DuckDB libm on
-    * this host (probed in PLANS round 8; this gate is the standing
-    * regression witness for that equivalence). */
+    * chains over ln. CAVEAT (the q250 correction): JVM Math.log and
+    * glibc ln agree only argument-by-argument (ln(53/1349) differs by
+    * 1 ulp), so this gate is deterministic for the PINNED sf0.01
+    * corpus — which the driver fixes — not under regeneration; a
+    * mismatch here means the argument set shifted, not an engine bug. */
   def q241JsTokens(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.jsDivergenceByToken(t(s, dir, "documents"),
         col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
