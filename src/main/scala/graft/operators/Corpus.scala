@@ -1470,8 +1470,10 @@ object Corpus {
     * UNSUMMED: per-token rows are both the stronger gate (every term
     * bit-compared) and the more useful shape. Each double is a FIXED
     * per-row expression chain (two count divisions, one ratio, one ln,
-    * one multiply — ln is bit-identical across JVM/DuckDB libm on this
-    * host, measured in PLANS round 8); zero-count sides contribute 0 by
+    * one multiply — JVM and glibc ln agree on the gate's PINNED
+    * argument set but not universally: the q250 probe found a 1-ulp
+    * disagreement at ln(53/1349), so ln-bearing gates are pinned-data
+    * contracts, not laws); zero-count sides contribute 0 by
     * the usual 0·ln0 convention.
     *
     * Scale: one token-explode pass, one (token)-keyed partial-aggregated
