@@ -3576,6 +3576,70 @@ object Queries {
       .orderBy("domain")
   }
 
+  /** Cramér's-V gate over (event_type × user_id mod 5) — exact
+    * per-cell χ² contributions folded in (r,c) order, one sqrt. */
+  def q253CramersV(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type").as("a"),
+      (col("user_id") % 5).as("b"))
+    graft.operators.Stats.cramersV(ev, "a", "b")
+  }
+
+  /** Kendall-τ-b gate over two bucketed event-value ordinals — census
+    * self-join concordance (never per-row O(n²)); HUGEINT-exact masses
+    * with the VARCHAR-mediated final chain. */
+  def q254Kendall(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val ev = events(s, dir).select(cents.as("cents"))
+      .select(expr("cents div 10000").as("x"), (col("cents") % 7).as("y"))
+    graft.operators.Stats.kendallTauB(ev, "x", "y")
+  }
+
+  /** Retrieval-eval gate: 5 synthetic queries ranked over the corpus
+    * by an md5 ordering (engine-independent hex sort), judgments
+    * planted at (doc_id + qi) % 3 = 0 — precision/recall@10 and RR
+    * are each one exact-integer division. */
+  def q255SearchEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val qs = t(s, dir, "documents").limit(1)
+      .select(explode(sequence(lit(0), lit(4))).as("qi"))
+    val pairs = docs.crossJoin(broadcast(qs))
+    val w = Window.partitionBy("query")
+      .orderBy(col("h"), col("doc_id"))
+    val results = pairs
+      .select(concat(lit("q"), col("qi")).as("query"), col("doc_id"),
+        md5(concat(col("qi").cast("string"), lit("|"),
+          col("doc_id").cast("string"))).as("h"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    val relevant = pairs
+      .filter((col("doc_id") + col("qi")) % 3 === 0)
+      .select(concat(lit("q"), col("qi")).as("query"), col("doc_id"))
+    graft.operators.SearchIndex.precisionRecallAtK(results, relevant, 10)
+      .orderBy("query")
+  }
+
+  /** URL-dedup gate: four deterministic dirty variants per path bucket
+    * (case/port, trailing slash, unsorted+tracking params, fragment);
+    * the ORACLE is the closed-form canonical per variant — derived
+    * independently, NOT a replication of the canonicalizer's regex
+    * chain — so the gate proves the normalizer lands every variant on
+    * the intended form. */
+  def q256UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = (col("doc_id") % 100).cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://example.com/p/"), m))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://EXAMPLE.COM:443/p/"), m, lit("/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://example.com/p/"), m,
+          lit("?utm_source=x&b=2&a=1")))
+      .otherwise(concat(lit("https://example.com/p/"), m,
+        lit("?a=1&b=2#frag")))
+    graft.operators.Dedup.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")), "url")
+      .orderBy("canonical_url")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4480,7 +4544,11 @@ object Queries {
     "q249_stationary" -> (q249Stationary _),
     "q250_naive_bayes" -> (q250NaiveBayes _),
     "q251_cm_bound" -> (q251CmBound _),
-    "q252_temp_mix" -> (q252TempMix _)
+    "q252_temp_mix" -> (q252TempMix _),
+    "q253_cramers_v" -> (q253CramersV _),
+    "q254_kendall" -> (q254Kendall _),
+    "q255_search_eval" -> (q255SearchEval _),
+    "q256_url_dedup" -> (q256UrlDedup _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6669,6 +6737,106 @@ object Queries {
         |SELECT item, CAST(count(*) AS BIGINT) AS true_n,
         |  TRUE AS lower_ok, TRUE AS slack_ok
         |FROM keyed GROUP BY item ORDER BY item""".stripMargin,
+    "q253_cramers_v" ->
+      """WITH b AS MATERIALIZED (SELECT event_type AS r,
+        |  CAST(user_id % 5 AS VARCHAR) AS c FROM events),
+        |cells AS MATERIALIZED (SELECT r, c, CAST(count(*) AS BIGINT)
+        |    AS obs
+        | FROM b GROUP BY r, c),
+        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS row_tot
+        | FROM cells GROUP BY r),
+        |cl AS (SELECT c, CAST(sum(obs) AS BIGINT) AS col_tot
+        | FROM cells GROUP BY c),
+        |g AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.r, cl.c, rt.row_tot, cl.col_tot,
+        |  coalesce(cells.obs, 0) AS obs
+        | FROM rt CROSS JOIN cl LEFT JOIN cells USING (r, c)),
+        |k AS (SELECT grid.r, grid.c,
+        |  CAST(CAST(
+        |    (CAST(obs AS HUGEINT) * g.n - CAST(row_tot AS HUGEINT)
+        |      * col_tot) *
+        |    (CAST(obs AS HUGEINT) * g.n - CAST(row_tot AS HUGEINT)
+        |      * col_tot) AS VARCHAR) AS DOUBLE) /
+        |  CAST(CAST(CAST(row_tot AS HUGEINT) * col_tot * g.n AS VARCHAR)
+        |    AS DOUBLE) AS contrib
+        | FROM grid, g),
+        |f AS (SELECT CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+        |  list_reduce(list(contrib ORDER BY r, c), (x, y) -> x + y)
+        |    AS chi2
+        | FROM k)
+        |SELECT g.n, f.n_rows, f.n_cols, f.chi2,
+        |  sqrt(f.chi2 / CAST(g.n * (least(f.n_rows, f.n_cols) - 1)
+        |    AS DOUBLE)) AS v
+        |FROM f, g""".stripMargin,
+    "q254_kendall" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000
+        |    AS x,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 7 AS y
+        | FROM events),
+        |cen AS MATERIALIZED (SELECT x, y, CAST(count(*) AS HUGEINT)
+        |    AS cnt
+        | FROM b GROUP BY x, y),
+        |cd AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN a.y < c.y THEN a.cnt * c.cnt END),
+        |    0) AS HUGEINT) AS cc,
+        |  CAST(coalesce(sum(CASE WHEN a.y > c.y THEN a.cnt * c.cnt END),
+        |    0) AS HUGEINT) AS dd
+        | FROM cen a JOIN cen c ON a.x < c.x),
+        |tx AS (SELECT CAST(coalesce(sum(nx * (nx - 1)), 0) AS HUGEINT)
+        |    AS tx2
+        | FROM (SELECT CAST(sum(cnt) AS HUGEINT) AS nx FROM cen
+        |  GROUP BY x)),
+        |ty AS (SELECT CAST(coalesce(sum(ny * (ny - 1)), 0) AS HUGEINT)
+        |    AS ty2
+        | FROM (SELECT CAST(sum(cnt) AS HUGEINT) AS ny FROM cen
+        |  GROUP BY y)),
+        |tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM cen)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
+        |  CAST(tx2 // 2 AS BIGINT) AS tie_x,
+        |  CAST(ty2 // 2 AS BIGINT) AS tie_y,
+        |  2.0 * CAST(CAST(cc - dd AS VARCHAR) AS DOUBLE) /
+        |   sqrt(CAST(CAST((n * (n - 1) - tx2) * (n * (n - 1) - ty2)
+        |     AS VARCHAR) AS DOUBLE)) AS tau_b
+        |FROM cd, tx, ty, tot""".stripMargin,
+    "q255_search_eval" ->
+      """WITH qs AS (SELECT u.qi FROM range(0, 5) AS u(qi)),
+        |pairs AS MATERIALIZED (SELECT 'q' || CAST(qi AS VARCHAR)
+        |    AS query, doc_id, qi
+        | FROM documents CROSS JOIN qs),
+        |res AS (SELECT query, doc_id,
+        |  row_number() OVER (PARTITION BY query ORDER BY
+        |   md5(CAST(qi AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)),
+        |   doc_id) AS rank
+        | FROM pairs),
+        |topk AS (SELECT query, doc_id, rank FROM res WHERE rank <= 10),
+        |rel AS (SELECT DISTINCT query, doc_id FROM pairs
+        | WHERE (doc_id + qi) % 3 = 0),
+        |rc AS (SELECT query, CAST(count(*) AS BIGINT) AS n_rel
+        | FROM rel GROUP BY query),
+        |h AS (SELECT t.query, CAST(count(*) AS BIGINT) AS hits,
+        |  CAST(min(t.rank) AS BIGINT) AS first_hit
+        | FROM topk t JOIN rel USING (query, doc_id) GROUP BY t.query)
+        |SELECT rc.query, rc.n_rel, coalesce(h.hits, 0) AS hits,
+        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 10.0 AS p_at_k,
+        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(rc.n_rel AS DOUBLE)
+        |    AS recall_at_k,
+        |  coalesce(1.0 / CAST(h.first_hit AS DOUBLE), 0.0) AS rr
+        |FROM rc LEFT JOIN h USING (query)
+        |ORDER BY query""".stripMargin,
+    "q256_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |   THEN 'https://example.com/p/' || CAST(doc_id % 100 AS VARCHAR)
+        |   ELSE 'https://example.com/p/' || CAST(doc_id % 100 AS VARCHAR)
+        |    || '?a=1&b=2' END AS canonical_url
+        | FROM documents)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+        |  min(doc_id) AS survivor_id
+        |FROM u GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1038,4 +1038,41 @@ object Dedup {
       .filter(col("jw") >= minSim)
       .select(col("id_a"), col("id_b"), col("jw"))
   }
+
+  /** URL canonicalization — the web-crawl dedup normalizer: drop the
+    * fragment, lowercase scheme+host, strip the default :80/:443 port,
+    * strip ONE trailing slash from the path, drop utm_ and fbclid
+    * tracking params, and sort the surviving query params. Pure string
+    * expressions (regex + array ops), codegen-friendly, and every rule
+    * replays verbatim in any SQL engine — no UDF, no URI library
+    * divergence. Deliberately conservative: no %-decode, no param
+    * value normalization (both are site-semantics-dependent). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val path0 = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val headRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+    val head0 = lower(regexp_extract(path0, headRe, 0))
+    val head = regexp_replace(
+      regexp_replace(head0, "^(http://[^:]*):80$", "$1"),
+      "^(https://[^:]*):443$", "$1")
+    val rest = regexp_replace(
+      regexp_replace(path0, headRe, ""), "/$", "")
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid"))
+    val sortedQ = array_join(sort_array(params), "&")
+    concat(head, rest,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Exact dedup by canonical URL: the census face — one row per
+    * canonical form with its duplicate count and min-id survivor (the
+    * q15 exact-dedup rule applied to [[canonicalUrl]] keys). One
+    * hash groupBy; scales like any exact dedup. */
+  def urlDedup(df: DataFrame, urlCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(canonicalUrl(col(urlCol)).as("canonical_url"),
+        col(idCol).as("__id"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_dups"), min(col("__id")).as("survivor_id"))
 }

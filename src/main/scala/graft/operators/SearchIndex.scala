@@ -534,4 +534,41 @@ object SearchIndex {
       .withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= topK)
   }
+
+  /** Retrieval-quality eval: precision@k, recall@k, and reciprocal
+    * rank (within k) per query, given a ranked result table and a
+    * relevance-judgment table — the standard harness for grading any
+    * of the retrievers here (BM25, phrase, hybrid RRF, ANN) against
+    * labeled judgments. Exact by construction: hits and judgment
+    * counts are BIGINTs and each metric is ONE division of exact
+    * integers (rr = 1/first_relevant_rank; 0 when no hit in the
+    * top k). Queries with judgments but no hits still emit a row
+    * (zeros), so macro-averaging downstream is honest.
+    *
+    * Scale: one (query, doc) equi-join of the top-k slice against the
+    * judgments plus two small per-query censuses — nothing touches
+    * document bodies. */
+  def precisionRecallAtK(results: DataFrame, relevant: DataFrame, k: Int,
+      queryCol: String = "query", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def dbl(c: Column): Column = c.cast("double")
+    val topk = results.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(rankCol).as("r"))
+    val rel = relevant.select(col(queryCol).as("q"), col(docCol).as("d"))
+      .distinct()
+    val relCount = rel.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    val hits = topk.join(rel, Seq("q", "d"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("hits"), min(col("r")).as("__first"))
+    relCount.join(hits, Seq("q"), "left")
+      .select(col("q").as(queryCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (dbl(coalesce(col("hits"), lit(0L))) / lit(k.toDouble))
+          .as("p_at_k"),
+        (dbl(coalesce(col("hits"), lit(0L))) / dbl(col("n_rel")))
+          .as("recall_at_k"),
+        coalesce(lit(1.0d) / dbl(col("__first")), lit(0.0d)).as("rr"))
+  }
 }

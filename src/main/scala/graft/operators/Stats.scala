@@ -1165,6 +1165,103 @@ object Stats {
           dbl(col("__n") * col("__n"))).as("uncertainty"))
   }
 
+  /** Cramér's V — the [0,1]-normalized effect size of a contingency
+    * table ([[chiSquareContingency]]'s scalar face). χ² folds the
+    * per-cell exact-integer contributions (obs·N − row·col)²/(row·col·N)
+    * in (r,c)-sorted order (the q237 convention; squares pass 2^53 so
+    * the oracle VARCHAR-mediates), then
+    * V = sqrt(χ² / (N·(min(R,C)−1))) — sqrt is IEEE-correctly-rounded,
+    * so the chain stays engine-exact. One cell census + tiny folds. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("obs"))
+    Exec.withPersisted(cells) {
+      val rowTot = cells.groupBy("r").agg(sum(col("obs")).as("row_tot"))
+      val colTot = cells.groupBy("c").agg(sum(col("obs")).as("col_tot"))
+      val grand = cells.agg(sum(col("obs")).as("grand_tot"))
+      val num = (col("obs").cast(d38) * col("grand_tot") -
+        col("row_tot").cast(d38) * col("col_tot"))
+      // the FULL R×C grid: zero-observed cells still carry expected
+      // mass (row·col/N) and therefore χ² contribution — a census of
+      // observed cells alone undercounts perfect associations
+      rowTot.crossJoin(colTot)
+        .join(cells, Seq("r", "c"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+        .crossJoin(broadcast(grand))
+        .select(col("r"), col("c"), col("grand_tot"),
+          (dbl(num * num) /
+            dbl(col("row_tot").cast(d38) * col("col_tot") *
+              col("grand_tot"))).as("__contrib"))
+        .agg(count_distinct(col("r")).as("n_rows"),
+          count_distinct(col("c")).as("n_cols"),
+          first(col("grand_tot")).as("n"),
+          aggregate(
+            sort_array(collect_list(struct(col("r"), col("c"),
+              col("__contrib").as("__t")))),
+            lit(0.0d), (acc, s) => acc + s.getField("__t")).as("chi2"))
+        .select(col("n"), col("n_rows"), col("n_cols"), col("chi2"),
+          sqrt(col("chi2") /
+            dbl(col("n") * (least(col("n_rows"), col("n_cols")) - 1)))
+            .as("v"))
+    }
+  }
+
+  /** Kendall's τ-b over two ORDINAL columns, computed on the value-pair
+    * CENSUS: concordant/discordant mass is Σ n₁·n₂ over census-cell
+    * pairs with x strictly ordered (each unordered pair counted once),
+    * tie masses fold per marginal — all DECIMAL(38,0) exact, and
+    * τ-b = (C−D)/sqrt((n₀−T_x)(n₀−T_y)) is one division + one
+    * correctly-rounded sqrt.
+    *
+    * Scale contract: the census self-join is |census|² — τ-b is an
+    * ordinal-scale statistic (ratings, grades, bucketed scores), so
+    * distinct-pair cardinality is bounded by design; for continuous
+    * data bucket first (or this becomes the O(n²) it should never
+    * be). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.groupBy(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .agg(count(lit(1)).cast(d38).as("cnt"))
+    Exec.withPersisted(census) {
+      val a = census.select(col("x").as("xa"), col("y").as("ya"),
+        col("cnt").as("na"))
+      val b = census.select(col("x").as("xb"), col("y").as("yb"),
+        col("cnt").as("nb"))
+      val cd = a.crossJoin(b).filter(col("xa") < col("xb"))
+        .agg(
+          coalesce(sum(when(col("ya") < col("yb"),
+            col("na") * col("nb"))), lit(0).cast(d38)).as("__c"),
+          coalesce(sum(when(col("ya") > col("yb"),
+            col("na") * col("nb"))), lit(0).cast(d38)).as("__d"))
+      val tx = census.groupBy("x").agg(sum(col("cnt")).as("nx"))
+        .agg(coalesce(sum(col("nx") * (col("nx") - 1)), lit(0).cast(d38))
+          .as("__tx2"))
+      val ty = census.groupBy("y").agg(sum(col("cnt")).as("ny"))
+        .agg(coalesce(sum(col("ny") * (col("ny") - 1)), lit(0).cast(d38))
+          .as("__ty2"))
+      val tot = census.agg(sum(col("cnt")).as("__n"))
+      cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(tot))
+        .withColumn("__n02", col("__n") * (col("__n") - 1))
+        .select(
+          col("__n").cast("long").as("n"),
+          col("__c").cast("long").as("concordant"),
+          col("__d").cast("long").as("discordant"),
+          expr("CAST(__tx2 / 2 AS LONG)").as("tie_x"),
+          expr("CAST(__ty2 / 2 AS LONG)").as("tie_y"),
+          // 2× both factors: (n0−Tx)(n0−Ty) = (n02−tx2)(n02−ty2)/4,
+          // and (C−D)/sqrt(../4) = 2(C−D)/sqrt(..) — all exact inside
+          (lit(2.0d) * dbl(col("__c") - col("__d")) /
+            sqrt(dbl((col("__n02") - col("__tx2")) *
+              (col("__n02") - col("__ty2"))))).as("tau_b"))
+    }
+  }
+
   /** Exact autocorrelation function at lags 1..`maxLag` over a
     * row-positional integral series (the caller pre-aggregates to the
     * series grain — e.g. per-day sums — so the input is

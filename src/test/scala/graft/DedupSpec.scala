@@ -528,4 +528,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.map(p => (p._1, p._2))
     assert(loose.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("canonicalUrl normalizes every gate variant to its closed form") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://example.com/p/5",
+      "HTTPS://EXAMPLE.COM:443/p/5/",
+      "https://example.com/p/5?utm_source=x&b=2&a=1",
+      "https://example.com/p/5?a=1&b=2#frag",
+      "http://Host:80/x?fbclid=1&z=9&a=2",
+      "http://h:8080/x",
+      "https://A.com/").toDF("url")
+    val got = urls.select(Dedup.canonicalUrl(col("url")))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "https://example.com/p/5",
+      "https://example.com/p/5",
+      "https://example.com/p/5?a=1&b=2",
+      "https://example.com/p/5?a=1&b=2",
+      "http://host/x?a=2&z=9",
+      "http://h:8080/x",
+      "https://a.com"))
+  }
+
+  test("urlDedup: census with min-id survivor per canonical form") {
+    import spark.implicits._
+    val df = Seq((3L, "https://A.com/"), (1L, "https://a.com"),
+      (2L, "https://b.com")).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(df, "url").orderBy("canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("https://a.com", 2L, 1L), ("https://b.com", 1L, 2L)))
+  }
 }

@@ -256,4 +256,30 @@ class SearchIndexSpec extends SparkSpec {
     assert(got.drop(4).map(_._2).toSeq == Seq(50L, 60L))
     assert(got(4)._4 == got(5)._4)
   }
+
+  test("precisionRecallAtK: exact metrics, zero-hit queries included") {
+    import spark.implicits._
+    val results = Seq(("q1", 11L, 1), ("q1", 12L, 2), ("q1", 13L, 3),
+      ("q1", 14L, 4)).toDF("query", "doc_id", "rank")
+    val relevant = Seq(("q1", 12L), ("q1", 99L), ("q2", 7L))
+      .toDF("query", "doc_id")
+    val got = SearchIndex.precisionRecallAtK(results, relevant, k = 3)
+      .orderBy("query")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    // q1: relevant d12 at rank 2 inside k=3 (d14 is outside k);
+    // q2 has judgments but no results at all
+    assert(got === Seq(
+      ("q1", 2L, 1L, 1.0 / 3.0, 1.0 / 2.0, 1.0 / 2.0),
+      ("q2", 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("precisionRecallAtK dedups judgments and caps at the rank slice") {
+    import spark.implicits._
+    val results = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query", "doc_id", "rank")
+    val relevant = Seq(("q", 1L), ("q", 1L), ("q", 2L))
+      .toDF("query", "doc_id") // duplicate judgment must not double-count
+    val got = SearchIndex.precisionRecallAtK(results, relevant, k = 2)
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    assert(got === (("q", 2L, 2L, 1.0, 1.0, 1.0)))
+  }
 }

@@ -561,6 +561,37 @@ class StatsSpec extends SparkSpec {
       (3, -108.0 / 216.0)))
   }
 
+  test("cramersV is exactly 1 on a perfect association (zero cells count)") {
+    // only 2 of the 4 grid cells are observed — the zero cells' expected
+    // mass must still contribute, else chi2 = 10 instead of 20
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("r", "c")
+    val got = Stats.cramersV(df, "r", "c")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((20L, 2L, 2L, 20.0, 1.0)))
+  }
+
+  test("cramersV is 0 under exact independence") {
+    val df = (for (r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 5)
+      yield (r, c)).toDF("r", "c")
+    val got = Stats.cramersV(df, "r", "c")
+      .select("chi2", "v").as[(Double, Double)].collect().head
+    assert(got === ((0.0, 0.0)))
+  }
+
+  test("kendallTauB: +1 on agreement, -1 on reversal, ties shrink it") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Stats.kendallTauB(up, "x", "y").select("tau_b")
+      .as[Double].collect().head === 1.0)
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Stats.kendallTauB(down, "x", "y").select("tau_b")
+      .as[Double].collect().head === -1.0)
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val got = Stats.kendallTauB(tied, "x", "y")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got === ((3L, 1L, 0L, 1L, 1L, 0.5)))
+  }
+
   test("acf is positional: index gaps do not null out lag pairs") {
     val dense = Seq((1L, 3L), (2L, 5L), (3L, 4L)).toDF("idx", "x")
     val gappy = Seq((10L, 3L), (20L, 5L), (40L, 4L)).toDF("idx", "x")
