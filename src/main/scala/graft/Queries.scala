@@ -3640,6 +3640,41 @@ object Queries {
       .orderBy("canonical_url")
   }
 
+  /** Interval-union gate: per-user busy time over event-anchored
+    * intervals (duration = event-keyed 0.1–100 s, heavily overlapping)
+    * — the line sweep as a running-max window, µs-exact. */
+  def q257IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val iv = ev.select(col("user_id"),
+      unix_micros(col("ts")).as("s0"),
+      (unix_micros(col("ts")) +
+        (col("event_id") % 1000 + 1) * lit(100000L)).as("e0"),
+      col("event_id"))
+    graft.operators.Events.intervalUnionLength(iv, "user_id", "s0", "e0",
+        "event_id")
+      .orderBy("user_id")
+  }
+
+  /** Session-path gate: top-20 event-type 3-grams inside 30-minute
+    * sessions — session index and leads confined to the session, exact
+    * census, ties on the gram string. */
+  def q258SessionNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.sessionNgrams(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L, n = 3, topK = 20)
+      .orderBy("rank")
+
+  /** Mann–Kendall gate on the q246 daily-cents series: exact S and
+    * tie-corrected 18·Var, continuity-corrected z as one chain. The
+    * O(n²) pair join runs on the 365-row series grain — the operator's
+    * documented contract. */
+  def q259MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+    graft.operators.Stats.mannKendall(daily, "day", "x")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4548,7 +4583,10 @@ object Queries {
     "q253_cramers_v" -> (q253CramersV _),
     "q254_kendall" -> (q254Kendall _),
     "q255_search_eval" -> (q255SearchEval _),
-    "q256_url_dedup" -> (q256UrlDedup _)
+    "q256_url_dedup" -> (q256UrlDedup _),
+    "q257_interval_union" -> (q257IntervalUnion _),
+    "q258_session_ngrams" -> (q258SessionNgrams _),
+    "q259_mann_kendall" -> (q259MannKendall _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6837,6 +6875,69 @@ object Queries {
         |  min(doc_id) AS survivor_id
         |FROM u GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+    "q257_interval_union" ->
+      """WITH iv AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS s0,
+        |  epoch_us(ts) + (event_id % 1000 + 1) * 100000 AS e0, event_id
+        | FROM events),
+        |m AS (SELECT user_id, s0, e0,
+        |  max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM iv)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(greatest(0, e0 - greatest(s0, coalesce(pm, s0))))
+        |    AS BIGINT) AS covered_us
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q258_session_ngrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) IS NULL
+        |   OR us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS nw
+        | FROM e),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS sess
+        | FROM g),
+        |gr AS (SELECT
+        |  event_type || '>' ||
+        |   lead(event_type, 1) OVER (PARTITION BY user_id, sess
+        |     ORDER BY us, event_id) || '>' ||
+        |   lead(event_type, 2) OVER (PARTITION BY user_id, sess
+        |     ORDER BY us, event_id) AS ngram,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id, sess
+        |    ORDER BY us, event_id) AS last2
+        | FROM s),
+        |c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM gr
+        | WHERE last2 IS NOT NULL GROUP BY ngram),
+        |r AS (SELECT ngram, n, CAST(row_number() OVER (
+        |  ORDER BY n DESC, ngram) AS INT) AS rank FROM c)
+        |SELECT ngram, n, rank FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+    "q259_mann_kendall" ->
+      """WITH b AS MATERIALIZED (SELECT CAST(ts AS DATE) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |sgn AS (SELECT CAST(coalesce(sum(CASE WHEN b2.x > b1.x THEN 1
+        |   WHEN b2.x < b1.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        | FROM b b1 JOIN b b2 ON b1.i < b2.i),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0)
+        |    AS HUGEINT) AS tt
+        | FROM (SELECT CAST(count(*) AS HUGEINT) AS t FROM b GROUP BY x)),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM b),
+        |v AS (SELECT CAST(n * (n - 1) * (n * 2 + 5) - tt AS HUGEINT)
+        |    AS var18
+        | FROM nn, tt)
+        |SELECT CAST(nn.n AS BIGINT) AS n, sgn.s,
+        |  CAST(v.var18 AS BIGINT) AS var18,
+        |  CASE WHEN sgn.s > 0 THEN CAST(sgn.s - 1 AS DOUBLE) /
+        |    sqrt(CAST(CAST(v.var18 AS VARCHAR) AS DOUBLE) / 18.0)
+        |   WHEN sgn.s < 0 THEN CAST(sgn.s + 1 AS DOUBLE) /
+        |    sqrt(CAST(CAST(v.var18 AS VARCHAR) AS DOUBLE) / 18.0)
+        |   ELSE 0.0 END AS z
+        |FROM sgn, nn, v""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -996,4 +996,69 @@ object Events {
       .filter(col("__gap").isNull || col("__gap") >= windowSeconds * 1000000L)
       .drop("__us", "__gap")
   }
+
+  /** Total covered time of an interval set per key — the union-length
+    * sweep (how long was the user/machine/resource busy, counting
+    * overlaps once). One window pass: with intervals ordered by
+    * (start, end, tie), each row contributes
+    * max(0, end − max(start, running-max of earlier ends)) — the
+    * classic line sweep as a running max, integer-exact in
+    * microseconds.
+    *
+    * Scale: one per-key window (the [[sessionize]] shape and skew
+    * caveat — a pathological key takes the chunked path upstream) plus
+    * a map-side-combined sum. */
+  def intervalUnionLength(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prevmax", max(col(endCol)).over(w))
+      .withColumn("__c",
+        greatest(lit(0L), col(endCol).cast("long") -
+          greatest(col(startCol).cast("long"),
+            coalesce(col("__prevmax").cast("long"),
+              col(startCol).cast("long")))))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__c")).as("covered_us"))
+  }
+
+  /** Top-K event-type n-grams within sessions — the path-mining census
+    * ("what do users DO in a session") a product-analytics pipeline
+    * reports. Sessions are the [[sessionize]] gap rule derived inline
+    * (lag + running sum of session starts), n-grams are `lead` windows
+    * CONFINED to the session (a lead crossing a session boundary is
+    * dropped), the census is exact, and top-K breaks ties on the
+    * n-gram string. Two window passes over (user)-partitioned events
+    * plus one n-gram-keyed census — the sessionize scale argument plus
+    * a Zipf-bounded aggregation. */
+  def sessionNgrams(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long, n: Int,
+      topK: Int): DataFrame = {
+    require(n >= 2 && n <= 8, "n must be in 2..8")
+    require(topK >= 1, "topK must be >= 1")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col(tieCol))
+    val sessioned = events
+      .withColumn("__us", us(events, tsCol))
+      .withColumn("__gap", col("__us") - lag("__us", 1).over(byUser))
+      .withColumn("__new",
+        when(col("__gap").isNull ||
+          col("__gap") > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("__sess", sum("__new").over(byUser))
+    val bySess = Window.partitionBy(col(userCol), col("__sess"))
+      .orderBy(col("__us"), col(tieCol))
+    val parts = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(bySess))
+    val grams = sessioned
+      .withColumn("__gram", concat_ws(">", parts: _*))
+      .withColumn("__last", lead(col(typeCol), n - 1).over(bySess))
+      .filter(col("__last").isNotNull)
+    val w = Window.orderBy(col("n").desc, col("ngram"))
+    grams.groupBy(col("__gram").as("ngram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -1262,6 +1262,47 @@ object Stats {
     }
   }
 
+  /** Mann–Kendall trend test over an integral series: S = Σ_{i<j}
+    * sign(x_j − x_i) with the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — both exact
+    * DECIMAL(38,0) — and the continuity-corrected
+    * z = (S∓1)/sqrt(Var) as one fixed chain. The monotone-trend
+    * staple (is the metric drifting?) that needs no distributional
+    * assumption.
+    *
+    * Scale contract: the pair join is O(n²) BY DEFINITION of S — this
+    * runs on the pre-aggregated series grain (daily/hourly rollups,
+    * calendar-bounded), never raw events; `idxCol` must be unique. */
+  def mannKendall(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).as("__i"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val a = base.select(col("__i").as("ia"), col("__x").as("xa"))
+      val b = base.select(col("__i").as("ib"), col("__x").as("xb"))
+      val s = a.crossJoin(b).filter(col("ia") < col("ib"))
+        .agg(coalesce(sum(signum(col("xb") - col("xa")).cast("long")),
+          lit(0L)).as("__s"))
+      val ties = base.groupBy("__x").agg(count(lit(1)).cast(d38).as("__t"))
+        .agg(sum(col("__t")).as("__n"),
+          coalesce(sum(col("__t") * (col("__t") - 1) *
+            (col("__t") * 2 + 5)), lit(0).cast(d38)).as("__tt"))
+      s.crossJoin(broadcast(ties))
+        .withColumn("__var18",
+          col("__n") * (col("__n") - 1) * (col("__n") * 2 + 5) -
+            col("__tt"))
+        .select(col("__n").cast("long").as("n"), col("__s").as("s"),
+          col("__var18").cast("long").as("var18"),
+          when(col("__s") > 0,
+            dbl(col("__s") - 1) / sqrt(dbl(col("__var18")) / lit(18.0d)))
+            .when(col("__s") < 0,
+              dbl(col("__s") + 1) / sqrt(dbl(col("__var18")) / lit(18.0d)))
+            .otherwise(lit(0.0d)).as("z"))
+    }
+  }
+
   /** Exact autocorrelation function at lags 1..`maxLag` over a
     * row-positional integral series (the caller pre-aggregates to the
     * series grain — e.g. per-day sums — so the input is

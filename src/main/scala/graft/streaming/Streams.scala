@@ -613,4 +613,40 @@ object Streams {
           Iterator.single(DecayScore(key, next.n, next.score))
       }
   }
+
+  final case class DebounceEvent(key: String, us: Long, eventId: Long)
+  final case class DebounceState(lastUs: Long, lastId: Long)
+
+  /** Streaming twin of `Events.debounce` (the memoryless gap rule: an
+    * event survives iff it opens a ≥window gap from its PREDECESSOR,
+    * kept or not). State per key is just the predecessor's (us, tie) —
+    * each micro-batch sorts its own rows by (us, eventId), filters
+    * against the rolling predecessor, and leaves the state at the
+    * batch's last event. The spec pins the streamed survivor set ≡ the
+    * batch face under arbitrary batch boundary placement, PROVIDED
+    * batches arrive in event-time order per key (the same contract the
+    * sessionize twin documents; out-of-order feeds take a watermark
+    * sort upstream). */
+  def debounceStream(events: Dataset[DebounceEvent],
+      windowSeconds: Long): Dataset[DebounceEvent] = {
+    require(windowSeconds > 0, "window must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowSeconds * 1000000L
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceState, DebounceEvent](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[DebounceEvent],
+            state: GroupState[DebounceState]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.eventId))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[DebounceEvent]()
+          for (e <- sorted) {
+            if (st == null || e.us - st.lastUs >= winUs) out += e
+            st = DebounceState(e.us, e.eventId)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

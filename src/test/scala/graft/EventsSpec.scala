@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import graft.operators.Events
 
 class EventsSpec extends SparkSpec {
@@ -636,5 +636,37 @@ class EventsSpec extends SparkSpec {
       .as[(Long, String, Long, Int)].collect().toSeq
     assert(got === Seq((1L, "a", 100L, 1), (1L, "b", 300L, 2),
       (2L, "b", 50L, 1)))
+  }
+
+  test("intervalUnionLength merges overlaps, bridges touching, skips gaps") {
+    val iv = Seq(
+      (1L, 0L, 10L, 1L), (1L, 5L, 20L, 2L),   // overlap -> 20
+      (1L, 20L, 25L, 3L),                      // touching -> +5
+      (1L, 40L, 50L, 4L),                      // gap -> +10
+      (2L, 0L, 100L, 5L), (2L, 10L, 20L, 6L))  // contained -> 100
+      .toDF("k", "s0", "e0", "id")
+    val got = graft.operators.Events
+      .intervalUnionLength(iv, "k", "s0", "e0", "id")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L, 35L), (2L, 2L, 100L)))
+  }
+
+  test("sessionNgrams confines grams to sessions and ranks exactly") {
+    // user 1: A B C then a >30min gap then A B C; user 2: A B
+    val base = 1000000000L
+    val ev = Seq(
+      (1L, base, 1L, "A"), (1L, base + 1000000L, 2L, "B"),
+      (1L, base + 2000000L, 3L, "C"),
+      (1L, base + 4000000000L, 4L, "A"),
+      (1L, base + 4001000000L, 5L, "B"),
+      (1L, base + 4002000000L, 6L, "C"),
+      (2L, base, 7L, "A"), (2L, base + 1000000L, 8L, "B"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.Events.sessionNgrams(ev, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L, n = 2, topK = 10)
+      .orderBy("rank").as[(String, Long, Int)].collect().toSeq
+    // A>B appears in 3 sessions; B>C in 2; the cross-gap C>A must NOT
+    assert(got === Seq(("A>B", 3L, 1), ("B>C", 2L, 2)))
   }
 }

@@ -599,4 +599,21 @@ class StatsSpec extends SparkSpec {
     val b = Stats.acf(gappy, "idx", "x", 1).as[(Int, Double)].collect().head
     assert(a === b)
   }
+
+  test("mannKendall: exact S, tie-corrected variance, z chain") {
+    // series 1,2,2,3 by index: pairs + ties hand-counted
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)).toDF("i", "x")
+    val got = Stats.mannKendall(df, "i", "x")
+      .as[(Long, Long, Long, Double)].collect().head
+    // S = 5 (all up except the 2~2 tie); 18Var = 4*3*13 - 2*1*9 = 138
+    val z = (5.0 - 1.0) / math.sqrt(138.0 / 18.0)
+    assert(got === ((4L, 5L, 138L, z)))
+  }
+
+  test("mannKendall: zero trend gives z = 0 exactly") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("i", "x")
+    val got = Stats.mannKendall(df, "i", "x")
+      .select("s", "z").as[(Long, Double)].collect().head
+    assert(got === ((0L, 0.0)))
+  }
 }

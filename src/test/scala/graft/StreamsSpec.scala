@@ -593,4 +593,43 @@ class StreamsSpec extends SparkSpec {
       assert(batch(1L) === last(1L).score && batch(2L) === last(2L).score)
     } finally q.stop()
   }
+
+  test("debounceStream: streamed survivors equal the batch debounce face " +
+    "under arbitrary batch splits") {
+    import graft.streaming.Streams.DebounceEvent
+    implicit val sc = spark.sqlContext
+    val events = Seq( // key a: bursts; key b: isolated
+      DebounceEvent("a", 0L, 1L), DebounceEvent("a", 100000000L, 2L),
+      DebounceEvent("a", 400000000L, 3L), DebounceEvent("a", 700000001L, 4L),
+      DebounceEvent("b", 0L, 5L), DebounceEvent("b", 300000000L, 6L))
+    val in = MemoryStream[DebounceEvent]
+    val q = Streams.debounceStream(in.toDS(), windowSeconds = 300L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("deb_out").start()
+    try {
+      // split mid-burst: the state must carry the predecessor across
+      in.addData(events.take(2))
+      q.processAllAvailable()
+      in.addData(events.slice(2, 4))
+      q.processAllAvailable()
+      in.addData(events.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("deb_out").as[DebounceEvent]
+        .collect().map(_.eventId).sorted.toSeq
+
+      // debounce's us() expects a timestamp column, so feed the long
+      // micros through timestamp_micros first
+      val asTs = events.toDF()
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.col("us")))
+      val batchIds = graft.operators.Events.debounce(
+        asTs, Seq("key"), "ts", 300L, "eventId")
+        .select("eventId").as[Long].collect().sorted.toSeq
+      assert(streamed === batchIds)
+      // the memoryless rule on key a: 1 survives, 2 within 300s of 1
+      // dies, 3 opens exactly 300s from 2 (>= window) and survives,
+      // 4 is 300.000001s after 3; key b: gap 300s exactly -> both
+      assert(streamed === Seq(1L, 3L, 4L, 5L, 6L))
+    } finally q.stop()
+  }
 }
