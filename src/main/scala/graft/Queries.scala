@@ -3675,6 +3675,45 @@ object Queries {
     graft.operators.Stats.mannKendall(daily, "day", "x")
   }
 
+  /** dHash gate: each document's first 144 chars (x-padded) become an
+    * 18×8 8-bit BMP via the q234 builder; [[graft.operators.Multimodal
+    * .imageDHash]] must decode, box-average onto the 9×8 grid (2×1
+    * cells, integer floor means) and emit the 16-hex fingerprint the
+    * oracle recomputes from the raw characters. */
+  def q260ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id"), rpad(col("text"), 144, "x").as("t"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, graft.operators.Multimodal.bmpGray8Bytes(
+          txt.getBytes("US-ASCII"), 18, 8))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.imageDHash(media).orderBy("media_id")
+  }
+
+  /** Theil–Sen gate on the daily-cents series: both medians are
+    * rank-selected (type-1, index tie-breaks) over doubles both
+    * engines compute identically — one exact-integer division per
+    * slope, no interpolation. */
+  def q261TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("i"), col("x"))
+    graft.operators.Stats.theilSen(daily, "i", "x")
+  }
+
+  /** Segmented-TTR gate: lexical diversity over 10-token blocks —
+    * exact block census, one division per document. */
+  def q262SegmentedTtr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.segmentedTtr(t(s, dir, "documents"),
+        window = 10)
+      .orderBy("id")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4586,7 +4625,10 @@ object Queries {
     "q256_url_dedup" -> (q256UrlDedup _),
     "q257_interval_union" -> (q257IntervalUnion _),
     "q258_session_ngrams" -> (q258SessionNgrams _),
-    "q259_mann_kendall" -> (q259MannKendall _)
+    "q259_mann_kendall" -> (q259MannKendall _),
+    "q260_image_dhash" -> (q260ImageDhash _),
+    "q261_theil_sen" -> (q261TheilSen _),
+    "q262_segmented_ttr" -> (q262SegmentedTtr _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -6875,6 +6917,62 @@ object Queries {
         |  min(doc_id) AS survivor_id
         |FROM u GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+    "q260_image_dhash" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, rpad(text, 144, 'x') AS s
+        | FROM documents),
+        |cells AS (SELECT doc_id, r.r, c.c,
+        |  (ord(substr(s, r.r * 18 + 2 * c.c + 1, 1)) +
+        |   ord(substr(s, r.r * 18 + 2 * c.c + 2, 1))) // 2 AS m
+        | FROM t, generate_series(0, 7) r(r), generate_series(0, 8) c(c)),
+        |bits AS (SELECT a.doc_id, a.r,
+        |  CAST(sum(CASE WHEN a.m < b.m THEN 1 << a.c ELSE 0 END) AS INT)
+        |    AS byte
+        | FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.r = a.r
+        |  AND b.c = a.c + 1
+        | WHERE a.c < 8 GROUP BY a.doc_id, a.r)
+        |SELECT doc_id AS media_id,
+        |  string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q261_theil_sen" ->
+      """WITH d AS MATERIALIZED (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |sl AS (SELECT a.i AS ia, b.i AS ib,
+        |  CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+        | FROM d a JOIN d b ON a.i < b.i),
+        |rs AS (SELECT s, row_number() OVER (ORDER BY s, ia, ib) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM sl),
+        |sm AS (SELECT n AS n_slopes, s AS slope FROM rs
+        | WHERE r = (n + 1) // 2),
+        |iv AS (SELECT d.i,
+        |  CAST(d.x AS DOUBLE) - sm.slope * CAST(d.i AS DOUBLE) AS v,
+        |  sm.n_slopes, sm.slope
+        | FROM d, sm),
+        |ri AS (SELECT *, row_number() OVER (ORDER BY v, i) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS nn FROM iv)
+        |SELECT nn AS n, n_slopes, slope, v AS intercept FROM ri
+        |WHERE r = (nn + 1) // 2""".stripMargin,
+    "q262_segmented_ttr" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id AS id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        | FROM documents),
+        |pos AS (SELECT id, (u.i - 1) // 10 AS blk, u.token AS token
+        | FROM (SELECT id, unnest(list_transform(tk,
+        |   (x, i) -> {'token': x, 'i': i})) AS u FROM toks)),
+        |blocks AS (SELECT id, blk, CAST(count(DISTINCT token) AS BIGINT)
+        |    AS d
+        | FROM pos GROUP BY id, blk HAVING count(*) = 10),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(d) AS BIGINT) AS sum_distinct FROM blocks GROUP BY id)
+        |SELECT d0.doc_id AS id, coalesce(a.n_blocks, 0) AS n_blocks,
+        |  coalesce(a.sum_distinct, 0) AS sum_distinct,
+        |  CAST(a.sum_distinct AS DOUBLE) / CAST(a.n_blocks * 10 AS DOUBLE)
+        |    AS ttr
+        |FROM documents d0 LEFT JOIN agg a ON a.id = d0.doc_id
+        |ORDER BY id""".stripMargin,
     "q257_interval_union" ->
       """WITH iv AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS s0,
         |  epoch_us(ts) + (event_id % 1000 + 1) * 100000 AS e0, event_id

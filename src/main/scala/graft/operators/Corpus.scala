@@ -1585,6 +1585,38 @@ object Corpus {
       .select(col("id"), col("label").as("pred"), col("score"))
   }
 
+  /** Segmented type-token ratio (the windowed-TTR lexical-diversity
+    * score, MATTR's non-overlapping cousin): tokens chunk into
+    * consecutive blocks of `window`, each FULL block contributes
+    * distinct/window, and the document score is
+    * Σdistinct / (blocks·window) — exact integers plus ONE division,
+    * where raw TTR's length dependence (and floating per-window
+    * averaging) would leak engine noise. Documents shorter than one
+    * full window emit n_blocks = 0 and a null score.
+    *
+    * Scale: one posexplode + two block-keyed aggregations — narrow
+    * per-document work, no shuffle wider than (doc, block). */
+  def segmentedTtr(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", window: Int = 10): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    def dbl(c: Column): Column = c.cast("double")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(nbTokens(docs, textCol)).as(Seq("pos", "token")))
+      .withColumn("blk", expr(s"pos div $window"))
+    val blocks = toks.groupBy("id", "blk")
+      .agg(count(lit(1)).as("__n"), count_distinct(col("token")).as("__d"))
+      .filter(col("__n") === window)
+    docs.select(col(idCol).as("id"))
+      .join(blocks.groupBy("id")
+        .agg(count(lit(1)).as("n_blocks"), sum(col("__d")).as("sum_distinct")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("sum_distinct"), lit(0L)).as("sum_distinct"),
+        (dbl(col("sum_distinct")) /
+          dbl(col("n_blocks") * window)).as("ttr"))
+  }
+
   /** Temperature-scaled domain mixing at τ = 2 (the p^(1/τ) = √p
     * up-weighting of LLaMA/Pile-style data recipes): per-domain token
     * counts are exact, w_d = sqrt(tokens_d) is IEEE-correctly-rounded

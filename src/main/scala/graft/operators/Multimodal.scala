@@ -469,6 +469,83 @@ object Multimodal {
         col("_2.bottom_right").as("bottom_right"))
   }
 
+  /** Difference-hash (dHash) of an uncompressed 8-bit BMP: box-average
+    * the image onto a 9×8 grid (integer floor means — the image must
+    * tile evenly: w % 9 == 0, h % 8 == 0, else quarantine None), set
+    * bit c of row r when cell (r,c) is darker than its right neighbor,
+    * and emit the 64 bits as 16 lowercase hex chars (two per row, no
+    * signed-long bit-63 hazard). The standard perceptual near-dup
+    * fingerprint for image dedup — all-integer, so any engine replays
+    * it from the pixel values. */
+  def dHashBmp(content: Array[Byte]): Option[String] = {
+    val b = content
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = u32le(b, 10).toInt
+    val w = u32le(b, 18).toInt
+    val hRaw = u32le(b, 22).toInt
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val bpp = u16le(b, 28)
+    val compression = u32le(b, 30)
+    if (w <= 0 || h <= 0 || compression != 0L || bpp != 8) return None
+    val stride = ((w + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
+      return None
+    if (w % 9 != 0 || h % 8 != 0) return None
+    val cw = w / 9; val chh = h / 8
+    val m = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        var s = 0L
+        var dy = 0
+        while (dy < chh) {
+          val yy = r * chh + dy
+          val fileRow = if (topDown) yy else h - 1 - yy
+          var dx = 0
+          while (dx < cw) {
+            s += u8(b, dataOff + fileRow * stride + c * cw + dx)
+            dx += 1
+          }
+          dy += 1
+        }
+        m(r)(c) = s / (cw.toLong * chh)
+        c += 1
+      }
+      r += 1
+    }
+    val sb = new StringBuilder(16)
+    r = 0
+    while (r < 8) {
+      var byte = 0
+      var c = 0
+      while (c < 8) {
+        if (m(r)(c) < m(r)(c + 1)) byte |= 1 << c
+        c += 1
+      }
+      sb.append(f"$byte%02x")
+      r += 1
+    }
+    Some(sb.toString)
+  }
+
+  /** Per-row dHash over a (media_id, content) frame — the batched
+    * mapPartitions shape of [[imagePixelStats]]; non-decodable or
+    * non-tiling rows are quarantined (dropped). */
+  def imageDHash(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          dHashBmp(bytes).map(hx => (id, hx))
+        })
+      }
+      .select(col("_1").as("media_id"), col("_2").as("dhash"))
+  }
+
   /** Per-row audio sample statistics — REAL for PCM WAVs, same batched
     * mapPartitions shape as [[imagePixelStats]]. */
   def audioSampleStats(media: DataFrame, batchSize: Int = 64): DataFrame = {

@@ -1303,6 +1303,47 @@ object Stats {
     }
   }
 
+  /** Theil–Sen robust trend: slope = lower-median of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i), intercept = lower-median of
+    * y_i − slope·x_i. Each slope is ONE IEEE division of exact
+    * integers — both engines compute the identical doubles, so the
+    * rank-selected medians (ties broken on the index pair) replay
+    * cell-exactly; no averaging interpolation exists to diverge (the
+    * exactQuartiles type-1 rule).
+    *
+    * Scale contract: pairwise-by-definition, O(n²) on the
+    * pre-aggregated series grain (the [[mannKendall]] caveat);
+    * `idxCol` must be unique and integral. */
+  def theilSen(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val a = base.select(col("__i").as("ia"), col("__x").as("xa"))
+      val b = base.select(col("__i").as("ib"), col("__x").as("xb"))
+      val slopes = a.crossJoin(b).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (dbl(col("xb") - col("xa")) / dbl(col("ib") - col("ia")))
+            .as("__s"))
+      val ws = Window.orderBy(col("__s"), col("ia"), col("ib"))
+      val nS = Window.partitionBy()
+      val slope = slopes
+        .withColumn("__r", row_number().over(ws))
+        .withColumn("__n", count(lit(1)).over(nS))
+        .filter(col("__r") === expr("(__n + 1) div 2"))
+        .select(col("__n").as("n_slopes"), col("__s").as("slope"))
+      val wi = Window.orderBy(col("__v"), col("__i"))
+      base.crossJoin(broadcast(slope))
+        .withColumn("__v", dbl(col("__x")) - col("slope") * dbl(col("__i")))
+        .withColumn("__r", row_number().over(wi))
+        .withColumn("__nn", count(lit(1)).over(nS))
+        .filter(col("__r") === expr("(__nn + 1) div 2"))
+        .select(col("__nn").as("n"), col("n_slopes"), col("slope"),
+          col("__v").as("intercept"))
+    }
+  }
+
   /** Exact autocorrelation function at lags 1..`maxLag` over a
     * row-positional integral series (the caller pre-aggregates to the
     * series grain — e.g. per-day sums — so the input is

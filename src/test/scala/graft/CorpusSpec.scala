@@ -893,4 +893,19 @@ class CorpusSpec extends SparkSpec {
       ("a", 100L, wa, wa / wsum, math.floor(1000000.0 * wa / wsum).toLong),
       ("b", 400L, wb, wb / wsum, math.floor(1000000.0 * wb / wsum).toLong)))
   }
+
+  test("segmentedTtr: full blocks only, exact distinct shares") {
+    val tenDistinct = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tenSame = Seq.fill(10)("rep").mkString(" ")
+    val docs = Seq(
+      (1L, tenDistinct + " " + tenSame),          // blocks: 10, 1 distinct
+      (2L, tenDistinct + " " + tenSame + " tail a b c"), // remainder dropped
+      (3L, "too short"))                           // no full block
+      .toDF("doc_id", "text")
+    val got = Corpus.segmentedTtr(docs, window = 10).orderBy("id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got(0) === ((1L, 2L, 11L, Some(11.0 / 20.0))))
+    assert(got(1) === ((2L, 2L, 11L, Some(11.0 / 20.0))))
+    assert(got(2) === ((3L, 0L, 0L, None)))
+  }
 }

@@ -235,4 +235,33 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id").as[Long].collect().toSeq
     assert(img == Seq(1L) && aud == Seq(2L))
   }
+
+  test("dHashBmp: gradients set/clear all bits, non-tiling quarantines") {
+    // 18x8, pixel = 10*x: every cell mean increases left-to-right
+    val inc = Array.tabulate(8 * 18)(i => (10 * (i % 18)).toByte)
+    val hInc = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(inc, 18, 8))
+    assert(hInc === Some("ffffffffffffffff"))
+    val dec = Array.tabulate(8 * 18)(i => (10 * (17 - i % 18)).toByte)
+    val hDec = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(dec, 18, 8))
+    assert(hDec === Some("0000000000000000"))
+    // 13x3 decodes as a BMP but does not tile the 9x8 grid
+    val odd = Array.tabulate(39)(_.toByte)
+    assert(Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(odd, 13, 3)).isEmpty)
+  }
+
+  test("dHashBmp floor-averages cells: a single bright pixel can't flip") {
+    // cells are 2x1; cell value is (a+b) div 2 -- check a hand pair
+    val px = Array.fill(8 * 18)(0.toByte)
+    px(0) = 5; px(1) = 4 // cell(7,0) after bottom-up logical mapping? no:
+    // bmpGray8Bytes takes LOGICAL row-major pixels; row 0 = top
+    // cell(0,0) mean = (5+4) div 2 = 4; cell(0,1) = 0 -> bit0 of row0 = 0
+    val h = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(px, 18, 8)).get
+    assert(h === "0000000000000000")
+    px(2) = 9 // cell(0,1) mean 4 -> equal, still not less
+    val h2 = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(px, 18, 8)).get
+    assert(h2 === "0000000000000000")
+    px(2) = 11 // cell(0,1) mean 5 > cell(0,0) 4 -> bit set
+    val h3 = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(px, 18, 8)).get
+    assert(h3 === "0100000000000000")
+  }
 }

@@ -616,4 +616,17 @@ class StatsSpec extends SparkSpec {
       .select("s", "z").as[(Long, Double)].collect().head
     assert(got === ((0L, 0.0)))
   }
+
+  test("theilSen recovers an exact line and resists one outlier") {
+    val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L), (5L, 22L))
+      .toDF("i", "x")
+    val gl = Stats.theilSen(line, "i", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(gl === ((5L, 10L, 3.0, 7.0)))
+    val outlier = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 100L))
+      .toDF("i", "x")
+    val go = Stats.theilSen(outlier, "i", "x")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(go._3 === 2.0 && go._4 === 0.0) // median slope ignores the spike
+  }
 }
