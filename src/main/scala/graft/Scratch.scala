@@ -982,6 +982,67 @@ object Scratch {
         println(s"[scratch]   hot-span set: ${hot.size}")
         graft.operators.Corpus.maskSpansAgainst(docs, hot).count()
       }
+      // ---- round-8 additions: the new heavy operator bodies ----
+      time(s"msf(cycles=32,nodes=$k)") {
+        // disjoint 32-cycles tiling k nodes: Borůvka rounds stay at
+        // log₂32 while per-round work grows ∝ k — the scale face
+        val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
+        val es = nodes.select(col("i").as("src"),
+          when(col("i") % 32 === 31, col("i") - 31)
+            .otherwise(col("i") + 1).as("dst"),
+          (((col("i") * 7919) % 104729) * 100000 + col("i")).as("w"))
+        graft.operators.GraphAlgos.minSpanningForest(es, maxRounds = 16)
+          .count()
+      }
+      time(s"densest(nodes=$k)") {
+        // ring background + one planted 20-clique per 1000 nodes:
+        // clique count ∝ k, peel depth stays flat
+        val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
+        val ring = nodes.select(col("i").as("src"),
+          ((col("i") + 1) % k).as("dst"))
+        val inBlock = nodes.filter(col("i") % 1000 < 20)
+        val clique = inBlock.select(col("i").as("a"),
+            expr("i div 1000").as("blk"))
+          .join(inBlock.select(col("i").as("b"),
+            expr("i div 1000").as("blk")), Seq("blk"))
+          .filter(col("a") < col("b"))
+          .select(col("a").as("src"), col("b").as("dst"))
+        graft.operators.GraphAlgos.densestSubgraph(
+          ring.unionByName(clique), maxRounds = 32).count()
+      }
+      time("naivebayes(train half, sweep half)") {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        graft.operators.Corpus.naiveBayesPredict(
+          docs.filter(col("doc_id") % 2 === 0).select(col("source"), col("text")),
+          docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          "source").count()
+      }
+      time("intervalunion") {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+        val iv = ev.select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s0"),
+          (unix_micros(col("ts").cast("timestamp")) +
+            (col("event_id") % 1000 + 1) * lit(100000L)).as("e0"),
+          col("event_id"))
+        graft.operators.Events.intervalUnionLength(iv, "user_id",
+          "s0", "e0", "event_id").count()
+      }
+      time("sessionngrams(n=3,top20)") {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.Events.sessionNgrams(ev, "user_id", "ts",
+          "event_id", "event_type", 1800L, 3, 20).count()
+      }
+      time("dhash(18x8 BMPs from text)") {
+        import spark.implicits._
+        val media = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), rpad(col("text"), 144, "x").as("t"))
+          .as[(Long, String)]
+          .map { case (id, txt) => (id, graft.operators.Multimodal
+            .bmpGray8Bytes(txt.getBytes("US-ASCII"), 18, 8)) }
+          .toDF("media_id", "content")
+        graft.operators.Multimodal.imageDHash(media).count()
+      }
       spark.stop(); return
     }
     if (name == "plans") {
