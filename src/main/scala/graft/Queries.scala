@@ -3714,6 +3714,50 @@ object Queries {
         window = 10)
       .orderBy("id")
 
+  /** McNemar gate: subjects are user-days; condition A = clicked that
+    * day, condition B = purchased that day — real discordance in both
+    * directions at every sf. Counts exact, two final divisions. */
+  def q263Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val paired = events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b"))
+    graft.operators.Stats.mcnemar(paired, "a", "b")
+  }
+
+  /** Wilcoxon signed-rank gate: per-user click count vs view count —
+    * small paired integers, so zero differences (dropped) and |d|
+    * ties (midranked) both genuinely occur. The z chain is one
+    * exact-moment division + one sqrt. */
+  def q264Wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val paired = events(s, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("y"))
+    graft.operators.Stats.wilcoxonSignedRank(paired, "x", "y")
+  }
+
+  /** Friedman gate: blocks = users holding all 5 event types
+    * (pre-filtered on both sides — the operator's completeness guard
+    * stays un-tripped), treatments = event_type, value = per-(user,
+    * type) event count — small integers, so within-block midranks are
+    * real. */
+  def q265Friedman(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .groupBy(col("user_id").as("blk"), col("event_type").as("trt"))
+      .agg(count(lit(1)).as("x"))
+    val complete = base.groupBy("blk")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 5)
+      .select("blk")
+    graft.operators.Stats.friedman(
+      base.join(complete, Seq("blk")), "blk", "trt", "x")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4628,7 +4672,10 @@ object Queries {
     "q259_mann_kendall" -> (q259MannKendall _),
     "q260_image_dhash" -> (q260ImageDhash _),
     "q261_theil_sen" -> (q261TheilSen _),
-    "q262_segmented_ttr" -> (q262SegmentedTtr _)
+    "q262_segmented_ttr" -> (q262SegmentedTtr _),
+    "q263_mcnemar" -> (q263Mcnemar _),
+    "q264_wilcoxon" -> (q264Wilcoxon _),
+    "q265_friedman" -> (q265Friedman _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7036,6 +7083,85 @@ object Queries {
         |    sqrt(CAST(CAST(v.var18 AS VARCHAR) AS DOUBLE) / 18.0)
         |   ELSE 0.0 END AS z
         |FROM sgn, nn, v""".stripMargin,
+    "q263_mcnemar" ->
+      """WITH s AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+        | FROM events GROUP BY 1, 2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS db,
+        |  CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dc
+        | FROM s)
+        |SELECT n, db AS b, dc AS c,
+        |  CASE WHEN db + dc > 0 THEN
+        |    CAST((db - dc) * (db - dc) AS DOUBLE) /
+        |      CAST(db + dc AS DOUBLE) END AS chi2,
+        |  CASE WHEN db + dc > 0 THEN
+        |    CAST((abs(db - dc) - 1) * (abs(db - dc) - 1) AS DOUBLE) /
+        |      CAST(db + dc AS DOUBLE) END AS chi2_cc
+        |FROM d""".stripMargin,
+    "q264_wilcoxon" ->
+      """WITH p AS MATERIALIZED (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |d AS (SELECT x - y AS d FROM p WHERE x <> y),
+        |cen AS (SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        | FROM d GROUP BY 1),
+        |cum AS (SELECT v, t, tp, coalesce(sum(t) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM cen),
+        |f AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |  CAST(sum(CAST(tp AS HUGEINT) * (2 * cum + t + 1)) AS HUGEINT)
+        |    AS w2p,
+        |  CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie
+        | FROM cum)
+        |SELECT n, CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+        |  CAST(CAST(n AS HUGEINT) * (n + 1) - w2p AS DOUBLE) / 2.0
+        |    AS w_minus,
+        |  CAST(2 * w2p - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) /
+        |   (2.0 * sqrt(CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
+        |      * 2 - tie AS DOUBLE) / 12.0)) AS z
+        |FROM f""".stripMargin,
+    "q265_friedman" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR)
+        |    AS blk, event_type AS trt, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |ok AS (SELECT blk FROM base GROUP BY blk HAVING count(*) = 5),
+        |b2 AS (SELECT base.* FROM base JOIN ok USING (blk)),
+        |cen AS (SELECT blk, x, CAST(count(*) AS BIGINT) AS t
+        | FROM b2 GROUP BY 1, 2),
+        |cum AS (SELECT blk, x, t, coalesce(sum(t) OVER (
+        |  PARTITION BY blk ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM cen),
+        |r AS (SELECT b2.trt, 2 * cum + t + 1 AS r2
+        | FROM b2 JOIN cum ON b2.blk = cum.blk AND b2.x = cum.x),
+        |pt AS (SELECT trt, CAST(sum(CAST(r2 AS HUGEINT)) AS HUGEINT)
+        |    AS r2sum
+        | FROM r GROUP BY trt),
+        |shape AS (SELECT CAST(count(*) AS BIGINT) AS b FROM ok),
+        |tie AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * t * t - t),
+        |    0) AS HUGEINT) AS tie FROM cen),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  list_sum(list(CAST(r2sum * r2sum AS DOUBLE) / 4.0
+        |    ORDER BY trt)) AS sumsq
+        | FROM pt),
+        |h AS (SELECT shape.b, f.k, CAST(tie.tie AS BIGINT) AS tie_sum,
+        |  12.0 * f.sumsq / CAST(shape.b * f.k * (f.k + 1) AS DOUBLE) -
+        |    3.0 * CAST(shape.b * (f.k + 1) AS DOUBLE) AS chi2_f,
+        |  CAST(tie.tie AS DOUBLE) /
+        |    CAST(shape.b * (CAST(f.k AS HUGEINT) * f.k * f.k - f.k)
+        |      AS DOUBLE) AS tfrac
+        | FROM shape, tie, f)
+        |SELECT b, k, tie_sum, chi2_f, chi2_f / (1.0 - tfrac)
+        |  AS chi2_f_adj
+        |FROM h""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1357,6 +1357,145 @@ object Stats {
     * r_l = (N²·XX_l − N·S·(H_l+T_l) + (N−l)·S²) / (N·(N·Q − S²)) —
     * every term a DECIMAL(38,0) product (>2^53 rides the VARCHAR
     * oracle cast), ONE division per lag. */
+  /** McNemar's test for paired binary outcomes: each row is one
+    * subject with two 0/1 conditions; the statistic uses only the
+    * discordant counts b = #(1,0) and c = #(0,1),
+    * χ² = (b−c)²/(b+c), plus the Edwards continuity-corrected
+    * (|b−c|−1)²/(b+c). All counts exact BIGINTs, one final division
+    * each; b+c = 0 yields NULL (no discordance, test undefined).
+    *
+    * Scale: a single 1-row global agg — entirely map-side partial
+    * sums, no shuffle beyond the final reduce. */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    df.select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L)
+          .otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          dbl((col("b") - col("c")) * (col("b") - col("c"))) /
+            dbl(col("b") + col("c"))).as("chi2"),
+        when(col("b") + col("c") > 0,
+          dbl((abs(col("b") - col("c")) - 1) *
+            (abs(col("b") - col("c")) - 1)) /
+            dbl(col("b") + col("c"))).as("chi2_cc"))
+  }
+
+  /** Wilcoxon signed-rank test for paired integral samples: zero
+    * differences are dropped (Wilcoxon's rule), |d| is midranked from
+    * the value CENSUS (rank windows over distinct |d| only — the
+    * kruskalWallis trick), and the positive rank-sum is carried as the
+    * exact integer 2·W⁺ = Σ n_pos(v)·(2·cum(v)+t(v)+1). W⁺/W⁻ are
+    * halves of integers, exact in double. The normal-approximation z
+    * (tie-corrected, no continuity correction) is ONE fixed chain:
+    * (4·W⁺ − n(n+1)) / (2·√(n(n+1)(2n+1)/6 − Σ(t³−t)/12)) computed
+    * over exact integer moments, a single sqrt + division (sqrt is
+    * correctly rounded, so cross-engine deterministic).
+    *
+    * Scale: one groupBy on |d| values + a window over the distinct-
+    * value census (series-grain, not row-grain) + 1-row agg. */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val diffs = df.select(
+        (col(xCol).cast("long") - col(yCol).cast("long")).as("__d"))
+      .filter(col("__d") =!= 0)
+    val census = diffs
+      .groupBy(abs(col("__d")).as("__v"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__tp"))
+      .withColumn("__cum",
+        coalesce(sum(col("__t")).over(Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    census.agg(
+        sum(col("__t")).as("n"),
+        sum(col("__tp").cast(d38) *
+          (lit(2) * col("__cum") + col("__t") + 1)).as("__w2p"),
+        sum(col("__t").cast(d38) * col("__t") * col("__t") - col("__t"))
+          .as("__tie"))
+      .select(col("n"),
+        (dbl(col("__w2p")) / lit(2.0d)).as("w_plus"),
+        (dbl(col("n").cast(d38) * (col("n") + 1) - col("__w2p")) /
+          lit(2.0d)).as("w_minus"),
+        (dbl(lit(2).cast(d38) * col("__w2p") -
+          col("n").cast(d38) * (col("n") + 1)) /
+          (lit(2.0d) * sqrt(dbl(
+            col("n").cast(d38) * (col("n") + 1) *
+              (col("n") * 2 + 1) * 2 - col("__tie")) / lit(12.0d))))
+          .as("z"))
+  }
+
+  /** Friedman test over complete blocks: each row is (block,
+    * treatment, integral value); values are midranked WITHIN each
+    * block from the per-block value census (2·rank integers, exact),
+    * treatment rank-sums 2·Rⱼ are DECIMAL(38,0), and the statistic
+    * χ²_F = 12·ΣRⱼ²/(b·k·(k+1)) − 3·b·(k+1) folds the per-treatment
+    * squares in treatment order (the q237 sorted-fold recipe). The
+    * tie-adjusted variant divides by 1 − Σ(t³−t)/(b·(k³−k)). Blocks
+    * must be complete (every treatment present once); a block-shape
+    * census guards the statistic — incomplete input yields NULL
+    * chi2_f, which any gate or consumer trips over loudly.
+    *
+    * Scale: one groupBy on (block, value) + a block-partitioned window
+    * over that census + two more bounded aggs; skew follows block
+    * size k, which is the treatment count (tiny). */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(blockCol).cast("string").as("__blk"),
+      col(treatCol).cast("string").as("__trt"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val shape = base.groupBy("__blk")
+        .agg(count(lit(1)).as("__kb"),
+          count_distinct(col("__trt")).as("__kd"))
+        .agg(count(lit(1)).as("__b"), min(col("__kb")).as("__kmin"),
+          max(col("__kb")).as("__kmax"), min(col("__kd")).as("__dmin"))
+      val census = base.groupBy(col("__blk"), col("__x"))
+        .agg(count(lit(1)).as("__t"))
+        .withColumn("__cum",
+          coalesce(sum(col("__t")).over(Window.partitionBy(col("__blk"))
+            .orderBy(col("__x"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranked = base.join(census, Seq("__blk", "__x"))
+        .withColumn("__r2", lit(2) * col("__cum") + col("__t") + 1)
+      val perTreat = ranked.groupBy("__trt")
+        .agg(sum(col("__r2").cast(d38)).as("__r2sum"))
+      val ties = census.agg(
+        sum(col("__t").cast(d38) * col("__t") * col("__t") - col("__t"))
+          .as("__tie"))
+      perTreat.agg(
+          count(lit(1)).as("k"),
+          aggregate(
+            sort_array(collect_list(struct(col("__trt"),
+              (dbl(col("__r2sum") * col("__r2sum")) / lit(4.0d))
+                .as("__sq")))),
+            lit(0.0d), (acc, s) => acc + s.getField("__sq")).as("__sumsq"))
+        .crossJoin(broadcast(shape))
+        .crossJoin(broadcast(ties))
+        .select(col("__b").as("b"), col("k"),
+          col("__tie").cast("long").as("tie_sum"),
+          when(col("__kmin") === col("__kmax") &&
+              col("__kmin") === col("k") && col("__dmin") === col("k"),
+            lit(12.0d) * col("__sumsq") /
+              dbl(col("__b").cast(d38) * col("k") * (col("k") + 1)) -
+              lit(3.0d) * dbl(col("__b").cast(d38) * (col("k") + 1)))
+            .as("chi2_f"))
+        .withColumn("chi2_f_adj",
+          col("chi2_f") / (lit(1.0d) - dbl(col("tie_sum")) /
+            dbl(col("b").cast(d38) *
+              (col("k").cast(d38) * col("k") * col("k") - col("k")))))
+        .select(col("b"), col("k"), col("tie_sum"), col("chi2_f"),
+          col("chi2_f_adj"))
+    }
+  }
+
   def acf(df: DataFrame, idxCol: String, valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")

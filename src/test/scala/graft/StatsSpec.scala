@@ -617,6 +617,46 @@ class StatsSpec extends SparkSpec {
     assert(got === ((0L, 0.0)))
   }
 
+  test("mcnemar counts discordant pairs; no discordance gives NULL") {
+    val df = (Seq.fill(3)((1L, 1L)) ++ Seq.fill(4)((1L, 0L)) ++
+      Seq((0L, 1L)) ++ Seq.fill(2)((0L, 0L))).toDF("a", "b")
+    val got = Stats.mcnemar(df, "a", "b")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got === ((10L, 4L, 1L, 9.0 / 5.0, 4.0 / 5.0)))
+    val concordant = Seq((1L, 1L), (0L, 0L)).toDF("a", "b")
+    val row = Stats.mcnemar(concordant, "a", "b")
+      .select("chi2").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("wilcoxonSignedRank: zeros dropped, midranks, exact rank sums") {
+    // diffs after the (4,4) zero drop: +1 +1 -1 +2 +3
+    // |d|=1 midrank 2 (×3), |d|=2 rank 4, |d|=3 rank 5
+    // W+ = 2+2+4+5 = 13, W- = 15-13 = 2, tie = 3³-3 = 24
+    val df = Seq((5L, 4L), (7L, 6L), (3L, 4L), (6L, 4L), (9L, 6L),
+      (4L, 4L)).toDF("x", "y")
+    val got = Stats.wilcoxonSignedRank(df, "x", "y")
+      .as[(Long, Double, Double, Double)].collect().head
+    val z = (2.0 * 26 - 30) / (2.0 * math.sqrt((660.0 - 24) / 12.0))
+    assert(got === ((5L, 13.0, 2.0, z)))
+  }
+
+  test("friedman: exact rank-sum statistic; incomplete block nulls it") {
+    val df = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 2L), (2L, "B", 3L), (2L, "C", 1L),
+      (3L, "A", 1L), (3L, "B", 3L), (3L, "C", 2L)).toDF("blk", "trt", "x")
+    val got = Stats.friedman(df, "blk", "trt", "x")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    // rank sums A=4 B=8 C=6: chi2 = 12*116/(3*3*4) - 3*3*4
+    val chi2 = 12.0 * (16.0 + 64.0 + 36.0) / 36.0 - 36.0
+    assert(got === ((3L, 3L, 0L, chi2, chi2)))
+    val ragged = df.union(Seq((4L, "A", 9L)).toDF("blk", "trt", "x"))
+    val row = Stats.friedman(ragged, "blk", "trt", "x")
+      .select("chi2_f").collect().head
+    assert(row.isNullAt(0))
+  }
+
   test("theilSen recovers an exact line and resists one outlier") {
     val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L), (5L, 22L))
       .toDF("i", "x")
