@@ -3758,6 +3758,47 @@ object Queries {
       base.join(complete, Seq("blk")), "blk", "trt", "x")
   }
 
+  /** Isotonic-fit gate on the daily-cents series: distributed PAV
+    * (exact rational pooling), checked against the minimax identity
+    * yhat_i = max_{j≤i} min_{k≥i} mean(j..k) — each candidate mean ONE
+    * double division of exact integers, and double min/max commute
+    * with correct rounding (rounding is monotone), so the engines
+    * agree bit-for-bit. */
+  def q266Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("y"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("i"), col("y"))
+    graft.operators.Stats.isotonicFit(daily, "i", "y").orderBy("i")
+  }
+
+  /** Maximal-matching gate: 200 derived undirected edges with a total
+    * (w, u, v) priority order; the locally-dominant rounds must equal
+    * the oracle's SEQUENTIAL greedy fold (a 200-step recursive CTE) —
+    * the classic Preis equivalence, checked edge-for-edge. */
+  def q267Matching(s: SparkSession, dir: String): DataFrame = {
+    val nodes = t(s, dir, "orders")
+      .select((col("o_orderkey") % 200).as("i")).distinct()
+    val e = nodes.select(col("i").as("src"),
+      ((col("i") * 13 + 7) % 200).as("dst"),
+      ((col("i") * 7919) % 104729).as("w"))
+    graft.operators.GraphAlgos.maximalMatching(e).orderBy("u", "v")
+  }
+
+  /** Katz-centrality gate: bounded directed graph (order residues),
+    * α = 1/8, 4 rounds — the whole recursion exact integer numerators,
+    * the oracle an unrolled 4-step join chain, ONE division at the
+    * end. */
+  def q268Katz(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+      .select((col("o_custkey") % 120).as("src"),
+        (col("o_orderkey") % 120).as("dst"))
+    graft.operators.GraphAlgos.katzCentrality(e, iterations = 4,
+      alphaInvLog2 = 3).orderBy("node")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4675,7 +4716,10 @@ object Queries {
     "q262_segmented_ttr" -> (q262SegmentedTtr _),
     "q263_mcnemar" -> (q263Mcnemar _),
     "q264_wilcoxon" -> (q264Wilcoxon _),
-    "q265_friedman" -> (q265Friedman _)
+    "q265_friedman" -> (q265Friedman _),
+    "q266_isotonic" -> (q266Isotonic _),
+    "q267_matching" -> (q267Matching _),
+    "q268_katz" -> (q268Katz _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7162,6 +7206,81 @@ object Queries {
         |SELECT b, k, tie_sum, chi2_f, chi2_f / (1.0 - tfrac)
         |  AS chi2_f_adj
         |FROM h""".stripMargin,
+    // isotonic fit via the minimax identity: yhat_i = max_{j<=i}
+    // min_{k>=i} mean(j..k) over positional prefix sums — O(n^3) on
+    // the 30-day series, trivial at gate scale
+    "q266_isotonic" ->
+      """WITH b AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |s AS MATERIALIZED (SELECT
+        |  datediff('day', DATE '1970-01-01', day) AS i, y,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |  CAST(sum(y) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS p
+        | FROM b),
+        |mm AS (SELECT a.rn AS j, c.rn AS k,
+        |  CAST(c.p - (a.p - a.y) AS DOUBLE) /
+        |    CAST(c.rn - a.rn + 1 AS DOUBLE) AS m
+        | FROM s a JOIN s c ON a.rn <= c.rn),
+        |inn AS (SELECT s.rn AS pos, mm.j, min(mm.m) AS mn
+        | FROM s JOIN mm ON mm.j <= s.rn AND mm.k >= s.rn
+        | GROUP BY s.rn, mm.j),
+        |fit AS (SELECT pos, max(mn) AS yhat FROM inn GROUP BY pos)
+        |SELECT CAST(s.i AS BIGINT) AS i, s.y, fit.yhat
+        |FROM s JOIN fit ON fit.pos = s.rn ORDER BY i""".stripMargin,
+    // sequential greedy matching as a 200-step recursive fold carrying
+    // the matched-vertex and matched-edge lists
+    "q267_matching" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT o_orderkey % 200 AS i
+        | FROM orders),
+        |e0 AS (SELECT least(i, (i * 13 + 7) % 200) AS u,
+        |  greatest(i, (i * 13 + 7) % 200) AS v,
+        |  (i * 7919) % 104729 AS w
+        | FROM n),
+        |e AS MATERIALIZED (SELECT u, v, min(w) AS w
+        | FROM e0 GROUP BY u, v),
+        |r AS MATERIALIZED (SELECT u, v, w, CAST(row_number() OVER (
+        |  ORDER BY w, u, v) AS BIGINT) AS rn FROM e),
+        |g AS (
+        | SELECT CAST(0 AS BIGINT) AS step,
+        |   CAST([] AS BIGINT[]) AS mv, CAST([] AS BIGINT[]) AS me
+        | UNION ALL
+        | SELECT g.step + 1,
+        |   CASE WHEN list_contains(g.mv, r.u) OR list_contains(g.mv, r.v)
+        |     THEN g.mv
+        |     ELSE list_append(list_append(g.mv, r.u), r.v) END,
+        |   CASE WHEN list_contains(g.mv, r.u) OR list_contains(g.mv, r.v)
+        |     THEN g.me ELSE list_append(g.me, r.rn) END
+        | FROM g JOIN r ON r.rn = g.step + 1),
+        |fin AS (SELECT me FROM g ORDER BY step DESC LIMIT 1)
+        |SELECT r.u, r.v, r.w FROM r, fin
+        |WHERE list_contains(fin.me, r.rn) ORDER BY u, v""".stripMargin,
+    // Katz: 4 unrolled integer-numerator rounds, one final division
+    "q268_katz" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey % 120 AS src,
+        |  o_orderkey % 120 AS dst
+        | FROM orders WHERE o_orderkey < 3000),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+        |x1 AS (SELECT n, CAST(8 AS HUGEINT) AS v FROM nodes),
+        |x2 AS (SELECT nodes.n, CAST(coalesce(s.sv, 0) + 64 AS HUGEINT)
+        |    AS v
+        | FROM nodes LEFT JOIN (SELECT e.dst AS n, sum(x1.v) AS sv
+        |   FROM e JOIN x1 ON x1.n = e.src GROUP BY e.dst) s USING (n)),
+        |x3 AS (SELECT nodes.n, CAST(coalesce(s.sv, 0) + 512 AS HUGEINT)
+        |    AS v
+        | FROM nodes LEFT JOIN (SELECT e.dst AS n, sum(x2.v) AS sv
+        |   FROM e JOIN x2 ON x2.n = e.src GROUP BY e.dst) s USING (n)),
+        |x4 AS (SELECT nodes.n, CAST(coalesce(s.sv, 0) + 4096 AS HUGEINT)
+        |    AS v
+        | FROM nodes LEFT JOIN (SELECT e.dst AS n, sum(x3.v) AS sv
+        |   FROM e JOIN x3 ON x3.n = e.src GROUP BY e.dst) s USING (n))
+        |SELECT n AS node, CAST(v AS BIGINT) AS katz_num,
+        |  CAST(v AS DOUBLE) / 4096.0 AS katz
+        |FROM x4 ORDER BY node""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

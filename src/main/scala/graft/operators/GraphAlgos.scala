@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import scala.util.chaining._
 
 /**
@@ -1925,5 +1926,129 @@ object GraphAlgos {
       prevX = x
     }
     x
+  }
+
+  /** Katz centrality with a dyadic attenuation α = 2^−`alphaInvLog2`
+    * and unit base: x_t = α·Aᵀ·x_{t−1} + 1 for a FIXED `iterations`,
+    * x_0 = 0. The whole recursion is carried as the INTEGER numerator
+    * N_t = x_t·2^(a·t) (N_t(v) = Σ_{u→v} N_{t−1}(u) + 2^(a·t)) in
+    * DECIMAL(38,0) — associative, so any partial-agg plan is exact —
+    * and the final score is ONE division N_T / 2^(a·T). Growth bound:
+    * N_T ≲ (maxindeg)^T·2^(a·T); keep T small or α deep for
+    * degree-huge graphs (DECIMAL38 overflows loudly, not silently).
+    *
+    * Shape at 100 TB: the [[pageRank]] loop contract — the distinct'd
+    * edge table partitions on src once; each round shuffles only the
+    * |V| numerator table for the src join plus one map-side-combined
+    * dst aggregation. */
+  def katzCentrality(edges0: DataFrame, iterations: Int = 4,
+      alphaInvLog2: Int = 3, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(alphaInvLog2 >= 1 && alphaInvLog2 <= 20, "alpha = 2^-a, a in [1,20]")
+    val d38 = DecimalType(38, 0)
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    val nodes = Exec.checkpointCut(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct())
+    var num = nodes.select(col("node"), lit(0).cast(d38).as("__n"))
+    var prevNum: DataFrame = null
+    for (t <- 1 to iterations) {
+      val beta = math.pow(2.0, (alphaInvLog2 * t).toDouble).toLong
+      val sums = edges
+        .join(num, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("__n")).as("__s"))
+      num = Exec.checkpointCut(nodes
+        .join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("__s"), lit(0).cast(d38)) + beta).as("__n")))
+      if (prevNum != null) Exec.releaseCheckpoint(prevNum)
+      prevNum = num
+    }
+    val scale = math.pow(2.0, (alphaInvLog2 * iterations).toDouble)
+    num.select(col("node"),
+      col("__n").cast("long").as("katz_num"),
+      (col("__n").cast("double") / lit(scale)).as("katz"))
+  }
+
+  /** Greedy maximal matching by the locally-dominant-edge rule
+    * (Preis 1999 / Manne–Bisseling): each round keeps an edge iff its
+    * priority (w, u, v) is the minimum among ALL live edges at BOTH
+    * endpoints, then drops every edge touching a matched vertex.
+    * Priorities are a total order (u < v pairs are distinct), so the
+    * result is EXACTLY the sequential greedy matching in (w, u, v)
+    * order — deterministic, engine-independent. The globally-minimum
+    * live edge is always locally dominant, so every round matches
+    * something: ≤ min(V/2, maxRounds) rounds, typically O(log E).
+    *
+    * Shape at 100 TB: live edges re-checkpoint per round (dead blocks
+    * freed); each round is two map-side-combined min-aggs on u / v
+    * (vertex-sized), one self-join of edges against those mins, and
+    * two anti-joins against the matched-vertex set (matching-sized).
+    * No global order, no window, no driver data. */
+  def maximalMatching(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w",
+      maxRounds: Int = 64, requireConverged: Boolean = true): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges0.sparkSession
+    var live = Dedup.withAqeOff(spark) {
+      edges0.select(least(col(srcCol), col(dstCol)).as("u"),
+          greatest(col(srcCol), col(dstCol)).as("v"),
+          col(weightCol).cast("long").as("w"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(min("w").as("w"))
+        .repartition(col("u"))
+        .localCheckpoint(true)
+    }
+    var matched: DataFrame = null
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val pri = struct(col("w"), col("u"), col("v"))
+      // per-VERTEX minimum over BOTH endpoint appearances — an edge is
+      // locally dominant only if it wins at u and at v
+      val best = live.select(col("u").as("node"), pri.as("p"))
+        .union(live.select(col("v").as("node"), pri.as("p")))
+        .groupBy("node").agg(min("p").as("b"))
+      val obs = org.apache.spark.sql.Observation()
+      val sel = Exec.checkpointCut(live
+        .join(best.select(col("node").as("u"), col("b").as("__bu")),
+          Seq("u"))
+        .join(best.select(col("node").as("v"), col("b").as("__bv")),
+          Seq("v"))
+        .filter(pri === col("__bu") && pri === col("__bv"))
+        .select("u", "v", "w")
+        .observe(obs, count(lit(1)).as("rows")))
+      val picked = obs.get("rows").asInstanceOf[Long]
+      if (picked == 0L) {
+        Exec.releaseCheckpoint(sel)
+        done = true
+      } else {
+        val mv = sel.select(col("u").as("mnode"))
+          .union(sel.select(col("v")))
+        val prevLive = live
+        val lObs = org.apache.spark.sql.Observation()
+        live = Exec.checkpointCut(live
+          .join(mv.withColumnRenamed("mnode", "u"), Seq("u"), "left_anti")
+          .join(mv.withColumnRenamed("mnode", "v"), Seq("v"), "left_anti")
+          .select("u", "v", "w")
+          .observe(lObs, count(lit(1)).as("rows")))
+        Exec.releaseCheckpoint(prevLive)
+        matched = if (matched == null) sel else matched.union(sel)
+        round += 1
+        if (lObs.get("rows").asInstanceOf[Long] == 0L) done = true
+      }
+    }
+    require(!requireConverged || done,
+      s"maximal matching did not converge within $maxRounds rounds")
+    if (matched == null) live.limit(0)
+    else matched.select("u", "v", "w")
   }
 }

@@ -1496,6 +1496,110 @@ object Stats {
     }
   }
 
+  /** Isotonic regression (nondecreasing least-squares fit) by
+    * distributed pool-adjacent-violators. Phase 1 range-partitions on
+    * `idxCol` (unique, integral — the [[theilSen]] contract) and runs
+    * the classic linear PAV stack per partition (each partition
+    * buffers in memory — the same contract as any per-partition sort);
+    * the per-partition level sets are then weighted points, and global
+    * PAV over them equals global PAV over rows. Phase 2 pools them
+    * across partitions: each round marks every block whose
+    * predecessor's mean exceeds its own — the compare is
+    * cross-multiplied to exact DECIMAL(38,0), never a float — and
+    * pools each maximal violating chain wholesale (a chain of pairwise
+    * violations is strictly decreasing in means, so whole-chain
+    * pooling replays a legal PAV pooling sequence; PAV's fixpoint is
+    * unique, so the order never matters). Convergence is observed on
+    * the same materialization; `maxRounds` errs loudly.
+    *
+    * Fitted values: yhat = Σy/n per block, ONE double division of
+    * exact integers — and the PAV block mean equals the minimax value
+    * max_{j≤i} min_{k≥i} mean(j..k), which is how the oracle
+    * recomputes it (double min/max commute with correct rounding
+    * because rounding is monotone).
+    *
+    * Shape at 100 TB: the row grain is touched by exactly one range
+    * shuffle + one equi-join (initial-block id → final block); phase 2
+    * windows run over the BLOCK table only (≤ #level-sets + one per
+    * partition boundary), which is the sequential core of the problem,
+    * not the data volume. Σ|y| per block must fit DECIMAL(38,0). */
+  def isotonicFit(df: DataFrame, idxCol: String, valueCol: String,
+      maxRounds: Int = 64): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__y"))
+    // phase 1: per-partition PAV; emit each row tagged with its local
+    // block id (the block's lowest index)
+    val tagged = rows.repartitionByRange(col("__i"))
+      .sortWithinPartitions("__i")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        // stack of (lo, sum, cnt); members(b) = row indices of block b
+        val los = scala.collection.mutable.ArrayBuffer[Long]()
+        val sums = scala.collection.mutable.ArrayBuffer[BigInt]()
+        val cnts = scala.collection.mutable.ArrayBuffer[Long]()
+        val members =
+          scala.collection.mutable.ArrayBuffer[List[(Long, Long)]]()
+        for ((i, y) <- it) {
+          var lo = i; var s = BigInt(y); var c = 1L
+          var mem: List[(Long, Long)] = List((i, y))
+          while (los.nonEmpty &&
+              sums.last * c > s * cnts.last) { // prev mean > cur mean
+            lo = los.remove(los.length - 1)
+            s += sums.remove(sums.length - 1)
+            c += cnts.remove(cnts.length - 1)
+            mem = members.remove(members.length - 1) ++ mem
+          }
+          los += lo; sums += s; cnts += c; members += mem
+        }
+        los.indices.iterator.flatMap { b =>
+          members(b).iterator.map { case (i, y) => (i, y, los(b)) }
+        }
+      }
+      .toDF("__i", "__y", "__blk0")
+    Exec.withPersisted(tagged) {
+      val blocks0 = tagged.groupBy(col("__blk0"))
+        .agg(min(col("__i")).as("lo"), max(col("__i")).as("hi"),
+          sum(col("__y").cast(d38)).as("s"), count(lit(1)).as("c"))
+      var blocks = Exec.checkpointCut(blocks0.select("lo", "hi", "s", "c"))
+      var done = false
+      var round = 0
+      val w = Window.orderBy(col("lo"))
+      while (!done && round < maxRounds) {
+        val obs = org.apache.spark.sql.Observation()
+        val marked = blocks
+          .withColumn("__ps", lag(col("s"), 1).over(w))
+          .withColumn("__pc", lag(col("c"), 1).over(w))
+          .withColumn("__viol", col("__ps").isNotNull &&
+            col("__ps") * col("c") > col("s") * col("__pc"))
+          .withColumn("__run",
+            sum(when(col("__viol"), 0L).otherwise(1L))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .observe(obs,
+            sum(when(col("__viol"), 1L).otherwise(0L)).as("viols"))
+        val prev = blocks
+        blocks = Exec.checkpointCut(marked.groupBy("__run")
+          .agg(min("lo").as("lo"), max("hi").as("hi"),
+            sum("s").as("s"), sum("c").as("c")))
+        Exec.releaseCheckpoint(prev)
+        done = Option(obs.get("viols")).forall(_.asInstanceOf[Long] == 0L)
+        round += 1
+      }
+      require(done, s"isotonic pooling did not converge in $maxRounds rounds")
+      // initial block → final block (small × small containment join),
+      // then ONE row-grain equi-join on the phase-1 block id
+      val mapping = blocks0.select(col("__blk0"), col("lo").as("__l0"))
+        .join(broadcast(blocks),
+          col("__l0") >= col("lo") && col("__l0") <= col("hi"))
+        .select(col("__blk0"),
+          (col("s").cast("double") / col("c").cast("double")).as("yhat"))
+      tagged.join(mapping, Seq("__blk0"))
+        .select(col("__i").as("i"), col("__y").as("y"), col("yhat"))
+    }
+  }
+
   def acf(df: DataFrame, idxCol: String, valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")

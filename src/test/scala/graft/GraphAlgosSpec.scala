@@ -951,6 +951,34 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got === Seq(("a", 0.0), ("b", 1.0)))
   }
 
+  test("katzCentrality: exact dyadic numerators on a 3-chain") {
+    // a->b->c, alpha=1/2, 2 rounds: N1 = 2 everywhere;
+    // N2(a)=4, N2(b)=N1(a)+4=6, N2(c)=N1(b)+4=6; katz = N2/4
+    val g = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = GraphAlgos.katzCentrality(g, iterations = 2,
+        alphaInvLog2 = 1)
+      .orderBy("node").as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 4L, 1.0), ("b", 6L, 1.5), ("c", 6L, 1.5)))
+  }
+
+  test("maximalMatching equals sequential greedy by (w,u,v)") {
+    // path 1-2-3-4: (2,3,w=1) wins and blocks both neighbors;
+    // the disjoint (5,6) edge still matches
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 4L), (5L, 6L, 2L))
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.maximalMatching(g)
+      .orderBy("u", "v").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L, 1L), (5L, 6L, 2L)))
+  }
+
+  test("maximalMatching: a triangle matches exactly one edge") {
+    val g = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.maximalMatching(g)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 3L, 1L)))
+  }
+
   test("markovStationary conserves probability mass exactly-ish") {
     val g = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
       ("c", "a", 2L), ("c", "b", 2L)).toDF("src", "dst", "w")

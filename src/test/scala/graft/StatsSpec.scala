@@ -657,6 +657,25 @@ class StatsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("isotonicFit pools violators to level-set means") {
+    // classic 1,3,2,4: the (3,2) violation pools to 2.5
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("i", "y")
+    val got = Stats.isotonicFit(df, "i", "y")
+      .orderBy("i").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1.0), (2L, 3L, 2.5), (3L, 2L, 2.5),
+      (4L, 4L, 4.0)))
+  }
+
+  test("isotonicFit pools a fully decreasing series to one mean") {
+    val df = Seq((1L, 9L), (2L, 6L), (3L, 3L)).toDF("i", "y")
+    val got = Stats.isotonicFit(df, "i", "y")
+      .orderBy("i").select("yhat").as[Double].collect().toSeq
+    assert(got === Seq(6.0, 6.0, 6.0))
+    val inc = Seq((1L, 1L), (2L, 2L)).toDF("i", "y") // no violations
+    assert(Stats.isotonicFit(inc, "i", "y").orderBy("i")
+      .select("yhat").as[Double].collect().toSeq === Seq(1.0, 2.0))
+  }
+
   test("theilSen recovers an exact line and resists one outlier") {
     val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L), (5L, 22L))
       .toDF("i", "x")
