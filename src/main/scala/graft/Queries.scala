@@ -3799,6 +3799,41 @@ object Queries {
       alphaInvLog2 = 3).orderBy("node")
   }
 
+  /** TWAP gate: per-user time-weighted average cents — LOCF interval
+    * weights in exact integer microseconds, the >2^53 numerator rides
+    * DECIMAL on the Spark side and the VARCHAR-mediated cast in the
+    * oracle (the q216 recipe), one division per user. */
+  def q269Twap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("cents",
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+    graft.operators.Events.timeWeightedAvg(ev, "user_id", "ts",
+      "event_id", "cents").orderBy("user_id")
+  }
+
+  /** Precedence-pair gate: "first a before last b" over per-user type
+    * censuses — strict microsecond compare, one support division. */
+  def q270Precedence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.precedencePairs(events(s, dir), "user_id",
+      "ts", "event_type").orderBy("ante", "cons")
+
+  /** Cochran's Q gate: blocks = user-days, treatments = the 5 event
+    * types with explicit zeros (blocks complete by construction), all
+    * moments exact integers, ONE division. */
+  def q271CochranQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val types = ev.select(col("event_type").as("trt")).distinct()
+    val blocks = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val obsv = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type").as("trt"))
+      .agg(lit(1L).as("y1"))
+    val full = blocks.crossJoin(broadcast(types))
+      .join(obsv, Seq("user_id", "day", "trt"), "left")
+      .select(concat_ws("|", col("user_id"), col("day")).as("blk"),
+        col("trt"), coalesce(col("y1"), lit(0L)).as("y"))
+    graft.operators.Stats.cochranQ(full, "blk", "trt", "y")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4719,7 +4754,10 @@ object Queries {
     "q265_friedman" -> (q265Friedman _),
     "q266_isotonic" -> (q266Isotonic _),
     "q267_matching" -> (q267Matching _),
-    "q268_katz" -> (q268Katz _)
+    "q268_katz" -> (q268Katz _),
+    "q269_twap" -> (q269Twap _),
+    "q270_precedence" -> (q270Precedence _),
+    "q271_cochran_q" -> (q271CochranQ _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7281,6 +7319,63 @@ object Queries {
         |SELECT n AS node, CAST(v AS BIGINT) AS katz_num,
         |  CAST(v AS DOUBLE) / 4096.0 AS katz
         |FROM x4 ORDER BY node""".stripMargin,
+    "q269_twap" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id,
+        |  epoch_us(ts) AS us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |l AS (SELECT user_id, us, cents, lead(us) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        | FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(nxt - us AS HUGEINT) * cents) AS HUGEINT) AS num
+        | FROM l GROUP BY user_id)
+        |SELECT user_id, n, span_us,
+        |  CASE WHEN span_us > 0 THEN
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |      CAST(span_us AS DOUBLE) END AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
+    "q270_precedence" ->
+      """WITH c AS MATERIALIZED (SELECT user_id AS k, event_type AS t,
+        |  min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS total
+        | FROM c),
+        |p AS (SELECT a.t AS ante, b.t AS cons,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM c a JOIN c b ON a.k = b.k AND a.t <> b.t AND a.f < b.l
+        | GROUP BY 1, 2)
+        |SELECT ante, cons, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
+        |FROM p, tot ORDER BY ante, cons""".stripMargin,
+    "q271_cochran_q" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE)
+        |    AS day, event_type
+        | FROM events),
+        |types AS (SELECT DISTINCT event_type AS trt FROM ev),
+        |blocks AS (SELECT DISTINCT user_id, day FROM ev),
+        |obs AS (SELECT DISTINCT user_id, day, event_type AS trt
+        | FROM ev),
+        |f0 AS (SELECT b.user_id, b.day, t.trt,
+        |  CASE WHEN o.trt IS NULL THEN 0 ELSE 1 END AS y
+        | FROM blocks b CROSS JOIN types t LEFT JOIN obs o
+        |   ON o.user_id = b.user_id AND o.day = b.day AND o.trt = t.trt),
+        |rws AS (SELECT user_id, day, CAST(sum(y) AS BIGINT) AS ri
+        | FROM f0 GROUP BY 1, 2),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS b,
+        |  CAST(sum(ri) AS HUGEINT) AS n,
+        |  CAST(sum(CAST(ri AS HUGEINT) * ri) AS HUGEINT) AS r2
+        | FROM rws),
+        |cs AS (SELECT trt, CAST(sum(y) AS HUGEINT) AS cj
+        | FROM f0 GROUP BY trt),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(cj * cj) AS HUGEINT) AS c2 FROM cs)
+        |SELECT bs.b, f.k, CAST(bs.n AS BIGINT) AS n,
+        |  CASE WHEN f.k * bs.n - bs.r2 > 0 THEN
+        |    CAST((f.k - 1) * (f.k * f.c2 - bs.n * bs.n) AS DOUBLE) /
+        |      CAST(f.k * bs.n - bs.r2 AS DOUBLE) END AS q
+        |FROM bs, f""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

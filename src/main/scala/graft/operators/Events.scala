@@ -1061,4 +1061,65 @@ object Events {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Time-weighted average (TWAP) per key: each observation's value
+    * holds until the NEXT observation (LOCF weighting), so
+    * twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t_0) over the key's timeline. All
+    * weights are integer microsecond durations and values integral, so
+    * the numerator is an exact DECIMAL(38,0) fold and the whole result
+    * is ONE double division. Keys with a single observation (zero
+    * span) yield NULL. `tieCol` totals the order under equal
+    * timestamps — zero-duration rows contribute nothing, but WHICH
+    * value carries the following interval must be deterministic.
+    *
+    * Shape at 100 TB: one shuffle on the key; the lead window
+    * parallelizes across keys; final agg map-side combines. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+    events
+      .withColumn("__us", us(events, tsCol))
+      .withColumn("__nxt", lead(col("__us"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__us")) - min(col("__us"))).as("span_us"),
+        sum((col("__nxt") - col("__us")).cast(d38) *
+          col(valueCol).cast("long")).as("__num"))
+      .select(col(keyCol), col("n"), col("span_us"),
+        when(col("span_us") > 0,
+          col("__num").cast("double") / col("span_us").cast("double"))
+          .as("twap"))
+  }
+
+  /** Precedence-pair mining ("a happens before b"): for every ordered
+    * pair of event types, the number of keys whose FIRST a precedes
+    * their LAST b — the existential i<j witness condition — plus the
+    * support fraction over all keys. The per-key grain is the
+    * type-census (first/last timestamp per type, ≤ |types| rows per
+    * key), so the pair join is k² per key, never events².
+    *
+    * Ties: simultaneous first-a/last-b (same microsecond) do NOT count
+    * as precedence (strict <) — engine-independent without a
+    * tie-break. Shape at 100 TB: one shuffle on the key for the
+    * census, a key-local k²-join, one map-side-combined pair count. */
+  def precedencePairs(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val census = events
+      .withColumn("__us", us(events, tsCol))
+      .groupBy(col(keyCol).as("__k"), col(typeCol).as("__t"))
+      .agg(min(col("__us")).as("__first"), max(col("__us")).as("__last"))
+    Exec.withPersisted(census) {
+      val total = census.select(col("__k")).distinct().count()
+      census.as("a").join(census.as("b"),
+          col("a.__k") === col("b.__k") &&
+            col("a.__t") =!= col("b.__t") &&
+            col("a.__first") < col("b.__last"))
+        .groupBy(col("a.__t").as("ante"), col("b.__t").as("cons"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("support",
+          col("n").cast("double") / lit(total).cast("double"))
+    }
+  }
 }

@@ -1496,6 +1496,51 @@ object Stats {
     }
   }
 
+  /** Cochran's Q test — the k-treatment extension of [[mcnemar]]:
+    * binary outcomes over complete blocks,
+    * Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with Cⱼ the treatment
+    * totals, Rᵢ the block totals, N the grand total — every moment an
+    * exact DECIMAL(38,0) integer, ONE final division. The same
+    * block-shape census as [[friedman]] guards completeness
+    * (incomplete input yields NULL q). A degenerate denominator (all
+    * blocks constant) also yields NULL.
+    *
+    * Shape at 100 TB: two groupBys (block totals, treatment totals) —
+    * both map-side combined; every fold is integer-exact (associative),
+    * so no sorted-fold discipline is needed anywhere. */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(blockCol).cast("string").as("__blk"),
+      col(treatCol).cast("string").as("__trt"),
+      col(valueCol).cast("long").as("__y"))
+    Exec.withPersisted(base) {
+      val rows = base.groupBy("__blk")
+        .agg(count(lit(1)).as("__kb"),
+          count_distinct(col("__trt")).as("__kd"),
+          sum(col("__y")).as("__ri"))
+      val blockSide = rows.agg(count(lit(1)).as("__b"),
+        min(col("__kb")).as("__kmin"), max(col("__kb")).as("__kmax"),
+        min(col("__kd")).as("__dmin"),
+        sum(col("__ri").cast(d38)).as("__n"),
+        sum(col("__ri").cast(d38) * col("__ri")).as("__r2"))
+      val treatSide = base.groupBy("__trt")
+        .agg(sum(col("__y").cast(d38)).as("__cj"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("__cj") * col("__cj")).as("__c2"))
+      treatSide.crossJoin(broadcast(blockSide))
+        .select(col("__b").as("b"), col("k"),
+          col("__n").cast("long").as("n"),
+          when(col("__kmin") === col("__kmax") &&
+              col("__kmin") === col("k") && col("__dmin") === col("k") &&
+              col("k") * col("__n") - col("__r2") > 0,
+            dbl((col("k") - 1) *
+              (col("k") * col("__c2") - col("__n") * col("__n"))) /
+              dbl(col("k") * col("__n") - col("__r2"))).as("q"))
+    }
+  }
+
   /** Isotonic regression (nondecreasing least-squares fit) by
     * distributed pool-adjacent-violators. Phase 1 range-partitions on
     * `idxCol` (unique, integral — the [[theilSen]] contract) and runs

@@ -669,4 +669,41 @@ class EventsSpec extends SparkSpec {
     // A>B appears in 3 sessions; B>C in 2; the cross-gap C>A must NOT
     assert(got === Seq(("A>B", 3L, 1), ("B>C", 2L, 2)))
   }
+
+  test("timeWeightedAvg holds values LOCF; single-event keys are NULL") {
+    // user 1: v=10 for 10us, v=30 for 30us → (100+900)/40 = 25
+    val ev = Seq(
+      (1L, 0L, 1L, 10L), (1L, 10L, 2L, 30L), (1L, 40L, 3L, 99L),
+      (2L, 5L, 4L, 7L))
+      .toDF("user_id", "us", "event_id", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.timeWeightedAvg(ev, "user_id", "ts", "event_id", "v")
+      .orderBy("user_id").collect()
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getDouble(3)) === ((1L, 3L, 40L, 25.0)))
+    assert(got(1).getLong(2) === 0L && got(1).isNullAt(3))
+  }
+
+  test("timeWeightedAvg tie-breaks equal timestamps by the tie column") {
+    // two events at t=0: the LATER tie (id 2, v=100) carries the 10us
+    val ev = Seq((1L, 0L, 1L, 0L), (1L, 0L, 2L, 100L), (1L, 10L, 3L, 0L))
+      .toDF("user_id", "us", "event_id", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.timeWeightedAvg(ev, "user_id", "ts", "event_id", "v")
+      .select("twap").as[Double].collect().head
+    assert(got === 100.0)
+  }
+
+  test("precedencePairs: strict first-before-last witnesses, support") {
+    // user 1: A@0 B@5 A@10 → A<B (0<5), B<A (5<10); user 2: only B A
+    // with A@0 B@0 (simultaneous → neither direction counts)
+    val ev = Seq((1L, 0L, "A"), (1L, 5L, "B"), (1L, 10L, "A"),
+      (2L, 0L, "A"), (2L, 0L, "B"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.precedencePairs(ev, "user_id", "ts", "event_type")
+      .orderBy("ante", "cons").as[(String, String, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq(("A", "B", 1L, 0.5), ("B", "A", 1L, 0.5)))
+  }
 }

@@ -657,6 +657,29 @@ class StatsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("cochranQ: exact integer moments; incomplete block nulls it") {
+    // 4 blocks × 3 treatments, binary: C = (3,2,1), R = (3,2,1,0)
+    // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3
+    val df = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (1L, "c", 1L),
+      (2L, "a", 1L), (2L, "b", 1L), (2L, "c", 0L),
+      (3L, "a", 1L), (3L, "b", 0L), (3L, "c", 0L),
+      (4L, "a", 0L), (4L, "b", 0L), (4L, "c", 0L)).toDF("blk", "trt", "y")
+    val got = Stats.cochranQ(df, "blk", "trt", "y")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((4L, 3L, 6L, 3.0)))
+    val ragged = df.union(Seq((5L, "a", 1L)).toDF("blk", "trt", "y"))
+    assert(Stats.cochranQ(ragged, "blk", "trt", "y")
+      .select("q").collect().head.isNullAt(0))
+  }
+
+  test("cochranQ: all-constant blocks make the denominator 0 → NULL") {
+    val df = Seq((1L, "a", 1L), (1L, "b", 1L), (2L, "a", 0L),
+      (2L, "b", 0L)).toDF("blk", "trt", "y")
+    assert(Stats.cochranQ(df, "blk", "trt", "y")
+      .select("q").collect().head.isNullAt(0))
+  }
+
   test("isotonicFit pools violators to level-set means") {
     // classic 1,3,2,4: the (3,2) violation pools to 2.5
     val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("i", "y")
