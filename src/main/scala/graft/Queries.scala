@@ -3834,6 +3834,40 @@ object Queries {
     graft.operators.Stats.cochranQ(full, "blk", "trt", "y")
   }
 
+  /** Page-trend gate on the q265 complete blocks with the alphabetical
+    * treatment order as the hypothesis — L carried as exact 2L, the z
+    * chain one division + one sqrt of exact integers. */
+  def q272PageTrend(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+      .groupBy(col("user_id").as("blk"), col("event_type").as("trt"))
+      .agg(count(lit(1)).as("x"))
+    val complete = base.groupBy("blk")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 5)
+      .select("blk")
+    graft.operators.Stats.pageTrend(base.join(complete, Seq("blk")),
+      "blk", "trt", "x",
+      Seq("click", "error", "purchase", "signup", "view"))
+  }
+
+  /** Randomization-test gate: doc_id-parity groups, text length as the
+    * metric, 100 md5-seeded Bernoulli reassignments — the extremeness
+    * census is all exact cross-multiplied integers, p and obs_diff are
+    * fixed final chains. */
+  def q273Randomization(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select((col("doc_id") % 2).cast("string").as("g"),
+        length(col("text")).cast("long").as("v"),
+        col("doc_id").cast("string").as("seed"))
+    graft.operators.Stats.randomizationTest(docs, "g", "v", "seed", 100)
+  }
+
+  /** Precedence-triple gate: ordered "a then b then c" witnesses over
+    * per-user censuses + the occurrence grain, one support division. */
+  def q274PrecedenceTriples(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.precedenceTriples(events(s, dir), "user_id",
+      "ts", "event_type").orderBy("ante", "mid", "cons")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4757,7 +4791,10 @@ object Queries {
     "q268_katz" -> (q268Katz _),
     "q269_twap" -> (q269Twap _),
     "q270_precedence" -> (q270Precedence _),
-    "q271_cochran_q" -> (q271CochranQ _)
+    "q271_cochran_q" -> (q271CochranQ _),
+    "q272_page_trend" -> (q272PageTrend _),
+    "q273_randomization" -> (q273Randomization _),
+    "q274_precedence_triples" -> (q274PrecedenceTriples _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7376,6 +7413,93 @@ object Queries {
         |    CAST((f.k - 1) * (f.k * f.c2 - bs.n * bs.n) AS DOUBLE) /
         |      CAST(f.k * bs.n - bs.r2 AS DOUBLE) END AS q
         |FROM bs, f""".stripMargin,
+    "q272_page_trend" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR)
+        |    AS blk, event_type AS trt, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |ok AS (SELECT blk FROM base GROUP BY blk HAVING count(*) = 5),
+        |b2 AS (SELECT base.* FROM base JOIN ok USING (blk)),
+        |cen AS (SELECT blk, x, CAST(count(*) AS BIGINT) AS t
+        | FROM b2 GROUP BY 1, 2),
+        |cum AS (SELECT blk, x, t, coalesce(sum(t) OVER (
+        |  PARTITION BY blk ORDER BY x
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        | FROM cen),
+        |r AS (SELECT b2.trt, 2 * cum + t + 1 AS r2,
+        |  CASE b2.trt WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+        |   WHEN 'view' THEN 5 END AS ord
+        | FROM b2 JOIN cum ON b2.blk = cum.blk AND b2.x = cum.x),
+        |pt AS (SELECT trt, CAST(sum(CAST(r2 AS HUGEINT) * ord)
+        |    AS HUGEINT) AS l2j
+        | FROM r GROUP BY trt),
+        |shape AS (SELECT CAST(count(*) AS BIGINT) AS b FROM ok),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(l2j) AS HUGEINT) AS l2 FROM pt)
+        |SELECT shape.b, f.k, CAST(f.l2 AS DOUBLE) / 2.0 AS l,
+        |  CAST(2 * f.l2 - shape.b * f.k * (f.k + 1) * (f.k + 1)
+        |    AS DOUBLE) /
+        |   sqrt(CAST(shape.b * f.k * f.k * (f.k + 1) * (f.k + 1) *
+        |     (f.k - 1) AS DOUBLE) / 9.0) AS z
+        |FROM shape, f""".stripMargin,
+    "q273_randomization" ->
+      """WITH d AS MATERIALIZED (SELECT
+        |  CAST(doc_id % 2 AS VARCHAR) AS g,
+        |  CAST(length(text) AS BIGINT) AS v,
+        |  CAST(doc_id AS VARCHAR) AS seed
+        | FROM documents),
+        |gr AS (SELECT
+        |  CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(sum(CASE WHEN g = '0' THEN v ELSE 0 END) AS HUGEINT)
+        |    AS sa,
+        |  CAST(sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(sum(CASE WHEN g = '1' THEN v ELSE 0 END) AS HUGEINT)
+        |    AS sb
+        | FROM d),
+        |rep AS (SELECT rr.r, d.v,
+        |  CAST(('0x' || substr(md5(d.seed || ':' ||
+        |    CAST(rr.r AS VARCHAR)), 1, 6)) AS BIGINT) AS num
+        | FROM d CROSS JOIN (SELECT unnest(range(0, 100)) AS r) rr),
+        |pr AS (SELECT rep.r,
+        |  CAST(sum(CASE WHEN rep.num * (gr.na + gr.nb) <
+        |    16777216 * gr.na THEN 1 ELSE 0 END) AS BIGINT) AS nar,
+        |  CAST(sum(CASE WHEN rep.num * (gr.na + gr.nb) <
+        |    16777216 * gr.na THEN 0 ELSE 1 END) AS BIGINT) AS nbr,
+        |  CAST(sum(CASE WHEN rep.num * (gr.na + gr.nb) <
+        |    16777216 * gr.na THEN rep.v ELSE 0 END) AS HUGEINT) AS sar,
+        |  CAST(sum(CASE WHEN rep.num * (gr.na + gr.nb) <
+        |    16777216 * gr.na THEN 0 ELSE rep.v END) AS HUGEINT) AS sbr
+        | FROM rep, gr GROUP BY rep.r),
+        |ext AS (SELECT CAST(sum(CASE
+        |  WHEN nar = 0 OR nbr = 0 THEN 1
+        |  WHEN abs(sar * nbr - sbr * nar) * (gr.na * gr.nb) >=
+        |    abs(gr.sa * gr.nb - gr.sb * gr.na) * (nar * nbr) THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_extreme
+        | FROM pr, gr)
+        |SELECT CAST(100 AS BIGINT) AS b, gr.na AS n_a, gr.nb AS n_b,
+        |  CAST(gr.sa AS DOUBLE) / CAST(gr.na AS DOUBLE) -
+        |    CAST(gr.sb AS DOUBLE) / CAST(gr.nb AS DOUBLE) AS obs_diff,
+        |  ext.n_extreme,
+        |  CAST(ext.n_extreme + 1 AS DOUBLE) / 101.0 AS p
+        |FROM gr, ext""".stripMargin,
+    "q274_precedence_triples" ->
+      """WITH e AS MATERIALIZED (SELECT user_id AS k, event_type AS t,
+        |  epoch_us(ts) AS us
+        | FROM events),
+        |c AS MATERIALIZED (SELECT k, t, min(us) AS f, max(us) AS l
+        | FROM e GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS total
+        | FROM c),
+        |w AS (SELECT DISTINCT a.k, a.t AS ante, b.t AS mid,
+        |  cc.t AS cons
+        | FROM c a JOIN c cc ON a.k = cc.k AND a.t <> cc.t
+        | JOIN e b ON b.k = a.k AND b.t <> a.t AND b.t <> cc.t
+        |   AND b.us > a.f AND b.us < cc.l),
+        |p AS (SELECT ante, mid, cons, CAST(count(*) AS BIGINT) AS n
+        | FROM w GROUP BY 1, 2, 3)
+        |SELECT ante, mid, cons, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
+        |FROM p, tot ORDER BY ante, mid, cons""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1122,4 +1122,43 @@ object Events {
           col("n").cast("double") / lit(total).cast("double"))
     }
   }
+
+  /** Precedence TRIPLES ("a then b then c"): for every ordered triple
+    * of distinct types, the number of keys holding a witness
+    * i < j < k — equivalently (pick i = argmin a, k = argmax c) some
+    * b-occurrence strictly inside (first(a), last(c)). Strict
+    * comparisons as [[precedencePairs]]. The middle leg joins the
+    * OCCURRENCE grain (key-local), so the per-key cost is
+    * |types|²·|events(key)| — never events³.
+    *
+    * Shape at 100 TB: census + occurrence tables share the key
+    * shuffle; the triple join is key-local; the DISTINCT collapses to
+    * ≤ k³ rows per key before the global count. */
+  def precedenceTriples(events: DataFrame, keyCol: String,
+      tsCol: String, typeCol: String): DataFrame = {
+    val withUs = events.withColumn("__us", us(events, tsCol))
+    val census = withUs
+      .groupBy(col(keyCol).as("__k"), col(typeCol).as("__t"))
+      .agg(min(col("__us")).as("__first"), max(col("__us")).as("__last"))
+    val occ = withUs.select(col(keyCol).as("__k"),
+      col(typeCol).as("__t"), col("__us"))
+    Exec.withPersisted(census) {
+      val total = census.select(col("__k")).distinct().count()
+      census.as("a").join(census.as("c"),
+          col("a.__k") === col("c.__k") && col("a.__t") =!= col("c.__t"))
+        .join(occ.as("b"),
+          col("b.__k") === col("a.__k") &&
+            col("b.__t") =!= col("a.__t") &&
+            col("b.__t") =!= col("c.__t") &&
+            col("b.__us") > col("a.__first") &&
+            col("b.__us") < col("c.__last"))
+        .select(col("a.__k").as("__k"), col("a.__t").as("ante"),
+          col("b.__t").as("mid"), col("c.__t").as("cons"))
+        .distinct()
+        .groupBy("ante", "mid", "cons")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("support",
+          col("n").cast("double") / lit(total).cast("double"))
+    }
+  }
 }

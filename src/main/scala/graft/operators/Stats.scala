@@ -1496,6 +1496,137 @@ object Stats {
     }
   }
 
+  /** Page's trend test for an ORDERED treatment hypothesis over
+    * complete blocks: L = Σⱼ ordⱼ·Rⱼ over the [[friedman]] midranks,
+    * carried as the exact integer 2L = Σ ordⱼ·(2Rⱼ); the normal
+    * approximation uses the NO-TIE null moments μ = b·k·(k+1)²/4 and
+    * σ² = b·k²·(k+1)²·(k−1)/144 (the classic tables' convention —
+    * documented, since midranks under ties shrink the true variance),
+    * one exact chain: z = (2·2L − b·k·(k+1)²) / √(b·k²·(k+1)²·(k−1)/9).
+    * `treatOrder` maps treatments to ranks 1..k; a treatment absent
+    * from it yields NULL z (the [[friedman]] guard convention), as
+    * does an incomplete block census.
+    *
+    * Shape at 100 TB: identical to [[friedman]] — block-value census,
+    * block-partitioned window over that census, bounded aggs. */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String, treatOrder: Seq[String]): DataFrame = {
+    require(treatOrder.nonEmpty && treatOrder.distinct == treatOrder,
+      "treatOrder must be a non-empty list of distinct treatments")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val ordMap = map(treatOrder.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), lit(i + 1L)) }: _*)
+    val base = df.select(col(blockCol).cast("string").as("__blk"),
+      col(treatCol).cast("string").as("__trt"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val shape = base.groupBy("__blk")
+        .agg(count(lit(1)).as("__kb"),
+          count_distinct(col("__trt")).as("__kd"))
+        .agg(count(lit(1)).as("__b"), min(col("__kb")).as("__kmin"),
+          max(col("__kb")).as("__kmax"), min(col("__kd")).as("__dmin"))
+      val census = base.groupBy(col("__blk"), col("__x"))
+        .agg(count(lit(1)).as("__t"))
+        .withColumn("__cum",
+          coalesce(sum(col("__t")).over(Window.partitionBy(col("__blk"))
+            .orderBy(col("__x"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ranked = base.join(census, Seq("__blk", "__x"))
+        .withColumn("__ord", element_at(ordMap, col("__trt")))
+        .withColumn("__r2", lit(2) * col("__cum") + col("__t") + 1)
+      val perTreat = ranked.groupBy("__trt")
+        .agg(max(when(col("__ord").isNull, 1L).otherwise(0L))
+            .as("__unmapped"),
+          sum(col("__r2").cast(d38) * col("__ord")).as("__l2j"))
+      perTreat.agg(count(lit(1)).as("k"),
+          max(col("__unmapped")).as("__anyUnmapped"),
+          sum(col("__l2j")).as("__l2"))
+        .crossJoin(broadcast(shape))
+        .select(col("__b").as("b"), col("k"),
+          (dbl(col("__l2")) / lit(2.0d)).as("l"),
+          when(col("__anyUnmapped") === 0 &&
+              col("__kmin") === col("__kmax") &&
+              col("__kmin") === col("k") && col("__dmin") === col("k") &&
+              col("k") > 1,
+            dbl(lit(2).cast(d38) * col("__l2") -
+              col("__b").cast(d38) * col("k") * (col("k") + 1) *
+                (col("k") + 1)) /
+              sqrt(dbl(col("__b").cast(d38) * col("k") * col("k") *
+                (col("k") + 1) * (col("k") + 1) * (col("k") - 1)) /
+                lit(9.0d))).as("z"))
+    }
+  }
+
+  /** Randomization (approximate permutation) test for a difference in
+    * group means, TWO groups, deterministic by construction: replicate
+    * r reassigns each row to group A with probability n_A/n via the
+    * md5-slice convention — num = first-6-hex of md5(seed∥':'∥r) is
+    * uniform on [0, 2²⁴), and the row lands in A iff num·n < 2²⁴·n_A
+    * (exact integer compare, Bernoulli(n_A/n); a Bernoulli shuffle,
+    * not an exact permutation — documented, standard at scale).
+    * Extremeness is decided EXACTLY: |Δ_r| ≥ |Δ_obs| cross-multiplied
+    * to |s_A·n_B − s_B·n_A|·(n_A^r·n_B^r) vs the replicate mirror —
+    * all DECIMAL(38,0), no float enters the p-value. p uses the
+    * add-one rule (n_extreme+1)/(B+1), one division; obs_diff is the
+    * fixed two-division chain. Degenerate replicates (either side
+    * empty) count as extreme (conservative).
+    *
+    * Shape at 100 TB: rows explode ×B (B ≲ hundreds) into one
+    * map-side-combined groupBy on the replicate id — linear, no
+    * shuffle wider than B rows after the partial agg. */
+  def randomizationTest(df: DataFrame, groupCol: String,
+      valueCol: String, seedCol: String, replicates: Int): DataFrame = {
+    require(replicates >= 1, "need at least one replicate")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("long").as("__v"),
+      col(seedCol).cast("string").as("__seed"))
+    Exec.withPersisted(base) {
+      val groups = base.groupBy("__g")
+        .agg(count(lit(1)).as("__n"), sum(col("__v").cast(d38)).as("__s"))
+        .orderBy("__g").collect()
+      require(groups.length == 2,
+        s"randomizationTest needs exactly 2 groups, got ${groups.length}")
+      val na = groups(0).getLong(1); val sa = groups(0).getDecimal(2)
+      val nb = groups(1).getLong(1); val sb = groups(1).getDecimal(2)
+      val n = na + nb
+      // |Δ_obs| cross-multiplied: |s_A·n_B − s_B·n_A| over n_A·n_B
+      val obsNum = (BigDecimal(sa) * nb - BigDecimal(sb) * na).abs
+      val obsDen = BigDecimal(na) * nb
+      val rep = base.select(col("__v"), col("__seed"),
+          explode(sequence(lit(0), lit(replicates - 1))).as("__r"))
+        .withColumn("__num", conv(substring(
+          md5(concat_ws(":", col("__seed"), col("__r"))), 1, 6), 16, 10)
+          .cast("long"))
+        .withColumn("__inA", col("__num") * n < lit(16777216L) * na)
+      val perRep = rep.groupBy("__r")
+        .agg(sum(when(col("__inA"), 1L).otherwise(0L)).as("__nar"),
+          sum(when(!col("__inA"), 1L).otherwise(0L)).as("__nbr"),
+          sum(when(col("__inA"), col("__v")).otherwise(0L).cast(d38))
+            .as("__sar"),
+          sum(when(!col("__inA"), col("__v")).otherwise(0L).cast(d38))
+            .as("__sbr"))
+      val extreme = perRep.select(
+        when(col("__nar") === 0 || col("__nbr") === 0, lit(true))
+          .otherwise(
+            abs(col("__sar") * col("__nbr") - col("__sbr") * col("__nar"))
+              * lit(obsDen.bigDecimal).cast(d38) >=
+            lit(obsNum.bigDecimal).cast(DecimalType(38, 0)) *
+              (col("__nar").cast(d38) * col("__nbr"))).as("__ext"))
+        .agg(sum(when(col("__ext"), 1L).otherwise(0L)).as("n_extreme"))
+      extreme.select(
+        lit(replicates).cast("long").as("b"),
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        (dbl(lit(sa)) / dbl(lit(na)) - dbl(lit(sb)) / dbl(lit(nb)))
+          .as("obs_diff"),
+        col("n_extreme"),
+        (dbl(col("n_extreme") + 1) / dbl(lit(replicates.toLong + 1)))
+          .as("p"))
+    }
+  }
+
   /** Cochran's Q test — the k-treatment extension of [[mcnemar]]:
     * binary outcomes over complete blocks,
     * Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with Cⱼ the treatment

@@ -694,6 +694,17 @@ class EventsSpec extends SparkSpec {
     assert(got === 100.0)
   }
 
+  test("precedenceTriples: strict in-between witness, support over keys") {
+    // user 1: A@0 B@5 C@10 → only (A,B,C); user 2 all simultaneous
+    val ev = Seq((1L, 0L, "A"), (1L, 5L, "B"), (1L, 10L, "C"),
+      (2L, 0L, "A"), (2L, 0L, "B"), (2L, 0L, "C"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.precedenceTriples(ev, "user_id", "ts", "event_type")
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", "C", 1L, 0.5)))
+  }
+
   test("precedencePairs: strict first-before-last witnesses, support") {
     // user 1: A@0 B@5 A@10 → A<B (0<5), B<A (5<10); user 2: only B A
     // with A@0 B@0 (simultaneous → neither direction counts)

@@ -680,6 +680,33 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("pageTrend: exact L on a perfect trend; unmapped treatment nulls z") {
+    // 3 blocks, values follow the hypothesized A<B<C order exactly:
+    // R = (3,6,9), L = 42, mu = 36, sigma^2 = 6
+    val df = (1L to 3L).flatMap(b =>
+      Seq((b, "A", 1L), (b, "B", 2L), (b, "C", 3L))).toDF("blk", "trt", "x")
+    val got = Stats.pageTrend(df, "blk", "trt", "x", Seq("A", "B", "C"))
+      .as[(Long, Long, Double, Double)].collect().head
+    val z = (2.0 * 84 - 144.0) / math.sqrt(3.0 * 9 * 16 * 2 / 9.0)
+    assert(got === ((3L, 3L, 42.0, z)))
+    val row = Stats.pageTrend(df, "blk", "trt", "x", Seq("A", "B"))
+      .select("z").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("randomizationTest: constant values make every replicate extreme") {
+    val df = (1L to 40L).map(i => (if (i % 2 == 0) "a" else "b", 5L,
+      i.toString)).toDF("g", "v", "seed")
+    val got = Stats.randomizationTest(df, "g", "v", "seed", 50)
+      .as[(Long, Long, Long, Double, Long, Double)].collect().head
+    assert(got === ((50L, 20L, 20L, 0.0, 50L, 1.0)))
+    val three = Seq(("a", 1L, "1"), ("b", 2L, "2"), ("c", 3L, "3"))
+      .toDF("g", "v", "seed")
+    intercept[IllegalArgumentException] {
+      Stats.randomizationTest(three, "g", "v", "seed", 10)
+    }
+  }
+
   test("isotonicFit pools violators to level-set means") {
     // classic 1,3,2,4: the (3,2) violation pools to 2.5
     val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("i", "y")
