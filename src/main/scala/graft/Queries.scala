@@ -3868,6 +3868,43 @@ object Queries {
     graft.operators.Events.precedenceTriples(events(s, dir), "user_id",
       "ts", "event_type").orderBy("ante", "mid", "cons")
 
+  /** Nelson–Aalen gate: signup→purchase cumulative hazard on the q219
+    * census — the running Σd/n and Σd/n² chains replayed by a
+    * recursive CTE in the same IEEE order. */
+  def q275NelsonAalen(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.nelsonAalen(events(s, dir),
+        fromType = "signup", toType = "purchase")
+      .orderBy("t_us")
+
+  /** CUPED gate: per-user engagement cents (view+click) as the
+    * covariate, purchase cents as the metric, user-parity groups — θ
+    * one division of exact moments (>2^53 rides the VARCHAR-mediated
+    * oracle cast), the adjusted diff a fixed IEEE chain. */
+  def q276Cuped(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val per = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type").isin("view", "click"), cents)
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("y"))
+      .withColumn("g", (col("user_id") % 2).cast("string"))
+    graft.operators.Stats.cuped(per, "g", "x", "y")
+  }
+
+  /** Hodges–Lehmann gate on the daily-cents series: the median Walsh
+    * average, rank-selected over exact pair sums, one division. */
+  def q277HodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("i"), col("x"))
+    graft.operators.Stats.hodgesLehmann(daily, "i", "x")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4794,7 +4831,10 @@ object Queries {
     "q271_cochran_q" -> (q271CochranQ _),
     "q272_page_trend" -> (q272PageTrend _),
     "q273_randomization" -> (q273Randomization _),
-    "q274_precedence_triples" -> (q274PrecedenceTriples _)
+    "q274_precedence_triples" -> (q274PrecedenceTriples _),
+    "q275_nelson_aalen" -> (q275NelsonAalen _),
+    "q276_cuped" -> (q276Cuped _),
+    "q277_hodges_lehmann" -> (q277HodgesLehmann _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7500,6 +7540,98 @@ object Queries {
         |SELECT ante, mid, cons, n,
         |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS support
         |FROM p, tot ORDER BY ante, mid, cons""".stripMargin,
+    "q275_nelson_aalen" ->
+      """WITH RECURSIVE e AS MATERIALIZED (SELECT user_id AS u,
+        |  event_type AS et, epoch_us(ts) AS us FROM events),
+        |h AS (SELECT max(us) AS hz FROM e),
+        |s AS MATERIALIZED (SELECT u, min(us) AS from_us FROM e
+        | WHERE et = 'signup' GROUP BY u),
+        |d AS MATERIALIZED (SELECT s.u, s.from_us, min(c.us) AS to_us
+        | FROM s LEFT JOIN e c ON c.u = s.u AND c.et = 'purchase'
+        |   AND c.us >= s.from_us
+        | GROUP BY s.u, s.from_us),
+        |dur AS (SELECT
+        |  coalesce(to_us - from_us, (SELECT hz FROM h) - from_us) AS dur,
+        |  to_us IS NOT NULL AS conv FROM d),
+        |tm AS MATERIALIZED (SELECT dur AS t_us,
+        |  CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_event,
+        |  CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_censor
+        | FROM dur GROUP BY 1),
+        |rk AS MATERIALIZED (SELECT t_us, n_event, n_censor,
+        |  CAST(sum(n_event + n_censor) OVER () -
+        |    coalesce(sum(n_event + n_censor) OVER (ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_risk,
+        |  CAST(row_number() OVER (ORDER BY t_us) AS BIGINT) AS i
+        | FROM tm),
+        |na(i, t_us, n_risk, n_event, n_censor, ch, vs) AS (
+        | SELECT i, t_us, n_risk, n_event, n_censor,
+        |  CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE),
+        |  CAST(n_event AS DOUBLE) /
+        |    (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))
+        | FROM rk WHERE i = 1
+        | UNION ALL
+        | SELECT rk.i, rk.t_us, rk.n_risk, rk.n_event, rk.n_censor,
+        |  na.ch + CAST(rk.n_event AS DOUBLE) / CAST(rk.n_risk AS DOUBLE),
+        |  na.vs + CAST(rk.n_event AS DOUBLE) /
+        |    (CAST(rk.n_risk AS DOUBLE) * CAST(rk.n_risk AS DOUBLE))
+        | FROM na JOIN rk ON rk.i = na.i + 1)
+        |SELECT t_us, n_risk, n_event, n_censor, ch AS cum_hazard,
+        |  vs AS var_sum
+        |FROM na ORDER BY t_us""".stripMargin,
+    "q276_cuped" ->
+      """WITH per AS MATERIALIZED (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS y,
+        |  CAST(user_id % 2 AS VARCHAR) AS g
+        | FROM events GROUP BY user_id),
+        |pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy
+        | FROM per GROUP BY g),
+        |pl AS (SELECT CAST(count(*) AS HUGEINT) AS np,
+        |  CAST(sum(x) AS HUGEINT) AS sxp, CAST(sum(y) AS HUGEINT) AS syp,
+        |  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        | FROM per),
+        |ab AS (SELECT min(g) AS ga, max(g) AS gb,
+        |  min_by(struct_pack(n := n, sx := sx, sy := sy), g) AS a,
+        |  max_by(struct_pack(n := n, sx := sx, sy := sy), g) AS b
+        | FROM pg),
+        |th AS (SELECT
+        |  CAST(CAST(np * sxy - sxp * syp AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(np * sxx - sxp * sxp AS VARCHAR) AS DOUBLE)
+        |    AS theta
+        | FROM pl)
+        |SELECT ab.ga AS group_a, ab.gb AS group_b,
+        |  CAST(ab.a.n AS BIGINT) AS n_a, CAST(ab.b.n AS BIGINT) AS n_b,
+        |  th.theta,
+        |  CAST(ab.a.sy AS DOUBLE) / CAST(ab.a.n AS DOUBLE) -
+        |    CAST(ab.b.sy AS DOUBLE) / CAST(ab.b.n AS DOUBLE) AS diff_raw,
+        |  (CAST(ab.a.sy AS DOUBLE) / CAST(ab.a.n AS DOUBLE) -
+        |    CAST(ab.b.sy AS DOUBLE) / CAST(ab.b.n AS DOUBLE)) -
+        |   th.theta * (CAST(ab.a.sx AS DOUBLE) / CAST(ab.a.n AS DOUBLE) -
+        |    CAST(ab.b.sx AS DOUBLE) / CAST(ab.b.n AS DOUBLE)) AS diff_adj
+        |FROM ab, th""".stripMargin,
+    "q277_hodges_lehmann" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |p AS (SELECT a.i AS ia, c.i AS ib, a.y + c.y AS s2
+        | FROM b a JOIN b c ON a.i <= c.i),
+        |r AS (SELECT s2, CAST(row_number() OVER (ORDER BY s2, ia, ib)
+        |    AS BIGINT) AS rr,
+        |  CAST(count(*) OVER () AS BIGINT) AS np
+        | FROM p)
+        |SELECT np AS n_pairs, CAST(s2 AS DOUBLE) / 2.0 AS hl
+        |FROM r WHERE rr = (np + 1) // 2""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1033,6 +1033,36 @@ object Scratch {
         graft.operators.Events.sessionNgrams(ev, "user_id", "ts",
           "event_id", "event_type", 1800L, 3, 20).count()
       }
+      time(s"matching(nodes=$k)") {
+        // functional graph i -> (13i+7) mod k: ~k edges, greedy
+        // matching peels in locally-dominant rounds
+        val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
+        val e = nodes.select(col("i").as("src"),
+          ((col("i") * 13 + 7) % k).as("dst"),
+          ((col("i") * 7919) % 104729).as("w"))
+        graft.operators.GraphAlgos.maximalMatching(e).count()
+      }
+      time(s"katz(nodes=$k,T=4)") {
+        // in-degree ~ rows/k stays constant as k grows with rows
+        val e = orders.select((col("o_custkey") % k).as("src"),
+          (col("o_orderkey") % k).as("dst"))
+        graft.operators.GraphAlgos.katzCentrality(e, iterations = 4,
+          alphaInvLog2 = 3).count()
+      }
+      time("isotonic(orderkey trend+noise)") {
+        // upward trend with +-100 noise: level-set count grows with
+        // rows, so the phase-2 block window is the honest scale face
+        val series = orders.select(col("o_orderkey").as("i"),
+          (expr("o_orderkey div 100") * 10 +
+            (col("o_orderkey") * 7919) % 100).as("y"))
+        graft.operators.Stats.isotonicFit(series, "i", "y").count()
+      }
+      time("precedencetriples") {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.Events.precedenceTriples(ev, "user_id", "ts",
+          "event_type").count()
+      }
       time("dhash(18x8 BMPs from text)") {
         import spark.implicits._
         val media = spark.read.parquet(s"$dir/documents.parquet")

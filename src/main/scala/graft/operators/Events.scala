@@ -848,6 +848,55 @@ object Events {
       tsCol: String = "ts"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    survivalTimes(events, fromType, toType, userCol, typeCol, tsCol)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        var s = 1.0
+        sorted.iterator.map { case (tu, n, d, c) =>
+          s = s * (1.0 - d.toDouble / n.toDouble)
+          (tu, n, d, c, s)
+        }
+      }
+      .toDF("t_us", "n_risk", "n_event", "n_censor", "survival")
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimate over the same censored
+    * conversion census as [[kaplanMeier]]: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ,
+    * plus the variance running sum Σ dᵢ/nᵢ². Both are SEQUENTIAL IEEE
+    * chains over the time-ordered report-sized rows (the km oracle
+    * convention — a recursive CTE replays the identical op order;
+    * censor-only times add an exact 0.0, a no-op anywhere). */
+  def nelsonAalen(events: DataFrame, fromType: String, toType: String,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    survivalTimes(events, fromType, toType, userCol, typeCol, tsCol)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, rows) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        var h = 0.0
+        var v = 0.0
+        sorted.iterator.map { case (tu, n, d, c) =>
+          h = h + d.toDouble / n.toDouble
+          v = v + d.toDouble / (n.toDouble * n.toDouble)
+          (tu, n, d, c, h, v)
+        }
+      }
+      .toDF("t_us", "n_risk", "n_event", "n_censor", "cum_hazard",
+        "var_sum")
+  }
+
+  /** Shared censored-conversion census: one row per distinct duration
+    * with (t_us, n_risk, n_event, n_censor). Risk sets are exact
+    * integers via the cumulative window over the report-sized distinct
+    * durations. */
+  private def survivalTimes(events: DataFrame, fromType: String,
+      toType: String, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
     val t = us(events, tsCol)
     val withUs = events.select(col(userCol).as("u"), col(typeCol).as("et"),
       t.as("us"))
@@ -880,17 +929,6 @@ object Events {
           coalesce(sum(col("n_event") + col("n_censor")).over(w), lit(0L)))
     risky
       .select(col("t_us"), col("n_risk"), col("n_event"), col("n_censor"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_ => true)
-      .flatMapGroups { (_, rows) =>
-        val sorted = rows.toArray.sortBy(_._1)
-        var s = 1.0
-        sorted.iterator.map { case (tu, n, d, c) =>
-          s = s * (1.0 - d.toDouble / n.toDouble)
-          (tu, n, d, c, s)
-        }
-      }
-      .toDF("t_us", "n_risk", "n_event", "n_censor", "survival")
   }
 
   /** Interval-overlap join: pairs of [start, end) intervals from two

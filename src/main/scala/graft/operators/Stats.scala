@@ -1496,6 +1496,94 @@ object Stats {
     }
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013): the
+    * experimentation-platform staple — adjust the post-period metric y
+    * by the pre-period covariate x, ỹ = y − θ·(x − x̄) with
+    * θ = cov(x,y)/var(x) pooled over all units, then compare group
+    * means of ỹ. Moments (Σx, Σy, Σxy, Σxx per group and pooled) are
+    * exact DECIMAL(38,0); θ is ONE division of exact cross-multiplied
+    * integers (n·Σxy − Σx·Σy over n·Σxx − (Σx)²), and the adjusted
+    * diff is the FIXED chain (ȳ_A − ȳ_B) − θ·(x̄_A − x̄_B) — every
+    * operand itself one exact-integer division, so any engine replays
+    * it bit-for-bit. Exactly two groups (≠2 yields NULL θ/diffs, the
+    * [[friedman]] guard convention); zero pooled x-variance yields
+    * NULL θ/diff_adj.
+    *
+    * Shape at 100 TB: one map-side-combined groupBy to 2 rows + a
+    * 1-row pooled agg — nothing else. */
+  def cuped(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val per = base.groupBy("__g")
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x").cast(d38)).as("__sx"),
+        sum(col("__y").cast(d38)).as("__sy"))
+    val pooled = base.agg(count(lit(1)).cast(d38).as("__np"),
+      sum(col("__x").cast(d38)).as("__sxp"),
+      sum(col("__y").cast(d38)).as("__syp"),
+      sum(col("__x").cast(d38) * col("__y")).as("__sxy"),
+      sum(col("__x").cast(d38) * col("__x")).as("__sxx"))
+    val two = per.agg(count(lit(1)).as("__k"),
+      min(col("__g")).as("__ga"), max(col("__g")).as("__gb"),
+      min_by(struct(col("__n"), col("__sx"), col("__sy")), col("__g"))
+        .as("__a"),
+      max_by(struct(col("__n"), col("__sx"), col("__sy")), col("__g"))
+        .as("__b"))
+    val j = two.crossJoin(broadcast(pooled))
+    val varx = col("__np") * col("__sxx") - col("__sxp") * col("__sxp")
+    val theta = when(col("__k") === 2 && varx =!= 0,
+      dbl(col("__np") * col("__sxy") - col("__sxp") * col("__syp")) /
+        dbl(varx))
+    def mean(s: Column, n: Column): Column = dbl(s) / dbl(n)
+    j.select(
+      col("__ga").as("group_a"), col("__gb").as("group_b"),
+      col("__a.__n").cast("long").as("n_a"),
+      col("__b.__n").cast("long").as("n_b"),
+      theta.as("theta"),
+      when(col("__k") === 2,
+        mean(col("__a.__sy"), col("__a.__n")) -
+          mean(col("__b.__sy"), col("__b.__n"))).as("diff_raw"),
+      (when(col("__k") === 2,
+        mean(col("__a.__sy"), col("__a.__n")) -
+          mean(col("__b.__sy"), col("__b.__n"))) -
+        theta * (mean(col("__a.__sx"), col("__a.__n")) -
+          mean(col("__b.__sx"), col("__b.__n")))).as("diff_adj"))
+  }
+
+  /** Hodges–Lehmann location estimate: the median of all Walsh
+    * averages (xᵢ+xⱼ)/2, i ≤ j — the rank-based robust center tied to
+    * the Wilcoxon signed-rank test. Pair sums are exact integers,
+    * selection is the type-1 lower median over (sum, i, j) — no
+    * interpolation — and the estimate is ONE division by 2.0.
+    *
+    * Scale contract: pairwise-by-definition, O(n²) on the
+    * pre-aggregated series grain (the [[theilSen]] caveat); `idxCol`
+    * must be unique and integral. */
+  def hodgesLehmann(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val a = base.select(col("__i").as("ia"), col("__x").as("xa"))
+      val b = base.select(col("__i").as("ib"), col("__x").as("xb"))
+      val pairs = a.crossJoin(b).filter(col("ia") <= col("ib"))
+        .select(col("ia"), col("ib"),
+          (col("xa") + col("xb")).as("__s2"))
+      val ws = Window.orderBy(col("__s2"), col("ia"), col("ib"))
+      val nS = Window.partitionBy()
+      pairs
+        .withColumn("__r", row_number().over(ws))
+        .withColumn("__np", count(lit(1)).over(nS))
+        .filter(col("__r") === expr("(__np + 1) div 2"))
+        .select(col("__np").as("n_pairs"),
+          (dbl(col("__s2")) / lit(2.0d)).as("hl"))
+    }
+  }
+
   /** Page's trend test for an ORDERED treatment hypothesis over
     * complete blocks: L = Σⱼ ordⱼ·Rⱼ over the [[friedman]] midranks,
     * carried as the exact integer 2L = Σ ordⱼ·(2Rⱼ); the normal

@@ -694,6 +694,20 @@ class EventsSpec extends SparkSpec {
     assert(got === 100.0)
   }
 
+  test("nelsonAalen accumulates d/n and d/n^2 over the KM census") {
+    // u1 converts at 10, u2 at 20, u3 censored at the horizon (20)
+    val ev = Seq((1L, 0L, "s"), (1L, 10L, "p"),
+      (2L, 0L, "s"), (2L, 20L, "p"), (3L, 0L, "s"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.nelsonAalen(ev, "s", "p")
+      .orderBy("t_us").as[(Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      (10L, 3L, 1L, 0L, 1.0 / 3, 1.0 / 9),
+      (20L, 2L, 1L, 1L, 1.0 / 3 + 1.0 / 2, 1.0 / 9 + 1.0 / 4)))
+  }
+
   test("precedenceTriples: strict in-between witness, support over keys") {
     // user 1: A@0 B@5 C@10 → only (A,B,C); user 2 all simultaneous
     val ev = Seq((1L, 0L, "A"), (1L, 5L, "B"), (1L, 10L, "C"),

@@ -680,6 +680,28 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("cuped: a perfect covariate reduces nothing it shouldn't") {
+    // y = 2x + 10*(g=a): theta = 2, raw diff = adjusted diff = 10
+    val df = (1L to 3L).flatMap(x =>
+      Seq(("a", x, 2 * x + 10), ("b", x, 2 * x))).toDF("g", "x", "y")
+    val got = Stats.cuped(df, "g", "x", "y")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(got === (("a", "b", 3L, 3L, 2.0, 10.0, 10.0)))
+    val three = df.union(Seq(("c", 1L, 1L)).toDF("g", "x", "y"))
+    val row = Stats.cuped(three, "g", "x", "y")
+      .select("theta", "diff_adj").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("hodgesLehmann selects the lower-median Walsh average") {
+    // sums of (1,3,5) pairs i<=j: 2,4,6,6,8,10 -> median 6 -> 3.0
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 5L)).toDF("i", "x")
+    val got = Stats.hodgesLehmann(df, "i", "x")
+      .as[(Long, Double)].collect().head
+    assert(got === ((6L, 3.0)))
+  }
+
   test("pageTrend: exact L on a perfect trend; unmapped treatment nulls z") {
     // 3 blocks, values follow the hypothesized A<B<C order exactly:
     // R = (3,6,9), L = 42, mu = 36, sigma^2 = 6
