@@ -3905,6 +3905,20 @@ object Queries {
     graft.operators.Stats.hodgesLehmann(daily, "i", "x")
   }
 
+  /** Co-occurrence gate: window-3 unordered token pairs over the
+    * corpus, top-30 — the pair list is a narrow nested-array
+    * expression (no self-join), the oracle an offset-indexed unnest. */
+  def q278Cooccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.cooccurrenceCounts(t(s, dir, "documents"),
+      "doc_id", "text", window = 3, topK = 30).orderBy("rank")
+
+  /** RAKE gate: stopword-delimited phrases, word deg/freq scores, one
+    * division per word, top-30 with a word tie-break. */
+  def q279Rake(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.rakeWordScores(t(s, dir, "documents"),
+      "doc_id", "text", Seq("a", "the", "and", "of", "to"), topK = 30)
+      .orderBy("rank")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4834,7 +4848,9 @@ object Queries {
     "q274_precedence_triples" -> (q274PrecedenceTriples _),
     "q275_nelson_aalen" -> (q275NelsonAalen _),
     "q276_cuped" -> (q276Cuped _),
-    "q277_hodges_lehmann" -> (q277HodgesLehmann _)
+    "q277_hodges_lehmann" -> (q277HodgesLehmann _),
+    "q278_cooccurrence" -> (q278Cooccurrence _),
+    "q279_rake" -> (q279Rake _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7632,6 +7648,53 @@ object Queries {
         | FROM p)
         |SELECT np AS n_pairs, CAST(s2 AS DOUBLE) / 2.0 AS hl
         |FROM r WHERE rr = (np + 1) // 2""".stripMargin,
+    // pairs via offset-indexed list access — linear in tokens*window,
+    // never a positional self-join
+    "q278_cooccurrence" ->
+      """WITH d AS MATERIALIZED (SELECT
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS lst
+        | FROM documents),
+        |p AS (SELECT least(lst[i], lst[i + o]) AS w1,
+        |  greatest(lst[i], lst[i + o]) AS w2
+        | FROM d, unnest(range(1, len(lst) + 1)) tt(i),
+        |   unnest(range(1, 4)) oo(o)
+        | WHERE i + o <= len(lst)),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        | FROM p GROUP BY 1, 2),
+        |r AS (SELECT w1, w2, n, CAST(row_number() OVER (
+        |  ORDER BY n DESC, w1, w2) AS BIGINT) AS rank FROM c)
+        |SELECT w1, w2, n, rank FROM r WHERE rank <= 30
+        |ORDER BY rank""".stripMargin,
+    "q279_rake" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS lst
+        | FROM documents),
+        |t AS MATERIALIZED (SELECT doc_id, i, lst[i] AS w,
+        |  lst[i] IN ('a', 'the', 'and', 'of', 'to') AS stop
+        | FROM d, unnest(range(1, len(lst) + 1)) tt(i)),
+        |ph AS (SELECT doc_id, i, w, stop,
+        |  sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+        | FROM t),
+        |np AS MATERIALIZED (SELECT doc_id, w, pid FROM ph
+        | WHERE NOT stop),
+        |pl AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len
+        | FROM np GROUP BY 1, 2),
+        |ws AS (SELECT np.w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(pl.len) AS BIGINT) AS deg
+        | FROM np JOIN pl ON pl.doc_id = np.doc_id AND pl.pid = np.pid
+        | GROUP BY 1),
+        |r AS (SELECT word, freq, deg,
+        |  CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) DESC, word)
+        |    AS BIGINT) AS rank
+        | FROM ws)
+        |SELECT word, freq, deg, score, rank FROM r WHERE rank <= 30
+        |ORDER BY rank""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1640,4 +1640,72 @@ object Corpus {
         floor(lit(budgetTokens.toDouble) * col("w") / col("__wsum"))
           .cast("long").as("alloc_tokens"))
   }
+
+  /** GloVe-style co-occurrence counts: unordered token pairs within a
+    * forward `window` position distance inside each document (the
+    * standing `[^a-z0-9]+` token convention), global top-`topK` by
+    * count with a total (n desc, w1, w2) tie order.
+    *
+    * Shape at 100 TB: the pair list is built as a NARROW nested-array
+    * expression per document (no positional self-join, no window
+    * shuffle — |tokens|·window pair rows materialize inside the scan
+    * stage), and the only shuffle is the map-side-combined pair count.
+    * The top-K window runs over the aggregated vocabulary-pair
+    * table. */
+  def cooccurrenceCounts(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, topK: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val arr = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+      t => t =!= "")
+    val pairsArr = flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, lit(window)), y =>
+        struct(least(x, y).as("w1"), greatest(x, y).as("w2")))))
+    val rw = Window.orderBy(col("n").desc, col("w1"), col("w2"))
+    docs.select(explode(pairsArr).as("__pr"))
+      .select(col("__pr.w1").as("w1"), col("__pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** RAKE word scores (Rose et al. 2010): phrases are maximal runs of
+    * non-stopword tokens; freq(w) = occurrences inside phrases,
+    * deg(w) = Σ over those occurrences of the containing phrase's
+    * length; score = deg/freq, ONE division per word. Top-`topK` by
+    * (score desc, word): each score is the correctly-rounded double of
+    * an exact integer ratio — identical in any engine — so the sort
+    * order (word tie-break) is engine-independent.
+    *
+    * Shape at 100 TB: positional tokens shuffle once on doc_id; the
+    * phrase id is a per-doc running count (doc-partitioned window);
+    * phrase lengths join back doc-locally; the word agg map-side
+    * combines. */
+  def rakeWordScores(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], topK: Int): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword list")
+    require(topK >= 1, "topK must be >= 1")
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => t =!= "")).as(Seq("__p", "__w")))
+      .withColumn("__stop", col("__w").isin(stopwords: _*))
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phrased = toks
+      .withColumn("__pid", sum(when(col("__stop"), 1L).otherwise(0L))
+        .over(byDoc))
+      .filter(!col("__stop"))
+    Exec.withPersisted(phrased) {
+      val plen = phrased.groupBy("__id", "__pid")
+        .agg(count(lit(1)).as("__len"))
+      val rw = Window.orderBy(col("score").desc, col("word"))
+      phrased.join(plen, Seq("__id", "__pid"))
+        .groupBy(col("__w").as("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("__len")).as("deg"))
+        .withColumn("score",
+          col("deg").cast("double") / col("freq").cast("double"))
+        .withColumn("rank", row_number().over(rw).cast("long"))
+        .filter(col("rank") <= topK)
+    }
+  }
 }

@@ -908,4 +908,25 @@ class CorpusSpec extends SparkSpec {
     assert(got(1) === ((2L, 2L, 11L, Some(11.0 / 20.0))))
     assert(got(2) === ((3L, 0L, 0L, None)))
   }
+
+  test("cooccurrenceCounts: forward-window unordered pairs, exact ranks") {
+    // "x y z x", window 2: (x,y)x2, (x,z)x2, (y,z)x1
+    val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    val got = Corpus.cooccurrenceCounts(docs, "doc_id", "text",
+        window = 2, topK = 10)
+      .orderBy("rank").as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("x", "y", 2L, 1L), ("x", "z", 2L, 2L),
+      ("y", "z", 1L, 3L)))
+  }
+
+  test("rakeWordScores: phrase degree over stopword-delimited runs") {
+    // phrases [big data] [pipe]: big deg2/freq1, data 2/1, pipe 1/1
+    val docs = Seq((1L, "big data the pipe")).toDF("doc_id", "text")
+    val got = Corpus.rakeWordScores(docs, "doc_id", "text",
+        Seq("the"), topK = 10)
+      .orderBy("rank").as[(String, Long, Long, Double, Long)]
+      .collect().toSeq
+    assert(got === Seq(("big", 1L, 2L, 2.0, 1L), ("data", 1L, 2L, 2.0, 2L),
+      ("pipe", 1L, 1L, 1.0, 3L)))
+  }
 }
