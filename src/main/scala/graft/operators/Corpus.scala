@@ -1654,19 +1654,27 @@ object Corpus {
     * table. */
   def cooccurrenceCounts(docs: DataFrame, idCol: String,
       textCol: String, window: Int, topK: Int): DataFrame = {
-    require(window >= 1, "window must be >= 1")
     require(topK >= 1, "topK must be >= 1")
+    val rw = Window.orderBy(col("n").desc, col("w1"), col("w2"))
+    cooccurrencePairs(docs, idCol, textCol, window)
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** The un-ranked pair-count face of [[cooccurrenceCounts]] —
+    * (w1, w2, n), a pure count monoid, which is what the streaming
+    * ingest twin folds incrementally. */
+  def cooccurrencePairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
     val arr = filter(split(lower(col(textCol)), "[^a-z0-9]+"),
       t => t =!= "")
     val pairsArr = flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + 2, lit(window)), y =>
         struct(least(x, y).as("w1"), greatest(x, y).as("w2")))))
-    val rw = Window.orderBy(col("n").desc, col("w1"), col("w2"))
     docs.select(explode(pairsArr).as("__pr"))
       .select(col("__pr.w1").as("w1"), col("__pr.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= topK)
   }
 
   /** RAKE word scores (Rose et al. 2010): phrases are maximal runs of

@@ -455,6 +455,47 @@ object Streams {
       }
       .start()
 
+  private[graft] def applyCooccurBatch(batch: DataFrame, batchId: Long,
+      table: String, window: Int, idCol: String,
+      textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val guard = s"${table}_ingest_meta"
+    val applied = spark.catalog.tableExists(guard) &&
+      !spark.table(guard).filter(col("batch_id") === batchId).isEmpty
+    if (!applied && !batch.isEmpty) {
+      val add = graft.operators.Corpus.cooccurrencePairs(batch, idCol,
+        textCol, window)
+      // materialize the merge BEFORE the overwrite drops the table it
+      // reads (the appendToBm25View discipline)
+      val merged = (if (spark.catalog.tableExists(table))
+          spark.table(table).unionByName(add)
+            .groupBy("w1", "w2").agg(sum("n").as("n"))
+        else add).localCheckpoint(true)
+      merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").format("parquet").saveAsTable(guard)
+    }
+  }
+
+  /** Continuous co-occurrence-matrix maintenance — the GloVe-corpus
+    * twin of [[incrementalBm25Ingest]]: each micro-batch's pair counts
+    * (a pure count monoid, [[graft.operators.Corpus
+    * .cooccurrencePairs]]) fold into the running table by a
+    * vocabulary-pair-sized merge-overwrite. Replay-guarded per batch
+    * (the batch-id high-water convention), so redelivery after a
+    * restart is a no-op — the spec pins streamed-final ≡ the one-shot
+    * batch face and replays a batch to prove it. */
+  def incrementalCooccurIngest(docs: DataFrame, table: String,
+      checkpoint: String, window: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text")
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCooccurBatch(batch, batchId, table, window, idCol, textCol)
+      }
+      .start()
+
   /** Stream-stream interval join — the ad-attribution shape: each
     * arriving purchase matches every click by the same user in the
     * PRECEDING `withinSeconds` (inclusive both ends, the batch

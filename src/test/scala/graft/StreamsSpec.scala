@@ -152,6 +152,29 @@ class StreamsSpec extends SparkSpec {
       "bm25_batch_meta")) SearchIndex.dropView(spark, t)
   }
 
+  test("incrementalCooccurIngest: streamed batches equal the one-shot " +
+    "pair counts, replayed batch ids are no-ops") {
+    import graft.operators.Corpus
+    val all = (0L until 40L).map { i =>
+      (i, s"alpha w${i % 3} beta w${i % 5} alpha")
+    }.toDF("doc_id", "text")
+    val b1 = all.filter(col("doc_id") < 25)
+    val b2 = all.filter(col("doc_id") >= 25)
+    graft.streaming.Streams.applyCooccurBatch(b1, 0L, "cooc_stream", 2,
+      "doc_id", "text")
+    graft.streaming.Streams.applyCooccurBatch(b2, 1L, "cooc_stream", 2,
+      "doc_id", "text")
+    // a replayed (already-recorded) batch must change nothing
+    graft.streaming.Streams.applyCooccurBatch(b2, 1L, "cooc_stream", 2,
+      "doc_id", "text")
+    val batchFace = Corpus.cooccurrencePairs(all, "doc_id", "text", 2)
+    val streamed = spark.table("cooc_stream")
+    assert(streamed.exceptAll(batchFace).isEmpty &&
+      batchFace.exceptAll(streamed).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS cooc_stream")
+    spark.sql("DROP TABLE IF EXISTS cooc_stream_ingest_meta")
+  }
+
   test("streaming dedup with bounded state drops duplicate keys") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
