@@ -3919,6 +3919,30 @@ object Queries {
       "doc_id", "text", Seq("a", "the", "and", "of", "to"), topK = 30)
       .orderBy("rank")
 
+  private def dailyCents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("x"))
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+        .cast("long").as("i"), col("x"))
+
+  /** Runs-test gate on the daily-cents series: median rank-selected,
+    * run census exact, the z chain one division inside one sqrt. */
+  def q280RunsTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.runsTest(dailyCents(s, dir), "i", "x")
+
+  /** Durbin–Watson gate: OLS residuals carried as exact scaled
+    * integers (the scale cancels), one division, >2^53 rides the
+    * VARCHAR-mediated oracle cast. */
+  def q281DurbinWatson(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.durbinWatson(dailyCents(s, dir), "i", "x")
+
+  /** Siegel repeated-medians gate: two nested rank selections over
+    * exact-integer-ratio slopes. */
+  def q282Siegel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.siegelSlopes(dailyCents(s, dir), "i", "x")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4850,7 +4874,10 @@ object Queries {
     "q276_cuped" -> (q276Cuped _),
     "q277_hodges_lehmann" -> (q277HodgesLehmann _),
     "q278_cooccurrence" -> (q278Cooccurrence _),
-    "q279_rake" -> (q279Rake _)
+    "q279_rake" -> (q279Rake _),
+    "q280_runs_test" -> (q280RunsTest _),
+    "q281_durbin_watson" -> (q281DurbinWatson _),
+    "q282_siegel" -> (q282Siegel _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7695,6 +7722,82 @@ object Queries {
         | FROM ws)
         |SELECT word, freq, deg, score, rank FROM r WHERE rank <= 30
         |ORDER BY rank""".stripMargin,
+    "q280_runs_test" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS v
+        | FROM events GROUP BY 1),
+        |m AS (SELECT v AS med FROM (SELECT v,
+        |  row_number() OVER (ORDER BY v, i) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM b)
+        | WHERE r = (n + 1) // 2),
+        |s AS (SELECT i, v > med AS sg FROM b, m WHERE v <> med),
+        |c AS (SELECT sg, CASE WHEN lag(sg) OVER (ORDER BY i) IS NULL
+        |  OR sg <> lag(sg) OVER (ORDER BY i) THEN 1 ELSE 0 END AS chg
+        | FROM s),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN sg THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN sg THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |  CAST(sum(chg) AS BIGINT) AS r FROM c)
+        |SELECT n1, n2, r,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+        |   (CAST(r AS DOUBLE) -
+        |      CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) -
+        |      1.0) /
+        |   sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+        |      AS DOUBLE) /
+        |     CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+        |  END AS z
+        |FROM a""".stripMargin,
+    "q281_durbin_watson" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(i) AS HUGEINT) AS si, CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(i AS HUGEINT) * i) AS HUGEINT) AS sii,
+        |  CAST(sum(CAST(i AS HUGEINT) * y) AS HUGEINT) AS siy
+        | FROM b),
+        |e AS (SELECT b.i,
+        |  (m.n * m.sii - m.si * m.si) * (m.n * b.y - m.sy) -
+        |  (m.n * m.siy - m.si * m.sy) * (m.n * b.i - m.si) AS e
+        | FROM b, m),
+        |de AS (SELECT e, e - lag(e) OVER (ORDER BY i) AS d FROM e),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(e * e) AS HUGEINT) AS ss,
+        |  CAST(sum(d * d) AS HUGEINT) AS sd FROM de)
+        |SELECT n, CASE WHEN ss > 0 THEN
+        |  CAST(CAST(sd AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(ss AS VARCHAR) AS DOUBLE) END AS dw
+        |FROM a""".stripMargin,
+    "q282_siegel" ->
+      """WITH d AS MATERIALIZED (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |sl AS (SELECT a.i AS ia, b.i AS ib,
+        |  CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS s
+        | FROM d a JOIN d b ON a.i <> b.i),
+        |pp AS (SELECT ia, s AS m FROM (SELECT ia, ib, s,
+        |  row_number() OVER (PARTITION BY ia ORDER BY s, ib) AS r,
+        |  CAST(count(*) OVER (PARTITION BY ia) AS BIGINT) AS c
+        | FROM sl) WHERE r = (c + 1) // 2),
+        |sm AS (SELECT n, m AS slope FROM (SELECT ia, m,
+        |  row_number() OVER (ORDER BY m, ia) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM pp)
+        | WHERE r = (n + 1) // 2),
+        |iv AS (SELECT d.i,
+        |  CAST(d.x AS DOUBLE) - sm.slope * CAST(d.i AS DOUBLE) AS v,
+        |  sm.n, sm.slope
+        | FROM d, sm),
+        |ri AS (SELECT *, row_number() OVER (ORDER BY v, i) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS nn FROM iv)
+        |SELECT n, slope, v AS intercept FROM ri
+        |WHERE r = (nn + 1) // 2""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

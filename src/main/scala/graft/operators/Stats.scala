@@ -1715,6 +1715,139 @@ object Stats {
     }
   }
 
+  /** Wald–Wolfowitz runs test for randomness of a sequence around its
+    * median: values equal to the (type-1 lower) median are dropped,
+    * the rest classify above/below, and R counts maximal same-sign
+    * runs in `idxCol` order. z uses the exact null moments
+    * μ = 2n₁n₂/n + 1 and σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — the chain is
+    * (R − 2n₁n₂/n − 1) / √(exact/exact), one division inside the
+    * sqrt, every integer DECIMAL-exact. NULL z when either side is
+    * empty or n < 2.
+    *
+    * Scale contract: series-grain (callers pre-aggregate); the median
+    * selection and the run scan are windows over that series. */
+  def runsTest(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__v"))
+    Exec.withPersisted(base) {
+      val med = base
+        .withColumn("__r",
+          row_number().over(Window.orderBy(col("__v"), col("__i"))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("__r") === expr("(__n + 1) div 2"))
+        .select(col("__v").as("__med"))
+      val w = Window.orderBy(col("__i"))
+      val signed = base.crossJoin(broadcast(med))
+        .filter(col("__v") =!= col("__med"))
+        .withColumn("__s", col("__v") > col("__med"))
+        .withColumn("__chg",
+          when(lag(col("__s"), 1).over(w).isNull ||
+            col("__s") =!= lag(col("__s"), 1).over(w), 1L).otherwise(0L))
+      val agg = signed.agg(
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__s"), 1L).otherwise(0L)).as("n2"),
+        sum(col("__chg")).as("r"))
+      agg.select(col("n1"), col("n2"), col("r"),
+        when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1, {
+          val n = (col("n1") + col("n2")).cast(d38)
+          val p2 = lit(2).cast(d38) * col("n1") * col("n2")
+          (dbl(col("r")) - dbl(p2) / dbl(n) - lit(1.0d)) /
+            sqrt(dbl(p2 * (p2 - n)) / dbl(n * n * (n - 1)))
+        }).as("z"))
+    }
+  }
+
+  /** Durbin–Watson statistic for first-order autocorrelation of OLS
+    * residuals over an integral series: with Sxy = nΣiy − ΣiΣy and
+    * Sxx = nΣi² − (Σi)², the residual scaled by n·Sxx is the exact
+    * integer Ẽ_t = Sxx·(n·y_t − Σy) − Sxy·(n·i_t − Σi), the scale
+    * cancels in DW = Σ(ΔẼ)²/ΣẼ², and both sums are DECIMAL(38,0) —
+    * ONE division (>2^53 rides the VARCHAR-mediated oracle cast).
+    * NULL when the series is degenerate (zero x-spread or all
+    * residuals zero).
+    *
+    * Scale contract: series-grain; one moment agg + one lag window
+    * over the series. */
+  def durbinWatson(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__y"))
+    Exec.withPersisted(base) {
+      val m = base.agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__i").cast(d38)).as("__si"),
+        sum(col("__y").cast(d38)).as("__sy"),
+        sum(col("__i").cast(d38) * col("__i")).as("__sii"),
+        sum(col("__i").cast(d38) * col("__y")).as("__siy"))
+      val w = Window.orderBy(col("__i"))
+      val resid = base.crossJoin(broadcast(m))
+        .withColumn("__sxy",
+          col("__n") * col("__siy") - col("__si") * col("__sy"))
+        .withColumn("__sxx",
+          col("__n") * col("__sii") - col("__si") * col("__si"))
+        .withColumn("__e",
+          col("__sxx") * (col("__n") * col("__y") - col("__sy")) -
+            col("__sxy") * (col("__n") * col("__i") - col("__si")))
+        .withColumn("__de", col("__e") - lag(col("__e"), 1).over(w))
+      resid.agg(count(lit(1)).as("n"),
+          sum(col("__e") * col("__e")).as("__ss"),
+          sum(col("__de") * col("__de")).as("__sd"))
+        .select(col("n"),
+          when(col("__ss") > 0, dbl(col("__sd")) / dbl(col("__ss")))
+            .as("dw"))
+    }
+  }
+
+  /** Siegel repeated-medians slope — the higher-breakdown cousin of
+    * [[theilSen]]: per point i, mᵢ = lower median over j≠i of the
+    * pairwise slope (yⱼ−yᵢ)/(iⱼ−iᵢ); the slope is the lower median of
+    * the mᵢ and the intercept the lower median of yᵢ − slope·iᵢ. Each
+    * slope is ONE division of exact integers, every median a type-1
+    * rank selection with index tie-breaks — no interpolation anywhere.
+    *
+    * Scale contract: pairwise O(n²) on the series grain (the
+    * [[theilSen]] caveat); `idxCol` unique and integral. */
+  def siegelSlopes(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val a = base.select(col("__i").as("ia"), col("__x").as("xa"))
+      val b = base.select(col("__i").as("ib"), col("__x").as("xb"))
+      val slopes = a.crossJoin(b).filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          (dbl(col("xb") - col("xa")) / dbl(col("ib") - col("ia")))
+            .as("__s"))
+      val wi = Window.partitionBy(col("ia"))
+        .orderBy(col("__s"), col("ib"))
+      val perPoint = slopes
+        .withColumn("__r", row_number().over(wi))
+        .withColumn("__c", count(lit(1))
+          .over(Window.partitionBy(col("ia"))))
+        .filter(col("__r") === expr("(__c + 1) div 2"))
+        .select(col("ia"), col("__s").as("__m"))
+      val wg = Window.orderBy(col("__m"), col("ia"))
+      val nS = Window.partitionBy()
+      val slope = perPoint
+        .withColumn("__r", row_number().over(wg))
+        .withColumn("__n", count(lit(1)).over(nS))
+        .filter(col("__r") === expr("(__n + 1) div 2"))
+        .select(col("__n").as("n"), col("__m").as("slope"))
+      val wv = Window.orderBy(col("__v"), col("__i"))
+      base.crossJoin(broadcast(slope))
+        .withColumn("__v", dbl(col("__x")) - col("slope") * dbl(col("__i")))
+        .withColumn("__r", row_number().over(wv))
+        .withColumn("__nn", count(lit(1)).over(nS))
+        .filter(col("__r") === expr("(__nn + 1) div 2"))
+        .select(col("n"), col("slope"), col("__v").as("intercept"))
+    }
+  }
+
   /** Cochran's Q test — the k-treatment extension of [[mcnemar]]:
     * binary outcomes over complete blocks,
     * Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with Cⱼ the treatment

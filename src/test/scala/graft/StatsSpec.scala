@@ -680,6 +680,38 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("runsTest: median-equal rows dropped, exact run census") {
+    // sorted 1,1,2,2,9,10 -> lower median 2 (dropped); kept signs
+    // below,above,above,below -> r=3, n1=n2=2, z = 0 exactly
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 9L), (4L, 10L), (5L, 1L),
+      (6L, 2L)).toDF("i", "v")
+    val got = Stats.runsTest(df, "i", "v")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((2L, 2L, 3L, 0.0)))
+    val oneSided = Seq((1L, 1L), (2L, 1L), (3L, 5L)).toDF("i", "v")
+    assert(Stats.runsTest(oneSided, "i", "v")
+      .select("z").collect().head.isNullAt(0))
+  }
+
+  test("durbinWatson: exact scaled residuals; perfect fit gives NULL") {
+    // y = [1,3,2]: e_scaled = [-9,18,-9], dw = 1458/486 = 3
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("i", "y")
+    val got = Stats.durbinWatson(df, "i", "y")
+      .as[(Long, Double)].collect().head
+    assert(got === ((3L, 3.0)))
+    val line = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("i", "y")
+    assert(Stats.durbinWatson(line, "i", "y")
+      .select("dw").collect().head.isNullAt(0))
+  }
+
+  test("siegelSlopes resists two outliers where the data is a line") {
+    val df = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 100L))
+      .toDF("i", "x")
+    val got = Stats.siegelSlopes(df, "i", "x")
+      .as[(Long, Double, Double)].collect().head
+    assert(got === ((5L, 2.0, 0.0)))
+  }
+
   test("cuped: a perfect covariate reduces nothing it shouldn't") {
     // y = 2x + 10*(g=a): theta = 2, raw diff = adjusted diff = 10
     val df = (1L to 3L).flatMap(x =>
