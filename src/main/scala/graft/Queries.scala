@@ -3943,6 +3943,31 @@ object Queries {
   def q282Siegel(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.siegelSlopes(dailyCents(s, dir), "i", "x")
 
+  private def perUserTypeCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("g"), col("cnt"))
+
+  /** Jonckheere–Terpstra gate: per-user type counts under the
+    * alphabetical group-order hypothesis — the census pair sums exact,
+    * the z chain one division + one sqrt. */
+  def q283Jonckheere(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.jonckheereTerpstra(perUserTypeCounts(s, dir),
+      "g", "cnt", Seq("click", "error", "purchase", "signup", "view"))
+
+  /** Cliff's-delta gate: purchase vs click per-user counts — exact
+    * census pair counting, one division. */
+  def q284CliffsDelta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cliffsDelta(perUserTypeCounts(s, dir),
+      "g", "cnt", "purchase", "click")
+
+  /** Cohen's-d gate on the same two groups — pooled variance ONE exact
+    * division, d and Hedges' g fixed chains. */
+  def q285CohensD(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cohensD(perUserTypeCounts(s, dir),
+      "g", "cnt", "purchase", "click")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4877,7 +4902,10 @@ object Queries {
     "q279_rake" -> (q279Rake _),
     "q280_runs_test" -> (q280RunsTest _),
     "q281_durbin_watson" -> (q281DurbinWatson _),
-    "q282_siegel" -> (q282Siegel _)
+    "q282_siegel" -> (q282Siegel _),
+    "q283_jonckheere" -> (q283Jonckheere _),
+    "q284_cliffs_delta" -> (q284CliffsDelta _),
+    "q285_cohens_d" -> (q285CohensD _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7798,6 +7826,73 @@ object Queries {
         |  CAST(count(*) OVER () AS BIGINT) AS nn FROM iv)
         |SELECT n, slope, v AS intercept FROM ri
         |WHERE r = (nn + 1) // 2""".stripMargin,
+    "q283_jonckheere" ->
+      """WITH base AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM events GROUP BY user_id, event_type),
+        |cen AS MATERIALIZED (SELECT g, v,
+        |  CAST(count(*) AS BIGINT) AS t,
+        |  CASE g WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |   WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+        |   WHEN 'view' THEN 5 END AS ord
+        | FROM base GROUP BY g, v),
+        |sz AS (SELECT CAST(sum(ni) AS HUGEINT) AS nn,
+        |  CAST(sum(CAST(ni AS HUGEINT) * ni) AS HUGEINT) AS sn2,
+        |  CAST(sum(CAST(ni AS HUGEINT) * ni * (2 * ni + 3)) AS HUGEINT)
+        |    AS sv
+        | FROM (SELECT g, CAST(sum(t) AS BIGINT) AS ni FROM cen
+        |   GROUP BY g)),
+        |jt AS (SELECT CAST(coalesce(sum(CASE
+        |   WHEN a.v < b.v THEN 2 * CAST(a.t AS HUGEINT) * b.t
+        |   WHEN a.v = b.v THEN CAST(a.t AS HUGEINT) * b.t
+        |   ELSE 0 END), 0) AS HUGEINT) AS jt2
+        | FROM cen a JOIN cen b ON a.ord < b.ord)
+        |SELECT CAST(sz.nn AS BIGINT) AS n,
+        |  CAST(jt.jt2 AS DOUBLE) / 2.0 AS jt,
+        |  CAST(2 * jt.jt2 - (sz.nn * sz.nn - sz.sn2) AS DOUBLE) /
+        |   sqrt(CAST(2 * (sz.nn * sz.nn * (2 * sz.nn + 3) - sz.sv)
+        |     AS DOUBLE) / 9.0) AS z
+        |FROM jt, sz""".stripMargin,
+    "q284_cliffs_delta" ->
+      """WITH base AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('purchase', 'click')
+        | GROUP BY user_id, event_type),
+        |cen AS MATERIALIZED (SELECT g, v, CAST(count(*) AS BIGINT) AS t
+        | FROM base GROUP BY g, v),
+        |f AS (SELECT
+        |  CAST(sum(CASE WHEN a.v > b.v THEN CAST(a.t AS HUGEINT) * b.t
+        |    ELSE 0 END) AS HUGEINT) AS gt,
+        |  CAST(sum(CASE WHEN a.v < b.v THEN CAST(a.t AS HUGEINT) * b.t
+        |    ELSE 0 END) AS HUGEINT) AS lt,
+        |  CAST(sum(CAST(a.t AS HUGEINT) * b.t) AS HUGEINT) AS nab
+        | FROM cen a, cen b WHERE a.g = 'purchase' AND b.g = 'click')
+        |SELECT CAST(gt AS BIGINT) AS gt, CAST(lt AS BIGINT) AS lt,
+        |  CAST(nab AS BIGINT) AS n_pairs,
+        |  CAST(gt - lt AS DOUBLE) / CAST(nab AS DOUBLE) AS delta
+        |FROM f""".stripMargin,
+    "q285_cohens_d" ->
+      """WITH base AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM events WHERE event_type IN ('purchase', 'click')
+        | GROUP BY user_id, event_type),
+        |per AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(v) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        | FROM base GROUP BY g),
+        |ab AS (SELECT a.n AS na, a.s AS sa, a.q AS qa,
+        |  b.n AS nb, b.s AS sb, b.q AS qb
+        | FROM per a, per b WHERE a.g = 'purchase' AND b.g = 'click'),
+        |f AS (SELECT na, nb,
+        |  (CAST(sa * nb - sb * na AS DOUBLE) /
+        |     CAST(na * nb AS DOUBLE)) /
+        |   sqrt(CAST(nb * (na * qa - sa * sa) +
+        |       na * (nb * qb - sb * sb) AS DOUBLE) /
+        |     CAST(na * nb * (na + nb - 2) AS DOUBLE)) AS d
+        | FROM ab)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, d,
+        |  d * (1.0 - 3.0 / CAST(4 * (na + nb) - 9 AS DOUBLE)) AS g
+        |FROM f""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

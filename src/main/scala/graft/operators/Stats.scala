@@ -1715,6 +1715,135 @@ object Stats {
     }
   }
 
+  /** Jonckheere–Terpstra trend test for an ORDERED alternative across
+    * k independent groups: 2·JT* = Σ_{i<j in order} (2·#(a<b) + #(a=b))
+    * summed over value-census pairs — all exact integers (the
+    * Mann-Whitney census trick per ordered group pair). The normal
+    * approximation uses the NO-TIE null moments μ = (N²−Σnᵢ²)/4 and
+    * σ² = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 (documented, the common library
+    * convention): z = (2·JT2 − (N²−Σnᵢ²)) / √(2·V72/9) with
+    * JT2 = 2·JT* and V72 = 72σ², every operand exact. Groups absent
+    * from `groupOrder` yield NULL z.
+    *
+    * Scale contract: per-group value censuses (series-grain); the
+    * pair join is O(k²·V²) on the census, never on raw rows. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String, groupOrder: Seq[String]): DataFrame = {
+    require(groupOrder.nonEmpty && groupOrder.distinct == groupOrder,
+      "groupOrder must be a non-empty list of distinct groups")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val ordMap = map(groupOrder.zipWithIndex.flatMap { case (g, i) =>
+      Seq(lit(g), lit(i + 1L)) }: _*)
+    val census = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__t"))
+      .withColumn("__ord", element_at(ordMap, col("__g")))
+    Exec.withPersisted(census) {
+      val sizes = census.groupBy("__g")
+        .agg(sum(col("__t")).as("__ni"),
+          max(when(col("__ord").isNull, 1L).otherwise(0L))
+            .as("__unmapped"))
+        .agg(sum(col("__ni").cast(d38)).as("__nn"),
+          sum(col("__ni").cast(d38) * col("__ni")).as("__sn2"),
+          sum(col("__ni").cast(d38) * col("__ni") *
+            (lit(2).cast(d38) * col("__ni") + 3)).as("__sv"),
+          max(col("__unmapped")).as("__anyUnmapped"))
+      val jt2 = census.as("a").join(census.as("b"),
+          col("a.__ord") < col("b.__ord"))
+        .agg(coalesce(sum(
+          when(col("a.__v") < col("b.__v"),
+            lit(2).cast(d38) * col("a.__t") * col("b.__t"))
+          .when(col("a.__v") === col("b.__v"),
+            col("a.__t").cast(d38) * col("b.__t"))
+          .otherwise(lit(0).cast(d38))), lit(0).cast(d38)).as("__jt2"))
+      jt2.crossJoin(broadcast(sizes))
+        .select(col("__nn").cast("long").as("n"),
+          (dbl(col("__jt2")) / lit(2.0d)).as("jt"),
+          when(col("__anyUnmapped") === 0 && col("__nn") > 1,
+            dbl(lit(2).cast(d38) * col("__jt2") -
+              (col("__nn") * col("__nn") - col("__sn2"))) /
+              sqrt(dbl(lit(2).cast(d38) *
+                (col("__nn") * col("__nn") *
+                  (lit(2).cast(d38) * col("__nn") + 3) - col("__sv"))) /
+                lit(9.0d))).as("z"))
+    }
+  }
+
+  /** Cliff's delta — the nonparametric effect size for two groups:
+    * δ = (#(a>b) − #(a<b)) / (n_A·n_B), counted exactly over the two
+    * value censuses (O(V²) census join, never raw-row pairs), ONE
+    * final division. Group A/B are picked by name; missing groups
+    * yield an empty frame (loud downstream). */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isin(groupA, groupB))
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__t"))
+    Exec.withPersisted(census) {
+      val a = census.filter(col("__g") === groupA)
+        .select(col("__v").as("__va"), col("__t").as("__ta"))
+      val b = census.filter(col("__g") === groupB)
+        .select(col("__v").as("__vb"), col("__t").as("__tb"))
+      a.crossJoin(b)
+        .agg(sum(col("__ta").cast(d38)  * when(col("__va") > col("__vb"),
+            col("__tb")).otherwise(0L)).as("__gt"),
+          sum(col("__ta").cast(d38) * when(col("__va") < col("__vb"),
+            col("__tb")).otherwise(0L)).as("__lt"),
+          sum(col("__ta").cast(d38) * col("__tb")).as("__nab"))
+        .select(col("__gt").cast("long").as("gt"),
+          col("__lt").cast("long").as("lt"),
+          col("__nab").cast("long").as("n_pairs"),
+          (dbl(col("__gt") - col("__lt")) / dbl(col("__nab")))
+            .as("delta"))
+    }
+  }
+
+  /** Cohen's d (pooled-SD standardized mean difference) with Hedges'
+    * g correction: sp² = (n_B(n_AΣa²−Sa²) + n_A(n_BΣb²−Sb²)) /
+    * (n_A·n_B·(n_A+n_B−2)) — ONE division of exact integers —
+    * d = ((Sa·n_B − Sb·n_A)/(n_A·n_B)) / √sp²,
+    * g = d·(1 − 3/(4N−9)). Every operand exact, the chain fixed.
+    * NULL when either group has <2 rows or sp² = 0. */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val per = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isin(groupA, groupB))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__v").cast(d38)).as("__s"),
+        sum(col("__v").cast(d38) * col("__v")).as("__q"))
+    val a = per.filter(col("__g") === groupA)
+      .select(col("__n").as("__na"), col("__s").as("__sa"),
+        col("__q").as("__qa"))
+    val b = per.filter(col("__g") === groupB)
+      .select(col("__n").as("__nb"), col("__s").as("__sb"),
+        col("__q").as("__qb"))
+    val j = a.crossJoin(b)
+    val spNum = col("__nb") * (col("__na") * col("__qa") -
+        col("__sa") * col("__sa")) +
+      col("__na") * (col("__nb") * col("__qb") -
+        col("__sb") * col("__sb"))
+    val spDen = col("__na") * col("__nb") *
+      (col("__na") + col("__nb") - 2)
+    val sp2 = dbl(spNum) / dbl(spDen)
+    val d = (dbl(col("__sa") * col("__nb") - col("__sb") * col("__na")) /
+      dbl(col("__na") * col("__nb"))) / sqrt(sp2)
+    j.select(col("__na").cast("long").as("n_a"),
+      col("__nb").cast("long").as("n_b"),
+      when(col("__na") > 1 && col("__nb") > 1 && spNum > 0, d).as("d"),
+      when(col("__na") > 1 && col("__nb") > 1 && spNum > 0,
+        d * (lit(1.0d) - lit(3.0d) /
+          dbl(lit(4).cast(d38) * (col("__na") + col("__nb")) - 9)))
+        .as("g"))
+  }
+
   /** Wald–Wolfowitz runs test for randomness of a sequence around its
     * median: values equal to the (type-1 lower) median are dropped,
     * the rest classify above/below, and R counts maximal same-sign

@@ -680,6 +680,40 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("jonckheereTerpstra: perfect ordered separation, exact moments") {
+    // a=[1,2] < b=[3,4] < c=[5,6]: JT* = 12, N=6
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val got = Stats.jonckheereTerpstra(df, "g", "v", Seq("a", "b", "c"))
+      .as[(Long, Double, Double)].collect().head
+    val z = (2.0 * 24 - 24.0) / math.sqrt(2.0 * 456 / 9.0)
+    assert(got === ((6L, 12.0, z)))
+    val row = Stats.jonckheereTerpstra(df, "g", "v", Seq("a", "b"))
+      .select("z").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("cliffsDelta counts census pairs exactly, ties excluded") {
+    val df = Seq(("p", 3L), ("p", 4L), ("c", 1L), ("c", 4L))
+      .toDF("g", "v")
+    val got = Stats.cliffsDelta(df, "g", "v", "p", "c")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((2L, 1L, 4L, 0.25)))
+  }
+
+  test("cohensD: exact pooled variance; tiny groups give NULL") {
+    // a=[1,3], b=[5,9]: sp^2 = 5, d = -5/sqrt(5)
+    val df = Seq(("p", 1L), ("p", 3L), ("c", 5L), ("c", 9L))
+      .toDF("g", "v")
+    val got = Stats.cohensD(df, "g", "v", "p", "c")
+      .as[(Long, Long, Double, Double)].collect().head
+    val d = -5.0 / math.sqrt(5.0)
+    assert(got === ((2L, 2L, d, d * (1.0 - 3.0 / 7.0))))
+    val tiny = Seq(("p", 1L), ("c", 2L)).toDF("g", "v")
+    assert(Stats.cohensD(tiny, "g", "v", "p", "c")
+      .select("d").collect().head.isNullAt(0))
+  }
+
   test("runsTest: median-equal rows dropped, exact run census") {
     // sorted 1,1,2,2,9,10 -> lower median 2 (dropped); kept signs
     // below,above,above,below -> r=3, n1=n2=2, z = 0 exactly
