@@ -909,6 +909,13 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0L, None)))
   }
 
+  test("cooccurrencePairs is join-free: pairs build inside the scan stage") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val plan = Corpus.cooccurrencePairs(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("cooccurrenceCounts: forward-window unordered pairs, exact ranks") {
     // "x y z x", window 2: (x,y)x2, (x,z)x2, (y,z)x1
     val docs = Seq((1L, "x y z x")).toDF("doc_id", "text")

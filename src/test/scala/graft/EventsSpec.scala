@@ -694,6 +694,28 @@ class EventsSpec extends SparkSpec {
     assert(got === 100.0)
   }
 
+  test("timeWeightedAvg plans one key shuffle; precedence joins are " +
+    "key-equi, never nested-loop") {
+    val ev = Seq((1L, 0L, 1L, 10L))
+      .toDF("user_id", "us", "event_id", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val twapPlan = Events.timeWeightedAvg(ev, "user_id", "ts",
+      "event_id", "v").queryExecution.executedPlan.toString
+    // the window partitioning is reused by the groupBy: one Exchange
+    assert("Exchange".r.findAllIn(twapPlan).size <= 2, twapPlan)
+    val pev = Seq((1L, 0L, "A"), (1L, 5L, "B"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    for (plan <- Seq(
+      Events.precedencePairs(pev, "user_id", "ts", "event_type")
+        .queryExecution.executedPlan.toString,
+      Events.precedenceTriples(pev, "user_id", "ts", "event_type")
+        .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), plan)
+    }
+  }
+
   test("nelsonAalen accumulates d/n and d/n^2 over the KM census") {
     // u1 converts at 10, u2 at 20, u3 censored at the horizon (20)
     val ev = Seq((1L, 0L, "s"), (1L, 10L, "p"),
