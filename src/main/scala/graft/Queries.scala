@@ -3968,6 +3968,33 @@ object Queries {
     graft.operators.Stats.cohensD(perUserTypeCounts(s, dir),
       "g", "cnt", "purchase", "click")
 
+  /** t-closeness gate on the q204 release-audit fixture: per-class
+    * TVD against the global balance-band distribution, numerator an
+    * exact integer fold, threshold decided by cross-multiplication. */
+  def q286TCloseness(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "customer").select(col("c_nationkey"),
+      col("c_mktsegment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+        " div 100000").as("bal_band"))
+    graft.operators.Quality.tCloseness(b,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 1, tDen = 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** Closeness-centrality gate on the q129 landmark-BFS fixture — one
+    * exact division per node over the same recursive-CTE oracle
+    * distances. */
+  def q287Closeness(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val landmarks = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 20 === 0)
+    GraphAlgos.closenessCentrality(edges, landmarks, maxHops = 6)
+      .orderBy("node")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4905,7 +4932,9 @@ object Queries {
     "q282_siegel" -> (q282Siegel _),
     "q283_jonckheere" -> (q283Jonckheere _),
     "q284_cliffs_delta" -> (q284CliffsDelta _),
-    "q285_cohens_d" -> (q285CohensD _)
+    "q285_cohens_d" -> (q285CohensD _),
+    "q286_t_closeness" -> (q286TCloseness _),
+    "q287_closeness" -> (q287Closeness _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7893,6 +7922,54 @@ object Queries {
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, d,
         |  d * (1.0 - 3.0 / CAST(4 * (na + nb) - 9 AS DOUBLE)) AS g
         |FROM f""".stripMargin,
+    "q286_t_closeness" ->
+      """WITH b AS MATERIALIZED (SELECT c_nationkey, c_mktsegment,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    // 100000 AS v
+        | FROM customer),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |g AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS gv
+        | FROM b GROUP BY v),
+        |cls AS MATERIALIZED (SELECT c_nationkey, c_mktsegment, v,
+        |  CAST(count(*) AS BIGINT) AS cv
+        | FROM b GROUP BY 1, 2, 3),
+        |cs AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(sum(cv) AS BIGINT) AS nc
+        | FROM cls GROUP BY 1, 2),
+        |pairs AS (SELECT cs.c_nationkey, cs.c_mktsegment, cs.nc,
+        |  g.v, g.gv, coalesce(cls.cv, 0) AS cv
+        | FROM cs CROSS JOIN g LEFT JOIN cls
+        |   ON cls.c_nationkey = cs.c_nationkey
+        |   AND cls.c_mktsegment = cs.c_mktsegment AND cls.v = g.v),
+        |f AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(max(nc) AS BIGINT) AS class_size,
+        |  CAST(sum(abs(CAST(cv AS HUGEINT) * tot.n -
+        |    CAST(gv AS HUGEINT) * nc)) AS HUGEINT) AS num
+        | FROM pairs, tot GROUP BY 1, 2)
+        |SELECT f.c_nationkey, f.c_mktsegment, f.class_size,
+        |  CAST(f.num AS DOUBLE) /
+        |    CAST(2 * CAST(f.class_size AS HUGEINT) * tot.n AS DOUBLE)
+        |    AS tvd,
+        |  f.num * 5 <= 2 * CAST(f.class_size AS HUGEINT) * tot.n
+        |    AS t_close
+        |FROM f, tot ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q287_closeness" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 20 = 0),
+        |r(node, landmark, dist) AS (
+        | SELECT node, node, 0 FROM seeds
+        | UNION
+        | SELECT e.dst, r.landmark, r.dist + 1
+        | FROM r JOIN e ON e.src = r.node WHERE r.dist < 6),
+        |d AS (SELECT node, landmark, min(dist) AS dist FROM r
+        | GROUP BY node, landmark)
+        |SELECT node, count(*) AS n_sources,
+        |  CAST(sum(dist) AS BIGINT) AS dist_sum,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
+        |    AS closeness
+        |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -1063,6 +1063,19 @@ object Scratch {
         graft.operators.Events.precedenceTriples(ev, "user_id", "ts",
           "event_type").count()
       }
+      time("cooccur(window=3)") {
+        graft.operators.Corpus.cooccurrenceCounts(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", window = 3, topK = 30).count()
+      }
+      time("randomization(B=100)") {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select((col("doc_id") % 2).cast("string").as("g"),
+            length(col("text")).cast("long").as("v"),
+            col("doc_id").cast("string").as("seed"))
+        graft.operators.Stats.randomizationTest(docs, "g", "v", "seed",
+          100).count()
+      }
       time("dhash(18x8 BMPs from text)") {
         import spark.implicits._
         val media = spark.read.parquet(s"$dir/documents.parquet")

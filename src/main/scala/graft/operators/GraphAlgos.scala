@@ -780,6 +780,23 @@ object GraphAlgos {
         sum(expr(s"${lcm}L div dist")).as("h_scaled"))
   }
 
+  /** Closeness centrality from landmark distances — the reciprocal-
+    * of-total-distance cousin of [[harmonicCentrality]] (which is the
+    * better-behaved variant on disconnected graphs; this one exists
+    * because tooling expects it): c(v) = n_sources / Σd over landmarks
+    * that reach v within `maxHops`, ONE division of exact integers per
+    * node. Same BFS machinery, same shuffle shape. */
+  def closenessCentrality(edges0: DataFrame, landmarks: DataFrame,
+                          maxHops: Int = 6, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          landmarkCol: String = "node"): DataFrame =
+    shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol, landmarkCol)
+      .filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_sources"), sum(col("dist")).as("dist_sum"))
+      .withColumn("closeness",
+        col("n_sources").cast("double") / col("dist_sum").cast("double"))
+
   /** The integer scale of [[harmonicCentrality]]'s `h_scaled`:
     * lcm(1..maxHops). */
   def harmonicScale(maxHops: Int): Long = {

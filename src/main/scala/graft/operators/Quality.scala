@@ -111,6 +111,53 @@ object Quality {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness census (Li–Li–Venkatasubramanian 2007, categorical
+    * TVD face): per quasi-identifier class, the total-variation
+    * distance between the class's sensitive-value distribution and the
+    * GLOBAL one — the privacy bound k-anonymity/l-diversity miss
+    * (a class can be diverse yet skewed). Exactness: with class count
+    * cᵥ, class size n_c, global count gᵥ, total N,
+    * TVD = Σ|cᵥ·N − gᵥ·n_c| / (2·n_c·N) — the numerator an exact
+    * DECIMAL(38,0) fold (values absent from the class contribute
+    * gᵥ·n_c), ONE division per class. `t_close = tvd ≤ tNum/tDen`
+    * decided by exact cross-multiplication, never the double.
+    *
+    * Shape at 100 TB: two map-side-combined censuses (class×value and
+    * value), one broadcast of the |values| global census, one
+    * class-keyed aggregation. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tNum: Long = 1L, tDen: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
+    require(tDen > 0 && tNum >= 0, "threshold must be a valid fraction")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cls = df.groupBy(quasiCols.map(col) :+
+        col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val global = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__g"))
+    val tot = df.count()
+    // every (class, value) pair, including zero-count ones: the class
+    // census right-joins the global value census per class
+    val classes = cls.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__nc"))
+    val pairs = classes
+      .crossJoin(broadcast(global))  // class × |values| expansion
+      .join(cls, quasiCols :+ "__v", "left")
+      .select((quasiCols.map(col) :+ col("__nc") :+ col("__g") :+
+        coalesce(col("__c"), lit(0L)).as("__c")): _*)
+    pairs.groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__nc")).as("class_size"),
+        sum(abs(col("__c").cast(d38) * tot -
+          col("__g").cast(d38) * col("__nc"))).as("__num"))
+      .select((quasiCols.map(col) :+ col("class_size") :+
+        (col("__num").cast("double") /
+          (lit(2).cast(d38) * col("class_size") * tot).cast("double"))
+          .as("tvd") :+
+        (col("__num") * tDen <=
+          lit(2).cast(d38) * col("class_size") * tot * tNum)
+          .as("t_close")): _*)
+  }
+
   /** Content-addressed dataset fingerprint: per group, the row count and
     * an ORDER-INDEPENDENT digest — the SUM of per-row hashes mod 10¹⁸ —
     * so the digest folds map-side, merges across partitions/snapshots

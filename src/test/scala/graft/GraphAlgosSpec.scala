@@ -951,6 +951,14 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got === Seq(("a", 0.0), ("b", 1.0)))
   }
 
+  test("closenessCentrality: one division over landmark distances") {
+    val g = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val lm = Seq("a").toDF("node")
+    val got = GraphAlgos.closenessCentrality(g, lm, maxHops = 6)
+      .orderBy("node").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(("b", 1L, 1L, 1.0), ("c", 1L, 2L, 0.5)))
+  }
+
   test("katzCentrality: exact dyadic numerators on a 3-chain") {
     // a->b->c, alpha=1/2, 2 rounds: N1 = 2 everywhere;
     // N2(a)=4, N2(b)=N1(a)+4=6, N2(c)=N1(b)+4=6; katz = N2/4

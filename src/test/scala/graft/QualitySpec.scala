@@ -69,4 +69,21 @@ class QualitySpec extends SparkSpec {
     val h2 = a.filter($"id" > 1)
     assert(fp(h1.unionByName(h2)) === fp(a))
   }
+
+  test("tCloseness: skewed classes fail the TVD bound, zero-count " +
+    "values counted") {
+    // global {1:2, 2:2}; class A=[1,1] misses value 2 entirely:
+    // num = |2*4-2*2| + |0*4-2*2| = 8, tvd = 8/16 = 0.5 > 1/5
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L))
+      .toDF("qc", "s")
+    val got = Quality.tCloseness(df, Seq("qc"), "s")
+      .orderBy("qc").as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(("A", 2L, 0.5, false), ("B", 2L, 0.5, false)))
+    // a class mirroring the global distribution is 0-TVD t-close
+    val bal = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L))
+      .toDF("qc", "s")
+    val g2 = Quality.tCloseness(bal, Seq("qc"), "s")
+      .orderBy("qc").as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(g2 === Seq(("A", 2L, 0.0, true), ("B", 2L, 0.0, true)))
+  }
 }
