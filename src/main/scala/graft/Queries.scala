@@ -3995,6 +3995,19 @@ object Queries {
       .orderBy("node")
   }
 
+  /** Brown–Forsythe gate on the per-user type counts: |x − group
+    * median| through the q237 ANOVA chain verbatim. */
+  def q288BrownForsythe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.brownForsythe(perUserTypeCounts(s, dir),
+      "g", "cnt")
+
+  /** Mood's-median gate: k×2 above/below census against the global
+    * lower median, χ² folded in group order from exact cross-
+    * multiplied cells. */
+  def q289MoodsMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.moodsMedian(perUserTypeCounts(s, dir),
+      "g", "cnt")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4934,7 +4947,9 @@ object Queries {
     "q284_cliffs_delta" -> (q284CliffsDelta _),
     "q285_cohens_d" -> (q285CohensD _),
     "q286_t_closeness" -> (q286TCloseness _),
-    "q287_closeness" -> (q287Closeness _)
+    "q287_closeness" -> (q287Closeness _),
+    "q288_brown_forsythe" -> (q288BrownForsythe _),
+    "q289_moods_median" -> (q289MoodsMedian _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7970,6 +7985,70 @@ object Queries {
         |  CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
         |    AS closeness
         |FROM d WHERE dist > 0 GROUP BY node ORDER BY node""".stripMargin,
+    "q288_brown_forsythe" ->
+      """WITH base AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM events GROUP BY user_id, event_type),
+        |med AS (SELECT g, v AS med FROM (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        | FROM base) WHERE r = (n + 1) // 2),
+        |z AS (SELECT base.g, abs(base.v - med.med) AS z
+        | FROM base JOIN med USING (g)),
+        |pg AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+        |  CAST(sum(z) AS HUGEINT) AS sg,
+        |  CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qg
+        | FROM z GROUP BY g),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS s,
+        |  CAST(sum(qg) AS HUGEINT) AS q,
+        |  list_sum(list(CAST(CAST(sg * sg AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(ng AS VARCHAR) AS DOUBLE) ORDER BY g)) AS sq
+        | FROM pg)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sum_x,
+        |  CAST(CAST(q AS VARCHAR) AS DOUBLE) AS sum_x2,
+        |  sq - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS ss_between,
+        |  CAST(CAST(q AS VARCHAR) AS DOUBLE) - sq AS ss_within,
+        |  ((sq - CAST(CAST(s * s AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(n AS VARCHAR) AS DOUBLE)) /
+        |    CAST(CAST(k - 1 AS VARCHAR) AS DOUBLE)) /
+        |  ((CAST(CAST(q AS VARCHAR) AS DOUBLE) - sq) /
+        |    CAST(CAST(CAST(n AS BIGINT) - k AS VARCHAR) AS DOUBLE))
+        |    AS w
+        |FROM f""".stripMargin,
+    "q289_moods_median" ->
+      """WITH base AS MATERIALIZED (SELECT event_type AS g,
+        |  CAST(count(*) AS BIGINT) AS v
+        | FROM events GROUP BY user_id, event_type),
+        |med AS (SELECT v AS med FROM (SELECT v, g,
+        |  row_number() OVER (ORDER BY v, g) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM base)
+        | WHERE r = (n + 1) // 2),
+        |per AS (SELECT g,
+        |  CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS a,
+        |  CAST(sum(CASE WHEN v < med THEN 1 ELSE 0 END) AS HUGEINT)
+        |    AS b
+        | FROM base, med WHERE v <> med GROUP BY g),
+        |p2 AS (SELECT g, a, b, a + b AS ng FROM per),
+        |tt AS (SELECT CAST(sum(a) AS HUGEINT) AS ta,
+        |  CAST(sum(b) AS HUGEINT) AS tb,
+        |  CAST(sum(ng) AS HUGEINT) AS tn FROM p2),
+        |terms AS (SELECT g,
+        |  CAST((a * tn - ng * ta) * (a * tn - ng * ta) AS DOUBLE) /
+        |    CAST(ng * ta * tn AS DOUBLE) +
+        |  CAST((b * tn - ng * tb) * (b * tn - ng * tb) AS DOUBLE) /
+        |    CAST(ng * tb * tn AS DOUBLE) AS t
+        | FROM p2, tt),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  list_sum(list(t ORDER BY g)) AS chi2 FROM terms)
+        |SELECT f.k, CAST(tt.tn AS BIGINT) AS n,
+        |  CAST(tt.ta AS BIGINT) AS n_above,
+        |  CAST(tt.tb AS BIGINT) AS n_below,
+        |  CASE WHEN tt.ta > 0 AND tt.tb > 0 THEN f.chi2 END AS chi2
+        |FROM f, tt""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

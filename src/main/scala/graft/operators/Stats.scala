@@ -936,6 +936,79 @@ object Stats {
             dbl(col("__n").cast("long") - col("k")))).as("f_stat"))
   }
 
+  /** Brown–Forsythe test (Levene's test centered at the MEDIAN) for
+    * variance homogeneity across k groups: zᵢ = |xᵢ − med_g| with each
+    * group median the exact type-1 lower median, then the
+    * [[anovaOneWay]] F machinery verbatim on z — same exact moments,
+    * same sorted cross-group fold, same fixed final chain. Emits the
+    * ANOVA row with `f_stat` as the Brown–Forsythe W. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val meds = base
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__r") === expr("(__n + 1) div 2"))
+      .select(col("__g"), col("__v").as("__med"))
+    val z = base.join(meds, Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("__med")).as("__z"))
+    anovaOneWay(z, "__g", "__z")
+      .withColumnRenamed("f_stat", "w")
+  }
+
+  /** Mood's median test: k groups against the GLOBAL (type-1 lower)
+    * median — values equal to it are dropped (the continuity-safe
+    * convention), the k×2 above/below table feeds the χ² fold
+    * term_g = (a_g·N − n_g·A)²/(n_g·A·N) + (b_g·N − n_g·B)²/(n_g·B·N)
+    * — each term one fixed chain of exact DECIMAL(38,0) integers,
+    * folded in group order (the q237 recipe). NULL χ² when either
+    * margin is empty. */
+  def moodsMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("long").as("__v"))
+    Exec.withPersisted(base) {
+      val med = base
+        .withColumn("__r",
+          row_number().over(Window.orderBy(col("__v"), col("__g"))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("__r") === expr("(__n + 1) div 2"))
+        .select(col("__v").as("__med"))
+      val per = base.crossJoin(broadcast(med))
+        .filter(col("__v") =!= col("__med"))
+        .groupBy("__g")
+        .agg(sum(when(col("__v") > col("__med"), 1L).otherwise(0L))
+            .cast(d38).as("__a"),
+          sum(when(col("__v") < col("__med"), 1L).otherwise(0L))
+            .cast(d38).as("__b"))
+        .withColumn("__ng", col("__a") + col("__b"))
+      val tots = per.agg(sum(col("__a")).as("__ta"),
+        sum(col("__b")).as("__tb"), sum(col("__ng")).as("__tn"))
+      per.crossJoin(broadcast(tots))
+        .select(col("__g"), col("__a"), col("__b"), col("__ta"),
+          col("__tb"), col("__tn"),
+          (dbl((col("__a") * col("__tn") - col("__ng") * col("__ta")) *
+            (col("__a") * col("__tn") - col("__ng") * col("__ta"))) /
+            dbl(col("__ng") * col("__ta") * col("__tn")) +
+           dbl((col("__b") * col("__tn") - col("__ng") * col("__tb")) *
+            (col("__b") * col("__tn") - col("__ng") * col("__tb"))) /
+            dbl(col("__ng") * col("__tb") * col("__tn"))).as("__t"))
+        .agg(count(lit(1)).as("k"),
+          max(col("__tn")).cast("long").as("n"),
+          max(col("__ta")).cast("long").as("n_above"),
+          max(col("__tb")).cast("long").as("n_below"),
+          when(max(col("__ta")) > 0 && max(col("__tb")) > 0,
+            aggregate(
+              sort_array(collect_list(struct(col("__g"), col("__t")))),
+              lit(0.0d), (acc, s) => acc + s.getField("__t")))
+            .as("chi2"))
+    }
+  }
+
   /** Benjamini–Hochberg step-up FDR control over per-test p-values:
     * rank ascending, find the largest rank i with p·m ≤ q·i, reject
     * every test at or below it. The comparison is carried as

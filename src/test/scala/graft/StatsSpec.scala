@@ -680,6 +680,25 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("brownForsythe: identical spreads around group medians give W=0") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "v")
+    val got = Stats.brownForsythe(df, "g", "v")
+      .select("k", "n", "ss_between", "w")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got === ((2L, 6L, 0.0, 0.0)))
+  }
+
+  test("moodsMedian: global-median census with equal values dropped") {
+    // median 2 dropped; a=[1] below, b=[3,4] above
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val got = Stats.moodsMedian(df, "g", "v")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val chi2 = 0.0 + (4.0 / 6.0 + 4.0 / 3.0) + (4.0 / 12.0 + 4.0 / 6.0)
+    assert(got === ((2L, 3L, 2L, 1L, chi2)))
+  }
+
   test("jonckheereTerpstra: perfect ordered separation, exact moments") {
     // a=[1,2] < b=[3,4] < c=[5,6]: JT* = 12, N=6
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
