@@ -655,6 +655,49 @@ object Streams {
       }
   }
 
+  final case class TwapEvent(key: Long, us: Long, eventId: Long, v: Long)
+  final case class TwapState(lastUs: Long, lastV: Long, minUs: Long,
+      cnt: Long, numStr: String)
+  final case class TwapRow(key: Long, n: Long, span_us: Long,
+      twap: Option[Double])
+
+  /** Streaming twin of `Events.timeWeightedAvg`: per key the state is
+    * the predecessor observation plus the running Σv·Δt numerator —
+    * carried as a BigInteger STRING so the exact-decimal contract of
+    * the batch face survives unbounded streams (a Long numerator
+    * overflows at corpus scale; a Double would break ≡). Each update
+    * emits the key's running (n, span, twap) with twap ONE division
+    * of the exact numerator, identical to the batch face on the same
+    * prefix. Same ordered-feed contract as the debounce twin. */
+  def twapStream(events: Dataset[TwapEvent]): Dataset[TwapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[TwapEvent], state: GroupState[TwapState]) =>
+          val sorted = it.toArray.sortBy(e => (e.us, e.eventId))
+          var st = state.getOption.orNull
+          var num = if (st == null) BigInt(0) else BigInt(st.numStr)
+          for (e <- sorted) {
+            if (st != null) num += BigInt(st.lastV) * (e.us - st.lastUs)
+            val mn = if (st == null) e.us else st.minUs
+            val c = if (st == null) 1L else st.cnt + 1L
+            st = TwapState(e.us, e.v, mn, c, num.toString)
+          }
+          if (st != null) {
+            state.update(st)
+            val span = st.lastUs - st.minUs
+            // the batch face's exact chain: correctly-rounded double of
+            // the exact numerator, ONE IEEE division
+            val twap = if (span > 0)
+              Some(num.toDouble / span.toDouble)
+            else None
+            Iterator.single(TwapRow(key, st.cnt, span, twap))
+          } else Iterator.empty
+      }
+  }
+
   final case class DebounceEvent(key: String, us: Long, eventId: Long)
   final case class DebounceState(lastUs: Long, lastId: Long)
 

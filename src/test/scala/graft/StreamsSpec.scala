@@ -617,6 +617,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapStream: stream-final twap equals the batch face across " +
+    "batch splits") {
+    import graft.streaming.Streams.{TwapEvent, TwapRow}
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      TwapEvent(1L, 0L, 1L, 10L), TwapEvent(1L, 10L, 2L, 30L),
+      TwapEvent(1L, 40L, 3L, 99L), TwapEvent(2L, 5L, 4L, 7L))
+    val in = MemoryStream[TwapEvent]
+    val q = Streams.twapStream(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("twap_out").start()
+    try {
+      // split mid-timeline: the interval crossing the split must count
+      in.addData(events.take(2))
+      q.processAllAvailable()
+      in.addData(events.drop(2))
+      q.processAllAvailable()
+      val emits = spark.table("twap_out").as[TwapRow].collect()
+      val last = emits.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, g) => k -> g.maxBy(_._2)._1 }
+      assert(last(1L) == TwapRow(1L, 3L, 40L, Some(25.0)))
+      assert(last(2L) == TwapRow(2L, 1L, 0L, None))
+      // ≡ the batch face on the same events
+      val batch = graft.operators.Events.timeWeightedAvg(
+        events.toDF("user_id", "us", "event_id", "v")
+          .withColumn("ts", timestamp_micros(col("us"))),
+        "user_id", "ts", "event_id", "v")
+        .orderBy("user_id").collect()
+      assert(batch(0).getDouble(3) === last(1L).twap.get &&
+        batch(0).getLong(2) === last(1L).span_us)
+      assert(batch(1).isNullAt(3) && last(2L).twap.isEmpty)
+    } finally q.stop()
+  }
+
   test("debounceStream: streamed survivors equal the batch debounce face " +
     "under arbitrary batch splits") {
     import graft.streaming.Streams.DebounceEvent
