@@ -4008,6 +4008,18 @@ object Queries {
     graft.operators.Stats.moodsMedian(perUserTypeCounts(s, dir),
       "g", "cnt")
 
+  /** Pettitt changepoint gate on the daily-cents series: the pair
+    * grain folds into a difference array (+s at i, −s at j), |U| max
+    * argmax-pinned — all integers. */
+  def q290Pettitt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.pettitt(dailyCents(s, dir), "i", "x")
+
+  /** Ljung–Box gate: Q over the q246 bit-exact acf coefficients,
+    * folded in lag order, one shared rounding chain. */
+  def q291LjungBox(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ljungBox(dailyCents(s, dir)
+      .select(col("i").as("day"), col("x")), "day", "x", maxLag = 7)
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4949,7 +4961,9 @@ object Queries {
     "q286_t_closeness" -> (q286TCloseness _),
     "q287_closeness" -> (q287Closeness _),
     "q288_brown_forsythe" -> (q288BrownForsythe _),
-    "q289_moods_median" -> (q289MoodsMedian _)
+    "q289_moods_median" -> (q289MoodsMedian _),
+    "q290_pettitt" -> (q290Pettitt _),
+    "q291_ljung_box" -> (q291LjungBox _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8049,6 +8063,27 @@ object Queries {
         |  CAST(tt.tb AS BIGINT) AS n_below,
         |  CASE WHEN tt.ta > 0 AND tt.tb > 0 THEN f.chi2 END AS chi2
         |FROM f, tt""".stripMargin,
+    "q290_pettitt" ->
+      """WITH b AS MATERIALIZED (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |p AS (SELECT a.i AS ti, c.i AS tj,
+        |  CASE WHEN a.x > c.x THEN 1 WHEN a.x < c.x THEN -1
+        |   ELSE 0 END AS s
+        | FROM b a JOIN b c ON a.i < c.i),
+        |d AS (SELECT i, CAST(sum(s) AS BIGINT) AS ds FROM (
+        |  SELECT ti AS i, s FROM p
+        |  UNION ALL SELECT tj AS i, -s AS s FROM p) GROUP BY i),
+        |u AS (SELECT b.i, CAST(sum(coalesce(d.ds, 0)) OVER (
+        |  ORDER BY b.i ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS BIGINT) AS u
+        | FROM b LEFT JOIN d ON d.i = b.i)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n,
+        |  abs(u) AS k_stat, i AS t_star, u AS u_at
+        |FROM u ORDER BY abs(u) DESC, i LIMIT 1""".stripMargin,
+    "q291_ljung_box" -> ljungBoxOracle(7),
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),
@@ -9872,6 +9907,44 @@ object Queries {
     * exact HUGEINT moments, and per-lag the single-division ACF chain
     * with VARCHAR-mediated casts (the q216 lesson — the products pass
     * 2^53). Mirrors [[graft.operators.Stats.acf]] term-for-term. */
+  /** Ljung–Box oracle: the [[acfOracle]] moment structure, each r_k
+    * the same VARCHAR-mediated expression, folded in lag order and
+    * scaled by n(n+2) — mirrors [[graft.operators.Stats.ljungBox]]
+    * chain-for-chain. */
+  private def ljungBoxOracle(maxLag: Int): String = {
+    val lagCols = (1 to maxLag).map(l =>
+      s"lag(x, $l) OVER (ORDER BY day) AS x$l").mkString(",\n  ")
+    val momCols = (1 to maxLag).map(l =>
+      s"""sum(x * x$l) AS xx$l,
+         |  sum(CASE WHEN x$l IS NOT NULL THEN x END) AS t$l,
+         |  sum(x$l) AS h$l""".stripMargin).mkString(",\n  ")
+    val lagRows = (1 to maxLag).map(l =>
+      s"""SELECT $l AS lag,
+         |  CAST(CAST(n * n * xx$l - n * s * (h$l + t$l) +
+         |    (n - $l) * s * s AS VARCHAR) AS DOUBLE) /
+         |  CAST(CAST(n * (n * q - s * s) AS VARCHAR) AS DOUBLE) AS acf
+         |FROM a""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH b AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day,
+       |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |    AS HUGEINT) AS x
+       | FROM events GROUP BY day),
+       |l AS (SELECT x,
+       |  $lagCols
+       | FROM b),
+       |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+       |  sum(x * x) AS q,
+       |  $momCols
+       | FROM l),
+       |rl AS ($lagRows),
+       |f AS (SELECT list_sum(list(acf * acf /
+       |  CAST((SELECT CAST(n AS BIGINT) FROM a) - lag AS DOUBLE)
+       |  ORDER BY lag)) AS s FROM rl)
+       |SELECT CAST(a.n AS BIGINT) AS n, CAST($maxLag AS BIGINT) AS m,
+       |  CAST(CAST(a.n AS VARCHAR) AS DOUBLE) *
+       |  CAST(CAST(a.n + 2 AS VARCHAR) AS DOUBLE) * f.s AS q_stat
+       |FROM a, f""".stripMargin
+  }
+
   private def acfOracle(maxLag: Int): String = {
     val lagCols = (1 to maxLag).map(l =>
       s"lag(x, $l) OVER (ORDER BY day) AS x$l").mkString(",\n  ")

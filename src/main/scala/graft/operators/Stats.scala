@@ -2095,6 +2095,68 @@ object Stats {
     }
   }
 
+  /** Pettitt changepoint test: U_t = Σ_{i≤t<j} sgn(xᵢ−xⱼ), the
+    * Mann-Whitney-family statistic whose |U| max locates a single
+    * change point. Each ordered pair contributes its sign to every t
+    * in [i, j−1] — computed as a DIFFERENCE array (+s at i, −s at j,
+    * prefix-summed), so the pair grain is touched once, never per-t.
+    * K = max|U_t| with the earliest index breaking ties; all
+    * integers, no approximation emitted (the exp-based p-value is a
+    * transcendental — callers apply it to the exact K).
+    *
+    * Scale contract: pairwise O(n²) on the series grain (the
+    * [[theilSen]] caveat). */
+  def pettitt(df: DataFrame, idxCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val a = base.select(col("__i").as("ti"), col("__x").as("xa"))
+      val b = base.select(col("__i").as("tj"), col("__x").as("xb"))
+      val pairs = a.crossJoin(b).filter(col("ti") < col("tj"))
+        .select(col("ti"), col("tj"),
+          when(col("xa") > col("xb"), 1L)
+            .when(col("xa") < col("xb"), -1L).otherwise(0L).as("__s"))
+      val deltas = pairs.select(col("ti").as("__i"), col("__s"))
+        .unionByName(pairs.select(col("tj").as("__i"),
+          (-col("__s")).as("__s")))
+        .groupBy("__i").agg(sum(col("__s")).as("__d"))
+      val nRow = base.agg(count(lit(1)).as("n"))
+      val u = base.select(col("__i"))
+        .join(deltas, Seq("__i"), "left")
+        .withColumn("__u",
+          sum(coalesce(col("__d"), lit(0L)))
+            .over(Window.orderBy(col("__i"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      u.orderBy(abs(col("__u")).desc, col("__i")).limit(1)
+        .crossJoin(broadcast(nRow))
+        .select(col("n"), abs(col("__u")).as("k_stat"),
+          col("__i").as("t_star"), col("__u").as("u_at"))
+    }
+  }
+
+  /** Ljung–Box portmanteau statistic over the first `maxLag`
+    * autocorrelations: Q = n(n+2)·Σ_{k≤m} r_k²/(n−k), with each r_k
+    * the bit-exact [[acf]] coefficient and the fold in lag order (the
+    * q237 recipe) — the whole chain replays identically in any engine
+    * because every rounding step is shared. */
+  def ljungBox(df: DataFrame, idxCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val nRow = df.agg(count(lit(1)).as("__n"))
+    acf(df, idxCol, valueCol, maxLag)
+      .crossJoin(broadcast(nRow))
+      .agg(max(col("__n")).as("__nn"), count(lit(1)).as("m"),
+        aggregate(
+          sort_array(collect_list(struct(col("lag"),
+            (col("acf") * col("acf") / dbl(col("__n") - col("lag")))
+              .as("__t")))),
+          lit(0.0d), (acc, s) => acc + s.getField("__t")).as("__sum"))
+      .select(col("__nn").as("n"), col("m"),
+        (dbl(col("__nn")) * dbl(col("__nn") + 2) * col("__sum"))
+          .as("q_stat"))
+  }
+
   /** Isotonic regression (nondecreasing least-squares fit) by
     * distributed pool-adjacent-violators. Phase 1 range-partitions on
     * `idxCol` (unique, integral — the [[theilSen]] contract) and runs

@@ -680,6 +680,24 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("pettitt: the level shift is located exactly") {
+    // [1,1,1,5,5]: U = [-2,-4,-6,-3,0] -> K=6 at t=3
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L))
+      .toDF("i", "x")
+    val got = Stats.pettitt(df, "i", "x")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((5L, 6L, 3L, -6L)))
+  }
+
+  test("ljungBox folds the exact acf chain in lag order") {
+    // [1,2,1]: r1 = -4/6, Q = 3*5*(r^2/2)
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("i", "x")
+    val got = Stats.ljungBox(df, "i", "x", maxLag = 1)
+      .as[(Long, Long, Double)].collect().head
+    val r = (9.0 * 4 - 3.0 * 4 * 6 + 2.0 * 16) / (3.0 * (3 * 6 - 16))
+    assert(got === ((3L, 1L, 3.0 * 5.0 * (0.0 + r * r / 2.0))))
+  }
+
   test("brownForsythe: identical spreads around group medians give W=0") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
       ("b", 11L), ("b", 12L), ("b", 13L)).toDF("g", "v")
