@@ -4020,6 +4020,31 @@ object Queries {
     graft.operators.Stats.ljungBox(dailyCents(s, dir)
       .select(col("i").as("day"), col("x")), "day", "x", maxLag = 7)
 
+  private def completeUserTypeCounts(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = events(s, dir)
+      .groupBy(col("user_id").as("blk"), col("event_type").as("trt"))
+      .agg(count(lit(1)).as("x"))
+    val complete = base.groupBy("blk")
+      .agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 5)
+      .select("blk")
+    base.join(complete, Seq("blk"))
+  }
+
+  /** Cronbach's-alpha gate on the complete user×type count matrix —
+    * the variance-ratio denominators cancel, α is one exact division
+    * plus a fixed three-op chain. */
+  def q292Cronbach(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cronbachAlpha(completeUserTypeCounts(s, dir),
+      "blk", "trt", "x")
+
+  /** ICC(1,1) gate on the same matrix — same-denominator divisions
+    * only, whole chain shared with the oracle. */
+  def q293Icc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.icc1(completeUserTypeCounts(s, dir),
+      "blk", "trt", "x")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4963,7 +4988,9 @@ object Queries {
     "q288_brown_forsythe" -> (q288BrownForsythe _),
     "q289_moods_median" -> (q289MoodsMedian _),
     "q290_pettitt" -> (q290Pettitt _),
-    "q291_ljung_box" -> (q291LjungBox _)
+    "q291_ljung_box" -> (q291LjungBox _),
+    "q292_cronbach" -> (q292Cronbach _),
+    "q293_icc" -> (q293Icc _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8084,6 +8111,65 @@ object Queries {
         |  abs(u) AS k_stat, i AS t_star, u AS u_at
         |FROM u ORDER BY abs(u) DESC, i LIMIT 1""".stripMargin,
     "q291_ljung_box" -> ljungBoxOracle(7),
+    "q292_cronbach" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR)
+        |    AS blk, event_type AS trt, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |ok AS (SELECT blk FROM base GROUP BY blk HAVING count(*) = 5),
+        |b2 AS MATERIALIZED (SELECT base.* FROM base JOIN ok
+        |  USING (blk)),
+        |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+        | FROM b2),
+        |sub AS (SELECT blk, CAST(sum(x) AS HUGEINT) AS t FROM b2
+        | GROUP BY blk),
+        |sa AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(t) AS HUGEINT) AS s,
+        |  CAST(sum(t * t) AS HUGEINT) AS q FROM sub),
+        |it AS (SELECT trt, CAST(sum(x) AS HUGEINT) AS si,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qi
+        | FROM b2 GROUP BY trt),
+        |nm AS (SELECT CAST(sum(sa.n * it.qi - it.si * it.si)
+        |    AS HUGEINT) AS num
+        | FROM it, sa)
+        |SELECT CAST(sa.n AS BIGINT) AS n, kk.k,
+        |  CAST(kk.k AS DOUBLE) / CAST(kk.k - 1 AS DOUBLE) *
+        |   (1.0 - CAST(CAST(nm.num AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(sa.n * sa.q - sa.s * sa.s AS VARCHAR) AS DOUBLE))
+        |   AS alpha
+        |FROM sa, kk, nm""".stripMargin,
+    "q293_icc" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR)
+        |    AS blk, event_type AS trt, CAST(count(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |ok AS (SELECT blk FROM base GROUP BY blk HAVING count(*) = 5),
+        |b2 AS MATERIALIZED (SELECT base.* FROM base JOIN ok
+        |  USING (blk)),
+        |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k
+        | FROM b2),
+        |sub AS (SELECT blk, CAST(sum(x) AS HUGEINT) AS t FROM b2
+        | GROUP BY blk),
+        |sa AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(t) AS HUGEINT) AS g,
+        |  CAST(sum(t * t) AS HUGEINT) AS q FROM sub),
+        |qx AS (SELECT CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+        |    AS qx FROM b2),
+        |f AS (SELECT CAST(sa.n AS BIGINT) AS n, kk.k,
+        |  CAST(CAST(sa.q AS VARCHAR) AS DOUBLE) /
+        |    CAST(kk.k AS DOUBLE) -
+        |   CAST(CAST(sa.g * sa.g AS VARCHAR) AS DOUBLE) /
+        |    (CAST(CAST(sa.n AS VARCHAR) AS DOUBLE) *
+        |     CAST(kk.k AS DOUBLE)) AS ssb,
+        |  CAST(CAST(qx.qx AS VARCHAR) AS DOUBLE) -
+        |   CAST(CAST(sa.q AS VARCHAR) AS DOUBLE) /
+        |    CAST(kk.k AS DOUBLE) AS ssw
+        | FROM sa, kk, qx)
+        |SELECT n, k,
+        |  ((ssb / CAST(n - 1 AS DOUBLE)) -
+        |   (ssw / (CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))) /
+        |  ((ssb / CAST(n - 1 AS DOUBLE)) +
+        |   CAST(k - 1 AS DOUBLE) *
+        |   (ssw / (CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))) AS icc
+        |FROM f""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -2095,6 +2095,98 @@ object Stats {
     }
   }
 
+  /** Cronbach's alpha (internal-consistency reliability) over
+    * complete subject×item blocks: α = k/(k−1)·(1 − ΣVarᵢ/Var_T).
+    * The n(n−1) sample-variance denominators cancel in the ratio, so
+    * ΣVarᵢ/Var_T = Σ(n·Qᵢ−Sᵢ²) / (n·Q_T−S_T²) is ONE division of
+    * exact DECIMAL(38,0) moments and α a fixed three-op chain.
+    * Incomplete blocks or zero total variance yield NULL (the
+    * [[friedman]] guard convention).
+    *
+    * Shape at 100 TB: one groupBy per grain (item moments, subject
+    * totals), all map-side combined. */
+  def cronbachAlpha(df: DataFrame, blockCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(blockCol).cast("string").as("__blk"),
+      col(itemCol).cast("string").as("__it"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val nItems = base.agg(count_distinct(col("__it")).as("__k"))
+      val subjAgg = base.groupBy("__blk")
+        .agg(count(lit(1)).as("__kb"),
+          count_distinct(col("__it")).as("__kd"),
+          sum(col("__x").cast(d38)).as("__t"))
+        .agg(count(lit(1)).cast(d38).as("__n"),
+          min(col("__kb")).as("__kmin"), max(col("__kb")).as("__kmax"),
+          min(col("__kd")).as("__dmin"),
+          sum(col("__t")).as("__st"),
+          sum(col("__t") * col("__t")).as("__qt"))
+      val items = base.groupBy("__it")
+        .agg(sum(col("__x").cast(d38)).as("__si"),
+          sum(col("__x").cast(d38) * col("__x")).as("__qi"))
+      items.crossJoin(broadcast(subjAgg)).crossJoin(broadcast(nItems))
+        .agg(max(col("__n")).as("__nn"), max(col("__k")).as("__kk"),
+          max(col("__kmin")).as("__km"), max(col("__kmax")).as("__kx"),
+          max(col("__dmin")).as("__dm"),
+          max(col("__st")).as("__s"), max(col("__qt")).as("__q"),
+          sum(col("__n") * col("__qi") - col("__si") * col("__si"))
+            .as("__num"))
+        .select(col("__nn").cast("long").as("n"), col("__kk").as("k"),
+          when(col("__km") === col("__kx") && col("__km") === col("__kk") &&
+              col("__dm") === col("__kk") && col("__kk") > 1 &&
+              col("__nn") * col("__q") - col("__s") * col("__s") =!= 0,
+            dbl(col("__kk")) / dbl(col("__kk") - 1) *
+              (lit(1.0d) - dbl(col("__num")) /
+                dbl(col("__nn") * col("__q") - col("__s") * col("__s"))))
+            .as("alpha"))
+    }
+  }
+
+  /** One-way random intraclass correlation ICC(1,1): with n subjects
+    * × k measurements, MSB = SSB/(n−1), MSW = SSW/(n(k−1)),
+    * ICC = (MSB−MSW)/(MSB+(k−1)·MSW). Every sum of squares is a fixed
+    * chain over three exact DECIMAL(38,0) moments (ΣT², Σx², G) with
+    * only same-denominator divisions (all subjects share k), so the
+    * whole statistic replays bit-for-bit. NULL on incomplete blocks,
+    * n < 2, k < 2, or a degenerate denominator. */
+  def icc1(df: DataFrame, blockCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(blockCol).cast("string").as("__blk"),
+      col(itemCol).cast("string").as("__it"),
+      col(valueCol).cast("long").as("__x"))
+    Exec.withPersisted(base) {
+      val nItems = base.agg(count_distinct(col("__it")).as("__k"))
+      val subjAgg = base.groupBy("__blk")
+        .agg(count(lit(1)).as("__kb"),
+          count_distinct(col("__it")).as("__kd"),
+          sum(col("__x").cast(d38)).as("__t"))
+        .agg(count(lit(1)).cast(d38).as("__n"),
+          min(col("__kb")).as("__kmin"), max(col("__kb")).as("__kmax"),
+          min(col("__kd")).as("__dmin"),
+          sum(col("__t")).as("__g"),
+          sum(col("__t") * col("__t")).as("__qt"))
+      val tot = base.agg(sum(col("__x").cast(d38) * col("__x")).as("__qx"))
+      subjAgg.crossJoin(broadcast(tot)).crossJoin(broadcast(nItems))
+        .select(col("__n").cast("long").as("n"), col("__k").as("k"), {
+          val kD = dbl(col("__k"))
+          val ssb = dbl(col("__qt")) / kD -
+            dbl(col("__g") * col("__g")) / (dbl(col("__n")) * kD)
+          val ssw = dbl(col("__qx")) - dbl(col("__qt")) / kD
+          val msb = ssb / dbl(col("__n") - 1)
+          val msw = ssw / (dbl(col("__n")) * dbl(col("__k") - 1))
+          when(col("__kmin") === col("__kmax") &&
+              col("__kmin") === col("__k") &&
+              col("__dmin") === col("__k") &&
+              col("__n") > 1 && col("__k") > 1,
+            (msb - msw) / (msb + dbl(col("__k") - 1) * msw)).as("icc")
+        })
+    }
+  }
+
   /** Pettitt changepoint test: U_t = Σ_{i≤t<j} sgn(xᵢ−xⱼ), the
     * Mann-Whitney-family statistic whose |U| max locates a single
     * change point. Each ordered pair contributes its sign to every t

@@ -680,6 +680,25 @@ class StatsSpec extends SparkSpec {
       .select("q").collect().head.isNullAt(0))
   }
 
+  test("cronbachAlpha: duplicated items give alpha = 1 exactly") {
+    val df = (1L to 3L).flatMap(j => Seq((j, "a", j), (j, "b", j)))
+      .toDF("blk", "it", "x")
+    val got = Stats.cronbachAlpha(df, "blk", "it", "x")
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((3L, 2L, 1.0)))
+    val ragged = df.union(Seq((4L, "a", 9L)).toDF("blk", "it", "x"))
+    assert(Stats.cronbachAlpha(ragged, "blk", "it", "x")
+      .select("alpha").collect().head.isNullAt(0))
+  }
+
+  test("icc1: perfect within-subject agreement gives ICC = 1") {
+    val df = (1L to 3L).flatMap(j => Seq((j, "a", j), (j, "b", j)))
+      .toDF("blk", "it", "x")
+    val got = Stats.icc1(df, "blk", "it", "x")
+      .as[(Long, Long, Double)].collect().head
+    assert(got === ((3L, 2L, 1.0)))
+  }
+
   test("pettitt: the level shift is located exactly") {
     // [1,1,1,5,5]: U = [-2,-4,-6,-3,0] -> K=6 at t=3
     val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L))
