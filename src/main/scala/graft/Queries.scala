@@ -4045,6 +4045,25 @@ object Queries {
     graft.operators.Stats.icc1(completeUserTypeCounts(s, dir),
       "blk", "trt", "x")
 
+  /** Effective-diameter gate on the q129 landmark fixture: the 90th-
+    * percentile positive distance rank-selected, the mean one exact
+    * division. */
+  def q294EffDiameter(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 200).as("src"),
+        (col("o_orderkey") % 200).as("dst"))
+    val landmarks = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst")))
+      .filter(col("node") % 20 === 0)
+    GraphAlgos.effectiveDiameter(edges, landmarks, maxHops = 6, pct = 90)
+  }
+
+  /** Burstiness gate: per-user inter-event gap B = (σ−μ)/(σ+μ) — one
+    * sqrt + one division over exact moments, >2^53 VARCHAR-mediated. */
+  def q295Burstiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.burstiness(events(s, dir), "user_id", "ts",
+      "event_id").orderBy("user_id")
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -4990,7 +5009,9 @@ object Queries {
     "q290_pettitt" -> (q290Pettitt _),
     "q291_ljung_box" -> (q291LjungBox _),
     "q292_cronbach" -> (q292Cronbach _),
-    "q293_icc" -> (q293Icc _)
+    "q293_icc" -> (q293Icc _),
+    "q294_eff_diameter" -> (q294EffDiameter _),
+    "q295_burstiness" -> (q295Burstiness _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8170,6 +8191,43 @@ object Queries {
         |   CAST(k - 1 AS DOUBLE) *
         |   (ssw / (CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))) AS icc
         |FROM f""".stripMargin,
+    "q294_eff_diameter" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 200 AS src,
+        |  o_orderkey % 200 AS dst FROM orders WHERE o_orderkey < 2000),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 20 = 0),
+        |r(node, landmark, dist) AS (
+        | SELECT node, node, 0 FROM seeds
+        | UNION
+        | SELECT e.dst, r.landmark, r.dist + 1
+        | FROM r JOIN e ON e.src = r.node WHERE r.dist < 6),
+        |d AS (SELECT node, landmark, min(dist) AS dist FROM r
+        | GROUP BY node, landmark),
+        |pos AS (SELECT dist FROM d WHERE dist > 0),
+        |rr AS (SELECT dist, row_number() OVER (ORDER BY dist) AS r,
+        |  CAST(count(*) OVER () AS BIGINT) AS n,
+        |  CAST(sum(dist) OVER () AS BIGINT) AS s
+        | FROM pos)
+        |SELECT n AS n_pairs, CAST(dist AS INTEGER) AS eff_diameter,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_dist
+        |FROM rr WHERE r = ((90 * (n - 1)) // 100) + 1""".stripMargin,
+    "q295_burstiness" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS us,
+        |  event_id FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (
+        |  PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+        | FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps, CAST(s AS BIGINT) AS gap_sum,
+        |  CASE WHEN n_gaps > 1 AND s > 0 THEN
+        |   (sqrt(CAST(CAST(n_gaps * q - s * s AS VARCHAR) AS DOUBLE)) -
+        |     CAST(CAST(s AS VARCHAR) AS DOUBLE)) /
+        |   (sqrt(CAST(CAST(n_gaps * q - s * s AS VARCHAR) AS DOUBLE)) +
+        |     CAST(CAST(s AS VARCHAR) AS DOUBLE))
+        |  END AS b
+        |FROM a ORDER BY user_id""".stripMargin,
     "q252_temp_mix" ->
       """WITH d AS (SELECT source AS domain,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'),

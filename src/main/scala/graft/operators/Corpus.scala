@@ -1677,6 +1677,38 @@ object Corpus {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
   }
 
+  /** Compression-ratio quality signal: deflate(text)/|text| — the
+    * CCNet-family redundancy proxy (boilerplate and template spam
+    * compress far below prose). Computed in batched mapPartitions
+    * with ONE reused `Deflater` per partition (the Multimodal decode
+    * discipline — no hot-path UDF, no per-row allocation).
+    * Determinism contract: zlib output is deterministic for a fixed
+    * level and input on a given JVM, so the column is spec-pinned and
+    * reproducible in-engine; it has NO cross-engine SQL oracle (by
+    * nature), so consumers gate on thresholds, not hashes. */
+  def compressionRatio(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val bytes = t.getBytes("UTF-8")
+          d.reset(); d.setInput(bytes); d.finish()
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          (id, bytes.length.toLong, total,
+            if (bytes.nonEmpty) Some(total.toDouble / bytes.length)
+            else None)
+        }
+      }
+      .toDF("id", "n_bytes", "n_compressed", "ratio")
+  }
+
   /** RAKE word scores (Rose et al. 2010): phrases are maximal runs of
     * non-stopword tokens; freq(w) = occurrences inside phrases,
     * deg(w) = Σ over those occurrences of the containing phrase's

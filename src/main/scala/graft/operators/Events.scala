@@ -1161,6 +1161,40 @@ object Events {
     }
   }
 
+  /** Burstiness coefficient (Goh–Barabási 2008) of each key's
+    * inter-event gaps: B = (σ−μ)/(σ+μ) over the microsecond gap
+    * series — B→−1 periodic, 0 Poisson, →1 bursty. Multiplying
+    * through by n makes it (√(nQ−S²) − S)/(√(nQ−S²) + S) with
+    * S = Σgap, Q = Σgap² exact DECIMAL(38,0): ONE sqrt + one
+    * division, engine-independent. Keys with <2 gaps (≤2 events) or
+    * all-zero gaps yield NULL.
+    *
+    * Shape at 100 TB: one key shuffle for the lag window, then a
+    * map-side-combined per-key agg. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+    val gaps = events
+      .withColumn("__us", us(events, tsCol))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap").cast(d38)).as("__s"),
+        sum(col("__gap").cast(d38) * col("__gap")).as("__q"))
+      .select(col(keyCol), col("n_gaps"),
+        col("__s").cast("long").as("gap_sum"), {
+          val disc = dbl(col("n_gaps").cast(d38) * col("__q") -
+            col("__s") * col("__s"))
+          when(col("n_gaps") > 1 && col("__s") > 0,
+            (sqrt(disc) - dbl(col("__s"))) /
+              (sqrt(disc) + dbl(col("__s")))).as("b")
+        })
+  }
+
   /** Precedence TRIPLES ("a then b then c"): for every ordered triple
     * of distinct types, the number of keys holding a witness
     * i < j < k — equivalently (pick i = argmin a, k = argmax c) some

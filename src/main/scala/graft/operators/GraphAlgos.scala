@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import scala.util.chaining._
@@ -796,6 +797,36 @@ object GraphAlgos {
       .agg(count(lit(1)).as("n_sources"), sum(col("dist")).as("dist_sum"))
       .withColumn("closeness",
         col("n_sources").cast("double") / col("dist_sum").cast("double"))
+
+  /** Effective diameter from landmark BFS distances: the pct-th
+    * percentile (type-1 lower selection, the [[Stats.exactQuartiles]]
+    * rule — no interpolation) of all positive landmark→node hop
+    * distances, plus the exact mean distance (one division). The
+    * landmark-sample estimator is the standard scalable face
+    * (Leskovec et al. 2005's effective-diameter convention, here
+    * rank-selected instead of interpolated).
+    *
+    * Emits ONE row: n_pairs, eff_diameter, mean_dist. Shape: the
+    * [[shortestPaths]] BFS plus one global sort window over the
+    * pair-distance table (≤ |landmarks|·|V| rows — sample landmarks
+    * at corpus scale). */
+  def effectiveDiameter(edges0: DataFrame, landmarks: DataFrame,
+      maxHops: Int = 6, pct: Int = 90, srcCol: String = "src",
+      dstCol: String = "dst", landmarkCol: String = "node"): DataFrame = {
+    require(pct >= 1 && pct <= 100, "pct in 1..100")
+    val d = shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol,
+        landmarkCol)
+      .filter(col("dist") > 0)
+    val w = Window.orderBy(col("dist"))
+    val nS = Window.partitionBy()
+    d.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(nS))
+      .withColumn("__s", sum(col("dist")).over(nS))
+      .filter(col("__r") === expr(s"(($pct * (__n - 1)) div 100) + 1"))
+      .select(col("__n").as("n_pairs"), col("dist").as("eff_diameter"),
+        (col("__s").cast("double") / col("__n").cast("double"))
+          .as("mean_dist"))
+  }
 
   /** The integer scale of [[harmonicCentrality]]'s `h_scaled`:
     * lcm(1..maxHops). */

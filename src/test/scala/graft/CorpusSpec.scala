@@ -909,6 +909,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(2) === ((3L, 0L, 0L, None)))
   }
 
+  test("compressionRatio: repetitive text compresses far below prose") {
+    val repetitive = "spam spam " * 500
+    val prose = (1 to 700).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.compressionRatio(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getDouble(3) < 0.05)
+    assert(got(1).getDouble(3) > 3 * got(0).getDouble(3))
+    assert(got(2).isNullAt(3) && got(2).getLong(1) === 0L)
+    // deterministic: a second run reproduces the bytes exactly
+    val again = Corpus.compressionRatio(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(2)).toSeq === again.map(_.getLong(2)).toSeq)
+  }
+
   test("cooccurrencePairs is join-free: pairs build inside the scan stage") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     val plan = Corpus.cooccurrencePairs(docs, "doc_id", "text", 3)

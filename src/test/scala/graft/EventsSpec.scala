@@ -716,6 +716,19 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("burstiness: periodic gaps give -1, one gap gives NULL") {
+    val ev = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 20L, 3L),
+      (2L, 0L, 4L), (2L, 0L, 5L), (2L, 30L, 6L),
+      (3L, 0L, 7L), (3L, 5L, 8L))
+      .toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Events.burstiness(ev, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+    assert(got(0).getDouble(3) === -1.0)              // gaps 10,10
+    assert(got(1).getDouble(3) === 0.0)               // gaps 0,30
+    assert(got(2).isNullAt(3))                        // single gap
+  }
+
   test("nelsonAalen accumulates d/n and d/n^2 over the KM census") {
     // u1 converts at 10, u2 at 20, u3 censored at the horizon (20)
     val ev = Seq((1L, 0L, "s"), (1L, 10L, "p"),

@@ -951,6 +951,15 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got === Seq(("a", 0.0), ("b", 1.0)))
   }
 
+  test("effectiveDiameter rank-selects the pct distance exactly") {
+    // chain of 11 nodes from landmark 0: dists 1..10 -> p90 lower = 9
+    val g = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val lm = Seq(0L).toDF("node")
+    val got = GraphAlgos.effectiveDiameter(g, lm, maxHops = 12, pct = 90)
+      .as[(Long, Int, Double)].collect().head
+    assert(got === ((10L, 9, 5.5)))
+  }
+
   test("closenessCentrality: one division over landmark distances") {
     val g = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
     val lm = Seq("a").toDF("node")
