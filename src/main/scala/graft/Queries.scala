@@ -4064,6 +4064,22 @@ object Queries {
     graft.operators.Events.burstiness(events(s, dir), "user_id", "ts",
       "event_id").orderBy("user_id")
 
+  /** Bowtie-decomposition gate on the q142 ring+cross SCC fixture:
+    * class census relative to the largest component, the oracle
+    * re-deriving in/out from the same transitive closure. */
+  def q296Bowtie(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select((col("o_custkey") % 64).as("ck"),
+        (col("o_orderkey") % 16 + 32).as("ok"))
+    val ring = base.select(col("ck").as("id")).distinct()
+      .select(col("id").as("src"),
+        (expr("id div 8") * 8 + ((col("id") % 8) + 1) % 8).as("dst"))
+    val crossE = base.filter(col("ck") =!= col("ok"))
+      .select(col("ck").as("src"), col("ok").as("dst")).distinct()
+    GraphAlgos.bowtie(ring.unionByName(crossE))
+      .orderBy("bowtie_class")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -5011,7 +5027,8 @@ object Queries {
     "q292_cronbach" -> (q292Cronbach _),
     "q293_icc" -> (q293Icc _),
     "q294_eff_diameter" -> (q294EffDiameter _),
-    "q295_burstiness" -> (q295Burstiness _)
+    "q295_burstiness" -> (q295Burstiness _),
+    "q296_bowtie" -> (q296Bowtie _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8291,6 +8308,7 @@ object Queries {
         |   sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
         |FROM s""".stripMargin,
     "q142_scc" -> sccOracle(5),
+    "q296_bowtie" -> bowtieOracle(5),
     "q143_walks" -> walksOracle(8),
     "q144_assoc_rules" ->
       """WITH b0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,
@@ -9819,6 +9837,48 @@ object Queries {
     * the fixture's ~15-hop diameter), then
     * scc(v) = min{w : w→*v AND v→*w} via one self-join of the closure
     * on the swapped pair. */
+  /** q296 oracle: the [[sccOracle]] closure plus largest-component
+    * selection and CASE-ordered in/out classification from the SAME
+    * closure rows. */
+  private def bowtieOracle(doublings: Int): String = {
+    val steps = (1 to doublings).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT DISTINCT a.s, b.t
+         | FROM r${i - 1} a JOIN r${i - 1} b ON a.t = b.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (SELECT o_custkey % 64 AS ck,
+       |  o_orderkey % 16 + 32 AS ok FROM orders WHERE o_orderkey < 2000),
+       |ring AS MATERIALIZED (SELECT id AS s,
+       |  (id // 8) * 8 + ((id % 8) + 1) % 8 AS t
+       | FROM (SELECT DISTINCT ck AS id FROM base)),
+       |cr AS MATERIALIZED (SELECT DISTINCT ck AS s, ok AS t FROM base
+       | WHERE ck <> ok),
+       |e AS MATERIALIZED (SELECT s, t FROM ring WHERE s <> t
+       | UNION SELECT s, t FROM cr),
+       |n AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT t FROM e),
+       |r0 AS MATERIALIZED (SELECT id AS s, id AS t FROM n
+       | UNION SELECT s, t FROM e),
+       |$steps,
+       |scc AS MATERIALIZED (SELECT a.t AS node,
+       |  CAST(min(a.s) AS BIGINT) AS scc
+       | FROM r$doublings a JOIN r$doublings b ON a.s = b.t AND a.t = b.s
+       | GROUP BY a.t),
+       |big AS (SELECT scc FROM (SELECT scc, count(*) AS nn FROM scc
+       |  GROUP BY scc ORDER BY nn DESC, scc LIMIT 1)),
+       |lm AS (SELECT node FROM scc JOIN big USING (scc)),
+       |fwd AS (SELECT DISTINCT r.t AS node FROM r$doublings r
+       | JOIN lm ON lm.node = r.s),
+       |bwd AS (SELECT DISTINCT r.s AS node FROM r$doublings r
+       | JOIN lm ON lm.node = r.t),
+       |cls AS (SELECT s.node,
+       |  CASE WHEN s.scc = (SELECT scc FROM big) THEN 'scc'
+       |   WHEN s.node IN (SELECT node FROM bwd) THEN 'in'
+       |   WHEN s.node IN (SELECT node FROM fwd) THEN 'out'
+       |   ELSE 'other' END AS bowtie_class
+       | FROM scc s)
+       |SELECT bowtie_class, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def sccOracle(doublings: Int): String = {
     val steps = (1 to doublings).map { i =>
       s"""r$i AS MATERIALIZED (SELECT DISTINCT a.s, b.t

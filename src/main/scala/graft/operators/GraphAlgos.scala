@@ -2026,6 +2026,92 @@ object GraphAlgos {
       (col("__n").cast("double") / lit(scale)).as("katz"))
   }
 
+  /** Full reachability BFS: every node reachable from `seeds` along
+    * `edges` (seeds included), frontier-based with per-round
+    * checkpoint release and observed convergence. */
+  private def reachableFrom(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int): DataFrame = {
+    var visited = Exec.checkpointCut(seeds.distinct())
+    var frontier = visited
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = Exec.checkpointCut(edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .observe(obs, count(lit(1)).as("rows")))
+      if (obs.get("rows").asInstanceOf[Long] == 0L) {
+        Exec.releaseCheckpoint(next)
+        done = true
+      } else {
+        val prev = visited
+        visited = Exec.checkpointCut(visited.unionByName(next))
+        Exec.releaseCheckpoint(prev, frontier)
+        frontier = next
+        round += 1
+      }
+    }
+    require(done, s"reachability did not converge within $maxRounds rounds")
+    visited
+  }
+
+  /** Bowtie decomposition (Broder et al., WWW 2000, simplified to four
+    * classes): relative to the LARGEST strongly connected component
+    * (ties broken by smallest component id), every node is `scc`
+    * (member), `in` (reaches the SCC), `out` (reached from it), or
+    * `other` (tendrils/tubes/disconnected — not separated further).
+    * Classification priority scc > in > out mirrors the oracle's CASE
+    * order exactly. Emits (bowtie_class, n_nodes).
+    *
+    * Shape at 100 TB: one [[stronglyConnectedComponents]] run, then
+    * everything else happens on the CONDENSATION DAG — component-level
+    * edges (two label joins + distinct), two frontier sweeps whose
+    * round count is the DAG depth and whose frames are
+    * component-sized, and one label join back to nodes. */
+  def bowtie(edges0: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 64): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = Dedup.withAqeOff(spark) {
+      edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    }
+    val scc = Exec.checkpointCut(
+      stronglyConnectedComponents(edges))
+    val largest = scc.groupBy("scc").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("scc")).limit(1)
+      .select(col("scc").as("__big"))
+    val compEdges = Exec.checkpointCut(edges
+      .join(scc.select(col("node").as("src"), col("scc").as("__cs")),
+        Seq("src"))
+      .join(scc.select(col("node").as("dst"), col("scc").as("__cd")),
+        Seq("dst"))
+      .select(col("__cs").as("src"), col("__cd").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val compRev = compEdges.select(col("dst").as("src"),
+      col("src").as("dst"))
+    val seed = largest.select(col("__big").as("node"))
+    val fwd = reachableFrom(compEdges, seed, maxRounds)
+      .withColumnRenamed("node", "scc").withColumn("__fwd", lit(true))
+    val bwd = reachableFrom(compRev, seed, maxRounds)
+      .withColumnRenamed("node", "scc").withColumn("__bwd", lit(true))
+    scc.crossJoin(broadcast(largest))
+      .join(broadcast(fwd), Seq("scc"), "left")
+      .join(broadcast(bwd), Seq("scc"), "left")
+      .select(col("node"),
+        when(col("scc") === col("__big"), "scc")
+          .when(col("__bwd"), "in")
+          .when(col("__fwd"), "out")
+          .otherwise("other").as("bowtie_class"))
+      .groupBy("bowtie_class")
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Greedy maximal matching by the locally-dominant-edge rule
     * (Preis 1999 / Manne–Bisseling): each round keeps an edge iff its
     * priority (w, u, v) is the minimum among ALL live edges at BOTH

@@ -951,6 +951,16 @@ class GraphAlgosSpec extends SparkSpec {
     assert(got === Seq(("a", 0.0), ("b", 1.0)))
   }
 
+  test("bowtie classifies in/scc/out/other against the largest SCC") {
+    // 1<->2 core; 3 -> core -> 4; disconnected 5 -> 6
+    val g = Seq((1L, 2L), (2L, 1L), (3L, 1L), (2L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.bowtie(g)
+      .orderBy("bowtie_class").as[(String, Long)].collect().toSeq
+    assert(got === Seq(("in", 1L), ("other", 2L), ("out", 1L),
+      ("scc", 2L)))
+  }
+
   test("effectiveDiameter rank-selects the pct distance exactly") {
     // chain of 11 nodes from landmark 0: dists 1..10 -> p90 lower = 9
     val g = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
