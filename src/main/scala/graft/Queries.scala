@@ -4080,6 +4080,161 @@ object Queries {
       .orderBy("bowtie_class")
   }
 
+  /** Live-HTTP S9 gate (ExternalApiResultsFetcher.py:193-288): the
+    * restartable fetch loop driven over REAL connections against an
+    * in-process loopback API (zero egress) — fetch one 100-key batch,
+    * kill, restart to completion, exercising the anti-join resume in
+    * the gated path. Every key ≡0 (mod 97) 500s upstream → the
+    * placeholder row (ok=false, json={}), the reference's empty-dict
+    * semantics. The oracle derives the same tuples from the part table
+    * directly (no HTTP) — equality proves the wire path delivered
+    * exactly the derivable results, failures included. The returned
+    * plan reads only the parquet checkpoint, so the server can close
+    * before materialization. */
+  def q297FetchHttp(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "part").filter(col("p_partkey") < 400)
+      .select(col("p_partkey").cast("string").as("key"))
+    val ck = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q297_fetch_ck")
+    ck.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(ck, true) // fresh checkpoint per run (Bench runs twice)
+    val api = new graft.sources.LoopbackApi(k =>
+      if (k.toLong % 97 == 0) None
+      else Some(s"""{"sym":"SYM$k","grp":${k.toLong % 7}}"""))
+    try {
+      val base = api.base // capture the string, never the server
+      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 100,
+        graft.sources.FetchPlanner.httpFetcher(k => s"$base/$k"),
+        maxBatches = 1) // run 1: killed after one dump
+      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 100,
+          graft.sources.FetchPlanner.httpFetcher(k => s"$base/$k"))
+        .select(col("key").cast("long").as("key"),
+          get_json_object(col("json"), "$.sym").as("sym"),
+          get_json_object(col("json"), "$.grp").cast("long").as("grp"),
+          col("ok"))
+        .orderBy("key")
+    } finally api.close()
+  }
+
+  /** Streaming-replay gate for the co-occurrence ingest twin (the q117
+    * pattern): seed the running pair table over 80% of the corpus,
+    * fold the rest in as micro-batch 1, then deliver THE SAME batch
+    * again — green only if the batch-id high-water guard makes the
+    * redelivery a no-op (a replayed count monoid otherwise doubles
+    * every folded n). Probes under the q278 oracle verbatim: the
+    * accumulated table ≡ one-shot co-occurrence over the whole
+    * corpus. */
+  def q298CooccurReplay(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    for (tbl <- Seq("q298_cooc", "q298_cooc_ingest_meta")) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    graft.streaming.Streams.applyCooccurBatch(
+      docs.filter(col("doc_id") % 5 =!= 0), 0L, "q298_cooc", 3,
+      "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    graft.streaming.Streams.applyCooccurBatch(batch, 1L, "q298_cooc", 3,
+      "doc_id", "text")
+    graft.streaming.Streams.applyCooccurBatch(batch, 1L, "q298_cooc", 3,
+      "doc_id", "text") // the simulated restart redelivery
+    val rw = Window.orderBy(col("n").desc, col("w1"), col("w2"))
+    s.table("q298_cooc")
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= 30)
+      .orderBy("rank")
+  }
+
+  /** Event-time midpoint of the events table — the deterministic batch
+    * boundary the two flatMapGroupsWithState replay gates split the
+    * feed at (batch 1 strictly before, batch 2 at/after: per-key
+    * event-time order holds, the twins' ordered-feed contract). */
+  private def eventsMidUs(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val Array(mn, mx) = events(s, dir)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head() match { case (a, b) => Array(a, b) }
+    mn + (mx - mn) / 2
+  }
+
+  /** Streaming-replay gate for the TWAP twin: the events feed split at
+    * the event-time midpoint into two MemoryStream micro-batches,
+    * folded through `Streams.twapStream` (per-key BigInteger-exact
+    * state), final emit per key (n is cumulative, so max-n wins) gated
+    * under the q269 batch oracle verbatim. The driver-side collect
+    * feeds the test harness's MemoryStream — replay machinery, not the
+    * scale path (the operator's state lives executor-side; production
+    * feeds arrive from a real source). */
+  def q299TwapStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams.TwapEvent
+    val ev = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val mid = eventsMidUs(s, dir)
+    def batchOf(pred: Column): Array[TwapEvent] =
+      ev.filter(pred).as[(Long, Long, Long, Long)].collect()
+        .map { case (k, us, id, v) => TwapEvent(k, us, id, v) }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TwapEvent]
+    scala.util.Try(s.catalog.dropTempView("q299_sink"))
+    val q = graft.streaming.Streams.twapStream(in.toDS())
+      .writeStream.format("memory").queryName("q299_sink")
+      .outputMode("update").start()
+    try {
+      in.addData(batchOf(col("us") < mid).toSeq)
+      q.processAllAvailable()
+      in.addData(batchOf(col("us") >= mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = Window.partitionBy("key").orderBy(col("n").desc)
+    s.table("q299_sink")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1) // the final emit per key
+      .select(col("key").as("user_id"), col("n"), col("span_us"),
+        col("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming-replay gate for the debounce twin: the same
+    * midpoint-split feed through `Streams.debounceStream` (state = the
+    * per-key predecessor), survivors accumulated across batches, gated
+    * under the q240 batch oracle verbatim (survivor event_ids joined
+    * back to the events table for the full rows). */
+  def q300DebounceStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams.DebounceEvent
+    val ev = events(s, dir).select(
+      concat_ws("|", col("user_id"), col("event_type")).as("key"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val mid = eventsMidUs(s, dir)
+    def batchOf(pred: Column): Array[DebounceEvent] =
+      ev.filter(pred).as[(String, Long, Long)].collect()
+        .map { case (k, us, id) => DebounceEvent(k, us, id) }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DebounceEvent]
+    scala.util.Try(s.catalog.dropTempView("q300_sink"))
+    val q = graft.streaming.Streams.debounceStream(in.toDS(), 300L)
+      .writeStream.format("memory").queryName("q300_sink")
+      .outputMode("update").start()
+    try {
+      in.addData(batchOf(col("us") < mid).toSeq)
+      q.processAllAvailable()
+      in.addData(batchOf(col("us") >= mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("q300_sink").select(col("eventId").as("event_id"))
+      .join(events(s, dir), Seq("event_id"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
   /** Full-depth hierarchy gate: the reference's ≤64-hop contract
     * (AqlQuerySetBuilder.java:96) exercised where BOTH rules bind —
     * an 80-node SUB_CLASS_OF chain (orders mod-80 residues, all
@@ -5028,13 +5183,72 @@ object Queries {
     "q293_icc" -> (q293Icc _),
     "q294_eff_diameter" -> (q294EffDiameter _),
     "q295_burstiness" -> (q295Burstiness _),
-    "q296_bowtie" -> (q296Bowtie _)
+    "q296_bowtie" -> (q296Bowtie _),
+    "q297_fetch_http" -> (q297FetchHttp _),
+    "q298_cooccur_replay" -> (q298CooccurReplay _),
+    "q299_twap_stream_replay" -> (q299TwapStreamReplay _),
+    "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
     * delivery) and q118 (doubled delivery: row_number over identical
     * duplicated rows picks an identical winner, so the replayed run
     * must hash-match this same oracle). */
+  /** Debounce semantics shared by q240 (batch) and q300 (streaming
+    * twin replay — identical survivor set by the twin's contract). */
+  private val debounceOracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      | FROM events),
+      |g AS (SELECT event_id, user_id, event_type,
+      |  us - lag(us) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY us, event_id) AS gap
+      | FROM e)
+      |SELECT event_id, user_id, event_type FROM g
+      |WHERE gap IS NULL OR gap >= 300000000
+      |ORDER BY event_id""".stripMargin
+
+  /** TWAP exact chain shared by q269 (batch) and q299 (streaming twin
+    * replay — the per-key BigInteger state reproduces the same single
+    * final division). */
+  private val twapOracle: String =
+    """WITH e AS MATERIALIZED (SELECT user_id, event_id,
+      |  epoch_us(ts) AS us,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      | FROM events),
+      |l AS (SELECT user_id, us, cents, lead(us) OVER (
+      |  PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      | FROM e),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
+      |  CAST(sum(CAST(nxt - us AS HUGEINT) * cents) AS HUGEINT) AS num
+      | FROM l GROUP BY user_id)
+      |SELECT user_id, n, span_us,
+      |  CASE WHEN span_us > 0 THEN
+      |    CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+      |      CAST(span_us AS DOUBLE) END AS twap
+      |FROM a ORDER BY user_id""".stripMargin
+
+  /** Window-3 co-occurrence top-30, shared by q278 (one-shot batch)
+    * and q298 (replay-guarded streaming ingest accumulation) — pairs
+    * via offset-indexed list access, linear in tokens×window, never a
+    * positional self-join. */
+  private val cooccurrenceOracle: String =
+    """WITH d AS MATERIALIZED (SELECT
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS lst
+      | FROM documents),
+      |p AS (SELECT least(lst[i], lst[i + o]) AS w1,
+      |  greatest(lst[i], lst[i + o]) AS w2
+      | FROM d, unnest(range(1, len(lst) + 1)) tt(i),
+      |   unnest(range(1, 4)) oo(o)
+      | WHERE i + o <= len(lst)),
+      |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      | FROM p GROUP BY 1, 2),
+      |r AS (SELECT w1, w2, n, CAST(row_number() OVER (
+      |  ORDER BY n DESC, w1, w2) AS BIGINT) AS rank FROM c)
+      |SELECT w1, w2, n, rank FROM r WHERE rank <= 30
+      |ORDER BY rank""".stripMargin
+
   private val mergeLatestOracle: String =
     """WITH base AS (
       | SELECT o_orderkey, o_orderstatus AS status, 0 AS version,
@@ -7009,16 +7223,9 @@ object Queries {
         |  AND abs(a.len - b.len) <= 4
         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
-    "q240_debounce" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-        | FROM events),
-        |g AS (SELECT event_id, user_id, event_type,
-        |  us - lag(us) OVER (PARTITION BY user_id, event_type
-        |    ORDER BY us, event_id) AS gap
-        | FROM e)
-        |SELECT event_id, user_id, event_type FROM g
-        |WHERE gap IS NULL OR gap >= 300000000
-        |ORDER BY event_id""".stripMargin,
+    "q240_debounce" -> debounceOracle,
+    // the streaming twin accumulates the identical survivor set
+    "q300_debounce_stream_replay" -> debounceOracle,
     "q241_js_tokens" ->
       """WITH toks AS (SELECT doc_id % 2 = 0 AS a,
         |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -7590,23 +7797,9 @@ object Queries {
         |SELECT n AS node, CAST(v AS BIGINT) AS katz_num,
         |  CAST(v AS DOUBLE) / 4096.0 AS katz
         |FROM x4 ORDER BY node""".stripMargin,
-    "q269_twap" ->
-      """WITH e AS MATERIALIZED (SELECT user_id, event_id,
-        |  epoch_us(ts) AS us,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        | FROM events),
-        |l AS (SELECT user_id, us, cents, lead(us) OVER (
-        |  PARTITION BY user_id ORDER BY us, event_id) AS nxt
-        | FROM e),
-        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(max(us) - min(us) AS BIGINT) AS span_us,
-        |  CAST(sum(CAST(nxt - us AS HUGEINT) * cents) AS HUGEINT) AS num
-        | FROM l GROUP BY user_id)
-        |SELECT user_id, n, span_us,
-        |  CASE WHEN span_us > 0 THEN
-        |    CAST(CAST(num AS VARCHAR) AS DOUBLE) /
-        |      CAST(span_us AS DOUBLE) END AS twap
-        |FROM a ORDER BY user_id""".stripMargin,
+    "q269_twap" -> twapOracle,
+    // the streaming twin's final per-key emit is the same exact chain
+    "q299_twap_stream_replay" -> twapOracle,
     "q270_precedence" ->
       """WITH c AS MATERIALIZED (SELECT user_id AS k, event_type AS t,
         |  min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
@@ -7828,22 +8021,20 @@ object Queries {
         |FROM r WHERE rr = (np + 1) // 2""".stripMargin,
     // pairs via offset-indexed list access — linear in tokens*window,
     // never a positional self-join
-    "q278_cooccurrence" ->
-      """WITH d AS MATERIALIZED (SELECT
-        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |    x -> x <> '') AS lst
-        | FROM documents),
-        |p AS (SELECT least(lst[i], lst[i + o]) AS w1,
-        |  greatest(lst[i], lst[i + o]) AS w2
-        | FROM d, unnest(range(1, len(lst) + 1)) tt(i),
-        |   unnest(range(1, 4)) oo(o)
-        | WHERE i + o <= len(lst)),
-        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
-        | FROM p GROUP BY 1, 2),
-        |r AS (SELECT w1, w2, n, CAST(row_number() OVER (
-        |  ORDER BY n DESC, w1, w2) AS BIGINT) AS rank FROM c)
-        |SELECT w1, w2, n, rank FROM r WHERE rank <= 30
-        |ORDER BY rank""".stripMargin,
+    "q278_cooccurrence" -> cooccurrenceOracle,
+    // the replay-guarded streaming ingest accumulates the same table
+    "q298_cooccur_replay" -> cooccurrenceOracle,
+    // q297: the oracle derives the fetched tuples from part directly —
+    // equality proves the HTTP loop delivered exactly the derivable
+    // results (failures as NULL placeholders included)
+    "q297_fetch_http" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS key,
+        |  CASE WHEN p_partkey % 97 = 0 THEN NULL
+        |    ELSE 'SYM' || CAST(p_partkey AS VARCHAR) END AS sym,
+        |  CASE WHEN p_partkey % 97 = 0 THEN NULL
+        |    ELSE CAST(p_partkey % 7 AS BIGINT) END AS grp,
+        |  p_partkey % 97 <> 0 AS ok
+        |FROM part WHERE p_partkey < 400 ORDER BY key""".stripMargin,
     "q279_rake" ->
       """WITH d AS MATERIALIZED (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
