@@ -7,11 +7,12 @@
 set -e -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/canary.json}
+source "$(dirname "$0")/java_env.sh"
 : > "$OUT.runs"
 for i in 1 2 3; do
   rm -rf spark-warehouse
   SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-    sbt -batch "runMain graft.Canary" 2>&1 |
+    java $GRAFT_JAVA_OPTS -cp "$GRAFT_CP" graft.Canary 2>/dev/null |
     grep -o '{"canary".*}' >> "$OUT.runs"
 done
 python3 - "$OUT" <<'EOF'
