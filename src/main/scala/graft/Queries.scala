@@ -3292,6 +3292,34 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** PNG pixel-decode gate (the compressed-codec face of q234): each
+    * document's first 40 characters become an 8×5 grayscale PNG via
+    * [[graft.operators.Multimodal.pngBytes]] — five rows, so the
+    * encoder's row%5 filter cycle exercises ALL FIVE spec filters
+    * (None/Sub/Up/Average/Paeth) and the pixel stream is genuinely
+    * deflated/inflated (java.util.zip is the codec).
+    * [[graft.operators.Multimodal.decodePngPixels]] must walk the
+    * chunks, verify CRC32s, inflate, and unfilter; the oracle
+    * recomputes every statistic from the text, so equality proves the
+    * decode is real end-to-end. */
+  def q301PngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, graft.operators.Multimodal.pngBytes(
+          txt.substring(0, 40).getBytes("US-ASCII"), 8, 5))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.imagePixelStats(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        element_at(col("ch_sum"), 1).as("px_sum"),
+        col("px_min"), col("px_max"),
+        element_at(col("top_left"), 1).as("top_left"),
+        element_at(col("bottom_right"), 1).as("bottom_right"))
+      .orderBy("media_id")
+  }
+
   /** WAV sample-decode gate: each document's first 40 characters
     * become mono 16-bit PCM samples (c−100)·256 via
     * [[graft.operators.Multimodal.wavPcm16Bytes]];
@@ -5185,6 +5213,7 @@ object Queries {
     "q295_burstiness" -> (q295Burstiness _),
     "q296_bowtie" -> (q296Bowtie _),
     "q297_fetch_http" -> (q297FetchHttp _),
+    "q301_png_pixels" -> (q301PngPixels _),
     "q298_cooccur_replay" -> (q298CooccurReplay _),
     "q299_twap_stream_replay" -> (q299TwapStreamReplay _),
     "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _)
@@ -7122,6 +7151,19 @@ object Queries {
         |  CAST(list_max(v) AS INT) AS px_max,
         |  CAST(v[1] AS INT) AS top_left,
         |  CAST(v[39] AS INT) AS bottom_right
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q301_png_pixels" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id,
+        |  list_transform(generate_series(1, 40),
+        |    i -> ord(substr(text, i, 1))) AS v
+        | FROM documents)
+        |SELECT doc_id AS media_id, 8 AS width, 5 AS height,
+        |  CAST(40 AS BIGINT) AS n_px,
+        |  CAST(list_sum(v) AS BIGINT) AS px_sum,
+        |  CAST(list_min(v) AS INT) AS px_min,
+        |  CAST(list_max(v) AS INT) AS px_max,
+        |  CAST(v[1] AS INT) AS top_left,
+        |  CAST(v[40] AS INT) AS bottom_right
         |FROM b ORDER BY media_id""".stripMargin,
     "q235_wav_samples" ->
       """WITH v AS MATERIALIZED (SELECT doc_id, i,

@@ -874,8 +874,11 @@ object Scratch {
                   .otherwise(pmod(i * col("p"), col("n")))
                 val w = element_at(col("ws"), idx + 1)
                 val h = xxhash64(col("doc_id"), col("r"), i)
+                // u on a 1e-9 grid: coarser grids cap the realized rank
+                // universe (a 1e-5 grid saturated vocabulary at ~43k
+                // types one decade early)
                 val u = pmod(xxhash64(col("doc_id"), col("r"), i, lit(1L)),
-                  lit(100000L)).cast("double") / lit(100000.0)
+                  lit(1000000000L)).cast("double") / lit(1.0e9)
                 val zipf = concat(lit("z"),
                   floor(pow(lit(1000000.0), u)).cast("long").cast("string"))
                 when(pmod(h, lit(3)) === 0, zipf).otherwise(w)

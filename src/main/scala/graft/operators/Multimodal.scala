@@ -12,14 +12,16 @@ import org.apache.spark.sql.types._
  * out, executor-local, no driver round-trips).
  *
  * Container HEADERS decode for real (PNG/JPEG/GIF/BMP/WAV —
- * [[decodeHeader]]), and the UNCOMPRESSED payloads decode for real
- * too: BMP pixel rows ([[decodeBmpPixels]]) and WAV PCM samples
- * ([[decodeWavSamples]]) are raw bytes behind the header, no codec
- * library needed. Only compressed pixel data (PNG inflate, JPEG DCT,
- * GIF LZW) keeps a clearly-marked deterministic stub (`decodeStub`) —
- * those libraries are not in this container; everything around the
- * stub — schema, batching, partitioning, feature shape — is the real
- * plumbing a codec would drop into.
+ * [[decodeHeader]]), and so do every payload whose codec the JDK
+ * carries: BMP pixel rows ([[decodeBmpPixels]]) and WAV PCM samples
+ * ([[decodeWavSamples]]) are raw bytes behind the header, and PNG
+ * pixel data ([[decodePngPixels]]) is zlib + the five spec filters —
+ * java.util.zip Inflater/CRC32 is the codec, pure JDK. Only JPEG
+ * (DCT) and GIF (LZW) pixel payloads keep the clearly-marked
+ * deterministic stub (`decodeStub`) — those libraries are not in this
+ * container; everything around the stub — schema, batching,
+ * partitioning, feature shape — is the real plumbing a codec would
+ * drop into.
  *
  * At 100 TB: rows are value-heavy (MBs per row), so operators here never
  * shuffle the binary payload — metadata-only projections go through
@@ -235,9 +237,9 @@ object Multimodal {
   // -----------------------------------------------------------------
   // REAL payload decode for the uncompressed containers. BMP pixel
   // rows and WAV PCM samples are raw bytes after the (already-real)
-  // header — no codec dependency exists to stub. Compressed codecs
-  // (PNG/JPEG/GIF pixel data) remain the one honest stub in this
-  // module: inflate/DCT libraries are not in this container.
+  // header — no codec dependency exists to stub. PNG decodes for real
+  // further below (zlib ships in the JDK); JPEG (DCT) and GIF (LZW)
+  // pixel data remain the one honest stub in this module.
   // -----------------------------------------------------------------
 
   /** Exact integer pixel statistics of an uncompressed BMP payload. */
@@ -447,10 +449,217 @@ object Multimodal {
     out
   }
 
+  // -----------------------------------------------------------------
+  // REAL PNG pixel codec — pure JDK. PNG's "compressed codec" is zlib,
+  // which java.util.zip (Inflater/Deflater/CRC32) ships; the rest of
+  // the format is the chunk walk and the five per-row filters
+  // (None/Sub/Up/Average/Paeth, PNG spec §9). So PNG pixel data
+  // decodes for REAL here; only JPEG (DCT) and GIF (LZW) payloads
+  // remain stubbed.
+  // -----------------------------------------------------------------
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val pngSig: Array[Int] = Array(137, 80, 78, 71, 13, 10, 26, 10)
+
+  /** Minimal REAL PNG encoder for fixtures/gates: 8-bit grayscale
+    * (`channels = 1`), RGB (3), or RGBA (4); non-interlaced; one IDAT;
+    * correct CRC32s. Each row is filtered with type `row % 5` — the
+    * encoder deliberately cycles through ALL FIVE spec filters so a
+    * decoder that mishandles Sub/Up/Average/Paeth cannot round-trip
+    * its output (the honest-decode guarantee: nothing about this pair
+    * is mutually-cancelling identity transforms; the bytes on the wire
+    * are genuine filtered-then-deflated PNG). */
+  def pngBytes(pixels: Array[Byte], w: Int, h: Int,
+               channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      "pngBytes encodes gray, RGB, or RGBA")
+    require(pixels.length == w * h * channels, "pixel buffer shape")
+    val rowLen = w * channels
+    val raw = new Array[Byte](h * (1 + rowLen))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (1 + rowLen)) = f.toByte
+      var i = 0
+      while (i < rowLen) {
+        val cur = pixels(y * rowLen + i) & 0xff
+        val a = if (i >= channels) pixels(y * rowLen + i - channels) & 0xff else 0
+        val b = if (y > 0) pixels((y - 1) * rowLen + i) & 0xff else 0
+        val c = if (y > 0 && i >= channels)
+          pixels((y - 1) * rowLen + i - channels) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (1 + rowLen) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = bos.toByteArray
+    val colorType = channels match { case 1 => 0; case 3 => 2; case 4 => 6 }
+    val ihdr = new Array[Byte](13)
+    def p32(arr: Array[Byte], i: Int, v: Long): Unit = {
+      arr(i) = ((v >> 24) & 0xff).toByte; arr(i + 1) = ((v >> 16) & 0xff).toByte
+      arr(i + 2) = ((v >> 8) & 0xff).toByte; arr(i + 3) = (v & 0xff).toByte
+    }
+    p32(ihdr, 0, w.toLong); p32(ihdr, 4, h.toLong)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // bit depth 8
+    val out = new java.io.ByteArrayOutputStream()
+    pngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = new Array[Byte](4); p32(len, 0, data.length.toLong)
+      out.write(len, 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val cb = new Array[Byte](4); p32(cb, 0, crc.getValue)
+      out.write(cb, 0, 4)
+    }
+    chunk("IHDR", ihdr); chunk("IDAT", idat); chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** REAL PNG pixel decode — pure JDK: validates the signature and
+    * per-chunk CRC32s, walks IHDR/PLTE/IDAT/IEND, INFLATES the
+    * concatenated IDAT zlib stream, reverses the per-row filter (all
+    * five spec types), and folds the same exact integer statistics as
+    * [[decodeBmpPixels]]. Supports bit depth 8, color types 0 (gray),
+    * 2 (RGB), 3 (palette — expanded through PLTE to RGB), 4
+    * (gray+alpha), 6 (RGBA), non-interlaced. None (quarantine) for
+    * 16-bit, interlaced, CRC-corrupt, or truncated payloads. PNG rows
+    * are stored top-down, so corners are direct. */
+  def decodePngPixels(content: Array[Byte]): Option[BmpPixelStats] = {
+    val b = content
+    if (b.length < 8 || (0 until 8).exists(i => u8(b, i) != pngSig(i)))
+      return None
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenEnd = false
+    while (!seenEnd && i + 8 <= b.length) {
+      val len = u32be(b, i).toInt
+      if (len < 0 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue != u32be(b, i + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = u32be(b, i + 8).toInt; h = u32be(b, i + 12).toInt
+          bitDepth = u8(b, i + 16); colorType = u8(b, i + 17)
+          interlace = u8(b, i + 20)
+        case "PLTE" => plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => seenEnd = true
+        case _ => // ancillary chunks skip
+      }
+      i += 12 + len
+    }
+    if (!seenEnd || w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0)
+      return None
+    val chIn = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
+    val rowLen = w * chIn
+    val expect = h * (1 + rowLen)
+    val raw = new Array[Byte](expect)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expect && !inf.finished()) {
+        val n = inf.inflate(raw, got, expect - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got < expect) return None
+    // reverse the per-row filters in place (recon overwrites raw)
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (1 + rowLen))
+      if (f > 4) return None
+      val off = y * (1 + rowLen) + 1
+      val prior = (y - 1) * (1 + rowLen) + 1
+      var x = 0
+      while (x < rowLen) {
+        val a = if (x >= chIn) u8(raw, off + x - chIn) else 0
+        val up = if (y > 0) u8(raw, prior + x) else 0
+        val c = if (y > 0 && x >= chIn) u8(raw, prior + x - chIn) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => paeth(a, up, c)
+        }
+        raw(off + x) = ((u8(raw, off + x) + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // palette expansion (type 3 → RGB) happens at the sample fold
+    val chOut = if (colorType == 3) 3 else chIn
+    def sample(yy: Int, xx: Int, cc: Int): Int = {
+      val base = yy * (1 + rowLen) + 1
+      if (colorType == 3) {
+        val idx = u8(raw, base + xx)
+        if (idx * 3 + cc >= plte.length) 0 else u8(plte, idx * 3 + cc)
+      } else u8(raw, base + xx * chIn + cc)
+    }
+    val sums = new Array[Long](chOut)
+    var mn = 255; var mx = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var cc = 0
+        while (cc < chOut) {
+          val v = sample(y, x, cc)
+          sums(cc) += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          cc += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpPixelStats(w, h, chOut, w.toLong * h, sums, mn, mx,
+      Array.tabulate(chOut)(sample(0, 0, _)),
+      Array.tabulate(chOut)(sample(h - 1, w - 1, _))))
+  }
+
   /** Per-row image pixel statistics over a (media_id, content) frame —
     * batched mapPartitions (the mapInPandas contract), REAL for
-    * uncompressed BMPs, rows that don't decode are dropped (the
-    * quarantine census is `decode`'s job). Payload never shuffles. */
+    * uncompressed BMPs and zlib-compressed PNGs, rows that don't
+    * decode are dropped (the quarantine census is `decode`'s job).
+    * Payload never shuffles. */
   def imagePixelStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -458,7 +667,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
-          decodeBmpPixels(bytes).map(s => (id, s))
+          decodeBmpPixels(bytes).orElse(decodePngPixels(bytes))
+            .map(s => (id, s))
         })
       }
       .select(col("_1").as("media_id"), col("_2.width").as("width"),

@@ -264,4 +264,96 @@ class MultimodalSpec extends SparkSpec {
     val h3 = Multimodal.dHashBmp(Multimodal.bmpGray8Bytes(px, 18, 8)).get
     assert(h3 === "0100000000000000")
   }
+
+  // ---- real PNG codec (zlib + the five spec filters, pure JDK) ----
+
+  private def gradient(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
+
+  test("decodePngPixels: grayscale round-trip through all five filters " +
+      "matches the BMP decode of the same pixels") {
+    // 7 rows -> the encoder's row%5 cycle hits None/Sub/Up/Average/Paeth
+    val px = gradient(9 * 7)
+    val png = Multimodal.decodePngPixels(Multimodal.pngBytes(px, 9, 7)).get
+    val bmp = Multimodal.decodeBmpPixels(Multimodal.bmpGray8Bytes(px, 9, 7)).get
+    assert(png.width == 9 && png.height == 7 && png.channels == 1)
+    assert(png.ch_sum.toSeq == bmp.ch_sum.toSeq)
+    assert(png.px_min == bmp.px_min && png.px_max == bmp.px_max)
+    assert(png.top_left.toSeq == Seq(px(0) & 0xff))
+    assert(png.bottom_right.toSeq == Seq(px(62) & 0xff))
+  }
+
+  test("decodePngPixels: RGB and RGBA channel sums are exact and in " +
+      "sample order") {
+    val px = gradient(4 * 6 * 3)
+    val s = Multimodal.decodePngPixels(Multimodal.pngBytes(px, 4, 6, 3)).get
+    assert(s.channels == 3 && s.n_px == 24)
+    val expect = Array.tabulate(3)(c =>
+      (0 until 24).map(i => px(i * 3 + c) & 0xff).map(_.toLong).sum)
+    assert(s.ch_sum.toSeq == expect.toSeq)
+    val px4 = gradient(5 * 5 * 4)
+    val s4 = Multimodal.decodePngPixels(Multimodal.pngBytes(px4, 5, 5, 4)).get
+    assert(s4.channels == 4)
+    assert(s4.top_left.toSeq == (0 until 4).map(px4(_) & 0xff))
+  }
+
+  test("decodePngPixels: CRC corruption, truncation, and unsupported " +
+      "shapes quarantine as None") {
+    val good = Multimodal.pngBytes(gradient(8 * 5), 8, 5)
+    assert(Multimodal.decodePngPixels(good).isDefined)
+    val flipped = good.clone()
+    flipped(40) = (flipped(40) ^ 0x01).toByte // inside IDAT payload
+    assert(Multimodal.decodePngPixels(flipped).isEmpty, "CRC must catch a flip")
+    assert(Multimodal.decodePngPixels(good.take(good.length - 20)).isEmpty)
+    val sixteenBit = good.clone()
+    sixteenBit(24) = 16 // IHDR bit depth (offset 8 sig + 8 hdr + 8 w/h)
+    assert(Multimodal.decodePngPixels(sixteenBit).isEmpty,
+      "16-bit must quarantine (CRC also breaks, either guard is fine)")
+  }
+
+  test("decodePngPixels: palette (color type 3) expands through PLTE " +
+      "to RGB") {
+    // hand-assemble a 3x2 palette PNG: indices 0..5, palette maps
+    // i -> (10i, 20i, 30i)
+    def p32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      p32(data.length.toLong) ++ tb ++ data ++ p32(crc.getValue)
+    }
+    val ihdr = p32(3L) ++ p32(2L) ++ Array[Byte](8, 3, 0, 0, 0)
+    val plte = (0 until 6).flatMap(i =>
+      Seq((10 * i).toByte, (20 * i).toByte, (30 * i).toByte)).toArray
+    val raw = Array[Byte](0, 0, 1, 2, 0, 3, 4, 5) // 2 rows, filter 0
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    val png = Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", bos.toByteArray) ++ chunk("IEND", Array.empty)
+    val s = Multimodal.decodePngPixels(png).get
+    assert(s.channels == 3 && s.n_px == 6)
+    // sums over indices 0..5: sum(10i)=150, sum(20i)=300, sum(30i)=450
+    assert(s.ch_sum.toSeq == Seq(150L, 300L, 450L))
+    assert(s.top_left.toSeq == Seq(0, 0, 0))
+    assert(s.bottom_right.toSeq == Seq(50, 100, 150))
+  }
+
+  test("imagePixelStats decodes mixed BMP and PNG media in one pass") {
+    val px = gradient(9 * 7)
+    val mixed = Seq(
+      (1L, Multimodal.bmpGray8Bytes(px, 9, 7)),
+      (2L, Multimodal.pngBytes(px, 9, 7)),
+      (3L, Array[Byte](1, 2, 3)) // neither: quarantined
+    ).toDF("media_id", "content")
+    val out = Multimodal.imagePixelStats(mixed).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("ch_sum").toSeq).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == out(2L))
+  }
 }
