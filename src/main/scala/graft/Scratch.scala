@@ -863,26 +863,44 @@ object Scratch {
             x => pmod(col("n"), x) =!= 0),
           pmod(col("r"), lit(5)) + 1))
         .withColumn("text2",
-          if (openVocab)
-            // open mode: permutation still only for r>0, but the Zipf
-            // substitution channel fires on EVERY rep so both decades
-            // of a comparison carry the open vocabulary
+          if (openVocab) {
+            // open mode: the Zipf substitution channel fires on EVERY
+            // rep so both decades of a comparison carry the open
+            // vocabulary. Replicas PAIR UP (rg = r - r%2): a pair
+            // shares its permutation and its 1/3 substitution draw,
+            // then a second ~5% channel keyed by the TRUE r diverges
+            // the two — each pair is a genuine near-duplicate
+            // (3-gram Jaccard ≈ 0.7-0.8), so near-dup pairs and
+            // components grow ∝ corpus, the realistic dedup shape
+            // (the closed corpus had everything-matches-everything;
+            // a pair-free open corpus had nothing-matches-anything).
+            val rg = col("r") - pmod(col("r"), lit(2))
+            val pg = element_at(
+              filter(lit(Array(3, 5, 7, 11, 13, 17, 19, 23, 29, 31)),
+                x => pmod(col("n"), x) =!= 0),
+              pmod(rg, lit(5)) + 1)
+            def zipfOf(h2: org.apache.spark.sql.Column) = {
+              // u on a 1e-9 grid: coarser grids cap the realized rank
+              // universe (a 1e-5 grid saturated vocabulary at ~43k
+              // types one decade early)
+              val u = pmod(h2, lit(1000000000L)).cast("double") / lit(1.0e9)
+              concat(lit("z"),
+                floor(pow(lit(1000000.0), u)).cast("long").cast("string"))
+            }
             when(col("n") < 1, col("text")).otherwise(array_join(
               transform(sequence(lit(0), col("n") - 1), i => {
-                val idx = when(col("r") === 0 || col("n") < 2 ||
-                    col("p").isNull, i)
-                  .otherwise(pmod(i * col("p"), col("n")))
+                val idx = when(rg === 0 || col("n") < 2 || pg.isNull, i)
+                  .otherwise(pmod(i * pg, col("n")))
                 val w = element_at(col("ws"), idx + 1)
-                val h = xxhash64(col("doc_id"), col("r"), i)
-                // u on a 1e-9 grid: coarser grids cap the realized rank
-                // universe (a 1e-5 grid saturated vocabulary at ~43k
-                // types one decade early)
-                val u = pmod(xxhash64(col("doc_id"), col("r"), i, lit(1L)),
-                  lit(1000000000L)).cast("double") / lit(1.0e9)
-                val zipf = concat(lit("z"),
-                  floor(pow(lit(1000000.0), u)).cast("long").cast("string"))
-                when(pmod(h, lit(3)) === 0, zipf).otherwise(w)
+                val h = xxhash64(col("doc_id"), rg, i)
+                val hd = xxhash64(col("doc_id"), col("r"), i, lit(2L))
+                when(pmod(hd, lit(20)) === 0,
+                    zipfOf(xxhash64(col("doc_id"), col("r"), i, lit(3L))))
+                  .when(pmod(h, lit(3)) === 0,
+                    zipfOf(xxhash64(col("doc_id"), rg, i, lit(1L))))
+                  .otherwise(w)
               }), " "))
+          }
           else
             when(col("r") === 0 || col("n") < 2 || col("p").isNull, col("text"))
             .otherwise(array_join(
@@ -955,16 +973,22 @@ object Scratch {
         System.gc()
       }
       val only = if (args.length > 2) args(2).split(",").toSeq else Nil
-      def time(tag: String)(body: => Long): Unit = {
-        if (only.nonEmpty && !only.exists(tag.startsWith)) return
+      // `label` is BY-NAME and only evaluated when the section runs:
+      // interpolated labels embed lazy vals (k, nCells) whose source
+      // tables a text-only decade dir does not carry
+      def time(key: String, label: => String = null)(body: => Long): Unit = {
+        if (only.nonEmpty && !only.exists(key.startsWith)) return
+        val tag = if (label == null) key else label
         val t0 = System.nanoTime()
         val n = body
         println(f"[scratch] decade $tag: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         release()
       }
-      val orders = spark.read.parquet(s"$dir/orders.parquet")
-      val nOrd = orders.count()
-      val k = math.max(100L, nOrd / 150L) // nodes ∝ rows: avg degree stays ~fixed
+      // lazy: a text-only decade dir (the open-vocab corpora carry just
+      // documents.parquet) must still run its sections via the `only` arg
+      lazy val orders = spark.read.parquet(s"$dir/orders.parquet")
+      lazy val nOrd = orders.count()
+      lazy val k = math.max(100L, nOrd / 150L) // nodes ∝ rows: avg degree stays ~fixed
       // fresh frame per timed body: release() drops ALL persisted RDDs,
       // so a shared localCheckpoint would vanish between sections
       def edges() = orders.select((col("o_custkey") % k).as("src"),
@@ -973,7 +997,7 @@ object Scratch {
         graft.operators.GraphAlgos.pageRank(edges(), iterations = 5,
           exactFolds = false).count()
       }
-      time(s"ktruss(k=8,nodes=$k)") {
+      time("ktruss", s"ktruss(k=8,nodes=$k)") {
         // community-blocked edges (all within 100-node blocks): per-block
         // density — and hence triangle/truss structure — is scale-
         // invariant, while the number of blocks grows ∝ rows. A uniform
@@ -1001,15 +1025,15 @@ object Scratch {
           spark.read.parquet(s"$dir/events.parquet")).count()
       }
       def emb() = spark.read.parquet(s"$dir/embeddings.parquet")
-      val nEmb = emb().count()
-      val nCells = math.max(16, (nEmb / 125).toInt) // cell size ~fixed
-      time(s"ivf(nCells=$nCells,probe5%)") {
+      lazy val nEmb = emb().count()
+      lazy val nCells = math.max(16, (nEmb / 125).toInt) // cell size ~fixed
+      time("ivf", s"ivf(nCells=$nCells,probe5%)") {
         val e = emb()
         graft.operators.Similarity.ivfTopK(e,
           e.filter(col("vec_id") % 20 === 3), k = 10, nCells = nCells,
           nProbe = 2).count()
       }
-      time(s"semdedup(nCells=$nCells)") {
+      time("semdedup", s"semdedup(nCells=$nCells)") {
         val e = emb()
         graft.operators.Similarity.semanticDedup(e,
           graft.operators.Similarity.centroidsFromRows(e, nCells = nCells),
@@ -1023,7 +1047,7 @@ object Scratch {
         graft.operators.Corpus.maskSpansAgainst(docs, hot).count()
       }
       // ---- round-8 additions: the new heavy operator bodies ----
-      time(s"msf(cycles=32,nodes=$k)") {
+      time("msf", s"msf(cycles=32,nodes=$k)") {
         // disjoint 32-cycles tiling k nodes: Borůvka rounds stay at
         // log₂32 while per-round work grows ∝ k — the scale face
         val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
@@ -1034,7 +1058,7 @@ object Scratch {
         graft.operators.GraphAlgos.minSpanningForest(es, maxRounds = 16)
           .count()
       }
-      time(s"densest(nodes=$k)") {
+      time("densest", s"densest(nodes=$k)") {
         // ring background + one planted 20-clique per 1000 nodes:
         // clique count ∝ k, peel depth stays flat
         val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
@@ -1073,7 +1097,7 @@ object Scratch {
         graft.operators.Events.sessionNgrams(ev, "user_id", "ts",
           "event_id", "event_type", 1800L, 3, 20).count()
       }
-      time(s"matching(nodes=$k)") {
+      time("matching", s"matching(nodes=$k)") {
         // functional graph i -> (13i+7) mod k: ~k edges, greedy
         // matching peels in locally-dominant rounds
         val nodes = orders.select((col("o_custkey") % k).as("i")).distinct()
@@ -1082,7 +1106,7 @@ object Scratch {
           ((col("i") * 7919) % 104729).as("w"))
         graft.operators.GraphAlgos.maximalMatching(e).count()
       }
-      time(s"katz(nodes=$k,T=4)") {
+      time("katz", s"katz(nodes=$k,T=4)") {
         // in-degree ~ rows/k stays constant as k grows with rows
         val e = orders.select((col("o_custkey") % k).as("src"),
           (col("o_orderkey") % k).as("dst"))
@@ -1122,13 +1146,23 @@ object Scratch {
       // fixed landmark budget", so the decade face must hold it fixed
       def landmarks32() = edges().select(col("src").as("node")).distinct()
         .filter(pmod(col("node"), lit(math.max(1L, k / 32))) === 1)
-      time(s"closeness(nodes=$k,~32 landmarks)") {
+      time("closeness", s"closeness(nodes=$k,~32 landmarks)") {
         graft.operators.GraphAlgos.closenessCentrality(edges(),
           landmarks32(), maxHops = 6).count()
       }
-      time(s"effdiameter(nodes=$k,~32 landmarks)") {
+      time("effdiameter", s"effdiameter(nodes=$k,~32 landmarks)") {
         graft.operators.GraphAlgos.effectiveDiameter(edges(),
           landmarks32(), maxHops = 6, pct = 90).count()
+      }
+      time("components(lsh+star)") {
+        // the 100 TB face of the near-dup components family: banded
+        // LSH candidates (never the naive shingle self-join — that is
+        // the gate face, candidate-volume-dominated by construction) +
+        // alternating star contraction
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val pairs = graft.operators.Dedup.minHashLsh(docs,
+          hotBucketThreshold = 10000L)
+        graft.operators.Dedup.connectedComponentsStar(pairs).count()
       }
       time("prefixjaccard(0.6)") {
         // τ=0.6 (the q130 gate's production face is exact-verify, so
