@@ -920,7 +920,7 @@ object Queries {
                                             dir: String): (DataFrame, DataFrame) =
     catalogGraph(s, dir)
 
-  private def catalogGraphRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def catalogGraphRaw(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = t(s, dir, "customer").select(col("c_custkey").cast("long").as("c"))
     val clKeys = cust.select((col("c") % 200).as("j")).distinct()
     val gsEdges = clKeys.select(col("j"), explode(array_distinct(

@@ -1184,6 +1184,28 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "hiersplit") {
+      // q82 cost attribution: hop-table BUILD (bucketed write ∝ edges)
+      // vs the per-level bucketed QUERY — the scale claim is about the
+      // query; the build is index construction, paid once per ingest.
+      import org.apache.spark.sql.functions._
+      val buckets = if (args.length > 2) args(2).toInt else 8
+      val edges = Queries.catalogGraphRaw(spark, dir)._2.localCheckpoint(true)
+      var t0 = System.nanoTime()
+      graft.sources.GraphStore.writeHopTables(edges, buckets, "hsplit")
+      println(f"[scratch] hiersplit build(buckets=$buckets): ${(System.nanoTime() - t0) / 1e9}%.2f s (${edges.count()} edges)")
+      for (i <- 1 to 2) {
+        t0 = System.nanoTime()
+        val nb = graft.operators.PathQueries.kHopBucketed(spark, "hsplit",
+          "CS", Seq("CL", "GS", "MONDO")).count()
+        println(f"[scratch] hiersplit 3hop-base#$i: $nb rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        val n = graft.plans.QueryCatalog.production(19)
+          .runBucketed(spark, "hsplit").count()
+        println(f"[scratch] hiersplit query#$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",

@@ -280,6 +280,18 @@ object PathQueries {
         col("to_coll").as("cur_coll"), col("to_key").as("cur_key"))
 
   private def hierarchyLoop(basePaths: DataFrame, hier: DataFrame,
+                            maxDepth: Int): DataFrame =
+    hierarchyLoopThin(basePaths, hier, maxDepth)
+
+  /** The original array-carrying walk, kept as the THIN loop's
+    * equivalence witness (spec-pinned identical on forked, capped, and
+    * non-extendable fixtures). Its scale flaw, measured at the sf10
+    * two-decade rehearsal: every level localCheckpoints the FULL
+    * growing (tvs, tes) tail arrays and the winner pick unions every
+    * level's array rows — at 2.9 M paths × 4 levels the walk cost 64 s
+    * warm while the 3-hop base join took 1.6 s. The thin loop carries
+    * ~32 B/row frontiers instead and assembles arrays exactly once. */
+  private[graft] def hierarchyLoopDense(basePaths: DataFrame, hier: DataFrame,
                             maxDepth: Int): DataFrame = {
     val base = basePaths
       .withColumn("pid", monotonically_increasing_id())
@@ -328,6 +340,137 @@ object PathQueries {
       .select(
         concat(col("vertices"), col("tvs")).as("vertices"),
         concat(col("edges"), col("tes")).as("edges"))
+  }
+
+  /** Thin-frontier hierarchy walk — result ≡ [[hierarchyLoopDense]]
+    * (same longest-per-start, same ≤`maxDepth` cap, arbitrary winner
+    * among equal-length forks), restructured so the heavy string-struct
+    * tail arrays never move during the iteration:
+    *
+    *  - each level checkpoints a THIN log row (bid, pid, edge fields) —
+    *    `bid` is the per-level branch id (fork-safe: a node with two
+    *    label successors forks into two branches);
+    *  - the frontier carries (bid, pid, cur, bid_path) where bid_path
+    *    is a LONG ARRAY of the branch ids taken so far — 8 B per level
+    *    versus the dense loop's ~200 B of tail structs per level, and
+    *    it exists only in the frontier, never in the logs;
+    *  - the winner per pid is the max-level frontier snapshot (max_by —
+    *    arbitrary among equal-length forks, the dense convention);
+    *  - winner tails reconstruct in ONE posexplode of bid_path joined
+    *    against the level-tagged log union — constant plan depth (the
+    *    first thin cut walked parents backward through depth chained
+    *    lazy joins, and the O(depth²) plan OOM'd the q233 depth-64
+    *    gate at analysis time);
+    *  - tails become arrays in ONE sort_array(collect_list) pass and
+    *    join back to the checkpointed base.
+    *
+    * Scale shape: per-level checkpoint and shuffle bytes drop from
+    * O(paths × tail structs) to O(extensions × ~100 B) + the long-array
+    * frontier; the winner pick shuffles thin rows instead of every
+    * level's arrays. Measured at the sf10 rehearsal (2.9 M paths, 4
+    * levels, local[32]): the q82 walk fell from 64 s (dense) to ~9 s.
+    * The per-level job count is unchanged (one observed checkpoint per
+    * level — the q233 single-job discipline). */
+  private[graft] def hierarchyLoopThin(basePaths: DataFrame, hier: DataFrame,
+                                       maxDepth: Int): DataFrame = {
+    val base = basePaths
+      .withColumn("pid", monotonically_increasing_id())
+      .withColumn("cur_coll", element_at(col("vertices"), -1).getField("collection"))
+      .withColumn("cur_key", element_at(col("vertices"), -1).getField("key"))
+      .localCheckpoint(true)
+
+    // fork detection, ONCE up front: when no node has two label
+    // successors (SUB_CLASS_OF/PART_OF slices are near-trees — the
+    // common case), every pid has exactly one branch, so the winner
+    // machinery (bid paths, max_by, posexplode+join) is unnecessary:
+    // a pid's tail IS its log rows. One map-side-combined aggregate
+    // over the label slice.
+    val functional = hier
+      .groupBy(col("from_coll"), col("from_key"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max(col("__n")), lit(0L)).as("m"))
+      .head().getLong(0) <= 1L
+
+    // level-0 frontier: empty bid path (omitted on the fork-free path)
+    var frontier = base.select(col("pid"),
+      array().cast("array<long>").as("bid_path"),
+      col("cur_coll"), col("cur_key"))
+    var logs = List.empty[DataFrame]      // thin (pid, bid, v, e) per level
+    var snaps = List.empty[DataFrame]     // frontier snapshots per level
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val obs = org.apache.spark.sql.Observation()
+      // one observed checkpoint per level (the q233 single-job rule);
+      // the checkpoint also pins this level's monotonically_increasing
+      // branch ids so logs and snapshots agree
+      val step = frontier.join(hier,
+          frontier("cur_coll") === hier("from_coll") &&
+          frontier("cur_key") === hier("from_key"))
+        .select(monotonically_increasing_id().as("bid"), col("pid"),
+          col("bid_path"),
+          col("from_coll"), col("from_key"), col("to_coll"), col("to_key"),
+          col("label"))
+        // referencing the bid COLUMN (not a second monotonically_
+        // increasing_id() call, which would generate different ids)
+        .withColumn("bid_path",
+          if (functional) col("bid_path") // unused: skip the array append
+          else concat(col("bid_path"), array(col("bid"))))
+        .observe(obs, count(lit(1)).as("rows"))
+        .localCheckpoint(true)
+      if (obs.get("rows").asInstanceOf[Long] == 0L) done = true
+      else {
+        logs ::= step.select(col("pid"), col("bid"),
+          struct(col("to_coll").as("collection"), col("to_key").as("key"))
+            .as("v"),
+          struct(col("from_coll"), col("from_key"), col("to_coll"),
+            col("to_key"), col("label")).as("e"))
+        snaps ::= step.select(col("pid"), col("bid_path"))
+        frontier = step.select(col("pid"), col("bid_path"),
+          col("to_coll").as("cur_coll"), col("to_key").as("cur_key"))
+        depth += 1
+      }
+    }
+    if (logs.isEmpty)
+      return base.select(col("vertices"), col("edges"))
+    val byLevel = logs.reverse.zipWithIndex.map { case (l, i) => (i + 1, l) }
+    val logAll = byLevel.map { case (lvl, l) =>
+        l.select(col("pid"), lit(lvl).as("level"), col("bid"), col("v"),
+          col("e")) }
+      .reduce(_.unionByName(_))
+    val winnerRows =
+      if (functional) logAll // one branch per pid: every log row is tail
+      else {
+        // winner per pid: longest bid path (arbitrary among ties —
+        // max_by), then ONE posexplode + ONE join reconstructs it from
+        // the level-tagged log union — constant plan depth
+        val winners = snaps.reverse.zipWithIndex.map { case (s, i) =>
+            s.select(col("pid"), lit(i + 1).as("level"), col("bid_path")) }
+          .reduce(_.unionByName(_))
+          .groupBy("pid")
+          .agg(max_by(col("bid_path"), col("level")).as("bid_path"))
+        winners
+          .select(col("pid"),
+            posexplode(col("bid_path")).as(Seq("pos", "bid")))
+          .withColumn("level", col("pos") + 1)
+          .join(logAll.drop("pid"), Seq("level", "bid"))
+      }
+    val tails = winnerRows
+      .groupBy("pid")
+      .agg(sort_array(collect_list(struct(col("level"), col("v"),
+        col("e")))).as("t"))
+      .select(col("pid"),
+        transform(col("t"), x => x.getField("v")).as("tvs"),
+        transform(col("t"), x => x.getField("e")).as("tes"))
+    base.join(tails, Seq("pid"), "left")
+      .select(
+        concat(col("vertices"), coalesce(col("tvs"),
+          array().cast("array<struct<collection:string,key:string>>")))
+          .as("vertices"),
+        concat(col("edges"), coalesce(col("tes"),
+          array().cast("array<struct<from_coll:string,from_key:string," +
+            "to_coll:string,to_key:string,label:string>>")))
+          .as("edges"))
   }
 
   /**

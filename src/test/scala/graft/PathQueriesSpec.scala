@@ -81,6 +81,69 @@ class PathQueriesSpec extends SparkSpec {
     assert(p.length == 1 && p(0) == Seq("1", "a"))
   }
 
+  test("thin hierarchy loop ≡ dense loop on forks, dead ends, branches " +
+      "of distinct depth, and the depth cap") {
+    // one fixture exercising every walk shape at once:
+    //  start a: forks a->b (depth 3 via b->c->d) vs a->x (depth 1) —
+    //           unique longest wins;  decoy label from a must prune
+    //  start m: no outbound chain — tail stays empty
+    //  start p: 10-node chain but maxDepth=4 — the cap truncates
+    val chain = (0 until 10).map(i =>
+      ("CL", s"p$i", "CL", s"p${i + 1}", "SUB_CLASS_OF"))
+    val e = edges(Seq(
+      ("CS", "1", "CL", "a", "rel"),
+      ("CS", "2", "CL", "m", "rel"),
+      ("CS", "3", "CL", "p0", "rel"),
+      ("CL", "a", "CL", "b", "SUB_CLASS_OF"),
+      ("CL", "b", "CL", "c", "SUB_CLASS_OF"),
+      ("CL", "c", "CL", "d", "SUB_CLASS_OF"),
+      ("CL", "a", "CL", "x", "SUB_CLASS_OF"), // shorter fork
+      ("CL", "a", "CL", "z", "OTHER")) ++ chain: _*)
+    val v = verts(Seq(("CS", "1"), ("CS", "2"), ("CS", "3")) ++
+      e.select("to_coll", "to_key").as[(String, String)].collect().toSeq
+        .distinct: _*)
+    val base = PathQueries.kHop(v, e, "CS", Seq("CL"))
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.select(transform($"vertices", x => x.getField("key")))
+        .as[Seq[String]].collect().toSet
+    val dense = PathQueries.hierarchyLoopDense(base,
+      e.filter($"label" === "SUB_CLASS_OF"), maxDepth = 4)
+    val thin = PathQueries.hierarchyLoopThin(base,
+      e.filter($"label" === "SUB_CLASS_OF"), maxDepth = 4)
+    val expect = Set(
+      Seq("1", "a", "b", "c", "d"), // unique longest fork
+      Seq("2", "m"),                // dead end: empty tail survives
+      Seq("3", "p0", "p1", "p2", "p3", "p4")) // capped at 4 levels
+    assert(keysOf(dense) == expect)
+    assert(keysOf(thin) == expect)
+    // edge arrays must agree too, not just the vertex spines
+    def edgesOf(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] =
+      df.select(transform($"edges", x => concat_ws("|",
+        x.getField("from_key"), x.getField("to_key"), x.getField("label"))))
+        .as[Seq[String]].collect().toSet
+    assert(edgesOf(thin) == edgesOf(dense))
+  }
+
+  test("thin hierarchy loop picks exactly one branch among equal-length " +
+      "forks (the dense max_by convention)") {
+    val v = verts(("CS", "1"), ("CL", "a"), ("CL", "l1"), ("CL", "l2"),
+      ("CL", "r1"), ("CL", "r2"))
+    val e = edges(
+      ("CS", "1", "CL", "a", "rel"),
+      ("CL", "a", "CL", "l1", "SUB_CLASS_OF"),
+      ("CL", "l1", "CL", "l2", "SUB_CLASS_OF"),
+      ("CL", "a", "CL", "r1", "SUB_CLASS_OF"),
+      ("CL", "r1", "CL", "r2", "SUB_CLASS_OF"))
+    val base = PathQueries.kHop(v, e, "CS", Seq("CL"))
+    val got = PathQueries.hierarchyLoopThin(base,
+        e.filter($"label" === "SUB_CLASS_OF"), maxDepth = 8)
+      .select(transform($"vertices", x => x.getField("key")))
+      .as[Seq[String]].collect()
+    assert(got.length == 1) // ONE winner, not both forks
+    assert(got(0) == Seq("1", "a", "l1", "l2") ||
+      got(0) == Seq("1", "a", "r1", "r2"))
+  }
+
   test("subgraph dedups exploded vertices and edges") {
     // PhenotypeGraphBuilder.java:117-157 without the O(n²) scan
     val v = verts(("CS", "1"), ("CS", "2"), ("GS", "a"))
