@@ -4131,10 +4131,15 @@ object Queries {
       else Some(s"""{"sym":"SYM$k","grp":${k.toLong % 7}}"""))
     try {
       val base = api.base // capture the string, never the server
-      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 100,
+      // batch = 200 keys → run 1 checkpoints exactly half, run 2's
+      // anti-join resumes the other half; the gate's wall-clock is
+      // per-batch Spark job overhead (checkpoint + dump + reload per
+      // cycle), so two cycles keep the bench honest without thinning
+      // the restart semantics
+      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 200,
         graft.sources.FetchPlanner.httpFetcher(k => s"$base/$k"),
         maxBatches = 1) // run 1: killed after one dump
-      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 100,
+      graft.sources.FetchPlanner.fetchLoop(keys, "key", ck.toString, 200,
           graft.sources.FetchPlanner.httpFetcher(k => s"$base/$k"))
         .select(col("key").cast("long").as("key"),
           get_json_object(col("json"), "$.sym").as("sym"),

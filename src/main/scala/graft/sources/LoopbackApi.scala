@@ -25,6 +25,11 @@ final class LoopbackApi(handler: String => Option[String])
   val requests = new ConcurrentHashMap[String, Integer]()
 
   private val server: HttpServer = {
+    // without TCP_NODELAY the header+body two-write response pattern
+    // hits Nagle × delayed-ACK: ~40 ms per request, 400 requests ≈ 16 s
+    // of pure stall (measured — the q297 gate cost 19.96 s; a python
+    // loopback baseline did the same 400 GETs in 0.66 s)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/api/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
