@@ -4234,6 +4234,45 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Streaming-replay gate for the CUSUM twin (q299's pattern): the
+    * midpoint-split feed through `Streams.cusumAlarmStream` — per-key
+    * clamped integer recursion folded across two micro-batches — final
+    * emit per key (n is cumulative) gated under the q166 recursive-CTE
+    * oracle verbatim. */
+  def q302CusumStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Streams.CusumEvent
+    val ev = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val mid = eventsMidUs(s, dir)
+    def batchOf(pred: Column): Array[CusumEvent] =
+      ev.filter(pred).as[(Long, Long, Long, Long)].collect()
+        .map { case (k, us, id, v) => CusumEvent(k, us, id, v) }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[CusumEvent]
+    scala.util.Try(s.catalog.dropTempView("q302_sink"))
+    val q = graft.streaming.Streams.cusumAlarmStream(in.toDS(),
+        target = 5000L, threshold = 50000L)
+      .writeStream.format("memory").queryName("q302_sink")
+      .outputMode("update").start()
+    try {
+      in.addData(batchOf(col("us") < mid).toSeq)
+      q.processAllAvailable()
+      in.addData(batchOf(col("us") >= mid).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val w = Window.partitionBy("key").orderBy(col("n").desc)
+    s.table("q302_sink")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key").as("user_id"), col("n"),
+        col("max_cusum"), col("first_alarm"))
+      .orderBy("user_id")
+  }
+
   /** Streaming-replay gate for the debounce twin: the same
     * midpoint-split feed through `Streams.debounceStream` (state = the
     * per-key predecessor), survivors accumulated across batches, gated
@@ -5221,7 +5260,8 @@ object Queries {
     "q301_png_pixels" -> (q301PngPixels _),
     "q298_cooccur_replay" -> (q298CooccurReplay _),
     "q299_twap_stream_replay" -> (q299TwapStreamReplay _),
-    "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _)
+    "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _),
+    "q302_cusum_stream_replay" -> (q302CusumStreamReplay _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -5282,6 +5322,27 @@ object Queries {
       |  ORDER BY n DESC, w1, w2) AS BIGINT) AS rank FROM c)
       |SELECT w1, w2, n, rank FROM r WHERE rank <= 30
       |ORDER BY rank""".stripMargin
+
+  /** CUSUM recursion shared by q166 (batch) and q302 (streaming twin
+    * replay — per-event clamped fold, ordered feed). */
+  private val cusumOracle: String =
+    """WITH RECURSIVE b AS MATERIALIZED (SELECT user_id,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+      | FROM events),
+      |r AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT)
+      |    AS s
+      |  FROM (SELECT DISTINCT user_id FROM b)
+      |  UNION ALL
+      |  SELECT b.user_id, b.rn,
+      |    greatest(CAST(0 AS BIGINT), r.s + b.cents - 5000)
+      |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+      |SELECT user_id, max(rn) AS n, max(s) AS max_cusum,
+      |  min(CASE WHEN s >= 50000 THEN rn END) AS first_alarm
+      |FROM r WHERE rn >= 1 GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   private val mergeLatestOracle: String =
     """WITH base AS (
@@ -8871,24 +8932,9 @@ object Queries {
         |  (l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus"""
         .stripMargin,
-    "q166_cusum" ->
-      """WITH RECURSIVE b AS MATERIALIZED (SELECT user_id,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |  CAST(row_number() OVER (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
-        | FROM events),
-        |r AS (
-        |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT)
-        |    AS s
-        |  FROM (SELECT DISTINCT user_id FROM b)
-        |  UNION ALL
-        |  SELECT b.user_id, b.rn,
-        |    greatest(CAST(0 AS BIGINT), r.s + b.cents - 5000)
-        |  FROM r JOIN b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        |SELECT user_id, max(rn) AS n, max(s) AS max_cusum,
-        |  min(CASE WHEN s >= 50000 THEN rn END) AS first_alarm
-        |FROM r WHERE rn >= 1 GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
+    "q166_cusum" -> cusumOracle,
+    // the streaming twin's final per-key emit is the same clamped fold
+    "q302_cusum_stream_replay" -> cusumOracle,
     "q167_lift" ->
       """WITH b AS MATERIALIZED (SELECT event_id,
         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
