@@ -97,10 +97,18 @@ object FetchPlanner {
       .localCheckpoint(true) // pin the batch assignment across the loop
     val nBatches = pending.agg(max("batch_id")).as[Option[Long]]
       .head().map(_ + 1L).getOrElse(0L)
+    // batch-id assignment rode a single-partition window, so the batch
+    // would otherwise fetch on ONE thread — spread it (25 keys per
+    // partition, the reference's per-connection batch shape, capped at
+    // the cluster's parallelism) so the per-partition clients actually
+    // run concurrently
+    val fetchParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, batchSize / 25))
     var i = 0L
     while (i < math.min(nBatches, maxBatches.toLong)) {
       val fetched = pending.filter(col("batch_id") === i)
         .select("__k").as[String]
+        .repartition(fetchParts)
         .mapPartitions { keys =>
           val fetch = mkFetch() // one client per partition
           keys.map { k =>

@@ -9,6 +9,11 @@ import graft.sources.{FetchPlanner, LoopbackApi}
   * restart cycle against an in-process loopback server — the
   * ExternalApiResultsFetcher.py:193-288 semantics with actual
   * connections, zero egress. */
+object FetchLoopSpec {
+  /** executor-static client counter (local mode: same JVM). */
+  val clients = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class FetchLoopSpec extends SparkSpec {
   import spark.implicits._
 
@@ -48,6 +53,24 @@ class FetchLoopSpec extends SparkSpec {
       val got = full.filter("key = '7'").select("json", "ok")
         .as[(String, Boolean)].head()
       assert(got == (("""{"id":7,"v":"val7"}""", true)))
+    } finally api.close()
+  }
+
+  test("batches fetch in parallel: one client per partition, several " +
+      "partitions per batch") {
+    val api = new LoopbackApi(k => Some(s"""{"k":$k}"""))
+    val ck = Files.createTempDirectory("fetchck").toString + "/par"
+    FetchLoopSpec.clients.set(0)
+    try {
+      val base = api.base
+      val counted: () => String => Option[String] = () => {
+        FetchLoopSpec.clients.incrementAndGet() // one per partition
+        FetchPlanner.httpFetcher(k => s"$base/$k")()
+      }
+      FetchPlanner.fetchLoop(keys(100), "key", ck, 100, counted)
+      // batchSize 100 → 100/25 = 4 partitions → 4 clients, not 1
+      assert(FetchLoopSpec.clients.get() == 4)
+      assert(api.totalRequests == 100 && api.doubleFetched.isEmpty)
     } finally api.close()
   }
 
