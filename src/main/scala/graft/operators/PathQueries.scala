@@ -370,7 +370,14 @@ object PathQueries {
     * level's arrays. Measured at the sf10 rehearsal (2.9 M paths, 4
     * levels, local[32]): the q82 walk fell from 64 s (dense) to ~9 s.
     * The per-level job count is unchanged (one observed checkpoint per
-    * level — the q233 single-job discipline). */
+    * level — the q233 single-job discipline).
+    *
+    * Future depth lever: on a FUNCTIONAL label slice the walk is still
+    * one job per level (the depth-64 gate pays 64 scheduling rounds,
+    * ~0.1 s each); pointer doubling would reach a depth-d cap in
+    * ⌈log₂ d⌉ rounds, at the cost of a jump-table reconstruction for
+    * the emitted tails — worth it only if deep hierarchies dominate a
+    * workload, which the reference's (≤6 observed, 64 cap) do not. */
   private[graft] def hierarchyLoopThin(basePaths: DataFrame, hier: DataFrame,
                                        maxDepth: Int): DataFrame = {
     val base = basePaths
