@@ -1200,6 +1200,14 @@ object Scratch {
           "CS", Seq("CL", "GS", "MONDO")).count()
         println(f"[scratch] hiersplit 3hop-base#$i: $nb rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
         t0 = System.nanoTime()
+        val n4 = graft.operators.PathQueries.kHopBucketed(spark, "hsplit",
+          "CS", Seq("CL", "GS", "PR", "CHEMBL")).count()
+        println(f"[scratch] hiersplit 4hop#$i: $n4 rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+        val n5 = graft.operators.PathQueries.kHopBucketed(spark, "hsplit",
+          "CS", Seq("CL", "GS", "RS", "CHEMBL", "MONDO")).count()
+        println(f"[scratch] hiersplit 5hop#$i: $n5 rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
         val n = graft.plans.QueryCatalog.production(19)
           .runBucketed(spark, "hsplit").count()
         println(f"[scratch] hiersplit query#$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
