@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JDK httpserver reads this ONCE in a static init — set it on the
+  // command line so it holds regardless of class-load order (a late
+  // System.setProperty is ignored if any httpserver class loaded
+  // first); without it every loopback request stalls ~40 ms
+  // (Nagle x delayed-ACK).
+  "-Dsun.net.httpserver.nodelay=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -584,8 +584,16 @@ object Multimodal {
       case _ => return None
     }
     if (colorType == 3 && (plte == null || plte.length % 3 != 0)) return None
-    val rowLen = w * chIn
-    val expect = h * (1 + rowLen)
+    // header-declared w/h are attacker-controlled even when CRCs pass:
+    // size the buffer in Long and quarantine (None, not a task-killing
+    // allocation) anything that overflows Int or exceeds a sane decode
+    // cap — same contract decodeBmpPixels enforces via content length
+    val rowLenL = w.toLong * chIn
+    val expectL = h.toLong * (1L + rowLenL)
+    val maxDecodeBytes = 1L << 28 // 256 MiB of raw pixels per image
+    if (expectL <= 0 || expectL > maxDecodeBytes) return None
+    val rowLen = rowLenL.toInt
+    val expect = expectL.toInt
     val raw = new Array[Byte](expect)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)

@@ -137,15 +137,25 @@ object FetchPlanner {
         .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
         .build()
       (k: String) => {
-        val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(urlFor(k)))
-          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
-          .GET().build()
+        // broad catch mirrors the reference's except-all: an uncaught
+        // throw would fail the task and Spark's retry would RE-FETCH
+        // every key in the partition — double-sending to a
+        // non-idempotent upstream. Bad URLs (URI.create/newBuilder
+        // throw at request build) and interrupts quarantine to the
+        // placeholder row like any transport error.
         try {
+          val req = java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(urlFor(k)))
+            .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+            .GET().build()
           val resp = client.send(req,
             java.net.http.HttpResponse.BodyHandlers.ofString())
           if (resp.statusCode() == 200) Some(resp.body()) else None
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt(); None
+          case scala.util.control.NonFatal(_) => None
+        }
       }
     }
 }

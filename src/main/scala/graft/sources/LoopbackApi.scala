@@ -28,7 +28,13 @@ final class LoopbackApi(handler: String => Option[String])
     // without TCP_NODELAY the header+body two-write response pattern
     // hits Nagle × delayed-ACK: ~40 ms per request, 400 requests ≈ 16 s
     // of pure stall (measured — the q297 gate cost 19.96 s; a python
-    // loopback baseline did the same 400 GETs in 0.66 s)
+    // loopback baseline did the same 400 GETs in 0.66 s).
+    // NOTE: ServerConfig reads this property ONCE in a static
+    // initializer, so this setProperty only works if no httpserver
+    // class loaded earlier in the JVM. The load-order-independent fix
+    // is -Dsun.net.httpserver.nodelay=true on the command line —
+    // build.sbt javaOptions and tools/java_env.sh both set it; this
+    // call remains as best-effort for ad-hoc embedders.
     System.setProperty("sun.net.httpserver.nodelay", "true")
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     s.createContext("/api/", new HttpHandler {

@@ -13,5 +13,8 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 GRAFT_JAVA_OPTS="$GRAFT_JAVA_OPTS -Dspark.ui.enabled=false"
 GRAFT_JAVA_OPTS="$GRAFT_JAVA_OPTS -Dspark.sql.session.timeZone=UTC"
+# httpserver reads this once in a static init — command line beats any
+# late System.setProperty (q297's 40ms/request Nagle stall otherwise)
+GRAFT_JAVA_OPTS="$GRAFT_JAVA_OPTS -Dsun.net.httpserver.nodelay=true"
 GRAFT_JAVA_OPTS="$GRAFT_JAVA_OPTS -Xmx${SPARK_DRIVER_MEM:-8g}"
 GRAFT_CP="target/scala-2.13/classes:/opt/spark/jars/*"
