@@ -4716,6 +4716,85 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q303/q304: the PRODUCTION quantizer-training path under the recall
+    * microscope. q108/q110 train on the FULL corpus (rows × cells × iters
+    * — quadratic per decade when cells grow ∝ rows; PLANS.md measured it
+    * at x^0.81/x^0.55). Production trains on a BOUNDED deterministic
+    * sample ([[Similarity.trainCentroidsSampled]]) — these gates pin a
+    * sampleBudget strictly below the corpus size at BOTH verify scales
+    * (256 < 500 @ sf0.01 < 2000 @ sf0.1), so the sample genuinely
+    * bounds, and prove the sampled quantizer still meets recall floors.
+    * The hash-compared output stays the exact baseline (oracle-checked);
+    * the approximation quality rides the require() error channel, the
+    * q108 convention. Floors sit below the min measured across
+    * sf0.01/sf0.1 (PLANS.md round-10 pins the measurements); every path
+    * is deterministic (hash-rank sample, seeded k-means). */
+  def q303IvfSampledRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val cents = Some(Similarity.trainCentroidsSampled(emb, nCells = 16,
+      sampleBudget = 256))
+    val r4 = recallOf(exact,
+      Similarity.ivfTopK(emb, recallQueries(emb), 10, nCells = 16, nProbe = 4,
+        trained = cents))
+    require(r4 >= 0.45,
+      f"sampled-quantizer IVF recall@10 at nProbe=4 degraded: $r4%.3f < 0.45")
+    val r8 = recallOf(exact,
+      Similarity.ivfTopK(emb, recallQueries(emb), 10, nCells = 16, nProbe = 8,
+        trained = cents))
+    require(r8 >= 0.70,
+      f"sampled-quantizer IVF recall@10 at nProbe=8 degraded: $r8%.3f < 0.70")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** Pair-recall of the sampled-quantizer SemDeDup cell assignment: the
+    * fraction of TRUE near-dup pairs (cosine ≥ 0.3, left side drawn from
+    * the `vec_id % 25` sample — the [[recallQueries]] convention) that a
+    * quantizer co-cells, i.e. that [[Similarity.semanticDedup]] can
+    * still see. The ABSOLUTE level (~0.2 here) is a property of 16
+    * coarse cells on this near-uniform synthetic corpus at τ=0.3 —
+    * full-set training measures the same (sf0.01: sampled 0.273 vs full
+    * 0.236; sf0.1: 0.189 vs 0.220) — so the gate's primary floor is
+    * COMPARATIVE: the bounded-sample quantizer must retain ≥ 0.7 of the
+    * full-set-trained quantizer's pair recall (measured ratios 1.16 /
+    * 0.86), plus a loose absolute sanity floor. The exact pair set is
+    * the hash-compared face; both recall floors ride require(). */
+  def q304SemDedupSampledPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val a = recallQueries(emb)
+      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    val exact = broadcast(a).join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= 0.3)
+      .select("id_a", "id_b", "cos")
+      .localCheckpoint(true)
+    val n = exact.count()
+    def pairRecall(cents: Seq[(Int, Array[Float])]): Double = {
+      val assigned = Similarity.assignCells(
+          emb.select(col("vec_id").as("__id"), col("embedding").as("__vec")),
+          cents, "__vec", 1)
+        .localCheckpoint(true) // both pair sides read one assignment pass
+      val coCelled = assigned.select(col("cell_id"), col("__id").as("id_a"))
+        .filter(col("id_a") % 25 === 0)
+        .join(assigned.select(col("cell_id"), col("__id").as("id_b")),
+          Seq("cell_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      exact.select("id_a", "id_b")
+        .join(coCelled, Seq("id_a", "id_b"), "left_semi").count().toDouble / n
+    }
+    val sampled = pairRecall(Similarity.trainCentroidsSampled(emb,
+      nCells = 16, sampleBudget = 256))
+    val full = pairRecall(Similarity.trainCentroids(emb, nCells = 16))
+    require(sampled >= 0.10,
+      f"sampled-quantizer SemDeDup pair recall collapsed: $sampled%.3f < 0.10")
+    require(full == 0.0 || sampled / full >= 0.70,
+      f"sampled-quantizer SemDeDup pair recall degraded vs full-set training: " +
+        f"$sampled%.3f / $full%.3f = ${sampled / full}%.3f < 0.70")
+    exact.orderBy("id_a", "id_b")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
@@ -5261,7 +5340,9 @@ object Queries {
     "q298_cooccur_replay" -> (q298CooccurReplay _),
     "q299_twap_stream_replay" -> (q299TwapStreamReplay _),
     "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _),
-    "q302_cusum_stream_replay" -> (q302CusumStreamReplay _)
+    "q302_cusum_stream_replay" -> (q302CusumStreamReplay _),
+    "q303_ivf_sampled_recall" -> (q303IvfSampledRecall _),
+    "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7059,6 +7140,20 @@ object Queries {
     "q108_ivf_recall" -> recallBaselineOracle,
     "q109_lsh_multi_recall" -> recallBaselineOracle,
     "q110_ivfpq_recall" -> recallBaselineOracle,
+    // q303: the sampled-quantizer variant of q108 — same exact baseline
+    "q303_ivf_sampled_recall" -> recallBaselineOracle,
+    // q304: exact near-dup pair set (cos >= 0.3, sampled left side, the
+    // same cast-discipline cosine as recallBaselineOracle); the sampled
+    // quantizer's pair recall rides the gate's require()
+    "q304_semdedup_sampled_pairs" ->
+      """WITH q AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (
+        | SELECT q.id_a, c.vec_id AS id_b,
+        |  list_sum(list_transform(list_zip(q.va, c.embedding), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM q JOIN embeddings c ON c.vec_id > q.id_a)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     // link prediction: wedges through each middle vertex z; ra folds the
     // z-sorted 1/deg list (list_sum(list ... ORDER BY z)) exactly like
     // the engine's exactFolds face; cn/jaccard integer-exact + one

@@ -524,6 +524,46 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
   }
 
+  /** The PRODUCTION quantizer trainer: k-means over a BOUNDED
+    * deterministic sample instead of the full corpus. Full-set training
+    * costs rows × nCells × iters — with nCells grown ∝ rows (fixed cell
+    * size), that term is quadratic per decade and was measured doing
+    * exactly that (PLANS.md second-decade table: IVF x^0.81, SemDeDup
+    * x^0.55 at sf10 under full-set training). Bounding the sample makes
+    * training ∝ sampleBudget × nCells — linear in nCells, independent
+    * of corpus size.
+    *
+    * The sample is the `sampleBudget` corpus vectors with the LOWEST
+    * xxhash64(id) — a deterministic uniform draw with no RNG state
+    * (the [[Scale]] seeded-rank convention): same corpus → same sample
+    * → same centroids on any cluster layout. `orderBy(limit)` plans as
+    * TakeOrderedAndProject — per-partition bounded top-N, merged once —
+    * so the corpus is never globally sorted and never rescanned across
+    * k-means iterations (the sample is checkpointed for the iterative
+    * fit, then released).
+    *
+    * Pair with the frozen-quantizer append paths
+    * ([[appendToIvfIndex]]/[[appendToIvfPqIndex]]) and versioned
+    * retrain cutover ([[refreshIvfIndex]]) for the full 100 TB story:
+    * train once on the budget, append forever against the frozen model,
+    * retrain rarely behind an atomic version swap. */
+  def trainCentroidsSampled(corpus: DataFrame, nCells: Int,
+                            sampleBudget: Int = 8192,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Seq[(Int, Array[Float])] = {
+    require(sampleBudget >= nCells,
+      s"sampleBudget ($sampleBudget) must be >= nCells ($nCells) — " +
+        "k-means needs at least one point per centroid; size the budget " +
+        "as samples-per-cell x nCells (32-256 per cell is the usual range)")
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleBudget)
+      .select(col(vecCol))
+      .localCheckpoint(true)
+    try trainCentroids(sample, nCells, vecCol)
+    finally Exec.releaseCheckpoint(sample)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",

@@ -334,6 +334,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Map(100L -> 0L, 101L -> 1L, 102L -> 2L))
   }
 
+  test("bounded-sample quantizer training is deterministic and still separates planted twins") {
+    val base = (0L until 120L).map(i => (i, vec(12)))
+    val dups = base.take(3).map { case (i, v) => (i + 500L, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    // budget strictly below the corpus size: the sample genuinely bounds
+    val c1 = Similarity.trainCentroidsSampled(corpus, nCells = 4, sampleBudget = 48)
+    val c2 = Similarity.trainCentroidsSampled(corpus, nCells = 4, sampleBudget = 48)
+    assert(c1.map { case (i, v) => (i, v.toSeq) } ==
+      c2.map { case (i, v) => (i, v.toSeq) },
+      "hash-rank sample + seeded k-means must be run-to-run deterministic")
+    assert(c1.size == 4 && c1.forall(_._2.length == 12))
+    // the sampled quantizer still co-cells exact twins: IVF over it
+    // returns each planted duplicate's twin as top-1
+    val queries = corpus.filter($"vec_id" >= 500L)
+    val r = Similarity.ivfTopK(corpus, queries, k = 1, nCells = 4, nProbe = 2,
+        trained = Some(c1))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toMap
+    assert(r == Map(500L -> 0L, 501L -> 1L, 502L -> 2L))
+    // budget below nCells must fail fast, not produce a degenerate model
+    val e = intercept[IllegalArgumentException] {
+      Similarity.trainCentroidsSampled(corpus, nCells = 8, sampleBudget = 4)
+    }
+    assert(e.getMessage.contains("sampleBudget"))
+  }
+
   test("bounded-heap top-k matches the window formulation and aggregates partially") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
