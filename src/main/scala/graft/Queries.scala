@@ -4149,6 +4149,74 @@ object Queries {
     } finally api.close()
   }
 
+  /** Live-HTTP S8 gate (OntologyParserLoader.py:88-149
+    * `update_downloads`): the ontology refresh lifecycle end-to-end over
+    * REAL connections against the loopback API — a stale installed copy
+    * (2020-01-01) is refreshed from a served 2026-02-03 ontology:
+    * download (streamed via `.part`, atomically promoted), version
+    * compare, archive of the old copy under its version, atomic swap.
+    * The kill-mid-download face runs first: a torn `.part` from a
+    * "dead" run plus a 500 upstream — the restart must truncate the
+    * .part, leave the stale copy serving, then succeed. A same-version
+    * redelivery must KeepCurrent. The hash-compared face parses the
+    * SWAPPED file through the real OWL DataSourceV2 — labels are
+    * "fresh-k" only if the new file actually took the install path
+    * (a silently failed swap leaves "stale-k" → hash mismatch). */
+  def q305OboRefresh(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val obo = "http://purl.obolibrary.org/obo/"
+    def owl(version: String, tag: String): String =
+      s"""<?xml version="1.0"?><rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#" xmlns:owl="http://www.w3.org/2002/07/owl#">""" +
+        s"""<owl:Ontology rdf:about="${obo}cl.owl"><owl:versionInfo>$version</owl:versionInfo></owl:Ontology>""" +
+        (0 until 300).map(k =>
+          s"""<owl:Class rdf:about="${obo}PT_$k"><rdfs:label>$tag-$k</rdfs:label></owl:Class>""").mkString +
+        "</rdf:RDF>"
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q305_obo")
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(wh, true) // fresh lifecycle per run (Bench runs twice)
+    val root = Paths.get(wh.toUri.getPath)
+    Files.createDirectories(root)
+    val current = root.resolve("cl.owl")
+    val archive = root.resolve(".archive")
+    Files.writeString(current, owl("2020-01-01", "stale"))
+    val api = new graft.sources.LoopbackApi({
+      case "cl.owl" => Some(owl("2026-02-03", "fresh"))
+      case _        => None
+    })
+    try {
+      val base = api.base
+      // kill-mid-download: torn .part + failing upstream — contained
+      Files.writeString(root.resolve("cl.owl.new.part"), "<rdf:RDF torn")
+      require(graft.sources.OboRefresh
+          .downloadAndRefresh(s"$base/missing.owl", current, archive).isEmpty &&
+          graft.sources.OboRefresh.findVersion(current) == Some("2020-01-01"),
+        "failed download must leave the installed copy serving")
+      // the real refresh: download -> newer -> archive -> atomic swap
+      val out = graft.sources.OboRefresh
+        .downloadAndRefresh(s"$base/cl.owl", current, archive)
+      out match {
+        case Some(graft.sources.OboRefresh.Replaced(archived)) =>
+          require(archived.getFileName.toString == "cl-2020-01-01.owl",
+            s"old copy must archive under its version, got $archived")
+        case other => sys.error(s"expected Replaced, got $other")
+      }
+      require(graft.sources.OboRefresh.findVersion(current)
+        == Some("2026-02-03"), "swapped file must carry the new version")
+      // same-version redelivery is a no-op
+      require(graft.sources.OboRefresh
+          .downloadAndRefresh(s"$base/cl.owl", current, archive)
+        == Some(graft.sources.OboRefresh.KeptCurrent),
+        "same-version redelivery must keep the current file")
+      s.read.format("owl").load(current.toString)
+        .filter(col("p") === "http://www.w3.org/2000/01/rdf-schema#label" &&
+          col("s").startsWith(obo + "PT_"))
+        .select(expr(s"CAST(substring(s, ${obo.length + 4}) AS BIGINT)").as("k"),
+          col("o").as("label"))
+        .orderBy("k")
+    } finally api.close()
+  }
+
   /** Streaming-replay gate for the co-occurrence ingest twin (the q117
     * pattern): seed the running pair table over 80% of the corpus,
     * fold the rest in as micro-batch 1, then deliver THE SAME batch
@@ -5342,7 +5410,8 @@ object Queries {
     "q300_debounce_stream_replay" -> (q300DebounceStreamReplay _),
     "q302_cusum_stream_replay" -> (q302CusumStreamReplay _),
     "q303_ivf_sampled_recall" -> (q303IvfSampledRecall _),
-    "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _)
+    "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _),
+    "q305_obo_refresh" -> (q305OboRefresh _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7142,6 +7211,14 @@ object Queries {
     "q110_ivfpq_recall" -> recallBaselineOracle,
     // q303: the sampled-quantizer variant of q108 — same exact baseline
     "q303_ivf_sampled_recall" -> recallBaselineOracle,
+    // q305: the refreshed-ontology face — the swapped file's class
+    // labels; the lifecycle assertions (kill-mid-download containment,
+    // archive naming, version swap, same-version keep) ride require().
+    // The served ontology is keyed 0..299 by construction, so the
+    // oracle replays it from generate_series (the pqTopK convention).
+    "q305_obo_refresh" ->
+      """SELECT CAST(s AS BIGINT) AS k, 'fresh-' || CAST(s AS VARCHAR) AS label
+        |FROM generate_series(0, 299) t(s) ORDER BY k""".stripMargin,
     // q304: exact near-dup pair set (cos >= 0.3, sampled left side, the
     // same cast-discipline cosine as recallBaselineOracle); the sampled
     // quantizer's pair recall rides the gate's require()

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, StandardCopyOption}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
 /**
  * S8 — ontology download lifecycle: version-compare a freshly fetched OWL
@@ -51,6 +52,58 @@ object OboRefresh {
     }
     forOnt("versionInfo").collect { case date(d) => d }
       .orElse(forOnt("versionIRI").flatMap(embedded.findFirstIn))
+  }
+
+  /** The GET leg of `update_downloads` (OntologyParserLoader.py:88-149):
+    * stream the ontology over HTTP into `<candidate>.part`, then
+    * atomically rename onto `candidate` only on a complete 200 response
+    * — a download killed mid-stream leaves a stale `.part` and NO
+    * candidate, so a restart simply re-fetches (the `.part` is
+    * truncated/overwritten); [[refresh]] can never see a torn file.
+    * Returns false (candidate untouched, `.part` cleaned) on non-200 or
+    * any transport error, mirroring the reference's except-and-continue.
+    * Driver-side by design, like the reference: one file per ontology,
+    * not a data-plane fetch ([[FetchPlanner]] owns those). */
+  def download(url: String, candidate: Path, timeoutMs: Int = 30000): Boolean = {
+    val part = candidate.resolveSibling(candidate.getFileName.toString + ".part")
+    try {
+      val client = HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .build()
+      val req = HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .GET().build()
+      // ofFile(TRUNCATE) overwrites any stale .part from a killed run
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(part,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+      if (resp.statusCode() == 200) {
+        Files.move(part, candidate,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        true
+      } else {
+        Files.deleteIfExists(part); false
+      }
+    } catch {
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+        scala.util.Try(Files.deleteIfExists(part)); false
+      case scala.util.control.NonFatal(_) =>
+        scala.util.Try(Files.deleteIfExists(part)); false
+    }
+  }
+
+  /** The full S8 lifecycle in one call: download the candidate from
+    * `url`, then version-compare/archive/swap it against `current`.
+    * None when the download failed (current untouched — the reference's
+    * "keep serving the installed copy" behavior). */
+  def downloadAndRefresh(url: String, current: Path,
+                         archive: Path): Option[Outcome] = {
+    val candidate = current.resolveSibling(
+      current.getFileName.toString + ".new")
+    if (download(url, candidate)) Some(refresh(candidate, current, archive))
+    else None
   }
 
   /** Compare-and-swap one download. `candidate` is the fetched

@@ -220,6 +220,54 @@ class OntologySpec extends SparkSpec {
     assert(OboRefresh.refresh(cand, cur, archive) == OboRefresh.KeptCurrent)
   }
 
+  test("S8 download leg: loopback GET, failure leaves no candidate, stale .part from a killed run is overwritten") {
+    import graft.sources.{LoopbackApi, OboRefresh}
+    import java.nio.file.Files
+    def owl(version: String): String =
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:owl="http://www.w3.org/2002/07/owl#"
+         |     xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+         |    <owl:Ontology rdf:about="http://purl.obolibrary.org/obo/cl.owl">
+         |        <owl:versionInfo>$version</owl:versionInfo>
+         |    </owl:Ontology>
+         |</rdf:RDF>
+         |""".stripMargin
+    val dir = Files.createTempDirectory("obo-download")
+    val cur = dir.resolve("cl.owl")
+    val cand = dir.resolve("cl.owl.new")
+    val archive = dir.resolve(".archive")
+    val api = new LoopbackApi({
+      case "cl.owl" => Some(owl("2026-02-03"))
+      case _        => None
+    })
+    try {
+      // a 500 upstream: no candidate, no .part left behind
+      assert(!OboRefresh.download(s"${api.base}/missing.owl", cand))
+      assert(!Files.exists(cand))
+      assert(!Files.exists(dir.resolve("cl.owl.new.part")))
+      // a transport error (closed port): same containment
+      assert(!OboRefresh.download("http://127.0.0.1:1/cl.owl", cand, 500))
+      assert(!Files.exists(cand))
+      // kill-mid-download simulation: a stale torn .part from a dead
+      // run must be truncated by the restart, never installed
+      Files.writeString(dir.resolve("cl.owl.new.part"), "<rdf:RDF torn")
+      assert(OboRefresh.download(s"${api.base}/cl.owl", cand))
+      assert(!Files.exists(dir.resolve("cl.owl.new.part")))
+      assert(OboRefresh.findVersion(cand) == Some("2026-02-03"))
+      Files.delete(cand)
+      // the one-call lifecycle: install, then same-version keep
+      assert(OboRefresh.downloadAndRefresh(s"${api.base}/cl.owl", cur, archive)
+        == Some(OboRefresh.Installed))
+      assert(OboRefresh.findVersion(cur) == Some("2026-02-03"))
+      assert(OboRefresh.downloadAndRefresh(s"${api.base}/cl.owl", cur, archive)
+        == Some(OboRefresh.KeptCurrent))
+      // a failed refresh download keeps serving the installed copy
+      assert(OboRefresh.downloadAndRefresh(s"${api.base}/missing.owl", cur,
+        archive).isEmpty)
+      assert(OboRefresh.findVersion(cur) == Some("2026-02-03"))
+    } finally api.close()
+  }
+
   test("S8 findVersion agrees with oboVersion on the reference fixtures") {
     assumeReference("src/test/data/obo")
     import graft.sources.OboRefresh
