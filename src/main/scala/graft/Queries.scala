@@ -4261,36 +4261,51 @@ object Queries {
     mn + (mx - mn) / 2
   }
 
+  /** Shared FILE-SOURCE feed for the streaming-twin replay gates
+    * (VERDICT r9 item 2 — this replaces the collect()-based
+    * MemoryStream harness, so NO data row touches the driver): batch 0
+    * is written as parquet BEFORE the stream starts (the file source
+    * lists it as the first micro-batch); after the caller's first
+    * `processAllAvailable`, [[twinFeedAppend]] lands batch 1 as NEW
+    * files — the next trigger picks up exactly those, so the two-batch
+    * state boundary is preserved. Both writes are executor-side
+    * parquet jobs. */
+  private def twinFeedStart(s: SparkSession, name: String,
+                            b0: DataFrame): String = {
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(p, true) // fresh feed per run (Bench runs twice)
+    b0.write.parquet(p.toString)
+    p.toString
+  }
+  private def twinFeedAppend(feed: String, b1: DataFrame): Unit =
+    b1.write.mode("append").parquet(feed)
+
   /** Streaming-replay gate for the TWAP twin: the events feed split at
-    * the event-time midpoint into two MemoryStream micro-batches,
+    * the event-time midpoint into two FILE-SOURCE micro-batches,
     * folded through `Streams.twapStream` (per-key BigInteger-exact
     * state), final emit per key (n is cumulative, so max-n wins) gated
-    * under the q269 batch oracle verbatim. The driver-side collect
-    * feeds the test harness's MemoryStream — replay machinery, not the
-    * scale path (the operator's state lives executor-side; production
-    * feeds arrive from a real source). */
+    * under the q269 batch oracle verbatim. The cumulative n equalling
+    * the batch oracle's per-key total IS the cross-batch state proof:
+    * dropped state would reset n at the boundary and hash-mismatch. */
   def q299TwapStreamReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Streams.TwapEvent
-    val ev = events(s, dir).select(col("user_id"),
-      unix_micros(col("ts")).as("us"), col("event_id"),
+    val ev = events(s, dir).select(col("user_id").as("key"),
+      unix_micros(col("ts")).as("us"), col("event_id").as("eventId"),
       (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-        .as("cents"))
+        .as("v"))
     val mid = eventsMidUs(s, dir)
-    def batchOf(pred: Column): Array[TwapEvent] =
-      ev.filter(pred).as[(Long, Long, Long, Long)].collect()
-        .map { case (k, us, id, v) => TwapEvent(k, us, id, v) }
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[TwapEvent]
+    val feed = twinFeedStart(s, "q299_feed", ev.filter(col("us") < mid))
+    val in = s.readStream.schema(ev.schema).parquet(feed).as[TwapEvent]
     scala.util.Try(s.catalog.dropTempView("q299_sink"))
-    val q = graft.streaming.Streams.twapStream(in.toDS())
+    val q = graft.streaming.Streams.twapStream(in)
       .writeStream.format("memory").queryName("q299_sink")
       .outputMode("update").start()
     try {
-      in.addData(batchOf(col("us") < mid).toSeq)
       q.processAllAvailable()
-      in.addData(batchOf(col("us") >= mid).toSeq)
+      twinFeedAppend(feed, ev.filter(col("us") >= mid))
       q.processAllAvailable()
     } finally q.stop()
     val w = Window.partitionBy("key").orderBy(col("n").desc)
@@ -4310,26 +4325,21 @@ object Queries {
   def q302CusumStreamReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.Streams.CusumEvent
-    val ev = events(s, dir).select(col("user_id"),
-      unix_micros(col("ts")).as("us"), col("event_id"),
+    val ev = events(s, dir).select(col("user_id").as("key"),
+      unix_micros(col("ts")).as("ord"), col("event_id").as("ord2"),
       (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-        .as("cents"))
+        .as("value"))
     val mid = eventsMidUs(s, dir)
-    def batchOf(pred: Column): Array[CusumEvent] =
-      ev.filter(pred).as[(Long, Long, Long, Long)].collect()
-        .map { case (k, us, id, v) => CusumEvent(k, us, id, v) }
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[CusumEvent]
+    val feed = twinFeedStart(s, "q302_feed", ev.filter(col("ord") < mid))
+    val in = s.readStream.schema(ev.schema).parquet(feed).as[CusumEvent]
     scala.util.Try(s.catalog.dropTempView("q302_sink"))
-    val q = graft.streaming.Streams.cusumAlarmStream(in.toDS(),
+    val q = graft.streaming.Streams.cusumAlarmStream(in,
         target = 5000L, threshold = 50000L)
       .writeStream.format("memory").queryName("q302_sink")
       .outputMode("update").start()
     try {
-      in.addData(batchOf(col("us") < mid).toSeq)
       q.processAllAvailable()
-      in.addData(batchOf(col("us") >= mid).toSeq)
+      twinFeedAppend(feed, ev.filter(col("ord") >= mid))
       q.processAllAvailable()
     } finally q.stop()
     val w = Window.partitionBy("key").orderBy(col("n").desc)
@@ -4351,22 +4361,17 @@ object Queries {
     import graft.streaming.Streams.DebounceEvent
     val ev = events(s, dir).select(
       concat_ws("|", col("user_id"), col("event_type")).as("key"),
-      unix_micros(col("ts")).as("us"), col("event_id"))
+      unix_micros(col("ts")).as("us"), col("event_id").as("eventId"))
     val mid = eventsMidUs(s, dir)
-    def batchOf(pred: Column): Array[DebounceEvent] =
-      ev.filter(pred).as[(String, Long, Long)].collect()
-        .map { case (k, us, id) => DebounceEvent(k, us, id) }
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[DebounceEvent]
+    val feed = twinFeedStart(s, "q300_feed", ev.filter(col("us") < mid))
+    val in = s.readStream.schema(ev.schema).parquet(feed).as[DebounceEvent]
     scala.util.Try(s.catalog.dropTempView("q300_sink"))
-    val q = graft.streaming.Streams.debounceStream(in.toDS(), 300L)
+    val q = graft.streaming.Streams.debounceStream(in, 300L)
       .writeStream.format("memory").queryName("q300_sink")
       .outputMode("update").start()
     try {
-      in.addData(batchOf(col("us") < mid).toSeq)
       q.processAllAvailable()
-      in.addData(batchOf(col("us") >= mid).toSeq)
+      twinFeedAppend(feed, ev.filter(col("us") >= mid))
       q.processAllAvailable()
     } finally q.stop()
     s.table("q300_sink").select(col("eventId").as("event_id"))
@@ -4861,6 +4866,52 @@ object Queries {
       f"sampled-quantizer SemDeDup pair recall degraded vs full-set training: " +
         f"$sampled%.3f / $full%.3f = ${sampled / full}%.3f < 0.70")
     exact.orderBy("id_a", "id_b")
+  }
+
+  /** q306: the TWO-LEVEL quantizer ([[Similarity.trainHierQuantizer]] —
+    * per-row assignment 2·√nCells cosines instead of nCells, the lever
+    * that removes the flat quantizer's rows × cells decade term) under
+    * the same recall microscope. Floors sit below the min measured at
+    * sf0.01/sf0.1 (IVF probeTop=2: 0.451/0.485 @ nProbe=4, 0.678/0.725
+    * @ nProbe=8; SemDeDup pair recall 0.109/0.144 — the expected
+    * top-level-split cost at a 16-cell toy scale; PLANS.md round 10).
+    * Output = the exact baseline, the q108 convention. */
+  def q306HierRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val hq = Similarity.trainHierQuantizer(emb, nCells = 16,
+      sampleBudget = 256)
+    val r4 = recallOf(exact, Similarity.ivfTopKHier(emb, recallQueries(emb),
+      10, hq, nProbe = 4, probeTop = 2))
+    require(r4 >= 0.38,
+      f"two-level IVF recall@10 at nProbe=4 degraded: $r4%.3f < 0.38")
+    val r8 = recallOf(exact, Similarity.ivfTopKHier(emb, recallQueries(emb),
+      10, hq, nProbe = 8, probeTop = 2))
+    require(r8 >= 0.60,
+      f"two-level IVF recall@10 at nProbe=8 degraded: $r8%.3f < 0.60")
+    // the SemDeDup face: fraction of true cos>=0.3 pairs the two-level
+    // assignment co-cells (sampled left side, the q304 convention)
+    val a = recallQueries(emb)
+      .select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    val exactPairs = broadcast(a).join(b, col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.3)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val assigned = Similarity.assignCellsHier(
+        emb.select(col("vec_id").as("__id"), col("embedding").as("__vec")),
+        hq, "__vec")
+      .localCheckpoint(true)
+    val coCelled = assigned.select(col("cell_id"), col("__id").as("id_a"))
+      .filter(col("id_a") % 25 === 0)
+      .join(assigned.select(col("cell_id"), col("__id").as("id_b")),
+        Seq("cell_id"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val n = exactPairs.count()
+    val pr = exactPairs.join(coCelled, Seq("id_a", "id_b"), "left_semi")
+      .count().toDouble / n
+    require(pr >= 0.08,
+      f"two-level SemDeDup pair recall collapsed: $pr%.3f < 0.08")
+    exact.orderBy("query_id", "rank")
   }
 
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
@@ -5411,7 +5462,8 @@ object Queries {
     "q302_cusum_stream_replay" -> (q302CusumStreamReplay _),
     "q303_ivf_sampled_recall" -> (q303IvfSampledRecall _),
     "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _),
-    "q305_obo_refresh" -> (q305OboRefresh _)
+    "q305_obo_refresh" -> (q305OboRefresh _),
+    "q306_hier_recall" -> (q306HierRecall _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7211,6 +7263,8 @@ object Queries {
     "q110_ivfpq_recall" -> recallBaselineOracle,
     // q303: the sampled-quantizer variant of q108 — same exact baseline
     "q303_ivf_sampled_recall" -> recallBaselineOracle,
+    // q306: the two-level-quantizer variant — same exact baseline
+    "q306_hier_recall" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

@@ -407,6 +407,124 @@ object Scratch {
           Similarity.trainCentroidsSampled(emb, 16, budget))
       pairRecall("full-trained", Similarity.trainCentroids(emb, 16))
       pairRecall("first-rows (q115 face)", Similarity.centroidsFromRows(emb, 16))
+      // ---- two-level quantizer faces ----
+      val hq = Similarity.trainHierQuantizer(emb, 16, 256)
+      println(s"[scratch] hier k1=${hq.top.size} k2=${hq.k2} nCells=${hq.nCells}")
+      for ((pt, np) <- Seq((2, 4), (2, 8), (3, 8), (4, 8))) {
+        val r = Similarity.ivfTopKHier(emb, queries, k, hq, nProbe = np,
+            probeTop = pt)
+          .select("query_id", "nbr_id").intersect(exact).count() / total
+        println(f"[scratch] ivf-hier probeTop=$pt nProbe=$np recall@$k=$r%.3f")
+      }
+      val hierAssigned = Similarity.assignCellsHier(
+        emb.select(col("vec_id").as("__id"), col("embedding").as("__vec")),
+        hq, "__vec").localCheckpoint(true)
+      val hierHits = exactPairs.join(
+        hierAssigned.select(col("cell_id"), col("__id").as("id_a"))
+          .filter(col("id_a") % 25 === 0)
+          .join(hierAssigned.select(col("cell_id"), col("__id").as("id_b")),
+            Seq("cell_id"))
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi").count()
+      println(f"[scratch] semdedup hier pair-recall=${hierHits.toDouble / nPairs}%.3f ($hierHits/$nPairs)")
+      spark.stop(); return
+    }
+    if (name == "hierprofile") {
+      // phase decomposition of the two-level quantizer decade bodies:
+      // train vs assign vs probe-join — finds which term blew up at sf10
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = emb.count()
+      val nCells = math.max(16, (n / 125).toInt)
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[scratch] hierprofile $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val hq = t(s"train(nCells=$nCells)") {
+        Similarity.trainHierQuantizer(emb, nCells, 8192)
+      }
+      val assigned = t("assignCellsHier.count") {
+        val a = Similarity.assignCellsHier(
+          emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec")),
+          hq, "nbr_vec").localCheckpoint(true)
+        a.count(); a
+      }
+      t("cell-size histogram") {
+        val sizes = assigned.groupBy("cell_id").count()
+          .agg(count(lit(1)), min("count"), max("count"),
+            expr("percentile_approx(count, array(0.5, 0.9, 0.99), 1000)"))
+          .collect()(0)
+        println(s"[scratch]   cells=${sizes.get(0)} min=${sizes.get(1)} max=${sizes.get(2)} p50/90/99=${sizes.get(3)}")
+      }
+      val probed = t("probeCellsHier(5%).count") {
+        val p = Similarity.probeCellsHier(
+          emb.filter(col("vec_id") % 20 === 3)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_vec")),
+          hq, "q_vec", 2, 2).localCheckpoint(true)
+        p.count(); p
+      }
+      t("candidate volume") {
+        println(s"[scratch]   candidates=" +
+          assigned.join(probed, Seq("cell_id")).count())
+      }
+      t("join+rerank topK") {
+        val scored = assigned.join(probed, Seq("cell_id"))
+          .filter(col("query_id") =!= col("nbr_id"))
+          .withColumn("cos", Similarity.cosine(col("q_vec"), col("nbr_vec")))
+        // the bounded-heap topK is private; count the scored side (the
+        // dominant cost) as the proxy
+        println(s"[scratch]   scored=${scored.count()}")
+      }
+      // flat comparison at the same operating point
+      val cents = t("flat train sampled") {
+        Similarity.trainCentroidsSampled(emb, nCells, 8192)
+      }
+      t("flat assignCells.count") {
+        Similarity.assignCells(
+          emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec")),
+          cents, "nbr_vec", 1).count()
+      }
+      spark.stop(); return
+    }
+    if (name == "hierprofile2") {
+      // honest per-formulation cost: force cell_id via sum() so pruning
+      // can't drop the assignment expression
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = emb.count()
+      val nCells = math.max(16, (n / 125).toInt)
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[scratch] hp2 $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val hq = t("train hier") { Similarity.trainHierQuantizer(emb, nCells, 8192) }
+      val cents = t("train flat sampled") { Similarity.trainCentroidsSampled(emb, nCells, 8192) }
+      val base = emb.select(col("vec_id").as("__id"), col("embedding").as("__vec"))
+      for (_ <- 1 to 2) {
+        t("top-level only (k1 codegen argmin)") {
+          val k1 = hq.top.size
+          base.withColumn("__c1",
+              org.apache.spark.sql.functions.expr("1") * lit(0)) // warm no-op
+          val df = Similarity.assignCells(base, hq.top, "__vec", 1)
+          println("[scratch]   sum=" + df.agg(sum("cell_id")).collect()(0).get(0) + s" (k1=$k1)")
+        }
+        t("full hier assign") {
+          println("[scratch]   sum=" + Similarity.assignCellsHier(base, hq, "__vec")
+            .agg(sum("cell_id")).collect()(0).get(0))
+        }
+        t("flat assign (nCells HOF)") {
+          println("[scratch]   sum=" + Similarity.assignCells(base, cents, "__vec", 1)
+            .agg(sum("cell_id")).collect()(0).get(0))
+        }
+      }
       spark.stop(); return
     }
     if (name == "bisect20") {
@@ -1106,6 +1224,23 @@ object Scratch {
         val e = emb()
         graft.operators.Similarity.semanticDedup(e,
           graft.operators.Similarity.trainCentroidsSampled(e,
+            nCells = nCells, sampleBudget = 8192),
+          threshold = 0.3).count()
+      }
+      // the TWO-LEVEL quantizer: bounded-sample training AND ~2·√cells
+      // per-row assignment — both decade terms removed, not just one
+      time("ivfhier", s"ivfhier(nCells=$nCells,budget=8192,probe5%)") {
+        val e = emb()
+        val hq = graft.operators.Similarity.trainHierQuantizer(
+          e, nCells = nCells, sampleBudget = 8192)
+        graft.operators.Similarity.ivfTopKHier(e,
+          e.filter(col("vec_id") % 20 === 3), k = 10, hq,
+          nProbe = 2, probeTop = 2).count()
+      }
+      time("semdeduphier", s"semdeduphier(nCells=$nCells,budget=8192)") {
+        val e = emb()
+        graft.operators.Similarity.semanticDedupHier(e,
+          graft.operators.Similarity.trainHierQuantizer(e,
             nCells = nCells, sampleBudget = 8192),
           threshold = 0.3).count()
       }

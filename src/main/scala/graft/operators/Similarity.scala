@@ -282,12 +282,46 @@ object Similarity {
                     maxSplitDepth: Int = 4,
                     maxCapRounds: Int = 16,
                     md5CapHash: Boolean = false): DataFrame = {
+    semanticDedupFrom(corpus,
+      assignCells(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+        centroids, "__vec", 1),
+      threshold, idCol, maxCellSize, maxSplitDepth, maxCapRounds, md5CapHash)
+  }
+
+  /** [[semanticDedup]] over a TWO-LEVEL quantizer
+    * ([[trainHierQuantizer]]): identical pair/component/anti-join
+    * semantics, but the per-row assignment costs ~2·√nCells cosines
+    * instead of nCells — the flat-assignment term is what kept the
+    * bounded-sample SemDeDup decade super-linear (PLANS.md round 10). */
+  def semanticDedupHier(corpus: DataFrame, quant: HierQuantizer,
+                        threshold: Double, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxCellSize: Int = 1 << 20,
+                        maxSplitDepth: Int = 4,
+                        maxCapRounds: Int = 16,
+                        md5CapHash: Boolean = false): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    semanticDedupFrom(corpus,
+      assignCellsHier(
+        corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+        quant, "__vec"),
+      threshold, idCol, maxCellSize, maxSplitDepth, maxCapRounds, md5CapHash)
+  }
+
+  /** Shared tail of the SemDeDup variants: cap the cells, self-join
+    * within cells, contract components, anti-join the losers out.
+    * `assigned0In` must carry (cell_id, __id, __vec). */
+  private def semanticDedupFrom(corpus: DataFrame, assigned0In: DataFrame,
+                                threshold: Double, idCol: String,
+                                maxCellSize: Int, maxSplitDepth: Int,
+                                maxCapRounds: Int,
+                                md5CapHash: Boolean): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1, 1], got $threshold")
     require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
-    val assigned0 = assignCells(
-        corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
-        centroids, "__vec", 1)
+    val assigned0 = assigned0In
       .select(col("cell_id").cast("string").as("__cell"),
         col("__id"), col("__vec"))
       .localCheckpoint(true) // both pair sides read the same assignment
@@ -564,6 +598,155 @@ object Similarity {
     finally Exec.releaseCheckpoint(sample)
   }
 
+  /** A TWO-LEVEL coarse quantizer (the inverted-multi-index idea:
+    * Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012 — here
+    * as a residual-free top/sub split). `top` holds k1 ≈ √nCells
+    * Lloyd-trained centroids; `sub(c1)` holds ≤ k2 ≈ nCells/k1
+    * sub-centroids for top cell c1, carrying GLOBAL cell ids
+    * `c1·k2 + j`. Why: a FLAT quantizer with cells grown ∝ rows makes
+    * per-row assignment cost rows × nCells — quadratic per decade, and
+    * measured as the residual super-linear term once training is
+    * bounded (PLANS.md round 10: ivfsampled x^0.63). Two levels cost
+    * k1 + k2 ≈ 2·√nCells cosines per row — and keep the top level on
+    * the codegen'd ≤64-literal path up to nCells ≈ 4096. */
+  final case class HierQuantizer(k2: Int,
+      top: Seq[(Int, Array[Float])],
+      sub: Map[Int, Seq[(Int, Array[Float])]]) {
+    def nCells: Int = sub.valuesIterator.map(_.size).sum
+  }
+
+  /** Train a [[HierQuantizer]] on a bounded deterministic sample: the
+    * top level is Lloyd k-means over the [[trainCentroidsSampled]]
+    * hash-rank sample; each top cell's sub-centroids are its k2
+    * LOWEST-HASH sample members (seeds, not Lloyd — the [[capCells]]
+    * sub-centroid convention: deterministic in the member ids, no
+    * per-cell iteration). Training cost: budget × k1 for the fit plus
+    * one narrow pass over the sample — independent of corpus size and
+    * LINEAR in √nCells, vs budget × nCells for the flat sampled
+    * trainer. The collected model is ≤ nCells vectors — model-sized,
+    * the same payload [[trainCentroids]] returns. */
+  def trainHierQuantizer(corpus: DataFrame, nCells: Int,
+                         sampleBudget: Int = 8192,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): HierQuantizer = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val k1 = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
+    require(sampleBudget >= k1,
+      s"sampleBudget ($sampleBudget) must be >= k1 ($k1)")
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleBudget)
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .localCheckpoint(true)
+    try {
+      val top = trainCentroids(sample, k1, "__vec")
+      val w = Window.partitionBy("cell_id").orderBy(xxhash64(col("__id")))
+      val subRows = assignCells(sample, top, "__vec", 1)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k2)
+        .select(col("cell_id"), col("__rn"), col("__vec"))
+        .collect() // ≤ nCells model rows (the quantizer itself)
+      val sub = subRows.groupBy(_.getInt(0)).map { case (c1, rows) =>
+        c1 -> rows.sortBy(_.getInt(1)).toSeq.zipWithIndex.map { case (r, j) =>
+          (c1 * k2 + j, r.getSeq[Float](2).toArray)
+        }
+      }
+      HierQuantizer(k2, top, sub)
+    } finally Exec.releaseCheckpoint(sample)
+  }
+
+  /** Narrow two-step nearest-cell assignment under a [[HierQuantizer]]:
+    * argmin over the k1 top centroids (codegen'd literal path for
+    * k1 ≤ 64, i.e. nCells ≤ ~4096), then argmin over THAT cell's
+    * sub-centroids via one `element_at` on a literal map — no join, no
+    * window, no Exchange, exactly like [[assignCells]] but ~2·√nCells
+    * cosines per row instead of nCells. A top cell with no sub entry
+    * (a Lloyd centroid that captured no sample member) falls back to
+    * its first global id, keeping `cell_id` total. */
+  def assignCellsHier(df: DataFrame, quant: HierQuantizer,
+                      vecCol: String): DataFrame = {
+    val subLit = subMapLit(quant)
+    df.withColumn("__c1", topCellExpr(quant, vecCol))
+      .withColumn("__subs", element_at(subLit, col("__c1")))
+      .withColumn("cell_id",
+        when(col("__subs").isNull, col("__c1") * lit(quant.k2))
+          .otherwise(array_min(transform(col("__subs"), c =>
+            struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
+              .as("neg_sim"), c.getField("_1").as("cell_id"))))
+            .getField("cell_id")))
+      .drop("__c1", "__subs")
+  }
+
+  /** Query-side probing under a [[HierQuantizer]]: rank the k1 top
+    * cells, take the best `probeTop`, score ALL their sub-centroids
+    * (probeTop × k2 cosines), and explode the best `nProbe` global cell
+    * ids — the multi-sequence probe of the inverted multi-index,
+    * flattened to one narrow expression chain over the (small) query
+    * side. */
+  def probeCellsHier(df: DataFrame, quant: HierQuantizer, vecCol: String,
+                     probeTop: Int, nProbe: Int): DataFrame = {
+    val subLit = subMapLit(quant)
+    val topArr = topScoredExpr(quant, vecCol)
+    df.withColumn("__cand",
+        flatten(filter(
+          transform(slice(sort_array(topArr), 1, probeTop),
+            t => element_at(subLit, t.getField("cell_id"))),
+          a => a.isNotNull)))
+      .withColumn("cell_id",
+        explode(slice(sort_array(transform(col("__cand"), c =>
+          struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
+            .as("neg_sim"), c.getField("_1").as("cell_id")))),
+          1, nProbe).getField("cell_id")))
+      .drop("__cand")
+  }
+
+  /** IVF top-k under a [[HierQuantizer]] — [[ivfTopK]] with the flat
+    * assignment swapped for the two-level one; candidate generation and
+    * exact re-rank are identical. */
+  def ivfTopKHier(corpus: DataFrame, queries: DataFrame, k: Int,
+                  quant: HierQuantizer, nProbe: Int = 4, probeTop: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val indexed = assignCellsHier(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      quant, "nbr_vec")
+    val probed = probeCellsHier(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      quant, "q_vec", probeTop, nProbe)
+    val scored = indexed.join(probed, Seq("cell_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    topK(scored, k)
+  }
+
+  /** The top-level (neg_sim, cell_id) struct array for a
+    * [[HierQuantizer]] — ALWAYS the single-literal HOF formulation,
+    * never the ≤64 per-centroid codegen'd array: measured at sf10
+    * (200k rows), the 40-way inlined literal projection runs ~185 µs/row
+    * (the generated method trips the JIT's huge-method bailout and
+    * drops to bytecode interpretation) vs ~55 µs/row for the
+    * interpreted HOF pass over all 1600 cells — i.e. the "codegen"
+    * path was ~130× slower per cosine at exactly the k1 this quantizer
+    * targets (PLANS.md round 10, hierprofile2). The flat
+    * [[assignCells]] keeps its ≤64 branch: its small-quantizer faces
+    * are all gate-scale (≤16 cells, ≤2k rows) where the generated
+    * method still JITs. */
+  private def topScoredExpr(quant: HierQuantizer, vecCol: String): Column = {
+    val cents = typedLit(quant.top.map { case (i, c) => (i, c.toSeq) })
+    transform(cents, c =>
+      struct((lit(0.0) - cosine(col(vecCol), c.getField("_2"))).as("neg_sim"),
+        c.getField("_1").as("cell_id")))
+  }
+
+  private def topCellExpr(quant: HierQuantizer, vecCol: String): Column =
+    array_min(topScoredExpr(quant, vecCol)).getField("cell_id")
+
+  private def subMapLit(quant: HierQuantizer): Column =
+    typedLit(quant.sub.map { case (c1, scs) =>
+      c1 -> scs.map { case (g, v) => (g, v.toSeq) }
+    })
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -594,33 +777,30 @@ object Similarity {
   }
 
   /** Nearest-centroid cell assignment as a NARROW per-row expression: the
-    * centroid set is tiny (nCells vectors) and is folded into the plan as a
-    * literal array of (−cosine, cell_id) structs — one codegen'd CosineSim
-    * per centroid — with the argmax taken by `array_min` (struct ordering:
-    * highest similarity, ties to the lower cell id). `topCells > 1` sorts
-    * and explodes the best cells (query-side probing). No join, no window,
-    * no Exchange between the vector scan and its cell id — asserted in
-    * SimilaritySpec; at 100 TB this is the difference between a map over
-    * the corpus and a full-corpus ×nCells shuffle. */
+    * centroid set is tiny (nCells vectors) and is folded into the plan as
+    * ONE literal array, scored with an interpreted HOF pass into
+    * (−cosine, cell_id) structs, with the argmax taken by `array_min`
+    * (struct ordering: highest similarity, ties to the lower cell id).
+    * `topCells > 1` sorts and explodes the best cells (query-side
+    * probing). No join, no window, no Exchange between the vector scan
+    * and its cell id — asserted in SimilaritySpec; at 100 TB this is the
+    * difference between a map over the corpus and a full-corpus ×nCells
+    * shuffle.
+    *
+    * Why not one codegen'd CosineSim per centroid (the round-1..9
+    * formulation for ≤64 cells)? Measured at sf10 (200k rows, dim 64):
+    * the 40-centroid inlined projection ran ~185 µs/row — the generated
+    * method exceeds the JIT's huge-method threshold, falls back to
+    * bytecode interpretation, and lands ~130× SLOWER per cosine than
+    * this single-literal HOF pass (~55 µs/row over 1600 cells, 0.27 s
+    * over 160). The literal formulation survives as the equivalence
+    * witness in SimilaritySpec (PLANS.md round 10, hierprofile2). */
   def assignCells(df: DataFrame, centroids: Seq[(Int, Array[Float])],
                   vecCol: String, topCells: Int): DataFrame = {
-    // two narrow formulations: one codegen'd CosineSim per centroid for
-    // small quantizers (fastest; but each centroid adds an expression to
-    // the projection, so codegen would blow up at large nCells), or one
-    // interpreted HOF pass over a single array literal for large ones —
-    // both are map-only
-    val scored =
-      if (centroids.size <= 64)
-        array(centroids.map { case (i, c) =>
-          struct((lit(0.0) - cosine(col(vecCol), array(c.map(lit(_)).toSeq: _*)))
-            .as("neg_sim"), lit(i).as("cell_id"))
-        }: _*)
-      else {
-        val cents = typedLit(centroids.map { case (i, c) => (i, c.toSeq) })
-        transform(cents, c =>
-          struct((lit(0.0) - cosine(col(vecCol), c.getField("_2"))).as("neg_sim"),
-            c.getField("_1").as("cell_id")))
-      }
+    val cents = typedLit(centroids.map { case (i, c) => (i, c.toSeq) })
+    val scored = transform(cents, c =>
+      struct((lit(0.0) - cosine(col(vecCol), c.getField("_2"))).as("neg_sim"),
+        c.getField("_1").as("cell_id")))
     if (topCells == 1)
       df.withColumn("cell_id", array_min(scored).getField("cell_id"))
     else

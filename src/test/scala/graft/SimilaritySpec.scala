@@ -359,6 +359,45 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("sampleBudget"))
   }
 
+  test("two-level quantizer: deterministic, narrow assignment, twins co-celled, dedup drops the dup") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 120L).map(i => (i, vec(12)))
+    val dups = base.take(3).map { case (i, v) => (i + 500L, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val q1 = Similarity.trainHierQuantizer(corpus, nCells = 9, sampleBudget = 64)
+    val q2 = Similarity.trainHierQuantizer(corpus, nCells = 9, sampleBudget = 64)
+    assert(q1.k2 == q2.k2 && q1.top.map { case (i, v) => (i, v.toSeq) } ==
+      q2.top.map { case (i, v) => (i, v.toSeq) } &&
+      q1.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap ==
+      q2.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap,
+      "hash-rank sample + seeded top fit + hash-seeded subs must be deterministic")
+    assert(q1.nCells <= 9 + q1.k2, s"cell budget blown: ${q1.nCells}")
+    // assignment is narrow: no Exchange between the scan and cell_id
+    val assigned = Similarity.assignCellsHier(
+      corpus.select($"vec_id".as("__id"), $"embedding".as("__vec")), q1, "__vec")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hier assignment shuffled:\n$plan")
+    // an exact twin is assigned the same global cell as its original
+    val cells = assigned.collect()
+      .map(r => r.getAs[Long]("__id") -> r.getAs[Int]("cell_id")).toMap
+    (0 until 3).foreach { i =>
+      assert(cells(i.toLong) == cells(i + 500L),
+        s"twin $i split across cells: ${cells(i.toLong)} vs ${cells(i + 500L)}")
+    }
+    // IVF over the two-level quantizer returns each twin as top-1
+    val r = Similarity.ivfTopKHier(corpus,
+        corpus.filter($"vec_id" >= 500L), k = 1, q1, nProbe = 2, probeTop = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toMap
+    assert(r == Map(500L -> 0L, 501L -> 1L, 502L -> 2L))
+    // SemDeDup over the two-level quantizer removes the planted dups
+    val kept = Similarity.semanticDedupHier(corpus, q1, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Set(500L, 501L, 502L).forall(d => !kept.contains(d)),
+      s"planted exact dups survived: ${kept.intersect(Set(500L, 501L, 502L))}")
+    assert((0L until 3L).forall(kept.contains),
+      "min-id survivors must be kept")
+  }
+
   test("bounded-heap top-k matches the window formulation and aggregates partially") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
@@ -553,14 +592,31 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
-    // > 64 centroids switches to the single-array-literal formulation;
-    // both must assign every vector identically and stay Exchange-free
+    // the single-array-literal HOF formulation is now the ONLY path
+    // (the per-centroid codegen'd projection trips the JIT huge-method
+    // bailout at scale — ~130x slower per cosine at k=40, sf10); the
+    // retired formulation is kept HERE as the equivalence witness
+    import org.apache.spark.sql.functions.{array, struct, lit, array_min}
     val corpus = (0L until 40L).map(i => (i, vec(8))).toDF("id", "v")
     val big = (0 until 70).map(i =>
       i -> Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
     val viaHof = Similarity.assignCells(corpus, big, "v", 1)
       .select("id", "cell_id").as[(Long, Int)].collect().toMap
-    // per-row check against a driver-side argmax on collected vectors
+    // witness 1: the retired per-centroid literal-array formulation
+    val small = big.take(16)
+    val literalScored = array(small.map { case (i, c) =>
+      struct((lit(0.0) - Similarity.cosine($"v",
+        array(c.toSeq.map(lit(_)): _*))).as("neg_sim"),
+        lit(i).as("cell_id"))
+    }: _*)
+    val viaLiteral = corpus
+      .withColumn("cell_id", array_min(literalScored).getField("cell_id"))
+      .select("id", "cell_id").as[(Long, Int)].collect().toMap
+    val viaHofSmall = Similarity.assignCells(corpus, small, "v", 1)
+      .select("id", "cell_id").as[(Long, Int)].collect().toMap
+    assert(viaLiteral == viaHofSmall,
+      "HOF assignment must equal the retired codegen'd literal formulation")
+    // witness 2: per-row check against a driver-side argmax
     val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
     def cos(a: Seq[Float], b: Array[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum

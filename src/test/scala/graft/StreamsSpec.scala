@@ -689,4 +689,40 @@ class StreamsSpec extends SparkSpec {
       assert(streamed === Seq(1L, 3L, 4L, 5L, 6L))
     } finally q.stop()
   }
+
+  test("file-source twin feed: pre-written batch 0 + appended batch 1 " +
+    "cross the state boundary with no driver-side data collect") {
+    // the q299/q300/q302 gate feed pattern (VERDICT r9 item 2): batch 0
+    // written as parquet BEFORE the stream starts, batch 1 appended as
+    // NEW files after the first processAllAvailable — two genuine
+    // micro-batches, fed and drained entirely executor-side
+    import graft.streaming.Streams.DebounceEvent
+    val feed = Files.createTempDirectory("twin-feed")
+      .resolve("feed").toString
+    Seq(DebounceEvent("a", 0L, 1L), DebounceEvent("a", 100000000L, 2L))
+      .toDS().write.parquet(feed)
+    val in = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[DebounceEvent]].schema)
+      .parquet(feed).as[DebounceEvent]
+    val q = Streams.debounceStream(in, windowSeconds = 300L)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("feed_out").start()
+    try {
+      q.processAllAvailable()
+      // only batch 0 so far: 1 survives, 2 debounced (gap 100s < 300s)
+      assert(spark.table("feed_out").as[DebounceEvent]
+        .collect().map(_.eventId).sorted.toSeq == Seq(1L))
+      Seq(DebounceEvent("a", 200000000L, 3L), // suppressed ONLY if the
+          // batch-0 predecessor (us=100s) crossed the boundary in state
+          DebounceEvent("a", 500000000L, 4L),
+          DebounceEvent("b", 0L, 5L))
+        .toDS().write.mode("append").parquet(feed)
+      q.processAllAvailable()
+      val streamed = spark.table("feed_out").as[DebounceEvent]
+        .collect().map(_.eventId).sorted.toSeq
+      // a lost state boundary would let 3 through (no predecessor seen)
+      assert(streamed == Seq(1L, 4L, 5L),
+        s"expected cross-batch debounce state, got $streamed")
+    } finally q.stop()
+  }
 }
