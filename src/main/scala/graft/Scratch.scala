@@ -429,6 +429,42 @@ object Scratch {
       println(f"[scratch] semdedup hier pair-recall=${hierHits.toDouble / nPairs}%.3f ($hierHits/$nPairs)")
       spark.stop(); return
     }
+    if (name == "obodepth") {
+      // VERDICT r9 item 5 close-out evidence: the subClassOf chain-depth
+      // histogram of the reference ontology fixtures — pointer doubling
+      // (log2 d rounds) only pays when d is large; measure d.
+      // Driver-side DP over a fixture-sized DAG (test asset, not a
+      // data-plane operator). Usage: runMain graft.Scratch obodepth <dir-with-owls>
+      import java.nio.file.{Files, Paths}
+      val rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+      Files.list(Paths.get(dir)).toArray.map(_.toString).sorted
+        .filter(_.endsWith(".owl")).foreach { f =>
+          val triples = graft.sources.OwlSource
+            .parseBytes(f, Files.readAllBytes(Paths.get(f))).toSeq
+          // named-class subClassOf edges only (bnode restrictions excluded)
+          val named = triples.filter(t => t.p == rdfs + "subClassOf" &&
+            !t.s.startsWith("_:") && !t.o.startsWith("_:") &&
+            t.o.startsWith("http")).map(t => (t.s, t.o))
+          val children = named.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+          val parents = named.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          val roots = named.map(_._2).distinct.filterNot(parents.contains)
+          // longest chain ending at each node (DAG longest path, memoized)
+          val depth = scala.collection.mutable.HashMap[String, Int]()
+          def d(n: String): Int = depth.getOrElseUpdate(n,
+            parents.getOrElse(n, Nil).map(p => d(p) + 1).foldLeft(0)(math.max))
+          val all = (named.map(_._1) ++ named.map(_._2)).distinct
+          if (all.isEmpty)
+            println(s"[scratch] obodepth ${Paths.get(f).getFileName}: no named subClassOf edges")
+          else {
+            val ds = all.map(d)
+            val hist = ds.groupBy(identity).view.mapValues(_.size).toSeq.sorted
+            println(s"[scratch] obodepth ${Paths.get(f).getFileName}: " +
+              s"edges=${named.size} nodes=${all.size} roots=${roots.size} " +
+              s"maxDepth=${ds.max} hist=${hist.map { case (k, v) => s"$k:$v" }.mkString(",")}")
+          }
+        }
+      spark.stop(); return
+    }
     if (name == "hierprofile") {
       // phase decomposition of the two-level quantizer decade bodies:
       // train vs assign vs probe-join — finds which term blew up at sf10

@@ -372,12 +372,17 @@ object PathQueries {
     * The per-level job count is unchanged (one observed checkpoint per
     * level — the q233 single-job discipline).
     *
-    * Future depth lever: on a FUNCTIONAL label slice the walk is still
-    * one job per level (the depth-64 gate pays 64 scheduling rounds,
-    * ~0.1 s each); pointer doubling would reach a depth-d cap in
-    * ⌈log₂ d⌉ rounds, at the cost of a jump-table reconstruction for
-    * the emitted tails — worth it only if deep hierarchies dominate a
-    * workload, which the reference's (≤6 observed, 64 cap) do not. */
+    * Depth lever CLOSED as not-needed (round 10): on a FUNCTIONAL label
+    * slice the walk is still one job per level (the depth-64 gate pays
+    * 64 scheduling rounds, ~0.1 s each); pointer doubling would reach a
+    * depth-d cap in ⌈log₂ d⌉ rounds, at the cost of a jump-table
+    * reconstruction for the emitted tails. Measured chain depths of the
+    * reference's committed ontology fixtures (`Scratch obodepth`,
+    * PLANS.md round 10): macrophage.owl (the CL extract) maxDepth 9,
+    * ro.owl maxDepth 7 — and the production walks cap at 64. At d ≤ 64
+    * the doubling saves at most ~5 s of scheduling on a degenerate
+    * chain while complicating every emitted tail; revisit only if a
+    * workload's hierarchies push d well past the cap. */
   private[graft] def hierarchyLoopThin(basePaths: DataFrame, hier: DataFrame,
                                        maxDepth: Int): DataFrame = {
     val base = basePaths
