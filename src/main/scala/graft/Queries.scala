@@ -4872,9 +4872,11 @@ object Queries {
     * per-row assignment 2·√nCells cosines instead of nCells, the lever
     * that removes the flat quantizer's rows × cells decade term) under
     * the same recall microscope. Floors sit below the min measured at
-    * sf0.01/sf0.1 (IVF probeTop=2: 0.451/0.485 @ nProbe=4, 0.678/0.725
-    * @ nProbe=8; SemDeDup pair recall 0.109/0.144 — the expected
-    * top-level-split cost at a 16-cell toy scale; PLANS.md round 10).
+    * sf0.01/sf0.1 with the default 2 sub-Lloyd refinement iterations,
+    * re-verified green after the trainer moved to the driver-local
+    * bounded-sample Lloyd (measured under it at the sf1.0 operating
+    * point: recall@10 0.896 vs flat 0.950 at matched ~5% probed, pair
+    * recall 0.112; PLANS.md round 10).
     * Output = the exact baseline, the q108 convention. */
   def q306HierRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").localCheckpoint(true)
@@ -4909,8 +4911,59 @@ object Queries {
     val n = exactPairs.count()
     val pr = exactPairs.join(coCelled, Seq("id_a", "id_b"), "left_semi")
       .count().toDouble / n
-    require(pr >= 0.08,
-      f"two-level SemDeDup pair recall collapsed: $pr%.3f < 0.08")
+    require(pr >= 0.12,
+      f"two-level SemDeDup pair recall collapsed: $pr%.3f < 0.12")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** q307: the PERSISTED production index end-to-end — the 100 TB ANN
+    * lifecycle with every scale term bounded: refresh a versioned
+    * two-level IVF-PQ index from HALF the corpus (bounded-sample
+    * training: hier quantizer budget × √cells, PQ codebooks
+    * budget × kCodes), append the other half under the FROZEN persisted
+    * quantizer (~2·√cells cosines/row, no rewrite), query the committed
+    * version with static partition pruning + ADC re-rank, then RETRAIN
+    * over the full corpus and require the v2 cutover holds the floor.
+    * Floors sit below the min measured at sf0.01/sf0.1 (nProbe=8,
+    * probeTop=3, kCodes=128, budget=256: recall 0.490/0.314, PQ-ceiling
+    * retention 0.760/0.673; v2 cutover 0.440/0.300 — PLANS.md round 10).
+    * Output = the exact baseline, the q108 convention. */
+  def q307IvfPqHierIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val extra = emb.filter(col("vec_id") % 2 =!= 0)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q307_hidx_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
+      m = 8, kCodes = 128, root, sampleBudget = 256)
+    require(v1 == 1, s"fresh root must publish v1, got v$v1")
+    // frozen-quantizer append: the persisted artifacts drive it —
+    // self-contained, no state held from the refresh call
+    val hq = Similarity.readHierQuantizer(s, s"$root/v$v1/quantizer")
+    val cb = Similarity.readPqCodebooks(s, root, v1)
+    Similarity.appendToIvfPqIndexHier(extra, hq, cb, s"$root/v$v1/cells")
+    val got = Similarity.queryVersionedIvfPqIndexHier(s, root,
+      recallQueries(emb), 10, nProbe = 8, probeTop = 3).localCheckpoint(true)
+    val r1 = recallOf(exact, got)
+    require(r1 >= 0.25,
+      f"hier IVF-PQ index recall@10 (append face) degraded: $r1%.3f < 0.25")
+    // appended (odd-id) rows must be probe-visible
+    require(got.filter(col("nbr_id") % 2 =!= 0).limit(1).count() == 1L,
+      "appended rows never surfaced in a probe")
+    val ret = recallOf(Similarity.pqTopK(emb, recallQueries(emb), 10, cb), got)
+    require(ret >= 0.60,
+      f"hier IVF-PQ probe retention vs full-scan PQ degraded: $ret%.3f < 0.60")
+    // retrain cutover: v2 over the grown corpus, same bounded budget
+    val v2 = Similarity.refreshIvfPqIndexHier(emb, nCells = 16, dim = 64,
+      m = 8, kCodes = 128, root, sampleBudget = 256)
+    require(v2 == 2, s"retrain must publish v2, got v$v2")
+    val r2 = recallOf(exact, Similarity.queryVersionedIvfPqIndexHier(s, root,
+      recallQueries(emb), 10, nProbe = 8, probeTop = 3))
+    require(r2 >= 0.25,
+      f"hier IVF-PQ index recall@10 (v2 cutover) degraded: $r2%.3f < 0.25")
     exact.orderBy("query_id", "rank")
   }
 
@@ -5463,7 +5516,8 @@ object Queries {
     "q303_ivf_sampled_recall" -> (q303IvfSampledRecall _),
     "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _),
     "q305_obo_refresh" -> (q305OboRefresh _),
-    "q306_hier_recall" -> (q306HierRecall _)
+    "q306_hier_recall" -> (q306HierRecall _),
+    "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7265,6 +7319,9 @@ object Queries {
     "q303_ivf_sampled_recall" -> recallBaselineOracle,
     // q306: the two-level-quantizer variant — same exact baseline
     "q306_hier_recall" -> recallBaselineOracle,
+    // q307: the persisted two-level IVF-PQ index lifecycle — the
+    // refresh/append/cutover assertions ride require(); same baseline
+    "q307_ivfpq_hier_index" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

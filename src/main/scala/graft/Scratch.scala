@@ -465,6 +465,189 @@ object Scratch {
         }
       spark.stop(); return
     }
+    if (name == "semhierpairs") {
+      // candidate/surviving pair volume of the SemDeDup decade body —
+      // the sf100 time jump attribution: decadegen densifies each clone
+      // cluster ∝ factor, so threshold-passing pairs grow ∝ factor²
+      // per cluster (corpus shape, not operator regression)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = emb.count()
+      val nCells = math.max(16, (n / 125).toInt)
+      val hq = Similarity.trainHierQuantizer(emb, nCells, 8192)
+      val assigned = Similarity.assignCellsHier(
+        emb.select(col("vec_id").as("__id"), col("embedding").as("__vec")),
+        hq, "__vec").localCheckpoint(true)
+      val a = assigned.select(col("cell_id"), col("__id").as("id_a"),
+        col("__vec").as("__va"))
+      val b = assigned.select(col("cell_id"), col("__id").as("id_b"),
+        col("__vec").as("__vb"))
+      val joined = a.join(b, Seq("cell_id")).filter(col("id_a") < col("id_b"))
+      val agg = joined.agg(count(lit(1)).as("cand"),
+        sum(when(Similarity.cosine(col("__va"), col("__vb")) >= 0.3, 1L)
+          .otherwise(0L)).as("pass")).collect()(0)
+      println(s"[scratch] semhierpairs rows=$n cells=$nCells " +
+        s"candidates=${agg.getLong(0)} passing=${agg.getLong(1)}")
+      spark.stop(); return
+    }
+    if (name == "hierindexprofile") {
+      // statement-level decomposition of refreshIvfPqIndexHier — where
+      // do 21 s go at sf0.01 (250 rows)?
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val base = emb.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+      println(s"[scratch] base rows=${base.count()}")
+      def phase[T](tag: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[scratch]   phase $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val root = java.nio.file.Files.createTempDirectory("hprof").toString
+      val hq = phase("trainHierQuantizer")(
+        Similarity.trainHierQuantizer(base, nCells = 16, sampleBudget = 256))
+      val cb = phase("pqTrainSampled")(
+        Similarity.pqTrainSampled(base, 64, 8, 128, 256))
+      phase("writeHierQuantizer")(
+        Similarity.writeHierQuantizer(spark, hq, s"$root/quantizer"))
+      val assigned = phase("assignCellsHier+encode (plan+exec, collect)")(
+        Similarity.assignCellsHier(
+          base.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec")),
+          hq, "nbr_vec")
+          .select(col("nbr_id"), Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+            col("cell_id")).count())
+      phase("cells write (partitionBy)")(
+        Similarity.assignCellsHier(
+          base.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec")),
+          hq, "nbr_vec")
+          .select(col("nbr_id"), Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+            col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/cells"))
+      phase("append (same, mode append)")(
+        Similarity.appendToIvfPqIndexHier(
+          emb.filter(col("vec_id") % 2 =!= 0), hq, cb, s"$root/cells"))
+      phase("query")(
+        Similarity.queryIvfPqIndexHier(spark, s"$root/cells", hq, cb,
+          emb.filter(col("vec_id") % 25 === 0), 10, nProbe = 8, probeTop = 3)
+          .count())
+      spark.stop(); return
+    }
+    if (name == "hierindexrecall") {
+      // recall of the PERSISTED two-level IVF-PQ index at the q307 gate
+      // operating point (nCells=16, dim 64, m 8, kCodes=128, budget 256;
+      // half-corpus refresh + frozen append of the other half) — pins
+      // the gate floors from measurement, the q108/q110 convention.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val extra = emb.filter(col("vec_id") % 2 =!= 0)
+      val queries = emb.filter(col("vec_id") % 25 === 0).localCheckpoint(true)
+      val exact = Similarity.bruteForceTopK(emb, queries, 10)
+        .select("query_id", "nbr_id").localCheckpoint(true)
+      val total = exact.count().toDouble
+      val root = java.nio.file.Files.createTempDirectory("hidx").toString + "/idx"
+      def phase[T](tag: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[scratch]   phase $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val v1 = phase("refresh v1") {
+        Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
+          m = 8, kCodes = 128, root, sampleBudget = 256)
+      }
+      val hq = Similarity.readHierQuantizer(spark, s"$root/v$v1/quantizer")
+      val cb = Similarity.readPqCodebooks(spark, root, v1)
+      phase("append") {
+        Similarity.appendToIvfPqIndexHier(extra, hq, cb, s"$root/v$v1/cells")
+      }
+      for (nProbe <- Seq(4, 8)) {
+        val got = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+          queries, 10, nProbe = nProbe, probeTop = 3)
+          .select("query_id", "nbr_id")
+        val r = got.intersect(exact).count() / total
+        val pqCeil = Similarity.pqTopK(emb, queries, 10, cb)
+          .select("query_id", "nbr_id").localCheckpoint(true)
+        val ret = got.intersect(pqCeil).count().toDouble / pqCeil.count()
+        println(f"[scratch] hierindex(nProbe=$nProbe) recall@10=$r%.3f retentionVsPq=$ret%.3f")
+      }
+      // the retrain CUTOVER face: v2 over the full corpus, same budget
+      val v2 = Similarity.refreshIvfPqIndexHier(emb, nCells = 16, dim = 64,
+        m = 8, kCodes = 128, root, sampleBudget = 256)
+      val r2 = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+        queries, 10, nProbe = 8, probeTop = 3)
+        .select("query_id", "nbr_id").intersect(exact).count() / total
+      println(f"[scratch] hierindex(v$v2 cutover,nProbe=8) recall@10=$r2%.3f")
+      spark.stop(); return
+    }
+    if (name == "recallhier") {
+      // recall at the PRODUCTION operating point (nCells = rows/125,
+      // the decade recipe) — closes the PLANS assertion that the
+      // two-level recall gap narrows at realistic cell counts. Compares
+      // flat-sampled vs hier (seeds) vs hier (2 Lloyd sub-iters) at a
+      // matched ~5% probed fraction, plus pair recall + cell balance.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = emb.count()
+      val nCells = math.max(16, (n / 125).toInt)
+      val queries = emb.filter(col("vec_id") % 25 === 0).localCheckpoint(true)
+      val k = 10
+      val exact = Similarity.bruteForceTopK(emb, queries, k)
+        .select("query_id", "nbr_id").localCheckpoint(true)
+      val total = exact.count().toDouble
+      val a = queries.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      val exactPairs = broadcast(a).join(b, col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.3)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val nPairs = exactPairs.count()
+      def pairRecallOf(assigned: org.apache.spark.sql.DataFrame): Double = {
+        val co = assigned.select(col("cell_id"), col("__id").as("id_a"))
+          .filter(col("id_a") % 25 === 0)
+          .join(assigned.select(col("cell_id"), col("__id").as("id_b")),
+            Seq("cell_id"))
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        exactPairs.join(co, Seq("id_a", "id_b"), "left_semi")
+          .count().toDouble / nPairs
+      }
+      def balance(assigned: org.apache.spark.sql.DataFrame): String = {
+        val r = assigned.groupBy("cell_id").count()
+          .agg(count(lit(1)), max("count"),
+            expr("percentile_approx(count, array(0.5, 0.99), 1000)"))
+          .collect()(0)
+        s"cells=${r.get(0)} max=${r.get(1)} p50/99=${r.get(2)}"
+      }
+      val base = emb.select(col("vec_id").as("__id"), col("embedding").as("__vec"))
+      // flat sampled at matched probe fraction
+      val cents = Similarity.trainCentroidsSampled(emb, nCells, 8192)
+      val nProbeFlat = math.max(1, nCells / 20) // ~5%
+      val rFlat = Similarity.ivfTopK(emb, queries, k, nCells, nProbeFlat,
+          trained = Some(cents))
+        .select("query_id", "nbr_id").intersect(exact).count() / total
+      val aFlat = Similarity.assignCells(base, cents, "__vec", 1)
+        .localCheckpoint(true)
+      println(f"[scratch] flat(nCells=$nCells,nProbe=$nProbeFlat) recall@$k=$rFlat%.3f pair=${pairRecallOf(aFlat)}%.3f ${balance(aFlat)}")
+      for (iters <- Seq(0, 2)) {
+        val hq = Similarity.trainHierQuantizer(emb, nCells, 8192,
+          subLloydIters = iters)
+        val probeTop = math.max(2, hq.top.size / 5) // ~20% of top cells
+        val nProbe = math.max(1, hq.nCells / 20)    // ~5% of sub cells
+        val r = Similarity.ivfTopKHier(emb, queries, k, hq, nProbe, probeTop)
+          .select("query_id", "nbr_id").intersect(exact).count() / total
+        val ah = Similarity.assignCellsHier(base, hq, "__vec")
+          .localCheckpoint(true)
+        println(f"[scratch] hier(iters=$iters,k1=${hq.top.size},k2=${hq.k2},probeTop=$probeTop,nProbe=$nProbe) recall@$k=$r%.3f pair=${pairRecallOf(ah)}%.3f ${balance(ah)}")
+      }
+      spark.stop(); return
+    }
     if (name == "hierprofile") {
       // phase decomposition of the two-level quantizer decade bodies:
       // train vs assign vs probe-join — finds which term blew up at sf10

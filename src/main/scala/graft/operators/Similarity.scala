@@ -335,7 +335,17 @@ object Similarity {
       .filter(col("id_a") < col("id_b") &&
         cosine(col("__va"), col("__vb")) >= threshold)
       .select("id_a", "id_b")
-    val losers = Dedup.connectedComponents(pairs)
+    // star contraction, not min-label propagation: SemDeDup's pair graph
+    // is near-CLIQUES (every clone pair in a dup cluster passes the
+    // threshold), so label-prop's static doubled edge table — 2|pairs|
+    // rows checkpointed once and re-joined EVERY round — holds the whole
+    // quadratic pair volume in memory for the duration (measured OOM at
+    // sf100: ~10⁸ pairs from 100-clone clusters, heap-size-independent),
+    // while star contraction collapses a clique to its star in one
+    // round and CONTRACTS the edge set as it goes (same (id, component)
+    // contract, DedupSpec-pinned equivalent; x^0.19/decade on the open
+    // corpus). PLANS.md round 10.
+    val losers = Dedup.connectedComponentsStar(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     corpus.join(losers, Seq(idCol), "left_anti")
@@ -617,43 +627,111 @@ object Similarity {
 
   /** Train a [[HierQuantizer]] on a bounded deterministic sample: the
     * top level is Lloyd k-means over the [[trainCentroidsSampled]]
-    * hash-rank sample; each top cell's sub-centroids are its k2
-    * LOWEST-HASH sample members (seeds, not Lloyd — the [[capCells]]
-    * sub-centroid convention: deterministic in the member ids, no
-    * per-cell iteration). Training cost: budget × k1 for the fit plus
-    * one narrow pass over the sample — independent of corpus size and
-    * LINEAR in √nCells, vs budget × nCells for the flat sampled
-    * trainer. The collected model is ≤ nCells vectors — model-sized,
-    * the same payload [[trainCentroids]] returns. */
+    * hash-rank sample; each top cell's sub-centroids start as its k2
+    * LOWEST-HASH sample members (the [[capCells]] sub-centroid
+    * convention: deterministic in the member ids, no per-cell
+    * iteration) and then take `subLloydIters` Lloyd steps over the
+    * sample (default 2 — measured at the sf1.0 operating point
+    * (160 cells, 5% probed): recall@10 0.883→0.896, pair recall
+    * 0.098→0.112, p99 cell size 347→217 vs raw seeds; PLANS.md round
+    * 10).
+    *
+    * The whole fit runs DRIVER-LOCALLY on ONE bounded collect: the
+    * sample is model-sized BY CONSTRUCTION (≤ budget × dim floats —
+    * the bounded-small-side convention), arrives in xxhash64-rank
+    * order from a TakeOrderedAndProject (per-partition bounded top-N,
+    * no global sort, corpus scanned exactly once), and every Lloyd
+    * step after that is plain in-process math — the distributed
+    * formulation spent ~15 Spark job round-trips plus two MLlib fits
+    * per refresh ON THE SAME ≤8192 ROWS, pure scheduling overhead
+    * (measured: 21 s → ~1 s per refresh at gate scale; PLANS.md round
+    * 10). Deterministic end to end: fixed sample order, fixed seeds
+    * (first-k points), single-threaded accumulation — same corpus →
+    * same quantizer on any cluster layout. Assignment conventions
+    * mirror the executor-side expressions exactly: top cell by COSINE
+    * with ties to the lower id ([[assignCells]]), sub cell via the
+    * [[assignCellsHier]] fallback (a top cell with no sub entry → its
+    * first global id), so the trained model and the codegen'd
+    * assignment agree on every boundary. */
   def trainHierQuantizer(corpus: DataFrame, nCells: Int,
                          sampleBudget: Int = 8192,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): HierQuantizer = {
+                         vecCol: String = "embedding",
+                         subLloydIters: Int = 2): HierQuantizer = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     val k1 = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
     require(sampleBudget >= k1,
       s"sampleBudget ($sampleBudget) must be >= k1 ($k1)")
-    val sample = corpus
+    // the ONE distributed step: bounded top-N by hash rank
+    val sample: Array[Array[Float]] = corpus
       .orderBy(xxhash64(col(idCol)))
       .limit(sampleBudget)
-      .select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .localCheckpoint(true)
-    try {
-      val top = trainCentroids(sample, k1, "__vec")
-      val w = Window.partitionBy("cell_id").orderBy(xxhash64(col("__id")))
-      val subRows = assignCells(sample, top, "__vec", 1)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= k2)
-        .select(col("cell_id"), col("__rn"), col("__vec"))
-        .collect() // ≤ nCells model rows (the quantizer itself)
-      val sub = subRows.groupBy(_.getInt(0)).map { case (c1, rows) =>
-        c1 -> rows.sortBy(_.getInt(1)).toSeq.zipWithIndex.map { case (r, j) =>
-          (c1 * k2 + j, r.getSeq[Float](2).toArray)
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val pts = sample.map(_.map(_.toDouble))
+    val topD = lloydLocal(pts, k1, iters = 10)
+    val top = topD.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toFloat)) }.toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def nearest(p: Array[Double], cands: IndexedSeq[(Int, Array[Double])]): Int = {
+      var bestId = cands(0)._1; var bestSim = Double.NegativeInfinity
+      cands.foreach { case (id, c) =>
+        val s = cos(p, c)
+        if (s > bestSim || (s == bestSim && id < bestId)) {
+          bestSim = s; bestId = id
         }
       }
-      HierQuantizer(k2, top, sub)
-    } finally Exec.releaseCheckpoint(sample)
+      bestId
+    }
+    val topD2 = topD.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    // sub-centroid seeds: the k2 LOWEST-HASH members of each top cell
+    // (the sample is already in hash-rank order)
+    val seedsByCell = scala.collection.mutable.LinkedHashMap[Int,
+      scala.collection.mutable.ArrayBuffer[Array[Float]]]()
+    pts.indices.foreach { i =>
+      val c1 = nearest(pts(i), topD2)
+      val buf = seedsByCell.getOrElseUpdate(c1,
+        scala.collection.mutable.ArrayBuffer.empty)
+      if (buf.size < k2) buf += sample(i)
+    }
+    var quant = HierQuantizer(k2, top, seedsByCell.map { case (c1, vs) =>
+      c1 -> vs.toSeq.zipWithIndex.map { case (v, j) => (c1 * k2 + j, v) }
+    }.toMap)
+    // Lloyd refinement of the sub-centroid seeds over the sample:
+    // tightens the seed Voronoi balance and recall; empty cells drop
+    // from the map, ids stay stable (c1·k2 + j)
+    for (_ <- 1 to subLloydIters) {
+      def assignHier(p: Array[Double]): Int = {
+        val c1 = nearest(p, topD2)
+        quant.sub.get(c1) match {
+          case None => c1 * k2 // the assignCellsHier fallback
+          case Some(scs) =>
+            nearest(p, scs.map { case (g, v) =>
+              (g, v.map(_.toDouble)) }.toIndexedSeq)
+        }
+      }
+      val sums = scala.collection.mutable.Map[Int, Array[Double]]()
+      val counts = scala.collection.mutable.Map[Int, Long]()
+      pts.foreach { p =>
+        val g = assignHier(p)
+        val s = sums.getOrElseUpdate(g, new Array[Double](p.length))
+        var j = 0; while (j < p.length) { s(j) += p(j); j += 1 }
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+      val refined = sums.toSeq.map { case (g, s) =>
+        (g, Array.tabulate(s.length)(j => (s(j) / counts(g)).toFloat))
+      }.groupBy(_._1 / k2)
+        .map { case (c1, cs) => c1 -> cs.sortBy(_._1).toSeq }
+      quant = HierQuantizer(k2, top, refined)
+    }
+    quant
   }
 
   /** Narrow two-step nearest-cell assignment under a [[HierQuantizer]]:
@@ -1080,6 +1158,220 @@ object Similarity {
     val cb = readPqCodebooks(spark, root, v)
     queryIvfPqIndex(spark, s"$root/v$v/cells", centroids, cb, queries, k,
       nProbe, idCol, vecCol)
+  }
+
+  // -----------------------------------------------------------------
+  // The PRODUCTION index: two-level quantizer + bounded-sample PQ,
+  // persisted and versioned — EVERY training and per-row term bounded
+  // -----------------------------------------------------------------
+
+  /** Bounded-sample PQ trainer over the same deterministic hash-rank
+    * sample as [[trainCentroidsSampled]]. [[pqTrain]] fits m MLlib
+    * k-means models over the FULL corpus — a rows × kCodes × m training
+    * term that grows with the data exactly like the flat coarse
+    * trainer's; at a fixed budget the codebooks train in constant time
+    * regardless of corpus size (PQ codebooks saturate at a few thousand
+    * representative vectors anyway — 256 codewords per subspace need
+    * ~32 samples each). The Lloyd iterations run DRIVER-LOCALLY on the
+    * collected sample: the input is model-sized BY CONSTRUCTION
+    * (≤ budget × dim floats — the bounded-small-side collect
+    * convention), and m distributed k-means fits on a few-KB sample are
+    * pure job-scheduling overhead (measured: 16 MLlib fits cost ~60 s
+    * of driver round-trips at gate scale vs sub-second local math;
+    * PLANS.md round 10). Deterministic: the sample order is the
+    * xxhash64 rank, seeds are the first k points per subspace, ties
+    * never consult partitioning. */
+  def pqTrainSampled(corpus: DataFrame, dim: Int, m: Int, k: Int,
+                     sampleBudget: Int = 8192,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): PqCodebooks = {
+    require(sampleBudget >= k,
+      s"sampleBudget ($sampleBudget) must be >= kCodes ($k) — " +
+        "per-subspace k-means needs at least one point per codeword")
+    val dsub = dim / m
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(sampleBudget)
+      .select(col(vecCol))
+      .collect() // ≤ budget rows — the model's own training set
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until m).map { s =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloydLocal(pts, k, iters = 10).map(_.toSeq).toSeq
+    }
+  }
+
+  /** Plain in-process Lloyd (L2): seeds = the first k input points (the
+    * caller fixes the order — hash rank upstream), empty clusters keep
+    * their previous centroid. Used only on model-sized, bounded-budget
+    * inputs; everything corpus-sized stays distributed. */
+  private[graft] def lloydLocal(points: Array[Array[Double]], k: Int,
+                                iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "lloydLocal needs at least one point")
+    val dim = points(0).length
+    var cents = Array.tabulate(math.min(k, n))(i => points(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          val ce = cents(c); var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - ce(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val sb = sums(best); var j = 0
+        while (j < dim) { sb(j) += p(j); j += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(j => s(j) / counts(c)) }
+      }
+    }
+    cents
+  }
+
+  /** Persist a [[HierQuantizer]] as one model-sized parquet: top rows
+    * as (lvl=0, key=c1, cell_id=c1), sub rows as (lvl=1, key=c1,
+    * cell_id=global). k2 rides every row (constant, but keeps the file
+    * self-describing without a sidecar). */
+  def writeHierQuantizer(spark: org.apache.spark.sql.SparkSession,
+                         hq: HierQuantizer, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      hq.top.map { case (c1, v) => (0, c1, c1, hq.k2, v.toSeq) } ++
+        hq.sub.toSeq.flatMap { case (c1, scs) =>
+          scs.map { case (g, v) => (1, c1, g, hq.k2, v.toSeq) }
+        }
+    rows.toDF("lvl", "key", "cell_id", "k2", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[HierQuantizer]] (inverse of
+    * [[writeHierQuantizer]]) — model-sized collect. */
+  def readHierQuantizer(spark: org.apache.spark.sql.SparkSession,
+                        path: String): HierQuantizer = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select("lvl", "key", "cell_id", "k2", "centroid")
+      .as[(Int, Int, Int, Int, Seq[Float])].collect()
+    val k2 = rows.head._4
+    val top = rows.filter(_._1 == 0).sortBy(_._2)
+      .map(r => (r._2, r._5.toArray)).toSeq
+    val sub = rows.filter(_._1 == 1).groupBy(_._2).map { case (c1, rs) =>
+      c1 -> rs.sortBy(_._3).map(r => (r._3, r._5.toArray)).toSeq
+    }
+    HierQuantizer(k2, top, sub)
+  }
+
+  /** Append a batch under a FROZEN [[HierQuantizer]] + codebooks —
+    * the two-level sibling of [[appendToIvfPqIndex]]: ~2·√nCells
+    * cosines per new row, new files land inside their cell_id
+    * partition directories, no rewrite and no shuffle of the index. */
+  def appendToIvfPqIndexHier(newVecs: DataFrame, hq: HierQuantizer,
+                             cb: PqCodebooks, path: String,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Unit =
+    assignCellsHier(
+      newVecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      hq, "nbr_vec")
+      .select(col("nbr_id"), pqEncode(col("nbr_vec"), cb).as("codes"),
+        col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+
+  /** Query a persisted two-level IVF-PQ index: [[probeCellsHier]] ranks
+    * probeTop top cells then their sub-centroids (probeTop × k2 cosines
+    * per query, never nCells), the probed global cell ids fold into a
+    * static `isin` partition filter (same pruning contract as
+    * [[queryIvfIndex]], spec-asserted), candidates ADC re-rank through
+    * the bounded-heap top-k. */
+  def queryIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
+                          path: String, hq: HierQuantizer, cb: PqCodebooks,
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          probeTop: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val probed = probeCellsHier(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      hq, "q_vec", probeTop, nProbe)
+    val cells = probed.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = spark.read.parquet(path)
+      .filter(col("cell_id").isin(cells: _*))
+      .withColumn("nbr_deq", pqDecode(col("codes"), cb))
+    val scored = index.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nbr_deq")))
+    topK(scored, k)
+  }
+
+  /** Refresh a versioned TWO-LEVEL IVF-PQ index — the 100 TB shape of
+    * the ANN lifecycle, with every scale term bounded by construction:
+    * coarse training is budget × √nCells ([[trainHierQuantizer]]), PQ
+    * training is budget × kCodes × m ([[pqTrainSampled]]), per-row
+    * assignment is ~2·√nCells cosines ([[assignCellsHier]]), the
+    * payload is m bytes/row (PQ codes), and queries prune partitions
+    * statically. Same claim-file CAS + commit-marker-last protocol as
+    * [[refreshIvfIndex]] — a version is either invisible or complete;
+    * the persisted quantizer + codebooks make every version
+    * self-contained. Layout: `<root>/v<N>/{quantizer, codebooks,
+    * cells}` (readers distinguish the hier layout by the `quantizer`
+    * dir; [[currentIvfVersion]] works unchanged).
+    * @return the new version number */
+  def refreshIvfPqIndexHier(corpus: DataFrame, nCells: Int, dim: Int,
+                            m: Int, kCodes: Int, root: String,
+                            sampleBudget: Int = 8192,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
+    fs.mkdirs(vdir)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
+    val hq = trainHierQuantizer(corpus, nCells, sampleBudget, idCol, vecCol)
+    val cb = pqTrainSampled(corpus, dim, m, kCodes, sampleBudget, idCol, vecCol)
+    writeHierQuantizer(spark, hq, s"$root/v$next/quantizer")
+    cb.zipWithIndex.flatMap { case (words, s) =>
+        words.zipWithIndex.map { case (w, j) => (s, j, w) }
+      }.toDF("s", "j", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/v$next/codebooks")
+    assignCellsHier(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
+      hq, "nbr_vec")
+      .select(col("nbr_id"), pqEncode(col("nbr_vec"), cb).as("codes"),
+        col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$root/v$next/cells")
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
+    next
+  }
+
+  /** Query the latest COMMITTED version of a versioned two-level
+    * IVF-PQ index — self-contained: resolves the version, loads the
+    * persisted [[HierQuantizer]] + codebooks, probes with partition
+    * pruning + ADC re-rank. */
+  def queryVersionedIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, queries: DataFrame, k: Int,
+                                   nProbe: Int, probeTop: Int = 2,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    val v = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
+    val cb = readPqCodebooks(spark, root, v)
+    queryIvfPqIndexHier(spark, s"$root/v$v/cells", hq, cb, queries, k,
+      nProbe, probeTop, idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding

@@ -591,6 +591,50 @@ class SimilaritySpec extends SparkSpec {
       cb.forall(_.forall(_.size == 4)))
   }
 
+  test("versioned TWO-LEVEL IVF-PQ index: hier quantizer round-trips, " +
+       "frozen append is probe-visible, partitions prune") {
+    val a = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val b = (100L until 112L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("vhier").toString + "/idx"
+    val v1 = Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16, m = 4,
+      kCodes = 4, root, sampleBudget = 60)
+    assert(v1 == 1 && Similarity.currentIvfVersion(spark, root).contains(1))
+    // the persisted quantizer round-trips EXACTLY (ids, k2, values)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val hqTrained = Similarity.trainHierQuantizer(a, nCells = 9,
+      sampleBudget = 60)
+    assert(hq.k2 == hqTrained.k2)
+    assert(hq.top.map(_._1) == hqTrained.top.map(_._1))
+    assert(hq.top.zip(hqTrained.top).forall { case ((_, x), (_, y)) =>
+      x.toSeq == y.toSeq })
+    assert(hq.sub.keySet == hqTrained.sub.keySet)
+    assert(hq.sub.forall { case (c1, scs) =>
+      scs.map(_._1) == hqTrained.sub(c1).map(_._1) &&
+        scs.zip(hqTrained.sub(c1)).forall { case ((_, x), (_, y)) =>
+          x.toSeq == y.toSeq } })
+    // self-contained query sees the base corpus
+    assert(Similarity.queryVersionedIvfPqIndexHier(spark, root, a.limit(2),
+      k = 1, nProbe = 9, probeTop = 3).count() == 2L)
+    // frozen-quantizer append: new rows probe-visible with no rewrite
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    Similarity.appendToIvfPqIndexHier(b, hq, cb, s"$root/v1/cells")
+    val got = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+      b.limit(3), k = 12, nProbe = 9, probeTop = 3)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(got.exists(_ >= 100L), "appended rows never surfaced in a probe")
+    // static partition pruning survives the hier probe + codes payload
+    val plan = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+        a.limit(2), k = 1, nProbe = 2, probeTop = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+      s"expected partition pruning in:\n$plan")
+    // retrain cutover: a second refresh publishes v2, v1 stays readable
+    val v2 = Similarity.refreshIvfPqIndexHier(a.unionByName(b), nCells = 9,
+      dim = 16, m = 4, kCodes = 4, root, sampleBudget = 72)
+    assert(v2 == 2 && Similarity.currentIvfVersion(spark, root).contains(2))
+    assert(new java.io.File(s"$root/v1/cells").exists())
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // the single-array-literal HOF formulation is now the ONLY path
     // (the per-centroid codegen'd projection trips the JIT huge-method
