@@ -4967,6 +4967,88 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q308: STREAMING ingest into the persisted production index — the
+    * Structured Streaming twin of q307's frozen-quantizer append, and
+    * the 100 TB serving shape: a rarely-retrained base index plus
+    * continuously-streamed deltas probed together. Refresh v1 from
+    * HALF the corpus, then feed the other half through TWO file-source
+    * micro-batches into `Streams.incrementalHierPqIngest` (frozen
+    * persisted quantizer + codebooks, exactly-once `batch=` overwrite
+    * layout). Requires: batch-0 rows probe-visible MID-STREAM (before
+    * batch 1 exists), the streamed rows IDENTICAL to the batch
+    * `appendToIvfPqIndexHier` encoding of the same vectors (the
+    * streaming-twin convention: the stream replays under the batch
+    * operator's contract, here exact row-set equality), and the
+    * combined base+delta probe holding q307's append-face recall floor
+    * (union probe via `queryIvfPqIndexHierPaths` — both roots prune on
+    * the probed cells). Output = the exact baseline, the q108
+    * convention. */
+  // q308's BASE index (v1 over the even half) is read-only for the gate
+  // — the stream is the subject — so it follows the annArtifacts
+  // convention: built once per JVM per data directory (deterministic;
+  // re-refreshing per run is pure waste). q307 keeps its refresh LIVE
+  // because the lifecycle itself is that gate's subject.
+  private val hierBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Similarity.HierQuantizer, Similarity.PqCodebooks)]()
+  private def hierBaseIndex(s: SparkSession, dir: String)
+      : (String, Similarity.HierQuantizer, Similarity.PqCodebooks) =
+    hierBaseCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_hbase_" +
+        s"${java.lang.ProcessHandle.current().pid()}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
+        m = 8, kCodes = 128, root, sampleBudget = 256)
+      (s"$root/v$v1/cells",
+        Similarity.readHierQuantizer(s, s"$root/v$v1/quantizer"),
+        Similarity.readPqCodebooks(s, root, v1))
+    })
+
+  def q308AnnStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val extra = emb.filter(col("vec_id") % 2 =!= 0).localCheckpoint(true)
+    val (baseCells, hq, cb) = hierBaseIndex(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q308_hidx_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    // file-source feed: the delta half split into two micro-batches
+    val feed = twinFeedStart(s, "q308_feed", extra.filter(col("vec_id") % 4 === 1))
+    val ingest = s"$root/ingest"
+    val q = graft.streaming.Streams.incrementalHierPqIngest(
+      s.readStream.schema(extra.schema).parquet(feed), hq, cb,
+      ingest, s"$root/ckpt")
+    try {
+      q.processAllAvailable()
+      // batch 0 must be probe-visible before batch 1 exists
+      val mid = Similarity.queryIvfPqIndexHierPaths(s, Seq(ingest), hq, cb,
+        recallQueries(emb), 10, nProbe = 16, probeTop = 4)
+      require(mid.filter(col("nbr_id") % 4 === 1).limit(1).count() == 1L,
+        "batch-0 rows not probe-visible mid-stream")
+      twinFeedAppend(feed, extra.filter(col("vec_id") % 4 === 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    // exact row-set equality with the batch append encoding
+    val streamed = s.read.parquet(ingest).select("nbr_id", "codes", "cell_id")
+    val batchDir = s"$root/batch_witness"
+    Similarity.appendToIvfPqIndexHier(extra, hq, cb, batchDir)
+    val want = s.read.parquet(batchDir).select("nbr_id", "codes", "cell_id")
+    require(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty,
+      "streamed ingest diverged from the batch append encoding")
+    // combined base+delta probe holds the q307 append-face floor
+    val got = Similarity.queryIvfPqIndexHierPaths(s,
+      Seq(baseCells, ingest), hq, cb,
+      recallQueries(emb), 10, nProbe = 8, probeTop = 3)
+    val r = recallOf(exact, got)
+    require(r >= 0.25,
+      f"streamed hier index recall@10 degraded: $r%.3f < 0.25")
+    exact.orderBy("query_id", "rank")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
@@ -5517,7 +5599,8 @@ object Queries {
     "q304_semdedup_sampled_pairs" -> (q304SemDedupSampledPairs _),
     "q305_obo_refresh" -> (q305OboRefresh _),
     "q306_hier_recall" -> (q306HierRecall _),
-    "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _)
+    "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _),
+    "q308_ann_stream_ingest" -> (q308AnnStreamIngest _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7322,6 +7405,9 @@ object Queries {
     // q307: the persisted two-level IVF-PQ index lifecycle — the
     // refresh/append/cutover assertions ride require(); same baseline
     "q307_ivfpq_hier_index" -> recallBaselineOracle,
+    // q308: the streaming-ingest twin — mid-stream visibility, exact
+    // batch-encoding equality, and union-probe recall ride require()
+    "q308_ann_stream_ingest" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

@@ -465,6 +465,19 @@ object Scratch {
         }
       spark.stop(); return
     }
+    if (name == "gatewarm") {
+      // cold+warm wall-clock of one gate in one JVM: `gatewarm <dir>
+      // <queryName> [runs]` — the Bench-cost preview for a new gate
+      val qn = args(2)
+      val runs = if (args.length > 3) args(3).toInt else 3
+      val fn = graft.Queries.all(qn)
+      for (i <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        println(f"[scratch] gatewarm $qn run$i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "semhierpairs") {
       // candidate/surviving pair volume of the SemDeDup decade body —
       // the sf100 time jump attribution: decadegen densifies each clone

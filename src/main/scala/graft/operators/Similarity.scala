@@ -1296,14 +1296,38 @@ object Similarity {
                           queries: DataFrame, k: Int, nProbe: Int,
                           probeTop: Int = 2,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding"): DataFrame =
+    queryIvfPqIndexHierPaths(spark, Seq(path), hq, cb, queries, k, nProbe,
+      probeTop, idCol, vecCol)
+
+  /** Probe SEVERAL persisted two-level IVF-PQ roots as ONE index — the
+    * refresh-built `v<N>/cells` layout plus any number of
+    * streaming-ingest `batch=` roots
+    * ([[graft.streaming.Streams.incrementalHierPqIngest]]): the probed
+    * cell set folds into the SAME static `isin` partition filter on
+    * EVERY root before the union (cell_id is a partition column in
+    * both layouts — under the batch level in the ingest root — so each
+    * scan lists only probed cell directories), then one ADC re-rank
+    * over the unioned candidates. This is the 100 TB serving shape:
+    * a rarely-retrained base index + continuously-streamed deltas,
+    * probed together with no compaction step on the read path. */
+  def queryIvfPqIndexHierPaths(spark: org.apache.spark.sql.SparkSession,
+                               paths: Seq[String], hq: HierQuantizer,
+                               cb: PqCodebooks, queries: DataFrame, k: Int,
+                               nProbe: Int, probeTop: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    require(paths.nonEmpty, "need at least one index root")
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       hq, "q_vec", probeTop, nProbe)
     val cells = probed.select("cell_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = spark.read.parquet(path)
-      .filter(col("cell_id").isin(cells: _*))
+    val index = paths.map { p =>
+        spark.read.parquet(p)
+          .filter(col("cell_id").isin(cells: _*))
+          .select(col("nbr_id"), col("codes"), col("cell_id"))
+      }.reduce(_ unionByName _)
       .withColumn("nbr_deq", pqDecode(col("codes"), cb))
     val scored = index.join(broadcast(probed), Seq("cell_id"))
       .filter(col("query_id") =!= col("nbr_id"))

@@ -365,6 +365,58 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming ingest into a persisted TWO-LEVEL IVF-PQ index — the
+   * Structured Streaming twin of `Similarity.appendToIvfPqIndexHier`
+   * and the production shape of continuous ANN at scale: each
+   * micro-batch assigns its vectors through the FROZEN
+   * [[graft.operators.Similarity.HierQuantizer]] (~2·√nCells cosines
+   * per row, narrow), PQ-encodes against the frozen codebooks, and
+   * overwrites its own `batch=<id>` directory — replayed batches
+   * replace, never duplicate, so the ingest is exactly-once on top of
+   * at-least-once delivery (the [[incrementalPqIngest]] layout
+   * contract: this root holds ONLY batch= entries). Readers prune on
+   * cell_id exactly as with the refresh-built index (cell_id stays a
+   * partition column under the batch level);
+   * `Similarity.queryIvfPqIndexHierPaths` probes this root together
+   * with the refresh root as one index.
+   */
+  def incrementalHierPqIngest(vecs: DataFrame,
+                              hq: graft.operators.Similarity.HierQuantizer,
+                              cb: graft.operators.Similarity.PqCodebooks,
+                              indexPath: String, checkpoint: String,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding")
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val conf = vecs.sparkSession.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath)) {
+      val foreign = fs.listStatus(rootPath).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("batch=") || n.startsWith("_") ||
+          n.startsWith("."))
+      require(foreign.isEmpty,
+        s"incrementalHierPqIngest owns its root; $indexPath already holds " +
+          s"non-batch entries (${foreign.take(3).mkString(", ")}) - a flat " +
+          "cells layout cannot mix with the batch= layout")
+    }
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col => c}
+        graft.operators.Similarity.assignCellsHier(
+            batch.select(c(idCol).as("nbr_id"), c(vecCol).as("nbr_vec")),
+            hq, "nbr_vec")
+          .select(c("nbr_id"),
+            graft.operators.Similarity.pqEncode(c("nbr_vec"), cb).as("codes"),
+            c("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$indexPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** foreachBatch incremental tuple writing: every micro-batch of NSForest
     * results rows is pushed through the writer and appended to `outPath`
     * as parquet. Restartable via the checkpoint dir. */

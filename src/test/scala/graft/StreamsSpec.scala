@@ -345,6 +345,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalHierPqIngest streams two-level codes matching the " +
+       "batch append, probed jointly with a refresh root") {
+    implicit val sc = spark.sqlContext
+    def vec(seed: Long) = Array.tabulate(16)(d => math.sin(seed * 16 + d + 1).toFloat)
+    val allRows = (0L until 24L).map(i => (i, vec(i)))
+    val corpus = allRows.toDF("vec_id", "embedding")
+    val hq = graft.operators.Similarity.trainHierQuantizer(
+      corpus, nCells = 9, sampleBudget = 24)
+    val cb = graft.operators.Similarity.pqCodebooksFromRows(
+      corpus, dim = 16, m = 4, k = 4)
+    val dir = Files.createTempDirectory("shier").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Streams.incrementalHierPqIngest(
+      in.toDF().toDF("vec_id", "embedding"), hq, cb,
+      s"$dir/idx", s"$dir/ckpt")
+    try {
+      in.addData(allRows.take(12): _*)
+      q.processAllAvailable()
+      in.addData(allRows.drop(12): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/idx")
+        .select("nbr_id", "codes", "cell_id")
+        .as[(Long, Seq[Int], Int)].collect().toSet
+      // identical rows to the batch append of the same corpus
+      graft.operators.Similarity.appendToIvfPqIndexHier(
+        corpus, hq, cb, s"$dir/batch_idx")
+      val want = spark.read.parquet(s"$dir/batch_idx")
+        .select("nbr_id", "codes", "cell_id")
+        .as[(Long, Seq[Int], Int)].collect().toSet
+      assert(got == want && got.size == 24)
+      // joint probe over a refresh-built root + the streamed root sees
+      // rows from BOTH layouts, and still prunes on cell_id
+      graft.operators.Similarity.appendToIvfPqIndexHier(
+        (100L until 104L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        hq, cb, s"$dir/flat_idx")
+      val joint = graft.operators.Similarity.queryIvfPqIndexHierPaths(
+        spark, Seq(s"$dir/flat_idx", s"$dir/idx"), hq, cb,
+        (0L until 2L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        k = 24, nProbe = 9, probeTop = 3)
+      val ids = joint.select("nbr_id").as[Long].collect().toSet
+      assert(ids.exists(_ >= 100L) && ids.exists(_ < 24L))
+      val plan = graft.operators.Similarity.queryIvfPqIndexHierPaths(
+        spark, Seq(s"$dir/flat_idx", s"$dir/idx"), hq, cb,
+        (0L until 2L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+        k = 2, nProbe = 2, probeTop = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell_id"),
+        s"expected partition pruning in:\n$plan")
+    } finally q.stop()
+  }
+
   test("incrementalTuples writes tuples per micro-batch via foreachBatch") {
     val dir = Files.createTempDirectory("stream")
     val src = dir.resolve("in"); Files.createDirectories(src)
