@@ -1491,12 +1491,17 @@ object Scratch {
             nCells = nCells, sampleBudget = 8192),
           threshold = 0.3).count()
       }
-      time("spanmask(corpus-derived hot set)") {
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
-        val hot = graft.operators.Corpus.duplicateSpanHashes(docs)
-          .collect().map(_.getLong(0)).toSeq
-        println(s"[scratch]   hot-span set: ${hot.size}")
-        graft.operators.Corpus.maskSpansAgainst(docs, hot).count()
+      time("spanmask(join path)") {
+        // maskDuplicateSpans — the JOIN-based whole-corpus face, no
+        // driver collect. The old harness body collected the
+        // corpus-derived hot set into a literal (`maskSpansAgainst`'s
+        // known-small-list contract, the streaming-scrub shape) and at
+        // sf100open that set is 51M spans — a 0.4 GB driver collect
+        // that grows ∝ corpus and breaks a decade later. The operator
+        // family always had both faces; the harness now measures the
+        // one a corpus-derived hot set actually uses at scale.
+        graft.operators.Corpus.maskDuplicateSpans(
+          spark.read.parquet(s"$dir/documents.parquet")).count()
       }
       // ---- round-8 additions: the new heavy operator bodies ----
       time("msf", s"msf(cycles=32,nodes=$k)") {
