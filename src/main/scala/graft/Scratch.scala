@@ -1439,7 +1439,11 @@ object Scratch {
       }
       def emb() = spark.read.parquet(s"$dir/embeddings.parquet")
       lazy val nEmb = emb().count()
-      lazy val nCells = math.max(16, (nEmb / 125).toInt) // cell size ~fixed
+      // cell size ~fixed (cells ∝ rows) by default; SCRATCH_NCELLS
+      // overrides for the cells ∝ √rows production-tuning face (the
+      // FAISS convention — flattens the √cells per-row assignment term)
+      lazy val nCells = sys.env.get("SCRATCH_NCELLS").map(_.toInt)
+        .getOrElse(math.max(16, (nEmb / 125).toInt))
       time("ivf", s"ivf(nCells=$nCells,probe5%)") {
         val e = emb()
         graft.operators.Similarity.ivfTopK(e,
