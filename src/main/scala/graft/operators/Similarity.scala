@@ -1398,6 +1398,36 @@ object Similarity {
       nProbe, probeTop, idCol, vecCol)
   }
 
+  /** The out-of-band pruner the version lifecycle points at: delete
+    * index versions STRICTLY BELOW the latest committed one, keeping
+    * the newest `keep` committed versions for in-flight readers.
+    * Safe by construction against every concurrent actor: a mid-write
+    * refresher always claims (max listed)+1 > latest committed, so its
+    * directory is never below the cut; readers resolve "current" as
+    * the latest committed version, so only versions a reader could
+    * have resolved STRICTLY EARLIER are deleted — run the prune after
+    * the deployment's read-timeout grace, exactly like any snapshot
+    * vacuum. Abandoned (claimed-never-committed) directories below the
+    * cut are dead by the version-numbering argument and are removed
+    * too. Returns the deleted version numbers. */
+  def pruneIvfVersions(spark: org.apache.spark.sql.SparkSession,
+                       root: String, keep: Int = 1): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return Nil
+    val versions = listIvfVersions(fs, rootPath)
+    val committed = versions.collect { case (v, true) => v }.sorted
+    if (committed.isEmpty) return Nil // never delete ahead of a commit
+    val cut = committed.takeRight(keep).head
+    val doomed = versions.map(_._1).filter(_ < cut).sorted
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"v$v"), true)
+    }
+    doomed
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets (the embedding
     * variant of Dedup): pairs in the same bucket with cosine ≥ threshold.
     * `hotBucketThreshold` is the same skew lever as the text-LSH joins —

@@ -633,6 +633,25 @@ class SimilaritySpec extends SparkSpec {
       dim = 16, m = 4, kCodes = 4, root, sampleBudget = 72)
     assert(v2 == 2 && Similarity.currentIvfVersion(spark, root).contains(2))
     assert(new java.io.File(s"$root/v1/cells").exists())
+    // out-of-band prune: an uncommitted v3 from a live/dead refresher
+    // sits ABOVE the latest committed version and must survive; keep=2
+    // deletes nothing; keep=1 deletes exactly v1
+    val stale = new java.io.File(s"$root/v3")
+    stale.mkdirs()
+    assert(new java.io.File(stale, ".claim").createNewFile())
+    assert(Similarity.pruneIvfVersions(spark, root, keep = 2) == Nil)
+    assert(Similarity.pruneIvfVersions(spark, root, keep = 1) == Seq(1))
+    assert(!new java.io.File(s"$root/v1").exists())
+    assert(stale.exists())
+    assert(Similarity.currentIvfVersion(spark, root).contains(2))
+    // the survivor still serves self-contained queries
+    assert(Similarity.queryVersionedIvfPqIndexHier(spark, root, b.limit(2),
+      k = 1, nProbe = 9, probeTop = 3).count() == 2L)
+    // a root with no committed version is never touched
+    val fresh = java.nio.file.Files.createTempDirectory("vempty").toString
+    new java.io.File(s"$fresh/v1").mkdirs()
+    assert(Similarity.pruneIvfVersions(spark, fresh, keep = 1) == Nil)
+    assert(new java.io.File(s"$fresh/v1").exists())
   }
 
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
