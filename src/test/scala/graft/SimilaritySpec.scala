@@ -654,6 +654,37 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(s"$fresh/v1").exists())
   }
 
+  test("driver-local trainers are partition-layout-independent and " +
+       "lloydLocal handles the degenerate shapes") {
+    val rows = (0L until 80L).map(i => (i, vec(16)))
+    val base = rows.toDF("vec_id", "embedding")
+    // the scaladoc's determinism CLAIM, pinned: same corpus → same
+    // quantizer on any cluster layout (the sample is a hash-rank
+    // bounded top-N over unique ids; no step consults partitioning)
+    def key(h: graft.operators.Similarity.HierQuantizer) =
+      (h.k2, h.top.map { case (i, v) => (i, v.toSeq) },
+        h.sub.toSeq.sortBy(_._1).map { case (c, s) =>
+          (c, s.map { case (g, v) => (g, v.toSeq) }) })
+    val a = Similarity.trainHierQuantizer(base.repartition(7), nCells = 9,
+      sampleBudget = 48)
+    val b = Similarity.trainHierQuantizer(base.repartition(3), nCells = 9,
+      sampleBudget = 48)
+    assert(key(a) == key(b))
+    val ca = Similarity.pqTrainSampled(base.repartition(5), dim = 16,
+      m = 4, k = 8, sampleBudget = 48)
+    val cd = Similarity.pqTrainSampled(base.coalesce(1), dim = 16,
+      m = 4, k = 8, sampleBudget = 48)
+    assert(ca == cd)
+    // lloydLocal: k > n clamps to n centroids; an empty cluster keeps
+    // its seed (two identical points, k=2 → the duplicate seed stays)
+    val pts = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    assert(Similarity.lloydLocal(pts.take(1), k = 5, iters = 3).length == 1)
+    val two = Similarity.lloydLocal(
+      Array(Array(1.0, 0.0), Array(1.0, 0.0)), k = 2, iters = 4)
+    assert(two.length == 2 && two(0).toSeq == Seq(1.0, 0.0) &&
+      two(1).toSeq == Seq(1.0, 0.0))
+  }
+
   test("large-quantizer assignment (HOF path) agrees with the codegen path") {
     // the single-array-literal HOF formulation is now the ONLY path
     // (the per-centroid codegen'd projection trips the JIT huge-method
