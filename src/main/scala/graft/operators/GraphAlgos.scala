@@ -807,25 +807,41 @@ object GraphAlgos {
     * rank-selected instead of interpolated).
     *
     * Emits ONE row: n_pairs, eff_diameter, mean_dist. Shape: the
-    * [[shortestPaths]] BFS plus one global sort window over the
-    * pair-distance table (≤ |landmarks|·|V| rows — sample landmarks
-    * at corpus scale). */
+    * [[shortestPaths]] BFS plus one map-side-combined HISTOGRAM over
+    * the pair-distance table — hop distances are integers in
+    * [1, maxHops], so the rank selection is a ≤ maxHops-bucket
+    * cumulative walk on the driver, NOT a sort. The first cut
+    * rank-selected with `row_number` over an unpartitioned window,
+    * which funnels all |landmarks|·|V| pair rows through ONE task —
+    * measured super-linear at the third decade (sf100: 32M pairs,
+    * exp 1.23 vs closeness's 0.86 on the SAME BFS; PLANS.md round 10)
+    * and fixed here: the histogram aggregate is value-identical
+    * (selection on a sorted integer multiset ≡ cumulative-count walk)
+    * and leaves only the |dist-values|-row collect. */
   def effectiveDiameter(edges0: DataFrame, landmarks: DataFrame,
       maxHops: Int = 6, pct: Int = 90, srcCol: String = "src",
       dstCol: String = "dst", landmarkCol: String = "node"): DataFrame = {
     require(pct >= 1 && pct <= 100, "pct in 1..100")
-    val d = shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol,
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val hist = shortestPaths(edges0, landmarks, maxHops, srcCol, dstCol,
         landmarkCol)
       .filter(col("dist") > 0)
-    val w = Window.orderBy(col("dist"))
-    val nS = Window.partitionBy()
-    d.withColumn("__r", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(nS))
-      .withColumn("__s", sum(col("dist")).over(nS))
-      .filter(col("__r") === expr(s"(($pct * (__n - 1)) div 100) + 1"))
-      .select(col("__n").as("n_pairs"), col("dist").as("eff_diameter"),
-        (col("__s").cast("double") / col("__n").cast("double"))
-          .as("mean_dist"))
+      .groupBy("dist").agg(count(lit(1)).as("c"))
+      .select(col("dist").cast("long"), col("c"))
+      .as[(Long, Long)].collect().sortBy(_._1) // ≤ maxHops buckets
+    val n = hist.map(_._2).sum
+    val s = hist.map { case (d, c) => d * c }.sum
+    if (n == 0L)
+      return Seq.empty[(Long, Int, Double)]
+        .toDF("n_pairs", "eff_diameter", "mean_dist")
+    val rank = (pct.toLong * (n - 1)) / 100 + 1 // type-1 lower selection
+    var cum = 0L
+    val eff = hist.collectFirst {
+      case (d, c) if { cum += c; cum >= rank } => d
+    }.get
+    Seq((n, eff.toInt, s.toDouble / n.toDouble))
+      .toDF("n_pairs", "eff_diameter", "mean_dist")
   }
 
   /** The integer scale of [[harmonicCentrality]]'s `h_scaled`:
