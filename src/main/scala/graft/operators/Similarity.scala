@@ -735,8 +735,9 @@ object Similarity {
   }
 
   /** Narrow two-step nearest-cell assignment under a [[HierQuantizer]]:
-    * argmin over the k1 top centroids (codegen'd literal path for
-    * k1 ≤ 64, i.e. nCells ≤ ~4096), then argmin over THAT cell's
+    * argmin over the k1 top centroids (the single-literal HOF pass of
+    * [[topScoredExpr]] — the only formulation since the round-10 JIT
+    * cliff finding), then argmin over THAT cell's
     * sub-centroids via one `element_at` on a literal map — no join, no
     * window, no Exchange, exactly like [[assignCells]] but ~2·√nCells
     * cosines per row instead of nCells. A top cell with no sub entry
@@ -761,21 +762,29 @@ object Similarity {
     * (probeTop × k2 cosines), and explode the best `nProbe` global cell
     * ids — the multi-sequence probe of the inverted multi-index,
     * flattened to one narrow expression chain over the (small) query
-    * side. */
+    * side. A top cell with NO sub entry contributes its fallback
+    * global id (c1·k2 — exactly where [[assignCellsHier]] routes such
+    * rows) scored by the top-level similarity, so fallback-assigned
+    * corpus rows stay probe-reachable and a query whose best top cells
+    * all lack sub entries still yields candidates instead of silently
+    * vanishing from the output. */
   def probeCellsHier(df: DataFrame, quant: HierQuantizer, vecCol: String,
                      probeTop: Int, nProbe: Int): DataFrame = {
     val subLit = subMapLit(quant)
     val topArr = topScoredExpr(quant, vecCol)
     df.withColumn("__cand",
-        flatten(filter(
-          transform(slice(sort_array(topArr), 1, probeTop),
-            t => element_at(subLit, t.getField("cell_id"))),
-          a => a.isNotNull)))
+        flatten(transform(slice(sort_array(topArr), 1, probeTop), t => {
+          val subs = element_at(subLit, t.getField("cell_id"))
+          when(subs.isNull,
+            array(struct(t.getField("neg_sim").as("neg_sim"),
+              (t.getField("cell_id") * lit(quant.k2)).as("cell_id"))))
+            .otherwise(transform(subs, c =>
+              struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
+                .as("neg_sim"), c.getField("_1").as("cell_id"))))
+        })))
       .withColumn("cell_id",
-        explode(slice(sort_array(transform(col("__cand"), c =>
-          struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
-            .as("neg_sim"), c.getField("_1").as("cell_id")))),
-          1, nProbe).getField("cell_id")))
+        explode(slice(sort_array(col("__cand")), 1, nProbe)
+          .getField("cell_id")))
       .drop("__cand")
   }
 
@@ -807,9 +816,9 @@ object Similarity {
     * interpreted HOF pass over all 1600 cells — i.e. the "codegen"
     * path was ~130× slower per cosine at exactly the k1 this quantizer
     * targets (PLANS.md round 10, hierprofile2). The flat
-    * [[assignCells]] keeps its ≤64 branch: its small-quantizer faces
-    * are all gate-scale (≤16 cells, ≤2k rows) where the generated
-    * method still JITs. */
+    * [[assignCells]] is HOF-only too — the per-centroid codegen'd
+    * literal projection is gone from the operator surface and survives
+    * only as the SimilaritySpec equivalence witness. */
   private def topScoredExpr(quant: HierQuantizer, vecCol: String): Column = {
     val cents = typedLit(quant.top.map { case (i, c) => (i, c.toSeq) })
     transform(cents, c =>
@@ -1401,17 +1410,24 @@ object Similarity {
   /** The out-of-band pruner the version lifecycle points at: delete
     * index versions STRICTLY BELOW the latest committed one, keeping
     * the newest `keep` committed versions for in-flight readers.
-    * Safe by construction against every concurrent actor: a mid-write
-    * refresher always claims (max listed)+1 > latest committed, so its
-    * directory is never below the cut; readers resolve "current" as
-    * the latest committed version, so only versions a reader could
-    * have resolved STRICTLY EARLIER are deleted — run the prune after
-    * the deployment's read-timeout grace, exactly like any snapshot
-    * vacuum. Abandoned (claimed-never-committed) directories below the
-    * cut are dead by the version-numbering argument and are removed
-    * too. Returns the deleted version numbers. */
+    * COMMITTED versions below the cut are safe to delete once the
+    * deployment's read-timeout grace has passed (readers resolve
+    * "current" as the latest committed version, so only versions a
+    * reader could have resolved strictly earlier go), exactly like any
+    * snapshot vacuum. UNCOMMITTED directories below the cut are NOT
+    * automatically dead: a slow refresher that claimed vN before a
+    * faster one committed vN+1 sits below the cut while still writing
+    * — deleting it mid-write would let its remaining writes recreate
+    * the path and publish `_COMMITTED` on a torn directory that the
+    * slow caller's returned version number points at. Such directories
+    * are therefore removed only when their `.claim` is older than
+    * `uncommittedGraceMs` (default 24 h — set it comfortably above the
+    * longest plausible refresh; a claim that old with no commit marker
+    * is an abandoned crash, not a writer). Returns the deleted version
+    * numbers. */
   def pruneIvfVersions(spark: org.apache.spark.sql.SparkSession,
-                       root: String, keep: Int = 1): Seq[Int] = {
+                       root: String, keep: Int = 1,
+                       uncommittedGraceMs: Long = 24L * 3600 * 1000): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -1421,7 +1437,17 @@ object Similarity {
     val committed = versions.collect { case (v, true) => v }.sorted
     if (committed.isEmpty) return Nil // never delete ahead of a commit
     val cut = committed.takeRight(keep).head
-    val doomed = versions.map(_._1).filter(_ < cut).sorted
+    val now = System.currentTimeMillis()
+    def claimExpired(v: Int): Boolean = {
+      val claim = new org.apache.hadoop.fs.Path(rootPath, s"v$v/.claim")
+      try now - fs.getFileStatus(claim).getModificationTime >= uncommittedGraceMs
+      catch { // no claim file at all: junk, not a live writer
+        case _: java.io.FileNotFoundException => true
+      }
+    }
+    val doomed = versions
+      .filter { case (v, comm) => v < cut && (comm || claimExpired(v)) }
+      .map(_._1).sorted
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"v$v"), true)
     }

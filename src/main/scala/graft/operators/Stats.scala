@@ -2256,14 +2256,14 @@ object Stats {
     * buffers in memory — the same contract as any per-partition sort);
     * the per-partition level sets are then weighted points, and global
     * PAV over them equals global PAV over rows. Phase 2 pools them
-    * across partitions: each round marks every block whose
-    * predecessor's mean exceeds its own — the compare is
-    * cross-multiplied to exact DECIMAL(38,0), never a float — and
-    * pools each maximal violating chain wholesale (a chain of pairwise
-    * violations is strictly decreasing in means, so whole-chain
-    * pooling replays a legal PAV pooling sequence; PAV's fixpoint is
-    * unique, so the order never matters). Convergence is observed on
-    * the same materialization; `maxRounds` errs loudly.
+    * across partitions in ONE sequential O(#blocks) PAV pass: the
+    * block summaries range-shuffle into a single sorted stream and a
+    * `mapPartitions` stack replays exactly the phase-1 algorithm over
+    * weighted points — the compare is cross-multiplied BigInt, never a
+    * float — emitting (initial block → pooled mean) rows directly
+    * (each stack entry carries the initial-block ids it pooled, merged
+    * smaller-into-larger). PAV's fixpoint is unique, so pooling blocks
+    * instead of rows gives the identical fit.
     *
     * Fitted values: yhat = Σy/n per block, ONE double division of
     * exact integers — and the PAV block mean equals the minimax value
@@ -2272,12 +2272,15 @@ object Stats {
     * because rounding is monotone).
     *
     * Shape at 100 TB: the row grain is touched by exactly one range
-    * shuffle + one equi-join (initial-block id → final block); phase 2
-    * windows run over the BLOCK table only (≤ #level-sets + one per
-    * partition boundary), which is the sequential core of the problem,
-    * not the data volume. Σ|y| per block must fit DECIMAL(38,0). */
-  def isotonicFit(df: DataFrame, idxCol: String, valueCol: String,
-      maxRounds: Int = 64): DataFrame = {
+    * shuffle + one equi-join (initial-block id → pooled mean); phase 2
+    * is a single task streaming the BLOCK table once (≤ #level-sets +
+    * one per partition boundary rows) — the inherently sequential core
+    * of single-series PAV, linear in blocks, with memory O(#blocks)
+    * (replacing the round-per-convergence global-window loop that was
+    * killed at 34 min on the 150M-point sf100 series; PLANS.md round
+    * 10). Per-KEY isotonic should partition by key instead — this is
+    * the single-series face. Σ|y| per block must fit DECIMAL(38,0). */
+  def isotonicFit(df: DataFrame, idxCol: String, valueCol: String): DataFrame = {
     val d38 = DecimalType(38, 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -2314,40 +2317,39 @@ object Stats {
       .toDF("__i", "__y", "__blk0")
     Exec.withPersisted(tagged) {
       val blocks0 = tagged.groupBy(col("__blk0"))
-        .agg(min(col("__i")).as("lo"), max(col("__i")).as("hi"),
-          sum(col("__y").cast(d38)).as("s"), count(lit(1)).as("c"))
-      var blocks = Exec.checkpointCut(blocks0.select("lo", "hi", "s", "c"))
-      var done = false
-      var round = 0
-      val w = Window.orderBy(col("lo"))
-      while (!done && round < maxRounds) {
-        val obs = org.apache.spark.sql.Observation()
-        val marked = blocks
-          .withColumn("__ps", lag(col("s"), 1).over(w))
-          .withColumn("__pc", lag(col("c"), 1).over(w))
-          .withColumn("__viol", col("__ps").isNotNull &&
-            col("__ps") * col("c") > col("s") * col("__pc"))
-          .withColumn("__run",
-            sum(when(col("__viol"), 0L).otherwise(1L))
-              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .observe(obs,
-            sum(when(col("__viol"), 1L).otherwise(0L)).as("viols"))
-        val prev = blocks
-        blocks = Exec.checkpointCut(marked.groupBy("__run")
-          .agg(min("lo").as("lo"), max("hi").as("hi"),
-            sum("s").as("s"), sum("c").as("c")))
-        Exec.releaseCheckpoint(prev)
-        done = Option(obs.get("viols")).forall(_.asInstanceOf[Long] == 0L)
-        round += 1
-      }
-      require(done, s"isotonic pooling did not converge in $maxRounds rounds")
-      // initial block → final block (small × small containment join),
-      // then ONE row-grain equi-join on the phase-1 block id
-      val mapping = blocks0.select(col("__blk0"), col("lo").as("__l0"))
-        .join(broadcast(blocks),
-          col("__l0") >= col("lo") && col("__l0") <= col("hi"))
-        .select(col("__blk0"),
-          (col("s").cast("double") / col("c").cast("double")).as("yhat"))
+        .agg(sum(col("__y").cast(d38)).as("s"), count(lit(1)).as("c"))
+      // phase 2: one sequential PAV pass over the sorted block stream —
+      // a single task, linear in #blocks, emitting one (initial block,
+      // pooled mean) row per phase-1 block straight from the stack
+      val mapping = blocks0
+        .repartitionByRange(1, col("__blk0"))
+        .sortWithinPartitions("__blk0")
+        .as[(Long, java.math.BigDecimal, Long)]
+        .mapPartitions { it =>
+          val sums = scala.collection.mutable.ArrayBuffer[BigInt]()
+          val cnts = scala.collection.mutable.ArrayBuffer[Long]()
+          val mems = scala.collection.mutable
+            .ArrayBuffer[scala.collection.mutable.ArrayBuffer[Long]]()
+          for ((blk0, sDec, c0) <- it) {
+            var s = BigInt(sDec.toBigInteger)
+            var c = c0
+            var mem = scala.collection.mutable.ArrayBuffer(blk0)
+            while (sums.nonEmpty &&
+                sums.last * c > s * cnts.last) { // prev mean > cur mean
+              s += sums.remove(sums.length - 1)
+              c += cnts.remove(cnts.length - 1)
+              val pm = mems.remove(mems.length - 1)
+              if (pm.length >= mem.length) { pm ++= mem; mem = pm }
+              else mem ++= pm
+            }
+            sums += s; cnts += c; mems += mem
+          }
+          sums.indices.iterator.flatMap { b =>
+            val yhat = sums(b).doubleValue / cnts(b).toDouble
+            mems(b).iterator.map(blk0 => (blk0, yhat))
+          }
+        }
+        .toDF("__blk0", "yhat")
       tagged.join(mapping, Seq("__blk0"))
         .select(col("__i").as("i"), col("__y").as("y"), col("yhat"))
     }

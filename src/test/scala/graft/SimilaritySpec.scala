@@ -398,6 +398,42 @@ class SimilaritySpec extends SparkSpec {
       "min-id survivors must be kept")
   }
 
+  test("probeCellsHier keeps fallback-assigned rows reachable (sub-less top cell)") {
+    import org.apache.spark.sql.functions._
+    // two orthogonal top cells; cell 1 has NO sub entry, so rows
+    // nearest it are fallback-assigned to global id 1·k2 = 2 — the
+    // probe must surface that cell (scored by the top-level
+    // similarity), not filter it out (ADVICE round 10)
+    val hq = Similarity.HierQuantizer(k2 = 2,
+      top = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f))),
+      sub = Map(0 -> Seq((0, Array(1f, 0f, 0f, 0f)),
+        (1, Array(0.9f, 0.1f, 0f, 0f)))))
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.99f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cellsOf = Similarity.assignCellsHier(
+        corpus.select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .collect().map(r => r.getAs[Long]("nbr_id") -> r.getAs[Int]("cell_id"))
+      .toMap
+    assert(cellsOf(2L) == 2 && cellsOf(3L) == 2,
+      s"rows nearest the sub-less top cell must take the fallback id: $cellsOf")
+    // a query pointing straight at the sub-less top cell still probes
+    // the fallback cell (pre-fix: candidate array empty, query dropped)
+    val queries = Seq((9L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val probedCells = Similarity.probeCellsHier(
+        queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec")),
+        hq, "q_vec", probeTop = 1, nProbe = 2)
+      .select("cell_id").as[Int].collect().toSet
+    assert(probedCells.contains(2), s"fallback cell unreachable: $probedCells")
+    // end-to-end: the query returns its true neighbors, not zero rows
+    val got = Similarity.ivfTopKHier(corpus, queries, k = 2, hq,
+        nProbe = 2, probeTop = 1)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L), s"query lost its fallback-cell neighbors: $got")
+  }
+
   test("bounded-heap top-k matches the window formulation and aggregates partially") {
     import org.apache.spark.sql.functions._
     val corpus = (0L until 200L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
@@ -652,6 +688,26 @@ class SimilaritySpec extends SparkSpec {
     new java.io.File(s"$fresh/v1").mkdirs()
     assert(Similarity.pruneIvfVersions(spark, fresh, keep = 1) == Nil)
     assert(new java.io.File(s"$fresh/v1").exists())
+    // grace window (ADVICE round 10): refresh v4 so the uncommitted v3
+    // falls BELOW the cut — its FRESH .claim marks a possibly-live slow
+    // refresher, so the default grace must skip it (deleting it
+    // mid-write would hand its caller a torn directory), while an
+    // expired claim (grace 0) is an abandoned crash and goes
+    val v4 = Similarity.refreshIvfPqIndexHier(a.unionByName(b), nCells = 9,
+      dim = 16, m = 4, kCodes = 4, root, sampleBudget = 72)
+    assert(v4 == 4)
+    assert(Similarity.pruneIvfVersions(spark, root, keep = 1) == Seq(2))
+    assert(stale.exists(),
+      "fresh uncommitted claim below the cut must survive the grace window")
+    assert(Similarity.pruneIvfVersions(spark, root, keep = 1,
+      uncommittedGraceMs = 0L) == Seq(3))
+    assert(!stale.exists())
+    // a claimless junk dir below the cut is removed regardless of grace
+    val junk = new java.io.File(s"$root/v3")
+    junk.mkdirs()
+    assert(Similarity.pruneIvfVersions(spark, root, keep = 1) == Seq(3))
+    assert(!junk.exists())
+    assert(Similarity.currentIvfVersion(spark, root).contains(4))
   }
 
   test("driver-local trainers are partition-layout-independent and " +
