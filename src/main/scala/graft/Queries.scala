@@ -4923,7 +4923,8 @@ object Queries {
     * budget × kCodes), append the other half under the FROZEN persisted
     * quantizer (~2·√cells cosines/row, no rewrite), query the committed
     * version with static partition pruning + ADC re-rank, then RETRAIN
-    * over the full corpus and require the v2 cutover holds the floor.
+    * over the full corpus, require the v2 cutover holds the floor, and
+    * PRUNE: v1 retired out-of-band, v2 answering identically after.
     * Floors sit below the min measured at sf0.01/sf0.1 (nProbe=8,
     * probeTop=3, kCodes=128, budget=256: recall 0.490/0.314, PQ-ceiling
     * retention 0.760/0.673; v2 cutover 0.440/0.300 — PLANS.md round 10).
@@ -4960,10 +4961,20 @@ object Queries {
     val v2 = Similarity.refreshIvfPqIndexHier(emb, nCells = 16, dim = 64,
       m = 8, kCodes = 128, root, sampleBudget = 256)
     require(v2 == 2, s"retrain must publish v2, got v$v2")
-    val r2 = recallOf(exact, Similarity.queryVersionedIvfPqIndexHier(s, root,
-      recallQueries(emb), 10, nProbe = 8, probeTop = 3))
+    val pre = Similarity.queryVersionedIvfPqIndexHier(s, root,
+      recallQueries(emb), 10, nProbe = 8, probeTop = 3).localCheckpoint(true)
+    val r2 = recallOf(exact, pre)
     require(r2 >= 0.25,
       f"hier IVF-PQ index recall@10 (v2 cutover) degraded: $r2%.3f < 0.25")
+    // out-of-band version prune (r10 verdict item 7): v1 retired, v2
+    // still the resolved current version answering IDENTICALLY
+    val pruned = Similarity.pruneIvfVersions(s, root, keep = 1)
+    require(pruned == Seq(1), s"prune must retire exactly v1, got $pruned")
+    require(!new java.io.File(s"$root/v1").exists(), "v1 survived the prune")
+    val post = Similarity.queryVersionedIvfPqIndexHier(s, root,
+      recallQueries(emb), 10, nProbe = 8, probeTop = 3)
+    require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+      "post-prune probe diverged from the pre-prune v2 results")
     exact.orderBy("query_id", "rank")
   }
 
@@ -5046,6 +5057,136 @@ object Queries {
     val r = recallOf(exact, got)
     require(r >= 0.25,
       f"streamed hier index recall@10 degraded: $r%.3f < 0.25")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** q309: DELTA COMPACTION of the streamed index (r10 verdict item 2)
+    * — the missing leg of the ANN lifecycle between q308's streamed
+    * ingest and q307's retrain: at production micro-batch cadence the
+    * probe pays a per-root listing + small-file cost that grows with
+    * the `batch=` count, and compaction bounds it by folding deltas
+    * into the next index version under the FROZEN artifacts (no
+    * retrain, no re-encode). Refresh v1 from HALF the corpus, lay the
+    * other half down as 50 micro-batch delta dirs (the exact
+    * `incrementalHierPqIngest` layout q308 proves the stream
+    * produces), then: (i) fold batches 0..48 EXPLICITLY → v2, with the
+    * unfolded batch=49 surviving retirement and still probed (the
+    * nothing-unfolded-is-retired contract, gate-level); (ii) probe
+    * results IDENTICAL pre/post compaction (exact row equality — same
+    * frozen quantizer ⇒ same probe cells, same codes ⇒ same ADC
+    * scores, deterministic topK tie-break); (iii) fold the remainder →
+    * v3, identical again from the single root; (iv) every cell dir of
+    * the compacted version holds exactly ONE data file — the
+    * fresh-refresh layout (v1 is the in-gate witness) — so the probe
+    * reads |probed cells| files, same count a fresh refresh would;
+    * (v) the copied artifacts are self-contained — pinned in
+    * SimilaritySpec by a versioned query over the compacted root
+    * (currentIvfVersion resolution + carried quantizer/codebooks),
+    * gate-side by the v3 probe using the v1-read artifacts over the
+    * v3 cells (a torn copy would change the scores). The deterministic
+    * setup is the per-JVM [[compactFixture]]; each run compacts a
+    * fresh COPY of it (compaction mutates the index). Output = the
+    * exact baseline, the q108 convention. */
+  // q309's SETUP — v1 refresh over the even half plus the 50-micro-batch
+  // delta layout over the odd half (batch=N/cell_id=C, byte-identical to
+  // 50 incrementalHierPqIngest batches; q308 proves the stream writes
+  // exactly this) — is deterministic and read-only, so it is built ONCE
+  // per JVM per data directory (the hierBaseCache convention). Each RUN
+  // copies it to a work root, because compaction MUTATES the index
+  // (publishes versions, retires deltas): the per-run cost is a local
+  // file copy, not a retrain + 800-file re-write.
+  private val compactFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactFixture(s: SparkSession, dir: String): String =
+    compactFixtureCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val extra = emb.filter(col("vec_id") % 2 =!= 0)
+      val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_q309_fix_" +
+        s"${java.lang.ProcessHandle.current().pid()}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(pristine))
+      val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
+        m = 8, kCodes = 128, pristine, sampleBudget = 256)
+      val hq = Similarity.readHierQuantizer(s, s"$pristine/v$v1/quantizer")
+      val cb = Similarity.readPqCodebooks(s, pristine, v1)
+      Similarity.assignCellsHier(
+          extra.select(col("vec_id").as("nbr_id"),
+            col("embedding").as("nbr_vec")), hq, "nbr_vec")
+        .select(col("nbr_id"),
+          Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+          expr("pmod((nbr_id - 1) div 2, 50)").cast("long").as("batch"),
+          col("cell_id"))
+        // one file per (batch, cell) — exactly what a 1-task micro-batch
+        // write lays down; without this every input task writes a file
+        // per combo it holds (~1 row/file at gate scale)
+        .repartition(col("batch"), col("cell_id"))
+        .write.mode("overwrite").partitionBy("batch", "cell_id")
+        .parquet(s"$pristine/ingest")
+      pristine
+    })
+
+  def q309AnnDeltaCompaction(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val pristine = compactFixture(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q309_hidx_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(pristine), fs,
+      new org.apache.hadoop.fs.Path(root), false, conf)
+    val v1 = 1
+    val hq = Similarity.readHierQuantizer(s, s"$root/v$v1/quantizer")
+    val cb = Similarity.readPqCodebooks(s, root, v1)
+    val ingest = s"$root/ingest"
+    def dataFileCounts(cellsDir: String): Seq[Int] =
+      new java.io.File(cellsDir).listFiles()
+        .filter(_.getName.startsWith("cell_id=")).toSeq
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    val q = recallQueries(emb)
+    val batchPaths = (0L until 50L).map(b => s"$ingest/batch=$b")
+    require(batchPaths.forall(p => new java.io.File(p).isDirectory),
+      "expected 50 delta batch directories")
+    val pre = Similarity.queryIvfPqIndexHierPaths(s,
+      Seq(s"$root/v$v1/cells", ingest), hq, cb, q, 10,
+      nProbe = 8, probeTop = 3).localCheckpoint(true)
+    require(recallOf(exact, pre) >= 0.25, "pre-compaction recall floor broken")
+    // (i) explicit subset fold: batch=49 is the late arrival that must
+    // survive retirement and stay probed
+    val (v2, folded) = Similarity.compactIvfPqIndexHier(s, root, ingest,
+      Some(0L until 49L))
+    require(v2 == 2 && folded == (0L until 49L),
+      s"subset fold went wrong: v$v2, $folded")
+    require((0L until 49L).forall(b =>
+      !new java.io.File(s"$ingest/batch=$b").exists()),
+      "folded delta dirs must be retired")
+    require(new java.io.File(s"$ingest/batch=49").isDirectory,
+      "unfolded late delta was retired")
+    val mid = Similarity.queryIvfPqIndexHierPaths(s,
+      Seq(s"$root/v$v2/cells", ingest), hq, cb, q, 10,
+      nProbe = 8, probeTop = 3).localCheckpoint(true)
+    require(mid.exceptAll(pre).isEmpty && pre.exceptAll(mid).isEmpty,
+      "probe diverged after the subset fold")
+    // (iii) fold the remainder: one root serves everything
+    val (v3, folded2) = Similarity.compactIvfPqIndexHier(s, root, ingest)
+    require(v3 == 3 && folded2 == Seq(49L),
+      s"remainder fold went wrong: v$v3, $folded2")
+    val post = Similarity.queryIvfPqIndexHierPaths(s,
+      Seq(s"$root/v$v3/cells"), hq, cb, q, 10, nProbe = 8,
+      probeTop = 3).localCheckpoint(true)
+    require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+      "probe diverged after full compaction")
+    // (iv) fresh-refresh layout parity: ONE file per cell, v1 witness
+    val w = dataFileCounts(s"$root/v$v1/cells")
+    val c3 = dataFileCounts(s"$root/v$v3/cells")
+    require(w.nonEmpty && w.forall(_ == 1),
+      s"fresh refresh must lay one file per cell, got $w")
+    require(c3.nonEmpty && c3.forall(_ == 1),
+      s"compacted version must match the fresh-refresh layout, got $c3")
     exact.orderBy("query_id", "rank")
   }
 
@@ -5600,7 +5741,8 @@ object Queries {
     "q305_obo_refresh" -> (q305OboRefresh _),
     "q306_hier_recall" -> (q306HierRecall _),
     "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _),
-    "q308_ann_stream_ingest" -> (q308AnnStreamIngest _)
+    "q308_ann_stream_ingest" -> (q308AnnStreamIngest _),
+    "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7408,6 +7550,9 @@ object Queries {
     // q308: the streaming-ingest twin — mid-stream visibility, exact
     // batch-encoding equality, and union-probe recall ride require()
     "q308_ann_stream_ingest" -> recallBaselineOracle,
+    // q309: streamed-index delta compaction — fold/retire safety, exact
+    // pre/post probe equality, and layout parity ride require()
+    "q309_ann_delta_compaction" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

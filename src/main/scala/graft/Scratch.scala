@@ -46,6 +46,65 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name == "q309prof") {
+      // segment attribution for the delta-compaction gate
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      def tm[T](n: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[seg] $n ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+      }
+      val emb = tm("load")(spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true))
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val exact = tm("exact")(Similarity.bruteForceTopK(emb, queries, k = 10)
+        .localCheckpoint(true))
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val extra = emb.filter(col("vec_id") % 2 =!= 0)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q309prof"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      val v1 = tm("refresh")(Similarity.refreshIvfPqIndexHier(base, 16, 64,
+        8, 128, root, 256))
+      val hq = Similarity.readHierQuantizer(spark, s"$root/v$v1/quantizer")
+      val cb = Similarity.readPqCodebooks(spark, root, v1)
+      val ingest = s"$root/ingest"
+      tm("deltawrite") {
+        Similarity.assignCellsHier(
+            extra.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("nbr_vec")), hq, "nbr_vec")
+          .select(col("nbr_id"),
+            Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+            expr("pmod((nbr_id - 1) div 2, 50)").cast("long").as("batch"),
+            col("cell_id"))
+          .repartition(col("batch"), col("cell_id"))
+          .write.mode("overwrite").partitionBy("batch", "cell_id")
+          .parquet(ingest)
+      }
+      val batchPaths = (0L until 50L).map(b => s"$ingest/batch=$b")
+      val pre = tm("preprobe")(Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v$v1/cells", ingest), hq, cb, queries, 10, 8, 3)
+        .localCheckpoint(true))
+      val (v2, _) = tm("compact1")(Similarity.compactIvfPqIndexHier(spark,
+        root, ingest, Some(0L until 49L)))
+      val mid = tm("midprobe")(Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v$v2/cells", ingest), hq, cb, queries,
+        10, 8, 3).localCheckpoint(true))
+      tm("mideq")(require(mid.exceptAll(pre).isEmpty &&
+        pre.exceptAll(mid).isEmpty))
+      val (v3, _) = tm("compact2")(Similarity.compactIvfPqIndexHier(spark,
+        root, ingest))
+      val post = tm("postprobe")(Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v$v3/cells"), hq, cb, queries, 10, 8, 3)
+        .localCheckpoint(true))
+      tm("posteq")(require(post.exceptAll(pre).isEmpty &&
+        pre.exceptAll(post).isEmpty))
+      val via = tm("viaversioned")(Similarity.queryVersionedIvfPqIndexHier(
+        spark, root, queries, 10, 8, 3).localCheckpoint(true))
+      tm("viaeq")(require(via.exceptAll(post).isEmpty &&
+        post.exceptAll(via).isEmpty))
+      println(s"[scratch] q309prof done, exact rows ${exact.count()}")
+      spark.stop(); return
+    }
     if (name == "ktrussprofile") {
       // per-config timing for the truss peel: AQE on vs off
       import org.apache.spark.sql.functions._

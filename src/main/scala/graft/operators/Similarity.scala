@@ -1384,10 +1384,83 @@ object Similarity {
       hq, "nbr_vec")
       .select(col("nbr_id"), pqEncode(col("nbr_vec"), cb).as("codes"),
         col("cell_id"))
+      // one shuffle of the m-bytes/row code table so each cell directory
+      // lands as ONE file — the bounded-file-count layout every probe
+      // lists (cap per-file size with files.maxRecordsPerFile at scale)
+      .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     next
+  }
+
+  /** Fold streamed `batch=` delta roots into the NEXT index version
+    * WITHOUT retraining — the compaction leg of the streamed-index
+    * lifecycle (r10 verdict item 2). At production micro-batch cadence
+    * the probe's per-root listing + small-file cost grows with the
+    * batch count; this bounds it: claim v(N+1), carry the CURRENT
+    * version's quantizer + codebooks byte-for-byte (frozen — the codes
+    * stay valid, so no row is re-encoded, only re-laid-out), write
+    * `cells` as the union of v(N)'s cells and the folded deltas with
+    * one file per cell (the fresh-refresh layout), commit, then retire
+    * exactly the folded batch directories. Deltas that arrive AFTER
+    * the fold listing keep their directories and stay probed alongside
+    * the new version (`queryIvfPqIndexHierPaths` over
+    * `Seq(v(N+1)/cells, ingestRoot deltas)`) — nothing is ever both
+    * folded and retained, nothing unfolded is retired. Pass `batches`
+    * to fold an explicit subset (also the spec hook pinning retirement
+    * safety). Returns (new version, folded batch ids); no deltas →
+    * (current version, Nil) with no new version published.
+    * Concurrency: same claim-CAS + commit-marker-last protocol as
+    * [[refreshIvfPqIndexHier]]; the delta RETIRE runs only after the
+    * commit marker, so a reader probing (current version + all deltas)
+    * NEVER loses a row: before the commit it reads (old cells + every
+    * delta) — each row once; in the commit→retire window a folded row
+    * can surface twice (new cells AND its not-yet-retired delta dir),
+    * a transient bounded artifact in which a duplicate pair may occupy
+    * two of a query's k slots — callers needing exactly-k-distinct
+    * through that window should `dropDuplicates(query_id, nbr_id)`
+    * over a k+1 probe or probe the versioned root alone. */
+  def compactIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
+                            root: String, ingestRoot: String,
+                            batches: Option[Seq[Long]] = None): (Int, Seq[Long]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val ingestPath = new org.apache.hadoop.fs.Path(ingestRoot)
+    val fs = rootPath.getFileSystem(conf)
+    val cur = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val folded: Seq[Long] = batches.getOrElse {
+      if (!fs.exists(ingestPath)) Nil
+      else fs.listStatus(ingestPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).sorted
+    }
+    if (folded.isEmpty) return (cur, Nil)
+    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
+    fs.mkdirs(vdir)
+    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
+    // frozen artifacts carried byte-for-byte — compaction never retrains
+    Seq("quantizer", "codebooks").foreach { d =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$root/v$cur/$d"), fs,
+        new org.apache.hadoop.fs.Path(s"$root/v$next/$d"), false, conf)
+    }
+    val base = spark.read.parquet(s"$root/v$cur/cells")
+      .select("nbr_id", "codes", "cell_id")
+    val deltas = spark.read.option("basePath", ingestRoot)
+      .parquet(folded.map(b => s"$ingestRoot/batch=$b"): _*)
+      .select("nbr_id", "codes", "cell_id")
+    base.unionByName(deltas)
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$root/v$next/cells")
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
+    folded.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
+    }
+    (next, folded)
   }
 
   /** Query the latest COMMITTED version of a versioned two-level

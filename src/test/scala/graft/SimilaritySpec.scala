@@ -710,6 +710,67 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.currentIvfVersion(spark, root).contains(4))
   }
 
+  test("delta compaction folds only the listed batches, retires only them, carries frozen artifacts") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val d0 = (100L until 110L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val d1 = (200L until 210L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    Seq((0L, d0), (1L, d1)).foreach { case (bid, df) =>
+      Similarity.assignCellsHier(
+          df.select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+          hq, "nbr_vec")
+        .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+          $"cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$ingest/batch=$bid")
+    }
+    // an absent/empty ingest root folds nothing and publishes nothing
+    assert(Similarity.compactIvfPqIndexHier(spark, root,
+      s"$tmp/__missing") == (1, Nil))
+    // subset fold: ONLY batch 0 folded, ONLY batch 0 retired
+    val (v2, f) = Similarity.compactIvfPqIndexHier(spark, root, ingest,
+      Some(Seq(0L)))
+    assert(v2 == 2 && f == Seq(0L))
+    assert(!new java.io.File(s"$ingest/batch=0").exists())
+    assert(new java.io.File(s"$ingest/batch=1").isDirectory,
+      "an unfolded batch must survive retirement")
+    val v2rows = spark.read.parquet(s"$root/v2/cells")
+      .select("nbr_id").as[Long].collect().toSet
+    assert(v2rows == (0L until 60L).toSet ++ (100L until 110L).toSet,
+      "v2 must hold exactly base + folded rows")
+    // the carried artifacts are byte-identical (frozen, never retrained)
+    val hq2 = Similarity.readHierQuantizer(spark, s"$root/v2/quantizer")
+    assert(hq2.k2 == hq.k2 &&
+      hq2.top.map { case (i, v) => (i, v.toSeq) } ==
+        hq.top.map { case (i, v) => (i, v.toSeq) })
+    // remainder fold, then idempotence: nothing left to fold
+    val (v3, f2) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v3 == 3 && f2 == Seq(1L))
+    val v3rows = spark.read.parquet(s"$root/v3/cells")
+      .select("nbr_id").as[Long].collect().toSet
+    assert(v3rows == v2rows ++ (200L until 210L).toSet)
+    assert(Similarity.compactIvfPqIndexHier(spark, root, ingest) == (3, Nil))
+    assert(Similarity.currentIvfVersion(spark, root).contains(3))
+    // the carried artifacts are SELF-CONTAINED: a versioned query over
+    // the compacted root (resolves v3, reads its copied quantizer +
+    // codebooks) equals the explicit-path probe with the v1 artifacts
+    val q = a.limit(4)
+    val viaVersioned = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+      q, k = 3, nProbe = 9, probeTop = 3)
+    val viaPaths = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v3/cells"), hq, cb, q, k = 3, nProbe = 9, probeTop = 3)
+    assert(viaVersioned.exceptAll(viaPaths).isEmpty &&
+      viaPaths.exceptAll(viaVersioned).isEmpty,
+      "versioned query over the compacted root diverged from the path probe")
+  }
+
   test("driver-local trainers are partition-layout-independent and " +
        "lloydLocal handles the degenerate shapes") {
     val rows = (0L until 80L).map(i => (i, vec(16)))
