@@ -1906,6 +1906,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Frequency-THRESHOLDED span masking (r10 verdict item 5): mask only
+    * spans with >= 10 corpus-wide occurrences. Two spans are planted at
+    * different frequencies — the q120 sentence on every 7th doc (~430
+    * occurrences at sf0.01, qualifies) and a second sentence on exactly
+    * THREE fixed docs (11/18/25 — above the default minCount=2, so the
+    * un-thresholded mask WOULD cut it, but below 10, so here it must
+    * survive verbatim). Proves threshold-masking ≡ full-masking
+    * restricted to qualifying spans: the oracle is q120's replay with
+    * the HAVING floor raised, and CorpusSpec pins the operator identity
+    * maskDuplicateSpans(minCount=N) ≡ maskSpansAgainst(
+    * duplicateSpanHashes(minCount=N)) directly. The 100 TB point of the
+    * threshold: the duplicated-span side table shrinks ∝ 1/minCount
+    * (≤ total occurrences / minCount distinct spans can qualify), which
+    * is what keeps the covered-positions join bounded on a saturated
+    * corpus — measured at the sf100open decade (PLANS.md round 11). */
+  def q310SpanMaskThreshold(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy sleeping dog")))
+        .when(col("doc_id").isin(11L, 18L, 25L),
+          concat(col("text"),
+            lit(" pack my box with five dozen large liquor jugs tonight")))
+        .otherwise(col("text")).as("text"))
+    Corpus.maskDuplicateSpans(planted, n = 8, minCount = 10)
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+  }
+
   /** Directional as-of gate — the forward and nearest faces of q71's
     * backward join over the same purchases/clicks layout. Forward is
     * oracled by DuckDB's native ASOF with the inequality flipped
@@ -5742,7 +5771,8 @@ object Queries {
     "q306_hier_recall" -> (q306HierRecall _),
     "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _),
     "q308_ann_stream_ingest" -> (q308AnnStreamIngest _),
-    "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _)
+    "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _),
+    "q310_span_mask_threshold" -> (q310SpanMaskThreshold _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7404,6 +7434,40 @@ object Queries {
         | FROM d, unnest(generate_series(0, len(toks) - 8)) AS t(i)
         | WHERE len(toks) >= 8),
         |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS p
+        | FROM m, unnest(generate_series(0, 7)) AS o(k)),
+        |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+        | FROM d, unnest(generate_series(1, len(toks))) AS g(i)),
+        |kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+        | LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        | WHERE c.doc_id IS NULL),
+        |outp AS (SELECT doc_id,
+        |  array_to_string(list(tok ORDER BY p), ' ') AS text
+        | FROM kept GROUP BY doc_id),
+        |nm AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(outp.text, '') AS text,
+        | coalesce(nm.n, 0) AS n_masked_tokens
+        |FROM d LEFT JOIN outp USING (doc_id) LEFT JOIN nm USING (doc_id)
+        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
+    // q310: q120's replay with a second (3-occurrence) planted span and
+    // the duplicate floor raised to 10 — the rare span must SURVIVE
+    "q310_span_mask_threshold" ->
+      """WITH planted AS (
+        | SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
+        |   ' the quick brown fox jumps over the lazy sleeping dog'
+        |  WHEN doc_id IN (11, 18, 25) THEN text ||
+        |   ' pack my box with five dozen large liquor jugs tonight'
+        |  ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS toks
+        | FROM planted),
+        |sh AS (SELECT doc_id, i AS pos,
+        |  array_to_string(toks[i+1:i+8], ' ') AS s
+        | FROM d, unnest(generate_series(0, len(toks) - 8)) AS t(i)
+        | WHERE len(toks) >= 8),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 10),
         |m AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
         |cov AS (SELECT DISTINCT doc_id, pos + k AS p
         | FROM m, unnest(generate_series(0, 7)) AS o(k)),

@@ -1714,6 +1714,74 @@ object Scratch {
           .toDF("media_id", "content")
         graft.operators.Multimodal.imageDHash(media).count()
       }
+      // ---- round-11: the bucketed path/hierarchy family at decade
+      // scale (VERDICT r10 item 6) — an orders-derived TYPED graph so
+      // the edge table grows ∝ rows (one `rel` edge per order row).
+      // CS anchors 1/8 of the CLs, so enumerated-path volume stays
+      // ∝ rows with a constant that keeps the decade affordable; `isa`
+      // chains live in 16-node blocks (depth ≤ 15 per chain — the
+      // reference fixtures max out at 9 — chain COUNT ∝ nodes, the
+      // production shape: starts grow, depth doesn't).
+      def typedEdges() = {
+        val rel = orders.select(
+          lit("CL").as("from_coll"),
+          concat(lit("n"), col("o_custkey") % k).as("from_key"),
+          lit("GS").as("to_coll"),
+          concat(lit("n"), col("o_orderkey") % k).as("to_key"),
+          lit("rel").as("label"))
+        val cl = orders.select((col("o_custkey") % k).as("i")).distinct()
+        val anchor = cl.filter(col("i") % 8 === 0).select(
+          lit("CS").as("from_coll"),
+          concat(lit("c"), expr("i div 1000")).as("from_key"),
+          lit("CL").as("to_coll"),
+          concat(lit("n"), col("i")).as("to_key"),
+          lit("anchor").as("label"))
+        val gs = orders.select((col("o_orderkey") % k).as("i")).distinct()
+        val isa = gs.filter(col("i") % 16 =!= 15).select(
+          lit("GS").as("from_coll"),
+          concat(lit("n"), col("i")).as("from_key"),
+          lit("GS").as("to_coll"),
+          concat(lit("n"), col("i") + 1).as("to_key"),
+          lit("isa").as("label"))
+        val pr = gs.select(
+          lit("GS").as("from_coll"),
+          concat(lit("n"), col("i")).as("from_key"),
+          lit("PR").as("to_coll"),
+          concat(lit("p"), (col("i") * 13 + 7) % k).as("to_key"),
+          lit("rel2").as("label"))
+        rel.unionByName(anchor).unionByName(isa).unionByName(pr)
+      }
+      val hopPrefix = "decade_hops"
+      time("hopbuild", s"hopbuild(nodes=$k,buckets=64)") {
+        val e = typedEdges().localCheckpoint(true)
+        graft.sources.GraphStore.writeHopTables(e, 64, hopPrefix)
+        e.count()
+      }
+      time("khop2", "khop2(CS>CL>GS)") {
+        graft.operators.PathQueries.kHopBucketed(spark, hopPrefix, "CS",
+          Seq("CL", "GS")).count()
+      }
+      time("khop3", "khop3(CS>CL>GS>PR)") {
+        graft.operators.PathQueries.kHopBucketed(spark, hopPrefix, "CS",
+          Seq("CL", "GS", "PR")).count()
+      }
+      time("hierwalk", "hierwalk(khop2 base, isa chains<=15)") {
+        val base = graft.operators.PathQueries.kHopBucketed(spark,
+          hopPrefix, "CS", Seq("CL", "GS"))
+        graft.operators.PathQueries.withHierarchyBucketed(spark,
+          hopPrefix, base, "isa").count()
+      }
+      // ---- round-11: frequency-THRESHOLDED span mask (VERDICT r10
+      // item 5) — on the saturated open corpus minCount=2 makes every
+      // position hot by corpus design (exp 1.21 at sf100open); a floor
+      // above the clone-cluster survival rate disqualifies the
+      // within-cluster spans, so the dup side table is threshold-
+      // bounded (≤ occurrences/minCount distinct spans can qualify)
+      time("spanmaskthresh(minCount=100)") {
+        graft.operators.Corpus.maskDuplicateSpans(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          minCount = 100).count()
+      }
       spark.stop(); return
     }
     if (name == "hiersplit") {

@@ -607,6 +607,39 @@ class CorpusSpec extends SparkSpec {
       got(5).getAs[Long]("n_masked_tokens") == 0)
   }
 
+  test("thresholded maskDuplicateSpans equals full masking restricted to " +
+    "qualifying spans, and equals the frozen-set scrub of the same floor") {
+    // 'hot' repeats 4x (qualifies at minCount=3), 'warm' repeats 2x
+    // (qualifies only at the default floor): the threshold mask must cut
+    // hot everywhere and keep warm verbatim
+    val hot = "alpha beta gamma delta"
+    val warm = "epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one $hot two"), (2L, s"three $hot four"),
+      (3L, s"five $hot six"), (4L, s"seven $hot eight"),
+      (5L, s"nine $warm ten"), (6L, s"eleven $warm twelve"),
+      (7L, "wholly unique text nothing repeated anywhere")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val thresholded = rows(Corpus.maskDuplicateSpans(docs, n = 4, minCount = 3))
+    // identity 1: ≡ the frozen-set scrub against EXACTLY the spans that
+    // clear the same floor (threshold-masking = full-masking restricted
+    // to qualifying spans — the covered table is built from `dup`, and
+    // `dup` at floor N IS duplicateSpanHashes(minCount = N))
+    val qualifying = Corpus.duplicateSpanHashes(docs, n = 4, minCount = 3)
+      .as[Long].collect().toSeq
+    assert(qualifying.size == 1) // only `hot` clears the floor
+    assert(thresholded == rows(Corpus.maskSpansAgainst(docs, qualifying, n = 4)))
+    // hot cut everywhere, warm verbatim
+    assert(thresholded.find(_._1 == 1L).get._2 == "one two")
+    assert(thresholded.find(_._1 == 5L).get._2 == s"nine $warm ten")
+    assert(thresholded.find(_._1 == 5L).get._3 == 0L)
+    // identity 2 (the q120 contrast): the default floor cuts warm too
+    val full = rows(Corpus.maskDuplicateSpans(docs, n = 4))
+    assert(full.find(_._1 == 5L).get._2 == "nine ten")
+  }
+
   test("textRank: the hub word outranks symmetric spokes, re-runs are " +
     "bit-identical, fast folds track the exact face") {
     val docs = Seq((1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
