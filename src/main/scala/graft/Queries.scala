@@ -3831,6 +3831,26 @@ object Queries {
     graft.operators.Stats.isotonicFit(daily, "i", "y").orderBy("i")
   }
 
+  /** Per-KEY isotonic gate — the production (embarrassingly parallel)
+    * shape of q266: each user's daily-cents series pooled
+    * independently, one shuffle on the key, sequential exact PAV per
+    * key, no global order anywhere. Oracle = q266's minimax identity
+    * with every window/join additionally keyed by user — the PAV block
+    * mean per key is the per-key minimax value, same bit-for-bit
+    * double-division argument. */
+  def q311IsotonicByKey(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .filter(col("user_id") < 40)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum((col("value").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("y"))
+      .select(col("user_id"),
+        datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long").as("i"), col("y"))
+    graft.operators.Stats.isotonicFitByKey(daily, "user_id", "i", "y")
+      .orderBy("user_id", "i")
+  }
+
   /** Maximal-matching gate: 200 derived undirected edges with a total
     * (w, u, v) priority order; the locally-dominant rounds must equal
     * the oracle's SEQUENTIAL greedy fold (a 200-step recursive CTE) —
@@ -5772,7 +5792,8 @@ object Queries {
     "q307_ivfpq_hier_index" -> (q307IvfPqHierIndex _),
     "q308_ann_stream_ingest" -> (q308AnnStreamIngest _),
     "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _),
-    "q310_span_mask_threshold" -> (q310SpanMaskThreshold _)
+    "q310_span_mask_threshold" -> (q310SpanMaskThreshold _),
+    "q311_isotonic_by_key" -> (q311IsotonicByKey _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8433,6 +8454,33 @@ object Queries {
         |fit AS (SELECT pos, max(mn) AS yhat FROM inn GROUP BY pos)
         |SELECT CAST(s.i AS BIGINT) AS i, s.y, fit.yhat
         |FROM s JOIN fit ON fit.pos = s.rn ORDER BY i""".stripMargin,
+    // per-key isotonic: q266's minimax identity with every window/join
+    // additionally keyed by user — O(n^3) per key on <=31-day series
+    "q311_isotonic_by_key" ->
+      """WITH b AS MATERIALIZED (SELECT user_id AS g, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS y
+        | FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        |s AS MATERIALIZED (SELECT g,
+        |  datediff('day', DATE '1970-01-01', day) AS i, y,
+        |  CAST(row_number() OVER (PARTITION BY g ORDER BY day)
+        |    AS BIGINT) AS rn,
+        |  CAST(sum(y) OVER (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS p
+        | FROM b),
+        |mm AS (SELECT a.g, a.rn AS j, c.rn AS k,
+        |  CAST(c.p - (a.p - a.y) AS DOUBLE) /
+        |    CAST(c.rn - a.rn + 1 AS DOUBLE) AS m
+        | FROM s a JOIN s c ON a.g = c.g AND a.rn <= c.rn),
+        |inn AS (SELECT s.g, s.rn AS pos, mm.j, min(mm.m) AS mn
+        | FROM s JOIN mm ON mm.g = s.g AND mm.j <= s.rn AND mm.k >= s.rn
+        | GROUP BY s.g, s.rn, mm.j),
+        |fit AS (SELECT g, pos, max(mn) AS yhat FROM inn GROUP BY g, pos)
+        |SELECT CAST(s.g AS BIGINT) AS user_id, CAST(s.i AS BIGINT) AS i,
+        | s.y, fit.yhat
+        |FROM s JOIN fit ON fit.g = s.g AND fit.pos = s.rn
+        |ORDER BY user_id, i""".stripMargin,
     // sequential greedy matching as a 200-step recursive fold carrying
     // the matched-vertex and matched-edge lists
     "q267_matching" ->

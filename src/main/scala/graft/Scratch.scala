@@ -1653,6 +1653,16 @@ object Scratch {
             (col("o_orderkey") * 7919) % 100).as("y"))
         graft.operators.Stats.isotonicFit(series, "i", "y").count()
       }
+      time("isotonicbykey(per-cust order series)") {
+        // the production shape: one fit per customer (~15-row series,
+        // key count ∝ rows) — one key-shuffle, zero global order
+        val series = orders.select(col("o_custkey").as("g"),
+          col("o_orderkey").as("i"),
+          (expr("o_orderkey div 100") * 10 +
+            (col("o_orderkey") * 7919) % 100).as("y"))
+        graft.operators.Stats.isotonicFitByKey(series, "g", "i", "y")
+          .count()
+      }
       time("precedencetriples") {
         val ev = spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", col("ts").cast("timestamp"))

@@ -2355,6 +2355,61 @@ object Stats {
     }
   }
 
+  /** Per-KEY isotonic regression — the production shape of
+    * [[isotonicFit]] (a monotone calibration/trend fit per user,
+    * per sensor, per score bucket): every key's series is pooled
+    * independently, so the operator is embarrassingly parallel — ONE
+    * shuffle on the key, then a sequential exact PAV per key with no
+    * cross-key coordination and no global order anywhere in the plan.
+    * Same arithmetic contract as the single-series face: integral
+    * idx/value, BigInt cross-multiplied pool compares (never a float),
+    * yhat = one double division of exact integers — so a fixed key's
+    * rows equal [[isotonicFit]] on that key's series exactly
+    * (StatsSpec pins the identity).
+    *
+    * Shape at 100 TB: hash-partitioned by key; each key's series is
+    * buffered once in its task (the per-key memory contract every
+    * sort-based per-key operator shares — a single key's series must
+    * fit an executor, keys don't). The single-series face's phase
+    * split is pointless here: per-key series are task-sized by the
+    * data model, and the decade sweep's super-linear single-series
+    * reading was precisely the absence of keys. */
+  def isotonicFitByKey(df: DataFrame, keyCol: String, idxCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("__g"),
+        col(idxCol).cast("long").as("__i"), col(valueCol).cast("long").as("__y"))
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__y")))).as("__s"))
+      .as[(Long, Seq[(Long, Long)])]
+      .flatMap { case (g, series) =>
+        // classic exact PAV over the key's sorted series: stack of
+        // (start offset, Σy, n); emit (i, y, yhat) per block span
+        val los = scala.collection.mutable.ArrayBuffer[Int]()
+        val sums = scala.collection.mutable.ArrayBuffer[BigInt]()
+        val cnts = scala.collection.mutable.ArrayBuffer[Long]()
+        series.iterator.zipWithIndex.foreach { case ((_, y), idx) =>
+          var lo = idx; var s = BigInt(y); var c = 1L
+          while (los.nonEmpty &&
+              sums.last * c > s * cnts.last) { // prev mean > cur mean
+            lo = los.remove(los.length - 1)
+            s += sums.remove(sums.length - 1)
+            c += cnts.remove(cnts.length - 1)
+          }
+          los += lo; sums += s; cnts += c
+        }
+        los.indices.iterator.flatMap { b =>
+          val hi = if (b + 1 < los.length) los(b + 1) else series.length
+          val yhat = sums(b).doubleValue / cnts(b).toDouble
+          (los(b) until hi).iterator.map { idx =>
+            (g, series(idx)._1, series(idx)._2, yhat)
+          }
+        }
+      }
+      .toDF(keyCol, idxCol, valueCol, "yhat")
+  }
+
   def acf(df: DataFrame, idxCol: String, valueCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")

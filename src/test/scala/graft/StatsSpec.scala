@@ -870,6 +870,26 @@ class StatsSpec extends SparkSpec {
       .select("yhat").as[Double].collect().toSeq === Seq(1.0, 2.0))
   }
 
+  test("isotonicFitByKey pools each key independently and matches " +
+    "isotonicFit key-for-key") {
+    // key 1 is the classic 1,3,2,4; key 2 is fully decreasing; the
+    // boundary rows (key 1's 4 vs key 2's 9) must NOT pool across keys
+    val df = Seq((1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 2L), (1L, 4L, 4L),
+      (2L, 1L, 9L), (2L, 2L, 6L), (2L, 3L, 3L))
+      .toDF("k", "i", "y")
+    val got = Stats.isotonicFitByKey(df, "k", "i", "y")
+      .orderBy("k", "i").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, 1.0), (1L, 2L, 3L, 2.5),
+      (1L, 3L, 2L, 2.5), (1L, 4L, 4L, 4.0),
+      (2L, 1L, 9L, 6.0), (2L, 2L, 6L, 6.0), (2L, 3L, 3L, 6.0)))
+    // identity with the single-series face, per key
+    for (k <- Seq(1L, 2L)) {
+      val single = Stats.isotonicFit(df.filter($"k" === k), "i", "y")
+        .orderBy("i").as[(Long, Long, Double)].collect().toSeq
+      assert(got.filter(_._1 == k).map(t => (t._2, t._3, t._4)) === single)
+    }
+  }
+
   test("theilSen recovers an exact line and resists one outlier") {
     val line = Seq((1L, 10L), (2L, 13L), (3L, 16L), (4L, 19L), (5L, 22L))
       .toDF("i", "x")
