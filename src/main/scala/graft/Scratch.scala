@@ -1787,6 +1787,28 @@ object Scratch {
       // above the clone-cluster survival rate disqualifies the
       // within-cluster spans, so the dup side table is threshold-
       // bounded (≤ occurrences/minCount distinct spans can qualify)
+      // phase split for the threshold face's decade exponent: P1 the
+      // span-instance count+filter (the corpus-wide shuffle), P2 the
+      // covered-positions build (threshold-bounded by design), P3 the
+      // full operator (P1+P2 + token re-explode + per-doc rebuild) —
+      // run P1/P2/P3 separately so a super-linear full reading can be
+      // attributed to the phase that actually rises
+      time("spanphase1(dupset,minCount=100)") {
+        graft.operators.Corpus.duplicateSpanHashes(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          minCount = 100).count()
+      }
+      time("spanphase2(covered,minCount=100)") {
+        val sh = graft.operators.Corpus.positionedSpanHashes(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", 8)
+        val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 100).select("__h")
+        sh.join(dup, "__h")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
+          .distinct().count()
+      }
       time("spanmaskthresh(minCount=100)") {
         graft.operators.Corpus.maskDuplicateSpans(
           spark.read.parquet(s"$dir/documents.parquet"),

@@ -981,15 +981,19 @@ object Corpus {
 
   /** (idCol, pos, __h): every document's positioned `n`-token span
     * hashes — one narrow explode, 64-bit hashes only. */
-  private def positionedSpanHashes(docs: DataFrame, idCol: String,
+  private[graft] def positionedSpanHashes(docs: DataFrame, idCol: String,
                                    textCol: String, n: Int): DataFrame =
+    // hash INSIDE the transform: the explode (and everything the
+    // corpus-sized rows touch downstream — shuffle, spill, persist)
+    // carries 8-byte hashes, not ~n-token span strings; the span
+    // string itself lives only as a transient inside the lambda
     docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
       .select(col(idCol), posexplode(
         when(size(col("__toks")) >= n,
           transform(sequence(lit(0), size(col("__toks")) - n),
-            i => spanAt(col("__toks"), i, n)))
-          .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), col("pos"), xxhash64(col("col")).as("__h"))
+            i => xxhash64(spanAt(col("__toks"), i, n))))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), col("pos"), col("col").as("__h"))
 
   def maskDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text", n: Int = 8,
@@ -997,24 +1001,40 @@ object Corpus {
     require(n >= 1, "span length must be >= 1")
     require(minCount >= 2, "minCount < 2 would mask every token")
     val toks = docs.select(col(idCol), spanToks(col(textCol)).as("__toks"))
-    // ONE positioned-shingle pass feeds both the duplicate count and
-    // the match-back (deriving them independently would tokenize and
-    // explode the corpus once per consumer); `covered` — the matched-
-    // positions table, duplication-bounded, far smaller than the
-    // corpus — is the eagerly-materialized result because both the
-    // reconstruction anti-join and the per-doc mask count read it.
+    // The positioned-shingle stream feeds both the duplicate count and
+    // the match-back, and is deliberately RECOMPUTED for each (two
+    // codegen'd corpus scans), never persisted: it is corpus-sized, and
+    // materializing it through the block manager is exactly the
+    // intermediate that fits storage memory at one scale and silently
+    // becomes a disk-spill pass at the next (measured at the sf100open
+    // decade: the persisted formulation read super-linear while the
+    // recompute-based count and covered-build phases sat at exp
+    // 0.73/0.99 — PLANS.md round 11). `covered` — the matched-positions
+    // table, duplication-bounded, far smaller than the corpus — is the
+    // eagerly-materialized result because the reconstruction anti-join,
+    // the touched-doc filter, and the per-doc mask count all read it.
     val sh = positionedSpanHashes(docs, idCol, textCol, n)
-    val covered = Exec.withPersisted(sh) {
-      val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
-        .filter(col("__c") >= minCount)
-        .select("__h")
-      sh.join(dup, "__h")
-        .select(col(idCol),
-          explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-        .distinct()
-    }
-    val tokPos = toks.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("pos", "__tok")))
+    val dup = sh.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__h")
+    val covered = sh.join(dup, "__h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+      .localCheckpoint(true)
+    // Only docs with a covered position need the explode → anti-join →
+    // groupBy rebuild; every other doc's output is a PER-ROW expression
+    // (the normalized token join — identical to what the rebuild emits
+    // when nothing is masked). `touched` is duplication-bounded like
+    // `covered` itself, so the rebuild shuffle is proportional to the
+    // DUPLICATED corpus slice, not the corpus: under a frequency floor
+    // (minCount ≫ 2) or on a real, mostly-unique corpus the heavy
+    // reconstruction runs over the few hot docs only (the sf100open
+    // threshold face measured 114 s → the P1 count cost once the
+    // corpus-sized rebuild was cut; PLANS.md round 11).
+    val touched = covered.select(col(idCol)).distinct()
+    val tokPos = toks.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "__tok")))
     val kept = tokPos.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(
@@ -1022,11 +1042,17 @@ object Corpus {
           s => s.getField("__tok")), " ").as("__masked"))
     val nMasked = covered.groupBy(idCol)
       .agg(count(lit(1)).as("__nm"))
-    docs.select(col(idCol))
+    docs.select(col(idCol),
+        array_join(spanToks(col(textCol)), " ").as("__orig"))
       .join(kept, Seq(idCol), "left")
       .join(nMasked, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("__masked"), lit("")).as(textCol),
+        // __nm non-null ⇔ the doc had covered positions: its text is
+        // the rebuild (empty when EVERY token was masked — kept has no
+        // row then); otherwise the doc is untouched and emits the
+        // normalized original
+        when(col("__nm").isNotNull, coalesce(col("__masked"), lit("")))
+          .otherwise(coalesce(col("__orig"), lit(""))).as(textCol),
         coalesce(col("__nm"), lit(0L)).as("n_masked_tokens"))
   }
 
