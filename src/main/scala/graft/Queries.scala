@@ -5239,6 +5239,95 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q312: TOMBSTONE DELETES in the versioned ANN index — the last
+    * lifecycle leg (refresh / append / streamed ingest / compact /
+    * prune / delete). Deletes land as `del=` tombstone deltas
+    * ([[Similarity.deleteFromIvfPqIndexHier]]): the gate refreshes v1
+    * over the FULL corpus, tombstones every `vec_id % 17 == 3`, then
+    * requires (i) the versioned probe masks them IMMEDIATELY (no
+    * compaction, no deleted id in any result row) while holding a
+    * recall floor against the exact top-10 over the SURVIVORS — the
+    * masked index must answer as if the rows were never there; (ii)
+    * compaction with no deltas still publishes v2, drops the rows
+    * PHYSICALLY (v2 cells hold zero tombstoned ids), retires the
+    * applied tombstone dir, and the probe is IDENTICAL across the
+    * masked→physical boundary (exact row equality — same frozen
+    * artifacts, the anti-join just becomes vacuous); (iii) a LATE
+    * tombstone written after the compaction masks at probe with the
+    * row still physically present. Output = the exact survivor
+    * baseline; the oracle is the brute-force SQL with the survivor
+    * predicate on the corpus side. Floors below min measured at
+    * sf0.01/sf0.1 (PLANS.md round 11). Deterministic per-JVM pristine
+    * fixture (the q309 convention — refresh once, copy per run since
+    * deletes mutate the index). */
+  private val deleteFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteFixture(s: SparkSession, dir: String): String =
+    deleteFixtureCache.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_q312_fix_" +
+        s"${java.lang.ProcessHandle.current().pid()}_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(pristine))
+      Similarity.refreshIvfPqIndexHier(emb, nCells = 16, dim = 64,
+        m = 8, kCodes = 128, pristine, sampleBudget = 256)
+      pristine
+    })
+
+  def q312AnnTombstoneDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val survivors = emb.filter(col("vec_id") % 17 =!= 3)
+    val exact = Similarity.bruteForceTopK(survivors, recallQueries(emb),
+      k = 10).localCheckpoint(true)
+    val pristine = deleteFixture(s, dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q312_idx_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(pristine), fs,
+      new org.apache.hadoop.fs.Path(root), false, conf)
+    val q = recallQueries(emb)
+    Similarity.deleteFromIvfPqIndexHier(s, root,
+      emb.filter(col("vec_id") % 17 === 3).select("vec_id"))
+    // (i) masked immediately, answering from survivors at floor recall
+    val masked = Similarity.queryVersionedIvfPqIndexHier(s, root, q,
+      k = 10, nProbe = 8, probeTop = 3).localCheckpoint(true)
+    require(masked.filter(col("nbr_id") % 17 === 3).isEmpty,
+      "tombstoned ids leaked into the probe")
+    val r = recallOf(exact, masked)
+    require(r >= 0.25, f"survivor recall@10 degraded: $r%.3f < 0.25")
+    // (ii) physical apply: v2 published from tombstones alone, rows
+    // gone, tombstones retired, probe unchanged across the boundary
+    val (v2, folded) = Similarity.compactIvfPqIndexHier(s, root,
+      s"$root/__no_ingest")
+    require(v2 == 2 && folded.isEmpty, s"tombstone-only compaction: v$v2")
+    require(s.read.parquet(s"$root/v2/cells")
+      .filter(col("nbr_id") % 17 === 3).isEmpty,
+      "physical delete left tombstoned rows in the compacted cells")
+    require(!new java.io.File(s"$root/tombstones/del=0").exists(),
+      "applied tombstone dir must be retired")
+    val physical = Similarity.queryVersionedIvfPqIndexHier(s, root, q,
+      k = 10, nProbe = 8, probeTop = 3)
+    require(physical.exceptAll(masked).isEmpty &&
+      masked.exceptAll(physical).isEmpty,
+      "probe diverged across the masked-to-physical boundary")
+    // (iii) a late tombstone masks with the row still on disk
+    val late = masked.select("nbr_id").limit(1)
+    Similarity.deleteFromIvfPqIndexHier(s, root, late, idCol = "nbr_id")
+    val lateId = late.head.getLong(0)
+    require(Similarity.queryVersionedIvfPqIndexHier(s, root, q,
+        k = 10, nProbe = 8, probeTop = 3)
+      .filter(col("nbr_id") === lateId).isEmpty,
+      "late tombstone must mask at probe")
+    require(s.read.parquet(s"$root/v2/cells")
+      .filter(col("nbr_id") === lateId).count() == 1L,
+      "late tombstone must not touch the committed cells")
+    exact.orderBy("query_id", "rank")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
@@ -5793,7 +5882,8 @@ object Queries {
     "q308_ann_stream_ingest" -> (q308AnnStreamIngest _),
     "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _),
     "q310_span_mask_threshold" -> (q310SpanMaskThreshold _),
-    "q311_isotonic_by_key" -> (q311IsotonicByKey _)
+    "q311_isotonic_by_key" -> (q311IsotonicByKey _),
+    "q312_ann_tombstone_delete" -> (q312AnnTombstoneDelete _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8481,6 +8571,21 @@ object Queries {
         | s.y, fit.yhat
         |FROM s JOIN fit ON fit.g = s.g AND fit.pos = s.rn
         |ORDER BY user_id, i""".stripMargin,
+    // the survivor baseline: recallBaselineOracle with the tombstoned
+    // ids excluded from the corpus side (queries keep the full draw)
+    "q312_ann_tombstone_delete" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+        |scored AS (
+        | SELECT q.query_id, c.vec_id AS nbr_id,
+        |  list_sum(list_transform(list_zip(q.qe, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        | FROM embeddings c CROSS JOIN q
+        | WHERE c.vec_id <> q.query_id AND c.vec_id % 17 <> 3)
+        |SELECT query_id, nbr_id, cos, rank FROM (
+        | SELECT query_id, nbr_id, cos,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+        | FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // sequential greedy matching as a 200-step recursive fold carrying
     // the matched-vertex and matched-edge lists
     "q267_matching" ->

@@ -1325,18 +1325,26 @@ object Similarity {
                                cb: PqCodebooks, queries: DataFrame, k: Int,
                                nProbe: Int, probeTop: Int = 2,
                                idCol: String = "vec_id",
-                               vecCol: String = "embedding"): DataFrame = {
+                               vecCol: String = "embedding",
+                               tombstones: Option[DataFrame] = None)
+  : DataFrame = {
     require(paths.nonEmpty, "need at least one index root")
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       hq, "q_vec", probeTop, nProbe)
     val cells = probed.select("cell_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val index = paths.map { p =>
+    val live = paths.map { p =>
         spark.read.parquet(p)
           .filter(col("cell_id").isin(cells: _*))
           .select(col("nbr_id"), col("codes"), col("cell_id"))
       }.reduce(_ unionByName _)
+    // tombstone mask BEFORE the re-rank so a deleted row can't occupy
+    // one of a query's k slots; the tombstone side is churn-bounded
+    // (broadcast anti-join), absent entirely on the no-deletes path
+    val index = tombstones.fold(live)(t =>
+        live.join(broadcast(t.select(col("nbr_id")).distinct()),
+          Seq("nbr_id"), "left_anti"))
       .withColumn("nbr_deq", pqDecode(col("codes"), cb))
     val scored = index.join(broadcast(probed), Seq("cell_id"))
       .filter(col("query_id") =!= col("nbr_id"))
@@ -1409,8 +1417,14 @@ object Similarity {
     * `Seq(v(N+1)/cells, ingestRoot deltas)`) — nothing is ever both
     * folded and retained, nothing unfolded is retired. Pass `batches`
     * to fold an explicit subset (also the spec hook pinning retirement
-    * safety). Returns (new version, folded batch ids); no deltas →
-    * (current version, Nil) with no new version published.
+    * safety). Tombstones ([[deleteFromIvfPqIndexHier]]) ride the same
+    * contract: the `del=` directories listed at fold start are applied
+    * PHYSICALLY (their ids dropped from the new version's cells) and
+    * retired after the commit marker; later tombstones keep masking at
+    * probe. Returns (new version, folded batch ids); no deltas and no
+    * tombstones → (current version, Nil) with no new version
+    * published (tombstones alone DO publish — the physical-delete
+    * pass).
     * Concurrency: same claim-CAS + commit-marker-last protocol as
     * [[refreshIvfPqIndexHier]]; the delta RETIRE runs only after the
     * commit marker, so a reader probing (current version + all deltas)
@@ -1436,7 +1450,16 @@ object Similarity {
         .filter(_.startsWith("batch="))
         .map(_.stripPrefix("batch=").toLong).sorted
     }
-    if (folded.isEmpty) return (cur, Nil)
+    // tombstones listed at fold start, same contract as batches: the
+    // listed ones are applied PHYSICALLY to the new version and retired
+    // after the commit; tombstones arriving after this listing keep
+    // masking at probe until the next compaction
+    val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
+    val appliedTombs: Seq[Long] =
+      if (!fs.exists(tombRoot)) Nil
+      else fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong).sorted
+    if (folded.isEmpty && appliedTombs.isEmpty) return (cur, Nil)
     val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     fs.mkdirs(vdir)
@@ -1449,10 +1472,18 @@ object Similarity {
     }
     val base = spark.read.parquet(s"$root/v$cur/cells")
       .select("nbr_id", "codes", "cell_id")
-    val deltas = spark.read.option("basePath", ingestRoot)
-      .parquet(folded.map(b => s"$ingestRoot/batch=$b"): _*)
-      .select("nbr_id", "codes", "cell_id")
-    base.unionByName(deltas)
+    val merged =
+      if (folded.isEmpty) base
+      else base.unionByName(spark.read.option("basePath", ingestRoot)
+        .parquet(folded.map(b => s"$ingestRoot/batch=$b"): _*)
+        .select("nbr_id", "codes", "cell_id"))
+    val physical =
+      if (appliedTombs.isEmpty) merged
+      else merged.join(broadcast(spark.read
+          .parquet(appliedTombs.map(d => s"$root/tombstones/del=$d"): _*)
+          .select(col("nbr_id")).distinct()),
+        Seq("nbr_id"), "left_anti")
+    physical
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
@@ -1460,13 +1491,73 @@ object Similarity {
     folded.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
     }
+    appliedTombs.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(tombRoot, s"del=$d"), true)
+    }
     (next, folded)
+  }
+
+  /** DELETE rows from a versioned two-level IVF-PQ index by id — the
+    * tombstone leg of the lifecycle (refresh / append / streamed
+    * ingest / compact / prune / delete). Deleting in place would
+    * rewrite cell files under live readers; instead the ids land as a
+    * tombstone delta (`<root>/tombstones/del=<n>/`, one small file,
+    * monotonic n like the ingest `batch=` convention), probes mask
+    * them with one churn-bounded anti-join
+    * ([[queryIvfPqIndexHierPaths]]' `tombstones` hook, applied
+    * automatically by [[queryVersionedIvfPqIndexHier]]), and the next
+    * [[compactIvfPqIndexHier]] applies them PHYSICALLY (rows dropped
+    * from the new version's cells) then retires exactly the tombstone
+    * directories it listed — the same fold-then-retire contract as
+    * delta batches, so a tombstone is never both applied and
+    * retained, and a late tombstone keeps masking until the next
+    * compaction.
+    *
+    * Semantics: a tombstone masks its id in EVERY root (base cells
+    * and all ingest deltas) until retired — delete-by-id, not
+    * delete-by-(id, batch). A row re-inserted under a still-live
+    * tombstoned id stays invisible until compaction retires the
+    * tombstone (and a re-insert folded by the SAME compaction that
+    * applies the tombstone is dropped with the old copies): re-use of
+    * a deleted id should wait for the delete to compact, or use a
+    * fresh id. Scale shape: tombstone volume ∝ delete churn between
+    * compactions — never corpus-sized; the anti-join broadcasts.
+    * @return the tombstone sequence number */
+  def deleteFromIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
+                               root: String, ids: DataFrame,
+                               idCol: String = "vec_id"): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
+    val fs = tombRoot.getFileSystem(conf)
+    fs.mkdirs(tombRoot)
+    val next = fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong)
+      .maxOption.getOrElse(-1L) + 1L
+    ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/tombstones/del=$next")
+    next
+  }
+
+  /** The union of live tombstone ids under `root`, if any — one
+    * (nbr_id) column; None when no tombstone directory exists (the
+    * no-deletes fast path keeps probe plans anti-join-free). */
+  def readTombstoneIds(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Option[DataFrame] = {
+    val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombRoot) ||
+        !fs.listStatus(tombRoot).exists(_.getPath.getName.startsWith("del=")))
+      None
+    else Some(spark.read.parquet(s"$root/tombstones")
+      .select(col("nbr_id")).distinct())
   }
 
   /** Query the latest COMMITTED version of a versioned two-level
     * IVF-PQ index — self-contained: resolves the version, loads the
     * persisted [[HierQuantizer]] + codebooks, probes with partition
-    * pruning + ADC re-rank. */
+    * pruning + ADC re-rank, and masks live tombstones
+    * ([[deleteFromIvfPqIndexHier]]) automatically. */
   def queryVersionedIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                                    root: String, queries: DataFrame, k: Int,
                                    nProbe: Int, probeTop: Int = 2,
@@ -1476,8 +1567,9 @@ object Similarity {
       throw new IllegalStateException(s"no committed index version under $root"))
     val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
     val cb = readPqCodebooks(spark, root, v)
-    queryIvfPqIndexHier(spark, s"$root/v$v/cells", hq, cb, queries, k,
-      nProbe, probeTop, idCol, vecCol)
+    queryIvfPqIndexHierPaths(spark, Seq(s"$root/v$v/cells"), hq, cb, queries,
+      k, nProbe, probeTop, idCol, vecCol,
+      tombstones = readTombstoneIds(spark, root))
   }
 
   /** The out-of-band pruner the version lifecycle points at: delete

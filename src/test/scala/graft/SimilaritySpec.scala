@@ -771,6 +771,70 @@ class SimilaritySpec extends SparkSpec {
       "versioned query over the compacted root diverged from the path probe")
   }
 
+  test("tombstone deletes: probes mask immediately, compaction applies " +
+       "physically and retires only the listed tombstones, late " +
+       "tombstones keep masking") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 80L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("tomb").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 80)
+    val q = a.limit(5)
+    def probeIds() = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+      q, k = 5, nProbe = 9, probeTop = 3)
+      .select("nbr_id").as[Long].collect().toSet
+    val before = probeIds()
+    val dead = Seq(3L, 7L, 11L, 42L)
+    assert(dead.exists(before.contains),
+      "fixture defect: no tombstoned id appears in the undeleted probe")
+    // delete → masked at probe BEFORE any compaction, results otherwise
+    // drawn from survivors only
+    val del0 = Similarity.deleteFromIvfPqIndexHier(spark, root,
+      dead.toDF("vec_id"))
+    assert(del0 == 0L)
+    val masked = probeIds()
+    assert(dead.forall(id => !masked.contains(id)),
+      s"tombstoned ids leaked into the probe: $masked")
+    // a probe result row count stays k per query (deleted rows can't
+    // occupy slots): every query still yields 5 candidates from the
+    // 76 survivors
+    assert(Similarity.queryVersionedIvfPqIndexHier(spark, root, q,
+      k = 5, nProbe = 9, probeTop = 3).groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ == 5L))
+    // compaction with NO deltas but live tombstones publishes a new
+    // version, drops the rows physically, retires the tombstone dir
+    val (v2, folded) = Similarity.compactIvfPqIndexHier(spark, root,
+      s"$tmp/__no_ingest")
+    assert(v2 == 2 && folded == Nil)
+    val v2rows = spark.read.parquet(s"$root/v2/cells")
+      .select("nbr_id").as[Long].collect().toSet
+    assert(dead.forall(id => !v2rows.contains(id)) &&
+      v2rows.size == 76, "physical delete incomplete")
+    assert(!new java.io.File(s"$root/tombstones/del=0").exists(),
+      "applied tombstone must be retired")
+    // probe equality across the physical/masked boundary
+    assert(probeIds() == masked,
+      "probe changed across tombstone compaction")
+    // a LATE tombstone (after the compaction) masks at probe while the
+    // rows stay physically present until the next compaction
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(15L).toDF("vec_id"))
+    assert(!probeIds().contains(15L))
+    assert(spark.read.parquet(s"$root/v2/cells")
+      .filter($"nbr_id" === 15L).count() == 1L)
+    // idempotence: nothing listed → nothing published... but the live
+    // late tombstone DOES publish v3 and retires itself
+    val (v3, f3) = Similarity.compactIvfPqIndexHier(spark, root,
+      s"$tmp/__no_ingest")
+    assert(v3 == 3 && f3 == Nil)
+    assert(spark.read.parquet(s"$root/v3/cells")
+      .filter($"nbr_id" === 15L).count() == 0L)
+    assert(Similarity.compactIvfPqIndexHier(spark, root,
+      s"$tmp/__no_ingest") == (3, Nil))
+    assert(Similarity.readTombstoneIds(spark, root).isEmpty,
+      "retired tombstones must leave the no-deletes fast path")
+  }
+
   test("driver-local trainers are partition-layout-independent and " +
        "lloydLocal handles the degenerate shapes") {
     val rows = (0L until 80L).map(i => (i, vec(16)))
