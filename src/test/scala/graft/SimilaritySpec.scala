@@ -833,6 +833,25 @@ class SimilaritySpec extends SparkSpec {
       s"$tmp/__no_ingest") == (3, Nil))
     assert(Similarity.readTombstoneIds(spark, root).isEmpty,
       "retired tombstones must leave the no-deletes fast path")
+    // the mask is a BROADCAST anti-join: no shuffle of the candidate
+    // set enters the plan because of deletes (the churn-bounded side
+    // broadcasts), and the no-deletes probe carries no anti-join at all
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(9L).toDF("vec_id"))
+    val hq3 = Similarity.readHierQuantizer(spark, s"$root/v3/quantizer")
+    val cb3 = Similarity.readPqCodebooks(spark, root, 3)
+    val tombPlan = Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v3/cells"), hq3, cb3, q, k = 5, nProbe = 9,
+        probeTop = 3, tombstones = Similarity.readTombstoneIds(spark, root))
+      .queryExecution.executedPlan.toString
+    assert(tombPlan.contains("BroadcastHashJoin") &&
+      tombPlan.toLowerCase.contains("leftanti"),
+      s"tombstone mask must be a broadcast anti-join:\n$tombPlan")
+    val cleanPlan = Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v3/cells"), hq3, cb3, q, k = 5, nProbe = 9,
+        probeTop = 3)
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.toLowerCase.contains("leftanti"),
+      "the no-deletes probe must not pay an anti-join")
   }
 
   test("driver-local trainers are partition-layout-independent and " +
