@@ -1372,7 +1372,13 @@ object Scratch {
           col("lang"), col("source"), length(col("text2")).cast("long").as("n_chars"))
       wr(docs, "documents", 4 * factor)
 
+      // shuffle BEFORE the per-dim perturbation HOF: the source is a
+      // couple of input splits, and without this the whole 64-hash/row
+      // transform runs on them (measured: factor-1000 embeddings sat
+      // ~35 min on ONE core before this line); values are (vec_id, r,
+      // i)-hash-derived, so the repartition is value-neutral
       val emb = rd("embeddings").select(col("*"), reps)
+        .repartition(2 * factor)
         .withColumn("pert", when(col("r") === 0, col("embedding")).otherwise {
           val noisy = transform(col("embedding"), (x, i) =>
             x + (pmod(xxhash64(col("vec_id"), col("r"), i), lit(1000L))
@@ -1546,6 +1552,38 @@ object Scratch {
         graft.operators.Similarity.ivfTopKHier(e,
           e.filter(col("vec_id") % 20 === 3), k = 10, hq,
           nProbe = 2, probeTop = 2).count()
+      }
+      // ---- round-11: the tombstone-delete legs at decade scale ----
+      // one persisted index, then each lifecycle leg timed separately:
+      // the masked probe must track the clean probe (the anti-join is
+      // a broadcast against churn-bounded ids), and the tombstone-only
+      // compaction is one corpus-linear re-layout pass
+      lazy val tombRoot = s"${System.getProperty("java.io.tmpdir")}/graft_decade_tomb"
+      time("tombbuild", s"tombbuild(nCells=$nCells,budget=8192)") {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tombRoot))
+        graft.operators.Similarity.refreshIvfPqIndexHier(emb(),
+          nCells = nCells, dim = 64, m = 8, kCodes = 128, tombRoot,
+          sampleBudget = 8192)
+        emb().count()
+      }
+      time("tombcleanprobe", "tombcleanprobe(probe5%)") {
+        val e = emb()
+        graft.operators.Similarity.queryVersionedIvfPqIndexHier(spark,
+          tombRoot, e.filter(col("vec_id") % 20 === 3), k = 10,
+          nProbe = 2, probeTop = 2).count()
+      }
+      time("tombmaskedprobe", "tombmaskedprobe(del=1/17,probe5%)") {
+        val e = emb()
+        graft.operators.Similarity.deleteFromIvfPqIndexHier(spark,
+          tombRoot, e.filter(col("vec_id") % 17 === 3).select("vec_id"))
+        graft.operators.Similarity.queryVersionedIvfPqIndexHier(spark,
+          tombRoot, e.filter(col("vec_id") % 20 === 3), k = 10,
+          nProbe = 2, probeTop = 2).count()
+      }
+      time("tombcompact", "tombcompact(physical apply, no deltas)") {
+        val (v, _) = graft.operators.Similarity.compactIvfPqIndexHier(spark,
+          tombRoot, s"$tombRoot/__no_ingest")
+        spark.read.parquet(s"$tombRoot/v$v/cells").count()
       }
       time("semdeduphier", s"semdeduphier(nCells=$nCells,budget=8192)") {
         val e = emb()
