@@ -1319,21 +1319,37 @@ object Similarity {
     * scan lists only probed cell directories), then one ADC re-rank
     * over the unioned candidates. This is the 100 TB serving shape:
     * a rarely-retrained base index + continuously-streamed deltas,
-    * probed together with no compaction step on the read path. */
+    * probed together with no compaction step on the read path.
+    *
+    * The probe side joins SIZE-AWARE (r11 verdict item 1): a
+    * serving-sized query batch broadcasts (zero shuffle of the index),
+    * but the probed row count is measured — not assumed — from the
+    * same ≤nCells aggregate that feeds the partition filter, and a
+    * batch above `maxBroadcastProbeRows` (a corpus-sized offline
+    * kNN-join, where the probe side is queries × nProbe rows of
+    * (id, vector)) falls back to a sort-merge join on `cell_id`, the
+    * shape that scales to both sides being corpus-sized. Both plans
+    * return EXACTLY the same rows (same candidates, same ADC scores,
+    * same deterministic topK tie-break) — gate-pinned by q313. */
   def queryIvfPqIndexHierPaths(spark: org.apache.spark.sql.SparkSession,
                                paths: Seq[String], hq: HierQuantizer,
                                cb: PqCodebooks, queries: DataFrame, k: Int,
                                nProbe: Int, probeTop: Int = 2,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               tombstones: Option[DataFrame] = None)
+                               tombstones: Option[DataFrame] = None,
+                               maxBroadcastProbeRows: Long = 1L << 20)
   : DataFrame = {
     require(paths.nonEmpty, "need at least one index root")
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       hq, "q_vec", probeTop, nProbe)
-    val cells = probed.select("cell_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE ≤nCells-row aggregate yields both the static partition filter
+    // and the probe-side row count the broadcast decision needs — no
+    // extra job over what the cell-id collect already cost
+    val cellCounts = probed.groupBy("cell_id").count().collect()
+    val cells = cellCounts.map(_.getInt(0)).toSeq
+    val probedRows = cellCounts.map(_.getLong(1)).sum
     val live = paths.map { p =>
         spark.read.parquet(p)
           .filter(col("cell_id").isin(cells: _*))
@@ -1346,7 +1362,12 @@ object Similarity {
         live.join(broadcast(t.select(col("nbr_id")).distinct()),
           Seq("nbr_id"), "left_anti"))
       .withColumn("nbr_deq", pqDecode(col("codes"), cb))
-    val scored = index.join(broadcast(probed), Seq("cell_id"))
+    val joined =
+      if (probedRows <= maxBroadcastProbeRows)
+        index.join(broadcast(probed), Seq("cell_id"))
+      else // merge (not shuffle_hash): neither side need fit a task
+        index.join(probed.hint("merge"), Seq("cell_id"))
+    val scored = joined
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_deq")))
     topK(scored, k)
@@ -1417,14 +1438,28 @@ object Similarity {
     * `Seq(v(N+1)/cells, ingestRoot deltas)`) — nothing is ever both
     * folded and retained, nothing unfolded is retired. Pass `batches`
     * to fold an explicit subset (also the spec hook pinning retirement
-    * safety). Tombstones ([[deleteFromIvfPqIndexHier]]) ride the same
-    * contract: the `del=` directories listed at fold start are applied
-    * PHYSICALLY (their ids dropped from the new version's cells) and
-    * retired after the commit marker; later tombstones keep masking at
-    * probe. Returns (new version, folded batch ids); no deltas and no
+    * safety). Tombstones ([[deleteFromIvfPqIndexHier]]) ride a
+    * STRICTER contract than batches (r11 ADVICE, resurrection fix):
+    * the `del=` directories listed at fold start are applied
+    * PHYSICALLY (their ids dropped from the new version's cells), but
+    * they are retired ONLY when a re-listing of the ingest root AFTER
+    * the folded batches were retired shows no `batch=` directory left
+    * — an unfolded batch (explicit-subset fold, or a delta landing
+    * between the fold listing and retirement) may still carry a
+    * tombstoned row written before the delete, and retiring the
+    * tombstone would resurrect it. Kept tombstones keep masking at
+    * probe (already applied ones match nothing — the re-apply at the
+    * next compaction is vacuous), so under continuous ingest the
+    * `del=` set stays live until a quiescent compaction drains the
+    * ingest root; its size is bounded by delete churn, never corpus.
+    * Later tombstones (after the fold listing) keep masking at probe.
+    * Returns (new version, folded batch ids); no deltas and no
     * tombstones → (current version, Nil) with no new version
     * published (tombstones alone DO publish — the physical-delete
-    * pass).
+    * pass). `midCompactionHook` runs after the fold/tombstone listing
+    * and before the new version is written — the race-injection seam
+    * (q315) proving a delta landing mid-compaction survives retirement,
+    * stays probed, and cannot resurrect a tombstoned id.
     * Concurrency: same claim-CAS + commit-marker-last protocol as
     * [[refreshIvfPqIndexHier]]; the delta RETIRE runs only after the
     * commit marker, so a reader probing (current version + all deltas)
@@ -1437,7 +1472,9 @@ object Similarity {
     * over a k+1 probe or probe the versioned root alone. */
   def compactIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                             root: String, ingestRoot: String,
-                            batches: Option[Seq[Long]] = None): (Int, Seq[Long]) = {
+                            batches: Option[Seq[Long]] = None,
+                            midCompactionHook: () => Unit = () => ())
+  : (Int, Seq[Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val ingestPath = new org.apache.hadoop.fs.Path(ingestRoot)
@@ -1460,6 +1497,7 @@ object Similarity {
       else fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong).sorted
     if (folded.isEmpty && appliedTombs.isEmpty) return (cur, Nil)
+    midCompactionHook() // race-injection seam: a delta may land HERE
     val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     fs.mkdirs(vdir)
@@ -1491,7 +1529,18 @@ object Similarity {
     folded.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
     }
-    appliedTombs.foreach { d =>
+    // Tombstone retirement gate (r11 ADVICE high — resurrection fix):
+    // an unfolded batch= dir surviving this compaction (explicit-subset
+    // fold, or a delta landed after the fold listing) may hold a row
+    // whose id a listed tombstone masks; the new version neither
+    // dropped that row (the anti-join saw only base + folded) nor would
+    // a retired tombstone keep masking it. So retire the listed del=
+    // dirs ONLY when the post-retirement re-listing shows the ingest
+    // root drained; otherwise they stay live — masking everywhere,
+    // vacuously re-applied next compaction — until a fold catches up.
+    val ingestDrained = !fs.exists(ingestPath) ||
+      !fs.listStatus(ingestPath).exists(_.getPath.getName.startsWith("batch="))
+    if (ingestDrained) appliedTombs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(tombRoot, s"del=$d"), true)
     }
     (next, folded)
@@ -1505,13 +1554,26 @@ object Similarity {
     * monotonic n like the ingest `batch=` convention), probes mask
     * them with one churn-bounded anti-join
     * ([[queryIvfPqIndexHierPaths]]' `tombstones` hook, applied
-    * automatically by [[queryVersionedIvfPqIndexHier]]), and the next
-    * [[compactIvfPqIndexHier]] applies them PHYSICALLY (rows dropped
-    * from the new version's cells) then retires exactly the tombstone
-    * directories it listed — the same fold-then-retire contract as
-    * delta batches, so a tombstone is never both applied and
-    * retained, and a late tombstone keeps masking until the next
-    * compaction.
+    * automatically by [[queryVersionedIvfPqIndexHier]] and
+    * [[queryLiveIvfPqIndexHier]]; a RAW path-based
+    * `queryIvfPqIndexHierPaths` call masks nothing unless the caller
+    * passes `tombstones = readTombstoneIds(root)` — prefer the live
+    * entry point for serving), and the next [[compactIvfPqIndexHier]]
+    * applies them PHYSICALLY (rows dropped from the new version's
+    * cells) then retires the listed tombstone directories once the
+    * ingest root is drained (see its scaladoc — retiring earlier could
+    * resurrect a tombstoned row still sitting in an unfolded delta).
+    *
+    * Concurrency (r11 ADVICE medium): the `del=<n>` slot is CLAIMED
+    * atomically before the write — an empty `.seq=<n>` marker created
+    * with overwrite=false (the same create-exclusive primitive as the
+    * version dirs' `.claim`), retried at n+1 on collision — so two
+    * concurrent deleters land in DISTINCT directories and neither id
+    * set is clobbered. Markers outlive retirement, which keeps the
+    * sequence monotonic across compactions (a retired number is never
+    * reused); after a successful claim the deleter prunes markers
+    * below its own, bounding the marker count by deleter concurrency,
+    * not delete history.
     *
     * Semantics: a tombstone masks its id in EVERY root (base cells
     * and all ingest deltas) until retired — delete-by-id, not
@@ -1530,9 +1592,33 @@ object Similarity {
     val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
     val fs = tombRoot.getFileSystem(conf)
     fs.mkdirs(tombRoot)
-    val next = fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong)
-      .maxOption.getOrElse(-1L) + 1L
+    def seqNumbers(): Seq[Long] = fs.listStatus(tombRoot).toSeq
+      .map(_.getPath.getName)
+      .collect {
+        case n if n.startsWith("del=") => n.stripPrefix("del=").toLong
+        case n if n.startsWith(".seq=") => n.stripPrefix(".seq=").toLong
+      }
+    // claim-CAS: the dot-prefixed marker is invisible to parquet
+    // listings; create(overwrite=false) is the atomic primitive, and a
+    // collision (concurrent deleter won the slot) just moves to n+1
+    var next = seqNumbers().maxOption.getOrElse(-1L) + 1L
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(tombRoot, s".seq=$next"),
+          false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1L
+      }
+    }
+    // prune markers below the claimed slot: monotonicity only needs the
+    // MAX marker to survive retirement, and ours is ≥ every older one
+    fs.listStatus(tombRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".seq=") && n.stripPrefix(".seq=").toLong < next)
+        fs.delete(st.getPath, false)
+    }
     ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/tombstones/del=$next")
@@ -1541,7 +1627,15 @@ object Similarity {
 
   /** The union of live tombstone ids under `root`, if any — one
     * (nbr_id) column; None when no tombstone directory exists (the
-    * no-deletes fast path keeps probe plans anti-join-free). */
+    * no-deletes fast path keeps probe plans anti-join-free).
+    *
+    * The id set is materialized EAGERLY (r11 ADVICE: one churn-bounded
+    * collect into a local relation) so the returned frame carries no
+    * reference to the retirable `del=` directories — a compaction
+    * retiring them between plan construction and probe execution can
+    * no longer fail the anti-join with a FileNotFoundException; the
+    * probe sees the snapshot taken here, the same read-consistency
+    * contract the commit-marker protocol gives the cells. */
   def readTombstoneIds(spark: org.apache.spark.sql.SparkSession,
                        root: String): Option[DataFrame] = {
     val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
@@ -1549,8 +1643,13 @@ object Similarity {
     if (!fs.exists(tombRoot) ||
         !fs.listStatus(tombRoot).exists(_.getPath.getName.startsWith("del=")))
       None
-    else Some(spark.read.parquet(s"$root/tombstones")
-      .select(col("nbr_id")).distinct())
+    else {
+      import spark.implicits._
+      val ids = spark.read.parquet(s"$root/tombstones")
+        .select(col("nbr_id").cast("long")).distinct()
+        .as[Long].collect().toSeq
+      Some(ids.toDF("nbr_id"))
+    }
   }
 
   /** Query the latest COMMITTED version of a versioned two-level
@@ -1562,14 +1661,106 @@ object Similarity {
                                    root: String, queries: DataFrame, k: Int,
                                    nProbe: Int, probeTop: Int = 2,
                                    idCol: String = "vec_id",
-                                   vecCol: String = "embedding"): DataFrame = {
+                                   vecCol: String = "embedding",
+                                   maxBroadcastProbeRows: Long = 1L << 20)
+  : DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed index version under $root"))
     val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
     val cb = readPqCodebooks(spark, root, v)
     queryIvfPqIndexHierPaths(spark, Seq(s"$root/v$v/cells"), hq, cb, queries,
       k, nProbe, probeTop, idCol, vecCol,
-      tombstones = readTombstoneIds(spark, root))
+      tombstones = readTombstoneIds(spark, root),
+      maxBroadcastProbeRows = maxBroadcastProbeRows)
+  }
+
+  /** The SERVING entry point over the full live index state — the
+    * latest committed version PLUS every live streaming-ingest `batch=`
+    * delta under `ingestRoot`, with live tombstones masked
+    * automatically (r11 ADVICE: the raw path-based probe silently
+    * skips masking unless the caller remembers the `tombstones` hook;
+    * this wires it in, so the documented streamed-serving pattern —
+    * [[graft.streaming.Streams.incrementalHierPqIngest]] deltas probed
+    * beside a rarely-retrained base — honors deletes by default).
+    * Self-contained like [[queryVersionedIvfPqIndexHier]]: resolves
+    * the version, loads its frozen artifacts, lists the delta dirs,
+    * probes everything as one index. */
+  def queryLiveIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
+                              root: String, ingestRoot: String,
+                              queries: DataFrame, k: Int,
+                              nProbe: Int, probeTop: Int = 2,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              maxBroadcastProbeRows: Long = 1L << 20)
+  : DataFrame = {
+    val v = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
+    val cb = readPqCodebooks(spark, root, v)
+    val ingestPath = new org.apache.hadoop.fs.Path(ingestRoot)
+    val fs = ingestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas =
+      if (!fs.exists(ingestPath)) Nil
+      else fs.listStatus(ingestPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).sorted
+        .map(b => s"$ingestRoot/$b")
+    queryIvfPqIndexHierPaths(spark, s"$root/v$v/cells" +: deltas, hq, cb,
+      queries, k, nProbe, probeTop, idCol, vecCol,
+      tombstones = readTombstoneIds(spark, root),
+      maxBroadcastProbeRows = maxBroadcastProbeRows)
+  }
+
+  /** EXACT-vector re-rank tier over an approximate candidate pool —
+    * the serving-recall lever (r11 verdict item 3): ADC scores carry
+    * the PQ quantization error, so the right way to raise recall@k is
+    * not more probing but re-scoring a candidate pool of `poolK > k`
+    * ADC survivors against the ORIGINAL vectors and re-cutting at k.
+    * `candidates` needs only (query_id, nbr_id); both vector lookups
+    * are equi-joins against the caller's corpus/query frames. Cost
+    * shape: the pool is |queries| × poolK rows of two longs — at
+    * serving size it broadcasts into the corpus scan (no corpus
+    * shuffle; `broadcastCandidates = true`), and a corpus-sized
+    * offline batch sets it false for plain shuffle equi-joins (every
+    * side partitioned by the join key, nothing driver-sized). The
+    * exact cosine and [[topK]] tie-break match [[bruteForceTopK]]
+    * bit-for-bit, so a pool that contains the true top-k yields the
+    * exact answer. */
+  def exactRerank(candidates: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  broadcastCandidates: Boolean = true): DataFrame = {
+    val pairs = candidates.select(col("query_id"), col("nbr_id"))
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val withNbr =
+      if (broadcastCandidates) c.join(broadcast(pairs), Seq("nbr_id"))
+      else c.join(pairs.hint("merge"), Seq("nbr_id"))
+    val scored =
+      (if (broadcastCandidates) withNbr.join(broadcast(q), Seq("query_id"))
+       else withNbr.join(q.hint("merge"), Seq("query_id")))
+        .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
+    topK(scored, k)
+  }
+
+  /** [[queryVersionedIvfPqIndexHier]] with the exact re-rank tier
+    * stacked on top: probe the committed version for an ADC pool of
+    * `poolFactor`·k candidates (tombstones masked before the pool is
+    * cut, so a deleted row can't hold a pool slot), then
+    * [[exactRerank]] the pool against the caller's original-vector
+    * corpus. Recall@10 gate-pinned ≥ 0.85 by q314 (vs the 0.25 ADC
+    * floor) at ~poolFactor× the re-rank rows and unchanged probe
+    * cost. */
+  def queryVersionedIvfPqIndexHierRerank(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int, probeTop: Int = 2, poolFactor: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+    require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
+    val pool = queryVersionedIvfPqIndexHier(spark, root, queries,
+      k * poolFactor, nProbe, probeTop, idCol, vecCol, maxBroadcastProbeRows)
+    exactRerank(pool, corpus, queries, k, idCol, vecCol,
+      broadcastCandidates = maxBroadcastProbeRows > 0)
   }
 
   /** The out-of-band pruner the version lifecycle points at: delete

@@ -926,4 +926,260 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("tombstones are NOT retired while unfolded deltas remain — a " +
+       "deleted row in an unfolded batch cannot resurrect (r11 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("resurrect").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    // two delta batches; the row the takedown targets sits in batch=1
+    Seq((0L, 100L until 110L), (1L, 200L until 210L)).foreach {
+      case (bid, ids) =>
+        Similarity.assignCellsHier(
+            ids.map(i => (i, vec(16))).toDF("vec_id", "embedding")
+              .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+            hq, "nbr_vec")
+          .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+            $"cell_id")
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$ingest/batch=$bid")
+    }
+    Similarity.deleteFromIvfPqIndexHier(spark, root,
+      Seq(205L, 3L).toDF("vec_id"))
+    val q = base.limit(5)
+    def liveIds() = Similarity.queryLiveIvfPqIndexHier(spark, root, ingest,
+      q, k = 8, nProbe = 9, probeTop = 3)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(!liveIds().contains(205L) && !liveIds().contains(3L),
+      "tombstones must mask across base + every delta")
+    // subset fold: batch=0 only — batch=1 (holding dead 205) survives,
+    // so the tombstones MUST stay live
+    val (v2, f) = Similarity.compactIvfPqIndexHier(spark, root, ingest,
+      Some(Seq(0L)))
+    assert(v2 == 2 && f == Seq(0L))
+    assert(new java.io.File(s"$ingest/batch=1").isDirectory)
+    assert(Similarity.readTombstoneIds(spark, root).nonEmpty,
+      "retiring tombstones with an unfolded delta would resurrect 205")
+    val after = liveIds()
+    assert(!after.contains(205L) && !after.contains(3L),
+      s"deleted ids resurrected after subset compaction: $after")
+    // draining fold: batch=1 folded, tombstones applied + retired now
+    val (v3, f2) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v3 == 3 && f2 == Seq(1L))
+    assert(Similarity.readTombstoneIds(spark, root).isEmpty,
+      "drained ingest must finally retire the applied tombstones")
+    assert(spark.read.parquet(s"$root/v3/cells")
+      .filter($"nbr_id".isin(205L, 3L)).isEmpty,
+      "draining compaction must drop the dead rows physically")
+    assert(!liveIds().contains(205L) && !liveIds().contains(3L))
+  }
+
+  test("a delta landing MID-compaction (after the fold listing) " +
+       "survives retirement, stays probed, and keeps tombstones live") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("midrace").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    def writeBatch(bid: Long, rows: Seq[(Long, Seq[Float])]): Unit =
+      Similarity.assignCellsHier(
+          rows.toDF("vec_id", "embedding")
+            .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+          hq, "nbr_vec")
+        .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+          $"cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$ingest/batch=$bid")
+    writeBatch(0L, (100L until 110L).map(i => (i, vec(16))))
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(104L).toDF("vec_id"))
+    // the race: batch=1 (carrying in-flight dead row 304) lands between
+    // the fold listing and retirement, via the injection seam
+    val lateRows = (300L to 304L).map(i => (i, vec(16)))
+    val (v2, f) = Similarity.compactIvfPqIndexHier(spark, root, ingest,
+      midCompactionHook = () => writeBatch(1L, lateRows))
+    assert(v2 == 2 && f == Seq(0L),
+      "mid-compaction delta must not join the already-listed fold")
+    assert(new java.io.File(s"$ingest/batch=1").isDirectory,
+      "the mid-compaction delta must survive retirement")
+    assert(Similarity.readTombstoneIds(spark, root).nonEmpty,
+      "tombstones must stay live while the late delta is unfolded")
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(304L).toDF("vec_id"))
+    // queries = the late vectors themselves (fresh ids): nProbe=9 probes
+    // every cell, so each surviving late row MUST surface at cosine 1
+    val q = lateRows.map { case (i, v) => (1000L + i, v) }
+      .toDF("vec_id", "embedding")
+    val live = Similarity.queryLiveIvfPqIndexHier(spark, root, ingest,
+        q, k = 8, nProbe = 9, probeTop = 3)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(!live.contains(104L) && !live.contains(304L),
+      "tombstones must mask the late delta too")
+    assert(Seq(300L, 301L, 302L, 303L).forall(live.contains),
+      "the late delta's surviving rows must stay probed")
+  }
+
+  test("concurrent deleters claim distinct del= slots and the sequence " +
+       "stays monotonic across retirement") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("delcas").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 4, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 40)
+    // two deleters race the same slot: the claim-CAS must hand them
+    // distinct numbers with BOTH id sets surviving
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Seq(Seq(1L, 2L), Seq(3L, 4L))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val claimed = Await.result(Future.sequence(ids.map(s => Future {
+      barrier.await()
+      Similarity.deleteFromIvfPqIndexHier(spark, root, s.toDF("vec_id"))
+    })), 2.minutes)
+    assert(claimed.toSet.size == 2, s"slot collision: $claimed")
+    val survived = spark.read.parquet(s"$root/tombstones")
+      .select("nbr_id").as[Long].collect().toSet
+    assert(survived == Set(1L, 2L, 3L, 4L),
+      s"a concurrent deleter's id set was clobbered: $survived")
+    // retirement must not reset the sequence: numbers are never reused
+    val maxBefore = claimed.max
+    val (v2, _) = Similarity.compactIvfPqIndexHier(spark, root,
+      s"$tmp/__no_ingest")
+    assert(v2 == 2)
+    assert(Similarity.readTombstoneIds(spark, root).isEmpty)
+    val next = Similarity.deleteFromIvfPqIndexHier(spark, root,
+      Seq(9L).toDF("vec_id"))
+    assert(next == maxBefore + 1,
+      s"sequence reset after retirement: got del=$next after del=$maxBefore")
+  }
+
+  test("readTombstoneIds snapshots eagerly: a concurrent retirement " +
+       "cannot fail an in-flight probe plan") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("tombsnap").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 4, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 40)
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(7L).toDF("vec_id"))
+    val snap = Similarity.readTombstoneIds(spark, root)
+    assert(snap.nonEmpty)
+    // simulate the concurrent compaction: the del= dir vanishes between
+    // plan construction and execution
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/tombstones/del=0"), true)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    val got = Similarity.queryIvfPqIndexHierPaths(spark,
+        Seq(s"$root/v1/cells"), hq, cb, a.limit(4), k = 5, nProbe = 4,
+        probeTop = 2, tombstones = snap)
+      .select("nbr_id").as[Long].collect()
+    assert(got.nonEmpty && !got.contains(7L),
+      "the eager snapshot must keep masking after the dir is retired")
+  }
+
+  test("size-aware probe join: a batch above the broadcast cap takes " +
+       "the merge-join plan and returns EXACTLY the broadcast rows") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 80L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("sizeaware").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 80)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    // the kNN-join shape: the whole corpus is the query batch
+    val small = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v1/cells"), hq, cb, a, k = 5, nProbe = 4, probeTop = 2)
+    val large = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v1/cells"), hq, cb, a, k = 5, nProbe = 4, probeTop = 2,
+      maxBroadcastProbeRows = 0L)
+    assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty,
+      "the shuffle-side probe join must be row-identical to broadcast")
+    val smallPlan = small.queryExecution.executedPlan.toString
+    val largePlan = large.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"serving-sized batch must broadcast:\n$smallPlan")
+    assert(largePlan.contains("SortMergeJoin"),
+      s"above-cap batch must merge-join:\n$largePlan")
+    assert(!largePlan.contains("BroadcastHashJoin"),
+      s"above-cap batch must not broadcast the probe side:\n$largePlan")
+  }
+
+  test("exactRerank recovers the exact top-k whenever the pool holds " +
+       "it, and the versioned rerank raises recall over raw ADC") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 100L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val q = a.limit(6)
+    val exact = Similarity.bruteForceTopK(a, q, k = 5).localCheckpoint(true)
+    // pool = the FULL ranked corpus per query → rerank must equal exact
+    val fullPool = Similarity.bruteForceTopK(a, q, k = 100)
+    val rr = Similarity.exactRerank(fullPool, a, q, k = 5)
+    assert(rr.exceptAll(exact).isEmpty && exact.exceptAll(rr).isEmpty,
+      "rerank over a complete pool must reproduce the exact top-k")
+    // shuffle-side variant is row-identical
+    val rrShuffle = Similarity.exactRerank(fullPool, a, q, k = 5,
+      broadcastCandidates = false)
+    assert(rrShuffle.exceptAll(exact).isEmpty &&
+      exact.exceptAll(rrShuffle).isEmpty)
+    // the production stack: versioned probe + rerank ≥ raw ADC recall
+    val tmp = java.nio.file.Files.createTempDirectory("rerank").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 100)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val e = exact.select("query_id", "nbr_id")
+      approx.select("query_id", "nbr_id").intersect(e).count().toDouble /
+        e.count()
+    }
+    val adc = recall(Similarity.queryVersionedIvfPqIndexHier(spark, root,
+      q, k = 5, nProbe = 9, probeTop = 3))
+    val reranked = recall(Similarity.queryVersionedIvfPqIndexHierRerank(
+      spark, root, a, q, k = 5, nProbe = 9, probeTop = 3, poolFactor = 5))
+    assert(reranked >= adc,
+      f"rerank recall $reranked%.3f fell below raw ADC $adc%.3f")
+  }
+
+  test("queryLiveIvfPqIndexHier equals the manually-wired path probe") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("liveq").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    Similarity.assignCellsHier(
+        (100L until 110L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+          .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+        $"cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(105L).toDF("vec_id"))
+    val q = base.limit(5)
+    val live = Similarity.queryLiveIvfPqIndexHier(spark, root, ingest,
+      q, k = 6, nProbe = 9, probeTop = 3)
+    val manual = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v1/cells", s"$ingest/batch=0"), hq, cb, q, k = 6,
+      nProbe = 9, probeTop = 3,
+      tombstones = Similarity.readTombstoneIds(spark, root))
+    assert(live.exceptAll(manual).isEmpty && manual.exceptAll(live).isEmpty,
+      "the live convenience probe diverged from the manual wiring")
+    assert(!live.select("nbr_id").as[Long].collect().contains(105L))
+  }
 }
