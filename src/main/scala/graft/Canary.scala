@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Fixed-gate drift canary (VERDICT r8 item 1): the cross-run
   * complement of Bench's within-run sentinel. Runs the SAME gates
   * (the five r7→r8 movers q56/q65/q89/q98/q99, the four most expensive
-  * iterative gates q50/q61/q82/q85, the q01 sentinel, and — r10 verdict
+  * iterative gates q50/q61/q82/q85, the q01 sentinel, — r10 verdict
   * item 3 — one search-family row q91 and one merge-family row q97, so
   * bench-tail moves in those families get a direct fresh-JVM reading
-  * instead of sentinel inference) once each in
+  * instead of sentinel inference, and — r11 verdict item 5 — the ANN
+  * lifecycle's most expensive gate q309, so compaction-plan drift gets
+  * fresh-JVM detection too) once each in
   * a fresh JVM; `tools/canary.sh` invokes it three times and takes the
   * per-gate min, so a >1.3× move between two canary records is a plan
   * change, not host noise — host noise does not survive fresh-JVM
@@ -18,7 +20,8 @@ object Canary {
     "q56_stratified_sample", "q61_lsh_index", "q65_skew_report",
     "q82_bucketed_hierarchy", "q85_components_star", "q89_ivfpq_index",
     "q91_bm25_view", "q97_merge_agg",
-    "q98_pagerank", "q99_personalized_pagerank")
+    "q98_pagerank", "q99_personalized_pagerank",
+    "q309_ann_delta_compaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4986,7 +4986,7 @@ object Queries {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q307_hidx_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    hDeleteAll(s, root)
     val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
       m = 8, kCodes = 128, root, sampleBudget = 256)
     require(v1 == 1, s"fresh root must publish v1, got v$v1")
@@ -5019,7 +5019,7 @@ object Queries {
     // still the resolved current version answering IDENTICALLY
     val pruned = Similarity.pruneIvfVersions(s, root, keep = 1)
     require(pruned == Seq(1), s"prune must retire exactly v1, got $pruned")
-    require(!new java.io.File(s"$root/v1").exists(), "v1 survived the prune")
+    require(!hExists(s, s"$root/v1"), "v1 survived the prune")
     val post = Similarity.queryVersionedIvfPqIndexHier(s, root,
       recallQueries(emb), 10, nProbe = 8, probeTop = 3)
     require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
@@ -5059,7 +5059,7 @@ object Queries {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_hbase_" +
         s"${java.lang.ProcessHandle.current().pid()}_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      hDeleteAll(s, root)
       val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
         m = 8, kCodes = 128, root, sampleBudget = 256)
       (s"$root/v$v1/cells",
@@ -5075,7 +5075,7 @@ object Queries {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q308_hidx_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    hDeleteAll(s, root)
     // file-source feed: the delta half split into two micro-batches
     val feed = twinFeedStart(s, "q308_feed", extra.filter(col("vec_id") % 4 === 1))
     val ingest = s"$root/ingest"
@@ -5144,17 +5144,35 @@ object Queries {
   // copies it to a work root, because compaction MUTATES the index
   // (publishes versions, retires deltas): the per-run cost is a local
   // file copy, not a retrain + 800-file re-write.
+  // Object-store-clean gate plumbing (r11 verdict item 7): the ANN
+  // gates inspect index layout through the SAME Hadoop FS API the
+  // operators use — a gate pointed at an object-store root keeps
+  // working, and the local-FS java.io.File shortcut is gone.
+  private def hfs(s: SparkSession, p: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+  private def hExists(s: SparkSession, p: String): Boolean =
+    hfs(s, p).exists(new org.apache.hadoop.fs.Path(p))
+  private def hIsDir(s: SparkSession, p: String): Boolean = {
+    val fs = hfs(s, p)
+    val pp = new org.apache.hadoop.fs.Path(p)
+    fs.exists(pp) && fs.getFileStatus(pp).isDirectory
+  }
+  private def hDeleteAll(s: SparkSession, p: String): Unit =
+    hfs(s, p).delete(new org.apache.hadoop.fs.Path(p), true)
+
   private val compactFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def compactFixture(s: SparkSession, dir: String): String =
-    compactFixtureCache.computeIfAbsent(dir, _ => {
+  private def compactFixture(s: SparkSession, dir: String,
+                             nBatches: Int = 50): String =
+    compactFixtureCache.computeIfAbsent(s"$dir#$nBatches", _ => {
       val emb = t(s, dir, "embeddings")
       val base = emb.filter(col("vec_id") % 2 === 0)
       val extra = emb.filter(col("vec_id") % 2 =!= 0)
       val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_q309_fix_" +
-        s"${java.lang.ProcessHandle.current().pid()}_" +
+        s"${java.lang.ProcessHandle.current().pid()}_${nBatches}_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(pristine))
+      hDeleteAll(s, pristine)
       val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 16, dim = 64,
         m = 8, kCodes = 128, pristine, sampleBudget = 256)
       val hq = Similarity.readHierQuantizer(s, s"$pristine/v$v1/quantizer")
@@ -5164,7 +5182,8 @@ object Queries {
             col("embedding").as("nbr_vec")), hq, "nbr_vec")
         .select(col("nbr_id"),
           Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
-          expr("pmod((nbr_id - 1) div 2, 50)").cast("long").as("batch"),
+          expr(s"pmod((nbr_id - 1) div 2, $nBatches)").cast("long")
+            .as("batch"),
           col("cell_id"))
         // one file per (batch, cell) — exactly what a 1-task micro-batch
         // write lays down; without this every input task writes a file
@@ -5182,7 +5201,7 @@ object Queries {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q309_hidx_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    hDeleteAll(s, root)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs,
@@ -5192,13 +5211,16 @@ object Queries {
     val hq = Similarity.readHierQuantizer(s, s"$root/v$v1/quantizer")
     val cb = Similarity.readPqCodebooks(s, root, v1)
     val ingest = s"$root/ingest"
-    def dataFileCounts(cellsDir: String): Seq[Int] =
-      new java.io.File(cellsDir).listFiles()
-        .filter(_.getName.startsWith("cell_id=")).toSeq
-        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    def dataFileCounts(cellsDir: String): Seq[Int] = {
+      val fs = hfs(s, cellsDir)
+      fs.listStatus(new org.apache.hadoop.fs.Path(cellsDir)).toSeq
+        .filter(_.getPath.getName.startsWith("cell_id="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")))
+    }
     val q = recallQueries(emb)
     val batchPaths = (0L until 50L).map(b => s"$ingest/batch=$b")
-    require(batchPaths.forall(p => new java.io.File(p).isDirectory),
+    require(batchPaths.forall(p => hIsDir(s, p)),
       "expected 50 delta batch directories")
     val pre = Similarity.queryIvfPqIndexHierPaths(s,
       Seq(s"$root/v$v1/cells", ingest), hq, cb, q, 10,
@@ -5211,9 +5233,9 @@ object Queries {
     require(v2 == 2 && folded == (0L until 49L),
       s"subset fold went wrong: v$v2, $folded")
     require((0L until 49L).forall(b =>
-      !new java.io.File(s"$ingest/batch=$b").exists()),
+      !hExists(s, s"$ingest/batch=$b")),
       "folded delta dirs must be retired")
-    require(new java.io.File(s"$ingest/batch=49").isDirectory,
+    require(hIsDir(s, s"$ingest/batch=49"),
       "unfolded late delta was retired")
     val mid = Similarity.queryIvfPqIndexHierPaths(s,
       Seq(s"$root/v$v2/cells", ingest), hq, cb, q, 10,
@@ -5268,7 +5290,7 @@ object Queries {
       val pristine = s"${System.getProperty("java.io.tmpdir")}/graft_q312_fix_" +
         s"${java.lang.ProcessHandle.current().pid()}_" +
         java.lang.Integer.toHexString(dir.hashCode)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(pristine))
+      hDeleteAll(s, pristine)
       Similarity.refreshIvfPqIndexHier(emb, nCells = 16, dim = 64,
         m = 8, kCodes = 128, pristine, sampleBudget = 256)
       pristine
@@ -5283,7 +5305,7 @@ object Queries {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_q312_idx_" +
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    hDeleteAll(s, root)
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     org.apache.hadoop.fs.FileUtil.copy(fs,
@@ -5307,7 +5329,7 @@ object Queries {
     require(s.read.parquet(s"$root/v2/cells")
       .filter(col("nbr_id") % 17 === 3).isEmpty,
       "physical delete left tombstoned rows in the compacted cells")
-    require(!new java.io.File(s"$root/tombstones/del=0").exists(),
+    require(!hExists(s, s"$root/tombstones/del=0"),
       "applied tombstone dir must be retired")
     val physical = Similarity.queryVersionedIvfPqIndexHier(s, root, q,
       k = 10, nProbe = 8, probeTop = 3)
@@ -5325,6 +5347,181 @@ object Queries {
     require(s.read.parquet(s"$root/v2/cells")
       .filter(col("nbr_id") === lateId).count() == 1L,
       "late tombstone must not touch the committed cells")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** q313: SIZE-AWARE probe join — the kNN-join face of the production
+    * index (r11 verdict item 1). The serving probe broadcasts the
+    * query side; an offline full-corpus kNN join makes that side
+    * corpus-sized, and [[Similarity.queryIvfPqIndexHierPaths]] must
+    * fall back to a sort-merge join on `cell_id` WITHOUT changing a
+    * single result row. The gate probes the persisted index with the
+    * ENTIRE embeddings table as the query batch through both plans —
+    * broadcast (cap default) and merge (cap 0) — and requires (i)
+    * exact row equality between them, (ii) the plan shapes themselves
+    * (BroadcastHashJoin vs SortMergeJoin on the probe side), and
+    * (iii) every corpus row answered (the kNN-join contract: |corpus|
+    * queries × k rows). The corpus-sized LINEARITY of the merge plan
+    * is the decade leg (PLANS.md round 12, sf10emb/sf100emb); this
+    * gate pins plan selection + equality at both verify scales.
+    * Output = the exact baseline, the q108 convention. */
+  def q313AnnKnnJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val pristine = deleteFixture(s, dir) // read-only probe: no copy
+    val hq = Similarity.readHierQuantizer(s, s"$pristine/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(s, pristine, 1)
+    val paths = Seq(s"$pristine/v1/cells")
+    val viaBroadcast = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
+      emb, k = 10, nProbe = 8, probeTop = 3).localCheckpoint(true)
+    val viaMerge = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
+      emb, k = 10, nProbe = 8, probeTop = 3,
+      maxBroadcastProbeRows = 0L).localCheckpoint(true)
+    require(viaMerge.exceptAll(viaBroadcast).isEmpty &&
+      viaBroadcast.exceptAll(viaMerge).isEmpty,
+      "merge-side kNN join diverged from the broadcast plan")
+    val bPlan = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
+      emb, k = 10, nProbe = 8, probeTop = 3)
+      .queryExecution.executedPlan.toString
+    val mPlan = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
+      emb, k = 10, nProbe = 8, probeTop = 3, maxBroadcastProbeRows = 0L)
+      .queryExecution.executedPlan.toString
+    require(bPlan.contains("BroadcastHashJoin"),
+      s"under-cap probe must broadcast:\n$bPlan")
+    require(mPlan.contains("SortMergeJoin") &&
+      !mPlan.contains("BroadcastHashJoin"),
+      s"above-cap probe must sort-merge, not broadcast:\n$mPlan")
+    // the kNN-join contract: every corpus row got its k neighbors
+    require(viaMerge.count() == emb.count() * 10L,
+      "full-corpus kNN join must answer k rows per corpus row")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** q314: EXACT RE-RANK recall lever (r11 verdict item 3) — the 0.25
+    * ADC floors are gate floors, not a serving-quality ceiling; this
+    * gate pins the lever that closes the gap. ADC scores carry the PQ
+    * quantization error (m=8 codes over dim=64), so
+    * [[Similarity.queryVersionedIvfPqIndexHierRerank]] probes an ADC
+    * pool of poolFactor·k candidates and re-scores them against the
+    * ORIGINAL vectors ([[Similarity.exactRerank]] — bit-for-bit the
+    * [[Similarity.bruteForceTopK]] cosine + tie-break). Requires
+    * recall@10 ≥ 0.85 at nProbe=16/probeTop=4/poolFactor=20 (measured
+    * 1.000 at sf0.01, 0.935 at sf0.1 — PLANS.md round 12; the extra
+    * cost is bounded: pool rows = 200/query re-scored, probe cosines
+    * unchanged ~2·√nCells per row), and the rerank to dominate the raw
+    * ADC probe at the same budget. Output = the exact baseline. */
+  def q314AnnRerankRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val pristine = deleteFixture(s, dir) // read-only probe: no copy
+    val q = recallQueries(emb)
+    val adc = recallOf(exact, Similarity.queryVersionedIvfPqIndexHier(
+      s, pristine, q, k = 10, nProbe = 16, probeTop = 4))
+    val rr = recallOf(exact, Similarity.queryVersionedIvfPqIndexHierRerank(
+      s, pristine, emb, q, k = 10, nProbe = 16, probeTop = 4,
+      poolFactor = 20))
+    require(rr >= 0.85,
+      f"exact-rerank recall@10 degraded: $rr%.3f < 0.85")
+    require(rr >= adc,
+      f"rerank recall $rr%.3f fell below its own ADC pool's $adc%.3f")
+    exact.orderBy("query_id", "rank")
+  }
+
+  /** q315: COMPACTION UNDER LIVE CHURN, raced at gate level (r11
+    * verdict item 4 + the r11 ADVICE resurrection fix). The fixture is
+    * q309's 50-micro-batch streamed index; the gate then (a) tombstones
+    * one base row (id 42) and one delta row that will sit in an
+    * UNFOLDED batch (id 99, batch=49), (b) folds batches 0..48 while
+    * the `midCompactionHook` injection seam lands a brand-new batch=50
+    * BETWEEN the fold listing and retirement — the exact race a
+    * streaming writer creates. Requires: the mid-compaction batch and
+    * the unfolded batch both survive retirement and their rows stay
+    * probed ([[Similarity.queryLiveIvfPqIndexHier]], which wires
+    * tombstone masking in automatically); the tombstones are NOT
+    * retired (batch=49 still holds dead id 99 — retiring would
+    * resurrect it); both dead ids stay masked; the base row was
+    * dropped PHYSICALLY from the new version while the delta row was
+    * not. A draining fold then retires everything, applies the
+    * tombstones physically, and the probe is EXACTLY equal across the
+    * masked→physical boundary. Output = the exact baseline (corpus
+    * unchanged — the index mutations ride the require() channel). */
+  def q315AnnCompactionRace(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    // a TRIMMED 12-batch twin of q309's fixture: the race semantics
+    // need an unfolded tail batch, not q309's 50-batch listing-cost
+    // rehearsal — the smaller layout keeps the gate inside the bench
+    // budget while exercising the identical fold/retire code path
+    val pristine = compactFixture(s, dir, nBatches = 12)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_q315_hidx_" +
+      s"${java.lang.ProcessHandle.current().pid()}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    hDeleteAll(s, root)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(pristine), fs,
+      new org.apache.hadoop.fs.Path(root), false, conf)
+    val hq = Similarity.readHierQuantizer(s, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(s, root, 1)
+    val ingest = s"$root/ingest"
+    val q = recallQueries(emb)
+    // id 23 lands in batch=11 by the fixture's pmod((id-1) div 2, 12)
+    // layout — the tail batch the subset fold leaves unfolded; id 42
+    // is an even (base-half) row. Pre-compaction masking across deltas
+    // is spec-pinned (SimilaritySpec resurrection test); the gate
+    // spends its probes on the raced boundary.
+    Similarity.deleteFromIvfPqIndexHier(s, root,
+      emb.filter(col("vec_id").isin(42L, 23L)).select("vec_id"))
+    def liveProbe() = Similarity.queryLiveIvfPqIndexHier(s, root, ingest,
+      q, k = 10, nProbe = 8, probeTop = 3)
+    // the race: batch=12 (fresh ids, +1000000) lands mid-compaction
+    val late = emb.filter(col("vec_id") % 25 === 7).limit(8)
+      .select((col("vec_id") + 1000000L).as("nbr_id"),
+        col("embedding").as("nbr_vec"))
+    val (v2, folded) = Similarity.compactIvfPqIndexHier(s, root, ingest,
+      Some(0L until 11L), midCompactionHook = () =>
+        Similarity.assignCellsHier(late, hq, "nbr_vec")
+          .select(col("nbr_id"),
+            Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+            col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$ingest/batch=12"))
+    require(v2 == 2 && folded == (0L until 11L),
+      s"race fold went wrong: v$v2, $folded")
+    require(hIsDir(s, s"$ingest/batch=11") && hIsDir(s, s"$ingest/batch=12"),
+      "the unfolded and mid-compaction batches must survive retirement")
+    require(Similarity.readTombstoneIds(s, root).nonEmpty,
+      "tombstones retired with dead id 23 still live in batch=11 — " +
+        "resurrection")
+    val mid = liveProbe().localCheckpoint(true)
+    require(mid.filter(col("nbr_id").isin(42L, 23L)).isEmpty,
+      "tombstoned ids resurfaced after the raced compaction")
+    require(s.read.parquet(s"$root/v2/cells")
+      .filter(col("nbr_id") === 42L).isEmpty,
+      "base tombstone must be applied physically to the new version")
+    // the mid-compaction batch's rows are probe-reachable: query them
+    // by their own vectors (every cell probed at nProbe=16)
+    val lateQ = emb.filter(col("vec_id") % 25 === 7).limit(8)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val lateIds = Similarity.queryLiveIvfPqIndexHier(s, root, ingest,
+        lateQ, k = 3, nProbe = 16, probeTop = 4)
+      .filter(col("nbr_id") >= 1000000L)
+    require(lateIds.limit(1).count() == 1L,
+      "mid-compaction batch rows never surfaced in a probe")
+    // draining fold: everything retired, tombstones applied physically,
+    // probe EXACTLY equal across the masked-to-physical boundary
+    val (v3, folded2) = Similarity.compactIvfPqIndexHier(s, root, ingest)
+    require(v3 == 3 && folded2 == Seq(11L, 12L),
+      s"draining fold went wrong: v$v3, $folded2")
+    require(Similarity.readTombstoneIds(s, root).isEmpty,
+      "drained ingest must retire the applied tombstones")
+    require(s.read.parquet(s"$root/v3/cells")
+      .filter(col("nbr_id").isin(42L, 23L)).isEmpty,
+      "draining compaction left dead rows physically present")
+    val post = liveProbe()
+    require(post.exceptAll(mid).isEmpty && mid.exceptAll(post).isEmpty,
+      "probe diverged across the masked-to-physical boundary")
     exact.orderBy("query_id", "rank")
   }
 
@@ -5883,7 +6080,10 @@ object Queries {
     "q309_ann_delta_compaction" -> (q309AnnDeltaCompaction _),
     "q310_span_mask_threshold" -> (q310SpanMaskThreshold _),
     "q311_isotonic_by_key" -> (q311IsotonicByKey _),
-    "q312_ann_tombstone_delete" -> (q312AnnTombstoneDelete _)
+    "q312_ann_tombstone_delete" -> (q312AnnTombstoneDelete _),
+    "q313_ann_knn_join_parity" -> (q313AnnKnnJoinParity _),
+    "q314_ann_rerank_recall" -> (q314AnnRerankRecall _),
+    "q315_ann_compaction_race" -> (q315AnnCompactionRace _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7728,6 +7928,16 @@ object Queries {
     // q309: streamed-index delta compaction — fold/retire safety, exact
     // pre/post probe equality, and layout parity ride require()
     "q309_ann_delta_compaction" -> recallBaselineOracle,
+    // q313: size-aware probe join — broadcast/merge plan parity on the
+    // full-corpus kNN-join batch rides require(); same exact baseline
+    "q313_ann_knn_join_parity" -> recallBaselineOracle,
+    // q314: exact-rerank recall lever — the ≥0.85 recall@10 floor and
+    // ADC dominance ride require(); same exact baseline
+    "q314_ann_rerank_recall" -> recallBaselineOracle,
+    // q315: compaction raced against live ingest + tombstones — batch
+    // survival, no-resurrection, masked/physical probe equality all
+    // ride require(); same exact baseline
+    "q315_ann_compaction_race" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

@@ -1699,12 +1699,15 @@ object Similarity {
     val cb = readPqCodebooks(spark, root, v)
     val ingestPath = new org.apache.hadoop.fs.Path(ingestRoot)
     val fs = ingestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas =
-      if (!fs.exists(ingestPath)) Nil
-      else fs.listStatus(ingestPath).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).sorted
-        .map(b => s"$ingestRoot/$b")
-    queryIvfPqIndexHierPaths(spark, s"$root/v$v/cells" +: deltas, hq, cb,
+    // the ingest root rides as ONE path (batch=/cell_id= partition
+    // discovery, the q308/q309 probe shape) — listing each batch dir
+    // as its own root would cost a scan per micro-batch
+    val hasDeltas = fs.exists(ingestPath) &&
+      fs.listStatus(ingestPath).exists(_.getPath.getName.startsWith("batch="))
+    val paths =
+      if (hasDeltas) Seq(s"$root/v$v/cells", ingestRoot)
+      else Seq(s"$root/v$v/cells")
+    queryIvfPqIndexHierPaths(spark, paths, hq, cb,
       queries, k, nProbe, probeTop, idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
       maxBroadcastProbeRows = maxBroadcastProbeRows)

@@ -378,8 +378,14 @@ object Streams {
    * contract: this root holds ONLY batch= entries). Readers prune on
    * cell_id exactly as with the refresh-built index (cell_id stays a
    * partition column under the batch level);
-   * `Similarity.queryIvfPqIndexHierPaths` probes this root together
-   * with the refresh root as one index.
+   * `Similarity.queryLiveIvfPqIndexHier` probes this root together
+   * with the committed version as one index AND masks live tombstones
+   * automatically — prefer it for serving. A raw
+   * `Similarity.queryIvfPqIndexHierPaths` over the same roots masks
+   * NOTHING unless the caller passes
+   * `tombstones = Similarity.readTombstoneIds(root)` (r11 ADVICE: the
+   * delete contract promises masking in every root, so path-based
+   * probes must wire the hook or use the live entry point).
    */
   def incrementalHierPqIngest(vecs: DataFrame,
                               hq: graft.operators.Similarity.HierQuantizer,
