@@ -1437,6 +1437,79 @@ object Scratch {
       println(s"[scratch] decadegen done → $dstDir (factor $factor)")
       spark.stop(); return
     }
+    if (name == "knnjoin") {
+      // Size-aware probe-join decade leg (r11 verdict item 1): the
+      // merge-path probe (maxBroadcastProbeRows = 0) must scale
+      // LINEARLY in the query-batch size — the offline kNN-join shape
+      // — and track the broadcast plan at the serving fraction. Run on
+      // the embeddings-only decade dirs:
+      //   SCRATCH_MASTER=local[32] SCRATCH_PARTITIONS=64 \
+      //     runMain graft.Scratch knnjoin tmp/sf10emb [maxFrac]
+      // maxFrac: largest batch as 1/denom (default denom=1 → 100%;
+      // pass 5 at sf100emb to cap the sweep at 20%).
+      import org.apache.spark.sql.functions._
+      val minDenom = if (args.length > 2) args(2).toInt else 1
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = e.count()
+      val nCells = math.max(16, (n / 125).toInt)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_knnjoin"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.refreshIvfPqIndexHier(e, nCells = nCells,
+        dim = 64, m = 8, kCodes = 128, root, sampleBudget = 8192)
+      println(f"[scratch] knnjoin build(n=$n,nCells=$nCells): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val hq = graft.operators.Similarity.readHierQuantizer(
+        spark, s"$root/v1/quantizer")
+      val cb = graft.operators.Similarity.readPqCodebooks(spark, root, 1)
+      def probe(denom: Int, cap: Long, label: String): Unit = {
+        val q = if (denom == 1) e else e.filter(col("vec_id") % denom === 3)
+        val t = System.nanoTime()
+        val rows = graft.operators.Similarity.queryIvfPqIndexHierPaths(
+          spark, Seq(s"$root/v1/cells"), hq, cb, q, k = 10, nProbe = 2,
+          probeTop = 2, maxBroadcastProbeRows = cap).count()
+        println(f"[scratch] knnjoin $label(batch=${n / denom}): $rows rows " +
+          f"in ${(System.nanoTime() - t) / 1e9}%.2f s")
+        // no release here: the shared corpus localCheckpoint must
+        // survive every leg (the decade harness's own lesson)
+      }
+      probe(20, Long.MaxValue, "broadcast5%") // serving-shape witness
+      probe(20, 0L, "merge5%")
+      probe(5, 0L, "merge20%")
+      if (minDenom <= 1) probe(1, 0L, "merge100%")
+      spark.stop(); return
+    }
+    if (name == "isopersist") {
+      // Persist-vs-recompute A/B for isotonicFit's corpus-sized tagged
+      // table (r11 verdict item 6): the tagged phase-1 output feeds two
+      // consumers; persisting it is the exact intermediate class the
+      // span-mask fix retired (fits storage at one scale, silent disk
+      // pass a decade later). The recompute path leans on ReusedExchange
+      // (one shuffle write, two sort+PAV reads). Usage:
+      //   SCRATCH_MASTER=local[32] SCRATCH_PARTITIONS=64 \
+      //     SPARK_DRIVER_MEM=48g runMain graft.Scratch isopersist tmp/sf100
+      import org.apache.spark.sql.functions._
+      def release(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+      }
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val series = orders.select(col("o_orderkey").as("i"),
+        (expr("o_orderkey div 100") * 10 +
+          (col("o_orderkey") * 7919) % 100).as("y"))
+      for (run <- 1 to 2;
+           (label, persist) <- Seq("recompute" -> false, "persist" -> true)) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.Stats
+          .isotonicFitImpl(series, "i", "y", persistTagged = persist).count()
+        println(f"[scratch] isopersist $label run$run: $n rows in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        release()
+      }
+      spark.stop(); return
+    }
     if (name == "decade") {
       // Scaled operator BODIES for the gates whose query-side fixtures
       // are size-pinned (o_orderkey < 2000 cuts): the graph/event

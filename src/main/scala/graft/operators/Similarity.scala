@@ -1321,16 +1321,20 @@ object Similarity {
     * a rarely-retrained base index + continuously-streamed deltas,
     * probed together with no compaction step on the read path.
     *
-    * The probe side joins SIZE-AWARE (r11 verdict item 1): a
-    * serving-sized query batch broadcasts (zero shuffle of the index),
-    * but the probed row count is measured — not assumed — from the
-    * same ≤nCells aggregate that feeds the partition filter, and a
-    * batch above `maxBroadcastProbeRows` (a corpus-sized offline
-    * kNN-join, where the probe side is queries × nProbe rows of
-    * (id, vector)) falls back to a sort-merge join on `cell_id`, the
-    * shape that scales to both sides being corpus-sized. Both plans
-    * return EXACTLY the same rows (same candidates, same ADC scores,
-    * same deterministic topK tie-break) — gate-pinned by q313. */
+    * The probe side joins SIZE-AWARE (r11 verdict item 1): the probe
+    * row count is measured — queries.count() × nProbe, one cheap
+    * aggregate with NO probe cosines — not assumed. A serving-sized
+    * batch broadcasts behind the static cell filter (zero shuffle of
+    * the index, only probed cell directories listed); a batch above
+    * `maxBroadcastProbeRows` (a corpus-sized offline kNN-join, where
+    * the probe side is queries × nProbe rows of (id, vector)) takes a
+    * sort-merge join on `cell_id` instead — the shape that scales to
+    * both sides being corpus-sized — and SKIPS the cell-set collect
+    * entirely: a corpus-sized batch probes essentially every cell, so
+    * the filter prunes nothing while its aggregate would cost a full
+    * extra probe pass. Both plans return EXACTLY the same rows (same
+    * candidates, same ADC scores, same deterministic topK tie-break)
+    * — gate-pinned by q313. */
   def queryIvfPqIndexHierPaths(spark: org.apache.spark.sql.SparkSession,
                                paths: Seq[String], hq: HierQuantizer,
                                cb: PqCodebooks, queries: DataFrame, k: Int,
@@ -1344,15 +1348,25 @@ object Similarity {
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       hq, "q_vec", probeTop, nProbe)
-    // ONE ≤nCells-row aggregate yields both the static partition filter
-    // and the probe-side row count the broadcast decision needs — no
-    // extra job over what the cell-id collect already cost
-    val cellCounts = probed.groupBy("cell_id").count().collect()
-    val cells = cellCounts.map(_.getInt(0)).toSeq
-    val probedRows = cellCounts.map(_.getLong(1)).sum
+    // probe-side size WITHOUT a probe pass: the explode emits ≤ nProbe
+    // rows per query, so queries.count() (no probe cosines in that
+    // plan) bounds the probe rows tightly
+    val probedRows = queries.count() * nProbe
+    val broadcastProbe = probedRows <= maxBroadcastProbeRows
+    // serving path only: fold the probed cell set into a static
+    // partition filter (one small-batch probe aggregate, ≤ nCells rows
+    // collected). The merge path skips it — a corpus-sized batch
+    // probes essentially every cell, and the collect would cost a full
+    // extra probe pass for a filter that prunes nothing; the join on
+    // cell_id does the matching.
+    val cellFilter: Option[Seq[Int]] =
+      if (broadcastProbe)
+        Some(probed.select("cell_id").distinct()
+          .collect().map(_.getInt(0)).toSeq)
+      else None
     val live = paths.map { p =>
-        spark.read.parquet(p)
-          .filter(col("cell_id").isin(cells: _*))
+        val scan = spark.read.parquet(p)
+        cellFilter.fold(scan)(cs => scan.filter(col("cell_id").isin(cs: _*)))
           .select(col("nbr_id"), col("codes"), col("cell_id"))
       }.reduce(_ unionByName _)
     // tombstone mask BEFORE the re-rank so a deleted row can't occupy
@@ -1363,7 +1377,7 @@ object Similarity {
           Seq("nbr_id"), "left_anti"))
       .withColumn("nbr_deq", pqDecode(col("codes"), cb))
     val joined =
-      if (probedRows <= maxBroadcastProbeRows)
+      if (broadcastProbe)
         index.join(broadcast(probed), Seq("cell_id"))
       else // merge (not shuffle_hash): neither side need fit a task
         index.join(probed.hint("merge"), Seq("cell_id"))

@@ -2280,7 +2280,28 @@ object Stats {
     * killed at 34 min on the 150M-point sf100 series; PLANS.md round
     * 10). Per-KEY isotonic should partition by key instead — this is
     * the single-series face. Σ|y| per block must fit DECIMAL(38,0). */
-  def isotonicFit(df: DataFrame, idxCol: String, valueCol: String): DataFrame = {
+  def isotonicFit(df: DataFrame, idxCol: String, valueCol: String): DataFrame =
+    isotonicFitImpl(df, idxCol, valueCol, persistTagged = false)
+
+  /** [[isotonicFit]] with the tagged-row materialization strategy
+    * exposed for measurement (Scratch `isopersist`): the tagged table
+    * (corpus-sized, phase-1 output) feeds TWO consumers — the block
+    * aggregate and the final join. `persistTagged = true` persists it
+    * (MEMORY_AND_DISK — the r11 watch-item: fits storage at one scale,
+    * a silent disk materialization pass a decade later);
+    * `false` recomputes, which in THIS plan costs almost nothing
+    * beyond the persist path: the range Exchange below phase 1 is one
+    * node, so Catalyst's ReusedExchange writes the shuffle ONCE and
+    * only the in-partition sort + phase-1 PAV pass replays per
+    * consumer — the span-mask recompute pattern (PLANS.md round 11).
+    * Measured at the 150M-row sf100 series (warm min over two
+    * uncontended sessions; PLANS.md round 12): recompute 27.7 s vs
+    * persist 32.7 s — so recompute is the default: strictly less
+    * storage pressure AND less time at the third decade. At sf10
+    * (15M rows, everything resident) persist edges it 4.6 vs 5.2 s —
+    * exactly the fits-at-one-scale trap the r11 verdict predicted. */
+  private[graft] def isotonicFitImpl(df: DataFrame, idxCol: String,
+      valueCol: String, persistTagged: Boolean): DataFrame = {
     val d38 = DecimalType(38, 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -2330,7 +2351,7 @@ object Stats {
         }
       }
       .toDF("__i", "__y", "__blk0")
-    Exec.withPersisted(tagged) {
+    def body: DataFrame = {
       val blocks0 = tagged.groupBy(col("__blk0"))
         .agg(sum(col("__y").cast(d38)).as("s"), count(lit(1)).as("c"))
       // phase 2: one sequential PAV pass over the sorted block stream —
@@ -2368,6 +2389,7 @@ object Stats {
       tagged.join(mapping, Seq("__blk0"))
         .select(col("__i").as("i"), col("__y").as("y"), col("yhat"))
     }
+    if (persistTagged) Exec.withPersisted(tagged)(body) else body
   }
 
   /** Per-KEY isotonic regression — the production shape of
