@@ -1478,6 +1478,21 @@ object Scratch {
       probe(20, 0L, "merge5%")
       probe(5, 0L, "merge20%")
       if (minDenom <= 1) probe(1, 0L, "merge100%")
+      // the recall lever's overhead at scale: ADC pool (poolFactor·k)
+      // + exact re-rank against the original vectors, serving batch
+      def rerank(denom: Int, cap: Long, label: String): Unit = {
+        val q = if (denom == 1) e else e.filter(col("vec_id") % denom === 3)
+        val t = System.nanoTime()
+        val pool = graft.operators.Similarity.queryIvfPqIndexHierPaths(
+          spark, Seq(s"$root/v1/cells"), hq, cb, q, k = 50, nProbe = 2,
+          probeTop = 2, maxBroadcastProbeRows = cap)
+        val rows = graft.operators.Similarity.exactRerank(pool, e, q,
+          k = 10, broadcastCandidates = cap > 0).count()
+        println(f"[scratch] knnjoin $label(batch=${n / denom}): $rows rows " +
+          f"in ${(System.nanoTime() - t) / 1e9}%.2f s")
+      }
+      rerank(20, Long.MaxValue, "rerank5%")
+      rerank(5, 0L, "rerankmerge20%")
       spark.stop(); return
     }
     if (name == "isopersist") {
