@@ -5525,6 +5525,69 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q316: ADAPTIVE probe — the probe-side recall lever (r11 verdict
+    * item 3's other half, for deployments that do NOT keep original
+    * vectors at query time, q314's [[Similarity.exactRerank]]
+    * precondition). [[Similarity.probeCellsHierAdaptive]] keeps the
+    * best-ranked cells per query until their cumulative row count
+    * reaches candidateFactor·k, so the candidate pool stops depending
+    * on a lucky fixed nProbe: a query landing in small cells probes
+    * more of them automatically. Requires (i) the matched-budget
+    * property — adaptive recall@10 within 0.05 of the FIXED probe
+    * whose per-query candidate volume the budget was matched to
+    * (measured ABOVE it at both verify scales: 0.465 vs 0.440 at
+    * sf0.01, 0.304 vs 0.300 at sf0.1 on +7% volume — PLANS.md round
+    * 12; the require carries tolerance for data regen); (ii) the pool
+    * guarantee — every query's selected cells hold ≥ min(budget,
+    * total reach) candidate rows; (iii) a recall floor 0.25 (family
+    * convention, below min measured). The exact-equivalence of the
+    * unbounded budget to the fixed full-reach probe and prefix
+    * minimality are spec-pinned (SimilaritySpec). Output = the exact
+    * baseline. */
+  def q316AnnAdaptiveProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val pristine = deleteFixture(s, dir) // read-only probe: no copy
+    val hq = Similarity.readHierQuantizer(s, s"$pristine/v1/quantizer")
+    val cells = Seq(s"$pristine/v1/cells")
+    val sizes = Similarity.indexCellSizes(s, cells).localCheckpoint(true)
+    val q = recallQueries(emb)
+    val probeQ = q.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    // the fixed probe's average candidate volume → the matched budget
+    val nq = q.count()
+    val fixedVol = Similarity.probeCellsHier(probeQ, hq, "q_vec", 3, 8)
+      .join(sizes, Seq("cell_id"), "left")
+      .agg(sum(coalesce(col("cnt"), lit(0L)))).head.getLong(0)
+    val budget = math.max(1L, fixedVol / nq)
+    // (ii) pool guarantee at that budget
+    val pools = Similarity.probeCellsHierAdaptive(probeQ, hq, "q_vec",
+        probeTop = 4, minCandidates = budget, cellSizes = sizes)
+      .join(sizes, Seq("cell_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("vol"))
+    val reach = Similarity.probeCellsHierRanked(probeQ, hq, "q_vec", 4)
+      .join(sizes, Seq("cell_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("reach"))
+    require(pools.join(reach, Seq("query_id"))
+      .filter(col("vol") < least(lit(budget), col("reach"))).isEmpty,
+      "a query's adaptive pool fell below min(budget, reach)")
+    // (i) matched-budget recall vs the fixed probe, (iii) floor
+    val cb = Similarity.readPqCodebooks(s, pristine, 1)
+    val fixedRec = recallOf(exact, Similarity.queryIvfPqIndexHierPaths(
+      s, cells, hq, cb, q, k = 10, nProbe = 8, probeTop = 3))
+    val aRec = recallOf(exact, Similarity.queryIvfPqIndexHierAdaptive(
+      s, cells, hq, cb, q, k = 10, probeTop = 4,
+      candidateFactor = math.max(1L, budget / 10L).toInt,
+      cellSizes = Some(sizes)))
+    require(aRec >= fixedRec - 0.05,
+      f"adaptive recall $aRec%.3f fell >0.05 below matched-budget " +
+        f"fixed $fixedRec%.3f")
+    require(aRec >= 0.25, f"adaptive recall@10 degraded: $aRec%.3f < 0.25")
+    exact.orderBy("query_id", "rank")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
@@ -6083,7 +6146,8 @@ object Queries {
     "q312_ann_tombstone_delete" -> (q312AnnTombstoneDelete _),
     "q313_ann_knn_join_parity" -> (q313AnnKnnJoinParity _),
     "q314_ann_rerank_recall" -> (q314AnnRerankRecall _),
-    "q315_ann_compaction_race" -> (q315AnnCompactionRace _)
+    "q315_ann_compaction_race" -> (q315AnnCompactionRace _),
+    "q316_ann_adaptive_probe" -> (q316AnnAdaptiveProbe _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -7938,6 +8002,9 @@ object Queries {
     // survival, no-resurrection, masked/physical probe equality all
     // ride require(); same exact baseline
     "q315_ann_compaction_race" -> recallBaselineOracle,
+    // q316: adaptive probe — matched-budget recall vs the fixed probe,
+    // pool guarantee, and the floor ride require(); same exact baseline
+    "q316_ann_adaptive_probe" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

@@ -769,23 +769,129 @@ object Similarity {
     * all lack sub entries still yields candidates instead of silently
     * vanishing from the output. */
   def probeCellsHier(df: DataFrame, quant: HierQuantizer, vecCol: String,
-                     probeTop: Int, nProbe: Int): DataFrame = {
-    val subLit = subMapLit(quant)
-    val topArr = topScoredExpr(quant, vecCol)
-    df.withColumn("__cand",
-        flatten(transform(slice(sort_array(topArr), 1, probeTop), t => {
-          val subs = element_at(subLit, t.getField("cell_id"))
-          when(subs.isNull,
-            array(struct(t.getField("neg_sim").as("neg_sim"),
-              (t.getField("cell_id") * lit(quant.k2)).as("cell_id"))))
-            .otherwise(transform(subs, c =>
-              struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
-                .as("neg_sim"), c.getField("_1").as("cell_id"))))
-        })))
+                     probeTop: Int, nProbe: Int): DataFrame =
+    df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
       .withColumn("cell_id",
         explode(slice(sort_array(col("__cand")), 1, nProbe)
           .getField("cell_id")))
       .drop("__cand")
+
+  /** The (neg_sim, cell_id) candidate array behind [[probeCellsHier]]:
+    * probeTop top cells' sub-centroids scored (probeTop × k2 cosines),
+    * sub-less top cells contributing their fallback global id. */
+  private def hierCandArray(quant: HierQuantizer, vecCol: String,
+                            probeTop: Int): Column = {
+    val subLit = subMapLit(quant)
+    flatten(transform(
+      slice(sort_array(topScoredExpr(quant, vecCol)), 1, probeTop), t => {
+        val subs = element_at(subLit, t.getField("cell_id"))
+        when(subs.isNull,
+          array(struct(t.getField("neg_sim").as("neg_sim"),
+            (t.getField("cell_id") * lit(quant.k2)).as("cell_id"))))
+          .otherwise(transform(subs, c =>
+            struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
+              .as("neg_sim"), c.getField("_1").as("cell_id"))))
+      }))
+  }
+
+  /** Every reachable candidate cell of the probeTop top cells, RANKED
+    * per input row by ascending neg_sim (i.e. best cell first, rank 0)
+    * — the full reach [[probeCellsHier]] cuts at nProbe, exposed for
+    * the adaptive probe's prefix selection. */
+  def probeCellsHierRanked(df: DataFrame, quant: HierQuantizer,
+                           vecCol: String, probeTop: Int): DataFrame =
+    df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
+      .select(col("*"),
+        posexplode(sort_array(col("__cand"))).as(Seq("__rank", "__c")))
+      .withColumn("cell_id", col("__c.cell_id"))
+      .drop("__cand", "__c")
+
+  /** ADAPTIVE probe (r11 verdict item 3, the probe-side lever): keep
+    * the best-ranked cells per query until their CUMULATIVE row count
+    * reaches `minCandidates` — a query landing in small cells
+    * automatically probes more of them, one in a dense region stops
+    * early, so the candidate pool (hence recall) stops depending on a
+    * lucky fixed nProbe. `cellSizes` is the ≤nCells (cell_id, cnt)
+    * table ([[indexCellSizes]]) — broadcast into the probe; the
+    * cumulative cut is one window over the query's ≤ probeTop·k2
+    * ranked rows (partitioned by query_id — queries-sized, never
+    * corpus-wide state). A cell absent from `cellSizes` (empty on
+    * disk) counts 0 and rides along — it contributes no candidates but
+    * costs nothing. The first cell is always kept (cum-before = 0 <
+    * minCandidates), so the probe is total. `df` must carry a
+    * `query_id` column. */
+  def probeCellsHierAdaptive(df: DataFrame, quant: HierQuantizer,
+                             vecCol: String, probeTop: Int,
+                             minCandidates: Long,
+                             cellSizes: DataFrame): DataFrame = {
+    require(minCandidates >= 1, s"minCandidates must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("__rank")
+    probeCellsHierRanked(df, quant, vecCol, probeTop)
+      .join(broadcast(cellSizes.select(col("cell_id"),
+        col("cnt").as("__cnt"))), Seq("cell_id"), "left")
+      .withColumn("__cum", sum(coalesce(col("__cnt"), lit(0L))).over(w))
+      .filter(col("__cum") - coalesce(col("__cnt"), lit(0L))
+        < minCandidates)
+      .drop("__rank", "__cnt", "__cum")
+  }
+
+  /** Per-cell row counts of a persisted index (union of roots) — the
+    * ≤nCells side table the adaptive probe cuts on. One narrow scan
+    * (cell_id is a partition column; no data columns read). Compute it
+    * once per index version and reuse across query batches. */
+  def indexCellSizes(spark: org.apache.spark.sql.SparkSession,
+                     paths: Seq[String]): DataFrame =
+    paths.map(p => spark.read.parquet(p).select("cell_id"))
+      .reduce(_ unionByName _)
+      .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+
+  /** [[queryIvfPqIndexHierPaths]] with the ADAPTIVE probe: the probe
+    * depth per query is driven by `minCandidates = candidateFactor·k`
+    * cumulative candidate rows instead of a fixed nProbe — the
+    * probe-side recall lever for deployments that do NOT keep original
+    * vectors at query time (the [[exactRerank]] tier's precondition).
+    * Same size-aware probe join and tombstone contract as the fixed
+    * probe; `maxBroadcastProbeRows` compares against the REACH bound
+    * queries × probeTop·k2 (the adaptive cut can only shrink it). */
+  def queryIvfPqIndexHierAdaptive(spark: org.apache.spark.sql.SparkSession,
+                                  paths: Seq[String], hq: HierQuantizer,
+                                  cb: PqCodebooks, queries: DataFrame,
+                                  k: Int, probeTop: Int = 4,
+                                  candidateFactor: Int = 4,
+                                  cellSizes: Option[DataFrame] = None,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  tombstones: Option[DataFrame] = None,
+                                  maxBroadcastProbeRows: Long = 1L << 20)
+  : DataFrame = {
+    require(paths.nonEmpty, "need at least one index root")
+    val sizes = cellSizes.getOrElse(indexCellSizes(spark, paths))
+    val probed = probeCellsHierAdaptive(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      hq, "q_vec", probeTop, candidateFactor.toLong * k, sizes)
+    val broadcastProbe =
+      queries.count() * probeTop * hq.k2 <= maxBroadcastProbeRows
+    adcProbeTopK(spark, paths, probed, cb, k, tombstones, broadcastProbe)
+  }
+
+  /** The versioned convenience of [[queryIvfPqIndexHierAdaptive]]:
+    * resolves the committed version, loads its artifacts, masks live
+    * tombstones. */
+  def queryVersionedIvfPqIndexHierAdaptive(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, probeTop: Int = 4,
+      candidateFactor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+    val v = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
+    val cb = readPqCodebooks(spark, root, v)
+    queryIvfPqIndexHierAdaptive(spark, Seq(s"$root/v$v/cells"), hq, cb,
+      queries, k, probeTop, candidateFactor, None, idCol, vecCol,
+      tombstones = readTombstoneIds(spark, root),
+      maxBroadcastProbeRows = maxBroadcastProbeRows)
   }
 
   /** IVF top-k under a [[HierQuantizer]] — [[ivfTopK]] with the flat
@@ -1046,12 +1152,8 @@ object Similarity {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val next = claimNextVersion(fs, rootPath)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
-    // claim: create(overwrite = false) fails for the second of two
-    // refreshers that raced to the same listing
-    fs.mkdirs(vdir)
-    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     val centroids = trainCentroids(corpus, nCells, vecCol)
     centroids.map { case (i, c) => (i, c.toSeq) }
       .toDF("cell_id", "centroid")
@@ -1060,6 +1162,31 @@ object Similarity {
     // commit: the marker is the LAST write — readers never see less
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     next
+  }
+
+  /** Claim the next free version number under `rootPath` ATOMICALLY:
+    * list → create(`.claim`, overwrite = false) → on collision (a
+    * concurrent writer won that slot between the listing and the
+    * create) retry at the next number. Same CAS primitive as the
+    * tombstone `.seq=` markers (r12): two concurrent refreshers /
+    * compactors now both succeed in DISTINCT versions — the loser of
+    * a slot race no longer fails — and readers are indifferent
+    * (currentIvfVersion resolves the highest COMMITTED version, so
+    * whichever writer commits last wins the cutover, the standard
+    * last-writer-wins refresh semantics). The mkdirs of a lost slot is
+    * idempotent junk inside the winner's own directory. */
+  private def claimNextVersion(fs: org.apache.hadoop.fs.FileSystem,
+                               rootPath: org.apache.hadoop.fs.Path): Int = {
+    var next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    while (true) {
+      val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
+      fs.mkdirs(vdir)
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
+        return next
+      } catch { case _: java.io.IOException => next += 1 }
+    }
+    next // unreachable
   }
 
   private def listIvfVersions(fs: org.apache.hadoop.fs.FileSystem,
@@ -1126,10 +1253,8 @@ object Similarity {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val next = claimNextVersion(fs, rootPath)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
-    fs.mkdirs(vdir)
-    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     val centroids = trainCentroids(corpus, nCells, vecCol)
     val cb = pqTrain(corpus, dim, m, kCodes, vecCol)
     centroids.map { case (i, c) => (i, c.toSeq) }
@@ -1351,8 +1476,20 @@ object Similarity {
     // probe-side size WITHOUT a probe pass: the explode emits ≤ nProbe
     // rows per query, so queries.count() (no probe cosines in that
     // plan) bounds the probe rows tightly
-    val probedRows = queries.count() * nProbe
-    val broadcastProbe = probedRows <= maxBroadcastProbeRows
+    val broadcastProbe = queries.count() * nProbe <= maxBroadcastProbeRows
+    adcProbeTopK(spark, paths, probed, cb, k, tombstones, broadcastProbe)
+  }
+
+  /** The shared ADC tail of every hier-index probe: prune (serving
+    * path only), union the roots, mask tombstones, decode, join the
+    * probe side (broadcast vs merge per the caller's size decision),
+    * re-rank through the bounded-heap top-k. `probed` must carry
+    * (query_id, q_vec, cell_id). */
+  private def adcProbeTopK(spark: org.apache.spark.sql.SparkSession,
+                           paths: Seq[String], probed: DataFrame,
+                           cb: PqCodebooks, k: Int,
+                           tombstones: Option[DataFrame],
+                           broadcastProbe: Boolean): DataFrame = {
     // serving path only: fold the probed cell set into a static
     // partition filter (one small-batch probe aggregate, ≤ nCells rows
     // collected). The merge path skips it — a corpus-sized batch
@@ -1411,10 +1548,8 @@ object Similarity {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val next = claimNextVersion(fs, rootPath)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
-    fs.mkdirs(vdir)
-    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     val hq = trainHierQuantizer(corpus, nCells, sampleBudget, idCol, vecCol)
     val cb = pqTrainSampled(corpus, dim, m, kCodes, sampleBudget, idCol, vecCol)
     writeHierQuantizer(spark, hq, s"$root/v$next/quantizer")
@@ -1512,10 +1647,8 @@ object Similarity {
         .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong).sorted
     if (folded.isEmpty && appliedTombs.isEmpty) return (cur, Nil)
     midCompactionHook() // race-injection seam: a delta may land HERE
-    val next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
+    val next = claimNextVersion(fs, rootPath)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
-    fs.mkdirs(vdir)
-    fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
     // frozen artifacts carried byte-for-byte — compaction never retrains
     Seq("quantizer", "codebooks").foreach { d =>
       org.apache.hadoop.fs.FileUtil.copy(fs,

@@ -1027,6 +1027,38 @@ class SimilaritySpec extends SparkSpec {
       "the late delta's surviving rows must stay probed")
   }
 
+  test("concurrent refreshers claim distinct versions and both commit " +
+       "(claim retry, last committer wins the cutover)") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("refreshcas").toString
+    val root = s"$tmp/idx"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val versions = Await.result(Future.sequence((1 to 2).map(_ => Future {
+      barrier.await()
+      Similarity.refreshIvfPqIndexHier(a, nCells = 4, dim = 16,
+        m = 4, kCodes = 4, root, sampleBudget = 40)
+    })), 3.minutes)
+    assert(versions.toSet == Set(1, 2),
+      s"racing refreshers must land in distinct versions: $versions")
+    assert(Similarity.currentIvfVersion(spark, root).contains(2))
+    // both versions are complete and answer identically (same corpus,
+    // same deterministic training)
+    val q = a.limit(4)
+    val via2 = Similarity.queryVersionedIvfPqIndexHier(spark, root, q,
+      k = 3, nProbe = 4, probeTop = 2)
+    val hq1 = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb1 = Similarity.readPqCodebooks(spark, root, 1)
+    val via1 = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v1/cells"), hq1, cb1, q, k = 3, nProbe = 4, probeTop = 2)
+    assert(via1.exceptAll(via2).isEmpty && via2.exceptAll(via1).isEmpty,
+      "racing refreshers over the same corpus must answer identically")
+  }
+
   test("concurrent deleters claim distinct del= slots and the sequence " +
        "stays monotonic across retirement") {
     import org.apache.spark.sql.functions._
@@ -1150,6 +1182,59 @@ class SimilaritySpec extends SparkSpec {
       spark, root, a, q, k = 5, nProbe = 9, probeTop = 3, poolFactor = 5))
     assert(reranked >= adc,
       f"rerank recall $reranked%.3f fell below raw ADC $adc%.3f")
+  }
+
+  test("adaptive probe selects exactly the minimal ranked-cell prefix " +
+       "reaching the budget, and an unbounded budget equals the fixed " +
+       "full-reach probe") {
+    import org.apache.spark.sql.functions._
+    val a = (0L until 90L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("adapt").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(a, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 90)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    val sizes = Similarity.indexCellSizes(spark, Seq(s"$root/v1/cells"))
+      .localCheckpoint(true)
+    val szMap = sizes.as[(Int, Long)].collect().toMap
+    val q = a.limit(6).select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"))
+    val minC = 25L
+    // driver-side witness: the ranked reach per query, cut at the
+    // minimal prefix whose cumulative size reaches the budget
+    val ranked = Similarity.probeCellsHierRanked(q, hq, "q_vec", 3)
+      .select("query_id", "__rank", "cell_id")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val want = ranked.map { case (qid, cells) =>
+      var cum = 0L
+      qid -> cells.takeWhile { c =>
+        val keep = cum < minC; cum += szMap.getOrElse(c, 0L); keep
+      }.toSet
+    }
+    val got = Similarity.probeCellsHierAdaptive(q, hq, "q_vec", 3,
+        minC, sizes)
+      .select("query_id", "cell_id").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == want, s"adaptive prefix diverged:\n$got\nvs\n$want")
+    // pool guarantee: every query reaches min(budget, total reach)
+    want.foreach { case (qid, cells) =>
+      val vol = cells.toSeq.map(szMap.getOrElse(_, 0L)).sum
+      val reach = ranked(qid).map(szMap.getOrElse(_, 0L)).sum
+      assert(vol >= math.min(minC, reach), s"query $qid pool $vol")
+    }
+    // unbounded budget ≡ fixed probe at full reach (nProbe = probeTop·k2)
+    val adaptiveFull = Similarity.queryIvfPqIndexHierAdaptive(spark,
+      Seq(s"$root/v1/cells"), hq, cb, a.limit(6), k = 5, probeTop = 3,
+      candidateFactor = 1000, cellSizes = Some(sizes))
+    val fixedFull = Similarity.queryIvfPqIndexHierPaths(spark,
+      Seq(s"$root/v1/cells"), hq, cb, a.limit(6), k = 5,
+      nProbe = 3 * hq.k2, probeTop = 3)
+    assert(adaptiveFull.exceptAll(fixedFull).isEmpty &&
+      fixedFull.exceptAll(adaptiveFull).isEmpty,
+      "unbounded adaptive probe must equal the fixed full-reach probe")
   }
 
   test("queryLiveIvfPqIndexHier equals the manually-wired path probe") {
