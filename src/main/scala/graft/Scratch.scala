@@ -1493,6 +1493,23 @@ object Scratch {
       }
       rerank(20, Long.MaxValue, "rerank5%")
       rerank(5, 0L, "rerankmerge20%")
+      // adaptive probe at scale: the ranked-reach explode (probeTop·k2
+      // rows/query) + per-query window must stay query-batch-bounded;
+      // budget matched to the fixed probe's ~nProbe-cell volume
+      val sizes = graft.operators.Similarity
+        .indexCellSizes(spark, Seq(s"$root/v1/cells")).localCheckpoint(true)
+      def adaptive(denom: Int, cap: Long, label: String): Unit = {
+        val q = if (denom == 1) e else e.filter(col("vec_id") % denom === 3)
+        val t = System.nanoTime()
+        val rows = graft.operators.Similarity.queryIvfPqIndexHierAdaptive(
+          spark, Seq(s"$root/v1/cells"), hq, cb, q, k = 10, probeTop = 2,
+          candidateFactor = (n / nCells / 5).toInt.max(1),
+          cellSizes = Some(sizes), maxBroadcastProbeRows = cap).count()
+        println(f"[scratch] knnjoin $label(batch=${n / denom}): $rows rows " +
+          f"in ${(System.nanoTime() - t) / 1e9}%.2f s")
+      }
+      adaptive(20, Long.MaxValue, "adaptive5%")
+      adaptive(5, 0L, "adaptivemerge20%")
       spark.stop(); return
     }
     if (name == "isopersist") {

@@ -812,28 +812,49 @@ object Similarity {
     * automatically probes more of them, one in a dense region stops
     * early, so the candidate pool (hence recall) stops depending on a
     * lucky fixed nProbe. `cellSizes` is the ≤nCells (cell_id, cnt)
-    * table ([[indexCellSizes]]) — broadcast into the probe; the
-    * cumulative cut is one window over the query's ≤ probeTop·k2
-    * ranked rows (partitioned by query_id — queries-sized, never
-    * corpus-wide state). A cell absent from `cellSizes` (empty on
-    * disk) counts 0 and rides along — it contributes no candidates but
-    * costs nothing. The first cell is always kept (cum-before = 0 <
-    * minCandidates), so the probe is total. `df` must carry a
-    * `query_id` column. */
+    * table ([[indexCellSizes]]) — collected once (nCells longs,
+    * strictly smaller than the quantizer's own centroid literals the
+    * family already carries) and embedded as a map literal, so the
+    * prefix cut runs INSIDE one `aggregate` HOF over the query's
+    * sorted ≤ probeTop·k2 candidate array: ZERO joins, ZERO shuffles,
+    * fully narrow. (The first formulation ranked-exploded the reach
+    * and cut with a per-query window — at a 400k-query batch over a
+    * 16k-cell index that shuffled a 100M-row reach table and measured
+    * 2.75× the fixed probe; this one adds only per-row CPU.) A cell
+    * absent from `cellSizes` (empty on disk) counts 0 and rides along
+    * — no candidates, no cost. The first cell is always kept
+    * (cum-before = 0 < minCandidates), so the probe is total. `df`
+    * must carry the query's vector in `vecCol`. */
   def probeCellsHierAdaptive(df: DataFrame, quant: HierQuantizer,
                              vecCol: String, probeTop: Int,
                              minCandidates: Long,
                              cellSizes: DataFrame): DataFrame = {
     require(minCandidates >= 1, s"minCandidates must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy("__rank")
-    probeCellsHierRanked(df, quant, vecCol, probeTop)
-      .join(broadcast(cellSizes.select(col("cell_id"),
-        col("cnt").as("__cnt"))), Seq("cell_id"), "left")
-      .withColumn("__cum", sum(coalesce(col("__cnt"), lit(0L))).over(w))
-      .filter(col("__cum") - coalesce(col("__cnt"), lit(0L))
-        < minCandidates)
-      .drop("__rank", "__cnt", "__cum")
+    val sizes: Map[Int, Long] = cellSizes
+      .select(col("cell_id").cast("int"), col("cnt").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // DENSE array literal indexed by global cell id (= c1·k2 + j by
+    // construction, so ids live in [0, (maxC1+1)·k2)): element_at on
+    // an ARRAY literal is O(1), where the first cut's MAP literal was
+    // an O(nCells) linear scan per lookup — ~4× the whole probe at a
+    // 16k-cell index (PLANS round 12). Cells empty on disk hold 0.
+    val maxCell = (quant.top.map(_._1).max + 1) * quant.k2
+    val szLit = typedLit((0 until maxCell).map(i => sizes.getOrElse(i, 0L)))
+    val empty = struct(lit(0L).as("cum"),
+      typedLit(Seq.empty[Int]).as("kept"))
+    df.withColumn("__kept",
+        aggregate(
+          sort_array(hierCandArray(quant, vecCol, probeTop)), empty,
+          (acc, c) => {
+            val cnt = element_at(szLit, c.getField("cell_id") + 1)
+            when(acc.getField("cum") < minCandidates,
+              struct((acc.getField("cum") + cnt).as("cum"),
+                concat(acc.getField("kept"),
+                  array(c.getField("cell_id"))).as("kept")))
+              .otherwise(acc)
+          }))
+      .withColumn("cell_id", explode(col("__kept").getField("kept")))
+      .drop("__kept")
   }
 
   /** Per-cell row counts of a persisted index (union of roots) — the
