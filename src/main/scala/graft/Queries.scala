@@ -5429,16 +5429,17 @@ object Queries {
 
   /** q315: COMPACTION UNDER LIVE CHURN, raced at gate level (r11
     * verdict item 4 + the r11 ADVICE resurrection fix). The fixture is
-    * q309's 50-micro-batch streamed index; the gate then (a) tombstones
-    * one base row (id 42) and one delta row that will sit in an
-    * UNFOLDED batch (id 99, batch=49), (b) folds batches 0..48 while
-    * the `midCompactionHook` injection seam lands a brand-new batch=50
-    * BETWEEN the fold listing and retirement — the exact race a
-    * streaming writer creates. Requires: the mid-compaction batch and
-    * the unfolded batch both survive retirement and their rows stay
-    * probed ([[Similarity.queryLiveIvfPqIndexHier]], which wires
-    * tombstone masking in automatically); the tombstones are NOT
-    * retired (batch=49 still holds dead id 99 — retiring would
+    * a trimmed 12-batch twin of q309's streamed index; the gate then
+    * (a) tombstones one base row (id 42) and one delta row that will
+    * sit in an UNFOLDED batch (id 23, batch=11), (b) folds batches
+    * 0..10 while the `midCompactionHook` injection seam lands a
+    * brand-new batch=12 BETWEEN the fold listing and retirement — the
+    * exact race a streaming writer creates. Requires: the
+    * mid-compaction batch and the unfolded batch both survive
+    * retirement and their rows stay probed
+    * ([[Similarity.queryLiveIvfPqIndexHier]], which wires tombstone
+    * masking in automatically); the tombstones are NOT
+    * retired (batch=11 still holds dead id 23 — retiring would
     * resurrect it); both dead ids stay masked; the base row was
     * dropped PHYSICALLY from the new version while the delta row was
     * not. A draining fold then retires everything, applies the

@@ -867,6 +867,34 @@ object Similarity {
       .reduce(_ unionByName _)
       .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
 
+  /** Persist the (cell_id, cnt) table of a just-written `cells`
+    * directory as a version ARTIFACT (`v<n>/cellsizes`, one tiny
+    * file): at 100 TB an index version holds ~nCells directories of
+    * parquet whose footers [[indexCellSizes]] would re-enumerate on
+    * EVERY adaptive query batch — a per-batch listing cost that grows
+    * with the index, for a table the writer can emit once at write
+    * time (it just produced those rows). Written BEFORE the
+    * `_COMMITTED` marker like every other artifact, so a committed
+    * version always carries it. */
+  private def writeCellSizes(spark: org.apache.spark.sql.SparkSession,
+                             cellsPath: String, sizesPath: String): Unit =
+    indexCellSizes(spark, Seq(cellsPath))
+      .coalesce(1).write.mode("overwrite").parquet(sizesPath)
+
+  /** The (cell_id, cnt) side table of a committed version: the
+    * `cellsizes` artifact when the version carries one (every index
+    * written at r12+), else recomputed from the cells (back-compat
+    * with older roots). Sizes describe the cells AS WRITTEN — live
+    * tombstones masked at probe time may overcount a cell slightly,
+    * which only deepens the adaptive cut (never starves it). */
+  def readCellSizes(spark: org.apache.spark.sql.SparkSession,
+                    root: String, version: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v$version/cellsizes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else indexCellSizes(spark, Seq(s"$root/v$version/cells"))
+  }
+
   /** [[queryIvfPqIndexHierPaths]] with the ADAPTIVE probe: the probe
     * depth per query is driven by `minCandidates = candidateFactor·k`
     * cumulative candidate rows instead of a fixed nProbe — the
@@ -897,8 +925,9 @@ object Similarity {
   }
 
   /** The versioned convenience of [[queryIvfPqIndexHierAdaptive]]:
-    * resolves the committed version, loads its artifacts, masks live
-    * tombstones. */
+    * resolves the committed version, loads its artifacts (the
+    * persisted `cellsizes` table included — no per-batch index
+    * re-enumeration; see [[readCellSizes]]), masks live tombstones. */
   def queryVersionedIvfPqIndexHierAdaptive(
       spark: org.apache.spark.sql.SparkSession, root: String,
       queries: DataFrame, k: Int, probeTop: Int = 4,
@@ -910,7 +939,8 @@ object Similarity {
     val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
     val cb = readPqCodebooks(spark, root, v)
     queryIvfPqIndexHierAdaptive(spark, Seq(s"$root/v$v/cells"), hq, cb,
-      queries, k, probeTop, candidateFactor, None, idCol, vecCol,
+      queries, k, probeTop, candidateFactor,
+      Some(readCellSizes(spark, root, v)), idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
       maxBroadcastProbeRows = maxBroadcastProbeRows)
   }
@@ -1589,6 +1619,7 @@ object Similarity {
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
+    writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     next
   }
@@ -1693,6 +1724,7 @@ object Similarity {
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
+    writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     folded.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
@@ -1930,8 +1962,12 @@ object Similarity {
     require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
     val pool = queryVersionedIvfPqIndexHier(spark, root, queries,
       k * poolFactor, nProbe, probeTop, idCol, vecCol, maxBroadcastProbeRows)
+    // the rerank pool is ≤ |queries|·poolFactor·k pairs of two longs —
+    // measured against the SAME cap as the probe side (one cheap
+    // count, no probe cosines), not assumed broadcastable
+    val poolBound = queries.count() * poolFactor * k
     exactRerank(pool, corpus, queries, k, idCol, vecCol,
-      broadcastCandidates = maxBroadcastProbeRows > 0)
+      broadcastCandidates = poolBound <= maxBroadcastProbeRows)
   }
 
   /** The out-of-band pruner the version lifecycle points at: delete

@@ -1267,4 +1267,65 @@ class SimilaritySpec extends SparkSpec {
       "the live convenience probe diverged from the manual wiring")
     assert(!live.select("nbr_id").as[Long].collect().contains(105L))
   }
+
+  test("cellsizes rides every committed version as an artifact and the " +
+       "versioned adaptive probe answers off it exactly") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 80L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("cellsz").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 80)
+    // refresh persisted the artifact, and it equals the recompute
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1/cellsizes")),
+      "refresh must persist v1/cellsizes before committing")
+    val persisted = Similarity.readCellSizes(spark, root, v1)
+    val recomputed = Similarity.indexCellSizes(spark, Seq(s"$root/v1/cells"))
+    assert(persisted.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(persisted).isEmpty,
+      "persisted cellsizes diverged from the recompute")
+    // the versioned adaptive entry (reads the artifact) answers exactly
+    // like the path entry fed the recomputed table
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    val q = base.limit(6)
+    val viaArtifact = Similarity.queryVersionedIvfPqIndexHierAdaptive(
+      spark, root, q, k = 4, probeTop = 3, candidateFactor = 3)
+    val viaRecompute = Similarity.queryIvfPqIndexHierAdaptive(spark,
+      Seq(s"$root/v1/cells"), hq, cb, q, k = 4, probeTop = 3,
+      candidateFactor = 3, cellSizes = Some(recomputed))
+    assert(viaArtifact.exceptAll(viaRecompute).isEmpty &&
+      viaRecompute.exceptAll(viaArtifact).isEmpty,
+      "adaptive probe off the artifact diverged from the recompute path")
+    // compaction writes the NEW version's artifact too (sizes reflect
+    // the fold: base plus the delta rows)
+    Similarity.assignCellsHier(
+        (200L until 212L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+          .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+        $"cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    val (v2, folded) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v2 == 2 && folded == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/cellsizes")),
+      "compaction must persist the new version's cellsizes")
+    val p2 = Similarity.readCellSizes(spark, root, v2)
+    val r2 = Similarity.indexCellSizes(spark, Seq(s"$root/v2/cells"))
+    assert(p2.exceptAll(r2).isEmpty && r2.exceptAll(p2).isEmpty,
+      "compacted cellsizes diverged from the folded cells")
+    assert(p2.agg(sum($"cnt")).head.getLong(0) == 92L,
+      "folded sizes must count base + delta rows")
+    // back-compat: a version with no artifact (pre-r12 root) falls
+    // back to the recompute seamlessly
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v2/cellsizes"), true)
+    val fallback = Similarity.readCellSizes(spark, root, v2)
+    assert(fallback.exceptAll(r2).isEmpty && r2.exceptAll(fallback).isEmpty,
+      "artifact-less version must fall back to the cells recompute")
+  }
 }
