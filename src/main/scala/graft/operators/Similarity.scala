@@ -1670,7 +1670,27 @@ object Similarity {
     * a transient bounded artifact in which a duplicate pair may occupy
     * two of a query's k slots — callers needing exactly-k-distinct
     * through that window should `dropDuplicates(query_id, nbr_id)`
-    * over a k+1 probe or probe the versioned root alone. */
+    * over a k+1 probe or probe the versioned root alone.
+    *
+    * DOUBLE-FOLD GUARD (the `v<n>/folded` manifest): a version's cells
+    * may contain batches whose dirs are still live — the writer died
+    * (or a racing compactor is still running) between its commit
+    * marker and the retirement pass. Naively re-folding those batches
+    * would union their rows onto a base that already holds them:
+    * permanent duplication that no later compaction undoes. Every
+    * publishing fold therefore writes the ids it folded as a manifest
+    * artifact before its commit marker, and every compaction EXCLUDES
+    * manifest-listed live batches from its union, completing their
+    * retirement instead (when that leaves nothing fresh and no
+    * tombstones, no version is published — the call just finishes the
+    * predecessor's retirement and returns (cur, those ids)). Racing
+    * compactors thus land in distinct versions (claim-CAS) and the
+    * loser either publishes an equivalent fold, skips via the
+    * manifest, or aborts cleanly mid-read when the winner retired a
+    * listed batch first — its claimed version stays uncommitted (never
+    * resolved by readers, reaped by [[pruneIvfVersions]]' grace
+    * window). Schedule ONE compactor per root to avoid the wasted
+    * work; correctness does not depend on it. */
   def compactIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                             root: String, ingestRoot: String,
                             batches: Option[Seq[Long]] = None,
@@ -1698,6 +1718,29 @@ object Similarity {
       else fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong).sorted
     if (folded.isEmpty && appliedTombs.isEmpty) return (cur, Nil)
+    // DOUBLE-FOLD GUARD: the current version's `folded` manifest lists
+    // batch ids whose rows its cells ALREADY contain but whose dirs may
+    // still be live — a predecessor (or raced compactor) that committed
+    // and then crashed before retiring them, or a racer that commits
+    // while this listing runs. Folding such a batch again would union
+    // its rows on top of a base that already holds them: permanent
+    // duplication. Manifest-listed live batches are therefore excluded
+    // from the union and their RETIREMENT is completed here instead.
+    val curManifestPath = new org.apache.hadoop.fs.Path(s"$root/v$cur/folded")
+    val inheritedSet: Set[Long] =
+      if (!fs.exists(curManifestPath)) Set.empty
+      else spark.read.parquet(curManifestPath.toString)
+        .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSet
+    val fresh = folded.filterNot(inheritedSet.contains)
+    val inherited = folded.filter(inheritedSet.contains)
+    if (fresh.isEmpty && appliedTombs.isEmpty) {
+      // nothing new to publish — complete the predecessor's unfinished
+      // retirement and keep serving the current version
+      inherited.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
+      }
+      return (cur, inherited)
+    }
     midCompactionHook() // race-injection seam: a delta may land HERE
     val next = claimNextVersion(fs, rootPath)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
@@ -1710,9 +1753,9 @@ object Similarity {
     val base = spark.read.parquet(s"$root/v$cur/cells")
       .select("nbr_id", "codes", "cell_id")
     val merged =
-      if (folded.isEmpty) base
+      if (fresh.isEmpty) base
       else base.unionByName(spark.read.option("basePath", ingestRoot)
-        .parquet(folded.map(b => s"$ingestRoot/batch=$b"): _*)
+        .parquet(fresh.map(b => s"$ingestRoot/batch=$b"): _*)
         .select("nbr_id", "codes", "cell_id"))
     val physical =
       if (appliedTombs.isEmpty) merged
@@ -1725,6 +1768,15 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
     writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
+    // the new version's own manifest: every batch this version's cells
+    // contain whose dir is still live at this instant (retirement runs
+    // after the commit marker below) — the double-fold guard's input
+    // if THIS writer dies before retiring
+    if (folded.nonEmpty) {
+      import spark.implicits._
+      folded.toDF("batch").coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/v$next/folded")
+    }
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     folded.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)

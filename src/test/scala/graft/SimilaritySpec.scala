@@ -1328,4 +1328,65 @@ class SimilaritySpec extends SparkSpec {
     assert(fallback.exceptAll(r2).isEmpty && r2.exceptAll(fallback).isEmpty,
       "artifact-less version must fall back to the cells recompute")
   }
+
+  test("a committed-but-unretired batch is never folded twice: the " +
+       "manifest guard completes retirement instead of duplicating rows") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("dblfold").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    def writeBatch(b: Long, ids: Range.Inclusive): Unit =
+      Similarity.assignCellsHier(
+          ids.map(i => (i.toLong, vec(16))).toDF("vec_id", "embedding")
+            .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+          hq, "nbr_vec")
+        .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+          $"cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$ingest/batch=$b")
+    writeBatch(0L, 100 to 109)
+    val batch0 = spark.read.parquet(s"$ingest/batch=0")
+      .select("nbr_id", "codes", "cell_id").localCheckpoint(true)
+    val (v2, f1) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v2 == 2 && f1 == Seq(0L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2/folded")),
+      "a publishing fold must write its manifest")
+    // simulate the predecessor dying between commit and retirement:
+    // resurrect batch=0 exactly as it was (its rows are already in v2)
+    batch0.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    // nothing fresh, no tombstones → NO new version; retirement is
+    // completed and the index keeps serving v2 with each row ONCE
+    val (vSame, done) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(vSame == 2 && done == Seq(0L),
+      s"retirement-completion fold must not publish: v$vSame, $done")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")),
+      "the inherited batch dir must be retired")
+    assert(spark.read.parquet(s"$root/v2/cells")
+      .groupBy("nbr_id").count().filter($"count" > 1).isEmpty,
+      "double-fold: a row appears twice after crash-resume")
+    // mixed fold: resurrect batch=0 again AND land a genuinely new
+    // batch=1 — only the fresh one joins the union, both dirs retire
+    batch0.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    writeBatch(1L, 200 to 204)
+    val (v3, f3) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v3 == 3 && f3 == Seq(0L, 1L))
+    val v3cells = spark.read.parquet(s"$root/v3/cells")
+    assert(v3cells.groupBy("nbr_id").count().filter($"count" > 1).isEmpty,
+      "double-fold: the mixed compaction duplicated inherited rows")
+    assert(v3cells.count() == 75L, // 60 base + 10 batch0 + 5 batch1
+      s"mixed fold lost or duplicated rows: ${v3cells.count()}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=1")),
+      "both the inherited and the fresh batch dirs must retire")
+  }
 }
