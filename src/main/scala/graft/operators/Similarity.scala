@@ -1889,7 +1889,12 @@ object Similarity {
     * probe sees the snapshot taken here, the same read-consistency
     * contract the commit-marker protocol gives the cells. */
   def readTombstoneIds(spark: org.apache.spark.sql.SparkSession,
-                       root: String): Option[DataFrame] = {
+                       root: String): Option[DataFrame] =
+    readTombstoneIdsRetry(spark, root, attempts = 3)
+
+  private def readTombstoneIdsRetry(spark: org.apache.spark.sql.SparkSession,
+                                    root: String, attempts: Int)
+  : Option[DataFrame] = {
     val tombRoot = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = tombRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tombRoot) ||
@@ -1897,10 +1902,27 @@ object Similarity {
       None
     else {
       import spark.implicits._
-      val ids = spark.read.parquet(s"$root/tombstones")
-        .select(col("nbr_id").cast("long")).distinct()
-        .as[Long].collect().toSeq
-      Some(ids.toDF("nbr_id"))
+      // a compaction may retire the del= dirs between the listing
+      // above and this collect — that retirement means the tombstones
+      // were just applied physically, so the correct answer is simply
+      // the RE-READ state (usually None); a bounded retry closes the
+      // window instead of failing the caller's probe (bounded, not
+      // unconditional: a list-after-delete-inconsistent store could
+      // otherwise spin on a stale listing forever)
+      try {
+        val ids = spark.read.parquet(s"$root/tombstones")
+          .select(col("nbr_id").cast("long")).distinct()
+          .as[Long].collect().toSeq
+        Some(ids.toDF("nbr_id"))
+      } catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.spark.sql.AnalysisException)
+            if attempts > 1 &&
+               (e.isInstanceOf[java.io.FileNotFoundException] ||
+                e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getMessage.contains("PATH_NOT_FOUND")) =>
+          readTombstoneIdsRetry(spark, root, attempts - 1)
+      }
     }
   }
 

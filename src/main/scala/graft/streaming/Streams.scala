@@ -386,6 +386,16 @@ object Streams {
    * `tombstones = Similarity.readTombstoneIds(root)` (r11 ADVICE: the
    * delete contract promises masking in every root, so path-based
    * probes must wire the hook or use the live entry point).
+   *
+   * Restart semantics: foreachBatch is at-least-once — a crash between
+   * the batch write and the checkpoint commit replays that batchId,
+   * and the `mode("overwrite")` of the SAME directory makes the replay
+   * idempotent. If a compaction folded AND retired the dir in that
+   * window, the replay recreates it with rows the committed version
+   * already holds — the compactor's `v<n>/folded` manifest guard
+   * recognizes it as inherited and retires it again WITHOUT
+   * re-folding, so the duplication stays transient (probe-visible only
+   * until the next compaction), never baked into a version.
    */
   def incrementalHierPqIngest(vecs: DataFrame,
                               hq: graft.operators.Similarity.HierQuantizer,
