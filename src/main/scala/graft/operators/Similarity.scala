@@ -1987,6 +1987,43 @@ object Similarity {
       maxBroadcastProbeRows = maxBroadcastProbeRows)
   }
 
+  /** [[queryLiveIvfPqIndexHier]] with the ADAPTIVE probe — the last
+    * cell of the serving matrix ({fixed, adaptive} × {versioned,
+    * live}): per-query probe depth driven by cumulative candidate
+    * count over the FULL live state. The size table is the base
+    * version's persisted `cellsizes` artifact plus one recompute over
+    * the live delta dirs (churn-bounded — compaction keeps the delta
+    * count small), summed per cell: counts add, so the union table is
+    * EXACTLY what [[indexCellSizes]] over (cells ∪ deltas) returns.
+    * Tombstone masking wired in like the fixed live probe; masked
+    * rows may slightly overcount a cell's size, which only deepens
+    * the adaptive cut. */
+  def queryLiveIvfPqIndexHierAdaptive(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      ingestRoot: String, queries: DataFrame, k: Int, probeTop: Int = 4,
+      candidateFactor: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+    val v = currentIvfVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
+    val cb = readPqCodebooks(spark, root, v)
+    val ingestPath = new org.apache.hadoop.fs.Path(ingestRoot)
+    val fs = ingestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDeltas = fs.exists(ingestPath) &&
+      fs.listStatus(ingestPath).exists(_.getPath.getName.startsWith("batch="))
+    val baseSizes = readCellSizes(spark, root, v)
+    val (paths, sizes) =
+      if (!hasDeltas) (Seq(s"$root/v$v/cells"), baseSizes)
+      else (Seq(s"$root/v$v/cells", ingestRoot),
+        baseSizes.unionByName(indexCellSizes(spark, Seq(ingestRoot)))
+          .groupBy("cell_id").agg(sum(col("cnt")).as("cnt")))
+    queryIvfPqIndexHierAdaptive(spark, paths, hq, cb, queries, k,
+      probeTop, candidateFactor, Some(sizes), idCol, vecCol,
+      tombstones = readTombstoneIds(spark, root),
+      maxBroadcastProbeRows = maxBroadcastProbeRows)
+  }
+
   /** EXACT-vector re-rank tier over an approximate candidate pool —
     * the serving-recall lever (r11 verdict item 3): ADC scores carry
     * the PQ quantization error, so the right way to raise recall@k is

@@ -1389,4 +1389,52 @@ class SimilaritySpec extends SparkSpec {
       !fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=1")),
       "both the inherited and the fresh batch dirs must retire")
   }
+
+  test("live adaptive probe equals the path probe over explicitly " +
+       "summed base+delta sizes, with tombstones masked") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("liveadpt").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val v1 = Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, v1)
+    val deltaRows = (100L until 112L).map(i => (i, vec(16)))
+    Similarity.assignCellsHier(
+        deltaRows.toDF("vec_id", "embedding")
+          .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+        $"cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(107L).toDF("vec_id"))
+    val q = base.limit(5)
+    val live = Similarity.queryLiveIvfPqIndexHierAdaptive(spark, root,
+      ingest, q, k = 6, probeTop = 3, candidateFactor = 4)
+    // the witness: the path-based adaptive probe fed a size table
+    // recomputed from scratch over (cells ∪ deltas) — counts add, so
+    // the live entry's artifact+delta sum must match it exactly
+    val unionSizes = Similarity.indexCellSizes(spark,
+      Seq(s"$root/v1/cells", ingest))
+    val manual = Similarity.queryIvfPqIndexHierAdaptive(spark,
+      Seq(s"$root/v1/cells", ingest), hq, cb, q, k = 6, probeTop = 3,
+      candidateFactor = 4, cellSizes = Some(unionSizes),
+      tombstones = Similarity.readTombstoneIds(spark, root))
+    assert(live.exceptAll(manual).isEmpty && manual.exceptAll(live).isEmpty,
+      "live adaptive probe diverged from the explicit union-size wiring")
+    assert(!live.select("nbr_id").as[Long].collect().contains(107L),
+      "live adaptive probe surfaced a tombstoned id")
+    // delta rows are reachable (their own vectors as queries)
+    val deltaQ = deltaRows.filter(_._1 != 107L).take(4)
+      .map { case (i, v) => (i + 5000L, v) }.toDF("vec_id", "embedding")
+    val hit = Similarity.queryLiveIvfPqIndexHierAdaptive(spark, root,
+        ingest, deltaQ, k = 3, probeTop = 3, candidateFactor = 20)
+      .filter($"nbr_id" >= 100L && $"nbr_id" < 112L)
+    assert(hit.limit(1).count() == 1L,
+      "no delta row surfaced through the live adaptive probe")
+  }
 }
