@@ -5339,7 +5339,7 @@ object Queries {
     // (iii) a late tombstone masks with the row still on disk
     val late = masked.select("nbr_id").limit(1)
     Similarity.deleteFromIvfPqIndexHier(s, root, late, idCol = "nbr_id")
-    val lateId = late.head.getLong(0)
+    val lateId = late.head().getLong(0)
     require(Similarity.queryVersionedIvfPqIndexHier(s, root, q,
         k = 10, nProbe = 8, probeTop = 3)
       .filter(col("nbr_id") === lateId).isEmpty,
@@ -5559,7 +5559,7 @@ object Queries {
     val nq = q.count()
     val fixedVol = Similarity.probeCellsHier(probeQ, hq, "q_vec", 3, 8)
       .join(sizes, Seq("cell_id"), "left")
-      .agg(sum(coalesce(col("cnt"), lit(0L)))).head.getLong(0)
+      .agg(sum(coalesce(col("cnt"), lit(0L)))).head().getLong(0)
     val budget = math.max(1L, fixedVol / nq)
     // (ii) pool guarantee at that budget
     val pools = Similarity.probeCellsHierAdaptive(probeQ, hq, "q_vec",
