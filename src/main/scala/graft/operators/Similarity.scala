@@ -1718,14 +1718,19 @@ object Similarity {
       else fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("del=")).map(_.stripPrefix("del=").toLong).sorted
     if (folded.isEmpty && appliedTombs.isEmpty) return (cur, Nil)
-    // DOUBLE-FOLD GUARD: the current version's `folded` manifest lists
-    // batch ids whose rows its cells ALREADY contain but whose dirs may
-    // still be live — a predecessor (or raced compactor) that committed
-    // and then crashed before retiring them, or a racer that commits
-    // while this listing runs. Folding such a batch again would union
-    // its rows on top of a base that already holds them: permanent
-    // duplication. Manifest-listed live batches are therefore excluded
-    // from the union and their RETIREMENT is completed here instead.
+    // DOUBLE-FOLD GUARD: the current version's `folded` manifest is the
+    // cumulative LEDGER of every batch id any ancestor fold absorbed —
+    // rows the cells ALREADY contain. A listed batch dir that is still
+    // (or again) live — a predecessor that committed and then crashed
+    // before retiring it, a racer that commits while this listing runs,
+    // or a streaming replay recreating a retired dir — must NOT be
+    // folded again: its rows would union onto a base that already holds
+    // them, permanent duplication. Ledger-listed live batches are
+    // excluded from the union and their RETIREMENT is completed here
+    // instead. The ledger carries FORWARD through every publish
+    // (including tombstone-only ones), so recognition survives any
+    // number of intervening versions; batch ids are monotonic and never
+    // reused, so it grows by one long per batch ever folded.
     val curManifestPath = new org.apache.hadoop.fs.Path(s"$root/v$cur/folded")
     val inheritedSet: Set[Long] =
       if (!fs.exists(curManifestPath)) Set.empty
@@ -1768,13 +1773,14 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
     writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
-    // the new version's own manifest: every batch this version's cells
-    // contain whose dir is still live at this instant (retirement runs
-    // after the commit marker below) — the double-fold guard's input
-    // if THIS writer dies before retiring
-    if (folded.nonEmpty) {
+    // the new version's ledger: everything the predecessor's ledger
+    // held plus this fold — the double-fold guard's input for any
+    // future compaction, whether THIS writer dies before retiring or a
+    // replayed dir resurfaces versions later
+    val ledger = inheritedSet ++ folded
+    if (ledger.nonEmpty) {
       import spark.implicits._
-      folded.toDF("batch").coalesce(1).write.mode("overwrite")
+      ledger.toSeq.sorted.toDF("batch").coalesce(1).write.mode("overwrite")
         .parquet(s"$root/v$next/folded")
     }
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
@@ -1836,6 +1842,13 @@ object Similarity {
     * a deleted id should wait for the delete to compact, or use a
     * fresh id. Scale shape: tombstone volume ∝ delete churn between
     * compactions — never corpus-sized; the anti-join broadcasts.
+    * One narrow replay caveat: a streaming replay that recreates a
+    * retired batch dir AFTER the tombstone masking its row was applied
+    * and retired resurfaces that row to live probes until the next
+    * compaction retires the dir again (the folded-ledger guard keeps
+    * it out of every VERSION, so the exposure is probe-transient, never
+    * durable) — a takedown that must hold through replays should
+    * re-issue the delete after compaction, which is idempotent.
     * @return the tombstone sequence number */
   def deleteFromIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                                root: String, ids: DataFrame,

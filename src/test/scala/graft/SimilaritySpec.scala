@@ -1437,4 +1437,129 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.limit(1).count() == 1L,
       "no delta row surfaced through the live adaptive probe")
   }
+
+  test("model-based lifecycle: a seeded random ingest/delete/compact/" +
+       "replay sequence preserves the live id set at every step and " +
+       "exactly-once physical rows after every draining compaction") {
+    import scala.collection.mutable
+    // A driver-side reference model drives 24 random lifecycle ops and
+    // checks, after EVERY op, that the live index state — latest
+    // committed cells ∪ live batch dirs, tombstones masked — holds
+    // exactly the model's live id SET (catches loss, resurrection,
+    // phantom rows), and after every DRAINING compaction that each id
+    // is physically present exactly ONCE (catches double-folds).
+    // `replay` recreates the most recently retired batch dir
+    // byte-identically — the foreachBatch at-least-once crash replay —
+    // which the folded-manifest guard must absorb without duplication.
+    val seed = 20260816
+    val rnd = new scala.util.Random(seed)
+    val tmp = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    val ingestPath = new org.apache.hadoop.fs.Path(ingest)
+    val fs = ingestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (0L until 50L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 50)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    val live = mutable.Set[Long]((0L until 50L): _*)
+    var nextId = 100L
+    var nextBatch = 0L
+    // retired batch contents, for the replay op (batchId -> its rows)
+    val written = mutable.Map[Long, org.apache.spark.sql.DataFrame]()
+    def liveBatches(): Seq[Long] =
+      if (!fs.exists(ingestPath)) Nil
+      else fs.listStatus(ingestPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+        .sorted
+    def writeBatchDir(b: Long, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$ingest/batch=$b")
+    def physicalRows(): org.apache.spark.sql.DataFrame = {
+      val v = Similarity.currentIvfVersion(spark, root).get
+      val roots = s"$root/v$v/cells" +:
+        liveBatches().map(b => s"$ingest/batch=$b")
+      val all = roots.map(p => spark.read.parquet(p).select("nbr_id"))
+        .reduce(_ unionByName _)
+      Similarity.readTombstoneIds(spark, root).fold(all)(t =>
+        all.join(t, Seq("nbr_id"), "left_anti"))
+    }
+    def checkSet(op: String): Unit = {
+      val ids = physicalRows().distinct().as[Long].collect().toSet
+      assert(ids == live.toSet,
+        s"after $op: live set mismatch — missing ${live.toSet -- ids}, " +
+          s"phantom ${ids -- live.toSet}")
+    }
+    for (step <- 1 to 24) {
+      val op = rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>                                   // ingest
+          val ids = (nextId until nextId + 4 + rnd.nextInt(5)).toSeq
+          nextId = ids.max + 1
+          val df = Similarity.assignCellsHier(
+              ids.map(i => (i, vec(16))).toDF("vec_id", "embedding")
+                .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+              hq, "nbr_vec")
+            .select($"nbr_id",
+              Similarity.pqEncode($"nbr_vec", cb).as("codes"), $"cell_id")
+            .localCheckpoint(true)
+          writeBatchDir(nextBatch, df)
+          written(nextBatch) = df
+          nextBatch += 1
+          live ++= ids
+          s"ingest(batch=${nextBatch - 1}, ${ids.size} ids)"
+        case 3 | 4 =>                                       // delete
+          // base ids only: a replayed dir may transiently resurface a
+          // physically-deleted DELTA id once its tombstone retired (the
+          // documented replay window); base rows never ride batch dirs,
+          // so their deletes are permanent and model-checkable at every
+          // step
+          val candidates = live.filter(_ < 50L).toSeq
+          if (candidates.isEmpty) "noop" else {
+            val targets = rnd.shuffle(candidates).take(1 + rnd.nextInt(3))
+            Similarity.deleteFromIvfPqIndexHier(spark, root,
+              targets.toDF("vec_id"))
+            live --= targets
+            s"delete(${targets.sorted.mkString(",")})"
+          }
+        case 5 | 6 =>                                       // subset compact
+          val lb = liveBatches()
+          if (lb.isEmpty) "noop" else {
+            val subset = rnd.shuffle(lb).take(1 + rnd.nextInt(lb.size))
+            Similarity.compactIvfPqIndexHier(spark, root, ingest,
+              Some(subset.sorted))
+            s"compact(subset=${subset.sorted.mkString(",")})"
+          }
+        case 7 | 8 =>                                       // draining compact
+          Similarity.compactIvfPqIndexHier(spark, root, ingest)
+          val v = Similarity.currentIvfVersion(spark, root).get
+          val dups = spark.read.parquet(s"$root/v$v/cells")
+            .groupBy("nbr_id").count().filter($"count" > 1)
+            .as[(Long, Long)].collect()
+          assert(dups.isEmpty,
+            s"step $step: draining compact left duplicates: " +
+              dups.take(5).mkString(","))
+          assert(liveBatches().isEmpty,
+            s"step $step: draining compact left live batches")
+          "compact(drain)"
+        case 9 =>                                           // crash replay
+          val retired = written.keys.toSeq.filterNot(liveBatches().contains)
+          if (retired.isEmpty) "noop" else {
+            val b = retired(rnd.nextInt(retired.size))
+            writeBatchDir(b, written(b))
+            s"replay(batch=$b)"
+          }
+      }
+      checkSet(s"step $step $op")
+    }
+    // finish with a drain: after absorbing every replay, each live id
+    // must be physically present exactly once
+    Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    val v = Similarity.currentIvfVersion(spark, root).get
+    val counts = spark.read.parquet(s"$root/v$v/cells")
+      .groupBy("nbr_id").count()
+    assert(counts.filter($"count" > 1).isEmpty,
+      "final drain left a duplicated row")
+    checkSet("final drain")
+  }
 }
