@@ -1388,6 +1388,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=1")),
       "both the inherited and the fresh batch dirs must retire")
+    // the ledger CARRIES FORWARD through a tombstone-only publish: v4
+    // publishes with no batches live (delete-only), then batch=1
+    // replays — a per-fold manifest would treat it as fresh and
+    // double-fold; the cumulative ledger must recognize it
+    Similarity.deleteFromIvfPqIndexHier(spark, root, Seq(5L).toDF("vec_id"))
+    val (v4, f4) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v4 == 4 && f4.isEmpty, s"tombstone-only publish: v$v4, $f4")
+    val batch1 = v3cells.filter($"nbr_id" >= 200L && $"nbr_id" <= 204L)
+    batch1.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=1")
+    val (v5, f5) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v5 == 4 && f5 == Seq(1L),
+      s"replay after a tombstone-only publish must complete retirement " +
+        s"without publishing: v$v5, $f5")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=1")),
+      "the replayed dir must be retired")
+    assert(spark.read.parquet(s"$root/v4/cells")
+      .groupBy("nbr_id").count().filter($"count" > 1).isEmpty &&
+      spark.read.parquet(s"$root/v4/cells")
+        .filter($"nbr_id" === 5L).isEmpty,
+      "ledger carry-forward failed: duplicate or undeleted row in v4")
   }
 
   test("live adaptive probe equals the path probe over explicitly " +
