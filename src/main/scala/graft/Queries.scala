@@ -5586,6 +5586,21 @@ object Queries {
       f"adaptive recall $aRec%.3f fell >0.05 below matched-budget " +
         f"fixed $fixedRec%.3f")
     require(aRec >= 0.25, f"adaptive recall@10 degraded: $aRec%.3f < 0.25")
+    // the versioned entry answers off the persisted v1/cellsizes
+    // ARTIFACT (written by refresh before _COMMITTED) — must equal the
+    // path probe fed the recomputed table exactly (r12: gate-level pin
+    // of the artifact, not just the spec-level one)
+    val viaArtifact = Similarity.queryVersionedIvfPqIndexHierAdaptive(
+      s, pristine, q, k = 10, probeTop = 4,
+      candidateFactor = math.max(1L, budget / 10L).toInt)
+    val viaSizes = Similarity.queryIvfPqIndexHierAdaptive(
+      s, cells, hq, cb, q, k = 10, probeTop = 4,
+      candidateFactor = math.max(1L, budget / 10L).toInt,
+      cellSizes = Some(sizes))
+    require(viaArtifact.exceptAll(viaSizes).isEmpty &&
+      viaSizes.exceptAll(viaArtifact).isEmpty,
+      "versioned adaptive probe (cellsizes artifact) diverged from the " +
+        "recomputed-sizes path probe")
     exact.orderBy("query_id", "rank")
   }
 
