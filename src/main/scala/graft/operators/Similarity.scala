@@ -1620,6 +1620,23 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
     writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
+    // The cumulative `folded` ledger survives a RETRAIN too (r12
+    // ADVICE): compaction reads only the CURRENT version's ledger, so
+    // a refresh publishing without it would reset recognition — a
+    // still-live previously-folded batch dir (a predecessor that died
+    // between commit and retirement, or a streaming replay recreating
+    // a retired dir) would be treated as fresh and folded onto a base
+    // that typically already contains its rows, permanent duplication.
+    // The caller's corpus is the new truth of the index; whether it
+    // kept or dropped those rows, re-folding the stale dir is wrong,
+    // so the ledger rides forward byte-for-byte (like the quantizer
+    // artifacts under compaction), written before `_COMMITTED`.
+    currentIvfVersion(spark, root).foreach { cur =>
+      val led = new org.apache.hadoop.fs.Path(s"$root/v$cur/folded")
+      if (fs.exists(led))
+        org.apache.hadoop.fs.FileUtil.copy(fs, led, fs,
+          new org.apache.hadoop.fs.Path(s"$root/v$next/folded"), false, conf)
+    }
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     next
   }
@@ -1690,7 +1707,20 @@ object Similarity {
     * listed batch first — its claimed version stays uncommitted (never
     * resolved by readers, reaped by [[pruneIvfVersions]]' grace
     * window). Schedule ONE compactor per root to avoid the wasted
-    * work; correctness does not depend on it. */
+    * work; correctness does not depend on it.
+    *
+    * BATCH-ID-REUSE GUARD (r12 ADVICE): ledger entries carry the
+    * folded dir's id-set fingerprint (row count + bit_xor of
+    * xxhash64(nbr_id)), and a ledger-listed LIVE dir is retired
+    * without folding ONLY if its fingerprint still matches — a reused
+    * batch id carrying genuinely new data (a reset streaming
+    * checkpoint, a second query on the same ingest root; see
+    * [[graft.streaming.Streams.incrementalHierPqIngest]]'s
+    * checkpoint-continuity invariant) fails the compaction LOUDLY
+    * before any write instead of being silently deleted. The check
+    * costs one aggregate per inherited live dir (rare: crash recovery
+    * or replay) over micro-batch-sized data. Pre-fingerprint ledgers
+    * (r12) recognize by id alone — back-compat, documented weaker. */
   def compactIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                             root: String, ingestRoot: String,
                             batches: Option[Seq[Long]] = None,
@@ -1732,15 +1762,64 @@ object Similarity {
     // number of intervening versions; batch ids are monotonic and never
     // reused, so it grows by one long per batch ever folded.
     val curManifestPath = new org.apache.hadoop.fs.Path(s"$root/v$cur/folded")
-    val inheritedSet: Set[Long] =
-      if (!fs.exists(curManifestPath)) Set.empty
-      else spark.read.parquet(curManifestPath.toString)
-        .select(col("batch").cast("long")).collect().map(_.getLong(0)).toSet
+    // ledger rows carry the folded dir's id-multiset FINGERPRINT
+    // (cnt, fp = bit_xor of xxhash64(nbr_id), order-independent and
+    // overflow-free; ids within one exactly-once batch dir are unique,
+    // so pairwise-cancellation cannot blind it) alongside
+    // the batch id (r12 ADVICE): retirement-completion deletes a
+    // ledger-listed LIVE dir without folding it, which is only safe if
+    // the dir holds the rows that were folded — batch dirs are named
+    // by Structured Streaming's batchId, which restarts at 0 when a
+    // checkpoint is reset or a new query writes to the same ingest
+    // root, so a reused id could carry genuinely NEW data that a
+    // by-id-only retirement would silently destroy. Pre-fingerprint
+    // ledgers (null cnt/fp) fall back to by-id recognition.
+    val ledgerStats: Map[Long, Option[(Long, Long)]] =
+      if (!fs.exists(curManifestPath)) Map.empty
+      else {
+        val led = spark.read.parquet(curManifestPath.toString)
+        val hasFp = led.columns.contains("cnt") && led.columns.contains("fp")
+        val projected =
+          if (hasFp) led.select(col("batch").cast("long"),
+            col("cnt").cast("long"), col("fp").cast("long"))
+          else led.select(col("batch").cast("long"),
+            lit(null).cast("long").as("cnt"), lit(null).cast("long").as("fp"))
+        projected.collect().map { r =>
+          r.getLong(0) -> (if (r.isNullAt(1) || r.isNullAt(2)) None
+                           else Some((r.getLong(1), r.getLong(2)))) }.toMap
+      }
+    val inheritedSet = ledgerStats.keySet
     val fresh = folded.filterNot(inheritedSet.contains)
     val inherited = folded.filter(inheritedSet.contains)
+    // FAIL-FAST fingerprint check, before any write: an inherited dir
+    // whose id multiset differs from what its ledger entry folded is a
+    // reused batch id carrying new data (checkpoint-continuity
+    // violation) — neither silently retiring it (permanent loss) nor
+    // folding it (id-collision duplication) is acceptable, so refuse
+    // loudly and leave the dir untouched; the operator must land that
+    // data under a fresh batch id (or restore checkpoint continuity).
+    inherited.foreach { b =>
+      ledgerStats(b).foreach { case (cnt, fp) =>
+        val d = spark.read
+          .parquet(s"$ingestRoot/batch=$b")
+          .agg(count(lit(1)).cast("long"), bit_xor(xxhash64(col("nbr_id"))))
+          .head()
+        val (liveCnt, liveFp) = (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1))
+        if (liveCnt != cnt || liveFp != fp)
+          throw new IllegalStateException(
+            s"batch=$b under $ingestRoot was folded into a version with " +
+            s"$cnt rows (fp=$fp) but the live dir now holds $liveCnt rows " +
+            s"(fp=$liveFp): a reused batch id carrying new data — batch " +
+            "ids must be monotonic and never reused (a reset streaming " +
+            "checkpoint or a second query writing the same ingest root " +
+            "violates this). Refusing to retire or fold it; move the new " +
+            "data to a fresh batch id.")
+      }
+    }
     if (fresh.isEmpty && appliedTombs.isEmpty) {
       // nothing new to publish — complete the predecessor's unfinished
-      // retirement and keep serving the current version
+      // retirement (fingerprint-verified above) and keep serving the
+      // current version
       inherited.foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(ingestPath, s"batch=$b"), true)
       }
@@ -1776,12 +1855,30 @@ object Similarity {
     // the new version's ledger: everything the predecessor's ledger
     // held plus this fold — the double-fold guard's input for any
     // future compaction, whether THIS writer dies before retiring or a
-    // replayed dir resurfaces versions later
-    val ledger = inheritedSet ++ folded
-    if (ledger.nonEmpty) {
+    // replayed dir resurfaces versions later. Fresh entries carry the
+    // id-multiset fingerprint (one aggregate over the just-read fresh
+    // dirs — micro-batch-sized, never corpus); inherited entries keep
+    // whatever the predecessor recorded.
+    val freshStats: Map[Long, (Long, Long)] =
+      if (fresh.isEmpty) Map.empty
+      else spark.read.option("basePath", ingestRoot)
+        .parquet(fresh.map(b => s"$ingestRoot/batch=$b"): _*)
+        .groupBy(col("batch").cast("long").as("b"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          bit_xor(xxhash64(col("nbr_id"))).as("fp"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+    val ledgerRows: Seq[(Long, Option[Long], Option[Long])] =
+      (ledgerStats.iterator.map { case (b, st) =>
+        (b, st.map(_._1), st.map(_._2)) } ++
+       fresh.iterator.map { b =>
+         val (c, f) = freshStats.getOrElse(b, (0L, 0L))
+         (b, Some(c): Option[Long], Some(f): Option[Long]) })
+        .toSeq.sortBy(_._1)
+    if (ledgerRows.nonEmpty) {
       import spark.implicits._
-      ledger.toSeq.sorted.toDF("batch").coalesce(1).write.mode("overwrite")
-        .parquet(s"$root/v$next/folded")
+      ledgerRows.toDF("batch", "cnt", "fp").coalesce(1).write
+        .mode("overwrite").parquet(s"$root/v$next/folded")
     }
     fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMITTED"), false).close()
     folded.foreach { b =>

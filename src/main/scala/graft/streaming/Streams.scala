@@ -286,7 +286,11 @@ object Streams {
     * a replayed batch is being re-written, a concurrent probe can
     * transiently miss that one batch directory (the old append-mode
     * alternative never removed files but duplicated rows instead —
-    * wrong answers beat a transient miss). */
+    * wrong answers beat a transient miss). Checkpoint-continuity
+    * invariant: one ingest root ↔ one checkpoint lineage — a reset
+    * checkpoint (or a second query on the same root) restarts batchId
+    * at 0 and overwrites live batch dirs (see
+    * [[incrementalHierPqIngest]] for the full statement). */
   def incrementalVectorIngest(vecs: DataFrame,
                               centroids: Seq[(Int, Array[Float])],
                               indexPath: String, checkpoint: String,
@@ -328,6 +332,8 @@ object Streams {
    * replayed batches replace, never duplicate, so the ingest is
    * exactly-once on top of at-least-once delivery. Readers prune on
    * cell_id exactly as with the batch-built index.
+   * Checkpoint-continuity invariant: one ingest root ↔ one checkpoint
+   * lineage (see [[incrementalHierPqIngest]]).
    */
   def incrementalPqIngest(vecs: DataFrame,
                           centroids: Seq[(Int, Array[Float])],
@@ -396,6 +402,19 @@ object Streams {
    * recognizes it as inherited and retires it again WITHOUT
    * re-folding, so the duplication stays transient (probe-visible only
    * until the next compaction), never baked into a version.
+   *
+   * CHECKPOINT-CONTINUITY INVARIANT (r12 ADVICE): batch directory
+   * names come from Structured Streaming's `batchId`, which is
+   * monotonic only WITHIN one checkpoint lineage — deleting/resetting
+   * the checkpoint dir, or pointing a SECOND query at the same
+   * `indexPath`, restarts ids at 0 and can land genuinely NEW data in
+   * a `batch=` id the compactor's ledger already folded. The ledger
+   * records each folded dir's id-multiset fingerprint, so the
+   * compactor detects the reuse and fails loudly instead of silently
+   * deleting the new rows — but the invariant to OPERATE by is: one
+   * ingest root ↔ one checkpoint lineage, forever. To retire a stream,
+   * drain (compact) its root before starting a successor with a fresh
+   * checkpoint.
    */
   def incrementalHierPqIngest(vecs: DataFrame,
                               hq: graft.operators.Similarity.HierQuantizer,

@@ -1411,6 +1411,99 @@ class SimilaritySpec extends SparkSpec {
       "ledger carry-forward failed: duplicate or undeleted row in v4")
   }
 
+  test("a RETRAIN carries the folded ledger forward: a dir replayed " +
+       "after a refresh is retired, never re-folded (r12 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("refledger").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    val delta = (100L until 110L).map(i => (i, vec(16)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    Similarity.assignCellsHier(
+        delta.select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+        $"cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    val batch0 = spark.read.parquet(s"$ingest/batch=0")
+      .select("nbr_id", "codes", "cell_id").localCheckpoint(true)
+    val (v2, f1) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v2 == 2 && f1 == Seq(0L))
+    // the predecessor died between commit and retirement: batch=0 is
+    // live again, byte-identical — and then a RETRAIN publishes v3
+    // from the full live corpus (the fold's rows included)
+    batch0.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    val v3 = Similarity.refreshIvfPqIndexHier(base.unionByName(delta),
+      nCells = 9, dim = 16, m = 4, kCodes = 4, root, sampleBudget = 70)
+    assert(v3 == 3)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v3/folded")),
+      "a refresh must carry the predecessor's folded ledger forward")
+    // the post-refresh compaction must recognize the replayed dir as
+    // inherited: retirement completed, NO new version, no duplication
+    val (vSame, done) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(vSame == 3 && done == Seq(0L),
+      s"replay after a retrain must complete retirement without " +
+        s"publishing: v$vSame, $done")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")),
+      "the replayed dir must be retired")
+    assert(spark.read.parquet(s"$root/v3/cells")
+      .groupBy("nbr_id").count().filter($"count" > 1).isEmpty &&
+      spark.read.parquet(s"$root/v3/cells").count() == 70L,
+      "refresh ledger carry-forward failed: duplicate or lost row in v3")
+  }
+
+  test("a reused batch id carrying NEW data fails the compaction " +
+       "loudly instead of being silently retired (r12 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("idreuse").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    def writeBatch(b: Long, ids: Seq[Long]): Unit =
+      Similarity.assignCellsHier(
+          ids.map(i => (i, vec(16))).toDF("vec_id", "embedding")
+            .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+          hq, "nbr_vec")
+        .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+          $"cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$ingest/batch=$b")
+    writeBatch(0L, 100L until 110L)
+    val (v2, f1) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(v2 == 2 && f1 == Seq(0L))
+    // a reset checkpoint restarts batchId at 0: genuinely NEW rows land
+    // in a ledger-listed id — retiring them unfolded would destroy them
+    writeBatch(0L, 300L until 305L)
+    val ex = intercept[IllegalStateException] {
+      Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    }
+    assert(ex.getMessage.contains("reused batch id"),
+      s"wrong failure: ${ex.getMessage}")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")),
+      "the suspect dir must be left untouched")
+    assert(spark.read.parquet(s"$ingest/batch=0").count() == 5L,
+      "the new data must survive the refused compaction")
+    // no version was published by the refused call
+    assert(Similarity.currentIvfVersion(spark, root).contains(2))
+  }
+
   test("live adaptive probe equals the path probe over explicitly " +
        "summed base+delta sizes, with tombstones masked") {
     import org.apache.spark.sql.functions._
