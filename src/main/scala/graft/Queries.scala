@@ -5604,6 +5604,60 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q317: SUB-CENTROID BROADCAST-JOIN fallback (r12 verdict item 1) —
+    * the last unbounded-growth term in the ANN design. Below
+    * [[Similarity.SubLiteralMaxFloats]] the sub level rides every
+    * assignment/probe plan as a map LITERAL (measured right up to
+    * 16k cells × 64 dims); above it that literal is a driver/codegen
+    * killer (a 100 TB index at 10⁵–10⁶ cells × 768+ dims embeds
+    * 0.3–6 GB in EVERY plan), so the sub level resolves through a
+    * broadcast-joined (top cell → sub-centroids) table instead — the
+    * vectors ship once per job as torrent blocks, never enter the
+    * plan. This gate trains a HIGH-nCells quantizer (cells ∝ corpus/4,
+    * the densest fixture the verify scales support), FORCES the join
+    * path (threshold 0), and pins: (i) assignment row-equality to the
+    * literal path plus the plan-shape witness (BroadcastHashJoin
+    * present vs absent); (ii) end-to-end [[Similarity.ivfTopKHier]]
+    * row-equality through assign + probe + ADC on both paths; (iii)
+    * the family recall floor on the join path. Output = the exact
+    * brute-force baseline (the family's DuckDB-checkable face). */
+  def q317AnnSubJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val n = emb.count()
+    val nCells = math.max(64, (n / 4).toInt)
+    val hq = Similarity.trainHierQuantizer(emb, nCells,
+      sampleBudget = n.toInt)
+    val nbrs = emb.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_vec"))
+    val aLitPlan = Similarity.assignCellsHier(nbrs, hq, "nbr_vec")
+    val aJoinPlan = Similarity.assignCellsHier(nbrs, hq, "nbr_vec",
+      maxSubLiteralFloats = 0L)
+    require(aJoinPlan.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "forced sub-join path must resolve the sub level via broadcast join")
+    require(!aLitPlan.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "literal assignment path must stay join-free")
+    // checkpoint before the two-way exceptAll: each direction would
+    // otherwise re-evaluate both plans
+    val aLit = aLitPlan.localCheckpoint(true)
+    val aJoin = aJoinPlan.localCheckpoint(true)
+    require(aLit.exceptAll(aJoin).isEmpty && aJoin.exceptAll(aLit).isEmpty,
+      "assignment diverged between the literal and broadcast-join paths")
+    val q = recallQueries(emb)
+    val tLit = Similarity.ivfTopKHier(emb, q, k = 10, hq,
+      nProbe = 16, probeTop = 4).localCheckpoint(true)
+    val tJoin = Similarity.ivfTopKHier(emb, q, k = 10, hq,
+      nProbe = 16, probeTop = 4, maxSubLiteralFloats = 0L)
+      .localCheckpoint(true)
+    require(tLit.exceptAll(tJoin).isEmpty && tJoin.exceptAll(tLit).isEmpty,
+      "ivfTopKHier diverged between the literal and broadcast-join paths")
+    val r = recallOf(exact, tJoin)
+    require(r >= 0.25, f"sub-join recall@10 degraded: $r%.3f < 0.25")
+    exact.orderBy("query_id", "rank")
+  }
+
   /** The q102 oracle: HITS rounds unrolled (auth-from-hubs then
     * hub-from-auths per round), same graph CTEs as [[pageRankOracle]]. */
   private def hitsOracle(iters: Int, weighted: Boolean = false): String = {
@@ -6163,7 +6217,8 @@ object Queries {
     "q313_ann_knn_join_parity" -> (q313AnnKnnJoinParity _),
     "q314_ann_rerank_recall" -> (q314AnnRerankRecall _),
     "q315_ann_compaction_race" -> (q315AnnCompactionRace _),
-    "q316_ann_adaptive_probe" -> (q316AnnAdaptiveProbe _)
+    "q316_ann_adaptive_probe" -> (q316AnnAdaptiveProbe _),
+    "q317_ann_subjoin_parity" -> (q317AnnSubJoinParity _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8021,6 +8076,10 @@ object Queries {
     // q316: adaptive probe — matched-budget recall vs the fixed probe,
     // pool guarantee, and the floor ride require(); same exact baseline
     "q316_ann_adaptive_probe" -> recallBaselineOracle,
+    // q317: sub-centroid broadcast-join fallback — literal/join path
+    // row-equality, plan-shape witness, and the recall floor ride
+    // require(); same exact baseline
+    "q317_ann_subjoin_parity" -> recallBaselineOracle,
     // q305: the refreshed-ontology face — the swapped file's class
     // labels; the lifecycle assertions (kill-mid-download containment,
     // archive naming, version swap, same-version keep) ride require().

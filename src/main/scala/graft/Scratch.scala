@@ -1989,6 +1989,60 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "subjoinscale") {
+      // r13 (r12 verdict item 1): per-row ASSIGNMENT cost of the
+      // sub-level broadcast-join formulation across a nCells sweep.
+      // The quantizer is built synthetically (seeded random centroids,
+      // full k1×k2 grid) — the sweep measures assignment mechanics,
+      // not recall, and a trained quantizer at these cell counts would
+      // collapse to however many cells the corpus sample populates.
+      // Expected shape: per-row cost on BOTH paths tracks k1+k2 (the
+      // cosines, ∝ √nCells); the join path's lookup overhead stays
+      // FLAT (one broadcast hash probe per row) while the literal's
+      // plan payload grows ∝ nCells — the join rows print beyond the
+      // literal ceiling to show the formulation keeps working where
+      // the literal cannot.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      val n = emb.count()
+      val rep = math.max(1, (200000 / math.max(1L, n)).toInt)
+      val work = emb.withColumn("r",
+          explode(lit((0 until rep).toArray)))
+        .select((col("vec_id") * rep + col("r")).as("nbr_id"),
+          col("embedding").as("nbr_vec"))
+        .repartition(8).localCheckpoint(true)
+      val rows = work.count()
+      val rnd = new scala.util.Random(42)
+      def rv(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+      for (nCells <- Seq(1024, 4096, 16384, 65536)) {
+        val k1 = math.ceil(math.sqrt(nCells.toDouble)).toInt
+        val k2 = math.ceil(nCells.toDouble / k1).toInt
+        val hq = Similarity.HierQuantizer(k2,
+          (0 until k1).map(i => (i, rv())),
+          (0 until k1).map(c1 =>
+            c1 -> (0 until k2).map(j => (c1 * k2 + j, rv()))).toMap)
+        val floats = Similarity.subLiteralFloats(hq)
+        val paths =
+          if (floats <= Similarity.SubLiteralMaxFloats)
+            Seq(("literal", Long.MaxValue), ("join", 0L))
+          else Seq(("join", 0L)) // literal above its ceiling: the point
+        for ((tag, thr) <- paths) {
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            Similarity.assignCellsHier(work, hq, "nbr_vec", thr)
+              .agg(sum(col("cell_id"))).collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] subjoinscale nCells=$nCells k1=$k1 k2=$k2 " +
+            f"subFloats=$floats $tag%-7s best=${times.min}%.2f s " +
+            f"(${times.min * 1e6 / rows}%.2f us/row, runs: " +
+            times.map(t => f"$t%.2f").mkString(", ") + ")")
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "plans") {
       for (q <- Seq("q01_pricing_summary", "q05_brand_volume", "q24_path_2hop",
         "q13_events_hourly", "q26_similarity_topk", "q40_ontology_pipeline",

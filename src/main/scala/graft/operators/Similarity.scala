@@ -637,8 +637,10 @@ object Similarity {
     * 10).
     *
     * The whole fit runs DRIVER-LOCALLY on ONE bounded collect: the
-    * sample is model-sized BY CONSTRUCTION (≤ budget × dim floats —
-    * the bounded-small-side convention), arrives in xxhash64-rank
+    * sample is model-sized BY CONSTRUCTION (≤ max(budget, 4·nCells) ×
+    * dim floats — the bounded-small-side convention; the 4·nCells
+    * floor is the r12 budget/nCells coupling, see the body comment
+    * for the memory consequence), arrives in xxhash64-rank
     * order from a TakeOrderedAndProject (per-partition bounded top-N,
     * no global sort, corpus scanned exactly once), and every Lloyd
     * step after that is plain in-process math — the distributed
@@ -663,10 +665,23 @@ object Similarity {
     val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
     require(sampleBudget >= k1,
       s"sampleBudget ($sampleBudget) must be >= k1 ($k1)")
+    // Budget/nCells COUPLING (r12 verdict item 2): at nCells ≫ budget
+    // most sub cells would get ≤1 Lloyd seed and recall would quietly
+    // degrade — nothing in the math fails, the quantizer is just bad.
+    // The effective budget therefore auto-scales to ≥4 samples per
+    // requested cell (32–256 is the quality range; 4 is the floor
+    // below which cells stop being distinguishable from their seeds).
+    // MEMORY CONSEQUENCE, since the fit is driver-local by design: the
+    // collect is effBudget × dim floats — 4·nCells·dim·4 B at the
+    // floor, e.g. ~12 GB for 10⁶ cells × 768 dims. Size driver memory
+    // for it, or train fewer cells; the budget no longer silently
+    // under-trains.
+    val effBudget = math.max(sampleBudget,
+      math.min(Int.MaxValue.toLong, 4L * nCells).toInt)
     // the ONE distributed step: bounded top-N by hash rank
     val sample: Array[Array[Float]] = corpus
       .orderBy(xxhash64(col(idCol)))
-      .limit(sampleBudget)
+      .limit(effBudget)
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).toArray)
     val pts = sample.map(_.map(_.toDouble))
@@ -744,10 +759,22 @@ object Similarity {
     * (a Lloyd centroid that captured no sample member) falls back to
     * its first global id, keeping `cell_id` total. */
   def assignCellsHier(df: DataFrame, quant: HierQuantizer,
-                      vecCol: String): DataFrame = {
-    val subLit = subMapLit(quant)
-    df.withColumn("__c1", topCellExpr(quant, vecCol))
-      .withColumn("__subs", element_at(subLit, col("__c1")))
+                      vecCol: String,
+                      maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+  : DataFrame = {
+    val withC1 = df.withColumn("__c1", topCellExpr(quant, vecCol))
+    // the sub level rides as a plan literal under the measured ceiling
+    // and as a broadcast join above it ([[SubLiteralMaxFloats]]); both
+    // resolve the SAME (__c1 → __subs) lookup, so the argmin below is
+    // shared and the paths are row-identical by construction
+    val withSubs =
+      if (subLiteralFloats(quant) <= maxSubLiteralFloats)
+        withC1.withColumn("__subs",
+          element_at(subMapLit(quant), col("__c1")))
+      else
+        withC1.join(broadcast(subTableDF(df.sparkSession, quant)),
+          Seq("__c1"), "left")
+    withSubs
       .withColumn("cell_id",
         when(col("__subs").isNull, col("__c1") * lit(quant.k2))
           .otherwise(array_min(transform(col("__subs"), c =>
@@ -769,8 +796,10 @@ object Similarity {
     * all lack sub entries still yields candidates instead of silently
     * vanishing from the output. */
   def probeCellsHier(df: DataFrame, quant: HierQuantizer, vecCol: String,
-                     probeTop: Int, nProbe: Int): DataFrame =
-    df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
+                     probeTop: Int, nProbe: Int,
+                     maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+  : DataFrame =
+    withHierCandArray(df, quant, vecCol, probeTop, maxSubLiteralFloats)
       .withColumn("cell_id",
         explode(slice(sort_array(col("__cand")), 1, nProbe)
           .getField("cell_id")))
@@ -794,13 +823,63 @@ object Similarity {
       }))
   }
 
+  /** Attach the probe candidate array as `__cand`, resolving the sub
+    * level by the same literal-vs-broadcast ceiling as
+    * [[assignCellsHier]] ([[SubLiteralMaxFloats]]). The join
+    * formulation keeps the probe fully narrow: the probeTop best top
+    * cells join the broadcast (top cell → sub-centroids) table one
+    * slot at a time — probeTop BroadcastHashJoins in one stage, no
+    * shuffle of the query side, no row explosion (top cell ids are
+    * unique join keys) — and the per-slot candidate arrays concat in
+    * slot order, so the assembled array is ELEMENT-IDENTICAL to the
+    * literal path's and every downstream sort/slice/cut agrees
+    * bit-for-bit (spec-pinned). */
+  private def withHierCandArray(df: DataFrame, quant: HierQuantizer,
+                                vecCol: String, probeTop: Int,
+                                maxSubLiteralFloats: Long): DataFrame = {
+    if (subLiteralFloats(quant) <= maxSubLiteralFloats)
+      return df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
+    val spark = df.sparkSession
+    val candType = "array<struct<neg_sim:double,cell_id:int>>"
+    var cur = df.withColumn("__top",
+      slice(sort_array(topScoredExpr(quant, vecCol)), 1, probeTop))
+    (0 until probeTop).foreach { i =>
+      val sub = subTableDF(spark, quant)
+        .select(col("__c1").as(s"__c1_$i"), col("__subs").as(s"__subs_$i"))
+      cur = cur.join(broadcast(sub),
+        try_element_at(col("__top"), lit(i + 1)).getField("cell_id")
+          === col(s"__c1_$i"), "left")
+    }
+    val parts = (0 until probeTop).map { i =>
+      // try_element_at: a trailing slot beyond the array (probeTop >
+      // k1) is null, not an ANSI index error
+      val t = try_element_at(col("__top"), lit(i + 1))
+      // a quantizer with fewer than probeTop top cells leaves trailing
+      // slots null → empty contribution, same as the literal path's
+      // shorter slice
+      when(t.isNull, array().cast(candType))
+        .when(col(s"__subs_$i").isNull,
+          array(struct(t.getField("neg_sim").as("neg_sim"),
+            (t.getField("cell_id") * lit(quant.k2)).as("cell_id"))))
+        .otherwise(transform(col(s"__subs_$i"), c =>
+          struct((lit(0.0) - cosine(col(vecCol), c.getField("_2")))
+            .as("neg_sim"), c.getField("_1").as("cell_id"))))
+    }
+    cur.withColumn("__cand", flatten(array(parts: _*)))
+      .drop(col("__top"))
+      .drop((0 until probeTop).flatMap(i =>
+        Seq(s"__c1_$i", s"__subs_$i")): _*)
+  }
+
   /** Every reachable candidate cell of the probeTop top cells, RANKED
     * per input row by ascending neg_sim (i.e. best cell first, rank 0)
     * — the full reach [[probeCellsHier]] cuts at nProbe, exposed for
     * the adaptive probe's prefix selection. */
   def probeCellsHierRanked(df: DataFrame, quant: HierQuantizer,
-                           vecCol: String, probeTop: Int): DataFrame =
-    df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
+                           vecCol: String, probeTop: Int,
+                           maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+  : DataFrame =
+    withHierCandArray(df, quant, vecCol, probeTop, maxSubLiteralFloats)
       .select(col("*"),
         posexplode(sort_array(col("__cand"))).as(Seq("__rank", "__c")))
       .withColumn("cell_id", col("__c.cell_id"))
@@ -828,7 +907,9 @@ object Similarity {
   def probeCellsHierAdaptive(df: DataFrame, quant: HierQuantizer,
                              vecCol: String, probeTop: Int,
                              minCandidates: Long,
-                             cellSizes: DataFrame): DataFrame = {
+                             cellSizes: DataFrame,
+                             maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+  : DataFrame = {
     require(minCandidates >= 1, s"minCandidates must be >= 1")
     val sizes: Map[Int, Long] = cellSizes
       .select(col("cell_id").cast("int"), col("cnt").cast("long"))
@@ -842,9 +923,10 @@ object Similarity {
     val szLit = typedLit((0 until maxCell).map(i => sizes.getOrElse(i, 0L)))
     val empty = struct(lit(0L).as("cum"),
       typedLit(Seq.empty[Int]).as("kept"))
-    df.withColumn("__kept",
+    withHierCandArray(df, quant, vecCol, probeTop, maxSubLiteralFloats)
+      .withColumn("__kept",
         aggregate(
-          sort_array(hierCandArray(quant, vecCol, probeTop)), empty,
+          sort_array(col("__cand")), empty,
           (acc, c) => {
             val cnt = element_at(szLit, c.getField("cell_id") + 1)
             when(acc.getField("cum") < minCandidates,
@@ -877,8 +959,18 @@ object Similarity {
     * `_COMMITTED` marker like every other artifact, so a committed
     * version always carries it. */
   private def writeCellSizes(spark: org.apache.spark.sql.SparkSession,
-                             cellsPath: String, sizesPath: String): Unit =
-    indexCellSizes(spark, Seq(cellsPath))
+                             cellsPath: String, sizesPath: String,
+                             preWrite: Option[DataFrame] = None): Unit =
+    preWrite
+      // aggregate from the writer's own in-flight frame when its
+      // re-evaluation is CHEAP (r12 ADVICE): compaction's frame is a
+      // column-pruned scan of base cells + micro-batch deltas + one
+      // broadcast anti-join — far less than the ~nCells footer-scan
+      // tasks of the readback (measured 28 s at 8189 one-file dirs).
+      // Refresh keeps the readback: its frame re-runs the 2·√nCells
+      // assignment cosines per row, which costs more than the scan.
+      .map(_.groupBy("cell_id").agg(count(lit(1)).as("cnt")))
+      .getOrElse(indexCellSizes(spark, Seq(cellsPath)))
       .coalesce(1).write.mode("overwrite").parquet(sizesPath)
 
   /** The (cell_id, cnt) side table of a committed version: the
@@ -912,15 +1004,19 @@ object Similarity {
                                   idCol: String = "vec_id",
                                   vecCol: String = "embedding",
                                   tombstones: Option[DataFrame] = None,
-                                  maxBroadcastProbeRows: Long = 1L << 20)
+                                  maxBroadcastProbeRows: Long = 1L << 20,
+                                  maxSubLiteralFloats: Long =
+                                    SubLiteralMaxFloats,
+                                  queryCountHint: Option[Long] = None)
   : DataFrame = {
     require(paths.nonEmpty, "need at least one index root")
     val sizes = cellSizes.getOrElse(indexCellSizes(spark, paths))
     val probed = probeCellsHierAdaptive(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      hq, "q_vec", probeTop, candidateFactor.toLong * k, sizes)
-    val broadcastProbe =
-      queries.count() * probeTop * hq.k2 <= maxBroadcastProbeRows
+      hq, "q_vec", probeTop, candidateFactor.toLong * k, sizes,
+      maxSubLiteralFloats)
+    val broadcastProbe = queryCountHint.getOrElse(queries.count()) *
+      probeTop * hq.k2 <= maxBroadcastProbeRows
     adcProbeTopK(spark, paths, probed, cb, k, tombstones, broadcastProbe)
   }
 
@@ -951,13 +1047,15 @@ object Similarity {
   def ivfTopKHier(corpus: DataFrame, queries: DataFrame, k: Int,
                   quant: HierQuantizer, nProbe: Int = 4, probeTop: Int = 2,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+  : DataFrame = {
     val indexed = assignCellsHier(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec")),
-      quant, "nbr_vec")
+      quant, "nbr_vec", maxSubLiteralFloats)
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      quant, "q_vec", probeTop, nProbe)
+      quant, "q_vec", probeTop, nProbe, maxSubLiteralFloats)
     val scored = indexed.join(probed, Seq("cell_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nbr_vec")))
@@ -990,6 +1088,53 @@ object Similarity {
     typedLit(quant.sub.map { case (c1, scs) =>
       c1 -> scs.map { case (g, v) => (g, v.toSeq) }
     })
+
+  /** Sub-centroid plan-size ceiling (r12 verdict item 1): below this
+    * many total sub-centroid floats the sub level is folded into every
+    * assignment/probe plan as ONE map literal (zero joins, measured
+    * right at ≤16k cells × 64 dims ≈ 1M floats); ABOVE it the literal
+    * becomes a driver/codegen killer — a real 100 TB index at 10⁵–10⁶
+    * cells × 768+ dims would embed 0.3–6 GB in EVERY plan — so
+    * [[assignCellsHier]] and the probes resolve the sub level through
+    * a broadcast-joined (top cell → sub-centroids) table instead: the
+    * data ships ONCE per job as torrent-broadcast blocks, never enters
+    * the plan tree, codegen, or the driver's plan cache. The top level
+    * is only √nCells centroids and stays a literal everywhere. The
+    * default (4M floats ≈ 16 MB of vector data, 4× the largest
+    * measured-good literal) keeps small-quantizer probe plans on the
+    * zero-job literal path; both paths return bit-identical rows
+    * (spec-pinned) — the switch is a plan-shape decision only.
+    * Measured (Scratch `subjoinscale`, 200k-row assignment, local[8]):
+    * the join path's per-cosine cost is FLAT in nCells (~0.08 µs —
+    * 6.7/11.7/21.5/39.7 µs/row at 1k/4k/16k/64k cells, tracking the
+    * k1+k2 cosine count exactly) while the literal's grows with the
+    * plan payload (8.8/18.5/52.2/150.9 µs/row — 3.8× the join at 64k
+    * cells), so corpus-scale ASSIGNMENT at ≥4k cells benefits from
+    * forcing the join below the default ceiling; the ceiling protects
+    * small QUERY batches, where the broadcast's fixed job overhead
+    * would dominate. */
+  val SubLiteralMaxFloats: Long = 4L << 20
+
+  private[graft] def subLiteralFloats(quant: HierQuantizer): Long =
+    quant.sub.valuesIterator
+      .map(_.iterator.map(_._2.length.toLong).sum).sum
+
+  /** The (top cell → sub-centroid array) side table of the broadcast
+    * formulation — parallelize-backed (NOT a LocalRelation) so the
+    * vectors live in RDD partitions and broadcast blocks, never in the
+    * logical plan object graph a Catalyst rewrite would drag around.
+    * Inner struct field names (_1, _2) match [[subMapLit]]'s tuple
+    * encoding, so the downstream argmin/transform expressions are
+    * IDENTICAL on both paths. */
+  private def subTableDF(spark: org.apache.spark.sql.SparkSession,
+                         quant: HierQuantizer): DataFrame = {
+    import spark.implicits._
+    val rows = quant.sub.toSeq.map { case (c1, scs) =>
+      (c1, scs.map { case (g, v) => (g, v.toSeq) }) }
+    val slices = math.max(1L,
+      subLiteralFloats(quant) / (4L << 20)).toInt
+    spark.sparkContext.parallelize(rows, slices).toDF("__c1", "__subs")
+  }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
@@ -1196,14 +1341,15 @@ object Similarity {
     * @return the new version number */
   def refreshIvfIndex(corpus: DataFrame, nCells: Int, root: String,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Int = {
+                      vecCol: String = "embedding",
+                      claim: ClaimPrimitive = CreateExclusiveClaim): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = claimNextVersion(fs, rootPath)
+    val next = claimNextVersion(fs, rootPath, claim)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     val centroids = trainCentroids(corpus, nCells, vecCol)
     centroids.map { case (i, c) => (i, c.toSeq) }
@@ -1215,11 +1361,42 @@ object Similarity {
     next
   }
 
+  /** The atomic CLAIM primitive behind every slot reservation in the
+    * versioned-index lifecycle (version directories' `.claim`, the
+    * tombstone `.seq=` markers): create a marker at `path` iff it does
+    * not already exist, atomically with respect to concurrent
+    * claimers of the SAME path. The default,
+    * [[CreateExclusiveClaim]], is Hadoop `create(overwrite=false)` —
+    * truly atomic on HDFS-like stores but CHECK-THEN-ACT on RawLocal
+    * and S3A, where two racers can both think they won. Deployments
+    * on object stores either run these writers single-process (the
+    * documented fallback — the commit-marker-last protocol keeps
+    * READERS safe regardless of writer races) or plug the store's
+    * native conditional write through this trait: S3 `If-None-Match:
+    * *` PUT, GCS `ifGenerationMatch=0`, ABFS `If-None-Match` — one
+    * tiny adapter each, no lifecycle code changes (r12 verdict item
+    * 5). Implementations must be side-effect-atomic; returning true
+    * means the marker now exists and this caller created it. */
+  trait ClaimPrimitive extends Serializable {
+    def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                 path: org.apache.hadoop.fs.Path): Boolean
+  }
+
+  /** Default claim: Hadoop create-exclusive (see [[ClaimPrimitive]]
+    * for its object-store caveat and the conditional-write escape
+    * hatch). */
+  object CreateExclusiveClaim extends ClaimPrimitive {
+    override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                          path: org.apache.hadoop.fs.Path): Boolean =
+      try { fs.create(path, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   /** Claim the next free version number under `rootPath` ATOMICALLY:
-    * list → create(`.claim`, overwrite = false) → on collision (a
-    * concurrent writer won that slot between the listing and the
-    * create) retry at the next number. Same CAS primitive as the
-    * tombstone `.seq=` markers (r12): two concurrent refreshers /
+    * list → claim `v<n>/.claim` via the [[ClaimPrimitive]] → on
+    * collision (a concurrent writer won that slot between the listing
+    * and the claim) retry at the next number. Same CAS primitive as
+    * the tombstone `.seq=` markers (r12): two concurrent refreshers /
     * compactors now both succeed in DISTINCT versions — the loser of
     * a slot race no longer fails — and readers are indifferent
     * (currentIvfVersion resolves the highest COMMITTED version, so
@@ -1227,15 +1404,16 @@ object Similarity {
     * last-writer-wins refresh semantics). The mkdirs of a lost slot is
     * idempotent junk inside the winner's own directory. */
   private def claimNextVersion(fs: org.apache.hadoop.fs.FileSystem,
-                               rootPath: org.apache.hadoop.fs.Path): Int = {
+                               rootPath: org.apache.hadoop.fs.Path,
+                               claim: ClaimPrimitive = CreateExclusiveClaim)
+  : Int = {
     var next = listIvfVersions(fs, rootPath).map(_._1).maxOption.getOrElse(0) + 1
     while (true) {
       val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
       fs.mkdirs(vdir)
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(vdir, ".claim"), false).close()
+      if (claim.tryClaim(fs, new org.apache.hadoop.fs.Path(vdir, ".claim")))
         return next
-      } catch { case _: java.io.IOException => next += 1 }
+      next += 1
     }
     next // unreachable
   }
@@ -1297,14 +1475,15 @@ object Similarity {
   def refreshIvfPqIndex(corpus: DataFrame, nCells: Int, dim: Int, m: Int,
                         kCodes: Int, root: String,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Int = {
+                        vecCol: String = "embedding",
+                        claim: ClaimPrimitive = CreateExclusiveClaim): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = claimNextVersion(fs, rootPath)
+    val next = claimNextVersion(fs, rootPath, claim)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     val centroids = trainCentroids(corpus, nCells, vecCol)
     val cb = pqTrain(corpus, dim, m, kCodes, vecCol)
@@ -1518,16 +1697,24 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                tombstones: Option[DataFrame] = None,
-                               maxBroadcastProbeRows: Long = 1L << 20)
+                               maxBroadcastProbeRows: Long = 1L << 20,
+                               maxSubLiteralFloats: Long =
+                                 SubLiteralMaxFloats,
+                               queryCountHint: Option[Long] = None)
   : DataFrame = {
     require(paths.nonEmpty, "need at least one index root")
     val probed = probeCellsHier(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      hq, "q_vec", probeTop, nProbe)
+      hq, "q_vec", probeTop, nProbe, maxSubLiteralFloats)
     // probe-side size WITHOUT a probe pass: the explode emits ≤ nProbe
     // rows per query, so queries.count() (no probe cosines in that
-    // plan) bounds the probe rows tightly
-    val broadcastProbe = queries.count() * nProbe <= maxBroadcastProbeRows
+    // plan) bounds the probe rows tightly. For a bare scan that count
+    // is ~free; a caller probing an EXPENSIVE derived query frame
+    // passes `queryCountHint` (r12 verdict item 3) so the frame is
+    // evaluated once by the probe itself, not a second time here — or
+    // localCheckpoints the frame before calling.
+    val nq = queryCountHint.getOrElse(queries.count())
+    val broadcastProbe = nq * nProbe <= maxBroadcastProbeRows
     adcProbeTopK(spark, paths, probed, cb, k, tombstones, broadcastProbe)
   }
 
@@ -1592,14 +1779,16 @@ object Similarity {
                             m: Int, kCodes: Int, root: String,
                             sampleBudget: Int = 8192,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): Int = {
+                            vecCol: String = "embedding",
+                            claim: ClaimPrimitive = CreateExclusiveClaim)
+  : Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     fs.mkdirs(rootPath)
-    val next = claimNextVersion(fs, rootPath)
+    val next = claimNextVersion(fs, rootPath, claim)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     val hq = trainHierQuantizer(corpus, nCells, sampleBudget, idCol, vecCol)
     val cb = pqTrainSampled(corpus, dim, m, kCodes, sampleBudget, idCol, vecCol)
@@ -1724,7 +1913,8 @@ object Similarity {
   def compactIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                             root: String, ingestRoot: String,
                             batches: Option[Seq[Long]] = None,
-                            midCompactionHook: () => Unit = () => ())
+                            midCompactionHook: () => Unit = () => (),
+                            claim: ClaimPrimitive = CreateExclusiveClaim)
   : (Int, Seq[Long]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -1826,7 +2016,7 @@ object Similarity {
       return (cur, inherited)
     }
     midCompactionHook() // race-injection seam: a delta may land HERE
-    val next = claimNextVersion(fs, rootPath)
+    val next = claimNextVersion(fs, rootPath, claim)
     val vdir = new org.apache.hadoop.fs.Path(rootPath, s"v$next")
     // frozen artifacts carried byte-for-byte — compaction never retrains
     Seq("quantizer", "codebooks").foreach { d =>
@@ -1851,7 +2041,8 @@ object Similarity {
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$root/v$next/cells")
-    writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes")
+    writeCellSizes(spark, s"$root/v$next/cells", s"$root/v$next/cellsizes",
+      preWrite = Some(physical))
     // the new version's ledger: everything the predecessor's ledger
     // held plus this fold — the double-fold guard's input for any
     // future compaction, whether THIS writer dies before retiring or a
@@ -1949,7 +2140,23 @@ object Similarity {
     * @return the tombstone sequence number */
   def deleteFromIvfPqIndexHier(spark: org.apache.spark.sql.SparkSession,
                                root: String, ids: DataFrame,
-                               idCol: String = "vec_id"): Long = {
+                               idCol: String = "vec_id",
+                               claim: ClaimPrimitive = CreateExclusiveClaim)
+  : Long = {
+    // LOUD id validation (r12 verdict item 4): the tombstone ids are
+    // matched against the index's long nbr_id, so a null id — or one
+    // that nulls out under the cast (a fractional double truncates, a
+    // non-numeric string throws on its own under ANSI) — would write a
+    // null tombstone that matches NOTHING: a takedown that silently
+    // no-ops is the worst failure mode a delete can have. One cheap
+    // action on the churn-sized id frame, before any claim or write.
+    val toWrite = ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
+      .localCheckpoint(true)
+    val nullIds = toWrite.filter(col("nbr_id").isNull).count()
+    require(nullIds == 0,
+      s"deleteFromIvfPqIndexHier: $nullIds id(s) in '$idCol' are null " +
+        "or null out under cast to long — the delete would silently " +
+        "no-op for them; pass non-null integral ids")
     val conf = spark.sparkContext.hadoopConfiguration
     val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
     val fs = tombRoot.getFileSystem(conf)
@@ -1961,19 +2168,13 @@ object Similarity {
         case n if n.startsWith(".seq=") => n.stripPrefix(".seq=").toLong
       }
     // claim-CAS: the dot-prefixed marker is invisible to parquet
-    // listings; create(overwrite=false) is the atomic primitive, and a
-    // collision (concurrent deleter won the slot) just moves to n+1
+    // listings; the [[ClaimPrimitive]] is the atomic primitive
+    // (create-exclusive by default), and a collision (concurrent
+    // deleter won the slot) just moves to n+1
     var next = seqNumbers().maxOption.getOrElse(-1L) + 1L
-    var claimed = false
-    while (!claimed) {
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(tombRoot, s".seq=$next"),
-          false).close()
-        claimed = true
-      } catch {
-        case _: java.io.IOException => next += 1L
-      }
-    }
+    while (!claim.tryClaim(fs,
+        new org.apache.hadoop.fs.Path(tombRoot, s".seq=$next")))
+      next += 1L
     // prune markers below the claimed slot: monotonicity only needs the
     // MAX marker to survive retirement, and ours is ≥ every older one
     fs.listStatus(tombRoot).foreach { st =>
@@ -1981,9 +2182,10 @@ object Similarity {
       if (n.startsWith(".seq=") && n.stripPrefix(".seq=").toLong < next)
         fs.delete(st.getPath, false)
     }
-    ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
+    toWrite
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/tombstones/del=$next")
+    Exec.releaseCheckpoint(toWrite)
     next
   }
 
@@ -2025,12 +2227,18 @@ object Similarity {
           .as[Long].collect().toSeq
         Some(ids.toDF("nbr_id"))
       } catch {
-        case e @ (_: java.io.FileNotFoundException |
-                  _: org.apache.spark.sql.AnalysisException)
-            if attempts > 1 &&
-               (e.isInstanceOf[java.io.FileNotFoundException] ||
-                e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                e.getMessage.contains("PATH_NOT_FOUND")) =>
+        case _: java.io.FileNotFoundException if attempts > 1 =>
+          readTombstoneIdsRetry(spark, root, attempts - 1)
+        // match on the ERROR CLASS (r12 ADVICE: message substrings are
+        // brittle across Spark versions/locales), with the legacy
+        // message phrasings as back-compat fallback only
+        case e: org.apache.spark.sql.AnalysisException if attempts > 1 && {
+            val cond = Option(e.getCondition).getOrElse("")
+            cond == "UNABLE_TO_INFER_SCHEMA" || cond == "PATH_NOT_FOUND" ||
+            (cond.isEmpty &&
+              (e.getMessage.contains("Unable to infer schema") ||
+               e.getMessage.contains("Path does not exist")))
+          } =>
           readTombstoneIdsRetry(spark, root, attempts - 1)
       }
     }
@@ -2046,7 +2254,8 @@ object Similarity {
                                    nProbe: Int, probeTop: Int = 2,
                                    idCol: String = "vec_id",
                                    vecCol: String = "embedding",
-                                   maxBroadcastProbeRows: Long = 1L << 20)
+                                   maxBroadcastProbeRows: Long = 1L << 20,
+                                   queryCountHint: Option[Long] = None)
   : DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed index version under $root"))
@@ -2055,7 +2264,8 @@ object Similarity {
     queryIvfPqIndexHierPaths(spark, Seq(s"$root/v$v/cells"), hq, cb, queries,
       k, nProbe, probeTop, idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
-      maxBroadcastProbeRows = maxBroadcastProbeRows)
+      maxBroadcastProbeRows = maxBroadcastProbeRows,
+      queryCountHint = queryCountHint)
   }
 
   /** The SERVING entry point over the full live index state — the
@@ -2179,14 +2389,18 @@ object Similarity {
       root: String, corpus: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int, probeTop: Int = 2, poolFactor: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+      maxBroadcastProbeRows: Long = 1L << 20,
+      queryCountHint: Option[Long] = None): DataFrame = {
     require(poolFactor >= 1, s"poolFactor must be >= 1, got $poolFactor")
     val pool = queryVersionedIvfPqIndexHier(spark, root, queries,
-      k * poolFactor, nProbe, probeTop, idCol, vecCol, maxBroadcastProbeRows)
+      k * poolFactor, nProbe, probeTop, idCol, vecCol, maxBroadcastProbeRows,
+      queryCountHint)
     // the rerank pool is ≤ |queries|·poolFactor·k pairs of two longs —
     // measured against the SAME cap as the probe side (one cheap
-    // count, no probe cosines), not assumed broadcastable
-    val poolBound = queries.count() * poolFactor * k
+    // count — or the caller's queryCountHint, r12 verdict item 3 — no
+    // probe cosines), not assumed broadcastable
+    val poolBound = queryCountHint.getOrElse(queries.count()) *
+      poolFactor * k
     exactRerank(pool, corpus, queries, k, idCol, vecCol,
       broadcastCandidates = poolBound <= maxBroadcastProbeRows)
   }

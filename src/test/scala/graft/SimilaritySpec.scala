@@ -1411,6 +1411,192 @@ class SimilaritySpec extends SparkSpec {
       "ledger carry-forward failed: duplicate or undeleted row in v4")
   }
 
+  test("queryCountHint sizes the probe join without a second " +
+       "evaluation of an expensive query frame (r12 verdict item 3)") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("sizehint").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    // a side-effect-counting query frame: the UDF rides a FILTER (a
+    // bare projection would be column-pruned out of the count), so
+    // every evaluation of the frame bumps the accumulator per row
+    val acc = spark.sparkContext.longAccumulator("qframe_evals")
+    val tick = udf { (x: Long) => acc.add(1L); x }
+    val q = base.filter(tick($"vec_id") % 10 === 0)
+    val r1 = Similarity.queryVersionedIvfPqIndexHier(spark, root, q,
+      k = 4, nProbe = 4, probeTop = 2).localCheckpoint(true)
+    val evalsNoHint = acc.value
+    acc.reset()
+    val r2 = Similarity.queryVersionedIvfPqIndexHier(spark, root, q,
+      k = 4, nProbe = 4, probeTop = 2, queryCountHint = Some(6L))
+      .localCheckpoint(true)
+    val evalsHint = acc.value
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty,
+      "hinted probe diverged from the counted one")
+    assert(evalsHint < evalsNoHint,
+      s"hint did not save an evaluation: $evalsHint vs $evalsNoHint")
+  }
+
+  test("deleting with null or non-castable ids fails loudly instead " +
+       "of writing a no-op tombstone (r12 verdict item 4)") {
+    val base = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("loudids").toString
+    val root = s"$tmp/idx"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 4, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 40)
+    val bad = Seq(Some(5L), None, Some(7L)).toDF("vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.deleteFromIvfPqIndexHier(spark, root, bad)
+    }
+    assert(ex.getMessage.contains("silently"),
+      s"wrong failure: ${ex.getMessage}")
+    // nothing was claimed or written by the refused call
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones/del=0")),
+      "refused delete must not write a tombstone")
+    // a clean id frame still works
+    assert(Similarity.deleteFromIvfPqIndexHier(spark, root,
+      Seq(5L).toDF("vec_id")) == 0L)
+  }
+
+  test("the claim primitive is pluggable: a store-native conditional " +
+       "write slots in without lifecycle changes (r12 verdict item 5)") {
+    val base = (0L until 40L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("claimplug").toString
+    val root = s"$tmp/idx"
+    // a primitive that loses its FIRST slot race (as a conditional
+    // write would on a taken etag), then defers to create-exclusive
+    class LoseFirst extends Similarity.ClaimPrimitive {
+      var lost = 0
+      override def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): Boolean =
+        if (lost == 0) { lost += 1; false }
+        else Similarity.CreateExclusiveClaim.tryClaim(fs, path)
+    }
+    val lf = new LoseFirst
+    val v = Similarity.refreshIvfPqIndexHier(base, nCells = 4, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 40, claim = lf)
+    assert(v == 2 && lf.lost == 1,
+      s"losing the v1 slot race must land the refresh at v2, got v$v")
+    assert(Similarity.currentIvfVersion(spark, root).contains(2))
+    // the delete's .seq= claim rides the same primitive
+    val lf2 = new LoseFirst
+    val seq = Similarity.deleteFromIvfPqIndexHier(spark, root,
+      Seq(3L).toDF("vec_id"), claim = lf2)
+    assert(seq == 1L && lf2.lost == 1,
+      s"losing the .seq=0 race must land the delete at del=1, got $seq")
+    // the index still serves: masked probe over the claimed layout
+    val probe = Similarity.queryVersionedIvfPqIndexHier(spark, root,
+      base.limit(5), k = 3, nProbe = 4, probeTop = 2)
+    assert(probe.filter(org.apache.spark.sql.functions
+      .col("nbr_id") === 3L).isEmpty, "tombstone under plugged claim lost")
+  }
+
+  test("training budget auto-scales to the requested cell count: " +
+       "nCells >> budget no longer silently under-trains (r12 verdict)") {
+    val corpus = (0L until 400L).map(i => (i, vec(8)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // the failure shape: 64 requested cells on an 8-point budget would
+    // seed at most 8 sub cells (≤1 seed each) — the auto-scaled budget
+    // (4·nCells = 256 samples) must populate far more of the space
+    val hq = Similarity.trainHierQuantizer(corpus, nCells = 64,
+      sampleBudget = 8)
+    assert(hq.nCells > 8,
+      s"under-budget training produced only ${hq.nCells} cells — the " +
+        "4·nCells budget floor did not engage")
+    // determinism is unchanged: same corpus → same quantizer
+    val hq2 = Similarity.trainHierQuantizer(corpus, nCells = 64,
+      sampleBudget = 8)
+    assert(hq.top.map { case (i, v) => (i, v.toSeq) } ==
+      hq2.top.map { case (i, v) => (i, v.toSeq) } &&
+      hq.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap ==
+      hq2.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap,
+      "auto-scaled training lost determinism")
+  }
+
+  test("sub-centroid broadcast-join path is row-identical to the " +
+       "plan-literal path across assign/probe/ranked/adaptive " +
+       "(r12 verdict item 1)") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 300L).map(i => (i, vec(16)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val quant = Similarity.trainHierQuantizer(corpus, nCells = 25,
+      sampleBudget = 300)
+    val nbrs = corpus.select($"vec_id".as("nbr_id"),
+      $"embedding".as("nbr_vec"))
+    // assignment: same rows, and the join path actually joins while the
+    // literal path stays join-free (the plan-shape witness)
+    val aLit = Similarity.assignCellsHier(nbrs, quant, "nbr_vec")
+    val aJoin = Similarity.assignCellsHier(nbrs, quant, "nbr_vec",
+      maxSubLiteralFloats = 0L)
+    assert(aLit.exceptAll(aJoin).isEmpty && aJoin.exceptAll(aLit).isEmpty,
+      "assignment diverged between literal and broadcast-join paths")
+    assert(aJoin.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "forced join path must resolve the sub level via a broadcast join")
+    assert(!aLit.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "literal path must stay join-free")
+    val qs = corpus.limit(7).select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec"))
+    // fixed probe, ranked probe, adaptive probe: element-identical
+    val pLit = Similarity.probeCellsHier(qs, quant, "q_vec", 3, 4)
+    val pJoin = Similarity.probeCellsHier(qs, quant, "q_vec", 3, 4,
+      maxSubLiteralFloats = 0L)
+    assert(pLit.exceptAll(pJoin).isEmpty && pJoin.exceptAll(pLit).isEmpty,
+      "fixed probe diverged")
+    val rLit = Similarity.probeCellsHierRanked(qs, quant, "q_vec", 3)
+    val rJoin = Similarity.probeCellsHierRanked(qs, quant, "q_vec", 3,
+      maxSubLiteralFloats = 0L)
+    assert(rLit.exceptAll(rJoin).isEmpty && rJoin.exceptAll(rLit).isEmpty,
+      "ranked probe diverged")
+    val sizes = Similarity.assignCellsHier(nbrs, quant, "nbr_vec")
+      .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+    val adLit = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 3,
+      minCandidates = 20L, cellSizes = sizes)
+    val adJoin = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 3,
+      minCandidates = 20L, cellSizes = sizes, maxSubLiteralFloats = 0L)
+    assert(adLit.exceptAll(adJoin).isEmpty && adJoin.exceptAll(adLit).isEmpty,
+      "adaptive probe diverged")
+    // end-to-end top-k equality through the whole operator
+    val tLit = Similarity.ivfTopKHier(corpus, corpus.limit(7), k = 5, quant,
+      nProbe = 4, probeTop = 3)
+    val tJoin = Similarity.ivfTopKHier(corpus, corpus.limit(7), k = 5, quant,
+      nProbe = 4, probeTop = 3, maxSubLiteralFloats = 0L)
+    assert(tLit.exceptAll(tJoin).isEmpty && tJoin.exceptAll(tLit).isEmpty,
+      "ivfTopKHier diverged")
+    // the edge branches: a SUB-LESS top cell (fallback id) and a
+    // probeTop beyond k1 (trailing null slot) behave identically
+    val d = 8
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(d)(j => if (j == i) 1f else 0f)
+    val hq3 = Similarity.HierQuantizer(2,
+      top = Seq((0, unit(0)), (1, unit(1)), (2, unit(2))),
+      sub = Map(0 -> Seq((0, unit(0)), (1, unit(3))),
+                1 -> Seq((2, unit(1)))))  // top cell 2 has NO sub entry
+    val pts = (0L until 40L).map(i => (i, vec(d)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val n3 = pts.select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec"))
+    val e1 = Similarity.assignCellsHier(n3, hq3, "nbr_vec")
+    val e2 = Similarity.assignCellsHier(n3, hq3, "nbr_vec",
+      maxSubLiteralFloats = 0L)
+    assert(e1.exceptAll(e2).isEmpty && e2.exceptAll(e1).isEmpty,
+      "sub-less fallback diverged between paths")
+    val q3 = pts.limit(5).select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec"))
+    val f1 = Similarity.probeCellsHier(q3, hq3, "q_vec", 5, 6)
+    val f2 = Similarity.probeCellsHier(q3, hq3, "q_vec", 5, 6,
+      maxSubLiteralFloats = 0L)
+    assert(f1.exceptAll(f2).isEmpty && f2.exceptAll(f1).isEmpty,
+      "probeTop>k1 trailing-slot handling diverged between paths")
+  }
+
   test("a RETRAIN carries the folded ledger forward: a dir replayed " +
        "after a refresh is retired, never re-folded (r12 ADVICE)") {
     import org.apache.spark.sql.functions._
