@@ -3349,6 +3349,72 @@ object Queries {
       .orderBy("media_id")
   }
 
+  /** JPEG pixel-decode gate (the DCT-codec face of q301, r13 — the
+    * last stubbed image payload made real): each document's first 12
+    * characters become the grays of a 4×3 grid of FLAT 8×8 tiles,
+    * encoded as a REAL baseline JPEG
+    * ([[graft.operators.Multimodal.jpegGray8Bytes]] — Annex-K Huffman
+    * coding, bit packing, FF00 stuffing, restart markers every 5 MCUs)
+    * and decoded by the pure-JVM baseline decoder
+    * ([[graft.operators.Multimodal.decodeJpegPixels]] — marker walk,
+    * canonical Huffman, dequant, 8×8 IDCT). The flat-tile/quant-8
+    * construction makes the lossy codec EXACT (DC-only blocks), so the
+    * oracle recomputes every statistic from the text: equality proves
+    * the entropy decode, predictor chain, restart handling, and IDCT
+    * are all real. Every pixel of tile t is ord(char t), so px_sum =
+    * 64·Σ ord. */
+  def q318JpegPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, graft.operators.Multimodal.jpegGray8Bytes(
+          txt.substring(0, 12).map(_.toInt).toArray, 4, 3,
+          restartInterval = 5))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.imagePixelStats(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        element_at(col("ch_sum"), 1).as("px_sum"),
+        col("px_min"), col("px_max"),
+        element_at(col("top_left"), 1).as("top_left"),
+        element_at(col("bottom_right"), 1).as("bottom_right"))
+      .orderBy("media_id")
+  }
+
+  /** GIF pixel-decode gate (the LZW-codec face of q301, r13 — with
+    * this, EVERY container format the multimodal module names decodes
+    * for real): each document's first 40 characters become the pixels
+    * of an 8×5 grayscale INTERLACED GIF
+    * ([[graft.operators.Multimodal.gifGray8Bytes]] — real LZW stream,
+    * LSB-first bit packing, clear-code resets, four-pass interlaced
+    * row order, 256-gray palette);
+    * [[graft.operators.Multimodal.decodeGifPixelStats]] must walk the
+    * blocks, decode the LZW indices, de-interlace, and expand the
+    * palette to RGB. GIF is lossless, so the oracle recomputes every
+    * statistic from the text (the q301 convention); the gray palette
+    * makes all three channel sums equal — the first AND last are both
+    * pinned to prove the 3-channel expansion. */
+  def q319GifPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, txt) =>
+        (id, graft.operators.Multimodal.gifGray8Bytes(
+          txt.substring(0, 40).getBytes("US-ASCII"), 8, 5,
+          interlaced = true))
+      }
+      .toDF("media_id", "content")
+    graft.operators.Multimodal.imagePixelStats(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_px"),
+        element_at(col("ch_sum"), 1).as("px_sum"),
+        element_at(col("ch_sum"), 3).as("px_sum_b"),
+        col("px_min"), col("px_max"),
+        element_at(col("top_left"), 1).as("top_left"),
+        element_at(col("bottom_right"), 1).as("bottom_right"))
+      .orderBy("media_id")
+  }
+
   /** WAV sample-decode gate: each document's first 40 characters
     * become mono 16-bit PCM samples (c−100)·256 via
     * [[graft.operators.Multimodal.wavPcm16Bytes]];
@@ -6218,7 +6284,9 @@ object Queries {
     "q314_ann_rerank_recall" -> (q314AnnRerankRecall _),
     "q315_ann_compaction_race" -> (q315AnnCompactionRace _),
     "q316_ann_adaptive_probe" -> (q316AnnAdaptiveProbe _),
-    "q317_ann_subjoin_parity" -> (q317AnnSubJoinParity _)
+    "q317_ann_subjoin_parity" -> (q317AnnSubJoinParity _),
+    "q318_jpeg_pixels" -> (q318JpegPixels _),
+    "q319_gif_pixels" -> (q319GifPixels _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8267,6 +8335,33 @@ object Queries {
         |SELECT doc_id AS media_id, 8 AS width, 5 AS height,
         |  CAST(40 AS BIGINT) AS n_px,
         |  CAST(list_sum(v) AS BIGINT) AS px_sum,
+        |  CAST(list_min(v) AS INT) AS px_min,
+        |  CAST(list_max(v) AS INT) AS px_max,
+        |  CAST(v[1] AS INT) AS top_left,
+        |  CAST(v[40] AS INT) AS bottom_right
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q318_jpeg_pixels" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id,
+        |  list_transform(generate_series(1, 12),
+        |    i -> ord(substr(text, i, 1))) AS v
+        | FROM documents)
+        |SELECT doc_id AS media_id, 32 AS width, 24 AS height,
+        |  CAST(768 AS BIGINT) AS n_px,
+        |  CAST(64 * list_sum(v) AS BIGINT) AS px_sum,
+        |  CAST(list_min(v) AS INT) AS px_min,
+        |  CAST(list_max(v) AS INT) AS px_max,
+        |  CAST(v[1] AS INT) AS top_left,
+        |  CAST(v[12] AS INT) AS bottom_right
+        |FROM b ORDER BY media_id""".stripMargin,
+    "q319_gif_pixels" ->
+      """WITH b AS MATERIALIZED (SELECT doc_id,
+        |  list_transform(generate_series(1, 40),
+        |    i -> ord(substr(text, i, 1))) AS v
+        | FROM documents)
+        |SELECT doc_id AS media_id, 8 AS width, 5 AS height,
+        |  CAST(40 AS BIGINT) AS n_px,
+        |  CAST(list_sum(v) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(v) AS BIGINT) AS px_sum_b,
         |  CAST(list_min(v) AS INT) AS px_min,
         |  CAST(list_max(v) AS INT) AS px_max,
         |  CAST(v[1] AS INT) AS top_left,

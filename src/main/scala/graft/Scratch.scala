@@ -1989,6 +1989,78 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "cellsizesab") {
+      // r13 (r12 ADVICE low): A/B of the two ways a compaction can
+      // produce the `v<n>/cellsizes` artifact at decade scale —
+      //   A: footer-scan readback of the just-written cells (~nCells
+      //      one-file dirs = ~nCells scan tasks; r12 measured 28.3 s
+      //      at 8189 dirs), the old write path;
+      //   B: one aggregate over the compaction's own in-flight frame
+      //      (column-pruned base scan + delta union + broadcast
+      //      anti-join), the new write path.
+      // Usage: SCRATCH_MASTER=local[32] SCRATCH_PARTITIONS=64 \
+      //   runMain graft.Scratch cellsizesab <embeddings decade dir>
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .localCheckpoint(true)
+      val n = e.count()
+      val nCells = math.max(16, (n / 250).toInt)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csab"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(base))
+      val root = s"$base/idx"; val ingest = s"$base/ingest"
+      def t[A](tag: String)(body: => A): A = {
+        val t0 = System.nanoTime(); val r = body
+        println(f"[scratch] cellsizesab $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      t(s"refresh(n=$n,nCells=$nCells)") {
+        Similarity.refreshIvfPqIndexHier(e, nCells, dim = 64, m = 8,
+          kCodes = 128, root, sampleBudget = 8192)
+      }
+      val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+      val cb = Similarity.readPqCodebooks(spark, root, 1)
+      t("delta write (1%)") {
+        Similarity.assignCellsHier(
+            e.filter(col("vec_id") % 100 === 7)
+              .select(col("vec_id").as("nbr_id"),
+                col("embedding").as("nbr_vec")), hq, "nbr_vec")
+          .select(col("nbr_id"),
+            Similarity.pqEncode(col("nbr_vec"), cb).as("codes"),
+            col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id")
+          .parquet(s"$ingest/batch=0")
+      }
+      // pre-retirement copy of the delta so the B re-run below can
+      // rebuild the exact in-flight frame after compaction retires it
+      val deltaCopy = spark.read.parquet(s"$ingest/batch=0")
+        .select("nbr_id", "codes", "cell_id").localCheckpoint(true)
+      Similarity.deleteFromIvfPqIndexHier(spark, root,
+        e.filter(col("vec_id") % 1000 === 3).select("vec_id"))
+      val tombs = spark.read.parquet(s"$root/tombstones")
+        .select(col("nbr_id")).distinct().localCheckpoint(true)
+      t("compact total (B inside)") {
+        Similarity.compactIvfPqIndexHier(spark, root, ingest)
+      }
+      t("A: footer-scan recompute of v2 cellsizes") {
+        Similarity.indexCellSizes(spark, Seq(s"$root/v2/cells"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/ab_a")
+      }
+      t("B: in-flight-frame aggregate (v1 cells + delta - tombs)") {
+        spark.read.parquet(s"$root/v1/cells")
+          .select("nbr_id", "codes", "cell_id")
+          .unionByName(deltaCopy)
+          .join(broadcast(tombs), Seq("nbr_id"), "left_anti")
+          .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/ab_b")
+      }
+      // equality witness: both artifacts describe the same cells
+      val a = spark.read.parquet(s"$base/ab_a")
+      val b = spark.read.parquet(s"$base/ab_b")
+      println(s"[scratch] cellsizesab equal=" +
+        (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty))
+      spark.stop(); return
+    }
     if (name == "subjoinscale") {
       // r13 (r12 verdict item 1): per-row ASSIGNMENT cost of the
       // sub-level broadcast-join formulation across a nCells sweep.

@@ -356,4 +356,215 @@ class MultimodalSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L))
     assert(out(1L) == out(2L))
   }
+
+  // ----- JPEG baseline decode (r13) -----
+
+  test("decodeJpegPixels: flat-tile gray JPEG round-trips EXACTLY " +
+       "through real Huffman/bit-packing/IDCT (q318's construction)") {
+    val tiles = Array(0, 17, 128, 255, 64, 200, 3, 99, 254, 1, 77, 180)
+    val bytes = Multimodal.jpegGray8Bytes(tiles, tilesW = 4, tilesH = 3)
+    val p = Multimodal.decodeJpegPixels(bytes).get
+    assert(p.width == 32 && p.height == 24 && p.channels == 1)
+    // every pixel of tile t equals tiles(t), bit-for-bit
+    var y = 0
+    while (y < 24) {
+      var x = 0
+      while (x < 32) {
+        val want = tiles((y / 8) * 4 + x / 8)
+        val got = p.pixels(y * 32 + x) & 0xff
+        assert(got == want, s"pixel ($x,$y): got $got want $want")
+        x += 1
+      }
+      y += 1
+    }
+    // 0xFF entropy bytes get stuffed: value 255 tiles force them
+    val allBright = Multimodal.jpegGray8Bytes(Array.fill(8)(255), 8, 1)
+    val pb = Multimodal.decodeJpegPixels(allBright).get
+    assert(pb.pixels.forall(b => (b & 0xff) == 255))
+  }
+
+  test("decodeJpegPixels: restart markers reset the DC predictor and " +
+       "byte-align exactly as encoded") {
+    val tiles = Array.tabulate(24)(i => (i * 37 + 5) % 256)
+    for (ri <- Seq(1, 2, 5, 7)) {
+      val bytes = Multimodal.jpegGray8Bytes(tiles, 24, 1, restartInterval = ri)
+      val p = Multimodal.decodeJpegPixels(bytes).get
+      assert(p.width == 192 && p.height == 8)
+      tiles.zipWithIndex.foreach { case (t, i) =>
+        assert((p.pixels(i * 8) & 0xff) == t,
+          s"restartInterval=$ri tile $i: ${p.pixels(i * 8) & 0xff} != $t")
+      }
+    }
+  }
+
+  test("decodeJpegPixels matches the JDK's own libjpeg decode within " +
+       "IDCT rounding on a grayscale ImageIO encoding") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rng = new scala.util.Random(11)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0,
+        (128 + 90 * math.sin(x / 3.0) + 30 * math.cos(y / 2.0) +
+          rng.nextInt(21) - 10).toInt.max(0).min(255))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val mine = Multimodal.decodeJpegPixels(bytes).get
+    assert(mine.width == w && mine.height == h && mine.channels == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ref.getRaster.getSample(x, y, 0)
+      val m = mine.pixels(y * w + x) & 0xff
+      worst = math.max(worst, math.abs(r - m))
+    }
+    // both sides decode the SAME coefficients; the only freedom is the
+    // IDCT implementation (libjpeg fixed-point vs double) — spec says
+    // conforming decoders stay within ±1 of the reference per sample
+    assert(worst <= 2, s"gray decode diverged from libjpeg by $worst")
+  }
+
+  test("decodeJpegPixels: flat-chroma COLOR ImageIO encoding decodes " +
+       "to the right RGB everywhere (4:2:0 upsampling is moot on " +
+       "constant chroma)") {
+    val w = 32; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(180, 90, 40))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val mine = Multimodal.decodeJpegPixels(bytes).get
+    assert(mine.width == w && mine.height == h && mine.channels == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val r = c match {
+        case 0 => (rgb >> 16) & 0xff
+        case 1 => (rgb >> 8) & 0xff
+        case 2 => rgb & 0xff
+      }
+      val m = mine.pixels((y * w + x) * 3 + c) & 0xff
+      worst = math.max(worst, math.abs(r - m))
+    }
+    assert(worst <= 2, s"flat-color decode diverged from libjpeg by $worst")
+  }
+
+  test("decodeJpegPixels quarantines progressive, truncated, and " +
+       "hostile-header payloads") {
+    // progressive: re-encode via ImageIO? the writer is baseline-only,
+    // so hand-flip the SOF marker of a real baseline file to SOF2
+    val bytes = Multimodal.jpegGray8Bytes(Array(100, 150), 2, 1)
+    val prog = bytes.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty, "SOF2 must quarantine")
+    assert(Multimodal.decodeJpegPixels(bytes.take(bytes.length / 2)).isEmpty,
+      "truncated entropy data must quarantine")
+    assert(Multimodal.decodeJpegPixels(Array[Byte](1, 2, 3)).isEmpty)
+    // hostile dimensions: SOF claims 30000x30000 -> allocation cap, None
+    val big = bytes.clone()
+    big(sofAt + 5) = 0x75.toByte; big(sofAt + 6) = 0x30.toByte // h=30000
+    big(sofAt + 7) = 0x75.toByte; big(sofAt + 8) = 0x30.toByte // w=30000
+    assert(Multimodal.decodeJpegPixels(big).isEmpty,
+      "oversized header must quarantine before allocating")
+  }
+
+  test("imagePixelStats decodes JPEG alongside BMP and PNG in one pass") {
+    val px = gradient(9 * 7)
+    val tiles = Array(10, 250, 33, 47)
+    val media = Seq(
+      (1L, Multimodal.bmpGray8Bytes(px, 9, 7)),
+      (2L, Multimodal.jpegGray8Bytes(tiles, 2, 2))
+    ).toDF("media_id", "content")
+    val out = Multimodal.imagePixelStats(media).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("ch_sum").head).toMap
+    assert(out(2L) == tiles.map(_.toLong * 64).sum)
+  }
+
+  // ----- GIF LZW decode (r13) -----
+
+  test("decodeGifPixelStats: grayscale GIF round-trips exactly, " +
+       "interlaced and not") {
+    val px = gradient(16 * 12)
+    for (inter <- Seq(false, true)) {
+      val bytes = Multimodal.gifGray8Bytes(px, 16, 12, interlaced = inter)
+      val s = Multimodal.decodeGifPixelStats(bytes).get
+      assert(s.width == 16 && s.height == 12 && s.channels == 3)
+      val want = px.map(v => (v & 0xff).toLong).sum
+      assert(s.ch_sum.toSeq == Seq(want, want, want),
+        s"interlaced=$inter channel sums diverged")
+      assert(s.top_left.toSeq == Seq.fill(3)(px(0) & 0xff))
+      assert(s.bottom_right.toSeq == Seq.fill(3)(px(16 * 12 - 1) & 0xff))
+    }
+  }
+
+  test("decodeGifPixelStats matches the JDK's own GIF codec on a " +
+       "repetitive image (real dictionary growth, no early clears)") {
+    // repetitive blocks make the JDK writer's LZW build long composite
+    // entries and grow the code width past 9 bits — the paths my
+    // clear-every-128 encoder never exercises
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, ((x / 8) * 16 + (y / 8) * 3) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val bytes = bos.toByteArray
+    val mine = Multimodal.decodeGifPixelStats(bytes).get
+    assert(mine.width == w && mine.height == h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += (ref.getRGB(x, y) & 0xff)
+    // GIF is lossless: my blue-channel sum must equal the JDK's exactly
+    assert(mine.ch_sum(2) == sum,
+      s"LZW decode diverged from the JDK codec: ${mine.ch_sum(2)} vs $sum")
+  }
+
+  test("decodeGifPixelStats quarantines truncated and hostile payloads") {
+    val px = gradient(8 * 8)
+    val bytes = Multimodal.gifGray8Bytes(px, 8, 8)
+    assert(Multimodal.decodeGifPixelStats(
+      bytes.take(bytes.length / 2)).isEmpty, "truncated must quarantine")
+    assert(Multimodal.decodeGifPixelStats(Array[Byte](1, 2, 3)).isEmpty)
+    // hostile dimensions: claim 30000x30000 in both descriptors
+    val big = bytes.clone()
+    def put16(at: Int, v: Int): Unit = {
+      big(at) = (v & 0xff).toByte; big(at + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put16(6, 30000); put16(8, 30000)       // logical screen
+    val imgAt = 13 + 768                    // after header + GCT
+    put16(imgAt + 5, 30000); put16(imgAt + 7, 30000)
+    assert(Multimodal.decodeGifPixelStats(big).isEmpty,
+      "oversized header must quarantine before allocating")
+  }
+
+  test("imagePixelStats decodes all four real containers in one pass") {
+    val px = gradient(9 * 7)
+    val tiles = Array(10, 250, 33, 47)
+    val media = Seq(
+      (1L, Multimodal.bmpGray8Bytes(px, 9, 7)),
+      (2L, Multimodal.pngBytes(px, 9, 7)),
+      (3L, Multimodal.jpegGray8Bytes(tiles, 2, 2)),
+      (4L, Multimodal.gifGray8Bytes(px, 9, 7))
+    ).toDF("media_id", "content")
+    val out = Multimodal.imagePixelStats(media).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Long]]("ch_sum").head).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == out(2L) && out(1L) == out(4L))
+    assert(out(3L) == tiles.map(_.toLong * 64).sum)
+  }
 }
