@@ -758,9 +758,21 @@ object Similarity {
     * cosines per row instead of nCells. A top cell with no sub entry
     * (a Lloyd centroid that captured no sample member) falls back to
     * its first global id, keeping `cell_id` total. */
+  /** Assignment-side sub-literal ceiling — LOWER than the probe-side
+    * [[SubLiteralMaxFloats]] because assignment is corpus-side by
+    * definition: the broadcast's fixed per-job overhead amortizes over
+    * every corpus row, and the `subjoinscale` sweep measured the join
+    * formulation FASTER per row from 1024 cells × 64 dims (65k floats)
+    * up — 6.7 vs 8.8 µs/row there, 3.8× faster at 64k cells — so
+    * corpus-scale assignment switches as soon as the join wins, while
+    * small query batches keep the zero-job literal until the literal
+    * itself becomes the problem. */
+  val AssignSubLiteralMaxFloats: Long = 64L << 10
+
   def assignCellsHier(df: DataFrame, quant: HierQuantizer,
                       vecCol: String,
-                      maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+                      maxSubLiteralFloats: Long =
+                        AssignSubLiteralMaxFloats)
   : DataFrame = {
     val withC1 = df.withColumn("__c1", topCellExpr(quant, vecCol))
     // the sub level rides as a plan literal under the measured ceiling
@@ -1029,7 +1041,8 @@ object Similarity {
       queries: DataFrame, k: Int, probeTop: Int = 4,
       candidateFactor: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+      maxBroadcastProbeRows: Long = 1L << 20,
+      queryCountHint: Option[Long] = None): DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed index version under $root"))
     val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
@@ -1038,7 +1051,8 @@ object Similarity {
       queries, k, probeTop, candidateFactor,
       Some(readCellSizes(spark, root, v)), idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
-      maxBroadcastProbeRows = maxBroadcastProbeRows)
+      maxBroadcastProbeRows = maxBroadcastProbeRows,
+      queryCountHint = queryCountHint)
   }
 
   /** IVF top-k under a [[HierQuantizer]] — [[ivfTopK]] with the flat
@@ -2285,7 +2299,8 @@ object Similarity {
                               nProbe: Int, probeTop: Int = 2,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
-                              maxBroadcastProbeRows: Long = 1L << 20)
+                              maxBroadcastProbeRows: Long = 1L << 20,
+                              queryCountHint: Option[Long] = None)
   : DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed index version under $root"))
@@ -2304,7 +2319,8 @@ object Similarity {
     queryIvfPqIndexHierPaths(spark, paths, hq, cb,
       queries, k, nProbe, probeTop, idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
-      maxBroadcastProbeRows = maxBroadcastProbeRows)
+      maxBroadcastProbeRows = maxBroadcastProbeRows,
+      queryCountHint = queryCountHint)
   }
 
   /** [[queryLiveIvfPqIndexHier]] with the ADAPTIVE probe — the last
@@ -2323,7 +2339,8 @@ object Similarity {
       ingestRoot: String, queries: DataFrame, k: Int, probeTop: Int = 4,
       candidateFactor: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxBroadcastProbeRows: Long = 1L << 20): DataFrame = {
+      maxBroadcastProbeRows: Long = 1L << 20,
+      queryCountHint: Option[Long] = None): DataFrame = {
     val v = currentIvfVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed index version under $root"))
     val hq = readHierQuantizer(spark, s"$root/v$v/quantizer")
@@ -2341,7 +2358,8 @@ object Similarity {
     queryIvfPqIndexHierAdaptive(spark, paths, hq, cb, queries, k,
       probeTop, candidateFactor, Some(sizes), idCol, vecCol,
       tombstones = readTombstoneIds(spark, root),
-      maxBroadcastProbeRows = maxBroadcastProbeRows)
+      maxBroadcastProbeRows = maxBroadcastProbeRows,
+      queryCountHint = queryCountHint)
   }
 
   /** EXACT-vector re-rank tier over an approximate candidate pool —
