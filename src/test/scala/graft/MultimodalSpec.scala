@@ -567,4 +567,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(1L) == out(4L))
     assert(out(3L) == tiles.map(_.toLong * 64).sum)
   }
+
+  test("decodeJpegPixels: varying-chroma color ImageIO encoding stays " +
+       "close to libjpeg (box vs triangle upsample differs only at " +
+       "chroma edges)") {
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255 / (w - 1)) & 0xff
+      val g = (y * 255 / (h - 1)) & 0xff
+      val b = ((x + y) * 255 / (w + h - 2)) & 0xff
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val mine = Multimodal.decodeJpegPixels(bytes).get
+    assert(mine.width == w && mine.height == h && mine.channels == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sumDiff = 0L; var n = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val r = c match {
+        case 0 => (rgb >> 16) & 0xff
+        case 1 => (rgb >> 8) & 0xff
+        case 2 => rgb & 0xff
+      }
+      sumDiff += math.abs(r - (mine.pixels((y * w + x) * 3 + c) & 0xff))
+      n += 1
+    }
+    val mean = sumDiff.toDouble / n
+    // a channel swap or broken upsample reads ~40+ mean; upsample
+    // filter choice alone stays in low single digits on a gradient
+    assert(mean <= 6.0, f"mean |diff| vs libjpeg too high: $mean%.2f")
+  }
+
+  test("decodeGifPixelStats: local color table and a small LZW code " +
+       "size decode (hand-built 4-color GIF)") {
+    // 2x2 image, indices 0..3, 4-entry LCT, minCode=2
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = bos.write(v & 0xff)
+    def b16(v: Int): Unit = { b(v); b(v >> 8) }
+    "GIF89a".foreach(c => b(c))
+    b16(2); b16(2); b(0x00); b(0); b(0) // no GCT
+    // image descriptor, packed 0x81: LCT flag + size bits 1 → 4 entries
+    b(0x2c); b16(0); b16(0); b16(2); b16(2); b(0x81)
+    val pal = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220))
+    pal.foreach { case (r, g, bl) => b(r); b(g); b(bl) }
+    b(2) // LZW min code size
+    // codes (3-bit): clear=4, eoi=5; literals 0,1,2,3
+    var acc = 0L; var nbits = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def put(code: Int, width: Int): Unit = {
+      acc |= (code.toLong & ((1L << width) - 1)) << nbits; nbits += width
+      while (nbits >= 8) { body.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    put(4, 3) // clear
+    put(0, 3); put(1, 3); put(2, 3) // dict grows: 6,7 -> width stays 3 until next==8
+    put(3, 4) // after adding entry 7, width grew to 4
+    put(5, 4) // EOI
+    if (nbits > 0) body.write((acc & 0xff).toInt)
+    val data = body.toByteArray
+    b(data.length); data.foreach(d => b(d))
+    b(0); b(0x3b)
+    val s = Multimodal.decodeGifPixelStats(bos.toByteArray).get
+    assert(s.width == 2 && s.height == 2 && s.channels == 3)
+    assert(s.ch_sum.toSeq == Seq(10L + 40 + 70 + 200, 20L + 50 + 80 + 210,
+      30L + 60 + 90 + 220))
+    assert(s.top_left.toSeq == Seq(10, 20, 30))
+    assert(s.bottom_right.toSeq == Seq(200, 210, 220))
+  }
 }

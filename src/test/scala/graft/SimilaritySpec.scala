@@ -1690,6 +1690,46 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.currentIvfVersion(spark, root).contains(2))
   }
 
+  test("a pre-fingerprint ledger (batch column only) still recognizes " +
+       "replayed dirs by id — back-compat with r12 roots") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 60L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("oldledger").toString
+    val root = s"$tmp/idx"
+    val ingest = s"$tmp/ingest"
+    Similarity.refreshIvfPqIndexHier(base, nCells = 9, dim = 16,
+      m = 4, kCodes = 4, root, sampleBudget = 60)
+    val hq = Similarity.readHierQuantizer(spark, s"$root/v1/quantizer")
+    val cb = Similarity.readPqCodebooks(spark, root, 1)
+    Similarity.assignCellsHier(
+        (100L until 110L).map(i => (i, vec(16))).toDF("vec_id", "embedding")
+          .select($"vec_id".as("nbr_id"), $"embedding".as("nbr_vec")),
+        hq, "nbr_vec")
+      .select($"nbr_id", Similarity.pqEncode($"nbr_vec", cb).as("codes"),
+        $"cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    val batch0 = spark.read.parquet(s"$ingest/batch=0")
+      .select("nbr_id", "codes", "cell_id").localCheckpoint(true)
+    val (v2, _) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    // rewrite v2's ledger in the r12 single-column shape
+    Seq(0L).toDF("batch").coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/v$v2/folded")
+    // replay the retired dir byte-identically: the id-only ledger must
+    // still absorb it (retire, no fold, no fingerprint failure)
+    batch0.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$ingest/batch=0")
+    val (vSame, done) = Similarity.compactIvfPqIndexHier(spark, root, ingest)
+    assert(vSame == v2 && done == Seq(0L),
+      s"id-only ledger must complete retirement: v$vSame, $done")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ingest/batch=0")))
+    assert(spark.read.parquet(s"$root/v$v2/cells")
+      .groupBy("nbr_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("live adaptive probe equals the path probe over explicitly " +
        "summed base+delta sizes, with tombstones masked") {
     import org.apache.spark.sql.functions._
