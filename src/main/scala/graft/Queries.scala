@@ -3816,6 +3816,35 @@ object Queries {
     graft.operators.Multimodal.imageDHash(media).orderBy("media_id")
   }
 
+  /** Cross-container dHash gate (r13): the SAME 18×8 gray pixels as
+    * q260, but GIF-encoded (interlaced — LZW + de-interlace + palette
+    * on the decode path) and hashed through the container-generic
+    * [[graft.operators.Multimodal.imageDHashAny]]; the in-gate require
+    * additionally pins the PNG encoding of the same pixels to the
+    * SAME hash (the cross-format near-dup property: one fingerprint
+    * space across every container). The oracle recomputes the hash
+    * from the text exactly like q260's. */
+  def q320DhashCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txt = t(s, dir, "documents")
+      .select(col("doc_id"), rpad(col("text"), 144, "x").as("t"))
+      .as[(Long, String)].localCheckpoint(true)
+    val viaGif = graft.operators.Multimodal.imageDHashAny(
+      txt.map { case (id, x) =>
+        (id, graft.operators.Multimodal.gifGray8Bytes(
+          x.getBytes("US-ASCII"), 18, 8, interlaced = true))
+      }.toDF("media_id", "content"))
+    val viaPng = graft.operators.Multimodal.imageDHashAny(
+      txt.map { case (id, x) =>
+        (id, graft.operators.Multimodal.pngBytes(
+          x.getBytes("US-ASCII"), 18, 8))
+      }.toDF("media_id", "content"))
+    require(viaGif.exceptAll(viaPng).isEmpty &&
+      viaPng.exceptAll(viaGif).isEmpty,
+      "the same pixels hashed differently through GIF and PNG containers")
+    viaGif.orderBy("media_id")
+  }
+
   /** Theil–Sen gate on the daily-cents series: both medians are
     * rank-selected (type-1, index tie-breaks) over doubles both
     * engines compute identically — one exact-integer division per
@@ -6286,7 +6315,8 @@ object Queries {
     "q316_ann_adaptive_probe" -> (q316AnnAdaptiveProbe _),
     "q317_ann_subjoin_parity" -> (q317AnnSubJoinParity _),
     "q318_jpeg_pixels" -> (q318JpegPixels _),
-    "q319_gif_pixels" -> (q319GifPixels _)
+    "q319_gif_pixels" -> (q319GifPixels _),
+    "q320_dhash_cross" -> (q320DhashCross _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8769,6 +8799,24 @@ object Queries {
         |FROM u GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
     "q260_image_dhash" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, rpad(text, 144, 'x') AS s
+        | FROM documents),
+        |cells AS (SELECT doc_id, r.r, c.c,
+        |  (ord(substr(s, r.r * 18 + 2 * c.c + 1, 1)) +
+        |   ord(substr(s, r.r * 18 + 2 * c.c + 2, 1))) // 2 AS m
+        | FROM t, generate_series(0, 7) r(r), generate_series(0, 8) c(c)),
+        |bits AS (SELECT a.doc_id, a.r,
+        |  CAST(sum(CASE WHEN a.m < b.m THEN 1 << a.c ELSE 0 END) AS INT)
+        |    AS byte
+        | FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.r = a.r
+        |  AND b.c = a.c + 1
+        | WHERE a.c < 8 GROUP BY a.doc_id, a.r)
+        |SELECT doc_id AS media_id,
+        |  string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash
+        |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // q320: same text-derived 18x8 grid as q260, decoded from the GIF
+    // container via the generic dHash path; PNG-equality rides require()
+    "q320_dhash_cross" ->
       """WITH t AS MATERIALIZED (SELECT doc_id, rpad(text, 144, 'x') AS s
         | FROM documents),
         |cells AS (SELECT doc_id, r.r, c.c,

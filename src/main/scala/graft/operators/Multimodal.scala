@@ -549,7 +549,13 @@ object Multimodal {
     * (gray+alpha), 6 (RGBA), non-interlaced. None (quarantine) for
     * 16-bit, interlaced, CRC-corrupt, or truncated payloads. PNG rows
     * are stored top-down, so corners are direct. */
-  def decodePngPixels(content: Array[Byte]): Option[BmpPixelStats] = {
+  def decodePngPixels(content: Array[Byte]): Option[BmpPixelStats] =
+    decodePngPixelsRaw(content).map(pixelStats)
+
+  /** The raw-pixel face of [[decodePngPixels]] (r13): same chunk walk,
+    * CRC checks, inflate, and unfilter, materialized as interleaved
+    * samples (palette expanded to RGB) instead of folded stats. */
+  def decodePngPixelsRaw(content: Array[Byte]): Option[ImagePixels] = {
     val b = content
     if (b.length < 8 || (0 until 8).exists(i => u8(b, i) != pngSig(i)))
       return None
@@ -633,7 +639,7 @@ object Multimodal {
       }
       y += 1
     }
-    // palette expansion (type 3 → RGB) happens at the sample fold
+    // palette expansion (type 3 → RGB) happens at materialization
     val chOut = if (colorType == 3) 3 else chIn
     def sample(yy: Int, xx: Int, cc: Int): Int = {
       val base = yy * (1 + rowLen) + 1
@@ -642,27 +648,21 @@ object Multimodal {
         if (idx * 3 + cc >= plte.length) 0 else u8(plte, idx * 3 + cc)
       } else u8(raw, base + xx * chIn + cc)
     }
-    val sums = new Array[Long](chOut)
-    var mn = 255; var mx = 0
+    val out = new Array[Byte](w * h * chOut)
     y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         var cc = 0
         while (cc < chOut) {
-          val v = sample(y, x, cc)
-          sums(cc) += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
+          out((y * w + x) * chOut + cc) = sample(y, x, cc).toByte
           cc += 1
         }
         x += 1
       }
       y += 1
     }
-    Some(BmpPixelStats(w, h, chOut, w.toLong * h, sums, mn, mx,
-      Array.tabulate(chOut)(sample(0, 0, _)),
-      Array.tabulate(chOut)(sample(h - 1, w - 1, _))))
+    Some(ImagePixels(w, h, chOut, out))
   }
 
   /** Per-row image pixel statistics over a (media_id, content) frame —
@@ -713,6 +713,19 @@ object Multimodal {
     val stride = ((w + 3) / 4) * 4
     if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
       return None
+    def sample(yy: Int, xx: Int): Int = {
+      val fileRow = if (topDown) yy else h - 1 - yy
+      u8(b, dataOff + fileRow * stride + xx)
+    }
+    dHashCells(sample, w, h)
+  }
+
+  /** The dHash grid shared by every container path: floor-averaged
+    * 9×8 cells over an integer gray sampler, bit c of row r set when
+    * cell (r,c) is darker than its right neighbor, 16 lowercase hex
+    * chars. None when the image doesn't tile (w % 9, h % 8). */
+  private def dHashCells(sample: (Int, Int) => Int, w: Int, h: Int)
+  : Option[String] = {
     if (w % 9 != 0 || h % 8 != 0) return None
     val cw = w / 9; val chh = h / 8
     val m = Array.ofDim[Long](8, 9)
@@ -723,11 +736,9 @@ object Multimodal {
         var s = 0L
         var dy = 0
         while (dy < chh) {
-          val yy = r * chh + dy
-          val fileRow = if (topDown) yy else h - 1 - yy
           var dx = 0
           while (dx < cw) {
-            s += u8(b, dataOff + fileRow * stride + c * cw + dx)
+            s += sample(r * chh + dy, c * cw + dx)
             dx += 1
           }
           dy += 1
@@ -750,6 +761,49 @@ object Multimodal {
       r += 1
     }
     Some(sb.toString)
+  }
+
+  /** [[dHashBmp]] generalized to EVERY real container this module
+    * decodes (r13): BMP keeps its allocation-free byte walk; PNG,
+    * JPEG, and GIF go through their raw-pixel decoders. Gray for the
+    * hash: single-channel samples directly (bit-identical to
+    * [[dHashBmp]] on the same pixels — a gray GIF palette or gray PNG
+    * of the same image hashes EQUAL to its BMP, the cross-container
+    * dedup property q320 gates); 2-channel gray+alpha uses the gray
+    * channel; RGB(A) takes the integer BT.601 luma
+    * (299·R + 587·G + 114·B) / 1000 — exact integer math, so any
+    * engine replays the hash from the pixel values. */
+  def dHashImage(content: Array[Byte]): Option[String] =
+    dHashBmp(content).orElse {
+      decodePngPixelsRaw(content)
+        .orElse(decodeJpegPixels(content))
+        .orElse(decodeGifPixelsRaw(content))
+        .flatMap { p =>
+          val ch = p.channels
+          def gray(yy: Int, xx: Int): Int = {
+            val o = (yy * p.width + xx) * ch
+            if (ch <= 2) p.pixels(o) & 0xff
+            else (299 * (p.pixels(o) & 0xff) + 587 * (p.pixels(o + 1) & 0xff) +
+              114 * (p.pixels(o + 2) & 0xff)) / 1000
+          }
+          dHashCells(gray, p.width, p.height)
+        }
+    }
+
+  /** Per-row [[dHashImage]] over a (media_id, content) frame — every
+    * real container, same batched mapPartitions shape; non-decodable
+    * or non-tiling rows are quarantined (dropped). */
+  def imageDHashAny(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+          dHashImage(bytes).map(hx => (id, hx))
+        })
+      }
+      .select(col("_1").as("media_id"), col("_2").as("dhash"))
   }
 
   /** Per-row dHash over a (media_id, content) frame — the batched
@@ -806,10 +860,11 @@ object Multimodal {
   // flat-tile encoder below, whose decode is exact by construction.
   // -----------------------------------------------------------------
 
-  /** Decoded baseline JPEG: interleaved samples, `channels` ∈ {1, 3}
-    * (grayscale, RGB). */
-  final case class JpegPixels(width: Int, height: Int, channels: Int,
-                              pixels: Array[Byte])
+  /** Decoded raw image: interleaved samples, `channels` ∈ {1, 2, 3, 4}
+    * (gray, gray+alpha, RGB, RGBA) — the shared shape every real
+    * pixel decoder (PNG/JPEG/GIF; BMP folds directly) returns. */
+  final case class ImagePixels(width: Int, height: Int, channels: Int,
+                               pixels: Array[Byte])
 
   private object JpegFail extends Exception with
     scala.util.control.NoStackTrace
@@ -908,13 +963,13 @@ object Multimodal {
     * scope. Returns None (quarantine) on anything outside it or on a
     * malformed stream; never throws on hostile input (allocation is
     * capped before it happens, like [[decodePngPixels]]). */
-  def decodeJpegPixels(content: Array[Byte]): Option[JpegPixels] =
+  def decodeJpegPixels(content: Array[Byte]): Option[ImagePixels] =
     try decodeJpeg(content) catch {
       case JpegFail => None
       case _: ArrayIndexOutOfBoundsException => None
     }
 
-  private def decodeJpeg(b: Array[Byte]): Option[JpegPixels] = {
+  private def decodeJpeg(b: Array[Byte]): Option[ImagePixels] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     val qt = new Array[Array[Int]](4)
@@ -1119,7 +1174,7 @@ object Multimodal {
         }
         y += 1
       }
-      Some(JpegPixels(w, h, 1, out))
+      Some(ImagePixels(w, h, 1, out))
     } else {
       val out = new Array[Byte](w * h * 3)
       val pw = comps.map(c => mcusX * c.h * 8)
@@ -1146,31 +1201,34 @@ object Multimodal {
         }
         y += 1
       }
-      Some(JpegPixels(w, h, 3, out))
+      Some(ImagePixels(w, h, 3, out))
     }
   }
 
-  /** [[decodeJpegPixels]] folded to the exact-integer stats shape every
+  /** Fold decoded raw pixels to the exact-integer stats shape every
     * image gate shares ([[BmpPixelStats]]). */
-  def decodeJpegPixelStats(content: Array[Byte]): Option[BmpPixelStats] =
-    decodeJpegPixels(content).map { p =>
-      val ch = p.channels
-      val sums = new Array[Long](ch)
-      var mn = 255; var mx = 0
-      var i = 0
-      while (i < p.pixels.length) {
-        val v = p.pixels(i) & 0xff
-        sums(i % ch) += v
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        i += 1
-      }
-      BmpPixelStats(p.width, p.height, ch, p.width.toLong * p.height,
-        sums, mn, mx,
-        Array.tabulate(ch)(c => p.pixels(c) & 0xff),
-        Array.tabulate(ch)(c =>
-          p.pixels((p.height.toLong * p.width - 1).toInt * ch + c) & 0xff))
+  private def pixelStats(p: ImagePixels): BmpPixelStats = {
+    val ch = p.channels
+    val sums = new Array[Long](ch)
+    var mn = 255; var mx = 0
+    var i = 0
+    while (i < p.pixels.length) {
+      val v = p.pixels(i) & 0xff
+      sums(i % ch) += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
     }
+    BmpPixelStats(p.width, p.height, ch, p.width.toLong * p.height,
+      sums, mn, mx,
+      Array.tabulate(ch)(c => p.pixels(c) & 0xff),
+      Array.tabulate(ch)(c =>
+        p.pixels((p.height.toLong * p.width - 1).toInt * ch + c) & 0xff))
+  }
+
+  /** [[decodeJpegPixels]] folded to [[BmpPixelStats]]. */
+  def decodeJpegPixelStats(content: Array[Byte]): Option[BmpPixelStats] =
+    decodeJpegPixels(content).map(pixelStats)
 
   // Annex K (ITU T.81, Tables K.3/K.5) typical luminance Huffman
   // tables — public spec constants, used by the flat-tile encoder.
@@ -1310,12 +1368,16 @@ object Multimodal {
     * expands to RGB, channels = 3). None (quarantine) on truncation,
     * a missing color table, or an LZW stream that derails. */
   def decodeGifPixelStats(content: Array[Byte]): Option[BmpPixelStats] =
+    decodeGifPixelsRaw(content).map(pixelStats)
+
+  /** The raw-pixel face of the GIF decode (r13): interleaved RGB. */
+  def decodeGifPixelsRaw(content: Array[Byte]): Option[ImagePixels] =
     try decodeGif(content) catch {
       case GifFail => None
       case _: ArrayIndexOutOfBoundsException => None
     }
 
-  private def decodeGif(b: Array[Byte]): Option[BmpPixelStats] = {
+  private def decodeGif(b: Array[Byte]): Option[ImagePixels] = {
     if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
       return None
@@ -1376,39 +1438,30 @@ object Multimodal {
             while (y < h) { rowMap(y) = y; y += 1 }
           }
           val nPal = pal.length / 3
-          def rgb(y: Int, x: Int, c: Int): Int = {
-            // find the PRODUCED row that lands at spec row y
-            val v = idx(srcRow(y) * w + x) & 0xff
-            if (v >= nPal) 0 else u8(pal, v * 3 + c)
-          }
           // invert rowMap once: spec row → produced row
-          lazy val srcRow: Array[Int] = {
+          val srcRow: Array[Int] = {
             val inv = new Array[Int](h)
             var j = 0
             while (j < h) { inv(rowMap(j)) = j; j += 1 }
             inv
           }
-          val sums = new Array[Long](3)
-          var mn = 255; var mx = 0
+          val out = new Array[Byte](w * h * 3)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
+              val v = idx(srcRow(y) * w + x) & 0xff
               var c = 0
               while (c < 3) {
-                val v = rgb(y, x, c)
-                sums(c) += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
+                out((y * w + x) * 3 + c) =
+                  (if (v >= nPal) 0 else u8(pal, v * 3 + c)).toByte
                 c += 1
               }
               x += 1
             }
             y += 1
           }
-          return Some(BmpPixelStats(w, h, 3, w.toLong * h, sums, mn, mx,
-            Array.tabulate(3)(rgb(0, 0, _)),
-            Array.tabulate(3)(rgb(h - 1, w - 1, _))))
+          return Some(ImagePixels(w, h, 3, out))
         case _ => return None
       }
     }

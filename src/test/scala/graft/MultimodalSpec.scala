@@ -639,4 +639,37 @@ class MultimodalSpec extends SparkSpec {
     assert(s.top_left.toSeq == Seq(10, 20, 30))
     assert(s.bottom_right.toSeq == Seq(200, 210, 220))
   }
+
+  test("dHashImage: the same pixels hash identically through BMP, " +
+       "PNG, GIF, and flat-tile JPEG containers (cross-format dedup)") {
+    val px = gradient(18 * 8)
+    val viaBmp = Multimodal.dHashImage(Multimodal.bmpGray8Bytes(px, 18, 8))
+    val viaPng = Multimodal.dHashImage(Multimodal.pngBytes(px, 18, 8))
+    val viaGif = Multimodal.dHashImage(Multimodal.gifGray8Bytes(px, 18, 8))
+    val viaGifI = Multimodal.dHashImage(
+      Multimodal.gifGray8Bytes(px, 18, 8, interlaced = true))
+    assert(viaBmp.isDefined && viaBmp == viaPng && viaBmp == viaGif &&
+      viaBmp == viaGifI,
+      s"cross-container dhash diverged: $viaBmp $viaPng $viaGif $viaGifI")
+    // JPEG: 72x8 of flat 8x8 tiles (the exact-decode construction);
+    // the BMP of the SAME expanded pixels must hash equal
+    val tiles = Array(5, 250, 60, 200, 10, 180, 90, 30, 140)
+    val expanded = new Array[Byte](72 * 8)
+    for (y <- 0 until 8; x <- 0 until 72)
+      expanded(y * 72 + x) = tiles(x / 8).toByte
+    val viaJpeg = Multimodal.dHashImage(
+      Multimodal.jpegGray8Bytes(tiles, 9, 1))
+    val viaBmp72 = Multimodal.dHashImage(
+      Multimodal.bmpGray8Bytes(expanded, 72, 8))
+    assert(viaJpeg.isDefined && viaJpeg == viaBmp72,
+      s"JPEG flat-tile dhash diverged: $viaJpeg vs $viaBmp72")
+    // a flat image hashes all-zero (no cell darker than its neighbor),
+    // through the palette->RGB->luma path
+    val flat = Multimodal.dHashImage(
+      Multimodal.gifGray8Bytes(Array.fill(9 * 8)(77.toByte), 9, 8))
+    assert(flat.contains("00" * 8), s"flat image must hash all-zero: $flat")
+    // non-tiling quarantines through every path
+    assert(Multimodal.dHashImage(
+      Multimodal.gifGray8Bytes(Array.fill(10 * 8)(1.toByte), 10, 8)).isEmpty)
+  }
 }
