@@ -425,6 +425,51 @@ object Multimodal {
     out
   }
 
+  /** Minimal REAL 24/32-bpp BMP encoder for fixtures/gates — the color
+    * twin of [[bmpGray8Bytes]]: `pixels` are RGB(A)-interleaved in
+    * LOGICAL top-down row order; the file stores them bottom-up in
+    * BMP's B,G,R[,A] channel order with 4-byte row stride (pad bytes
+    * 0xEE so stride mistakes corrupt stats loudly). `channels` 3 or
+    * 4. */
+  def bmpRgbBytes(pixels: Array[Byte], w: Int, h: Int,
+                  channels: Int = 3): Array[Byte] = {
+    require(channels == 3 || channels == 4, "bmpRgbBytes encodes 24/32 bpp")
+    require(pixels.length == w * h * channels, s"need ${w * h * channels} bytes")
+    val stride = ((w * channels + 3) / 4) * 4
+    val dataOff = 14 + 40
+    val size = dataOff + stride * h
+    val out = new Array[Byte](size)
+    def p16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def p32(i: Int, v: Long): Unit = {
+      var k = 0
+      while (k < 4) { out(i + k) = ((v >> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, size); p32(10, dataOff)
+    p32(14, 40); p32(18, w); p32(22, h)
+    p16(26, 1); p16(28, channels * 8); p32(30, 0)
+    var y = 0
+    while (y < h) {
+      val rowOff = dataOff + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val src = (y * w + x) * channels
+        val dst = rowOff + x * channels
+        out(dst) = pixels(src + 2)     // B
+        out(dst + 1) = pixels(src + 1) // G
+        out(dst + 2) = pixels(src)     // R
+        if (channels == 4) out(dst + 3) = pixels(src + 3)
+        x += 1
+      }
+      var p = w * channels
+      while (p < stride) { out(rowOff + p) = 0xEE.toByte; p += 1 }
+      y += 1
+    }
+    out
+  }
+
   /** Byte builder for a mono 16-bit PCM WAV. */
   def wavPcm16Bytes(samples: Array[Short],
                     sampleRate: Int = 8000): Array[Byte] = {
@@ -598,8 +643,16 @@ object Multimodal {
     // cap — same contract decodeBmpPixels enforces via content length
     val rowLenL = w.toLong * chIn
     val expectL = h.toLong * (1L + rowLenL)
-    val maxDecodeBytes = 1L << 28 // 256 MiB of raw pixels per image
-    if (expectL <= 0 || expectL > maxDecodeBytes) return None
+    val maxDecodeBytes = 1L << 28 // 256 MiB TOTAL per image decode
+    // the cap must bound EVERYTHING this call allocates: the inflated
+    // filter buffer AND the materialized interleaved output — for a
+    // palette image the output is w·h·3, triple the raw buffer, so a
+    // cap on `raw` alone would let a hostile palette PNG allocate
+    // ~1 GiB per task (r13 ADVICE)
+    val chOutL: Long = if (colorType == 3) 3 else chIn
+    val outL = w.toLong * h * chOutL
+    if (expectL <= 0 || outL <= 0 || expectL + outL > maxDecodeBytes)
+      return None
     val rowLen = rowLenL.toInt
     val expect = expectL.toInt
     val raw = new Array[Byte](expect)
@@ -691,14 +744,20 @@ object Multimodal {
         col("_2.bottom_right").as("bottom_right"))
   }
 
-  /** Difference-hash (dHash) of an uncompressed 8-bit BMP: box-average
-    * the image onto a 9×8 grid (integer floor means — the image must
-    * tile evenly: w % 9 == 0, h % 8 == 0, else quarantine None), set
-    * bit c of row r when cell (r,c) is darker than its right neighbor,
-    * and emit the 64 bits as 16 lowercase hex chars (two per row, no
-    * signed-long bit-63 hazard). The standard perceptual near-dup
-    * fingerprint for image dedup — all-integer, so any engine replays
-    * it from the pixel values. */
+  /** Difference-hash (dHash) of an uncompressed 8/24/32-bpp BMP:
+    * box-average the image onto a 9×8 grid (integer floor means — the
+    * image must tile evenly: w % 9 == 0, h % 8 == 0, else quarantine
+    * None), set bit c of row r when cell (r,c) is darker than its
+    * right neighbor, and emit the 64 bits as 16 lowercase hex chars
+    * (two per row, no signed-long bit-63 hazard). 8-bpp samples the
+    * byte directly; 24/32-bpp takes the integer BT.601 luma — and
+    * since BMP stores channels in B,G,R[,A] file order, the luma reads
+    * R from offset +2 and B from +0, so the SAME RGB pixels hash equal
+    * through BMP and PNG (the cross-container property q320/q322
+    * gate; was 8-bpp-only until the r13 ADVICE flagged the color-BMP
+    * gap). The standard perceptual near-dup fingerprint for image
+    * dedup — all-integer, so any engine replays it from the pixel
+    * values. */
   def dHashBmp(content: Array[Byte]): Option[String] = {
     val b = content
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
@@ -709,13 +768,18 @@ object Multimodal {
     val topDown = hRaw < 0
     val bpp = u16le(b, 28)
     val compression = u32le(b, 30)
-    if (w <= 0 || h <= 0 || compression != 0L || bpp != 8) return None
-    val stride = ((w + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || compression != 0L ||
+        (bpp != 8 && bpp != 24 && bpp != 32)) return None
+    val ch = bpp / 8
+    val stride = ((w * ch + 3) / 4) * 4
     if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
       return None
     def sample(yy: Int, xx: Int): Int = {
       val fileRow = if (topDown) yy else h - 1 - yy
-      u8(b, dataOff + fileRow * stride + xx)
+      val o = dataOff + fileRow * stride + xx * ch
+      if (ch == 1) u8(b, o)
+      else (299 * u8(b, o + 2) + 587 * u8(b, o + 1) +
+        114 * u8(b, o)) / 1000 // B,G,R file order → BT.601 luma
     }
     dHashCells(sample, w, h)
   }
@@ -1002,6 +1066,15 @@ object Multimodal {
           }
           if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
               c.tq > 3)) return None
+          // T.81 A.2: a SINGLE-component scan is NON-INTERLEAVED — one
+          // data unit per MCU in raster order over ceil(w/8)×ceil(h/8)
+          // blocks — so the declared sampling factors do NOT shape the
+          // MCU. A grayscale frame that kept 2×2 Y factors (common
+          // after a color→gray conversion) would otherwise decode as
+          // h×v-block MCUs with silently misplaced blocks whenever the
+          // dimensions are multiples of 16 (r13 ADVICE). Normalizing to
+          // 1×1 here reproduces the spec/libjpeg behavior.
+          if (nf == 1) comps = comps.map(c => c.copy(h = 1, v = 1))
           i += len
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
@@ -1282,9 +1355,16 @@ object Multimodal {
     * image equals the input tile values bit-for-bit, with real Huffman
     * coding, bit packing, FF00 stuffing, and (optionally) DRI/RSTn
     * restart-marker mechanics in between. `tiles` is row-major
-    * tilesH×tilesW of 0–255 grays. */
+    * tilesH×tilesW of 0–255 grays. `samplingHV` is the DECLARED
+    * h<<4|v sampling byte (default 1×1): per T.81 A.2 a one-component
+    * scan is non-interleaved whatever the frame declares, so the
+    * entropy stream below (one data unit per MCU, raster order) is the
+    * correct encoding for ANY declared factors — a 0x22 value
+    * reproduces the post-gray-conversion frames the r14 decode fix
+    * targets. */
   def jpegGray8Bytes(tiles: Array[Int], tilesW: Int, tilesH: Int,
-                     restartInterval: Int = 0): Array[Byte] = {
+                     restartInterval: Int = 0,
+                     samplingHV: Int = 0x11): Array[Byte] = {
     require(tiles.length == tilesW * tilesH, "tiles must be tilesW×tilesH")
     require(tiles.forall(t => t >= 0 && t <= 255), "tile grays are 0-255")
     val bos = new java.io.ByteArrayOutputStream()
@@ -1295,7 +1375,7 @@ object Multimodal {
     (0 until 64).foreach(_ => b(8))
     b(0xff); b(0xc0); b16(11) // SOF0, 1 component
     b(8); b16(tilesH * 8); b16(tilesW * 8); b(1)
-    b(1); b(0x11); b(0) // id 1, 1x1 sampling, quant table 0
+    b(1); b(samplingHV); b(0) // id 1, declared sampling, quant table 0
     def dht(tcth: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
       b(0xff); b(0xc4); b16(2 + 1 + 16 + vals.length); b(tcth)
       bits.foreach(b); vals.foreach(v => b(v & 0xff))

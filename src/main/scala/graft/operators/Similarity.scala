@@ -853,10 +853,21 @@ object Similarity {
       return df.withColumn("__cand", hierCandArray(quant, vecCol, probeTop))
     val spark = df.sparkSession
     val candType = "array<struct<neg_sim:double,cell_id:int>>"
+    // ONE side table shared by every slot (r13 ADVICE): the per-slot
+    // projections below differ only in alias names, which plan
+    // canonicalization strips, so all probeTop BroadcastExchanges
+    // canonicalize equal over the SAME parallelize-backed LogicalRDD
+    // and ReuseExchange ships the sub-centroid data once per job —
+    // a fresh subTableDF per slot would be probeTop distinct RDD
+    // lineages that never canonicalize equal, multiplying driver
+    // memory and broadcast traffic by probeTop at exactly the
+    // large-quantizer scale this path exists for (plan-asserted:
+    // SimilaritySpec requires ReusedExchange in the forced-join probe).
+    val subShared = subTableDF(spark, quant)
     var cur = df.withColumn("__top",
       slice(sort_array(topScoredExpr(quant, vecCol)), 1, probeTop))
     (0 until probeTop).foreach { i =>
-      val sub = subTableDF(spark, quant)
+      val sub = subShared
         .select(col("__c1").as(s"__c1_$i"), col("__subs").as(s"__subs_$i"))
       cur = cur.join(broadcast(sub),
         try_element_at(col("__top"), lit(i + 1)).getField("cell_id")
@@ -2166,41 +2177,46 @@ object Similarity {
     // action on the churn-sized id frame, before any claim or write.
     val toWrite = ids.select(col(idCol).cast("long").as("nbr_id")).distinct()
       .localCheckpoint(true)
-    val nullIds = toWrite.filter(col("nbr_id").isNull).count()
-    require(nullIds == 0,
-      s"deleteFromIvfPqIndexHier: $nullIds id(s) in '$idCol' are null " +
-        "or null out under cast to long — the delete would silently " +
-        "no-op for them; pass non-null integral ids")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
-    val fs = tombRoot.getFileSystem(conf)
-    fs.mkdirs(tombRoot)
-    def seqNumbers(): Seq[Long] = fs.listStatus(tombRoot).toSeq
-      .map(_.getPath.getName)
-      .collect {
-        case n if n.startsWith("del=") => n.stripPrefix("del=").toLong
-        case n if n.startsWith(".seq=") => n.stripPrefix(".seq=").toLong
+    // try/finally from the moment the checkpoint exists (r13 ADVICE):
+    // a failing require below — or any claim/write error — must not
+    // leave the checkpointed RDD pinned in executor storage for the
+    // rest of the session
+    try {
+      val nullIds = toWrite.filter(col("nbr_id").isNull).count()
+      require(nullIds == 0,
+        s"deleteFromIvfPqIndexHier: $nullIds id(s) in '$idCol' are null " +
+          "or null out under cast to long — the delete would silently " +
+          "no-op for them; pass non-null integral ids")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tombRoot = new org.apache.hadoop.fs.Path(root, "tombstones")
+      val fs = tombRoot.getFileSystem(conf)
+      fs.mkdirs(tombRoot)
+      def seqNumbers(): Seq[Long] = fs.listStatus(tombRoot).toSeq
+        .map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("del=") => n.stripPrefix("del=").toLong
+          case n if n.startsWith(".seq=") => n.stripPrefix(".seq=").toLong
+        }
+      // claim-CAS: the dot-prefixed marker is invisible to parquet
+      // listings; the [[ClaimPrimitive]] is the atomic primitive
+      // (create-exclusive by default), and a collision (concurrent
+      // deleter won the slot) just moves to n+1
+      var next = seqNumbers().maxOption.getOrElse(-1L) + 1L
+      while (!claim.tryClaim(fs,
+          new org.apache.hadoop.fs.Path(tombRoot, s".seq=$next")))
+        next += 1L
+      // prune markers below the claimed slot: monotonicity only needs the
+      // MAX marker to survive retirement, and ours is ≥ every older one
+      fs.listStatus(tombRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".seq=") && n.stripPrefix(".seq=").toLong < next)
+          fs.delete(st.getPath, false)
       }
-    // claim-CAS: the dot-prefixed marker is invisible to parquet
-    // listings; the [[ClaimPrimitive]] is the atomic primitive
-    // (create-exclusive by default), and a collision (concurrent
-    // deleter won the slot) just moves to n+1
-    var next = seqNumbers().maxOption.getOrElse(-1L) + 1L
-    while (!claim.tryClaim(fs,
-        new org.apache.hadoop.fs.Path(tombRoot, s".seq=$next")))
-      next += 1L
-    // prune markers below the claimed slot: monotonicity only needs the
-    // MAX marker to survive retirement, and ours is ≥ every older one
-    fs.listStatus(tombRoot).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".seq=") && n.stripPrefix(".seq=").toLong < next)
-        fs.delete(st.getPath, false)
-    }
-    toWrite
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$root/tombstones/del=$next")
-    Exec.releaseCheckpoint(toWrite)
-    next
+      toWrite
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/tombstones/del=$next")
+      next
+    } finally Exec.releaseCheckpoint(toWrite)
   }
 
   /** The union of live tombstone ids under `root`, if any — one

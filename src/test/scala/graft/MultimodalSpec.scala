@@ -672,4 +672,86 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHashImage(
       Multimodal.gifGray8Bytes(Array.fill(10 * 8)(1.toByte), 10, 8)).isEmpty)
   }
+
+  test("decodeJpegPixels: a single-component frame with declared 2x2 " +
+       "sampling decodes non-interleaved (T.81 A.2, r13 ADVICE)") {
+    // 4x2 tiles of DISTINCT grays: with the pre-fix interleaved-MCU
+    // reading (mcus 2x1, each 2x2 blocks) the block order would be
+    // (0,0)(0,1)(1,0)(1,1)... vs the correct raster (0,0)(0,1)(0,2)
+    // (0,3)(1,0)... — dims are multiples of 16, so the broken decode
+    // SUCCEEDS with misplaced blocks instead of failing
+    val tiles = Array(10, 60, 110, 160, 210, 240, 30, 90)
+    val declared = Multimodal.jpegGray8Bytes(tiles, 4, 2, samplingHV = 0x22)
+    val plain = Multimodal.jpegGray8Bytes(tiles, 4, 2)
+    val dDecl = Multimodal.decodeJpegPixels(declared)
+    val dPlain = Multimodal.decodeJpegPixels(plain)
+    assert(dDecl.isDefined && dPlain.isDefined)
+    assert(dDecl.get.pixels.toSeq == dPlain.get.pixels.toSeq &&
+      dDecl.get.width == 32 && dDecl.get.height == 16,
+      "declared 2x2 factors on a one-component scan must be ignored")
+    // and the pixels are the raster-order tile expansion, not the
+    // MCU-interleaved one
+    val exp = new Array[Byte](32 * 16)
+    for (y <- 0 until 16; x <- 0 until 32)
+      exp(y * 32 + x) = tiles((y / 8) * 4 + x / 8).toByte
+    assert(dDecl.get.pixels.toSeq == exp.toSeq,
+      "single-component scan decoded with misplaced blocks")
+  }
+
+  test("dHashBmp: 24/32-bpp color BMPs hash via B,G,R-order BT.601 " +
+       "luma, equal to the same RGB pixels through PNG (r13 ADVICE)") {
+    val w = 18; val h = 8
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      (i % 3 match {
+        case 0 => (px * 7) % 256
+        case 1 => (px * 13 + 40) % 256
+        case _ => (px * 29 + 90) % 256
+      }).toByte
+    }
+    val viaBmp24 = Multimodal.dHashImage(Multimodal.bmpRgbBytes(rgb, w, h))
+    val viaPng = Multimodal.dHashImage(Multimodal.pngBytes(rgb, w, h, 3))
+    assert(viaBmp24.isDefined && viaBmp24 == viaPng,
+      s"color BMP dhash diverged from PNG of the same pixels: " +
+        s"$viaBmp24 vs $viaPng")
+    // 32 bpp: alpha rides along in the file and is ignored by the luma
+    val rgba = Array.tabulate(w * h * 4) { i =>
+      if (i % 4 == 3) 0x55.toByte else rgb((i / 4) * 3 + i % 4)
+    }
+    val viaBmp32 = Multimodal.dHashImage(
+      Multimodal.bmpRgbBytes(rgba, w, h, channels = 4))
+    assert(viaBmp32 == viaPng, "32-bpp BMP dhash must ignore alpha")
+    // the dHashBmp face itself (not just the Any-chain) handles color
+    assert(Multimodal.dHashBmp(Multimodal.bmpRgbBytes(rgb, w, h)) == viaPng)
+  }
+
+  test("decodePngPixelsRaw: a hostile palette PNG whose MATERIALIZED " +
+       "output exceeds the decode cap quarantines before allocating " +
+       "(r13 ADVICE)") {
+    // valid-by-CRC palette PNG, one row of 2^26 zero indices: the
+    // inflated filter buffer is ~64 MiB (under the old raw-only cap)
+    // but palette expansion materializes w*h*3 = 192 MiB — combined
+    // 256 MiB + 1 byte, one over the 1<<28 budget, so the decode must
+    // return None BEFORE touching the IDAT stream
+    val w = 1 << 26; val h = 1
+    def p32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      p32(data.length.toLong) ++ tb ++ data ++ p32(crc.getValue)
+    }
+    val ihdr = p32(w.toLong) ++ p32(h.toLong) ++ Array[Byte](8, 3, 0, 0, 0)
+    val plte = Array.fill[Byte](3)(0)
+    val png = Array[Byte](137.toByte, 80, 78, 71, 13, 10, 26, 10) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", Array.empty) ++ chunk("IEND", Array.empty)
+    val t0 = System.nanoTime()
+    assert(Multimodal.decodePngPixelsRaw(png).isEmpty)
+    assert(Multimodal.decodePngPixels(png).isEmpty)
+    // pre-allocation quarantine is cheap — a decode that inflated or
+    // materialized would burn hundreds of MiB and visible wall time
+    assert((System.nanoTime() - t0) < 2e9, "hostile-header path too slow")
+  }
 }

@@ -1597,6 +1597,34 @@ class SimilaritySpec extends SparkSpec {
       "probeTop>k1 trailing-slot handling diverged between paths")
   }
 
+  test("forced-join probe ships the sub-centroid table ONCE: the " +
+       "probeTop slot joins reuse one broadcast exchange (r13 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 200L).map(i => (i, vec(16)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val quant = Similarity.trainHierQuantizer(corpus, nCells = 25,
+      sampleBudget = 200)
+    val qs = corpus.limit(5).select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec"))
+    // AQE off so ReuseExchangeAndSubquery's plan is directly inspectable
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Similarity.probeCellsHier(qs, quant, "q_vec", probeTop = 3,
+        nProbe = 4, maxSubLiteralFloats = 0L)
+      val plan = p.queryExecution.executedPlan.toString
+      val reused = "ReusedExchange".r.findAllIn(plan).size
+      assert(reused >= 2, // probeTop − 1 slots must reuse slot 0's
+        s"expected >=2 ReusedExchange nodes (probeTop=3), got $reused:\n" +
+          plan.linesIterator.take(40).mkString("\n"))
+      val fresh = plan.linesIterator
+        .count(l => l.contains("BroadcastExchange") &&
+          !l.contains("ReusedExchange"))
+      assert(fresh == 1,
+        s"expected exactly ONE materialized BroadcastExchange, got $fresh")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("a RETRAIN carries the folded ledger forward: a dir replayed " +
        "after a refresh is retired, never re-folded (r12 ADVICE)") {
     import org.apache.spark.sql.functions._
