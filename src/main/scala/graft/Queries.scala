@@ -26,8 +26,32 @@ import graft.plans.QueryCatalog
  */
 object Queries {
 
+  /** Session-scoped catalog of the driver's IMMUTABLE input tables: the
+    * resolved relation (file listing + footer schema inference + analysis)
+    * is built once per (session, dir, table) and reused — measured 85 ms
+    * per repeated `spark.read.parquet` call at sf0.1 (Scratch `readcost`),
+    * paid 2–5× per gate per bench run before this memo. This caches the
+    * PLAN only, never data or results: every action still scans the
+    * parquet files (releaseAll()'s clearCache/unpersist leave resolved
+    * plans untouched, exactly like metastore catalog entries). Keyed by
+    * session so Verify/Bench/test sessions never share conf-dependent
+    * resolution; the input files never change within a run, which is the
+    * same immutability contract a metastore table carries. */
+  private val tCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    pqImmutable(s, s"$dir/$name.parquet")
+
+  /** The memo behind [[t]], shared by the per-JVM parquet FIXTURES
+    * (catalogGraph, curationStage): their directories are written exactly
+    * once under a computeIfAbsent and never mutated after, so the
+    * resolved relation is as reusable as an input table's. NEVER use for
+    * a path a gate rewrites (index roots, ingest dirs). */
+  private def pqImmutable(s: SparkSession, path: String): DataFrame = {
+    // lazily drop entries of stopped sessions (test suites churn sessions)
+    if (!tCache.isEmpty) tCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    tCache.computeIfAbsent((s, path), key => key._1.read.parquet(key._2))
+  }
 
   /** Normalize events.parquet's `ts` to a plain microsecond TIMESTAMP
     * regardless of how the file encodes it. Historically the driver wrote
@@ -906,7 +930,7 @@ object Queries {
       e.write.mode("overwrite").parquet(s"$out/e")
       out
     })
-    (s.read.parquet(s"$base/v"), s.read.parquet(s"$base/e"))
+    (pqImmutable(s, s"$base/v"), pqImmutable(s, s"$base/e"))
   }
 
   /** Scratch-only accessor: the raw catalog edge union (no checkpoint)
@@ -1287,7 +1311,7 @@ object Queries {
       }
       out
     })
-    s.read.parquet(s"$base/$stage")
+    pqImmutable(s, s"$base/$stage")
   }
 
   def q64aCurationQuality(s: SparkSession, dir: String): DataFrame =
@@ -3839,8 +3863,7 @@ object Queries {
         (id, graft.operators.Multimodal.pngBytes(
           x.getBytes("US-ASCII"), 18, 8))
       }.toDF("media_id", "content"))
-    require(viaGif.exceptAll(viaPng).isEmpty &&
-      viaPng.exceptAll(viaGif).isEmpty,
+    require(sameRows(viaGif, viaPng),
       "the same pixels hashed differently through GIF and PNG containers")
     viaGif.orderBy("media_id")
   }
@@ -4870,6 +4893,56 @@ object Queries {
     hits.toDouble / e.count()
   }
 
+  /** Multiset row equality of two same-schema frames — the SAME predicate
+    * as `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (both compare
+    * per-row multiplicities under null-safe, NaN-normalizing grouping) in
+    * ONE aggregate job instead of four: the two-way form shuffles each
+    * frame twice and runs two isEmpty actions; here each side is tagged
+    * ±1, grouped once over every column, and equality is "every group
+    * cancels". The parity gates (q308/q309/q312/q313/q315/q316/q317/q320)
+    * spend this check 1–2× per run, so the saved exchanges are pure
+    * gate-mechanics win — the asserted condition is unchanged. */
+  private[graft] def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq.map(col)
+    a.withColumn("__s", lit(1L)).unionByName(b.withColumn("__s", lit(-1L)))
+      .groupBy(cols: _*).agg(sum(col("__s")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .isEmpty
+  }
+
+  /** Recursive fixture-tree copy with a small driver thread pool: the
+    * compaction/tombstone gates copy a pristine index (50 batch dirs ×
+    * ~16 one-file cell dirs ≈ 800 small files) into a run root EVERY
+    * run, and Hadoop's FileUtil.copy walks that tree single-threaded
+    * (~1.1 s measured at sf0.1 — Scratch q309prof `fixturecopy`). The
+    * files are independent, so the leaves fan out over a bounded pool;
+    * byte-identical layout, same one-level-down semantics as the
+    * FileUtil.copy(dir → existing dir is created fresh) call it replaces. */
+  private def copyTreeParallel(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(conf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val futures = scala.collection.mutable.ArrayBuffer
+      .empty[java.util.concurrent.Future[_]]
+    def walk(from: org.apache.hadoop.fs.Path,
+             to: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.getFileStatus(from)
+      if (st.isDirectory) {
+        fs.mkdirs(to)
+        fs.listStatus(from).foreach(c =>
+          walk(c.getPath, new org.apache.hadoop.fs.Path(to, c.getPath.getName)))
+      } else futures += pool.submit(new Runnable {
+        override def run(): Unit =
+          org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf)
+      })
+    }
+    try {
+      walk(srcPath, new org.apache.hadoop.fs.Path(dst))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
   // The deterministic trained artifacts behind q108/q110 (coarse
   // centroids, 256-codeword PQ codebooks, the written IVF-PQ index) are
   // trained ONCE per JVM per data directory — MLlib k-means training is
@@ -5117,7 +5190,7 @@ object Queries {
     require(!hExists(s, s"$root/v1"), "v1 survived the prune")
     val post = Similarity.queryVersionedIvfPqIndexHier(s, root,
       recallQueries(emb), 10, nProbe = 8, probeTop = 3)
-    require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+    require(sameRows(post, pre),
       "post-prune probe diverged from the pre-prune v2 results")
     exact.orderBy("query_id", "rank")
   }
@@ -5192,7 +5265,7 @@ object Queries {
     val batchDir = s"$root/batch_witness"
     Similarity.appendToIvfPqIndexHier(extra, hq, cb, batchDir)
     val want = s.read.parquet(batchDir).select("nbr_id", "codes", "cell_id")
-    require(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty,
+    require(sameRows(streamed, want),
       "streamed ingest diverged from the batch append encoding")
     // combined base+delta probe holds the q307 append-face floor
     val got = Similarity.queryIvfPqIndexHierPaths(s,
@@ -5297,11 +5370,7 @@ object Queries {
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
     hDeleteAll(s, root)
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(pristine), fs,
-      new org.apache.hadoop.fs.Path(root), false, conf)
+    copyTreeParallel(s, pristine, root)
     val v1 = 1
     val hq = Similarity.readHierQuantizer(s, s"$root/v$v1/quantizer")
     val cb = Similarity.readPqCodebooks(s, root, v1)
@@ -5335,7 +5404,7 @@ object Queries {
     val mid = Similarity.queryIvfPqIndexHierPaths(s,
       Seq(s"$root/v$v2/cells", ingest), hq, cb, q, 10,
       nProbe = 8, probeTop = 3).localCheckpoint(true)
-    require(mid.exceptAll(pre).isEmpty && pre.exceptAll(mid).isEmpty,
+    require(sameRows(mid, pre),
       "probe diverged after the subset fold")
     // (iii) fold the remainder: one root serves everything
     val (v3, folded2) = Similarity.compactIvfPqIndexHier(s, root, ingest)
@@ -5344,7 +5413,7 @@ object Queries {
     val post = Similarity.queryIvfPqIndexHierPaths(s,
       Seq(s"$root/v$v3/cells"), hq, cb, q, 10, nProbe = 8,
       probeTop = 3).localCheckpoint(true)
-    require(post.exceptAll(pre).isEmpty && pre.exceptAll(post).isEmpty,
+    require(sameRows(post, pre),
       "probe diverged after full compaction")
     // (iv) fresh-refresh layout parity: ONE file per cell, v1 witness
     val w = dataFileCounts(s"$root/v$v1/cells")
@@ -5401,11 +5470,7 @@ object Queries {
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
     hDeleteAll(s, root)
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(pristine), fs,
-      new org.apache.hadoop.fs.Path(root), false, conf)
+    copyTreeParallel(s, pristine, root)
     val q = recallQueries(emb)
     Similarity.deleteFromIvfPqIndexHier(s, root,
       emb.filter(col("vec_id") % 17 === 3).select("vec_id"))
@@ -5428,8 +5493,7 @@ object Queries {
       "applied tombstone dir must be retired")
     val physical = Similarity.queryVersionedIvfPqIndexHier(s, root, q,
       k = 10, nProbe = 8, probeTop = 3)
-    require(physical.exceptAll(masked).isEmpty &&
-      masked.exceptAll(physical).isEmpty,
+    require(sameRows(physical, masked),
       "probe diverged across the masked-to-physical boundary")
     // (iii) a late tombstone masks with the row still on disk
     val late = masked.select("nbr_id").limit(1)
@@ -5472,8 +5536,7 @@ object Queries {
     val viaMerge = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
       emb, k = 10, nProbe = 8, probeTop = 3,
       maxBroadcastProbeRows = 0L).localCheckpoint(true)
-    require(viaMerge.exceptAll(viaBroadcast).isEmpty &&
-      viaBroadcast.exceptAll(viaMerge).isEmpty,
+    require(sameRows(viaMerge, viaBroadcast),
       "merge-side kNN join diverged from the broadcast plan")
     val bPlan = Similarity.queryIvfPqIndexHierPaths(s, paths, hq, cb,
       emb, k = 10, nProbe = 8, probeTop = 3)
@@ -5553,11 +5616,7 @@ object Queries {
       s"${java.lang.ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
     hDeleteAll(s, root)
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(pristine), fs,
-      new org.apache.hadoop.fs.Path(root), false, conf)
+    copyTreeParallel(s, pristine, root)
     val hq = Similarity.readHierQuantizer(s, s"$root/v1/quantizer")
     val cb = Similarity.readPqCodebooks(s, root, 1)
     val ingest = s"$root/ingest"
@@ -5616,7 +5675,7 @@ object Queries {
       .filter(col("nbr_id").isin(42L, 23L)).isEmpty,
       "draining compaction left dead rows physically present")
     val post = liveProbe()
-    require(post.exceptAll(mid).isEmpty && mid.exceptAll(post).isEmpty,
+    require(sameRows(post, mid),
       "probe diverged across the masked-to-physical boundary")
     exact.orderBy("query_id", "rank")
   }
@@ -5692,8 +5751,7 @@ object Queries {
       s, cells, hq, cb, q, k = 10, probeTop = 4,
       candidateFactor = math.max(1L, budget / 10L).toInt,
       cellSizes = Some(sizes))
-    require(viaArtifact.exceptAll(viaSizes).isEmpty &&
-      viaSizes.exceptAll(viaArtifact).isEmpty,
+    require(sameRows(viaArtifact, viaSizes),
       "versioned adaptive probe (cellsizes artifact) diverged from the " +
         "recomputed-sizes path probe")
     exact.orderBy("query_id", "rank")
@@ -5738,7 +5796,7 @@ object Queries {
     // otherwise re-evaluate both plans
     val aLit = aLitPlan.localCheckpoint(true)
     val aJoin = aJoinPlan.localCheckpoint(true)
-    require(aLit.exceptAll(aJoin).isEmpty && aJoin.exceptAll(aLit).isEmpty,
+    require(sameRows(aLit, aJoin),
       "assignment diverged between the literal and broadcast-join paths")
     val q = recallQueries(emb)
     val tLit = Similarity.ivfTopKHier(emb, q, k = 10, hq,
@@ -5746,7 +5804,7 @@ object Queries {
     val tJoin = Similarity.ivfTopKHier(emb, q, k = 10, hq,
       nProbe = 16, probeTop = 4, maxSubLiteralFloats = 0L)
       .localCheckpoint(true)
-    require(tLit.exceptAll(tJoin).isEmpty && tJoin.exceptAll(tLit).isEmpty,
+    require(sameRows(tLit, tJoin),
       "ivfTopKHier diverged between the literal and broadcast-join paths")
     val r = recallOf(exact, tJoin)
     require(r >= 0.25, f"sub-join recall@10 degraded: $r%.3f < 0.25")

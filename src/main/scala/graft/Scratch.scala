@@ -46,6 +46,51 @@ object Scratch {
       println(f"[scratch] subset total (best-of-2 sum): $total%.2f s")
       spark.stop(); return
     }
+    if (name.startsWith("construct:")) {
+      // Driver-side fixed-cost probe: time gate CONSTRUCTION (the
+      // fn(spark, dir) call — read.parquet listing + schema inference +
+      // eager analysis of every intermediate Dataset) separately from
+      // execution. Best-of-3 after one warm construction, so the
+      // steady-state per-gate driver tax is visible on its own. Usage:
+      //   runMain graft.Scratch construct:q01,q58 <sfDir>
+      val prefixes = name.stripPrefix("construct:").split(",").toSeq
+      var total = 0.0
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => prefixes.exists(n.startsWith) }
+        .foreach { case (n, fn) =>
+          fn(spark, dir) // warm (fixture caches, JIT)
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir)
+            (System.nanoTime() - t0) / 1e9
+          }
+          total += times.min
+          println(f"[scratch] construct $n: best=${times.min}%.3f s (runs: " +
+            times.map(t => f"$t%.3f").mkString(", ") + ")")
+        }
+      println(f"[scratch] construct subset total: $total%.3f s")
+      spark.stop(); return
+    }
+    if (name == "readcost") {
+      // How much of the construct tax is spark.read.parquet itself
+      // (listing + footer schema inference), per table, steady state.
+      val tables = Seq("lineitem", "orders", "customer", "part", "docs",
+        "events", "embeddings", "edges")
+      tables.foreach { tn =>
+        val p = s"$dir/$tn.parquet"
+        if (new java.io.File(p).exists()) {
+          spark.read.parquet(p) // warm
+          val times = (1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            spark.read.parquet(p)
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[scratch] read $tn: best=${times.min}%.4f s " +
+            s"(runs: ${times.map(t => f"$t%.4f").mkString(", ")})")
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "q309prof") {
       // segment attribution for the delta-compaction gate
       import org.apache.spark.sql.functions._
@@ -103,6 +148,42 @@ object Scratch {
       tm("viaeq")(require(via.exceptAll(post).isEmpty &&
         post.exceptAll(via).isEmpty))
       println(s"[scratch] q309prof done, exact rows ${exact.count()}")
+      // the gate ALSO pays a driver-side FileUtil.copy of the pristine
+      // fixture (~50 batch dirs × cells) every run — measure it
+      val root2 = s"${System.getProperty("java.io.tmpdir")}/graft_q309prof_copy"
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root2))
+      tm("fixturecopy") {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(root2).getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(root), fs,
+          new org.apache.hadoop.fs.Path(root2), false, conf)
+      }
+      spark.stop(); return
+    }
+    if (name == "iterparts") {
+      // Scale-adaptive partitioning A/B for the iterative graph loops:
+      // same JVM, interleaved, shuffle.partitions 32 (bench conf) vs a
+      // data-derived small count, on the q156/q142 gate fixtures.
+      import org.apache.spark.sql.functions._
+      val edges = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 1200)
+        .select((col("o_custkey") % 300).as("src"),
+          (col("o_orderkey") % 300).as("dst"))
+        .localCheckpoint(true)
+      for (rep <- 1 to 2; parts <- Seq("32", "2")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val t0 = System.nanoTime()
+        val n1 = graft.operators.GraphAlgos.kShell(edges, maxK = 8,
+          maxRounds = 16).count()
+        val t1 = System.nanoTime()
+        val n2 = graft.operators.GraphAlgos
+          .stronglyConnectedComponents(edges).count()
+        val t2 = System.nanoTime()
+        println(f"[scratch] rep$rep parts=$parts kShell=${(t1-t0)/1e9}%.2f s " +
+          f"($n1 rows) scc=${(t2-t1)/1e9}%.2f s ($n2 rows)")
+        System.gc() // keep the shared edges checkpoint alive between reps
+      }
       spark.stop(); return
     }
     if (name == "ktrussprofile") {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import org.apache.spark.sql.expressions.Window
 
 /**
@@ -481,7 +482,7 @@ object Dedup {
       pairs
         .select(col("id_a").as("u"), col("id_b").as("v"))
         .union(pairs.select(col("id_b"), col("id_a")))
-        .repartition(col("v"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("v")))
         .localCheckpoint(true)
     }
     var labels = edges.select(col("u").as("id")).distinct()

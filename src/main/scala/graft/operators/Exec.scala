@@ -38,6 +38,28 @@ private[graft] object Exec {
   def checkpointCut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.PlanStats.dropStats(df.localCheckpoint(true))
 
+  /** Scale-adaptive partition count for iterative-loop frames (guide §2:
+    * derive partitioning from input size, never a constant tuned for one
+    * deployment). Uses the optimizer's FREE sizeInBytes estimate over
+    * `df` — no extra pass at any scale — split into ~`bytesPerPart`
+    * chunks and clamped to [1, spark.sql.shuffle.partitions]. A frame
+    * with UNKNOWN stats (checkpointed round frames carry none after
+    * PlanStats.dropStats) estimates as huge and clamps to the session
+    * conf — exactly the pre-r14 behavior; only a provably small frame
+    * shrinks its loop. Measured motivation: the per-round cost of the
+    * graph loops at gate scale is ~empty-task scheduling — same-JVM
+    * interleaved A/B (Scratch `iterparts`, sf0.1) read kShell 7.78 s @
+    * 32 partitions vs 5.07 s @ 2, scc 7.87 vs 4.30 — while at 100 TB
+    * the estimate exceeds conf·bytesPerPart and the clamp keeps today's
+    * parallelism. */
+  def adaptiveParts(df: DataFrame, bytesPerPart: Long = 64L << 20): Int = {
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 0 || est >= BigInt(Long.MaxValue)) conf
+    else math.max(1, math.min(conf.toLong,
+      ((est + bytesPerPart - 1) / bytesPerPart).toLong).toInt)
+  }
+
   /** Drop the block-manager storage behind eagerly localCheckpoint'ed
     * DataFrames. `Dataset.unpersist()` can't do this — checkpoint blocks
     * live at the RDD layer, not in the CacheManager — so iterative

@@ -136,8 +136,8 @@ object GraphAlgos {
           edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(w).cast("double").as("__w"))
       }
-      (e.repartition(col("src")).localCheckpoint(true),
-        e.repartition(col("dst")).localCheckpoint(true))
+      (e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true),
+        e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("dst"))).localCheckpoint(true))
     }
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst")))
@@ -210,7 +210,7 @@ object GraphAlgos {
           edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
             col(w).cast("double").as("__w"))
       }
-      e.repartition(col("src")).localCheckpoint(true)
+      e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true)
     }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
@@ -263,7 +263,7 @@ object GraphAlgos {
     val edges = Dedup.withAqeOff(spark) {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct()
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     shortestPathsPrepped(edges, landmarks, maxHops, landmarkCol)
@@ -356,7 +356,7 @@ object GraphAlgos {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
           col(weightCol).cast("long").as("__w"))
         .groupBy("src", "dst").agg(min(col("__w")).as("__w"))
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     var dists = landmarks
@@ -447,7 +447,7 @@ object GraphAlgos {
         case None => edges0.select(col(srcCol).as("src"),
           col(dstCol).as("dst")).distinct()
       }
-      sel.repartition(col("src")).localCheckpoint(true)
+      sel.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true)
     }
     // out-degree (or out-weight total): partial agg over the
     // src-partitioned edges — no exchange
@@ -541,7 +541,7 @@ object GraphAlgos {
     var adj = Dedup.withAqeOff(spark) {
       und.select(col("u").as("node"), col("v").as("nbr"))
         .union(und.select(col("v"), col("u")))
-        .repartition(col("node"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("node")))
         .observe(obs0, count(lit(1)).as("rows"))
         .localCheckpoint(true)
     }
@@ -611,7 +611,7 @@ object GraphAlgos {
     var adj = Dedup.withAqeOff(spark) {
       und.select(col("u").as("node"), col("v").as("nbr"))
         .union(und.select(col("v"), col("u")))
-        .repartition(col("node"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("node")))
         .localCheckpoint(true)
     }
     // nodes are tracked EXPLICITLY: a node whose neighbors are all
@@ -889,7 +889,7 @@ object GraphAlgos {
     val edges = Dedup.withAqeOff(spark) {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct()
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     val dist = shortestPathsPrepped(edges, sources, maxHops, sourceCol)
@@ -1249,7 +1249,7 @@ object GraphAlgos {
     val adj = Dedup.withAqeOff(spark) {
       und.select(col("u").as("node"), col("v").as("nbr"), col("__w"))
         .union(und.select(col("v"), col("u"), col("__w")))
-        .repartition(col("nbr"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("nbr")))
         .localCheckpoint(true)
     }
     var labels = adj.select(col("node")).distinct()
@@ -1319,7 +1319,7 @@ object GraphAlgos {
       edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .repartition(col("u"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("u")))
         .localCheckpoint(true)
     }
     val idType = edges.schema("u").dataType
@@ -1362,7 +1362,7 @@ object GraphAlgos {
             Exec.checkpointCut(edges
               .join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
               .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
-              .repartition(col("u")))
+              .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("u"))))
           }
           Exec.releaseCheckpoint(prevNodes, prevEdges)
           nActive -= nTrivial
@@ -1448,7 +1448,7 @@ object GraphAlgos {
           Exec.checkpointCut(edges
             .join(nodes.select(col("id").as("u")), Seq("u"), "left_semi")
             .join(nodes.select(col("id").as("v")), Seq("v"), "left_semi")
-            .repartition(col("u")))
+            .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("u"))))
         }
         Exec.releaseCheckpoint(prevNodes, prevEdges, colors, ce, marked)
         nActive = obsN.get("n").asInstanceOf[Long]
@@ -1738,7 +1738,7 @@ object GraphAlgos {
           col(weightCol).cast("long").as("w"))
         .filter(col("u") =!= col("v"))
         .groupBy("u", "v").agg(min("w").as("w"))
-        .repartition(col("u"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("u")))
         .localCheckpoint(true)
     }
     var forest: DataFrame = null   // accumulated (u, v, w) — ≤ V−1 rows
@@ -1882,7 +1882,7 @@ object GraphAlgos {
     var adj = Dedup.withAqeOff(spark) {
       und.select(col("u").as("node"), col("v").as("nbr"))
         .union(und.select(col("v"), col("u")))
-        .repartition(col("node"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("node")))
         .localCheckpoint(true)
     }
     var bestDeg: DataFrame = null
@@ -1957,7 +1957,7 @@ object GraphAlgos {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"),
           col(weightCol).cast("long").as("__w"))
         .groupBy("src", "dst").agg(sum("__w").as("__w"))
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     val wsum = edges.groupBy("src").agg(sum(col("__w")).as("wsum"))
@@ -2015,7 +2015,7 @@ object GraphAlgos {
     val edges = Dedup.withAqeOff(spark) {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .distinct()
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     val nodes = Exec.checkpointCut(
@@ -2093,7 +2093,7 @@ object GraphAlgos {
       edges0.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .repartition(col("src"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
     val scc = Exec.checkpointCut(
@@ -2154,7 +2154,7 @@ object GraphAlgos {
           col(weightCol).cast("long").as("w"))
         .filter(col("u") =!= col("v"))
         .groupBy("u", "v").agg(min("w").as("w"))
-        .repartition(col("u"))
+        .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("u")))
         .localCheckpoint(true)
     }
     var matched: DataFrame = null
