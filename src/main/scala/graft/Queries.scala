@@ -5133,6 +5133,51 @@ object Queries {
     exact.orderBy("query_id", "rank")
   }
 
+  /** q321: DISTRIBUTED sub-level quantizer training — the r14 verdict's
+    * #1 structural item. The driver-local [[Similarity.trainHierQuantizer]]
+    * collects effBudget = max(budget, 4·nCells) sample vectors and fits
+    * every Lloyd step on the driver (~12 GB + single-core days at 10⁶
+    * cells × 768 dims); [[Similarity.trainHierQuantizerDistributed]]
+    * collects only the √nCells-sized top prefix and trains each top
+    * cell's sub-centroids on the executors. The gate runs at a cell
+    * count well above the ANN-gate norm (nCells = 256 → k1 = k2 = 16,
+    * effBudget = 1024 — 16× q309's fixture) and requires (i) the
+    * distributed fit is BIT-IDENTICAL to the driver-local one when the
+    * top prefix covers the whole sample (the spec-pinned equality
+    * contract, re-asserted at gate scale on real data), (ii) the
+    * bounded-top regime (topBudget < 4·nCells — where the driver-local
+    * fit stops being runnable at 100 TB) is layout-deterministic and
+    * keeps every global id inside its top cell's slot range. Output =
+    * the exact baseline, the q108 convention. */
+  def q321HierTrainDistributed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").localCheckpoint(true)
+    val exact = recallExact(emb)
+    val local = Similarity.trainHierQuantizer(emb, nCells = 256,
+      sampleBudget = 256)
+    val dist = Similarity.trainHierQuantizerDistributed(emb, nCells = 256,
+      sampleBudget = 256, topBudget = 65536)
+    require(dist.k2 == local.k2 &&
+      dist.top.map { case (i, v) => (i, v.toSeq) } ==
+        local.top.map { case (i, v) => (i, v.toSeq) } &&
+      dist.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap ==
+        local.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap,
+      "distributed sub-level training diverged from the driver-local fit")
+    // the bounded-top regime: top trains on the 64 lowest-hash rows only
+    val b1 = Similarity.trainHierQuantizerDistributed(emb, nCells = 256,
+      sampleBudget = 256, topBudget = 64)
+    val b2 = Similarity.trainHierQuantizerDistributed(
+      emb.repartition(7), nCells = 256, sampleBudget = 256, topBudget = 64)
+    require(b1.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap ==
+      b2.sub.view.mapValues(_.map { case (g, v) => (g, v.toSeq) }).toMap,
+      "bounded-top distributed training depends on the input layout")
+    require(b1.sub.forall { case (c1, scs) =>
+      scs.forall { case (g, _) =>
+        g >= c1 * b1.k2 && g < (c1 + 1) * b1.k2 } },
+      "a global id escaped its top cell's slot range")
+    exact.orderBy("query_id", "rank")
+  }
+
   /** q307: the PERSISTED production index end-to-end — the 100 TB ANN
     * lifecycle with every scale term bounded: refresh a versioned
     * two-level IVF-PQ index from HALF the corpus (bounded-sample
@@ -6374,7 +6419,8 @@ object Queries {
     "q317_ann_subjoin_parity" -> (q317AnnSubJoinParity _),
     "q318_jpeg_pixels" -> (q318JpegPixels _),
     "q319_gif_pixels" -> (q319GifPixels _),
-    "q320_dhash_cross" -> (q320DhashCross _)
+    "q320_dhash_cross" -> (q320DhashCross _),
+    "q321_hier_train_distributed" -> (q321HierTrainDistributed _)
   )
 
   /** Latest-wins CDC merge semantics — shared verbatim by q92 (single
@@ -8890,6 +8936,10 @@ object Queries {
         |SELECT doc_id AS media_id,
         |  string_agg(printf('%02x', byte), '' ORDER BY r) AS dhash
         |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // q321: distributed-vs-driver-local quantizer training — the
+    // bit-equality and bounded-top determinism assertions ride
+    // require(); same exact baseline as the rest of the ANN family
+    "q321_hier_train_distributed" -> recallBaselineOracle,
     "q261_theil_sen" ->
       """WITH d AS MATERIALIZED (SELECT
         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,

@@ -161,6 +161,61 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name == "loopplans") {
+      // Per-round EXECUTED plans of the production iterative loops at
+      // bench conf — the r14 verdict item 3 evidence: a
+      // QueryExecutionListener captures every action's final plan while
+      // the REAL operators run (no inline replicas), and we report the
+      // exchange lines of each round so a re-introduced |E|-side
+      // re-shuffle is visible. Usage: runMain graft.Scratch loopplans <sfDir>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.util.QueryExecutionListener
+      import org.apache.spark.sql.execution.QueryExecution
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
+          plans.add((fn, qe.executedPlan.toString))
+        override def onFailure(fn: String, qe: QueryExecution,
+                               e: Exception): Unit = ()
+      })
+      def report(tag: String): Unit = {
+        Thread.sleep(1500) // listener bus drain
+        import scala.jdk.CollectionConverters._
+        val ps = plans.asScala.toSeq; plans.clear()
+        ps.zipWithIndex.foreach { case ((fn, p), i) =>
+          val ex = p.linesIterator.filter(l =>
+            l.contains("Exchange ") || l.contains("AQEShuffleRead"))
+            .map(_.trim.take(120)).toSeq
+          println(s"[$tag action $i ($fn)] ${ex.size} exchange lines:")
+          ex.foreach(l => println(s"    $l"))
+        }
+      }
+      val edges = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") < 2000)
+        .select((col("o_custkey") % 200).as("src"),
+          (col("o_orderkey") % 200).as("dst"))
+        .localCheckpoint(true)
+      plans.clear()
+      graft.operators.GraphAlgos.pageRank(edges, iterations = 2,
+        exactFolds = true).count()
+      report("pagerank")
+      val pairs = edges.select(col("src").as("id_a"), col("dst").as("id_b"))
+      plans.clear()
+      graft.operators.Dedup.connectedComponents(pairs).count()
+      report("cc")
+      if (sys.env.contains("SCRATCH_SCC_FULL")) {
+        plans.clear()
+        graft.operators.GraphAlgos.stronglyConnectedComponents(edges).count()
+        Thread.sleep(1500)
+        import scala.jdk.CollectionConverters._
+        plans.asScala.zipWithIndex.foreach { case ((fn, p), i) =>
+          if (p.linesIterator.exists(l => l.contains("hashpartitioning(u#")
+              && l.contains("ENSURE_REQUIREMENTS")))
+            println(s"[sccfull action $i ($fn)]\n$p")
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "iterparts") {
       // Scale-adaptive partitioning A/B for the iterative graph loops:
       // same JVM, interleaved, shuffle.partitions 32 (bench conf) vs a

@@ -485,33 +485,43 @@ object Dedup {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("v")))
         .localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count, so every per-round
+    // label frame co-partitions with the edges (Exec.withShuffleParts:
+    // a count mismatch makes EnsureRequirements re-shuffle the 2|E|
+    // side every round — the exchange this prep exists to avoid)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     val labelType = labels.schema("label").dataType
-    val outSchema = org.apache.spark.sql.types.StructType(labels.schema.fields)
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     var it = 0
     var changed = true
     while (changed && it < maxIter) {
       val viaNbr = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"))
-      val acc = spark.sparkContext.longAccumulator(s"graft.cc.flips.$it")
       val merged = labels.withColumn("old", col("label"))
         .unionByName(viaNbr.withColumn("old", lit(null).cast(labelType)))
         .groupBy("id")
         // every id has exactly one self row, so max(old) recovers its
         // previous label next to the new min
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
-      val updated = Exec.checkpointCut(merged.map { r =>
-        if (r.isNullAt(2) || r.get(1) != r.get(2)) acc.add(1L)
-        org.apache.spark.sql.Row(r.get(0), r.get(1))
-      }(enc).toDF())
+      // flip count rides the round's own checkpoint action as a
+      // codegen'd Dataset.observe metric (the stronglyConnectedComponents
+      // convention) — the previous formulation counted via a row-typed
+      // Dataset.map + accumulator, which dragged every |V| row through
+      // DeserializeToObject/SerializeFromObject once per round (guide
+      // §4: no per-row JVM lambdas in the hot path). Same convergence
+      // predicate: old is null (first-reached) or the min moved.
+      val obs = org.apache.spark.sql.Observation()
+      val updated = Exec.checkpointCut(merged
+        .observe(obs, count(when(col("old").isNull ||
+          col("label") =!= col("old"), 1)).as("flips"))
+        .select("id", "label"))
       // updated is materialized (eager); last round's label blocks are
       // dead — free them so long runs don't stack |V|-sized copies
       Exec.releaseCheckpoint(labels)
       labels = updated
-      changed = acc.value > 0
+      changed = obs.get("flips").asInstanceOf[Long] > 0L
       it += 1
     }
     if (changed && failOnMaxIter)
@@ -520,6 +530,7 @@ object Dedup {
           "the pair graph has a component with diameter > maxIter; raise " +
           "maxIter (or pass failOnMaxIter=false to accept partial labels)")
     labels.select(col("id"), col("label").as("component"))
+    } // withShuffleParts
   }
 
   /** Connected components by alternating large-star / small-star

@@ -60,6 +60,34 @@ private[graft] object Exec {
       ((est + bytesPerPart - 1) / bytesPerPart).toLong).toInt)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the previous value after. The iterative-loop complement
+    * of [[adaptiveParts]] (guide §2: derive partitioning from data
+    * size): the r14 change sized only the STATIC edge frame, which
+    * leaves every per-round aggregate/checkpoint at the session conf —
+    * and when the two counts differ, BOTH join children satisfy their
+    * clustering with different partition counts, and Spark's
+    * EnsureRequirements re-shuffles the smaller-count child to the LARGER
+    * count (the max over non-shuffle children): the pre-partitioned
+    * |E|-sized side re-shuffles EVERY round, exactly the exchange the
+    * prep exists to avoid (r14 verdict item 2; plan-asserted in
+    * GraphAlgosSpec/DedupSpec). Pinning the loop conf to the
+    * size-derived count co-partitions every per-round frame with the
+    * static side — zero mismatch — and sizes the per-round shuffles to
+    * the data instead of the deployment (measured: kShell 7.78→5.07 s,
+    * scc 7.87→4.30 s at the sf0.1 gate fixtures, Scratch `iterparts`).
+    * At 100 TB the size estimate clamps to the session conf and this is
+    * a no-op. Only safe around loops whose aggregates are
+    * partitioning-independent (integer/min/max exact or
+    * exactFolds-sorted) — which every caller's are, gate-pinned. */
+  def withShuffleParts[T](spark: org.apache.spark.sql.SparkSession,
+                          n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drop the block-manager storage behind eagerly localCheckpoint'ed
     * DataFrames. `Dataset.unpersist()` can't do this — checkpoint blocks
     * live at the RDD layer, not in the CacheManager — so iterative

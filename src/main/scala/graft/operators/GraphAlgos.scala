@@ -449,6 +449,9 @@ object GraphAlgos {
       }
       sel.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count: co-partitions every
+    // per-round rank frame with the edges (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     // out-degree (or out-weight total): partial agg over the
     // src-partitioned edges — no exchange
     val deg = weightCol match {
@@ -497,6 +500,7 @@ object GraphAlgos {
       prevRanks = ranks
     }
     ranks
+    } // withShuffleParts
   }
 
   /** k-core: the maximal subgraph of the UNDIRECTED graph underlying
@@ -548,6 +552,7 @@ object GraphAlgos {
     // The eager checkpoint already scanned every row; the observation
     // hands us the seed count for free instead of a second full pass.
     var prevRows = obs0.get("rows").asInstanceOf[Long]
+    Exec.withShuffleParts(spark, adj.rdd.getNumPartitions) {
     var changed = prevRows > 0L
     var round = 0
     while (changed && round < maxRounds) {
@@ -576,6 +581,7 @@ object GraphAlgos {
       s"k-core peeling did not converge within $maxRounds rounds " +
         "(deep fringe layers — raise maxRounds)")
     adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    } // withShuffleParts
   }
 
   /** k-shell (onion) decomposition: every node's CORE NUMBER —
@@ -614,6 +620,8 @@ object GraphAlgos {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("node")))
         .localCheckpoint(true)
     }
+    // loop at the adjacency's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, adj.rdd.getNumPartitions) {
     // nodes are tracked EXPLICITLY: a node whose neighbors are all
     // removed mid-cascade vanishes from the adjacency (zero rows), so
     // "absent from the degree census" must read as degree 0 — removed
@@ -677,6 +685,7 @@ object GraphAlgos {
       Exec.releaseCheckpoint(parts.toSeq: _*)
       out
     }
+    } // withShuffleParts
   }
 
   /** Link prediction over the undirected graph underlying `edges0`:
@@ -1323,6 +1332,11 @@ object GraphAlgos {
         .localCheckpoint(true)
     }
     val idType = edges.schema("u").dataType
+    // the whole iterative body runs at the static frame's size-derived
+    // partition count, so every per-round frame co-partitions with the
+    // edge table (see Exec.withShuffleParts: a count mismatch re-shuffles
+    // the |E| side every inner round)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     val obsN0 = org.apache.spark.sql.Observation()
     var nodes = edges.select(col("u").as("id"))
       .union(edges.select(col("v")))
@@ -1470,6 +1484,7 @@ object GraphAlgos {
       Exec.releaseCheckpoint(parts.toSeq: _*)
       out
     }
+    } // withShuffleParts
   }
 
   /** Graph-level reciprocity census: of the distinct directed non-loop

@@ -688,30 +688,24 @@ object Similarity {
     val topD = lloydLocal(pts, k1, iters = 10)
     val top = topD.zipWithIndex.map { case (c, i) =>
       (i, c.map(_.toFloat)) }.toSeq
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-      while (j < a.length) {
-        dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-    }
-    def nearest(p: Array[Double], cands: IndexedSeq[(Int, Array[Double])]): Int = {
-      var bestId = cands(0)._1; var bestSim = Double.NegativeInfinity
-      cands.foreach { case (id, c) =>
-        val s = cos(p, c)
-        if (s > bestSim || (s == bestSim && id < bestId)) {
-          bestSim = s; bestId = id
-        }
-      }
-      bestId
-    }
     val topD2 = topD.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    // Per-point TOP assignment is pure (reads pts(i) and the frozen top
+    // centroids, writes its own slot) — fan it out over cores; the winner
+    // per point is the same in any execution order, so the quantizer is
+    // byte-identical to the single-threaded fit. Computed ONCE: the top
+    // level never moves during sub refinement, where the old code
+    // recomputed it per point per Lloyd iteration.
+    val topAssign = new Array[Int](pts.length)
+    parallelIndices(pts.length,
+      pts.length.toLong * k1 * (if (pts.isEmpty) 0 else pts(0).length)) {
+      i => topAssign(i) = nearestLocal(pts(i), topD2)
+    }
     // sub-centroid seeds: the k2 LOWEST-HASH members of each top cell
     // (the sample is already in hash-rank order)
     val seedsByCell = scala.collection.mutable.LinkedHashMap[Int,
       scala.collection.mutable.ArrayBuffer[Array[Float]]]()
     pts.indices.foreach { i =>
-      val c1 = nearest(pts(i), topD2)
+      val c1 = topAssign(i)
       val buf = seedsByCell.getOrElseUpdate(c1,
         scala.collection.mutable.ArrayBuffer.empty)
       if (buf.size < k2) buf += sample(i)
@@ -723,19 +717,34 @@ object Similarity {
     // tightens the seed Voronoi balance and recall; empty cells drop
     // from the map, ids stay stable (c1·k2 + j)
     for (_ <- 1 to subLloydIters) {
-      def assignHier(p: Array[Double]): Int = {
-        val c1 = nearest(p, topD2)
-        quant.sub.get(c1) match {
-          case None => c1 * k2 // the assignCellsHier fallback
-          case Some(scs) =>
-            nearest(p, scs.map { case (g, v) =>
-              (g, v.map(_.toDouble)) }.toIndexedSeq)
+      val q = quant
+      // each present cell's sub-centroids in double precision ONCE per
+      // iteration — the old code re-built this list per POINT
+      val subD: Map[Int, IndexedSeq[(Int, Array[Double])]] =
+        q.sub.map { case (c1, scs) =>
+          c1 -> scs.map { case (g, v) =>
+            (g, v.map(_.toDouble)) }.toIndexedSeq
         }
+      // sub assignment: pure per point (top cell is frozen in topAssign,
+      // sub centroids frozen for the iteration) — parallel, exact
+      val gAssign = new Array[Int](pts.length)
+      parallelIndices(pts.length,
+        pts.length.toLong * k2 * (if (pts.isEmpty) 0 else pts(0).length)) {
+        i =>
+          val c1 = topAssign(i)
+          gAssign(i) = subD.get(c1) match {
+            case None => c1 * k2 // the assignCellsHier fallback
+            case Some(scs) => nearestLocal(pts(i), scs)
+          }
       }
+      // ACCUMULATION — O(n·dim), negligible — stays sequential in
+      // hash-rank order: FP addition is order-sensitive, and per-cluster
+      // sums must stay byte-identical to the single-threaded fit
       val sums = scala.collection.mutable.Map[Int, Array[Double]]()
       val counts = scala.collection.mutable.Map[Int, Long]()
-      pts.foreach { p =>
-        val g = assignHier(p)
+      pts.indices.foreach { i =>
+        val p = pts(i)
+        val g = gAssign(i)
         val s = sums.getOrElseUpdate(g, new Array[Double](p.length))
         var j = 0; while (j < p.length) { s(j) += p(j); j += 1 }
         counts(g) = counts.getOrElse(g, 0L) + 1L
@@ -747,6 +756,163 @@ object Similarity {
       quant = HierQuantizer(k2, top, refined)
     }
     quant
+  }
+
+  /** Cosine on raw double vectors — the driver-local twin of [[cosine]];
+    * zero vectors score 0. Hoisted from [[trainHierQuantizer]] so the
+    * distributed trainer and its spec share the exact bits. */
+  private[graft] def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+    while (j < a.length) {
+      dot += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j); j += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Nearest candidate by cosine, ties to the lower id — the in-process
+    * twin of the [[assignCells]] executor expression. */
+  private[graft] def nearestLocal(p: Array[Double],
+      cands: IndexedSeq[(Int, Array[Double])]): Int = {
+    var bestId = cands(0)._1; var bestSim = Double.NegativeInfinity
+    cands.foreach { case (id, c) =>
+      val s = cosLocal(p, c)
+      if (s > bestSim || (s == bestSim && id < bestId)) {
+        bestSim = s; bestId = id
+      }
+    }
+    bestId
+  }
+
+  /** Work floor below which the per-point training loops stay
+    * single-threaded: the parallel fan-out is bit-identical at any size
+    * (pure per-point writes to distinct slots), the floor only avoids
+    * common-pool overhead on gate-scale samples. ~16M flops ≈ 1 ms. */
+  private val ParallelTrainMinFlops: Long = 1L << 24
+
+  /** f(i) for i in [0, n), over the JVM common pool when `flops` clears
+    * [[ParallelTrainMinFlops]], else inline. `f` must be pure per index
+    * (write only slot i) — then the result is independent of schedule. */
+  private def parallelIndices(n: Int, flops: Long)(f: Int => Unit): Unit =
+    if (flops >= ParallelTrainMinFlops)
+      java.util.stream.IntStream.range(0, n).parallel().forEach(i => f(i))
+    else { var i = 0; while (i < n) { f(i); i += 1 } }
+
+  /** One top cell's sub-centroid training, EXACTLY as the driver-local
+    * [[trainHierQuantizer]] computes it (the sub refinement decomposes
+    * by top cell: the top level is frozen during refinement, so no point
+    * changes top cell between iterations, and each global id g lives in
+    * [c1·k2, c1·k2+k2)): seeds = the first ≤k2 members in hash-rank
+    * order, then `iters` Lloyd steps where per-sub-cell sums accumulate
+    * in member rank order (FP-order-exact), means truncate to float, and
+    * emptied sub cells drop. `members` MUST be the cell's sample vectors
+    * in hash-rank order. */
+  private[graft] def subCellRefine(c1: Int, k2: Int, iters: Int,
+      members: Array[Array[Float]]): Seq[(Int, Array[Float])] = {
+    val pts = members.map(_.map(_.toDouble))
+    var cur: Seq[(Int, Array[Float])] =
+      members.take(k2).zipWithIndex.map { case (v, j) => (c1 * k2 + j, v) }
+    for (_ <- 1 to iters) {
+      val scs = cur.map { case (g, v) =>
+        (g, v.map(_.toDouble)) }.toIndexedSeq
+      val sums = scala.collection.mutable.Map[Int, Array[Double]]()
+      val counts = scala.collection.mutable.Map[Int, Long]()
+      pts.foreach { p =>
+        val g = nearestLocal(p, scs)
+        val s = sums.getOrElseUpdate(g, new Array[Double](p.length))
+        var j = 0; while (j < p.length) { s(j) += p(j); j += 1 }
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+      }
+      cur = sums.toSeq.map { case (g, s) =>
+        (g, Array.tabulate(s.length)(j => (s(j) / counts(g)).toFloat))
+      }.sortBy(_._1)
+    }
+    cur
+  }
+
+  /** [[trainHierQuantizer]] with the SUB level trained ON EXECUTORS —
+    * the r14-verdict #1 item: the driver-local fit collects
+    * effBudget = max(budget, 4·nCells) sample vectors (~12 GB at 10⁶
+    * cells × 768 dims) and runs every Lloyd step on the driver, which is
+    * the last structural 100 TB ceiling in the ANN family. Here the
+    * driver collects only the TOP-level training prefix (≤ topBudget
+    * rows — k1 ≈ √nCells needs ~4·√nCells points, so a 64k default
+    * covers 10⁸ cells), trains the k1 top centroids with the same
+    * [[lloydLocal]], and the effBudget sample never lands on the driver:
+    * each point's top cell is assigned executor-side with the same
+    * [[nearestLocal]] bits against the broadcast top level, the sample
+    * shuffles ONCE by top cell (groupByKey — the bytes the driver
+    * previously collect()ed now cross the network instead, ~4·nCells·dim
+    * floats spread over k1 groups of ~4·√nCells points), and
+    * [[subCellRefine]] runs per group in hash-rank order. The collect at
+    * the end is model-sized (≤ nCells × dim floats — the quantizer
+    * itself).
+    *
+    * EQUALITY CONTRACT (spec-pinned): with `topBudget >= effBudget` the
+    * top prefix is the whole sample and the result is BIT-IDENTICAL to
+    * [[trainHierQuantizer]] — same seeds, same sums in the same order,
+    * same tie-breaks (assumes xxhash64-tie-free ids, the same caveat the
+    * driver path's orderBy carries). With 4·nCells > topBudget the top
+    * level trains on the topBudget lowest-hash prefix instead — a
+    * different, equally deterministic quantizer; that regime is exactly
+    * where the driver-local fit stops being runnable at all. */
+  def trainHierQuantizerDistributed(corpus: DataFrame, nCells: Int,
+      sampleBudget: Int = 8192,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      subLloydIters: Int = 2,
+      topBudget: Int = 65536): HierQuantizer = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    val k1 = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
+    require(sampleBudget >= k1,
+      s"sampleBudget ($sampleBudget) must be >= k1 ($k1)")
+    require(topBudget >= k1,
+      s"topBudget ($topBudget) must be >= k1 ($k1)")
+    val effBudget = math.max(sampleBudget,
+      math.min(Int.MaxValue.toLong, 4L * nCells).toInt)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the ONE corpus-sized step, shared by both levels: bounded top-N by
+    // hash rank (TakeOrderedAndProject — no global sort), checkpointed so
+    // the corpus scans exactly once
+    val sampleDf = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(effBudget)
+      .select(xxhash64(col(idCol)).as("_1"), col(vecCol).as("_2"))
+      .localCheckpoint(true)
+    try {
+      val topN = math.min(effBudget, topBudget)
+      val topPts = sampleDf.orderBy(col("_1")).limit(topN)
+        .select(col("_2")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val topD = lloydLocal(topPts, k1, iters = 10)
+      val top = topD.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toFloat)) }.toSeq
+      val topB = spark.sparkContext.broadcast(
+        topD.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
+      val k2L = k2; val itersL = subLloydIters
+      val subRows = sampleDf.as[(Long, Seq[Float])]
+        .map { case (rk, v) =>
+          val p = v.toArray.map(_.toDouble)
+          (nearestLocal(p, topB.value), rk, v)
+        }
+        .groupByKey(_._1)
+        .flatMapGroups { (c1: Int, it: Iterator[(Int, Long, Seq[Float])]) =>
+          // hash-rank order within the cell = the driver-local pts order
+          // restricted to this cell (sortBy is stable; distinct hashes
+          // assumed, as in the driver path)
+          val members = it.toArray.sortBy(_._2).map(_._3.toArray)
+          subCellRefine(c1, k2L, itersL, members)
+            .map { case (g, cent) => (c1, g, cent.toSeq) }
+        }
+        .collect() // model-sized: ≤ nCells × dim floats
+      topB.destroy()
+      val sub = subRows.groupBy(_._1).map { case (c1, rows) =>
+        c1 -> rows.sortBy(_._2)
+          .map { case (_, g, cent) => (g, cent.toArray) }.toSeq
+      }
+      HierQuantizer(k2, top, sub)
+    } finally Exec.releaseCheckpoint(sampleDf)
   }
 
   /** Narrow two-step nearest-cell assignment under a [[HierQuantizer]]:
@@ -931,35 +1097,77 @@ object Similarity {
                              vecCol: String, probeTop: Int,
                              minCandidates: Long,
                              cellSizes: DataFrame,
-                             maxSubLiteralFloats: Long = SubLiteralMaxFloats)
+                             maxSubLiteralFloats: Long = SubLiteralMaxFloats,
+                             maxSizeLiteralLongs: Long = SizeLiteralMaxLongs)
   : DataFrame = {
     require(minCandidates >= 1, s"minCandidates must be >= 1")
     val sizes: Map[Int, Long] = cellSizes
       .select(col("cell_id").cast("int"), col("cnt").cast("long"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // DENSE array literal indexed by global cell id (= c1·k2 + j by
-    // construction, so ids live in [0, (maxC1+1)·k2)): element_at on
-    // an ARRAY literal is O(1), where the first cut's MAP literal was
-    // an O(nCells) linear scan per lookup — ~4× the whole probe at a
-    // 16k-cell index (PLANS round 12). Cells empty on disk hold 0.
+    // DENSE array indexed by global cell id (= c1·k2 + j by
+    // construction, so ids live in [0, (maxC1+1)·k2)). Cells empty on
+    // disk hold 0.
     val maxCell = (quant.top.map(_._1).max + 1) * quant.k2
-    val szLit = typedLit((0 until maxCell).map(i => sizes.getOrElse(i, 0L)))
-    val empty = struct(lit(0L).as("cum"),
-      typedLit(Seq.empty[Int]).as("kept"))
-    withHierCandArray(df, quant, vecCol, probeTop, maxSubLiteralFloats)
-      .withColumn("__kept",
-        aggregate(
-          sort_array(col("__cand")), empty,
-          (acc, c) => {
-            val cnt = element_at(szLit, c.getField("cell_id") + 1)
-            when(acc.getField("cum") < minCandidates,
-              struct((acc.getField("cum") + cnt).as("cum"),
-                concat(acc.getField("kept"),
-                  array(c.getField("cell_id"))).as("kept")))
-              .otherwise(acc)
-          }))
-      .withColumn("cell_id", explode(col("__kept").getField("kept")))
-      .drop("__kept")
+    val cand = withHierCandArray(df, quant, vecCol, probeTop,
+      maxSubLiteralFloats)
+    if (maxCell <= maxSizeLiteralLongs) {
+      // LITERAL path: element_at on an ARRAY literal is O(1), where the
+      // first cut's MAP literal was an O(nCells) linear scan per lookup —
+      // ~4× the whole probe at a 16k-cell index (PLANS round 12).
+      val szLit = typedLit((0 until maxCell).map(i => sizes.getOrElse(i, 0L)))
+      val empty = struct(lit(0L).as("cum"),
+        typedLit(Seq.empty[Int]).as("kept"))
+      cand
+        .withColumn("__kept",
+          aggregate(
+            sort_array(col("__cand")), empty,
+            (acc, c) => {
+              val cnt = element_at(szLit, c.getField("cell_id") + 1)
+              when(acc.getField("cum") < minCandidates,
+                struct((acc.getField("cum") + cnt).as("cum"),
+                  concat(acc.getField("kept"),
+                    array(c.getField("cell_id"))).as("kept")))
+                .otherwise(acc)
+            }))
+        .withColumn("cell_id", explode(col("__kept").getField("kept")))
+        .drop("__kept")
+    } else {
+      // PLAN-BOUNDED path (r13/r14 verdict carry: the literal embeds one
+      // long per global cell id in EVERY adaptive plan — ~8 MB of plan
+      // at 10⁶ cells, re-serialized per query batch and hostile to
+      // codegen). Above the ceiling the same dense array rides a torrent
+      // BROADCAST VARIABLE — shipped to each executor once per job, O(1)
+      // lookups, zero plan growth — and the identical prefix-cut walk
+      // runs in one deterministic Scala function per row over the ≤
+      // probeTop·k2 sorted candidates. Still ZERO joins and ZERO
+      // shuffles; the only trade is leaving codegen for this one
+      // projection, which is why the literal path keeps the small-index
+      // regime (crossover measured in PLANS.md r15). Parity with the
+      // literal path is spec-pinned (SimilaritySpec).
+      val dense: Array[Long] =
+        Array.tabulate(maxCell)(i => sizes.getOrElse(i, 0L))
+      val bc = df.sparkSession.sparkContext.broadcast(dense)
+      val minC = minCandidates
+      val keptFn = udf { (cells: Seq[Int]) =>
+        val arr = bc.value
+        var cum = 0L
+        val kept = Seq.newBuilder[Int]
+        var open = true
+        cells.foreach { cid =>
+          if (open) {
+            if (cum < minC) { cum += arr(cid); kept += cid }
+            else open = false
+          }
+        }
+        kept.result()
+      }
+      cand
+        .withColumn("__kept",
+          keptFn(transform(sort_array(col("__cand")),
+            c => c.getField("cell_id"))))
+        .withColumn("cell_id", explode(col("__kept")))
+        .drop("__kept")
+    }
   }
 
   /** Per-cell row counts of a persisted index (union of roots) — the
@@ -1139,6 +1347,19 @@ object Similarity {
     * small QUERY batches, where the broadcast's fixed job overhead
     * would dominate. */
   val SubLiteralMaxFloats: Long = 4L << 20
+
+  /** Cell-size plan-literal ceiling for the ADAPTIVE probe (r13 verdict
+    * item 2, carried through r14): [[probeCellsHierAdaptive]] embeds one
+    * long PER GLOBAL CELL ID as a dense array literal — O(nCells) bytes
+    * in every adaptive plan, ~8 MB at 10⁶ cells, re-serialized with each
+    * query batch's plan. Above this ceiling the same dense array rides a
+    * broadcast VARIABLE and the prefix cut runs as one deterministic
+    * per-row function — zero plan growth, still zero joins/shuffles;
+    * below it the codegen'd literal path stays (it wins while the plan
+    * payload is small — the [[SubLiteralMaxFloats]] crossover logic, one
+    * level up). 64k longs ≈ 0.5 MB of plan, the same order as the
+    * largest measured-good sub-centroid literal. */
+  val SizeLiteralMaxLongs: Long = 64L << 10
 
   private[graft] def subLiteralFloats(quant: HierQuantizer): Long =
     quant.sub.valuesIterator
@@ -1600,19 +1821,35 @@ object Similarity {
     require(n > 0, "lloydLocal needs at least one point")
     val dim = points(0).length
     var cents = Array.tabulate(math.min(k, n))(i => points(i).clone())
+    val assign = new Array[Int](n)
     for (_ <- 1 to iters) {
+      val cs = cents // stable reference for the parallel closure
+      // ASSIGNMENT — the n × k × dim term, ~all of the training cost —
+      // is pure per point (reads points(i) and cs, writes slot i), so it
+      // fans out over cores with a BYTE-IDENTICAL result: the winning
+      // cluster per point does not depend on execution order. This is
+      // the r14-verdict "days of single-core Lloyd at 10⁶ cells" term,
+      // divided by the core count.
+      parallelIndices(n, n.toLong * cs.length * dim) { i =>
+        val p = points(i)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val ce = cs(c); var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - ce(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+      }
+      // ACCUMULATION — O(n·dim), negligible next to assignment — stays
+      // sequential in point order: FP addition is order-sensitive and
+      // the per-cluster sums must not change by a bit.
       val sums = Array.fill(cents.length)(new Array[Double](dim))
       val counts = new Array[Long](cents.length)
       var i = 0
       while (i < n) {
         val p = points(i)
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cents.length) {
-          val ce = cents(c); var d = 0.0; var j = 0
-          while (j < dim) { val t = p(j) - ce(j); d += t * t; j += 1 }
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
+        val best = assign(i)
         counts(best) += 1
         val sb = sums(best); var j = 0
         while (j < dim) { sb(j) += p(j); j += 1 }

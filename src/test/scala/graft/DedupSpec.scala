@@ -241,6 +241,53 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("connectedComponents PRODUCTION rounds never re-shuffle the 2|E| " +
+       "side, even when the session conf disagrees with the size-derived " +
+       "count (r14 verdict item 2)") {
+    // The r14 spec asserted an INLINE replica of the round join; this one
+    // captures the executed plan of every action the real operator runs.
+    // Session conf = 4 while adaptiveParts derives 1 for this tiny frame —
+    // exactly the mismatch regime where EnsureRequirements would re-shuffle
+    // the smaller-count (edge) child to the checkpointed label side's
+    // count each round, were the loop not pinned to the edge count.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rnd = new scala.util.Random(17)
+      val pairs = (1 to 200).map(_ =>
+        (rnd.nextInt(50).toLong + 1L, rnd.nextInt(50).toLong + 1L))
+        .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+      Dedup.connectedComponents(pairs).count()
+      // listener delivery is async; wait for the queue to go quiet
+      var last = -1
+      while (plans.size() != last) { last = plans.size(); Thread.sleep(400) }
+      assert(plans.size() >= 3, "expected at least prep + 2 round actions")
+      import scala.jdk.CollectionConverters._
+      val offenders = plans.asScala.zipWithIndex.flatMap { case (p, i) =>
+        p.linesIterator.filter(l =>
+          (l.contains("Exchange hashpartitioning(u#") ||
+            l.contains("Exchange hashpartitioning(v#")) &&
+            l.contains("ENSURE_REQUIREMENTS"))
+          .map(l => s"action $i: ${l.trim.take(120)}")
+      }
+      assert(offenders.isEmpty,
+        "a round re-shuffled the edge side:\n" + offenders.mkString("\n"))
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("connected components match a union-find over generated pair graphs") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -1930,4 +1930,147 @@ class SimilaritySpec extends SparkSpec {
       "final drain left a duplicated row")
     checkSet("final drain")
   }
+
+  test("parallel lloydLocal is byte-identical to the sequential fit " +
+       "above the fan-out floor (r14 verdict item 1)") {
+    // n·k·dim = 4000·32·160 ≈ 20.5M flops > the 16M parallel floor, so
+    // the assignment step runs on the common pool — the centroids must
+    // still match a plain sequential Lloyd bit for bit (pure per-point
+    // assignment + sequential in-order accumulation).
+    val r = new scala.util.Random(11)
+    val n = 4000; val k = 32; val dim = 160
+    val pts = Array.fill(n)(Array.fill(dim)(r.nextDouble() - 0.5))
+    def seqLloyd(points: Array[Array[Double]], k: Int,
+                 iters: Int): Array[Array[Double]] = {
+      var cents = Array.tabulate(math.min(k, points.length))(i =>
+        points(i).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        points.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            val ce = cents(c); var d = 0.0; var j = 0
+            while (j < dim) { val t = p(j) - ce(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val sb = sums(best); var j = 0
+          while (j < dim) { sb(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0L) cents(c)
+          else { val s = sums(c)
+            Array.tabulate(dim)(j => s(j) / counts(c)) }
+        }
+      }
+      cents
+    }
+    val got = Similarity.lloydLocal(pts.map(_.clone()), k, iters = 10)
+    val want = seqLloyd(pts, k, iters = 10)
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.sameElements(w), s"centroid $i diverged under parallel fit")
+    }
+  }
+
+  test("trainHierQuantizerDistributed with topBudget >= effBudget is " +
+       "BIT-IDENTICAL to the driver-local fit (r14 verdict item 1)") {
+    val corpus = (0L until 600L).map(i => (i, vec(12)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // nCells = 36 → k1 = 6, k2 = 6; effBudget = max(200, 144) = 200
+    val local = Similarity.trainHierQuantizer(corpus, nCells = 36,
+      sampleBudget = 200)
+    val dist = Similarity.trainHierQuantizerDistributed(corpus, nCells = 36,
+      sampleBudget = 200, topBudget = 4096)
+    assert(dist.k2 == local.k2, "k2 diverged")
+    assert(dist.top.map { case (i, v) => (i, v.toSeq) } ==
+      local.top.map { case (i, v) => (i, v.toSeq) },
+      "top level diverged — the full-prefix top sample must reproduce " +
+        "the driver-local lloydLocal exactly")
+    assert(dist.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap ==
+      local.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap,
+      "sub level diverged — per-cell executor training must reproduce " +
+        "the driver-local refinement bit for bit")
+    // and the distributed path is itself layout-deterministic
+    val dist2 = Similarity.trainHierQuantizerDistributed(
+      corpus.repartition(7), nCells = 36, sampleBudget = 200,
+      topBudget = 4096)
+    assert(dist2.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap ==
+      dist.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap,
+      "distributed training depends on the input layout")
+  }
+
+  test("trainHierQuantizerDistributed at a bounded top budget still " +
+       "trains a usable quantizer without any corpus-sized collect") {
+    val corpus = (0L until 800L).map(i => (i, vec(12)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // 4·nCells = 256 > topBudget = 64: the top level trains on the 64
+    // lowest-hash rows only — the regime where the driver-local fit's
+    // collect stops scaling. The result must be deterministic and cover
+    // a sensible number of cells.
+    val hq = Similarity.trainHierQuantizerDistributed(corpus, nCells = 64,
+      sampleBudget = 64, topBudget = 64)
+    val hq2 = Similarity.trainHierQuantizerDistributed(corpus, nCells = 64,
+      sampleBudget = 64, topBudget = 64)
+    assert(hq.nCells > 8, s"bounded-top training collapsed: ${hq.nCells}")
+    assert(hq.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap ==
+      hq2.sub.view.mapValues(_.map { case (g, v) =>
+        (g, v.toSeq) }).toMap,
+      "bounded-top training lost determinism")
+    // global ids stay in each top cell's [c1·k2, c1·k2 + k2) slot range
+    hq.sub.foreach { case (c1, scs) =>
+      scs.foreach { case (g, _) =>
+        assert(g >= c1 * hq.k2 && g < (c1 + 1) * hq.k2,
+          s"global id $g escaped top cell $c1's slot range")
+      }
+    }
+  }
+
+  test("adaptive probe's plan-bounded cellsizes path is row-identical " +
+       "to the literal path and keeps the sizes out of the plan " +
+       "(r13/r14 verdict carry)") {
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 300L).map(i => (i, vec(16)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val quant = Similarity.trainHierQuantizer(corpus, nCells = 25,
+      sampleBudget = 300)
+    val nbrs = corpus.select($"vec_id".as("nbr_id"),
+      $"embedding".as("nbr_vec"))
+    val sizes = Similarity.assignCellsHier(nbrs, quant, "nbr_vec")
+      .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val qs = corpus.limit(9).select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec"))
+    val lits = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 3,
+      minCandidates = 20L, cellSizes = sizes)
+    val bounded = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 3,
+      minCandidates = 20L, cellSizes = sizes, maxSizeLiteralLongs = 0L)
+    assert(lits.exceptAll(bounded).isEmpty && bounded.exceptAll(lits).isEmpty,
+      "adaptive prefix cut diverged between literal and broadcast paths")
+    // plan witnesses: the literal path embeds the aggregate-HOF prefix
+    // walk over the sizes array literal; the bounded path must NOT (the
+    // sizes ride a broadcast variable inside one deterministic function)
+    assert(lits.queryExecution.executedPlan.toString.contains("aggregate("),
+      "literal path lost its aggregate-HOF cut — ceiling misrouted?")
+    val boundedPlan = bounded.queryExecution.executedPlan.toString
+    assert(!boundedPlan.contains("aggregate("),
+      "bounded path still embeds the literal prefix walk")
+    assert(boundedPlan.contains("UDF"),
+      "bounded path must cut via the broadcast-variable function")
+    // edge: minCandidates larger than the whole reach keeps every cell
+    // on both paths
+    val litAll = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 2,
+      minCandidates = 100000L, cellSizes = sizes)
+    val bndAll = Similarity.probeCellsHierAdaptive(qs, quant, "q_vec", 2,
+      minCandidates = 100000L, cellSizes = sizes, maxSizeLiteralLongs = 0L)
+    assert(litAll.exceptAll(bndAll).isEmpty && bndAll.exceptAll(litAll).isEmpty,
+      "exhaustive-cut edge diverged between paths")
+  }
 }
