@@ -139,6 +139,8 @@ object GraphAlgos {
       (e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true),
         e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("dst"))).localCheckpoint(true))
     }
+    // loop at the static frames' size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, eBySrc.rdd.getNumPartitions) {
     val nodes = eBySrc.select(col("src").as("node"))
       .union(eBySrc.select(col("dst")))
       .distinct()
@@ -180,6 +182,7 @@ object GraphAlgos {
           when(col("__ma") > 0, col("auth") / col("__ma"))
             .otherwise(col("auth")).as("auth"))
     }
+    } // withShuffleParts
   }
 
   /** Eigenvector centrality by power iteration: `iterations` rounds of
@@ -212,6 +215,8 @@ object GraphAlgos {
       }
       e.pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src"))).localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
@@ -237,6 +242,7 @@ object GraphAlgos {
       prevX = x
     }
     x
+    } // withShuffleParts
   }
 
   /** Multi-source BFS shortest paths (GraphX ShortestPaths analog):
@@ -278,6 +284,8 @@ object GraphAlgos {
                                           landmarks: DataFrame,
                                           maxHops: Int,
                                           landmarkCol: String): DataFrame = {
+    // loop at the prepped frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(edges.sparkSession, edges.rdd.getNumPartitions) {
     var dists = landmarks
       .select(col(landmarkCol).as("node")).distinct()
       .select(col("node"), col("node").as("landmark"), lit(0).as("dist"))
@@ -293,6 +301,7 @@ object GraphAlgos {
       hop += 1
     }
     dists
+    } // withShuffleParts
   }
 
   /** One shortest-paths round: frontier-extend along edges, min-combine
@@ -359,6 +368,8 @@ object GraphAlgos {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     var dists = landmarks
       .select(col(landmarkCol).as("node")).distinct()
       .select(col("node"), col("node").as("landmark"),
@@ -391,6 +402,7 @@ object GraphAlgos {
         "rounds (long shortest-path hop chains or a negative cycle — " +
         "raise maxRounds or check weights)")
     dists
+    } // withShuffleParts
   }
 
   /** Per-node triangle counts over the UNDIRECTED graph underlying
@@ -902,6 +914,9 @@ object GraphAlgos {
         .localCheckpoint(true)
     }
     val dist = shortestPathsPrepped(edges, sources, maxHops, sourceCol)
+    // σ/δ level loops at the static frame's size-derived count
+    // (Exec.withShuffleParts; shortestPathsPrepped pins its own scope)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     // forward: σ per level (σ(s,s)=1; level-d σ sums level-(d−1)
     // predecessors through edges whose head lands exactly on level d)
     var levels = Vector(dist.filter(col("dist") === 0)
@@ -960,6 +975,7 @@ object GraphAlgos {
       .agg(neighborSum(col("s"), col("delta"), exactFolds).as("bc"))
     nodes.join(bc, Seq("node"), "left")
       .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+    } // withShuffleParts
   }
 
   /** k-truss decomposition: the maximal subgraph of the UNDIRECTED
@@ -1261,6 +1277,8 @@ object GraphAlgos {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("nbr")))
         .localCheckpoint(true)
     }
+    // loop at the adjacency's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, adj.rdd.getNumPartitions) {
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -1277,6 +1295,7 @@ object GraphAlgos {
       prevLabels = labels
     }
     labels
+    } // withShuffleParts
   }
 
   /** Strongly connected components by forward-backward coloring — the
@@ -1760,6 +1779,8 @@ object GraphAlgos {
     var labels: DataFrame = null   // (id, component), null = identity
     var done = false
     var round = 0
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     while (!done && round < maxRounds) {
       val withComps = if (labels == null)
         edges.select(col("u"), col("v"), col("w"),
@@ -1862,6 +1883,7 @@ object GraphAlgos {
       s"Boruvka did not converge within $maxRounds rounds")
     if (forest == null) edges.limit(0)
     else forest.groupBy("u", "v").agg(min("w").as("w"))
+    } // withShuffleParts
   }
 
   /** Densest subgraph, distributed greedy peel (Bahmani–Kumar–
@@ -1904,6 +1926,8 @@ object GraphAlgos {
     var bestA = 0L; var bestV = 0L; var bestRound = -1
     var round = 0
     var empty = false
+    // loop at the adjacency's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, adj.rdd.getNumPartitions) {
     while (!empty && round < maxRounds) {
       val deg = Exec.checkpointCut(
         adj.groupBy("node").agg(count(lit(1)).as("deg")))
@@ -1933,6 +1957,7 @@ object GraphAlgos {
         round += 1
       }
     }
+    } // withShuffleParts
     require(!requireConverged || empty,
       s"densest-subgraph peel did not exhaust the graph within " +
         s"$maxRounds rounds")
@@ -1975,6 +2000,8 @@ object GraphAlgos {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     val wsum = edges.groupBy("src").agg(sum(col("__w")).as("wsum"))
     val srcs = edges.select(col("src").as("node")).distinct()
     val nodes = Exec.checkpointCut(
@@ -2005,6 +2032,7 @@ object GraphAlgos {
       prevX = x
     }
     x
+    } // withShuffleParts
   }
 
   /** Katz centrality with a dyadic attenuation α = 2^−`alphaInvLog2`
@@ -2033,6 +2061,8 @@ object GraphAlgos {
         .pipe(__f => __f.repartition(Exec.adaptiveParts(__f), col("src")))
         .localCheckpoint(true)
     }
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     val nodes = Exec.checkpointCut(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst"))).distinct())
@@ -2055,6 +2085,7 @@ object GraphAlgos {
     num.select(col("node"),
       col("__n").cast("long").as("katz_num"),
       (col("__n").cast("double") / lit(scale)).as("katz"))
+    } // withShuffleParts
   }
 
   /** Full reachability BFS: every node reachable from `seeds` along
@@ -2113,6 +2144,9 @@ object GraphAlgos {
     }
     val scc = Exec.checkpointCut(
       stronglyConnectedComponents(edges))
+    // condensation sweeps at the static frame's size-derived count
+    // (Exec.withShuffleParts; the SCC call above pins its own scope)
+    Exec.withShuffleParts(spark, edges.rdd.getNumPartitions) {
     val largest = scc.groupBy("scc").agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("scc")).limit(1)
       .select(col("scc").as("__big"))
@@ -2141,6 +2175,7 @@ object GraphAlgos {
           .otherwise("other").as("bowtie_class"))
       .groupBy("bowtie_class")
       .agg(count(lit(1)).as("n_nodes"))
+    } // withShuffleParts
   }
 
   /** Greedy maximal matching by the locally-dominant-edge rule
@@ -2175,6 +2210,8 @@ object GraphAlgos {
     var matched: DataFrame = null
     var done = false
     var round = 0
+    // loop at the static frame's size-derived count (Exec.withShuffleParts)
+    Exec.withShuffleParts(spark, live.rdd.getNumPartitions) {
     while (!done && round < maxRounds) {
       val pri = struct(col("w"), col("u"), col("v"))
       // per-VERTEX minimum over BOTH endpoint appearances — an edge is
@@ -2215,5 +2252,6 @@ object GraphAlgos {
       s"maximal matching did not converge within $maxRounds rounds")
     if (matched == null) live.limit(0)
     else matched.select("u", "v", "w")
+    } // withShuffleParts
   }
 }
